@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory for the graft engine.
+  *
+  * Tuned for the local[32] test harness but with settings chosen for a
+  * multi-executor cluster: AQE on (runtime re-plan, skew-join splitting,
+  * partition coalescing), shuffle partitions sized to the harness cores
+  * (override on a real cluster), UTC session zone so timestamp semantics
+  * are deployment-independent (the reference's local-zone string
+  * round-trip at cmd/root.go:400-421 is a correctness wart we fix).
+  */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+  }
+
+  /** Local session for tests / CLI runs outside spark-submit. */
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    builder(appName).master(s"local[$cpus]").getOrCreate()
+  }
+}

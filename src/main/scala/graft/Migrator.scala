@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import java.util.concurrent.Executors
+
+import graft.config.SyncConfig
+import graft.sinks.BatchWriter
+import graft.sources.{FixtureSource, TableSource}
+import graft.verify.Comparator
+
+/** Per-table migration outcome (the reference's summary-report row,
+  * cmd/root.go:139-200).
+  */
+final case class TableResult(
+    table: String,
+    rows: Long,
+    seconds: Double,
+    ok: Boolean,
+    error: Option[String]
+)
+
+/** Full-migration driver — the Spark-native `startDataTransfer`
+  * (reference: cmd/root.go:47-204). Tables migrate concurrently on a
+  * bounded driver-side pool (the reference's `maxParallel` semaphore,
+  * cmd/root.go:95-102); each table's copy is a single shuffle-free Spark
+  * job: partitioned read → (type-preserving) → partitioned write. No
+  * `collect`, no repartition — read partitioning flows straight into the
+  * write, which is what keeps the data path embarrassingly parallel at
+  * 100 TB.
+  */
+final class Migrator(
+    spark: SparkSession,
+    src: TableSource,
+    destDir: String,
+    cfg: SyncConfig = SyncConfig()
+) {
+
+  /** Cross-table concurrency: how many table-copy jobs run at once.
+    * Within a job, parallelism is the scan's partition count.
+    */
+  private val tableConcurrency = math.max(1, math.min(cfg.maxParallel, 8))
+
+  def copyTable(name: String): TableResult = {
+    val t0 = System.nanoTime()
+    try {
+      val df = src.table(spark, name)
+      BatchWriter.writeParquet(df, destDir, name)
+      val n = spark.read.parquet(s"$destDir/$name.parquet").count()
+      TableResult(name, n, (System.nanoTime() - t0) / 1e9, ok = true, None)
+    } catch {
+      case e: Exception =>
+        TableResult(name, -1, (System.nanoTime() - t0) / 1e9, ok = false,
+          Some(e.getMessage))
+    }
+  }
+
+  /** Copy every non-excluded table; returns the per-table report. */
+  def run(): Seq[TableResult] = {
+    val names = src.tableNamesExcluding(spark, cfg.exclude)
+    val pool = Executors.newFixedThreadPool(tableConcurrency)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = names.map(n => Future(copyTable(n)))
+      Await.result(Future.sequence(futs), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  /** Post-copy verification (reference `compareDb`). */
+  def compare(): DataFrame = {
+    val names = src.tableNamesExcluding(spark, cfg.exclude)
+    Comparator.compareCounts(spark, src, FixtureSource(destDir), names)
+  }
+}

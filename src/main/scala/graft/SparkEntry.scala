@@ -1,13 +1,309 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+
+import graft.functions.GroupConcat
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY.md §2
+  * (the id prefix maps to the §2 row) through the graft engine's public
+  * surface; `oracleSql` holds the DuckDB-equivalent SQL the driver
+  * hash-compares against. Every query ends in a deterministic ORDER BY so
+  * the comparison is order-stable, and aggregates that touch doubles are
+  * computed in DECIMAL then cast to DOUBLE so both engines produce
+  * bit-identical values.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts arrives as long nanoseconds (nanosAsLong read); integer-
+    * divide to microseconds (exact on longs — a double division would
+    * lose precision past 2^53) and convert.
+    */
+  private def eventTs = timestamp_micros(expr("ts div 1000"))
+
+  /** sum over a double column, exact: decimal-accumulate then one cast. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_a5_group_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S5/P1 — full scan with explicit column projection (pushed to parquet)
+    "q_s5_scan_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // S6/O3 — WHERE 1=0 schema probe ≡ limit(0)
+    "q_s6_probe" -> ((s, dir) => {
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity").limit(0)
+    }),
+    // S15/A1 — per-table row counts (the compareDb verification scan)
+    "q_s15_table_counts" -> ((s, dir) => {
+      import s.implicits._
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables
+        .map(n => (n, t(s, dir, n).count()))
+        .toDF("table_name", "n_rows")
+        .orderBy("table_name")
+    }),
+    // S4/A2/F10 — page-count scan: ceil(count(*)/pageSize)
+    "q_s4_page_count" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(ceil(count(lit(1)) / lit(1000.0)).cast(LongType).as("pages"))
+    }),
+    // A3/A4/W2 — ordered listagg (Oracle `listagg ... within group`)
+    "q_a3_listagg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_orderkey"))
+        .agg(GroupConcat
+          .orderedConcat(col("l_linenumber"), col("l_linenumber").cast("string"), ",")
+          .as("line_numbers"))
+        .orderBy("l_orderkey")
+    }),
+    // A5 — hash aggregate with multiple measures (flagship agg shape)
+    "q_a5_group_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // J1 — left-outer catalog join (columns ⟕ comments analog); small dim
+    // side broadcast — no shuffle at scale
+    "q_j1_left_outer" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left_outer")
+        .select(n("n_nationkey"), n("n_name"), r("r_name"))
+        .orderBy("n_nationkey")
+    }),
+    // J3/P2/O4 — anti-join (NOT IN exclude-list semantics)
+    "q_j3_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    // J4/S15 — src↔dest count comparison as a full-outer join
+    "q_j4_full_outer_compare" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          when(c("c_custkey").isNull, lit("NO")).otherwise(lit("YES")).as("cust_exists"),
+          coalesce(o("n_orders"), lit(0L)).as("n_orders")
+        )
+        .orderBy("custkey")
+    }),
+    // P2-P8 — compound predicates: <>, IN-list
+    "q_p_filters" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "F" &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+    // F1 — scalar string/conditional function surface
+    "q_f1_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          regexp_replace(col("p_name"), " ", "_").as("name_u"),
+          least(col("p_size"), lit(25)).as("size_c"),
+          when(col("p_size") > 25, lit("L")).otherwise(lit("S")).as("bucket"),
+          instr(col("p_type"), "a").cast(IntegerType).as("pos_a"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type")
+        )
+        .orderBy("p_partkey")
+    }),
+    // F4/F5 — date/time formatting and extraction (UTC end-to-end)
+    "q_f4_date_format" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("dt_str"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo")
+        )
+        .orderBy("o_orderkey")
+    }),
+    // F7/P8 — regex capture-group extraction + rlike filter
+    "q_f7_regex_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("props").rlike("\"k\""))
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast(IntegerType).as("k")
+        )
+        .orderBy("event_id")
+    }),
+    // F8 — chained dialect-rewrite (the view-text transpiler shape)
+    "q_f8_view_rewrite" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          regexp_replace(regexp_replace(upper(col("text")), "SPARK", "FLINK"),
+            "JOIN", "MERGE").as("rewritten")
+        )
+        .orderBy("doc_id")
+    }),
+    // W1 — row_number windows (the ROWNUM analog, partitioned — never a
+    // single global window). Window order must be a total order within
+    // the partition — (l_linenumber, l_quantity, l_extendedprice) is
+    // unique per l_orderkey in the fixtures — or ties make rn
+    // nondeterministic.
+    "q_w1_row_number" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          row_number().over(w).as("rn")
+        )
+        .orderBy("l_orderkey", "l_linenumber", "rn")
+    }),
+    // W2 — running aggregate with an explicit frame
+    "q_w2_running_sum" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("running_qty")
+        )
+        .orderBy("l_orderkey", "l_linenumber", "running_qty")
+    }),
+    // O4 — set difference
+    "q_o4_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.except(sup).orderBy("nationkey")
+    }),
+    // Dedup (exact): content-hash grouping over documents
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keeper"))
+        .orderBy("text_hash")
+    }),
+    // Text analysis: token/char counting
+    "q_text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars2"),
+          size(split(col("text"), " ", -1)).cast(LongType).as("n_tokens")
+        )
+        .orderBy("doc_id")
+    }),
+    // Text analysis: stopword frequency via replace-diff
+    "q_text_stopword" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3)
+            .cast(LongType).as("n_the")
+        )
+        .orderBy("doc_id")
+    }),
+    // Streaming-analog: event-time windowed aggregation (batch form of the
+    // Structured Streaming hourly rollup)
+    "q_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), date_trunc("hour", eventTs).as("hr"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .orderBy("user_id", "hr")
+    }),
+    // Multimodal plumbing: opaque binary column + byte-length metadata
+    "q_mm_binary_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text").cast("binary")).cast(LongType).as("n_bytes")
+        )
+        .orderBy("doc_id")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_s5_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q_s6_probe" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE 1=0",
+    "q_s15_table_counts" ->
+      ("SELECT * FROM (" +
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+          .map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY table_name"),
+    "q_s4_page_count" ->
+      "SELECT CAST(CEIL(count(*) / 1000.0) AS BIGINT) AS pages FROM lineitem",
+    "q_a3_listagg" ->
+      "SELECT l_orderkey, string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey",
+    "q_a5_group_agg" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q_j1_left_outer" ->
+      "SELECT n_nationkey, n_name, r_name FROM nation LEFT JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
+    "q_j3_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
+    "q_j4_full_outer_compare" ->
+      "SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, CASE WHEN c.c_custkey IS NULL THEN 'NO' ELSE 'YES' END AS cust_exists, COALESCE(o.n_orders, 0) AS n_orders FROM customer c FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey ORDER BY custkey",
+    "q_p_filters" ->
+      "SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_orderstatus <> 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey",
+    "q_f1_string_funcs" ->
+      "SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTR(p_type, 1, 5) AS type5, REPLACE(p_name, ' ', '_') AS name_u, LEAST(p_size, 25) AS size_c, CASE WHEN p_size > 25 THEN 'L' ELSE 'S' END AS bucket, CAST(INSTR(p_type, 'a') AS INT) AS pos_a, CONCAT(p_brand, '#', p_type) AS brand_type FROM part ORDER BY p_partkey",
+    "q_f4_date_format" ->
+      "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_str, CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo FROM orders ORDER BY o_orderkey",
+    "q_f7_regex_extract" ->
+      "SELECT event_id, CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT) AS k FROM events WHERE regexp_matches(props, '\"k\"') ORDER BY event_id",
+    "q_f8_view_rewrite" ->
+      "SELECT doc_id, REPLACE(REPLACE(UPPER(text), 'SPARK', 'FLINK'), 'JOIN', 'MERGE') AS rewritten FROM documents ORDER BY doc_id",
+    "q_w1_row_number" ->
+      "SELECT l_orderkey, l_linenumber, CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice) AS INT) AS rn FROM lineitem ORDER BY l_orderkey, l_linenumber, rn",
+    "q_w2_running_sum" ->
+      "SELECT l_orderkey, l_linenumber, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty FROM lineitem ORDER BY l_orderkey, l_linenumber, running_qty",
+    "q_o4_except" ->
+      "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey",
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS text_hash, count(*) AS dup_count, MIN(doc_id) AS keeper FROM documents GROUP BY md5(text) ORDER BY text_hash",
+    "q_text_tokens" ->
+      "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id",
+    "q_text_stopword" ->
+      "SELECT doc_id, CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the FROM documents ORDER BY doc_id",
+    "q_events_hourly" ->
+      "SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value FROM events GROUP BY user_id, date_trunc('hour', ts) ORDER BY user_id, hr",
+    "q_mm_binary_meta" ->
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id"
+  )
 }

@@ -1,0 +1,66 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Batched sink — the Spark replacement for the reference's hand-rolled
+  * prepared-INSERT loop (cmd/root.go:343-526). `df.write.jdbc` already
+  * does transaction-per-partition batching (JdbcUtils.savePartition), so
+  * the engine's own surface is just policy: batch-size clamping, truncate
+  * semantics, and connection budgeting.
+  */
+object BatchWriter {
+
+  /** MySQL's prepared-statement placeholder ceiling. */
+  val PlaceholderLimit = 65535
+
+  /** Effective rows-per-batch: the reference clamps the configured batch
+    * to `65535/ncols − 10` so a multi-row VALUES insert never exceeds the
+    * placeholder limit (cmd/root.go:376). Spark's writer binds one row per
+    * addBatch (no multi-row VALUES), but with MySQL's
+    * `rewriteBatchedStatements=true` the driver re-materializes multi-row
+    * inserts, so the same clamp applies.
+    */
+  def effectiveBatchSize(configured: Int, nCols: Int): Int = {
+    require(nCols > 0, "table must have columns")
+    val clamp = PlaceholderLimit / nCols - 10
+    math.max(1, math.min(configured, clamp))
+  }
+
+  /** Cap write-side partitions so that `partitions × concurrent tables`
+    * stays within the connection budget (the reference used one unbounded
+    * pool — cmd/app.go:66-68 — which we must NOT replicate: each Spark
+    * write task opens its own connection).
+    */
+  def cappedForWrite(df: DataFrame, maxConnections: Int): DataFrame = {
+    val n = df.rdd.getNumPartitions
+    if (n > maxConnections) df.coalesce(maxConnections) else df
+  }
+
+  /** Write to a JDBC target with truncate-before-load (reference K3,
+    * cmd/root.go:264-273) and the batch clamp.
+    */
+  def writeJdbc(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: java.util.Properties,
+      batchRowSize: Int = 1000,
+      maxConnections: Int = 100,
+      truncateFirst: Boolean = true
+  ): Unit = {
+    val batch = effectiveBatchSize(batchRowSize, df.schema.fields.length)
+    val out = cappedForWrite(df, maxConnections)
+    val writer = out.write
+      .option("batchsize", batch.toString)
+      .option("isolationLevel", "READ_COMMITTED")
+    if (truncateFirst)
+      writer.option("truncate", "true").mode(SaveMode.Overwrite).jdbc(url, table, props)
+    else writer.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
+  /** Parquet target (the "destination database" in tests): overwrite =
+    * truncate-then-load semantics.
+    */
+  def writeParquet(df: DataFrame, dir: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$table.parquet")
+}

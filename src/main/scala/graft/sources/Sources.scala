@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.plans.{EmptyScan, PartitionPlanner, ScanPlan}
+
+/** A source "database": a named set of tables the engine can scan.
+  * Implementations: [[FixtureSource]] (parquet dir, used by tests/bench)
+  * and [[JdbcSource]] (real Oracle-style source over Spark JDBC).
+  */
+trait TableSource {
+  def tableNames(spark: SparkSession): Seq[String]
+
+  /** Whole-table scan as a DataFrame (lazy; no action). */
+  def table(spark: SparkSession, name: String): DataFrame
+
+  /** Schema-only probe — the reference's `WHERE 1=0` trick
+    * (cmd/root.go:277-279). In Spark a scan is lazy, so `limit(0)`
+    * resolves the schema without reading data.
+    */
+  def probe(spark: SparkSession, name: String): DataFrame =
+    table(spark, name).limit(0)
+
+  /** Table list minus an exclusion list (reference `NOT IN` anti-filter,
+    * cmd/root.go:214-224). Driver-side: table lists are small.
+    */
+  def tableNamesExcluding(spark: SparkSession, exclude: Set[String]): Seq[String] = {
+    val ex = exclude.map(_.toLowerCase)
+    tableNames(spark).filterNot(t => ex.contains(t.toLowerCase))
+  }
+}
+
+/** Parquet-directory source: each `<dir>/<name>.parquet` is a table.
+  * Stands in for the source database in tests (TESTDATA.md fixtures).
+  */
+final case class FixtureSource(dir: String) extends TableSource {
+  override def tableNames(spark: SparkSession): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration
+    )
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.listStatus(p)
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".parquet"))
+        .map(_.stripSuffix(".parquet"))
+        .sorted
+        .toSeq
+  }
+
+  override def table(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** JDBC source with planner-driven partitioned reads — the Spark
+  * equivalent of the reference's ROWNUM page fan-out
+  * (cmd/root.go:308-340): one disjoint predicate per Spark partition,
+  * one connection per running task, scheduler-capped total concurrency.
+  */
+final case class JdbcSource(
+    url: String,
+    props: java.util.Properties,
+    pageSize: Long = 100000L,
+    maxParallel: Int = 100,
+    fetchSize: Int = 10000
+) extends TableSource {
+
+  override def tableNames(spark: SparkSession): Seq[String] = {
+    // Dictionary scan (reference S1: `select table_name from user_tables`).
+    val df = spark.read
+      .jdbc(url, "(select table_name from user_tables) t", props)
+    df.collect().map(_.getString(0)).toSeq
+  }
+
+  override def table(spark: SparkSession, name: String): DataFrame =
+    spark.read.option("fetchsize", fetchSize.toString).jdbc(url, quoted(name), props)
+
+  /** Partitioned scan from a precomputed [[ScanPlan]]. */
+  def tablePartitioned(spark: SparkSession, name: String, plan: ScanPlan): DataFrame =
+    plan match {
+      case EmptyScan => probe(spark, name)
+      case p =>
+        spark.read
+          .option("fetchsize", fetchSize.toString)
+          .jdbc(url, quoted(name), p.predicates, props)
+    }
+
+  /** Custom-SQL source (reference S7: user SQL from YAML replaces the
+    * generated scan — cmd/root.go:84-85).
+    */
+  def sqlSource(spark: SparkSession, sql: String): DataFrame =
+    spark.read.option("fetchsize", fetchSize.toString).jdbc(url, s"($sql) graft_q", props)
+
+  /** Plan a table's partitioned read given its cardinality and an optional
+    * numeric split key's bounds (both obtainable via pushdown aggregates).
+    */
+  def planScan(rows: Long, splitKey: Option[(String, Long, Long)]): ScanPlan =
+    PartitionPlanner.plan(rows, pageSize, splitKey, maxParallel)
+
+  private def quoted(name: String): String = "\"" + name + "\""
+}

@@ -1,0 +1,150 @@
+package graft.types
+
+import org.apache.spark.sql.types._
+
+/** Source-column metadata as introspected from an Oracle data dictionary
+  * (USER_TAB_COLUMNS left-joined to USER_COL_COMMENTS — reference:
+  * cmd/tablemeta.go:74-90).
+  *
+  * @param avgColLen  AVG_COL_LEN statistic; drives the reference's
+  *                   int-vs-bigint narrowing for scale-0 NUMBERs
+  *                   (cmd/tablemeta.go:140-143).
+  */
+final case class ColumnMeta(
+    name: String,
+    dataType: String,
+    charLength: Int,
+    precision: Option[Int],
+    scale: Option[Int],
+    nullable: Boolean,
+    default: Option[String],
+    comment: Option[String],
+    avgColLen: Option[Int],
+    position: Int
+)
+
+/** A transpiled column: Catalyst type for the in-engine DataFrame plus the
+  * target-dialect (MySQL-kernel) DDL type string.
+  */
+final case class TranspiledColumn(
+    name: String,
+    catalystType: DataType,
+    targetDdlType: String,
+    nullable: Boolean,
+    defaultSql: Option[String],
+    comment: Option[String]
+)
+
+/** Oracle→(Catalyst, MySQL DDL) type transpiler.
+  *
+  * Reproduces the reference's mapping table (cmd/tablemeta.go:133-158)
+  * including its two non-standard semantics that Spark's stock
+  * `OracleDialect` does not implement:
+  *
+  *  - scale-0 `NUMBER` narrowed to int vs bigint by the `AVG_COL_LEN`
+  *    statistic (>= 6 → bigint) — cmd/tablemeta.go:140-143;
+  *  - `DATA_SCALE > 30` clamped to `least(precision,30)-1` (the reference
+  *    folds this into its dictionary SQL at cmd/tablemeta.go:74).
+  *
+  * Pure functions — runs driver-side over catalog metadata (≤ thousands of
+  * columns), so no Catalyst Expression needed; the 100 TB row data never
+  * passes through here.
+  */
+object TypeTranspiler {
+
+  /** Max decimal scale the target dialect accepts (MySQL limit the
+    * reference clamps to inside its dictionary query).
+    */
+  val MaxTargetScale = 30
+
+  def clampPrecisionScale(precision: Option[Int], scale: Option[Int]): (Int, Int) = {
+    val p = precision.getOrElse(38)
+    val s0 = scale.getOrElse(0)
+    val s = if (s0 > MaxTargetScale) math.min(p, MaxTargetScale) - 1 else s0
+    (p, math.max(s, 0))
+  }
+
+  def transpile(c: ColumnMeta): TranspiledColumn = {
+    val dt = c.dataType.toUpperCase
+    val (catalyst, ddl): (DataType, String) = dt match {
+      case "NUMBER" =>
+        val (p, s) = clampPrecisionScale(c.precision, c.scale)
+        if (c.precision.exists(_ > 0) && s > 0)
+          (DecimalType(math.min(p, 38), math.min(s, 37)), s"decimal($p,$s)")
+        else if (c.avgColLen.exists(_ >= 6)) (LongType, "bigint")
+        else (IntegerType, "int")
+      case "FLOAT" | "BINARY_FLOAT"  => (FloatType, "float")
+      case "BINARY_DOUBLE"           => (DoubleType, "double")
+      case "VARCHAR2" | "NVARCHAR2" | "UROWID" =>
+        (StringType, s"varchar(${math.max(c.charLength, 1)})")
+      case "CHAR" | "NCHAR"          => (StringType, s"char(${math.max(c.charLength, 1)})")
+      case "DATE"                    => (TimestampType, "datetime") // Oracle DATE carries time-of-day
+      case t if t.startsWith("TIMESTAMP") && t.contains("TIME ZONE") =>
+        (TimestampType, "datetime(6)")
+      case t if t.startsWith("TIMESTAMP") => (TimestampType, "datetime(6)")
+      case "CLOB" | "NCLOB" | "LONG" => (StringType, "longtext")
+      case "BLOB" | "RAW" | "LONG RAW" => (BinaryType, "longblob")
+      case other                     => (StringType, other.toLowerCase) // passthrough verbatim
+    }
+    TranspiledColumn(
+      c.name.toLowerCase,
+      catalyst,
+      ddl,
+      c.nullable,
+      c.default.flatMap(d => rewriteDefault(d, catalyst)),
+      c.comment
+    )
+  }
+
+  /** Default-value rewrite (reference: cmd/tablemeta.go:100-131):
+    * strip wrapping parens/quotient noise; non-portable generators
+    * (SYS_GUID(), USER) drop to NULL; SYSDATE / CURRENT_TIMESTAMP map to
+    * current_timestamp; numeric defaults pass as the extracted literal.
+    */
+  def rewriteDefault(raw: String, target: DataType): Option[String] = {
+    val trimmed0 = raw.trim
+    val trimmed =
+      if (trimmed0.startsWith("(") && trimmed0.endsWith(")"))
+        trimmed0.substring(1, trimmed0.length - 1).trim
+      else trimmed0
+    val upper = trimmed.toUpperCase
+    if (upper.isEmpty || upper == "NULL") None
+    else if (upper.contains("SYS_GUID") || upper == "USER") None
+    else if (upper.startsWith("SYSDATE") || upper.startsWith("CURRENT_TIMESTAMP") ||
+      upper.startsWith("SYSTIMESTAMP") || upper.startsWith("LOCALTIMESTAMP")) {
+      Some("CURRENT_TIMESTAMP")
+    } else
+      target match {
+        case _: NumericType =>
+          val m = "[-]?[0-9][0-9.]*".r.findFirstIn(trimmed)
+          m
+        case _ =>
+          // keep quoted string literals verbatim; re-quote bare words
+          if (trimmed.startsWith("'")) Some(trimmed)
+          else Some(s"'${trimmed.replace("'", "''")}'")
+      }
+  }
+
+  /** Catalyst schema for a whole table's metadata. */
+  def toStructType(cols: Seq[ColumnMeta]): StructType =
+    StructType(cols.sortBy(_.position).map { c =>
+      val t = transpile(c)
+      StructField(t.name, t.catalystType, t.nullable)
+    })
+
+  /** Target-dialect CREATE TABLE statement (reference: the string assembly
+    * in cmd/tablemeta.go:160-186). Identifier quoting uses backticks per
+    * the MySQL-kernel target.
+    */
+  def createTableDdl(table: String, cols: Seq[ColumnMeta]): String = {
+    val colDefs = cols.sortBy(_.position).map { c =>
+      val t = transpile(c)
+      val nullSql = if (t.nullable) "" else " not null"
+      val defSql = t.defaultSql.map(d => s" default $d").getOrElse("")
+      val commentSql =
+        t.comment.map(cm => s" comment '${cm.replace("'", "''")}'").getOrElse("")
+      s"`${t.name}` ${t.targetDdlType}$nullSql$defSql$commentSql"
+    }
+    s"create table `${table.toLowerCase}` (\n  ${colDefs.mkString(",\n  ")}\n)"
+  }
+}
