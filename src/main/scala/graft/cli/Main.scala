@@ -1,0 +1,114 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{GraftSession, Migrator}
+import graft.config.SyncConfig
+import graft.ddl.{DdlGenerator, DdlScript}
+import graft.sources.FixtureSource
+import graft.verify.Comparator
+
+/** Engine CLI — subcommand surface mirroring the reference's cobra
+  * commands (cmd/root.go, cmd/create.go, cmd/compare.go, cmd/version.go):
+  *
+  *   sync        full migration: DDL + data + verify    (root.go:40-45)
+  *   createTable schema only (`-m`-style plan file opt) (create.go:28-83)
+  *   onlyData    data only                              (create.go:85-193)
+  *   compareDb   per-table count verification           (compare.go:23-100)
+  *   version     build info                             (version.go)
+  *
+  * Sources/destinations are parquet directories here (the test stand-in
+  * for the JDBC endpoints; JdbcSource plugs into the same pipeline).
+  */
+object Main {
+
+  private val usage =
+    """graft <command> [options]
+      |  sync        --src <dir> --dest <dir> [--exclude t1,t2] [--config f.yml]
+      |  createTable --src <dir> --script <out.sql>
+      |  onlyData    --src <dir> --dest <dir> [--exclude t1,t2]
+      |  compareDb   --src <dir> --dest <dir>
+      |  version
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
+    val cmd = args.head
+    val opts = parseOpts(args.tail)
+    if (cmd == "version") { println("graft 0.1.0 (Spark " +
+      org.apache.spark.SPARK_VERSION + ")"); return }
+
+    val spark = GraftSession.local("graft-cli")
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      cmd match {
+        case "sync"        => sync(spark, opts, ddl = true, data = true)
+        case "onlyData"    => sync(spark, opts, ddl = false, data = true)
+        case "createTable" => createTable(spark, opts)
+        case "compareDb"   => compareDb(spark, opts)
+        case other =>
+          System.err.println(s"unknown command: $other\n$usage"); sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+
+  private def parseOpts(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  private def require(opts: Map[String, String], key: String): String =
+    opts.getOrElse(key, { System.err.println(s"missing --$key\n$usage"); sys.exit(2) })
+
+  private def config(opts: Map[String, String]): SyncConfig = {
+    val base = opts.get("config").map(SyncConfig.load).getOrElse(SyncConfig())
+    opts.get("exclude")
+      .map(e => base.copy(exclude = base.exclude ++ e.split(",").map(_.trim)))
+      .getOrElse(base)
+  }
+
+  private def sync(spark: SparkSession, opts: Map[String, String],
+      ddl: Boolean, data: Boolean): Unit = {
+    val src = FixtureSource(require(opts, "src"))
+    val dest = require(opts, "dest")
+    val cfg = config(opts)
+    val t0 = System.nanoTime()
+    val m = new Migrator(spark, src, dest, cfg)
+    val results = m.run()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // reference-style summary report (root.go:177-203)
+    println(f"${"table"}%-20s ${"rows"}%10s ${"seconds"}%10s  ok")
+    results.sortBy(_.table).foreach { r =>
+      println(f"${r.table}%-20s ${r.rows}%10d ${r.seconds}%10.3f  ${if (r.ok) "YES" else "NO: " + r.error.getOrElse("")}")
+    }
+    println(f"TableData total: $secs%.3f s, failed: ${results.count(!_.ok)}")
+    println("compare:")
+    m.compare().orderBy("table_name").show(100, truncate = false)
+  }
+
+  private def createTable(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val src = FixtureSource(require(opts, "src"))
+    val script = new DdlScript
+    src.tableNames(spark).foreach { t =>
+      script.add(DdlGenerator.dropTable(t))
+      script.add(DdlGenerator.createTable(t, src.probe(spark, t).schema))
+    }
+    val out = opts.getOrElse("script", "createSql.log")
+    script.writeTo(out)
+    println(s"wrote ${script.all.size} DDL statements to $out")
+  }
+
+  private def compareDb(spark: SparkSession, opts: Map[String, String]): Unit = {
+    val src = FixtureSource(require(opts, "src"))
+    val dest = FixtureSource(require(opts, "dest"))
+    val report = Comparator.compareCounts(
+      spark, src, dest, src.tableNames(spark))
+    report.orderBy("table_name").show(100, truncate = false)
+    val failed = Comparator.failures(report)
+    if (failed.count() > 0) {
+      println("FAILED tables:")
+      failed.orderBy("table_name").show(100, truncate = false)
+      sys.exit(1)
+    } else println("all tables OK")
+  }
+}

@@ -58,9 +58,13 @@ object Comparator {
     * single final reduce.
     */
   def checksum(df: DataFrame): DataFrame = {
+    // hashes summed in unbounded decimal: a long sum overflows under
+    // ANSI mode (Spark 4 default) after ~2^32 rows of 64-bit hashes
     val aggs = df.schema.fields.flatMap { f =>
       Seq(
-        sum(xxhash64(col(f.name).cast("string"))).as(s"${f.name}__hash"),
+        sum(xxhash64(col(f.name).cast("string"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as(s"${f.name}__hash"),
         sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls")
       )
     }
