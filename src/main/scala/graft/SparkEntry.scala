@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
 
 import graft.functions.GroupConcat
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -249,6 +250,77 @@ object SparkEntry {
           length(col("text").cast("binary")).cast(LongType).as("n_bytes")
         )
         .orderBy("doc_id")
+    }),
+    // Dedup (exact, via the operator library): keep lowest id per
+    // normalized-content fingerprint
+    "q_dedup_exact_keep" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+    // Text analysis battery: whitespace tokens, punct/stopword ratios,
+    // mean token length (all codegen'd expression compositions)
+    "q_text_analysis" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(txt).cast(LongType).as("n_tokens_ws"),
+          TextAnalysis.punctRatio(txt).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(txt).as("stopword_ratio"),
+          TextAnalysis.meanTokenLength(txt).as("mean_token_len")
+        )
+        .orderBy("doc_id")
+    }),
+    // Language ID: marker-token argmax heuristic
+    "q_text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    // ANN: exact brute-force cosine top-1 (the baseline path)
+    "q_sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id").as("nn_id"))
+        .orderBy("query_id")
+    }),
+    // ANN scale path: LSH-bucketed top-k (approximate — no SQL oracle)
+    "q_sim_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      Similarity.lshTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nBits = 4)
+        .orderBy("query_id", "rank")
+    }),
+    // Near-dedup via MinHash LSH (engine-specific hash family — no oracle)
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+    // SimHash signatures + banded near-dup pairs (no oracle)
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)
+        .orderBy("id_a", "id_b")
+    }),
+    // Embedding-cosine near-dup, LSH-bucketed (no oracle)
+    "q_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.8, nBits = 4)
+        .orderBy("id_a", "id_b")
+    }),
+    // Multimodal decode stage over binary payloads (stub codec — no oracle)
+    "q_mm_decode" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeFeatures(media, "doc_id", "payload")
+        .select("doc_id", "format", "width", "height", "n_bytes")
+        .orderBy("doc_id")
     })
   )
 
@@ -304,6 +376,43 @@ object SparkEntry {
     "q_events_hourly" ->
       "SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value FROM events GROUP BY user_id, date_trunc('hour', ts) ORDER BY user_id, hr",
     "q_mm_binary_meta" ->
-      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id"
+      "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
+    "q_dedup_exact_keep" ->
+      ("SELECT doc_id FROM documents WHERE doc_id IN " +
+        "(SELECT MIN(doc_id) FROM documents GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) " +
+        "ORDER BY doc_id"),
+    "q_text_analysis" -> {
+      val sw = TextAnalysis.EN_STOPWORDS.map(s => s"'$s'").mkString(", ")
+      "WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS ltoks FROM documents) " +
+        "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens_ws, " +
+        "CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio, " +
+        s"CASE WHEN len(ltoks) > 0 THEN CAST(len(list_filter(ltoks, x -> x IN ($sw))) AS DOUBLE) / len(ltoks) ELSE 0.0 END AS stopword_ratio, " +
+        "CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_token_len " +
+        "FROM t ORDER BY doc_id"
+    },
+    "q_text_langid" -> {
+      // same marker profiles and tie-break (lowest language code) as
+      // TextAnalysis.langId, spelled as a CASE argmax
+      val langs = TextAnalysis.LANG_PROFILES.keys.toSeq.sorted
+      val scores = langs.map { l =>
+        val markers = TextAnalysis.LANG_PROFILES(l).map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(ltoks, x -> x IN ($markers))) AS s_$l"
+      }.mkString(", ")
+      val cases = langs.init.zipWithIndex.map { case (l, i) =>
+        val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $rest THEN '$l'"
+      }.mkString(" ")
+      "WITH t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS ltoks FROM documents), " +
+        s"s AS (SELECT doc_id, text, $scores FROM t) " +
+        s"SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 'und' $cases ELSE '${langs.last}' END AS lang_pred " +
+        "FROM s ORDER BY doc_id"
+    },
+    "q_sim_topk" ->
+      ("SELECT q.vec_id AS query_id, " +
+        "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> q.vec_id " +
+        "ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id " +
+        "LIMIT 1) AS nn_id " +
+        "FROM embeddings q WHERE q.vec_id < 5 ORDER BY query_id")
   )
 }

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>`/`array<double>` columns using
+  * only built-in higher-order functions (`zip_with`, `aggregate`) — fully
+  * codegen'd, no UDF, no driver round-trip. All arithmetic is promoted to
+  * double for stability.
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Euclidean (L2) distance. */
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        diff * diff
+      }),
+      lit(0.0),
+      (acc, v) => acc + v
+    ))
+
+  /** Deterministic pseudo-random unit in [-0.5, 0.5] from (plane, dim)
+    * via integer hashing — replaces RNG-sampled hyperplanes so LSH
+    * signatures are reproducible across runs and executors.
+    */
+  private def hashUnit(plane: Int, dimIdx: Column): Column =
+    (pmod(xxhash64(lit(plane), dimIdx), lit(1000003L)).cast("double") /
+      lit(1000003.0)) - lit(0.5)
+
+  /** Sign bit of the projection of `vec` onto deterministic hyperplane
+    * `plane` (random-hyperplane LSH for cosine similarity).
+    */
+  def hyperplaneSign(vec: Column, plane: Int): Column = {
+    val proj = aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") * hashUnit(plane, i)),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+    when(proj >= 0.0, lit(1)).otherwise(lit(0))
+  }
+
+  /** `nBits`-bit LSH signature for cosine similarity: vectors with small
+    * angle agree on most bits, so bucketing on the signature (or bands of
+    * it) turns an O(n²) all-pairs search into per-bucket joins.
+    */
+  def lshSignature(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map(p => hyperplaneSign(vec, p).cast("string"))
+    concat(bits: _*)
+  }
+}

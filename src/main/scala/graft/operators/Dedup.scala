@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *  - exact: one hash-aggregate on a 64-bit fingerprint (map-side
+  *    combine, single shuffle of (hash, id) pairs — never the text);
+  *  - MinHash+LSH: shingle → k minhashes → b bands → self-join per band
+  *    bucket. The only shuffle is on (band, bandHash) — candidate pairs
+  *    are verified with exact Jaccard *inside* the join, so the O(n²)
+  *    all-pairs comparison never materializes;
+  *  - SimHash: 64-bit signature per doc; near-dups agree on most bits,
+  *    bucketed by signature bands like MinHash;
+  *  - n-gram Jaccard: the verification kernel, exposed standalone;
+  *  - embedding cosine: near-dup via LSH-bucketed vector similarity.
+  *
+  * All signature math is built-in higher-order functions — codegen'd,
+  * no UDFs, no driver loops.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the lowest id per normalized-content fingerprint.
+    * Returns the deduplicated rows (one keeper per duplicate set).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val keepers = keyed
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    // broadcast-free semi join on the (small) keeper id set at test
+    // scale; at 100 TB both sides shuffle on id — still one shuffle
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** Exact-duplicate groups: fingerprint → member count + keeper id. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keeper"))
+
+  // -------------------------------------------------------------- shingles
+
+  /** Word `n`-gram shingles of a text column (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")
+      )))
+  }
+
+  /** Exact Jaccard similarity of two array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0.0, lit(0.0)).otherwise(inter / union)
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** k-element MinHash signature over a shingle array. Hash family i is
+    * xxhash64 salted with i — deterministic across executors/runs.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** MinHash-estimated Jaccard: fraction of agreeing signature slots. */
+  def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+      .cast("double") / lit(k.toDouble)
+
+  /** Candidate near-duplicate pairs via banded LSH over MinHash
+    * signatures, verified with exact Jaccard.
+    *
+    * @param bands  number of LSH bands; rows per band = k/bands. Two docs
+    *               collide if any band hashes equal. With s = true
+    *               Jaccard, P(collide) = 1-(1-s^r)^b — tune (b, r) so the
+    *               S-curve knee sits at `threshold`.
+    * @return (id_a, id_b, est_jaccard, jaccard) with id_a < id_b and
+    *         jaccard >= threshold
+    */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val sig = df
+      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
+      .withColumn("__sig", minhashSignature(col("__sh"), k))
+    // explode into one row per band: (band, bandHash, id, sig, shingles)
+    val banded = sig.select(
+      col(idCol),
+      col("__sh"),
+      col("__sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(array_join(
+          transform(slice(col("__sig"), b * rows + 1, lit(rows)), _.cast("string")),
+          ","), b)
+      )).as(Seq("__band", "__bandhash"))
+    )
+    val a = banded.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
+      col("__sig").as("sig_a"), col("__band"), col("__bandhash"))
+    val b = banded.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
+      col("__sig").as("sig_b"), col("__band"), col("__bandhash"))
+    a.join(b, Seq("__band", "__bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair colliding in multiple bands appears once
+      .dropDuplicates("id_a", "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        minhashEstimate(col("sig_a"), col("sig_b"), k).as("est_jaccard"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-dedup: drop every doc that collides (verified Jaccard ≥
+    * threshold) with a lower-id doc. One LSH pass — not transitive
+    * closure; chained duplicates (a~b~c, a!~c) keep their local minima,
+    * which is the standard one-pass trade-off at scale.
+    */
+  def minhashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleSize, k, bands, threshold)
+    val drop = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 weighted by
+    * each token hash's bit, take the sign. Near-duplicates differ in few
+    * bits (compare with [[hammingDistance]]).
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
+    val bitSums = (0 until 64).map { bit =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+    }
+    // assemble sign bits; bit positions are disjoint so the sum is exact
+    bitSums.zipWithIndex.map { case (s, i) =>
+      when(s > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by 4 × 16-bit bands (docs within
+    * Hamming distance 3 of each other must agree on at least one band —
+    * pigeonhole), verify by Hamming distance.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val sig = df.select(col(idCol), simhash64(col(textCol)).as("__sim"))
+    val banded = sig.select(
+      col(idCol), col("__sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("__sim"), b * 16).bitwiseAND(0xffffL)): _*))
+        .as(Seq("__band", "__bandval"))
+    )
+    val a = banded.select(col(idCol).as("id_a"), col("__sim").as("sim_a"),
+      col("__band"), col("__bandval"))
+    val b = banded.select(col(idCol).as("id_b"), col("__sim").as("sim_b"),
+      col("__band"), col("__bandval"))
+    a.join(b, Seq("__band", "__bandval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: only vectors
+    * sharing a hyperplane-signature bucket are compared (recall
+    * controlled by `nBits`; lower = more recall, more comparisons).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nBits: Int = 8
+  ): DataFrame = {
+    val sig = df.select(col(idCol), col(vecCol))
+      .withColumn("__bucket", VectorFunctions.lshSignature(col(vecCol), nBits))
+    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__bucket"))
+    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__bucket"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

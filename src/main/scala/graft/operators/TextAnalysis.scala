@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is a composition of built-in (codegen'd) expressions —
+  * no UDFs — so each operator is a narrow map over the text column:
+  * embarrassingly parallel, no shuffle, scales linearly to 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish subword count: split on word/non-word boundaries the way a
+    * byte-pair tokenizer fragments text (letters runs, digit runs, and
+    * punctuation all count) — a cheap upper estimate of token cost.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(trim(t)) > 0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Punctuation character ratio (0..1). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "\\p{Punct}", ""))
+    when(length(text) > 0, punct.cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** English stopword ratio among tokens (0..1). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EN_STOPWORDS): Column = {
+    val toks = tokens(lower(text))
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: favors medium-length documents
+    * with low punctuation density, a healthy stopword ratio, and
+    * plausible word lengths — the standard cheap pre-filter in front of
+    * expensive model-based quality classifiers.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(charCount(text).cast("double") / lit(500.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val swr = stopwordRatio(text)
+    val swScore = lit(1.0) - least(abs(swr - lit(0.4)) * 2.5, lit(1.0))
+    val mtl = meanTokenLength(text)
+    val mtlScore = lit(1.0) - least(abs(mtl - lit(5.0)) / 5.0, lit(1.0))
+    round((lenScore + punctScore + swScore + mtlScore) / 4.0, 6)
+  }
+
+  /** N-gram-heuristic language ID: scores each candidate language by its
+    * marker-token hit count over the document's tokens, returns the
+    * argmax (ties broken by language code order). Marker sets are tiny
+    * and inlined as literals — broadcast-free, fully codegen'd.
+    */
+  def langId(text: Column, profiles: Map[String, Seq[String]] = LANG_PROFILES): Column = {
+    val toks = tokens(lower(text))
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      struct(
+        (size(filter(toks, t => array_contains(m, t))) * -1).as("neg_score"),
+        lit(lang).as("lang")
+      )
+    }
+    // struct sort is field-by-field: ascending neg_score = descending
+    // score, ties broken by first language code
+    val best = array_sort(array(scored: _*)).getItem(0)
+    when(length(trim(text)) === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** 64-bit content fingerprint: hash of the whitespace-normalized,
+    * lowercased text. Identical fingerprints ⇒ exact duplicates modulo
+    * whitespace/case — the first-stage key for exact dedup.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(array_join(tokens(lower(text)), " "))
+
+  /** Order-insensitive bag fingerprint: hash of the sorted token
+    * multiset; robust to token reordering (catches shuffled copies).
+    */
+  def bagFingerprint(text: Column): Column =
+    xxhash64(array_join(array_sort(tokens(lower(text))), " "))
+
+  /** Annotate a documents DataFrame with the full analysis surface. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ta_n_chars", charCount(t))
+      .withColumn("ta_n_tokens", tokenCount(t))
+      .withColumn("ta_n_bpeish", bpeishTokenCount(t))
+      .withColumn("ta_punct_ratio", punctRatio(t))
+      .withColumn("ta_stopword_ratio", stopwordRatio(t))
+      .withColumn("ta_quality", qualityScore(t))
+      .withColumn("ta_lang", langId(t))
+      .withColumn("ta_fingerprint", fingerprint(t))
+  }
+
+  val EN_STOPWORDS: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be",
+    "from", "has", "have", "not", "but")
+
+  /** Tiny marker-token profiles per language (top function words). */
+  val LANG_PROFILES: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "con"),
+    "fr" -> Seq("le", "la", "les", "est", "et", "que", "dans", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有", "和", "不")
+  )
+}

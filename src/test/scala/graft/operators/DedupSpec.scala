@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  /** documents plus planted duplicates: doc 0 copied exactly (id 10000),
+    * doc 1 copied with one word appended (id 10001 — near-dup).
+    */
+  private lazy val planted = {
+    val docs = table("documents").select("doc_id", "text")
+    val exactCopy = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val nearCopy = docs.filter(col("doc_id") === 1)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" xyzzy")).as("text"))
+    docs.union(exactCopy).union(nearCopy)
+  }
+
+  test("exact dedup keeps lowest id and removes the planted exact copy") {
+    val out = Dedup.exact(planted, "doc_id", "text")
+    assert(out.count() === planted.count() - 1)
+    assert(out.filter(col("doc_id") === 10000).count() === 0)
+    assert(out.filter(col("doc_id") === 0).count() === 1)
+    // near-copy is NOT an exact dup
+    assert(out.filter(col("doc_id") === 10001).count() === 1)
+  }
+
+  test("exactGroups reports the duplicate set") {
+    val g = Dedup.exactGroups(planted, "doc_id", "text")
+      .filter(col("dup_count") > 1)
+      .collect()
+    assert(g.length === 1)
+    assert(g(0).getAs[Long]("keeper") === 0L)
+    assert(g(0).getAs[Long]("dup_count") === 2L)
+  }
+
+  test("minhash near-dup finds both planted copies") {
+    val pairs = Dedup.minhashNearDupPairs(planted, "doc_id", "text",
+      shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
+      .collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((0L, 10000L)), s"missing exact pair in $pairSet")
+    assert(pairSet.contains((1L, 10001L)), s"missing near pair in $pairSet")
+    // exact copy estimates ~1.0
+    val exactPair = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 10000L).get
+    assert(exactPair.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("minhashDedup drops only near-dup members, keeps low ids") {
+    val out = Dedup.minhashDedup(planted, "doc_id", "text", threshold = 0.5)
+    assert(out.filter(col("doc_id") === 10000).count() === 0)
+    assert(out.filter(col("doc_id") === 10001).count() === 0)
+    assert(out.filter(col("doc_id") === 0).count() === 1)
+    assert(out.filter(col("doc_id") === 1).count() === 1)
+  }
+
+  test("simhash: identical text -> distance 0; near text -> small distance") {
+    val pairs = Dedup.simhashNearDupPairs(planted, "doc_id", "text", maxHamming = 10)
+      .collect()
+    val m = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(m.get((0L, 10000L)).contains(0))
+    assert(m.contains((1L, 10001L)))
+    assert(m((1L, 10001L)) <= 10)
+  }
+
+  test("jaccard kernel") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(j === 0.5)
+  }
+
+  test("embedding near-dup finds a planted identical vector") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val copy = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val pairs = Dedup.embeddingNearDupPairs(emb.union(copy), "vec_id", "embedding",
+      threshold = 0.999, nBits = 4)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 7L && r.getLong(1) == 10007L))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+class SimilaritySpec extends SparkSpec {
+
+  test("vector kernels: dot, norm, cosine, l2") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("dot"),
+      VectorFunctions.norm(col("a")).as("na"),
+      VectorFunctions.cosine(col("a"), col("b")).as("cos"),
+      VectorFunctions.l2(col("a"), col("b")).as("l2")
+    ).collect()(0)
+    assert(r.getDouble(0) === 2.0)
+    assert(r.getDouble(1) === 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(1 + 4 + 4)) < 1e-12)
+  }
+
+  test("brute-force top-k: self-query finds planted duplicate as rank 1") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val copy = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.union(copy)
+    val queries = emb.filter(col("vec_id") === 3)
+    val top = Similarity.bruteForceTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .filter(col("rank") === 1)
+      .collect()(0)
+    assert(top.getAs[Long]("neighbor_id") === 10003L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k returns k ranked descending rows per query") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    val byQuery = out.groupBy("query_id").agg(
+      count(lit(1)).as("n"),
+      min(col("cosine")).as("mn"),
+      max(col("cosine")).as("mx")
+    ).collect()
+    assert(byQuery.length === 3)
+    byQuery.foreach(r => assert(r.getAs[Long]("n") === 10L))
+    // ranks are 1..10 and cosine non-increasing with rank
+    val q0 = out.filter(col("query_id") === 0).orderBy("rank").collect()
+    assert(q0.map(_.getAs[Int]("rank")).toSeq === (1 to 10))
+    val cosines = q0.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosines === cosines.sorted.reverse)
+  }
+
+  test("lsh top-k finds the planted identical vector (same bucket by construction)") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val copy = emb.filter(col("vec_id") === 5)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.union(copy)
+    val queries = emb.filter(col("vec_id") === 5)
+    val out = Similarity.lshTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, nBits = 6)
+      .filter(col("rank") === 1)
+      .collect()(0)
+    assert(out.getAs[Long]("neighbor_id") === 10005L)
+  }
+
+  test("lsh signature is deterministic across evaluations") {
+    val emb = table("embeddings").select("vec_id", "embedding").limit(50)
+    val s1 = emb.select(col("vec_id"),
+      VectorFunctions.lshSignature(col("embedding"), 8).as("sig")).collect()
+    val s2 = emb.select(col("vec_id"),
+      VectorFunctions.lshSignature(col("embedding"), 8).as("sig")).collect()
+    assert(s1.map(r => (r.getLong(0), r.getString(1))).toMap ===
+      s2.map(r => (r.getLong(0), r.getString(1))).toMap)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import TextAnalysis._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(c.as("v")).collect()(0).get(0)
+  }
+
+  test("token and char counts") {
+    assert(one(tokenCount(col("t")), "a bb  ccc") === 3)
+    assert(one(charCount(col("t")), "hello") === 5)
+    assert(one(bpeishTokenCount(col("t")), "don't stop-me now2") === 7)
+  }
+
+  test("punct and stopword ratios") {
+    assert(one(punctRatio(col("t")), "ab,.") === 0.5)
+    assert(one(stopwordRatio(col("t")), "the cat and dog") === 0.5)
+    assert(one(punctRatio(col("t")), "") === 0.0)
+  }
+
+  test("quality score bounded [0,1]") {
+    import spark.implicits._
+    val scores = table("documents")
+      .select(qualityScore(col("text")).as("q"))
+      .agg(min($"q"), max($"q"))
+      .collect()(0)
+    assert(scores.getDouble(0) >= 0.0 && scores.getDouble(1) <= 1.0)
+  }
+
+  test("langId picks the marker-matching language") {
+    assert(one(langId(col("t")), "the cat is in the house and that") === "en")
+    assert(one(langId(col("t")), "der hund ist nicht mit der katze") === "de")
+    assert(one(langId(col("t")), "el perro es la mascota y que bien con") === "es")
+    assert(one(langId(col("t")), "le chien est dans la maison et que une") === "fr")
+    assert(one(langId(col("t")), "") === "und")
+  }
+
+  test("fingerprint is whitespace/case-insensitive; bagFingerprint order-insensitive") {
+    val a = one(fingerprint(col("t")), "Hello  World")
+    val b = one(fingerprint(col("t")), "hello world")
+    assert(a === b)
+    val c = one(bagFingerprint(col("t")), "world hello")
+    val d = one(bagFingerprint(col("t")), "hello world")
+    assert(c === d)
+    assert(one(fingerprint(col("t")), "world hello") !== b)
+  }
+
+  test("analyze annotates all columns") {
+    val out = analyze(table("documents").limit(10))
+    val cols = out.columns.toSet
+    assert(Seq("ta_n_chars", "ta_n_tokens", "ta_n_bpeish", "ta_punct_ratio",
+      "ta_stopword_ratio", "ta_quality", "ta_lang", "ta_fingerprint")
+      .forall(cols.contains))
+    assert(out.count() === 10)
+  }
+}
