@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
 
 import graft.functions.GroupConcat
+import graft.objects.ObjectMigrator
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -321,6 +322,50 @@ object SparkEntry {
       Multimodal.decodeFeatures(media, "doc_id", "payload")
         .select("doc_id", "format", "width", "height", "n_bytes")
         .orderBy("doc_id")
+    }),
+    // S8/A3/A5/J2 — index-DDL synthesis over dictionary metadata
+    // (inline frames; the dictionary arrives via JDBC in production)
+    "q_s8_index_ddl" -> ((s, _) => {
+      import s.implicits._
+      val indCols = Seq(
+        ("t1", "pk_t1", "id", 1), ("t1", "ix_t1_ab", "b", 2),
+        ("t1", "ix_t1_ab", "a", 1), ("t1", "ux_t1_c", "c", 1)
+      ).toDF("table_name", "index_name", "column_name", "column_position")
+      val indexes = Seq(
+        ("pk_t1", "UNIQUE", "NORMAL"), ("ix_t1_ab", "NONUNIQUE", "NORMAL"),
+        ("ux_t1_c", "UNIQUE", "NORMAL")
+      ).toDF("index_name", "uniqueness", "index_type")
+      val constraints = Seq(("pk_t1", "P")).toDF("constraint_name", "constraint_type")
+      ObjectMigrator.indexDdl(indCols, indexes, constraints).orderBy("sql_cmd")
+    }),
+    // S10/J5 — FK DDL with decorrelated ordered column lists
+    "q_s10_fk_ddl" -> ((s, _) => {
+      import s.implicits._
+      val constraints = Seq(
+        ("fk_o_c", "orders", "R", "pk_cust"),
+        ("pk_cust", "customer", "P", null),
+        ("pk_o", "orders", "P", null)
+      ).toDF("constraint_name", "table_name", "constraint_type", "r_constraint_name")
+      val consCols = Seq(
+        ("fk_o_c", "custkey", 1), ("pk_cust", "c_custkey", 1), ("pk_o", "o_orderkey", 1)
+      ).toDF("constraint_name", "column_name", "position")
+      ObjectMigrator.foreignKeyDdl(constraints, consCols).orderBy("sql_cmd")
+    }),
+    // S12/P4 — table-comment DDL (null filter + quote escaping)
+    "q_s12_comment_ddl" -> ((s, _) => {
+      import s.implicits._
+      val comments = Seq(("t1", "user's table"), ("t2", null), ("t3", "plain"))
+        .toDF("table_name", "comments")
+      ObjectMigrator.commentDdl(comments).orderBy("sql_cmd")
+    }),
+    // S13/F8 — view transpilation rewrite chain
+    "q_s13_view_ddl" -> ((s, _) => {
+      import s.implicits._
+      val views = Seq(
+        ("v1", "select nvl(\"a\", 0) from t -- note"),
+        ("v2", "select x from y where z = nvl(\"w\", 1)")
+      ).toDF("view_name", "text")
+      ObjectMigrator.viewDdl(views).orderBy("view_name")
     })
   )
 
@@ -413,6 +458,46 @@ object SparkEntry {
         "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> q.vec_id " +
         "ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id " +
         "LIMIT 1) AS nn_id " +
-        "FROM embeddings q WHERE q.vec_id < 5 ORDER BY query_id")
+        "FROM embeddings q WHERE q.vec_id < 5 ORDER BY query_id"),
+    "q_s8_index_ddl" ->
+      ("WITH ind_cols(table_name, index_name, column_name, column_position) AS " +
+        "(VALUES ('t1','pk_t1','id',1), ('t1','ix_t1_ab','b',2), ('t1','ix_t1_ab','a',1), ('t1','ux_t1_c','c',1)), " +
+        "idx(index_name, uniqueness, index_type) AS " +
+        "(VALUES ('pk_t1','UNIQUE','NORMAL'), ('ix_t1_ab','NONUNIQUE','NORMAL'), ('ux_t1_c','UNIQUE','NORMAL')), " +
+        "cons(constraint_name, constraint_type) AS (VALUES ('pk_t1','P')), " +
+        "g AS (SELECT ic.table_name, ic.index_name, i.uniqueness, i.index_type, c.constraint_type, " +
+        "string_agg(ic.column_name, ',' ORDER BY ic.column_position) AS cols " +
+        "FROM ind_cols ic JOIN idx i USING(index_name) LEFT JOIN cons c ON ic.index_name = c.constraint_name " +
+        "WHERE i.index_type <> 'FUNCTION-BASED NORMAL' " +
+        "GROUP BY ic.table_name, ic.index_name, i.uniqueness, i.index_type, c.constraint_type) " +
+        "SELECT table_name, CASE WHEN constraint_type IN ('P','R') THEN " +
+        "'ALTER TABLE `' || table_name || '` ADD CONSTRAINT `' || index_name || '`' || " +
+        "CASE WHEN constraint_type = 'P' THEN ' PRIMARY KEY (' ELSE ' FOREIGN KEY (' END || cols || ');' " +
+        "ELSE 'CREATE ' || CASE WHEN uniqueness = 'UNIQUE' THEN 'UNIQUE ' WHEN index_type = 'NORMAL' THEN '' ELSE index_type || ' ' END || " +
+        "'INDEX `' || index_name || '` ON ' || table_name || '(' || cols || ');' END AS sql_cmd " +
+        "FROM g ORDER BY sql_cmd"),
+    "q_s10_fk_ddl" ->
+      ("WITH cons(constraint_name, table_name, constraint_type, r_constraint_name) AS " +
+        "(VALUES ('fk_o_c','orders','R','pk_cust'), ('pk_cust','customer','P',NULL), ('pk_o','orders','P',NULL)), " +
+        "ccols(constraint_name, column_name, position) AS " +
+        "(VALUES ('fk_o_c','custkey',1), ('pk_cust','c_custkey',1), ('pk_o','o_orderkey',1)), " +
+        "lists AS (SELECT constraint_name, string_agg(column_name, ',' ORDER BY position) AS cols FROM ccols GROUP BY constraint_name) " +
+        "SELECT b.table_name, 'ALTER TABLE ' || b.table_name || ' ADD CONSTRAINT ' || b.constraint_name || " +
+        "' FOREIGN KEY (' || l1.cols || ') REFERENCES ' || r.table_name || '(' || l2.cols || ');' AS sql_cmd " +
+        "FROM cons b JOIN lists l1 ON l1.constraint_name = b.constraint_name " +
+        "JOIN lists l2 ON l2.constraint_name = b.r_constraint_name " +
+        "JOIN cons r ON r.constraint_name = b.r_constraint_name " +
+        "WHERE b.constraint_type = 'R' ORDER BY sql_cmd"),
+    "q_s12_comment_ddl" ->
+      ("WITH c(table_name, comments) AS (VALUES ('t1','user''s table'), ('t2',NULL), ('t3','plain')) " +
+        "SELECT table_name, 'alter table ' || table_name || ' comment ''' || replace(comments, '''', '''''') || ''';' AS sql_cmd " +
+        "FROM c WHERE comments IS NOT NULL ORDER BY sql_cmd"),
+    "q_s13_view_ddl" ->
+      ("WITH v(view_name, text) AS (VALUES " +
+        "('v1', 'select nvl(\"a\", 0) from t -- note'), " +
+        "('v2', 'select x from y where z = nvl(\"w\", 1)')) " +
+        "SELECT view_name, 'create or replace view ' || view_name || ' as ' || " +
+        "replace(replace(replace(replace(upper(text), '--', '-- -- '), '\"', '`'), 'NVL(', 'IFNULL('), 'UNISTR(''0'')', '0') || ';' AS sql_cmd " +
+        "FROM v ORDER BY view_name")
   )
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental re-sync — the streaming extension the reference lacks
+  * (its "Sync" is one-shot copy+verify; SURVEY.md §2.10). New source
+  * rows land continuously; Structured Streaming gives exactly-once
+  * micro-batched delivery into the destination:
+  *
+  *   readStream → event-time transforms (watermarked) → foreachBatch sink
+  *
+  * The sink writes each micro-batch into a `batch=<id>` subdirectory —
+  * re-processing after failure overwrites the same directory, so the
+  * pipeline stays idempotent under task/driver retry (the Spark answer
+  * to the reference's txn-rollback model, SURVEY.md §7.4.1).
+  */
+object IncrementalSync {
+
+  /** File-based streaming source over an events directory. `tsNanosCol`
+    * arrives as long nanoseconds (nanosAsLong); emitted as a proper
+    * event-time timestamp column `event_time`.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked hourly rollup per event type — late rows beyond the
+    * watermark are dropped deterministically instead of reopening closed
+    * windows (bounded state at any scale).
+    */
+  def hourlyRollup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double").as("total_value")
+      )
+
+  /** Streaming dedup on the event key within the watermark horizon —
+    * at-least-once sources (CDC feeds, retried producers) become
+    * effectively-once. State is bounded by the watermark.
+    */
+  def dedupedStream(events: DataFrame, idCol: String, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Start the incremental sync: append new source rows into the
+    * destination, one idempotent parquet directory per micro-batch.
+    * `Trigger.AvailableNow` drains whatever is present then stops —
+    * cron-friendly incremental catch-up; pass a processing-time trigger
+    * for continuous tailing.
+    */
+  def start(
+      events: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write
+          .mode("overwrite") // idempotent on micro-batch replay
+          .parquet(s"$destDir/batch=$batchId")
+      }
+      .start()
+}
