@@ -40,6 +40,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K1-K3 — the migration data path itself: partitioned read →
+    // shuffle-free batched write → read-back (the reference's TableData
+    // phase; BASELINE.md throughput comparison anchor)
+    "q_k1_copy_lineitem" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_copy").toString
+      graft.sinks.BatchWriter.writeParquet(t(s, dir, "lineitem"), tmp, "lineitem")
+      s.read.parquet(s"$tmp/lineitem.parquet")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
     // S5/P1 — full scan with explicit column projection (pushed to parquet)
     "q_s5_scan_project" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -373,6 +382,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_k1_copy_lineitem" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice",
     "q_s5_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_s6_probe" ->

@@ -66,10 +66,20 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** k-element MinHash signature over a shingle array. Hash family i is
-    * xxhash64 salted with i — deterministic across executors/runs.
+  /** k-element MinHash signature over a shingle array — native one-pass
+    * Catalyst expression ([[graft.functions.MinHash64Expression]]).
+    * Hash family i is XXH64 seeded with i — deterministic across
+    * executors/runs.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
+    graft.functions.MinHash64Expression.minhash64(shingleCol, k)
+
+  /** Built-in-composed variant (k array traversals; different hash
+    * family — xxhash64 over (shingle, salt) pairs — so values differ from
+    * the native expression but the LSH statistics are identical). Kept to
+    * document what the native expression replaces.
+    */
+  private[graft] def minhashSignatureBuiltin(shingleCol: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
     }: _*)
@@ -100,14 +110,17 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
+    // signatures are consumed three times (banding + both sides of the
+    // verify join-back) — persist so shingling/minhash runs once
     val sig = df
       .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
       .withColumn("__sig", minhashSignature(col("__sh"), k))
-    // explode into one row per band: (band, bandHash, id, sig, shingles)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the band self-join shuffles ONLY (band, bandHash, id) — signatures
+    // and shingle sets stay out of the wide exploded frame and are joined
+    // back onto the (few) surviving candidate pairs
     val banded = sig.select(
       col(idCol),
-      col("__sh"),
-      col("__sig"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(array_join(
@@ -115,14 +128,18 @@ object Dedup {
           ","), b)
       )).as(Seq("__band", "__bandhash"))
     )
-    val a = banded.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
-      col("__sig").as("sig_a"), col("__band"), col("__bandhash"))
-    val b = banded.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
-      col("__sig").as("sig_b"), col("__band"), col("__bandhash"))
-    a.join(b, Seq("__band", "__bandhash"))
+    val candidates = banded.select(col(idCol).as("id_a"), col("__band"), col("__bandhash"))
+      .join(banded.select(col(idCol).as("id_b"), col("__band"), col("__bandhash")),
+        Seq("__band", "__bandhash"))
       .filter(col("id_a") < col("id_b"))
       // a pair colliding in multiple bands appears once
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(sig.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
+        col("__sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
+        col("__sig").as("sig_b")), Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
@@ -155,9 +172,18 @@ object Dedup {
 
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 weighted by
     * each token hash's bit, take the sign. Near-duplicates differ in few
-    * bits (compare with [[hammingDistance]]).
+    * bits (compare with [[hammingDistance]]). Native one-pass Catalyst
+    * expression ([[graft.functions.SimHash64Expression]]).
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    graft.functions.SimHash64Expression.simhash64(TextAnalysis.tokens(lower(text)))
+
+  /** Built-in-composed SimHash (64 `aggregate` traversals of the token
+    * array) — the composition the native expression replaces. Same hash
+    * family (xxhash64, seed 42), so outputs are bit-identical; kept as
+    * the correctness cross-check for the custom expression.
+    */
+  private[graft] def simhash64Builtin(text: Column): Column = {
     val hashes = transform(TextAnalysis.tokens(lower(text)), t => xxhash64(t))
     val bitSums = (0 until 64).map { bit =>
       aggregate(hashes, lit(0L),
@@ -214,14 +240,20 @@ object Dedup {
       threshold: Double = 0.95,
       nBits: Int = 8
   ): DataFrame = {
+    // norms computed once per vector, not once per candidate pair
     val sig = df.select(col(idCol), col(vecCol))
       .withColumn("__bucket", VectorFunctions.lshSignature(col(vecCol), nBits))
-    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("__bucket"))
-    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("__bucket"))
+      .withColumn("__norm", VectorFunctions.norm(col(vecCol)))
+    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("__norm").as("norm_a"), col("__bucket"))
+    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("__norm").as("norm_b"), col("__bucket"))
     a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+        when(col("norm_a") * col("norm_b") === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("vec_a"), col("vec_b")) /
+            (col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

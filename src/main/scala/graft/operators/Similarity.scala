@@ -34,17 +34,26 @@ object Similarity {
       k: Int
   ): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+      .withColumn("__qn", VectorFunctions.norm(col("__qv")))
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
     val scored = c
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
-        VectorFunctions.cosine(col("__qv"), col("__cv")).as("cosine")
+        pairCosine.as("cosine")
       )
     topKPerKey(scored, "query_id", k)
   }
+
+  /** Cosine from a precomputed-norm pair (norms evaluated once per row,
+    * not once per candidate pair).
+    */
+  private def pairCosine =
+    when(col("__qn") * col("__cn") === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
 
   /** Two-phase per-key top-k: partial top-k inside each partition (no
     * shuffle), then final top-k per key. The collect_list in phase 2 sees
@@ -89,15 +98,17 @@ object Similarity {
   ): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
       .withColumn("__bucket", VectorFunctions.lshSignature(col("__qv"), nBits))
+      .withColumn("__qn", VectorFunctions.norm(col("__qv")))
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
       .withColumn("__bucket", VectorFunctions.lshSignature(col("__cv"), nBits))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
     val scored = c
       .join(broadcast(q), Seq("__bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
-        VectorFunctions.cosine(col("__qv"), col("__cv")).as("cosine")
+        pairCosine.as("cosine")
       )
     topKPerKey(scored, "query_id", k)
   }

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class SimHashExpressionSpec extends SparkSpec {
+
+  test("native simhash64 is bit-identical to the 64-aggregate builtin composition") {
+    val docs = table("documents").limit(100)
+    val both = docs.select(
+      Dedup.simhash64(col("text")).as("native"),
+      Dedup.simhash64Builtin(col("text")).as("builtin")
+    )
+    assert(both.filter(col("native") =!= col("builtin")).count() === 0)
+  }
+
+  test("simhash64 registered as SQL function graft_simhash64") {
+    SimHash64Expression.register(spark)
+    table("documents").limit(5).createOrReplaceTempView("docs_tmp")
+    val viaSql = spark.sql(
+      "SELECT graft_simhash64(split(trim(lower(text)), '\\\\s+')) AS h FROM docs_tmp")
+    val viaCol = table("documents").limit(5).select(Dedup.simhash64(col("text")).as("h"))
+    assert(viaSql.collect().map(_.getLong(0)).sorted.toSeq ===
+      viaCol.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("native minhash64: k slots, identical for identical input, monotone under similarity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),      // identical
+      (3L, "the quick brown fox jumps over the sleepy dog"),    // near
+      (4L, "completely different words entirely here now folks")
+    ).toDF("id", "text")
+    val sigs = df.select(col("id"),
+      MinHash64Expression.minhash64(Dedup.shingles(col("text"), 2), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length === 32)
+    assert(sigs(1L) === sigs(2L))
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count { case (x, y) => x == y }
+    assert(agree(sigs(1L), sigs(3L)) > agree(sigs(1L), sigs(4L)))
+  }
+
+  test("expressions survive whole-stage codegen (no fallback errors at scale)") {
+    // exercise the doGenCode path over the whole fixture
+    val n = table("documents")
+      .select(Dedup.simhash64(col("text")).as("s"),
+        MinHash64Expression.minhash64(Dedup.shingles(col("text"), 3), 16).as("m"))
+      .filter(col("s") =!= 0L && size(col("m")) === 16)
+      .count()
+    assert(n === table("documents").count())
+  }
+}
