@@ -7,7 +7,7 @@ import java.util.concurrent.Executors
 
 import graft.config.SyncConfig
 import graft.sinks.BatchWriter
-import graft.sources.{FixtureSource, TableSource}
+import graft.sources.{FixtureSource, SqlCapableSource, TableSource}
 import graft.verify.Comparator
 
 /** Per-table migration outcome (the reference's summary-report row,
@@ -45,7 +45,18 @@ final class Migrator(
   def copyTable(name: String): TableResult = {
     val t0 = System.nanoTime()
     try {
-      val df = src.table(spark, name)
+      // statement tagging for cancellation (reference: the /* goapp */
+      // comment tag + kill loop, cmd/app.go:213-243): every job for this
+      // table carries a job group; cancel(name) aborts just that table.
+      spark.sparkContext.setJobGroup(s"graft-copy-$name",
+        s"graft table copy: $name", interruptOnCancel = true)
+      // custom extraction SQL replaces the table scan when configured
+      // (reference S7: YAML tables: map, cmd/root.go:84-85)
+      val df = (cfg.tables.get(name), src) match {
+        case (Some(sqls), s: SqlCapableSource) if sqls.nonEmpty =>
+          s.sqlSource(spark, sqls.head)
+        case _ => src.table(spark, name)
+      }
       BatchWriter.writeParquet(df, destDir, name)
       val n = spark.read.parquet(s"$destDir/$name.parquet").count()
       TableResult(name, n, (System.nanoTime() - t0) / 1e9, ok = true, None)
@@ -53,8 +64,15 @@ final class Migrator(
       case e: Exception =>
         TableResult(name, -1, (System.nanoTime() - t0) / 1e9, ok = false,
           Some(e.getMessage))
-    }
+    } finally spark.sparkContext.clearJobGroup()
   }
+
+  /** Cancel one in-flight table copy (Ctrl-C analog, per table). */
+  def cancel(name: String): Unit =
+    spark.sparkContext.cancelJobGroup(s"graft-copy-$name")
+
+  /** Cancel everything this engine has in flight. */
+  def cancelAll(): Unit = spark.sparkContext.cancelAllJobs()
 
   /** Copy every non-excluded table; returns the per-table report. */
   def run(): Seq[TableResult] = {

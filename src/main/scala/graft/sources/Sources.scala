@@ -29,10 +29,28 @@ trait TableSource {
   }
 }
 
+/** A source able to run user-supplied SQL as the extraction query —
+  * the reference's YAML `tables:` custom-SQL mode (S7, cmd/root.go:84-85).
+  */
+trait SqlCapableSource extends TableSource {
+  def sqlSource(spark: SparkSession, sql: String): DataFrame
+}
+
 /** Parquet-directory source: each `<dir>/<name>.parquet` is a table.
   * Stands in for the source database in tests (TESTDATA.md fixtures).
   */
-final case class FixtureSource(dir: String) extends TableSource {
+final case class FixtureSource(dir: String) extends SqlCapableSource {
+
+  /** Custom SQL over the fixture tables: tables register as temp views,
+    * the user SQL runs through Spark SQL (the JDBC twin pushes the text
+    * down to the source database instead).
+    */
+  override def sqlSource(spark: SparkSession, sql: String): DataFrame = {
+    tableNames(spark).foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    spark.sql(sql)
+  }
   override def tableNames(spark: SparkSession): Seq[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir),
@@ -64,7 +82,7 @@ final case class JdbcSource(
     pageSize: Long = 100000L,
     maxParallel: Int = 100,
     fetchSize: Int = 10000
-) extends TableSource {
+) extends SqlCapableSource {
 
   override def tableNames(spark: SparkSession): Seq[String] = {
     // Dictionary scan (reference S1: `select table_name from user_tables`).
@@ -87,9 +105,9 @@ final case class JdbcSource(
     }
 
   /** Custom-SQL source (reference S7: user SQL from YAML replaces the
-    * generated scan — cmd/root.go:84-85).
+    * generated scan — cmd/root.go:84-85); pushed down to the source DB.
     */
-  def sqlSource(spark: SparkSession, sql: String): DataFrame =
+  override def sqlSource(spark: SparkSession, sql: String): DataFrame =
     spark.read.option("fetchsize", fetchSize.toString).jdbc(url, s"($sql) graft_q", props)
 
   /** Plan a table's partitioned read given its cardinality and an optional

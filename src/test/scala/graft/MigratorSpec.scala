@@ -62,6 +62,18 @@ class MigratorSpec extends SparkSpec {
     assert(!filtered.contains("events") && !filtered.contains("embeddings"))
   }
 
+  test("custom extraction SQL replaces the table scan (reference tables: map)") {
+    val dest = Files.createTempDirectory("graft_dest4").toString
+    val cfg = SyncConfig(tables = Map(
+      "orders" -> Seq("select * from orders where o_orderstatus = 'F'")))
+    val m = new Migrator(spark, FixtureSource(sfDir), dest, cfg)
+    val r = m.copyTable("orders")
+    assert(r.ok)
+    val expected = table("orders").filter(col("o_orderstatus") === "F").count()
+    assert(r.rows === expected)
+    assert(spark.read.parquet(s"$dest/orders.parquet").count() === expected)
+  }
+
   test("schema probe returns columns with zero rows (WHERE 1=0 analog)") {
     val probe = FixtureSource(sfDir).probe(spark, "lineitem")
     assert(probe.schema.fields.length === 11)
