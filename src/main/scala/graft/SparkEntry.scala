@@ -59,14 +59,17 @@ object SparkEntry {
     "q_s6_probe" -> ((s, dir) => {
       t(s, dir, "lineitem").select("l_orderkey", "l_quantity").limit(0)
     }),
-    // S15/A1 — per-table row counts (the compareDb verification scan)
+    // S15/A1 — per-table row counts (the compareDb verification scan).
+    // One unioned job, not N sequential count() actions: each leg is a
+    // count-star aggregate over a column-less scan, so Spark runs all
+    // ten scans inside a single job.
     "q_s15_table_counts" -> ((s, dir) => {
-      import s.implicits._
       val tables = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
       tables
-        .map(n => (n, t(s, dir, n).count()))
-        .toDF("table_name", "n_rows")
+        .map(n => t(s, dir, n).agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("table_name"), col("n_rows")))
+        .reduce(_.unionByName(_))
         .orderBy("table_name")
     }),
     // S4/A2/F10 — page-count scan: ceil(count(*)/pageSize)

@@ -11,6 +11,10 @@ object TestSession {
       .builder("graft-test")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // static conf: must be set before session creation (bucketed-table
+      // specs write through the catalog)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
