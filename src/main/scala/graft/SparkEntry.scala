@@ -308,6 +308,24 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 5, nBits = 4)
         .orderBy("query_id", "rank")
     }),
+    // Dedup (n-gram Jaccard): exact word-3-gram Jaccard over min-shingle
+    // blocked pairs — the one near-dup path with an exact SQL oracle
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+    // Text fingerprinting: Karp–Rabin rolling hash (full doc) + min-gram
+    // winnowing fingerprint — exact modular arithmetic, oracle-verified
+    "q_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.rollingHash(col("text")).as("fp"),
+          TextAnalysis.minGramFingerprint(col("text"), k = 8).as("min_gram_fp")
+        )
+        .orderBy("doc_id")
+    }),
     // Near-dedup via MinHash LSH (engine-specific hash family — no oracle)
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text",
@@ -467,6 +485,25 @@ object SparkEntry {
         s"SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 'und' $cases ELSE '${langs.last}' END AS lang_pred " +
         "FROM s ORDER BY doc_id"
     },
+    "q_dedup_ngram" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) END AS s FROM toks), " +
+        "blocked AS (SELECT doc_id, s, list_aggregate(s, 'min') AS blk FROM sh), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0 " +
+        "ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) END AS jaccard " +
+        "FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5 ORDER BY id_a, id_b"),
+    "q_text_fingerprint" ->
+      ("WITH n AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents) " +
+        "SELECT doc_id, " +
+        "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS fp, " +
+        "CASE WHEN len(t) < 8 THEN list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), (a,c) -> (a*31+c) % 1000000007) " +
+        "ELSE list_aggregate(list_transform(range(1, len(t)-6), i -> " +
+        "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(i, i+8), j -> CAST(unicode(t[j:j]) AS BIGINT)), (a,c) -> (a*31+c) % 1000000007)), 'min') END AS min_gram_fp " +
+        "FROM n ORDER BY doc_id"),
     "q_sim_topk" ->
       ("SELECT q.vec_id AS query_id, " +
         "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> q.vec_id " +

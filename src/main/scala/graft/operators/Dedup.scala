@@ -64,6 +64,38 @@ object Dedup {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Near-duplicate pairs by exact n-gram Jaccard with min-shingle
+    * blocking: only documents sharing their lexicographically smallest
+    * shingle are compared (the 1-hash/1-band degenerate MinHash scheme —
+    * two docs with Jaccard s share the min shingle with probability
+    * ≈ s·…, so recall is threshold-dependent; use
+    * [[minhashNearDupPairs]] when recall matters more than an exact SQL
+    * oracle).
+    *
+    * Shuffle profile: one hash-partition of (block-key, id, shingles) +
+    * the self-join — the blocked groups are tiny (docs sharing one exact
+    * shingle), so no O(n²) blow-up.
+    */
+  def ngramJaccardNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sh = df
+      .select(col(idCol), shingles(col(textCol), n).as("__sh"))
+      .withColumn("__blk", array_min(col("__sh")))
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"), col("__blk"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"), col("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** k-element MinHash signature over a shingle array — native one-pass

@@ -100,6 +100,52 @@ object TextAnalysis {
   def bagFingerprint(text: Column): Column =
     xxhash64(array_join(array_sort(tokens(lower(text))), " "))
 
+  // ------------------------------------------------ rolling-hash kernels
+
+  /** Fingerprint normalization: lowercase, restricted to `[a-z0-9 ]` so
+    * the hash is stable across engines and unicode encodings (non-BMP
+    * codepoints split differently between UTF-16 and codepoint views).
+    */
+  private def fpNorm(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9 ]", "")
+
+  /** Karp–Rabin polynomial hash of a char array:
+    * fold(acc*31 + code) mod 1e9+7. Exact long arithmetic — no overflow
+    * (acc < 2^30, 31*acc + 127 < 2^35) — so bit-identical everywhere.
+    */
+  private def polyHash(chars: Column): Column =
+    aggregate(chars, lit(0L),
+      (acc, c) => (acc * lit(31L) + ascii(c).cast("long")) % lit(1000000007L))
+
+  private def fpChars(text: Column): Column =
+    filter(split(fpNorm(text), ""), c => length(c) > 0)
+
+  /** Full-document rolling-hash fingerprint (content-defined, engine-
+    * portable — unlike [[fingerprint]]'s xxhash64 it has an exact ANSI-SQL
+    * oracle). One linear pass per document, codegen'd, shuffle-free.
+    */
+  def rollingHash(text: Column): Column = polyHash(fpChars(text))
+
+  /** Min-gram fingerprint: the minimum polynomial hash over all `k`-char
+    * grams of the normalized text — a 1-window winnowing fingerprint.
+    * Two documents sharing any region ≥ k chars that contains the global
+    * minimizing gram collide, which makes this the cheap blocking key for
+    * content-overlap detection (the single-fingerprint degenerate case of
+    * the winnowing scheme of Schleimer/Wilkerson/Aiken, SIGMOD'03).
+    *
+    * Cost is O(n·k) per doc with k constant (each gram hashed
+    * independently) — the elementwise form keeps every gram's hash inside
+    * one codegen'd `transform`, trading the classic O(n) incremental
+    * recurrence for parallel, branch-free evaluation.
+    */
+  def minGramFingerprint(text: Column, k: Int = 8): Column = {
+    val chars = fpChars(text)
+    when(size(chars) < k, polyHash(chars))
+      .otherwise(array_min(transform(
+        sequence(lit(0), size(chars) - k),
+        i => polyHash(slice(chars, i + 1, lit(k))))))
+  }
+
   /** Annotate a documents DataFrame with the full analysis surface. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -65,6 +65,21 @@ class DedupSpec extends SparkSpec {
     assert(m((1L, 10001L)) <= 10)
   }
 
+  test("ngram-jaccard pairs find the exact copy; near-copy found iff block key survives") {
+    val pairs = Dedup.ngramJaccardNearDupPairs(planted, "doc_id", "text",
+      n = 3, threshold = 0.5).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copy shares every shingle — identical min shingle, jaccard 1.0
+    assert(pairSet.contains((0L, 10000L)), s"missing exact pair in $pairSet")
+    val exactPair = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 10000L).get
+    assert(exactPair.getAs[Double]("jaccard") === 1.0)
+    // every reported pair respects the threshold and id ordering
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
   test("jaccard kernel") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")

@@ -50,6 +50,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(fingerprint(col("t")), "world hello") !== b)
   }
 
+  test("rollingHash: exact Karp–Rabin over normalized text") {
+    // "ab" -> ((0*31+97)*31+98) % 1e9+7 = 3105
+    assert(one(rollingHash(col("t")), "ab") === 3105L)
+    // normalization: case and punctuation stripped
+    assert(one(rollingHash(col("t")), "A!B?") === 3105L)
+    assert(one(rollingHash(col("t")), "") === 0L)
+  }
+
+  test("minGramFingerprint: shared k-gram region can collide, short text falls back") {
+    // short text (< k chars): falls back to the full rolling hash
+    assert(one(minGramFingerprint(col("t"), 8), "ab") === 3105L)
+    // identical text -> identical fingerprint
+    val a = one(minGramFingerprint(col("t"), 8), "the quick brown fox jumps")
+    val b = one(minGramFingerprint(col("t"), 8), "the quick brown fox jumps")
+    assert(a === b)
+    // appending a suffix keeps the minimum gram unless the new grams hash lower
+    val c = one(minGramFingerprint(col("t"), 8), "the quick brown fox jumps extra")
+      .asInstanceOf[Long]
+    assert(c <= a.asInstanceOf[Long])
+  }
+
   test("analyze annotates all columns") {
     val out = analyze(table("documents").limit(10))
     val cols = out.columns.toSet
