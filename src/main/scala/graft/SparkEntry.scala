@@ -308,6 +308,16 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 5, nBits = 4)
         .orderBy("query_id", "rank")
     }),
+    // ANN inverted-file path: stride-sampled coarse quantizer, narrow-map
+    // list assignment, nProbe-list probe (approximate — no SQL oracle)
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      Similarity.ivfTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
     // Dedup (n-gram Jaccard): exact word-3-gram Jaccard over min-shingle
     // blocked pairs — the one near-dup path with an exact SQL oracle
     "q_dedup_ngram" -> ((s, dir) => {

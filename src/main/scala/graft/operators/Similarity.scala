@@ -1,13 +1,14 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two paths:
+  * Three paths:
   *  - [[bruteForceTopK]] — exact baseline. Queries broadcast (small side),
   *    scores computed in one pass over the corpus, top-k selected with a
   *    two-phase partial/final reduction so no executor ever materializes
@@ -16,6 +17,9 @@ import graft.functions.VectorFunctions
   *  - [[lshTopK]] — scale path. Corpus bucketed once by a random-
   *    hyperplane signature; each query probes only its own bucket
   *    (`probeBits` trades recall for cost).
+  *  - [[ivfTopK]] — inverted-file scale path. A small coarse quantizer
+  *    (deterministic sample of the corpus) partitions vectors into lists;
+  *    queries probe only their `nProbe` nearest lists.
   */
 object Similarity {
 
@@ -81,6 +85,111 @@ object Similarity {
         (col("__i.neg") * -1).as("cosine")
       )
   }
+
+  /** IVF (inverted-file) approximate top-k.
+    *
+    * Index build: `nCentroids` corpus vectors picked by a deterministic
+    * id-stride sample form the coarse quantizer (a k-means refinement
+    * would sharpen the Voronoi cells but costs iterations and RNG; the
+    * sample is reproducible and adequate for near-uniform data). The
+    * quantizer is collected to the driver — it is small *by construction*
+    * (IVF's whole point) — and embedded as ONE array literal
+    * (`typedlit`), so list assignment is a narrow, shuffle-free map over
+    * the corpus: each vector scans the centroid array once with a
+    * codegen'd `aggregate` and takes the argmax-cosine centroid id.
+    *
+    * Query: each query ranks the same centroid array, probes its
+    * `nProbe` best lists via a broadcast join against the assigned
+    * corpus, and reduces with the two-phase top-k. Corpus cost per query
+    * batch drops from O(n) to O(n·nProbe/nCentroids); recall is tunable
+    * with `nProbe` (= nCentroids recovers exact search).
+    *
+    * At 100 TB the assignment pass would be materialized once
+    * (partitioned/bucketed by `__list`) and reused across query batches —
+    * compose with [[graft.plans.ScaleJoins.writeBucketed]].
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2
+  ): DataFrame = {
+    require(nCentroids > 0 && nProbe > 0)
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+    val centArr = centroidArray(c, nCentroids)
+
+    val assigned = c.withColumn("__list", bestListId(centArr, col("__cv"), col("__cn")))
+
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+      .withColumn("__qn", VectorFunctions.norm(col("__qv")))
+    // queries are the small side: explode the centroid array and keep the
+    // nProbe best lists per query (window over ≤ nCentroids rows/query)
+    val w = Window.partitionBy("query_id").orderBy(col("__cscore").desc, col("__list"))
+    val probes = q
+      .select(col("query_id"), col("__qv"), col("__qn"), explode(centArr).as("__c"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__c._1").as("__list"),
+        centroidCosine(col("__c"), col("__qv"), col("__qn")).as("__cscore"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nProbe)
+      .select("query_id", "__qv", "__qn", "__list")
+
+    val scored = assigned
+      .join(broadcast(probes), Seq("__list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCosine.as("cosine"))
+    topKPerKey(scored, "query_id", k)
+  }
+
+  /** Collect the stride-sampled quantizer and pack it as a single array
+    * literal of (id, vector, norm) structs.
+    */
+  private def centroidArray(c: DataFrame, nCentroids: Int): Column = {
+    val n = c.count()
+    val stride = math.max(1L, n / nCentroids)
+    val cents: Seq[(Long, Seq[Double], Double)] = c
+      .filter(pmod(col("neighbor_id"), lit(stride)) === 0)
+      .orderBy("neighbor_id")
+      .limit(nCentroids)
+      .select(col("neighbor_id"), col("__cv").cast("array<double>"), col("__cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+    require(cents.nonEmpty, "empty corpus — no centroids")
+    typedlit(cents)
+  }
+
+  /** Cosine between a centroid struct (_1 id, _2 vector, _3 norm) and a
+    * (vector, norm) pair.
+    */
+  private def centroidCosine(cent: Column, vec: Column, vecNorm: Column): Column = {
+    val d = aggregate(
+      zip_with(vec, cent.getField("_2"), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+    val nn = vecNorm * cent.getField("_3")
+    when(nn === 0.0, lit(0.0)).otherwise(d / nn)
+  }
+
+  /** Argmax-cosine centroid id for one vector: a single fold over the
+    * centroid array (ties break to the lower id).
+    */
+  private def bestListId(centArr: Column, vec: Column, vecNorm: Column): Column =
+    aggregate(
+      centArr,
+      struct(lit(Double.MinValue).as("score"), lit(-1L).as("cid")),
+      (acc, cent) => {
+        val s = centroidCosine(cent, vec, vecNorm)
+        when(s > acc.getField("score"),
+          struct(s.as("score"), cent.getField("_1").as("cid")))
+          .otherwise(acc)
+      }
+    ).getField("cid")
 
   /** LSH-bucketed approximate top-k: join queries to corpus rows sharing
     * the hyperplane-signature bucket, score, reduce. Exactness recovered

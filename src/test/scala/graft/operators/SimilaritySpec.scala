@@ -68,6 +68,48 @@ class SimilaritySpec extends SparkSpec {
     assert(out.getAs[Long]("neighbor_id") === 10005L)
   }
 
+  test("ivf top-k: planted duplicate lands in the query's own list; recall@1 is healthy") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val copy = emb.filter(col("vec_id") === 9)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.union(copy)
+    // identical vector -> identical argmax centroid -> always probed
+    val out = Similarity.ivfTopK(emb.filter(col("vec_id") === 9), corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 2)
+      .filter(col("rank") === 1).collect()(0)
+    assert(out.getAs[Long]("neighbor_id") === 10009L)
+    assert(math.abs(out.getAs[Double]("cosine") - 1.0) < 1e-9)
+
+    // recall@1 vs the exact baseline over 20 queries
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    // the fixture embeddings are near-uniform in cosine space (the exact
+    // NN shares the fixture's cluster label only ~6% of the time), so
+    // recall is governed by the probed-list fraction: nProbe=4 of 8 lists
+    // must beat the 4/8 = 50% floor a structureless corpus would give —
+    // anything below means the probe join is selecting wrong lists
+    val approx = Similarity.ivfTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 1, nCentroids = 8, nProbe = 4)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = exact.count { case (q, nn) => approx.get(q).contains(nn) }
+    assert(approx.size === exact.size, "ivf must answer every query")
+    assert(hits >= (exact.size * 0.5).toInt, s"recall@1 $hits/${exact.size}")
+  }
+
+  test("ivf with nProbe = nCentroids recovers the exact result") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val full = Similarity.ivfTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 1, nCentroids = 8, nProbe = 8)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(full === exact)
+  }
+
   test("lsh signature is deterministic across evaluations") {
     val emb = table("embeddings").select("vec_id", "embedding").limit(50)
     val s1 = emb.select(col("vec_id"),
