@@ -57,6 +57,16 @@ object Dedup {
       )))
   }
 
+  /** Word `n`-gram shingles as 64-bit hashes (distinct; collision-free
+    * in practice) — the fast representation every consumer below uses:
+    * set operations on `array<long>` skip all string allocation and
+    * re-hashing. Native one-pass kernel
+    * ([[graft.functions.ShingleHash64Expression]]).
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.ShingleHash64Expression.shingleHash64(
+      TextAnalysis.tokens(lower(text)), n)
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -85,14 +95,25 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    val sh = df
-      .select(col(idCol), shingles(col(textCol), n).as("__sh"))
-      .withColumn("__blk", array_min(col("__sh")))
-    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a"), col("__blk"))
-    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b"), col("__blk"))
-    a.join(b, Seq("__blk"))
+    // the blocking join carries (block-key, id) ONLY — shingle arrays
+    // would multiply the shuffle width by the document size; they are
+    // recomputed post-join for the (few) candidate pairs instead.
+    // Blocking key = lexicographically-min shingle via the native
+    // one-pass kernel (no shingle-array materialization); ordering
+    // matches `array_min` on the string form, so an ANSI-SQL oracle can
+    // reproduce the candidate set exactly.
+    val blk = df.select(col(idCol),
+      graft.functions.MinShingleExpression.minShingle(
+        TextAnalysis.tokens(lower(col(textCol))), n).as("__blk"))
+    val candidates = blk.select(col(idCol).as("id_a"), col("__blk"))
+      .join(blk.select(col(idCol).as("id_b"), col("__blk")), Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select("id_a", "id_b")
+    candidates
+      .join(df.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(shingleHashes(col("__ta"), n), shingleHashes(col("__tb"), n)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -142,22 +163,26 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
-    // signatures are consumed three times (banding + both sides of the
-    // verify join-back) — persist so shingling/minhash runs once
+    // Persist ONLY (id, signature) — 8k bytes/doc of longs, columnar-
+    // cache-friendly. The shingle sets are NOT cached: storing an
+    // O(tokens) string array per document costs more than the minhash
+    // pass itself (measured 40× slower at sf0.1) and at corpus scale
+    // would dwarf executor storage. Shingles are recomputed later for the
+    // few candidate-pair rows only.
     val sig = df
-      .select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
-      .withColumn("__sig", minhashSignature(col("__sh"), k))
+      .select(col(idCol), minhashSignature(shingleHashes(col(textCol), shingleSize), k).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the band self-join shuffles ONLY (band, bandHash, id) — signatures
     // and shingle sets stay out of the wide exploded frame and are joined
     // back onto the (few) surviving candidate pairs
+    // xxhash64 hashes the band slice (an array<bigint>) directly — one
+    // hash call per band, no per-element string casts, and the generated
+    // code stays small enough that cold-start Janino compile is cheap
     val banded = sig.select(
       col(idCol),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(array_join(
-          transform(slice(col("__sig"), b * rows + 1, lit(rows)), _.cast("string")),
-          ","), b)
+        b => xxhash64(slice(col("__sig"), b * rows + 1, lit(rows)), b)
       )).as(Seq("__band", "__bandhash"))
     )
     val candidates = banded.select(col(idCol).as("id_a"), col("__band"), col("__bandhash"))
@@ -167,11 +192,16 @@ object Dedup {
       // a pair colliding in multiple bands appears once
       .select("id_a", "id_b")
       .distinct()
+    // verify join-back: signatures from the compact cache; shingle sets
+    // recomputed from raw text for candidate rows only (candidates ≪
+    // corpus, so this re-shingling is negligible)
     candidates
-      .join(sig.select(col(idCol).as("id_a"), col("__sh").as("sh_a"),
-        col("__sig").as("sig_a")), Seq("id_a"))
-      .join(sig.select(col(idCol).as("id_b"), col("__sh").as("sh_b"),
-        col("__sig").as("sig_b")), Seq("id_b"))
+      .join(sig.select(col(idCol).as("id_a"), col("__sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("__sig").as("sig_b")), Seq("id_b"))
+      .join(df.select(col(idCol).as("id_a"),
+        shingleHashes(col(textCol), shingleSize).as("sh_a")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"),
+        shingleHashes(col(textCol), shingleSize).as("sh_b")), Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
