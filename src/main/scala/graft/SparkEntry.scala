@@ -255,6 +255,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
         .orderBy("user_id", "hr")
     }),
+    // Streaming-analog: gap-based sessionization (batch form of the
+    // flatMapGroupsWithState operator; 30-minute gap)
+    "q_events_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("user_id"), expr("ts div 1000").as("us"), col("event_id"), col("value"))
+      graft.streaming.Sessionize
+        .batch(ev, "user_id", "us", "value", "event_id", 30L * 60 * 1000000)
+        .orderBy("user_id", "session_seq")
+    }),
     // Multimodal plumbing: opaque binary column + byte-length metadata
     "q_mm_binary_meta" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -363,6 +372,35 @@ object SparkEntry {
         .select("doc_id", "format", "width", "height", "n_bytes")
         .orderBy("doc_id")
     }),
+    // S2/F1 — column-metadata scan with the type-mapping CASE/NVL/LEAST
+    // normalization riding inside the projection (the reference folds
+    // this into its dictionary SQL at tablemeta.go:74,133-158)
+    "q_s2_type_ddl" -> ((s, _) => {
+      import s.implicits._
+      val dict = Seq(
+        ("id", "NUMBER", 0, Some(10), Some(0), Some(7), "N"),
+        ("price", "NUMBER", 0, Some(12), Some(2), Some(8), "Y"),
+        ("big_dec", "NUMBER", 0, Some(40), Some(35), Some(22), "Y"),
+        ("counter", "NUMBER", 0, None, None, Some(3), "Y"),
+        ("name", "VARCHAR2", 100, None, None, Some(40), "Y"),
+        ("code", "CHAR", 3, None, None, Some(4), "N"),
+        ("created", "DATE", 0, None, None, Some(8), "Y"),
+        ("updated", "TIMESTAMP(6)", 0, None, None, Some(12), "Y"),
+        ("tz_col", "TIMESTAMP(6) WITH TIME ZONE", 0, None, None, Some(14), "Y"),
+        ("body", "CLOB", 0, None, None, Some(120), "Y"),
+        ("payload", "BLOB", 0, None, None, Some(200), "Y"),
+        ("ratio", "BINARY_DOUBLE", 0, None, None, Some(9), "Y"),
+        ("misc", "XMLTYPE", 0, None, None, Some(50), "Y")
+      ).toDF("column_name", "data_type", "char_length", "data_precision",
+        "data_scale", "avg_col_len", "nullable")
+      dict.select(
+        col("column_name"),
+        graft.types.TypeTranspiler.ddlTypeExpr(
+          col("data_type"), col("char_length"), col("data_precision"),
+          col("data_scale"), col("avg_col_len")).as("mysql_type"),
+        when(col("nullable") === "N", lit("not null")).otherwise(lit("null")).as("null_sql")
+      ).orderBy("column_name")
+    }),
     // S8/A3/A5/J2 — index-DDL synthesis over dictionary metadata
     // (inline frames; the dictionary arrives via JDBC in production)
     "q_s8_index_ddl" -> ((s, _) => {
@@ -464,6 +502,13 @@ object SparkEntry {
       "SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value FROM events GROUP BY user_id, date_trunc('hour', ts) ORDER BY user_id, hr",
     "q_mm_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
+    "q_events_sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events), " +
+        "m AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS nw FROM e), " +
+        "s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m) " +
+        "SELECT user_id, CAST(sess AS BIGINT) AS session_seq, MIN(us) AS start_us, MAX(us) AS end_us, " +
+        "count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value " +
+        "FROM s GROUP BY user_id, sess ORDER BY user_id, session_seq"),
     "q_dedup_exact_keep" ->
       ("SELECT doc_id FROM documents WHERE doc_id IN " +
         "(SELECT MIN(doc_id) FROM documents GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) " +
@@ -520,6 +565,33 @@ object SparkEntry {
         "ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id " +
         "LIMIT 1) AS nn_id " +
         "FROM embeddings q WHERE q.vec_id < 5 ORDER BY query_id"),
+    "q_s2_type_ddl" ->
+      ("WITH dict(column_name, data_type, char_length, data_precision, data_scale, avg_col_len, nullable) AS (VALUES " +
+        "('id','NUMBER',0,10,0,7,'N'), ('price','NUMBER',0,12,2,8,'Y'), " +
+        "('big_dec','NUMBER',0,40,35,22,'Y'), ('counter','NUMBER',0,NULL,NULL,3,'Y'), " +
+        "('name','VARCHAR2',100,NULL,NULL,40,'Y'), ('code','CHAR',3,NULL,NULL,4,'N'), " +
+        "('created','DATE',0,NULL,NULL,8,'Y'), ('updated','TIMESTAMP(6)',0,NULL,NULL,12,'Y'), " +
+        "('tz_col','TIMESTAMP(6) WITH TIME ZONE',0,NULL,NULL,14,'Y'), " +
+        "('body','CLOB',0,NULL,NULL,120,'Y'), ('payload','BLOB',0,NULL,NULL,200,'Y'), " +
+        "('ratio','BINARY_DOUBLE',0,NULL,NULL,9,'Y'), ('misc','XMLTYPE',0,NULL,NULL,50,'Y')), " +
+        "n AS (SELECT *, GREATEST(CASE WHEN COALESCE(data_scale,0) > 30 " +
+        "THEN LEAST(COALESCE(data_precision,38),30)-1 ELSE COALESCE(data_scale,0) END, 0) AS sc FROM dict) " +
+        "SELECT column_name, " +
+        "CASE WHEN upper(data_type)='NUMBER' THEN " +
+        "(CASE WHEN COALESCE(data_precision,0) > 0 AND sc > 0 " +
+        "THEN 'decimal(' || COALESCE(data_precision,38) || ',' || sc || ')' " +
+        "WHEN COALESCE(avg_col_len,0) >= 6 THEN 'bigint' ELSE 'int' END) " +
+        "WHEN upper(data_type) IN ('FLOAT','BINARY_FLOAT') THEN 'float' " +
+        "WHEN upper(data_type)='BINARY_DOUBLE' THEN 'double' " +
+        "WHEN upper(data_type) IN ('VARCHAR2','NVARCHAR2','UROWID') THEN 'varchar(' || GREATEST(COALESCE(char_length,1),1) || ')' " +
+        "WHEN upper(data_type) IN ('CHAR','NCHAR') THEN 'char(' || GREATEST(COALESCE(char_length,1),1) || ')' " +
+        "WHEN upper(data_type)='DATE' THEN 'datetime' " +
+        "WHEN upper(data_type) LIKE 'TIMESTAMP%' THEN 'datetime(6)' " +
+        "WHEN upper(data_type) IN ('CLOB','NCLOB','LONG') THEN 'longtext' " +
+        "WHEN upper(data_type) IN ('BLOB','RAW','LONG RAW') THEN 'longblob' " +
+        "ELSE lower(data_type) END AS mysql_type, " +
+        "CASE WHEN nullable='N' THEN 'not null' ELSE 'null' END AS null_sql " +
+        "FROM n ORDER BY column_name"),
     "q_s8_index_ddl" ->
       ("WITH ind_cols(table_name, index_name, column_name, column_position) AS " +
         "(VALUES ('t1','pk_t1','id',1), ('t1','ix_t1_ab','b',2), ('t1','ix_t1_ab','a',1), ('t1','ux_t1_c','c',1)), " +

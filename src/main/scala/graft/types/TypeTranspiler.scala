@@ -125,6 +125,49 @@ object TypeTranspiler {
       }
   }
 
+  /** The same Oracle→MySQL DDL type mapping as [[transpile]], expressed
+    * as a Catalyst `Column` over a dictionary DataFrame — the form the
+    * reference uses when it folds the normalization into its dictionary
+    * SQL (cmd/tablemeta.go:74: CASE/NVL/LEAST inside the query). Use
+    * this when the catalog arrives as a DataFrame (JDBC dictionary scan)
+    * and the mapping should ride along inside the scan's projection
+    * instead of a driver-side collect.
+    *
+    * Column arguments are the dictionary column names; all may be null
+    * except `dataType`.
+    */
+  def ddlTypeExpr(
+      dataType: org.apache.spark.sql.Column,
+      charLength: org.apache.spark.sql.Column,
+      precision: org.apache.spark.sql.Column,
+      scale: org.apache.spark.sql.Column,
+      avgColLen: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val dt = upper(dataType)
+    val sClamped = when(coalesce(scale, lit(0)) > MaxTargetScale,
+      least(coalesce(precision, lit(38)), lit(MaxTargetScale)) - 1)
+      .otherwise(coalesce(scale, lit(0)))
+    val sc = greatest(sClamped, lit(0))
+    when(dt === "NUMBER",
+      when(coalesce(precision, lit(0)) > 0 && sc > 0,
+        concat(lit("decimal("), coalesce(precision, lit(38)).cast("string"),
+          lit(","), sc.cast("string"), lit(")")))
+        .when(coalesce(avgColLen, lit(0)) >= 6, lit("bigint"))
+        .otherwise(lit("int")))
+      .when(dt.isin("FLOAT", "BINARY_FLOAT"), lit("float"))
+      .when(dt === "BINARY_DOUBLE", lit("double"))
+      .when(dt.isin("VARCHAR2", "NVARCHAR2", "UROWID"),
+        concat(lit("varchar("), greatest(coalesce(charLength, lit(1)), lit(1)).cast("string"), lit(")")))
+      .when(dt.isin("CHAR", "NCHAR"),
+        concat(lit("char("), greatest(coalesce(charLength, lit(1)), lit(1)).cast("string"), lit(")")))
+      .when(dt === "DATE", lit("datetime"))
+      .when(dt.startsWith("TIMESTAMP"), lit("datetime(6)"))
+      .when(dt.isin("CLOB", "NCLOB", "LONG"), lit("longtext"))
+      .when(dt.isin("BLOB", "RAW", "LONG RAW"), lit("longblob"))
+      .otherwise(lower(dataType))
+  }
+
   /** Catalyst schema for a whole table's metadata. */
   def toStructType(cols: Seq[ColumnMeta]): StructType =
     StructType(cols.sortBy(_.position).map { c =>
