@@ -190,6 +190,16 @@ object ShingleHash64Expression {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(ShingleHash64Expression(ColumnBridge.expression(tokens), n))
   }
+
+  /** Register `graft_shinglehash64(tokens, n)` for SQL use (n must be a
+    * foldable int literal).
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shinglehash64",
+      exprs => ShingleHash64Expression(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
+      "scala_udf")
 }
 
 /** Native lexicographically-minimal word-n-gram shingle — one pass over
@@ -253,6 +263,14 @@ object MinShingleExpression {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(MinShingleExpression(ColumnBridge.expression(tokens), n))
   }
+
+  /** Register `graft_minshingle(tokens, n)` for SQL use. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minshingle",
+      exprs => MinShingleExpression(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
+      "scala_udf")
 }
 
 /** Native k-element MinHash signature over a shingle array — one pass

@@ -147,15 +147,15 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
-  /** Collect the stride-sampled quantizer and pack it as a single array
-    * literal of (id, vector, norm) structs.
+  /** Collect a deterministic pseudo-random sample of `nCentroids`
+    * corpus vectors as the quantizer and pack it as a single array
+    * literal of (id, vector, norm) structs. Sampling = take the
+    * nCentroids lowest id-hashes: uniform over the corpus, reproducible,
+    * and ONE job (a TakeOrdered over the scan — no separate count()).
     */
   private def centroidArray(c: DataFrame, nCentroids: Int): Column = {
-    val n = c.count()
-    val stride = math.max(1L, n / nCentroids)
     val cents: Seq[(Long, Seq[Double], Double)] = c
-      .filter(pmod(col("neighbor_id"), lit(stride)) === 0)
-      .orderBy("neighbor_id")
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
       .limit(nCentroids)
       .select(col("neighbor_id"), col("__cv").cast("array<double>"), col("__cn"))
       .collect()

@@ -43,12 +43,53 @@ class SimHashExpressionSpec extends SparkSpec {
     assert(agree(sigs(1L), sigs(3L)) > agree(sigs(1L), sigs(4L)))
   }
 
+  test("shinglehash64 equals xxhash64 over the string shingle form") {
+    val docs = table("documents").limit(100)
+    val both = docs.select(
+      Dedup.shingleHashes(col("text"), 3).as("fast"),
+      transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("viaStrings")
+    )
+    assert(both.filter(col("fast") =!= col("viaStrings")).count() === 0)
+  }
+
+  test("minshingle equals array_min over the string shingle form") {
+    val docs = table("documents").limit(100)
+    val both = docs.select(
+      MinShingleExpression.minShingle(
+        split(trim(lower(col("text"))), "\\s+"), 3).as("fast"),
+      array_min(Dedup.shingles(col("text"), 3)).as("viaArray")
+    )
+    assert(both.filter(col("fast") =!= col("viaArray")).count() === 0)
+  }
+
+  test("minhash64 from hashed shingles is bit-identical to the string path") {
+    val docs = table("documents").limit(100)
+    val both = docs.select(
+      MinHash64Expression.minhash64(Dedup.shingleHashes(col("text"), 3), 32).as("viaHash"),
+      MinHash64Expression.minhash64(Dedup.shingles(col("text"), 3), 32).as("viaStr")
+    )
+    assert(both.filter(col("viaHash") =!= col("viaStr")).count() === 0)
+  }
+
+  test("shinglehash64 and minshingle registered as SQL functions") {
+    ShingleHash64Expression.register(spark)
+    MinShingleExpression.register(spark)
+    table("documents").limit(5).createOrReplaceTempView("docs_tmp2")
+    val viaSql = spark.sql(
+      "SELECT size(graft_shinglehash64(split(trim(lower(text)), '\\\\s+'), 3)) AS n, " +
+        "graft_minshingle(split(trim(lower(text)), '\\\\s+'), 3) AS m FROM docs_tmp2")
+      .collect()
+    assert(viaSql.length === 5)
+    viaSql.foreach { r => assert(r.getInt(0) > 0); assert(r.getString(1).nonEmpty) }
+  }
+
   test("expressions survive whole-stage codegen (no fallback errors at scale)") {
     // exercise the doGenCode path over the whole fixture
     val n = table("documents")
       .select(Dedup.simhash64(col("text")).as("s"),
-        MinHash64Expression.minhash64(Dedup.shingles(col("text"), 3), 16).as("m"))
-      .filter(col("s") =!= 0L && size(col("m")) === 16)
+        MinHash64Expression.minhash64(Dedup.shingles(col("text"), 3), 16).as("m"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .filter(col("s") =!= 0L && size(col("m")) === 16 && size(col("sh")) > 0)
       .count()
     assert(n === table("documents").count())
   }
