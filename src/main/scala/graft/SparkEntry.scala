@@ -401,6 +401,23 @@ object SparkEntry {
         when(col("nullable") === "N", lit("not null")).otherwise(lit("null")).as("null_sql")
       ).orderBy("column_name")
     }),
+    // F3 — default-value rewrite as an in-scan expression (paren strip,
+    // generator drop, SYSDATE family, numeric extraction, re-quoting)
+    "q_f3_default_rewrite" -> ((s, _) => {
+      import s.implicits._
+      val defs = Seq(
+        ("a", "(0)", true), ("b", "  'abc'  ", false), ("c", "SYS_GUID()", false),
+        ("d", "USER", false), ("e", "sysdate", false), ("f", "CURRENT_TIMESTAMP(6)", false),
+        ("g", "NULL", false), ("h", "42", true), ("i", "(3.14)", true),
+        ("j", "-7", true), ("k", "42 days", true), ("l", "hello world", false),
+        ("m", "O'Brien", false), ("n", "'quoted'", false)
+      ).toDF("column_name", "raw_default", "is_numeric")
+      defs.select(
+        col("column_name"),
+        graft.types.TypeTranspiler.defaultSqlExpr(
+          col("raw_default"), col("is_numeric")).as("default_sql")
+      ).orderBy("column_name")
+    }),
     // S8/A3/A5/J2 — index-DDL synthesis over dictionary metadata
     // (inline frames; the dictionary arrives via JDBC in production)
     "q_s8_index_ddl" -> ((s, _) => {
@@ -565,6 +582,23 @@ object SparkEntry {
         "ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id " +
         "LIMIT 1) AS nn_id " +
         "FROM embeddings q WHERE q.vec_id < 5 ORDER BY query_id"),
+    "q_f3_default_rewrite" ->
+      ("WITH defs(column_name, raw_default, is_numeric) AS (VALUES " +
+        "('a','(0)',true), ('b','  ''abc''  ',false), ('c','SYS_GUID()',false), " +
+        "('d','USER',false), ('e','sysdate',false), ('f','CURRENT_TIMESTAMP(6)',false), " +
+        "('g','NULL',false), ('h','42',true), ('i','(3.14)',true), " +
+        "('j','-7',true), ('k','42 days',true), ('l','hello world',false), " +
+        "('m','O''Brien',false), ('n','''quoted''',false)), " +
+        "s1 AS (SELECT column_name, is_numeric, trim(raw_default) AS t0 FROM defs), " +
+        "s2 AS (SELECT column_name, is_numeric, CASE WHEN t0 LIKE '(%' AND t0 LIKE '%)' " +
+        "THEN trim(substr(t0, 2, length(t0)-2)) ELSE t0 END AS t FROM s1) " +
+        "SELECT column_name, " +
+        "CASE WHEN upper(t) = '' OR upper(t) = 'NULL' OR contains(upper(t), 'SYS_GUID') OR upper(t) = 'USER' THEN NULL " +
+        "WHEN upper(t) LIKE 'SYSDATE%' OR upper(t) LIKE 'CURRENT_TIMESTAMP%' OR upper(t) LIKE 'SYSTIMESTAMP%' OR upper(t) LIKE 'LOCALTIMESTAMP%' THEN 'CURRENT_TIMESTAMP' " +
+        "WHEN is_numeric THEN NULLIF(regexp_extract(t, '[-]?[0-9][0-9.]*', 0), '') " +
+        "WHEN t LIKE '''%' THEN t " +
+        "ELSE '''' || replace(t, '''', '''''') || '''' END AS default_sql " +
+        "FROM s2 ORDER BY column_name"),
     "q_s2_type_ddl" ->
       ("WITH dict(column_name, data_type, char_length, data_precision, data_scale, avg_col_len, nullable) AS (VALUES " +
         "('id','NUMBER',0,10,0,7,'N'), ('price','NUMBER',0,12,2,8,'Y'), " +

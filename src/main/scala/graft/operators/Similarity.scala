@@ -120,11 +120,7 @@ object Similarity {
       nProbe: Int = 2
   ): DataFrame = {
     require(nCentroids > 0 && nProbe > 0)
-    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
-      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
-    val centArr = centroidArray(c, nCentroids)
-
-    val assigned = c.withColumn("__list", bestListId(centArr, col("__cv"), col("__cn")))
+    val (assigned, centArr) = ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids)
 
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
       .withColumn("__qn", VectorFunctions.norm(col("__qv")))
@@ -145,6 +141,33 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), pairCosine.as("cosine"))
     topKPerKey(scored, "query_id", k)
+  }
+
+  /** IVF index build: tag every corpus vector with its inverted-list id
+    * (argmax-cosine centroid). A narrow, shuffle-free map over the
+    * corpus — at scale, materialize this once (partitioned or bucketed
+    * by `__list`) and run many query batches against it.
+    *
+    * Output columns: neighbor_id, __cv (vector), __cn (norm), __list.
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      nCentroids: Int
+  ): DataFrame =
+    ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids)._1
+
+  private def ivfAssignWithCentroids(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      nCentroids: Int
+  ): (DataFrame, Column) = {
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+    val centArr = centroidArray(c, nCentroids)
+    (c.withColumn("__list", bestListId(centArr, col("__cv"), col("__cn"))), centArr)
   }
 
   /** Collect a deterministic pseudo-random sample of `nCentroids`

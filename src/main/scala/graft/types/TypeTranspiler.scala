@@ -168,6 +168,30 @@ object TypeTranspiler {
       .otherwise(lower(dataType))
   }
 
+  /** [[rewriteDefault]] as a Catalyst `Column` (same rules, same order)
+    * for dictionary-DataFrame pipelines: null result means "drop the
+    * default". `isNumeric` selects the numeric-literal extraction branch
+    * the way the driver-side form dispatches on the Catalyst type.
+    */
+  def defaultSqlExpr(
+      raw: org.apache.spark.sql.Column,
+      isNumeric: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val t0 = trim(raw)
+    val t = when(t0.startsWith("(") && t0.endsWith(")"),
+      trim(t0.substr(lit(2), length(t0) - 2))).otherwise(t0)
+    val u = upper(t)
+    when(u === "" || u === "NULL" || u.contains("SYS_GUID") || u === "USER",
+      lit(null).cast("string"))
+      .when(u.startsWith("SYSDATE") || u.startsWith("CURRENT_TIMESTAMP") ||
+        u.startsWith("SYSTIMESTAMP") || u.startsWith("LOCALTIMESTAMP"),
+        lit("CURRENT_TIMESTAMP"))
+      .when(isNumeric, nullif(regexp_extract(t, "[-]?[0-9][0-9.]*", 0), lit("")))
+      .otherwise(when(t.startsWith("'"), t)
+        .otherwise(concat(lit("'"), regexp_replace(t, "'", "''"), lit("'"))))
+  }
+
   /** Catalyst schema for a whole table's metadata. */
   def toStructType(cols: Seq[ColumnMeta]): StructType =
     StructType(cols.sortBy(_.position).map { c =>

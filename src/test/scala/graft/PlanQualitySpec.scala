@@ -61,6 +61,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("graft_simhash64"), plan)
   }
 
+  test("batch sessionization reuses ONE shuffle for windows and the aggregate") {
+    val ev = table("events").select(
+      col("user_id"), expr("ts div 1000").as("us"), col("event_id"), col("value"))
+    val df = graft.streaming.Sessionize
+      .batch(ev, "user_id", "us", "value", "event_id", 1800000000L)
+    val plan = df.queryExecution.executedPlan.toString
+    // lag + cumulative sum + groupBy all share the user_id partitioning:
+    // exactly one exchange in the whole plan
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+  }
+
+  test("ivf list assignment is a narrow map — no exchange on the corpus side") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val assigned = graft.operators.Similarity.ivfAssign(emb, "vec_id", "embedding", 4)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(assigned.columns.contains("__list"))
+  }
+
   test("window functions partition instead of a single global sort") {
     val plan = explain(SparkEntry.queries("q_w1_row_number")(spark, sfDir))
     assert(plan.contains("Window"), plan)

@@ -33,6 +33,26 @@ class TypeTranspilerExprSpec extends SparkSpec {
     meta("XMLTYPE") // passthrough
   )
 
+  test("defaultSqlExpr agrees with rewriteDefault across every rule") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import spark.implicits._
+    val raws = Seq(
+      "(0)", "  'abc'  ", "SYS_GUID()", "USER", "sysdate", "SYSDATE ",
+      "CURRENT_TIMESTAMP(6)", "LOCALTIMESTAMP", "NULL", "", "42", "(3.14)",
+      "-7", "42 days", "hello world", "O'Brien", "'quoted'")
+    for (numeric <- Seq(true, false)) {
+      val target = if (numeric) IntegerType else StringType
+      val df = raws.zipWithIndex.map { case (r, i) => (i, r) }.toDF("i", "raw")
+      val got = df.select(col("i"),
+        TypeTranspiler.defaultSqlExpr(col("raw"), lit(numeric)).as("d"))
+        .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+      raws.zipWithIndex.foreach { case (r, i) =>
+        assert(got(i) === TypeTranspiler.rewriteDefault(r, target),
+          s"raw='$r' numeric=$numeric")
+      }
+    }
+  }
+
   test("ddlTypeExpr agrees with transpile across every branch") {
     import spark.implicits._
     val df = matrix.zipWithIndex.map { case (m, i) =>
