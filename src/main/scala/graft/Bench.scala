@@ -13,18 +13,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: run one query untimed so JVM/codegen/parquet-footer
-    // warm-up isn't billed to whichever query happens to run first.
-    try SparkEntry.queries.head._2(spark, sfDir).count()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm-up: run a representative mix (scan+agg, join, window, text)
+    // untimed so JVM/JIT/codegen/parquet-footer warm-up isn't billed to
+    // whichever queries happen to run first.
+    Seq("q_a5_group_agg", "q_j1_left_outer", "q_w1_row_number", "q_text_tokens")
+      .foreach { w =>
+        try SparkEntry.queries.get(w).foreach(_(spark, sfDir).count())
+        catch { case _: Throwable => () }
+      }
+    // deterministic order → per-query numbers comparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dense dot product over `array<float>` / `array<double>`.
+  *
+  * The built-in composition (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`)
+  * allocates a boxed intermediate array per row and evaluates two lambda
+  * closures per element — measured as the dominant cost of every
+  * vector-similarity operator at sf0.1. This kernel reads both arrays
+  * with primitive accessors in one fused loop: no allocation, no boxing,
+  * SIMD-friendly.
+  *
+  * Mixed float/double inputs are accumulated in double (same promotion
+  * as the composition it replaces). Lengths must match — enforced with
+  * an exception rather than zip_with's silent null, which would poison
+  * the aggregate downstream.
+  */
+case class VecDotExpression(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemOk(dt: DataType) = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires array<float|double> operands, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  private def isFloat(dt: DataType) = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecDotExpression.compute(
+      a.asInstanceOf[ArrayData], isFloat(left.dataType),
+      b.asInstanceOf[ArrayData], isFloat(right.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecDotExpression.compute(" +
+        s"$a, ${isFloat(left.dataType)}, $b, ${isFloat(right.dataType)});")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotExpression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_vec_dot"
+}
+
+object VecDotExpression {
+
+  def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vec_dot length mismatch: $n vs ${b.numElements()}")
+    var acc = 0.0
+    var i = 0
+    if (aFloat && bFloat) {
+      while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    } else if (!aFloat && !bFloat) {
+      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    } else {
+      val (f, d) = if (aFloat) (a, b) else (b, a)
+      while (i < n) { acc += f.getFloat(i).toDouble * d.getDouble(i); i += 1 }
+    }
+    acc
+  }
+
+  def vecDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(VecDotExpression(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Register `graft_vec_dot` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_dot", exprs => VecDotExpression(exprs.head, exprs(1)), "scala_udf")
+}

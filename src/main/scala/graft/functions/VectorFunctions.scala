@@ -10,7 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
+  /** Native fused kernel ([[VecDotExpression]]) — the zip_with+aggregate
+    * composition it replaces boxed every element and dominated vector-
+    * similarity profiles.
+    */
+  def dot(a: Column, b: Column): Column = VecDotExpression.vecDot(a, b)
+
+  /** The built-in composition the kernel replaces (kept as the
+    * correctness cross-check).
+    */
+  private[graft] def dotBuiltin(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

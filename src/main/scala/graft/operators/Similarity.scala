@@ -192,9 +192,7 @@ object Similarity {
     * (vector, norm) pair.
     */
   private def centroidCosine(cent: Column, vec: Column, vecNorm: Column): Column = {
-    val d = aggregate(
-      zip_with(vec, cent.getField("_2"), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v)
+    val d = VectorFunctions.dot(vec, cent.getField("_2"))
     val nn = vecNorm * cent.getField("_3")
     when(nn === 0.0, lit(0.0)).otherwise(d / nn)
   }

@@ -7,6 +7,16 @@ import graft.functions.VectorFunctions
 
 class SimilaritySpec extends SparkSpec {
 
+  test("native dot kernel equals the builtin composition on fixture vectors") {
+    val emb = table("embeddings").limit(200)
+      .select(col("embedding").as("a"), reverse(col("embedding")).as("b"))
+    val both = emb.select(
+      VectorFunctions.dot(col("a"), col("b")).as("fast"),
+      VectorFunctions.dotBuiltin(col("a"), col("b")).as("builtin"))
+    val bad = both.filter(abs(col("fast") - col("builtin")) > 1e-9).count()
+    assert(bad === 0)
+  }
+
   test("vector kernels: dot, norm, cosine, l2") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
