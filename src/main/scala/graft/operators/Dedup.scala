@@ -67,6 +67,22 @@ object Dedup {
     graft.functions.ShingleHash64Expression.shingleHash64(
       TextAnalysis.tokens(lower(text)), n)
 
+  /** Drop LSH buckets larger than `maxBucket` — the standard web-scale
+    * guard: a boilerplate shingle/band shared by 10⁶ documents would
+    * otherwise explode the self-join to 10¹² pairs. Such mega-buckets
+    * carry almost no dedup signal (the docs inside collide on ONE key;
+    * real near-dups also collide in other, smaller buckets). The window
+    * partitions by the same key the self-join shuffles on, so the
+    * partitioning is computed once and reused.
+    */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else banded
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+
   /** Exact Jaccard similarity of two array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -93,7 +109,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue
   ): DataFrame = {
     // the blocking join carries (block-key, id) ONLY — shingle arrays
     // would multiply the shuffle width by the document size; they are
@@ -105,8 +122,9 @@ object Dedup {
     val blk = df.select(col(idCol),
       graft.functions.MinShingleExpression.minShingle(
         TextAnalysis.tokens(lower(col(textCol))), n).as("__blk"))
-    val candidates = blk.select(col(idCol).as("id_a"), col("__blk"))
-      .join(blk.select(col(idCol).as("id_b"), col("__blk")), Seq("__blk"))
+    val capped = capBuckets(blk, Seq("__blk"), maxBucket)
+    val candidates = capped.select(col(idCol).as("id_a"), col("__blk"))
+      .join(capped.select(col(idCol).as("id_b"), col("__blk")), Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     candidates
@@ -159,7 +177,8 @@ object Dedup {
       shingleSize: Int = 3,
       k: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      maxBucket: Int = Int.MaxValue
   ): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
@@ -185,8 +204,9 @@ object Dedup {
         b => xxhash64(slice(col("__sig"), b * rows + 1, lit(rows)), b)
       )).as(Seq("__band", "__bandhash"))
     )
-    val candidates = banded.select(col(idCol).as("id_a"), col("__band"), col("__bandhash"))
-      .join(banded.select(col(idCol).as("id_b"), col("__band"), col("__bandhash")),
+    val capped = capBuckets(banded, Seq("__band", "__bandhash"), maxBucket)
+    val candidates = capped.select(col(idCol).as("id_a"), col("__band"), col("__bandhash"))
+      .join(capped.select(col(idCol).as("id_b"), col("__band"), col("__bandhash")),
         Seq("__band", "__bandhash"))
       .filter(col("id_a") < col("id_b"))
       // a pair colliding in multiple bands appears once
@@ -268,7 +288,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue
   ): DataFrame = {
     val sig = df.select(col(idCol), simhash64(col(textCol)).as("__sim"))
     val banded = sig.select(
@@ -277,9 +298,10 @@ object Dedup {
         shiftright(col("__sim"), b * 16).bitwiseAND(0xffffL)): _*))
         .as(Seq("__band", "__bandval"))
     )
-    val a = banded.select(col(idCol).as("id_a"), col("__sim").as("sim_a"),
+    val capped = capBuckets(banded, Seq("__band", "__bandval"), maxBucket)
+    val a = capped.select(col(idCol).as("id_a"), col("__sim").as("sim_a"),
       col("__band"), col("__bandval"))
-    val b = banded.select(col(idCol).as("id_b"), col("__sim").as("sim_b"),
+    val b = capped.select(col(idCol).as("id_b"), col("__sim").as("sim_b"),
       col("__band"), col("__bandval"))
     a.join(b, Seq("__band", "__bandval"))
       .filter(col("id_a") < col("id_b"))

@@ -93,6 +93,30 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize stage: payload → payload at (width × height), meta rewritten.
+    * Same `mapPartitions` batch shape as [[decodeFeatures]] — the stub
+    * passes bytes through untouched (no codec in this container); a real
+    * implementation swaps only the per-element function.
+    */
+  def resize(df: DataFrame, idCol: String, binCol: String,
+      width: Int, height: Int): DataFrame = {
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("payload", BinaryType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)
+    ))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        // ??? <- real resample goes here; stub passes payload through
+        Row(r.get(0), bytes, width, height)
+      }
+    }(enc)
+  }
+
   /** Frame/sample extraction for time-based media: emits `n` evenly
     * spaced byte windows per payload (the real implementation would emit
     * decoded frames; the windowing/explode plumbing is identical).

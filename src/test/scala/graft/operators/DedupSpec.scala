@@ -80,6 +80,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("maxBucket caps pathological LSH buckets without touching healthy ones") {
+    import spark.implicits._
+    // 60 identical boilerplate docs + one distinct near-dup pair
+    val boiler = spark.range(60).select(
+      (col("id") + 20000).as("doc_id"),
+      lit("common boilerplate header repeated across the whole corpus verbatim").as("text"))
+    val pair = Seq(
+      (30000L, "a unique document about spark shuffles and partitions here"),
+      (30001L, "a unique document about spark shuffles and partitions there")
+    ).toDF("doc_id", "text")
+    val df = boiler.union(pair)
+    val uncapped = Dedup.minhashNearDupPairs(df, "doc_id", "text", 3, 64, 16, 0.5)
+    val capped = Dedup.minhashNearDupPairs(df, "doc_id", "text", 3, 64, 16, 0.5,
+      maxBucket = 50)
+    // boilerplate explodes uncapped (60*59/2 pairs), vanishes capped
+    assert(uncapped.filter(col("id_a") >= 20000 && col("id_a") < 30000).count() === 60L * 59 / 2)
+    assert(capped.filter(col("id_a") >= 20000 && col("id_a") < 30000).count() === 0)
+    // the healthy near-dup pair survives the cap
+    assert(capped.filter(col("id_a") === 30000 && col("id_b") === 30001).count() === 1)
+  }
+
   test("jaccard kernel") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")

@@ -39,4 +39,14 @@ class MultimodalSpec extends SparkSpec {
     val idx = out.select("frame_idx").distinct().collect().map(_.getInt(0)).sorted
     assert(idx.toSeq === Seq(0, 1, 2, 3))
   }
+
+  test("resize keeps one row per payload with the target dimensions") {
+    val out = Multimodal.resize(media.limit(10), "doc_id", "payload", 224, 224)
+    assert(out.columns.toSeq === Seq("doc_id", "payload", "width", "height"))
+    assert(out.count() === 10)
+    out.collect().foreach { r =>
+      assert(r.getAs[Int]("width") === 224 && r.getAs[Int]("height") === 224)
+      assert(r.getAs[Array[Byte]]("payload") != null)
+    }
+  }
 }
