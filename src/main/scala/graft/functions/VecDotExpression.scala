@@ -59,6 +59,77 @@ case class VecDotExpression(left: Expression, right: Expression) extends BinaryE
   override def prettyName: String = "graft_vec_dot"
 }
 
+/** Native random-hyperplane LSH signature: `nBits` sign bits packed in
+  * a long, one fused loop per vector. Bit p equals
+  * [[VectorFunctions.hyperplaneSign]] for plane p — the hyperplane
+  * "random" units replicate `pmod(xxhash64(plane, dim), 1000003)`
+  * exactly (XXH64 int-chaining, seed 42), so buckets are identical to
+  * the built-in composition while skipping its per-plane boxed
+  * zip_with/aggregate passes.
+  */
+case class LshSign64Expression(child: Expression, nBits: Int) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) if nBits > 0 && nBits <= 64 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lshsign64 requires array<float|double> and 0<nBits<=64, got ${other.catalogString}, nBits=$nBits")
+    }
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LshSign64Expression.compute(input.asInstanceOf[ArrayData], isFloat, nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LshSign64Expression.compute($c, $isFloat, $nBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshSign64Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lshsign64"
+}
+
+object LshSign64Expression {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  def compute(arr: ArrayData, isFloat: Boolean, nBits: Int): Long = {
+    val n = arr.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      // matches xxhash64(lit(plane), dimIdx): ints chained from seed 42
+      val hPlane = XXH64.hashInt(p, 42L)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashInt(i, hPlane)
+        val unit = java.lang.Math.floorMod(h, 1000003L).toDouble / 1000003.0 - 0.5
+        val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        proj += v * unit
+        i += 1
+      }
+      if (proj >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def lshSign64(vec: Column, nBits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(LshSign64Expression(ColumnBridge.expression(vec), nBits))
+  }
+}
+
 object VecDotExpression {
 
   def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {

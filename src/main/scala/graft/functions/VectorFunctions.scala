@@ -69,8 +69,16 @@ object VectorFunctions {
   /** `nBits`-bit LSH signature for cosine similarity: vectors with small
     * angle agree on most bits, so bucketing on the signature (or bands of
     * it) turns an O(n²) all-pairs search into per-bucket joins.
+    * Native fused kernel ([[LshSign64Expression]]), bit-compatible with
+    * [[lshSignatureBuiltin]].
     */
-  def lshSignature(vec: Column, nBits: Int): Column = {
+  def lshSignature(vec: Column, nBits: Int): Column =
+    LshSign64Expression.lshSign64(vec, nBits)
+
+  /** The per-plane built-in composition the kernel replaces (string of
+    * '0'/'1' per plane; kept as the correctness cross-check).
+    */
+  private[graft] def lshSignatureBuiltin(vec: Column, nBits: Int): Column = {
     val bits = (0 until nBits).map(p => hyperplaneSign(vec, p).cast("string"))
     concat(bits: _*)
   }

@@ -126,7 +126,24 @@ class SimilaritySpec extends SparkSpec {
       VectorFunctions.lshSignature(col("embedding"), 8).as("sig")).collect()
     val s2 = emb.select(col("vec_id"),
       VectorFunctions.lshSignature(col("embedding"), 8).as("sig")).collect()
-    assert(s1.map(r => (r.getLong(0), r.getString(1))).toMap ===
-      s2.map(r => (r.getLong(0), r.getString(1))).toMap)
+    assert(s1.map(r => (r.getLong(0), r.getLong(1))).toMap ===
+      s2.map(r => (r.getLong(0), r.getLong(1))).toMap)
+  }
+
+  test("native lsh signature bits match the per-plane builtin composition") {
+    val emb = table("embeddings").select("embedding").limit(100)
+    val both = emb.select(
+      VectorFunctions.lshSignature(col("embedding"), 8).as("fast"),
+      VectorFunctions.lshSignatureBuiltin(col("embedding"), 8).as("slow")
+    ).collect()
+    both.foreach { r =>
+      val packed = r.getLong(0)
+      val bitsStr = r.getString(1) // plane p at position p, '1' = sign >= 0
+      val fromStr = bitsStr.zipWithIndex.foldLeft(0L) {
+        case (acc, ('1', p)) => acc | (1L << p)
+        case (acc, _) => acc
+      }
+      assert(packed === fromStr, s"packed=$packed str=$bitsStr")
+    }
   }
 }
