@@ -71,6 +71,24 @@ object Comparator {
     df.agg(count(lit(1)).as("rows"), aggs.toIndexedSeq: _*)
   }
 
+  /** Approximate per-column profile for 100 TB-scale verification where
+    * even exact checksums are too strict (e.g. after a lossy type
+    * transpile): HLL++ distinct-count sketch, null count, min and max
+    * per column. Mergeable sketches, one pass, one row out; `rsd`
+    * trades sketch memory for precision (Spark default 5%).
+    */
+  def columnProfile(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val aggs = df.schema.fields.flatMap { f =>
+      Seq(
+        approx_count_distinct(col(f.name), rsd).as(s"${f.name}__ndv"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        min(col(f.name)).cast("string").as(s"${f.name}__min"),
+        max(col(f.name)).cast("string").as(s"${f.name}__max")
+      )
+    }
+    df.agg(count(lit(1)).as("rows"), aggs.toIndexedSeq: _*)
+  }
+
   /** Deep compare of one table on both sides via [[checksum]]. */
   def compareChecksums(
       spark: SparkSession,

@@ -45,6 +45,24 @@ class MigratorSpec extends SparkSpec {
     assert(!Comparator.compareChecksums(spark, src, FixtureSource(dest), "nation"))
   }
 
+  test("columnProfile: one row, stable across copies, ndv within rsd of exact") {
+    val li = table("lineitem")
+    val p = Comparator.columnProfile(li).collect()
+    assert(p.length === 1)
+    val row = p(0)
+    assert(row.getAs[Long]("rows") === li.count())
+    // HLL estimate within the default 5% rsd (generous 3-sigma bound)
+    val exactNdv = li.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    val approxNdv = row.getAs[Long]("l_orderkey__ndv")
+    assert(math.abs(approxNdv - exactNdv).toDouble / exactNdv < 0.15,
+      s"ndv $approxNdv vs $exactNdv")
+    // identical content -> identical profile (copy round-trip)
+    val dest = Files.createTempDirectory("graft_prof").toString
+    li.write.parquet(s"$dest/lineitem.parquet")
+    val p2 = Comparator.columnProfile(spark.read.parquet(s"$dest/lineitem.parquet")).collect()(0)
+    assert(row.toString === p2.toString)
+  }
+
   test("compare flags missing destination tables (DestIsExist=NO)") {
     val dest = Files.createTempDirectory("graft_dest3").toString
     new Migrator(spark, FixtureSource(sfDir), dest).copyTable("region")

@@ -83,6 +83,29 @@ class SimHashExpressionSpec extends SparkSpec {
     viaSql.foreach { r => assert(r.getInt(0) > 0); assert(r.getString(1).nonEmpty) }
   }
 
+  test("shingle kernels agree with the string form on edge cases") {
+    import spark.implicits._
+    val edge = Seq(
+      "",                       // empty text
+      "   ",                    // whitespace only
+      "one",                    // fewer tokens than n
+      "one two",                // exactly n-1
+      "one two three",          // exactly n
+      "a a a a a",              // repeated token (dedup path)
+      "日本語 テキスト の 例 です", // non-ASCII tokens
+      "x " * 500                // long repetitive text
+    ).zipWithIndex.map(_.swap).toDF("id", "text")
+    val both = edge.select(
+      col("id"),
+      Dedup.shingleHashes(col("text"), 3).as("fast"),
+      transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("slow"),
+      MinShingleExpression.minShingle(
+        split(trim(lower(col("text"))), "\\s+"), 3).as("minFast"),
+      array_min(Dedup.shingles(col("text"), 3)).as("minSlow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() === 0)
+    assert(both.filter(col("minFast") =!= col("minSlow")).count() === 0)
+  }
+
   test("expressions survive whole-stage codegen (no fallback errors at scale)") {
     // exercise the doGenCode path over the whole fixture
     val n = table("documents")
