@@ -63,4 +63,63 @@ object BatchWriter {
     */
   def writeParquet(df: DataFrame, dir: String, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$table.parquet")
+
+  // -------------------------------------------- idempotent page appends
+  //
+  // SURVEY.md §7.4.1: the reference's txn-rollback-per-batch model does
+  // not survive Spark's task/job retry — a replayed append would insert
+  // the page twice. The replay-safe unit here is the PAGE RANGE: delete
+  // (or overwrite) the range, then load it, so any retry converges to
+  // exactly-once per range.
+
+  /** Target-side range delete statement (MySQL-kernel quoting). */
+  def deleteRangeSql(table: String, rangeCol: String, lo: Long, hi: Long): String =
+    s"DELETE FROM `$table` WHERE `$rangeCol` >= $lo AND `$rangeCol` < $hi"
+
+  /** Idempotent JDBC page append: delete the destination range in its own
+    * statement, then append only rows inside the range. Safe to replay
+    * after any partial failure.
+    */
+  def writeJdbcRangeIdempotent(
+      df: DataFrame,
+      url: String,
+      table: String,
+      props: java.util.Properties,
+      rangeCol: String,
+      lo: Long,
+      hi: Long,
+      batchRowSize: Int = 1000,
+      maxConnections: Int = 100
+  ): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(deleteRangeSql(table, rangeCol, lo, hi))
+      finally st.close()
+    } finally conn.close()
+    val page = df.filter(
+      org.apache.spark.sql.functions.col(rangeCol) >= lo &&
+        org.apache.spark.sql.functions.col(rangeCol) < hi)
+    writeJdbc(page, url, table, props, batchRowSize, maxConnections,
+      truncateFirst = false)
+  }
+
+  /** Idempotent parquet page append: each range lands in its own
+    * subdirectory and is overwritten whole on replay (same mechanism as
+    * the streaming sink's `batch=<id>` directories).
+    */
+  def writeParquetRange(
+      df: DataFrame,
+      dir: String,
+      table: String,
+      rangeCol: String,
+      lo: Long,
+      hi: Long
+  ): Unit = {
+    val page = df.filter(
+      org.apache.spark.sql.functions.col(rangeCol) >= lo &&
+        org.apache.spark.sql.functions.col(rangeCol) < hi)
+    page.write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/$table.parquet/range=${lo}_$hi")
+  }
 }
