@@ -247,6 +247,16 @@ object SparkEntry {
         )
         .orderBy("doc_id")
     }),
+    // Text analysis: BPE-ish subword count + composite quality score
+    "q_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast(LongType).as("n_bpeish"),
+          TextAnalysis.qualityScore(col("text")).as("quality")
+        )
+        .orderBy("doc_id")
+    }),
     // Streaming-analog: event-time windowed aggregation (batch form of the
     // Structured Streaming hourly rollup)
     "q_events_hourly" -> ((s, dir) => {
@@ -517,6 +527,23 @@ object SparkEntry {
       "SELECT doc_id, CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the FROM documents ORDER BY doc_id",
     "q_events_hourly" ->
       "SELECT user_id, date_trunc('hour', ts) AS hr, count(*) AS n_events, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value FROM events GROUP BY user_id, date_trunc('hour', ts) ORDER BY user_id, hr",
+    "q_text_quality" -> {
+      val sw = TextAnalysis.EN_STOPWORDS.map(s => s"'$s'").mkString(", ")
+      // formula mirrors TextAnalysis.qualityScore term-for-term (same
+      // operation order so doubles are bit-identical)
+      "WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS ltoks FROM documents), " +
+        "m AS (SELECT doc_id, text, " +
+        "LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score, " +
+        "CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS pr, " +
+        s"CASE WHEN len(ltoks) > 0 THEN CAST(len(list_filter(ltoks, x -> x IN ($sw))) AS DOUBLE) / len(ltoks) ELSE 0.0 END AS swr, " +
+        "CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl " +
+        "FROM t) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) + len(regexp_extract_all(text, '[^\\p{L}\\p{N} ]')) AS BIGINT) AS n_bpeish, " +
+        "round((len_score + (1.0 - LEAST(pr * 5.0, 1.0)) + (1.0 - LEAST(abs(swr - 0.4) * 2.5, 1.0)) + (1.0 - LEAST(abs(mtl - 5.0) / 5.0, 1.0))) / 4.0, 6) AS quality " +
+        "FROM m ORDER BY doc_id"
+    },
     "q_mm_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
     "q_events_sessionize" ->
