@@ -28,6 +28,7 @@ object Main {
       |  createTable --src <dir> --script <out.sql>
       |  onlyData    --src <dir> --dest <dir> [--exclude t1,t2]
       |  compareDb   --src <dir> --dest <dir>
+      |  analyze     --src <dir> [--table documents] [--out <dir>]
       |  version
       |""".stripMargin
 
@@ -46,6 +47,7 @@ object Main {
         case "onlyData"    => sync(spark, opts, ddl = false, data = true)
         case "createTable" => createTable(spark, opts)
         case "compareDb"   => compareDb(spark, opts)
+        case "analyze"     => analyze(spark, opts)
         case other =>
           System.err.println(s"unknown command: $other\n$usage"); sys.exit(2)
       }
@@ -96,6 +98,37 @@ object Main {
     val out = opts.getOrElse("script", "createSql.log")
     script.writeTo(out)
     println(s"wrote ${script.all.size} DDL statements to $out")
+  }
+
+  /** Training-data analysis over a document table: annotate every row
+    * with the text-analysis battery, report exact-duplicate groups and
+    * verified near-duplicate pairs, optionally write the annotated table.
+    */
+  private def analyze(spark: SparkSession, opts: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val src = FixtureSource(require(opts, "src"))
+    val tableName = opts.getOrElse("table", "documents")
+    val docs = src.table(spark, tableName)
+    val idCol = docs.columns.head
+    val annotated = graft.operators.TextAnalysis.analyze(docs)
+
+    val dupGroups = graft.operators.Dedup
+      .exactGroups(docs, idCol, "text").filter(col("dup_count") > 1).count()
+    val nearPairs = graft.operators.Dedup
+      .minhashNearDupPairs(docs, idCol, "text").count()
+    val profile = Comparator.columnProfile(docs.select(idCol, "text"))
+
+    println(s"table=$tableName rows=${docs.count()}")
+    println(s"exact-duplicate groups: $dupGroups")
+    println(s"near-duplicate pairs (jaccard >= 0.7): $nearPairs")
+    println("column profile:")
+    profile.show(truncate = false)
+    annotated.select(idCol, "ta_n_tokens", "ta_quality", "ta_lang")
+      .orderBy(col("ta_quality").desc).show(10, truncate = false)
+    opts.get("out").foreach { out =>
+      annotated.write.mode("overwrite").parquet(s"$out/${tableName}_analyzed.parquet")
+      println(s"annotated table written to $out/${tableName}_analyzed.parquet")
+    }
   }
 
   private def compareDb(spark: SparkSession, opts: Map[String, String]): Unit = {
