@@ -443,6 +443,32 @@ object SparkEntry {
       val constraints = Seq(("pk_t1", "P")).toDF("constraint_name", "constraint_type")
       ObjectMigrator.indexDdl(indCols, indexes, constraints).orderBy("sql_cmd")
     }),
+    // S9/F7/P8 — sequence-trigger scan → auto_increment DDL (regex
+    // capture of the NEXTVAL INTO :NEW.<col> pattern)
+    "q_s9_seq_ddl" -> ((s, _) => {
+      import s.implicits._
+      val triggers = Seq(
+        ("t_users", "BEGIN SELECT seq_users.nextval INTO:new.id FROM sys.dual; END;"),
+        ("t_logs", "BEGIN SELECT s2.NEXTVAL INTO :NEW.log_id FROM DUAL; END;"),
+        ("t_noise", "BEGIN :NEW.x := 1; END;")
+      ).toDF("table_name", "trigger_body")
+      ObjectMigrator.sequenceDdl(triggers).orderBy("sql_cmd")
+    }),
+    // S14/O2 — stored-program DDL dump ordered by object type
+    "q_s14_proc_dump" -> ((s, _) => {
+      import s.implicits._
+      val objs = Seq(
+        ("calc_tax", "FUNCTION", "function calc_tax(p number) return number is begin return p*0.2; end;"),
+        ("pkg_util", "PACKAGE", "package pkg_util is procedure p1; end;"),
+        ("do_sync", "PROCEDURE", "procedure do_sync is begin null; end;")
+      ).toDF("object_name", "object_type", "ddl_text")
+      objs.select(
+        col("object_type"),
+        col("object_name"),
+        concat(lit("-- "), col("object_type"), lit(" "), col("object_name"),
+          lit("\n"), col("ddl_text")).as("dump_text")
+      ).orderBy("object_type", "object_name")
+    }),
     // S10/J5 — FK DDL with decorrelated ordered column lists
     "q_s10_fk_ddl" -> ((s, _) => {
       import s.implicits._
@@ -670,6 +696,29 @@ object SparkEntry {
         "ELSE 'CREATE ' || CASE WHEN uniqueness = 'UNIQUE' THEN 'UNIQUE ' WHEN index_type = 'NORMAL' THEN '' ELSE index_type || ' ' END || " +
         "'INDEX `' || index_name || '` ON ' || table_name || '(' || cols || ');' END AS sql_cmd " +
         "FROM g ORDER BY sql_cmd"),
+    "q_s9_seq_ddl" ->
+      ("WITH trg(table_name, trigger_body) AS (VALUES " +
+        "('t_users', 'BEGIN SELECT seq_users.nextval INTO:new.id FROM sys.dual; END;'), " +
+        "('t_logs', 'BEGIN SELECT s2.NEXTVAL INTO :NEW.log_id FROM DUAL; END;'), " +
+        "('t_noise', 'BEGIN :NEW.x := 1; END;')), " +
+        "n AS (SELECT table_name, regexp_replace(regexp_replace(regexp_replace(upper(trigger_body), " +
+        "'INTO:', 'INTO :', 'g'), 'SYS\\.DUAL', 'DUAL', 'g'), '\n', '', 'g') AS body FROM trg), " +
+        "f AS (SELECT table_name, regexp_extract(body, ':NEW\\.(\\w+)', 1) AS auto_col FROM n " +
+        "WHERE regexp_matches(body, 'SELECT\\s+(.*?)\\.NEXTVAL\\s+INTO\\s+:NEW\\.') " +
+        "AND regexp_extract(body, ':NEW\\.(\\w+)', 1) <> ''), " +
+        "w AS (SELECT *, row_number() OVER (ORDER BY table_name, auto_col) AS seq_idx FROM f) " +
+        "SELECT table_name, sql_cmd FROM w, unnest([" +
+        "'create index ids_' || table_name || '_' || auto_col || '_' || seq_idx || ' on ' || table_name || '(' || auto_col || ');', " +
+        "'alter table ' || table_name || ' modify ' || auto_col || ' bigint auto_increment;']) AS t(sql_cmd) " +
+        "ORDER BY sql_cmd"),
+    "q_s14_proc_dump" ->
+      ("WITH objs(object_name, object_type, ddl_text) AS (VALUES " +
+        "('calc_tax', 'FUNCTION', 'function calc_tax(p number) return number is begin return p*0.2; end;'), " +
+        "('pkg_util', 'PACKAGE', 'package pkg_util is procedure p1; end;'), " +
+        "('do_sync', 'PROCEDURE', 'procedure do_sync is begin null; end;')) " +
+        "SELECT object_type, object_name, " +
+        "'-- ' || object_type || ' ' || object_name || chr(10) || ddl_text AS dump_text " +
+        "FROM objs ORDER BY object_type, object_name"),
     "q_s10_fk_ddl" ->
       ("WITH cons(constraint_name, table_name, constraint_type, r_constraint_name) AS " +
         "(VALUES ('fk_o_c','orders','R','pk_cust'), ('pk_cust','customer','P',NULL), ('pk_o','orders','P',NULL)), " +
