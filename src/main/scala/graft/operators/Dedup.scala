@@ -30,14 +30,15 @@ object Dedup {
     * Returns the deduplicated rows (one keeper per duplicate set).
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keyed = df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-    val keepers = keyed
-      .groupBy(col("__fp"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    // broadcast-free semi join on the (small) keeper id set at test
-    // scale; at 100 TB both sides shuffle on id — still one shuffle
-    df.join(keepers, Seq(idCol), "left_semi")
+    // ONE shuffle (hash-partition on the fingerprint) — the
+    // groupBy-then-semi-join alternative shuffles the full table twice
+    // (once into the aggregate, once into the join)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
   }
 
   /** Exact-duplicate groups: fingerprint → member count + keeper id. */
