@@ -80,6 +80,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(assigned.columns.contains("__list"))
   }
 
+  test("exact dedup is a single shuffle") {
+    val df = graft.operators.Dedup.exact(table("documents"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+  }
+
   test("window functions partition instead of a single global sort") {
     val plan = explain(SparkEntry.queries("q_w1_row_number")(spark, sfDir))
     assert(plan.contains("Window"), plan)
