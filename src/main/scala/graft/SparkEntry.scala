@@ -98,6 +98,19 @@ object SparkEntry {
         )
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    // A5+ — rollup aggregate (grouping-sets family; subtotals + grand
+    // total in one pass — the richer verification aggregate SURVEY §2.5
+    // notes Catalyst gives for free)
+    "q_a_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    }),
     // J1 — left-outer catalog join (columns ⟕ comments analog); small dim
     // side broadcast — no shuffle at scale
     "q_j1_left_outer" -> ((s, dir) => {
@@ -525,6 +538,10 @@ object SparkEntry {
       "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_j1_left_outer" ->
       "SELECT n_nationkey, n_name, r_name FROM nation LEFT JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey",
+    "q_a_rollup" ->
+      ("SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus, " +
+        "count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY returnflag, linestatus"),
     "q_j3_anti_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey",
     "q_j4_full_outer_compare" ->
