@@ -227,6 +227,15 @@ object SparkEntry {
         )
         .orderBy("l_orderkey", "l_linenumber", "running_qty")
     }),
+    // O-family top-N: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    // a per-partition partial top-N then one driver merge, never a
+    // global sort (the scale-safe shape)
+    "q_o_topn" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    }),
     // O4 — set difference
     "q_o4_except" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -562,6 +571,8 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty FROM lineitem ORDER BY l_orderkey, l_linenumber, running_qty",
     "q_o4_except" ->
       "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey",
+    "q_o_topn" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10",
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, count(*) AS dup_count, MIN(doc_id) AS keeper FROM documents GROUP BY md5(text) ORDER BY text_hash",
     "q_text_tokens" ->

@@ -80,6 +80,12 @@ class PlanQualitySpec extends SparkSpec {
     assert(assigned.columns.contains("__list"))
   }
 
+  test("top-N plans as TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q_o_topn")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("exact dedup is a single shuffle") {
     val df = graft.operators.Dedup.exact(table("documents"), "doc_id", "text")
     val plan = df.queryExecution.executedPlan.toString
