@@ -186,6 +186,17 @@ object SparkEntry {
         )
         .orderBy("event_id")
     }),
+    // F6+ — JSON scalar extraction (props payload → typed column) and
+    // struct-to-JSON round trip
+    "q_f6_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+          to_json(struct(col("event_id"), col("event_type"))).as("as_json")
+        )
+        .orderBy("event_id")
+    }),
     // F8 — chained dialect-rewrite (the view-text transpiler shape)
     "q_f8_view_rewrite" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -563,6 +574,10 @@ object SparkEntry {
       "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_str, CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo FROM orders ORDER BY o_orderkey",
     "q_f7_regex_extract" ->
       "SELECT event_id, CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT) AS k FROM events WHERE regexp_matches(props, '\"k\"') ORDER BY event_id",
+    "q_f6_json" ->
+      ("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k, " +
+        "'{\"event_id\":' || event_id || ',\"event_type\":\"' || event_type || '\"}' AS as_json " +
+        "FROM events ORDER BY event_id"),
     "q_f8_view_rewrite" ->
       "SELECT doc_id, REPLACE(REPLACE(UPPER(text), 'SPARK', 'FLINK'), 'JOIN', 'MERGE') AS rewritten FROM documents ORDER BY doc_id",
     "q_w1_row_number" ->
