@@ -253,6 +253,12 @@ object SparkEntry {
       val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
       c.except(sup).orderBy("nationkey")
     }),
+    // O4+ — set intersection (nations having both customers and suppliers)
+    "q_o_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).orderBy("nationkey")
+    }),
     // Dedup (exact): content-hash grouping over documents
     "q_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -590,6 +596,8 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10",
     "q_dedup_exact" ->
       "SELECT md5(text) AS text_hash, count(*) AS dup_count, MIN(doc_id) AS keeper FROM documents GROUP BY md5(text) ORDER BY text_hash",
+    "q_o_intersect" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey",
     "q_text_tokens" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id",
     "q_text_stopword" ->

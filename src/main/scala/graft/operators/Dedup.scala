@@ -251,6 +251,75 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------- duplicate-cluster closure
+
+  /** Transitive closure over a near-duplicate pair list: connected
+    * components by iterative min-label propagation. One-pass dedup
+    * ([[minhashDedup]]) keeps local minima of chained duplicates
+    * (a~b~c with a!~c keeps a AND the c-side survivor); when a cluster
+    * must collapse to ONE keeper, run the closure.
+    *
+    * Algorithm (large-star/small-star simplified): every node starts
+    * labeled with itself; each iteration joins labels across edges and
+    * takes the min; stops when an iteration changes nothing or
+    * `maxIter` is hit. Each iteration is one shuffle on the node id —
+    * the standard Spark CC shape; iterations needed ≈ graph diameter,
+    * which for near-dup clusters is tiny (chains of copies), so
+    * `maxIter = 10` covers real corpora.
+    *
+    * @param pairs edge list with columns `id_a`, `id_b` (any direction)
+    * @return (id, cluster) — cluster = min id reachable; one row per
+    *         node appearing in `pairs`
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // every node adopts the min label among itself and its neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster"))
+        .union(neighborLabels)
+        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-collapsing dedup: keep exactly one doc (lowest id) per
+    * connected near-duplicate cluster — the strict variant of
+    * [[minhashDedup]].
+    */
+  def minhashDedupTransitive(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7
+  ): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, shingleSize, k, bands, threshold)
+    val clusters = duplicateClusters(pairs)
+    val drop = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash of the token multiset: per bit, sum +1/-1 weighted by

@@ -80,6 +80,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicateClusters: min-label propagation finds connected components") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("transitive dedup collapses a bridge cluster that one-pass dedup keeps split") {
+    import spark.implicits._
+    // A and B are dissimilar; C bridges them (half A's tokens, half B's)
+    val wa = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val wb = (1 to 20).map(i => s"beta$i").mkString(" ")
+    val bridge = (1 to 20).map(i => s"alpha$i").take(20).mkString(" ") + " " +
+      (1 to 20).map(i => s"beta$i").take(20).mkString(" ")
+    val df = Seq((1L, wa), (2L, wb), (3L, bridge)).toDF("doc_id", "text")
+
+    val pairs = Dedup.minhashNearDupPairs(df, "doc_id", "text",
+      shingleSize = 3, k = 64, bands = 32, threshold = 0.3)
+    val pairSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet === Set((1L, 3L), (2L, 3L)), s"bridge edges: $pairSet")
+
+    // one-pass: only the bridge (highest id in both pairs) is dropped
+    val onePass = Dedup.minhashDedup(df, "doc_id", "text", 3, 64, 32, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(onePass === Set(1L, 2L))
+
+    // transitive: the whole cluster collapses to the lowest id
+    val strict = Dedup.minhashDedupTransitive(df, "doc_id", "text", 3, 64, 32, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strict === Set(1L))
+  }
+
   test("maxBucket caps pathological LSH buckets without touching healthy ones") {
     import spark.implicits._
     // 60 identical boilerplate docs + one distinct near-dup pair
