@@ -394,6 +394,17 @@ object SparkEntry {
         )
         .orderBy("doc_id")
     }),
+    // Dedup clustering: connected-component closure over a near-dup edge
+    // list (min-label propagation; oracle = recursive-CTE closure)
+    "q_dedup_clusters" -> ((s, _) => {
+      import s.implicits._
+      val pairs = Seq(
+        (1L, 2L), (2L, 3L), (5L, 3L),   // chain + bridge -> one cluster
+        (10L, 11L),                     // isolated pair
+        (20L, 21L), (20L, 22L), (20L, 23L) // star
+      ).toDF("id_a", "id_b")
+      Dedup.duplicateClusters(pairs).orderBy("id")
+    }),
     // Near-dedup via MinHash LSH (engine-specific hash family — no oracle)
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text",
@@ -680,6 +691,14 @@ object SparkEntry {
         "ELSE list_aggregate(list_transform(range(1, len(t)-6), i -> " +
         "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(i, i+8), j -> CAST(unicode(t[j:j]) AS BIGINT)), (a,c) -> (a*31+c) % 1000000007)), 'min') END AS min_gram_fp " +
         "FROM n ORDER BY doc_id"),
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE p(id_a, id_b) AS (SELECT * FROM (VALUES " +
+        "(1,2),(2,3),(5,3),(10,11),(20,21),(20,22),(20,23)) AS v(id_a, id_b)), " +
+        "edges(src, dst) AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach(a, b) AS (SELECT src, src FROM edges " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src) " +
+        "SELECT CAST(a AS BIGINT) AS id, CAST(min(b) AS BIGINT) AS cluster " +
+        "FROM reach GROUP BY a ORDER BY id"),
     "q_sim_topk" ->
       ("SELECT q.vec_id AS query_id, " +
         "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> q.vec_id " +
