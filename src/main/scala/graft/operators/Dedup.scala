@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.VectorFunctions
 
@@ -278,6 +279,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // labels only ever decrease, so the label sum is a strictly
+    // decreasing convergence witness: one cheap aggregate per iteration
+    // instead of a join-based diff
+    var prevSum = labels.agg(sum(col("cluster").cast(DecimalType(38, 0))))
+      .collect()(0).getDecimal(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -285,15 +292,20 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("cluster"))
+      // localCheckpoint truncates lineage so every iteration re-executes
+      // the SAME plan shape (one codegen compile total, not one per
+      // iteration) and the fixpoint loop can run indefinitely without
+      // the plan growing
       val next = labels.select(col("id"), col("cluster"))
         .union(neighborLabels)
         .groupBy("id").agg(min(col("cluster")).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old")).limit(1).count() > 0
+        .localCheckpoint(true)
+      val newSum = next.agg(sum(col("cluster").cast(DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
       labels.unpersist()
       labels = next
-      converged = !changed
+      converged = newSum == prevSum
+      prevSum = newSum
       i += 1
     }
     edges.unpersist()
