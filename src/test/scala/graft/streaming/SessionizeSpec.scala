@@ -37,6 +37,53 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("late events beyond the watermark are dropped, closed sessions stay closed") {
+    import spark.implicits._
+    val srcDir = tmp("graft_sess_late_src")
+    // batch 1: the full fixture (spans hours of event time)
+    table("events").write.mode("overwrite").parquet(srcDir)
+
+    def runOnce(ckpt: String, outDir: String): Unit = {
+      val streamEvents = IncrementalSync.eventsStream(spark, srcDir)
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_time"), col("value"))
+        .as[SessEvent]
+      Sessionize.stream(streamEvents, GapUs, watermark = "30 minutes")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Session], id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .start()
+        .awaitTermination(180000)
+    }
+    val ckpt = tmp("graft_sess_late_ckpt")
+    val outDir = tmp("graft_sess_late_out")
+    runOnce(ckpt, outDir)
+    val firstRun = spark.read.parquet(s"$outDir/batch=*")
+      .collect().map(_.toString).toSet
+    assert(firstRun.nonEmpty)
+
+    // batch 2: one VERY late event (event time = fixture minimum, hours
+    // behind the watermark) for a user with closed sessions
+    val victim = spark.read.parquet(s"$outDir/batch=*")
+      .select("user_id").collect()(0).getLong(0)
+    table("events").orderBy("ts").limit(1)
+      .select(col("event_id"), col("ts"), lit(victim).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("append").parquet(srcDir)
+    runOnce(ckpt, outDir)
+
+    val secondRun = spark.read.parquet(s"$outDir/batch=*")
+      .collect().map(_.toString).toSet
+    // the late event must not re-emit or mutate any session for the
+    // victim user: every session from run 1 is still present unchanged
+    assert(firstRun.subsetOf(secondRun),
+      s"closed sessions changed: ${(firstRun -- secondRun).take(3)}")
+  }
+
   test("streaming sessionization matches the batch analog for watermark-closed sessions") {
     import spark.implicits._
     val srcDir = tmp("graft_sess_src")
