@@ -59,6 +59,73 @@ case class VecDotExpression(left: Expression, right: Expression) extends BinaryE
   override def prettyName: String = "graft_vec_dot"
 }
 
+/** Native Jaccard similarity over two `array<long>` columns (as sets):
+  * |A∩B| / |A∪B| in one pass with two hash sets, versus the
+  * `array_intersect` + `array_union` composition which materializes two
+  * intermediate arrays per row and walks the inputs twice. Duplicate
+  * elements are collapsed exactly like the set-semantics built-ins.
+  */
+case class JaccardLongExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"jaccard_long requires two array<long> operands, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardLongExpression.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardLongExpression.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardLongExpression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_jaccard_long"
+}
+
+object JaccardLongExpression {
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val setA = new java.util.HashSet[java.lang.Long](na * 2)
+    var i = 0
+    while (i < na) { if (!a.isNullAt(i)) setA.add(a.getLong(i)); i += 1 }
+    val nb = b.numElements()
+    val seenB = new java.util.HashSet[java.lang.Long](nb * 2)
+    var inter = 0
+    var bOnly = 0
+    i = 0
+    while (i < nb) {
+      if (!b.isNullAt(i)) {
+        val v: java.lang.Long = b.getLong(i)
+        if (seenB.add(v)) {
+          if (setA.contains(v)) inter += 1 else bOnly += 1
+        }
+      }
+      i += 1
+    }
+    val union = setA.size + bOnly
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  def jaccardLong(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(JaccardLongExpression(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+}
+
 /** Native random-hyperplane LSH signature: `nBits` sign bits packed in
   * a long, one fused loop per vector. Bit p equals
   * [[VectorFunctions.hyperplaneSign]] for plane p — the hyperplane

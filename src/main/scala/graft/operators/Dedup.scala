@@ -85,7 +85,16 @@ object Dedup {
       .filter(col("__bsz") <= maxBucket)
       .drop("__bsz")
 
-  /** Exact Jaccard similarity of two array columns (as sets). */
+  /** Exact Jaccard over hashed (long) shingle arrays — native one-pass
+    * kernel ([[graft.functions.JaccardLongExpression]]); null-free
+    * arrays only (ShingleHash64 output qualifies).
+    */
+  def jaccardLong(a: Column, b: Column): Column =
+    graft.functions.JaccardLongExpression.jaccardLong(a, b)
+
+  /** Exact Jaccard similarity of two array columns (as sets) — generic
+    * built-in composition for any element type.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
@@ -133,7 +142,7 @@ object Dedup {
       .join(df.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
       .join(df.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(shingleHashes(col("__ta"), n), shingleHashes(col("__tb"), n)).as("jaccard"))
+        jaccardLong(shingleHashes(col("__ta"), n), shingleHashes(col("__tb"), n)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -228,7 +237,7 @@ object Dedup {
         col("id_a"),
         col("id_b"),
         minhashEstimate(col("sig_a"), col("sig_b"), k).as("est_jaccard"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard")
+        jaccardLong(col("sh_a"), col("sh_b")).as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
   }

@@ -71,6 +71,27 @@ class SimHashExpressionSpec extends SparkSpec {
     assert(both.filter(col("viaHash") =!= col("viaStr")).count() === 0)
   }
 
+  test("jaccardLong kernel equals the set-op composition, including duplicates") {
+    import spark.implicits._
+    val fixture = table("documents").limit(100)
+      .select(Dedup.shingleHashes(col("text"), 3).as("a"),
+        Dedup.shingleHashes(reverse(col("text")), 3).as("b"))
+    val synthetic = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(1L, 1L, 2L), Seq(2L, 2L, 3L)),  // duplicates collapse as sets
+      (Seq.empty[Long], Seq.empty[Long]),  // 0/0 -> 0.0
+      (Seq(5L), Seq.empty[Long]),
+      (Seq(7L, 8L), Seq(7L, 8L))
+    ).toDF("a", "b")
+    for (df <- Seq(fixture, synthetic)) {
+      val bad = df.select(
+        Dedup.jaccardLong(col("a"), col("b")).as("fast"),
+        Dedup.jaccard(col("a"), col("b")).as("slow"))
+        .filter(col("fast") =!= col("slow"))
+      assert(bad.count() === 0, bad.limit(3).collect().mkString("; "))
+    }
+  }
+
   test("shinglehash64 and minshingle registered as SQL functions") {
     ShingleHash64Expression.register(spark)
     MinShingleExpression.register(spark)
