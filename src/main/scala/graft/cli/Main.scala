@@ -27,7 +27,7 @@ object Main {
       |  sync        --src <dir> --dest <dir> [--exclude t1,t2] [--config f.yml]
       |  createTable --src <dir> --script <out.sql>
       |  onlyData    --src <dir> --dest <dir> [--exclude t1,t2]
-      |  compareDb   --src <dir> --dest <dir>
+      |  compareDb   --src <dir> --dest <dir> [--deep true]
       |  analyze     --src <dir> [--table documents] [--out <dir>]
       |  version
       |""".stripMargin
@@ -134,9 +134,20 @@ object Main {
   private def compareDb(spark: SparkSession, opts: Map[String, String]): Unit = {
     val src = FixtureSource(require(opts, "src"))
     val dest = FixtureSource(require(opts, "dest"))
-    val report = Comparator.compareCounts(
-      spark, src, dest, src.tableNames(spark))
+    val tables = src.tableNames(spark)
+    val report = Comparator.compareCounts(spark, src, dest, tables)
     report.orderBy("table_name").show(100, truncate = false)
+    // --deep: beyond the reference's count compare — exact content
+    // checksums per table (order-insensitive hash sums)
+    if (opts.get("deep").exists(_.toBoolean)) {
+      val bad = tables.filterNot(t =>
+        try Comparator.compareChecksums(spark, src, dest, t)
+        catch { case _: Exception => false })
+      if (bad.nonEmpty) {
+        println(s"CHECKSUM MISMATCH: ${bad.mkString(", ")}")
+        sys.exit(1)
+      } else println(s"checksums OK for ${tables.size} tables")
+    }
     val failed = Comparator.failures(report)
     if (failed.count() > 0) {
       println("FAILED tables:")
