@@ -29,6 +29,25 @@ class ScaleJoinsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("materialized IVF index: bucketed by list id, probe scan prunes via pushed filter") {
+    // the 100 TB pattern: run the (shuffle-free) assignment once, persist
+    // bucketed by __list, then every query batch probes by list id with a
+    // filter pushed to the scan — no full-corpus pass at query time
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val assigned = graft.operators.Similarity.ivfAssign(emb, "vec_id", "embedding", 4)
+    ScaleJoins.writeBucketed(
+      assigned.select("neighbor_id", "__cn", "__list"), "ivf_idx", "__list", 4)
+
+    val someList = spark.table("ivf_idx").select("__list").limit(1).collect()(0).getLong(0)
+    val probe = spark.table("ivf_idx").filter(col("__list") === someList)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(__list), EqualTo(__list"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(probe.count() > 0)
+    // index covers the whole corpus exactly once
+    assert(spark.table("ivf_idx").count() === emb.count())
+  }
+
   test("salted join matches plain join results under a hot key") {
     import spark.implicits._
     // hot key: 10k rows of key=1 plus a tail
