@@ -199,6 +199,9 @@ object Dedup {
     // pass itself (measured 40× slower at sf0.1) and at corpus scale
     // would dwarf executor storage. Shingles are recomputed later for the
     // few candidate-pair rows only.
+    // The cache lives until the session drops it (the result is lazy, so
+    // this method cannot unpersist); memory-pressured callers running
+    // many unrelated dedups can spark.catalog.clearCache() between runs.
     val sig = df
       .select(col(idCol), minhashSignature(shingleHashes(col(textCol), shingleSize), k).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
