@@ -493,6 +493,25 @@ object SparkEntry {
       val constraints = Seq(("pk_t1", "P")).toDF("constraint_name", "constraint_type")
       ObjectMigrator.indexDdl(indCols, indexes, constraints).orderBy("sql_cmd")
     }),
+    // S11 — function-based-index DDL: the dbms_metadata.get_ddl cleanup
+    // chain (cut at PCTFREE, strip quotes/owner-prefix/newlines, trim)
+    "q_s11_fbi_ddl" -> ((s, _) => {
+      import s.implicits._
+      val indexes = Seq(
+        ("idx_fn_upper", "t_users", "FUNCTION-BASED NORMAL"),
+        ("ix_plain", "t_users", "NORMAL"),
+        ("idx_fn_trunc", "t_orders", "FUNCTION-BASED NORMAL")
+      ).toDF("index_name", "table_name", "index_type")
+      val ddls = Seq(
+        ("idx_fn_upper",
+          "\n  CREATE INDEX \"Scott\".\"IDX_FN_UPPER\" ON \"Scott\".\"T_USERS\" (UPPER(\"NAME\")) \n  PCTFREE 10 INITRANS 2 MAXTRANS 255 COMPUTE STATISTICS"),
+        ("idx_fn_trunc",
+          "CREATE INDEX \"Scott\".\"IDX_FN_TRUNC\" ON \"Scott\".\"T_ORDERS\" (TRUNC(\"ORDER_DATE\"))"),
+        ("ix_plain",
+          "CREATE INDEX \"Scott\".\"IX_PLAIN\" ON \"Scott\".\"T_USERS\" (\"A\") PCTFREE 10")
+      ).toDF("index_name", "ddl_text")
+      ObjectMigrator.functionIndexDdl(indexes, ddls, "Scott").orderBy("sql_cmd")
+    }),
     // S9/F7/P8 — sequence-trigger scan → auto_increment DDL (regex
     // capture of the NEXTVAL INTO :NEW.<col> pattern)
     "q_s9_seq_ddl" -> ((s, _) => {
@@ -766,6 +785,21 @@ object SparkEntry {
         "ELSE 'CREATE ' || CASE WHEN uniqueness = 'UNIQUE' THEN 'UNIQUE ' WHEN index_type = 'NORMAL' THEN '' ELSE index_type || ' ' END || " +
         "'INDEX `' || index_name || '` ON ' || table_name || '(' || cols || ');' END AS sql_cmd " +
         "FROM g ORDER BY sql_cmd"),
+    "q_s11_fbi_ddl" ->
+      ("WITH idx(index_name, table_name, index_type) AS (VALUES " +
+        "('idx_fn_upper','t_users','FUNCTION-BASED NORMAL'), " +
+        "('ix_plain','t_users','NORMAL'), " +
+        "('idx_fn_trunc','t_orders','FUNCTION-BASED NORMAL')), " +
+        "d(index_name, ddl_text) AS (VALUES " +
+        "('idx_fn_upper', chr(10) || '  CREATE INDEX \"Scott\".\"IDX_FN_UPPER\" ON \"Scott\".\"T_USERS\" (UPPER(\"NAME\")) ' || chr(10) || '  PCTFREE 10 INITRANS 2 MAXTRANS 255 COMPUTE STATISTICS'), " +
+        "('idx_fn_trunc', 'CREATE INDEX \"Scott\".\"IDX_FN_TRUNC\" ON \"Scott\".\"T_ORDERS\" (TRUNC(\"ORDER_DATE\"))'), " +
+        "('ix_plain', 'CREATE INDEX \"Scott\".\"IX_PLAIN\" ON \"Scott\".\"T_USERS\" (\"A\") PCTFREE 10')), " +
+        "j AS (SELECT i.table_name, upper(d.ddl_text) AS up FROM idx i JOIN d ON d.index_name = i.index_name " +
+        "WHERE i.index_type = 'FUNCTION-BASED NORMAL'), " +
+        "c AS (SELECT table_name, CASE WHEN strpos(up, ' PCTFREE') > 0 " +
+        "THEN substr(up, 1, strpos(up, ' PCTFREE') - 1) ELSE up END AS h FROM j) " +
+        "SELECT table_name, trim(replace(replace(replace(h, '\"', ''), 'SCOTT.', ''), chr(10), '')) || ';' AS sql_cmd " +
+        "FROM c ORDER BY sql_cmd"),
     "q_s9_seq_ddl" ->
       ("WITH trg(table_name, trigger_body) AS (VALUES " +
         "('t_users', 'BEGIN SELECT seq_users.nextval INTO:new.id FROM sys.dual; END;'), " +

@@ -62,6 +62,49 @@ object ObjectMigrator {
     )
   }
 
+  /** Function-based-index DDL (reference: NormalIdx, cmd/tablemeta.go:
+    * 318-361): for every `index_type = 'FUNCTION-BASED NORMAL'` index the
+    * reference pulls `dbms_metadata.get_ddl('INDEX', name, user)` and
+    * cleans it with a substr/instr/regexp chain — uppercase, cut at the
+    * storage clause (` PCTFREE`), strip double-quotes and the
+    * `<OWNER>.` prefix, drop newlines, trim. Here the raw get_ddl text
+    * arrives as a column (fetched via the scalar-subquery pushdown,
+    * [[graft.sources.Sources]] `dbmsMetadataSql`) and the same chain is
+    * column expressions, so cleanup distributes over however many
+    * indexes the schema has.
+    *
+    * @param indexes   USER_INDEXES: index_name, table_name, index_type
+    * @param indexDdls per-index raw get_ddl text: index_name, ddl_text
+    * @param userName  owning schema (the reference's `select user from
+    *                  dual`), stripped from the DDL case-insensitively
+    * @return (table_name, sql_cmd)
+    */
+  def functionIndexDdl(
+      indexes: DataFrame,
+      indexDdls: DataFrame,
+      userName: String
+  ): DataFrame = {
+    val up = upper(col("ddl_text"))
+    // cut at the first storage-clause token, exclusive; absent (already
+    // clean DDL) keeps the whole string — the reference assumes Oracle
+    // always emits PCTFREE, which a defensive port shouldn't
+    val cut = locate(" PCTFREE", up)
+    val head = up.substr(lit(1), when(cut > 0, cut - 1).otherwise(length(up)))
+    // literal replaces (the string is already uppercased, so the
+    // reference's case-insensitive flag is moot): quotes, owner prefix,
+    // newlines — in the reference's order
+    val cleaned = trim(
+      replace(
+        replace(
+          replace(head, lit("\""), lit("")),
+          lit(userName.toUpperCase + "."), lit("")),
+        lit("\n"), lit("")))
+    indexes
+      .filter(col("index_type") === "FUNCTION-BASED NORMAL")
+      .join(indexDdls, Seq("index_name"))
+      .select(col("table_name"), concat(cleaned, lit(";")).as("sql_cmd"))
+  }
+
   /** Sequence → auto_increment conversion (reference: SeqCreate,
     * cmd/tablemeta.go:227-283): detect BEFORE-EACH-ROW triggers that
     * assign `seq.NEXTVAL INTO :NEW.<col>` and emit the supporting index

@@ -86,4 +86,36 @@ class ObjectMigratorSpec extends SparkSpec {
     val ddl = ObjectMigrator.viewDdl(views).collect()(0).getString(1)
     assert(ddl === "create or replace view v1 as SELECT IFNULL(`A`, 0) FROM T -- --  NOTE;")
   }
+
+  test("functionIndexDdl cleans the get_ddl output like the reference chain") {
+    val indexes = Seq(
+      ("idx_fn_upper", "t_users", "FUNCTION-BASED NORMAL"),
+      ("ix_plain", "t_users", "NORMAL"),
+      ("idx_fn_trunc", "t_orders", "FUNCTION-BASED NORMAL")
+    ).toDF("index_name", "table_name", "index_type")
+    val ddls = Seq(
+      ("idx_fn_upper",
+        "\n  CREATE INDEX \"Scott\".\"IDX_FN_UPPER\" ON \"Scott\".\"T_USERS\" (UPPER(\"NAME\")) \n  PCTFREE 10 INITRANS 2 MAXTRANS 255 COMPUTE STATISTICS"),
+      ("idx_fn_trunc",
+        "CREATE INDEX \"Scott\".\"IDX_FN_TRUNC\" ON \"Scott\".\"T_ORDERS\" (TRUNC(\"ORDER_DATE\"))"),
+      ("ix_plain",
+        "CREATE INDEX \"Scott\".\"IX_PLAIN\" ON \"Scott\".\"T_USERS\" (\"A\") PCTFREE 10")
+    ).toDF("index_name", "ddl_text")
+    val out = ObjectMigrator.functionIndexDdl(indexes, ddls, "Scott")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // non-function-based ix_plain is NOT migrated here (indexDdl owns it)
+    assert(out === Set(
+      ("t_users", "CREATE INDEX IDX_FN_UPPER ON T_USERS (UPPER(NAME));"),
+      ("t_orders", "CREATE INDEX IDX_FN_TRUNC ON T_ORDERS (TRUNC(ORDER_DATE));")
+    ))
+  }
+
+  test("functionIndexDdl without a storage clause keeps the whole statement") {
+    val indexes = Seq(("f1", "t", "FUNCTION-BASED NORMAL"))
+      .toDF("index_name", "table_name", "index_type")
+    val ddls = Seq(("f1", "CREATE INDEX \"U\".\"F1\" ON \"U\".\"T\" (LOWER(\"X\"))"))
+      .toDF("index_name", "ddl_text")
+    val out = ObjectMigrator.functionIndexDdl(indexes, ddls, "u").collect()(0).getString(1)
+    assert(out === "CREATE INDEX F1 ON T (LOWER(X));")
+  }
 }
