@@ -34,7 +34,8 @@ final class Migrator(
     spark: SparkSession,
     src: TableSource,
     destDir: String,
-    cfg: SyncConfig = SyncConfig()
+    cfg: SyncConfig = SyncConfig(),
+    logs: graft.sinks.RunLogs = graft.sinks.RunLogs.noop
 ) {
 
   /** Cross-table concurrency: how many table-copy jobs run at once.
@@ -57,11 +58,20 @@ final class Migrator(
           s.sqlSource(spark, sqls.head)
         case _ => src.table(spark, name)
       }
-      BatchWriter.writeParquet(df, destDir, name)
-      val n = spark.read.parquet(s"$destDir/$name.parquet").count()
+      // row count observed on the write itself — a post-write read-back
+      // would re-scan the whole table (a second full pass at 100 TB)
+      val obs = new org.apache.spark.sql.Observation(s"graft-copy-$name")
+      val observed = df.observe(obs,
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+      BatchWriter.writeParquet(observed, destDir, name)
+      val n = obs.get("rows").asInstanceOf[Long]
       TableResult(name, n, (System.nanoTime() - t0) / 1e9, ok = true, None)
     } catch {
       case e: Exception =>
+        // reference: LogError(logDir, "errorTableData", ...) per failed
+        // table (cmd/root.go:440,449,487,496)
+        logs.error("errorTableData", name, e)
         TableResult(name, -1, (System.nanoTime() - t0) / 1e9, ok = false,
           Some(e.getMessage))
     } finally spark.sparkContext.clearJobGroup()
@@ -75,8 +85,19 @@ final class Migrator(
   def cancelAll(): Unit = spark.sparkContext.cancelAllJobs()
 
   /** Copy every non-excluded table; returns the per-table report. */
-  def run(): Seq[TableResult] = {
-    val names = src.tableNamesExcluding(spark, cfg.exclude)
+  def run(): Seq[TableResult] =
+    runTables(src.tableNamesExcluding(spark, cfg.exclude))
+
+  /** Copy ONLY the tables named in the config's `tables:` map — the
+    * reference's `-s` selFromYml mode (cmd/create.go:61-78,
+    * cmd/root.go:84-85): each listed table is extracted with its custom
+    * SQL (or a plain scan when none is given); unlisted tables are
+    * untouched.
+    */
+  def runSelected(): Seq[TableResult] =
+    runTables(cfg.tables.keys.toSeq.sorted)
+
+  private def runTables(names: Seq[String]): Seq[TableResult] = {
     val pool = Executors.newFixedThreadPool(tableConcurrency)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
@@ -88,6 +109,7 @@ final class Migrator(
   /** Post-copy verification (reference `compareDb`). */
   def compare(): DataFrame = {
     val names = src.tableNamesExcluding(spark, cfg.exclude)
-    Comparator.compareCounts(spark, src, FixtureSource(destDir), names)
+    Comparator.compareCounts(spark, src, FixtureSource(destDir), names,
+      maxParallel = tableConcurrency)
   }
 }

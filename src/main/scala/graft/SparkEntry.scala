@@ -810,7 +810,7 @@ object SparkEntry {
         "f AS (SELECT table_name, regexp_extract(body, ':NEW\\.(\\w+)', 1) AS auto_col FROM n " +
         "WHERE regexp_matches(body, 'SELECT\\s+(.*?)\\.NEXTVAL\\s+INTO\\s+:NEW\\.') " +
         "AND regexp_extract(body, ':NEW\\.(\\w+)', 1) <> ''), " +
-        "w AS (SELECT *, row_number() OVER (ORDER BY table_name, auto_col) AS seq_idx FROM f) " +
+        "w AS (SELECT *, row_number() OVER (PARTITION BY table_name ORDER BY auto_col) AS seq_idx FROM f) " +
         "SELECT table_name, sql_cmd FROM w, unnest([" +
         "'create index ids_' || table_name || '_' || auto_col || '_' || seq_idx || ' on ' || table_name || '(' || auto_col || ');', " +
         "'alter table ' || table_name || ' modify ' || auto_col || ' bigint auto_increment;']) AS t(sql_cmd) " +

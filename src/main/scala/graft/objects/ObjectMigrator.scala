@@ -125,9 +125,13 @@ object ObjectMigrator {
       // level 2: the auto-increment column is the :NEW target
       .withColumn("auto_col", regexp_extract(col("body"), ":NEW\\.(\\w+)", 1))
       .filter(col("auto_col") =!= "")
+      // index names only need uniqueness WITHIN a table — partitioning
+      // the window by table_name keeps numbering distributed (a global
+      // orderBy window collapses to one partition, the WindowExec
+      // single-partition warning at scale)
       .withColumn("seq_idx",
         row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("table_name"), col("auto_col"))))
+          .partitionBy(col("table_name")).orderBy(col("auto_col"))))
     normalized.select(
       col("table_name"),
       explode(array(

@@ -17,23 +17,38 @@ import graft.sources.TableSource
   */
 object Comparator {
 
-  /** One row per table: src_rows, dest_rows, dest_exists, is_ok. */
+  /** One row per table: src_rows, dest_rows, dest_exists, is_ok.
+    *
+    * Count jobs fan out across a bounded driver-side Future pool (the
+    * reference's `maxParallel` goroutine fan-out, cmd/compare.go:60-68)
+    * — Spark's scheduler interleaves the concurrent jobs, so hundreds of
+    * small tables don't serialize behind each other on the driver.
+    */
   def compareCounts(
       spark: SparkSession,
       src: TableSource,
       dest: TableSource,
-      tables: Seq[String]
+      tables: Seq[String],
+      maxParallel: Int = 8
   ): DataFrame = {
     import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val destTables = dest.tableNames(spark).map(_.toLowerCase).toSet
-    // Counts run as independent Spark jobs (parallelizable across a
-    // driver-side Future pool for many tables — reference maxParallel).
-    val rows = tables.map { t =>
-      val srcN = src.table(spark, t).count()
-      val exists = destTables.contains(t.toLowerCase)
-      val destN = if (exists) Some(dest.table(spark, t).count()) else None
-      (t, srcN, destN, exists)
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxParallel, tables.size max 1)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val rows =
+      try Await.result(
+        Future.sequence(tables.map { t =>
+          Future {
+            val srcN = src.table(spark, t).count()
+            val exists = destTables.contains(t.toLowerCase)
+            val destN = if (exists) Some(dest.table(spark, t).count()) else None
+            (t, srcN, destN, exists)
+          }
+        }), Duration.Inf)
+      finally pool.shutdown()
     rows
       .toDF("table_name", "src_rows", "dest_rows_opt", "dest_exists")
       .select(

@@ -97,4 +97,36 @@ class MigratorSpec extends SparkSpec {
     assert(probe.schema.fields.length === 11)
     assert(probe.count() === 0)
   }
+
+  test("runSelected copies only the tables listed in the config (-s selFromYml)") {
+    val dest = Files.createTempDirectory("graft_dest_sel").toString
+    val cfg = SyncConfig(tables = Map(
+      "nation" -> Seq.empty,
+      "region" -> Seq.empty))
+    val m = new Migrator(spark, FixtureSource(sfDir), dest, cfg)
+    val results = m.runSelected()
+    assert(results.map(_.table).sorted === Seq("nation", "region"))
+    assert(results.forall(_.ok))
+    val copied = new java.io.File(dest).listFiles().map(_.getName).toSet
+    assert(copied === Set("nation.parquet", "region.parquet")) // nothing else
+  }
+
+  test("copyTable reports the observed row count without a read-back") {
+    val dest = Files.createTempDirectory("graft_dest_obs").toString
+    val r = new Migrator(spark, FixtureSource(sfDir), dest, SyncConfig())
+      .copyTable("supplier")
+    assert(r.ok)
+    assert(r.rows === table("supplier").count())
+  }
+
+  test("failed table copies land in errorTableData.log (reference K7)") {
+    val logDir = Files.createTempDirectory("graft_mig_logs").toString
+    val logs = new graft.sinks.RunLogs(logDir)
+    val dest = Files.createTempDirectory("graft_dest_err").toString
+    val m = new Migrator(spark, FixtureSource(sfDir), dest, SyncConfig(), logs)
+    val r = m.copyTable("no_such_table")
+    assert(!r.ok)
+    val lines = logs.lines("errorTableData")
+    assert(lines.size === 1 && lines.head.startsWith("no_such_table -- ErrorInfo"))
+  }
 }
