@@ -421,7 +421,7 @@ object SparkEntry {
     // Embedding-cosine near-dup, LSH-bucketed (no oracle)
     "q_dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.8, nBits = 4)
+        threshold = 0.8, nBits = 4, nBands = 4, maxBucket = 10000)
         .orderBy("id_a", "id_b")
     }),
     // Multimodal decode stage over binary payloads (stub codec — no oracle)

@@ -408,26 +408,54 @@ object Dedup {
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: only vectors
-    * sharing a hyperplane-signature bucket are compared (recall
-    * controlled by `nBits`; lower = more recall, more comparisons).
+    * sharing a hyperplane-signature band are compared.
+    *
+    * Banding (`nBands` OR-combined bands of `nBits` each, same scheme as
+    * [[simhashNearDupPairs]]): a true near-dup pair only needs to agree
+    * on ONE band, so recall grows with `nBands` while each band stays
+    * selective. `maxBucket` drops degenerate bands (e.g. a zero-vector
+    * cluster, or low-entropy embeddings collapsing onto few hyperplane
+    * cells) before the self-join — without it one dense bucket of m
+    * vectors costs m² pairs, the classic 100×-scale blow-up. Vectors are
+    * re-attached AFTER banding+cap via a hash join on id, so the wide
+    * embedding column is never carried through the band explode/cap
+    * shuffle.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      nBits: Int = 8
+      nBits: Int = 8,
+      nBands: Int = 1,
+      maxBucket: Int = Int.MaxValue
   ): DataFrame = {
-    // norms computed once per vector, not once per candidate pair
-    val sig = df.select(col(idCol), col(vecCol))
-      .withColumn("__bucket", VectorFunctions.lshSignature(col(vecCol), nBits))
-      .withColumn("__norm", VectorFunctions.norm(col(vecCol)))
-    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      col("__norm").as("norm_a"), col("__bucket"))
-    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      col("__norm").as("norm_b"), col("__bucket"))
-    a.join(b, Seq("__bucket"))
+    require(nBits * nBands <= 64, "signature is a single 64-bit word")
+    // one fused-kernel pass computes all bands' planes; bands are bit
+    // slices of the signature word
+    val sig = df.select(col(idCol),
+      VectorFunctions.lshSignature(col(vecCol), nBits * nBands).as("__sig"))
+    val banded = sig.select(
+      col(idCol),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("__sig"), b * nBits)
+          .bitwiseAND((1L << nBits) - 1)): _*)).as(Seq("__band", "__bandval")))
+    val capped = capBuckets(banded, Seq("__band", "__bandval"), maxBucket)
+    val candidates = capped.select(col(idCol).as("id_a"), col("__band"), col("__bandval"))
+      .join(capped.select(col(idCol).as("id_b"), col("__band"), col("__bandval")),
+        Seq("__band", "__bandval"))
       .filter(col("id_a") < col("id_b"))
+      // a pair agreeing on several bands must be verified once, not once
+      // per band
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    // norms computed once per vector, not once per candidate pair
+    val vecs = df.select(col(idCol), col(vecCol))
+      .withColumn("__norm", VectorFunctions.norm(col(vecCol)))
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        col("__norm").as("norm_a")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+        col("__norm").as("norm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         when(col("norm_a") * col("norm_b") === 0.0, lit(0.0))
           .otherwise(VectorFunctions.dot(col("vec_a"), col("vec_b")) /

@@ -150,4 +150,35 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(pairs.exists(r => r.getLong(0) == 7L && r.getLong(1) == 10007L))
   }
+
+  test("embedding near-dup: banding raises recall and still finds the plant") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val copy = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val all = emb.union(copy)
+    val single = Dedup.embeddingNearDupPairs(all, "vec_id", "embedding",
+      threshold = 0.9, nBits = 8, nBands = 1).count()
+    val banded = Dedup.embeddingNearDupPairs(all, "vec_id", "embedding",
+      threshold = 0.9, nBits = 8, nBands = 4).collect()
+    // an identical pair agrees on every band, so any banding finds it
+    assert(banded.exists(r => r.getLong(0) == 7L && r.getLong(1) == 10007L))
+    // OR-combined bands can only widen the candidate set
+    assert(banded.length >= single)
+    // and each emitted pair appears exactly once despite multi-band hits
+    val keys = banded.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("embedding near-dup: maxBucket drops a degenerate dense bucket") {
+    import spark.implicits._
+    // 60 identical vectors collide in EVERY band; a real corpus alongside
+    val dense = (1 to 60).map(i => (i.toLong, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val uncapped = Dedup.embeddingNearDupPairs(dense, "vec_id", "embedding",
+      threshold = 0.5, nBits = 4, nBands = 2)
+    assert(uncapped.count() === 60L * 59 / 2) // quadratic — the failure mode
+    val capped = Dedup.embeddingNearDupPairs(dense, "vec_id", "embedding",
+      threshold = 0.5, nBits = 4, nBands = 2, maxBucket = 50)
+    assert(capped.count() === 0) // the mega-bucket is dropped wholesale
+  }
 }
