@@ -59,24 +59,25 @@ object Similarity {
     when(col("__qn") * col("__cn") === 0.0, lit(0.0))
       .otherwise(VectorFunctions.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
 
-  /** Two-phase per-key top-k: partial top-k inside each partition (no
-    * shuffle), then final top-k per key. The collect_list in phase 2 sees
-    * at most partitions×k rows per key, never the corpus.
+  /** Per-key top-k on a k-bounded priority queue (`CollectTopK` via the
+    * bridge): partial aggregation keeps only k items per key per task —
+    * O(k) memory in update AND merge — and the shuffle carries at most
+    * partitions×k rows per key. The previous collect_list+sort+slice
+    * partial buffered a key's whole in-partition candidate list before
+    * slicing, so its memory was bounded by partition size, not k.
     */
   private[operators] def topKPerKey(scored: DataFrame, keyCol: String, k: Int): DataFrame = {
     val item = struct(
-      (col("cosine") * -1).as("neg"), // struct sort: ascending neg = descending cosine
+      (col("cosine") * -1).as("neg"), // ascending neg = descending cosine
       col("neighbor_id")
     )
-    val partial = scored
-      .withColumn("__pid", spark_partition_id())
-      .groupBy(col(keyCol), col("__pid"))
-      .agg(slice(array_sort(collect_list(item)), 1, k).as("__top"))
-    val fin = partial
-      .select(col(keyCol), explode(col("__top")).as("__i"))
+    val agg = scored
       .groupBy(col(keyCol))
-      .agg(slice(array_sort(collect_list(col("__i"))), 1, k).as("__top"))
-    fin
+      // reverse keeps the k smallest (neg, id) = k best cosines; the
+      // queue is unordered, so sort the k survivors on the way out
+      .agg(array_sort(org.apache.spark.sql.graftbridge.ColumnBridge
+        .collectTopK(item, k, reverse = true)).as("__top"))
+    agg
       .select(col(keyCol), posexplode(col("__top")).as(Seq("__rank", "__i")))
       .select(
         col(keyCol),

@@ -99,4 +99,21 @@ class PlanQualitySpec extends SparkSpec {
     // a single-partition global window
     assert(plan.contains("hashpartitioning(l_orderkey"), plan)
   }
+
+  test("per-key top-k aggregates on a k-bounded queue (ObjectHashAggregate)") {
+    val plan = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // CollectTopK partials keep O(k) state; collect_list partials grow
+    // with the group and would show as SortAggregate/collect_list here
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("collect_top_k"), plan)
+    assert(!plan.contains("collect_list"), plan)
+  }
+
+  test("sequence DDL window is partitioned (no single-partition WindowExec)") {
+    val plan = SparkEntry.queries("q_s9_seq_ddl")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // a global orderBy window plans as an Exchange SinglePartition
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
