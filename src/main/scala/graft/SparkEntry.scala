@@ -420,8 +420,12 @@ object SparkEntry {
     }),
     // Embedding-cosine near-dup, LSH-bucketed (no oracle)
     "q_dedup_embedding" -> ((s, dir) => {
+      // 8-bit bands: 256 buckets/band keeps candidate pairs ~10M at
+      // sf0.1 (4-bit bands = 16 buckets = 78M pairs/band — measured 3×
+      // slower); 2 OR-combined bands recover the recall the extra bits
+      // cost
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.8, nBits = 4, nBands = 4, maxBucket = 10000)
+        threshold = 0.8, nBits = 8, nBands = 2, maxBucket = 10000)
         .orderBy("id_a", "id_b")
     }),
     // Multimodal decode stage over binary payloads (stub codec — no oracle)
