@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
 
 import graft.functions.GroupConcat
 import graft.objects.ObjectMigrator
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -428,6 +428,39 @@ object SparkEntry {
         threshold = 0.8, nBits = 8, nBands = 2, maxBucket = 10000)
         .orderBy("id_a", "id_b")
     }),
+    // Corpus-pipeline: deterministic stratified sampling (portable
+    // multiplicative hash — auditable outside Spark)
+    "q_corpus_sample" -> ((s, dir) => {
+      Corpus.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.25)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+    // Corpus-pipeline: concat-and-split sequence packing per shard
+    "q_corpus_pack" -> ((s, dir) => {
+      Corpus.packSequences(t(s, dir, "documents"), "doc_id", "n_chars",
+        budget = 2048L, shardCol = "lang")
+        .select("doc_id", "lang", "n_chars", "cum_tokens", "pack_id")
+        .orderBy("doc_id")
+    }),
+    // Corpus-pipeline: weighted source interleave (dataset mixing)
+    "q_corpus_mix" -> ((s, dir) => {
+      Corpus.weightedInterleave(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25))
+        .select("doc_id", "source", "mix_pos")
+        .orderBy("mix_pos", "source", "doc_id")
+    }),
+    // Corpus-pipeline: PII redaction (RE2-safe pattern subset)
+    "q_corpus_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Corpus.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    // Corpus-pipeline: per-group stats with an exact median
+    "q_corpus_stats" -> ((s, dir) => {
+      Corpus.corpusStats(t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("lang")
+    }),
     // Multimodal decode stage over binary payloads (stub codec — no oracle)
     "q_mm_decode" -> ((s, dir) => {
       val media = t(s, dir, "documents")
@@ -496,6 +529,15 @@ object SparkEntry {
       ).toDF("index_name", "uniqueness", "index_type")
       val constraints = Seq(("pk_t1", "P")).toDF("constraint_name", "constraint_type")
       ObjectMigrator.indexDdl(indCols, indexes, constraints).orderBy("sql_cmd")
+    }),
+    // S7 — custom extraction SQL replaces the generated scan (reference
+    // YAML tables: map; FixtureSource runs it through Spark SQL, the
+    // JDBC twin pushes the text down to the source database)
+    "q_s7_custom_sql" -> ((s, dir) => {
+      graft.sources.FixtureSource(dir).sqlSource(s,
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+          "WHERE o_orderstatus = 'O' AND o_totalprice > 100000")
+        .orderBy("o_orderkey")
     }),
     // S11 — function-based-index DDL: the dbms_metadata.get_ddl cleanup
     // chain (cut at PCTFREE, strip quotes/owner-prefix/newlines, trim)
@@ -789,6 +831,40 @@ object SparkEntry {
         "ELSE 'CREATE ' || CASE WHEN uniqueness = 'UNIQUE' THEN 'UNIQUE ' WHEN index_type = 'NORMAL' THEN '' ELSE index_type || ' ' END || " +
         "'INDEX `' || index_name || '` ON ' || table_name || '(' || cols || ');' END AS sql_cmd " +
         "FROM g ORDER BY sql_cmd"),
+    "q_corpus_sample" ->
+      ("SELECT doc_id, lang FROM documents " +
+        "WHERE (doc_id * 2654435761) % 4294967296 < " +
+        "CAST(4294967296 * (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 1.0 ELSE 0.25 END) AS BIGINT) " +
+        "ORDER BY doc_id"),
+    "q_corpus_pack" ->
+      ("WITH w AS (SELECT doc_id, lang, n_chars, " +
+        "CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens " +
+        "FROM documents) " +
+        "SELECT doc_id, lang, n_chars, cum_tokens, " +
+        "CAST(FLOOR(CAST(cum_tokens - n_chars AS DOUBLE) / 2048) AS BIGINT) AS pack_id " +
+        "FROM w ORDER BY doc_id"),
+    "q_corpus_mix" ->
+      ("WITH r AS (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents " +
+        "WHERE source IN ('src0','src1','src2')) " +
+        "SELECT doc_id, source, CAST(rn AS DOUBLE) / " +
+        "(CASE WHEN source = 'src0' THEN 1.0 WHEN source = 'src1' THEN 0.5 ELSE 0.25 END) AS mix_pos " +
+        "FROM r ORDER BY mix_pos, source, doc_id"),
+    "q_corpus_redact" ->
+      ("SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), " +
+        "'\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted " +
+        "FROM documents ORDER BY doc_id"),
+    "q_corpus_stats" ->
+      ("SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_len, " +
+        "CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_len, " +
+        "CAST(median(n_chars) AS DOUBLE) AS median_len " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "q_s7_custom_sql" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderstatus = 'O' AND o_totalprice > 100000 ORDER BY o_orderkey"),
     "q_s11_fbi_ddl" ->
       ("WITH idx(index_name, table_name, index_type) AS (VALUES " +
         "('idx_fn_upper','t_users','FUNCTION-BASED NORMAL'), " +

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for large-scale training-data pipelines —
+  * the stages that sit between raw documents and a training run:
+  * deterministic sampling, dataset mixing, sequence packing, PII
+  * redaction, corpus statistics. All are declarative single-window or
+  * single-aggregate shapes: no UDFs, no driver-side loops, every one
+  * holds at 100 TB because the only shuffles are the explicit
+  * per-shard/per-stratum hash partitions.
+  */
+object Corpus {
+
+  // ------------------------------------------------------------ sampling
+
+  /** Knuth multiplicative hash of a numeric id onto [0, 2^32) — chosen
+    * over xxhash64 deliberately: it is reproducible in ANSI SQL
+    * (`(id * 2654435761) % 4294967296`), so sampling decisions can be
+    * audited outside Spark. Uniformity is adequate for rate sampling;
+    * adversarial keys should pre-hash.
+    */
+  def portableHash(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic uniform sample: keep a row iff its id hashes below
+    * `fraction` of the hash space. Same input ⇒ same sample, any cluster
+    * size, no RNG state — the property training-data lineage needs.
+    * Narrow (filter-only): no shuffle at all.
+    */
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    df.filter(portableHash(col(idCol)) < (lit(4294967296L) * lit(fraction)).cast("long"))
+  }
+
+  /** Stratified deterministic sample: per-stratum keep-rates (e.g.
+    * up-sample low-resource languages, down-sample boilerplate-heavy
+    * sources). Strata absent from `fractions` keep `defaultFraction`.
+    * Still filter-only — the rate lookup is a literal CASE chain, not a
+    * join (strata counts are config-sized).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0
+  ): DataFrame = {
+    val rate = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(portableHash(col(idCol)) < (lit(4294967296L) * rate).cast("long"))
+  }
+
+  // ----------------------------------------------------------- packing
+
+  /** Concat-and-split sequence packing: documents are laid end-to-end in
+    * (shard, id) order and the token stream is cut into `budget`-sized
+    * packs; each document is assigned the pack its FIRST token lands in
+    * (GPT-style block packing — long documents simply span packs).
+    *
+    * One window per shard computes the running token total; the pack id
+    * is `floor((cum - tokens) / budget)`. Partitioning by `shardCol`
+    * keeps the window distributed — shards are independent training
+    * streams, so no global order is needed (or wanted) at scale.
+    *
+    * @return input columns + `cum_tokens` (inclusive running total
+    *         within the shard) + `pack_id` (0-based within the shard)
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      budget: Long,
+      shardCol: String
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col(tokensCol)).cast("double") / budget).cast("long"))
+  }
+
+  // ------------------------------------------------------------ mixing
+
+  /** Weighted interleave of sources (dataset mixing): a source with
+    * weight w contributes one document every 1/w positions, so the
+    * merged stream converges to the requested mixture at every prefix —
+    * the property curriculum/streaming training needs (a plain union
+    * followed by shuffle loses prefix guarantees; a random shuffle loses
+    * determinism).
+    *
+    * Emits `mix_pos` (= per-source rank / weight); consumers range-
+    * partition or sort by (`mix_pos`, tie-breakers) — a distributed
+    * range sort, NOT a single-partition window, which is why this
+    * returns the key rather than a materialized global row number.
+    */
+  def weightedInterleave(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Double]
+  ): DataFrame = {
+    require(weights.values.forall(_ > 0.0), "weights must be positive")
+    val w = weights.foldLeft(lit(Double.NaN)) { case (acc, (k, v)) =>
+      when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    val rank = row_number().over(
+      Window.partitionBy(col(sourceCol)).orderBy(col(idCol)))
+    df.withColumn("mix_pos", rank.cast("double") / w)
+      .filter(!isnan(col("mix_pos"))) // sources without a weight drop out
+  }
+
+  // --------------------------------------------------------- redaction
+
+  /** PII redaction: emails, IPv4 addresses, then phone-like digit runs
+    * replaced with typed placeholders. Pattern subset is deliberately
+    * RE2-safe (no lookarounds, no backrefs) so the same patterns run on
+    * any engine in the pipeline. Order matters: the IP pass runs before
+    * the phone pass so dotted quads aren't half-eaten as phone numbers.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  // -------------------------------------------------------------- stats
+
+  /** Per-group corpus statistics: document count, total/mean length and
+    * the exact median. One hash-partitioned aggregate; sums accumulate
+    * in DECIMAL so the result is engine-exact. Exact median sorts within
+    * groups — for 100 TB dashboards swap in `percentile_approx`, kept
+    * exact here so the result is oracle-checkable.
+    */
+  def corpusStats(df: DataFrame, groupCol: String, lenCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(lenCol).cast("long")).as("total_len"),
+        // decimal-accumulate, ONE cast, then double division — decimal
+        // division scale rules differ across engines, double's don't
+        (sum(col(lenCol).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .cast("double") / count(lit(1))).as("mean_len"),
+        median(col(lenCol)).cast("double").as("median_len")
+      )
+}

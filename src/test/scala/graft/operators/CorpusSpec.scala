@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministicSample: same input => same sample; rate within tolerance") {
+    val docs = table("documents")
+    val a = Corpus.deterministicSample(docs, "doc_id", 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.deterministicSample(docs, "doc_id", 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    val rate = a.size.toDouble / docs.count()
+    assert(rate > 0.35 && rate < 0.65, s"rate $rate")
+    // fraction monotonicity: a 0.25 sample is a subset of the 0.5 sample
+    val c = Corpus.deterministicSample(docs, "doc_id", 0.25).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+  }
+
+  test("stratifiedSample: per-stratum rates; fraction 1.0 keeps everything") {
+    val docs = table("documents")
+    val sampled = Corpus.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0), defaultFraction = 0.0)
+    val got = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val en = docs.filter(col("lang") === "en").count()
+    assert(got === Map("en" -> en)) // default 0 drops every other stratum
+  }
+
+  test("packSequences: packs are contiguous, budget-aligned, per shard") {
+    val docs = table("documents")
+    val packed = Corpus.packSequences(docs, "doc_id", "n_chars", 2048L, "lang")
+      .select("lang", "doc_id", "n_chars", "cum_tokens", "pack_id")
+      .collect()
+    packed.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      // running total is a prefix sum in doc_id order
+      var cum = 0L
+      ordered.foreach { r =>
+        cum += r.getLong(2)
+        assert(r.getLong(3) === cum)
+        // pack id is the block of the doc's first token
+        assert(r.getLong(4) === (cum - r.getLong(2)) / 2048L)
+      }
+      // pack ids never decrease and start at 0
+      val ids = ordered.map(_.getLong(4))
+      assert(ids.head === 0L)
+      assert(ids.zip(ids.tail).forall { case (x, y) => y >= x })
+    }
+  }
+
+  test("weightedInterleave: prefix of the merged stream honors the mixture") {
+    val docs = table("documents")
+    val mixed = Corpus.weightedInterleave(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5))
+      .orderBy("mix_pos", "source", "doc_id")
+      .select("source").collect().map(_.getString(0))
+    // src0 at weight 1.0 contributes ~2x src1's docs in every prefix
+    val prefix = mixed.take(30)
+    val n0 = prefix.count(_ == "src0")
+    val n1 = prefix.count(_ == "src1")
+    assert(n0 === 20 && n1 === 10, s"got $n0/$n1")
+    // unweighted sources are dropped
+    assert(mixed.forall(s => s == "src0" || s == "src1"))
+  }
+
+  test("redactPii replaces planted emails, IPs and phones — and only those") {
+    val rows = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk for details"),
+      (2L, "server at 192.168.001.1 responded"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "plain text, no pii, version 2.0 stays")
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), Corpus.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "contact me at <EMAIL> for details")
+    assert(out(2L) === "server at <IP> responded")
+    assert(out(3L) === "call <PHONE> now")
+    assert(out(4L) === "plain text, no pii, version 2.0 stays")
+  }
+
+  test("corpusStats: counts, totals, exact median per group") {
+    val df = Seq(
+      ("a", 10), ("a", 20), ("a", 30),
+      ("b", 4), ("b", 8)
+    ).toDF("g", "len")
+    val got = Corpus.corpusStats(df, "g", "len").orderBy("g").collect()
+    assert(got(0).getString(0) === "a")
+    assert(got(0).getLong(1) === 3L && got(0).getLong(2) === 60L)
+    assert(got(0).getDouble(3) === 20.0 && got(0).getDouble(4) === 20.0)
+    assert(got(1).getLong(1) === 2L && got(1).getLong(2) === 12L)
+    assert(got(1).getDouble(4) === 6.0) // interpolated even-count median
+  }
+}
