@@ -25,11 +25,16 @@ object Main {
   private val usage =
     """graft <command> [options]
       |  sync        --src <dir> --dest <dir> [--exclude t1,t2] [--config f.yml]
+      |              [--selected true] [--logDir <dir>]
       |  createTable --src <dir> --script <out.sql>
-      |  onlyData    --src <dir> --dest <dir> [--exclude t1,t2]
+      |  onlyData    --src <dir> --dest <dir> [--exclude t1,t2] [--selected true]
       |  compareDb   --src <dir> --dest <dir> [--deep true]
       |  analyze     --src <dir> [--table documents] [--out <dir>]
       |  version
+      |
+      |--selected: copy only the tables in the config's tables: map (the
+      |reference's -s selFromYml); --logDir: write createSql/run/error
+      |category logs there (reference log files).
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -74,9 +79,12 @@ object Main {
     val src = FixtureSource(require(opts, "src"))
     val dest = require(opts, "dest")
     val cfg = config(opts)
+    val logs = opts.get("logDir").map(new graft.sinks.RunLogs(_))
+      .getOrElse(graft.sinks.RunLogs.noop)
     val t0 = System.nanoTime()
-    val m = new Migrator(spark, src, dest, cfg)
-    val results = m.run()
+    val m = new Migrator(spark, src, dest, cfg, logs)
+    val results =
+      if (opts.get("selected").exists(_.toBoolean)) m.runSelected() else m.run()
     val secs = (System.nanoTime() - t0) / 1e9
     // reference-style summary report (root.go:177-203)
     println(f"${"table"}%-20s ${"rows"}%10s ${"seconds"}%10s  ok")
