@@ -111,8 +111,10 @@ object Corpus {
     }
     val rank = row_number().over(
       Window.partitionBy(col(sourceCol)).orderBy(col(idCol)))
-    df.withColumn("mix_pos", rank.cast("double") / w)
-      .filter(!isnan(col("mix_pos"))) // sources without a weight drop out
+    // unweighted sources drop BEFORE the window — the filter pushes to
+    // the scan, so unmixed data never rides the per-source shuffle
+    df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .withColumn("mix_pos", rank.cast("double") / w)
   }
 
   // --------------------------------------------------------- redaction

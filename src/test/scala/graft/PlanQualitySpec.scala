@@ -116,4 +116,17 @@ class PlanQualitySpec extends SparkSpec {
     // a global orderBy window plans as an Exchange SinglePartition
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("corpus sampling prunes the scan to the projected columns") {
+    val plan = explain(SparkEntry.queries("q_corpus_sample")(spark, sfDir))
+    val read = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("lang"), read)
+    assert(!read.contains("text"), read) // the wide column stays on disk
+  }
+
+  test("corpus mixing pushes the source filter to the scan") {
+    val plan = explain(SparkEntry.queries("q_corpus_mix")(spark, sfDir))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(source"), pushed)
+  }
 }
