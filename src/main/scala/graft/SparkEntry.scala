@@ -428,6 +428,17 @@ object SparkEntry {
         threshold = 0.8, nBits = 8, nBands = 2, maxBucket = 10000)
         .orderBy("id_a", "id_b")
     }),
+    // Gopher/C4-style repetition + heuristic quality filters (exact
+    // arithmetic, engine-reproducible)
+    "q_text_gopher" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wordRepetitionRatio(col("text")).as("word_rep"),
+        TextAnalysis.lineRepetitionRatio(col("text")).as("line_rep"),
+        TextAnalysis.symbolWordRatio(col("text")).as("symbol_ratio"),
+        TextAnalysis.digitRatio(col("text")).as("digit_ratio")
+      ).orderBy("doc_id")
+    }),
     // Corpus-pipeline: deterministic stratified sampling (portable
     // multiplicative hash — auditable outside Spark)
     "q_corpus_sample" -> ((s, dir) => {
@@ -831,6 +842,19 @@ object SparkEntry {
         "ELSE 'CREATE ' || CASE WHEN uniqueness = 'UNIQUE' THEN 'UNIQUE ' WHEN index_type = 'NORMAL' THEN '' ELSE index_type || ' ' END || " +
         "'INDEX `' || index_name || '` ON ' || table_name || '(' || cols || ');' END AS sql_cmd " +
         "FROM g ORDER BY sql_cmd"),
+    "q_text_gopher" ->
+      ("WITH t AS (SELECT doc_id, text, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS ltoks, " +
+        "string_split_regex(trim(text), '\\s+') AS toks, " +
+        "list_filter(string_split(text, chr(10)), x -> x <> '') AS lines " +
+        "FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN len(ltoks) > 0 THEN 1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks) ELSE 0.0 END AS word_rep, " +
+        "CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) ELSE 0.0 END AS line_rep, " +
+        "CASE WHEN len(toks) > 0 THEN ((length(text) - length(replace(text, '#', ''))) + " +
+        "CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3) / len(toks) ELSE 0.0 END AS symbol_ratio, " +
+        "CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio " +
+        "FROM t ORDER BY doc_id"),
     "q_corpus_sample" ->
       ("SELECT doc_id, lang FROM documents " +
         "WHERE (doc_id * 2654435761) % 4294967296 < " +

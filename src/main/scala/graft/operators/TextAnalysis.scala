@@ -52,6 +52,56 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  // ---------------------------------------- repetition/heuristic filters
+  //
+  // The cheap document-level filters used by published web-corpus
+  // cleaning recipes (Gopher/C4-style): repetition ratios catch
+  // boilerplate and degenerate generations, symbol-per-word catches
+  // markup and spam, digit ratio catches tables/logs. All exact integer
+  // arithmetic + one double division, so every engine reproduces them
+  // bit-for-bit.
+
+  /** Fraction of duplicated words: 1 − distinct/total over lowercased
+    * whitespace tokens. High values flag keyword stuffing and
+    * copy-paste loops.
+    */
+  def wordRepetitionRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of duplicated lines: 1 − distinct/total over newline
+    * splits. Catches templated pages and chat transcripts.
+    */
+  def lineRepetitionRatio(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => l =!= "")
+    when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") /
+        size(lines).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Symbols (`#`, `...`) per word — the Gopher symbol-to-word ratio. */
+  def symbolWordRatio(text: Column): Column = {
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      (hashes + ellipses).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters that are ASCII digits. */
+  def digitRatio(text: Column): Column = {
+    val digits = length(text) - length(regexp_replace(text, "[0-9]", ""))
+    when(length(text) > 0,
+      digits.cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Composite quality score in [0,1]: favors medium-length documents
     * with low punctuation density, a healthy stopword ratio, and
     * plausible word lengths — the standard cheap pre-filter in front of

@@ -79,4 +79,27 @@ class TextAnalysisSpec extends SparkSpec {
       .forall(cols.contains))
     assert(out.count() === 10)
   }
+
+  test("gopher filters: repetition, symbol and digit ratios on planted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),                 // 4 tokens, 2 distinct
+      (2L, "x\nx\ny"),                 // 3 lines, 2 distinct
+      (3L, "# tag ... end"),           // 1 hash + 1 ellipsis, 4 tokens
+      (4L, "a1b2"),                    // 2 digits of 4 chars
+      (5L, "")                         // empty: all ratios 0
+    ).toDF("doc_id", "text")
+    val out = docs.select(
+      col("doc_id"),
+      TextAnalysis.wordRepetitionRatio(col("text")).as("wr"),
+      TextAnalysis.lineRepetitionRatio(col("text")).as("lr"),
+      TextAnalysis.symbolWordRatio(col("text")).as("sr"),
+      TextAnalysis.digitRatio(col("text")).as("dr")
+    ).collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L)._1 === 0.5)
+    assert(out(2L)._2 === 1.0 - 2.0 / 3.0)
+    assert(out(3L)._3 === 0.5)
+    assert(out(4L)._4 === 0.5)
+    assert(out(5L) === ((0.0, 0.0, 0.0, 0.0)))
+  }
 }
