@@ -272,19 +272,21 @@ object Dedup {
     * (a~b~c with a!~c keeps a AND the c-side survivor); when a cluster
     * must collapse to ONE keeper, run the closure.
     *
-    * Algorithm (large-star/small-star simplified): every node starts
-    * labeled with itself; each iteration joins labels across edges and
-    * takes the min; stops when an iteration changes nothing or
-    * `maxIter` is hit. Each iteration is one shuffle on the node id —
-    * the standard Spark CC shape; iterations needed ≈ graph diameter,
-    * which for near-dup clusters is tiny (chains of copies), so
-    * `maxIter = 10` covers real corpora.
+    * Algorithm: min-label propagation with pointer jumping (the hybrid
+    * CC scheme of Pegasus-style HCC / large-star contraction). Every
+    * node starts labeled with itself; each round (a) adopts the min
+    * label among itself and its neighbors, then (b) jumps: re-labels
+    * through its label's own label. Propagation alone needs ≈ diameter
+    * rounds — a 10 000-document boilerplate chain would silently stop at
+    * `maxIter` with WRONG clusters; the jump composes label paths, so
+    * distance-to-root shrinks superlinearly and rounds ≈ O(log
+    * diameter). `maxIter = 16` covers diameters past 10⁴.
     *
     * @param pairs edge list with columns `id_a`, `id_b` (any direction)
     * @return (id, cluster) — cluster = min id reachable; one row per
     *         node appearing in `pairs`
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -304,13 +306,21 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("cluster"))
+      val propagated = labels.select(col("id"), col("cluster"))
+        .union(neighborLabels)
+        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+      // pointer jump: follow the label's own label. Labels only ever
+      // decrease and stay inside the component, so the jump preserves
+      // correctness while composing paths — this is what turns
+      // O(diameter) rounds into O(log diameter)
       // localCheckpoint truncates lineage so every iteration re-executes
       // the SAME plan shape (one codegen compile total, not one per
       // iteration) and the fixpoint loop can run indefinitely without
       // the plan growing
-      val next = labels.select(col("id"), col("cluster"))
-        .union(neighborLabels)
-        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+      val next = propagated
+        .join(propagated.select(col("id").as("cluster"), col("cluster").as("__parent")),
+          Seq("cluster"))
+        .select(col("id"), least(col("cluster"), col("__parent")).as("cluster"))
         .localCheckpoint(true)
       val newSum = next.agg(sum(col("cluster").cast(DecimalType(38, 0))))
         .collect()(0).getDecimal(0)

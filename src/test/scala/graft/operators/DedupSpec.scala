@@ -181,4 +181,14 @@ class DedupSpec extends SparkSpec {
       threshold = 0.5, nBits = 4, nBands = 2, maxBucket = 50)
     assert(capped.count() === 0) // the mega-bucket is dropped wholesale
   }
+
+  test("duplicateClusters: a 100-node chain converges (pointer jumping, not O(diameter))") {
+    import spark.implicits._
+    // plain min-label propagation needs 99 rounds here — far past
+    // maxIter — and would return wrong clusters; the jump makes it log
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(chain).collect()
+    assert(out.length === 100)
+    assert(out.forall(_.getLong(1) === 1L), "every node must reach the chain head")
+  }
 }
