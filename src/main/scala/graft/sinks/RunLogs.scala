@@ -44,6 +44,19 @@ class RunLogs(logDir: String) {
 }
 
 object RunLogs {
+
+  /** Dated per-run log directory (reference `CreateDateDir`,
+    * cmd/app.go:246-262): `<base>/log/yyyy_MM_dd_HH_mm_ss`, created
+    * eagerly so the path exists even for failure-free runs.
+    */
+  def datedUnder(basePath: String): RunLogs = {
+    val stamp = java.time.LocalDateTime.now().format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy_MM_dd_HH_mm_ss"))
+    val dir = Paths.get(basePath, "log", stamp)
+    Files.createDirectories(dir)
+    new RunLogs(dir.toString)
+  }
+
   /** Swallow-everything sink for callers that don't want files. */
   val noop: RunLogs = new RunLogs("/dev/null") {
     override def output(logName: String, content: String): Unit = ()

@@ -83,4 +83,15 @@ class DdlExecutorSpec extends SparkSpec {
     assert(rep.total === 2 && rep.failed === 0)
     assert(rec.executed.forall(_.startsWith("/* graft */ alter table ")))
   }
+
+  test("datedUnder creates the reference-shaped per-run log directory") {
+    val base = Files.createTempDirectory("graft_dated").toString
+    val logs = RunLogs.datedUnder(base)
+    logs.run("started")
+    val logRoot = new java.io.File(base, "log")
+    val runs = logRoot.listFiles()
+    assert(runs.length === 1)
+    assert(runs(0).getName.matches("\\d{4}_\\d{2}_\\d{2}_\\d{2}_\\d{2}_\\d{2}"))
+    assert(logs.lines("run") === Seq("started"))
+  }
 }
