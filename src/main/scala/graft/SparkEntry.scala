@@ -428,6 +428,19 @@ object SparkEntry {
         threshold = 0.8, nBits = 8, nBands = 2, maxBucket = 10000)
         .orderBy("id_a", "id_b")
     }),
+    // J6 (beyond reference) — row-level migration diff: keys missing on
+    // either side or with value mismatches, planted tampering inline
+    "q_j6_row_diff" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+      val base = src.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val extra = src.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      graft.verify.Comparator.rowDiff(src, base.union(extra), Seq("o_orderkey"))
+        .orderBy("o_orderkey", "diff_status")
+    }),
     // Gopher/C4-style repetition + heuristic quality filters (exact
     // arithmetic, engine-reproducible)
     "q_text_gopher" -> ((s, dir) => {
@@ -842,6 +855,22 @@ object SparkEntry {
         "ELSE 'CREATE ' || CASE WHEN uniqueness = 'UNIQUE' THEN 'UNIQUE ' WHEN index_type = 'NORMAL' THEN '' ELSE index_type || ' ' END || " +
         "'INDEX `' || index_name || '` ON ' || table_name || '(' || cols || ');' END AS sql_cmd " +
         "FROM g ORDER BY sql_cmd"),
+    "q_j6_row_diff" ->
+      ("WITH dest AS (" +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice, " +
+        "o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 97 <> 0 " +
+        "UNION ALL SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 103 = 0), " +
+        "j AS (SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey, " +
+        "CASE WHEN d.o_orderkey IS NULL THEN 'missing_in_dest' " +
+        "WHEN s.o_orderkey IS NULL THEN 'missing_in_src' " +
+        "WHEN s.o_custkey IS DISTINCT FROM d.o_custkey OR s.o_orderstatus IS DISTINCT FROM d.o_orderstatus " +
+        "OR s.o_totalprice IS DISTINCT FROM d.o_totalprice OR s.o_orderdate IS DISTINCT FROM d.o_orderdate " +
+        "OR s.o_orderpriority IS DISTINCT FROM d.o_orderpriority THEN 'value_mismatch' END AS diff_status " +
+        "FROM orders s FULL OUTER JOIN dest d ON s.o_orderkey = d.o_orderkey) " +
+        "SELECT o_orderkey, diff_status FROM j WHERE diff_status IS NOT NULL " +
+        "ORDER BY o_orderkey, diff_status"),
     "q_text_gopher" ->
       ("WITH t AS (SELECT doc_id, text, " +
         "string_split_regex(lower(trim(text)), '\\s+') AS ltoks, " +

@@ -129,4 +129,16 @@ class MigratorSpec extends SparkSpec {
     val lines = logs.lines("errorTableData")
     assert(lines.size === 1 && lines.head.startsWith("no_such_table -- ErrorInfo"))
   }
+
+  test("rowDiff reports missing and mismatched rows, nothing else") {
+    import spark.implicits._
+    val src = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, null: String, 40.0))
+      .toDF("k", "v", "x")
+    val dest = Seq((1L, "a", 10.0), (2L, "B", 20.0), (4L, null: String, 40.0), (9L, "z", 0.0))
+      .toDF("k", "v", "x")
+    val got = Comparator.rowDiff(src, dest, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 matches; 4 matches null-safely; 2 differs; 3 missing; 9 extra
+    assert(got === Map(2L -> "value_mismatch", 3L -> "missing_in_dest", 9L -> "missing_in_src"))
+  }
 }
