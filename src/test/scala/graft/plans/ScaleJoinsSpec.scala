@@ -79,4 +79,25 @@ class ScaleJoinsSpec extends SparkSpec {
     // semantics preserved through the real API
     assert(ScaleJoins.saltedJoin(large, small, "k", 8).count() === 10000)
   }
+
+  test("rowDiff over same-bucketed tables needs no exchange") {
+    // the 100 TB composition: src and dest both bucketed on the diff
+    // key at ingest => the full-outer diff join reads co-located buckets
+    val src = table("orders").select("o_orderkey", "o_totalprice")
+    val dest = src.filter(col("o_orderkey") % 7 =!= 0)
+    ScaleJoins.writeBucketed(src, "diff_src_bkt", "o_orderkey", 8)
+    ScaleJoins.writeBucketed(dest, "diff_dest_bkt", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val diff = graft.verify.Comparator.rowDiff(
+        spark.table("diff_src_bkt"), spark.table("diff_dest_bkt"), Seq("o_orderkey"))
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      // and the result is exactly the planted removals
+      assert(diff.count() === src.filter(col("o_orderkey") % 7 === 0).count())
+      assert(diff.select("diff_status").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("missing_in_dest"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
