@@ -41,12 +41,20 @@ trait SqlCapableSource extends TableSource {
   */
 final case class FixtureSource(dir: String) extends SqlCapableSource {
 
-  /** Custom SQL over the fixture tables: tables register as temp views,
-    * the user SQL runs through Spark SQL (the JDBC twin pushes the text
-    * down to the source database instead).
+  /** Custom SQL over the fixture tables: referenced tables register as
+    * temp views, the user SQL runs through Spark SQL (the JDBC twin
+    * pushes the text down to the source database instead). Only tables
+    * the SQL actually names are registered — registering all of them
+    * reads every table's parquet footer per call, which a
+    * hundreds-of-tables source turns into real latency.
     */
   override def sqlSource(spark: SparkSession, sql: String): DataFrame = {
-    tableNames(spark).foreach { t =>
+    val lower = sql.toLowerCase
+    val referenced = tableNames(spark).filter { t =>
+      val q = java.util.regex.Pattern.quote(t.toLowerCase)
+      java.util.regex.Pattern.compile(s"\\b$q\\b").matcher(lower).find()
+    }
+    referenced.foreach { t =>
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
     spark.sql(sql)
