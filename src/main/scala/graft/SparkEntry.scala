@@ -428,6 +428,61 @@ object SparkEntry {
         threshold = 0.8, nBits = 8, nBands = 2, maxBucket = 10000)
         .orderBy("id_a", "id_b")
     }),
+    // TPC-H Q1 (pricing summary, adapted to the fixture schema) — the
+    // canonical scan+agg analytics shape at full lineitem width
+    "q_tpch_q1" -> ((s, dir) => {
+      def dsum6(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(18, 6))).cast("double")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum6(col("l_quantity")).as("sum_qty"),
+          dsum6(col("l_extendedprice")).as("sum_base_price"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("sum_charge"),
+          (dsum6(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum6(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (dsum6(col("l_discount")) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // TPC-H Q3 (shipping priority, adapted) — selective dim filter
+    // broadcast against the fact join, top-10 by revenue
+    "q_tpch_q3" -> ((s, dir) => {
+      val cut = lit("1998-01-01").cast("timestamp")
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    }),
+    // TPC-H Q5 (local-supplier revenue) — the multi-join star shape;
+    // every dimension broadcasts, lineitem⋈orders is the one shuffle
+    "q_tpch_q5" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val joined = t(s, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+      joined.groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
     // J6 (beyond reference) — row-level migration diff: keys missing on
     // either side or with value mismatches, planted tampering inline
     "q_j6_row_diff" -> ((s, dir) => {
@@ -855,6 +910,36 @@ object SparkEntry {
         "ELSE 'CREATE ' || CASE WHEN uniqueness = 'UNIQUE' THEN 'UNIQUE ' WHEN index_type = 'NORMAL' THEN '' ELSE index_type || ' ' END || " +
         "'INDEX `' || index_name || '` ON ' || table_name || '(' || cols || ');' END AS sql_cmd " +
         "FROM g ORDER BY sql_cmd"),
+    "q_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price, " +
+        "CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q_tpch_q3" ->
+      ("SELECT l_orderkey, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue, " +
+        "o_orderdate " +
+        "FROM customer, orders, lineitem " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate " +
+        "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"),
+    "q_tpch_q5" ->
+      ("SELECT n_name, " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue " +
+        "FROM customer, orders, lineitem, supplier, nation, region " +
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey " +
+        "AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey " +
+        "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
     "q_j6_row_diff" ->
       ("WITH dest AS (" +
         "SELECT o_orderkey, o_custkey, o_orderstatus, " +

@@ -129,4 +129,18 @@ class PlanQualitySpec extends SparkSpec {
     val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
     assert(pushed.contains("In(source"), pushed)
   }
+
+  test("TPC-H Q5: every dimension broadcasts; no dimension-side shuffle") {
+    val plan = SparkEntry.queries("q_tpch_q5")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only Exchanges allowed: fact-side join + final agg/sort
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("TPC-H Q3: top-10 plans as TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q_tpch_q3")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
