@@ -428,6 +428,13 @@ object SparkEntry {
         threshold = 0.8, nBits = 8, nBands = 2, maxBucket = 10000)
         .orderBy("id_a", "id_b")
     }),
+    // Portable MinHash near-dup: Karp-Rabin + affine permutations —
+    // the exact-oracle twin of the xxhash64 kernel path
+    "q_dedup_minhash_portable" -> ((s, dir) => {
+      Dedup.portableMinhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 8, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
     // TPC-H Q1 (pricing summary, adapted to the fixture schema) — the
     // canonical scan+agg analytics shape at full lineitem width
     "q_tpch_q1" -> ((s, dir) => {
@@ -910,6 +917,26 @@ object SparkEntry {
         "ELSE 'CREATE ' || CASE WHEN uniqueness = 'UNIQUE' THEN 'UNIQUE ' WHEN index_type = 'NORMAL' THEN '' ELSE index_type || ' ' END || " +
         "'INDEX `' || index_name || '` ON ' || table_name || '(' || cols || ');' END AS sql_cmd " +
         "FROM g ORDER BY sql_cmd"),
+    "q_dedup_minhash_portable" -> {
+      val k = 8
+      val sigs = (0 until k).map(j =>
+        s"MIN((${2 * j + 3}*hv+${97 * j + 1})%1000000007) AS sig_$j").mkString(", ")
+      val matchSum = (1 until k).map(j =>
+        s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END").mkString("1 + ", " + ", "")
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
+        "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+        "hv AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+        "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
+        s"sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id) " +
+        s"SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($matchSum AS DOUBLE)/8 AS minhash_est " +
+        "FROM sig a JOIN sig b ON a.sig_0 = b.sig_0 AND a.doc_id < b.doc_id " +
+        s"WHERE CAST($matchSum AS DOUBLE)/8 >= 0.5 " +
+        "ORDER BY id_a, id_b"
+    },
     "q_tpch_q1" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, " +

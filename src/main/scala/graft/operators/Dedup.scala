@@ -472,4 +472,69 @@ object Dedup {
             (col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  // ------------------------------------ portable (oracle-exact) minhash
+
+  /** MinHash with engine-portable arithmetic: shingles hash through the
+    * Karp-Rabin rolling hash ([[TextAnalysis.rollingHash]]) and `k`
+    * fixed affine permutations mod 1e9+7, so any ANSI-SQL engine
+    * reproduces the signatures bit-for-bit — the exact-oracle twin of
+    * [[minhashNearDupPairs]], whose xxhash64 kernels are faster but
+    * engine-specific. Use this variant when sampling/dedup decisions
+    * must be auditable outside Spark; use the native one for throughput.
+    *
+    * All arithmetic stays far inside Long range (h < 1e9, a_j <= 19).
+    */
+  def portableMinhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 8
+  ): DataFrame = {
+    require(k >= 1 && k <= 16, "k components in [1,16]")
+    val w = TextAnalysis.tokens(lower(col(textCol)))
+    val sh = when(size(w) < n, array(concat_ws(" ", w)))
+      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+    val exploded = df.select(col(idCol), explode(sh).as("__sg"))
+      .withColumn("__h", TextAnalysis.rollingHash(col("__sg")))
+    val P = 1000000007L
+    val aggs = (0 until k).map(j =>
+      min((col("__h") * lit(2L * j + 3) + lit(97L * j + 1)) % P).as(s"sig_$j"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Near-dup pairs from portable signatures: candidates share
+    * component 0 (1-band blocking, same recall trade as
+    * [[ngramJaccardNearDupPairs]]'s min-shingle block), similarity is
+    * the matched-component fraction.
+    */
+  def portableMinhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame = {
+    val sig = portableMinhashSignatures(df, idCol, textCol, n, k)
+    val capped = capBuckets(sig, Seq("sig_0"), maxBucket)
+    val aSide = (1 until k).foldLeft(capped.withColumnRenamed(idCol, "id_a")) {
+      (d, j) => d.withColumnRenamed(s"sig_$j", s"a_$j")
+    }
+    val bSide = (1 until k).foldLeft(capped.withColumnRenamed(idCol, "id_b")) {
+      (d, j) => d.withColumnRenamed(s"sig_$j", s"b_$j")
+    }
+    // component 0 is the join key, so it always matches: seed the tally at 1
+    val matches = (1 until k)
+      .map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0))
+      .foldLeft(lit(1): Column)(_ + _)
+    aSide.join(bSide, Seq("sig_0"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / k).as("minhash_est"))
+      .filter(col("minhash_est") >= threshold)
+  }
 }

@@ -191,4 +191,19 @@ class DedupSpec extends SparkSpec {
     assert(out.length === 100)
     assert(out.forall(_.getLong(1) === 1L), "every node must reach the chain head")
   }
+
+  test("portable minhash: identical docs est=1.0; signatures deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with no overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.portableMinhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+    val s1 = Dedup.portableMinhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val s2 = Dedup.portableMinhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+  }
 }
