@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused word-shingle Karp–Rabin hashes: for a token array, the KR
+  * fingerprint ([[KrHashExpression]] semantics — lowercase, keep
+  * `[a-z0-9 ]`, fold `acc*31+code mod 1e9+7`) of every `n`-token
+  * shingle "tok_i … tok_{i+n-1}" joined by single spaces, WITHOUT
+  * materializing the shingle strings. The transform/concat_ws/explode
+  * composition it replaces built millions of intermediate strings per
+  * document batch and dominated the portable-minhash profile.
+  *
+  * Fewer than `n` tokens hash as one whole-array shingle — the same
+  * degenerate-case rule as [[graft.operators.Dedup.shingles]].
+  */
+case class KrShingleHashExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_kr_shingle_hash requires (array<string>, int literal)")
+    }
+
+  override def nullSafeEval(tokens: Any, n: Any): Any =
+    KrShingleHashExpression.compute(tokens.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.KrShingleHashExpression.compute($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KrShingleHashExpression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_kr_shingle_hash"
+}
+
+object KrShingleHashExpression {
+
+  private val P = 1000000007L
+
+  private def step(acc: Long, code: Int): Long = (acc * 31L + code) % P
+
+  /** Fold one token's normalized codepoints into the hash. */
+  private def foldToken(acc0: Long, s: UTF8String): Long = {
+    if (s == null) return acc0
+    val str = s.toString
+    var acc = acc0
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val lo = Character.toLowerCase(cp)
+      if ((lo >= 'a' && lo <= 'z') || (lo >= '0' && lo <= '9') || lo == ' ')
+        acc = step(acc, lo)
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** One-pass kernel (called from eval and codegen). */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val L = tokens.numElements()
+    if (L < n) {
+      var acc = 0L
+      var j = 0
+      while (j < L) {
+        if (j > 0) acc = step(acc, ' ')
+        acc = foldToken(acc, if (tokens.isNullAt(j)) null else tokens.getUTF8String(j))
+        j += 1
+      }
+      new GenericArrayData(Array(acc))
+    } else {
+      val out = new Array[Long](L - n + 1)
+      var i = 0
+      while (i <= L - n) {
+        var acc = 0L
+        var j = i
+        while (j < i + n) {
+          if (j > i) acc = step(acc, ' ')
+          acc = foldToken(acc, if (tokens.isNullAt(j)) null else tokens.getUTF8String(j))
+          j += 1
+        }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def krShingleHash(tokens: Column, n: Int): Column =
+    ColumnBridge.column(KrShingleHashExpression(
+      ColumnBridge.expression(tokens), Literal(n)))
+}

@@ -493,12 +493,12 @@ object Dedup {
       k: Int = 8
   ): DataFrame = {
     require(k >= 1 && k <= 16, "k components in [1,16]")
+    // fused kernel: shingle hashes straight from the token array — the
+    // transform/concat_ws/explode composition materialized millions of
+    // shingle strings per batch (measured ~3.5x slower at sf0.1)
     val w = TextAnalysis.tokens(lower(col(textCol)))
-    val sh = when(size(w) < n, array(concat_ws(" ", w)))
-      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", slice(w, i, lit(n)))))
-    val exploded = df.select(col(idCol), explode(sh).as("__sg"))
-      .withColumn("__h", TextAnalysis.rollingHash(col("__sg")))
+    val exploded = df.select(col(idCol),
+      explode(graft.functions.KrShingleHashExpression.krShingleHash(w, n)).as("__h"))
     val P = 1000000007L
     val aggs = (0 until k).map(j =>
       min((col("__h") * lit(2L * j + 3) + lit(97L * j + 1)) % P).as(s"sig_$j"))

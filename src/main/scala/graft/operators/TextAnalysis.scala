@@ -172,9 +172,15 @@ object TextAnalysis {
 
   /** Full-document rolling-hash fingerprint (content-defined, engine-
     * portable — unlike [[fingerprint]]'s xxhash64 it has an exact ANSI-SQL
-    * oracle). One linear pass per document, codegen'd, shuffle-free.
+    * oracle). Native fused kernel ([[graft.functions.KrHashExpression]]);
+    * the HOF composition it replaces is kept as [[rollingHashBuiltin]]
+    * for the bit-compat cross-check.
     */
-  def rollingHash(text: Column): Column = polyHash(fpChars(text))
+  def rollingHash(text: Column): Column =
+    graft.functions.KrHashExpression.krHash(text)
+
+  /** The normalize+split+fold composition the kernel replaces. */
+  private[graft] def rollingHashBuiltin(text: Column): Column = polyHash(fpChars(text))
 
   /** Min-gram fingerprint: the minimum polynomial hash over all `k`-char
     * grams of the normalized text — a 1-window winnowing fingerprint.

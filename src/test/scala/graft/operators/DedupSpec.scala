@@ -206,4 +206,20 @@ class DedupSpec extends SparkSpec {
     val s2 = Dedup.portableMinhashSignatures(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
   }
+
+  test("kr-shingle kernel matches the string-shingle + rollingHash composition") {
+    import spark.implicits._
+    val docs = table("documents").select(col("doc_id"), col("text"))
+      .union(Seq((90001L, "one two"), (90002L, ""), (90003L, "a b c d e")).toDF("doc_id", "text"))
+    val w = TextAnalysis.tokens(lower(col("text")))
+    val composed = docs.select(col("doc_id"), explode(
+      when(size(w) < 3, array(concat_ws(" ", w)))
+        .otherwise(transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", slice(w, i, lit(3)))))).as("sg"))
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("sg")).as("h"))
+    val fused = docs.select(col("doc_id"), explode(
+      graft.functions.KrShingleHashExpression.krShingleHash(w, 3)).as("h"))
+    assert(composed.exceptAll(fused).count() === 0)
+    assert(fused.exceptAll(composed).count() === 0)
+  }
 }

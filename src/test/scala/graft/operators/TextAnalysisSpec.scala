@@ -102,4 +102,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L)._4 === 0.5)
     assert(out(5L) === ((0.0, 0.0, 0.0, 0.0)))
   }
+
+  test("native kr-hash kernel is bit-compatible with the HOF composition") {
+    import spark.implicits._
+    val fixture = table("documents").select(col("text"))
+    val planted = Seq("Hello, World! 123", "  MiXeD   CaSe  ", "", "ALL CAPS",
+      "punct!@#$%^&*()", "\u00c9l\u00e8ve \u00dcber stra\u00dfe").toDF("text")
+    Seq(fixture, planted).foreach { df =>
+      val mism = df.select(
+        TextAnalysis.rollingHash(col("text")).as("k"),
+        TextAnalysis.rollingHashBuiltin(col("text")).as("b")
+      ).filter(col("k") =!= col("b")).count()
+      assert(mism === 0)
+    }
+  }
 }
