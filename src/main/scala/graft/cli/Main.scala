@@ -97,14 +97,26 @@ object Main {
   }
 
   private def createTable(spark: SparkSession, opts: Map[String, String]): Unit = {
+    import spark.implicits._
     val src = FixtureSource(require(opts, "src"))
     val script = new DdlScript
-    src.tableNames(spark).foreach { t =>
+    val ddl = src.tableNames(spark).map { t =>
       script.add(DdlGenerator.dropTable(t))
       script.add(DdlGenerator.createTable(t, src.probe(spark, t).schema))
-    }
+      (t, DdlGenerator.dropTable(t) + ";\n" +
+        DdlGenerator.createTable(t, src.probe(spark, t).schema) + ";")
+    }.toDF("table_name", "sql_cmd")
     val out = opts.getOrElse("script", "createSql.log")
     script.writeTo(out)
+    // executor sink with the reference's per-category report
+    // (cmd/create.go:88-101): plan-only here (no JDBC endpoint in the
+    // parquet stand-in) — statements are logged, counted and timed
+    val logs = opts.get("logDir").map(new graft.sinks.RunLogs(_))
+      .getOrElse(graft.sinks.RunLogs.noop)
+    val executor = new graft.sinks.DdlExecutor(
+      new graft.sinks.StatementExecutor.Recording(), logs, metaDataOnly = true)
+    val reports = executor.executeAll(Seq("Table" -> ddl))
+    graft.sinks.DdlExecutor.reportDf(spark, reports).show(truncate = false)
     println(s"wrote ${script.all.size} DDL statements to $out")
   }
 

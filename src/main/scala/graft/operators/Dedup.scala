@@ -317,13 +317,17 @@ object Dedup {
       // the SAME plan shape (one codegen compile total, not one per
       // iteration) and the fixpoint loop can run indefinitely without
       // the plan growing
+      // the convergence witness rides the checkpoint's own job via
+      // observe() — a separate agg job per round doubled the fixture's
+      // per-iteration job count
+      val obs = new org.apache.spark.sql.Observation(s"graft-cc-$i")
       val next = propagated
         .join(propagated.select(col("id").as("cluster"), col("cluster").as("__parent")),
           Seq("cluster"))
         .select(col("id"), least(col("cluster"), col("__parent")).as("cluster"))
+        .observe(obs, sum(col("cluster").cast(DecimalType(38, 0))).as("label_sum"))
         .localCheckpoint(true)
-      val newSum = next.agg(sum(col("cluster").cast(DecimalType(38, 0))))
-        .collect()(0).getDecimal(0)
+      val newSum = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
       labels.unpersist()
       labels = next
       converged = newSum == prevSum
