@@ -428,6 +428,13 @@ object SparkEntry {
         threshold = 0.8, nBits = 8, nBands = 2, maxBucket = 10000)
         .orderBy("id_a", "id_b")
     }),
+    // Character-entropy quality signal (decimal-term accumulation makes
+    // the sum order-independent, so the oracle is exact)
+    "q_text_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")
+    }),
     // Portable MinHash near-dup: Karp-Rabin + affine permutations —
     // the exact-oracle twin of the xxhash64 kernel path
     "q_dedup_minhash_portable" -> ((s, dir) => {
@@ -917,6 +924,16 @@ object SparkEntry {
         "ELSE 'CREATE ' || CASE WHEN uniqueness = 'UNIQUE' THEN 'UNIQUE ' WHEN index_type = 'NORMAL' THEN '' ELSE index_type || ' ' END || " +
         "'INDEX `' || index_name || '` ON ' || table_name || '(' || cols || ');' END AS sql_cmd " +
         "FROM g ORDER BY sql_cmd"),
+    "q_text_entropy" ->
+      ("WITH nn AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents), " +
+        "c AS (SELECT doc_id, t, length(t) AS n, " +
+        "list_distinct(list_transform(range(1, length(t)+1), i -> t[i:i])) AS d FROM nn) " +
+        "SELECT doc_id, CASE WHEN n > 0 THEN " +
+        "round(-(CAST(list_sum(list_transform(d, ch -> " +
+        "CAST(round((CAST(length(t) - length(replace(t, ch, '')) AS DOUBLE) / n) * " +
+        "ln(CAST(length(t) - length(replace(t, ch, '')) AS DOUBLE) / n) * 1e15) AS BIGINT))) AS DOUBLE) / 1e15), 6) + 0.0 " +
+        "ELSE 0.0 END AS entropy " +
+        "FROM c ORDER BY doc_id"),
     "q_dedup_minhash_portable" -> {
       val k = 8
       val sigs = (0 until k).map(j =>

@@ -102,6 +102,33 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Shannon character entropy (nats) over the engine-safe alphabet
+    * (`[a-z0-9 ]` of the lowercased text) — low entropy flags repetitive
+    * or degenerate text, high entropy flags noise/encoded blobs.
+    *
+    * Engine-exact by construction: each `p·ln p` term is rounded to a
+    * fixed-point long (15 fractional digits) before summing, so the
+    * fold is order-independent (double summation order differs between
+    * engines) and integer-exact; the final `round(·, 6)` absorbs the
+    * ≤1-ulp cross-engine `ln` difference in the terms. No overflow:
+    * |term| ≤ 0.4·10¹⁵, ≤37 terms. Per-row cost is O(distinct × len) —
+    * bounded by the 37-symbol alphabet.
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = fpChars(text)
+    val total = size(chars)
+    val d = array_distinct(chars)
+    val acc = aggregate(d, lit(0L), (a, c) => {
+      val p = size(filter(chars, x => x === c)).cast("double") / total.cast("double")
+      a + round(p * log(p) * lit(1e15), 0).cast("long")
+    })
+    // "+ 0.0" folds IEEE −0.0 (single-symbol text) to 0.0 — a hash
+    // comparison would otherwise see −0.0 ≠ 0.0 across engines
+    when(total > 0,
+      round(-(acc.cast("double") / lit(1e15)), 6) + lit(0.0))
+      .otherwise(lit(0.0))
+  }
+
   /** Composite quality score in [0,1]: favors medium-length documents
     * with low punctuation density, a healthy stopword ratio, and
     * plausible word lengths — the standard cheap pre-filter in front of

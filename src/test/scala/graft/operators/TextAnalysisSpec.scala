@@ -116,4 +116,20 @@ class TextAnalysisSpec extends SparkSpec {
       assert(mism === 0)
     }
   }
+
+  test("charEntropy: uniform alphabet maxes, single symbol zeroes, empty zeroes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcd"),        // 4 distinct, uniform: ln(4)
+      (2L, "aaaa"),        // single symbol: 0.0 (not -0.0)
+      (3L, ""),            // empty: 0.0
+      (4L, "aabb")         // two symbols, uniform: ln(2)
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out(1L) - math.log(4)) < 1e-6)
+    assert(out(2L) === 0.0 && java.lang.Double.doubleToLongBits(out(2L)) === 0L)
+    assert(out(3L) === 0.0)
+    assert(math.abs(out(4L) - math.log(2)) < 1e-6)
+  }
 }
