@@ -238,6 +238,10 @@ object TextAnalysis {
       .withColumn("ta_punct_ratio", punctRatio(t))
       .withColumn("ta_stopword_ratio", stopwordRatio(t))
       .withColumn("ta_quality", qualityScore(t))
+      .withColumn("ta_word_rep", wordRepetitionRatio(t))
+      .withColumn("ta_symbol_ratio", symbolWordRatio(t))
+      .withColumn("ta_digit_ratio", digitRatio(t))
+      .withColumn("ta_entropy", charEntropy(t))
       .withColumn("ta_lang", langId(t))
       .withColumn("ta_fingerprint", fingerprint(t))
   }
