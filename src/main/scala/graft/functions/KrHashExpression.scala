@@ -69,4 +69,9 @@ object KrHashExpression {
 
   def krHash(c: Column): Column =
     ColumnBridge.column(KrHashExpression(ColumnBridge.expression(c)))
+
+  /** Register `graft_kr_hash` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kr_hash", exprs => KrHashExpression(exprs.head), "scala_udf")
 }

@@ -103,4 +103,10 @@ object KrShingleHashExpression {
   def krShingleHash(tokens: Column, n: Int): Column =
     ColumnBridge.column(KrShingleHashExpression(
       ColumnBridge.expression(tokens), Literal(n)))
+
+  /** Register `graft_kr_shingle_hash` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kr_shingle_hash",
+      exprs => KrShingleHashExpression(exprs.head, exprs(1)), "scala_udf")
 }

@@ -137,4 +137,17 @@ class SimHashExpressionSpec extends SparkSpec {
       .count()
     assert(n === table("documents").count())
   }
+
+  test("kr-hash kernels register for SQL use") {
+    KrHashExpression.register(spark)
+    KrShingleHashExpression.register(spark)
+    import spark.implicits._
+    Seq(("Hello World", Seq("a", "b", "c", "d"))).toDF("t", "toks")
+      .createOrReplaceTempView("kr_t")
+    val r = spark.sql(
+      "SELECT graft_kr_hash(t) AS h, graft_kr_shingle_hash(toks, 3) AS sh FROM kr_t")
+      .collect()(0)
+    assert(r.getLong(0) > 0)
+    assert(r.getSeq[Long](1).length === 2) // 4 tokens, n=3 -> 2 shingles
+  }
 }
