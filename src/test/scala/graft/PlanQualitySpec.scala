@@ -143,4 +143,14 @@ class PlanQualitySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("sequence packing is a single partitioned window (one exchange)") {
+    val plan = SparkEntry.queries("q_corpus_pack")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    // one hash exchange for the shard window; the final orderBy adds a
+    // range exchange — nothing else may shuffle
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
+  }
 }
