@@ -497,6 +497,31 @@ object SparkEntry {
           .cast(DecimalType(18, 6))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    // TPC-H Q6 (forecast revenue change) — tight range-filter scan
+    // feeding one global aggregate; filters must reach the parquet scan
+    "q_tpch_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+    }),
+    // TPC-H Q14 (promotion effect) — conditional aggregation over a
+    // broadcast dimension join
+    "q_tpch_q14" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      l.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 6))))
+            .cast("double") /
+          sum(rev).cast("double")).as("promo_revenue"))
+    }),
     // J6 (beyond reference) — row-level migration diff: keys missing on
     // either side or with value mismatches, planted tampering inline
     "q_j6_row_diff" -> ((s, dir) => {
@@ -984,6 +1009,19 @@ object SparkEntry {
         "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_tpch_q6" ->
+      ("SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
+    "q_tpch_q14" ->
+      ("SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' " +
+        "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) " +
+        "ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) / " +
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue " +
+        "FROM lineitem, part WHERE l_partkey = p_partkey " +
+        "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'"),
     "q_j6_row_diff" ->
       ("WITH dest AS (" +
         "SELECT o_orderkey, o_custkey, o_orderstatus, " +

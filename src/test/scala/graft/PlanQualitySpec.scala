@@ -153,4 +153,10 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = "Exchange ".r.findAllIn(plan).length
     assert(exchanges <= 2, s"$exchanges exchanges:\n$plan")
   }
+
+  test("TPC-H Q6: range filters reach the parquet scan") {
+    val plan = explain(SparkEntry.queries("q_tpch_q6")(spark, sfDir))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("l_discount") && pushed.contains("l_quantity"), pushed)
+  }
 }
