@@ -497,6 +497,29 @@ object SparkEntry {
           .cast(DecimalType(18, 6))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+    // TPC-H Q4 (order priority check, adapted) — the EXISTS semi-join
+    // shape: orders qualified by any matching lineitem, never duplicated
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // CUBE aggregate — all grouping-set combinations in one pass
+    "q_a_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")
+    }),
     // TPC-H Q6 (forecast revenue change) — tight range-filter scan
     // feeding one global aggregate; filters must reach the parquet scan
     "q_tpch_q6" -> ((s, dir) => {
@@ -1009,6 +1032,16 @@ object SparkEntry {
         "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_tpch_q4" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_a_cube" ->
+      ("SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, COALESCE(l_linestatus, 'ALL') AS linestatus, " +
+        "count(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY returnflag, linestatus"),
     "q_tpch_q6" ->
       ("SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue " +
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
