@@ -24,11 +24,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
-      // spill-awareness at 100 TB: scan splits stay bounded so a task's
-      // working set fits executor memory; shuffle partition count above
-      // tracks cores and should be raised with the cluster (AQE
-      // coalescing trims the excess), never lowered below it
-      .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // spill-awareness at 100 TB: the default 128m
+      // spark.sql.files.maxPartitionBytes keeps a scan task's working
+      // set bounded and is deliberately left untouched; the shuffle
+      // partition count above tracks cores and should be raised with
+      // the cluster (AQE coalescing trims the excess), never lowered
       .config("spark.ui.enabled", "false")
   }
 

@@ -1086,7 +1086,7 @@ object SparkEntry {
         "FROM t ORDER BY doc_id"),
     "q_corpus_sample" ->
       ("SELECT doc_id, lang FROM documents " +
-        "WHERE (doc_id * 2654435761) % 4294967296 < " +
+        "WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < " +
         "CAST(4294967296 * (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 1.0 ELSE 0.25 END) AS BIGINT) " +
         "ORDER BY doc_id"),
     "q_corpus_pack" ->

@@ -101,10 +101,13 @@ object Main {
     val src = FixtureSource(require(opts, "src"))
     val script = new DdlScript
     val ddl = src.tableNames(spark).map { t =>
-      script.add(DdlGenerator.dropTable(t))
-      script.add(DdlGenerator.createTable(t, src.probe(spark, t).schema))
-      (t, DdlGenerator.dropTable(t) + ";\n" +
-        DdlGenerator.createTable(t, src.probe(spark, t).schema) + ";")
+      // one schema probe per table — each probe is a metadata round-trip
+      // on the JDBC twin
+      val drop = DdlGenerator.dropTable(t)
+      val create = DdlGenerator.createTable(t, src.probe(spark, t).schema)
+      script.add(drop)
+      script.add(create)
+      (t, drop + ";\n" + create + ";")
     }.toDF("table_name", "sql_cmd")
     val out = opts.getOrElse("script", "createSql.log")
     script.writeTo(out)

@@ -17,29 +17,44 @@ object Corpus {
   // ------------------------------------------------------------ sampling
 
   /** Knuth multiplicative hash of a numeric id onto [0, 2^32) — chosen
-    * over xxhash64 deliberately: it is reproducible in ANSI SQL
-    * (`(id * 2654435761) % 4294967296`), so sampling decisions can be
-    * audited outside Spark. Uniformity is adequate for rate sampling;
-    * adversarial keys should pre-hash.
+    * over xxhash64 deliberately: it is reproducible outside Spark, so
+    * sampling decisions can be audited. Well-defined for the FULL
+    * 64-bit id range: Long multiplication wraps mod 2^64, which
+    * preserves the product mod 2^32, and `pmod` folds the wrapped sign
+    * back — an ANSI-SQL audit query needs 128-bit arithmetic to say the
+    * same (`(CAST(id AS HUGEINT) * 2654435761) % 4294967296` in
+    * DuckDB). Uniformity is adequate for rate sampling; adversarial
+    * keys should pre-hash.
     */
   def portableHash(id: Column): Column =
     pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** fraction → integer keep-threshold, computed ONCE on the driver and
+    * shipped as a literal: `round` here matches SQL `CAST(x AS BIGINT)`
+    * rounding (half-away ties need 2^32·f exactly half-integral —
+    * impossible for practical fractions), whereas a Spark-side
+    * `.cast("long")` of the double product would TRUNCATE and disagree
+    * with the audit SQL by one for any non-dyadic fraction.
+    */
+  private def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
+    math.round(fraction * 4294967296.0)
+  }
 
   /** Deterministic uniform sample: keep a row iff its id hashes below
     * `fraction` of the hash space. Same input ⇒ same sample, any cluster
     * size, no RNG state — the property training-data lineage needs.
     * Narrow (filter-only): no shuffle at all.
     */
-  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
-    require(fraction >= 0.0 && fraction <= 1.0, "fraction in [0,1]")
-    df.filter(portableHash(col(idCol)) < (lit(4294967296L) * lit(fraction)).cast("long"))
-  }
+  def deterministicSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(portableHash(col(idCol)) < lit(threshold(fraction)))
 
   /** Stratified deterministic sample: per-stratum keep-rates (e.g.
     * up-sample low-resource languages, down-sample boilerplate-heavy
     * sources). Strata absent from `fractions` keep `defaultFraction`.
-    * Still filter-only — the rate lookup is a literal CASE chain, not a
-    * join (strata counts are config-sized).
+    * Still filter-only — the rate lookup is a literal CASE chain of
+    * precomputed integer thresholds, not a join (strata counts are
+    * config-sized).
     */
   def stratifiedSample(
       df: DataFrame,
@@ -48,10 +63,10 @@ object Corpus {
       fractions: Map[String, Double],
       defaultFraction: Double = 0.0
   ): DataFrame = {
-    val rate = fractions.foldLeft(lit(defaultFraction)) { case (acc, (k, f)) =>
-      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    val cut = fractions.foldLeft(lit(threshold(defaultFraction))) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(threshold(f))).otherwise(acc)
     }
-    df.filter(portableHash(col(idCol)) < (lit(4294967296L) * rate).cast("long"))
+    df.filter(portableHash(col(idCol)) < cut)
   }
 
   // ----------------------------------------------------------- packing

@@ -446,14 +446,18 @@ object Dedup {
   ): DataFrame = {
     require(nBits * nBands <= 64, "signature is a single 64-bit word")
     // one fused-kernel pass computes all bands' planes; bands are bit
-    // slices of the signature word
+    // slices of the signature word. The 64-bit mask needs a special
+    // case: (1L << 64) wraps to 1, so the naive mask would collapse
+    // every vector into band value 0 — the exact n² blow-up banding
+    // exists to prevent
+    val mask = if (nBits == 64) -1L else (1L << nBits) - 1
     val sig = df.select(col(idCol),
       VectorFunctions.lshSignature(col(vecCol), nBits * nBands).as("__sig"))
     val banded = sig.select(
       col(idCol),
       posexplode(array((0 until nBands).map(b =>
-        shiftright(col("__sig"), b * nBits)
-          .bitwiseAND((1L << nBits) - 1)): _*)).as(Seq("__band", "__bandval")))
+        shiftright(col("__sig"), b * nBits).bitwiseAND(mask)): _*))
+        .as(Seq("__band", "__bandval")))
     val capped = capBuckets(banded, Seq("__band", "__bandval"), maxBucket)
     val candidates = capped.select(col(idCol).as("id_a"), col("__band"), col("__bandval"))
       .join(capped.select(col(idCol).as("id_b"), col("__band"), col("__bandval")),

@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokens. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  // explicit class, not \s: Java \s also matches vertical tab (U+000B),
+  // RE2 (DuckDB, and most non-JVM engines) does not — the oracle SQL
+  // uses \s, so the Spark side must match RE2's definition exactly or a
+  // U+000B in any document silently diverges every token-derived result
+  def tokens(text: Column): Column = split(trim(text), "[ \t\n\f\r]+")
 
   /** BPE-ish subword count: split on word/non-word boundaries the way a
     * byte-pair tokenizer fragments text (letters runs, digit runs, and

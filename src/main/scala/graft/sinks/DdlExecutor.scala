@@ -75,17 +75,23 @@ final class DdlExecutor(
   private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
 
   /** Execute one category of DDL (e.g. "Index", "ForeignKey",
-    * "NormalIndex", "Comment", "View"). Statements are ordered by
-    * `orderCol` when present so replays are deterministic.
+    * "NormalIndex", "Comment", "View"). Pass `orderCols` for
+    * order-sensitive DDL: a distributed frame collects in partition
+    * order, which varies across runs/cluster layouts — sorting makes
+    * replays deterministic (e.g. `Seq("table_name", "sql_cmd")` keeps
+    * each table's `create index` ahead of its dependent `alter`).
     */
   def executeCategory(
       category: String,
       ddl: DataFrame,
-      sqlCol: String = "sql_cmd"
+      sqlCol: String = "sql_cmd",
+      orderCols: Seq[String] = Seq.empty
   ): CategoryReport = {
     val t0 = System.nanoTime()
     val start = LocalDateTime.now().format(fmt)
-    val stmts = ddl.select(sqlCol).collect().map(_.getString(0))
+    val ordered = if (orderCols.isEmpty) ddl
+      else ddl.orderBy(orderCols.map(org.apache.spark.sql.functions.col): _*)
+    val stmts = ordered.select(sqlCol).collect().map(_.getString(0))
     var failed = 0
     stmts.foreach { sql =>
       logs.output("createSql", sql)
