@@ -520,6 +520,26 @@ object SparkEntry {
           col("n"), col("sum_qty"))
         .orderBy("returnflag", "linestatus")
     }),
+    // TPC-H Q16 flavor — count(distinct) per group: partial aggregation
+    // must expand, not collect sets
+    "q_tpch_q16" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy("p_brand", "p_type")
+        .agg(countDistinct(col("p_size")).as("size_cnt"),
+          count(lit(1)).as("n_parts"))
+        .orderBy("p_brand", "p_type")
+    }),
+    // TPC-H Q18 flavor — HAVING on an aggregate, joined back to detail
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+        .orderBy("o_orderkey")
+    }),
     // TPC-H Q6 (forecast revenue change) — tight range-filter scan
     // feeding one global aggregate; filters must reach the parquet scan
     "q_tpch_q6" -> ((s, dir) => {
@@ -1032,6 +1052,14 @@ object SparkEntry {
         "AND r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q_tpch_q16" ->
+      ("SELECT p_brand, p_type, count(DISTINCT p_size) AS size_cnt, count(*) AS n_parts " +
+        "FROM part GROUP BY p_brand, p_type ORDER BY p_brand, p_type"),
+    "q_tpch_q18" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM orders JOIN " +
+        "(SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty " +
+        "FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150) ON o_orderkey = l_orderkey " +
+        "ORDER BY o_orderkey"),
     "q_tpch_q4" ->
       ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
