@@ -617,6 +617,11 @@ object SparkEntry {
         .select(col("doc_id"), Corpus.redactPii(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // Corpus-pipeline: bigram-LM quality scoring (corpus fit + doc score)
+    "q_corpus_lm_score" -> ((s, dir) => {
+      Corpus.bigramLogProbScores(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Corpus-pipeline: per-group stats with an exact median
     "q_corpus_stats" -> ((s, dir) => {
       Corpus.corpusStats(t(s, dir, "documents"), "lang", "n_chars")
@@ -1138,6 +1143,18 @@ object SparkEntry {
         "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), " +
         "'\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted " +
         "FROM documents ORDER BY doc_id"),
+    "q_corpus_lm_score" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "e AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM toks, unnest(range(1, len(w))) AS t(i)), " +
+        "bc AS (SELECT w1, w2, count(*) AS c12 FROM e GROUP BY 1, 2), " +
+        "lc AS (SELECT w1, count(*) AS c1 FROM e GROUP BY 1), " +
+        "v AS (SELECT count(*) AS v FROM lc), " +
+        "s AS (SELECT e.doc_id, CAST(round(ln(CAST(bc.c12 + 1 AS DOUBLE) / (lc.c1 + v.v)) * 1e15) AS BIGINT) AS term " +
+        "FROM e JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v), " +
+        "p AS (SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(term) AS BIGINT) AS sm FROM s GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, " +
+        "COALESCE(round(CAST(p.sm AS DOUBLE) / (p.n_bigrams * 1e15), 6), 0.0) AS mean_logprob " +
+        "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),
     "q_corpus_stats" ->
       ("SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_len, " +
         "CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_len, " +

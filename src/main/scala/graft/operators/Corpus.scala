@@ -151,6 +151,60 @@ object Corpus {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  // --------------------------------------------------- statistical LM
+
+  /** Bigram language-model quality score: fit token bigram statistics
+    * over the WHOLE corpus (two hash aggregates), then score every
+    * document by its mean add-one-smoothed conditional log-probability
+    * `ln P(w_i | w_{i-1})` — the cheap statistical cousin of model-based
+    * quality filtering: fluent text scores high, shuffled/boilerplate/
+    * generated-gibberish text scores low, and the whole thing is three
+    * joins and three aggregates that scale like any word-count job.
+    *
+    * Denominator convention: `c(w1,·)` counts w1 as a bigram LEFT
+    * context and V is the distinct left-context count, so fit and score
+    * read ONE exploded bigram table.
+    *
+    * Engine-exact (same scheme as [[TextAnalysis.charEntropy]]): each
+    * `ln p` rounds to a fixed-point long before the per-document sum,
+    * making the fold order-independent and absorbing cross-engine `ln`
+    * ulp differences; counts and V are integers, so `p` itself is
+    * bit-identical everywhere.
+    *
+    * @return (idCol, n_bigrams, mean_logprob) — documents with fewer
+    *         than 2 tokens score 0.0 with n_bigrams = 0
+    */
+  def bigramLogProbScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextAnalysis.tokens(lower(col(textCol)))
+    // adjacent pairs as a narrow map: zip the array with its own tail
+    val bigrams = df.select(col(idCol),
+      explode(zip_with(
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+        slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val biCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val leftCounts = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = leftCounts.agg(count(lit(1)).as("v"))
+    val scored = bigrams
+      .join(biCounts, Seq("w1", "w2"))
+      .join(leftCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__p",
+        (col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+      .withColumn("__term", round(log(col("__p")) * lit(1e15), 0).cast("long"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("__sum"))
+      .withColumn("mean_logprob",
+        round(col("__sum").cast("double") / (col("n_bigrams") * lit(1e15)), 6))
+      .drop("__sum")
+    // docs too short for any bigram still get a row
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_logprob"), lit(0.0)).as("mean_logprob"))
+  }
+
   // -------------------------------------------------------------- stats
 
   /** Per-group corpus statistics: document count, total/mean length and

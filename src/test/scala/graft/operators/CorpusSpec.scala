@@ -92,4 +92,22 @@ class CorpusSpec extends SparkSpec {
     assert(got(1).getLong(1) === 2L && got(1).getLong(2) === 12L)
     assert(got(1).getDouble(4) === 6.0) // interpolated even-count median
   }
+
+  test("bigramLogProbScores: fluent repeats beat gibberish; short docs get 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),   // same bigrams -> same score
+      (3L, "mat the on sat cat the"),   // shuffled -> rarer bigrams
+      (4L, "one"),                      // no bigrams
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramLogProbScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L)._2 > out(3L)._2, s"fluent ${out(1L)} vs shuffled ${out(3L)}")
+    assert(out(4L) === ((0L, 0.0)))
+    assert(out(5L) === ((0L, 0.0)))
+    assert(out(1L)._1 === 5L) // 6 tokens -> 5 bigrams
+  }
 }
