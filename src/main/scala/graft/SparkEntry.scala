@@ -617,6 +617,14 @@ object SparkEntry {
         .select(col("doc_id"), Corpus.redactPii(col("text")).as("redacted"))
         .orderBy("doc_id")
     }),
+    // End-to-end corpus preparation: quality filter → exact dedup →
+    // deterministic sample → sequence packing, one declarative plan
+    "q_corpus_prepare" -> ((s, dir) => {
+      Corpus.prepareTrainingData(t(s, dir, "documents"), "doc_id", "text", "lang",
+        Corpus.PrepareConfig(minQuality = 0.3, maxWordRep = 0.3,
+          sampleFraction = 0.5, packBudget = 512L))
+        .orderBy("doc_id")
+    }),
     // Corpus-pipeline: bigram-LM quality scoring (corpus fit + doc score)
     "q_corpus_lm_score" -> ((s, dir) => {
       Corpus.bigramLogProbScores(t(s, dir, "documents"), "doc_id", "text")
@@ -1143,6 +1151,28 @@ object SparkEntry {
         "'([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), " +
         "'\\+?[0-9][0-9()\\- ]{7,}[0-9]', '<PHONE>', 'g') AS redacted " +
         "FROM documents ORDER BY doc_id"),
+    "q_corpus_prepare" -> {
+      val sw = TextAnalysis.EN_STOPWORDS.map(s => s"'$s'").mkString(", ")
+      "WITH t AS (SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS toks, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS ltoks FROM documents), " +
+        "m AS (SELECT doc_id, lang, text, len(toks) AS n_tokens, " +
+        "LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score, " +
+        "CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS pr, " +
+        s"CASE WHEN len(ltoks) > 0 THEN CAST(len(list_filter(ltoks, x -> x IN ($sw))) AS DOUBLE) / len(ltoks) ELSE 0.0 END AS swr, " +
+        "CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl, " +
+        "CASE WHEN len(ltoks) > 0 THEN 1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks) ELSE 0.0 END AS wr " +
+        "FROM t), " +
+        "q AS (SELECT doc_id, lang, text, n_tokens, " +
+        "round((len_score + (1.0 - LEAST(pr * 5.0, 1.0)) + (1.0 - LEAST(abs(swr - 0.4) * 2.5, 1.0)) + (1.0 - LEAST(abs(mtl - 5.0) / 5.0, 1.0))) / 4.0, 6) AS quality, wr FROM m), " +
+        "f AS (SELECT * FROM q WHERE quality >= 0.3 AND wr <= 0.3), " +
+        "d AS (SELECT * FROM f WHERE doc_id IN (SELECT MIN(doc_id) FROM f GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))), " +
+        "s AS (SELECT * FROM d WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < 2147483648), " +
+        "w AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s) " +
+        "SELECT doc_id, lang, n_tokens, cum_tokens, " +
+        "CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id " +
+        "FROM w ORDER BY doc_id"
+    },
     "q_corpus_lm_score" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "e AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM toks, unnest(range(1, len(w))) AS t(i)), " +

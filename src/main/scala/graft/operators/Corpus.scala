@@ -151,6 +151,46 @@ object Corpus {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  // ------------------------------------------------- end-to-end prepare
+
+  /** Thresholds for [[prepareTrainingData]]. */
+  final case class PrepareConfig(
+      minQuality: Double = 0.3,
+      maxWordRep: Double = 0.3,
+      sampleFraction: Double = 1.0,
+      packBudget: Long = 2048L
+  )
+
+  /** The composed corpus-preparation pipeline — quality filter →
+    * exact dedup (keep lowest id) → deterministic sample → sequence
+    * packing — as ONE declarative plan: Catalyst sees the whole chain,
+    * so column pruning reaches the scan and each stage's shuffle feeds
+    * the next without materialization. Every stage is individually
+    * oracle-gated; this operator is the proof they compose.
+    *
+    * @return (idCol, shardCol, n_tokens, cum_tokens, pack_id)
+    */
+  def prepareTrainingData(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      cfg: PrepareConfig = PrepareConfig()
+  ): DataFrame = {
+    val filtered = df
+      .withColumn("__q", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("__wr", TextAnalysis.wordRepetitionRatio(col(textCol)))
+      .filter(col("__q") >= cfg.minQuality && col("__wr") <= cfg.maxWordRep)
+      .drop("__q", "__wr")
+    val deduped = Dedup.exact(filtered, idCol, textCol)
+    val sampled = deterministicSample(deduped, idCol, cfg.sampleFraction)
+    val withTokens = sampled.withColumn("n_tokens",
+      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    packSequences(withTokens, idCol, "n_tokens", cfg.packBudget, shardCol)
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        col("cum_tokens"), col("pack_id"))
+  }
+
   // --------------------------------------------------- statistical LM
 
   /** Bigram language-model quality score: fit token bigram statistics

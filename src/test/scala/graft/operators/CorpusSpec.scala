@@ -110,4 +110,27 @@ class CorpusSpec extends SparkSpec {
     assert(out(5L) === ((0L, 0.0)))
     assert(out(1L)._1 === 5L) // 6 tokens -> 5 bigrams
   }
+
+  test("prepareTrainingData composes: stages only shrink, packs stay valid") {
+    val docs = table("documents")
+    val out = Corpus.prepareTrainingData(docs, "doc_id", "text", "lang",
+      Corpus.PrepareConfig(minQuality = 0.3, maxWordRep = 0.3,
+        sampleFraction = 0.5, packBudget = 512L))
+      .collect()
+    assert(out.nonEmpty && out.length < docs.count())
+    // pack invariant per shard: cum is a prefix sum, pack = first-token block
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(0)).foreach { r =>
+        cum += r.getLong(2)
+        assert(r.getLong(3) === cum)
+        assert(r.getLong(4) === (cum - r.getLong(2)) / 512L)
+      }
+    }
+    // sampling is the last row-dropping stage: every survivor passes it
+    out.foreach { r =>
+      val h = java.lang.Long.remainderUnsigned(r.getLong(0) * 2654435761L, 4294967296L)
+      assert(h < 2147483648L)
+    }
+  }
 }
