@@ -160,4 +160,14 @@ class PlanQualitySpec extends SparkSpec {
     val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
     assert(pushed.contains("l_discount") && pushed.contains("l_quantity"), pushed)
   }
+
+  test("prepare pipeline: quality filters fuse into the scan stage, bounded shuffles") {
+    val df = SparkEntry.queries("q_corpus_prepare")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // dedup window + pack window + final orderBy; the filter stages must
+    // NOT add exchanges of their own
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
