@@ -1181,7 +1181,7 @@ object SparkEntry {
         "v AS (SELECT count(*) AS v FROM lc), " +
         "s AS (SELECT e.doc_id, CAST(round(ln(CAST(bc.c12 + 1 AS DOUBLE) / (lc.c1 + v.v)) * 1e15) AS BIGINT) AS term " +
         "FROM e JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v), " +
-        "p AS (SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(term) AS BIGINT) AS sm FROM s GROUP BY doc_id) " +
+        "p AS (SELECT doc_id, count(*) AS n_bigrams, SUM(term) AS sm FROM s GROUP BY doc_id) " +
         "SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, " +
         "COALESCE(round(CAST(p.sm AS DOUBLE) / (p.n_bigrams * 1e15), 6), 0.0) AS mean_logprob " +
         "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),

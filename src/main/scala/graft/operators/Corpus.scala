@@ -216,13 +216,19 @@ object Corpus {
     */
   def bigramLogProbScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = TextAnalysis.tokens(lower(col(textCol)))
-    // adjacent pairs as a narrow map: zip the array with its own tail
+    // adjacent pairs as a narrow map: zip the array with its own tail.
+    // Persisted because fit (two aggregates) and score each consume it —
+    // without the cache the tokenize+explode pass, the dominant cost at
+    // corpus scale, runs three times. Lifetime: until the session drops
+    // it (the result is lazy, so this method cannot unpersist); see
+    // Dedup.minhashNearDupPairs for the same trade.
     val bigrams = df.select(col(idCol),
       explode(zip_with(
         slice(w, lit(1), greatest(size(w) - 1, lit(0))),
         slice(w, lit(2), greatest(size(w) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val biCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val leftCounts = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = leftCounts.agg(count(lit(1)).as("v"))
@@ -233,8 +239,13 @@ object Corpus {
       .withColumn("__p",
         (col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
       .withColumn("__term", round(log(col("__p")) * lit(1e15), 0).cast("long"))
+    // terms are ~|ln p|·1e15 each: a long sum overflows past ~9·10³
+    // bigrams × |ln p| (ANSI Spark throws, DuckDB HUGEINT→BIGINT cast
+    // errors) — accumulate in unbounded decimal like corpusStats
     val perDoc = scored.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__term")).as("__sum"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__term").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("__sum"))
       .withColumn("mean_logprob",
         round(col("__sum").cast("double") / (col("n_bigrams") * lit(1e15)), 6))
       .drop("__sum")

@@ -133,4 +133,16 @@ class CorpusSpec extends SparkSpec {
       assert(h < 2147483648L)
     }
   }
+
+  test("bigramLogProbScores survives long documents (no long overflow)") {
+    import spark.implicits._
+    // ~10k bigrams of rare pairs: a LongType fixed-point sum would
+    // overflow (ANSI arithmetic error); decimal accumulation must not
+    val long1 = (1 to 10000).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long1), (2L, "a b a b")).toDF("doc_id", "text")
+    val out = Corpus.bigramLogProbScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 9999L)
+    assert(out(1L)._2 < 0.0 && !out(1L)._2.isNaN && !out(1L)._2.isInfinite)
+  }
 }
