@@ -25,18 +25,25 @@ object Bench {
     // each query timed `reps` times, min reported — single-shot numbers
     // swung ±50% run-to-run on the shuffle-heavy dedup queries
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // a rep that throws is recorded as a FAILURE, not a (fast) time —
+    // otherwise a regression that breaks a query reads as a speedup.
+    // min is taken over successful reps only; a query with zero
+    // successful reps reports -1 and lands in "failed".
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

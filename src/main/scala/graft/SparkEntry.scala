@@ -1135,7 +1135,7 @@ object SparkEntry {
         "CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens " +
         "FROM documents) " +
         "SELECT doc_id, lang, n_chars, cum_tokens, " +
-        "CAST(FLOOR(CAST(cum_tokens - n_chars AS DOUBLE) / 2048) AS BIGINT) AS pack_id " +
+        "CAST((cum_tokens - n_chars) // 2048 AS BIGINT) AS pack_id " +
         "FROM w ORDER BY doc_id"),
     "q_corpus_mix" ->
       ("WITH r AS (SELECT doc_id, source, " +
@@ -1170,7 +1170,7 @@ object SparkEntry {
         "w AS (SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, " +
         "CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s) " +
         "SELECT doc_id, lang, n_tokens, cum_tokens, " +
-        "CAST(FLOOR(CAST(cum_tokens - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_id " +
+        "CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id " +
         "FROM w ORDER BY doc_id"
     },
     "q_corpus_lm_score" ->

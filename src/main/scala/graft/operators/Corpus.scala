@@ -21,10 +21,13 @@ object Corpus {
     * sampling decisions can be audited. Well-defined for the FULL
     * 64-bit id range: Long multiplication wraps mod 2^64, which
     * preserves the product mod 2^32, and `pmod` folds the wrapped sign
-    * back — an ANSI-SQL audit query needs 128-bit arithmetic to say the
-    * same (`(CAST(id AS HUGEINT) * 2654435761) % 4294967296` in
-    * DuckDB). Uniformity is adequate for rate sampling; adversarial
-    * keys should pre-hash.
+    * back — an ANSI-SQL audit query needs 128-bit arithmetic AND a
+    * sign fold to say the same, because SQL `%` keeps the dividend's
+    * sign: in DuckDB use
+    * `((CAST(id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296)
+    * % 4294967296` (the plain `%` form diverges for negative ids).
+    * Uniformity is adequate for rate sampling; adversarial keys should
+    * pre-hash.
     */
   def portableHash(id: Column): Column =
     pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
@@ -95,9 +98,13 @@ object Corpus {
     val w = Window.partitionBy(col(shardCol))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exact long division, not double FLOOR: (cum - tokens) is a
+    // non-negative long, so integer `div` IS the floor — and unlike the
+    // double path it cannot misassign a pack by one past 2^53 tokens
+    // (SQL `/` on longs is double division in Spark, hence `div`)
     df.withColumn("cum_tokens", sum(col(tokensCol)).over(w))
       .withColumn("pack_id",
-        floor((col("cum_tokens") - col(tokensCol)).cast("double") / budget).cast("long"))
+        expr(s"(cum_tokens - `$tokensCol`) div ${budget}L"))
   }
 
   // ------------------------------------------------------------ mixing

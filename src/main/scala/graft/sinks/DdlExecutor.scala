@@ -8,25 +8,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** One executed statement on the destination. Implementations throw on
   * failure; the executor above them does the accounting.
   */
-trait StatementExecutor {
+trait StatementExecutor extends AutoCloseable {
   def execute(sql: String): Unit
+  def close(): Unit = ()
 }
 
 object StatementExecutor {
 
   /** JDBC destination (the production path — reference `destDb.Exec`).
-    * One connection per category keeps DDL ordered; catalog DDL volume
-    * is O(schema objects), so pooling would buy nothing.
+    * One connection, opened lazily on first statement and reused for the
+    * whole run, keeps DDL ordered and session-scoped state (temp objects,
+    * session settings) alive across statements; catalog DDL volume is
+    * O(schema objects), so pooling would buy nothing. Call `close()`
+    * when the run ends.
     */
   def jdbc(url: String, props: java.util.Properties): StatementExecutor =
     new StatementExecutor {
-      def execute(sql: String): Unit = {
-        val conn = java.sql.DriverManager.getConnection(url, props)
-        try {
-          val st = conn.createStatement()
-          try st.execute(sql)
-          finally st.close()
-        } finally conn.close()
+      private var conn: java.sql.Connection = null
+      def execute(sql: String): Unit = synchronized {
+        if (conn == null || conn.isClosed)
+          conn = java.sql.DriverManager.getConnection(url, props)
+        val st = conn.createStatement()
+        try st.execute(sql)
+        finally st.close()
+      }
+      override def close(): Unit = synchronized {
+        if (conn != null && !conn.isClosed) conn.close()
+        conn = null
       }
     }
 

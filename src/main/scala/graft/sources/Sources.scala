@@ -46,14 +46,19 @@ final case class FixtureSource(dir: String) extends SqlCapableSource {
     * pushes the text down to the source database instead). Only tables
     * the SQL actually names are registered — registering all of them
     * reads every table's parquet footer per call, which a
-    * hundreds-of-tables source turns into real latency.
+    * hundreds-of-tables source turns into real latency. Referenced
+    * names come from the real SQL parser (unresolved relations, incl.
+    * inside subquery expressions), so names that appear only in string
+    * literals or comments are NOT registered; a CTE alias shadowing a
+    * table name resolves to the CTE, as SQL scoping requires.
     */
   override def sqlSource(spark: SparkSession, sql: String): DataFrame = {
-    val lower = sql.toLowerCase
-    val referenced = tableNames(spark).filter { t =>
-      val q = java.util.regex.Pattern.quote(t.toLowerCase)
-      java.util.regex.Pattern.compile(s"\\b$q\\b").matcher(lower).find()
-    }
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val named = plan.collectWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last.toLowerCase
+    }.toSet
+    val referenced = tableNames(spark).filter(t => named.contains(t.toLowerCase))
     referenced.foreach { t =>
       spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
     }
