@@ -38,8 +38,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_a5_group_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 (plus the
+    * adapted TPC-H remainder from [[graft.analytics.Tpch]]).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.analytics.Tpch.queries ++ Map[String, (SparkSession, String) => DataFrame](
     // K1-K3 — the migration data path itself: partitioned read →
     // shuffle-free batched write → read-back (the reference's TableData
     // phase; BASELINE.md throughput comparison anchor)
@@ -1254,5 +1257,5 @@ object SparkEntry {
         "SELECT view_name, 'create or replace view ' || view_name || ' as ' || " +
         "replace(replace(replace(replace(upper(text), '--', '-- -- '), '\"', '`'), 'NVL(', 'IFNULL('), 'UNISTR(''0'')', '0') || ';' AS sql_cmd " +
         "FROM v ORDER BY view_name")
-  )
+  ) ++ graft.analytics.Tpch.oracleSql
 }
