@@ -633,6 +633,12 @@ object SparkEntry {
       Corpus.bigramLogProbScores(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Corpus-pipeline: trigram stupid-backoff LM scoring, fit on the
+    // deterministic held-in half so backoff genuinely triggers
+    "q_corpus_lm3_score" -> ((s, dir) => {
+      Corpus.trigramBackoffScores(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Corpus-pipeline: per-group stats with an exact median
     "q_corpus_stats" -> ((s, dir) => {
       Corpus.corpusStats(t(s, dir, "documents"), "lang", "n_chars")
@@ -1187,6 +1193,28 @@ object SparkEntry {
         "p AS (SELECT doc_id, count(*) AS n_bigrams, SUM(term) AS sm FROM s GROUP BY doc_id) " +
         "SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, " +
         "COALESCE(round(CAST(p.sm AS DOUBLE) / (p.n_bigrams * 1e15), 6), 0.0) AS mean_logprob " +
+        "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),
+    "q_corpus_lm3_score" ->
+      ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "tri AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3 " +
+        "FROM toks, unnest(range(1, len(w) - 1)) AS t(i)), " +
+        "fit AS (SELECT * FROM tri WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < 2147483648), " +
+        "c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM fit GROUP BY 1, 2, 3), " +
+        "c2 AS (SELECT w1, w2, count(*) AS c2ctx FROM fit GROUP BY 1, 2), " +
+        "bg AS (SELECT w2, w3, count(*) AS b3 FROM fit GROUP BY 1, 2), " +
+        "b2 AS (SELECT w2, count(*) AS b2ctx FROM fit GROUP BY 1), " +
+        "un AS (SELECT w3, count(*) AS u FROM fit GROUP BY 1), " +
+        "nv AS (SELECT count(*) AS n_fit, count(DISTINCT w3) AS v_fit FROM fit), " +
+        "s AS (SELECT tri.doc_id, CAST(round(ln(" +
+        "CASE WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / CAST(c2.c2ctx AS DOUBLE) " +
+        "WHEN bg.b3 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * CAST(bg.b3 AS DOUBLE) / CAST(b2.b2ctx AS DOUBLE) " +
+        "ELSE (CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * CAST(COALESCE(un.u, 0) + 1 AS DOUBLE) / CAST(GREATEST(nv.n_fit + nv.v_fit, 1) AS DOUBLE) END" +
+        ") * 1e15) AS BIGINT) AS term " +
+        "FROM tri LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN c2 USING (w1, w2) " +
+        "LEFT JOIN bg USING (w2, w3) LEFT JOIN b2 USING (w2) LEFT JOIN un USING (w3) CROSS JOIN nv), " +
+        "p AS (SELECT doc_id, count(*) AS n_trigrams, SUM(term) AS sm FROM s GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(p.n_trigrams, 0) AS n_trigrams, " +
+        "COALESCE(round(CAST(p.sm AS DOUBLE) / (p.n_trigrams * 1e15), 6), 0.0) AS mean_logprob " +
         "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),
     "q_corpus_stats" ->
       ("SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_len, " +

@@ -263,6 +263,91 @@ object Corpus {
         coalesce(col("mean_logprob"), lit(0.0)).as("mean_logprob"))
   }
 
+  /** Trigram stupid-backoff LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation"): fit trigram/bigram/
+    * unigram counts on a DETERMINISTIC held-in subset of the corpus
+    * ([[portableHash]] < fitFraction — fitting on everything would make
+    * backoff unreachable, since every scored trigram would be its own
+    * evidence), then score every document by the mean log stupid-backoff
+    * score of its trigrams:
+    *
+    *   S(w3|w1,w2) = c(w1w2w3)/c(w1w2·)        if the trigram was seen
+    *               = 0.4 · c(w2w3)/c(w2·)      else if the bigram was
+    *               = 0.4² · (c(w3)+1)/(N+V)    else (add-one unigram)
+    *
+    * Every probability is a ratio of integer counts evaluated in double
+    * — bit-identical on any IEEE-754 engine — and each `ln S` rounds to
+    * fixed point before the decimal per-document sum, so the oracle is
+    * exact (same scheme as [[bigramLogProbScores]]).
+    *
+    * Scale shape: one tokenize+explode pass (persisted — five count
+    * aggregates and the score join consume it), count tables shuffle on
+    * their own grain, the scored stream joins them on broadcast-unfit
+    * keys via ordinary hash shuffles. At trillion-token scale the count
+    * tables would be min-count pruned first; kept exact here for the
+    * oracle.
+    *
+    * @return (idCol, n_trigrams, mean_logprob); docs with fewer than 3
+    *         tokens score 0.0 with n_trigrams = 0
+    */
+  def trigramBackoffScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      fitFraction: Double = 0.5,
+      alpha: Double = 0.4
+  ): DataFrame = {
+    val w = TextAnalysis.tokens(lower(col(textCol)))
+    val len = greatest(size(w) - 2, lit(0))
+    val pairs = zip_with(slice(w, lit(1), len), slice(w, lit(2), len),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val tri = df.select(col(idCol),
+      explode(zip_with(pairs, slice(w, lit(3), len),
+        (ab, c) => struct(ab.getField("w1").as("w1"), ab.getField("w2").as("w2"),
+          c.as("w3")))).as("tg"))
+      .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fit = deterministicSample(tri, idCol, fitFraction)
+    val c3 = fit.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val c2ctx = fit.groupBy("w1", "w2").agg(count(lit(1)).as("c2ctx"))
+    val b3 = fit.groupBy("w2", "w3").agg(count(lit(1)).as("b3"))
+    val b2ctx = fit.groupBy("w2").agg(count(lit(1)).as("b2ctx"))
+    val uni = fit.groupBy("w3").agg(count(lit(1)).as("u"))
+    val nv = fit.agg(count(lit(1)).as("n_fit"),
+      countDistinct(col("w3")).as("v_fit"))
+    // c3 > 0 implies c2ctx > 0 and b3 > 0 implies b2ctx > 0 (subset
+    // counts), so the backoff CASE never divides by null
+    val score = when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2ctx").cast("double"))
+      .when(col("b3").isNotNull,
+        lit(alpha) * col("b3").cast("double") / col("b2ctx").cast("double"))
+      // greatest(…, 1): an empty fit set (possible on tiny corpora)
+      // must not ANSI-fail the whole job with a division by zero
+      .otherwise(lit(alpha * alpha) *
+        (coalesce(col("u"), lit(0L)) + lit(1)).cast("double") /
+        greatest(col("n_fit") + col("v_fit"), lit(1L)).cast("double"))
+    val perDoc = tri
+      .join(c3, Seq("w1", "w2", "w3"), "left_outer")
+      .join(c2ctx, Seq("w1", "w2"), "left_outer")
+      .join(b3, Seq("w2", "w3"), "left_outer")
+      .join(b2ctx, Seq("w2"), "left_outer")
+      .join(uni, Seq("w3"), "left_outer")
+      .crossJoin(broadcast(nv))
+      .withColumn("__term", round(log(score) * lit(1e15), 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("__term").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("__sum"))
+      .withColumn("mean_logprob",
+        round(col("__sum").cast("double") / (col("n_trigrams") * lit(1e15)), 6))
+      .drop("__sum")
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("mean_logprob"), lit(0.0)).as("mean_logprob"))
+  }
+
   // -------------------------------------------------------------- stats
 
   /** Per-group corpus statistics: document count, total/mean length and

@@ -134,6 +134,44 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("trigramBackoffScores: backoff actually triggers on held-out docs") {
+    import spark.implicits._
+    // even doc_ids are held IN (portableHash(even) spread uniformly —
+    // pick ids whose hash lands under/over 0.5 deterministically)
+    val all = (1L to 40L).map { i =>
+      val base = "the cat sat on the mat and the dog ran"
+      // odd ids get a tail the fit half may never see
+      (i, if (i % 2 == 1) base + s" zq$i xv$i" else base)
+    }
+    val docs = all.toDF("doc_id", "text")
+    val out = Corpus.trigramBackoffScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // every doc scored, counts correct: n tokens -> n-2 trigrams
+    // base docs are fully deterministic continuations: every trigram
+    // probability is exactly 1, so their score is exactly 0.0
+    all.foreach { case (i, txt) =>
+      val nTok = txt.trim.split("\\s+").length
+      assert(out(i)._1 === (nTok - 2).toLong, s"doc $i")
+      assert(out(i)._2 <= 0.0 && !out(i)._2.isNaN, s"doc $i score ${out(i)._2}")
+    }
+    // docs with unseen-suffix tokens must score strictly lower than the
+    // pure-base docs (their trigrams bottom out at the unigram level)
+    val withTail = out.filter(_._1 % 2 == 1).values.map(_._2)
+    val baseOnly = out.filter(_._1 % 2 == 0).values.map(_._2)
+    assert(withTail.max < baseOnly.min,
+      s"tail docs ${withTail.max} should score below base docs ${baseOnly.min}")
+  }
+
+  test("trigramBackoffScores: short docs get 0 with no trigrams") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two"), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
+    val out = Corpus.trigramBackoffScores(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((0L, 0.0)))
+    assert(out(2L) === ((0L, 0.0)))
+    assert(out(3L)._1 === 1L)
+  }
+
   test("bigramLogProbScores survives long documents (no long overflow)") {
     import spark.implicits._
     // ~10k bigrams of rare pairs: a LongType fixed-point sum would
