@@ -361,12 +361,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id").as("nn_id"))
         .orderBy("query_id")
     }),
-    // ANN scale path: LSH-bucketed top-k (approximate — no SQL oracle)
+    // ANN scale path: LSH-bucketed top-k, 6 OR-combined 6-bit bands
+    // (approximate — no SQL oracle; recall-gated in SimilaritySpec)
     "q_sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
       Similarity.lshTopK(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k = 5, nBits = 4)
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nBits = 6, nBands = 6)
         .orderBy("query_id", "rank")
     }),
     // ANN inverted-file path: stride-sampled coarse quantizer, narrow-map

@@ -214,8 +214,13 @@ object Similarity {
     ).getField("cid")
 
   /** LSH-bucketed approximate top-k: join queries to corpus rows sharing
-    * the hyperplane-signature bucket, score, reduce. Exactness recovered
-    * as `nBits → 0`; cost shrinks ~2^nBits-fold.
+    * a hyperplane-signature band bucket, score, reduce. `nBands` OR-
+    * combined bands trade compute for recall the way a single bucket
+    * cannot: a true neighbor is found if ANY band agrees (recall
+    * 1-(1-p^nBits)^nBands vs p^nBits for one band). All bands slice ONE
+    * `nBits·nBands`-plane signature from the fused native kernel — one
+    * pass over each vector, not one per band. Exactness recovered as
+    * `nBits → 0`; per-band cost shrinks ~2^nBits-fold.
     */
   def lshTopK(
       queries: DataFrame,
@@ -225,17 +230,35 @@ object Similarity {
       corpusIdCol: String,
       corpusVecCol: String,
       k: Int,
-      nBits: Int = 8
+      nBits: Int = 8,
+      nBands: Int = 1
   ): DataFrame = {
+    require(nBits > 0 && nBands > 0 && nBits * nBands <= 64,
+      s"nBits*nBands must fit the 64-bit signature, got $nBits*$nBands")
+    val mask = (1L << nBits) - 1
+    def bands(vec: Column): Column = {
+      val sig = VectorFunctions.lshSignature(vec, nBits * nBands)
+      array((0 until nBands).map { b =>
+        struct(lit(b).as("__band"),
+          (shiftrightunsigned(sig, b * nBits).bitwiseAND(lit(mask))).as("__sig"))
+      }: _*)
+    }
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
-      .withColumn("__bucket", VectorFunctions.lshSignature(col("__qv"), nBits))
+      .withColumn("__b", explode(bands(col("__qv"))))
+      .select(col("query_id"), col("__qv"),
+        col("__b.__band").as("__band"), col("__b.__sig").as("__sig"))
       .withColumn("__qn", VectorFunctions.norm(col("__qv")))
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
-      .withColumn("__bucket", VectorFunctions.lshSignature(col("__cv"), nBits))
+      .withColumn("__b", explode(bands(col("__cv"))))
+      .select(col("neighbor_id"), col("__cv"),
+        col("__b.__band").as("__band"), col("__b.__sig").as("__sig"))
       .withColumn("__cn", VectorFunctions.norm(col("__cv")))
     val scored = c
-      .join(broadcast(q), Seq("__bucket"))
+      .join(broadcast(q), Seq("__band", "__sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      // a pair colliding in several bands must score once, not once per
+      // band — dedupe on ids (collided rows are identical modulo band)
+      .dropDuplicates("query_id", "neighbor_id")
       .select(
         col("query_id"),
         col("neighbor_id"),

@@ -146,4 +146,60 @@ class SimilaritySpec extends SparkSpec {
       assert(packed === fromStr, s"packed=$packed str=$bitsStr")
     }
   }
+
+  /** Ground truth for the recall gates: exact top-k as (query -> set). */
+  private def idPairs(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def exactTopK(queries: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame, k: Int): Map[Long, Set[Long]] =
+    idPairs(Similarity.bruteForceTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k))
+
+  private def recallOf(approx: org.apache.spark.sql.DataFrame,
+      truth: Map[Long, Set[Long]]): Double = {
+    val got = idPairs(approx)
+    val per = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    per.sum / per.size
+  }
+
+  // The oracle-less ANN queries are gated here instead: measured
+  // recall@10 against exact brute force on the real embeddings fixture.
+  // Thresholds are deliberately below typical observed recall so the
+  // gate catches structural regressions (wrong list assignment, broken
+  // banding), not run-to-run jitter — both paths are deterministic, but
+  // thresholds shouldn't encode one fixture's exact value.
+  test("ivf recall@10 beats blind probing at nProbe=4/16 and rises with nProbe") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 25)
+    val truth = exactTopK(queries, emb, 10)
+    val r4 = recallOf(Similarity.ivfTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 10,
+      nCentroids = 16, nProbe = 4), truth)
+    val r8 = recallOf(Similarity.ivfTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 10,
+      nCentroids = 16, nProbe = 8), truth)
+    // 16 lists probed 4 ⇒ blind probing would land ~nProbe/nCentroids =
+    // 0.25; the quantizer must do meaningfully better than blind
+    // (measured ~0.42 on this fixture — threshold set below it to gate
+    // structure, not the fixture's exact value)
+    assert(r4 >= 0.33, s"ivf recall@10 nProbe=4 was $r4")
+    assert(r8 >= r4, s"recall must not fall as probes widen: $r4 -> $r8")
+  }
+
+  test("lsh recall@10: OR-combined bands dominate a single band") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 25)
+    val truth = exactTopK(queries, emb, 10)
+    val single = recallOf(Similarity.lshTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 10, nBits = 6), truth)
+    val banded = recallOf(Similarity.lshTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 10, nBits = 6, nBands = 6), truth)
+    assert(banded > single, s"banding must raise recall: $single -> $banded")
+    assert(banded >= 0.2, s"banded lsh recall@10 was $banded")
+  }
 }
