@@ -582,6 +582,23 @@ object SparkEntry {
       graft.verify.Comparator.rowDiff(src, base.union(extra), Seq("o_orderkey"))
         .orderBy("o_orderkey", "diff_status")
     }),
+    // J7 (beyond reference) — backward as-of join: every purchase picks
+    // up the user's latest preceding click; single-shuffle union+window
+    // plan, oracle is DuckDB's native ASOF LEFT JOIN
+    "q_j7_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // μs, not raw ns: DuckDB reads the ns parquet column at μs
+      // precision, so the oracle can only agree at μs grain (`ts div
+      // 1000` is exact on longs)
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("value").as("l_value"))
+      val r = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), expr("ts div 1000").as("r_ts"))
+        .agg(max(col("value")).as("r_value"))
+      graft.operators.Temporal.asofJoin(l, r, "user_id", "ts_us", "r_ts",
+        Seq("r_value")).orderBy("event_id")
+    }),
     // Gopher/C4-style repetition + heuristic quality filters (exact
     // arithmetic, engine-reproducible)
     "q_text_gopher" -> ((s, dir) => {
@@ -1195,6 +1212,15 @@ object SparkEntry {
         "SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, " +
         "COALESCE(round(CAST(p.sm AS DOUBLE) / (p.n_bigrams * 1e15), 6), 0.0) AS mean_logprob " +
         "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),
+    "q_j7_asof_join" ->
+      ("WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value AS l_value " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "r AS (SELECT user_id, epoch_us(ts) AS r_ts, max(value) AS r_value " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
+        "SELECT l.event_id, l.user_id, l.ts_us, l.l_value, " +
+        "r.r_ts AS asof_r_ts, r.r_value AS asof_r_value " +
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.r_ts " +
+        "ORDER BY event_id"),
     "q_corpus_lm3_score" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "tri AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3 " +

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators Spark lacks as built-ins, expressed as
+  * single-shuffle declarative plans.
+  */
+object Temporal {
+
+  /** Backward as-of join (point-in-time join): for every left row,
+    * attach the LATEST right row of the same key with
+    * `right.ts <= left.ts` — the lookup every feature-backfill and
+    * trade/quote pipeline needs, and one Spark has no operator for.
+    *
+    * Shape: tag both sides, union, ONE window over (key) ordered by
+    * (ts, side) carrying the last-seen right payload forward, keep left
+    * rows. One hash shuffle on the key + an in-partition sort — the
+    * same cost as a single join, regardless of how many right rows
+    * precede each left row (a naive `l.ts >= r.ts` range join explodes
+    * to O(|L|·|R|/keys) pairs and then re-aggregates; this never
+    * materializes them). Ties (`right.ts == left.ts`) match, like SQL
+    * `ASOF JOIN ... ON l.ts >= r.ts`; rows with no earlier right row
+    * get nulls (left-outer semantics).
+    *
+    * The right side must be unique per (key, ts) — pre-aggregate
+    * otherwise, or the carried payload is whichever duplicate sorted
+    * last.
+    *
+    * @param rightValueCols right columns to carry onto left rows
+    * @param prefix         carried columns are named `prefix + name`
+    *                       (the right timestamp lands as `prefix +
+    *                       rightTsCol`)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightValueCols: Seq[String],
+      prefix: String = "asof_"
+  ): DataFrame = {
+    val payload = struct(
+      (col(rightTsCol).as(rightTsCol) +: rightValueCols.map(col)): _*)
+    val payloadType = right.select(payload.as("__r")).schema("__r").dataType
+
+    val lTagged = left
+      .withColumn("__ts", col(leftTsCol))
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(payloadType))
+    // right rows become null-padded left rows (keeping their key, which
+    // both sides must name identically) so the union lines up
+    val rTagged = right.select(
+      left.schema.fields.map { f =>
+        if (f.name == keyCol) col(keyCol).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq ++
+        Seq(col(rightTsCol).as("__ts"), lit(0).as("__side"), payload.as("__r")): _*)
+
+    // right sorts before left at equal ts, so ties match (ASOF >=)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lTagged.union(rTagged)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+
+    val outCols = left.columns.map(col).toSeq ++
+      (rightTsCol +: rightValueCols).map(c =>
+        col(s"__asof.$c").as(s"$prefix$c"))
+    carried.filter(col("__side") === 1).select(outCols: _*)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+
+  private def asof(l: Seq[(Long, Long, Long)], r: Seq[(Long, Long, Double)]) = {
+    import spark.implicits._
+    val left = l.toDF("id", "k", "ts")
+    val right = r.toDF("k", "rts", "v")
+    Temporal.asofJoin(left, right, "k", "ts", "rts", Seq("v"))
+      .orderBy("id")
+      .collect()
+      .map(row => (row.getLong(0),
+        if (row.isNullAt(3)) None else Some((row.getLong(3), row.getDouble(4)))))
+  }
+
+  test("asof join picks the latest right row at or before each left ts") {
+    val out = asof(
+      l = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 999L)),
+      r = Seq((7L, 50L, 1.0), (7L, 100L, 2.0), (7L, 300L, 3.0)))
+    // ties match (ASOF >=): left@100 takes right@100, not right@50
+    assert(out.toSeq === Seq(
+      (1L, Some((100L, 2.0))),
+      (2L, Some((100L, 2.0))),
+      (3L, Some((300L, 3.0)))))
+  }
+
+  test("asof join is left-outer: no earlier right row -> nulls; keys don't leak") {
+    val out = asof(
+      l = Seq((1L, 7L, 10L), (2L, 8L, 500L), (3L, 9L, 500L)),
+      r = Seq((7L, 50L, 1.0), (8L, 499L, 2.0)))
+    assert(out.toSeq === Seq(
+      (1L, None),            // right row exists but is LATER
+      (2L, Some((499L, 2.0))),
+      (3L, None)))           // key 9 has no right rows at all
+  }
+
+  test("asof join runs as ONE hash shuffle per side input (no range-join blowup)") {
+    import spark.implicits._
+    val left = (1L to 100L).map(i => (i, i % 5, i * 10)).toDF("id", "k", "ts")
+    val right = (1L to 1000L).map(i => (i % 5, i, i / 100.0)).toDF("k", "rts", "v")
+    val df = Temporal.asofJoin(left, right, "k", "ts", "rts", Seq("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    // union + keyed window: exactly one hashpartitioning exchange, and
+    // no join operator at all — the carry-forward IS the join
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"), plan)
+    assert(df.count() === 100L)
+  }
+
+  test("asof matches the quadratic reference implementation on the events fixture") {
+    val ev = table("events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"),
+        col("value").as("l_value"))
+    val r = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("r_ts"))
+      .agg(max(col("value")).as("r_value"))
+    val fast = Temporal.asofJoin(l, r, "user_id", "ts_ns", "r_ts", Seq("r_value"))
+    // reference: explicit range join + argmax — the plan asofJoin avoids
+    val byMax = l.join(r, l("user_id") === r("user_id") && l("ts_ns") >= r("r_ts"), "inner")
+      .groupBy(col("event_id").as("e2"))
+      .agg(max(col("r_ts")).as("m_ts"))
+    val slow = fast.select("event_id", "asof_r_ts")
+    val joined = slow.join(byMax, col("event_id") === col("e2"), "left_outer")
+    val disagree = joined.filter(
+      (col("m_ts").isNotNull && (col("asof_r_ts").isNull || col("asof_r_ts") =!= col("m_ts"))) ||
+        (col("m_ts").isNull && col("asof_r_ts").isNotNull)).count()
+    assert(disagree === 0L)
+  }
+}
