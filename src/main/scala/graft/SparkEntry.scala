@@ -599,6 +599,24 @@ object SparkEntry {
       graft.operators.Temporal.asofJoin(l, r, "user_id", "ts_us", "r_ts",
         Seq("r_value")).orderBy("event_id")
     }),
+    // J8 (beyond reference) — binned range join: purchases falling in a
+    // 1-hour incident window after any error by the same user; the
+    // (key, bin) equi-join replaces the nested-loop a plain inequality
+    // join would plan
+    "q_j8_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          expr("ts div 1000").as("p_ts"))
+      val win = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("user_id"),
+          expr("ts div 1000").as("s_ts"),
+          (expr("ts div 1000") + lit(3600000000L)).as("e_ts"))
+      graft.operators.Temporal.rangeJoin(p, win, "user_id", "p_ts",
+          "s_ts", "e_ts", binWidth = 3600000000L)
+        .select("p_id", "e_id", "user_id", "p_ts", "s_ts")
+        .orderBy("p_id", "e_id")
+    }),
     // Gopher/C4-style repetition + heuristic quality filters (exact
     // arithmetic, engine-reproducible)
     "q_text_gopher" -> ((s, dir) => {
@@ -1221,6 +1239,14 @@ object SparkEntry {
         "r.r_ts AS asof_r_ts, r.r_value AS asof_r_value " +
         "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.r_ts " +
         "ORDER BY event_id"),
+    "q_j8_range_join" ->
+      ("WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "w AS (SELECT event_id AS e_id, user_id, epoch_us(ts) AS s_ts, " +
+        "epoch_us(ts) + 3600000000 AS e_ts FROM events WHERE event_type = 'error') " +
+        "SELECT p_id, e_id, p.user_id AS user_id, p_ts, s_ts FROM p JOIN w " +
+        "ON p.user_id = w.user_id AND p_ts >= s_ts AND p_ts <= e_ts " +
+        "ORDER BY p_id, e_id"),
     "q_corpus_lm3_score" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "tri AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3 " +

@@ -70,4 +70,41 @@ object Temporal {
         col(s"__asof.$c").as(s"$prefix$c"))
     carried.filter(col("__side") === 1).select(outCols: _*)
   }
+
+  /** Binned range join: match point rows to interval rows of the same
+    * key with `start <= point <= end`. A naive inequality join has no
+    * equi-key, so Spark plans a nested-loop — O(|P|·|I|) per key. This
+    * buckets the domain into `binWidth`-sized bins: each point lands in
+    * exactly ONE bin, each interval replicates to the bins it covers,
+    * and the match becomes an ordinary (key, bin) hash join + exact
+    * filter. Each qualifying pair meets exactly once (the point's bin
+    * is unique), so no dedup pass is needed.
+    *
+    * Size `binWidth` near the typical interval length: replication is
+    * `len/binWidth + 1` per interval, candidate pairs per bin shrink as
+    * bins narrow — the same trade Databricks' range-join hints and
+    * KDB's window joins make. Correct for negative domains too:
+    * integer `div` is monotone, so a covered point's bin always lies in
+    * the interval's bin range.
+    *
+    * @return all point columns + interval columns (key deduplicated)
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCol: String,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = points.withColumn("__bin", expr(s"`$pointCol` div ${binWidth}L"))
+    val i = intervals.withColumn("__bin",
+      explode(sequence(expr(s"`$startCol` div ${binWidth}L"),
+        expr(s"`$endCol` div ${binWidth}L"))))
+    p.join(i, Seq(keyCol, "__bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bin")
+  }
 }

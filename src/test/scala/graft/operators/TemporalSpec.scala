@@ -50,6 +50,34 @@ class TemporalSpec extends SparkSpec {
     assert(df.count() === 100L)
   }
 
+  test("range join: inclusive bounds, bin-spanning intervals match once") {
+    import spark.implicits._
+    val pts = Seq((1L, 7L, 100L), (2L, 7L, 150L), (3L, 7L, 201L), (4L, 8L, 150L))
+      .toDF("id", "k", "ts")
+    // interval [100, 200] spans bins 1..4 at width 50 — the pair (2, i1)
+    // must appear exactly once despite the replication
+    val iv = Seq((10L, 7L, 100L, 200L), (11L, 8L, 140L, 160L))
+      .toDF("iid", "k", "lo", "hi")
+    val out = Temporal.rangeJoin(pts, iv, "k", "ts", "lo", "hi", binWidth = 50L)
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq === Seq((1L, 10L), (2L, 10L), (4L, 11L)))
+  }
+
+  test("range join plans an equi hash join, not a nested loop") {
+    import spark.implicits._
+    val pts = (1L to 200L).map(i => (i, i % 3, i * 7)).toDF("id", "k", "ts")
+    val iv = (1L to 50L).map(i => (i, i % 3, i * 20, i * 20 + 100)).toDF("iid", "k", "lo", "hi")
+    val df = Temporal.rangeJoin(pts, iv, "k", "ts", "lo", "hi", binWidth = 100L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // agreement with the naive inequality join
+    val naive = pts.as("p").join(iv.as("i"),
+      col("p.k") === col("i.k") && col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val binned = df.select("id", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(binned.toSeq === naive.toSeq)
+  }
+
   test("asof matches the quadratic reference implementation on the events fixture") {
     val ev = table("events")
     val l = ev.filter(col("event_type") === "purchase")
