@@ -367,4 +367,39 @@ object Corpus {
           .cast("double") / count(lit(1))).as("mean_len"),
         median(col(lenCol)).cast("double").as("median_len")
       )
+
+  /** Sketch-based corpus diagnostics — the 100 TB path the exact
+    * [[corpusStats]] deliberately isn't: per-group vocabulary size via
+    * HyperLogLog++ (`approx_count_distinct`, mergeable partials — no
+    * shuffle of token sets), token count, and approximate length
+    * quantiles (Greenwald-Khanna, single pass). Cross-engine
+    * hash-oracles don't apply to sketches; accuracy is spec-gated
+    * against exact answers on fixtures instead (relative error bounds
+    * from the sketch parameters: HLL rsd, GK accuracy).
+    *
+    * @param rsd HLL relative standard deviation (default 2.3%)
+    */
+  def corpusSketchStats(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      lenCol: String,
+      rsd: Double = 0.023
+  ): DataFrame = {
+    val toks = df.select(col(groupCol),
+      col(lenCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("__tok"))
+    val vocab = toks.groupBy(col(groupCol))
+      .agg(
+        approx_count_distinct(col("__tok"), rsd).as("approx_vocab"),
+        count(lit(1)).as("n_tokens"))
+    val quant = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(lenCol), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(10000)).as("__q"))
+      .select(col(groupCol),
+        col("__q").getItem(0).cast("double").as("p50_len"),
+        col("__q").getItem(1).cast("double").as("p90_len"),
+        col("__q").getItem(2).cast("double").as("p99_len"))
+    vocab.join(quant, Seq(groupCol))
+  }
 }

@@ -172,6 +172,30 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L)._1 === 1L)
   }
 
+  test("corpusSketchStats: sketches land within their accuracy bounds vs exact") {
+    val docs = table("documents")
+    val got = Corpus.corpusSketchStats(docs, "lang", "text", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = docs.select(col("lang"), col("n_chars"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy("lang")
+      .agg(countDistinct(col("tok")).as("v"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val medians = docs.groupBy("lang").agg(median(col("n_chars")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (lang, (v, n)) =>
+      val (av, an, p50) = got(lang)
+      assert(an === n, s"$lang token count must be exact")
+      // HLL++ at rsd=0.023: allow 5 sigma
+      assert(math.abs(av - v).toDouble / v <= 5 * 0.023,
+        s"$lang approx vocab $av vs exact $v")
+      // GK at accuracy 10k on small groups is near-exact
+      assert(math.abs(p50 - medians(lang)) / medians(lang) <= 0.05,
+        s"$lang p50 $p50 vs median ${medians(lang)}")
+    }
+  }
+
   test("bigramLogProbScores survives long documents (no long overflow)") {
     import spark.implicits._
     // ~10k bigrams of rare pairs: a LongType fixed-point sum would
