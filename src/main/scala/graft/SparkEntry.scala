@@ -669,6 +669,12 @@ object SparkEntry {
       Corpus.bigramLogProbScores(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Corpus-pipeline: per-domain LM affinity (own-domain vs global
+    // bigram log-prob delta — the domain-routing signal)
+    "q_corpus_domain_fit" -> ((s, dir) => {
+      Corpus.domainAffinityScores(t(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
     // Corpus-pipeline: trigram stupid-backoff LM scoring, fit on the
     // deterministic held-in half so backoff genuinely triggers
     "q_corpus_lm3_score" -> ((s, dir) => {
@@ -1247,6 +1253,25 @@ object SparkEntry {
         "SELECT p_id, e_id, p.user_id AS user_id, p_ts, s_ts FROM p JOIN w " +
         "ON p.user_id = w.user_id AND p_ts >= s_ts AND p_ts <= e_ts " +
         "ORDER BY p_id, e_id"),
+    "q_corpus_domain_fit" ->
+      ("WITH toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "e AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2 FROM toks, unnest(range(1, len(w))) AS t(i)), " +
+        "db AS (SELECT lang, w1, w2, count(*) AS cd12 FROM e GROUP BY 1, 2, 3), " +
+        "dl AS (SELECT lang, w1, count(*) AS cd1 FROM e GROUP BY 1, 2), " +
+        "dv AS (SELECT lang, count(*) AS vd FROM dl GROUP BY 1), " +
+        "gb AS (SELECT w1, w2, count(*) AS cg12 FROM e GROUP BY 1, 2), " +
+        "gl AS (SELECT w1, count(*) AS cg1 FROM e GROUP BY 1), " +
+        "gv AS (SELECT count(*) AS vg FROM gl), " +
+        "s AS (SELECT e.doc_id, e.lang, " +
+        "CAST(round(ln(CAST(db.cd12 + 1 AS DOUBLE) / (dl.cd1 + dv.vd)) * 1e15) AS BIGINT) - " +
+        "CAST(round(ln(CAST(gb.cg12 + 1 AS DOUBLE) / (gl.cg1 + gv.vg)) * 1e15) AS BIGINT) AS term " +
+        "FROM e JOIN db USING (lang, w1, w2) JOIN dl USING (lang, w1) JOIN dv USING (lang) " +
+        "JOIN gb USING (w1, w2) JOIN gl USING (w1) CROSS JOIN gv), " +
+        "p AS (SELECT doc_id, lang, count(*) AS n_bigrams, SUM(term) AS sm FROM s GROUP BY 1, 2) " +
+        "SELECT d.doc_id, d.lang, COALESCE(p.n_bigrams, 0) AS n_bigrams, " +
+        "COALESCE(round(CAST(p.sm AS DOUBLE) / (p.n_bigrams * 1e15), 6), 0.0) AS domain_fit " +
+        "FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id AND d.lang = p.lang " +
+        "ORDER BY d.doc_id"),
     "q_corpus_lm3_score" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "tri AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3 " +

@@ -263,6 +263,71 @@ object Corpus {
         coalesce(col("mean_logprob"), lit(0.0)).as("mean_logprob"))
   }
 
+  /** Per-domain LM affinity (the CCNet/DoReMi-style domain-fit signal):
+    * fit one add-one-smoothed bigram LM per domain AND one global LM in
+    * the same pass, then score every document by the mean difference
+    * `ln P_domain(w2|w1) − ln P_global(w2|w1)` under its OWN domain's
+    * LM. Text that reads like its domain scores positive; misfiled or
+    * boilerplate text scores negative — the cheap router for
+    * domain-weighted sampling ([[stratifiedSample]] consumes it).
+    *
+    * Engine-exact like [[bigramLogProbScores]]: both `ln` terms round
+    * to fixed point BEFORE the subtraction and the decimal sum, so the
+    * fold is order-independent and the DuckDB oracle bit-matches. The
+    * per-domain count tables add `domain` to every key — same shuffles,
+    * K× the aggregate cardinality, which is exactly how it scales at
+    * 100 TB (domains partition the corpus; no cross-domain traffic).
+    *
+    * @return (idCol, domainCol, n_bigrams, domain_fit); docs with fewer
+    *         than 2 tokens get domain_fit 0.0 and n_bigrams 0
+    */
+  def domainAffinityScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String
+  ): DataFrame = {
+    val w = TextAnalysis.tokens(lower(col(textCol)))
+    val bigrams = df.select(col(idCol), col(domainCol),
+      explode(zip_with(
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+        slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col(domainCol),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dBi = bigrams.groupBy(domainCol, "w1", "w2").agg(count(lit(1)).as("cd12"))
+    val dLeft = bigrams.groupBy(domainCol, "w1").agg(count(lit(1)).as("cd1"))
+    val dV = dLeft.groupBy(domainCol).agg(count(lit(1)).as("vd"))
+    val gBi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cg12"))
+    val gLeft = bigrams.groupBy("w1").agg(count(lit(1)).as("cg1"))
+    val gV = gLeft.agg(count(lit(1)).as("vg"))
+    val lnD = log((col("cd12") + 1).cast("double") /
+      (col("cd1") + col("vd")).cast("double"))
+    val lnG = log((col("cg12") + 1).cast("double") /
+      (col("cg1") + col("vg")).cast("double"))
+    val perDoc = bigrams
+      .join(dBi, Seq(domainCol, "w1", "w2"))
+      .join(dLeft, Seq(domainCol, "w1"))
+      .join(broadcast(dV), Seq(domainCol))
+      .join(gBi, Seq("w1", "w2"))
+      .join(gLeft, Seq("w1"))
+      .crossJoin(broadcast(gV))
+      .withColumn("__term",
+        round(lnD * lit(1e15), 0).cast("long") - round(lnG * lit(1e15), 0).cast("long"))
+      .groupBy(col(idCol), col(domainCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__term").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("__sum"))
+      .withColumn("domain_fit",
+        round(col("__sum").cast("double") / (col("n_bigrams") * lit(1e15)), 6))
+      .drop("__sum")
+    df.select(col(idCol), col(domainCol)).join(perDoc, Seq(idCol, domainCol), "left_outer")
+      .select(col(idCol), col(domainCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("domain_fit"), lit(0.0)).as("domain_fit"))
+  }
+
   /** Trigram stupid-backoff LM scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation"): fit trigram/bigram/
     * unigram counts on a DETERMINISTIC held-in subset of the corpus

@@ -71,6 +71,24 @@ class TpchPlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan)
   }
 
+  test("q10: the deterministic LIMIT runs as TakeOrdered, not a global sort") {
+    val plan = physical("q_tpch_q10")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q15: the max-revenue scalar broadcasts; supplier join broadcasts") {
+    val plan = physical("q_tpch_q15")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q20: the decorrelated IN runs as a semi join over a pre-aggregated side") {
+    val plan = physical("q_tpch_q20")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("the full 22-query suite is present: 8 in SparkEntry + 14 here") {
     val tpchKeys = SparkEntry.queries.keys.filter(_.startsWith("q_tpch_q")).toSet
     val expected = (1 to 22).map(i => s"q_tpch_q$i").toSet

@@ -134,6 +134,23 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("domainAffinityScores: misfiled text scores below in-domain text") {
+    import spark.implicits._
+    val legal = "the party of the first part shall indemnify the party of the second part"
+    val chat = "lol yeah that movie was so good we should watch it again tonight"
+    val docs = (
+      (1L to 8L).map(i => (i, "legal", legal)) ++
+      (11L to 18L).map(i => (i, "chat", chat)) ++
+      Seq((99L, "legal", chat))  // misfiled: chat text in the legal domain
+    ).toDF("doc_id", "lang", "text")
+    val out = Corpus.domainAffinityScores(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val inDomainMin = ((1L to 8L) ++ (11L to 18L)).map(out).min
+    assert(out(99L) < inDomainMin,
+      s"misfiled doc ${out(99L)} should score below in-domain min $inDomainMin")
+    assert(out(99L) < 0.0, s"misfiled doc should score negative, got ${out(99L)}")
+  }
+
   test("trigramBackoffScores: backoff actually triggers on held-out docs") {
     import spark.implicits._
     // even doc_ids are held IN (portableHash(even) spread uniformly —
