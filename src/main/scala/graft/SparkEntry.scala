@@ -669,6 +669,13 @@ object SparkEntry {
       Corpus.bigramLogProbScores(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Corpus-pipeline: overlapping context-window chunking (32-token
+    // windows, stride 24) — shuffle-free narrow map
+    "q_corpus_chunk" -> ((s, dir) => {
+      Corpus.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    }),
     // Corpus-pipeline: per-domain LM affinity (own-domain vs global
     // bigram log-prob delta — the domain-routing signal)
     "q_corpus_domain_fit" -> ((s, dir) => {
@@ -1253,6 +1260,12 @@ object SparkEntry {
         "SELECT p_id, e_id, p.user_id AS user_id, p_ts, s_ts FROM p JOIN w " +
         "ON p.user_id = w.user_id AND p_ts >= s_ts AND p_ts <= e_ts " +
         "ORDER BY p_id, e_id"),
+    "q_corpus_chunk" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
+        "c AS (SELECT doc_id, i AS chunk_id, list_slice(w, i * 24 + 1, i * 24 + 32) AS ck " +
+        "FROM t, unnest(range(0, 1 + CAST(FLOOR((GREATEST(len(w) - 32, 0) + 23) / 24) AS BIGINT))) AS u(i)) " +
+        "SELECT doc_id, chunk_id, len(ck) AS n_tokens, array_to_string(ck, ' ') AS chunk_text " +
+        "FROM c ORDER BY doc_id, chunk_id"),
     "q_corpus_domain_fit" ->
       ("WITH toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "e AS (SELECT doc_id, lang, w[i] AS w1, w[i+1] AS w2 FROM toks, unnest(range(1, len(w))) AS t(i)), " +

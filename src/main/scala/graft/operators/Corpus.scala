@@ -107,6 +107,45 @@ object Corpus {
         expr(s"(cum_tokens - `$tokensCol`) div ${budget}L"))
   }
 
+  /** Context-window chunking: split each document's token stream into
+    * overlapping windows of `chunkSize` tokens advancing by `stride`
+    * (stride < chunkSize ⇒ the overlap long-context training uses so no
+    * span is only ever seen cut in half). A narrow map — tokenize,
+    * compute the chunk count arithmetically, `transform` + `explode` —
+    * no shuffle at all; chunk rows inherit the parent's partitioning.
+    * The last window is shorter when the stream doesn't divide evenly;
+    * `stride <= chunkSize` guarantees every window is non-empty.
+    *
+    * @return (idCol, chunk_id, n_tokens, chunk_text), chunk_id 0-based
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int
+  ): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val w = TextAnalysis.tokens(col(textCol))
+    // nChunks = 1 + ceil(max(n - chunkSize, 0) / stride), in exact
+    // integer arithmetic (shared with the SQL oracle)
+    val extra = greatest(size(w) - lit(chunkSize), lit(0))
+    // floor of a small-int double division is exact (gap 1/stride far
+    // exceeds a double ulp at these magnitudes); Spark's `/` on longs
+    // would be double division anyway, so make the floor explicit
+    val nChunks = lit(1L) +
+      floor((extra + lit(stride - 1)).cast("double") / lit(stride.toDouble)).cast("long")
+    df.select(col(idCol), explode(transform(
+        sequence(lit(0L), nChunks.cast("long") - 1),
+        i => struct(i.as("chunk_id"),
+          slice(w, (i * lit(stride.toLong) + 1).cast("int"), lit(chunkSize))
+            .as("ck")))).as("c"))
+      .select(col(idCol), col("c.chunk_id").as("chunk_id"),
+        size(col("c.ck")).as("n_tokens"),
+        array_join(col("c.ck"), " ").as("chunk_text"))
+  }
+
   // ------------------------------------------------------------ mixing
 
   /** Weighted interleave of sources (dataset mixing): a source with

@@ -134,6 +134,36 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: full coverage, correct overlap, exact reconstruction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 toks -> 5 chunks
+      (2L, (1 to 8).map(i => s"s$i").mkString(" ")),   // under one window
+      (3L, (1 to 32).map(i => s"u$i").mkString(" "))   // exactly one window
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(docs, "doc_id", "text", chunkSize = 32, stride = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out(2L).length === 1 && out(2L).head._3 === 8)
+    assert(out(3L).length === 1 && out(3L).head._3 === 32)
+    // 100 tokens: minimal cover starts at 1,25,49,73 — three full
+    // windows and a 28-token tail (73+32-1 = 104 >= 100, so no 5th)
+    assert(out(1L).length === 4)
+    assert(out(1L).map(_._3).toSeq === Seq(32, 32, 32, 28))
+    // reconstruction: dropping each chunk's overlap prefix re-yields the doc
+    val rebuilt = out(1L).zipWithIndex.flatMap { case ((_, _, _, txt), i) =>
+      val toks = txt.split(" ").toSeq
+      if (i == 0) toks else toks.drop(32 - 24)
+    }
+    assert(rebuilt === (1 to 100).map(i => s"t$i"))
+  }
+
+  test("chunkDocuments plans a narrow map — no exchange") {
+    val df = Corpus.chunkDocuments(table("documents"), "doc_id", "text", 32, 24)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("domainAffinityScores: misfiled text scores below in-domain text") {
     import spark.implicits._
     val legal = "the party of the first part shall indemnify the party of the second part"
