@@ -669,6 +669,14 @@ object SparkEntry {
       Corpus.bigramLogProbScores(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Corpus-pipeline: eval-set decontamination — flag docs sharing any
+    // exact 8-token shingle with the benchmark slice (doc_id % 97)
+    "q_corpus_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.decontaminationFlags(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text", n = 8)
+        .orderBy("doc_id")
+    }),
     // Corpus-pipeline: overlapping context-window chunking (32-token
     // windows, stride 24) — shuffle-free narrow map
     "q_corpus_chunk" -> ((s, dir) => {
@@ -1260,6 +1268,14 @@ object SparkEntry {
         "SELECT p_id, e_id, p.user_id AS user_id, p_ts, s_ts FROM p JOIN w " +
         "ON p.user_id = w.user_id AND p_ts >= s_ts AND p_ts <= e_ts " +
         "ORDER BY p_id, e_id"),
+    "q_corpus_decontam" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS s " +
+        "FROM t, unnest(range(1, len(w) - 6)) AS u(i)), " +
+        "b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), " +
+        "h AS (SELECT doc_id, count(*) AS n_hits FROM sh JOIN b USING (s) GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits, COALESCE(h.n_hits, 0) > 0 AS contaminated " +
+        "FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"),
     "q_corpus_chunk" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
         "c AS (SELECT doc_id, i AS chunk_id, list_slice(w, i * 24 + 1, i * 24 + 32) AS ck " +

@@ -178,6 +178,45 @@ object Corpus {
       .withColumn("mix_pos", rank.cast("double") / w)
   }
 
+  /** Benchmark decontamination (GPT-3 appendix-C style): flag corpus
+    * documents sharing any exact n-token shingle with an evaluation
+    * set. Shingles are lowercase token windows joined by single spaces,
+    * deduplicated PER DOCUMENT with `array_distinct` before the explode
+    * — so the corpus side never shuffles raw shingles; the only
+    * shuffle is the per-doc hit count. The benchmark side is tiny by
+    * nature (eval suites, not corpora) and broadcasts.
+    *
+    * @return (idCol, n_hits, contaminated); n_hits counts DISTINCT
+    *         matching shingles per document
+    */
+  def decontaminationFlags(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    require(n > 0)
+    def shingles(textC: Column): Column = {
+      val w = TextAnalysis.tokens(lower(textC))
+      when(size(w) >= n,
+        array_distinct(transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val benchSh = benchmark
+      .select(explode(shingles(col(benchTextCol))).as("__sh")).distinct()
+    val hits = df.select(col(idCol), explode(shingles(col(textCol))).as("__sh"))
+      .join(broadcast(benchSh), Seq("__sh"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    df.select(col(idCol)).join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   // --------------------------------------------------------- redaction
 
   /** PII redaction: emails, IPv4 addresses, then phone-like digit runs

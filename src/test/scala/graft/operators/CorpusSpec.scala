@@ -134,6 +134,26 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("decontaminationFlags: planted eval overlap flagged, distinct per-doc counting") {
+    import spark.implicits._
+    val evalQ = "what is the capital of france the answer is paris obviously"
+    val docs = Seq(
+      // contains the full eval question verbatim -> many matching shingles
+      (1L, s"some prefix text here $evalQ and a suffix"),
+      // repeats ONE eval 8-gram three times: distinct counting -> 1 hit
+      (2L, Seq.fill(3)("what is the capital of france the answer").mkString(" x ")),
+      (3L, "completely unrelated text about spark shuffles and parquet readers ok"),
+      (4L, "short doc")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(evalQ)).toDF("q")
+    val out = Corpus.decontaminationFlags(docs, "doc_id", "text", bench, "q", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2 && out(1L)._1 === 4L) // 11-token question -> 4 shingles
+    assert(out(2L) === ((1L, true)), s"distinct counting, got ${out(2L)}")
+    assert(out(3L) === ((0L, false)))
+    assert(out(4L) === ((0L, false))) // under n tokens -> can't contaminate
+  }
+
   test("chunkDocuments: full coverage, correct overlap, exact reconstruction") {
     import spark.implicits._
     val docs = Seq(
