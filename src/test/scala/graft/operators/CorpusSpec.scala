@@ -263,6 +263,21 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("LM scoring plans: count joins are hash joins, no cartesian blowup") {
+    Seq(
+      Corpus.trigramBackoffScores(table("documents"), "doc_id", "text"),
+      Corpus.domainAffinityScores(table("documents"), "doc_id", "text", "lang")
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      // the single-row N/V aggregate rides a broadcast nested loop (1
+      // row — fine); everything else must be hash joins with map-side
+      // partial aggregation
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan)
+      df.unpersist()
+    }
+  }
+
   test("bigramLogProbScores survives long documents (no long overflow)") {
     import spark.implicits._
     // ~10k bigrams of rare pairs: a LongType fixed-point sum would

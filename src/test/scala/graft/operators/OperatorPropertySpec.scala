@@ -102,4 +102,61 @@ class OperatorPropertySpec extends SparkSpec {
         s"n=$n mismatches: ${bad.limit(3).collect().mkString("; ")}")
     }
   }
+
+  test("chunkDocuments: coverage + reconstruction for random sizes/strides") {
+    import spark.implicits._
+    val cfgGen = for {
+      size <- Gen.choose(2, 40)
+      stride <- Gen.choose(1, size)
+      nTok <- Gen.choose(1, 120)
+    } yield (size, stride, nTok)
+    (0 until 8).foreach { seed =>
+      val (size, stride, nTok) = cfgGen.apply(params, rng.Seed(seed.toLong)).get
+      val toks = (1 to nTok).map(i => s"w$i")
+      val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = Corpus.chunkDocuments(docs, "doc_id", "text", size, stride)
+        .collect().sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getString(3).split(" ").toSeq))
+      // chunk i starts at i*stride, is `size` long except a shorter tail
+      chunks.zipWithIndex.foreach { case ((cid, ck), i) =>
+        assert(cid === i.toLong)
+        assert(ck === toks.slice(i * stride, i * stride + size),
+          s"seed=$seed size=$size stride=$stride chunk=$i")
+      }
+      // full coverage: the last chunk reaches the last token; minimality:
+      // every chunk but the first starts inside the stream
+      assert(chunks.last._2.last === toks.last, s"seed=$seed $size/$stride/$nTok")
+      assert(chunks.length === 1 + math.max(0,
+        math.ceil((nTok - size).max(0).toDouble / stride).toInt),
+        s"seed=$seed size=$size stride=$stride nTok=$nTok got ${chunks.length}")
+    }
+  }
+
+  test("asofJoin == per-row max-predecessor scan on random streams") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.choose(1, 30)
+      nr <- Gen.choose(0, 30)
+      lefts <- Gen.listOfN(nl, for {
+        k <- Gen.choose(1L, 3L); ts <- Gen.choose(0L, 100L)
+      } yield (k, ts))
+      rights <- Gen.listOfN(nr, for {
+        k <- Gen.choose(1L, 3L); ts <- Gen.choose(0L, 100L)
+      } yield (k, ts))
+    } yield (lefts, rights.distinct) // right unique per (key, ts)
+    (0 until 8).foreach { seed =>
+      val (lefts, rights) = gen.apply(params, rng.Seed(seed.toLong)).get
+      val lDf = lefts.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("id", "k", "ts")
+      val rDf = rights.map { case (k, ts) => (k, ts, ts * 2.0) }.toDF("k", "rts", "v")
+      val got = Temporal.asofJoin(lDf, rDf, "k", "ts", "rts", Seq("v"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      lefts.zipWithIndex.foreach { case ((k, ts), i) =>
+        val expected = rights.filter(r => r._1 == k && r._2 <= ts)
+          .map(_._2).maxOption
+        assert(got(i.toLong) === expected, s"seed=$seed left=$i key=$k ts=$ts")
+      }
+    }
+  }
 }
