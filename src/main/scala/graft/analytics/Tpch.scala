@@ -166,10 +166,16 @@ object Tpch {
         .join(broadcast(nat5), col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey"),
           (col("l_extendedprice") * col("l_quantity")).cast(DecimalType(27, 6)).as("term"))
-      val perPart = f.groupBy("l_partkey")
-        .agg(sum(col("term")).cast("double").as("part_value"))
-      val cutoff = f.agg((sum(col("term")).cast("double") * lit(0.001)).as("cutoff"))
-      perPart.crossJoin(broadcast(cutoff))
+      // keep the per-part sums DECIMAL so the global cutoff can be
+      // re-aggregated from them (decimal addition is associative, so
+      // this equals the oracle's one global sum bit-for-bit) — the
+      // fact table is scanned ONCE and the shared partkey exchange is
+      // deduplicated by ReuseExchange instead of a second full scan
+      val perPart = f.groupBy("l_partkey").agg(sum(col("term")).as("dec_value"))
+      val cutoff = perPart
+        .agg((sum(col("dec_value")).cast("double") * lit(0.001)).as("cutoff"))
+      perPart.withColumn("part_value", col("dec_value").cast("double"))
+        .crossJoin(broadcast(cutoff))
         .filter(col("part_value") > col("cutoff"))
         .select("l_partkey", "part_value")
         .orderBy(col("part_value").desc, col("l_partkey"))

@@ -37,6 +37,14 @@ class TpchPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     // partial aggregation runs map-side before the partkey shuffle
     assert(plan.contains("partial_sum"), plan)
+    // the cutoff re-aggregates the per-part sums: the shared partkey
+    // exchange must be REUSED, not a second scan of the fact table —
+    // AQE applies reuse at runtime, so execute before inspecting
+    val df = SparkEntry.queries("q_tpch_q11")(spark, sfDir)
+    df.collect() // count() would plan a SEPARATE query execution
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedQueryStage") || finalPlan.contains("ReusedExchange"),
+      finalPlan)
   }
 
   test("q12: the ship-date range filter reaches the parquet scan") {
