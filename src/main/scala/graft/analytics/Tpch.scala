@@ -61,10 +61,13 @@ object Tpch {
         .join(broadcast(regionSuppliers(s, dir, "EUROPE")),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      val minc = es.groupBy(col("l_partkey").as("mc_partkey"))
-        .agg(min(col("unit_cost")).as("min_cost"))
-      es.join(broadcast(minc),
-          col("l_partkey") === col("mc_partkey") && col("unit_cost") === col("min_cost"))
+      // per-part MIN as a keyed WINDOW, not aggregate + join-back: the
+      // join-back would re-scan the fact side (no exchange boundary to
+      // reuse — both scans are full reads at 100 TB); the window is one
+      // scan + one shuffle of the already-pruned rows
+      val wMin = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      es.withColumn("min_cost", min(col("unit_cost")).over(wMin))
+        .filter(col("unit_cost") === col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
         .distinct()
         .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
@@ -236,9 +239,11 @@ object Tpch {
         .select("p_partkey")
       val lp = t(s, dir, "lineitem")
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      val avgQ = lp.groupBy(col("l_partkey").as("aq_partkey"))
-        .agg((avg(col("l_quantity")) * lit(0.5)).as("half_avg_qty"))
-      lp.join(broadcast(avgQ), col("l_partkey") === col("aq_partkey"))
+      // correlated AVG as a keyed window (one scan of the pruned rows,
+      // not aggregate + join-back re-scanning the fact table); integral
+      // quantities keep the threshold exact in any summation order
+      val wAvg = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      lp.withColumn("half_avg_qty", avg(col("l_quantity")).over(wAvg) * lit(0.5))
         .filter(col("l_quantity") < col("half_avg_qty"))
         .agg((sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double") / lit(7.0))
           .as("avg_yearly"))

@@ -21,10 +21,14 @@ class TpchPlanSpec extends SparkSpec {
   private def physical(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
-  test("q2: every join broadcasts — the fact side never shuffles for a join") {
+  private def factScans(plan: String): Int =
+    "lineitem\\.parquet".r.findAllIn(plan).size
+
+  test("q2: every join broadcasts and the fact table is scanned ONCE (window, not join-back)") {
     val plan = explain("q_tpch_q2")
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    assert(factScans(physical("q_tpch_q2")) === 1, "min-cost must not re-scan lineitem")
   }
 
   test("q7: all four dimension joins broadcast; only orders⋈lineitem shuffles") {
@@ -54,11 +58,12 @@ class TpchPlanSpec extends SparkSpec {
       plan.contains("IsNotNull(l_shipdate)"), plan)
   }
 
-  test("q17: part filter prunes before the correlated-avg join-back; scan reads only needed columns") {
+  test("q17: part filter prunes before the correlated-avg window; ONE pruned-column scan") {
     val plan = explain("q_tpch_q17")
     assert(plan.contains("BroadcastHashJoin"), plan)
     val readSchemas = plan.linesIterator.filter(_.trim.startsWith("ReadSchema")).mkString("\n")
     assert(!readSchemas.contains("l_shipdate") && !readSchemas.contains("l_tax"), readSchemas)
+    assert(factScans(physical("q_tpch_q17")) === 1, "correlated avg must not re-scan lineitem")
   }
 
   test("q19: the disjunction does NOT defeat the equi-join extraction") {
