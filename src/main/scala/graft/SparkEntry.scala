@@ -934,7 +934,7 @@ object SparkEntry {
         "FROM t) " +
         "SELECT doc_id, " +
         "CAST(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) + len(regexp_extract_all(text, '[^\\p{L}\\p{N} ]')) AS BIGINT) AS n_bpeish, " +
-        "round((len_score + (1.0 - LEAST(pr * 5.0, 1.0)) + (1.0 - LEAST(abs(swr - 0.4) * 2.5, 1.0)) + (1.0 - LEAST(abs(mtl - 5.0) / 5.0, 1.0))) / 4.0, 6) AS quality " +
+        "FLOOR((len_score + (1.0 - LEAST(pr * 5.0, 1.0)) + (1.0 - LEAST(abs(swr - 0.4) * 2.5, 1.0)) + (1.0 - LEAST(abs(mtl - 5.0) / 5.0, 1.0))) / 4.0 * 1000000 + 0.5) / 1000000.0 AS quality " +
         "FROM m ORDER BY doc_id"
     },
     "q_mm_binary_meta" ->
@@ -1076,9 +1076,9 @@ object SparkEntry {
         "c AS (SELECT doc_id, t, length(t) AS n, " +
         "list_distinct(list_transform(range(1, length(t)+1), i -> t[i:i])) AS d FROM nn) " +
         "SELECT doc_id, CASE WHEN n > 0 THEN " +
-        "round(-(CAST(list_sum(list_transform(d, ch -> " +
-        "CAST(round((CAST(length(t) - length(replace(t, ch, '')) AS DOUBLE) / n) * " +
-        "ln(CAST(length(t) - length(replace(t, ch, '')) AS DOUBLE) / n) * 1e15) AS BIGINT))) AS DOUBLE) / 1e15), 6) + 0.0 " +
+        "FLOOR(-(CAST(list_sum(list_transform(d, ch -> " +
+        "CAST(FLOOR((CAST(length(t) - length(replace(t, ch, '')) AS DOUBLE) / n) * " +
+        "ln(CAST(length(t) - length(replace(t, ch, '')) AS DOUBLE) / n) * 1e15 + 0.5) AS BIGINT))) AS DOUBLE) / 1e15) * 1000000 + 0.5) / 1000000.0 + 0.0 " +
         "ELSE 0.0 END AS entropy " +
         "FROM c ORDER BY doc_id"),
     "q_dedup_minhash_portable" -> {
@@ -1229,7 +1229,7 @@ object SparkEntry {
         "CASE WHEN len(ltoks) > 0 THEN 1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks) ELSE 0.0 END AS wr " +
         "FROM t), " +
         "q AS (SELECT doc_id, lang, text, n_tokens, " +
-        "round((len_score + (1.0 - LEAST(pr * 5.0, 1.0)) + (1.0 - LEAST(abs(swr - 0.4) * 2.5, 1.0)) + (1.0 - LEAST(abs(mtl - 5.0) / 5.0, 1.0))) / 4.0, 6) AS quality, wr FROM m), " +
+        "FLOOR((len_score + (1.0 - LEAST(pr * 5.0, 1.0)) + (1.0 - LEAST(abs(swr - 0.4) * 2.5, 1.0)) + (1.0 - LEAST(abs(mtl - 5.0) / 5.0, 1.0))) / 4.0 * 1000000 + 0.5) / 1000000.0 AS quality, wr FROM m), " +
         "f AS (SELECT * FROM q WHERE quality >= 0.3 AND wr <= 0.3), " +
         "d AS (SELECT * FROM f WHERE doc_id IN (SELECT MIN(doc_id) FROM f GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))), " +
         "s AS (SELECT * FROM d WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < 2147483648), " +
@@ -1245,11 +1245,11 @@ object SparkEntry {
         "bc AS (SELECT w1, w2, count(*) AS c12 FROM e GROUP BY 1, 2), " +
         "lc AS (SELECT w1, count(*) AS c1 FROM e GROUP BY 1), " +
         "v AS (SELECT count(*) AS v FROM lc), " +
-        "s AS (SELECT e.doc_id, CAST(round(ln(CAST(bc.c12 + 1 AS DOUBLE) / (lc.c1 + v.v)) * 1e15) AS BIGINT) AS term " +
+        "s AS (SELECT e.doc_id, CAST(FLOOR(ln(CAST(bc.c12 + 1 AS DOUBLE) / (lc.c1 + v.v)) * 1e15 + 0.5) AS BIGINT) AS term " +
         "FROM e JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v), " +
         "p AS (SELECT doc_id, count(*) AS n_bigrams, SUM(term) AS sm FROM s GROUP BY doc_id) " +
         "SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, " +
-        "COALESCE(round(CAST(p.sm AS DOUBLE) / (p.n_bigrams * 1e15), 6), 0.0) AS mean_logprob " +
+        "COALESCE(FLOOR(CAST(p.sm AS DOUBLE) / (p.n_bigrams * 1e15) * 1000000 + 0.5) / 1000000.0, 0.0) AS mean_logprob " +
         "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),
     "q_j7_asof_join" ->
       ("WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value AS l_value " +
@@ -1292,13 +1292,13 @@ object SparkEntry {
         "gl AS (SELECT w1, count(*) AS cg1 FROM e GROUP BY 1), " +
         "gv AS (SELECT count(*) AS vg FROM gl), " +
         "s AS (SELECT e.doc_id, e.lang, " +
-        "CAST(round(ln(CAST(db.cd12 + 1 AS DOUBLE) / (dl.cd1 + dv.vd)) * 1e15) AS BIGINT) - " +
-        "CAST(round(ln(CAST(gb.cg12 + 1 AS DOUBLE) / (gl.cg1 + gv.vg)) * 1e15) AS BIGINT) AS term " +
+        "CAST(FLOOR(ln(CAST(db.cd12 + 1 AS DOUBLE) / (dl.cd1 + dv.vd)) * 1e15 + 0.5) AS BIGINT) - " +
+        "CAST(FLOOR(ln(CAST(gb.cg12 + 1 AS DOUBLE) / (gl.cg1 + gv.vg)) * 1e15 + 0.5) AS BIGINT) AS term " +
         "FROM e JOIN db USING (lang, w1, w2) JOIN dl USING (lang, w1) JOIN dv USING (lang) " +
         "JOIN gb USING (w1, w2) JOIN gl USING (w1) CROSS JOIN gv), " +
         "p AS (SELECT doc_id, lang, count(*) AS n_bigrams, SUM(term) AS sm FROM s GROUP BY 1, 2) " +
         "SELECT d.doc_id, d.lang, COALESCE(p.n_bigrams, 0) AS n_bigrams, " +
-        "COALESCE(round(CAST(p.sm AS DOUBLE) / (p.n_bigrams * 1e15), 6), 0.0) AS domain_fit " +
+        "COALESCE(FLOOR(CAST(p.sm AS DOUBLE) / (p.n_bigrams * 1e15) * 1000000 + 0.5) / 1000000.0, 0.0) AS domain_fit " +
         "FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id AND d.lang = p.lang " +
         "ORDER BY d.doc_id"),
     "q_corpus_lm3_score" ->
@@ -1312,16 +1312,16 @@ object SparkEntry {
         "b2 AS (SELECT w2, count(*) AS b2ctx FROM fit GROUP BY 1), " +
         "un AS (SELECT w3, count(*) AS u FROM fit GROUP BY 1), " +
         "nv AS (SELECT count(*) AS n_fit, count(DISTINCT w3) AS v_fit FROM fit), " +
-        "s AS (SELECT tri.doc_id, CAST(round(ln(" +
+        "s AS (SELECT tri.doc_id, CAST(FLOOR(ln(" +
         "CASE WHEN c3.c3 IS NOT NULL THEN CAST(c3.c3 AS DOUBLE) / CAST(c2.c2ctx AS DOUBLE) " +
         "WHEN bg.b3 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * CAST(bg.b3 AS DOUBLE) / CAST(b2.b2ctx AS DOUBLE) " +
         "ELSE (CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * CAST(COALESCE(un.u, 0) + 1 AS DOUBLE) / CAST(GREATEST(nv.n_fit + nv.v_fit, 1) AS DOUBLE) END" +
-        ") * 1e15) AS BIGINT) AS term " +
+        ") * 1e15 + 0.5) AS BIGINT) AS term " +
         "FROM tri LEFT JOIN c3 USING (w1, w2, w3) LEFT JOIN c2 USING (w1, w2) " +
         "LEFT JOIN bg USING (w2, w3) LEFT JOIN b2 USING (w2) LEFT JOIN un USING (w3) CROSS JOIN nv), " +
         "p AS (SELECT doc_id, count(*) AS n_trigrams, SUM(term) AS sm FROM s GROUP BY doc_id) " +
         "SELECT d.doc_id, COALESCE(p.n_trigrams, 0) AS n_trigrams, " +
-        "COALESCE(round(CAST(p.sm AS DOUBLE) / (p.n_trigrams * 1e15), 6), 0.0) AS mean_logprob " +
+        "COALESCE(FLOOR(CAST(p.sm AS DOUBLE) / (p.n_trigrams * 1e15) * 1000000 + 0.5) / 1000000.0, 0.0) AS mean_logprob " +
         "FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id"),
     "q_corpus_stats" ->
       ("SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_len, " +

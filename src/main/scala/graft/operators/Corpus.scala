@@ -323,7 +323,7 @@ object Corpus {
       .crossJoin(broadcast(vocab))
       .withColumn("__p",
         (col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
-      .withColumn("__term", round(log(col("__p")) * lit(1e15), 0).cast("long"))
+      .withColumn("__term", TextAnalysis.fxLong(log(col("__p")) * lit(1e15)))
     // terms are ~|ln p|·1e15 each: a long sum overflows past ~9·10³
     // bigrams × |ln p| (ANSI Spark throws, DuckDB HUGEINT→BIGINT cast
     // errors) — accumulate in unbounded decimal like corpusStats
@@ -332,7 +332,7 @@ object Corpus {
         sum(col("__term").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .as("__sum"))
       .withColumn("mean_logprob",
-        round(col("__sum").cast("double") / (col("n_bigrams") * lit(1e15)), 6))
+        TextAnalysis.round6(col("__sum").cast("double") / (col("n_bigrams") * lit(1e15))))
       .drop("__sum")
     // docs too short for any bigram still get a row
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
@@ -392,13 +392,13 @@ object Corpus {
       .join(gLeft, Seq("w1"))
       .crossJoin(broadcast(gV))
       .withColumn("__term",
-        round(lnD * lit(1e15), 0).cast("long") - round(lnG * lit(1e15), 0).cast("long"))
+        TextAnalysis.fxLong(lnD * lit(1e15)) - TextAnalysis.fxLong(lnG * lit(1e15)))
       .groupBy(col(idCol), col(domainCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__term").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .as("__sum"))
       .withColumn("domain_fit",
-        round(col("__sum").cast("double") / (col("n_bigrams") * lit(1e15)), 6))
+        TextAnalysis.round6(col("__sum").cast("double") / (col("n_bigrams") * lit(1e15))))
       .drop("__sum")
     df.select(col(idCol), col(domainCol)).join(perDoc, Seq(idCol, domainCol), "left_outer")
       .select(col(idCol), col(domainCol),
@@ -477,13 +477,13 @@ object Corpus {
       .join(b2ctx, Seq("w2"), "left_outer")
       .join(uni, Seq("w3"), "left_outer")
       .crossJoin(broadcast(nv))
-      .withColumn("__term", round(log(score) * lit(1e15), 0).cast("long"))
+      .withColumn("__term", TextAnalysis.fxLong(log(score) * lit(1e15)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trigrams"),
         sum(col("__term").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .as("__sum"))
       .withColumn("mean_logprob",
-        round(col("__sum").cast("double") / (col("n_trigrams") * lit(1e15)), 6))
+        TextAnalysis.round6(col("__sum").cast("double") / (col("n_trigrams") * lit(1e15))))
       .drop("__sum")
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
       .select(col(idCol),

@@ -106,6 +106,26 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Engine-portable rounding to 6 decimals: `floor(x·10⁶ + 0.5)/10⁶`
+    * in pure IEEE double arithmetic, identical on any engine. SQL
+    * `round(x, 6)` is NOT portable at representability boundaries —
+    * DuckDB rounds x's shortest decimal representation while Spark
+    * rounds the exact binary value, so a double like
+    * 0.63031249999999994 (shortest repr "0.6303125") rounds to
+    * 0.630313 in DuckDB and 0.630312 in Spark. Oracles must mirror
+    * this expression verbatim: FLOOR(x * 1000000 + 0.5) / 1000000.0.
+    * Halves round toward +infinity for negatives — a convention both
+    * engines then share.
+    */
+  private[operators] def round6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("double") / lit(1e6)
+
+  /** Engine-portable fixed-point round-to-long of `c` (same boundary
+    * argument as [[round6]]); oracle form: CAST(FLOOR(x + 0.5) AS BIGINT).
+    */
+  private[operators] def fxLong(c: Column): Column =
+    floor(c + lit(0.5)).cast("long")
+
   /** Shannon character entropy (nats) over the engine-safe alphabet
     * (`[a-z0-9 ]` of the lowercased text) — low entropy flags repetitive
     * or degenerate text, high entropy flags noise/encoded blobs.
@@ -124,12 +144,12 @@ object TextAnalysis {
     val d = array_distinct(chars)
     val acc = aggregate(d, lit(0L), (a, c) => {
       val p = size(filter(chars, x => x === c)).cast("double") / total.cast("double")
-      a + round(p * log(p) * lit(1e15), 0).cast("long")
+      a + fxLong(p * log(p) * lit(1e15))
     })
     // "+ 0.0" folds IEEE −0.0 (single-symbol text) to 0.0 — a hash
     // comparison would otherwise see −0.0 ≠ 0.0 across engines
     when(total > 0,
-      round(-(acc.cast("double") / lit(1e15)), 6) + lit(0.0))
+      round6(-(acc.cast("double") / lit(1e15))) + lit(0.0))
       .otherwise(lit(0.0))
   }
 
@@ -145,7 +165,7 @@ object TextAnalysis {
     val swScore = lit(1.0) - least(abs(swr - lit(0.4)) * 2.5, lit(1.0))
     val mtl = meanTokenLength(text)
     val mtlScore = lit(1.0) - least(abs(mtl - lit(5.0)) / 5.0, lit(1.0))
-    round((lenScore + punctScore + swScore + mtlScore) / 4.0, 6)
+    round6((lenScore + punctScore + swScore + mtlScore) / 4.0)
   }
 
   /** N-gram-heuristic language ID: scores each candidate language by its
