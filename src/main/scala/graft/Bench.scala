@@ -38,12 +38,27 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the tail of stdout, so the JSON line must
+    // stay short enough to survive intact (r3's 9-decimal line for 69
+    // queries was truncated → "parsed": null). 3-decimal times keep the
+    // full map ~2.4 KB; if the query set grows past the budget, keep the
+    // slowest entries (the ones worth comparing) and count the rest.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val lineBudget = 2200
+    val byTime = results.sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var sz = 2
+    byTime.foreach { case (k, v) =>
+      val entrySz = k.length + fmt(v).length + 4
+      if (sz + entrySz <= lineBudget) { kept += ((k, v)); sz += entrySz }
+    }
+    val qs = kept.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    val omitted = results.size - kept.size
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

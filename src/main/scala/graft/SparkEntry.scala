@@ -422,14 +422,43 @@ object SparkEntry {
         maxHamming = 16)
         .orderBy("id_a", "id_b")
     }),
-    // Embedding-cosine near-dup, LSH-bucketed (no oracle)
+    // Embedding-cosine near-dup, LSH-bucketed. The fixture embeddings
+    // have no genuine near-dups (max pairwise cosine 0.513 at sf0.01),
+    // so the gate plants exact duplicates (id-shifted copies) — at
+    // threshold 0.8 the output is exactly the planted pairs (identical
+    // vectors share every LSH band, recall 1.0; the 0.29-wide cosine
+    // gap to the closest non-dup pair makes the set float-robust), so
+    // the approximate path gets an exact oracle.
     "q_dedup_embedding" -> ((s, dir) => {
       // 8-bit bands: 256 buckets/band keeps candidate pairs ~10M at
       // sf0.1 (4-bit bands = 16 buckets = 78M pairs/band — measured 3×
       // slower); 2 OR-combined bands recover the recall the extra bits
       // cost
-      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.union(emb.select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding",
         threshold = 0.8, nBits = 8, nBands = 2, maxBucket = 10000)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+    // Exact embedding-cosine near-dup pairs — the O(n²) audit baseline
+    // for the LSH path, on a bounded id slice (threshold sits in a
+    // 1.5e-3-wide cosine gap, so double rounding can't flip the set)
+    "q_dedup_embedding_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+      Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+    // Portable-arithmetic SimHash near-dup pairs — the exact-oracle twin
+    // of q_dedup_simhash (KR token hashes, 16-bit signature, 4×4-bit
+    // pigeonhole bands)
+    "q_dedup_simhash_portable" -> ((s, dir) => {
+      Dedup.portableSimhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
     // Character-entropy quality signal (decimal-term accumulation makes
@@ -677,6 +706,30 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), "text", n = 8)
         .orderBy("doc_id")
     }),
+    // Corpus-pipeline: Bloom-filter decontamination — the scale twin of
+    // q_corpus_decontam (benchmark broadcasts as a bounded bit set, the
+    // corpus side never shuffles shingle strings); portable hash family
+    // makes the filter — false positives included — oracle-exact
+    "q_corpus_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.bloomDecontaminationFlags(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text",
+        n = 8, mBits = 1 << 18, k = 5)
+        .orderBy("doc_id")
+    }),
+    // Corpus-pipeline: deterministic hash-bucket train/val/test split
+    "q_corpus_split" -> ((s, dir) => {
+      Corpus.deterministicSplit(t(s, dir, "documents"), "doc_id",
+        valFraction = 0.1, testFraction = 0.1)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+    // Corpus-pipeline: deterministic epoch shuffle (salted portable
+    // hash, distributed range-sort total order)
+    "q_corpus_shuffle" -> ((s, dir) => {
+      Corpus.epochShuffle(t(s, dir, "documents").select("doc_id"), "doc_id",
+        salt = 7L)
+    }),
     // Corpus-pipeline: overlapping context-window chunking (32-token
     // windows, stride 24) — shuffle-free narrow map
     "q_corpus_chunk" -> ((s, dir) => {
@@ -701,7 +754,10 @@ object SparkEntry {
       Corpus.corpusStats(t(s, dir, "documents"), "lang", "n_chars")
         .orderBy("lang")
     }),
-    // Multimodal decode stage over binary payloads (stub codec — no oracle)
+    // Multimodal decode stage over binary payloads. The stub codec
+    // derives its fake metadata from the portable Karp-Rabin
+    // fingerprint, so the decode plumbing gets a full cross-engine
+    // rows+schema+hash oracle (the real-codec swap point is unchanged).
     "q_mm_decode" -> ((s, dir) => {
       val media = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -939,6 +995,17 @@ object SparkEntry {
     },
     "q_mm_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
+    "q_mm_decode" ->
+      ("WITH n AS (SELECT doc_id, text, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents), " +
+        "h AS (SELECT doc_id, text, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS fp FROM n) " +
+        "SELECT doc_id, " +
+        "CASE WHEN fp % 2 = 0 THEN 'png' ELSE 'jpg' END AS format, " +
+        "CAST(16 + fp % 1024 AS INT) AS width, " +
+        "CAST(16 + (fp // 1024) % 1024 AS INT) AS height, " +
+        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes " +
+        "FROM h ORDER BY doc_id"),
     "q_events_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events), " +
         "m AS (SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000 THEN 1 ELSE 0 END AS nw FROM e), " +
@@ -1081,6 +1148,38 @@ object SparkEntry {
         "ln(CAST(length(t) - length(replace(t, ch, '')) AS DOUBLE) / n) * 1e15 + 0.5) AS BIGINT))) AS DOUBLE) / 1e15) * 1000000 + 0.5) / 1000000.0 + 0.0 " +
         "ELSE 0.0 END AS entropy " +
         "FROM c ORDER BY doc_id"),
+    // Planted-duplicate LSH gate: identical vectors share every band, so
+    // the output is exactly the planted (id, id+1000000) pairs — no
+    // non-dup pair comes within 0.29 cosine of the 0.8 threshold
+    "q_dedup_embedding" ->
+      "SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b FROM embeddings ORDER BY id_a, id_b",
+    "q_dedup_embedding_exact" ->
+      ("SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE a.vec_id < 1000 AND b.vec_id < 1000 " +
+        "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45 " +
+        "ORDER BY id_a, id_b"),
+    "q_dedup_simhash_portable" -> {
+      val bits = 16
+      val bitSums = (0 until bits).map(j =>
+        s"SUM(CASE WHEN (hv // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(", ")
+      val sigExpr = (0 until bits).map(j =>
+        s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      val bandVals = (0 until 4).map(b => s"(sim // ${1L << (b * 4)}) % 16").mkString(", ")
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "e AS (SELECT doc_id, unnest(w) AS tok FROM toks), " +
+        "hv AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+        "FROM (SELECT doc_id, regexp_replace(tok, '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
+        s"bs AS (SELECT doc_id, $bitSums FROM hv GROUP BY doc_id), " +
+        s"sig AS (SELECT doc_id, $sigExpr AS sim FROM bs), " +
+        s"band AS (SELECT doc_id, sim, unnest([0,1,2,3]) AS bd, unnest([$bandVals]) AS bv FROM sig), " +
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb " +
+        "FROM band a JOIN band b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM pairs " +
+        "WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b"
+    },
     "q_dedup_minhash_portable" -> {
       val k = 8
       val sigs = (0 until k).map(j =>
@@ -1268,6 +1367,40 @@ object SparkEntry {
         "SELECT p_id, e_id, p.user_id AS user_id, p_ts, s_ts FROM p JOIN w " +
         "ON p.user_id = w.user_id AND p_ts >= s_ts AND p_ts <= e_ts " +
         "ORDER BY p_id, e_id"),
+    "q_corpus_split" -> {
+      val valCut = math.round(0.1 * 4294967296.0)
+      val testCut = math.round(0.2 * 4294967296.0)
+      "SELECT doc_id, CASE WHEN h < " + valCut + " THEN 'val' WHEN h < " + testCut +
+        " THEN 'test' ELSE 'train' END AS split FROM (SELECT doc_id, " +
+        "((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS h " +
+        "FROM documents) ORDER BY doc_id"
+    },
+    "q_corpus_shuffle" ->
+      ("SELECT doc_id, CAST(((CAST(doc_id + 7 AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS BIGINT) AS shuffle_key " +
+        "FROM documents ORDER BY shuffle_key, doc_id"),
+    "q_corpus_bloom_decontam" -> {
+      val m = 1 << 18
+      val k = 5
+      val posExprs = (0 until k).map(i =>
+        s"(hv * ${2 * i + 3} + ${97 * i + 1}) % $m").mkString(", ")
+      // distinct on (doc, KR hash) — not on shingle strings — so a hash
+      // collision collapses identically in both engines
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')) END AS s FROM toks), " +
+        "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+        "hv0 AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+        "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
+        "hv AS (SELECT DISTINCT doc_id, hv FROM hv0), " +
+        s"bb AS (SELECT DISTINCT unnest([$posExprs]) AS bit FROM hv WHERE doc_id % 97 = 0), " +
+        s"probes AS (SELECT doc_id, hv, unnest([$posExprs]) AS bit FROM hv), " +
+        "hits AS (SELECT doc_id, hv, count(*) AS nset FROM probes JOIN bb USING (bit) GROUP BY doc_id, hv), " +
+        s"fl AS (SELECT doc_id, count(*) AS n_flagged FROM hits WHERE nset = $k GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(fl.n_flagged, 0) AS n_flagged, COALESCE(fl.n_flagged, 0) > 0 AS flagged " +
+        "FROM documents d LEFT JOIN fl USING (doc_id) ORDER BY d.doc_id"
+    },
     "q_corpus_decontam" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS s " +

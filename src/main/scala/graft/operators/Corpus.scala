@@ -545,4 +545,110 @@ object Corpus {
         col("__q").getItem(2).cast("double").as("p99_len"))
     vocab.join(quant, Seq(groupCol))
   }
+
+  // ------------------------------------------------------------ splitting
+
+  /** Deterministic train/val/test split: each row's [[portableHash]]
+    * bucket decides its split, so the assignment is reproducible from
+    * the id alone — any engine, any cluster size, no RNG state, and a
+    * row never migrates between splits when the corpus grows (the
+    * property eval-set hygiene needs). Narrow (projection-only).
+    *
+    * Cut points use the same driver-side `round` as [[threshold]] so a
+    * SQL audit reproduces the buckets exactly.
+    */
+  def deterministicSplit(
+      df: DataFrame,
+      idCol: String,
+      valFraction: Double,
+      testFraction: Double = 0.0
+  ): DataFrame = {
+    require(valFraction >= 0 && testFraction >= 0 &&
+      valFraction + testFraction <= 1.0, "fractions in [0,1], sum <= 1")
+    val valCut = threshold(valFraction)
+    val testCut = threshold(valFraction + testFraction)
+    val h = portableHash(col(idCol))
+    df.withColumn("split",
+      when(h < valCut, lit("val"))
+        .when(h < testCut, lit("test"))
+        .otherwise(lit("train")))
+  }
+
+  // ------------------------------------------------------------ shuffling
+
+  /** Deterministic global shuffle for training order: sort by the salted
+    * [[portableHash]] of the id (ties broken by id). A different `salt`
+    * per epoch re-shuffles reproducibly with zero RNG state to
+    * checkpoint. Spark's `orderBy` executes as a range-repartition +
+    * per-partition sort — a distributed total order with no single-task
+    * bottleneck (plan-gated in CorpusSpec), which is why this beats the
+    * driver-side `shuffle()` a small-data pipeline would use.
+    *
+    * `id + salt` must stay in Long range — ids are corpus ordinals, so
+    * any salt below 2^62 is safe in practice.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame =
+    df.withColumn("shuffle_key", portableHash(col(idCol) + lit(salt)))
+      .orderBy(col("shuffle_key"), col(idCol))
+
+  // -------------------------------------------- bloom decontamination
+
+  /** Bloom-filter decontamination: flags documents sharing any `n`-token
+    * shingle with a benchmark set, via a portable Bloom filter instead
+    * of the exact shingle join of [[decontaminationFlags]]. At 100 TB
+    * the benchmark's *bit set* (`k` bits per shingle, `mBits` space) is
+    * what broadcasts — bounded by `mBits/8` bytes no matter how many
+    * eval suites feed it — and the corpus side never shuffles shingle
+    * strings, only (id, hash-bit) longs.
+    *
+    * Every position is exact modular arithmetic over the Karp-Rabin
+    * shingle hash ([[graft.functions.KrShingleHashExpression]]) and the
+    * affine family `h*(2i+3) + 97i+1 mod mBits` — the same portable
+    * construction as [[Dedup.portableMinhashSignatures]] — so a SQL
+    * oracle reproduces the filter bit-for-bit, false positives included
+    * (they are a deterministic function of the hash family, not
+    * noise).
+    *
+    * @return (idCol, n_flagged — distinct shingles whose `k` bits are
+    *         all set, flagged — n_flagged > 0)
+    */
+  def bloomDecontaminationFlags(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      mBits: Int = 1 << 18,
+      k: Int = 5
+  ): DataFrame = {
+    require(k >= 1 && k <= 16 && mBits > 0)
+    def shingleHashes(textC: Column): Column =
+      array_distinct(graft.functions.KrShingleHashExpression
+        .krShingleHash(TextAnalysis.tokens(lower(textC)), n))
+    def positions(h: Column): Column =
+      array((0 until k).map(i =>
+        (h * lit(2L * i + 3) + lit(97L * i + 1)) % mBits): _*)
+    val benchBits = benchmark
+      .select(explode(shingleHashes(col(benchTextCol))).as("__h"))
+      .select(explode(positions(col("__h"))).as("__bit"))
+      .distinct()
+    // one row per (doc, shingle, probe); a shingle is flagged iff all k
+    // probes hit set bits — duplicate positions count with multiplicity
+    // on both sides of the oracle, so the comparison stays exact
+    val probes = df
+      .select(col(idCol), explode(shingleHashes(col(textCol))).as("__h"))
+      .select(col(idCol), col("__h"), explode(positions(col("__h"))).as("__bit"))
+    val flaggedShingles = probes
+      .join(broadcast(benchBits), Seq("__bit"))
+      .groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("__nset"))
+      .filter(col("__nset") === k)
+    val perDoc = flaggedShingles.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_flagged"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        (coalesce(col("n_flagged"), lit(0L)) > 0).as("flagged"))
+  }
 }

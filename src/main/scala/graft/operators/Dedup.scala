@@ -545,4 +545,90 @@ object Dedup {
         (matches.cast("double") / k).as("minhash_est"))
       .filter(col("minhash_est") >= threshold)
   }
+
+  // ------------------------------------ portable (oracle-exact) simhash
+
+  /** 16-bit SimHash with engine-portable arithmetic: per-token Karp-Rabin
+    * hashes (same `mod 1e9+7` kernel as [[portableMinhashSignatures]]),
+    * per-bit ±1 vote over the token multiset, sign → bit. Any ANSI-SQL
+    * engine reproduces the signature bit-for-bit — the exact-oracle twin
+    * of [[simhash64]], whose xxhash64 kernel is faster but
+    * engine-specific.
+    */
+  def portableSimhashSignature(text: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 30, "KR hashes carry ~30 usable bits")
+    val hashes = graft.functions.KrShingleHashExpression
+      .krShingleHash(TextAnalysis.tokens(lower(text)), 1)
+    val bitSums = (0 until bits).map { bit =>
+      aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+    }
+    // bit positions are disjoint, so summing the shifted bits is exact
+    bitSums.zipWithIndex.map { case (s, i) =>
+      when(s > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Near-dup pairs from portable 16-bit signatures: 4 × 4-bit pigeonhole
+    * bands (Hamming ≤ 3 ⇒ at least one band agrees), Hamming verify —
+    * the same band/cap/verify shape as [[simhashNearDupPairs]], with
+    * every step reproducible by a SQL oracle.
+    */
+  def portableSimhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame = {
+    val sig = df.select(col(idCol),
+      portableSimhashSignature(col(textCol)).as("__sim"))
+    val banded = sig.select(
+      col(idCol), col("__sim"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("__sim"), b * 4).bitwiseAND(0xfL)): _*))
+        .as(Seq("__band", "__bandval")))
+    val capped = capBuckets(banded, Seq("__band", "__bandval"), maxBucket)
+    val a = capped.select(col(idCol).as("id_a"), col("__sim").as("sim_a"),
+      col("__band"), col("__bandval"))
+    val b = capped.select(col(idCol).as("id_b"), col("__sim").as("sim_b"),
+      col("__band"), col("__bandval"))
+    a.join(b, Seq("__band", "__bandval"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sim_a"), col("sim_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------- exact embedding near-dup (baseline)
+
+  /** Exact embedding-cosine near-duplicate pairs: every id-ordered pair,
+    * cosine in double precision, threshold filter. O(n²) by definition —
+    * the audit/recall baseline for [[embeddingNearDupPairs]], same role
+    * as [[graft.operators.Similarity.bruteForceTopK]] for ANN. Run it on
+    * a bounded slice (or a sampled stratum) at scale; the LSH path is
+    * the production route.
+    */
+  def embeddingNearDupExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val vecs = df.select(col(idCol), col(vecCol))
+      .withColumn("__norm", VectorFunctions.norm(col(vecCol)))
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      col("__norm").as("norm_a"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      col("__norm").as("norm_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("norm_a") * col("norm_b") === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("vec_a"), col("vec_b")) /
+            (col("norm_a") * col("norm_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+  }
 }

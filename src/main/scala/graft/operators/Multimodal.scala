@@ -51,20 +51,28 @@ object Multimodal {
   /** The stub decoder: deterministic pseudo-features from payload bytes.
     * REPLACE with a real codec (e.g. javacpp-ffmpeg / ImageIO) in
     * production — signature and batch shape stay identical.
+    *
+    * The fake is derived from the portable Karp–Rabin fingerprint
+    * (`acc*31 + code mod 1e9+7` over the normalized UTF-8 text, the
+    * same kernel as [[graft.functions.KrHashExpression]]) so every
+    * metadata field is exact modular arithmetic a SQL oracle can
+    * reproduce — the decode *plumbing* gets a full cross-engine
+    * rows+schema+hash gate instead of a rows-only check.
     */
   object DecoderStub {
     val featureDim = 8
+    private val P = 1000000007L
 
     def decode(bytes: Array[Byte]): (String, Int, Int, Array[Float]) = {
       // ??? <- real decode goes here; deterministic fake below
-      val h = java.util.Arrays.hashCode(bytes)
-      val fmt = if (bytes.nonEmpty && (bytes(0) & 1) == 0) "png" else "jpg"
-      val w = 16 + math.abs(h % 1024)
-      val ht = 16 + math.abs((h / 1024) % 1024)
+      val h = graft.functions.KrHashExpression.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
+      val fmt = if (h % 2 == 0) "png" else "jpg"
+      val w = (16 + h % 1024).toInt
+      val ht = (16 + (h / 1024) % 1024).toInt
       val feats = Array.tabulate(featureDim) { i =>
-        // stable per-byte-content feature: hash-mixed, in [-1, 1]
-        val m = (h * 31 + i * 2654435761L).toInt
-        (m.toFloat / Int.MaxValue)
+        // stable per-content feature in [-1, 1]
+        ((h * 31 + i * 2654435761L) % P).toFloat / P * 2f - 1f
       }
       (fmt, w, ht, feats)
     }

@@ -289,4 +289,65 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L)._1 === 9999L)
     assert(out(1L)._2 < 0.0 && !out(1L)._2.isNaN && !out(1L)._2.isInfinite)
   }
+
+  test("deterministicSplit: stable, exhaustive, disjoint, near-target rates") {
+    import spark.implicits._
+    val docs = (0L until 2000L).toDF("doc_id")
+    val split = Corpus.deterministicSplit(docs, "doc_id", 0.1, 0.1)
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === 2000L)
+    // hash-bucket rates concentrate near the fractions
+    assert(counts("val") > 120 && counts("val") < 280, counts)
+    assert(counts("test") > 120 && counts("test") < 280, counts)
+    // assignment is a pure function of the id: growing the corpus
+    // never migrates an existing row between splits
+    val grown = Corpus.deterministicSplit((0L until 4000L).toDF("doc_id"),
+      "doc_id", 0.1, 0.1)
+    val before = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    grown.filter(col("doc_id") < 2000).collect()
+      .foreach(r => assert(before(r.getLong(0)) === r.getString(1)))
+  }
+
+  test("epochShuffle: deterministic permutation; salts decorrelate; range-sorted plan") {
+    import spark.implicits._
+    val docs = (0L until 500L).toDF("doc_id")
+    val s0 = Corpus.epochShuffle(docs, "doc_id", salt = 0L)
+    val o1 = s0.select("doc_id").collect().map(_.getLong(0))
+    val o2 = Corpus.epochShuffle(docs, "doc_id", salt = 0L)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(o1.toSeq === o2.toSeq)                       // reproducible
+    assert(o1.sorted.toSeq === (0L until 500L).toSeq)   // a permutation
+    val o3 = Corpus.epochShuffle(docs, "doc_id", salt = 1L)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(o1.toSeq !== o3.toSeq)                       // epoch re-shuffle
+    // total order comes from a distributed range sort, not one task
+    val plan = s0.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("bloomDecontaminationFlags: no false negatives vs the exact join") {
+    val docs = table("documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Corpus.decontaminationFlags(docs, "doc_id", "text", bench, "text", n = 8)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Corpus.bloomDecontaminationFlags(docs, "doc_id", "text", bench, "text",
+      n = 8, mBits = 1 << 18, k = 5)
+      .filter(col("flagged")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // Bloom filters can only over-flag — every true overlap must be hit
+    assert(exact.subsetOf(bloom), s"missed: ${exact.diff(bloom)}")
+    assert(exact.nonEmpty) // fixture actually plants overlap
+  }
+
+  test("bloomDecontaminationFlags: benchmark side broadcasts") {
+    val docs = table("documents")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val plan = Corpus.bloomDecontaminationFlags(docs, "doc_id", "text",
+      bench, "text").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -207,6 +207,42 @@ class DedupSpec extends SparkSpec {
     assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
   }
 
+  test("portable simhash: identical docs pair at hamming 0; pairs deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with no overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.portableSimhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+    // signature is pure arithmetic over the token multiset — stable
+    val s1 = docs.select(Dedup.portableSimhashSignature(col("text"))).collect()
+    val s2 = docs.select(Dedup.portableSimhashSignature(col("text"))).collect()
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+  }
+
+  test("embeddingNearDupExact matches LSH verify on planted duplicates") {
+    import spark.implicits._
+    val base = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)))
+    val planted = base ++ base.map { case (id, v) => (id + 1000L, v) }
+    val df = planted.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupExact(df, "vec_id", "embedding", threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted copy must surface; an identical pair is cos≈1
+    assert((0 until 30).forall(i => exact.contains((i.toLong, i + 1000L))), exact)
+    // the LSH path at full recall (1-bit bands ⇒ everything shares a
+    // bucket side) agrees with the exact baseline above the threshold
+    val lsh = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.999, nBits = 1, nBands = 1)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert((0 until 30).forall(i => lsh.contains((i.toLong, i + 1000L))), lsh)
+  }
+
   test("kr-shingle kernel matches the string-shingle + rollingHash composition") {
     import spark.implicits._
     val docs = table("documents").select(col("doc_id"), col("text"))
