@@ -43,8 +43,13 @@ object Bench {
     // queries was truncated → "parsed": null). 3-decimal times keep the
     // full map ~2.4 KB; if the query set grows past the budget, keep the
     // slowest entries (the ones worth comparing) and count the rest.
+    // The driver keeps a 2000-char tail and sbt appends its own
+    // "[success] Total time: …" line (~75 chars) after ours, so the
+    // WHOLE JSON line must stay under ~1900 chars — r1–r3 all came back
+    // "parsed": null because the line's head fell off the tail window.
+    // ~130 chars of fixed fields ⇒ cap the queries map at 1500.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val lineBudget = 2200
+    val lineBudget = 1500
     val byTime = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var sz = 2

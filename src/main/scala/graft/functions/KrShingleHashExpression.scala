@@ -54,7 +54,7 @@ object KrShingleHashExpression {
   private def step(acc: Long, code: Int): Long = (acc * 31L + code) % P
 
   /** Fold one token's normalized codepoints into the hash. */
-  private def foldToken(acc0: Long, s: UTF8String): Long = {
+  private[functions] def foldToken(acc0: Long, s: UTF8String): Long = {
     if (s == null) return acc0
     val str = s.toString
     var acc = acc0

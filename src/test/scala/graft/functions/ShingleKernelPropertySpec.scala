@@ -66,6 +66,28 @@ class ShingleKernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("foldToken matches a per-codepoint reference fold on generated tokens") {
+    val P = 1000000007L
+    def ref(acc0: Long, s: String): Long = {
+      var acc = acc0
+      s.codePoints().toArray.foreach { cp =>
+        val lo = Character.toLowerCase(cp)
+        if ((lo >= 'a' && lo <= 'z') || (lo >= '0' && lo <= '9') || lo == ' ')
+          acc = (acc * 31L + lo) % P
+      }
+      acc
+    }
+    val toks: Seq[String] =
+      samples(200) ++ Seq("ABC def", "𝔘nicode 𝒜", "ÅÉÎß", "", null)
+    toks.foreach { t =>
+      val u =
+        if (t == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val expected = if (t == null) 7L else ref(7L, t)
+      assert(KrShingleHashExpression.foldToken(7L, u) === expected, s"token=$t")
+    }
+  }
+
   test("minhash64 hashed-vs-string paths agree on 300 generated texts") {
     import spark.implicits._
     val df = samples(300).zipWithIndex.map(_.swap).toDF("id", "text")
