@@ -380,6 +380,39 @@ object SparkEntry {
         nCentroids = 16, nProbe = 4)
         .orderBy("query_id", "rank")
     }),
+    // ANN inverted-file, portable twin: same IVF pipeline with the
+    // Knuth-hash centroid pick, so centroid choice → list assignment →
+    // probe → top-k is reproduced end-to-end by the DuckDB oracle
+    "q_sim_ivf_portable" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      Similarity.ivfTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4, portableCentroids = true)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+    // TF-IDF top-terms: keyword extraction over the whole corpus —
+    // (doc,term) tf shuffle, term-keyed df join, doc-keyed top-k window
+    "q_text_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
+    }),
+    // Span-level dedup: C4-style cross-document paragraph dedup with
+    // reassembly (fixture has planted shared paragraphs — the corpus
+    // documents are single-line token soup)
+    "q_dedup_paragraph" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "alpha beta\ncommon boilerplate\ngamma"),
+        (2L, "common boilerplate\ndelta"),
+        (3L, "epsilon\nalpha beta"),
+        (4L, "common boilerplate"),
+        (5L, "zeta\nzeta")
+      ).toDF("doc_id", "text")
+      Dedup.paragraphDedup(docs, "doc_id", "text").orderBy("doc_id")
+    }),
     // Dedup (n-gram Jaccard): exact word-3-gram Jaccard over min-shingle
     // blocked pairs — the one near-dup path with an exact SQL oracle
     "q_dedup_ngram" -> ((s, dir) => {
@@ -1077,6 +1110,63 @@ object SparkEntry {
         "ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id " +
         "LIMIT 1) AS nn_id " +
         "FROM embeddings q WHERE q.vec_id < 5 ORDER BY query_id"),
+    // Portable IVF: the oracle mirrors the Spark arithmetic BIT-FOR-BIT —
+    // dot is the same left-to-right double fold (list_reduce), norm the
+    // same sqrt∘dot, cosine the same zero-guarded quotient — so centroid
+    // choice, list assignment, probe pick and top-k all reproduce exactly
+    // (list_cosine_similarity would only agree up to ulp-order).
+    "q_sim_ivf_portable" -> {
+      def dot(a: String, b: String): String =
+        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
+      def cos(a: String, na: String, b: String, nb: String): String =
+        s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
+      "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"emb AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e0), " +
+        "cent AS (SELECT * FROM (SELECT vec_id AS cid, v AS cv, nrm AS cn, " +
+        "row_number() OVER (ORDER BY ((CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, vec_id) AS cpos " +
+        "FROM emb) WHERE cpos <= 16), " +
+        "assign AS (SELECT e.vec_id, e.v, e.nrm, " +
+        s"(SELECT c.cid FROM cent c ORDER BY ${cos("e.v", "e.nrm", "c.cv", "c.cn")} DESC, c.cpos LIMIT 1) AS list " +
+        "FROM emb e), " +
+        "probes AS (SELECT * FROM (SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cid AS list, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.cid) AS pr " +
+        "FROM emb q, cent c WHERE q.vec_id < 20) WHERE pr <= 4), " +
+        "ranked AS (SELECT * FROM (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+        s"""row_number() OVER (PARTITION BY p.query_id ORDER BY ${cos("p.qv", "p.qn", "a.v", "a.nrm")} DESC, a.vec_id) AS "rank" """ +
+        "FROM probes p JOIN assign a ON a.list = p.list " +
+        """WHERE a.vec_id <> p.query_id) WHERE "rank" <= 5) """ +
+        """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM ranked ORDER BY query_id, "rank""""
+    },
+    "q_text_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents), " +
+        "t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
+        "scored AS (SELECT f.doc_id, f.term, f.tf, d.df, " +
+        "f.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) AS score " +
+        "FROM tf f JOIN dfreq d USING (term) CROSS JOIN n), " +
+        "r AS (SELECT doc_id, term, tf, df, score, " +
+        """row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS "rank" FROM scored) """ +
+        """SELECT doc_id, CAST("rank" AS BIGINT) AS "rank", term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, """ +
+        "CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_fx " +
+        """FROM r WHERE "rank" <= 5 ORDER BY doc_id, "rank""""),
+    "q_dedup_paragraph" ->
+      ("WITH docs(doc_id, text) AS (VALUES " +
+        "(1, 'alpha beta' || chr(10) || 'common boilerplate' || chr(10) || 'gamma'), " +
+        "(2, 'common boilerplate' || chr(10) || 'delta'), " +
+        "(3, 'epsilon' || chr(10) || 'alpha beta'), " +
+        "(4, 'common boilerplate'), " +
+        "(5, 'zeta' || chr(10) || 'zeta')), " +
+        "s AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM docs), " +
+        "p AS (SELECT doc_id, len(ps) AS n_spans, " +
+        "unnest(list_transform(range(1, len(ps) + 1), i -> {'pos': i, 'span': ps[i]})) AS u FROM s), " +
+        "q AS (SELECT doc_id, n_spans, u.pos AS pos, u.span AS span FROM p), " +
+        "k AS (SELECT doc_id, n_spans, pos, span, " +
+        "row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn FROM q) " +
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, string_agg(span, chr(10) ORDER BY pos) AS text, " +
+        "CAST(max(n_spans) AS BIGINT) AS n_spans, count(*) AS n_kept " +
+        "FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"),
     "q_f3_default_rewrite" ->
       ("WITH defs(column_name, raw_default, is_numeric) AS (VALUES " +
         "('a','(0)',true), ('b','  ''abc''  ',false), ('c','SYS_GUID()',false), " +

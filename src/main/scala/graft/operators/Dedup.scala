@@ -631,4 +631,55 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b")
   }
+
+  // ------------------------------------------------------ span-level dedup
+
+  /** Cross-document span (paragraph) dedup with reassembly: split every
+    * document on `sep`, keep only the globally-FIRST occurrence of each
+    * span (first = lowest (doc id, position)), and rebuild each document
+    * from its surviving spans in original order. This is the C4/RefinedWeb
+    * "remove repeated passages, not whole documents" recipe — boilerplate
+    * (headers, navbars, license blocks) dies corpus-wide while the one
+    * document that carried it first keeps it.
+    *
+    * Output: one row per document that kept ≥ 1 span —
+    * (doc_id, text, n_spans, n_kept). Documents whose every span was seen
+    * earlier elsewhere drop out entirely (their reassembly is empty).
+    *
+    * Scale shape (100 TB): two shuffles. (1) a window partitioned by the
+    * span text — Spark hash-partitions on the string, so each span set
+    * lands on one reducer and `row_number` keeps the first; no global
+    * sort, no driver state. (2) the doc-keyed rebuild aggregation.
+    * Span-text keys skew exactly where dedup pays off (the boilerplate
+    * span IS the hot key); its group only ever emits one row, and the
+    * per-group state is a counter, so the hot key costs sort time, not
+    * memory. For adversarial skew, pre-aggregate min-(doc,pos) per span
+    * hash and join back instead.
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"
+  ): DataFrame = {
+    val spans = df
+      .select(col(idCol).as("doc_id"), col(textCol))
+      .withColumn("__n_spans", size(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .select(col("doc_id"), col("__n_spans"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__span")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__span")).orderBy(col("doc_id"), col("__pos"))
+    spans
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__span")))),
+            x => x.getField("__span")),
+          sep).as("text"),
+        max(col("__n_spans")).cast("long").as("n_spans"),
+        count(lit(1)).as("n_kept"))
+  }
 }

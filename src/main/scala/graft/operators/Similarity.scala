@@ -118,10 +118,12 @@ object Similarity {
       corpusVecCol: String,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 2
+      nProbe: Int = 2,
+      portableCentroids: Boolean = false
   ): DataFrame = {
     require(nCentroids > 0 && nProbe > 0)
-    val (assigned, centArr) = ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids)
+    val (assigned, centArr) =
+      ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portableCentroids)
 
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
       .withColumn("__qn", VectorFunctions.norm(col("__qv")))
@@ -157,17 +159,18 @@ object Similarity {
       corpusVecCol: String,
       nCentroids: Int
   ): DataFrame =
-    ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids)._1
+    ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portable = false)._1
 
   private def ivfAssignWithCentroids(
       corpus: DataFrame,
       corpusIdCol: String,
       corpusVecCol: String,
-      nCentroids: Int
+      nCentroids: Int,
+      portable: Boolean
   ): (DataFrame, Column) = {
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
       .withColumn("__cn", VectorFunctions.norm(col("__cv")))
-    val centArr = centroidArray(c, nCentroids)
+    val centArr = centroidArray(c, nCentroids, portable)
     (c.withColumn("__list", bestListId(centArr, col("__cv"), col("__cn"))), centArr)
   }
 
@@ -176,10 +179,19 @@ object Similarity {
     * literal of (id, vector, norm) structs. Sampling = take the
     * nCentroids lowest id-hashes: uniform over the corpus, reproducible,
     * and ONE job (a TakeOrdered over the scan — no separate count()).
+    *
+    * `portable = true` swaps xxhash64 for the Knuth multiplicative hash
+    * of [[Corpus.portableHash]], making the ENTIRE IVF pipeline
+    * reproducible in ANSI SQL (centroid pick, argmax-cosine assignment,
+    * probe choice, and top-k are all deterministic) — the variant the
+    * DuckDB oracle audits end-to-end.
     */
-  private def centroidArray(c: DataFrame, nCentroids: Int): Column = {
+  private def centroidArray(c: DataFrame, nCentroids: Int, portable: Boolean): Column = {
+    val hash =
+      if (portable) Corpus.portableHash(col("neighbor_id"))
+      else xxhash64(col("neighbor_id"))
     val cents: Seq[(Long, Seq[Double], Double)] = c
-      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id"))
+      .orderBy(hash, col("neighbor_id"))
       .limit(nCentroids)
       .select(col("neighbor_id"), col("__cv").cast("array<double>"), col("__cn"))
       .collect()

@@ -253,6 +253,55 @@ object TextAnalysis {
         i => polyHash(slice(chars, i + 1, lit(k))))))
   }
 
+  /** TF-IDF top-`k` salient terms per document — the keyword-extraction
+    * primitive of corpus curation (topic routing, boilerplate spotting,
+    * per-domain vocabulary drift).
+    *
+    * Terms are single-space-split tokens of the raw text (the corpus
+    * fixtures are pre-normalized; callers with messy text should lower/
+    * strip first). Scoring: `tf · ln((N+1)/(df+1))` with N = document
+    * count and df = number of documents containing the term — the
+    * smoothed-idf form that never goes negative on corpus-wide terms.
+    *
+    * Scale shape (100 TB): one shuffle on (doc, term) for tf, one on
+    * term for df, a key-aligned join of tf against the (small) term
+    * dictionary — AQE broadcasts it when it fits — a broadcast of the
+    * single-row N aggregate, and a final doc-keyed window for top-k.
+    * Nothing driver-side, no collect.
+    *
+    * Output is deterministic across engines: score ties break on the
+    * term string, and the emitted `score_fx` is the portable fixed-point
+    * `FLOOR(score·10^6 + 0.5)` (see [[round6]] for why SQL `round` is
+    * not portable).
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(
+        col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        floor(col("score") * lit(1e6) + lit(0.5)).cast("long").as("score_fx"))
+  }
+
   /** Annotate a documents DataFrame with the full analysis surface. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

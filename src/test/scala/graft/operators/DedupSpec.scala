@@ -27,6 +27,39 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 10001).count() === 1)
   }
 
+  test("paragraphDedup keeps first global occurrence and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\ncommon boilerplate\ngamma"),
+      (2L, "common boilerplate\ndelta"),
+      (3L, "epsilon\nalpha beta"),
+      (4L, "common boilerplate"), // every span seen earlier -> doc drops out
+      (5L, "zeta\nzeta") // intra-doc repeat: first position wins
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L, 5L))
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("text") ===
+      "alpha beta\ncommon boilerplate\ngamma")
+    assert(byId(2L).getAs[String]("text") === "delta")
+    assert(byId(3L).getAs[String]("text") === "epsilon")
+    assert(byId(5L).getAs[String]("text") === "zeta")
+    assert(byId(2L).getAs[Long]("n_spans") === 2L)
+    assert(byId(2L).getAs[Long]("n_kept") === 1L)
+    assert(byId(1L).getAs[Long]("n_kept") === 3L)
+  }
+
+  test("paragraphDedup is identity on a corpus with all-distinct spans") {
+    val docs = table("documents").select("doc_id", "text").limit(50)
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+    assert(out.count() === 50)
+    // single-span docs: text passes through untouched
+    val joined = docs.as("a").join(out.as("b"), "doc_id")
+      .filter(col("a.text") =!= col("b.text"))
+    assert(joined.count() === 0)
+  }
+
   test("exactGroups reports the duplicate set") {
     val g = Dedup.exactGroups(planted, "doc_id", "text")
       .filter(col("dup_count") > 1)

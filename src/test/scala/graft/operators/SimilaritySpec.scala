@@ -191,6 +191,23 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 >= r4, s"recall must not fall as probes widen: $r4 -> $r8")
   }
 
+  test("portable-centroid ivf is deterministic and as structured as the xxhash pick") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    def run() = Similarity.ivfTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, portableCentroids = true)
+      .orderBy("query_id", "rank")
+    val a = run().collect()
+    val b = run().collect()
+    assert(a.toSeq === b.toSeq, "portable ivf must be run-to-run identical")
+    // same pipeline, different (but equally uniform) centroid pick:
+    // probing must still beat blind-probe recall
+    val truth = exactTopK(queries, emb, 5)
+    val r = recallOf(run(), truth)
+    assert(r >= 0.3, s"portable ivf recall@5 was $r")
+  }
+
   test("lsh recall@10: OR-combined bands dominate a single band") {
     val emb = table("embeddings").select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 25)

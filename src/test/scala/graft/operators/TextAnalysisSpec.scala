@@ -132,4 +132,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === 0.0)
     assert(math.abs(out(4L) - math.log(2)) < 1e-6)
   }
+
+  test("tfidfTopTerms ranks by tf·idf with deterministic term tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian cherry cherry")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+      r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df")))
+    assert(got.toSeq === Seq(
+      (1L, 1L, "apple", 2L, 1L), (1L, 2L, "banana", 1L, 2L),
+      // doc 2: equal scores — the term string breaks the tie
+      (2L, 1L, "banana", 1L, 2L), (2L, 2L, "cherry", 1L, 2L),
+      (3L, 1L, "cherry", 3L, 2L), (3L, 2L, "durian", 1L, 1L)))
+    // N=3 docs: apple's idf = ln(4/2); score_fx = floor(2·ln2·1e6 + 0.5)
+    val appleFx = rows.find(r => r.getAs[String]("term") == "apple").get
+      .getAs[Long]("score_fx")
+    assert(appleFx === math.floor(2.0 * math.log(2.0) * 1e6 + 0.5).toLong)
+  }
 }
