@@ -413,6 +413,19 @@ object SparkEntry {
       ).toDF("doc_id", "text")
       Dedup.paragraphDedup(docs, "doc_id", "text").orderBy("doc_id")
     }),
+    // Per-stratum quantile band: drop each language's degenerate length
+    // tails — percent_rank is an integer ratio, exact on any engine
+    "q_corpus_length_band" -> ((s, dir) => {
+      Corpus.lengthBandFilter(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", lo = 0.05, hi = 0.95)
+        .orderBy("doc_id")
+    }),
+    // Gopher-style repetition: top word-2-gram occupancy per document
+    "q_text_topgram" -> ((s, dir) => {
+      TextAnalysis.topNgramStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
     // Dedup (n-gram Jaccard): exact word-3-gram Jaccard over min-shingle
     // blocked pairs — the one near-dup path with an exact SQL oracle
     "q_dedup_ngram" -> ((s, dir) => {
@@ -1167,6 +1180,20 @@ object SparkEntry {
         "SELECT CAST(doc_id AS BIGINT) AS doc_id, string_agg(span, chr(10) ORDER BY pos) AS text, " +
         "CAST(max(n_spans) AS BIGINT) AS n_spans, count(*) AS n_kept " +
         "FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id"),
+    "q_corpus_length_band" ->
+      ("WITH r AS (SELECT doc_id, lang, n_chars, " +
+        "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr FROM documents) " +
+        "SELECT doc_id, lang, n_chars, CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS pr_fx " +
+        "FROM r WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id"),
+    "q_text_topgram" ->
+      ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS toks FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END AS grams FROM tk), " +
+        "e AS (SELECT doc_id, unnest(grams) AS gram FROM g), " +
+        "pg AS (SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY doc_id, gram) " +
+        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, max(cnt) AS top_count, " +
+        "CAST(floor(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS top_frac_fx " +
+        "FROM pg GROUP BY doc_id ORDER BY doc_id"),
     "q_f3_default_rewrite" ->
       ("WITH defs(column_name, raw_default, is_numeric) AS (VALUES " +
         "('a','(0)',true), ('b','  ''abc''  ',false), ('c','SYS_GUID()',false), " +

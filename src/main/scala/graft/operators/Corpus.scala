@@ -72,6 +72,40 @@ object Corpus {
     df.filter(portableHash(col(idCol)) < cut)
   }
 
+  /** Per-stratum quantile band filter: keep rows whose `lenCol` sits
+    * inside the [lo, hi] percent-rank band of their stratum — the
+    * "drop the degenerate tails" curation rule (truncated docs at the
+    * low end, concatenation accidents at the high end), computed per
+    * language/source so low-resource strata aren't judged by the
+    * corpus-wide distribution.
+    *
+    * `percent_rank = (rank-1)/(n-1)` is a ratio of integers — exact in
+    * double and identical on any engine, so the emitted `pr_fx` needs no
+    * epsilon. Ties share a rank (SQL rank semantics), making membership
+    * insensitive to intra-tie row order.
+    *
+    * Scale shape: ONE shuffle (the stratum-keyed window); each stratum
+    * sorts locally on its reducer. A stratum too large for one reducer
+    * would switch to the two-pass histogram/percentile-summary route —
+    * at that point use [[corpusSketchStats]]'s GK quantiles to derive
+    * the cutoffs and a plain filter.
+    */
+  def lengthBandFilter(
+      df: DataFrame,
+      stratumCol: String,
+      lenCol: String,
+      lo: Double,
+      hi: Double
+  ): DataFrame = {
+    require(lo <= hi && lo >= 0.0 && hi <= 1.0, "band must be 0 <= lo <= hi <= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col(lenCol))
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= lo && col("__pr") <= hi)
+      .withColumn("pr_fx", floor(col("__pr") * lit(1e6) + lit(0.5)).cast("long"))
+      .drop("__pr")
+  }
+
   // ----------------------------------------------------------- packing
 
   /** Concat-and-split sequence packing: documents are laid end-to-end in

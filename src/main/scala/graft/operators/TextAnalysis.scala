@@ -302,6 +302,45 @@ object TextAnalysis {
         floor(col("score") * lit(1e6) + lit(0.5)).cast("long").as("score_fx"))
   }
 
+  /** Gopher-style top-n-gram occupancy: for each document, the count of
+    * its single most frequent word `n`-gram and that count's share of
+    * all the document's n-grams. A high share means one phrase dominates
+    * the text — the repetition signal the Gopher cleaning rules cut on
+    * (their "top 2-gram character fraction" family, simplified to gram
+    * counts so the statistic is exactly integer-derived).
+    *
+    * Relational shape (ONE shuffle on (doc, gram), then a doc-keyed
+    * aggregate): explode grams, count per (doc, gram), take max and sum
+    * per doc. The fraction is a ratio of those two integers — exact in
+    * double, engine-portable. Documents shorter than `n` tokens count
+    * their whole token list as one gram (the [[Dedup.shingles]]
+    * degenerate-case rule).
+    */
+  def topNgramStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n > 0, "n must be positive")
+    val toks = split(trim(col(textCol)), "[ \t\n\f\r]+")
+    val grams = when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    val exploded = df
+      .select(col(idCol).as("doc_id"), explode(grams).as("gram"))
+    val perGram = exploded.groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    perGram.groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        max(col("cnt")).as("top_count"))
+      .withColumn("top_frac_fx",
+        floor(col("top_count").cast("double") / col("n_grams").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long"))
+  }
+
   /** Annotate a documents DataFrame with the full analysis surface. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

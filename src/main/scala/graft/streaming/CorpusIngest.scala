@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Streaming corpus ingest — the training-data pipeline's cleaning
+  * stages (quality gate → content dedup → per-source rollup) run
+  * continuously over arriving documents instead of as batch re-sweeps.
+  * New crawl output lands in a directory; each micro-batch is filtered,
+  * deduplicated against the watermark horizon, and accounted, with
+  * exactly-once delivery through the same idempotent `batch=<id>` sink
+  * as [[IncrementalSync]].
+  *
+  * The batch twin of the clean stage is
+  * `filter(qualityScore >= min)` ∘ [[Dedup.exact]]: the streaming path
+  * must keep the same deduplicated CONTENT set (kept fingerprints are
+  * deterministic; which arriving row represents a set is
+  * arrival-ordered, the streaming analog of keep-first). The spec
+  * gates that equivalence on fixture data.
+  *
+  * At 100 TB/day the state store only ever holds fingerprints inside
+  * the watermark — dedup state is bounded by ingest rate × horizon,
+  * not corpus size, which is exactly the property a perpetual crawler
+  * needs (full-history dedup is a periodic batch job with
+  * [[Dedup.exact]]; the stream handles the near-horizon repeats that
+  * dominate crawl traffic).
+  */
+object CorpusIngest {
+
+  /** File stream over a documents directory. Schema is taken from a
+    * one-off batch read; documents must carry an `ingest_time`
+    * timestamp (crawl/landing time). Static corpora being replayed can
+    * stamp a deterministic one (the spec derives it from `doc_id`).
+    */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    require(schema.fieldNames.contains("ingest_time"),
+      "documents stream needs an ingest_time timestamp column")
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Quality gate + watermarked exact content dedup. A document passes
+    * if its heuristic quality clears `minQuality`; of identical texts
+    * arriving within the watermark horizon, ONE survives (which arrival
+    * represents the set is micro-batch-order-dependent; the kept
+    * CONTENT set is deterministic). State: one fingerprint per kept
+    * document inside the horizon.
+    *
+    * The watermark is declared on the RAW stream, before the quality
+    * filter — event time must advance on everything that arrives, or a
+    * stretch of low-quality traffic would stall window closure for the
+    * downstream rollup.
+    */
+  def clean(
+      docs: DataFrame,
+      minQuality: Double,
+      watermark: String = "1 hour"
+  ): DataFrame =
+    docs
+      .withWatermark("ingest_time", watermark)
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Windowed per-source accounting over the cleaned stream: documents
+    * and whitespace tokens per (window, source) — the live ingest
+    * dashboard numbers. Append-mode compatible (watermarked window).
+    */
+  def sourceRollup(
+      cleaned: DataFrame,
+      window: String = "1 hour"
+  ): DataFrame =
+    cleaned
+      .groupBy(org.apache.spark.sql.functions.window(col("ingest_time"), window),
+        col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+
+  /** Start the ingest: cleaned rows append into `destDir`, one
+    * idempotent parquet directory per micro-batch (same replay contract
+    * as [[IncrementalSync.start]]).
+    */
+  def start(
+      cleaned: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    cleaned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write
+          .mode("overwrite")
+          .parquet(s"$destDir/batch=$batchId")
+      }
+      .start()
+}

@@ -92,6 +92,34 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
   }
 
+  test("paragraph dedup is two shuffles: span-keyed window, doc-keyed rebuild") {
+    val df = graft.operators.Dedup.paragraphDedup(
+      table("documents"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 2, plan)
+    // and the window is span-partitioned, never a global single partition
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("tfidf: doc-count side broadcasts; no global window") {
+    val df = graft.operators.TextAnalysis.tfidfTopTerms(
+      table("documents"), "doc_id", "text", k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the 1-row N aggregate joins by broadcast, not an exchange of tf
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("hashpartitioning(doc_id"), plan)
+  }
+
+  test("length-band filter windows per stratum, not globally") {
+    val df = graft.operators.Corpus.lengthBandFilter(
+      table("documents").select("doc_id", "lang", "n_chars"),
+      "lang", "n_chars", 0.05, 0.95)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(lang"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("window functions partition instead of a single global sort") {
     val plan = explain(SparkEntry.queries("q_w1_row_number")(spark, sfDir))
     assert(plan.contains("Window"), plan)

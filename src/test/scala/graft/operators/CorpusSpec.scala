@@ -343,6 +343,25 @@ class CorpusSpec extends SparkSpec {
     assert(exact.nonEmpty) // fixture actually plants overlap
   }
 
+  test("lengthBandFilter keeps the inner percent-rank band per stratum") {
+    import spark.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, "en", i.toLong)) ++
+      Seq((100L, "de", 7L), (101L, "de", 7L), (102L, "de", 7L))
+    val df = docs.toDF("doc_id", "lang", "n_chars")
+    val out = Corpus.lengthBandFilter(df, "lang", "n_chars", 0.05, 0.95)
+    // en: pr = (i-1)/19; keep 0.05 <= pr <= 0.95 -> lengths 2..19
+    val en = out.filter(col("lang") === "en")
+      .select("n_chars").collect().map(_.getLong(0)).sorted
+    assert(en.toSeq === (2L to 19L))
+    // de: all lengths tie -> every pr = 0, below lo -> stratum drops
+    assert(out.filter(col("lang") === "de").count() === 0)
+    // and with lo = 0 the tied stratum is kept with pr_fx = 0
+    val all = Corpus.lengthBandFilter(df, "lang", "n_chars", 0.0, 1.0)
+    val de = all.filter(col("lang") === "de").select("pr_fx")
+      .collect().map(_.getLong(0))
+    assert(de.length === 3 && de.forall(_ === 0L))
+  }
+
   test("bloomDecontaminationFlags: benchmark side broadcasts") {
     val docs = table("documents")
     val bench = docs.filter(col("doc_id") % 97 === 0)

@@ -133,6 +133,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out(4L) - math.log(2)) < 1e-6)
   }
 
+  test("topNgramStats: dominant bigram share, short-doc degenerate gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // bigrams: "a b"x2, "b a"x2 -> top 2 of 4
+      (2L, "x"),         // shorter than n: whole token list is one gram
+      (3L, "p q r")      // "p q", "q r" -> top 1 of 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgramStats(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("top_count"), r.getAs[Long]("top_frac_fx")))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 2L, 500000L),
+      (2L, 1L, 1L, 1000000L),
+      (3L, 2L, 1L, 500000L)))
+  }
+
   test("tfidfTopTerms ranks by tf·idf with deterministic term tie-break") {
     import spark.implicits._
     val docs = Seq(

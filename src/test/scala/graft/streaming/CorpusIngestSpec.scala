@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Dedup, TextAnalysis}
+
+class CorpusIngestSpec extends SparkSpec {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  /** documents + a planted exact duplicate of doc 0 (id 10000), stamped
+    * one per minute from a 1-hour base: ingest spans ~8 hours, so a
+    * 1-hour watermark closes all but the tail windows within ONE
+    * AvailableNow run (the run's final catch-up batch executes with the
+    * advanced watermark — a watermark advanced by a run's LAST batch is
+    * never persisted, so multi-run flushing can't be relied on).
+    * The base offset keeps every event time strictly above the initial
+    * watermark of 0 — a row AT the watermark is late-dropped.
+    * The duplicate collides with doc 0 at the same minute, so whichever
+    * row the stream keeps lands in the same window with the same token
+    * count.
+    */
+  private def writeMain(dir: String): Unit = {
+    val docs = table("documents")
+      .select("doc_id", "text", "lang", "source")
+    val dup = docs.filter(col("doc_id") === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+    docs.union(dup)
+      .withColumn("ingest_time",
+        timestamp_micros((lit(3600L) + pmod(col("doc_id"), lit(500L)) * 60L) * 1000000L))
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  private val MinQ = 0.3
+
+  /** The batch twin of the clean stage over the same landing dir. */
+  private def twinClean(dir: String) = Dedup.exact(
+    spark.read.parquet(dir)
+      .filter(TextAnalysis.qualityScore(col("text")) >= MinQ),
+    "doc_id", "text")
+    .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+
+  test("streaming clean keeps the batch twin's content set, exactly once") {
+    val srcDir = tmp("graft_ingest_src1")
+    writeMain(srcDir)
+    val outDir = tmp("graft_ingest_out")
+    val cleaned = CorpusIngest.clean(
+      CorpusIngest.documentsStream(spark, srcDir), MinQ, watermark = "1 hour")
+    CorpusIngest.start(cleaned, outDir, tmp("graft_ingest_ckpt"))
+      .awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+
+    // same kept-content set (fingerprints), no fingerprint twice
+    val sFps = streamed.select("fp").collect().map(_.getLong(0)).toSeq
+    val tFps = twinClean(srcDir).select("fp").collect().map(_.getLong(0)).toSeq
+    assert(sFps.length === sFps.distinct.length, "stream emitted a dup fp")
+    assert(sFps.toSet === tFps.toSet)
+    // exactly one representative of the planted duplicate pair survives
+    // (which one is micro-batch-order-dependent — that's the contract)
+    assert(streamed.filter(col("doc_id").isin(0L, 10000L)).count() === 1)
+    // the quality gate cut something, but not everything
+    val total = spark.read.parquet(srcDir).count()
+    assert(streamed.count() > 0 && streamed.count() < total)
+  }
+
+  test("source rollup emits exactly the closed windows of the batch aggregation") {
+    val srcDir = tmp("graft_ingest_src2")
+    writeMain(srcDir)
+    val outDir = tmp("graft_ingest_roll_out")
+    val rolled = CorpusIngest.sourceRollup(
+      CorpusIngest.clean(
+        CorpusIngest.documentsStream(spark, srcDir), MinQ, watermark = "1 hour"),
+      window = "1 hour")
+    rolled.writeStream
+      .option("checkpointLocation", tmp("graft_ingest_roll_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
+      .awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select(col("window.start").as("ws"), col("source"),
+        col("n_docs"), col("n_tokens"))
+
+    // watermark after the data batch: max event (1h + 499 min) - 1h =
+    // 7h19m. Exactly the windows ending at or before it have emitted.
+    val wmSec = 3600L + 499L * 60 - 3600L
+    val twin = twinClean(srcDir)
+      .groupBy(window(col("ingest_time"), "1 hour").getField("start").as("ws"),
+        col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .filter(col("ws").cast("long") + 3600L <= wmSec)
+    val s = streamed.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val t = twin.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(s === t)
+    assert(s.nonEmpty)
+  }
+}
