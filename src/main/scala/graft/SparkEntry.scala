@@ -500,7 +500,7 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     // Portable-arithmetic SimHash near-dup pairs — the exact-oracle twin
-    // of q_dedup_simhash (KR token hashes, 16-bit signature, 4×4-bit
+    // of q_dedup_simhash (KR token hashes, 30-bit signature, 5×6-bit
     // pigeonhole bands)
     "q_dedup_simhash_portable" -> ((s, dir) => {
       Dedup.portableSimhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1277,12 +1277,12 @@ object SparkEntry {
         "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45 " +
         "ORDER BY id_a, id_b"),
     "q_dedup_simhash_portable" -> {
-      val bits = 16
+      val bits = 30
       val bitSums = (0 until bits).map(j =>
         s"SUM(CASE WHEN (hv // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(", ")
       val sigExpr = (0 until bits).map(j =>
         s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      val bandVals = (0 until 4).map(b => s"(sim // ${1L << (b * 4)}) % 16").mkString(", ")
+      val bandVals = (0 until 5).map(b => s"(sim // ${1L << (b * 6)}) % 64").mkString(", ")
       "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "e AS (SELECT doc_id, unnest(w) AS tok FROM toks), " +
         "hv AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
@@ -1291,7 +1291,7 @@ object SparkEntry {
         "FROM (SELECT doc_id, regexp_replace(tok, '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
         s"bs AS (SELECT doc_id, $bitSums FROM hv GROUP BY doc_id), " +
         s"sig AS (SELECT doc_id, $sigExpr AS sim FROM bs), " +
-        s"band AS (SELECT doc_id, sim, unnest([0,1,2,3]) AS bd, unnest([$bandVals]) AS bv FROM sig), " +
+        s"band AS (SELECT doc_id, sim, unnest([0,1,2,3,4]) AS bd, unnest([$bandVals]) AS bv FROM sig), " +
         "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb " +
         "FROM band a JOIN band b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM pairs " +

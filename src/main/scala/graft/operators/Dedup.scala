@@ -548,45 +548,48 @@ object Dedup {
 
   // ------------------------------------ portable (oracle-exact) simhash
 
-  /** 16-bit SimHash with engine-portable arithmetic: per-token Karp-Rabin
+  /** SimHash with engine-portable arithmetic: per-token Karp-Rabin
     * hashes (same `mod 1e9+7` kernel as [[portableMinhashSignatures]]),
     * per-bit ±1 vote over the token multiset, sign → bit. Any ANSI-SQL
     * engine reproduces the signature bit-for-bit — the exact-oracle twin
     * of [[simhash64]], whose xxhash64 kernel is faster but
-    * engine-specific.
+    * engine-specific. One native codegen'd pass
+    * ([[graft.functions.KrSimHashExpression]]) — the `bits`-fold
+    * `aggregate()` HOF composition it replaces was interpreted and cost
+    * 20.8 s at sf0.1 for 16 bits alone.
     */
-  def portableSimhashSignature(text: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 30, "KR hashes carry ~30 usable bits")
-    val hashes = graft.functions.KrShingleHashExpression
-      .krShingleHash(TextAnalysis.tokens(lower(text)), 1)
-    val bitSums = (0 until bits).map { bit =>
-      aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, bit).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-    }
-    // bit positions are disjoint, so summing the shifted bits is exact
-    bitSums.zipWithIndex.map { case (s, i) =>
-      when(s > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def portableSimhashSignature(text: Column, bits: Int = 30): Column =
+    graft.functions.KrSimHashExpression
+      .krSimHash(TextAnalysis.tokens(lower(text)), bits)
 
-  /** Near-dup pairs from portable 16-bit signatures: 4 × 4-bit pigeonhole
-    * bands (Hamming ≤ 3 ⇒ at least one band agrees), Hamming verify —
-    * the same band/cap/verify shape as [[simhashNearDupPairs]], with
-    * every step reproducible by a SQL oracle.
+  /** Near-dup pairs from portable signatures: `nBands` pigeonhole bands
+    * of `bits/nBands` bits (Hamming ≤ nBands−1 ⇒ at least one band
+    * agrees), Hamming verify — the same band/cap/verify shape as
+    * [[simhashNearDupPairs]], with every step reproducible by a SQL
+    * oracle. Default 30-bit/5-band: 64 buckets per band, so candidate
+    * generation is O(n²/64) per band instead of the 16-bucket 4×4-bit
+    * layout's O(n²/16) — band-value cardinality is the 100×-scale knob.
     */
   def portableSimhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = Int.MaxValue
+      maxBucket: Int = Int.MaxValue,
+      bits: Int = 30,
+      nBands: Int = 5
   ): DataFrame = {
+    require(bits % nBands == 0, "bands must tile the signature")
+    require(maxHamming < nBands,
+      s"pigeonhole needs nBands > maxHamming (got $nBands bands, maxHamming $maxHamming)")
+    val bandBits = bits / nBands
+    val bandMask = (1L << bandBits) - 1
     val sig = df.select(col(idCol),
-      portableSimhashSignature(col(textCol)).as("__sim"))
+      portableSimhashSignature(col(textCol), bits).as("__sim"))
     val banded = sig.select(
       col(idCol), col("__sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("__sim"), b * 4).bitwiseAND(0xfL)): _*))
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("__sim"), b * bandBits).bitwiseAND(bandMask)): _*))
         .as(Seq("__band", "__bandval")))
     val capped = capBuckets(banded, Seq("__band", "__bandval"), maxBucket)
     val a = capped.select(col(idCol).as("id_a"), col("__sim").as("sim_a"),
