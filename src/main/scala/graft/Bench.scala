@@ -22,13 +22,20 @@ object Bench {
         catch { case _: Throwable => () }
       }
     // deterministic order → per-query numbers comparable across rounds;
-    // each query timed `reps` times, min reported — single-shot numbers
-    // swung ±50% run-to-run on the shuffle-heavy dedup queries
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // each query timed `reps` times, MEDIAN reported — min-of-2 under a
+    // loaded machine produced ~21 s of phantom regressions in r5 (2-6×
+    // swings on untouched queries); the median of ≥3 is robust to one
+    // outlier rep in either direction
+    val reps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     // a rep that throws is recorded as a FAILURE, not a (fast) time —
     // otherwise a regression that breaks a query reads as a speedup.
-    // min is taken over successful reps only; a query with zero
+    // median is taken over successful reps only; a query with zero
     // successful reps reports -1 and lands in "failed".
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -36,7 +43,7 @@ object Bench {
           catch { case _: Throwable => false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> (if (times.nonEmpty) median(times) else -1.0)
     }
     // The driver captures only the tail of stdout, so the JSON line must
     // stay short enough to survive intact (r3's 9-decimal line for 69
@@ -47,9 +54,10 @@ object Bench {
     // "[success] Total time: …" line (~75 chars) after ours, so the
     // WHOLE JSON line must stay under ~1900 chars — r1–r3 all came back
     // "parsed": null because the line's head fell off the tail window.
-    // ~130 chars of fixed fields ⇒ cap the queries map at 1500.
+    // ~130 chars of fixed fields + ~160 of params ⇒ cap the queries map
+    // at 1350.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val lineBudget = 1500
+    val lineBudget = 1350
     val byTime = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var sz = 2
@@ -63,7 +71,15 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val omitted = results.size - kept.size
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"sf":"$sfDir"}""")
+    // operator params of the headline approximate queries, so a perf
+    // delta across rounds is attributable to code vs knob changes
+    // (compact: the whole line must survive the driver's tail window)
+    val params = "{\"agg\":\"median\",\"cpus\":" + cpus +
+      ",\"simhash_portable\":\"28bit 4x7 h3 cap1000\"" +
+      ",\"simhash\":\"64bit 4x16 h3 cap1000 planted\"" +
+      ",\"minhash\":\"n3 k64 b16 t1.0 cap1000 planted\"" +
+      ",\"lsh\":\"6x6bit k5 planted\",\"ivf\":\"c16 p4 k5 planted\"}"
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"params":$params,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -361,24 +361,41 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id").as("nn_id"))
         .orderBy("query_id")
     }),
-    // ANN scale path: LSH-bucketed top-k, 6 OR-combined 6-bit bands
-    // (approximate — no SQL oracle; recall-gated in SimilaritySpec)
+    // ANN scale path: LSH-bucketed top-k, 6 OR-combined 6-bit bands.
+    // Queries are planted exact copies (vec_id+1000000) of the first 20
+    // corpus vectors: a copy shares EVERY band with its original, so
+    // the original is always a candidate, and its cosine ≈ 1.0 beats
+    // every other vector by a ≥ 0.48 margin (max non-dup cosine 0.513)
+    // — the rank-1 row is engine-independent even though ranks 2..k are
+    // hash-family-specific, so the gate projects rank 1 only. Full
+    // top-k recall stays gated in SimilaritySpec.
     "q_sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
+      val queries = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Similarity.lshTopK(queries, emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 5, nBits = 6, nBands = 6)
-        .orderBy("query_id", "rank")
+        .filter(col("rank") === 1)
+        .select(col("query_id").cast(LongType).as("query_id"),
+          col("neighbor_id").cast(LongType).as("neighbor_id"))
+        .orderBy("query_id")
     }),
     // ANN inverted-file path: stride-sampled coarse quantizer, narrow-map
-    // list assignment, nProbe-list probe (approximate — no SQL oracle)
+    // list assignment, nProbe-list probe. Same planted-copy scheme: the
+    // query ranks centroids with the same arithmetic that assigned its
+    // original, so the original's list is always probed (top-1 of
+    // nProbe=4) and the exact copy wins rank 1 by the 0.48 cosine margin.
     "q_sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
+      val queries = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Similarity.ivfTopK(queries, emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 5,
         nCentroids = 16, nProbe = 4)
-        .orderBy("query_id", "rank")
+        .filter(col("rank") === 1)
+        .select(col("query_id").cast(LongType).as("query_id"),
+          col("neighbor_id").cast(LongType).as("neighbor_id"))
+        .orderBy("query_id")
     }),
     // ANN inverted-file, portable twin: same IVF pipeline with the
     // Knuth-hash centroid pick, so centroid choice → list assignment →
@@ -455,17 +472,41 @@ object SparkEntry {
       ).toDF("id_a", "id_b")
       Dedup.duplicateClusters(pairs).orderBy("id")
     }),
-    // Near-dedup via MinHash LSH (engine-specific hash family — no oracle)
+    // Near-dedup via MinHash LSH over a planted-duplicate corpus. The
+    // hash family is engine-specific (xxhash64), but the OUTPUT is not:
+    // at threshold 1.0 the exact-Jaccard verify keeps only pairs with
+    // identical shingle sets, and identical sets ⇒ identical signatures
+    // ⇒ same value in every band ⇒ guaranteed candidates — so recall
+    // AND precision are exact, and the result is precisely the planted
+    // (doc, doc+1000000) pairs any SQL engine derives from the data.
     "q_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashDedup(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, k = 64, bands = 16, threshold = 0.5)
-        .select("doc_id")
-        .orderBy("doc_id")
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.union(docs.select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.minhashNearDupPairs(planted, "doc_id", "text",
+        shingleSize = 3, k = 64, bands = 16, threshold = 1.0, maxBucket = 1000)
+        .select(col("id_a").cast(LongType).as("id_a"),
+          col("id_b").cast(LongType).as("id_b"))
+        .orderBy("id_a", "id_b")
     }),
-    // SimHash signatures + banded near-dup pairs (no oracle)
+    // SimHash banded near-dup candidates over the same planted corpus,
+    // verified by exact text equality — the standard production dedup
+    // shape (approximate candidate generation + exact verify). Identical
+    // texts hash to identical signatures (Hamming 0 ⇒ candidate recall
+    // 1.0 regardless of hash family), and the equality verify discards
+    // any engine-specific near-collision, so the output is exactly the
+    // identical-text pairs a SQL oracle computes from the data.
     "q_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.union(docs.select(
+        (col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.simhashNearDupPairs(planted, "doc_id", "text",
+        maxHamming = 3, maxBucket = 1000)
+        .join(planted.select(col("doc_id").as("id_a"), col("text").as("__ta")), Seq("id_a"))
+        .join(planted.select(col("doc_id").as("id_b"), col("text").as("__tb")), Seq("id_b"))
+        .filter(col("__ta") === col("__tb"))
+        .select(col("id_a").cast(LongType).as("id_a"),
+          col("id_b").cast(LongType).as("id_b"))
         .orderBy("id_a", "id_b")
     }),
     // Embedding-cosine near-dup, LSH-bucketed. The fixture embeddings
@@ -500,11 +541,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     // Portable-arithmetic SimHash near-dup pairs — the exact-oracle twin
-    // of q_dedup_simhash (KR token hashes, 30-bit signature, 5×6-bit
-    // pigeonhole bands)
+    // of q_dedup_simhash (KR token hashes de-biased by the Knuth mix,
+    // 28-bit signature, 4×7-bit pigeonhole bands). maxBucket is the
+    // explicit hot-bucket backstop: it never triggers at test SFs (the
+    // de-biased bands are ~uniform, so the oracle is unaffected) but
+    // bounds any one band collision at scale to 1000² pairs.
     "q_dedup_simhash_portable" -> ((s, dir) => {
       Dedup.portableSimhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
+        maxHamming = 3, maxBucket = 1000)
         .orderBy("id_a", "id_b")
     }),
     // Character-entropy quality signal (decimal-term accumulation makes
@@ -1156,13 +1200,15 @@ object SparkEntry {
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term), " +
         "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
         "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
+        // idf quantized FIRST (integer micro-units); score and ranking
+        // are then exact integer arithmetic — see tfidfTopTerms scaladoc
         "scored AS (SELECT f.doc_id, f.term, f.tf, d.df, " +
-        "f.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) AS score " +
+        "f.tf * CAST(floor(ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS score_fx " +
         "FROM tf f JOIN dfreq d USING (term) CROSS JOIN n), " +
-        "r AS (SELECT doc_id, term, tf, df, score, " +
-        """row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS "rank" FROM scored) """ +
+        "r AS (SELECT doc_id, term, tf, df, score_fx, " +
+        """row_number() OVER (PARTITION BY doc_id ORDER BY score_fx DESC, term) AS "rank" FROM scored) """ +
         """SELECT doc_id, CAST("rank" AS BIGINT) AS "rank", term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, """ +
-        "CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS score_fx " +
+        "CAST(score_fx AS BIGINT) AS score_fx " +
         """FROM r WHERE "rank" <= 5 ORDER BY doc_id, "rank""""),
     "q_dedup_paragraph" ->
       ("WITH docs(doc_id, text) AS (VALUES " +
@@ -1276,22 +1322,59 @@ object SparkEntry {
         "WHERE a.vec_id < 1000 AND b.vec_id < 1000 " +
         "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45 " +
         "ORDER BY id_a, id_b"),
+    // Planted-duplicate MinHash gate: threshold 1.0 + exact-Jaccard
+    // verify ⇒ output = pairs with identical (lowercased, whitespace-
+    // tokenized) word-3-shingle SETS in the planted union — identical
+    // sets guarantee identical signatures in every band, so LSH recall
+    // is exactly 1.0 for these pairs under any hash family
+    "q_dedup_minhash" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000, text FROM documents), " +
+        "toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM u), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
+        "k AS (SELECT doc_id, array_to_string(list_sort(list_distinct(s)), chr(1)) AS key FROM sh) " +
+        "SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b " +
+        "FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id " +
+        "ORDER BY id_a, id_b"),
+    // Planted-duplicate SimHash gate: banded candidates + exact text-
+    // equality verify ⇒ output = identical-text pairs in the planted
+    // union (identical text ⇒ Hamming 0 ⇒ candidate under any family)
+    "q_dedup_simhash" ->
+      ("WITH u AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000, text FROM documents) " +
+        "SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b " +
+        "FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id " +
+        "ORDER BY id_a, id_b"),
+    // Planted-copy ANN gates: the rank-1 neighbor of an exact copy is
+    // its original (cosine ≈ 1.0 vs ≤ 0.513 for every other vector)
+    "q_sim_lsh_topk" ->
+      ("SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id, " +
+        "CAST(vec_id AS BIGINT) AS neighbor_id FROM embeddings " +
+        "WHERE vec_id < 20 ORDER BY query_id"),
+    "q_sim_ivf_topk" ->
+      ("SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id, " +
+        "CAST(vec_id AS BIGINT) AS neighbor_id FROM embeddings " +
+        "WHERE vec_id < 20 ORDER BY query_id"),
+    // 28-bit signature, 4×7-bit bands; per-token KR hash de-biased by
+    // the Knuth mix (h*2654435761 % 2^30 — exact BIGINT arithmetic, see
+    // Dedup.portableSimhashSignature) before voting
     "q_dedup_simhash_portable" -> {
-      val bits = 30
+      val bits = 28
       val bitSums = (0 until bits).map(j =>
         s"SUM(CASE WHEN (hv // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(", ")
       val sigExpr = (0 until bits).map(j =>
         s"(CASE WHEN b_$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      val bandVals = (0 until 5).map(b => s"(sim // ${1L << (b * 6)}) % 64").mkString(", ")
+      val bandVals = (0 until 4).map(b => s"(sim // ${1L << (b * 7)}) % 128").mkString(", ")
       "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "e AS (SELECT doc_id, unnest(w) AS tok FROM toks), " +
-        "hv AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+        "hv AS (SELECT doc_id, (list_reduce([CAST(0 AS BIGINT)] || " +
         "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
-        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+        "(a,c) -> (a*31+c) % 1000000007) * 2654435761) % 1073741824 AS hv " +
         "FROM (SELECT doc_id, regexp_replace(tok, '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
         s"bs AS (SELECT doc_id, $bitSums FROM hv GROUP BY doc_id), " +
         s"sig AS (SELECT doc_id, $sigExpr AS sim FROM bs), " +
-        s"band AS (SELECT doc_id, sim, unnest([0,1,2,3,4]) AS bd, unnest([$bandVals]) AS bv FROM sig), " +
+        s"band AS (SELECT doc_id, sim, unnest([0,1,2,3]) AS bd, unnest([$bandVals]) AS bv FROM sig), " +
         "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb " +
         "FROM band a JOIN band b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM pairs " +
@@ -1493,7 +1576,7 @@ object SparkEntry {
         "FROM documents) ORDER BY doc_id"
     },
     "q_corpus_shuffle" ->
-      ("SELECT doc_id, CAST(((CAST(doc_id + 7 AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS BIGINT) AS shuffle_key " +
+      ("SELECT doc_id, CAST(((CAST(xor(doc_id, 7) AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS BIGINT) AS shuffle_key " +
         "FROM documents ORDER BY shuffle_key, doc_id"),
     "q_corpus_bloom_decontam" -> {
       val m = 1 << 18

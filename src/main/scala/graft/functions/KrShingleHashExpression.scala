@@ -113,16 +113,25 @@ object KrShingleHashExpression {
 
 /** One-pass portable SimHash over a token array: per-token Karp–Rabin
   * hash ([[KrShingleHashExpression.foldToken]] — lowercase, keep
-  * `[a-z0-9 ]`, fold `acc*31+code mod 1e9+7`), a ±1 vote per bit over
-  * the token multiset, sign → bit.
+  * `[a-z0-9 ]`, fold `acc*31+code mod 1e9+7`), a Knuth multiplicative
+  * de-bias mix `h' = (h·2654435761) mod 2^30`, a ±1 vote per bit of
+  * `h'` over the token multiset, sign → bit.
   *
-  * Replaces the `bits` separate `aggregate()` higher-order-function
-  * traversals the composition needed (HOFs are interpreted — the
-  * 16-pass form cost 20.8 s at sf0.1, 35 % of the whole bench). Same
-  * arithmetic, so any ANSI-SQL oracle reproduces the signature
-  * bit-for-bit; same `doGenCode`-to-static-kernel pattern as
-  * [[SimHash64Expression]], so it fuses into whole-stage codegen.
-  * KR hashes carry < 2^30, so `bits` ≤ 30.
+  * The mix is load-bearing, not cosmetic: `acc*31+code mod 1e9+7`
+  * never wraps for tokens under ~6 chars — most English tokens — so
+  * raw per-token hashes are SMALL and the high hash bits are almost
+  * always 0. Voting on the raw bits drove signature bits ≈18–29 to 0
+  * for essentially every document, which collapsed the high LSH bands
+  * into one bucket and degenerated the banded self-join to O(n²)
+  * (measured: 16 245 pairs from ~500 docs at sf0.01 where the 64-bit
+  * twin finds ~2 k; 13.7 s at sf0.1 — 23 % of the whole bench).
+  * Multiplying by an odd constant mod 2^30 is a bijection that spreads
+  * low-bit entropy across all 30 bits, and `h·2654435761 < 2^62` stays
+  * exact in any ANSI-SQL BIGINT, so every oracle reproduces it.
+  *
+  * One codegen'd pass (same `doGenCode`-to-static-kernel pattern as
+  * [[SimHash64Expression]]); `bits` ≤ 30 (the mix's modulus), checked
+  * at analysis time since the literal is foldable.
   */
 case class KrSimHashExpression(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -132,7 +141,13 @@ case class KrSimHashExpression(left: Expression, right: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        right.eval() match {
+          case b: java.lang.Integer if b >= 1 && b <= 30 =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+          case b =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"graft_kr_simhash bits must be an int literal in [1,30], got $b")
+        }
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           "graft_kr_simhash requires (array<string>, int literal)")
@@ -154,18 +169,27 @@ case class KrSimHashExpression(left: Expression, right: Expression)
 
 object KrSimHashExpression {
 
-  /** One pass over the tokens; `bits` running vote counters. A null
-    * token hashes to 0 (the KR hash of the empty string), matching the
-    * [[KrShingleHashExpression]] n=1 path it replaces.
+  /** Knuth's multiplicative constant (⌊2^32/φ⌋, odd). */
+  val MixMultiplier = 2654435761L
+
+  /** De-bias modulus: 2^30 (KR hashes are < 1e9+7 < 2^30). */
+  val MixModulus = 1L << 30
+
+  /** One pass over the tokens; `bits` running vote counters over the
+    * MIXED hash `(h·2654435761) mod 2^30` — see the class doc for why
+    * voting on the raw KR hash degenerates the high bits. A null token
+    * hashes to 0 (the KR hash of the empty string), matching the
+    * [[KrShingleHashExpression]] n=1 path it replaces. `bits` is
+    * validated at analysis time (checkInputDataTypes), not per row.
     */
   def compute(tokens: ArrayData, bits: Int): Long = {
-    require(bits >= 1 && bits <= 30, "KR hashes carry ~30 usable bits")
     val counters = new Array[Int](bits)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       val h = KrShingleHashExpression.foldToken(
-        0L, if (tokens.isNullAt(i)) null else tokens.getUTF8String(i))
+        0L, if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)) *
+        MixMultiplier % MixModulus
       var b = 0
       while (b < bits) {
         if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1

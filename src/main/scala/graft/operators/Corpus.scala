@@ -618,11 +618,15 @@ object Corpus {
     * bottleneck (plan-gated in CorpusSpec), which is why this beats the
     * driver-side `shuffle()` a small-data pipeline would use.
     *
-    * `id + salt` must stay in Long range — ids are corpus ordinals, so
-    * any salt below 2^62 is safe in practice.
+    * The salt mixes in by XOR, not addition: exact for EVERY (id, salt)
+    * Long pair — `id + salt` could silently wrap for adversarial ids —
+    * and just as portable (`xor(id, salt)` in any SQL engine with
+    * bitwise ops; the audit form of [[portableHash]] then applies
+    * unchanged). XOR by a constant is a bijection on ids, so each
+    * epoch's key assignment is still a permutation of the hash space.
     */
   def epochShuffle(df: DataFrame, idCol: String, salt: Long = 0L): DataFrame =
-    df.withColumn("shuffle_key", portableHash(col(idCol) + lit(salt)))
+    df.withColumn("shuffle_key", portableHash(col(idCol).bitwiseXOR(lit(salt))))
       .orderBy(col("shuffle_key"), col(idCol))
 
   // -------------------------------------------- bloom decontamination

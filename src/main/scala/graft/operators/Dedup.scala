@@ -202,9 +202,13 @@ object Dedup {
     // The cache lives until the session drops it (the result is lazy, so
     // this method cannot unpersist); memory-pressured callers running
     // many unrelated dedups can spark.catalog.clearCache() between runs.
-    val sig = df
-      .select(col(idCol), minhashSignature(shingleHashes(col(textCol), shingleSize), k).as("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persistOnce: re-invocations with the same plan (bench reps,
+    // retries) REUSE the existing cache entry instead of re-registering
+    // it and spamming "Asked to cache already cached data".
+    val sig = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      df.select(col(idCol),
+        minhashSignature(shingleHashes(col(textCol), shingleSize), k).as("__sig")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the band self-join shuffles ONLY (band, bandHash, id) — signatures
     // and shingle sets stay out of the wide exploded frame and are joined
     // back onto the (few) surviving candidate pairs
@@ -391,6 +395,13 @@ object Dedup {
   /** SimHash near-dup pairs: bucket by 4 × 16-bit bands (docs within
     * Hamming distance 3 of each other must agree on at least one band —
     * pigeonhole), verify by Hamming distance.
+    *
+    * Recall guarantee: the 4-band layout pigeonholes ONLY up to
+    * `maxHamming` = 3 (nBands − 1). Callers passing a larger threshold
+    * get pairs at distance 4+ only when they agree on a band by luck —
+    * the require below makes that misuse impossible instead of silent.
+    * The Hamming filter runs BEFORE the pair dedup so `dropDuplicates`
+    * shuffles only verified pairs, not every band collision.
     */
   def simhashNearDupPairs(
       df: DataFrame,
@@ -399,6 +410,9 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = Int.MaxValue
   ): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only to Hamming 3 (got $maxHamming); " +
+        "raising the threshold needs more bands, not a bigger filter")
     val sig = df.select(col(idCol), simhash64(col(textCol)).as("__sim"))
     val banded = sig.select(
       col(idCol), col("__sim"),
@@ -413,10 +427,10 @@ object Dedup {
       col("__band"), col("__bandval"))
     a.join(b, Seq("__band", "__bandval"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ------------------------------------------------- embedding near-dup
@@ -549,16 +563,25 @@ object Dedup {
   // ------------------------------------ portable (oracle-exact) simhash
 
   /** SimHash with engine-portable arithmetic: per-token Karp-Rabin
-    * hashes (same `mod 1e9+7` kernel as [[portableMinhashSignatures]]),
-    * per-bit ±1 vote over the token multiset, sign → bit. Any ANSI-SQL
-    * engine reproduces the signature bit-for-bit — the exact-oracle twin
-    * of [[simhash64]], whose xxhash64 kernel is faster but
-    * engine-specific. One native codegen'd pass
-    * ([[graft.functions.KrSimHashExpression]]) — the `bits`-fold
-    * `aggregate()` HOF composition it replaces was interpreted and cost
-    * 20.8 s at sf0.1 for 16 bits alone.
+    * hashes (same `mod 1e9+7` kernel as [[portableMinhashSignatures]])
+    * de-biased by the Knuth mix `(h·2654435761) mod 2^30` — without it
+    * short-token KR hashes never wrap the modulus, the high signature
+    * bits vote to 0 for every document, and the high LSH bands
+    * degenerate into one O(n²) bucket — then a per-bit ±1 vote over the
+    * token multiset, sign → bit. Every step is exact BIGINT arithmetic,
+    * so any ANSI-SQL engine reproduces the signature bit-for-bit — the
+    * exact-oracle twin of [[simhash64]], whose xxhash64 kernel is
+    * faster but engine-specific. One native codegen'd pass
+    * ([[graft.functions.KrSimHashExpression]]).
+    *
+    * Null semantics: null text → null signature (standard expression
+    * null propagation), so null-text documents drop out of banding and
+    * pairing entirely. (The pre-r5 aggregate/when composition folded
+    * null input to signature 0, which let null-text docs pair with
+    * genuine signature-0 docs; the oracle's `unnest(NULL)` drops the
+    * doc, so null-propagation is the semantics both engines agree on.)
     */
-  def portableSimhashSignature(text: Column, bits: Int = 30): Column =
+  def portableSimhashSignature(text: Column, bits: Int = 28): Column =
     graft.functions.KrSimHashExpression
       .krSimHash(TextAnalysis.tokens(lower(text)), bits)
 
@@ -566,9 +589,12 @@ object Dedup {
     * of `bits/nBands` bits (Hamming ≤ nBands−1 ⇒ at least one band
     * agrees), Hamming verify — the same band/cap/verify shape as
     * [[simhashNearDupPairs]], with every step reproducible by a SQL
-    * oracle. Default 30-bit/5-band: 64 buckets per band, so candidate
-    * generation is O(n²/64) per band instead of the 16-bucket 4×4-bit
-    * layout's O(n²/16) — band-value cardinality is the 100×-scale knob.
+    * oracle. Default 28-bit/4-band: 128 buckets per band, so candidate
+    * generation is O(n²/128) per band — band-value cardinality is the
+    * 100×-scale knob, and it only bites when the signature bits are
+    * actually unbiased (see [[portableSimhashSignature]]'s mix). The
+    * Hamming filter runs BEFORE the pair dedup so `dropDuplicates`
+    * shuffles only verified pairs, not every band collision.
     */
   def portableSimhashPairs(
       df: DataFrame,
@@ -576,8 +602,8 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = Int.MaxValue,
-      bits: Int = 30,
-      nBands: Int = 5
+      bits: Int = 28,
+      nBands: Int = 4
   ): DataFrame = {
     require(bits % nBands == 0, "bands must tile the signature")
     require(maxHamming < nBands,
@@ -598,10 +624,10 @@ object Dedup {
       col("__band"), col("__bandval"))
     a.join(b, Seq("__band", "__bandval"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("sim_a"), col("sim_b")).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ------------------------------- exact embedding near-dup (baseline)

@@ -269,10 +269,15 @@ object TextAnalysis {
     * single-row N aggregate, and a final doc-keyed window for top-k.
     * Nothing driver-side, no collect.
     *
-    * Output is deterministic across engines: score ties break on the
-    * term string, and the emitted `score_fx` is the portable fixed-point
-    * `FLOOR(score·10^6 + 0.5)` (see [[round6]] for why SQL `round` is
-    * not portable).
+    * Output is deterministic across engines: the idf is quantized ONCE
+    * to integer micro-units — `idf_fx = FLOOR(ln((N+1)/(df+1))·10^6 +
+    * 0.5)` — and everything downstream (`score_fx = tf·idf_fx`, the
+    * ranking, the tie-break on the term string) is exact integer
+    * arithmetic. Quantizing at the idf (value ~1e0) instead of the
+    * final score (value ~1e3) shrinks the window where a 1-ulp `ln`
+    * divergence between engines could flip a FLOOR from ~1e-7 to
+    * ~1e-10 per row, and removes the cross-engine double multiply
+    * entirely. (See [[round6]] for why SQL `round` is not portable.)
     */
   def tfidfTopTerms(
       df: DataFrame,
@@ -290,16 +295,18 @@ object TextAnalysis {
     val scored = tf
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
-      .withColumn("score",
-        col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+      .withColumn("__idf_fx",
+        floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("score_fx", col("tf") * col("__idf_fx"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      .partitionBy("doc_id").orderBy(col("score_fx").desc, col("term"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(
         col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
-        floor(col("score") * lit(1e6) + lit(0.5)).cast("long").as("score_fx"))
+        col("score_fx"))
   }
 
   /** Gopher-style top-n-gram occupancy: for each document, the count of
@@ -309,12 +316,17 @@ object TextAnalysis {
     * (their "top 2-gram character fraction" family, simplified to gram
     * counts so the statistic is exactly integer-derived).
     *
-    * Relational shape (ONE shuffle on (doc, gram), then a doc-keyed
-    * aggregate): explode grams, count per (doc, gram), take max and sum
-    * per doc. The fraction is a ratio of those two integers — exact in
-    * double, engine-portable. Documents shorter than `n` tokens count
-    * their whole token list as one gram (the [[Dedup.shingles]]
-    * degenerate-case rule).
+    * This is a ROW-LOCAL statistic, computed row-locally: one pass per
+    * document through the native [[graft.functions.GramStatsExpression]]
+    * kernel — ZERO exchanges, stays inside whole-stage codegen. (The
+    * relational explode → groupBy(doc, gram) → groupBy(doc) form it
+    * replaces shuffled ~the whole tokenized corpus twice for a per-row
+    * number: grams are near-unique within a document, so map-side
+    * combine barely helped — 3.4 s at sf0.1 and linear in corpus size,
+    * a genuine 100×-scale killer.) The fraction is a ratio of two
+    * integers — exact in double, engine-portable. Documents shorter
+    * than `n` tokens count their whole token list as one gram (the
+    * [[Dedup.shingles]] degenerate-case rule).
     */
   def topNgramStats(
       df: DataFrame,
@@ -324,18 +336,11 @@ object TextAnalysis {
   ): DataFrame = {
     require(n > 0, "n must be positive")
     val toks = split(trim(col(textCol)), "[ \t\n\f\r]+")
-    val grams = when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-    val exploded = df
-      .select(col(idCol).as("doc_id"), explode(grams).as("gram"))
-    val perGram = exploded.groupBy("doc_id", "gram")
-      .agg(count(lit(1)).as("cnt"))
-    perGram.groupBy("doc_id")
-      .agg(
-        sum(col("cnt")).as("n_grams"),
-        max(col("cnt")).as("top_count"))
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.GramStatsExpression.gramStats(toks, n).as("__gs"))
+      .select(col("doc_id"),
+        col("__gs.n_grams").as("n_grams"),
+        col("__gs.top_count").as("top_count"))
       .withColumn("top_frac_fx",
         floor(col("top_count").cast("double") / col("n_grams").cast("double") * lit(1e6) + lit(0.5))
           .cast("long"))

@@ -30,11 +30,15 @@ object BatchWriter {
     * stays within the connection budget (the reference used one unbounded
     * pool — cmd/app.go:66-68 — which we must NOT replicate: each Spark
     * write task opens its own connection).
+    *
+    * Unconditional `coalesce`: it only ever REDUCES partition count (a
+    * plan with fewer partitions than the cap passes through unchanged),
+    * so no partition-count probe is needed — the previous
+    * `df.rdd.getNumPartitions` guard forced an RDD conversion of the
+    * whole plan just to read a number.
     */
-  def cappedForWrite(df: DataFrame, maxConnections: Int): DataFrame = {
-    val n = df.rdd.getNumPartitions
-    if (n > maxConnections) df.coalesce(maxConnections) else df
-  }
+  def cappedForWrite(df: DataFrame, maxConnections: Int): DataFrame =
+    df.coalesce(maxConnections)
 
   /** Write to a JDBC target with truncate-before-load (reference K3,
     * cmd/root.go:264-273) and the batch clamp.

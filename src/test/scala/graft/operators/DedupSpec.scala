@@ -90,12 +90,22 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash: identical text -> distance 0; near text -> small distance") {
-    val pairs = Dedup.simhashNearDupPairs(planted, "doc_id", "text", maxHamming = 10)
+    val pairs = Dedup.simhashNearDupPairs(planted, "doc_id", "text", maxHamming = 3)
       .collect()
     val m = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
     assert(m.get((0L, 10000L)).contains(0))
-    assert(m.contains((1L, 10001L)))
-    assert(m((1L, 10001L)) <= 10)
+    // the near-copy differs in few signature bits — measured on the raw
+    // signatures, NOT through the banded path, whose pigeonhole only
+    // guarantees recall to Hamming 3
+    val sigs = planted
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(10001L)) <= 10)
+    // thresholds past the pigeonhole bound are rejected, not silently
+    // under-recalled
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(planted, "doc_id", "text", maxHamming = 10)
+    }
   }
 
   test("ngram-jaccard pairs find the exact copy; near-copy found iff block key survives") {
@@ -254,6 +264,24 @@ class DedupSpec extends SparkSpec {
     val s1 = docs.select(Dedup.portableSimhashSignature(col("text"))).collect()
     val s2 = docs.select(Dedup.portableSimhashSignature(col("text"))).collect()
     assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+  }
+
+  test("planted-pair oracle margin: no real embedding pair approaches the 0.8 threshold") {
+    // the q_dedup_embedding gate is only an EXACT oracle while every
+    // non-planted cosine stays clear of the threshold; this pins the
+    // margin with the O(n²) audit baseline so fixture drift (or a norm/
+    // dot regression) fails loudly instead of silently flipping the gate
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val insideMargin = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", threshold = 0.7)
+    assert(insideMargin.count() === 0,
+      "a real embedding pair entered the oracle's safety margin (cosine >= 0.7)")
+    // the other side of the gap: every planted copy scores ~1.0 and the
+    // LSH path recovers all of them at the gate's exact parameters
+    val planted = emb.union(
+      emb.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val found = Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding",
+      threshold = 0.8, nBits = 8, nBands = 2, maxBucket = 10000)
+    assert(found.count() === emb.count())
   }
 
   test("embeddingNearDupExact matches LSH verify on planted duplicates") {

@@ -150,6 +150,30 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 2L, 1L, 500000L)))
   }
 
+  test("topNgramStats matches the relational explode/groupBy formulation; plan has no Exchange") {
+    // independent recomputation of the same statistic the slow way
+    val docs = table("documents").limit(200)
+    val toks = split(trim(col("text")), "[ \t\n\f\r]+")
+    val grams = when(size(toks) < 2, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - 2),
+        i => array_join(slice(toks, i + 1, lit(2)), " ")))
+    val relational = docs
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_grams"), max(col("cnt")).as("top_count"))
+    val native = TextAnalysis.topNgramStats(docs, "doc_id", "text", n = 2)
+      .select("doc_id", "n_grams", "top_count")
+    assert(native.exceptAll(relational).count() === 0)
+    assert(relational.exceptAll(native).count() === 0)
+    // the whole point of the native kernel: a row-local statistic must
+    // not shuffle the corpus
+    val plan = TextAnalysis.topNgramStats(docs, "doc_id", "text", n = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"topNgramStats plan shuffles:\n$plan")
+  }
+
   test("tfidfTopTerms ranks by tf·idf with deterministic term tie-break") {
     import spark.implicits._
     val docs = Seq(
@@ -166,9 +190,10 @@ class TextAnalysisSpec extends SparkSpec {
       // doc 2: equal scores — the term string breaks the tie
       (2L, 1L, "banana", 1L, 2L), (2L, 2L, "cherry", 1L, 2L),
       (3L, 1L, "cherry", 3L, 2L), (3L, 2L, "durian", 1L, 1L)))
-    // N=3 docs: apple's idf = ln(4/2); score_fx = floor(2·ln2·1e6 + 0.5)
+    // N=3 docs: apple's idf = ln(4/2), quantized to micro-units BEFORE
+    // the tf multiply — score_fx = tf · floor(ln2·1e6 + 0.5) exactly
     val appleFx = rows.find(r => r.getAs[String]("term") == "apple").get
       .getAs[Long]("score_fx")
-    assert(appleFx === math.floor(2.0 * math.log(2.0) * 1e6 + 0.5).toLong)
+    assert(appleFx === 2L * math.floor(math.log(2.0) * 1e6 + 0.5).toLong)
   }
 }
