@@ -36,7 +36,12 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev knob: SPARK_GRAFT_ONLY=<regex> probes a subset (e.g. one
+    // query × many reps when chasing a bimodal timing); unset = full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
