@@ -198,4 +198,61 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 3, s"$exchanges exchanges:\n$plan")
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  // ---- near-dup candidate generation: the plan shapes that make the
+  // approximate dedup family 100×-scalable. Every path must be an
+  // equi-join on narrow blocking keys — a CartesianProduct (or a
+  // non-equi join) anywhere in these plans is the O(n²) failure mode
+  // the banding exists to prevent.
+
+  test("minhash LSH: banded self-join is an equi-join on (band, bandhash) — no cartesian") {
+    val df = graft.operators.Dedup.minhashNearDupPairs(
+      table("documents"), "doc_id", "text", maxBucket = 1000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the candidate join keys on the band hash, not on signatures or text
+    assert(plan.contains("__bandhash"), plan)
+  }
+
+  test("simhash: banded self-join keys on band values — no cartesian") {
+    val df = graft.operators.Dedup.simhashNearDupPairs(
+      table("documents"), "doc_id", "text", maxHamming = 3, maxBucket = 1000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("portable simhash: banded self-join, no cartesian, no global sort before pairing") {
+    val df = graft.operators.Dedup.portableSimhashPairs(
+      table("documents"), "doc_id", "text", maxHamming = 3, maxBucket = 1000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("ngram-jaccard: min-shingle blocking joins on the block key only") {
+    val df = graft.operators.Dedup.ngramJaccardNearDupPairs(
+      table("documents"), "doc_id", "text", maxBucket = 1000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__blk"), plan)
+  }
+
+  test("embedding LSH near-dup: OR-band join, no cartesian") {
+    val df = graft.operators.Dedup.embeddingNearDupPairs(
+      table("embeddings"), "vec_id", "embedding", threshold = 0.45)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("gram-stats kernel stays inside codegen (topgram is exchange-free end to end)") {
+    val df = graft.operators.TextAnalysis.topNgramStats(
+      table("documents"), "doc_id", "text", n = 2)
+    val plan = explain(df)
+    assert(plan.contains("codegen id"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
