@@ -558,6 +558,33 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("entropy"))
         .orderBy("doc_id")
     }),
+    // Winnowed duplicate-span detection (ExactSubstr analog): merged
+    // per-document regions whose 12-token window text recurs across
+    // documents. Content-defined (winnowing) selection keeps recall
+    // offset-robust; the hash candidates are verified on the actual
+    // normalized span text, so the output is exact and the whole
+    // pipeline is portable integer arithmetic — a full SQL oracle.
+    "q_dedup_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        window = 12, sel = 4, minDocs = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+    // SemDeDup-style semantic dedup over a planted-duplicate corpus:
+    // IVF-cluster the embeddings (portable Knuth-hash centroid sample),
+    // drop every vector with a lower-id cluster-mate at cosine >= 0.8.
+    // Identical planted vectors always share a cluster (same argmax,
+    // same tie-break) and score cosine ~1.0; the closest genuine pair
+    // sits at 0.513 (q_dedup_embedding's measured margin), so the
+    // survivor set is float-robust and the SQL oracle reproduces the
+    // pipeline end-to-end: centroid pick, assignment, pairing, drop.
+    "q_sem_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.union(emb.select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      Dedup.semanticDedup(planted, "vec_id", "embedding",
+        nClusters = 16, threshold = 0.8, portableCentroids = true)
+        .orderBy("vec_id")
+    }),
     // Portable MinHash near-dup: Karp-Rabin + affine permutations —
     // the exact-oracle twin of the xxhash64 kernel path
     "q_dedup_minhash_portable" -> ((s, dir) => {
@@ -1379,6 +1406,51 @@ object SparkEntry {
         "FROM band a JOIN band b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM pairs " +
         "WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b"
+    },
+    "q_dedup_spans" -> {
+      // winnowed 12-token duplicate spans: same KR + Knuth-mix integer
+      // arithmetic as the Spark kernel, 0-based positions, islands via
+      // gaps-and-islands over window starts
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(w) < 12 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 10), i -> array_to_string(w[i:i+11], ' ')) END AS s FROM toks), " +
+        "e AS (SELECT doc_id, unnest(list_transform(range(1, len(s)+1), i -> {'pos': i - 1, 'sg': s[i]})) AS u FROM sh), " +
+        "nrm AS (SELECT doc_id, u.pos AS pos, regexp_replace(u.sg, '[^a-z0-9 ]', '', 'g') AS t FROM e), " +
+        "hv AS (SELECT doc_id, pos, t, (list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) * 2654435761) % 1073741824 AS h FROM nrm), " +
+        "sel AS (SELECT doc_id, pos, t FROM hv WHERE h % 4 = 0), " +
+        "cand AS (SELECT t FROM sel GROUP BY t HAVING COUNT(DISTINCT doc_id) >= 2), " +
+        "hit AS (SELECT doc_id, pos FROM sel WHERE t IN (SELECT t FROM cand)), " +
+        "isl AS (SELECT doc_id, pos, CASE WHEN pos > COALESCE(MAX(pos + 11) OVER " +
+        "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) " +
+        "THEN 1 ELSE 0 END AS ni FROM hit), " +
+        "grp AS (SELECT doc_id, pos, SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl) " +
+        "SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, " +
+        "CAST(MAX(pos) + 11 AS BIGINT) AS span_end, COUNT(*) AS n_windows " +
+        "FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start"
+    },
+    "q_sem_dedup" -> {
+      // SemDeDup pipeline end-to-end: Knuth-hash centroid sample,
+      // argmax-cosine assignment (ties to the earliest centroid),
+      // within-cluster pairing, lower-id-wins drop rule
+      def dot(a: String, b: String): String =
+        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
+      def cos(a: String, na: String, b: String, nb: String): String =
+        s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
+      "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings), " +
+        s"emb AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e0), " +
+        "cent AS (SELECT * FROM (SELECT vec_id AS cid, v AS cv, nrm AS cn, " +
+        "row_number() OVER (ORDER BY ((CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, vec_id) AS cpos " +
+        "FROM emb) WHERE cpos <= 16), " +
+        "assign AS (SELECT e.vec_id, e.v, e.nrm, " +
+        s"(SELECT c.cid FROM cent c ORDER BY ${cos("e.v", "e.nrm", "c.cv", "c.cn")} DESC, c.cpos LIMIT 1) AS list " +
+        "FROM emb e), " +
+        "dropped AS (SELECT DISTINCT b.vec_id AS did FROM assign a JOIN assign b " +
+        s"ON a.list = b.list AND a.vec_id < b.vec_id AND ${cos("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.8) " +
+        "SELECT a.vec_id, a.list FROM assign a WHERE a.vec_id NOT IN (SELECT did FROM dropped) " +
+        "ORDER BY vec_id"
     },
     "q_dedup_minhash_portable" -> {
       val k = 8

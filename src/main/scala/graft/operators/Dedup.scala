@@ -711,4 +711,243 @@ object Dedup {
         max(col("__n_spans")).cast("long").as("n_spans"),
         count(lit(1)).as("n_kept"))
   }
+
+  // --------------------------------------------- exact-substring spans
+
+  /** Duplicated-span detection via winnowed window fingerprints — the
+    * distributable analog of suffix-array exact-substring dedup: find
+    * every `window`-token span whose (normalized) text occurs in at
+    * least `minDocs` distinct documents, and report each document's
+    * duplicated regions with overlapping windows coalesced.
+    *
+    * Candidate generation is content-defined sampling (winnowing): a
+    * window participates only when its de-biased Karp–Rabin fingerprint
+    * satisfies `h % sel == 0`. Selection depends on CONTENT, not
+    * offset, so the same span selects the same windows in every
+    * document that carries it — recall is immune to the alignment
+    * shifts that break stride sampling, while the exploded volume
+    * drops ~`sel`-fold. The de-bias mix is mandatory here: raw KR
+    * hashes of short windows cluster (see [[portableSimhashSignature]]),
+    * which would skew the `% sel` keep-rate.
+    *
+    * Hash hits are then verified by grouping on the actual normalized
+    * span text, so a KR collision can never fabricate a duplicate —
+    * the reported spans are EXACT duplicates (among sampled windows),
+    * and every step is mod-1e9+7 / Knuth-mix integer arithmetic an
+    * ANSI-SQL engine reproduces bit-for-bit.
+    *
+    * Scale shape (100 TB): strictly LINEAR — no self-join anywhere,
+    * unlike every banded near-dup path in this file. One shuffle of
+    * narrow (hash, doc) pairs for the duplicate count, one semi-join
+    * back (the candidate-hash side is collapsible to a broadcast at
+    * typical dup rates), one text-keyed verify shuffle over hits only,
+    * and a per-doc window for island merging. A boilerplate span shared
+    * by millions of documents costs linear time — it is a count and a
+    * fan-out, never a pairing — so the hot key that melts banded
+    * self-joins is harmless here.
+    *
+    * Output: (doc_id, span_start, span_end, n_windows) — 0-based token
+    * indices, inclusive; `span_end = last window start + window - 1`.
+    * Documents with fewer than `window` tokens contribute one
+    * degenerate whole-document window reported as span [0, window-1],
+    * mirroring [[shingles]]' short-input rule.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 12,
+      sel: Int = 4,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(window >= 2, "window must be >= 2 tokens")
+    require(sel >= 1, "sel must be >= 1")
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val hits = winnowedHits(df, idCol, textCol, window, sel, minDocs)
+      .select("doc_id", "__pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("__pos")
+    // gaps-and-islands over window starts: a new island begins when a
+    // start lies past every previous window's end in this document
+    val prevEnd = max(col("__pos") + lit(window - 1))
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    hits
+      .withColumn("__ni", when(col("__pos") > coalesce(prevEnd, lit(-1)), 1).otherwise(0))
+      .withColumn("__g", sum(col("__ni")).over(w))
+      .groupBy(col("doc_id"), col("__g"))
+      .agg(
+        min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + lit(window - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Shared kernel of [[duplicateSpans]] / [[stripDuplicateSpans]]:
+    * winnow-selected window starts whose normalized span text occurs in
+    * >= `minDocs` distinct documents, with the verified span text
+    * attached. Columns: doc_id, __pos (0-based window start), __span.
+    */
+  private def winnowedHits(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      sel: Int,
+      minDocs: Int
+  ): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    def windowHashes(d: DataFrame): DataFrame = d
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.KrShingleHashExpression
+          .krShingleHash(col("__toks"), window)).as(Seq("__pos", "__h")))
+      // Knuth de-bias mix, exact in any BIGINT engine (h < 1e9 so the
+      // product stays < 2^62); winnowing keeps 1/sel of windows
+      .withColumn("__hm", (col("__h") * lit(2654435761L)) % lit(1073741824L))
+      .filter(col("__hm") % sel === 0)
+      .select("doc_id", "__pos", "__hm")
+    val selected = windowHashes(df)
+    // hash-level duplicate count: narrow (hash, doc) shuffle, linear
+    val candHashes = selected
+      .groupBy("__hm")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__hm")
+    val hashHits = selected.join(candHashes, Seq("__hm")).select("doc_id", "__pos")
+    // exact verify: recompute the normalized span text for HITS ONLY
+    // (a second scan of the input, but the exploded span strings exist
+    // only for the rare duplicated windows, never the full corpus)
+    val withText = hashHits
+      .join(df.select(col(idCol).as("doc_id"), toks.as("__toks")), Seq("doc_id"))
+      .withColumn("__span",
+        regexp_replace(
+          array_join(slice(col("__toks"), col("__pos") + 1, lit(window)), " "),
+          "[^a-z0-9 ]", ""))
+      .select("doc_id", "__pos", "__span")
+    val verifiedSpans = withText
+      .groupBy("__span")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__span")
+    withText.join(verifiedSpans, Seq("__span"))
+      .select("doc_id", "__pos", "__span")
+  }
+
+  /** Remove duplicated spans everywhere EXCEPT their global first
+    * occurrence — the dedup action over [[duplicateSpans]]' detection.
+    * For each verified duplicated window text, the keeper is the lowest
+    * (doc_id, position) occurrence; every other occurrence marks its
+    * `window` tokens for deletion, and each document is rebuilt from
+    * its surviving tokens (single-space joined, original order).
+    *
+    * Output: (doc_id, text, n_tokens, n_removed) for every input
+    * document — documents with nothing to remove pass through with
+    * `n_removed = 0`, and a document that was entirely duplicated
+    * elsewhere comes back with empty text rather than disappearing
+    * (the caller decides whether to drop empties).
+    *
+    * Scale shape: [[winnowedHits]]' linear pipeline, plus one window
+    * over the hit set for keeper election and a per-doc aggregation of
+    * deletion ranges; the rebuild is a narrow map (an index-aware
+    * `filter` HOF over the token array — no explode of the corpus).
+    */
+  def stripDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 12,
+      sel: Int = 4,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(window >= 2, "window must be >= 2 tokens")
+    val hits = winnowedHits(df, idCol, textCol, window, sel, minDocs)
+    val keeper = org.apache.spark.sql.expressions.Window
+      .partitionBy("__span").orderBy("doc_id", "__pos")
+    val deletions = hits
+      .withColumn("__rn", row_number().over(keeper))
+      .filter(col("__rn") > 1)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(
+        col("__pos").as("s"),
+        (col("__pos") + lit(window - 1)).as("e"))).as("__del"))
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    df.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .join(deletions, Seq("doc_id"), "left")
+      .withColumn("__keep",
+        when(col("__del").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"),
+            (_, i) => !exists(col("__del"),
+              d => i >= d.getField("s") && i <= d.getField("e")))))
+      .select(
+        col("doc_id"),
+        array_join(col("__keep"), " ").as("text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__keep"))).cast("long").as("n_removed"))
+  }
+
+  // ------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic deduplication: cluster embeddings with the
+    * deterministic IVF quantizer ([[Similarity.ivfAssign]]'s argmax-
+    * cosine assignment over `nClusters` hash-sampled centroids), then
+    * drop every vector that has a LOWER-id cluster-mate with cosine >=
+    * `threshold`. Near-duplicate *meaning* — paraphrases, templated
+    * rewrites, re-crawls — collapses to one representative per cluster
+    * neighborhood, the step text-level dedup (exact/minhash/simhash)
+    * cannot do.
+    *
+    * The within-cluster pairing is an equi-join on the cluster id, so
+    * the all-pairs comparison never crosses clusters: cost is
+    * sum(c_i^2) over cluster sizes, not n^2. At 100 TB, `nClusters`
+    * scales with the corpus (SemDeDup uses ~50k) to keep every c_i
+    * bounded, and `maxCluster` is the hard backstop: clusters above it
+    * are exempted from pairing (kept verbatim) rather than allowed to
+    * go quadratic — the same fail-open contract as [[capBuckets]].
+    *
+    * With `portableCentroids` the centroid sample uses the Knuth
+    * multiplicative hash ([[Corpus.portableHash]]) so the ENTIRE
+    * pipeline — centroid pick, assignment, pair cosines, drop set — is
+    * reproducible in ANSI SQL; the default xxhash64 sample is the
+    * throughput variant.
+    *
+    * Output: the survivors — (id, list) rows, one per kept vector, with
+    * the cluster id that justified its survival.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int = 16,
+      threshold: Double = 0.8,
+      portableCentroids: Boolean = false,
+      maxCluster: Int = Int.MaxValue
+  ): DataFrame = {
+    require(nClusters > 0, "nClusters must be positive")
+    val assigned = Similarity
+      .assignForDedup(df.select(col(idCol), col(vecCol)), idCol, vecCol,
+        nClusters, portableCentroids)
+      .select(col("neighbor_id").as("__id"), col("__cv"), col("__cn"), col("__list"))
+    val paired =
+      if (maxCluster == Int.MaxValue) assigned
+      else {
+        val sizes = assigned.groupBy("__list").agg(count(lit(1)).as("__csz"))
+        assigned.join(sizes, Seq("__list")).filter(col("__csz") <= maxCluster)
+          .drop("__csz")
+      }
+    val a = paired.select(col("__list"), col("__id").as("id_a"),
+      col("__cv").as("__va"), col("__cn").as("__na"))
+    val b = paired.select(col("__list"), col("__id").as("id_b"),
+      col("__cv").as("__vb"), col("__cn").as("__nb"))
+    val dropSet = a.join(b, Seq("__list"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(
+        when(col("__na") * col("__nb") === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("__va"), col("__vb")) /
+            (col("__na") * col("__nb"))) >= threshold)
+      .select(col("id_b").as("__drop"))
+      .distinct()
+    assigned
+      .join(dropSet, assigned("__id") === dropSet("__drop"), "left_anti")
+      .select(col("__id").as(idCol), col("__list").as("list"))
+  }
 }

@@ -161,6 +161,19 @@ object Similarity {
   ): DataFrame =
     ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portable = false)._1
 
+  /** [[Dedup.semanticDedup]]'s hook into the IVF quantizer: assignment
+    * rows (neighbor_id, __cv, __cn, __list) with the same centroid
+    * sample, argmax, and tie-break rules the top-k paths use.
+    */
+  private[operators] def assignForDedup(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      nCentroids: Int,
+      portable: Boolean
+  ): DataFrame =
+    ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portable)._1
+
   private def ivfAssignWithCentroids(
       corpus: DataFrame,
       corpusIdCol: String,

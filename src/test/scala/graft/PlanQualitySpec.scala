@@ -248,6 +248,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("duplicate spans: linear pipeline — hash/text equi-joins only, no self-pairing") {
+    val df = graft.operators.Dedup.duplicateSpans(
+      table("documents"), "doc_id", "text", window = 12, sel = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // candidate filtering joins on the mixed window hash, then on the
+    // verified span text — never doc-to-doc
+    assert(plan.contains("__hm"), plan)
+  }
+
+  test("semantic dedup: within-cluster pairing is an equi-join on the cluster id") {
+    val df = graft.operators.Dedup.semanticDedup(
+      table("embeddings"), "vec_id", "embedding", nClusters = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__list"), plan)
+  }
+
   test("gram-stats kernel stays inside codegen (topgram is exchange-free end to end)") {
     val df = graft.operators.TextAnalysis.topNgramStats(
       table("documents"), "doc_id", "text", n = 2)

@@ -319,4 +319,81 @@ class DedupSpec extends SparkSpec {
     assert(composed.exceptAll(fused).count() === 0)
     assert(fused.exceptAll(composed).count() === 0)
   }
+
+  test("duplicateSpans: shared span found at different offsets, unique doc silent") {
+    import spark.implicits._
+    val s = (1 to 14).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $s v1 v2"),
+      (2L, s"w1 $s x1 x2 x3 x4"),
+      (3L, (1 to 30).map(i => s"only$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // sel=1 disables winnowing: every window participates, so exactly
+    // the windows fully inside the shared 14-token span (3 of them) hit
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", window = 12, sel = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set((1L, 3L, 16L, 3L), (2L, 1L, 14L, 3L)), out)
+  }
+
+  test("duplicateSpans: winnowing selection is offset-robust (content-defined)") {
+    import spark.implicits._
+    val s = (1 to 40).map(i => s"core$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"p1 p2 p3 p4 p5 $s"),
+      (2L, s"q1 $s"),
+      (3L, (1 to 40).map(i => s"pad$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", window = 12, sel = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val d1 = out.filter(_._1 == 1L).map(t => (t._2 - 5, t._3 - 5)) // prefix 5 tokens
+    val d2 = out.filter(_._1 == 2L).map(t => (t._2 - 1, t._3 - 1)) // prefix 1 token
+    // despite different alignments, both docs select the SAME windows of
+    // the shared text, so their spans coincide in span-relative indices
+    assert(d1.nonEmpty, "winnowing selected no window of a 40-token duplicate")
+    assert(d1 === d2, (d1, d2))
+    assert(!out.exists(_._1 == 3L), out)
+  }
+
+  test("stripDuplicateSpans: global first occurrence survives, later copies removed") {
+    import spark.implicits._
+    val s = (1 to 14).map(i => s"shared$i").mkString(" ")
+    val unique = (1 to 13).map(i => s"solo$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $s v1 v2"),
+      (2L, s"w1 $s x1 x2 x3 x4"),
+      (3L, unique),
+      (4L, unique) // whole-doc duplicate: everything removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text", window = 12, sel = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toList.sortBy(_._1)
+    assert(out.map(_._1) === List(1L, 2L, 3L, 4L))
+    assert(out(0)._3 === 0L, "keeper doc must lose nothing")
+    assert(out(0)._2.startsWith("u1 u2 u3 shared1 "))
+    assert(out(1)._2 === "w1 x1 x2 x3 x4", out(1)._2)
+    assert(out(1)._3 === 14L)
+    assert(out(2)._3 === 0L)
+    assert(out(3)._2 === "" && out(3)._3 === 13L, out(3))
+  }
+
+  test("semanticDedup: planted identical vectors collapse to the lower id") {
+    val emb = table("embeddings").select("vec_id", "embedding").limit(200)
+    val planted = emb.union(emb.select(
+      (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val out = Dedup.semanticDedup(planted, "vec_id", "embedding",
+      nClusters = 8, threshold = 0.8)
+    val ids = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.size === 200, s"expected all originals to survive, got ${ids.size}")
+    assert(ids.forall(_ < 1000000), "a planted duplicate escaped the drop rule")
+  }
+
+  test("semanticDedup: maxCluster exempts oversize clusters instead of pairing them") {
+    val emb = table("embeddings").select("vec_id", "embedding").limit(50)
+    val planted = emb.union(emb.select(
+      (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    // every cluster holds > 1 vector, so maxCluster=1 exempts them all:
+    // fail-open (nothing dropped), never fail-quadratic
+    val out = Dedup.semanticDedup(planted, "vec_id", "embedding",
+      nClusters = 4, threshold = 0.8, maxCluster = 1)
+    assert(out.count() === 100L)
+  }
 }
