@@ -585,6 +585,30 @@ object SparkEntry {
         nClusters = 16, threshold = 0.8, portableCentroids = true)
         .orderBy("vec_id")
     }),
+    // PMI collocations: top adjacent word pairs by pointwise mutual
+    // information (phrase-induction / tokenizer-merge signal); the log
+    // quantizes once to micro-units, everything else is exact integers
+    "q_text_pmi" -> ((s, dir) => {
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, k = 20)
+        .orderBy(col("pmi_fx").desc, col("w1"), col("w2"))
+    }),
+    // Vocabulary coverage: top tokens with cumulative corpus share in
+    // exact integer ppm — the tokenizer-training vocabulary precursor
+    "q_corpus_vocab" -> ((s, dir) => {
+      Corpus.vocabCoverage(t(s, dir, "documents"), "text", k = 100)
+        .orderBy("rank")
+    }),
+    // Portable per-column content checksum over orders — value-level
+    // migration verification beyond the reference's row counts, with
+    // every sum reproducible by the destination engine (exact integer
+    // normalization + Knuth mix; see Comparator.portableChecksum)
+    "q_verify_checksum" -> ((s, dir) => {
+      val cs = graft.verify.Comparator.portableChecksum(t(s, dir, "orders"))
+      val sums = t(s, dir, "orders").columns.flatMap(c => Seq(
+        col(s"${c}__sum").cast("long").as(s"${c}__sum"), col(s"${c}__nulls")))
+      cs.select(col("rows") +: sums.toIndexedSeq: _*)
+    }),
     // Portable MinHash near-dup: Karp-Rabin + affine permutations —
     // the exact-oracle twin of the xxhash64 kernel path
     "q_dedup_minhash_portable" -> ((s, dir) => {
@@ -1451,6 +1475,56 @@ object SparkEntry {
         s"ON a.list = b.list AND a.vec_id < b.vec_id AND ${cos("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.8) " +
         "SELECT a.vec_id, a.list FROM assign a WHERE a.vec_id NOT IN (SELECT did FROM dropped) " +
         "ORDER BY vec_id"
+    },
+    "q_text_pmi" -> {
+      // same association order as the Spark side: ((c_ab*N1)*N1) /
+      // ((N2*c_a)*c_b), one division, one ln, one micro-unit quantize
+      "WITH tk AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "t2 AS (SELECT unnest(w) AS term FROM tk), " +
+        "t3 AS (SELECT term FROM t2 WHERE length(term) > 0), " +
+        "n1t AS (SELECT count(*) AS n1 FROM t3), " +
+        "ug AS (SELECT term, count(*) AS c FROM t3 GROUP BY term), " +
+        "bgl AS (SELECT unnest(list_transform(range(1, len(w)), i -> {'w1': w[i], 'w2': w[i+1]})) AS u FROM tk), " +
+        "bg AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM bgl), " +
+        "n2t AS (SELECT count(*) AS n2 FROM bg), " +
+        "bgc AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY w1, w2 HAVING count(*) >= 5) " +
+        "SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b, " +
+        "CAST(floor(ln((CAST(c_ab AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) / " +
+        "(CAST(n2 AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS pmi_fx " +
+        "FROM bgc JOIN ug a ON a.term = w1 JOIN ug b ON b.term = w2 CROSS JOIN n1t CROSS JOIN n2t " +
+        "ORDER BY pmi_fx DESC, w1, w2 LIMIT 20"
+    },
+    "q_corpus_vocab" -> {
+      // coverage in exact integer ppm: cum_cnt*10^6 // N, no floats
+      "WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents), " +
+        "c AS (SELECT token, count(*) AS cnt FROM tk WHERE length(token) > 0 GROUP BY token), " +
+        "n AS (SELECT sum(cnt) AS n_total FROM c), " +
+        "top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 100), " +
+        """r AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS "rank", """ +
+        "sum(cnt) OVER (ORDER BY cnt DESC, token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt FROM top) " +
+        """SELECT CAST("rank" AS BIGINT) AS "rank", token, CAST(cnt AS BIGINT) AS cnt, """ +
+        "CAST(cum_cnt AS BIGINT) AS cum_cnt, CAST((cum_cnt * 1000000) // n_total AS BIGINT) AS cum_ppm " +
+        """FROM r CROSS JOIN n ORDER BY "rank""""
+    },
+    "q_verify_checksum" -> {
+      // the destination-engine recomputation of portableChecksum: the
+      // double-reduced Knuth mix keeps every product inside BIGINT
+      def mix(v: String) =
+        s"(((($v) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296"
+      def kr(c: String) =
+        s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length($c)+1), " +
+          s"i -> CAST(unicode($c[i:i]) AS BIGINT)), (a,b) -> (a*31+b) % 1000000007)"
+      def sums(c: String, v: String) =
+        s"CAST(SUM(CASE WHEN $c IS NULL THEN 0 ELSE ${mix(v)} END) AS BIGINT) AS ${c}__sum, " +
+          s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nulls"
+      """SELECT count(*) AS "rows", """ +
+        sums("o_orderkey", "o_orderkey") + ", " +
+        sums("o_custkey", "o_custkey") + ", " +
+        sums("o_orderstatus", kr("o_orderstatus")) + ", " +
+        sums("o_totalprice", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)") + ", " +
+        sums("o_orderdate", "epoch_us(o_orderdate)") + ", " +
+        sums("o_orderpriority", kr("o_orderpriority")) +
+        " FROM orders"
     },
     "q_dedup_minhash_portable" -> {
       val k = 8

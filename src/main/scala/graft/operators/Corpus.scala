@@ -689,4 +689,40 @@ object Corpus {
         coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
         (coalesce(col("n_flagged"), lit(0L)) > 0).as("flagged"))
   }
+
+  /** Top-`k` vocabulary with cumulative corpus coverage — the
+    * tokenizer-training precursor: which tokens, ranked by frequency,
+    * cover what share of all token occurrences. `cum_ppm` is the
+    * running coverage in parts-per-million computed by INTEGER
+    * division (`cum_cnt·10^6 div N`), so the output is exact in any
+    * engine — no float in the pipeline at all.
+    *
+    * Scale shape (100 TB): one shuffled token count with map-side
+    * combine (vocabulary-bounded), one scalar total (broadcast), and a
+    * TakeOrdered for the top-k — the only window runs over the k
+    * surviving rows (k is a user constant, e.g. 10^2..10^5), NOT the
+    * corpus, so the single-partition window that is a scale bug
+    * elsewhere is a k-bounded epilogue here.
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      textCol: String,
+      k: Int = 100
+  ): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val counts = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    top
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_ppm", expr("cum_cnt * 1000000 div n_total"))
+      .select("rank", "token", "cnt", "cum_cnt", "cum_ppm")
+  }
 }

@@ -363,6 +363,67 @@ object TextAnalysis {
       .withColumn("ta_fingerprint", fingerprint(t))
   }
 
+  /** Corpus-level PMI (pointwise mutual information) collocations: the
+    * top-`k` adjacent word pairs that co-occur far more than their
+    * unigram frequencies predict — the phrase-induction signal behind
+    * tokenizer vocab merges and multi-word expression mining.
+    *
+    * `PMI(a,b) = ln( p(ab) / (p(a)·p(b)) )` with `p(ab) = c_ab/N2`
+    * over bigram events and `p(a) = c_a/N1` over token events, i.e.
+    * `ln(c_ab·N1·N1 / (N2·c_a·c_b))`. `minCount` suppresses the
+    * low-count pairs whose PMI is spuriously high (the classic PMI
+    * pathology). The log is quantized once to integer micro-units
+    * (`pmi_fx`, same recipe as [[tfidfTopTerms]]'s idf) and every
+    * comparison downstream — ranking, ties on the words — is exact.
+    *
+    * Scale shape (100 TB): one shuffled count on (w1,w2) with map-side
+    * combine (bounded by observed-bigram vocabulary, not corpus size),
+    * one on tokens; the unigram dictionary joins back by key (AQE
+    * broadcasts it when small); the two scalar totals broadcast; the
+    * final top-k is a TakeOrdered, never a global sort.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Int = 5,
+      k: Int = 20
+  ): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    val w = tokens(lower(col(textCol)))
+    val base = df.select(col(idCol).as("doc_id"), w.as("__w"))
+    val uni = base
+      .select(explode(col("__w")).as("term"))
+      .filter(length(col("term")) > 0)
+    val n1 = uni.agg(count(lit(1)).as("n1"))
+    val ug = uni.groupBy("term").agg(count(lit(1)).as("c"))
+    val bg = base
+      .filter(size(col("__w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__w")) - 2),
+        i => struct(element_at(col("__w"), i + 1).as("w1"),
+          element_at(col("__w"), i + 2).as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val n2 = bg.agg(count(lit(1)).as("n2"))
+    val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bgc
+      .join(ug.select(col("term").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(ug.select(col("term").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(n2))
+      // identical association order on both engines: ((c_ab·N1)·N1) /
+      // ((N2·c_a)·c_b), one double division, one ln, one quantize
+      .withColumn("pmi_fx",
+        floor(log(
+          (col("c_ab").cast("double") * col("n1").cast("double") * col("n1").cast("double")) /
+            (col("n2").cast("double") * col("c_a").cast("double") * col("c_b").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .orderBy(col("pmi_fx").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi_fx")
+  }
+
   val EN_STOPWORDS: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that", "be",

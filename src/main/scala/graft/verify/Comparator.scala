@@ -1,6 +1,6 @@
 package graft.verify
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.TableSource
 
@@ -100,6 +100,62 @@ object Comparator {
         min(col(f.name)).cast("string").as(s"${f.name}__min"),
         max(col(f.name)).cast("string").as(s"${f.name}__max")
       )
+    }
+    df.agg(count(lit(1)).as("rows"), aggs.toIndexedSeq: _*)
+  }
+
+  /** Engine-portable order-insensitive column checksum — the
+    * exact-oracle twin of [[checksum]], whose xxhash64 kernel is
+    * Spark-specific. Every value normalizes to an exact integer —
+    * integral types as-is, strings via the mod-1e9+7 Karp–Rabin fold
+    * over RAW codepoints (no case/punctuation normalization: a
+    * verification fingerprint must see every byte), timestamps as epoch
+    * microseconds, doubles quantized to fixed-point cents (the same
+    * double from the same storage quantizes identically in any IEEE
+    * engine) — then Knuth-mixes and sums per column. Nulls contribute 0
+    * to the sum and 1 to the column's null count, so a null/zero swap
+    * still flips the fingerprint pair.
+    *
+    * The mix double-reduces before multiplying —
+    * `((v mod 2^31)·2654435761) mod 2^32` — so the product stays under
+    * 2^62 for ANY input (epoch-micros included): exact in 64-bit
+    * integer arithmetic on every engine, no unbounded-decimal needed
+    * until the final sum.
+    *
+    * Scale shape: identical to [[checksum]] — one linear pass, one-row
+    * reduce, shuffle-free. Use [[checksum]] for throughput inside
+    * Spark; use this when the destination engine must recompute the
+    * same fingerprint over its own copy of the data.
+    */
+  def portableChecksum(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val P = 1000000007L
+    def krRaw(c: Column): Column =
+      aggregate(
+        sequence(lit(1), length(c)),
+        lit(0L),
+        (acc, i) => (acc * 31L + ascii(c.substr(i, lit(1)))) % P)
+    def normalize(c: Column, dt: DataType): Column = dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case StringType => krRaw(c)
+      case TimestampType => unix_micros(c)
+      // parquet TIMESTAMP without zone: interpret in the session zone
+      // (the engine sessions pin UTC), matching DuckDB's naive epoch_us
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case DateType => datediff(c, lit("1970-01-01").cast("date")).cast("long")
+      case FloatType | DoubleType => floor(c.cast("double") * 100 + 0.5).cast("long")
+      case BooleanType => c.cast("long")
+      case other =>
+        throw new IllegalArgumentException(s"no portable normalization for $other")
+    }
+    def mix(v: Column): Column =
+      pmod(pmod(v, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
+    val aggs = df.schema.fields.flatMap { f =>
+      val v = normalize(col(f.name), f.dataType)
+      Seq(
+        sum(when(col(f.name).isNull, lit(0L)).otherwise(mix(v))
+          .cast(DecimalType(38, 0))).as(s"${f.name}__sum"),
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"))
     }
     df.agg(count(lit(1)).as("rows"), aggs.toIndexedSeq: _*)
   }

@@ -141,4 +141,27 @@ class MigratorSpec extends SparkSpec {
     // 1 matches; 4 matches null-safely; 2 differs; 3 missing; 9 extra
     assert(got === Map(2L -> "value_mismatch", 3L -> "missing_in_dest", 9L -> "missing_in_src"))
   }
+
+  test("portableChecksum: order-insensitive, tamper-sensitive, null-vs-zero aware") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha", 10.0), (2L, "beta", 0.0), (3L, null: String, 30.5))
+      .toDF("k", "v", "x")
+    val same = Comparator.portableChecksum(base).collect()(0)
+    // row order must not matter
+    val shuffled = Comparator.portableChecksum(base.orderBy(col("v").desc)).collect()(0)
+    assert(same === shuffled)
+    // a single changed character flips exactly that column's sum
+    val tampered = Seq((1L, "alphA", 10.0), (2L, "beta", 0.0), (3L, null: String, 30.5))
+      .toDF("k", "v", "x")
+    val t = Comparator.portableChecksum(tampered).collect()(0)
+    assert(t.getAs[java.math.BigDecimal]("v__sum") !== same.getAs[java.math.BigDecimal]("v__sum"))
+    assert(t.getAs[java.math.BigDecimal]("k__sum") === same.getAs[java.math.BigDecimal]("k__sum"))
+    // null and empty string both mix to 0 — the null COUNTER is what
+    // tells them apart, so a null->'' rewrite is still caught
+    val blank = Seq((1L, "alpha", 10.0), (2L, "beta", 0.0), (3L, "", 30.5))
+      .toDF("k", "v", "x")
+    val b = Comparator.portableChecksum(blank).collect()(0)
+    assert(b.getAs[java.math.BigDecimal]("v__sum") === same.getAs[java.math.BigDecimal]("v__sum"))
+    assert(b.getAs[Long]("v__nulls") === 0L && same.getAs[Long]("v__nulls") === 1L)
+  }
 }

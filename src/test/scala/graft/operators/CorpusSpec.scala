@@ -369,4 +369,23 @@ class CorpusSpec extends SparkSpec {
       bench, "text").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("vocabCoverage: exact integer ranks, counts, and ppm coverage") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Corpus.vocabCoverage(docs, "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toList
+    // N=6 tokens; coverage is integer ppm: 3/6 -> 500000, 5/6 -> 833333
+    assert(out === List(
+      (1L, "a", 3L, 3L, 500000L),
+      (2L, "b", 2L, 5L, 833333L)), out)
+  }
+
+  test("vocabCoverage: top-k is TakeOrdered, count shuffles once with partial agg") {
+    val df = Corpus.vocabCoverage(table("documents"), "text", k = 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
+  }
 }

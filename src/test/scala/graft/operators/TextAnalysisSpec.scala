@@ -196,4 +196,29 @@ class TextAnalysisSpec extends SparkSpec {
       .getAs[Long]("score_fx")
     assert(appleFx === 2L * math.floor(math.log(2.0) * 1e6 + 0.5).toLong)
   }
+
+  test("pmiCollocations: only the consistently-adjacent pair clears minCount") {
+    import spark.implicits._
+    // "new york" adjacent in every doc; rotating filler words never
+    // repeat the same neighbor pair often enough to reach minCount
+    val colors = Array("red", "blue", "green", "gold", "gray")
+    val docs = (0 until 8).map { i =>
+      (i.toLong,
+        s"${colors(i % 5)} new york ${colors((i + 2) % 5)} ${colors((i + 3) % 5)}")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, "doc_id", "text", minCount = 5, k = 5)
+      .collect()
+    assert(out.length === 1, out.mkString(";"))
+    val top = out.head
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) === ("new", "york"))
+    assert(top.getAs[Long]("c_ab") === 8L)
+    assert(top.getAs[Long]("c_a") === 8L && top.getAs[Long]("c_b") === 8L)
+    // 5 tokens and 4 bigrams per doc; pmi_fx reproduces the quantized
+    // formula in the engine's exact association order
+    val n1 = 5L * 8
+    val n2 = 4L * 8
+    val expected = math.floor(math.log(
+      8.0 * n1 * n1 / (n2.toDouble * 8 * 8)) * 1e6 + 0.5).toLong
+    assert(top.getAs[Long]("pmi_fx") === expected)
+  }
 }
