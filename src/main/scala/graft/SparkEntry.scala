@@ -847,6 +847,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), "text", n = 8)
         .orderBy("doc_id")
     }),
+    // Fraction-overlap decontamination: contaminated when >= 15% of a
+    // doc's distinct 5-grams occur in the eval slice — the partial-
+    // leakage check exact-match decontam misses; ratio is integer ppm
+    "q_corpus_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.overlapDecontaminationFlags(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text",
+        n = 5, thresholdPpm = 150000L)
+        .orderBy("doc_id")
+    }),
     // Corpus-pipeline: Bloom-filter decontamination — the scale twin of
     // q_corpus_decontam (benchmark broadcasts as a bounded bit set, the
     // corpus side never shuffles shingle strings); portable hash family
@@ -1747,6 +1757,19 @@ object SparkEntry {
         "SELECT d.doc_id, COALESCE(fl.n_flagged, 0) AS n_flagged, COALESCE(fl.n_flagged, 0) > 0 AS flagged " +
         "FROM documents d LEFT JOIN fl USING (doc_id) ORDER BY d.doc_id"
     },
+    "q_corpus_overlap" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 4], ' ') AS s " +
+        "FROM t, unnest(range(1, len(w) - 3)) AS u(i)), " +
+        "ns AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id), " +
+        "b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0), " +
+        "h AS (SELECT doc_id, count(*) AS n_hits FROM sh JOIN b USING (s) GROUP BY doc_id) " +
+        "SELECT d.doc_id, COALESCE(ns.n_shingles, 0) AS n_shingles, COALESCE(h.n_hits, 0) AS n_hits, " +
+        "CASE WHEN COALESCE(ns.n_shingles, 0) > 0 " +
+        "THEN (COALESCE(h.n_hits, 0) * 1000000) // ns.n_shingles ELSE 0 END AS ratio_ppm, " +
+        "(CASE WHEN COALESCE(ns.n_shingles, 0) > 0 " +
+        "THEN (COALESCE(h.n_hits, 0) * 1000000) // ns.n_shingles ELSE 0 END) >= 150000 AS contaminated " +
+        "FROM documents d LEFT JOIN ns USING (doc_id) LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"),
     "q_corpus_decontam" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS s " +

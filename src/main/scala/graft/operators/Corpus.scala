@@ -232,16 +232,9 @@ object Corpus {
       n: Int = 8
   ): DataFrame = {
     require(n > 0)
-    def shingles(textC: Column): Column = {
-      val w = TextAnalysis.tokens(lower(textC))
-      when(size(w) >= n,
-        array_distinct(transform(sequence(lit(0), size(w) - n),
-          i => array_join(slice(w, i + 1, lit(n)), " "))))
-        .otherwise(array().cast("array<string>"))
-    }
     val benchSh = benchmark
-      .select(explode(shingles(col(benchTextCol))).as("__sh")).distinct()
-    val hits = df.select(col(idCol), explode(shingles(col(textCol))).as("__sh"))
+      .select(explode(wordShingles(col(benchTextCol), n)).as("__sh")).distinct()
+    val hits = df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("__sh"))
       .join(broadcast(benchSh), Seq("__sh"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
@@ -249,6 +242,63 @@ object Corpus {
       .select(col(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Distinct word `n`-gram shingle strings of a text column; fewer
+    * than `n` tokens ⇒ empty (decontamination ignores sub-shingle
+    * docs — unlike [[Dedup.shingles]]' whole-text degenerate rule,
+    * a 3-token doc cannot meaningfully overlap an 8-gram eval set).
+    */
+  private def wordShingles(textC: Column, n: Int): Column = {
+    val w = TextAnalysis.tokens(lower(textC))
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Fraction-overlap decontamination — the "n-gram overlap" family of
+    * eval-contamination checks for LM training sets: a document is
+    * contaminated when at least `thresholdPpm` parts-per-million of its
+    * DISTINCT word n-grams also occur in the benchmark corpus. The
+    * exact-match [[decontaminationFlags]] catches verbatim inclusion;
+    * the fraction form catches partial or fragmented leakage while
+    * tolerating the odd shared phrase.
+    *
+    * The ratio is integer ppm — `n_hits·10^6 div n_shingles` — so the
+    * flag is exact on every engine; no float enters the decision.
+    *
+    * Scale shape (100 TB): document shingles explode once; the (small)
+    * benchmark shingle set broadcasts into a semi-join; one doc-keyed
+    * count. Linear, no self-join. Documents shorter than `n` tokens
+    * have no shingles and are never flagged.
+    */
+  def overlapDecontaminationFlags(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 5,
+      thresholdPpm: Long = 200000L
+  ): DataFrame = {
+    require(n > 0 && thresholdPpm >= 0)
+    val docSh = df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("__sh"))
+    val perDoc = docSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val benchSh = benchmark
+      .select(explode(wordShingles(col(benchTextCol), n)).as("__sh")).distinct()
+    val hits = docSh
+      .join(broadcast(benchSh), Seq("__sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .join(hits, Seq(idCol), "left_outer")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("ratio_ppm",
+        when(col("n_shingles") > 0, expr("n_hits * 1000000 div n_shingles"))
+          .otherwise(lit(0L)))
+      .withColumn("contaminated", col("ratio_ppm") >= thresholdPpm)
   }
 
   // --------------------------------------------------------- redaction

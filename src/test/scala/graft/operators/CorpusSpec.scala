@@ -370,6 +370,27 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("overlapDecontaminationFlags: partial leakage crosses the ppm threshold, incidental overlap does not") {
+    import spark.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val docs = Seq(
+      // 8 tokens, 6 of its 3-grams lifted verbatim from the eval doc
+      (1L, "quick brown fox jumps over the lazy dog"),
+      // shares only the single 3-gram "the lazy dog" out of 8
+      (2L, "my neighbor walks the lazy dog around elm street daily"),
+      (3L, "completely unrelated text about spark shuffle partitions here"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val out = Corpus.overlapDecontaminationFlags(docs, "doc_id", "text",
+      eval, "text", n = 3, thresholdPpm = 500000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L)._4, out(1L).toString)          // 6/6 grams -> 1e6 ppm
+    assert(!out(2L)._4 && out(2L)._2 === 1L)      // 1/8 -> 125000 ppm
+    assert(!out(3L)._4 && out(3L)._2 === 0L)
+    assert(out(4L) === ((0L, 0L, 0L, false)))     // sub-n doc: no shingles
+  }
+
   test("vocabCoverage: exact integer ranks, counts, and ppm coverage") {
     import spark.implicits._
     val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")

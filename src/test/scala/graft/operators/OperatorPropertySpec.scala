@@ -159,4 +159,60 @@ class OperatorPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("duplicateSpans: invariants hold on random duplicated corpora") {
+    import spark.implicits._
+    val window = 6
+    // docs assembled from a tiny vocab so cross-doc window repeats occur
+    val docGen = for {
+      nDocs <- Gen.choose(4, 10)
+      docs <- Gen.listOfN(nDocs, Gen.choose(8, 30).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    (0 until 5).foreach { seed =>
+      val docs = docGen.apply(params, rng.Seed(seed.toLong)).get
+      val df = docs.toDF("doc_id", "text")
+      val lens = docs.map { case (id, t) => id -> t.split("\\s+").length.toLong }.toMap
+      val spans = Dedup.duplicateSpans(df, "doc_id", "text",
+        window = window, sel = 1, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      spans.foreach { case (id, s, e, nw) =>
+        assert(s >= 0 && e >= s && nw >= 1, s"seed=$seed malformed span ($id,$s,$e,$nw)")
+        // inclusive span end stays inside the document's token range
+        assert(e <= lens(id) - 1 + (window - 1), s"seed=$seed span past doc end")
+      }
+      // islands within one doc are disjoint AND non-adjacent (else merged)
+      spans.groupBy(_._1).foreach { case (id, ss) =>
+        val sorted = ss.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array((_, _, e1, _), (_, s2, _, _)) =>
+            assert(s2 > e1 + 1 - window, s"seed=$seed overlapping windows unmerged in doc $id")
+            assert(s2 > e1, s"seed=$seed islands overlap in doc $id")
+          case _ =>
+        }
+      }
+      // every reported window really is duplicated: at sel=1 the span
+      // text under any start in [s, e-window+1] occurs in >= 2 docs
+      val toks = docs.map { case (id, t) => id -> t.toLowerCase.split("\\s+") }.toMap
+      def spanText(id: Long, p: Int): String = {
+        val w = toks(id)
+        if (w.length < window) w.mkString(" ")
+        else w.slice(p, p + window).mkString(" ")
+      }
+      spans.foreach { case (id, s, e, _) =>
+        val starts = (s.toInt to math.max(s.toInt, e.toInt - window + 1))
+        val dupStart = starts.find { p =>
+          val t = spanText(id, p)
+          docs.count { case (oid, _) =>
+            val w = toks(oid)
+            val cand =
+              if (w.length < window) Seq(w.mkString(" "))
+              else w.sliding(window).map(_.mkString(" ")).toSeq
+            cand.contains(t)
+          } >= 2
+        }
+        assert(dupStart.isDefined, s"seed=$seed span ($id,$s,$e) has no duplicated window")
+      }
+    }
+  }
 }
