@@ -410,6 +410,19 @@ object SparkEntry {
           col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // Scalar-quantized two-phase ANN: int8 codes rank ALL candidates by
+    // exact integer dot (no float in candidate selection), the
+    // shortlist re-ranks at full precision — the quantized-retrieval
+    // shape a 100 TB embedding scan uses; fully reproduced by the oracle
+    "q_sim_sq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      Similarity.quantizedTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, shortlist = 32)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
     // TF-IDF top-terms: keyword extraction over the whole corpus —
     // (doc,term) tf shuffle, term-keyed df join, doc-keyed top-k window
     "q_text_tfidf" -> ((s, dir) => {
@@ -1485,6 +1498,31 @@ object SparkEntry {
         s"ON a.list = b.list AND a.vec_id < b.vec_id AND ${cos("a.v", "a.nrm", "b.v", "b.nrm")} >= 0.8) " +
         "SELECT a.vec_id, a.list FROM assign a WHERE a.vec_id NOT IN (SELECT did FROM dropped) " +
         "ORDER BY vec_id"
+    },
+    "q_sim_sq_topk" -> {
+      // quantize -> integer-dot shortlist -> full-precision re-rank,
+      // same arithmetic order as Similarity.quantizedTopK throughout
+      def dot(a: String, b: String): String =
+        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
+      def cos(a: String, na: String, b: String, nb: String): String =
+        s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
+      "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "qz AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e0), " +
+        "cz AS (SELECT vec_id, v, CASE WHEN m = 0.0 THEN list_transform(v, x -> 0) " +
+        "ELSE list_transform(v, x -> CAST(floor(x / m * 127 + 0.5) AS INT)) END AS codes FROM qz), " +
+        "qq AS (SELECT vec_id AS query_id, codes AS qc FROM cz WHERE vec_id < 20), " +
+        "p1 AS (SELECT q.query_id, c.vec_id AS neighbor_id, " +
+        "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(q.qc)+1), " +
+        "i -> CAST(q.qc[i] AS BIGINT) * c.codes[i]), (a,b) -> a + b) AS iscore " +
+        "FROM cz c, qq q WHERE c.vec_id <> q.query_id), " +
+        "sl AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS r FROM p1) WHERE r <= 32), " +
+        s"nr AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e0), " +
+        "rr AS (SELECT s.query_id, s.neighbor_id, " +
+        s"""row_number() OVER (PARTITION BY s.query_id ORDER BY ${cos("a.v", "a.nrm", "b.v", "b.nrm")} DESC, s.neighbor_id) AS "rank" """ +
+        "FROM sl s JOIN nr a ON a.vec_id = s.neighbor_id JOIN nr b ON b.vec_id = s.query_id) " +
+        """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
+        "ORDER BY query_id, \"rank\""
     },
     "q_text_pmi" -> {
       // same association order as the Spark side: ((c_ab*N1)*N1) /

@@ -268,6 +268,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("__list"), plan)
   }
 
+  test("quantized ANN: both phases keep the queries broadcast and the top-k on a bounded queue") {
+    val emb = table("embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val df = graft.operators.Similarity.quantizedTopK(q, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, shortlist = 32)
+    val plan = df.queryExecution.executedPlan.toString
+    // the intended corpus-scan x broadcast-queries product appears in
+    // both phases; the corpus itself must never shuffle-exchange into
+    // the scoring join
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("BroadcastExchange".r.findAllIn(plan).nonEmpty, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("gram-stats kernel stays inside codegen (topgram is exchange-free end to end)") {
     val df = graft.operators.TextAnalysis.topNgramStats(
       table("documents"), "doc_id", "text", n = 2)

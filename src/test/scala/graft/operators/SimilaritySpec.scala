@@ -219,4 +219,35 @@ class SimilaritySpec extends SparkSpec {
     assert(banded > single, s"banding must raise recall: $single -> $banded")
     assert(banded >= 0.2, s"banded lsh recall@10 was $banded")
   }
+
+  test("quantizedTopK degrades to exact search when the shortlist covers the corpus") {
+    val emb = table("embeddings").select("vec_id", "embedding").limit(200)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = exactTopK(queries, emb, 5)
+    val full = Similarity.quantizedTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, shortlist = 200)
+    assert(recallOf(full, exact) === 1.0,
+      "full shortlist + exact re-rank must equal brute force")
+    // a tight shortlist still recalls most true neighbors (int8 dots
+    // approximate cosine order on the near-uniform-norm fixture)
+    val tight = Similarity.quantizedTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, shortlist = 20)
+    val recall = recallOf(tight, exact)
+    assert(recall >= 0.5, s"shortlist-20 recall@5 was $recall")
+  }
+
+  test("scalarQuantize: codes bounded by 127, zero vector codes to zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = df.select(col("vec_id"),
+      Similarity.scalarQuantize(col("embedding")).as("q")).orderBy("vec_id").collect()
+    val q1 = rows(0).getStruct(1)
+    assert(q1.getDouble(0) === 1.0)
+    assert(q1.getSeq[Int](1) === Seq(64, -127, 32)) // floor(x/m*127+0.5)
+    val q2 = rows(1).getStruct(1)
+    assert(q2.getDouble(0) === 0.0 && q2.getSeq[Int](1) === Seq(0, 0, 0))
+  }
 }
