@@ -860,6 +860,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), "text", n = 8)
         .orderBy("doc_id")
     }),
+    // Sharded-output manifests: balanced Knuth-hash shards of orders
+    // with per-shard row counts + portable column fingerprints; shard
+    // sums add up to the q_verify_checksum whole-table sums
+    "q_corpus_shards" -> ((s, dir) => {
+      Corpus.shardManifest(t(s, dir, "orders"), "o_orderkey", 16,
+        Seq("o_orderkey", "o_orderstatus"))
+        .select(col("shard"), col("n_rows"),
+          col("o_orderkey__sum").cast("long").as("o_orderkey__sum"),
+          col("o_orderkey__nulls"),
+          col("o_orderstatus__sum").cast("long").as("o_orderstatus__sum"),
+          col("o_orderstatus__nulls"))
+        .orderBy("shard")
+    }),
     // Fraction-overlap decontamination: contaminated when >= 15% of a
     // doc's distinct 5-grams occur in the eval slice — the partial-
     // leakage check exact-match decontam misses; ratio is integer ppm
@@ -1794,6 +1807,21 @@ object SparkEntry {
         s"fl AS (SELECT doc_id, count(*) AS n_flagged FROM hits WHERE nset = $k GROUP BY doc_id) " +
         "SELECT d.doc_id, COALESCE(fl.n_flagged, 0) AS n_flagged, COALESCE(fl.n_flagged, 0) > 0 AS flagged " +
         "FROM documents d LEFT JOIN fl USING (doc_id) ORDER BY d.doc_id"
+    },
+    "q_corpus_shards" -> {
+      def mix(v: String) =
+        s"(((($v) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296"
+      def kr(c: String) =
+        s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length($c)+1), " +
+          s"i -> CAST(unicode($c[i:i]) AS BIGINT)), (a,b) -> (a*31+b) % 1000000007)"
+      "WITH b AS (SELECT CAST(((CAST(o_orderkey AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 16 AS BIGINT) AS shard, " +
+        "o_orderkey, o_orderstatus FROM orders) " +
+        "SELECT shard, count(*) AS n_rows, " +
+        s"CAST(SUM(${mix("o_orderkey")}) AS BIGINT) AS o_orderkey__sum, " +
+        "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderkey__nulls, " +
+        s"CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 0 ELSE ${mix(kr("o_orderstatus"))} END) AS BIGINT) AS o_orderstatus__sum, " +
+        "CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus__nulls " +
+        "FROM b GROUP BY shard ORDER BY shard"
     },
     "q_corpus_overlap" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +

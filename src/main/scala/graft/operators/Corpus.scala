@@ -301,6 +301,39 @@ object Corpus {
       .withColumn("contaminated", col("ratio_ppm") >= thresholdPpm)
   }
 
+  /** Balanced output sharding with per-shard integrity manifests — the
+    * operational epilogue of a corpus build: rows land in `nShards`
+    * deterministic hash shards (stable under re-runs AND under corpus
+    * growth of other shards), and each shard row carries its row count
+    * plus the portable per-column content fingerprints of
+    * [[graft.verify.Comparator.portableChecksum]] for the named
+    * `checksumCols`. The sums are additive, so shard manifests merge
+    * to the whole-table checksum by plain addition — a consumer can
+    * verify any subset of shards it downloaded, or the union, against
+    * one published manifest.
+    *
+    * Scale shape (100 TB): one hash shuffle on the shard key (the same
+    * exchange the sharded WRITE needs anyway — compute the manifest in
+    * the same pass), `nShards` rows out. No skew risk: the Knuth mix
+    * spreads ids uniformly regardless of id clustering.
+    */
+  def shardManifest(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      checksumCols: Seq[String]
+  ): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val fields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aggs = checksumCols.flatMap { c =>
+      graft.verify.Comparator.checksumAggs(c, fields(c))
+    }
+    df
+      .withColumn("shard", pmod(portableHash(col(idCol)), lit(nShards.toLong)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
   // --------------------------------------------------------- redaction
 
   /** PII redaction: emails, IPv4 addresses, then phone-like digit runs

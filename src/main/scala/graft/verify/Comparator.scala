@@ -128,6 +128,19 @@ object Comparator {
     * same fingerprint over its own copy of the data.
     */
   def portableChecksum(df: DataFrame): DataFrame = {
+    val aggs = df.schema.fields.flatMap(f => checksumAggs(f.name, f.dataType))
+    df.agg(count(lit(1)).as("rows"), aggs.toIndexedSeq: _*)
+  }
+
+  /** The (`<col>__sum`, `<col>__nulls`) aggregate pair of
+    * [[portableChecksum]], exposed so shard-level manifests
+    * ([[graft.operators.Corpus.shardManifest]]) aggregate the SAME
+    * fingerprint per group — sums are additive, so shard manifests
+    * merge to the whole-table checksum by plain addition.
+    */
+  private[graft] def checksumAggs(
+      name: String,
+      dt: org.apache.spark.sql.types.DataType): Seq[Column] = {
     import org.apache.spark.sql.types._
     val P = 1000000007L
     def krRaw(c: Column): Column =
@@ -135,7 +148,7 @@ object Comparator {
         sequence(lit(1), length(c)),
         lit(0L),
         (acc, i) => (acc * 31L + ascii(c.substr(i, lit(1)))) % P)
-    def normalize(c: Column, dt: DataType): Column = dt match {
+    def normalize(c: Column): Column = dt match {
       case ByteType | ShortType | IntegerType | LongType => c.cast("long")
       case StringType => krRaw(c)
       case TimestampType => unix_micros(c)
@@ -150,14 +163,10 @@ object Comparator {
     }
     def mix(v: Column): Column =
       pmod(pmod(v, lit(2147483648L)) * lit(2654435761L), lit(4294967296L))
-    val aggs = df.schema.fields.flatMap { f =>
-      val v = normalize(col(f.name), f.dataType)
-      Seq(
-        sum(when(col(f.name).isNull, lit(0L)).otherwise(mix(v))
-          .cast(DecimalType(38, 0))).as(s"${f.name}__sum"),
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"))
-    }
-    df.agg(count(lit(1)).as("rows"), aggs.toIndexedSeq: _*)
+    Seq(
+      sum(when(col(name).isNull, lit(0L)).otherwise(mix(normalize(col(name))))
+        .cast(DecimalType(38, 0))).as(s"${name}__sum"),
+      sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"${name}__nulls"))
   }
 
   /** Row-level diff of two tables on a key — beyond the reference

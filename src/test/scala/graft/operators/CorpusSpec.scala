@@ -391,6 +391,26 @@ class CorpusSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0L, false)))     // sub-n doc: no shingles
   }
 
+  test("shardManifest: shards balanced, manifests additive to the whole-table checksum") {
+    val orders = table("orders")
+    val m = Corpus.shardManifest(orders, "o_orderkey", 16,
+      Seq("o_orderkey", "o_orderstatus")).collect()
+    assert(m.length === 16)
+    val sizes = m.map(_.getAs[Long]("n_rows"))
+    assert(sizes.sum === orders.count())
+    // Knuth-hash sharding spreads clustered keys near-uniformly
+    assert(sizes.max <= sizes.min * 2, s"shard skew: ${sizes.min}..${sizes.max}")
+    // per-shard sums recombine to the global portableChecksum sums
+    val whole = graft.verify.Comparator
+      .portableChecksum(orders.select("o_orderkey", "o_orderstatus")).collect()(0)
+    def total(col: String) = m.map(r =>
+      BigDecimal(r.getAs[java.math.BigDecimal](col))).sum
+    assert(total("o_orderkey__sum") ===
+      BigDecimal(whole.getAs[java.math.BigDecimal]("o_orderkey__sum")))
+    assert(total("o_orderstatus__sum") ===
+      BigDecimal(whole.getAs[java.math.BigDecimal]("o_orderstatus__sum")))
+  }
+
   test("vocabCoverage: exact integer ranks, counts, and ppm coverage") {
     import spark.implicits._
     val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
