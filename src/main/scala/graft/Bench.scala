@@ -59,10 +59,10 @@ object Bench {
     // "[success] Total time: …" line (~75 chars) after ours, so the
     // WHOLE JSON line must stay under ~1900 chars — r1–r3 all came back
     // "parsed": null because the line's head fell off the tail window.
-    // ~130 chars of fixed fields + ~160 of params ⇒ cap the queries map
-    // at 1350.
+    // ~130 chars of fixed fields + ~240 of params ⇒ cap the queries map
+    // at 1300 to stay under the ~1900-char ceiling.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val lineBudget = 1350
+    val lineBudget = 1300
     val byTime = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var sz = 2
@@ -83,7 +83,9 @@ object Bench {
       ",\"simhash_portable\":\"28bit 4x7 h3 cap1000\"" +
       ",\"simhash\":\"64bit 4x16 h3 cap1000 planted\"" +
       ",\"minhash\":\"n3 k64 b16 t1.0 cap1000 planted\"" +
-      ",\"lsh\":\"6x6bit k5 planted\",\"ivf\":\"c16 p4 k5 planted\"}"
+      ",\"lsh\":\"6x6bit k5 planted\",\"ivf\":\"c16 p4 k5 planted\"" +
+      ",\"spans\":\"w12 sel4 min2\",\"semdedup\":\"c16 t0.8 planted\"" +
+      ",\"sq\":\"int8 sl32 k5\"}"
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"params":$params,"sf":"$sfDir"}""")
     spark.stop()
   }
