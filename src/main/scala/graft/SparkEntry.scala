@@ -622,6 +622,17 @@ object SparkEntry {
         col(s"${c}__sum").cast("long").as(s"${c}__sum"), col(s"${c}__nulls")))
       cs.select(col("rows") +: sums.toIndexedSeq: _*)
     }),
+    // Incremental near-dup: odd-id docs (the "new batch") collide
+    // against even-id docs (the "history index") — an asymmetric
+    // banded join, cost |batch| x collisions, never |history|^2
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.portableMinhashPairsAgainst(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, k = 8, threshold = 0.5)
+        .orderBy("batch_id", "index_id")
+    }),
     // Portable MinHash near-dup: Karp-Rabin + affine permutations —
     // the exact-oracle twin of the xxhash64 kernel path
     "q_dedup_minhash_portable" -> ((s, dir) => {
@@ -1586,6 +1597,27 @@ object SparkEntry {
         sums("o_orderdate", "epoch_us(o_orderdate)") + ", " +
         sums("o_orderpriority", kr("o_orderpriority")) +
         " FROM orders"
+    },
+    "q_dedup_incremental" -> {
+      val k = 8
+      val sigs = (0 until k).map(j =>
+        s"MIN((${2 * j + 3}*hv+${97 * j + 1})%1000000007) AS sig_$j").mkString(", ")
+      val matchSum = (1 until k).map(j =>
+        s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END").mkString("1 + ", " + ", "")
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
+        "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+        "hv AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+        "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
+        s"sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id) " +
+        s"SELECT a.doc_id AS batch_id, b.doc_id AS index_id, CAST($matchSum AS DOUBLE)/8 AS minhash_est " +
+        "FROM sig a JOIN sig b ON a.sig_0 = b.sig_0 " +
+        "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 " +
+        s"AND CAST($matchSum AS DOUBLE)/8 >= 0.5 " +
+        "ORDER BY batch_id, index_id"
     },
     "q_dedup_minhash_portable" -> {
       val k = 8

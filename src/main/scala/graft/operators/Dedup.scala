@@ -885,6 +885,55 @@ object Dedup {
         (size(col("__toks")) - size(col("__keep"))).cast("long").as("n_removed"))
   }
 
+  /** Incremental near-dup: collide a NEW batch against an EXISTING
+    * corpus index — the production shape of continuous ingestion (the
+    * daily crawl checked against all history), which a self-join
+    * near-dup pass cannot express without re-pairing the whole history
+    * against itself. Same portable MinHash arithmetic and 1-band
+    * blocking as [[portableMinhashPairs]], but the join is ASYMMETRIC:
+    * batch signatures against index signatures, so cost scales with
+    * |batch| x collision-rate, never |history|².
+    *
+    * At 100 TB the index side is a materialized signature table
+    * (compute [[portableMinhashSignatures]] once per ingest epoch,
+    * store bucketed by `sig_0` via [[graft.plans.ScaleJoins]]) and each
+    * batch joins against it exchange-free; `maxBucket` caps a
+    * degenerate blocking bucket on the INDEX side, where mass
+    * accumulates over time.
+    *
+    * Output: (batch_id, index_id, minhash_est) — batch docs with at
+    * least one estimated-similarity >= `threshold` collision; anti-join
+    * the batch against `select(batch_id)` of this to admit survivors.
+    */
+  def portableMinhashPairsAgainst(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame = {
+    val bSig = portableMinhashSignatures(batch, idCol, textCol, n, k)
+    val iSig = capBuckets(
+      portableMinhashSignatures(index, idCol, textCol, n, k),
+      Seq("sig_0"), maxBucket)
+    val bSide = (1 until k).foldLeft(bSig.withColumnRenamed(idCol, "batch_id")) {
+      (d, j) => d.withColumnRenamed(s"sig_$j", s"a_$j")
+    }
+    val iSide = (1 until k).foldLeft(iSig.withColumnRenamed(idCol, "index_id")) {
+      (d, j) => d.withColumnRenamed(s"sig_$j", s"b_$j")
+    }
+    val matches = (1 until k)
+      .map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0))
+      .foldLeft(lit(1): Column)(_ + _)
+    bSide.join(iSide, Seq("sig_0"))
+      .select(col("batch_id"), col("index_id"),
+        (matches.cast("double") / k).as("minhash_est"))
+      .filter(col("minhash_est") >= threshold)
+  }
+
   // ------------------------------------------------- semantic dedup
 
   /** SemDeDup-style semantic deduplication: cluster embeddings with the

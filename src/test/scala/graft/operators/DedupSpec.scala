@@ -375,6 +375,35 @@ class DedupSpec extends SparkSpec {
     assert(out(3)._2 === "" && out(3)._3 === 13L, out(3))
   }
 
+  test("portableMinhashPairsAgainst: batch collides with index history, never with itself") {
+    import spark.implicits._
+    val index = table("documents").select("doc_id", "text").filter(col("doc_id") < 100)
+    // batch: one verbatim copy of an index doc, one fresh doc, and two
+    // identical fresh docs (which must NOT pair — both are batch-side)
+    val copied = index.filter(col("doc_id") === 7)
+      .select((col("doc_id") + 5000).as("doc_id"), col("text"))
+    val fresh = Seq(
+      (6001L, (1 to 30).map(i => s"brand new tokens $i").mkString(" ")),
+      (6002L, (1 to 25).map(i => s"другой свежий текст $i").mkString(" ")),
+      (6003L, (1 to 25).map(i => s"другой свежий текст $i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch = copied.union(fresh)
+    val pairs = Dedup.portableMinhashPairsAgainst(batch, index,
+      "doc_id", "text", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5007L, 7L)), pairs)
+    // batch-side ids never appear as index_id: the join is asymmetric
+    assert(pairs.forall(_._2 < 100), pairs)
+    assert(!pairs.exists(p => p._1 >= 6001L), "fresh docs must not collide")
+    // survivors = batch anti-joined on colliding batch_ids
+    val survivors = batch.join(
+      Dedup.portableMinhashPairsAgainst(batch, index, "doc_id", "text", threshold = 0.99)
+        .select(col("batch_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(6001L, 6002L, 6003L), survivors)
+  }
+
   test("semanticDedup: planted identical vectors collapse to the lower id") {
     val emb = table("embeddings").select("vec_id", "embedding").limit(200)
     val planted = emb.union(emb.select(
