@@ -283,16 +283,20 @@ object Corpus {
       thresholdPpm: Long = 200000L
   ): DataFrame = {
     require(n > 0 && thresholdPpm >= 0)
+    // ONE pass over the exploded corpus: the left-outer broadcast join
+    // tags benchmark hits, and a single doc-keyed aggregate produces
+    // both the shingle count and the hit count — the corpus-wide
+    // explode (the dominant cost at scale) is never repeated
     val docSh = df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("__sh"))
-    val perDoc = docSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val benchSh = benchmark
       .select(explode(wordShingles(col(benchTextCol), n)).as("__sh")).distinct()
-    val hits = docSh
-      .join(broadcast(benchSh), Seq("__sh"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+      .withColumn("__hit", lit(1))
+    val perDoc = docSh
+      .join(broadcast(benchSh), Seq("__sh"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_hits"))
     df.select(col(idCol))
       .join(perDoc, Seq(idCol), "left_outer")
-      .join(hits, Seq(idCol), "left_outer")
       .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("ratio_ppm",

@@ -838,7 +838,9 @@ object Dedup {
     * For each verified duplicated window text, the keeper is the lowest
     * (doc_id, position) occurrence; every other occurrence marks its
     * `window` tokens for deletion, and each document is rebuilt from
-    * its surviving tokens (single-space joined, original order).
+    * its surviving ORIGINAL-case tokens (single-space joined, original
+    * order — duplicate detection is case-insensitive, but the rebuilt
+    * text is not case-normalized; only whitespace runs collapse).
     *
     * Output: (doc_id, text, n_tokens, n_removed) for every input
     * document — documents with nothing to remove pass through with
@@ -870,7 +872,11 @@ object Dedup {
       .agg(collect_list(struct(
         col("__pos").as("s"),
         (col("__pos") + lit(window - 1)).as("e"))).as("__del"))
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    // rebuild from ORIGINAL-case tokens: lower() never changes token
+    // boundaries, so the lowered positions from winnowedHits index the
+    // original token array 1:1 — matching casing must survive dedup.
+    // (Whitespace runs still collapse to single spaces in the rebuild.)
+    val toks = TextAnalysis.tokens(col(textCol))
     df.select(col(idCol).as("doc_id"), toks.as("__toks"))
       .join(deletions, Seq("doc_id"), "left")
       .withColumn("__keep",

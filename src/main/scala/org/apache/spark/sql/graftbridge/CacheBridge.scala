@@ -18,11 +18,20 @@ object CacheBridge {
     * case the cached incarnation is reused as-is.
     */
   def persistOnce(df: DataFrame, level: StorageLevel): DataFrame = {
-    val spark = df.sparkSession
-    val alreadyCached = spark.sharedState.cacheManager
-      .lookupCachedData(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-        df.queryExecution.logical).isDefined
-    if (!alreadyCached) df.persist(level)
+    if (!isCached(df)) df.persist(level)
     df
+  }
+
+  /** Whether an equivalent plan is already registered with the cache.
+    * The lookup must see the ANALYZED plan: `lookupCachedData`
+    * normalizes but never analyzes, so an unresolved logical plan
+    * compares Unresolved* nodes against cached analyzed plans and
+    * always misses.
+    */
+  def isCached(df: DataFrame): Boolean = {
+    val spark = df.sparkSession
+    spark.sharedState.cacheManager
+      .lookupCachedData(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        df.queryExecution.analyzed).isDefined
   }
 }

@@ -362,17 +362,23 @@ class DedupSpec extends SparkSpec {
       (1L, s"u1 u2 u3 $s v1 v2"),
       (2L, s"w1 $s x1 x2 x3 x4"),
       (3L, unique),
-      (4L, unique) // whole-doc duplicate: everything removed
+      (4L, unique), // whole-doc duplicate: everything removed
+      (5L, "The Quick Brown Fox Jumps Over Sleeping Dogs Late This Warm Night Yes")
     ).toDF("doc_id", "text")
     val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text", window = 12, sel = 1)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toList.sortBy(_._1)
-    assert(out.map(_._1) === List(1L, 2L, 3L, 4L))
+    assert(out.map(_._1) === List(1L, 2L, 3L, 4L, 5L))
     assert(out(0)._3 === 0L, "keeper doc must lose nothing")
     assert(out(0)._2.startsWith("u1 u2 u3 shared1 "))
     assert(out(1)._2 === "w1 x1 x2 x3 x4", out(1)._2)
     assert(out(1)._3 === 14L)
     assert(out(2)._3 === 0L)
     assert(out(3)._2 === "" && out(3)._3 === 13L, out(3))
+    // pass-through docs keep their ORIGINAL casing — detection is
+    // case-insensitive, the rebuild is not case-normalizing
+    assert(out(4)._2 ===
+      "The Quick Brown Fox Jumps Over Sleeping Dogs Late This Warm Night Yes" &&
+      out(4)._3 === 0L, out(4))
   }
 
   test("portableMinhashPairsAgainst: batch collides with index history, never with itself") {
