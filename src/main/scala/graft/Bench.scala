@@ -79,13 +79,19 @@ object Bench {
     // operator params of the headline approximate queries, so a perf
     // delta across rounds is attributable to code vs knob changes
     // (compact: the whole line must survive the driver's tail window)
-    val params = "{\"agg\":\"median\",\"cpus\":" + cpus +
+    // 1-min load average: a loaded box skews wall-times (r5: 80.7 s
+    // reported vs 59 s quiet; r6: 44.7 vs 34.1) — emitting it makes a
+    // noisy artifact self-identifying without a re-run
+    val load =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val params = "{\"agg\":\"median\",\"load\":" + load + ",\"cpus\":" + cpus +
       ",\"simhash_portable\":\"28bit 4x7 h3 cap1000\"" +
       ",\"simhash\":\"64bit 4x16 h3 cap1000 planted\"" +
       ",\"minhash\":\"n3 k64 b16 t1.0 cap1000 planted\"" +
       ",\"lsh\":\"6x6bit k5 planted\",\"ivf\":\"c16 p4 k5 planted\"" +
       ",\"spans\":\"w12 sel4 min2\",\"semdedup\":\"c16 t0.8 planted\"" +
-      ",\"sq\":\"int8 sl32 k5\"}"
+      ",\"sq\":\"int8 sl32 k5\",\"ivfsq\":\"c16 p4 int8 sl32 k5\"}"
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"params":$params,"sf":"$sfDir"}""")
     spark.stop()
   }

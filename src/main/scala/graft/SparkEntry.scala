@@ -423,6 +423,21 @@ object SparkEntry {
           col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // Two-level ANN (IVF-SQ): probe nProbe inverted lists, int8
+    // integer-dot shortlist WITHIN probed lists only, full-precision
+    // re-rank — no phase scans the whole corpus per query batch. The
+    // Knuth-hash centroid pick makes the whole pipeline (centroid →
+    // assignment → probe → int-dot → re-rank) oracle-reproducible
+    "q_sim_ivf_sq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      Similarity.ivfQuantizedTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4, shortlist = 32, portableCentroids = true)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
     // TF-IDF top-terms: keyword extraction over the whole corpus —
     // (doc,term) tf shuffle, term-keyed df join, doc-keyed top-k window
     "q_text_tfidf" -> ((s, dir) => {
@@ -582,6 +597,16 @@ object SparkEntry {
         window = 12, sel = 4, minDocs = 2)
         .orderBy("doc_id", "span_start")
     }),
+    // The strip/rebuild action over the same winnowed detection: every
+    // duplicated window text keeps its global first occurrence, all
+    // later occurrences delete their 12 tokens, documents rebuild from
+    // surviving original-case tokens — per-document token arithmetic
+    // fully reproduced by the SQL twin (incl. pass-through rows)
+    "q_dedup_spans_strip" -> ((s, dir) => {
+      Dedup.stripDuplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+        window = 12, sel = 4, minDocs = 2)
+        .orderBy("doc_id")
+    }),
     // SemDeDup-style semantic dedup over a planted-duplicate corpus:
     // IVF-cluster the embeddings (portable Knuth-hash centroid sample),
     // drop every vector with a lower-id cluster-mate at cosine >= 0.8.
@@ -615,10 +640,16 @@ object SparkEntry {
     // Portable per-column content checksum over orders — value-level
     // migration verification beyond the reference's row counts, with
     // every sum reproducible by the destination engine (exact integer
-    // normalization + Knuth mix; see Comparator.portableChecksum)
+    // normalization + Knuth mix; see Comparator.portableChecksum).
+    // o_uni plants multi-byte text (em-dash U+2014, é U+00E9, and the
+    // supplementary-plane U+1D11E) plus an empty string so the
+    // byte-level string fold is oracle-enforced beyond ASCII
     "q_verify_checksum" -> ((s, dir) => {
-      val cs = graft.verify.Comparator.portableChecksum(t(s, dir, "orders"))
-      val sums = t(s, dir, "orders").columns.flatMap(c => Seq(
+      val src = t(s, dir, "orders").withColumn("o_uni",
+        when(col("o_orderkey") % 7 === 0, lit(""))
+          .otherwise(concat(col("o_orderpriority"), lit(" — café 𝄞"))))
+      val cs = graft.verify.Comparator.portableChecksum(src)
+      val sums = src.columns.flatMap(c => Seq(
         col(s"${c}__sum").cast("long").as(s"${c}__sum"), col(s"${c}__nulls")))
       cs.select(col("rows") +: sums.toIndexedSeq: _*)
     }),
@@ -1501,6 +1532,35 @@ object SparkEntry {
         "CAST(MAX(pos) + 11 AS BIGINT) AS span_end, COUNT(*) AS n_windows " +
         "FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start"
     },
+    "q_dedup_spans_strip" -> {
+      // same winnow/verify CTEs as q_dedup_spans, then per-span-text
+      // keeper election (row 1 by doc_id, pos), deletion-range union,
+      // and an original-case token rebuild — the text-level hash-count
+      // stage can be elided because text grouping subsumes it (hash
+      // collisions only ever ADD candidates the text verify removes)
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(w) < 12 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 10), i -> array_to_string(w[i:i+11], ' ')) END AS s FROM toks), " +
+        "e AS (SELECT doc_id, unnest(list_transform(range(1, len(s)+1), i -> {'pos': i - 1, 'sg': s[i]})) AS u FROM sh), " +
+        "nrm AS (SELECT doc_id, u.pos AS pos, regexp_replace(u.sg, '[^a-z0-9 ]', '', 'g') AS t FROM e), " +
+        "hv AS (SELECT doc_id, pos, t, (list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) * 2654435761) % 1073741824 AS h FROM nrm), " +
+        "sel AS (SELECT doc_id, pos, t FROM hv WHERE h % 4 = 0), " +
+        "cand AS (SELECT t FROM sel GROUP BY t HAVING COUNT(DISTINCT doc_id) >= 2), " +
+        "hit AS (SELECT doc_id, pos, t FROM sel WHERE t IN (SELECT t FROM cand)), " +
+        "del AS (SELECT doc_id, pos FROM (SELECT doc_id, pos, " +
+        "row_number() OVER (PARTITION BY t ORDER BY doc_id, pos) AS rn FROM hit) WHERE rn > 1), " +
+        "dl AS (SELECT doc_id, list(pos) AS dels FROM del GROUP BY doc_id), " +
+        "ot AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ow FROM documents), " +
+        "rb AS (SELECT o.doc_id, o.ow, COALESCE(d.dels, CAST([] AS BIGINT[])) AS dels " +
+        "FROM ot o LEFT JOIN dl d USING (doc_id)), " +
+        "o2 AS (SELECT doc_id, ow, list_filter(range(1, len(ow)+1), " +
+        "i -> len(list_filter(dels, p -> p <= i-1 AND i-1 <= p+11)) = 0) AS keep FROM rb) " +
+        "SELECT doc_id, array_to_string(list_transform(keep, i -> ow[i]), ' ') AS text, " +
+        "CAST(len(ow) AS BIGINT) AS n_tokens, CAST(len(ow) - len(keep) AS BIGINT) AS n_removed " +
+        "FROM o2 ORDER BY doc_id"
+    },
     "q_sem_dedup" -> {
       // SemDeDup pipeline end-to-end: Knuth-hash centroid sample,
       // argmax-cosine assignment (ties to the earliest centroid),
@@ -1548,6 +1608,45 @@ object SparkEntry {
         """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
         "ORDER BY query_id, \"rank\""
     },
+    "q_sim_ivf_sq_topk" -> {
+      // IVF-SQ end-to-end: the q_sim_ivf_portable centroid/assign/probe
+      // CTEs composed with q_sim_sq_topk's quantize/int-dot/re-rank —
+      // phase 1 scores only within probed lists, same tie-breaks as the
+      // Spark kernels throughout (assign ties → centroid array order
+      // cpos; probe ties → cid; shortlist/re-rank ties → neighbor_id)
+      def dot(a: String, b: String): String =
+        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
+      def cos(a: String, na: String, b: String, nb: String): String =
+        s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
+      "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"emb AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e0), " +
+        "cent AS (SELECT * FROM (SELECT vec_id AS cid, v AS cv, nrm AS cn, " +
+        "row_number() OVER (ORDER BY ((CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, vec_id) AS cpos " +
+        "FROM emb) WHERE cpos <= 16), " +
+        "assign AS (SELECT e.vec_id, " +
+        s"(SELECT c.cid FROM cent c ORDER BY ${cos("e.v", "e.nrm", "c.cv", "c.cn")} DESC, c.cpos LIMIT 1) AS list " +
+        "FROM emb e), " +
+        "qz AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e0), " +
+        "cz AS (SELECT vec_id, CASE WHEN m = 0.0 THEN list_transform(v, x -> 0) " +
+        "ELSE list_transform(v, x -> CAST(floor(x / m * 127 + 0.5) AS INT)) END AS codes FROM qz), " +
+        "cd AS (SELECT a.vec_id, a.list, z.codes FROM assign a JOIN cz z USING (vec_id)), " +
+        "probes AS (SELECT * FROM (SELECT q.vec_id AS query_id, c.cid AS list, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.cid) AS pr " +
+        "FROM emb q, cent c WHERE q.vec_id < 20) WHERE pr <= 4), " +
+        "qq AS (SELECT vec_id AS query_id, codes AS qc FROM cz WHERE vec_id < 20), " +
+        "p1 AS (SELECT p.query_id, c.vec_id AS neighbor_id, " +
+        "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(q.qc)+1), " +
+        "i -> CAST(q.qc[i] AS BIGINT) * c.codes[i]), (a,b) -> a + b) AS iscore " +
+        "FROM probes p JOIN cd c ON c.list = p.list JOIN qq q ON q.query_id = p.query_id " +
+        "WHERE c.vec_id <> p.query_id), " +
+        "sl AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS r FROM p1) WHERE r <= 32), " +
+        "rr AS (SELECT s.query_id, s.neighbor_id, " +
+        s"""row_number() OVER (PARTITION BY s.query_id ORDER BY ${cos("a.v", "a.nrm", "b.v", "b.nrm")} DESC, s.neighbor_id) AS "rank" """ +
+        "FROM sl s JOIN emb a ON a.vec_id = s.neighbor_id JOIN emb b ON b.vec_id = s.query_id) " +
+        """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
+        "ORDER BY query_id, \"rank\""
+    },
     "q_text_pmi" -> {
       // same association order as the Spark side: ((c_ab*N1)*N1) /
       // ((N2*c_a)*c_b), one division, one ln, one micro-unit quantize
@@ -1580,23 +1679,31 @@ object SparkEntry {
     },
     "q_verify_checksum" -> {
       // the destination-engine recomputation of portableChecksum: the
-      // double-reduced Knuth mix keeps every product inside BIGINT
+      // double-reduced Knuth mix keeps every product inside BIGINT; the
+      // string fold runs over hex(utf8_bytes) — pure ASCII, so unicode()
+      // per hex char equals Spark's ascii() and the fold is byte-exact
+      // for non-ASCII text (the planted o_uni column proves it)
       def mix(v: String) =
         s"(((($v) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296"
       def kr(c: String) =
-        s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length($c)+1), " +
-          s"i -> CAST(unicode($c[i:i]) AS BIGINT)), (a,b) -> (a*31+b) % 1000000007)"
+        s"(SELECT CASE WHEN length(h) = 0 THEN 0 ELSE " +
+          s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(h)+1), " +
+          s"i -> CAST(unicode(h[i:i]) AS BIGINT)), (a,b) -> (a*31+b) % 1000000007) END " +
+          s"FROM (SELECT hex(encode($c)) AS h))"
       def sums(c: String, v: String) =
         s"CAST(SUM(CASE WHEN $c IS NULL THEN 0 ELSE ${mix(v)} END) AS BIGINT) AS ${c}__sum, " +
           s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nulls"
-      """SELECT count(*) AS "rows", """ +
+      "WITH src AS (SELECT *, CASE WHEN o_orderkey % 7 = 0 THEN '' " +
+        "ELSE o_orderpriority || ' — café 𝄞' END AS o_uni FROM orders) " +
+        """SELECT count(*) AS "rows", """ +
         sums("o_orderkey", "o_orderkey") + ", " +
         sums("o_custkey", "o_custkey") + ", " +
         sums("o_orderstatus", kr("o_orderstatus")) + ", " +
         sums("o_totalprice", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)") + ", " +
         sums("o_orderdate", "epoch_us(o_orderdate)") + ", " +
-        sums("o_orderpriority", kr("o_orderpriority")) +
-        " FROM orders"
+        sums("o_orderpriority", kr("o_orderpriority")) + ", " +
+        sums("o_uni", kr("o_uni")) +
+        " FROM src"
     },
     "q_dedup_incremental" -> {
       val k = 8
@@ -1843,9 +1950,13 @@ object SparkEntry {
     "q_corpus_shards" -> {
       def mix(v: String) =
         s"(((($v) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296"
+      // same hex-of-utf8-bytes string fold as q_verify_checksum — shard
+      // sums must stay addable to the whole-table fingerprint
       def kr(c: String) =
-        s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length($c)+1), " +
-          s"i -> CAST(unicode($c[i:i]) AS BIGINT)), (a,b) -> (a*31+b) % 1000000007)"
+        s"(SELECT CASE WHEN length(h) = 0 THEN 0 ELSE " +
+          s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(h)+1), " +
+          s"i -> CAST(unicode(h[i:i]) AS BIGINT)), (a,b) -> (a*31+b) % 1000000007) END " +
+          s"FROM (SELECT hex(encode($c)) AS h))"
       "WITH b AS (SELECT CAST(((CAST(o_orderkey AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 16 AS BIGINT) AS shard, " +
         "o_orderkey, o_orderstatus FROM orders) " +
         "SELECT shard, count(*) AS n_rows, " +

@@ -18,7 +18,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev knob (driver leaves it unset): restrict the dump to queries
+    // matching a regex — single-gate iteration without the full 8-min run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

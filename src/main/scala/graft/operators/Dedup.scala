@@ -284,20 +284,28 @@ object Dedup {
     * rounds — a 10 000-document boilerplate chain would silently stop at
     * `maxIter` with WRONG clusters; the jump composes label paths, so
     * distance-to-root shrinks superlinearly and rounds ≈ O(log
-    * diameter). `maxIter = 16` covers diameters past 10⁴.
+    * diameter). Each `maxIter` step runs TWO propagate+jump rounds per
+    * checkpoint job, so `maxIter = 16` covers diameters far past 10⁴.
     *
     * @param pairs edge list with columns `id_a`, `id_b` (any direction)
     * @return (id, cluster) — cluster = min id reachable; one row per
     *         node appearing in `pairs`
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct(),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed each node with min(id, min(neighbor)) — the first propagation
+    // round folded into the seed aggregate (same single shuffle the old
+    // identity-label distinct paid), so star/chain graphs converge one
+    // full join-round earlier
+    var labels = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("__mn"))
+        .select(col("id"), least(col("id"), col("__mn")).as("cluster")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // labels only ever decrease, so the label sum is a strictly
     // decreasing convergence witness: one cheap aggregate per iteration
     // instead of a join-based diff
@@ -306,29 +314,34 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // every node adopts the min label among itself and its neighbors
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("cluster"))
-      val propagated = labels.select(col("id"), col("cluster"))
-        .union(neighborLabels)
-        .groupBy("id").agg(min(col("cluster")).as("cluster"))
-      // pointer jump: follow the label's own label. Labels only ever
-      // decrease and stay inside the component, so the jump preserves
-      // correctness while composing paths — this is what turns
-      // O(diameter) rounds into O(log diameter)
-      // localCheckpoint truncates lineage so every iteration re-executes
-      // the SAME plan shape (one codegen compile total, not one per
-      // iteration) and the fixpoint loop can run indefinitely without
-      // the plan growing
+      // one propagate+jump round: every node adopts the min label among
+      // itself and its neighbors, then follows its label's own label
+      // (pointer jump). Labels only ever decrease and stay inside the
+      // component, so the jump preserves correctness while composing
+      // paths — this is what turns O(diameter) rounds into O(log
+      // diameter)
+      def round(l: DataFrame): DataFrame = {
+        val neighborLabels = edges
+          .join(l.withColumnRenamed("id", "dst"), Seq("dst"))
+          .select(col("src").as("id"), col("cluster"))
+        val propagated = l.select(col("id"), col("cluster"))
+          .union(neighborLabels)
+          .groupBy("id").agg(min(col("cluster")).as("cluster"))
+        propagated
+          .join(propagated.select(col("id").as("cluster"), col("cluster").as("__parent")),
+            Seq("cluster"))
+          .select(col("id"), least(col("cluster"), col("__parent")).as("cluster"))
+      }
+      // TWO rounds per localCheckpoint: the dominant fixture-scale cost
+      // is the fixed per-checkpoint scheduler work (each checkpoint is a
+      // job), not the joins — fusing halves the job count while the
+      // checkpoint still truncates lineage so the loop re-executes the
+      // same plan shape every iteration (one codegen compile total)
       // the convergence witness rides the checkpoint's own job via
       // observe() — a separate agg job per round doubled the fixture's
       // per-iteration job count
       val obs = new org.apache.spark.sql.Observation(s"graft-cc-$i")
-      val next = propagated
-        .join(propagated.select(col("id").as("cluster"), col("cluster").as("__parent")),
-          Seq("cluster"))
-        .select(col("id"), least(col("cluster"), col("__parent")).as("cluster"))
+      val next = round(round(labels))
         .observe(obs, sum(col("cluster").cast(DecimalType(38, 0))).as("label_sum"))
         .localCheckpoint(true)
       val newSum = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
@@ -847,6 +860,14 @@ object Dedup {
     * `n_removed = 0`, and a document that was entirely duplicated
     * elsewhere comes back with empty text rather than disappearing
     * (the caller decides whether to drop empties).
+    *
+    * Overlap caveat: keeper election is PER SPAN TEXT. When two
+    * distinct duplicated span texts overlap inside one document, the
+    * keeper occurrence of text A can still lose tokens to the deletion
+    * range of overlapping text B — "global first occurrence survives"
+    * holds per text, not jointly across overlapping texts. Deletion
+    * ranges union per document, so the rebuilt text is always
+    * consistent; at most some keeper spans shrink.
     *
     * Scale shape: [[winnowedHits]]' linear pipeline, plus one window
     * over the hit set for keeper election and a per-doc aggregation of

@@ -332,6 +332,89 @@ object Similarity {
     * shortlist back to full vectors by id. No shuffle of the corpus in
     * either phase.
     */
+  /** Two-level ANN — IVF lists × int8 scalar quantization (the IVF-SQ
+    * recipe of large-scale vector stores): queries probe their `nProbe`
+    * best inverted lists, the integer-dot shortlist runs ONLY within
+    * probed lists over 4×-smaller int8 codes, and the shortlist re-ranks
+    * at full precision. Composes [[ivfTopK]]'s pruning with
+    * [[quantizedTopK]]'s compression so neither phase ever scans the
+    * whole corpus per query batch — per-query phase-1 cost is
+    * O(n·nProbe/nCentroids) over codes instead of O(n) over floats.
+    *
+    * Scale shape (100 TB): the (list, codes) assignment is a narrow
+    * shuffle-free map; materialize it once partitioned by `__list`
+    * (compose with [[graft.plans.ScaleJoins.writeBucketed]]) and run
+    * every query batch against it. Probes broadcast (queries × nProbe
+    * rows); phase 2 joins the tiny shortlist back to full vectors by id.
+    * The corpus is never shuffled in either phase.
+    *
+    * `portableCentroids = true` swaps the centroid-sample hash for the
+    * Knuth mix, making centroid pick → assignment → probe → int-dot
+    * shortlist → re-rank reproducible end-to-end in ANSI SQL — the
+    * variant the DuckDB oracle audits.
+    */
+  def ivfQuantizedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      shortlist: Int = 64,
+      portableCentroids: Boolean = false
+  ): DataFrame = {
+    require(nCentroids > 0 && nProbe > 0, "need nCentroids > 0 and nProbe > 0")
+    require(k > 0 && shortlist >= k, "need shortlist >= k > 0")
+    val (assigned, centArr) =
+      ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portableCentroids)
+    // the int8 codes ride the list assignment; phase 1 never touches the
+    // float vectors (4× less data scanned per probed list)
+    val codes = assigned.select(col("neighbor_id"), col("__list"),
+      scalarQuantize(col("__cv")).getField("codes").as("__cq"))
+
+    // probe choice: identical arithmetic to ivfTopK (same centroid
+    // array, same cosine, same tie-break), so an ivf index materialized
+    // for one path serves both
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+      .withColumn("__qn", VectorFunctions.norm(col("__qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("__cscore").desc, col("__list"))
+    val probes = q
+      .select(col("query_id"), col("__qv"), col("__qn"), explode(centArr).as("__c"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__c._1").as("__list"),
+        centroidCosine(col("__c"), col("__qv"), col("__qn")).as("__cscore"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"),
+        scalarQuantize(col("__qv")).getField("codes").as("__qq"),
+        col("__list"))
+
+    // phase 1: exact integer dot over codes, within probed lists only —
+    // a corpus row is in exactly one list, so each (query, corpus) pair
+    // scores at most once; the k-bounded queue keeps `shortlist` per query
+    val intScore = aggregate(
+      zip_with(col("__qq"), col("__cq"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val phase1 = codes
+      .join(broadcast(probes), Seq("__list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), intScore.cast("double").as("cosine"))
+    val cand = topKPerKey(phase1, "query_id", shortlist)
+      .select("query_id", "neighbor_id")
+    // phase 2: exact re-rank of the shortlist on the original vectors
+    val scored = cand
+      .join(corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+        .withColumn("__cn", VectorFunctions.norm(col("__cv"))), Seq("neighbor_id"))
+      .join(broadcast(queries
+        .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+        .withColumn("__qn", VectorFunctions.norm(col("__qv")))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCosine.as("cosine"))
+    topKPerKey(scored, "query_id", k)
+  }
+
   def quantizedTopK(
       queries: DataFrame,
       corpus: DataFrame,

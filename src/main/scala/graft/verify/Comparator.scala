@@ -108,8 +108,10 @@ object Comparator {
     * exact-oracle twin of [[checksum]], whose xxhash64 kernel is
     * Spark-specific. Every value normalizes to an exact integer —
     * integral types as-is, strings via the mod-1e9+7 Karp–Rabin fold
-    * over RAW codepoints (no case/punctuation normalization: a
-    * verification fingerprint must see every byte), timestamps as epoch
+    * over the HEX EXPANSION of their raw UTF-8 bytes (no case or
+    * punctuation normalization — a verification fingerprint must see
+    * every byte — and hex is ASCII on every engine, so the fold is
+    * byte-exact for all Unicode), timestamps as epoch
     * microseconds, doubles quantized to fixed-point cents (the same
     * double from the same storage quantizes identically in any IEEE
     * engine) — then Knuth-mixes and sums per column. Nulls contribute 0
@@ -143,11 +145,23 @@ object Comparator {
       dt: org.apache.spark.sql.types.DataType): Seq[Column] = {
     import org.apache.spark.sql.types._
     val P = 1000000007L
-    def krRaw(c: Column): Column =
-      aggregate(
-        sequence(lit(1), length(c)),
-        lit(0L),
-        (acc, i) => (acc * 31L + ascii(c.substr(i, lit(1)))) % P)
+    // Strings fingerprint their UTF-8 BYTES via the hex expansion:
+    // engines disagree on per-character primitives for non-ASCII text
+    // (Spark's `ascii` yields the first UTF-8 byte — negative for
+    // multi-byte sequences — while DuckDB's `unicode` yields the
+    // codepoint), but hex(utf8_bytes) is pure ASCII on every engine, so
+    // the same Karp–Rabin fold over it is byte-exact for ALL Unicode,
+    // supplementary planes included. The empty string is pinned to 0
+    // explicitly: Spark's sequence(1, 0) would otherwise produce a
+    // DESCENDING [1, 0] (step defaults to -1 when stop < start).
+    def krRaw(c: Column): Column = {
+      val h = hex(encode(c, "UTF-8"))
+      when(length(h) === 0, lit(0L)).otherwise(
+        aggregate(
+          sequence(lit(1), length(h)),
+          lit(0L),
+          (acc, i) => (acc * 31L + ascii(h.substr(i, lit(1)))) % P))
+    }
     def normalize(c: Column): Column = dt match {
       case ByteType | ShortType | IntegerType | LongType => c.cast("long")
       case StringType => krRaw(c)

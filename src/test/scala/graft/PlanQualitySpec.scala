@@ -282,6 +282,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("ivf-sq ANN: phase 1 equi-joins on the list id — no corpus-wide cross join") {
+    val emb = table("embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val df = graft.operators.Similarity.ivfQuantizedTopK(q, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5,
+      nCentroids = 8, nProbe = 2, shortlist = 32)
+    val plan = df.queryExecution.executedPlan.toString
+    // unlike quantizedTopK's documented brute phase 1, the IVF-SQ
+    // shortlist joins codes to probes on __list — an equi-join, never a
+    // product over the whole corpus
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__list"), plan)
+    // probes broadcast; the shortlist/top-k ride bounded queues
+    assert("BroadcastExchange".r.findAllIn(plan).nonEmpty, plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("gram-stats kernel stays inside codegen (topgram is exchange-free end to end)") {
     val df = graft.operators.TextAnalysis.topNgramStats(
       table("documents"), "doc_id", "text", n = 2)

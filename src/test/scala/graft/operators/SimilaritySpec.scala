@@ -236,6 +236,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"shortlist-20 recall@5 was $recall")
   }
 
+  test("ivfQuantizedTopK degrades to exact search when every list is probed and the shortlist covers the corpus") {
+    val emb = table("embeddings").select("vec_id", "embedding").limit(200)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = exactTopK(queries, emb, 5)
+    val full = Similarity.ivfQuantizedTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5,
+      nCentroids = 4, nProbe = 4, shortlist = 200)
+    assert(recallOf(full, exact) === 1.0,
+      "all-lists probe + full shortlist + exact re-rank must equal brute force")
+  }
+
+  test("ivfQuantizedTopK: planted copy wins rank 1 and recall holds at tight knobs") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val copies = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    // an exact copy ranks the centroids with the same arithmetic that
+    // assigned its original, so the original's list is always probed;
+    // its int-dot is the self-dot (maximal) so it survives the
+    // shortlist; re-rank puts it at cosine 1.0 > the 0.513 fixture max
+    val out = Similarity.ivfQuantizedTopK(copies, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, shortlist = 32)
+      .filter(col("rank") === 1).collect()
+    assert(out.length === 20, s"every planted query must answer, got ${out.length}")
+    out.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") - 1000000,
+        s"rank-1 of a planted copy must be its original: $r")
+    }
+    // tighter than ivfTopK alone: recall against exact truth stays usable
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = exactTopK(queries, emb, 5)
+    val r = recallOf(Similarity.ivfQuantizedTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, shortlist = 32), truth)
+    assert(r >= 0.3, s"ivf-sq recall@5 was $r")
+  }
+
   test("scalarQuantize: codes bounded by 127, zero vector codes to zeros") {
     import spark.implicits._
     val df = Seq(
