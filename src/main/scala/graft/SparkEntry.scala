@@ -978,8 +978,19 @@ object SparkEntry {
     // fingerprint, so the decode plumbing gets a full cross-engine
     // rows+schema+hash oracle (the real-codec swap point is unchanged).
     "q_mm_decode" -> ((s, dir) => {
+      // every 5th doc carries a REAL P6/PPM payload (header + 'A'-filled
+      // pixel plane, dims derived from doc_id) exercising the actual
+      // binary parser; the rest keep text bytes -> the KR fake codec.
+      // Both paths emit exact-arithmetic metadata, so one oracle gates
+      // real-parse and fallback dispatch together.
+      val w = (lit(2) + col("doc_id") % 7).cast("string")
+      val h = (lit(1) + col("doc_id") % 5).cast("string")
+      val p6 = concat(lit("P6\n"), w, lit(" "), h, lit("\n255\n"),
+        expr("repeat('A', cast((2 + doc_id % 7) * (1 + doc_id % 5) * 3 as int))"))
       val media = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, p6).otherwise(col("text"))
+            .cast("binary").as("payload"))
       Multimodal.decodeFeatures(media, "doc_id", "payload")
         .select("doc_id", "format", "width", "height", "n_bytes")
         .orderBy("doc_id")
@@ -1215,15 +1226,19 @@ object SparkEntry {
     "q_mm_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
     "q_mm_decode" ->
-      ("WITH n AS (SELECT doc_id, text, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM documents), " +
-        "h AS (SELECT doc_id, text, list_reduce([CAST(0 AS BIGINT)] || " +
+      ("WITH m AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN " +
+        "'P6' || chr(10) || CAST(2 + doc_id % 7 AS VARCHAR) || ' ' || CAST(1 + doc_id % 5 AS VARCHAR) " +
+        "|| chr(10) || '255' || chr(10) || repeat('A', CAST((2 + doc_id % 7) * (1 + doc_id % 5) * 3 AS INT)) " +
+        "ELSE text END AS payload FROM documents), " +
+        "n AS (SELECT doc_id, payload, regexp_replace(lower(payload), '[^a-z0-9 ]', '', 'g') AS t FROM m), " +
+        "h AS (SELECT doc_id, payload, list_reduce([CAST(0 AS BIGINT)] || " +
         "list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
         "(a,c) -> (a*31+c) % 1000000007) AS fp FROM n) " +
         "SELECT doc_id, " +
-        "CASE WHEN fp % 2 = 0 THEN 'png' ELSE 'jpg' END AS format, " +
-        "CAST(16 + fp % 1024 AS INT) AS width, " +
-        "CAST(16 + (fp // 1024) % 1024 AS INT) AS height, " +
-        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes " +
+        "CASE WHEN doc_id % 5 = 0 THEN 'ppm' WHEN fp % 2 = 0 THEN 'png' ELSE 'jpg' END AS format, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN 2 + doc_id % 7 ELSE 16 + fp % 1024 END AS INT) AS width, " +
+        "CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 5 ELSE 16 + (fp // 1024) % 1024 END AS INT) AS height, " +
+        "CAST(octet_length(CAST(payload AS BLOB)) AS BIGINT) AS n_bytes " +
         "FROM h ORDER BY doc_id"),
     "q_events_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events), " +

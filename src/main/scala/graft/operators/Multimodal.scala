@@ -10,10 +10,11 @@ import org.apache.spark.sql.types._
   * decode/feature-extract runs as `mapPartitions` over the binary
   * column — the Scala analog of a Pandas-UDF batch stage.
   *
-  * The actual codec call is STUBBED (`DecoderStub`): the container has no
-  * image/audio libraries, so the stub derives deterministic fake features
-  * from the bytes. Everything around it — schema, batching, partition
-  * flow, output shape — is the real production plumbing; swapping in a
+  * [[Decoders]] carries one REAL pure-JVM codec (P6/PPM header + pixel
+  * parse) and a deterministic Karp–Rabin fake standing in for the
+  * jpg/png/ffmpeg codecs this container doesn't ship. Everything around
+  * the per-payload call — schema, batching, partition flow, output
+  * shape — is the real production plumbing; swapping the fake for a
   * JNI/javacpp decoder is a one-function change.
   */
 object Multimodal {
@@ -48,23 +49,104 @@ object Multimodal {
     StructField("features", ArrayType(FloatType))
   ))
 
-  /** The stub decoder: deterministic pseudo-features from payload bytes.
-    * REPLACE with a real codec (e.g. javacpp-ffmpeg / ImageIO) in
-    * production — signature and batch shape stay identical.
+  /** Payload decoders. Two codecs behind one dispatch:
     *
-    * The fake is derived from the portable Karp–Rabin fingerprint
-    * (`acc*31 + code mod 1e9+7` over the normalized UTF-8 text, the
-    * same kernel as [[graft.functions.KrHashExpression]]) so every
-    * metadata field is exact modular arithmetic a SQL oracle can
-    * reproduce — the decode *plumbing* gets a full cross-engine
-    * rows+schema+hash gate instead of a rows-only check.
+    *  - a REAL pure-JVM P6 (binary PPM) parser — header (magic,
+    *    whitespace/comments, width, height, maxval) plus the full RGB
+    *    pixel plane, rejecting truncated or corrupt payloads — with
+    *    8 channel/luminance statistics as the feature vector;
+    *  - the deterministic Karp–Rabin fake for every other payload
+    *    (`acc*31 + code mod 1e9+7` over the normalized UTF-8 text, the
+    *    same kernel as [[graft.functions.KrHashExpression]]), standing
+    *    in for the jpg/png/ffmpeg codecs this container doesn't ship.
+    *    Its exact modular arithmetic keeps the decode *plumbing* under
+    *    a full cross-engine rows+schema+hash gate.
+    *
+    * Swapping the fake for a JNI/javacpp decoder is a one-function
+    * change; the PPM path shows the real shape end-to-end.
     */
-  object DecoderStub {
+  object Decoders {
     val featureDim = 8
     private val P = 1000000007L
 
-    def decode(bytes: Array[Byte]): (String, Int, Int, Array[Float]) = {
-      // ??? <- real decode goes here; deterministic fake below
+    private def isPpmWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0x0b
+
+    /** Real P6 parse: `"P6" <ws> width <ws> height <ws> maxval <one ws>
+      * <w*h*3 raw bytes>`, `#`-comments legal inside header whitespace
+      * (netpbm spec). Returns None for anything malformed — bad magic,
+      * missing fields, maxval outside (0, 255] (2-byte samples not
+      * supported), or a pixel plane shorter than the header promises —
+      * so corrupt media degrades to the fallback codec instead of
+      * throwing mid-partition.
+      *
+      * Features (all in [0, 1], computed in one pass over the plane):
+      * mean R/G/B, mean/min/max luminance (ITU-R 601 weights),
+      * contrast (max-min luminance), nonzero-pixel fraction.
+      */
+    def decodePpm(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] = {
+      if (bytes == null || bytes.length < 12 ||
+        bytes(0) != 'P' || bytes(1) != '6') return None
+      var i = 2
+      def skipWs(): Boolean = {
+        val start = i
+        var loop = true
+        while (loop && i < bytes.length) {
+          if (isPpmWs(bytes(i))) i += 1
+          else if (bytes(i) == '#') {
+            while (i < bytes.length && bytes(i) != '\n') i += 1
+          } else loop = false
+        }
+        i > start
+      }
+      def readInt(): Int = {
+        var v = 0L
+        val start = i
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9' && v <= Int.MaxValue) {
+          v = v * 10 + (bytes(i) - '0'); i += 1
+        }
+        if (i == start || v > Int.MaxValue) -1 else v.toInt
+      }
+      if (!skipWs()) return None
+      val w = readInt(); if (w <= 0) return None
+      if (!skipWs()) return None
+      val h = readInt(); if (h <= 0) return None
+      if (!skipWs()) return None
+      val maxval = readInt(); if (maxval <= 0 || maxval > 255) return None
+      // exactly ONE whitespace byte separates maxval from the raster
+      if (i >= bytes.length || !isPpmWs(bytes(i))) return None
+      i += 1
+      val nPix = w.toLong * h
+      if (bytes.length - i < nPix * 3) return None // truncated plane
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      var minL = Double.MaxValue; var maxL = 0.0; var nonzero = 0L
+      var p = 0L
+      var off = i
+      while (p < nPix) {
+        val r = bytes(off) & 0xff
+        val g = bytes(off + 1) & 0xff
+        val b = bytes(off + 2) & 0xff
+        sr += r; sg += g; sb += b
+        val lum = 0.299 * r + 0.587 * g + 0.114 * b
+        if (lum < minL) minL = lum
+        if (lum > maxL) maxL = lum
+        if (r + g + b > 0) nonzero += 1
+        p += 1; off += 3
+      }
+      val m = maxval.toDouble
+      val n = nPix.toDouble
+      val meanLum = (0.299 * sr + 0.587 * sg + 0.114 * sb) / n / m
+      Some(("ppm", w, h, Array(
+        (sr / n / m).toFloat, (sg / n / m).toFloat, (sb / n / m).toFloat,
+        meanLum.toFloat, (minL / m).toFloat, (maxL / m).toFloat,
+        ((maxL - minL) / m).toFloat, (nonzero / n).toFloat)))
+    }
+
+    /** Deterministic fake for non-PPM payloads (no jpg/png codec in
+      * this container): format/dims/features from the portable KR
+      * fingerprint — exact modular arithmetic a SQL oracle reproduces.
+      */
+    def decodeFake(bytes: Array[Byte]): (String, Int, Int, Array[Float]) = {
       val h = graft.functions.KrHashExpression.compute(
         org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes))
       val fmt = if (h % 2 == 0) "png" else "jpg"
@@ -76,6 +158,9 @@ object Multimodal {
       }
       (fmt, w, ht, feats)
     }
+
+    def decode(bytes: Array[Byte]): (String, Int, Int, Array[Float]) =
+      decodePpm(bytes).getOrElse(decodeFake(bytes))
   }
 
   /** Decode/feature-extract stage: one pass, partition-parallel, batch
@@ -94,7 +179,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](1)
         val (fmt, w, h, feats) =
           if (bytes == null) (null, 0, 0, Array.empty[Float])
-          else DecoderStub.decode(bytes)
+          else Decoders.decode(bytes)
         Row(id, fmt, w, h,
           if (bytes == null) 0L else bytes.length.toLong, feats)
       }

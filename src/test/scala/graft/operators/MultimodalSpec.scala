@@ -26,11 +26,63 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("doc_id").limit(5).collect()
     assert(rows1.map(_.toString).toSeq === rows2.map(_.toString).toSeq)
     rows1.foreach { r =>
-      assert(r.getAs[Seq[Float]]("features").length === Multimodal.DecoderStub.featureDim)
+      assert(r.getAs[Seq[Float]]("features").length === Multimodal.Decoders.featureDim)
       assert(Set("png", "jpg").contains(r.getAs[String]("format")))
       assert(r.getAs[Long]("n_bytes") > 0)
     }
     assert(out.count() === media.count())
+  }
+
+  private def ppm(header: String, pixels: Int*): Array[Byte] =
+    header.getBytes("US-ASCII") ++ pixels.map(_.toByte).toArray
+
+  test("ppm decode: a valid P6 parses header, dims, and channel statistics") {
+    // 2x1, red then green pixel
+    val bytes = ppm("P6\n2 1\n255\n", 255, 0, 0, 0, 255, 0)
+    val Some((fmt, w, h, f)) = Multimodal.Decoders.decodePpm(bytes)
+    assert(fmt === "ppm" && w === 2 && h === 1)
+    val eps = 1e-6f
+    assert(math.abs(f(0) - 0.5f) < eps, s"meanR ${f(0)}")
+    assert(math.abs(f(1) - 0.5f) < eps, s"meanG ${f(1)}")
+    assert(math.abs(f(2)) < eps, s"meanB ${f(2)}")
+    assert(math.abs(f(3) - 0.443f) < eps, s"meanLum ${f(3)}")
+    assert(math.abs(f(4) - 0.299f) < eps, s"minLum ${f(4)}")
+    assert(math.abs(f(5) - 0.587f) < eps, s"maxLum ${f(5)}")
+    assert(math.abs(f(6) - 0.288f) < eps, s"contrast ${f(6)}")
+    assert(f(7) === 1.0f, s"nonzero ${f(7)}")
+  }
+
+  test("ppm decode: header comments are legal, per the netpbm spec") {
+    val bytes = ppm("P6\n# a comment\n1 1\n# more\n255\n", 10, 20, 30)
+    val Some((_, w, h, _)) = Multimodal.Decoders.decodePpm(bytes)
+    assert(w === 1 && h === 1)
+  }
+
+  test("ppm decode: truncated and corrupt payloads are rejected, not thrown") {
+    val good = ppm("P6\n2 1\n255\n", 255, 0, 0, 0, 255, 0)
+    assert(Multimodal.Decoders.decodePpm(good.dropRight(1)).isEmpty, "short plane")
+    assert(Multimodal.Decoders.decodePpm(ppm("P5\n2 1\n255\n", 1, 2, 3, 4, 5, 6)).isEmpty,
+      "wrong magic (P5 is grayscale)")
+    assert(Multimodal.Decoders.decodePpm(ppm("P6\n0 1\n255\n")).isEmpty, "zero width")
+    assert(Multimodal.Decoders.decodePpm(ppm("P6\n1 1\n65535\n", 0, 0, 0, 0, 0, 0)).isEmpty,
+      "2-byte samples unsupported")
+    assert(Multimodal.Decoders.decodePpm(ppm("P6\n1 x\n255\n", 0, 0, 0)).isEmpty,
+      "non-numeric height")
+    assert(Multimodal.Decoders.decodePpm(Array.empty[Byte]).isEmpty, "empty")
+    assert(Multimodal.Decoders.decodePpm(null).isEmpty, "null")
+  }
+
+  test("decodeFeatures routes P6 payloads to the real parser, others to the fake") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ppm("P6\n2 2\n255\n", Seq.fill(12)(128): _*)),
+      (2L, "not an image at all".getBytes("US-ASCII"))
+    ).toDF("doc_id", "payload")
+    val rows = Multimodal.decodeFeatures(df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[String]("format") === "ppm")
+    assert(rows(0).getAs[Int]("width") === 2 && rows(0).getAs[Int]("height") === 2)
+    assert(Set("png", "jpg").contains(rows(1).getAs[String]("format")))
   }
 
   test("sampleFrames emits n windows per payload") {
