@@ -284,8 +284,8 @@ object Dedup {
     * rounds — a 10 000-document boilerplate chain would silently stop at
     * `maxIter` with WRONG clusters; the jump composes label paths, so
     * distance-to-root shrinks superlinearly and rounds ≈ O(log
-    * diameter). Each `maxIter` step runs TWO propagate+jump rounds per
-    * checkpoint job, so `maxIter = 16` covers diameters far past 10⁴.
+    * diameter). `maxIter = 16` covers diameters past 10⁴ (the
+    * min-neighbor seed below buys roughly one more round of headroom).
     *
     * @param pairs edge list with columns `id_a`, `id_b` (any direction)
     * @return (id, cluster) — cluster = min id reachable; one row per
@@ -314,34 +314,32 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // one propagate+jump round: every node adopts the min label among
-      // itself and its neighbors, then follows its label's own label
-      // (pointer jump). Labels only ever decrease and stay inside the
-      // component, so the jump preserves correctness while composing
-      // paths — this is what turns O(diameter) rounds into O(log
-      // diameter)
-      def round(l: DataFrame): DataFrame = {
-        val neighborLabels = edges
-          .join(l.withColumnRenamed("id", "dst"), Seq("dst"))
-          .select(col("src").as("id"), col("cluster"))
-        val propagated = l.select(col("id"), col("cluster"))
-          .union(neighborLabels)
-          .groupBy("id").agg(min(col("cluster")).as("cluster"))
-        propagated
-          .join(propagated.select(col("id").as("cluster"), col("cluster").as("__parent")),
-            Seq("cluster"))
-          .select(col("id"), least(col("cluster"), col("__parent")).as("cluster"))
-      }
-      // TWO rounds per localCheckpoint: the dominant fixture-scale cost
-      // is the fixed per-checkpoint scheduler work (each checkpoint is a
-      // job), not the joins — fusing halves the job count while the
-      // checkpoint still truncates lineage so the loop re-executes the
-      // same plan shape every iteration (one codegen compile total)
+      // every node adopts the min label among itself and its neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("cluster"))
+      val propagated = labels.select(col("id"), col("cluster"))
+        .union(neighborLabels)
+        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+      // pointer jump: follow the label's own label. Labels only ever
+      // decrease and stay inside the component, so the jump preserves
+      // correctness while composing paths — this is what turns
+      // O(diameter) rounds into O(log diameter)
+      // localCheckpoint truncates lineage so every iteration re-executes
+      // the SAME plan shape (one codegen compile total, not one per
+      // iteration) and the fixpoint loop can run indefinitely without
+      // the plan growing. (Fusing two propagate+jump rounds per
+      // checkpoint was tried in round 7 and REGRESSED ~2×: the fixed
+      // cost is per shuffle STAGE, not per checkpoint job, so deeper
+      // plans pay the same stages plus wasted work on early converge.)
       // the convergence witness rides the checkpoint's own job via
       // observe() — a separate agg job per round doubled the fixture's
       // per-iteration job count
       val obs = new org.apache.spark.sql.Observation(s"graft-cc-$i")
-      val next = round(round(labels))
+      val next = propagated
+        .join(propagated.select(col("id").as("cluster"), col("cluster").as("__parent")),
+          Seq("cluster"))
+        .select(col("id"), least(col("cluster"), col("__parent")).as("cluster"))
         .observe(obs, sum(col("cluster").cast(DecimalType(38, 0))).as("label_sum"))
         .localCheckpoint(true)
       val newSum = obs.get("label_sum").asInstanceOf[java.math.BigDecimal]
