@@ -330,7 +330,9 @@ object Similarity {
     * over int8 codes — queries broadcast, corpus scanned once, top-
     * shortlist held in k-bounded queues; phase two joins the (tiny)
     * shortlist back to full vectors by id. No shuffle of the corpus in
-    * either phase.
+    * either phase — but phase one IS a full code scan per query batch;
+    * when that scan dominates, compose with inverted lists via
+    * [[ivfQuantizedTopK]], which prunes it to the probed lists.
     */
   /** Two-level ANN — IVF lists × int8 scalar quantization (the IVF-SQ
     * recipe of large-scale vector stores): queries probe their `nProbe`
@@ -371,9 +373,17 @@ object Similarity {
     val (assigned, centArr) =
       ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portableCentroids)
     // the int8 codes ride the list assignment; phase 1 never touches the
-    // float vectors (4× less data scanned per probed list)
-    val codes = assigned.select(col("neighbor_id"), col("__list"),
-      scalarQuantize(col("__cv")).getField("codes").as("__cq"))
+    // float vectors (4× less data scanned per probed list). The
+    // (id, list, codes) frame IS the IVF-SQ index — built once, reused
+    // by every query batch (the production shape; at 100 TB it would be
+    // materialized bucketed by __list instead). persistOnce gives
+    // repeat invocations with the same corpus the index-reuse
+    // semantics instead of a rebuild, same policy as the minhash
+    // signature cache in Dedup.
+    val codes = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      assigned.select(col("neighbor_id"), col("__list"),
+        scalarQuantize(col("__cv")).getField("codes").as("__cq")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // probe choice: identical arithmetic to ivfTopK (same centroid
     // array, same cosine, same tie-break), so an ivf index materialized
