@@ -438,6 +438,25 @@ object SparkEntry {
           col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // kNN label propagation: majority vote over the 7 exact nearest
+    // labeled neighbors — pseudo-labeling with a deterministic
+    // tie-break, the whole pipeline (cosine fold order, rank ties,
+    // vote ties) reproduced by the SQL oracle
+    "q_sim_knn_label" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnClassify(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", "vec_id", "embedding", "label", k = 7)
+        .select(col("query_id"), col("label").cast(LongType).as("label"),
+          col("votes"))
+        .orderBy("query_id")
+    }),
+    // Per-source quota cap: at most 15 docs per source survive a
+    // reproducible Knuth-hash lottery — the domain-cap curation rule
+    "q_corpus_domain_cap" -> ((s, dir) => {
+      Corpus.capPerGroup(t(s, dir, "documents"), "doc_id", "source", cap = 15)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
     // TF-IDF top-terms: keyword extraction over the whole corpus —
     // (doc,term) tf shuffle, term-keyed df join, doc-keyed top-k window
     "q_text_tfidf" -> ((s, dir) => {
@@ -1623,6 +1642,28 @@ object SparkEntry {
         """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
         "ORDER BY query_id, \"rank\""
     },
+    "q_sim_knn_label" -> {
+      // exact-kNN majority vote: same cosine fold, rank tie by
+      // neighbor id, vote tie by smaller label — all deterministic
+      def dot(a: String, b: String): String =
+        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
+      def cos(a: String, na: String, b: String, nb: String): String =
+        s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
+      "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings), " +
+        s"emb AS (SELECT vec_id, v, label, sqrt(${dot("v", "v")}) AS nrm FROM e0), " +
+        "nn AS (SELECT * FROM (SELECT q.vec_id AS query_id, c.label AS lbl, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.v", "q.nrm", "c.v", "c.nrm")} DESC, c.vec_id) AS r " +
+        "FROM emb q JOIN emb c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20) WHERE r <= 7), " +
+        "v AS (SELECT query_id, lbl, count(*) AS votes FROM nn GROUP BY query_id, lbl) " +
+        "SELECT query_id, CAST(lbl AS BIGINT) AS label, votes FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl) AS rv FROM v) " +
+        "WHERE rv = 1 ORDER BY query_id"
+    },
+    "q_corpus_domain_cap" ->
+      ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
+        "row_number() OVER (PARTITION BY source ORDER BY " +
+        "((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, doc_id) AS r " +
+        "FROM documents) WHERE r <= 15 ORDER BY doc_id"),
     "q_sim_ivf_sq_topk" -> {
       // IVF-SQ end-to-end: the q_sim_ivf_portable centroid/assign/probe
       // CTEs composed with q_sim_sq_topk's quantize/int-dot/re-rank —

@@ -72,6 +72,30 @@ object Corpus {
     df.filter(portableHash(col(idCol)) < cut)
   }
 
+  /** Per-group quota cap: deterministically keep at most `cap` rows per
+    * group — the "domain cap" of web-corpus curation (no single site may
+    * contribute more than N documents), also the shape for per-source or
+    * per-license quotas. Which rows survive is a uniform reproducible
+    * lottery: rank by the portable Knuth hash of the id (ties by id), so
+    * the same corpus always keeps the same rows on any engine, and a
+    * re-crawl that adds rows to a group displaces survivors only where
+    * the new ids hash lower.
+    *
+    * Scale shape: ONE shuffle on the group key, then a per-group sort
+    * bounded by group size. The hash rank is uniform, so a hot domain
+    * costs one big reducer sort — at the 100 TB extreme, pre-filter
+    * with an approximate per-group count and a widened hash threshold
+    * before the exact window, leaving the sort O(cap) per group.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(portableHash(col(idCol)), col(idCol))
+    df.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= cap)
+      .drop("__r")
+  }
+
   /** Per-stratum quantile band filter: keep rows whose `lenCol` sits
     * inside the [lo, hi] percent-rank band of their stratum — the
     * "drop the degenerate tails" curation rule (truncated docs at the

@@ -292,6 +292,46 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
+  /** k-NN majority-vote label propagation — pseudo-labeling: each query
+    * vector takes the most frequent label among its `k` nearest labeled
+    * corpus vectors (ties break to the smaller label, so the result is
+    * engine-reproducible). The auto-labeling / quality-propagation step
+    * of a training-data pipeline: score a small hand-labeled seed set
+    * over the corpus, or transfer labels onto fresh unlabeled batches.
+    *
+    * Candidate generation is [[bruteForceTopK]] (exact — the variant the
+    * oracle audits); at 100 TB swap in [[ivfQuantizedTopK]] for the
+    * neighbor search and keep the vote unchanged — the vote is a
+    * per-query aggregation over k rows, negligible either way.
+    *
+    * @return (query_id, label, votes) — `votes` of the winning label,
+    *         out of the `k` neighbors
+    */
+  def knnClassify(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      labelCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nn = bruteForceTopK(queries, corpus,
+      queryIdCol, queryVecCol, corpusIdCol, corpusVecCol, k)
+    val votes = nn
+      .join(corpus.select(col(corpusIdCol).as("neighbor_id"), col(labelCol).as("__lbl")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__lbl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("__lbl"))
+    votes
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("__lbl").as("label"), col("votes"))
+  }
+
   // ------------------------------------------- scalar-quantized search
 
   /** Symmetric int8 scalar quantization of a vector: per-vector scale

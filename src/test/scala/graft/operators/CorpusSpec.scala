@@ -429,4 +429,18 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"), plan)
   }
+
+  test("capPerGroup: bounds every group at cap, deterministically, schema untouched") {
+    val docs = table("documents")
+    val capped = Corpus.capPerGroup(docs, "doc_id", "source", 10)
+    assert(capped.columns === docs.columns)
+    val sizes = capped.groupBy("source").count().collect()
+    assert(sizes.nonEmpty && sizes.forall(_.getLong(1) <= 10), sizes.mkString(","))
+    val ids = capped.select("doc_id").collect().map(_.getLong(0)).sorted
+    val again = Corpus.capPerGroup(docs, "doc_id", "source", 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids === again, "same corpus must keep the same rows")
+    // a cap wider than any group passes everything through
+    assert(Corpus.capPerGroup(docs, "doc_id", "source", 1000000).count() === docs.count())
+  }
 }

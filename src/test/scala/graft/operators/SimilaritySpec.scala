@@ -273,6 +273,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.3, s"ivf-sq recall@5 was $r")
   }
 
+  test("knnClassify: nearest label at k=1, majority at k>1, vote ties to the smaller label") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 9L),   // exact match of the query
+      (2L, Array(0.95f, 0.05f), 5L),
+      (3L, Array(0.9f, 0.1f), 5L),
+      (4L, Array(0.0f, 1.0f), 7L)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    def run(k: Int) = Similarity.knnClassify(q, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", "label", k).collect()(0)
+    val k1 = run(1)
+    assert(k1.getAs[Long]("label") === 9L && k1.getAs[Long]("votes") === 1L)
+    val k3 = run(3) // neighbors 1(9), 2(5), 3(5) -> 5 by majority
+    assert(k3.getAs[Long]("label") === 5L && k3.getAs[Long]("votes") === 2L)
+    val k2 = run(2) // neighbors 1(9), 2(5): 1-1 tie -> smaller label 5
+    assert(k2.getAs[Long]("label") === 5L && k2.getAs[Long]("votes") === 1L)
+  }
+
   test("scalarQuantize: codes bounded by 127, zero vector codes to zeros") {
     import spark.implicits._
     val df = Seq(
