@@ -450,6 +450,17 @@ object SparkEntry {
           col("votes"))
         .orderBy("query_id")
     }),
+    // JSON sidecar flatten: schema inferred once driver-side from a
+    // bounded sample, then one codegen'd from_json pass corpus-wide —
+    // crawl-metadata extraction as typed columns
+    "q_events_props_flatten" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"), col("props"))
+      graft.operators.SemiStructured.flattenJson(ev, "props")
+        .select(col("event_id"), col("event_type"),
+          col("k").cast(LongType).as("k"))
+        .orderBy("event_id")
+    }),
     // Per-source quota cap: at most 15 docs per source survive a
     // reproducible Knuth-hash lottery — the domain-cap curation rule
     "q_corpus_domain_cap" -> ((s, dir) => {
@@ -1659,6 +1670,9 @@ object SparkEntry {
         "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl) AS rv FROM v) " +
         "WHERE rv = 1 ORDER BY query_id"
     },
+    "q_events_props_flatten" ->
+      ("SELECT event_id, event_type, CAST(props->>'k' AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id"),
     "q_corpus_domain_cap" ->
       ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
         "row_number() OVER (PARTITION BY source ORDER BY " +

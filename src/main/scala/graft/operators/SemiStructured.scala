@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Semi-structured (JSON) column extraction — crawl pipelines carry
+  * metadata sidecars (fetch headers, page stats, labeler outputs) as
+  * JSON strings; training-data curation needs them as typed columns.
+  *
+  * The scale-correct shape: infer the schema ONCE, driver-side, from a
+  * bounded sample, then apply `from_json` with that fixed schema across
+  * the corpus — codegen'd, no per-row schema discovery, and the output
+  * schema is stable regardless of which executor sees which rows
+  * (per-partition inference would let ragged key sets produce
+  * divergent schemas). Keys absent from the sample surface as nulls —
+  * size `sampleRows` to cover the key population, or pass an explicit
+  * `schema` when the contract is known.
+  */
+object SemiStructured {
+
+  /** Infer the JSON schema of `jsonCol` from the first `sampleRows`
+    * non-null values (one bounded driver-side job).
+    */
+  def inferJsonSchema(df: DataFrame, jsonCol: String, sampleRows: Int = 1000): StructType = {
+    val sample = df.select(col(jsonCol)).na.drop().limit(sampleRows)
+      .as(Encoders.STRING)
+    df.sparkSession.read.json(sample).schema
+  }
+
+  /** Flatten a JSON string column into typed top-level columns appended
+    * after the existing ones (the JSON column itself is dropped).
+    * `schema = None` infers from a bounded sample via
+    * [[inferJsonSchema]]; pass an explicit schema for a stable contract.
+    * Rows whose JSON fails to parse yield nulls in every extracted
+    * column (from_json PERMISSIVE default) rather than failing the job.
+    */
+  def flattenJson(
+      df: DataFrame,
+      jsonCol: String,
+      schema: Option[StructType] = None,
+      sampleRows: Int = 1000
+  ): DataFrame = {
+    val s = schema.getOrElse(inferJsonSchema(df, jsonCol, sampleRows))
+    val kept = df.columns.filterNot(_ == jsonCol).map(col).toSeq
+    df.withColumn("__graft_json", from_json(col(jsonCol), s))
+      .select(kept :+ col("__graft_json.*"): _*)
+  }
+}

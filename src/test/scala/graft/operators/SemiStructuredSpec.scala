@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SemiStructuredSpec extends SparkSpec {
+
+  test("flattenJson: inferred schema extracts typed columns, drops the json column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 5, "tag": "a"}"""),
+      (2L, """{"k": 7, "tag": "b"}""")
+    ).toDF("id", "props")
+    val out = SemiStructured.flattenJson(df, "props")
+    assert(out.columns.toSeq === Seq("id", "k", "tag"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getAs[Long]("k") === 5L && rows(0).getAs[String]("tag") === "a")
+    assert(rows(1).getAs[Long]("k") === 7L && rows(1).getAs[String]("tag") === "b")
+  }
+
+  test("flattenJson: corrupt rows yield nulls, keys missing from a row yield nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 5}"""),
+      (2L, "not json at all"),
+      (3L, """{"other": 1}""")
+    ).toDF("id", "props")
+    // explicit schema: inference over mixed rows must not be required
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val rows = SemiStructured.flattenJson(df, "props", Some(schema))
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Long]("k") === 5L)
+    assert(rows(1).isNullAt(1), "corrupt JSON must null out, not fail")
+    assert(rows(2).isNullAt(1), "missing key must null out")
+  }
+
+  test("flattenJson: extraction runs as one codegen'd from_json pass, no shuffle") {
+    val ev = table("events").select(col("event_id"), col("props"))
+    val out = SemiStructured.flattenJson(ev, "props", sampleRows = 100)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("from_json"), plan)
+  }
+}
