@@ -588,6 +588,21 @@ object SparkEntry {
           col("id_b").cast("long").as("id_b"))
         .orderBy("id_a", "id_b")
     }),
+    // Incremental embedding near-dup: planted copies of the even
+    // vectors (the "new batch") collide against the full corpus (the
+    // "index") — asymmetric banded join, cost |batch| x collisions. A
+    // copy shares EVERY band with its original (cosine ~1.0 >> the
+    // 0.513 fixture max), so the output is exactly the planted pairs
+    "q_dedup_embedding_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val batch = emb.filter(col("vec_id") % 2 === 0).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDupPairsAgainst(batch, emb, "vec_id", "embedding",
+        threshold = 0.95, nBits = 8, nBands = 2, maxBucket = 10000)
+        .select(col("batch_id").cast(LongType).as("batch_id"),
+          col("index_id").cast(LongType).as("index_id"))
+        .orderBy("batch_id", "index_id")
+    }),
     // Exact embedding-cosine near-dup pairs — the O(n²) audit baseline
     // for the LSH path, on a bounded id slice (threshold sits in a
     // 1.5e-3-wide cosine gap, so double rounding can't flip the set)
@@ -1490,6 +1505,12 @@ object SparkEntry {
     // non-dup pair comes within 0.29 cosine of the 0.8 threshold
     "q_dedup_embedding" ->
       "SELECT CAST(vec_id AS BIGINT) AS id_a, CAST(vec_id + 1000000 AS BIGINT) AS id_b FROM embeddings ORDER BY id_a, id_b",
+    // asymmetric planted batch: each copied even vector collides with
+    // exactly its original in the index (cosine ~1.0 vs <= 0.513)
+    "q_dedup_embedding_incremental" ->
+      ("SELECT CAST(vec_id + 1000000 AS BIGINT) AS batch_id, " +
+        "CAST(vec_id AS BIGINT) AS index_id FROM embeddings " +
+        "WHERE vec_id % 2 = 0 ORDER BY batch_id, index_id"),
     "q_dedup_embedding_exact" ->
       ("SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +

@@ -506,6 +506,63 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Incremental embedding near-dup: collide a NEW batch of vectors
+    * against an EXISTING embedding index — the continuous-ingestion
+    * twin of [[embeddingNearDupPairs]], mirroring what
+    * [[portableMinhashPairsAgainst]] does for text. The banded join is
+    * ASYMMETRIC (batch signatures against index signatures only), so
+    * cost scales with |batch| × collision-rate, never |index|², and
+    * batch-internal pairs are deliberately NOT reported (run the
+    * symmetric pass within the batch for those).
+    *
+    * At 100 TB the index side is a materialized signature table
+    * (compute the banded signatures once per ingest epoch, store
+    * bucketed by (band, bandval) via [[graft.plans.ScaleJoins]]);
+    * `maxBucket` caps degenerate buckets on the INDEX side, where mass
+    * accumulates over time.
+    *
+    * @return (batch_id, index_id, cosine) — batch vectors with at
+    *         least one index collision at cosine >= `threshold`;
+    *         anti-join the batch against `select(batch_id)` to admit
+    *         survivors
+    */
+  def embeddingNearDupPairsAgainst(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      nBits: Int = 8,
+      nBands: Int = 1,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame = {
+    require(nBits * nBands <= 64, "signature is a single 64-bit word")
+    val mask = if (nBits == 64) -1L else (1L << nBits) - 1
+    def banded(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId),
+        VectorFunctions.lshSignature(col(vecCol), nBits * nBands).as("__sig"))
+      .select(col(outId),
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(col("__sig"), b * nBits).bitwiseAND(mask)): _*))
+          .as(Seq("__band", "__bandval")))
+    val b = banded(batch, "batch_id")
+    val ix = capBuckets(banded(index, "index_id"), Seq("__band", "__bandval"), maxBucket)
+    val candidates = b.join(ix, Seq("__band", "__bandval"))
+      .filter(col("batch_id") =!= col("index_id"))
+      .select("batch_id", "index_id").dropDuplicates("batch_id", "index_id")
+    def vecs(df: DataFrame, id: String, v: String, n: String) = df
+      .select(col(idCol).as(id), col(vecCol).as(v))
+      .withColumn(n, VectorFunctions.norm(col(v)))
+    candidates
+      .join(vecs(batch, "batch_id", "__va", "__na"), Seq("batch_id"))
+      .join(vecs(index, "index_id", "__vb", "__nb"), Seq("index_id"))
+      .select(col("batch_id"), col("index_id"),
+        when(col("__na") * col("__nb") === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("__va"), col("__vb")) /
+            (col("__na") * col("__nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   // ------------------------------------ portable (oracle-exact) minhash
 
   /** MinHash with engine-portable arithmetic: shingles hash through the

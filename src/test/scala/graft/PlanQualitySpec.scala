@@ -282,6 +282,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("incremental embedding near-dup: asymmetric banded join is an equi-join, never a product") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val df = graft.operators.Dedup.embeddingNearDupPairsAgainst(
+      batch, emb, "vec_id", "embedding", nBits = 8, nBands = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("__bandval"), plan)
+  }
+
   test("ivf-sq ANN: phase 1 equi-joins on the list id — no corpus-wide cross join") {
     val emb = table("embeddings")
     val q = emb.filter(col("vec_id") < 5)

@@ -212,6 +212,21 @@ class DedupSpec extends SparkSpec {
     assert(keys.distinct.length === keys.length)
   }
 
+  test("embeddingNearDupPairsAgainst: planted batch collides with its originals only, asymmetrically") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val out = Dedup.embeddingNearDupPairsAgainst(batch, emb, "vec_id", "embedding",
+      threshold = 0.95, nBits = 8, nBands = 2).collect()
+    // each copy finds exactly its original; no batch-batch or
+    // index-index pair can appear by construction
+    assert(out.length === 20, s"got ${out.length}")
+    out.foreach { r =>
+      assert(r.getLong(0) - 1000000 === r.getLong(1), r.toString)
+      assert(r.getDouble(2) >= 0.95, r.toString)
+    }
+  }
+
   test("embedding near-dup: maxBucket drops a degenerate dense bucket") {
     import spark.implicits._
     // 60 identical vectors collide in EVERY band; a real corpus alongside
