@@ -215,4 +215,66 @@ class OperatorPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("capPerGroup == in-memory hash-ranked take on random groups and caps") {
+    import spark.implicits._
+    val rowGen = for {
+      id <- Gen.choose(1L, 500L)
+      grp <- Gen.choose(1, 6).map(g => s"g$g")
+    } yield (id, grp)
+    (0 until 4).foreach { seed =>
+      val rows = (0 until 200)
+        .flatMap(i => rowGen.apply(params, rng.Seed(seed * 1000L + i)))
+        .distinct
+      val cap = 1 + seed * 3
+      val got = Corpus.capPerGroup(rows.toDF("id", "grp"), "id", "grp", cap)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      // reference: per group, keep the cap lowest (knuthHash(id), id) rows
+      def knuth(id: Long): Long = Math.floorMod(id * 2654435761L, 4294967296L)
+      // .toSeq before flatMap: flatMapping a Map with tuple results
+      // would re-key by id and collapse same-id rows across groups
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy { case (id, _) => (knuth(id), id) }.take(cap)
+      }.toSet
+      assert(got === expected, s"seed=$seed cap=$cap")
+    }
+  }
+
+  test("knnClassify == in-memory vote on random labeled vectors") {
+    import spark.implicits._
+    val vecGen = for {
+      x <- Gen.choose(-100, 100)
+      y <- Gen.choose(-100, 100)
+      z <- Gen.choose(-100, 100) if x != 0 || y != 0 || z != 0
+    } yield Array(x / 100.0f, y / 100.0f, z / 100.0f)
+    (0 until 3).foreach { seed =>
+      val corpus = (0 until 40).map { i =>
+        val v = vecGen.apply(params, rng.Seed(seed * 1000L + i)).get
+        (i.toLong, v, (i % 3).toLong)
+      }
+      val queries = corpus.take(5).map { case (id, v, _) => (id + 1000, v) }
+      val k = 5
+      val got = Similarity.knnClassify(
+        queries.toDF("vec_id", "embedding"),
+        corpus.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "vec_id", "embedding", "label", k)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        if (na * nb == 0.0) 0.0 else d / (na * nb)
+      }
+      val expected = queries.map { case (qid, qv) =>
+        val nn = corpus
+          .map { case (cid, cv, lbl) => (cid, lbl, cos(qv, cv)) }
+          .sortBy { case (cid, _, c) => (-c, cid) }
+          .take(k)
+        val votes = nn.groupBy(_._2).view.mapValues(_.size).toSeq
+          .sortBy { case (lbl, n) => (-n, lbl) }
+        qid -> (votes.head._1, votes.head._2.toLong)
+      }.toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
 }
