@@ -881,12 +881,25 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__hm")
-    val hashHits = selected.join(candHashes, Seq("__hm")).select("doc_id", "__pos")
-    // exact verify: recompute the normalized span text for HITS ONLY
-    // (a second scan of the input, but the exploded span strings exist
-    // only for the rare duplicated windows, never the full corpus)
+    // hashHits is consumed twice below (hit-id semi-join + verify
+    // join); it is O(duplicated windows) small, and caching it stops
+    // the whole winnowing pipeline from re-executing per consumer
+    val hashHits = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      selected.join(candHashes, Seq("__hm")).select("doc_id", "__pos"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact verify: recompute the normalized span text for HITS ONLY.
+    // The semi-join comes BEFORE the tokenize projection, so the second
+    // tokenization pass runs over hit documents alone — without it the
+    // projection evaluates for every corpus row on the join input and
+    // the "verify" pass silently re-tokenizes all 100 TB. The exploded
+    // span strings likewise exist only for the rare duplicated windows.
+    val hitDocs = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("__rawtext"))
+      .join(hashHits.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("__rawtext"))).as("__toks"))
     val withText = hashHits
-      .join(df.select(col(idCol).as("doc_id"), toks.as("__toks")), Seq("doc_id"))
+      .join(hitDocs, Seq("doc_id"))
       .withColumn("__span",
         regexp_replace(
           array_join(slice(col("__toks"), col("__pos") + 1, lit(window)), " "),
