@@ -468,6 +468,13 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
+    // BPE merge training: the first 5 learned merges of the corpus —
+    // corpus touched once (word counts), every round vocab-bounded;
+    // deterministic tie-breaks make the merge sequence oracle-exact
+    "q_text_bpe_merges" -> ((s, dir) => {
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", nMerges = 5)
+        .orderBy("rank")
+    }),
     // TF-IDF top-terms: keyword extraction over the whole corpus —
     // (doc,term) tf shuffle, term-keyed df join, doc-keyed top-k window
     "q_text_tfidf" -> ((s, dir) => {
@@ -1673,6 +1680,31 @@ object SparkEntry {
         "FROM sl s JOIN nr a ON a.vec_id = s.neighbor_id JOIN nr b ON b.vec_id = s.query_id) " +
         """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
         "ORDER BY query_id, \"rank\""
+    },
+    "q_text_bpe_merges" -> {
+      // unrolled 5-round BPE: each round = pair-count CTE, argmax CTE
+      // (ties break on (left, right)), greedy left-to-right merge fold
+      // (elements as singleton lists so the reduce accumulator and
+      // elements share LIST(VARCHAR))
+      val n = 5
+      val ctes = scala.collection.mutable.ArrayBuffer(
+        "w0 AS (SELECT count(*) AS n, list_transform(range(1, length(w)+1), i -> w[i:i]) AS sym " +
+          "FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) " +
+          "WHERE length(w) > 0 GROUP BY w)")
+      (1 to n).foreach { r =>
+        val prev = s"w${r - 1}"
+        ctes += s"p$r AS (SELECT u.l AS ml, u.r AS mr, SUM(n) AS cnt FROM $prev, " +
+          s"unnest(list_transform(range(1, len(sym)), i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u) " +
+          "GROUP BY u.l, u.r)"
+        ctes += s"t$r AS (SELECT ml, mr, cnt FROM p$r ORDER BY cnt DESC, ml, mr LIMIT 1)"
+        ctes += s"w$r AS (SELECT n, list_reduce([CAST([] AS VARCHAR[])] || list_transform(sym, s -> [s]), " +
+          "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ml AND x[1] = mr " +
+          s"THEN acc[1:len(acc)-1] || [ml || mr] ELSE acc || x END) AS sym FROM $prev CROSS JOIN t$r)"
+      }
+      val union = (1 to n).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS "rank", ml AS "left", mr AS "right", CAST(cnt AS BIGINT) AS pair_count FROM t$r"""
+      }.mkString(" UNION ALL ")
+      "WITH " + ctes.mkString(", ") + " SELECT * FROM (" + union + ") ORDER BY \"rank\""
     },
     "q_sim_knn_label" -> {
       // exact-kNN majority vote: same cosine fold, rank tie by

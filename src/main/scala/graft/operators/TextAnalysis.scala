@@ -424,6 +424,81 @@ object TextAnalysis {
       .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi_fx")
   }
 
+  /** Distributed BPE merge training — learn the first `nMerges`
+    * byte-pair merges of the corpus, the core loop of tokenizer
+    * training (the merge table IS the tokenizer).
+    *
+    * Scale shape: the corpus is touched EXACTLY ONCE — one
+    * tokenize+explode pass builds the distinct-word frequency table —
+    * and every merge round after that runs on the vocabulary frame
+    * (distinct words × char-symbol arrays), which is bounded by vocab
+    * size, not corpus size. Per round: one vocab-sized pair-count
+    * aggregate, one driver-side argmax (a single row — the only
+    * collect), one narrow merge map, one localCheckpoint to keep the
+    * loop's plan flat. 100 TB of text with a 10⁶-word vocabulary pays
+    * 10⁶-row rounds.
+    *
+    * Merging is the standard greedy left-to-right fold: scanning each
+    * word's symbols, an occurrence of (left, right) merges unless its
+    * left symbol was itself just produced by the previous merge — the
+    * same rule every BPE implementation uses, and a pure `aggregate`
+    * HOF here. Ties in pair frequency break lexicographically on
+    * (left, right), so the learned merge sequence is deterministic and
+    * any engine reproduces it.
+    *
+    * @return (rank, left, right, pair_count) — one row per learned
+    *         merge, in learning order; stops early when no pair
+    *         reaches `minCount`
+    */
+  def bpeMerges(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
+      minCount: Long = 2L
+  ): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 1000, "nMerges in [1,1000]")
+    val spark = df.sparkSession
+    val chars = transform(sequence(lit(1), length(col("__w"))),
+      i => substring(col("__w"), i, lit(1)))
+    var cur = df
+      .select(explode(tokens(lower(col(textCol)))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .select(col("__n"), chars.as("__sym"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    var round = 0
+    while (!done && round < nMerges) {
+      val top = cur
+        .select(col("__n"), explode(zip_with(
+          slice(col("__sym"), lit(1), greatest(size(col("__sym")) - 1, lit(0))),
+          slice(col("__sym"), lit(2), greatest(size(col("__sym")) - 1, lit(0))),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("l"), col("__p.r").as("r"))
+        .agg(sum(col("__n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((merges.size + 1L, l, r, cnt))
+        val merged = aggregate(
+          col("__sym"),
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)),
+          (acc, s) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(s))))
+        cur = cur.select(col("__n"), merged.as("__sym")).localCheckpoint(true)
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
   val EN_STOPWORDS: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that", "be",

@@ -221,4 +221,37 @@ class TextAnalysisSpec extends SparkSpec {
       8.0 * n1 * n1 / (n2.toDouble * 8 * 8)) * 1e6 + 0.5).toLong
     assert(top.getAs[Long]("pmi_fx") === expected)
   }
+
+  test("bpeMerges: learns the hand-computed merge sequence on a tiny corpus") {
+    import spark.implicits._
+    // word counts: low x3, lower x2, west x1
+    // round 1 pairs: (l,o) 5, (o,w) 5, (w,e) 3, (e,r) 2, ... -> the 5-5
+    //   tie breaks lexicographically to (l,o); round 2: (lo,w) 5 -> low;
+    //   round 3: (low,e) and (e,r) tie at 2 -> ("e" < "low") -> (e,r)
+    val docs = Seq(
+      (1L, "low low lower west"),
+      (2L, "low lower")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, "text", nMerges = 3, minCount = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "l", "o", 5L),
+      (2L, "lo", "w", 5L),
+      (3L, "e", "r", 2L)), out.toSeq)
+  }
+
+  test("bpeMerges: greedy left-to-right merge handles overlapping pairs (aaaa)") {
+    import spark.implicits._
+    // 'aaaa' x3: round-1 pairs (a,a)=9 -> merge; symbols become [aa,aa]
+    // round 2: (aa,aa)=3 -> merge to [aaaa]; round 3: no pair left with
+    // count >= 2 -> early stop
+    val docs = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, "text", nMerges = 5, minCount = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "a", "a", 9L),
+      (2L, "aa", "aa", 3L)), out.toSeq)
+  }
 }
