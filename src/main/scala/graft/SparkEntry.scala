@@ -475,6 +475,17 @@ object SparkEntry {
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", nMerges = 5)
         .orderBy("rank")
     }),
+    // Token-cost accounting under the learned tokenizer: train 5
+    // merges, then count per-doc BPE tokens — merge folds run once per
+    // DISTINCT word, joined back to occurrences
+    "q_text_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "text", nMerges = 5)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
     // TF-IDF top-terms: keyword extraction over the whole corpus —
     // (doc,term) tf shuffle, term-keyed df join, doc-keyed top-k window
     "q_text_tfidf" -> ((s, dir) => {
@@ -1705,6 +1716,30 @@ object SparkEntry {
         s"""SELECT CAST($r AS BIGINT) AS "rank", ml AS "left", mr AS "right", CAST(cnt AS BIGINT) AS pair_count FROM t$r"""
       }.mkString(" UNION ALL ")
       "WITH " + ctes.mkString(", ") + " SELECT * FROM (" + union + ") ORDER BY \"rank\""
+    },
+    "q_text_bpe_encode" -> {
+      // the trainer CTEs with the word carried through (vocab word ->
+      // final symbols), then a word-keyed join back to documents
+      val n = 5
+      val ctes = scala.collection.mutable.ArrayBuffer(
+        "w0 AS (SELECT w, count(*) AS n, list_transform(range(1, length(w)+1), i -> w[i:i]) AS sym " +
+          "FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) " +
+          "WHERE length(w) > 0 GROUP BY w)")
+      (1 to n).foreach { r =>
+        val prev = s"w${r - 1}"
+        ctes += s"p$r AS (SELECT u.l AS ml, u.r AS mr, SUM(n) AS cnt FROM $prev, " +
+          s"unnest(list_transform(range(1, len(sym)), i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u) " +
+          "GROUP BY u.l, u.r)"
+        ctes += s"t$r AS (SELECT ml, mr FROM p$r ORDER BY cnt DESC, ml, mr LIMIT 1)"
+        ctes += s"w$r AS (SELECT w, n, list_reduce([CAST([] AS VARCHAR[])] || list_transform(sym, s -> [s]), " +
+          "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ml AND x[1] = mr " +
+          s"THEN acc[1:len(acc)-1] || [ml || mr] ELSE acc || x END) AS sym FROM $prev CROSS JOIN t$r)"
+      }
+      "WITH " + ctes.mkString(", ") +
+        ", toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents)" +
+        ", dw AS (SELECT doc_id, w FROM toks WHERE length(w) > 0) " +
+        s"SELECT doc_id, count(*) AS n_words, CAST(SUM(len(v.sym)) AS BIGINT) AS n_bpe_tokens " +
+        s"FROM dw JOIN w$n v USING (w) GROUP BY doc_id ORDER BY doc_id"
     },
     "q_sim_knn_label" -> {
       // exact-kNN majority vote: same cosine fold, rank tie by

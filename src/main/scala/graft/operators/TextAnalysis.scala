@@ -499,6 +499,51 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Apply a learned BPE merge table ([[bpeMerges]] output, in rank
+    * order) and report per-document token counts under that tokenizer
+    * — the "how many tokens will this corpus cost" accounting question
+    * every training-data budget starts with.
+    *
+    * Scale shape: the merge folds run once per DISTINCT word (the
+    * vocabulary), never once per occurrence — encode is a vocab-bounded
+    * compute followed by a word-keyed join back to the corpus and a
+    * per-doc aggregate. The merge chain nests one `aggregate` HOF per
+    * merge, so keep driver-supplied tables to O(100) merges (a full
+    * 50k-merge production tokenizer would ship as a broadcast
+    * dictionary instead).
+    *
+    * @return (idCol, n_words, n_bpe_tokens) for every document with at
+    *         least one token
+    */
+  def bpeTokenCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    require(merges.size <= 200, "inline merge chains cap at 200; broadcast a dictionary instead")
+    val words = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val chars = transform(sequence(lit(1), length(col("__w"))),
+      i => substring(col("__w"), i, lit(1)))
+    val folded = merges.foldLeft(chars) { case (arr, (l, r)) =>
+      aggregate(
+        arr,
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+        (acc, s) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s))))
+    }
+    val vocab = words.select("__w").distinct()
+      .select(col("__w"), size(folded).as("__ntok"))
+    words.join(vocab, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__ntok")).as("n_bpe_tokens"))
+  }
+
   val EN_STOPWORDS: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that", "be",

@@ -241,6 +241,20 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "e", "r", 2L)), out.toSeq)
   }
 
+  test("bpeTokenCounts: per-doc token cost under a fixed merge table") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low low lower west"),
+      (2L, "low lower")
+    ).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    // low -> [low] (1); lower -> [low, er] (2); west -> [w,e,s,t] (4)
+    val out = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 4L, 8L), (2L, 2L, 3L)), out.toSeq)
+  }
+
   test("bpeMerges: greedy left-to-right merge handles overlapping pairs (aaaa)") {
     import spark.implicits._
     // 'aaaa' x3: round-1 pairs (a,a)=9 -> merge; symbols become [aa,aa]
