@@ -450,6 +450,15 @@ object SparkEntry {
           col("votes"))
         .orderBy("query_id")
     }),
+    // Frame/sample extraction plumbing: n evenly spaced byte windows
+    // per payload — deterministic window math, so the explode shape
+    // gets a full oracle instead of a count-only spec
+    "q_mm_frames" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(media, "doc_id", "payload", n = 4)
+        .orderBy("doc_id", "frame_idx")
+    }),
     // JSON sidecar flatten: schema inferred once driver-side from a
     // bounded sample, then one codegen'd from_json pass corpus-wide —
     // crawl-metadata extraction as typed columns
@@ -1758,6 +1767,14 @@ object SparkEntry {
         "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl) AS rv FROM v) " +
         "WHERE rv = 1 ORDER BY query_id"
     },
+    // Spark's window start is double arithmetic truncated toward zero
+    // (cast int), so the twin floors explicitly (DuckDB CAST rounds)
+    "q_mm_frames" ->
+      ("SELECT doc_id, CAST(i AS INT) AS frame_idx, " +
+        "substr(text, CAST(floor(i * w + 1) AS INT), 32) AS frame_sample " +
+        "FROM (SELECT doc_id, text, greatest(octet_length(CAST(text AS BLOB)) / 4.0, 1.0) AS w " +
+        "FROM documents), unnest(range(0, 4)) AS t(i) " +
+        "ORDER BY doc_id, frame_idx"),
     "q_events_props_flatten" ->
       ("SELECT event_id, event_type, CAST(props->>'k' AS BIGINT) AS k " +
         "FROM events ORDER BY event_id"),
