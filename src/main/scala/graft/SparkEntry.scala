@@ -1650,7 +1650,10 @@ object SparkEntry {
         "FROM ot o LEFT JOIN dl d USING (doc_id)), " +
         "o2 AS (SELECT doc_id, ow, list_filter(range(1, len(ow)+1), " +
         "i -> len(list_filter(dels, p -> p <= i-1 AND i-1 <= p+11)) = 0) AS keep FROM rb) " +
-        "SELECT doc_id, array_to_string(list_transform(keep, i -> ow[i]), ' ') AS text, " +
+        // COALESCE: a fully-deleted document rebuilds as '' (the
+        // operator's documented contract), but DuckDB's
+        // array_to_string of an empty list yields NULL
+        "SELECT doc_id, COALESCE(array_to_string(list_transform(keep, i -> ow[i]), ' '), '') AS text, " +
         "CAST(len(ow) AS BIGINT) AS n_tokens, CAST(len(ow) - len(keep) AS BIGINT) AS n_removed " +
         "FROM o2 ORDER BY doc_id"
     },
