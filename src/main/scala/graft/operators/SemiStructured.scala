@@ -42,8 +42,12 @@ object SemiStructured {
       sampleRows: Int = 1000
   ): DataFrame = {
     val s = schema.getOrElse(inferJsonSchema(df, jsonCol, sampleRows))
-    val kept = df.columns.filterNot(_ == jsonCol).map(col).toSeq
+    val keptNames = df.columns.filterNot(_ == jsonCol)
+    val clash = s.fieldNames.toSet.intersect(keptNames.toSet)
+    require(clash.isEmpty,
+      s"JSON keys collide with existing columns: ${clash.mkString(", ")} — " +
+        "pass an explicit schema with renamed fields")
     df.withColumn("__graft_json", from_json(col(jsonCol), s))
-      .select(kept :+ col("__graft_json.*"): _*)
+      .select(keptNames.map(col).toSeq :+ col("__graft_json.*"): _*)
   }
 }

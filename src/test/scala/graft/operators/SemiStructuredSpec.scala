@@ -35,6 +35,15 @@ class SemiStructuredSpec extends SparkSpec {
     assert(rows(2).isNullAt(1), "missing key must null out")
   }
 
+  test("flattenJson: a JSON key colliding with an existing column is rejected clearly") {
+    import spark.implicits._
+    val df = Seq((1L, """{"id": 9}""")).toDF("id", "props")
+    val e = intercept[IllegalArgumentException] {
+      SemiStructured.flattenJson(df, "props")
+    }
+    assert(e.getMessage.contains("collide") && e.getMessage.contains("id"))
+  }
+
   test("flattenJson: extraction runs as one codegen'd from_json pass, no shuffle") {
     val ev = table("events").select(col("event_id"), col("props"))
     val out = SemiStructured.flattenJson(ev, "props", sampleRows = 100)
