@@ -83,8 +83,10 @@ object Bench {
     // reported vs 59 s quiet; r6: 44.7 vs 34.1) — emitting it makes a
     // noisy artifact self-identifying without a re-run
     val load =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
-      catch { case _: Throwable => "-1" }
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(" ")(0) finally src.close()
+      } catch { case _: Throwable => "-1" }
     val params = "{\"agg\":\"median\",\"load\":" + load + ",\"cpus\":" + cpus +
       ",\"simhash_portable\":\"28bit 4x7 h3 cap1000\"" +
       ",\"simhash\":\"64bit 4x16 h3 cap1000 planted\"" +

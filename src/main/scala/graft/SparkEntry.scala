@@ -480,8 +480,13 @@ object SparkEntry {
     // BPE merge training: the first 5 learned merges of the corpus —
     // corpus touched once (word counts), every round vocab-bounded;
     // deterministic tie-breaks make the merge sequence oracle-exact
+    // minCount = 1: the SQL twin unrolls exactly 5 rounds, so the
+    // gate must not early-stop below the default threshold (fixture
+    // counts are in the thousands; the pin is for contract safety on
+    // any future corpus regeneration)
     "q_text_bpe_merges" -> ((s, dir) => {
-      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", nMerges = 5)
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", nMerges = 5,
+        minCount = 1)
         .orderBy("rank")
     }),
     // Token-cost accounting under the learned tokenizer: train 5
@@ -489,7 +494,8 @@ object SparkEntry {
     // DISTINCT word, joined back to occurrences
     "q_text_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = TextAnalysis.bpeMerges(docs, "text", nMerges = 5)
+      val merges = TextAnalysis.bpeMerges(docs, "text", nMerges = 5,
+        minCount = 1)
         .orderBy("rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
@@ -1059,9 +1065,14 @@ object SparkEntry {
       val h = (lit(1) + col("doc_id") % 5).cast("string")
       val p6 = concat(lit("P6\n"), w, lit(" "), h, lit("\n255\n"),
         expr("repeat('A', cast((2 + doc_id % 7) * (1 + doc_id % 5) * 3 as int))"))
+      // non-planted rows get a 'T' prefix: the decoder dispatches on
+      // CONTENT (any parseable P6 hits the real codec) while the
+      // oracle dispatches on doc_id — the prefix guarantees the two
+      // agree for ANY future fixture text, not just the current one
       val media = t(s, dir, "documents")
         .select(col("doc_id"),
-          when(col("doc_id") % 5 === 0, p6).otherwise(col("text"))
+          when(col("doc_id") % 5 === 0, p6)
+            .otherwise(concat(lit("T"), col("text")))
             .cast("binary").as("payload"))
       Multimodal.decodeFeatures(media, "doc_id", "payload")
         .select("doc_id", "format", "width", "height", "n_bytes")
@@ -1213,6 +1224,33 @@ object SparkEntry {
     })
   )
 
+  /** Shared n-round BPE CTE chain for the two BPE oracles — unrolled
+    * rounds of pair-count, argmax (ties on (left, right)), and the
+    * greedy left-to-right merge fold (elements as singleton lists so
+    * the reduce accumulator and elements share LIST(VARCHAR)).
+    * `carryWord` keeps the vocabulary word through the rounds, which
+    * the encode twin joins documents against; one builder keeps the
+    * two gates' round SQL from drifting apart.
+    */
+  private def bpeOracleCtes(n: Int, carryWord: Boolean): String = {
+    val wcol = if (carryWord) "w, " else ""
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "w0 AS (SELECT " + wcol + "count(*) AS n, list_transform(range(1, length(w)+1), i -> w[i:i]) AS sym " +
+        "FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) " +
+        "WHERE length(w) > 0 GROUP BY w)")
+    (1 to n).foreach { r =>
+      val prev = s"w${r - 1}"
+      ctes += s"p$r AS (SELECT u.l AS ml, u.r AS mr, SUM(n) AS cnt FROM $prev, " +
+        s"unnest(list_transform(range(1, len(sym)), i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u) " +
+        "GROUP BY u.l, u.r)"
+      ctes += s"t$r AS (SELECT ml, mr, cnt FROM p$r ORDER BY cnt DESC, ml, mr LIMIT 1)"
+      ctes += s"w$r AS (SELECT $wcol" + "n, list_reduce([CAST([] AS VARCHAR[])] || list_transform(sym, s -> [s]), " +
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ml AND x[1] = mr " +
+        s"THEN acc[1:len(acc)-1] || [ml || mr] ELSE acc || x END) AS sym FROM $prev CROSS JOIN t$r)"
+    }
+    "WITH " + ctes.mkString(", ")
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -1301,7 +1339,7 @@ object SparkEntry {
       ("WITH m AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN " +
         "'P6' || chr(10) || CAST(2 + doc_id % 7 AS VARCHAR) || ' ' || CAST(1 + doc_id % 5 AS VARCHAR) " +
         "|| chr(10) || '255' || chr(10) || repeat('A', CAST((2 + doc_id % 7) * (1 + doc_id % 5) * 3 AS INT)) " +
-        "ELSE text END AS payload FROM documents), " +
+        "ELSE 'T' || text END AS payload FROM documents), " +
         "n AS (SELECT doc_id, payload, regexp_replace(lower(payload), '[^a-z0-9 ]', '', 'g') AS t FROM m), " +
         "h AS (SELECT doc_id, payload, list_reduce([CAST(0 AS BIGINT)] || " +
         "list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
@@ -1705,49 +1743,21 @@ object SparkEntry {
         "ORDER BY query_id, \"rank\""
     },
     "q_text_bpe_merges" -> {
-      // unrolled 5-round BPE: each round = pair-count CTE, argmax CTE
-      // (ties break on (left, right)), greedy left-to-right merge fold
-      // (elements as singleton lists so the reduce accumulator and
-      // elements share LIST(VARCHAR))
+      // unrolled 5-round BPE via the shared CTE builder; the gate
+      // passes minCount = 1 so Spark's early-stop can't diverge from
+      // the fixed-round twin
       val n = 5
-      val ctes = scala.collection.mutable.ArrayBuffer(
-        "w0 AS (SELECT count(*) AS n, list_transform(range(1, length(w)+1), i -> w[i:i]) AS sym " +
-          "FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) " +
-          "WHERE length(w) > 0 GROUP BY w)")
-      (1 to n).foreach { r =>
-        val prev = s"w${r - 1}"
-        ctes += s"p$r AS (SELECT u.l AS ml, u.r AS mr, SUM(n) AS cnt FROM $prev, " +
-          s"unnest(list_transform(range(1, len(sym)), i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u) " +
-          "GROUP BY u.l, u.r)"
-        ctes += s"t$r AS (SELECT ml, mr, cnt FROM p$r ORDER BY cnt DESC, ml, mr LIMIT 1)"
-        ctes += s"w$r AS (SELECT n, list_reduce([CAST([] AS VARCHAR[])] || list_transform(sym, s -> [s]), " +
-          "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ml AND x[1] = mr " +
-          s"THEN acc[1:len(acc)-1] || [ml || mr] ELSE acc || x END) AS sym FROM $prev CROSS JOIN t$r)"
-      }
       val union = (1 to n).map { r =>
         s"""SELECT CAST($r AS BIGINT) AS "rank", ml AS "left", mr AS "right", CAST(cnt AS BIGINT) AS pair_count FROM t$r"""
       }.mkString(" UNION ALL ")
-      "WITH " + ctes.mkString(", ") + " SELECT * FROM (" + union + ") ORDER BY \"rank\""
+      bpeOracleCtes(n, carryWord = false) +
+        " SELECT * FROM (" + union + ") ORDER BY \"rank\""
     },
     "q_text_bpe_encode" -> {
-      // the trainer CTEs with the word carried through (vocab word ->
-      // final symbols), then a word-keyed join back to documents
+      // the same trainer CTEs with the word carried through (vocab
+      // word -> final symbols), then a word-keyed join back to docs
       val n = 5
-      val ctes = scala.collection.mutable.ArrayBuffer(
-        "w0 AS (SELECT w, count(*) AS n, list_transform(range(1, length(w)+1), i -> w[i:i]) AS sym " +
-          "FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) " +
-          "WHERE length(w) > 0 GROUP BY w)")
-      (1 to n).foreach { r =>
-        val prev = s"w${r - 1}"
-        ctes += s"p$r AS (SELECT u.l AS ml, u.r AS mr, SUM(n) AS cnt FROM $prev, " +
-          s"unnest(list_transform(range(1, len(sym)), i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u) " +
-          "GROUP BY u.l, u.r)"
-        ctes += s"t$r AS (SELECT ml, mr FROM p$r ORDER BY cnt DESC, ml, mr LIMIT 1)"
-        ctes += s"w$r AS (SELECT w, n, list_reduce([CAST([] AS VARCHAR[])] || list_transform(sym, s -> [s]), " +
-          "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ml AND x[1] = mr " +
-          s"THEN acc[1:len(acc)-1] || [ml || mr] ELSE acc || x END) AS sym FROM $prev CROSS JOIN t$r)"
-      }
-      "WITH " + ctes.mkString(", ") +
+      bpeOracleCtes(n, carryWord = true) +
         ", toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents)" +
         ", dw AS (SELECT doc_id, w FROM toks WHERE length(w) > 0) " +
         s"SELECT doc_id, count(*) AS n_words, CAST(SUM(len(v.sym)) AS BIGINT) AS n_bpe_tokens " +

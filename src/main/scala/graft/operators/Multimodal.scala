@@ -117,7 +117,10 @@ object Multimodal {
       if (i >= bytes.length || !isPpmWs(bytes(i))) return None
       i += 1
       val nPix = w.toLong * h
-      if (bytes.length - i < nPix * 3) return None // truncated plane
+      // divide rather than multiply: w and h can each approach 2^31,
+      // so nPix*3 would overflow Long and let an adversarial header
+      // through to an out-of-bounds pixel read
+      if (nPix > (bytes.length - i).toLong / 3) return None // truncated plane
       var (sr, sg, sb) = (0.0, 0.0, 0.0)
       var minL = Double.MaxValue; var maxL = 0.0; var nonzero = 0L
       var p = 0L

@@ -19,13 +19,25 @@ import org.apache.spark.sql.types.StructType
   */
 object SemiStructured {
 
-  /** Infer the JSON schema of `jsonCol` from the first `sampleRows`
-    * non-null values (one bounded driver-side job).
+  /** Infer the JSON schema of `jsonCol` from a bounded sample of
+    * non-null values (one driver-side job).
+    *
+    * The sample is ORDERED before the limit: a bare limit on a
+    * multi-partition source can pick different rows run to run, which
+    * would make the inferred schema — the output CONTRACT — itself
+    * nondeterministic. TakeOrdered keeps the pass bounded at scale.
+    * Permissive inference surfaces malformed sample rows as Spark's
+    * corrupt-record column; that is a parser artifact, not a data
+    * field, so it is excluded from the result.
     */
   def inferJsonSchema(df: DataFrame, jsonCol: String, sampleRows: Int = 1000): StructType = {
-    val sample = df.select(col(jsonCol)).na.drop().limit(sampleRows)
+    val sample = df.select(col(jsonCol)).na.drop()
+      .orderBy(col(jsonCol)).limit(sampleRows)
       .as(Encoders.STRING)
-    df.sparkSession.read.json(sample).schema
+    val inferred = df.sparkSession.read.json(sample).schema
+    val corrupt = df.sparkSession.conf
+      .get("spark.sql.columnNameOfCorruptRecord", "_corrupt_record")
+    StructType(inferred.fields.filterNot(_.name == corrupt))
   }
 
   /** Flatten a JSON string column into typed top-level columns appended

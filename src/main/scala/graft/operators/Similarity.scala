@@ -351,29 +351,6 @@ object Similarity {
           .otherwise(floor(x / m * 127 + 0.5).cast("int"))).as("codes"))
   }
 
-  /** Quantize-shortlist-rerank top-k — the two-phase retrieval shape of
-    * quantized vector search: rank ALL candidates by the integer dot
-    * product of int8 codes (exact integer arithmetic — no float enters
-    * candidate selection), keep a `shortlist` per query, then re-rank
-    * only the shortlist with full-precision cosine over the original
-    * vectors. With `shortlist = corpus size` this degrades to exact
-    * search; smaller shortlists trade recall for scanning 4×-smaller
-    * data in phase one.
-    *
-    * Integer-dot ranking tracks cosine ranking when vectors have
-    * comparable norms (embeddings are typically L2-normalized); the
-    * per-vector scales cancel out of the ORDER, not the value, only in
-    * that regime — callers with wildly mixed norms should raise
-    * `shortlist`.
-    *
-    * Scale shape (100 TB): phase one is the [[bruteForceTopK]] pattern
-    * over int8 codes — queries broadcast, corpus scanned once, top-
-    * shortlist held in k-bounded queues; phase two joins the (tiny)
-    * shortlist back to full vectors by id. No shuffle of the corpus in
-    * either phase — but phase one IS a full code scan per query batch;
-    * when that scan dominates, compose with inverted lists via
-    * [[ivfQuantizedTopK]], which prunes it to the probed lists.
-    */
   /** Two-level ANN — IVF lists × int8 scalar quantization (the IVF-SQ
     * recipe of large-scale vector stores): queries probe their `nProbe`
     * best inverted lists, the integer-dot shortlist runs ONLY within
@@ -465,6 +442,29 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
+  /** Quantize-shortlist-rerank top-k — the two-phase retrieval shape of
+    * quantized vector search: rank ALL candidates by the integer dot
+    * product of int8 codes (exact integer arithmetic — no float enters
+    * candidate selection), keep a `shortlist` per query, then re-rank
+    * only the shortlist with full-precision cosine over the original
+    * vectors. With `shortlist = corpus size` this degrades to exact
+    * search; smaller shortlists trade recall for scanning 4×-smaller
+    * data in phase one.
+    *
+    * Integer-dot ranking tracks cosine ranking when vectors have
+    * comparable norms (embeddings are typically L2-normalized); the
+    * per-vector scales cancel out of the ORDER, not the value, only in
+    * that regime — callers with wildly mixed norms should raise
+    * `shortlist`.
+    *
+    * Scale shape (100 TB): phase one is the [[bruteForceTopK]] pattern
+    * over int8 codes — queries broadcast, corpus scanned once, top-
+    * shortlist held in k-bounded queues; phase two joins the (tiny)
+    * shortlist back to full vectors by id. No shuffle of the corpus in
+    * either phase — but phase one IS a full code scan per query batch;
+    * when that scan dominates, compose with inverted lists via
+    * [[ivfQuantizedTopK]], which prunes it to the probed lists.
+    */
   def quantizedTopK(
       queries: DataFrame,
       corpus: DataFrame,

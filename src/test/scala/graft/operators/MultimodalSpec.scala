@@ -70,6 +70,10 @@ class MultimodalSpec extends SparkSpec {
       "non-numeric height")
     assert(Multimodal.Decoders.decodePpm(Array.empty[Byte]).isEmpty, "empty")
     assert(Multimodal.Decoders.decodePpm(null).isEmpty, "null")
+    // adversarial dims: w*h*3 overflows Long — must reject, not read OOB
+    assert(Multimodal.Decoders.decodePpm(
+      ppm("P6\n1800000000 1800000000\n255\n", 65, 65, 65)).isEmpty,
+      "overflowing pixel-plane size")
   }
 
   test("decodeFeatures routes P6 payloads to the real parser, others to the fake") {

@@ -35,6 +35,13 @@ class SemiStructuredSpec extends SparkSpec {
     assert(rows(2).isNullAt(1), "missing key must null out")
   }
 
+  test("inferJsonSchema: corrupt sample rows don't leak a _corrupt_record column") {
+    import spark.implicits._
+    val df = Seq((1L, """{"k": 5}"""), (2L, "oops not json")).toDF("id", "props")
+    val s = SemiStructured.inferJsonSchema(df, "props")
+    assert(s.fieldNames.toSeq === Seq("k"), s.treeString)
+  }
+
   test("flattenJson: a JSON key colliding with an existing column is rejected clearly") {
     import spark.implicits._
     val df = Seq((1L, """{"id": 9}""")).toDF("id", "props")
