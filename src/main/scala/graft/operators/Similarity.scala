@@ -442,6 +442,99 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
+  /** Materialize the IVF-SQ index for a corpus — the production form of
+    * [[ivfQuantizedTopK]]'s in-memory build: the (id, list, int8 codes,
+    * vector, norm) table persisted BUCKETED by `__list`
+    * ([[graft.plans.ScaleJoins.writeBucketed]]), plus the coarse
+    * quantizer saved as a tiny `<table>_centroids` side table so query
+    * batches rank the exact centroids that assigned the lists. Build
+    * once per ingest epoch; every batch then runs
+    * [[ivfQuantizedTopKFromIndex]] with no corpus-sized recompute —
+    * probed lists read straight off the bucketed files.
+    */
+  def writeIvfSqIndex(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      tableName: String,
+      nCentroids: Int = 16,
+      buckets: Int = 16,
+      portableCentroids: Boolean = false
+  ): Unit = {
+    require(nCentroids > 0 && buckets > 0)
+    val (assigned, centArr) =
+      ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portableCentroids)
+    val index = assigned.select(
+      col("neighbor_id"), col("__list"),
+      scalarQuantize(col("__cv")).getField("codes").as("__cq"),
+      col("__cv"), col("__cn"))
+    graft.plans.ScaleJoins.writeBucketed(index, tableName, "__list", buckets)
+    corpus.sparkSession.range(1)
+      .select(explode(centArr).as("__c"))
+      .select(col("__c._1").as("cid"), col("__c._2").as("cvec"), col("__c._3").as("cnorm"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(tableName + "_centroids")
+  }
+
+  /** Query a materialized IVF-SQ index ([[writeIvfSqIndex]]): same
+    * probe → int-dot shortlist → exact re-rank pipeline as
+    * [[ivfQuantizedTopK]], but every corpus-side input comes from the
+    * persisted table — probes read only their lists (bucket-local,
+    * filter pushed to the scan), phase 2 joins the tiny shortlist back
+    * to the stored vectors by id. Results are identical to the
+    * in-memory path built with the same knobs, because the stored
+    * centroids pin the quantizer.
+    */
+  def ivfQuantizedTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nProbe: Int = 2,
+      shortlist: Int = 64
+  ): DataFrame = {
+    require(k > 0 && nProbe > 0 && shortlist >= k)
+    val cents: Seq[(Long, Seq[Double], Double)] = spark.table(tableName + "_centroids")
+      .orderBy("cid")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+    require(cents.nonEmpty, s"empty centroid table for $tableName")
+    val centArr = typedlit(cents)
+
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+      .withColumn("__qn", VectorFunctions.norm(col("__qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("__cscore").desc, col("__list"))
+    val probes = q
+      .select(col("query_id"), col("__qv"), col("__qn"), explode(centArr).as("__c"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__c._1").as("__list"),
+        centroidCosine(col("__c"), col("__qv"), col("__qn")).as("__cscore"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"),
+        scalarQuantize(col("__qv")).getField("codes").as("__qq"),
+        col("__list"))
+
+    val intScore = aggregate(
+      zip_with(col("__qq"), col("__cq"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val phase1 = spark.table(tableName).select("neighbor_id", "__list", "__cq")
+      .join(broadcast(probes), Seq("__list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), intScore.cast("double").as("cosine"))
+    val cand = topKPerKey(phase1, "query_id", shortlist)
+      .select("query_id", "neighbor_id")
+    val scored = cand
+      .join(spark.table(tableName).select(col("neighbor_id"), col("__cv"), col("__cn")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCosine.as("cosine"))
+    topKPerKey(scored, "query_id", k)
+  }
+
   /** Quantize-shortlist-rerank top-k — the two-phase retrieval shape of
     * quantized vector search: rank ALL candidates by the integer dot
     * product of int8 codes (exact integer arithmetic — no float enters

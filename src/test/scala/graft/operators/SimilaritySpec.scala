@@ -292,6 +292,25 @@ class SimilaritySpec extends SparkSpec {
     assert(k2.getAs[Long]("label") === 5L && k2.getAs[Long]("votes") === 1L)
   }
 
+  test("ivf-sq index round-trip: querying the materialized index equals the in-memory path") {
+    val emb = table("embeddings").select("vec_id", "embedding").limit(300)
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.writeIvfSqIndex(emb, "vec_id", "embedding", "ivfsq_rt",
+      nCentroids = 8, buckets = 4)
+    val direct = Similarity.ivfQuantizedTopK(q, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5,
+      nCentroids = 8, nProbe = 2, shortlist = 32)
+      .collect().map(_.toString).sorted
+    val fromIndex = Similarity.ivfQuantizedTopKFromIndex(spark, "ivfsq_rt", q,
+      "vec_id", "embedding", k = 5, nProbe = 2, shortlist = 32)
+      .collect().map(_.toString).sorted
+    assert(direct.length === 50 && direct.toSeq === fromIndex.toSeq,
+      "stored centroids must pin the quantizer: same probes, same results")
+    // the index covers the corpus exactly once and carries the quantizer
+    assert(spark.table("ivfsq_rt").count() === emb.count())
+    assert(spark.table("ivfsq_rt_centroids").count() === 8)
+  }
+
   test("scalarQuantize: codes bounded by 127, zero vector codes to zeros") {
     import spark.implicits._
     val df = Seq(
