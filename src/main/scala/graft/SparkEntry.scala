@@ -452,11 +452,15 @@ object SparkEntry {
     }),
     // Frame/sample extraction plumbing: n evenly spaced byte windows
     // per payload — deterministic window math, so the explode shape
-    // gets a full oracle instead of a count-only spec
+    // gets a full oracle instead of a count-only spec. Frames are
+    // binary; the gate compares their hex expansion (DuckDB has no
+    // BLOB substring, and hex is engine-portable ASCII)
     "q_mm_frames" -> ((s, dir) => {
       val media = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.sampleFrames(media, "doc_id", "payload", n = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          hex(col("frame_sample")).as("frame_hex"))
         .orderBy("doc_id", "frame_idx")
     }),
     // JSON sidecar flatten: schema inferred once driver-side from a
@@ -1244,9 +1248,14 @@ object SparkEntry {
         s"unnest(list_transform(range(1, len(sym)), i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u) " +
         "GROUP BY u.l, u.r)"
       ctes += s"t$r AS (SELECT ml, mr, cnt FROM p$r ORDER BY cnt DESC, ml, mr LIMIT 1)"
-      ctes += s"w$r AS (SELECT $wcol" + "n, list_reduce([CAST([] AS VARCHAR[])] || list_transform(sym, s -> [s]), " +
+      // LEFT JOIN, not CROSS: a round with no pairs left must be a
+      // NO-OP (Spark's trainer early-stops there), not wipe the
+      // vocabulary — a CROSS JOIN with an empty argmax would empty
+      // every later w$r and zero the encode twin's output
+      ctes += s"w$r AS (SELECT $wcol" + "n, CASE WHEN ml IS NULL THEN sym ELSE " +
+        "list_reduce([CAST([] AS VARCHAR[])] || list_transform(sym, s -> [s]), " +
         "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ml AND x[1] = mr " +
-        s"THEN acc[1:len(acc)-1] || [ml || mr] ELSE acc || x END) AS sym FROM $prev CROSS JOIN t$r)"
+        s"THEN acc[1:len(acc)-1] || [ml || mr] ELSE acc || x END) END AS sym FROM $prev LEFT JOIN t$r ON TRUE)"
     }
     "WITH " + ctes.mkString(", ")
   }
@@ -1781,10 +1790,12 @@ object SparkEntry {
         "WHERE rv = 1 ORDER BY query_id"
     },
     // Spark's window start is double arithmetic truncated toward zero
-    // (cast int), so the twin floors explicitly (DuckDB CAST rounds)
+    // (cast int), so the twin floors explicitly (DuckDB CAST rounds);
+    // byte position p in the payload = hex position 2p-1, 32 bytes =
+    // 64 hex chars
     "q_mm_frames" ->
       ("SELECT doc_id, CAST(i AS INT) AS frame_idx, " +
-        "substr(text, CAST(floor(i * w + 1) AS INT), 32) AS frame_sample " +
+        "substr(hex(encode(text)), CAST(floor(i * w + 1) AS INT) * 2 - 1, 64) AS frame_hex " +
         "FROM (SELECT doc_id, text, greatest(octet_length(CAST(text AS BLOB)) / 4.0, 1.0) AS w " +
         "FROM documents), unnest(range(0, 4)) AS t(i) " +
         "ORDER BY doc_id, frame_idx"),

@@ -214,8 +214,12 @@ object Multimodal {
   }
 
   /** Frame/sample extraction for time-based media: emits `n` evenly
-    * spaced byte windows per payload (the real implementation would emit
-    * decoded frames; the windowing/explode plumbing is identical).
+    * spaced 32-byte windows per payload (the real implementation would
+    * emit decoded frames; the windowing/explode plumbing is identical).
+    * Windows slice the BINARY payload directly — a round-trip through
+    * a string cast would mangle non-UTF-8 media bytes to U+FFFD and
+    * misalign offsets computed in bytes against positions applied in
+    * characters.
     */
   def sampleFrames(df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame = {
     val width = greatest(length(col(binCol)).cast("int") / n, lit(1))
@@ -223,7 +227,7 @@ object Multimodal {
       col(idCol),
       posexplode(transform(
         sequence(lit(0), lit(n - 1)),
-        i => substring(col(binCol).cast("string"), (i * width + 1).cast("int"), lit(32))
+        i => col(binCol).substr((i * width + 1).cast("int"), lit(32))
       )).as(Seq("frame_idx", "frame_sample"))
     )
   }

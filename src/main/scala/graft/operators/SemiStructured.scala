@@ -25,14 +25,17 @@ object SemiStructured {
     * The sample is ORDERED before the limit: a bare limit on a
     * multi-partition source can pick different rows run to run, which
     * would make the inferred schema — the output CONTRACT — itself
-    * nondeterministic. TakeOrdered keeps the pass bounded at scale.
+    * nondeterministic. Ordering by a HASH of the value (ties by the
+    * value) keeps the sample deterministic without biasing it toward
+    * lexicographically small payloads, whose key set may not represent
+    * the corpus; TakeOrdered keeps the pass bounded at scale.
     * Permissive inference surfaces malformed sample rows as Spark's
     * corrupt-record column; that is a parser artifact, not a data
     * field, so it is excluded from the result.
     */
   def inferJsonSchema(df: DataFrame, jsonCol: String, sampleRows: Int = 1000): StructType = {
     val sample = df.select(col(jsonCol)).na.drop()
-      .orderBy(col(jsonCol)).limit(sampleRows)
+      .orderBy(xxhash64(col(jsonCol)), col(jsonCol)).limit(sampleRows)
       .as(Encoders.STRING)
     val inferred = df.sparkSession.read.json(sample).schema
     val corrupt = df.sparkSession.conf

@@ -401,10 +401,44 @@ object Similarity {
       assigned.select(col("neighbor_id"), col("__list"),
         scalarQuantize(col("__cv")).getField("codes").as("__cq")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vectors = corpus
+      .select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+    // the cached codes are an in-memory scan, so literal list pruning
+    // buys nothing here — it matters on the materialized-index path
+    ivfSqSearch(codes, vectors, centArr, queries, queryIdCol, queryVecCol,
+      k, nProbe, shortlist, pruneLists = false)
+  }
 
-    // probe choice: identical arithmetic to ivfTopK (same centroid
-    // array, same cosine, same tie-break), so an ivf index materialized
-    // for one path serves both
+  /** The ONE IVF-SQ search kernel both [[ivfQuantizedTopK]] and
+    * [[ivfQuantizedTopKFromIndex]] run — the round-trip equality
+    * contract (from-index results == in-memory results) holds because
+    * probe selection, int-dot shortlist, and re-rank tie-breaks exist
+    * exactly once. Probe choice uses identical arithmetic to
+    * [[ivfTopK]] (same centroid cosine, same tie-breaks), so an IVF
+    * index serves both families.
+    *
+    * @param codes   (neighbor_id, __list, __cq int8 codes)
+    * @param vectors (neighbor_id, __cv, __cn) for the exact re-rank
+    * @param pruneLists collect the batch's probed list ids (≤ queries ×
+    *                   nProbe rows, driver-side) and filter `codes`
+    *                   with a LITERAL IN predicate BEFORE the join —
+    *                   on a bucketed/partitioned index scan this prunes
+    *                   to the probed buckets, so a query batch reads
+    *                   only its lists instead of the whole index
+    */
+  private def ivfSqSearch(
+      codes: DataFrame,
+      vectors: DataFrame,
+      centArr: Column,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      pruneLists: Boolean
+  ): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
       .withColumn("__qn", VectorFunctions.norm(col("__qv")))
     val w = Window.partitionBy("query_id").orderBy(col("__cscore").desc, col("__list"))
@@ -418,14 +452,19 @@ object Similarity {
       .select(col("query_id"),
         scalarQuantize(col("__qv")).getField("codes").as("__qq"),
         col("__list"))
-
+    val codesIn =
+      if (!pruneLists) codes
+      else {
+        val ids = probes.select("__list").distinct().collect().map(_.getLong(0))
+        codes.filter(col("__list").isin(ids.toIndexedSeq: _*))
+      }
     // phase 1: exact integer dot over codes, within probed lists only —
     // a corpus row is in exactly one list, so each (query, corpus) pair
     // scores at most once; the k-bounded queue keeps `shortlist` per query
     val intScore = aggregate(
       zip_with(col("__qq"), col("__cq"), (a, b) => (a * b).cast("long")),
       lit(0L), (acc, x) => acc + x)
-    val phase1 = codes
+    val phase1 = codesIn
       .join(broadcast(probes), Seq("__list"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), intScore.cast("double").as("cosine"))
@@ -433,11 +472,8 @@ object Similarity {
       .select("query_id", "neighbor_id")
     // phase 2: exact re-rank of the shortlist on the original vectors
     val scored = cand
-      .join(corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
-        .withColumn("__cn", VectorFunctions.norm(col("__cv"))), Seq("neighbor_id"))
-      .join(broadcast(queries
-        .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
-        .withColumn("__qn", VectorFunctions.norm(col("__qv")))), Seq("query_id"))
+      .join(vectors, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), pairCosine.as("cosine"))
     topKPerKey(scored, "query_id", k)
   }
@@ -476,14 +512,15 @@ object Similarity {
       .saveAsTable(tableName + "_centroids")
   }
 
-  /** Query a materialized IVF-SQ index ([[writeIvfSqIndex]]): same
-    * probe → int-dot shortlist → exact re-rank pipeline as
-    * [[ivfQuantizedTopK]], but every corpus-side input comes from the
-    * persisted table — probes read only their lists (bucket-local,
-    * filter pushed to the scan), phase 2 joins the tiny shortlist back
-    * to the stored vectors by id. Results are identical to the
-    * in-memory path built with the same knobs, because the stored
-    * centroids pin the quantizer.
+  /** Query a materialized IVF-SQ index ([[writeIvfSqIndex]]): the
+    * shared [[ivfSqSearch]] kernel with every corpus-side input read
+    * from the persisted tables. The batch's probed list ids become a
+    * LITERAL filter on the bucketed codes scan (`pruneLists = true`),
+    * so each query batch reads only its probed buckets — never the
+    * whole index; phase 2 joins the tiny shortlist back to the stored
+    * vectors by id. Results are identical to the in-memory path built
+    * with the same knobs, because the stored centroids pin the
+    * quantizer and the kernel is shared.
     */
   def ivfQuantizedTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -502,37 +539,11 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .toSeq
     require(cents.nonEmpty, s"empty centroid table for $tableName")
-    val centArr = typedlit(cents)
-
-    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
-      .withColumn("__qn", VectorFunctions.norm(col("__qv")))
-    val w = Window.partitionBy("query_id").orderBy(col("__cscore").desc, col("__list"))
-    val probes = q
-      .select(col("query_id"), col("__qv"), col("__qn"), explode(centArr).as("__c"))
-      .select(col("query_id"), col("__qv"), col("__qn"),
-        col("__c._1").as("__list"),
-        centroidCosine(col("__c"), col("__qv"), col("__qn")).as("__cscore"))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= nProbe)
-      .select(col("query_id"),
-        scalarQuantize(col("__qv")).getField("codes").as("__qq"),
-        col("__list"))
-
-    val intScore = aggregate(
-      zip_with(col("__qq"), col("__cq"), (a, b) => (a * b).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    val phase1 = spark.table(tableName).select("neighbor_id", "__list", "__cq")
-      .join(broadcast(probes), Seq("__list"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), intScore.cast("double").as("cosine"))
-    val cand = topKPerKey(phase1, "query_id", shortlist)
-      .select("query_id", "neighbor_id")
-    val scored = cand
-      .join(spark.table(tableName).select(col("neighbor_id"), col("__cv"), col("__cn")),
-        Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"), pairCosine.as("cosine"))
-    topKPerKey(scored, "query_id", k)
+    ivfSqSearch(
+      spark.table(tableName).select("neighbor_id", "__list", "__cq"),
+      spark.table(tableName).select(col("neighbor_id"), col("__cv"), col("__cn")),
+      typedlit(cents), queries, queryIdCol, queryVecCol,
+      k, nProbe, shortlist, pruneLists = true)
   }
 
   /** Quantize-shortlist-rerank top-k — the two-phase retrieval shape of

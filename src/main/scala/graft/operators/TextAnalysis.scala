@@ -487,15 +487,8 @@ object TextAnalysis {
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((merges.size + 1L, l, r, cnt))
-        val merged = aggregate(
-          col("__sym"),
-          array().cast(org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.StringType)),
-          (acc, s) =>
-            when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(s))))
-        cur = cur.select(col("__n"), merged.as("__sym")).localCheckpoint(true)
+        cur = cur.select(col("__n"), mergeFold(col("__sym"), l, r).as("__sym"))
+          .localCheckpoint(true)
         round += 1
       }
     }
@@ -519,6 +512,22 @@ object TextAnalysis {
     * @return (idCol, n_words, n_bpe_tokens) for every document with at
     *         least one token
     */
+  /** Greedy left-to-right BPE merge of (l, r) over a symbol array —
+    * the ONE fold both the trainer and the encoder share: an
+    * occurrence of (l, r) merges unless its left symbol was itself
+    * just produced by the previous merge, the rule every BPE
+    * implementation uses.
+    */
+  private def mergeFold(arr: Column, l: String, r: String): Column =
+    aggregate(
+      arr,
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
   def bpeTokenCounts(
       df: DataFrame,
       idCol: String,
@@ -532,14 +541,7 @@ object TextAnalysis {
     val chars = transform(sequence(lit(1), length(col("__w"))),
       i => substring(col("__w"), i, lit(1)))
     val folded = merges.foldLeft(chars) { case (arr, (l, r)) =>
-      aggregate(
-        arr,
-        array().cast(org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.StringType)),
-        (acc, s) =>
-          when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(s))))
+      mergeFold(arr, l, r)
     }
     val vocab = words.select("__w").distinct()
       .select(col("__w"), size(folded).as("__ntok"))

@@ -89,6 +89,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Set("png", "jpg").contains(rows(1).getAs[String]("format")))
   }
 
+  test("sampleFrames: windows are byte-aligned slices, non-UTF8 bytes survive intact") {
+    import spark.implicits._
+    // 8 bytes incl. invalid-UTF8 0xFF/0xFE: n=4 -> width 2, starts 1,3,5,7
+    val payload = Array[Byte](1, -1, 3, -2, 5, 6, 7, 8)
+    val df = Seq((1L, payload)).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(df, "id", "payload", 4)
+      .orderBy("frame_idx").collect()
+      .map(_.getAs[Array[Byte]]("frame_sample").toSeq)
+    assert(frames === Seq(
+      payload.toSeq, payload.drop(2).toSeq, payload.drop(4).toSeq, payload.drop(6).toSeq),
+      frames)
+  }
+
   test("sampleFrames emits n windows per payload") {
     val out = Multimodal.sampleFrames(media.limit(10), "doc_id", "payload", n = 4)
     assert(out.count() === 40)
