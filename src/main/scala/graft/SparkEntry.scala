@@ -450,6 +450,24 @@ object SparkEntry {
           col("votes"))
         .orderBy("query_id")
     }),
+    // ANN-backed kNN label propagation: the same majority vote over
+    // neighbors retrieved from the MATERIALIZED IVF-SQ index — build
+    // the bucketed index once, then the query batch reads only its
+    // probed buckets (literal list-id pruning); Knuth-hash centroids
+    // make index build → probe → int-dot → re-rank → vote
+    // oracle-reproducible end-to-end
+    "q_sim_knn_label_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.writeIvfSqIndex(emb, "vec_id", "embedding",
+        "knn_ivfsq_gate", nCentroids = 16, buckets = 8,
+        portableCentroids = true)
+      Similarity.knnClassifyFromIndex(s, "knn_ivfsq_gate",
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        emb, "vec_id", "label", k = 7, nProbe = 4, shortlist = 32)
+        .select(col("query_id"), col("label").cast(LongType).as("label"),
+          col("votes"))
+        .orderBy("query_id")
+    }),
     // Frame/sample extraction plumbing: n evenly spaced byte windows
     // per payload — deterministic window math, so the explode shape
     // gets a full oracle instead of a count-only spec. Frames are
@@ -481,15 +499,16 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
-    // BPE merge training: the first 5 learned merges of the corpus —
-    // corpus touched once (word counts), every round vocab-bounded;
-    // deterministic tie-breaks make the merge sequence oracle-exact
-    // minCount = 1: the SQL twin unrolls exactly 5 rounds, so the
-    // gate must not early-stop below the default threshold (fixture
-    // counts are in the thousands; the pin is for contract safety on
-    // any future corpus regeneration)
+    // BPE merge training: the first 64 learned merges of the corpus —
+    // corpus touched once (word counts), then the merge loop runs
+    // driver-side over the collected vocabulary (zero Spark jobs per
+    // round); deterministic UTF-8-byte tie-breaks make the merge
+    // sequence oracle-exact. minCount = 1: the SQL twin unrolls
+    // exactly 64 rounds, so the gate must not early-stop below the
+    // default threshold (both fixtures support >= 64 merges; the pin
+    // is for contract safety on any future corpus regeneration)
     "q_text_bpe_merges" -> ((s, dir) => {
-      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", nMerges = 5,
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", nMerges = 64,
         minCount = 1)
         .orderBy("rank")
     }),
@@ -725,11 +744,22 @@ object SparkEntry {
     // normalization + Knuth mix; see Comparator.portableChecksum).
     // o_uni plants multi-byte text (em-dash U+2014, é U+00E9, and the
     // supplementary-plane U+1D11E) plus an empty string so the
-    // byte-level string fold is oracle-enforced beyond ASCII
+    // byte-level string fold is oracle-enforced beyond ASCII; o_dec
+    // plants a signed DECIMAL(18,3) (NUMBER(p,s) is the reference's
+    // flagship mapping) and o_bin a multi-byte BLOB — both with NULL
+    // stripes so the null counters of the new types are gated too
     "q_verify_checksum" -> ((s, dir) => {
-      val src = t(s, dir, "orders").withColumn("o_uni",
-        when(col("o_orderkey") % 7 === 0, lit(""))
-          .otherwise(concat(col("o_orderpriority"), lit(" — café 𝄞"))))
+      val src = t(s, dir, "orders")
+        .withColumn("o_uni",
+          when(col("o_orderkey") % 7 === 0, lit(""))
+            .otherwise(concat(col("o_orderpriority"), lit(" — café 𝄞"))))
+        .withColumn("o_dec",
+          when(col("o_orderkey") % 11 === 0, lit(null))
+            .otherwise((col("o_orderkey") % 97) * lit(BigDecimal("1.001")) - lit(BigDecimal("50.5")))
+            .cast("decimal(18,3)"))
+        .withColumn("o_bin",
+          when(col("o_orderkey") % 13 === 0, lit(null).cast("binary"))
+            .otherwise(encode(col("o_uni"), "UTF-8")))
       val cs = graft.verify.Comparator.portableChecksum(src)
       val sums = src.columns.flatMap(c => Seq(
         col(s"${c}__sum").cast("long").as(s"${c}__sum"), col(s"${c}__nulls")))
@@ -1239,7 +1269,7 @@ object SparkEntry {
   private def bpeOracleCtes(n: Int, carryWord: Boolean): String = {
     val wcol = if (carryWord) "w, " else ""
     val ctes = scala.collection.mutable.ArrayBuffer(
-      "w0 AS (SELECT " + wcol + "count(*) AS n, list_transform(range(1, length(w)+1), i -> w[i:i]) AS sym " +
+      "w0 AS MATERIALIZED (SELECT " + wcol + "count(*) AS n, list_transform(range(1, length(w)+1), i -> w[i:i]) AS sym " +
         "FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) " +
         "WHERE length(w) > 0 GROUP BY w)")
     (1 to n).foreach { r =>
@@ -1247,17 +1277,60 @@ object SparkEntry {
       ctes += s"p$r AS (SELECT u.l AS ml, u.r AS mr, SUM(n) AS cnt FROM $prev, " +
         s"unnest(list_transform(range(1, len(sym)), i -> {'l': sym[i], 'r': sym[i+1]})) AS t(u) " +
         "GROUP BY u.l, u.r)"
-      ctes += s"t$r AS (SELECT ml, mr, cnt FROM p$r ORDER BY cnt DESC, ml, mr LIMIT 1)"
+      ctes += s"t$r AS MATERIALIZED (SELECT ml, mr, cnt FROM p$r ORDER BY cnt DESC, ml, mr LIMIT 1)"
       // LEFT JOIN, not CROSS: a round with no pairs left must be a
       // NO-OP (Spark's trainer early-stops there), not wipe the
       // vocabulary — a CROSS JOIN with an empty argmax would empty
       // every later w$r and zero the encode twin's output
-      ctes += s"w$r AS (SELECT $wcol" + "n, CASE WHEN ml IS NULL THEN sym ELSE " +
+      ctes += s"w$r AS MATERIALIZED (SELECT $wcol" + "n, CASE WHEN ml IS NULL THEN sym ELSE " +
         "list_reduce([CAST([] AS VARCHAR[])] || list_transform(sym, s -> [s]), " +
         "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ml AND x[1] = mr " +
         s"THEN acc[1:len(acc)-1] || [ml || mr] ELSE acc || x END) END AS sym FROM $prev LEFT JOIN t$r ON TRUE)"
     }
     "WITH " + ctes.mkString(", ")
+  }
+
+  /** Shared IVF-SQ oracle chain (centroid pick → assign → probe →
+    * int-dot within probed lists → exact re-rank `rr`) for the two
+    * IVF-SQ gates — phase 1 scores only within probed lists, same
+    * tie-breaks as the Spark kernels throughout (assign ties →
+    * centroid array order cpos; probe ties → cid; shortlist/re-rank
+    * ties → neighbor_id). Gates append their own tail over `rr`
+    * (top-k slice, or the knn vote); one builder keeps the two gates'
+    * pipeline SQL from drifting apart. Knobs pinned to the gate
+    * params: 16 centroids, 4 probes, shortlist 32, queries vec_id<20.
+    */
+  private lazy val ivfSqOracleCtes: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
+    def cos(a: String, na: String, b: String, nb: String): String =
+      s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
+    "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"emb AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e0), " +
+      "cent AS (SELECT * FROM (SELECT vec_id AS cid, v AS cv, nrm AS cn, " +
+      "row_number() OVER (ORDER BY ((CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, vec_id) AS cpos " +
+      "FROM emb) WHERE cpos <= 16), " +
+      "assign AS (SELECT e.vec_id, " +
+      s"(SELECT c.cid FROM cent c ORDER BY ${cos("e.v", "e.nrm", "c.cv", "c.cn")} DESC, c.cpos LIMIT 1) AS list " +
+      "FROM emb e), " +
+      "qz AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e0), " +
+      "cz AS (SELECT vec_id, CASE WHEN m = 0.0 THEN list_transform(v, x -> 0) " +
+      "ELSE list_transform(v, x -> CAST(floor(x / m * 127 + 0.5) AS INT)) END AS codes FROM qz), " +
+      "cd AS (SELECT a.vec_id, a.list, z.codes FROM assign a JOIN cz z USING (vec_id)), " +
+      "probes AS (SELECT * FROM (SELECT q.vec_id AS query_id, c.cid AS list, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.cid) AS pr " +
+      "FROM emb q, cent c WHERE q.vec_id < 20) WHERE pr <= 4), " +
+      "qq AS (SELECT vec_id AS query_id, codes AS qc FROM cz WHERE vec_id < 20), " +
+      "p1 AS (SELECT p.query_id, c.vec_id AS neighbor_id, " +
+      "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(q.qc)+1), " +
+      "i -> CAST(q.qc[i] AS BIGINT) * c.codes[i]), (a,b) -> a + b) AS iscore " +
+      "FROM probes p JOIN cd c ON c.list = p.list JOIN qq q ON q.query_id = p.query_id " +
+      "WHERE c.vec_id <> p.query_id), " +
+      "sl AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS r FROM p1) WHERE r <= 32), " +
+      "rr AS (SELECT s.query_id, s.neighbor_id, " +
+      s"""row_number() OVER (PARTITION BY s.query_id ORDER BY ${cos("a.v", "a.nrm", "b.v", "b.nrm")} DESC, s.neighbor_id) AS "rank" """ +
+      "FROM sl s JOIN emb a ON a.vec_id = s.neighbor_id JOIN emb b ON b.vec_id = s.query_id)"
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1752,10 +1825,13 @@ object SparkEntry {
         "ORDER BY query_id, \"rank\""
     },
     "q_text_bpe_merges" -> {
-      // unrolled 5-round BPE via the shared CTE builder; the gate
+      // unrolled 64-round BPE via the shared CTE builder (MATERIALIZED
+      // CTEs keep DuckDB from inlining the 64-deep chain); the gate
       // passes minCount = 1 so Spark's early-stop can't diverge from
-      // the fixed-round twin
-      val n = 5
+      // the fixed-round twin. 64 rounds exercises the driver-side
+      // trainer's flat-in-nMerges scaling; both fixtures support
+      // >= 64 merges before the pair supply dries up
+      val n = 64
       val union = (1 to n).map { r =>
         s"""SELECT CAST($r AS BIGINT) AS "rank", ml AS "left", mr AS "right", CAST(cnt AS BIGINT) AS pair_count FROM t$r"""
       }.mkString(" UNION ALL ")
@@ -1807,45 +1883,22 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY source ORDER BY " +
         "((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, doc_id) AS r " +
         "FROM documents) WHERE r <= 15 ORDER BY doc_id"),
-    "q_sim_ivf_sq_topk" -> {
-      // IVF-SQ end-to-end: the q_sim_ivf_portable centroid/assign/probe
-      // CTEs composed with q_sim_sq_topk's quantize/int-dot/re-rank —
-      // phase 1 scores only within probed lists, same tie-breaks as the
-      // Spark kernels throughout (assign ties → centroid array order
-      // cpos; probe ties → cid; shortlist/re-rank ties → neighbor_id)
-      def dot(a: String, b: String): String =
-        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
-      def cos(a: String, na: String, b: String, nb: String): String =
-        s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
-      "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
-        s"emb AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e0), " +
-        "cent AS (SELECT * FROM (SELECT vec_id AS cid, v AS cv, nrm AS cn, " +
-        "row_number() OVER (ORDER BY ((CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, vec_id) AS cpos " +
-        "FROM emb) WHERE cpos <= 16), " +
-        "assign AS (SELECT e.vec_id, " +
-        s"(SELECT c.cid FROM cent c ORDER BY ${cos("e.v", "e.nrm", "c.cv", "c.cn")} DESC, c.cpos LIMIT 1) AS list " +
-        "FROM emb e), " +
-        "qz AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM e0), " +
-        "cz AS (SELECT vec_id, CASE WHEN m = 0.0 THEN list_transform(v, x -> 0) " +
-        "ELSE list_transform(v, x -> CAST(floor(x / m * 127 + 0.5) AS INT)) END AS codes FROM qz), " +
-        "cd AS (SELECT a.vec_id, a.list, z.codes FROM assign a JOIN cz z USING (vec_id)), " +
-        "probes AS (SELECT * FROM (SELECT q.vec_id AS query_id, c.cid AS list, " +
-        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.cid) AS pr " +
-        "FROM emb q, cent c WHERE q.vec_id < 20) WHERE pr <= 4), " +
-        "qq AS (SELECT vec_id AS query_id, codes AS qc FROM cz WHERE vec_id < 20), " +
-        "p1 AS (SELECT p.query_id, c.vec_id AS neighbor_id, " +
-        "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(q.qc)+1), " +
-        "i -> CAST(q.qc[i] AS BIGINT) * c.codes[i]), (a,b) -> a + b) AS iscore " +
-        "FROM probes p JOIN cd c ON c.list = p.list JOIN qq q ON q.query_id = p.query_id " +
-        "WHERE c.vec_id <> p.query_id), " +
-        "sl AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
-        "row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS r FROM p1) WHERE r <= 32), " +
-        "rr AS (SELECT s.query_id, s.neighbor_id, " +
-        s"""row_number() OVER (PARTITION BY s.query_id ORDER BY ${cos("a.v", "a.nrm", "b.v", "b.nrm")} DESC, s.neighbor_id) AS "rank" """ +
-        "FROM sl s JOIN emb a ON a.vec_id = s.neighbor_id JOIN emb b ON b.vec_id = s.query_id) " +
-        """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
-        "ORDER BY query_id, \"rank\""
-    },
+    "q_sim_ivf_sq_topk" ->
+      (ivfSqOracleCtes +
+        """ SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
+        "ORDER BY query_id, \"rank\""),
+    "q_sim_knn_label_ivf" ->
+      // the same IVF-SQ chain, k = 7 neighbors, then the knn vote tail
+      // (votes DESC, smaller label) — identical to q_sim_knn_label's
+      // vote over the exact neighbor set
+      (ivfSqOracleCtes +
+        """, nn AS (SELECT query_id, neighbor_id FROM rr WHERE "rank" <= 7), """ +
+        "v AS (SELECT nn.query_id, e.label AS lbl, count(*) AS votes " +
+        "FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id " +
+        "WHERE e.label IS NOT NULL GROUP BY nn.query_id, e.label) " +
+        "SELECT query_id, CAST(lbl AS BIGINT) AS label, votes FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, lbl) AS rv FROM v) " +
+        "WHERE rv = 1 ORDER BY query_id"),
     "q_text_pmi" -> {
       // same association order as the Spark side: ((c_ab*N1)*N1) /
       // ((N2*c_a)*c_b), one division, one ln, one micro-unit quantize
@@ -1884,16 +1937,24 @@ object SparkEntry {
       // for non-ASCII text (the planted o_uni column proves it)
       def mix(v: String) =
         s"(((($v) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296"
-      def kr(c: String) =
+      def krHex(h: String) =
         s"(SELECT CASE WHEN length(h) = 0 THEN 0 ELSE " +
           s"list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, length(h)+1), " +
           s"i -> CAST(unicode(h[i:i]) AS BIGINT)), (a,b) -> (a*31+b) % 1000000007) END " +
-          s"FROM (SELECT hex(encode($c)) AS h))"
+          s"FROM (SELECT $h AS h))"
+      def kr(c: String) = krHex(s"hex(encode($c))")
       def sums(c: String, v: String) =
         s"CAST(SUM(CASE WHEN $c IS NULL THEN 0 ELSE ${mix(v)} END) AS BIGINT) AS ${c}__sum, " +
           s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nulls"
       "WITH src AS (SELECT *, CASE WHEN o_orderkey % 7 = 0 THEN '' " +
-        "ELSE o_orderpriority || ' — café 𝄞' END AS o_uni FROM orders) " +
+        "ELSE o_orderpriority || ' — café 𝄞' END AS o_uni, " +
+        // signed decimal in exact arithmetic (bigint × decimal literal),
+        // NULL stripe every 11th key; unscaled units are o_dec·10³
+        "CASE WHEN o_orderkey % 11 = 0 THEN NULL " +
+        "ELSE CAST((o_orderkey % 97) * 1.001 - 50.5 AS DECIMAL(18,3)) END AS o_dec, " +
+        "CASE WHEN o_orderkey % 13 = 0 THEN NULL " +
+        "ELSE encode(CASE WHEN o_orderkey % 7 = 0 THEN '' " +
+        "ELSE o_orderpriority || ' — café 𝄞' END) END AS o_bin FROM orders) " +
         """SELECT count(*) AS "rows", """ +
         sums("o_orderkey", "o_orderkey") + ", " +
         sums("o_custkey", "o_custkey") + ", " +
@@ -1901,7 +1962,9 @@ object SparkEntry {
         sums("o_totalprice", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)") + ", " +
         sums("o_orderdate", "epoch_us(o_orderdate)") + ", " +
         sums("o_orderpriority", kr("o_orderpriority")) + ", " +
-        sums("o_uni", kr("o_uni")) +
+        sums("o_uni", kr("o_uni")) + ", " +
+        sums("o_dec", "CAST(o_dec * 1000 AS BIGINT)") + ", " +
+        sums("o_bin", krHex("hex(o_bin)")) +
         " FROM src"
     },
     "q_dedup_incremental" -> {

@@ -14,6 +14,10 @@ object Verify {
       // fixture events.parquet carries TIMESTAMP(NANOS) which Spark 4
       // rejects natively; read as long (ns) and convert explicitly
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // gates that materialize bucketed index tables (q_sim_knn_label_ivf)
+      // write through the catalog; keep the warehouse out of the repo
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_verify_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

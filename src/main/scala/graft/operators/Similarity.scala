@@ -300,9 +300,10 @@ object Similarity {
     * over the corpus, or transfer labels onto fresh unlabeled batches.
     *
     * Candidate generation is [[bruteForceTopK]] (exact — the variant the
-    * oracle audits); at 100 TB swap in [[ivfQuantizedTopK]] for the
-    * neighbor search and keep the vote unchanged — the vote is a
-    * per-query aggregation over k rows, negligible either way.
+    * oracle audits); at 100 TB use [[knnClassifyFromIndex]], which
+    * routes the neighbor search through the materialized IVF-SQ index
+    * and keeps the vote unchanged — the vote is a per-query
+    * aggregation over k rows, negligible either way.
     *
     * @return (query_id, label, votes) — `votes` of the winning label,
     *         out of the `k` neighbors
@@ -320,8 +321,28 @@ object Similarity {
     require(k > 0, "k must be positive")
     val nn = bruteForceTopK(queries, corpus,
       queryIdCol, queryVecCol, corpusIdCol, corpusVecCol, k)
+    majorityVote(nn, corpus, corpusIdCol, labelCol)
+  }
+
+  /** The majority-vote tail shared by [[knnClassify]] and
+    * [[knnClassifyFromIndex]] — one implementation, so the exact and
+    * ANN paths can't drift on vote semantics. Unlabeled (NULL-label)
+    * neighbors don't vote: a NULL would otherwise sort FIRST in the
+    * tie window (Spark's default NULLS FIRST) and win every tie,
+    * breaking the documented smaller-label contract and diverging
+    * from engines whose default is NULLS LAST. They still occupy
+    * their nearest-neighbor slots — k nearest is a geometric fact,
+    * labeled or not.
+    */
+  private[operators] def majorityVote(
+      nn: DataFrame,
+      labels: DataFrame,
+      labelIdCol: String,
+      labelCol: String
+  ): DataFrame = {
     val votes = nn
-      .join(corpus.select(col(corpusIdCol).as("neighbor_id"), col(labelCol).as("__lbl")),
+      .join(labels.filter(col(labelCol).isNotNull)
+        .select(col(labelIdCol).as("neighbor_id"), col(labelCol).as("__lbl")),
         Seq("neighbor_id"))
       .groupBy(col("query_id"), col("__lbl"))
       .agg(count(lit(1)).as("votes"))
@@ -330,6 +351,39 @@ object Similarity {
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1)
       .select(col("query_id"), col("__lbl").as("label"), col("votes"))
+  }
+
+  /** ANN-backed kNN label propagation — [[knnClassify]]'s vote over
+    * neighbors retrieved from a materialized IVF-SQ index
+    * ([[writeIvfSqIndex]]): the production path at 100 TB. The
+    * neighbor search is [[ivfQuantizedTopKFromIndex]] — each query
+    * batch reads ONLY its probed buckets off the bucketed index scan
+    * (literal list-id pruning), never the whole corpus — and the vote
+    * is [[majorityVote]], shared verbatim with the exact path. Labels
+    * ship separately (typically the small hand-labeled seed table)
+    * and join the k-neighbor shortlist by id — a broadcast-sized join
+    * at any corpus scale.
+    *
+    * @return (query_id, label, votes) — `votes` of the winning label,
+    *         out of the `k` ANN neighbors
+    */
+  def knnClassifyFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      labels: DataFrame,
+      labelIdCol: String,
+      labelCol: String,
+      k: Int,
+      nProbe: Int = 2,
+      shortlist: Int = 64
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nn = ivfQuantizedTopKFromIndex(spark, tableName, queries,
+      queryIdCol, queryVecCol, k, nProbe, shortlist)
+    majorityVote(nn, labels, labelIdCol, labelCol)
   }
 
   // ------------------------------------------- scalar-quantized search

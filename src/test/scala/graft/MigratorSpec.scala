@@ -164,4 +164,48 @@ class MigratorSpec extends SparkSpec {
     assert(b.getAs[java.math.BigDecimal]("v__sum") === same.getAs[java.math.BigDecimal]("v__sum"))
     assert(b.getAs[Long]("v__nulls") === 0L && same.getAs[Long]("v__nulls") === 1L)
   }
+
+  test("portableChecksum: decimal columns fingerprint exact unscaled units") {
+    import spark.implicits._
+    // -12.345 -> unscaled -12345; the mix of that integer is what the
+    // destination engine recomputes (hand value: pmod twice)
+    def mixOf(v: Long): Long = {
+      val m = ((v % 2147483648L) + 2147483648L) % 2147483648L
+      java.lang.Math.floorMod(m * 2654435761L, 4294967296L)
+    }
+    val df = Seq("-12.345", "0.001", null)
+      .toDF("raw")
+      .select(col("raw").cast("decimal(18,3)").as("d"))
+    val r = Comparator.portableChecksum(df).collect()(0)
+    assert(r.getAs[java.math.BigDecimal]("d__sum").longValueExact() ===
+      mixOf(-12345L) + mixOf(1L), r.toString)
+    assert(r.getAs[Long]("d__nulls") === 1L)
+    // scale-0 decimals take the no-multiply path
+    val d0 = Seq("7", "-3").toDF("raw").select(col("raw").cast("decimal(10,0)").as("d"))
+    val r0 = Comparator.portableChecksum(d0).collect()(0)
+    assert(r0.getAs[java.math.BigDecimal]("d__sum").longValueExact() ===
+      mixOf(7L) + mixOf(-3L), r0.toString)
+  }
+
+  test("portableChecksum: binary columns fold their hex bytes, empty pins to 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array[Byte](0x00, 0x7f, -1)),
+      (2L, Array.empty[Byte]),
+      (3L, null: Array[Byte])
+    ).toDF("k", "b")
+    val r = Comparator.portableChecksum(df).collect()(0)
+    // KR over hex "007FFF" (uppercase on both engines)
+    val P = 1000000007L
+    val kr = "007FFF".foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % P)
+    def mixOf(v: Long): Long = {
+      val m = ((v % 2147483648L) + 2147483648L) % 2147483648L
+      java.lang.Math.floorMod(m * 2654435761L, 4294967296L)
+    }
+    // non-null contributions: mix(kr) for row 1, mix(0) = 0 for the
+    // empty blob (same pin as the empty string)
+    assert(r.getAs[java.math.BigDecimal]("b__sum").longValueExact() ===
+      mixOf(kr) + mixOf(0L), r.toString)
+    assert(r.getAs[Long]("b__nulls") === 1L)
+  }
 }

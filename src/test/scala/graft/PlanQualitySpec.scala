@@ -313,6 +313,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("knn-from-index: probed-list pruning reaches the bucketed index scan") {
+    val emb = table("embeddings").select("vec_id", "embedding", "label").limit(300)
+    graft.operators.Similarity.writeIvfSqIndex(emb, "vec_id", "embedding",
+      "knn_plan_idx", nCentroids = 8, buckets = 4)
+    val q = emb.filter(col("vec_id") < 5)
+    val df = graft.operators.Similarity.knnClassifyFromIndex(spark, "knn_plan_idx",
+      q, "vec_id", "embedding", emb, "vec_id", "label",
+      k = 3, nProbe = 2, shortlist = 16)
+    val plan = explain(df)
+    // the batch's probed list ids become a LITERAL In() filter pushed
+    // to the bucketed codes scan — a query batch reads only its probed
+    // buckets, never the whole index
+    assert(plan.contains("In(__list"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("gram-stats kernel stays inside codegen (topgram is exchange-free end to end)") {
     val df = graft.operators.TextAnalysis.topNgramStats(
       table("documents"), "doc_id", "text", n = 2)

@@ -292,6 +292,44 @@ class SimilaritySpec extends SparkSpec {
     assert(k2.getAs[Long]("label") === 5L && k2.getAs[Long]("votes") === 1L)
   }
 
+  test("knnClassify: unlabeled (null-label) neighbors never vote and never win ties") {
+    import spark.implicits._
+    // neighbor 1 is the closest but UNLABELED: pre-fix it sorted first
+    // in the tie window (NULLS FIRST) and won every vote
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), null.asInstanceOf[java.lang.Long]),
+      (2L, Array(0.95f, 0.05f), java.lang.Long.valueOf(9L)),
+      (3L, Array(0.9f, 0.1f), java.lang.Long.valueOf(5L))
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // k=3: neighbors 1(null), 2(9), 3(5) -> 9 and 5 tie 1-1, null
+    // doesn't vote, tie breaks to the SMALLER label 5
+    val r = Similarity.knnClassify(q, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", "label", 3).collect()(0)
+    assert(r.getAs[Long]("label") === 5L && r.getAs[Long]("votes") === 1L, r.toString)
+    // k=1: the only neighbor is unlabeled -> no vote rows at all
+    val r1 = Similarity.knnClassify(q, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", "label", 1).collect()
+    assert(r1.isEmpty, r1.mkString(","))
+  }
+
+  test("knnClassifyFromIndex: exhaustive ANN params reproduce the exact-knn labels") {
+    val emb = table("embeddings").select("vec_id", "embedding", "label").limit(200)
+    Similarity.writeIvfSqIndex(emb, "vec_id", "embedding", "knn_idx_rt",
+      nCentroids = 4, buckets = 2)
+    val q = emb.filter(col("vec_id") < 10)
+    // nProbe = nCentroids and a corpus-sized shortlist make the ANN
+    // search exhaustive, so the vote must equal the exact path's
+    val ann = Similarity.knnClassifyFromIndex(spark, "knn_idx_rt", q,
+      "vec_id", "embedding", emb, "vec_id", "label",
+      k = 7, nProbe = 4, shortlist = 200)
+      .collect().map(_.toString).sorted
+    val exact = Similarity.knnClassify(q, emb,
+      "vec_id", "embedding", "vec_id", "embedding", "label", k = 7)
+      .collect().map(_.toString).sorted
+    assert(ann.toSeq === exact.toSeq)
+  }
+
   test("ivf-sq index round-trip: querying the materialized index equals the in-memory path") {
     val emb = table("embeddings").select("vec_id", "embedding").limit(300)
     val q = emb.filter(col("vec_id") < 10)

@@ -255,6 +255,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 4L, 8L), (2L, 2L, 3L)), out.toSeq)
   }
 
+  test("bpeMerges: driver-side trainer and distributed twin learn identical sequences") {
+    import spark.implicits._
+    // rich-enough corpus that the incremental pair maintenance gets
+    // exercised: repeated stems, overlaps, ties — train well past the
+    // point where early merges invalidate later pair counts
+    val docs = Seq(
+      (1L, "the theme thesis then anthem theory"),
+      (2L, "low lower lowest slow slower glow"),
+      (3L, "ab abab ababab aabb baba"),
+      (4L, "the lower theme slows then")
+    ).toDF("doc_id", "text")
+    val local = TextAnalysis.bpeMerges(docs, "text", nMerges = 16, minCount = 1)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val dist = TextAnalysis.bpeMergesDistributed(docs, "text", nMerges = 16, minCount = 1)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(local === dist, s"local=$local dist=$dist")
+    assert(local.size === 16)
+  }
+
+  test("bpeMerges: maxVocab pruning keeps the most frequent words") {
+    import spark.implicits._
+    // vocab = {zz x5, qq x1}: maxVocab = 1 keeps only zz, so the only
+    // learnable merge is (z, z); the unpruned run learns (q, q) too
+    val docs = Seq((1L, "zz zz zz zz zz qq")).toDF("doc_id", "text")
+    val pruned = TextAnalysis.bpeMerges(docs, "text", nMerges = 5, minCount = 1, maxVocab = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(pruned === Seq(("z", "z", 5L)), pruned)
+  }
+
   test("bpeMerges: greedy left-to-right merge handles overlapping pairs (aaaa)") {
     import spark.implicits._
     // 'aaaa' x3: round-1 pairs (a,a)=9 -> merge; symbols become [aa,aa]
