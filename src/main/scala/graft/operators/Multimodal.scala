@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   * decode/feature-extract runs as `mapPartitions` over the binary
   * column — the Scala analog of a Pandas-UDF batch stage.
   *
-  * [[Decoders]] carries one REAL pure-JVM codec (P6/PPM header + pixel
-  * parse) and a deterministic Karp–Rabin fake standing in for the
-  * jpg/png/ffmpeg codecs this container doesn't ship. Everything around
-  * the per-payload call — schema, batching, partition flow, output
-  * shape — is the real production plumbing; swapping the fake for a
-  * JNI/javacpp decoder is a one-function change.
+  * [[Decoders]] carries two REAL pure-JVM codecs (P6/PPM and
+  * uncompressed 24-bit BMP — full header + pixel-plane parses) and a
+  * deterministic Karp–Rabin fake standing in for the jpg/png/ffmpeg
+  * codecs this container doesn't ship. The resize stage really
+  * resamples decodable pixels (nearest-neighbor, re-encoded P6).
+  * Everything around the per-payload call — schema, batching,
+  * partition flow, output shape — is the real production plumbing;
+  * swapping the fake for a JNI/javacpp decoder is a one-function
+  * change.
   */
 object Multimodal {
 
@@ -49,12 +52,14 @@ object Multimodal {
     StructField("features", ArrayType(FloatType))
   ))
 
-  /** Payload decoders. Two codecs behind one dispatch:
+  /** Payload decoders. Three codecs behind one dispatch:
     *
     *  - a REAL pure-JVM P6 (binary PPM) parser — header (magic,
     *    whitespace/comments, width, height, maxval) plus the full RGB
-    *    pixel plane, rejecting truncated or corrupt payloads — with
-    *    8 channel/luminance statistics as the feature vector;
+    *    pixel plane, rejecting truncated or corrupt payloads;
+    *  - a REAL pure-JVM uncompressed 24-bit BMP parser — BITMAPFILEHEADER
+    *    + BITMAPINFOHEADER, 4-byte row padding, bottom-up AND top-down
+    *    orientations, BGR order — same corrupt-input rejection;
     *  - the deterministic Karp–Rabin fake for every other payload
     *    (`acc*31 + code mod 1e9+7` over the normalized UTF-8 text, the
     *    same kernel as [[graft.functions.KrHashExpression]]), standing
@@ -62,12 +67,39 @@ object Multimodal {
     *    Its exact modular arithmetic keeps the decode *plumbing* under
     *    a full cross-engine rows+schema+hash gate.
     *
-    * Swapping the fake for a JNI/javacpp decoder is a one-function
-    * change; the PPM path shows the real shape end-to-end.
+    * Both real codecs parse to one [[Raster]] shape (geometry + a pixel
+    * accessor over the original bytes — no plane copy), so the feature
+    * stats and the [[Multimodal.resize]] resample are written once and
+    * serve every decodable format. Swapping the fake for a JNI/javacpp
+    * decoder is a one-function change.
     */
   object Decoders {
     val featureDim = 8
     private val P = 1000000007L
+
+    /** A parsed image: geometry plus a zero-copy pixel accessor over
+      * the payload bytes. `pix(x, y)` returns RGB packed as 0xRRGGBB
+      * with (0,0) top-left regardless of the container's row order.
+      */
+    private[operators] final class Raster(
+        val format: String,
+        val width: Int,
+        val height: Int,
+        val maxval: Int,
+        bytes: Array[Byte],
+        dataOff: Int,
+        rowStride: Int,
+        bottomUp: Boolean,
+        bgr: Boolean) {
+      def pix(x: Int, y: Int): Int = {
+        val row = if (bottomUp) height - 1 - y else y
+        val o = dataOff + row * rowStride + x * 3
+        if (bgr)
+          ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+        else
+          ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
+      }
+    }
 
     private def isPpmWs(b: Byte): Boolean =
       b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == '\f' || b == 0x0b
@@ -79,12 +111,8 @@ object Multimodal {
       * supported), or a pixel plane shorter than the header promises —
       * so corrupt media degrades to the fallback codec instead of
       * throwing mid-partition.
-      *
-      * Features (all in [0, 1], computed in one pass over the plane):
-      * mean R/G/B, mean/min/max luminance (ITU-R 601 weights),
-      * contrast (max-min luminance), nonzero-pixel fraction.
       */
-    def decodePpm(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] = {
+    private[operators] def parsePpm(bytes: Array[Byte]): Option[Raster] = {
       if (bytes == null || bytes.length < 12 ||
         bytes(0) != 'P' || bytes(1) != '6') return None
       var i = 2
@@ -116,38 +144,102 @@ object Multimodal {
       // exactly ONE whitespace byte separates maxval from the raster
       if (i >= bytes.length || !isPpmWs(bytes(i))) return None
       i += 1
-      val nPix = w.toLong * h
       // divide rather than multiply: w and h can each approach 2^31,
-      // so nPix*3 would overflow Long and let an adversarial header
+      // so w*h*3 would overflow Long and let an adversarial header
       // through to an out-of-bounds pixel read
-      if (nPix > (bytes.length - i).toLong / 3) return None // truncated plane
-      var (sr, sg, sb) = (0.0, 0.0, 0.0)
-      var minL = Double.MaxValue; var maxL = 0.0; var nonzero = 0L
-      var p = 0L
-      var off = i
-      while (p < nPix) {
-        val r = bytes(off) & 0xff
-        val g = bytes(off + 1) & 0xff
-        val b = bytes(off + 2) & 0xff
-        sr += r; sg += g; sb += b
-        val lum = 0.299 * r + 0.587 * g + 0.114 * b
-        if (lum < minL) minL = lum
-        if (lum > maxL) maxL = lum
-        if (r + g + b > 0) nonzero += 1
-        p += 1; off += 3
-      }
-      val m = maxval.toDouble
-      val n = nPix.toDouble
-      val meanLum = (0.299 * sr + 0.587 * sg + 0.114 * sb) / n / m
-      Some(("ppm", w, h, Array(
-        (sr / n / m).toFloat, (sg / n / m).toFloat, (sb / n / m).toFloat,
-        meanLum.toFloat, (minL / m).toFloat, (maxL / m).toFloat,
-        ((maxL - minL) / m).toFloat, (nonzero / n).toFloat)))
+      if (w.toLong * h > (bytes.length - i).toLong / 3) return None // truncated
+      // rowStride w*3 is safe: w*h*3 ≤ bytes.length was just checked
+      Some(new Raster("ppm", w, h, maxval, bytes, i, w * 3,
+        bottomUp = false, bgr = false))
     }
 
-    /** Deterministic fake for non-PPM payloads (no jpg/png codec in
-      * this container): format/dims/features from the portable KR
-      * fingerprint — exact modular arithmetic a SQL oracle reproduces.
+    /** Real uncompressed 24-bit BMP parse: 'BM' magic, pixel-array
+      * offset from BITMAPFILEHEADER, width/height/planes/bpp/compression
+      * from BITMAPINFOHEADER (DIB size ≥ 40 accepts the V4/V5 variants
+      * too — their headers extend, the core fields don't move). Rows
+      * are padded to 4 bytes; positive height means bottom-up storage,
+      * negative means top-down (both legal, both handled). Anything
+      * else — wrong magic, bpp ≠ 24, compression ≠ BI_RGB, a pixel
+      * array that overruns the payload — returns None and degrades to
+      * the fallback codec, same contract as [[parsePpm]].
+      */
+    private[operators] def parseBmp(bytes: Array[Byte]): Option[Raster] = {
+      if (bytes == null || bytes.length < 54 ||
+        bytes(0) != 'B' || bytes(1) != 'M') return None
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      def le32s(o: Int): Int = le32(o).toInt
+      val dataOff = le32(10)
+      val dibSize = le32(14)
+      val w = le32s(18)
+      val hRaw = le32s(22)
+      // hRaw == Int.MinValue must be rejected explicitly: math.abs of
+      // it stays NEGATIVE, which would slip through the plane-size
+      // bound (negative product is never > remaining bytes) and hand
+      // out a raster with negative height
+      if (dibSize < 40 || w <= 0 || hRaw == 0 || hRaw == Int.MinValue) return None
+      if (le16(26) != 1 || le16(28) != 24 || le32(30) != 0L) return None
+      val h = math.abs(hRaw)
+      if (w > (Int.MaxValue - 3) / 3) return None
+      val rowStride = (w * 3 + 3) / 4 * 4
+      if (dataOff < 54 || dataOff > bytes.length ||
+        rowStride.toLong * h > bytes.length - dataOff) return None
+      Some(new Raster("bmp", w, h, 255, bytes, dataOff.toInt, rowStride,
+        bottomUp = hRaw > 0, bgr = true))
+    }
+
+    private[operators] def parseRaster(bytes: Array[Byte]): Option[Raster] =
+      parsePpm(bytes).orElse(parseBmp(bytes))
+
+    /** The shared feature extractor (all in [0, 1], one pass over the
+      * plane): mean R/G/B, mean/min/max luminance (ITU-R 601 weights),
+      * contrast (max-min luminance), nonzero-pixel fraction.
+      */
+    private def rasterStats(ra: Raster): Array[Float] = {
+      var (sr, sg, sb) = (0.0, 0.0, 0.0)
+      var minL = Double.MaxValue; var maxL = 0.0; var nonzero = 0L
+      var y = 0
+      while (y < ra.height) {
+        var x = 0
+        while (x < ra.width) {
+          val p = ra.pix(x, y)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          sr += r; sg += g; sb += b
+          val lum = 0.299 * r + 0.587 * g + 0.114 * b
+          if (lum < minL) minL = lum
+          if (lum > maxL) maxL = lum
+          if (r + g + b > 0) nonzero += 1
+          x += 1
+        }
+        y += 1
+      }
+      val m = ra.maxval.toDouble
+      val n = ra.width.toDouble * ra.height
+      val meanLum = (0.299 * sr + 0.587 * sg + 0.114 * sb) / n / m
+      Array(
+        (sr / n / m).toFloat, (sg / n / m).toFloat, (sb / n / m).toFloat,
+        meanLum.toFloat, (minL / m).toFloat, (maxL / m).toFloat,
+        ((maxL - minL) / m).toFloat, (nonzero / n).toFloat)
+    }
+
+    /** P6 decode → (format, width, height, features); see [[parsePpm]]
+      * for the accepted grammar and [[rasterStats]] for the features.
+      */
+    def decodePpm(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] =
+      parsePpm(bytes).map(r => (r.format, r.width, r.height, rasterStats(r)))
+
+    /** Uncompressed 24-bit BMP decode — same output contract as
+      * [[decodePpm]], same feature stats, via [[parseBmp]].
+      */
+    def decodeBmp(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] =
+      parseBmp(bytes).map(r => (r.format, r.width, r.height, rasterStats(r)))
+
+    /** Deterministic fake for payloads neither real codec accepts (no
+      * jpg/png codec in this container): format/dims/features from the
+      * portable KR fingerprint — exact modular arithmetic a SQL oracle
+      * reproduces.
       */
     def decodeFake(bytes: Array[Byte]): (String, Int, Int, Array[Float]) = {
       val h = graft.functions.KrHashExpression.compute(
@@ -163,7 +255,39 @@ object Multimodal {
     }
 
     def decode(bytes: Array[Byte]): (String, Int, Int, Array[Float]) =
-      decodePpm(bytes).getOrElse(decodeFake(bytes))
+      parseRaster(bytes)
+        .map(r => (r.format, r.width, r.height, rasterStats(r)))
+        .getOrElse(decodeFake(bytes))
+
+    /** Nearest-neighbor resample of a parsed raster to (w × h),
+      * re-encoded as P6 (pipelines normalize formats on resize; P6 is
+      * the one this container can also re-read). Source pixel for
+      * target (x, y) is (⌊x·srcW/w⌋, ⌊y·srcH/h⌋) in exact integer
+      * arithmetic — deterministic, engine-reproducible, and the
+      * standard decimation kernel when no interpolation library ships.
+      */
+    private[operators] def resampleNearestP6(ra: Raster, w: Int, h: Int): Array[Byte] = {
+      val header = s"P6\n$w $h\n${ra.maxval}\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var o = header.length
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * ra.height / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * ra.width / w).toInt
+          val p = ra.pix(sx, sy)
+          out(o) = (p >> 16).toByte
+          out(o + 1) = (p >> 8).toByte
+          out(o + 2) = p.toByte
+          o += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   /** Decode/feature-extract stage: one pass, partition-parallel, batch
@@ -189,17 +313,29 @@ object Multimodal {
     }(enc)
   }
 
-  /** Resize stage: payload → payload at (width × height), meta rewritten.
-    * Same `mapPartitions` batch shape as [[decodeFeatures]] — the stub
-    * passes bytes through untouched (no codec in this container); a real
-    * implementation swaps only the per-element function.
+  /** Resize stage: payload → payload at (width × height), meta
+    * rewritten. Same `mapPartitions` batch shape as [[decodeFeatures]].
+    * Payloads either real codec accepts (P6/PPM, uncompressed 24-bit
+    * BMP) are ACTUALLY resampled — nearest-neighbor over the decoded
+    * pixel plane, re-encoded as P6 ([[Decoders.resampleNearestP6]]) —
+    * with `format`/`width`/`height` reporting the produced image.
+    * Undecodable payloads pass through byte-identical with NULL
+    * format/dims (honest "couldn't resize", never fabricated metadata);
+    * a jpg/png/ffmpeg codec would slot into the same dispatch.
     */
   def resize(df: DataFrame, idCol: String, binCol: String,
       width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, "target dims must be positive")
+    // the output buffer is header + w*h*3 bytes in one Int-indexed
+    // array; an unchecked 30000×30000 target would overflow the size
+    // computation to a negative allocation mid-partition
+    require(width.toLong * height * 3 <= Int.MaxValue - 64,
+      s"target $width x $height exceeds the single-payload buffer limit")
     val idField = df.schema(idCol)
     val outSchema = StructType(Seq(
       idField,
       StructField("payload", BinaryType),
+      StructField("format", StringType),
       StructField("width", IntegerType),
       StructField("height", IntegerType)
     ))
@@ -207,8 +343,13 @@ object Multimodal {
     df.select(col(idCol), col(binCol)).mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        // ??? <- real resample goes here; stub passes payload through
-        Row(r.get(0), bytes, width, height)
+        Decoders.parseRaster(bytes) match {
+          case Some(ra) =>
+            Row(r.get(0), Decoders.resampleNearestP6(ra, width, height),
+              "ppm", width, height)
+          case None =>
+            Row(r.get(0), bytes, null, null, null)
+        }
       }
     }(enc)
   }

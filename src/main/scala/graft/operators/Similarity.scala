@@ -549,21 +549,108 @@ object Similarity {
       tableName: String,
       nCentroids: Int = 16,
       buckets: Int = 16,
-      portableCentroids: Boolean = false
+      portableCentroids: Boolean = false,
+      pinQuantizerFrom: Option[String] = None
   ): Unit = {
     require(nCentroids > 0 && buckets > 0)
-    val (assigned, centArr) =
-      ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portableCentroids)
+    // pinQuantizerFrom reuses another index's STORED coarse quantizer
+    // instead of sampling fresh centroids — the rebuild/compaction
+    // shape: list membership stays stable across rebuilds, and a
+    // pinned rebuild over base ∪ batch is row-identical to
+    // build(base) + appendToIvfSqIndex(batch) (the round-trip spec's
+    // equality). Collected eagerly, so pinning a table to itself
+    // (re-assign in place) is safe.
+    val (assigned, centArr) = pinQuantizerFrom match {
+      case Some(src) =>
+        val cents = loadCentroids(corpus.sparkSession, src)
+        // the stored quantizer REPLACES sampling, so the sampling
+        // knobs must agree with what was actually loaded — silently
+        // returning an 8-list index to a caller who asked for 32
+        // lists would corrupt recall expectations without a trace
+        require(cents.size == nCentroids,
+          s"pinned quantizer $src has ${cents.size} centroids but nCentroids = $nCentroids — " +
+            "pass the pinned index's true centroid count")
+        val arr = typedlit(cents)
+        val c = corpus
+          .select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+          .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+        (c.withColumn("__list", bestListId(arr, col("__cv"), col("__cn"))), arr)
+      case None =>
+        ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portableCentroids)
+    }
     val index = assigned.select(
       col("neighbor_id"), col("__list"),
       scalarQuantize(col("__cv")).getField("codes").as("__cq"),
       col("__cv"), col("__cn"))
     graft.plans.ScaleJoins.writeBucketed(index, tableName, "__list", buckets)
+    // cpos preserves the quantizer's ARRAY ORDER: assignment argmax
+    // ties break to the earlier array slot, so appends must rank the
+    // stored centroids exactly as the build did — cid order is the
+    // hash-sample order only by accident
     corpus.sparkSession.range(1)
-      .select(explode(centArr).as("__c"))
-      .select(col("__c._1").as("cid"), col("__c._2").as("cvec"), col("__c._3").as("cnorm"))
+      .select(posexplode(centArr).as(Seq("cpos", "__c")))
+      .select(col("cpos").cast("long").as("cpos"), col("__c._1").as("cid"),
+        col("__c._2").as("cvec"), col("__c._3").as("cnorm"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(tableName + "_centroids")
+  }
+
+  /** The stored coarse quantizer of [[writeIvfSqIndex]], in build-time
+    * array order — the exact (id, vector, norm) sequence
+    * [[ivfQuantizedTopKFromIndex]] probes and [[appendToIvfSqIndex]]
+    * assigns against.
+    */
+  private def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Seq[(Long, Seq[Double], Double)] = {
+    val t = spark.table(tableName + "_centroids")
+    // indexes persisted before cpos existed carry only (cid, cvec,
+    // cnorm); cid order WAS the query-time array order then, so
+    // falling back keeps old on-disk indexes readable — persisted
+    // format breaks are not acceptable for a build-once/query-later
+    // contract
+    val ordered = if (t.columns.contains("cpos")) t.orderBy("cpos") else t.orderBy("cid")
+    val cents: Seq[(Long, Seq[Double], Double)] = ordered
+      .select("cid", "cvec", "cnorm")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+    require(cents.nonEmpty, s"empty centroid table for $tableName")
+    cents
+  }
+
+  /** Incremental IVF-SQ index maintenance: assign a NEW batch to the
+    * index's EXISTING centroids (the stored quantizer pins list
+    * membership — no re-sampling, no corpus-sized recompute) and
+    * append its (id, list, codes, vector, norm) rows to the bucketed
+    * table. The mirror of [[graft.operators.Dedup]]'s batch-vs-index
+    * asymmetry: ingest epochs pay O(|batch|·nCentroids) assignment
+    * work, never a rebuild over the full corpus; the bucket count is
+    * read from the catalog so an append cannot silently diverge from
+    * the table's layout. Rebuild (fresh quantizer) remains the right
+    * move when drift accumulates — that's [[writeIvfSqIndex]].
+    */
+  def appendToIvfSqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit = {
+    val centArr = typedlit(loadCentroids(spark, tableName))
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      .bucketSpec
+    require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
+    val b = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+      .withColumn("__list", bestListId(centArr, col("__cv"), col("__cn")))
+    b.select(col("neighbor_id"), col("__list"),
+        scalarQuantize(col("__cv")).getField("codes").as("__cq"),
+        col("__cv"), col("__cn"))
+      .write.mode("append").format("parquet")
+      .bucketBy(bucketSpec.get.numBuckets, "__list").sortBy("__list")
+      .saveAsTable(tableName)
   }
 
   /** Query a materialized IVF-SQ index ([[writeIvfSqIndex]]): the
@@ -587,16 +674,10 @@ object Similarity {
       shortlist: Int = 64
   ): DataFrame = {
     require(k > 0 && nProbe > 0 && shortlist >= k)
-    val cents: Seq[(Long, Seq[Double], Double)] = spark.table(tableName + "_centroids")
-      .orderBy("cid")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      .toSeq
-    require(cents.nonEmpty, s"empty centroid table for $tableName")
     ivfSqSearch(
       spark.table(tableName).select("neighbor_id", "__list", "__cq"),
       spark.table(tableName).select(col("neighbor_id"), col("__cv"), col("__cn")),
-      typedlit(cents), queries, queryIdCol, queryVecCol,
+      typedlit(loadCentroids(spark, tableName)), queries, queryIdCol, queryVecCol,
       k, nProbe, shortlist, pruneLists = true)
   }
 

@@ -109,13 +109,104 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.toSeq === Seq(0, 1, 2, 3))
   }
 
-  test("resize keeps one row per payload with the target dimensions") {
+  test("resize keeps one row per payload; undecodable payloads pass through with null dims") {
     val out = Multimodal.resize(media.limit(10), "doc_id", "payload", 224, 224)
-    assert(out.columns.toSeq === Seq("doc_id", "payload", "width", "height"))
+    assert(out.columns.toSeq === Seq("doc_id", "payload", "format", "width", "height"))
     assert(out.count() === 10)
+    // text payloads are undecodable: byte-identical pass-through,
+    // honest NULL format/dims — never fabricated metadata
     out.collect().foreach { r =>
-      assert(r.getAs[Int]("width") === 224 && r.getAs[Int]("height") === 224)
+      assert(r.isNullAt(r.fieldIndex("format")) &&
+        r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("height")))
       assert(r.getAs[Array[Byte]]("payload") != null)
     }
+  }
+
+  /** 24-bit BMP builder: image rows top→bottom, stored per `bottomUp`. */
+  private def bmp(w: Int, h: Int, bottomUp: Boolean,
+      rows: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val hBytes = if (bottomUp) h else -h
+    def le32(v: Int) = Seq(v, v >> 8, v >> 16, v >> 24).map(x => (x & 0xff).toByte)
+    val head = Seq[Byte]('B', 'M') ++ le32(54 + stride * h) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(w) ++ le32(hBytes) ++ Seq[Byte](1, 0, 24, 0) ++
+      Seq.fill(24)(0.toByte)
+    val fileRows = if (bottomUp) rows.reverse else rows
+    val px = fileRows.flatMap { r =>
+      r.flatMap { case (rr, gg, bb) => Seq(bb.toByte, gg.toByte, rr.toByte) } ++
+        Seq.fill(stride - w * 3)(0.toByte)
+    }
+    (head ++ px).toArray
+  }
+
+  test("bmp decode: bottom-up and top-down parse to the same top-left-origin pixels") {
+    val rows = Seq(
+      Seq((255, 0, 0), (0, 255, 0), (0, 0, 255)),
+      Seq((10, 20, 30), (40, 50, 60), (70, 80, 90)))
+    val up = Multimodal.Decoders.decodeBmp(bmp(3, 2, bottomUp = true, rows))
+    val down = Multimodal.Decoders.decodeBmp(bmp(3, 2, bottomUp = false, rows))
+    assert(up.isDefined && down.isDefined)
+    val Some((fmt, w, h, fUp)) = up
+    assert(fmt === "bmp" && w === 3 && h === 2)
+    assert(fUp.toSeq === down.get._4.toSeq,
+      "row order must be normalized before the stats")
+    // meanR = (255+10+40+70)/6/255
+    assert(math.abs(fUp(0) - (255 + 10 + 40 + 70) / 6.0 / 255.0) < 1e-6)
+  }
+
+  test("bmp decode: corrupt payloads are rejected, not thrown") {
+    val rows = Seq(Seq((1, 2, 3)))
+    val good = bmp(1, 1, bottomUp = true, rows)
+    assert(Multimodal.Decoders.decodeBmp(good.dropRight(1)).isEmpty, "short pixel array")
+    val wrongMagic = good.clone(); wrongMagic(0) = 'X'
+    assert(Multimodal.Decoders.decodeBmp(wrongMagic).isEmpty, "bad magic")
+    val bpp8 = good.clone(); bpp8(28) = 8
+    assert(Multimodal.Decoders.decodeBmp(bpp8).isEmpty, "unsupported bpp")
+    val rle = good.clone(); rle(30) = 1
+    assert(Multimodal.Decoders.decodeBmp(rle).isEmpty, "compressed BI_RLE8")
+    assert(Multimodal.Decoders.decodeBmp(good.take(30)).isEmpty, "truncated header")
+    assert(Multimodal.Decoders.decodeBmp(null).isEmpty, "null")
+    // adversarial dims: rowStride*h overflow must reject, not read OOB
+    val big = good.clone()
+    big(18) = -1; big(19) = -1; big(20) = -1; big(21) = 0x7f // huge width
+    assert(Multimodal.Decoders.decodeBmp(big).isEmpty, "overflowing plane size")
+    // height = Int.MinValue: math.abs stays negative, which would slip
+    // through the plane bound and yield a negative-height raster
+    val minH = good.clone()
+    minH(22) = 0; minH(23) = 0; minH(24) = 0; minH(25) = 0x80.toByte
+    assert(Multimodal.Decoders.decodeBmp(minH).isEmpty, "Int.MinValue height")
+  }
+
+  test("resize rejects target dims whose buffer would overflow Int") {
+    import spark.implicits._
+    val df = Seq((1L, "x".getBytes("US-ASCII"))).toDF("id", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.resize(df, "id", "payload", 30000, 30000)
+    }
+    assert(e.getMessage.contains("buffer limit"))
+  }
+
+  test("resize really resamples: nearest-neighbor picks and P6 re-encode round-trip") {
+    import spark.implicits._
+    // 4x4 PPM with per-pixel values v = y*4+x in all channels;
+    // 2x2 nearest-neighbor picks sources (0,0),(2,0),(0,2),(2,2) = 0,2,8,10
+    val px = (0 until 16).flatMap(v => Seq(v, v, v))
+    val src = ppm("P6\n4 4\n255\n", px: _*)
+    val df = Seq((1L, src)).toDF("id", "payload")
+    val out = Multimodal.resize(df, "id", "payload", 2, 2).collect()(0)
+    assert(out.getAs[String]("format") === "ppm")
+    assert(out.getAs[Int]("width") === 2 && out.getAs[Int]("height") === 2)
+    val bytes = out.getAs[Array[Byte]]("payload")
+    // the output must itself parse as a valid P6 with the target dims
+    val Some((_, w2, h2, _)) = Multimodal.Decoders.decodePpm(bytes)
+    assert(w2 === 2 && h2 === 2)
+    val plane = bytes.drop("P6\n2 2\n255\n".length).map(_ & 0xff).toSeq
+    assert(plane === Seq(0, 0, 0, 2, 2, 2, 8, 8, 8, 10, 10, 10), plane)
+    // a decoded BMP resamples through the same kernel and re-encodes P6
+    val bdf = Seq((2L, bmp(2, 2, bottomUp = true, Seq(
+      Seq((5, 5, 5), (6, 6, 6)), Seq((7, 7, 7), (8, 8, 8)))))).toDF("id", "payload")
+    val bout = Multimodal.resize(bdf, "id", "payload", 1, 1).collect()(0)
+    val bplane = bout.getAs[Array[Byte]]("payload").drop("P6\n1 1\n255\n".length)
+    assert(bplane.map(_ & 0xff).toSeq === Seq(5, 5, 5), "top-left pixel of the image")
   }
 }

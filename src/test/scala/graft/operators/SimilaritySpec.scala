@@ -349,6 +349,46 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.table("ivfsq_rt_centroids").count() === 8)
   }
 
+  test("ivf-sq index append: build→append→query equals pinned-quantizer rebuild→query") {
+    val all = table("embeddings").select("vec_id", "embedding")
+    val base = all.filter(col("vec_id") < 200)
+    val batch = all.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+    Similarity.writeIvfSqIndex(base, "vec_id", "embedding", "ivfsq_app",
+      nCentroids = 8, buckets = 4)
+    Similarity.appendToIvfSqIndex(spark, "ivfsq_app", batch, "vec_id", "embedding")
+    // the appended index covers base ∪ batch exactly once, quantizer untouched
+    assert(spark.table("ivfsq_app").count() === base.count() + batch.count())
+    assert(spark.table("ivfsq_app_centroids").count() === 8)
+    // a rebuild over base ∪ batch UNDER THE SAME STORED QUANTIZER is
+    // row-identical (same assignment ties via stored cpos order), so
+    // any query answers the same against either index
+    Similarity.writeIvfSqIndex(all.filter(col("vec_id") < 260),
+      "vec_id", "embedding", "ivfsq_reb",
+      nCentroids = 8, buckets = 4, pinQuantizerFrom = Some("ivfsq_app"))
+    val idx = spark.table("ivfsq_app")
+      .select(col("neighbor_id"), col("__list"), col("__cq").cast("string"))
+      .collect().map(_.toString).sorted
+    val reb = spark.table("ivfsq_reb")
+      .select(col("neighbor_id"), col("__list"), col("__cq").cast("string"))
+      .collect().map(_.toString).sorted
+    assert(idx.toSeq === reb.toSeq)
+    val q = all.filter(col("vec_id") < 10)
+    val viaAppend = Similarity.ivfQuantizedTopKFromIndex(spark, "ivfsq_app", q,
+      "vec_id", "embedding", k = 5, nProbe = 2, shortlist = 32)
+      .collect().map(_.toString).sorted
+    val viaRebuild = Similarity.ivfQuantizedTopKFromIndex(spark, "ivfsq_reb", q,
+      "vec_id", "embedding", k = 5, nProbe = 2, shortlist = 32)
+      .collect().map(_.toString).sorted
+    assert(viaAppend.toSeq === viaRebuild.toSeq)
+    // appended rows are actually findable: a batch vector queried
+    // against the appended index must return itself at rank 1
+    val probe = batch.filter(col("vec_id") === 200)
+      .select(col("vec_id").plus(1000000).as("vec_id"), col("embedding"))
+    val hit = Similarity.ivfQuantizedTopKFromIndex(spark, "ivfsq_app", probe,
+      "vec_id", "embedding", k = 1, nProbe = 8, shortlist = 32).collect()
+    assert(hit.length === 1 && hit(0).getAs[Long]("neighbor_id") === 200L, hit.mkString)
+  }
+
   test("scalarQuantize: codes bounded by 127, zero vector codes to zeros") {
     import spark.implicits._
     val df = Seq(
