@@ -595,6 +595,20 @@ object SparkEntry {
       TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
+    // Dictionary-kernel encode at 64 merges: the native
+    // BpeEncodeExpression applies the whole trained table as one
+    // reference-object rank map (flat in merge count — the production
+    // tokenizer path), and the 64-round unrolled SQL twin proves the
+    // lowest-rank-first loop equals sequential fold application
+    "q_text_bpe_encode_dict" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "text", nMerges = 64,
+        minCount = 1)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeTokenCountsDict(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
     // TF-IDF top-terms: keyword extraction over the whole corpus —
     // (doc,term) tf shuffle, term-keyed df join, doc-keyed top-k window
     "q_text_tfidf" -> ((s, dir) => {
@@ -845,6 +859,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", n = 3, k = 8, threshold = 0.5)
+        .orderBy("batch_id", "index_id")
+    }),
+    // Incremental near-dup against the MATERIALIZED signature index:
+    // the same batch-vs-history asymmetry as q_dedup_incremental, but
+    // the history side is a persisted bucketed signature table — the
+    // crawl-epoch production shape (history never re-signatured, scan
+    // bucket-pruned to the batch's blocking keys). Same oracle: the
+    // result contract is identical to the in-memory path
+    "q_dedup_incremental_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxTable = s"minhash_idx_gate_${Integer.toHexString(dir.hashCode)}"
+      if (!s.catalog.tableExists(idxTable))
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", idxTable, n = 3, k = 8, buckets = 8)
+      Dedup.portableMinhashPairsAgainstIndex(s, idxTable,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        n = 3, k = 8, threshold = 0.5)
         .orderBy("batch_id", "index_id")
     }),
     // Portable MinHash near-dup: Karp-Rabin + affine permutations —
@@ -1404,6 +1435,33 @@ object SparkEntry {
       "FROM sl s JOIN emb a ON a.vec_id = s.neighbor_id JOIN emb b ON b.vec_id = s.query_id)"
   }
 
+  /** The incremental batch-vs-history MinHash oracle, shared verbatim
+    * by `q_dedup_incremental` (in-memory history) and
+    * `q_dedup_incremental_indexed` (materialized signature index) —
+    * one SQL twin, because the two paths promise the same result.
+    */
+  private lazy val minhashIncrementalOracleSql: String = {
+      val k = 8
+      val sigs = (0 until k).map(j =>
+        s"MIN((${2 * j + 3}*hv+${97 * j + 1})%1000000007) AS sig_$j").mkString(", ")
+      val matchSum = (1 until k).map(j =>
+        s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END").mkString("1 + ", " + ", "")
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
+        "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+        "hv AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+        "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
+        s"sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id) " +
+        s"SELECT a.doc_id AS batch_id, b.doc_id AS index_id, CAST($matchSum AS DOUBLE)/8 AS minhash_est " +
+        "FROM sig a JOIN sig b ON a.sig_0 = b.sig_0 " +
+        "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 " +
+        s"AND CAST($matchSum AS DOUBLE)/8 >= 0.5 " +
+        "ORDER BY batch_id, index_id"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -1919,6 +1977,18 @@ object SparkEntry {
         s"SELECT doc_id, count(*) AS n_words, CAST(SUM(len(v.sym)) AS BIGINT) AS n_bpe_tokens " +
         s"FROM dw JOIN w$n v USING (w) GROUP BY doc_id ORDER BY doc_id"
     },
+    "q_text_bpe_encode_dict" -> {
+      // identical twin shape at the dictionary gate's 64 merges: the
+      // oracle applies the merges as 64 SEQUENTIAL folds, so a green
+      // hash proves the native lowest-rank-first kernel implements
+      // exactly that ordering
+      val n = 64
+      bpeOracleCtes(n, carryWord = true) +
+        ", toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents)" +
+        ", dw AS (SELECT doc_id, w FROM toks WHERE length(w) > 0) " +
+        s"SELECT doc_id, count(*) AS n_words, CAST(SUM(len(v.sym)) AS BIGINT) AS n_bpe_tokens " +
+        s"FROM dw JOIN w$n v USING (w) GROUP BY doc_id ORDER BY doc_id"
+    },
     "q_sim_knn_label" -> {
       // exact-kNN majority vote: same cosine fold, rank tie by
       // neighbor id, vote tie by smaller label — all deterministic
@@ -2073,27 +2143,11 @@ object SparkEntry {
         sums("o_bin", krHex("hex(o_bin)")) +
         " FROM src"
     },
-    "q_dedup_incremental" -> {
-      val k = 8
-      val sigs = (0 until k).map(j =>
-        s"MIN((${2 * j + 3}*hv+${97 * j + 1})%1000000007) AS sig_$j").mkString(", ")
-      val matchSum = (1 until k).map(j =>
-        s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END").mkString("1 + ", " + ", "")
-      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
-        "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
-        "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
-        "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
-        "hv AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
-        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
-        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
-        "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
-        s"sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id) " +
-        s"SELECT a.doc_id AS batch_id, b.doc_id AS index_id, CAST($matchSum AS DOUBLE)/8 AS minhash_est " +
-        "FROM sig a JOIN sig b ON a.sig_0 = b.sig_0 " +
-        "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 " +
-        s"AND CAST($matchSum AS DOUBLE)/8 >= 0.5 " +
-        "ORDER BY batch_id, index_id"
-    },
+    "q_dedup_incremental" -> minhashIncrementalOracleSql,
+    // identical contract to q_dedup_incremental: querying the
+    // materialized signature index must reproduce the in-memory
+    // batch-vs-history result exactly
+    "q_dedup_incremental_indexed" -> minhashIncrementalOracleSql,
     "q_dedup_minhash_portable" -> {
       val k = 8
       val sigs = (0 until k).map(j =>

@@ -1029,6 +1029,90 @@ object Dedup {
       .filter(col("minhash_est") >= threshold)
   }
 
+  /** Materialize the near-dup signature index for a corpus — the text
+    * twin of [[Similarity.writeIvfSqIndex]]'s build-once/query-many
+    * contract: the portable MinHash signature table persisted BUCKETED
+    * by the blocking component `sig_0`
+    * ([[graft.plans.ScaleJoins.writeBucketed]]). A perpetual-crawl
+    * pipeline builds this once per epoch and checks every arriving
+    * batch against it with [[portableMinhashPairsAgainstIndex]] — the
+    * history corpus is never re-signatured and never re-shuffled.
+    */
+  def writeMinhashIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tableName: String,
+      n: Int = 3,
+      k: Int = 8,
+      buckets: Int = 16
+  ): Unit = {
+    require(buckets > 0)
+    val sig = portableMinhashSignatures(docs, idCol, textCol, n, k)
+      .withColumnRenamed(idCol, "index_id")
+    graft.plans.ScaleJoins.writeBucketed(sig, tableName, "sig_0", buckets)
+  }
+
+  /** Incremental near-dup against a MATERIALIZED index
+    * ([[writeMinhashIndex]]): identical output contract to
+    * [[portableMinhashPairsAgainst]] — (batch_id, index_id,
+    * minhash_est) — but the history side is the persisted signature
+    * table, so an ingest epoch pays signatures for the BATCH only.
+    *
+    * Scale shape: the join key `sig_0` is the index's bucket column,
+    * so the (big) index side joins exchange-free while the (small)
+    * batch shuffles to it. When the batch's distinct blocking keys fit
+    * a literal list (≤ `pruneKeys`), they are additionally pushed as
+    * an IN() filter on the bucketed scan — Spark bucket-prunes the
+    * read to the touched buckets (`SelectedBucketsCount` in the plan,
+    * plan-gated), the same probed-bucket-only shape as
+    * [[Similarity.ivfQuantizedTopKFromIndex]]. Larger batches skip the
+    * literal (a million-entry IN() is its own problem) and rely on the
+    * exchange-free join alone.
+    *
+    * `k` must match the index's (the signature width is the stored
+    * schema — checked); `maxBucket` caps hot index buckets with the
+    * usual fail-open contract.
+    */
+  def portableMinhashPairsAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue,
+      pruneKeys: Int = 4096
+  ): DataFrame = {
+    val index = spark.table(tableName)
+    require(index.columns.sameElements("index_id" +: (0 until k).map(j => s"sig_$j")),
+      s"$tableName does not hold k=$k portable minhash signatures")
+    val bSig = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      portableMinhashSignatures(batch, idCol, textCol, n, k),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = bSig.select("sig_0").distinct().limit(pruneKeys + 1).collect()
+    val iSig = capBuckets(
+      if (keys.length <= pruneKeys)
+        index.filter(col("sig_0").isin(keys.map(_.getLong(0)).toIndexedSeq: _*))
+      else index,
+      Seq("sig_0"), maxBucket)
+    val bSide = (1 until k).foldLeft(bSig.withColumnRenamed(idCol, "batch_id")) {
+      (d, j) => d.withColumnRenamed(s"sig_$j", s"a_$j")
+    }
+    val iSide = (1 until k).foldLeft(iSig) {
+      (d, j) => d.withColumnRenamed(s"sig_$j", s"b_$j")
+    }
+    val matches = (1 until k)
+      .map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0))
+      .foldLeft(lit(1): Column)(_ + _)
+    bSide.join(iSide, Seq("sig_0"))
+      .select(col("batch_id"), col("index_id"),
+        (matches.cast("double") / k).as("minhash_est"))
+      .filter(col("minhash_est") >= threshold)
+  }
+
   // ------------------------------------------------- semantic dedup
 
   /** SemDeDup-style semantic deduplication: cluster embeddings with the

@@ -699,6 +699,32 @@ object TextAnalysis {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(s))))
 
+  /** [[bpeTokenCounts]] at PRODUCTION merge counts: the per-word
+    * encode runs through the native [[graft.functions.BpeEncodeExpression]]
+    * dictionary kernel — one reference-object rank map, flat in merge
+    * count — instead of a fold chain nested once per merge. Same
+    * vocab-bounded shape (encode per DISTINCT word, word-keyed join
+    * back, per-doc aggregate), same output, no 200-merge ceiling: a
+    * 50 k-merge tokenizer is one Map away. Spec-gated equal to the
+    * fold composition; oracle-gated end-to-end at 64 merges.
+    */
+  def bpeTokenCountsDict(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val words = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val vocab = words.select("__w").distinct()
+      .select(col("__w"),
+        size(graft.functions.BpeEncodeExpression.bpeEncode(col("__w"), merges)).as("__ntok"))
+    words.join(vocab, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__ntok")).as("n_bpe_tokens"))
+  }
+
   def bpeTokenCounts(
       df: DataFrame,
       idCol: String,

@@ -330,6 +330,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("minhash-index query: batch blocking keys bucket-prune the index scan") {
+    val docs = table("documents").select("doc_id", "text")
+    graft.operators.Dedup.writeMinhashIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      "mh_idx_plan", buckets = 4)
+    def query() = graft.operators.Dedup.portableMinhashPairsAgainstIndex(
+      spark, "mh_idx_plan", docs.filter(col("doc_id") % 2 === 1).limit(50),
+      "doc_id", "text")
+    val plan = explain(query())
+    // the literal IN() on the blocking key reaches the index scan as a
+    // pushed filter regardless of join strategy
+    assert(plan.contains("In(sig_0"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // with a small batch the planner broadcasts it and auto-disables
+    // the bucketed read; pin the bucketed scan on to witness actual
+    // bucket pruning (the probed-bucket shape of the IVF-SQ path)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val bucketed = explain(query())
+      assert(bucketed.contains("SelectedBucketsCount"), bucketed)
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("gram-stats kernel stays inside codegen (topgram is exchange-free end to end)") {
     val df = graft.operators.TextAnalysis.topNgramStats(
       table("documents"), "doc_id", "text", n = 2)

@@ -425,6 +425,32 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Set(6001L, 6002L, 6003L), survivors)
   }
 
+  test("portableMinhashPairsAgainstIndex: materialized index reproduces the in-memory path") {
+    val docs = table("documents").select("doc_id", "text")
+    val index = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 200)
+    val batch = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 200)
+    Dedup.writeMinhashIndex(index, "doc_id", "text", "mh_idx_rt", buckets = 4)
+    val inMem = Dedup.portableMinhashPairsAgainst(batch, index,
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(_.toString).sorted
+    // pruned branch (few distinct blocking keys -> literal IN filter)
+    val pruned = Dedup.portableMinhashPairsAgainstIndex(spark, "mh_idx_rt", batch,
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(_.toString).sorted
+    assert(pruned.toSeq === inMem.toSeq)
+    // unpruned branch (pruneKeys = 0 forces the plain bucketed join)
+    val unpruned = Dedup.portableMinhashPairsAgainstIndex(spark, "mh_idx_rt", batch,
+      "doc_id", "text", threshold = 0.5, pruneKeys = 0)
+      .collect().map(_.toString).sorted
+    assert(unpruned.toSeq === inMem.toSeq)
+    // k mismatch against the stored schema errors loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.portableMinhashPairsAgainstIndex(spark, "mh_idx_rt", batch,
+        "doc_id", "text", k = 4)
+    }
+    assert(e.getMessage.contains("k=4"))
+  }
+
   test("semanticDedup: planted identical vectors collapse to the lower id") {
     val emb = table("embeddings").select("vec_id", "embedding").limit(200)
     val planted = emb.union(emb.select(

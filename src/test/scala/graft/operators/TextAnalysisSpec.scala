@@ -276,6 +276,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(local.size === 16)
   }
 
+  test("bpeTokenCountsDict: dictionary kernel equals the sequential-fold composition") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the theme thesis then anthem theory"),
+      (2L, "low lower lowest slow slower glow"),
+      (3L, "ab abab ababab aabb baba"),
+      (4L, "the lower theme slows then")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", nMerges = 16, minCount = 1)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val dict = TextAnalysis.bpeTokenCountsDict(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val fold = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(dict === fold)
+  }
+
+  test("BpeEncodeExpression: lowest-rank-first loop, overlap handling, token output") {
+    import spark.implicits._
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"), ("a", "a"))
+    val df = Seq("lower", "low", "aaaa", "x", "").toDF("w")
+    val out = df.select(col("w"),
+      graft.functions.BpeEncodeExpression.bpeEncode(col("w"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(out("lower") === Seq("low", "er"))
+    assert(out("low") === Seq("low"))
+    // overlap: greedy left-to-right non-overlapping, same as the fold
+    assert(out("aaaa") === Seq("aa", "aa"))
+    assert(out("x") === Seq("x"))
+    assert(out("") === Seq.empty)
+  }
+
   test("bpeMerges: maxVocab pruning keeps the most frequent words") {
     import spark.implicits._
     // vocab = {zz x5, qq x1}: maxVocab = 1 keeps only zz, so the only
