@@ -1048,8 +1048,15 @@ object Dedup {
       buckets: Int = 16
   ): Unit = {
     require(buckets > 0)
+    // the shingle width is part of the signature's identity: stamp it
+    // into the stored schema (column metadata on the blocking
+    // component) so a query with a different n errors loudly instead
+    // of silently never matching
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft_minhash_n", n.toLong).build()
     val sig = portableMinhashSignatures(docs, idCol, textCol, n, k)
       .withColumnRenamed(idCol, "index_id")
+      .withColumn("sig_0", col("sig_0").as("sig_0", meta))
     graft.plans.ScaleJoins.writeBucketed(sig, tableName, "sig_0", buckets)
   }
 
@@ -1089,6 +1096,11 @@ object Dedup {
     val index = spark.table(tableName)
     require(index.columns.sameElements("index_id" +: (0 until k).map(j => s"sig_$j")),
       s"$tableName does not hold k=$k portable minhash signatures")
+    val storedMeta = index.schema("sig_0").metadata
+    require(storedMeta.contains("graft_minhash_n") &&
+      storedMeta.getLong("graft_minhash_n") == n.toLong,
+      s"$tableName was built with a different shingle width than n=$n — " +
+        "signatures from mismatched widths never legitimately match")
     val bSig = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
       portableMinhashSignatures(batch, idCol, textCol, n, k),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

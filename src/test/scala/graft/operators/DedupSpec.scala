@@ -449,6 +449,13 @@ class DedupSpec extends SparkSpec {
         "doc_id", "text", k = 4)
     }
     assert(e.getMessage.contains("k=4"))
+    // shingle-width mismatch errors loudly too (stored in the schema
+    // metadata): n=5 signatures would silently never match n=3 ones
+    val en = intercept[IllegalArgumentException] {
+      Dedup.portableMinhashPairsAgainstIndex(spark, "mh_idx_rt", batch,
+        "doc_id", "text", n = 5)
+    }
+    assert(en.getMessage.contains("shingle width"), en.getMessage)
   }
 
   test("semanticDedup: planted identical vectors collapse to the lower id") {
