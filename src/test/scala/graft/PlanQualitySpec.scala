@@ -330,6 +330,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("bpe dictionary encode runs inside whole-stage codegen") {
+    val words = table("documents")
+      .select(explode(split(lower(col("text")), " ")).as("__w"))
+      .select(graft.functions.BpeEncodeExpression
+        .bpeEncode(col("__w"), Seq(("t", "h"), ("th", "e"))).as("toks"))
+    val plan = explain(words)
+    // the kernel appears in a codegen'd span — the reference-object
+    // dictionary doesn't force interpreted eval
+    assert(plan.contains("graft_bpe_encode"), plan)
+    assert(plan.contains("codegen id"), plan)
+  }
+
   test("minhash-index query: batch blocking keys bucket-prune the index scan") {
     val docs = table("documents").select("doc_id", "text")
     graft.operators.Dedup.writeMinhashIndex(
