@@ -1060,6 +1060,50 @@ object Dedup {
     graft.plans.ScaleJoins.writeBucketed(sig, tableName, "sig_0", buckets)
   }
 
+  /** Incremental signature-index maintenance: signature an accepted
+    * batch and append it to the bucketed index table — the text twin
+    * of [[Similarity.appendToIvfSqIndex]], and the step that keeps a
+    * perpetual crawl's history index current without rebuilds. The
+    * shingle width is validated against the stored schema stamp and
+    * the bucket count is read from the catalog, so an append cannot
+    * silently diverge from the table's layout. Appends are NOT
+    * idempotent under replay (parquet tables have no transactional
+    * upsert); a replayed batch re-appends its signature rows, which
+    * duplicates emitted PAIRS for those ids downstream but never
+    * changes which documents collide — callers needing exact-once
+    * bookkeeping deduplicate on (batch_id, index_id).
+    */
+  def appendToMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 8
+  ): Unit = {
+    val index = spark.table(tableName)
+    require(index.columns.sameElements("index_id" +: (0 until k).map(j => s"sig_$j")),
+      s"$tableName does not hold k=$k portable minhash signatures")
+    val storedMeta = index.schema("sig_0").metadata
+    require(storedMeta.contains("graft_minhash_n") &&
+      storedMeta.getLong("graft_minhash_n") == n.toLong,
+      s"$tableName was built with a different shingle width than n=$n")
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      .bucketSpec
+    require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
+    portableMinhashSignatures(batch, idCol, textCol, n, k)
+      .withColumnRenamed(idCol, "index_id")
+      .write.mode("append").format("parquet")
+      .bucketBy(bucketSpec.get.numBuckets, "sig_0").sortBy("sig_0")
+      .saveAsTable(tableName)
+    // sessions that already resolved the table (a streaming micro-batch
+    // clone's parent, a long-lived reader) hold a cached file listing;
+    // refresh so the appended signatures are visible to the next query
+    spark.catalog.refreshTable(tableName)
+  }
+
   /** Incremental near-dup against a MATERIALIZED index
     * ([[writeMinhashIndex]]): identical output contract to
     * [[portableMinhashPairsAgainst]] — (batch_id, index_id,

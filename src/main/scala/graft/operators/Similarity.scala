@@ -651,6 +651,9 @@ object Similarity {
       .write.mode("append").format("parquet")
       .bucketBy(bucketSpec.get.numBuckets, "__list").sortBy("__list")
       .saveAsTable(tableName)
+    // sessions that already resolved the table hold a cached file
+    // listing; refresh so the appended rows are visible to later reads
+    spark.catalog.refreshTable(tableName)
   }
 
   /** Query a materialized IVF-SQ index ([[writeIvfSqIndex]]): the

@@ -99,4 +99,56 @@ object CorpusIngest {
           .parquet(s"$destDir/batch=$batchId")
       }
       .start()
+
+  /** The full crawl-epoch ingest: [[start]]'s idempotent per-batch sink
+    * composed with the PERSISTENT near-dup history — each micro-batch
+    * is checked against the materialized signature index
+    * ([[Dedup.portableMinhashPairsAgainstIndex]]: history never
+    * re-signatured, scan bucket-pruned to the batch's blocking keys),
+    * colliders are dropped, and the survivors' signatures are appended
+    * ([[Dedup.appendToMinhashIndex]]) so the NEXT batch sees them.
+    * This closes the gap [[clean]]'s watermark-horizon dedup leaves:
+    * the stream state covers near-horizon repeats, the index covers
+    * all history, and together an arriving document is checked against
+    * everything ever accepted.
+    *
+    * Replay semantics: the parquet rows stay exactly-once
+    * (`batch=<id>` overwrite), but a replayed batch RE-APPENDS its
+    * signatures — duplicate index rows never change which documents
+    * collide (see [[Dedup.appendToMinhashIndex]]), they only waste
+    * index bytes; compact occasionally by rebuilding with
+    * [[Dedup.writeMinhashIndex]] over the accepted corpus.
+    */
+  def startWithIndex(
+      cleaned: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      indexTable: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      k: Int = 8,
+      threshold: Double = 0.9,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    cleaned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hits = Dedup.portableMinhashPairsAgainstIndex(
+          spark, indexTable, batch, idCol, textCol, n, k, threshold)
+        val survivors = batch.join(
+          hits.select(col("batch_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+          // the anti-join input is re-derived from the batch TWICE
+          // (write + append below): localCheckpoint pins one result so
+          // the two consumers can't diverge on a re-computed batch
+          .localCheckpoint(true)
+        survivors.write
+          .mode("overwrite")
+          .parquet(s"$destDir/batch=$batchId")
+        Dedup.appendToMinhashIndex(spark, indexTable, survivors, idCol, textCol, n, k)
+      }
+      .start()
 }

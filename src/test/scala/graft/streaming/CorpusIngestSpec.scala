@@ -66,6 +66,60 @@ class CorpusIngestSpec extends SparkSpec {
     assert(streamed.count() > 0 && streamed.count() < total)
   }
 
+  test("startWithIndex: history colliders drop, survivors append, the next epoch remembers them") {
+    import spark.implicits._
+    val history = table("documents").select("doc_id", "text").filter(col("doc_id") < 250)
+    graft.operators.Dedup.writeMinhashIndex(history, "doc_id", "text",
+      "ingest_mh_idx", buckets = 4)
+    val idxBefore = spark.table("ingest_mh_idx").count()
+
+    def stamp(df: org.apache.spark.sql.DataFrame) = df.withColumn("ingest_time",
+      timestamp_micros((lit(3600L) + pmod(col("doc_id"), lit(500L)) * 60L) * 1000000L))
+    val srcDir = tmp("graft_ingest_idx_src")
+    val outDir = tmp("graft_ingest_idx_out")
+    val ckpt = tmp("graft_ingest_idx_ckpt")
+    // epoch 1: 30 unique synthetic docs + one verbatim copy of history
+    // doc 7 (must collide with the index and drop)
+    val fresh = (0 until 30).map(i =>
+      (1000L + i, (1 to 25).map(t => s"epoch one unique doc $i token $t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val copied = history.filter(col("doc_id") === 7)
+      .select(lit(20000L).as("doc_id"), col("text"))
+    stamp(fresh.union(copied)).write.mode("overwrite").parquet(srcDir)
+
+    def run(): Unit = {
+      val cleaned = CorpusIngest.clean(
+        CorpusIngest.documentsStream(spark, srcDir), minQuality = 0.0,
+        watermark = "1 hour")
+      CorpusIngest.startWithIndex(cleaned, outDir, ckpt, "ingest_mh_idx",
+        threshold = 0.9)
+        .awaitTermination(180000)
+    }
+    run()
+    val epoch1 = spark.read.parquet(s"$outDir/batch=*")
+    val ids1 = epoch1.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids1.contains(20000L), "history collider must be dropped")
+    assert((1000L until 1030L).forall(ids1.contains), ids1.toSeq.sorted.mkString(","))
+    // survivors' signatures were appended (this OUTER session resolved
+    // the table pre-append, so it must refresh — the appending session
+    // refreshes itself, it cannot reach ours)
+    spark.catalog.refreshTable("ingest_mh_idx")
+    assert(spark.table("ingest_mh_idx").count() === idxBefore + 30)
+
+    // epoch 2: one copy of an epoch-1 survivor (must now collide) and
+    // one genuinely new doc — the index REMEMBERS the prior epoch
+    val epoch2 = Seq(
+      (2000L, (1 to 25).map(t => s"epoch one unique doc 3 token $t").mkString(" ")),
+      (2001L, (1 to 25).map(t => s"epoch two brand new doc token $t").mkString(" "))
+    ).toDF("doc_id", "text")
+    stamp(epoch2).write.mode("append").parquet(srcDir)
+    run()
+    val ids2 = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids2.contains(2000L), "epoch-1 survivor copy must collide via the appended index")
+    assert(ids2.contains(2001L), ids2.toSeq.sorted.mkString(","))
+  }
+
   test("source rollup emits exactly the closed windows of the batch aggregation") {
     val srcDir = tmp("graft_ingest_src2")
     writeMain(srcDir)
