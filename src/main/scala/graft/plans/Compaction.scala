@@ -10,41 +10,77 @@ import org.apache.spark.sql.SparkSession
   * 100 TB table read through them pays a task per file and a namenode
   * round-trip per footer. Compaction rewrites the accumulated batches
   * into target-size files: read once, repartition to
-  * ⌈bytes/targetFileBytes⌉, write once, atomically swap directories.
+  * ⌈bytes/targetFileBytes⌉, write once, swap directories.
   *
-  * Scale shape: ONE wide job. The read enumerates the existing files
-  * (bytes measured from the file listing, not an estimate), the
+  * Scale shape: ONE wide job. The input is measured from a single
+  * recursive listing (bytes AND file count — no estimates), the
   * repartition is the single shuffle (round-robin — compaction has no
   * key; callers who need co-location recompact through
-  * [[ScaleJoins.writeBucketed]] instead), and the write lands in a
-  * sibling temp directory that replaces the input only after success —
-  * a failed compaction leaves the source untouched. Run it from ONE
-  * coordinator per dataset (the swap is not concurrency-safe against
-  * a second compactor or a writer appending mid-compaction; pause the
-  * stream or point it at a new epoch directory first — the same
-  * contract every table-maintenance job has).
+  * [[ScaleJoins.writeBucketed]] instead; catalog BUCKETED tables must
+  * NOT pass through here at all, a blind repartition would scramble
+  * their bucket layout), and the `name=value` partition directory
+  * layout is detected and preserved via `partitionBy`, so a paused
+  * stream can resume appending `batch=<id>` directories afterwards.
+  *
+  * Durability contract, stated exactly: the rewrite lands in a sibling
+  * `<dir>__compact_tmp`; the install is rename(dir → dir__compact_old)
+  * then rename(tmp → dir). An EXCEPTION anywhere rolls back to the
+  * original. A PROCESS DEATH between the two renames leaves the
+  * original intact at `<dir>__compact_old` and nothing at `dir` —
+  * recovery is renaming it back; never delete a `__compact_old`
+  * directory whose `dir` is missing. Run ONE compactor per dataset and
+  * pause writers first (the swap is not concurrency-safe) — the same
+  * contract every table-maintenance job has.
   */
 object Compaction {
 
-  /** Sum of regular-file sizes under `dir` (recursive), via the Hadoop
-    * FS of the active session — works on any filesystem Spark can read.
+  /** One recursive sweep: (data-file count, data-file bytes), both
+    * excluding `_`-prefixed bookkeeping files (`_SUCCESS`, metadata).
     */
-  private def totalBytes(spark: SparkSession, dir: String): Long = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def listData(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): (Long, Long) = {
     val it = fs.listFiles(path, true)
-    var sum = 0L
+    var files = 0L
+    var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && !f.getPath.getName.startsWith("_")) sum += f.getLen
+      if (f.isFile && !f.getPath.getName.startsWith("_")) {
+        files += 1; bytes += f.getLen
+      }
     }
-    sum
+    (files, bytes)
+  }
+
+  /** Walk the first directory chain collecting `name=value` partition
+    * levels — the column names a compacted rewrite must `partitionBy`
+    * to reproduce the layout the readers and the resumed writer expect.
+    */
+  private def partitionColumns(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = root
+    var descend = true
+    while (descend) {
+      val child = fs.listStatus(p).find(s =>
+        s.isDirectory && s.getPath.getName.matches("[^=]+=.+"))
+      child match {
+        case Some(c) =>
+          cols += c.getPath.getName.split("=", 2)(0)
+          p = c.getPath
+        case None => descend = false
+      }
+    }
+    cols.toSeq
   }
 
   /** Compact the parquet dataset at `dir` in place. Returns
-    * (filesBefore, filesAfter). `targetFileBytes` sizes the output
-    * files from the MEASURED input bytes (parquet-to-parquet, so
-    * compression ratio carries over ~1:1).
+    * (dataFilesBefore, dataFilesAfter). `targetFileBytes` sizes the
+    * output files from the MEASURED input bytes (parquet-to-parquet,
+    * so compression ratio carries over ~1:1). Partitioned layouts
+    * (`name=value` directories) are preserved; `parts` is global, so
+    * per-partition file counts follow the data's partition skew.
     */
   def compactParquet(
       spark: SparkSession,
@@ -54,31 +90,28 @@ object Compaction {
     require(targetFileBytes > 0)
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def countFiles(p: org.apache.hadoop.fs.Path): Long = {
-      val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) { if (it.next().isFile) n += 1 }
-      n
-    }
-    val before = countFiles(path)
-    val bytes = totalBytes(spark, dir)
+    val qualified = fs.makeQualified(path)
+    val parent = qualified.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent, qualified.getName + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(parent, qualified.getName + "__compact_old")
+    val (before, bytes) = listData(fs, qualified)
+    val partCols = partitionColumns(fs, qualified)
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(dir + "__compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(dir)
+    val writer = spark.read.parquet(dir)
       .repartition(parts)
-      .write.mode("overwrite").parquet(tmp.toString)
-    // swap: src -> old, tmp -> src, drop old. The window between the
-    // two renames is the only non-atomic instant; a reader racing it
-    // sees a missing directory, never a half-written one
-    if (!fs.rename(path, old))
+      .write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(tmp.toString)
+    // swap: src -> old, tmp -> src, drop old (see the durability
+    // contract in the object doc)
+    if (!fs.rename(qualified, old))
       throw new java.io.IOException(s"compaction swap failed moving $dir aside")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(old, path) // restore
+    if (!fs.rename(tmp, qualified)) {
+      fs.rename(old, qualified) // restore
       throw new java.io.IOException(s"compaction swap failed installing $tmp")
     }
     fs.delete(old, true)
-    (before, countFiles(path))
+    (before, listData(fs, qualified)._1)
   }
 }

@@ -104,20 +104,32 @@ object CorpusIngest {
     * composed with the PERSISTENT near-dup history — each micro-batch
     * is checked against the materialized signature index
     * ([[Dedup.portableMinhashPairsAgainstIndex]]: history never
-    * re-signatured, scan bucket-pruned to the batch's blocking keys),
+    * re-signatured, scan bucket-pruned to the batch's blocking keys)
+    * AND against itself ([[Dedup.portableMinhashPairs]], keep-first by
+    * id — two near-dups arriving in one batch must not both survive),
     * colliders are dropped, and the survivors' signatures are appended
     * ([[Dedup.appendToMinhashIndex]]) so the NEXT batch sees them.
     * This closes the gap [[clean]]'s watermark-horizon dedup leaves:
-    * the stream state covers near-horizon repeats, the index covers
-    * all history, and together an arriving document is checked against
-    * everything ever accepted.
+    * the stream state covers near-horizon exact repeats, the index
+    * covers all history, the self-pass covers the same batch, and
+    * together an arriving document is checked against everything ever
+    * accepted.
     *
-    * Replay semantics: the parquet rows stay exactly-once
-    * (`batch=<id>` overwrite), but a replayed batch RE-APPENDS its
-    * signatures — duplicate index rows never change which documents
-    * collide (see [[Dedup.appendToMinhashIndex]]), they only waste
-    * index bytes; compact occasionally by rebuilding with
-    * [[Dedup.writeMinhashIndex]] over the accepted corpus.
+    * Replay semantics: same-id index hits are EXCLUDED from the
+    * collision set — a replayed batch (crash between the parquet write
+    * and the offset commit) re-encounters its own appended signatures,
+    * and without the exclusion every document would self-collide and
+    * the idempotent `batch=<id>` overwrite would replace the previous
+    * run's survivors with an EMPTY set. With it, a replay recomputes
+    * the same survivor set (ids are pipeline-unique by contract), the
+    * parquet overwrite is idempotent, and the only replay residue is
+    * duplicate signature ROWS in the index — which never change which
+    * documents collide (see [[Dedup.appendToMinhashIndex]]), only
+    * waste index bytes; compact occasionally by rebuilding with
+    * [[Dedup.writeMinhashIndex]] over the accepted corpus. The
+    * per-batch signature cache is released after each append, so a
+    * perpetual stream holds one batch's cache at a time, not one per
+    * batch ever processed.
     */
   def startWithIndex(
       cleaned: DataFrame,
@@ -138,9 +150,17 @@ object CorpusIngest {
         val spark = batch.sparkSession
         val hits = Dedup.portableMinhashPairsAgainstIndex(
           spark, indexTable, batch, idCol, textCol, n, k, threshold)
-        val survivors = batch.join(
-          hits.select(col("batch_id").as(idCol)).distinct(),
-          Seq(idCol), "left_anti")
+          .filter(col("batch_id") =!= col("index_id"))
+        // intra-batch near-dups: keep-first by id (pairs come id_a <
+        // id_b, so dropping every id_b keeps exactly the lowest id of
+        // each duplicate neighborhood)
+        val selfDups = Dedup.portableMinhashPairs(
+          batch, idCol, textCol, n, k, threshold)
+          .select(col("id_b").as(idCol)).distinct()
+        val survivors = batch
+          .join(hits.select(col("batch_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .join(selfDups, Seq(idCol), "left_anti")
           // the anti-join input is re-derived from the batch TWICE
           // (write + append below): localCheckpoint pins one result so
           // the two consumers can't diverge on a re-computed batch
@@ -149,6 +169,11 @@ object CorpusIngest {
           .mode("overwrite")
           .parquet(s"$destDir/batch=$batchId")
         Dedup.appendToMinhashIndex(spark, indexTable, survivors, idCol, textCol, n, k)
+        // release this batch's signature cache (persistOnce'd inside
+        // the index check) — a perpetual stream must not accumulate
+        // one cache entry per micro-batch forever
+        org.apache.spark.sql.graftbridge.CacheBridge.uncache(
+          Dedup.portableMinhashSignatures(batch, idCol, textCol, n, k))
       }
       .start()
 }

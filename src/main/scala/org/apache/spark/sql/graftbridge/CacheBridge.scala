@@ -22,6 +22,19 @@ object CacheBridge {
     df
   }
 
+  /** Drop the cache entry for `df`'s plan (no-op when absent) — the
+    * release valve for loops that would otherwise accumulate one
+    * [[persistOnce]] entry per iteration (a perpetual stream's
+    * per-batch signature frames). Non-cascading: derived cached plans
+    * stay.
+    */
+  def uncache(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    spark.sharedState.cacheManager.uncacheQuery(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed, cascade = false)
+  }
+
   /** Whether an equivalent plan is already registered with the cache.
     * The lookup must see the ANALYZED plan: `lookupCachedData`
     * normalizes but never analyzes, so an unresolved logical plan

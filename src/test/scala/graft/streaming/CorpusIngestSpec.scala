@@ -78,21 +78,34 @@ class CorpusIngestSpec extends SparkSpec {
     val srcDir = tmp("graft_ingest_idx_src")
     val outDir = tmp("graft_ingest_idx_out")
     val ckpt = tmp("graft_ingest_idx_ckpt")
-    // epoch 1: 30 unique synthetic docs + one verbatim copy of history
-    // doc 7 (must collide with the index and drop)
-    val fresh = (0 until 30).map(i =>
-      (1000L + i, (1 to 25).map(t => s"epoch one unique doc $i token $t").mkString(" ")))
+    // epoch 1: 30 unique synthetic docs, one verbatim copy of history
+    // doc 7 (must collide with the index and drop), and an intra-batch
+    // near-dup PAIR (1050/1051: same text + a trailing marker — exact
+    // fingerprints differ so clean() passes both; the self-pass must
+    // keep only the lower id)
+    // every token carries the doc tag: distinct docs share NO shingles
+    // (a shared template would make the fresh docs near-dup EACH OTHER
+    // and the self-pass would rightly thin them)
+    def phrase(tag: String) = (1 to 25).map(t => s"${tag}w$t").mkString(" ")
+    val fresh = (0 until 30).map(i => (1000L + i, phrase(s"e1d$i")))
       .toDF("doc_id", "text")
+    val pair = Seq(
+      (1050L, phrase("pairdoc")),
+      (1051L, phrase("pairdoc") + " trailing extra marker")
+    ).toDF("doc_id", "text")
     val copied = history.filter(col("doc_id") === 7)
       .select(lit(20000L).as("doc_id"), col("text"))
-    stamp(fresh.union(copied)).write.mode("overwrite").parquet(srcDir)
+    stamp(fresh.union(pair).union(copied)).write.mode("overwrite").parquet(srcDir)
 
     def run(): Unit = {
       val cleaned = CorpusIngest.clean(
         CorpusIngest.documentsStream(spark, srcDir), minQuality = 0.0,
         watermark = "1 hour")
+      // 0.75 = 6 of 8 components: the near-dup cases land at 7-8/8 and
+      // unrelated docs at 0/8 (verified offline), so the gate has two
+      // components of margin on each side
       CorpusIngest.startWithIndex(cleaned, outDir, ckpt, "ingest_mh_idx",
-        threshold = 0.9)
+        threshold = 0.75)
         .awaitTermination(180000)
     }
     run()
@@ -100,23 +113,27 @@ class CorpusIngestSpec extends SparkSpec {
     val ids1 = epoch1.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!ids1.contains(20000L), "history collider must be dropped")
     assert((1000L until 1030L).forall(ids1.contains), ids1.toSeq.sorted.mkString(","))
+    // intra-batch near-dup pair: keep-first by id
+    assert(ids1.contains(1050L) && !ids1.contains(1051L), ids1.toSeq.sorted.mkString(","))
     // survivors' signatures were appended (this OUTER session resolved
     // the table pre-append, so it must refresh — the appending session
     // refreshes itself, it cannot reach ours)
     spark.catalog.refreshTable("ingest_mh_idx")
-    assert(spark.table("ingest_mh_idx").count() === idxBefore + 30)
+    assert(spark.table("ingest_mh_idx").count() === idxBefore + 31)
 
-    // epoch 2: one copy of an epoch-1 survivor (must now collide) and
-    // one genuinely new doc — the index REMEMBERS the prior epoch
+    // epoch 2: a NEAR-dup of an epoch-1 survivor (trailing marker, so
+    // its exact fingerprint dodges clean()'s watermark state and only
+    // the appended INDEX can catch it) and one genuinely new doc —
+    // the index remembers the prior epoch
     val epoch2 = Seq(
-      (2000L, (1 to 25).map(t => s"epoch one unique doc 3 token $t").mkString(" ")),
-      (2001L, (1 to 25).map(t => s"epoch two brand new doc token $t").mkString(" "))
+      (2000L, phrase("e1d3") + " trailing extra marker"),
+      (2001L, phrase("e2new"))
     ).toDF("doc_id", "text")
     stamp(epoch2).write.mode("append").parquet(srcDir)
     run()
     val ids2 = spark.read.parquet(s"$outDir/batch=*")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(!ids2.contains(2000L), "epoch-1 survivor copy must collide via the appended index")
+    assert(!ids2.contains(2000L), "epoch-1 survivor near-dup must collide via the appended index")
     assert(ids2.contains(2001L), ids2.toSeq.sorted.mkString(","))
   }
 
