@@ -116,7 +116,8 @@ object Bench {
       ",\"minhash\":\"n3 k64 b16 t1.0 cap1000 planted\"" +
       ",\"lsh\":\"6x6bit k5 planted\",\"ivf\":\"c16 p4 k5 planted\"" +
       ",\"spans\":\"w12 sel4 min2\",\"semdedup\":\"c16 t0.8 planted\"" +
-      ",\"sq\":\"int8 sl32 k5\",\"ivfsq\":\"c16 p4 int8 sl32 k5\"}"
+      ",\"sq\":\"int8 sl32 k5\",\"ivfsq\":\"c16 p4 int8 sl32 k5\"" +
+      ",\"bpe\":\"m64 dict\",\"knnivf\":\"c16 p4 k7 sl32\",\"mhidx\":\"n3 k8 b8\"}"
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"params":$params,"sf":"$sfDir"}""")
     spark.stop()
   }
