@@ -28,7 +28,11 @@ import org.apache.spark.sql.SparkSession
   * original. A PROCESS DEATH between the two renames leaves the
   * original intact at `<dir>__compact_old` and nothing at `dir` —
   * recovery is renaming it back; never delete a `__compact_old`
-  * directory whose `dir` is missing. Run ONE compactor per dataset and
+  * directory whose `dir` is missing. [[compactParquet]] performs that
+  * recovery itself when re-run in this state, and REFUSES to run when
+  * both `dir` and `__compact_old` exist (ambiguous: a death after
+  * install but before cleanup, or a second compactor) — the pre-clean
+  * only ever deletes `__compact_tmp`. Run ONE compactor per dataset and
   * pause writers first (the swap is not concurrency-safe) — the same
   * contract every table-maintenance job has.
   */
@@ -94,10 +98,32 @@ object Compaction {
     val parent = qualified.getParent
     val tmp = new org.apache.hadoop.fs.Path(parent, qualified.getName + "__compact_tmp")
     val old = new org.apache.hadoop.fs.Path(parent, qualified.getName + "__compact_old")
+    // Crash-state triage BEFORE any delete, enforcing the durability
+    // contract above. A death between the two install renames leaves
+    // dir missing and the ONLY copy of the data at __compact_old —
+    // recover it by renaming back, never by deleting. Both present is
+    // ambiguous (death after install but before old-cleanup, or a
+    // concurrent compactor): refuse and let the operator pick a copy.
+    val dirExists = fs.exists(qualified)
+    val oldExists = fs.exists(old)
+    if (!dirExists && oldExists) {
+      if (!fs.rename(old, qualified))
+        throw new java.io.IOException(
+          s"compaction recovery failed renaming $old back to $dir")
+    } else if (!dirExists) {
+      throw new java.io.FileNotFoundException(
+        s"compaction target $dir does not exist")
+    } else if (oldExists) {
+      throw new java.io.IOException(
+        s"refusing to compact $dir: leftover $old exists alongside the " +
+          "dataset (a previous run died after installing the compacted " +
+          "copy but before cleanup, or another compactor is running) — " +
+          "inspect and remove one copy first")
+    }
     val (before, bytes) = listData(fs, qualified)
     val partCols = partitionColumns(fs, qualified)
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    fs.delete(tmp, true); fs.delete(old, true)
+    fs.delete(tmp, true)
     val writer = spark.read.parquet(dir)
       .repartition(parts)
       .write.mode("overwrite")

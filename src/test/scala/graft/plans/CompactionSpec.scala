@@ -36,6 +36,60 @@ class CompactionSpec extends SparkSpec {
     assert(resumed.filter(col("batch") === 12).count() === 50)
   }
 
+  test("compactParquet: crash between the install renames — re-run recovers __compact_old, zero data loss") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString + "/t"
+    (0 until 500).map(i => (i.toLong, s"row $i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    val pre = spark.read.parquet(dir).orderBy("id").collect().map(_.toString).toSeq
+    // stage the documented process-death state: dir renamed aside to
+    // __compact_old, nothing installed at dir (death between the two
+    // renames); a stale __compact_tmp may also be present
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val old = new org.apache.hadoop.fs.Path(qualified.getParent, qualified.getName + "__compact_old")
+    val tmp = new org.apache.hadoop.fs.Path(qualified.getParent, qualified.getName + "__compact_tmp")
+    assert(fs.rename(qualified, old))
+    fs.mkdirs(tmp)
+    assert(!fs.exists(qualified) && fs.exists(old))
+    // re-running the compactor must recover the only surviving copy,
+    // not delete it
+    val (before, after) = Compaction.compactParquet(spark, dir, targetFileBytes = 512L << 20)
+    assert(before === 8L, s"before=$before")
+    assert(after < before)
+    assert(!fs.exists(old) && !fs.exists(tmp))
+    val post = spark.read.parquet(dir).orderBy("id").collect().map(_.toString).toSeq
+    assert(post === pre)
+  }
+
+  test("compactParquet: dir and __compact_old both present — refuses loudly, touches neither copy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_both").toString + "/t"
+    (0 until 100).map(i => (i.toLong, s"new $i")).toDF("id", "v").write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val old = new org.apache.hadoop.fs.Path(qualified.getParent, qualified.getName + "__compact_old")
+    (0 until 100).map(i => (i.toLong, s"old $i")).toDF("id", "v").write.parquet(old.toString)
+    val preDir = spark.read.parquet(dir).orderBy("id").collect().map(_.toString).toSeq
+    val preOld = spark.read.parquet(old.toString).orderBy("id").collect().map(_.toString).toSeq
+    val ex = intercept[java.io.IOException] {
+      Compaction.compactParquet(spark, dir)
+    }
+    assert(ex.getMessage.contains("refusing"))
+    // both copies survive untouched for the operator to adjudicate
+    assert(spark.read.parquet(dir).orderBy("id").collect().map(_.toString).toSeq === preDir)
+    assert(spark.read.parquet(old.toString).orderBy("id").collect().map(_.toString).toSeq === preOld)
+  }
+
+  test("compactParquet: missing dataset with no recovery copy fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_none").toString + "/absent"
+    intercept[java.io.FileNotFoundException] {
+      Compaction.compactParquet(spark, dir)
+    }
+  }
+
   test("compactParquet: target sizing yields multiple files when bytes demand it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.operators.{Dedup, TextAnalysis}
+import graft.plans.Compaction
 
 class CorpusIngestSpec extends SparkSpec {
 
@@ -135,6 +136,73 @@ class CorpusIngestSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!ids2.contains(2000L), "epoch-1 survivor near-dup must collide via the appended index")
     assert(ids2.contains(2001L), ids2.toSeq.sorted.mkString(","))
+  }
+
+  test("startWithIndex → compact → resume: index and batch= layout survive, crash leftover recovered") {
+    import spark.implicits._
+    def phrase(tag: String) = (1 to 25).map(t => s"${tag}w$t").mkString(" ")
+    def stamp(df: org.apache.spark.sql.DataFrame) = df.withColumn("ingest_time",
+      timestamp_micros((lit(3600L) + pmod(col("doc_id"), lit(500L)) * 60L) * 1000000L))
+    val srcDir = tmp("graft_ic_src")
+    val outDir = tmp("graft_ic_out") + "/corpus"
+    val ckpt = tmp("graft_ic_ckpt")
+    val history = Seq((1L, phrase("hist1")), (2L, phrase("hist2"))).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(history, "doc_id", "text", "ingest_compact_idx", buckets = 4)
+
+    def run(): Unit = {
+      val cleaned = CorpusIngest.clean(
+        CorpusIngest.documentsStream(spark, srcDir), minQuality = 0.0,
+        watermark = "1 hour")
+      CorpusIngest.startWithIndex(cleaned, outDir, ckpt, "ingest_compact_idx",
+        threshold = 0.75)
+        .awaitTermination(180000)
+    }
+    // epoch 1: 12 fresh docs through the indexed ingest
+    stamp((0 until 12).map(i => (1000L + i, phrase(s"c1d$i"))).toDF("doc_id", "text"))
+      .write.mode("overwrite").parquet(srcDir)
+    run()
+    val pre = spark.read.parquet(outDir)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(pre.length === 12)
+
+    // stage the worst mid-sequence crash state: the dataset renamed
+    // aside to __compact_old, nothing at outDir (a compactor died
+    // between its two install renames while the stream was paused)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
+    val old = new org.apache.hadoop.fs.Path(qualified.getParent,
+      qualified.getName + "__compact_old")
+    assert(fs.rename(qualified, old))
+    // re-running compaction recovers the leftover, then compacts;
+    // batch= partition layout preserved for the resumed writer
+    Compaction.compactParquet(spark, outDir, targetFileBytes = 512L << 20)
+    assert(!fs.exists(old))
+    val compacted = spark.read.parquet(outDir)
+    assert(compacted.columns.contains("batch"))
+    assert(compacted.select("doc_id", "text").orderBy("doc_id")
+      .collect().map(_.toString).toSeq === pre)
+    val epoch1MaxBatch = compacted.agg(max(col("batch").cast("long")))
+      .collect()(0).getLong(0)
+
+    // epoch 2 resumes the SAME checkpoint over the compacted dataset:
+    // a near-dup of an epoch-1 survivor (only the index can catch it)
+    // must drop, a new doc must land in a fresh batch= directory
+    stamp(Seq(
+      (2000L, phrase("c1d3") + " trailing extra marker"),
+      (2001L, phrase("c2new"))
+    ).toDF("doc_id", "text")).write.mode("append").parquet(srcDir)
+    run()
+    val post = spark.read.parquet(outDir)
+    val ids = post.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2000L), "post-compaction index must still catch the near-dup")
+    assert(ids.contains(2001L), ids.toSeq.sorted.mkString(","))
+    assert(post.count() === 13)
+    // the resumed stream appended a NEW batch= directory beside the
+    // compacted ones
+    assert(post.filter(col("batch").cast("long") > epoch1MaxBatch &&
+      col("doc_id") === 2001L).count() === 1)
   }
 
   test("source rollup emits exactly the closed windows of the batch aggregation") {
