@@ -11,14 +11,15 @@ import org.apache.spark.sql.types._
   * column — the Scala analog of a Pandas-UDF batch stage.
   *
   * [[Decoders]] carries two REAL pure-JVM codecs (P6/PPM and
-  * uncompressed 24-bit BMP — full header + pixel-plane parses) and a
-  * deterministic Karp–Rabin fake standing in for the jpg/png/ffmpeg
-  * codecs this container doesn't ship. The resize stage really
-  * resamples decodable pixels (nearest-neighbor, re-encoded P6).
-  * Everything around the per-payload call — schema, batching,
-  * partition flow, output shape — is the real production plumbing;
-  * swapping the fake for a JNI/javacpp decoder is a one-function
-  * change.
+  * uncompressed 24-bit BMP — full header + pixel-plane parses), the
+  * JDK's ImageIO readers (PNG/JPEG/GIF — real decodes, no new
+  * dependency), and a deterministic Karp–Rabin fake standing in for
+  * the remaining codecs (video/audio — ffmpeg-class work the JVM
+  * doesn't ship). The resize stage really resamples decodable pixels
+  * (nearest-neighbor, re-encoded P6). Everything around the
+  * per-payload call — schema, batching, partition flow, output
+  * shape — is the real production plumbing; swapping the fake for a
+  * JNI/javacpp media decoder is a one-function change.
   */
 object Multimodal {
 
@@ -52,7 +53,7 @@ object Multimodal {
     StructField("features", ArrayType(FloatType))
   ))
 
-  /** Payload decoders. Three codecs behind one dispatch:
+  /** Payload decoders. Four codec tiers behind one dispatch:
     *
     *  - a REAL pure-JVM P6 (binary PPM) parser — header (magic,
     *    whitespace/comments, width, height, maxval) plus the full RGB
@@ -60,17 +61,20 @@ object Multimodal {
     *  - a REAL pure-JVM uncompressed 24-bit BMP parser — BITMAPFILEHEADER
     *    + BITMAPINFOHEADER, 4-byte row padding, bottom-up AND top-down
     *    orientations, BGR order — same corrupt-input rejection;
-    *  - the deterministic Karp–Rabin fake for every other payload
+    *  - the JDK's ImageIO readers ([[imageIoRaster]]) — REAL PNG/JPEG/
+    *    GIF decodes via `javax.imageio`, zero new dependencies;
+    *  - the deterministic Karp–Rabin fake for every remaining payload
     *    (`acc*31 + code mod 1e9+7` over the normalized UTF-8 text, the
     *    same kernel as [[graft.functions.KrHashExpression]]), standing
-    *    in for the jpg/png/ffmpeg codecs this container doesn't ship.
+    *    in for ffmpeg-class video/audio codecs the JVM doesn't ship.
     *    Its exact modular arithmetic keeps the decode *plumbing* under
     *    a full cross-engine rows+schema+hash gate.
     *
-    * Both real codecs parse to one [[Raster]] shape (geometry + a pixel
-    * accessor over the original bytes — no plane copy), so the feature
-    * stats and the [[Multimodal.resize]] resample are written once and
-    * serve every decodable format. Swapping the fake for a JNI/javacpp
+    * Every real codec parses to one [[Raster]] shape (geometry + a
+    * pixel accessor — zero-copy over the payload bytes for P6/BMP, a
+    * flattened RGB plane for ImageIO formats), so the feature stats
+    * and the [[Multimodal.resize]] resample are written once and serve
+    * every decodable format. Swapping the fake for a JNI/javacpp media
     * decoder is a one-function change.
     */
   object Decoders {
@@ -190,8 +194,64 @@ object Multimodal {
         bottomUp = hRaw > 0, bgr = true))
     }
 
+    /** JDK ImageIO decode (PNG/JPEG/GIF/BMP — whatever readers the JVM
+      * registers) normalized into the same [[Raster]] shape as the
+      * hand-rolled codecs: the decoded ARGB plane is flattened to a
+      * packed RGB byte plane so [[rasterStats]] and
+      * [[resampleNearestP6]] serve ImageIO formats unchanged. Format
+      * name comes from the matched reader (`"jpeg"`, `"png"`, `"gif"`),
+      * lowercased. Corrupt or unrecognized payloads — no registered
+      * reader claims the magic, or the codec throws mid-decode — return
+      * None and degrade to the fallback, the same contract as
+      * [[parsePpm]]/[[parseBmp]]; a decode failure must never kill a
+      * 100 TB partition.
+      */
+    private[operators] def imageIoRaster(bytes: Array[Byte]): Option[Raster] = {
+      if (bytes == null || bytes.length < 8) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT) match {
+              case "jpg" => "jpeg"
+              case other => other
+            }
+            val img = reader.read(0)
+            val w = img.getWidth
+            val h = img.getHeight
+            if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue - 64) return None
+            val plane = new Array[Byte](w * h * 3)
+            val rowBuf = new Array[Int](w)
+            var y = 0
+            var o = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, rowBuf, 0, w)
+              var x = 0
+              while (x < w) {
+                val p = rowBuf(x)
+                plane(o) = (p >> 16).toByte
+                plane(o + 1) = (p >> 8).toByte
+                plane(o + 2) = p.toByte
+                o += 3; x += 1
+              }
+              y += 1
+            }
+            Some(new Raster(fmt, w, h, 255, plane, 0, w * 3,
+              bottomUp = false, bgr = false))
+          } finally reader.dispose()
+        } finally if (iis != null) iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
     private[operators] def parseRaster(bytes: Array[Byte]): Option[Raster] =
-      parsePpm(bytes).orElse(parseBmp(bytes))
+      parsePpm(bytes).orElse(parseBmp(bytes)).orElse(imageIoRaster(bytes))
 
     /** The shared feature extractor (all in [0, 1], one pass over the
       * plane): mean R/G/B, mean/min/max luminance (ITU-R 601 weights),
@@ -236,10 +296,10 @@ object Multimodal {
     def decodeBmp(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] =
       parseBmp(bytes).map(r => (r.format, r.width, r.height, rasterStats(r)))
 
-    /** Deterministic fake for payloads neither real codec accepts (no
-      * jpg/png codec in this container): format/dims/features from the
-      * portable KR fingerprint — exact modular arithmetic a SQL oracle
-      * reproduces.
+    /** Deterministic fake for payloads no real codec accepts (text
+      * standing in for video/audio media): format/dims/features from
+      * the portable KR fingerprint — exact modular arithmetic a SQL
+      * oracle reproduces.
       */
     def decodeFake(bytes: Array[Byte]): (String, Int, Int, Array[Float]) = {
       val h = graft.functions.KrHashExpression.compute(
@@ -315,13 +375,14 @@ object Multimodal {
 
   /** Resize stage: payload → payload at (width × height), meta
     * rewritten. Same `mapPartitions` batch shape as [[decodeFeatures]].
-    * Payloads either real codec accepts (P6/PPM, uncompressed 24-bit
-    * BMP) are ACTUALLY resampled — nearest-neighbor over the decoded
-    * pixel plane, re-encoded as P6 ([[Decoders.resampleNearestP6]]) —
-    * with `format`/`width`/`height` reporting the produced image.
-    * Undecodable payloads pass through byte-identical with NULL
-    * format/dims (honest "couldn't resize", never fabricated metadata);
-    * a jpg/png/ffmpeg codec would slot into the same dispatch.
+    * Payloads any real codec accepts (P6/PPM, uncompressed 24-bit BMP,
+    * and the ImageIO formats — PNG/JPEG/GIF) are ACTUALLY resampled —
+    * nearest-neighbor over the decoded pixel plane, re-encoded as P6
+    * ([[Decoders.resampleNearestP6]]) — with `format`/`width`/`height`
+    * reporting the produced image. Undecodable payloads pass through
+    * byte-identical with NULL format/dims (honest "couldn't resize",
+    * never fabricated metadata); an ffmpeg-class media codec would
+    * slot into the same dispatch.
     */
   def resize(df: DataFrame, idCol: String, binCol: String,
       width: Int, height: Int): DataFrame = {

@@ -209,4 +209,98 @@ class MultimodalSpec extends SparkSpec {
     val bplane = bout.getAs[Array[Byte]]("payload").drop("P6\n1 1\n255\n".length)
     assert(bplane.map(_ & 0xff).toSeq === Seq(5, 5, 5), "top-left pixel of the image")
   }
+
+  /** Encode a pixel grid (rows of 0xRRGGBB) through the JDK's own
+    * ImageIO writer — the golden images are generated, not checked in,
+    * so the decode assertions compare against the exact pixels planted.
+    */
+  private def imageIoBytes(fmt: String, pixels: Seq[Seq[Int]]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels.head.length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+    baos.toByteArray
+  }
+
+  test("png decode via ImageIO: real decode, stats exactly equal to the P6 twin's") {
+    val pixels = Seq(
+      Seq(0xff0000, 0x00ff00),
+      Seq(0x0000ff, 0x102030))
+    val png = imageIoBytes("png", pixels)
+    val Some((fmt, w, h, feats)) = Some(Multimodal.Decoders.decode(png))
+    assert(fmt === "png" && w === 2 && h === 2)
+    // PNG is lossless: the same pixel plane as P6 must yield the SAME
+    // feature vector bit-for-bit (one shared stats kernel)
+    val twin = ppm("P6\n2 2\n255\n",
+      pixels.flatten.flatMap(p => Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)): _*)
+    val Some((_, _, _, twinFeats)) = Multimodal.Decoders.decodePpm(twin)
+    assert(feats.toSeq === twinFeats.toSeq)
+  }
+
+  test("gif decode via ImageIO: raster normalization matches the JDK's own decode exactly") {
+    // NOTE: the JDK GIF *writer* is itself lossy on small indexed
+    // images (it phase-shifts rows — verified with a standalone
+    // ImageIO.write/read probe), so planted pixels can't be the golden
+    // source. The decode contract under test is faithfulness: our
+    // Raster must carry exactly the pixels ImageIO.read produces for
+    // those bytes.
+    val pixels = Seq(Seq(0xffffff, 0x000000), Seq(0x000000, 0xffffff))
+    val gif = imageIoBytes("gif", pixels)
+    val (fmt, w, h, feats) = Multimodal.Decoders.decode(gif)
+    assert(fmt === "gif" && w === 2 && h === 2)
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    val twin = ppm("P6\n2 2\n255\n",
+      (for (y <- 0 until 2; x <- 0 until 2; c <- Seq(16, 8, 0))
+        yield (jdk.getRGB(x, y) >> c) & 0xff): _*)
+    val Some((_, _, _, twinFeats)) = Multimodal.Decoders.decodePpm(twin)
+    assert(feats.toSeq === twinFeats.toSeq)
+  }
+
+  test("jpeg decode via ImageIO: exact dims, channel stats within lossy tolerance") {
+    // uniform mid-gray: JPEG's DCT round-trip stays within a few codes
+    val pixels = Seq.fill(8)(Seq.fill(8)(0x808080))
+    val jpg = imageIoBytes("jpg", pixels)
+    val (fmt, w, h, feats) = Multimodal.Decoders.decode(jpg)
+    assert(fmt === "jpeg" && w === 8 && h === 8)
+    val expected = 0x80 / 255.0f
+    assert(math.abs(feats(3) - expected) < 0.02f, s"meanLum ${feats(3)}")
+    assert(feats(6) < 0.05f, s"contrast ${feats(6)} should be ~0 for a uniform image")
+  }
+
+  test("imageio: corrupt payload behind a real magic degrades to the fake, never throws") {
+    // a PNG signature followed by garbage: the PNG reader claims it,
+    // then fails mid-decode — the dispatch must degrade, not throw
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++
+      Array.fill[Byte](64)(0x5a)
+    assert(Multimodal.Decoders.imageIoRaster(corrupt).isEmpty)
+    val (fmt, _, _, feats) = Multimodal.Decoders.decode(corrupt)
+    assert(Set("png", "jpg").contains(fmt)) // the KR fake's label space
+    assert(feats.length === Multimodal.Decoders.featureDim)
+    // and resize passes it through byte-identical with NULL dims
+    import spark.implicits._
+    val out = Multimodal.resize(
+      Seq((1L, corrupt)).toDF("id", "payload"), "id", "payload", 2, 2).collect()(0)
+    assert(out.getAs[Array[Byte]]("payload").toSeq === corrupt.toSeq)
+    assert(out.isNullAt(out.fieldIndex("width")))
+  }
+
+  test("resize really resamples PNG payloads through the shared kernel") {
+    import spark.implicits._
+    // 4x4 quadrants; 2x2 nearest-neighbor picks (0,0),(2,0),(0,2),(2,2)
+    val q = Seq(
+      Seq(0xff0000, 0xff0000, 0x00ff00, 0x00ff00),
+      Seq(0xff0000, 0xff0000, 0x00ff00, 0x00ff00),
+      Seq(0x0000ff, 0x0000ff, 0xffffff, 0xffffff),
+      Seq(0x0000ff, 0x0000ff, 0xffffff, 0xffffff))
+    val png = imageIoBytes("png", q)
+    val out = Multimodal.resize(
+      Seq((1L, png)).toDF("id", "payload"), "id", "payload", 2, 2).collect()(0)
+    assert(out.getAs[String]("format") === "ppm")
+    val bytes = out.getAs[Array[Byte]]("payload")
+    val plane = bytes.drop("P6\n2 2\n255\n".length).map(_ & 0xff).toSeq
+    assert(plane === Seq(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255), plane)
+  }
 }
