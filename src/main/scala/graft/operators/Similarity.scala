@@ -583,6 +583,10 @@ object Similarity {
       scalarQuantize(col("__cv")).getField("codes").as("__cq"),
       col("__cv"), col("__cn"))
     graft.plans.ScaleJoins.writeBucketed(index, tableName, "__list", buckets)
+    // build-time row count, read back from the just-written table (a
+    // parquet count(*) is metadata-only): the denominator for
+    // [[ivfIndexStats]]'s appended-fraction staleness signal
+    val builtRows = corpus.sparkSession.table(tableName).count()
     // cpos preserves the quantizer's ARRAY ORDER: assignment argmax
     // ties break to the earlier array slot, so appends must rank the
     // stored centroids exactly as the build did — cid order is the
@@ -590,7 +594,8 @@ object Similarity {
     corpus.sparkSession.range(1)
       .select(posexplode(centArr).as(Seq("cpos", "__c")))
       .select(col("cpos").cast("long").as("cpos"), col("__c._1").as("cid"),
-        col("__c._2").as("cvec"), col("__c._3").as("cnorm"))
+        col("__c._2").as("cvec"), col("__c._3").as("cnorm"),
+        lit(builtRows).as("built_rows"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(tableName + "_centroids")
   }
@@ -628,7 +633,9 @@ object Similarity {
     * work, never a rebuild over the full corpus; the bucket count is
     * read from the catalog so an append cannot silently diverge from
     * the table's layout. Rebuild (fresh quantizer) remains the right
-    * move when drift accumulates — that's [[writeIvfSqIndex]].
+    * move when drift accumulates — that's [[writeIvfSqIndex]];
+    * [[isStaleIvfSqIndex]] tells you when, from measured
+    * [[ivfIndexStats]] telemetry.
     */
   def appendToIvfSqIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -654,6 +661,87 @@ object Similarity {
     // sessions that already resolved the table hold a cached file
     // listing; refresh so the appended rows are visible to later reads
     spark.catalog.refreshTable(tableName)
+  }
+
+  /** Staleness telemetry for a materialized IVF-SQ index.
+    *
+    * @param totalRows        rows in the index now
+    * @param builtRows        rows at [[writeIvfSqIndex]] time (stamped
+    *                         in the centroid side table; an index
+    *                         persisted before the stamp existed reports
+    *                         `builtRows = totalRows`, i.e. appends
+    *                         before the upgrade are untracked)
+    * @param appendedFraction (totalRows − builtRows) / totalRows
+    * @param nLists           stored quantizer size
+    * @param maxListRows      hottest inverted list
+    * @param listSkew         maxListRows / (totalRows / nLists) — 1.0
+    *                         is perfectly balanced; the mean counts
+    *                         EMPTY lists, so a collapsed quantizer
+    *                         (everything in few lists) reads high
+    */
+  final case class IvfIndexStats(
+      totalRows: Long,
+      builtRows: Long,
+      appendedFraction: Double,
+      nLists: Int,
+      maxListRows: Long,
+      listSkew: Double)
+
+  /** Measure [[IvfIndexStats]] for an index table: one aggregate over
+    * the bucketed index (per-list counts — at most `nLists` rows reach
+    * the driver) plus the build-time row count from the centroid side
+    * table. Run it between ingest epochs; feed [[isStaleIvfSqIndex]]
+    * or alert on it directly.
+    */
+  def ivfIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): IvfIndexStats = {
+    val nLists = loadCentroids(spark, tableName).size
+    val perList = spark.table(tableName)
+      .groupBy("__list").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val total = perList.sum
+    val centT = spark.table(tableName + "_centroids")
+    val built =
+      if (centT.columns.contains("built_rows"))
+        centT.agg(max(col("built_rows"))).collect()(0).getLong(0)
+      else total
+    val appendedFraction =
+      if (total == 0L) 0.0 else math.max(0L, total - built).toDouble / total
+    val maxList = if (perList.isEmpty) 0L else perList.max
+    val mean = if (nLists == 0) 0.0 else total.toDouble / nLists
+    IvfIndexStats(total, built, appendedFraction, nLists, maxList,
+      if (mean == 0.0) 1.0 else maxList / mean)
+  }
+
+  /** The operational rebuild threshold [[appendToIvfSqIndex]]'s design
+    * requires. Appends pin the stored quantizer (that is what makes
+    * append == rebuild), so centroids NEVER move: under distribution
+    * drift an append-heavy index degrades recall silently — new mass
+    * piles into a few existing lists, and a fixed `nProbe` covers a
+    * shrinking fraction of it. This flags that state from two signals:
+    * the appended fraction (how much of the index the build-time
+    * quantizer never saw) and the list skew (how unbalanced the
+    * inverted lists have become).
+    *
+    * Rebuild recipe when this flips: re-run [[writeIvfSqIndex]] over
+    * the full accepted corpus WITHOUT `pinQuantizerFrom` — the point
+    * of the rebuild is precisely to let the centroids move (pinning is
+    * for append-equivalence proofs and compaction, never for drift
+    * repair) — either over the same table name, or build under a new
+    * name and swap, if queries must not observe a half-built index.
+    * After the rebuild `appendedFraction` is 0 and the fresh quantizer
+    * re-balances the lists; the defaults (half the index unseen by the
+    * quantizer, or one list at 4× the balanced size) are deliberately
+    * loose — tighten per corpus from measured recall.
+    */
+  def isStaleIvfSqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      maxAppendedFraction: Double = 0.5,
+      maxListSkew: Double = 4.0): Boolean = {
+    val s = ivfIndexStats(spark, tableName)
+    s.appendedFraction > maxAppendedFraction || s.listSkew > maxListSkew
   }
 
   /** Query a materialized IVF-SQ index ([[writeIvfSqIndex]]): the

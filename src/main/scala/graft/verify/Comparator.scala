@@ -172,14 +172,48 @@ object Comparator {
       case BinaryType => krHexFold(hex(c))
       // NUMBER(p,s)→decimal is the reference's flagship type mapping
       // (/root/reference/cmd/tablemeta.go:138-139): normalize to
-      // UNSCALED integer units v·10^s — the multiply by the exact
-      // 10^s literal is integral by construction, so the (38,0) cast
-      // is lossless for any p ≤ 38 (v·10^s has at most p digits)
+      // UNSCALED integer units v·10^s. The unscaled VALUE always has
+      // at most p ≤ 38 digits, but Spark TYPES the multiply at
+      // precision p+s+2 — for extreme types that exceeds 38 and the
+      // product could overflow to NULL under non-ANSI semantics,
+      // silently dropping the row from the checksum sum. Three tiers,
+      // none of them silent:
+      //  - p+s+2 ≤ 38 (every mapping the reference's clamps produce):
+      //    the direct multiply, typed exactly;
+      //  - wider types with s ≤ 18 (decimal(38,10) and kin): an exact
+      //    congruence path — [[mix]] only consumes v mod 2^31, and
+      //    c·10^s ≡ pmod(c,2^31)·10^s (mod 2^31), so reduce FIRST
+      //    (bounded type), split integer/fraction, and reassemble in
+      //    64-bit integer arithmetic. Every intermediate is typed
+      //    within 38 digits, so nothing can round or null;
+      //  - s > 18 with an oversized product type: refuse loudly — a
+      //    checksum that might silently drop rows is worse than none.
       case d: DecimalType =>
-        val unscaled =
-          if (d.scale == 0) c
-          else c * lit(new java.math.BigDecimal(java.math.BigInteger.TEN.pow(d.scale)))
-        unscaled.cast(DecimalType(38, 0))
+        if (d.scale == 0) c.cast(DecimalType(38, 0))
+        else if (d.precision + d.scale + 2 <= 38)
+          (c * lit(new java.math.BigDecimal(java.math.BigInteger.TEN.pow(d.scale))))
+            .cast(DecimalType(38, 0))
+        else if (d.scale <= 18) {
+          val m = 2147483648L // 2^31, the modulus mix() reduces by
+          // xm = c mod 2^31 ∈ [0, 2^31): typed (min(p−s,10)+s, s) ≤ 38
+          val xm = pmod(c, lit(m))
+          val i = floor(xm).cast(LongType) // integer part, < 2^31
+          // fractional part < 1 with exactly s digits: decimal(s,s)
+          // holds it exactly; ×10^s is typed 2s+2 ≤ 38 and integral
+          val fu = (
+            (xm - floor(xm)).cast(DecimalType(d.scale, d.scale)) *
+              lit(new java.math.BigDecimal(java.math.BigInteger.TEN.pow(d.scale))))
+            .cast(DecimalType(19, 0)).cast(LongType)
+          val tenPowSModM = java.math.BigInteger.TEN.pow(d.scale)
+            .mod(java.math.BigInteger.valueOf(m)).longValueExact()
+          // i·(10^s mod m) < 2^62 and fu < 10^18: no long overflow
+          pmod(i * lit(tenPowSModM) + fu, lit(m))
+        } else
+          throw new IllegalArgumentException(
+            s"portable checksum cannot normalize decimal(${d.precision},${d.scale}) " +
+              "exactly: the x10^s conversion would be typed past 38 digits and " +
+              "could overflow to NULL silently. Reduce the scale (the reference " +
+              "clamps to <= 30 with p-s headroom) or checksum an explicit cast.")
       case TimestampType => unix_micros(c)
       // parquet TIMESTAMP without zone: interpret in the session zone
       // (the engine sessions pin UTC), matching DuckDB's naive epoch_us

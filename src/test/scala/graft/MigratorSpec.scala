@@ -187,6 +187,43 @@ class MigratorSpec extends SparkSpec {
       mixOf(7L) + mixOf(-3L), r0.toString)
   }
 
+  test("portableChecksum: extreme-precision decimals checksum exactly or fail loudly") {
+    import spark.implicits._
+    // decimal(38,10) types its x10^s multiply past 38 digits, so it
+    // takes the congruence path: mix() only consumes v mod 2^31, and
+    // the reduction happens BEFORE any wide arithmetic. Expected values
+    // computed with driver-side BigInteger over the true unscaled units.
+    def mixOfBig(v: java.math.BigInteger): Long = {
+      val m = v.mod(java.math.BigInteger.valueOf(2147483648L)).longValueExact()
+      java.lang.Math.floorMod(m * 2654435761L, 4294967296L)
+    }
+    // stress every branch: full 28-digit integer headroom, negatives,
+    // sub-1e-7 magnitudes (whose BigDecimal string rendering is
+    // scientific notation — a string-based path would mangle them),
+    // an integer-valued row, and a null
+    val vals = Seq(
+      "1234567890123456789012345678.9876543210",
+      "-9999999999999999999999999999.9999999999",
+      "0.0000000001",
+      "-0.0000000001",
+      "42",
+      null)
+    val df = vals.toDF("raw").select(col("raw").cast("decimal(38,10)").as("d"))
+    val r = Comparator.portableChecksum(df).collect()(0)
+    val expected = vals.filter(_ != null).map { s =>
+      mixOfBig(new java.math.BigDecimal(s).setScale(10).unscaledValue())
+    }.sum
+    assert(r.getAs[java.math.BigDecimal]("d__sum").longValueExact() === expected, r.toString)
+    assert(r.getAs[Long]("d__nulls") === 1L)
+    // the genuinely un-normalizable shape refuses loudly instead of
+    // letting overflowed rows vanish from the sum
+    val wide = Seq("1.5").toDF("raw").select(col("raw").cast("decimal(38,20)").as("d"))
+    val e = intercept[IllegalArgumentException] {
+      Comparator.portableChecksum(wide)
+    }
+    assert(e.getMessage.contains("decimal(38,20)"))
+  }
+
   test("portableChecksum: binary columns fold their hex bytes, empty pins to 0") {
     import spark.implicits._
     val df = Seq(

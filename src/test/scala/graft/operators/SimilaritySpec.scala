@@ -389,6 +389,64 @@ class SimilaritySpec extends SparkSpec {
     assert(hit.length === 1 && hit(0).getAs[Long]("neighbor_id") === 200L, hit.mkString)
   }
 
+  test("ivf-sq staleness: skewed appends flip isStale, a fresh rebuild restores balance and recall") {
+    import spark.implicits._
+    val base = table("embeddings").select("vec_id", "embedding").filter(col("vec_id") < 240)
+    val dim = base.select("embedding").head().getSeq[Float](0).length
+    Similarity.writeIvfSqIndex(base, "vec_id", "embedding", "ivfsq_stale",
+      nCentroids = 4, buckets = 4)
+    val s0 = Similarity.ivfIndexStats(spark, "ivfsq_stale")
+    assert(s0.totalRows === 240L && s0.builtRows === 240L)
+    assert(s0.appendedFraction === 0.0 && s0.nLists === 4)
+    assert(!Similarity.isStaleIvfSqIndex(spark, "ivfsq_stale",
+      maxAppendedFraction = 0.3, maxListSkew = 1e9))
+
+    // drift: 160 appended vectors from a region the quantizer never
+    // saw (one far-off direction, DISTINCT vectors — identical rows
+    // would later be sampled as duplicate centroids and collapse the
+    // rebuild quantizer) — they all pile into whichever existing list
+    // is nearest, the exact silent-degradation shape
+    // one dominant axis + tiny per-row jitter: every drifted vector's
+    // nearest-centroid argmax is the SAME base centroid (stable under
+    // the jitter), yet the rows stay distinct
+    def far(i: Int) = Array.tabulate(dim)(j =>
+      if (j == 0) 10f else ((i * 31 + j) % 7) * 0.001f)
+    val batch = (0 until 160).map(i => (10000L + i, far(i))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfSqIndex(spark, "ivfsq_stale", batch, "vec_id", "embedding")
+    val s1 = Similarity.ivfIndexStats(spark, "ivfsq_stale")
+    assert(s1.totalRows === 400L && s1.builtRows === 240L)
+    assert(math.abs(s1.appendedFraction - 0.4) < 1e-9)
+    // every appended row landed in ONE list: the hottest list holds at
+    // least all 160 of them vs a balanced 100
+    assert(s1.maxListRows >= 160L, s1.toString)
+    assert(s1.listSkew >= 1.6, s1.toString)
+    assert(Similarity.isStaleIvfSqIndex(spark, "ivfsq_stale",
+      maxAppendedFraction = 0.3, maxListSkew = 1e9), "appended-fraction signal")
+    assert(Similarity.isStaleIvfSqIndex(spark, "ivfsq_stale",
+      maxAppendedFraction = 1.0, maxListSkew = 1.5), "list-skew signal")
+
+    // the prescribed repair: rebuild over the full corpus with a FRESH
+    // quantizer (no pinQuantizerFrom — the centroids must move)
+    val union = base.union(batch)
+    Similarity.writeIvfSqIndex(union, "vec_id", "embedding", "ivfsq_rebuilt",
+      nCentroids = 4, buckets = 4)
+    val s2 = Similarity.ivfIndexStats(spark, "ivfsq_rebuilt")
+    assert(s2.totalRows === 400L && s2.builtRows === 400L && s2.appendedFraction === 0.0)
+    assert(!Similarity.isStaleIvfSqIndex(spark, "ivfsq_rebuilt",
+      maxAppendedFraction = 0.3, maxListSkew = 1e9))
+    // the fresh quantizer saw the drifted mass, so the appended region
+    // now has its own list(s): the hottest list shrinks vs the stale index
+    assert(s2.maxListRows < s1.maxListRows, s"stale=$s1 rebuilt=$s2")
+    // recall on a planted query set: a query vector from the drifted
+    // region must find drifted neighbors at full score on the rebuilt
+    // index even at nProbe = 1 — its region earned a dedicated centroid
+    val probe = Seq((999999L, far(80))).toDF("vec_id", "embedding")
+    val hits = Similarity.ivfQuantizedTopKFromIndex(spark, "ivfsq_rebuilt", probe,
+      "vec_id", "embedding", k = 5, nProbe = 1, shortlist = 32).collect()
+    assert(hits.length === 5)
+    assert(hits.forall(_.getAs[Long]("neighbor_id") >= 10000L), hits.mkString(","))
+  }
+
   test("scalarQuantize: codes bounded by 127, zero vector codes to zeros") {
     import spark.implicits._
     val df = Seq(
