@@ -86,9 +86,12 @@ object Bench {
     // LIFECYCLE per rep (state-store init, WAL, micro-batch commits,
     // AvailableNow teardown) — its wall-clock measures that machinery,
     // not operator throughput, and would add ~10 noisy seconds to every
-    // artifact. The CORRECTNESS gate runs it end-to-end; the bench
-    // skips it, declared in params (not a silent cap).
-    val benchSkip = Set("q_stream_ingest_twin")
+    // artifact. The CORRECTNESS gate runs it end-to-end; the full-suite
+    // bench skips it, declared in params (not a silent cap). An
+    // explicit SPARK_GRAFT_ONLY probe overrides the skip — the dev
+    // knob must be able to measure any query.
+    val benchSkip: Set[String] =
+      if (only.isDefined) Set.empty else Set("q_stream_ingest_twin")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
         !benchSkip.contains(n) && only.forall(_.findFirstIn(n).isDefined) }

@@ -898,9 +898,15 @@ object SparkEntry {
       val cleaned = graft.streaming.CorpusIngest.clean(
         graft.streaming.CorpusIngest.documentsStream(s, land),
         minQuality = 0.3, watermark = "1 hour")
-      graft.streaming.CorpusIngest.startWithIndex(cleaned, out, ckpt, idxTable,
+      val sq = graft.streaming.CorpusIngest.startWithIndex(cleaned, out, ckpt, idxTable,
         n = 3, k = 8, threshold = 0.5)
-        .awaitTermination(300000)
+      if (!sq.awaitTermination(300000)) {
+        // fail loudly rather than compare a partial survivor set while
+        // the stream is still writing behind the read
+        sq.stop()
+        throw new IllegalStateException(
+          "q_stream_ingest_twin: ingest stream did not finish within 300 s")
+      }
       s.read.parquet(out).select("doc_id").distinct().orderBy("doc_id")
     }),
     // Incremental near-dup against the MATERIALIZED signature index:

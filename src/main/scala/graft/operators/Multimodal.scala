@@ -209,7 +209,12 @@ object Multimodal {
     private[operators] def imageIoRaster(bytes: Array[Byte]): Option[Raster] = {
       if (bytes == null || bytes.length < 8) return None
       try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // NOT ImageIO.createImageInputStream: with the default
+        // useCache=true that wraps the stream in a disk-backed
+        // FileCacheImageInputStream — a temp file per payload inside
+        // the mapPartitions hot loop. The bytes are already in memory;
+        // the memory-cache stream does zero disk traffic.
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)

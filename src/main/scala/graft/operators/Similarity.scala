@@ -560,7 +560,7 @@ object Similarity {
     // build(base) + appendToIvfSqIndex(batch) (the round-trip spec's
     // equality). Collected eagerly, so pinning a table to itself
     // (re-assign in place) is safe.
-    val (assigned, centArr) = pinQuantizerFrom match {
+    val (assigned, centArr, pinnedBuilt) = pinQuantizerFrom match {
       case Some(src) =>
         val cents = loadCentroids(corpus.sparkSession, src)
         // the stored quantizer REPLACES sampling, so the sampling
@@ -570,23 +570,37 @@ object Similarity {
         require(cents.size == nCentroids,
           s"pinned quantizer $src has ${cents.size} centroids but nCentroids = $nCentroids — " +
             "pass the pinned index's true centroid count")
+        // built_rows means "rows the stored quantizer was trained on":
+        // a pinned rebuild keeps the OLD quantizer, so it must carry
+        // the source's stamp forward — stamping the rebuilt row count
+        // would reset appendedFraction to 0 and silently clear the
+        // staleness signal while recall degradation persists. Read
+        // eagerly (before any overwrite of a table pinned to itself).
+        val srcCent = corpus.sparkSession.table(src + "_centroids")
+        val srcBuilt =
+          if (srcCent.columns.contains("built_rows"))
+            Some(srcCent.agg(max(col("built_rows"))).collect()(0).getLong(0))
+          else None // pre-telemetry source: fall back to the written count
         val arr = typedlit(cents)
         val c = corpus
           .select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
           .withColumn("__cn", VectorFunctions.norm(col("__cv")))
-        (c.withColumn("__list", bestListId(arr, col("__cv"), col("__cn"))), arr)
+        (c.withColumn("__list", bestListId(arr, col("__cv"), col("__cn"))), arr, srcBuilt)
       case None =>
-        ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portableCentroids)
+        val (a, arr) =
+          ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portableCentroids)
+        (a, arr, None)
     }
     val index = assigned.select(
       col("neighbor_id"), col("__list"),
       scalarQuantize(col("__cv")).getField("codes").as("__cq"),
       col("__cv"), col("__cn"))
     graft.plans.ScaleJoins.writeBucketed(index, tableName, "__list", buckets)
-    // build-time row count, read back from the just-written table (a
-    // parquet count(*) is metadata-only): the denominator for
+    // quantizer-training row count: for a fresh build, the just-written
+    // table's count (a parquet count(*) is metadata-only); for a pinned
+    // rebuild, the SOURCE's stamp carried forward — the denominator for
     // [[ivfIndexStats]]'s appended-fraction staleness signal
-    val builtRows = corpus.sparkSession.table(tableName).count()
+    val builtRows = pinnedBuilt.getOrElse(corpus.sparkSession.table(tableName).count())
     // cpos preserves the quantizer's ARRAY ORDER: assignment argmax
     // ties break to the earlier array slot, so appends must rank the
     // stored centroids exactly as the build did — cid order is the
@@ -666,11 +680,15 @@ object Similarity {
   /** Staleness telemetry for a materialized IVF-SQ index.
     *
     * @param totalRows        rows in the index now
-    * @param builtRows        rows at [[writeIvfSqIndex]] time (stamped
-    *                         in the centroid side table; an index
-    *                         persisted before the stamp existed reports
-    *                         `builtRows = totalRows`, i.e. appends
-    *                         before the upgrade are untracked)
+    * @param builtRows        rows the stored quantizer was TRAINED on
+    *                         (stamped in the centroid side table; a
+    *                         `pinQuantizerFrom` rebuild carries the
+    *                         source's stamp forward — the quantizer
+    *                         didn't move, so the signal must not reset.
+    *                         An index persisted before the stamp
+    *                         existed reports `builtRows = totalRows`,
+    *                         i.e. appends before the upgrade are
+    *                         untracked)
     * @param appendedFraction (totalRows − builtRows) / totalRows
     * @param nLists           stored quantizer size
     * @param maxListRows      hottest inverted list

@@ -195,8 +195,15 @@ object Comparator {
             .cast(DecimalType(38, 0))
         else if (d.scale <= 18) {
           val m = 2147483648L // 2^31, the modulus mix() reduces by
-          // xm = c mod 2^31 ∈ [0, 2^31): typed (min(p−s,10)+s, s) ≤ 38
-          val xm = pmod(c, lit(m))
+          // The modulus literal must be typed decimal(10,0) — a bare
+          // long coerces to decimal(20,0) and pmod then keeps TWENTY
+          // integer digits, which pushes the xm − floor(xm) subtraction
+          // to typed precision s+22 (> 38 for s ≥ 17, silently rounding
+          // the fraction's tail). With 10 integer digits every
+          // intermediate stays ≤ s+12 ≤ 30.
+          val mLit = lit(new java.math.BigDecimal(m)).cast(DecimalType(10, 0))
+          // xm = c mod 2^31 ∈ [0, 2^31): typed (min(p−s,10)+s, s) ≤ 28
+          val xm = pmod(c, mLit)
           val i = floor(xm).cast(LongType) // integer part, < 2^31
           // fractional part < 1 with exactly s digits: decimal(s,s)
           // holds it exactly; ×10^s is typed 2s+2 ≤ 38 and integral

@@ -215,6 +215,22 @@ class MigratorSpec extends SparkSpec {
     }.sum
     assert(r.getAs[java.math.BigDecimal]("d__sum").longValueExact() === expected, r.toString)
     assert(r.getAs[Long]("d__nulls") === 1L)
+    // decimal(38,18) is the tier's worst typing case: the xm−floor(xm)
+    // subtraction would round the 17th/18th fraction digits away if the
+    // modulus literal were typed decimal(20,0) — 0.000000000000000001
+    // is the exact value that regression would zero out
+    val vals18 = Seq(
+      "0.000000000000000001",
+      "-0.000000000000000001",
+      "99999999999999999999.999999999999999999",
+      "-1.000000000000000001",
+      null)
+    val df18 = vals18.toDF("raw").select(col("raw").cast("decimal(38,18)").as("d"))
+    val r18 = Comparator.portableChecksum(df18).collect()(0)
+    val expected18 = vals18.filter(_ != null).map { s =>
+      mixOfBig(new java.math.BigDecimal(s).setScale(18).unscaledValue())
+    }.sum
+    assert(r18.getAs[java.math.BigDecimal]("d__sum").longValueExact() === expected18, r18.toString)
     // the genuinely un-normalizable shape refuses loudly instead of
     // letting overflowed rows vanish from the sum
     val wide = Seq("1.5").toDF("raw").select(col("raw").cast("decimal(38,20)").as("d"))

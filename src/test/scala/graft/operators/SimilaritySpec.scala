@@ -425,6 +425,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.isStaleIvfSqIndex(spark, "ivfsq_stale",
       maxAppendedFraction = 1.0, maxListSkew = 1.5), "list-skew signal")
 
+    // a PINNED rebuild (the compaction shape) must NOT clear the
+    // signal: the quantizer didn't move, so the carried-forward
+    // built_rows keeps appendedFraction at 0.4
+    Similarity.writeIvfSqIndex(base.union(batch), "vec_id", "embedding",
+      "ivfsq_pinned", nCentroids = 4, buckets = 4,
+      pinQuantizerFrom = Some("ivfsq_stale"))
+    val sp = Similarity.ivfIndexStats(spark, "ivfsq_pinned")
+    assert(sp.totalRows === 400L && sp.builtRows === 240L, sp.toString)
+    assert(math.abs(sp.appendedFraction - 0.4) < 1e-9)
+    assert(Similarity.isStaleIvfSqIndex(spark, "ivfsq_pinned",
+      maxAppendedFraction = 0.3, maxListSkew = 1e9),
+      "a pinned rebuild must not reset the drift signal")
+
     // the prescribed repair: rebuild over the full corpus with a FRESH
     // quantizer (no pinQuantizerFrom — the centroids must move)
     val union = base.union(batch)
