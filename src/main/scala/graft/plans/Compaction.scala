@@ -140,4 +140,74 @@ object Compaction {
     fs.delete(old, true)
     (before, listData(fs, qualified)._1)
   }
+
+  /** Compaction for BUCKETED catalog tables — the signature/ANN index
+    * tables ([[graft.operators.Dedup.writeMinhashIndex]],
+    * [[graft.operators.Similarity.writeIvfSqIndex]]) that
+    * [[compactParquet]] must NOT touch (a blind repartition would
+    * scramble their bucket layout). Every per-epoch append lands new
+    * small files, and a replayed epoch appends byte-identical
+    * signature rows (harmless for collisions, wasted bytes — the
+    * replay residue [[graft.streaming.CorpusIngest.startWithIndex]]
+    * documents); this rewrites the table through its OWN bucket spec,
+    * dropping exact-duplicate rows, and installs via catalog renames.
+    *
+    * Scale shape: `distinct` is one shuffle on all columns, the
+    * bucketed write one more on the bucket column — two wide jobs over
+    * the index (an index is a few percent of its corpus). Column
+    * metadata (the stamped shingle width) survives the rewrite, so
+    * post-compaction appends still validate.
+    *
+    * Durability: same contract as [[compactParquet]], in catalog
+    * terms. The rewrite lands in `<table>__compact_tmp`; install is
+    * rename(table → table__compact_old), rename(tmp → table), drop
+    * old. Re-running after a death between the renames auto-recovers
+    * `__compact_old`; table and `__compact_old` both present refuses.
+    * One compactor per table, writers paused.
+    *
+    * @return (rowsBefore, rowsAfter) — they differ exactly by the
+    *         replay-duplicate rows dropped
+    */
+  def compactBucketedTable(
+      spark: SparkSession,
+      tableName: String
+  ): (Long, Long) = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val catalog = spark.sessionState.catalog
+    val tmp = tableName + "__compact_tmp"
+    val old = tableName + "__compact_old"
+    val tableExists = catalog.tableExists(TableIdentifier(tableName))
+    val oldExists = catalog.tableExists(TableIdentifier(old))
+    if (!tableExists && oldExists) {
+      // death between the two install renames: the original is the
+      // __compact_old copy — recover it, never drop it
+      spark.sql(s"ALTER TABLE `$old` RENAME TO `$tableName`")
+    } else if (!tableExists) {
+      throw new java.util.NoSuchElementException(
+        s"compaction target table $tableName does not exist")
+    } else if (oldExists) {
+      throw new IllegalStateException(
+        s"refusing to compact $tableName: leftover $old exists alongside it " +
+          "(a previous run died after install but before cleanup, or another " +
+          "compactor is running) — inspect and drop one copy first")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    val spec = catalog.getTableMetadata(TableIdentifier(tableName)).bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"$tableName is not bucketed — compact its directory with compactParquet instead"))
+    val data = spark.table(tableName)
+    val rowsBefore = data.count()
+    val writer = data.distinct()
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+      writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+    else writer).saveAsTable(tmp)
+    spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$tableName`")
+    spark.sql(s"DROP TABLE `$old`")
+    spark.catalog.refreshTable(tableName)
+    (rowsBefore, spark.table(tableName).count())
+  }
 }

@@ -90,6 +90,64 @@ class CompactionSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketedTable: replay-duplicate rows drop, bucket spec + metadata survive, queries unchanged") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def phrase(tag: String) = (1 to 25).map(t => s"${tag}w$t").mkString(" ")
+    val hist = (0 until 20).map(i => (i.toLong, phrase(s"cbt$i"))).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(hist, "doc_id", "text", "cbt_idx", buckets = 4)
+    val batch = (100 until 110).map(i => (i.toLong, phrase(s"cbtb$i"))).toDF("doc_id", "text")
+    Dedup.appendToMinhashIndex(spark, "cbt_idx", batch, "doc_id", "text")
+    // a replayed epoch re-appends byte-identical signature rows
+    Dedup.appendToMinhashIndex(spark, "cbt_idx", batch, "doc_id", "text")
+    assert(spark.table("cbt_idx").count() === 40)
+    val q = Seq((1000L, phrase("cbt3"))).toDF("doc_id", "text")
+    val pre = Dedup.portableMinhashPairsAgainstIndex(spark, "cbt_idx", q,
+      "doc_id", "text", 3, 8, 0.75).collect().map(_.toString).sorted.toSeq
+    assert(pre.nonEmpty)
+    val (before, after) = Compaction.compactBucketedTable(spark, "cbt_idx")
+    assert(before === 40L && after === 30L, s"$before -> $after")
+    // the bucket spec survived the rewrite
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("cbt_idx"))
+      .bucketSpec
+    assert(spec.exists(_.numBuckets === 4))
+    // column metadata (stamped shingle width) survived: appends still validate
+    Dedup.appendToMinhashIndex(spark, "cbt_idx",
+      Seq((200L, phrase("cbtn"))).toDF("doc_id", "text"), "doc_id", "text")
+    // and the index answers exactly as before
+    val post = Dedup.portableMinhashPairsAgainstIndex(spark, "cbt_idx", q,
+      "doc_id", "text", 3, 8, 0.75).collect().map(_.toString).sorted.toSeq
+    assert(post === pre)
+  }
+
+  test("compactBucketedTable: crash states — old-present recovers, both-present refuses") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def phrase(tag: String) = (1 to 25).map(t => s"${tag}c$t").mkString(" ")
+    val hist = (0 until 10).map(i => (i.toLong, phrase(s"cc$i"))).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(hist, "doc_id", "text", "cbt_crash", buckets = 2)
+    // stage the death-between-renames state: table moved aside, nothing installed
+    spark.sql("ALTER TABLE cbt_crash RENAME TO cbt_crash__compact_old")
+    val (before, after) = Compaction.compactBucketedTable(spark, "cbt_crash")
+    assert(before === 10L && after === 10L)
+    assert(spark.table("cbt_crash").count() === 10)
+    assert(!spark.catalog.tableExists("cbt_crash__compact_old"))
+    // both present is ambiguous: refuse, touch neither
+    spark.table("cbt_crash").limit(3).write.format("parquet")
+      .saveAsTable("cbt_crash__compact_old")
+    val e = intercept[IllegalStateException] {
+      Compaction.compactBucketedTable(spark, "cbt_crash")
+    }
+    assert(e.getMessage.contains("refusing"))
+    assert(spark.table("cbt_crash").count() === 10)
+    assert(spark.table("cbt_crash__compact_old").count() === 3)
+    // missing entirely fails fast
+    intercept[java.util.NoSuchElementException] {
+      Compaction.compactBucketedTable(spark, "cbt_absent")
+    }
+  }
+
   test("compactParquet: target sizing yields multiple files when bytes demand it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact2").toString + "/t"
