@@ -76,9 +76,14 @@ object BatchWriter {
   // (or overwrite) the range, then load it, so any retry converges to
   // exactly-once per range.
 
-  /** Target-side range delete statement (MySQL-kernel quoting). */
-  def deleteRangeSql(table: String, rangeCol: String, lo: Long, hi: Long): String =
-    s"DELETE FROM `$table` WHERE `$rangeCol` >= $lo AND `$rangeCol` < $hi"
+  /** Target-side range delete statement. Defaults to MySQL-kernel
+    * backtick quoting (the reference's destination); pass `quoteIdent`
+    * for other dialects (e.g. identity when the caller pre-quotes, or
+    * ANSI double quotes).
+    */
+  def deleteRangeSql(table: String, rangeCol: String, lo: Long, hi: Long,
+      quoteIdent: String => String = n => s"`$n`"): String =
+    s"DELETE FROM ${quoteIdent(table)} WHERE ${quoteIdent(rangeCol)} >= $lo AND ${quoteIdent(rangeCol)} < $hi"
 
   /** Idempotent JDBC page append: delete the destination range in its own
     * statement, then append only rows inside the range. Safe to replay
@@ -93,12 +98,13 @@ object BatchWriter {
       lo: Long,
       hi: Long,
       batchRowSize: Int = 1000,
-      maxConnections: Int = 100
+      maxConnections: Int = 100,
+      quoteIdent: String => String = n => s"`$n`"
   ): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      try st.executeUpdate(deleteRangeSql(table, rangeCol, lo, hi))
+      try st.executeUpdate(deleteRangeSql(table, rangeCol, lo, hi, quoteIdent))
       finally st.close()
     } finally conn.close()
     val page = df.filter(

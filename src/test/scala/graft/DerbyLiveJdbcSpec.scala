@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{BatchWriter, DdlExecutor, StatementExecutor}
+import graft.sources.JdbcSource
+import graft.verify.Comparator
+
+/** LIVE JDBC round trip against the embedded Derby engine that already
+  * ships in /opt/spark/jars (the hive-metastore dependency — zero new
+  * dependencies): every JDBC surface the FakeJdbc specs assert at the
+  * statement level executes FOR REAL here, against an actual SQL engine
+  * with an actual JDBC driver, in memory.
+  *
+  *  - production DDL path: [[StatementExecutor.jdbc]] one-connection
+  *    executor driven by [[DdlExecutor.executeCategory]];
+  *  - S1 dictionary scan: a `user_tables` view emulates the Oracle
+  *    dictionary so [[JdbcSource.tableNames]] runs verbatim;
+  *  - K1/K3: [[BatchWriter.writeJdbc]]'s batched INSERT with
+  *    truncate-before-load, proven idempotent by re-running it;
+  *  - S5: planner-driven partitioned read (one disjoint predicate per
+  *    Spark partition) equals the full scan;
+  *  - S6/S7: the WHERE 1=0 probe and pushed-down custom SQL;
+  *  - replay-safe range append: delete-range + append converges;
+  *  - S15+checksum: the portable checksum of the read-back equals the
+  *    source's — content equality through a live engine, not a stub.
+  *
+  * Identifier casing: the table is created with a QUOTED lowercase name
+  * (matching [[JdbcSource.quoted]]) and UNQUOTED column names, which
+  * Derby folds to uppercase; the write-side DataFrame carries uppercase
+  * column names so Spark's quoted INSERT column list matches, and the
+  * read-back is renamed to lowercase for comparison.
+  */
+class DerbyLiveJdbcSpec extends SparkSpec {
+
+  // keep derby.log (and any on-disk spill) out of the repo tree
+  System.setProperty("derby.system.home",
+    java.nio.file.Files.createTempDirectory("graft_derby").toString)
+
+  private val url = "jdbc:derby:memory:graft_rt;create=true"
+  private def props = new java.util.Properties()
+  private val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate")
+
+  private def srcUpper = table("lineitem")
+    .select(cols.map(c => col(c).as(c.toUpperCase(java.util.Locale.ROOT))): _*)
+  private def srcLower = table("lineitem").select(cols.map(col): _*)
+  private val source = JdbcSource(url, new java.util.Properties(),
+    pageSize = 1000L, maxParallel = 8)
+
+  /** One-time: DDL through the production executor, then the initial
+    * batched load. Every test forces this lazily.
+    */
+  private lazy val setup: Unit = {
+    import spark.implicits._
+    val ddl = Seq(
+      """CREATE TABLE "lineitem_rt" (L_ORDERKEY BIGINT, L_LINENUMBER INTEGER, """ +
+        """L_QUANTITY DOUBLE, L_EXTENDEDPRICE DOUBLE, L_RETURNFLAG VARCHAR(1), """ +
+        """L_LINESTATUS VARCHAR(1), L_SHIPDATE TIMESTAMP)""",
+      "CREATE VIEW user_tables(table_name) AS " +
+        "SELECT CAST(tablename AS VARCHAR(128)) FROM sys.systables WHERE tabletype = 'T'"
+    ).toDF("sql_cmd")
+    val exec = StatementExecutor.jdbc(url, props)
+    try {
+      val rep = new DdlExecutor(exec).executeCategory("Table", ddl)
+      assert(rep.total === 2 && rep.failed === 0, rep.toString)
+    } finally exec.close()
+    BatchWriter.writeJdbc(srcUpper, url, "\"lineitem_rt\"", props,
+      batchRowSize = 500, maxConnections = 4)
+  }
+
+  test("production DDL executes on a live engine and the dictionary scan sees the table") {
+    setup
+    assert(source.tableNames(spark) === Seq("lineitem_rt"))
+  }
+
+  test("batched truncate-before-load is idempotent and the read-back checksum matches the source") {
+    setup
+    val n = srcLower.count()
+    // second load through the same path: TRUNCATE really runs, count holds
+    BatchWriter.writeJdbc(srcUpper, url, "\"lineitem_rt\"", props,
+      batchRowSize = 500, maxConnections = 4)
+    val back = source.table(spark, "lineitem_rt")
+      .select(cols.map(c => col(c.toUpperCase(java.util.Locale.ROOT)).as(c)): _*)
+    assert(back.count() === n)
+    // content equality through the live engine, via the same portable
+    // checksum a cross-engine migration verification would use
+    val a = Comparator.portableChecksum(srcLower).collect()(0)
+    val b = Comparator.portableChecksum(back).collect()(0)
+    assert(a.toString === b.toString)
+  }
+
+  test("planner-driven partitioned read: disjoint predicates, one per partition, equals the full scan") {
+    setup
+    val n = srcLower.count()
+    val Array(lo, hi) = srcLower
+      .agg(min("l_orderkey"), max("l_orderkey")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val plan = source.planScan(n, Some(("L_ORDERKEY", lo, hi)))
+    assert(plan.predicates.length > 1, s"want a real fan-out, got $plan")
+    val part = source.tablePartitioned(spark, "lineitem_rt", plan)
+    assert(part.rdd.getNumPartitions === plan.predicates.length)
+    assert(part.count() === n)
+    // disjoint exact cover: no row lost, none duplicated
+    assert(part.groupBy("L_ORDERKEY", "L_LINENUMBER").count()
+      .select(sum("count")).collect()(0).getLong(0) === n)
+  }
+
+  test("WHERE 1=0 probe resolves the schema with zero rows") {
+    setup
+    val p = source.probe(spark, "lineitem_rt")
+    assert(p.columns.length === 7 && p.count() === 0)
+  }
+
+  test("custom SQL pushes down to the source engine") {
+    setup
+    // Derby types COUNT(*) as INTEGER; normalize before comparing
+    val agg = source.sqlSource(spark,
+      """SELECT L_RETURNFLAG, COUNT(*) AS N FROM "lineitem_rt" GROUP BY L_RETURNFLAG""")
+      .collect().map(r => (r.getString(0), r.getAs[Number](1).longValue)).toMap
+    val expected = srcLower.groupBy("l_returnflag").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(agg === expected)
+  }
+
+  test("range append is replay-safe: delete-range + append converges over replays") {
+    setup
+    val n = srcLower.count()
+    val page = srcUpper.filter(col("L_ORDERKEY") >= 1 && col("L_ORDERKEY") < 100)
+    val quote: String => String = identity // table arrives pre-quoted, col unquoted-uppercase
+    // two replays of the same page: the range delete makes them converge
+    (1 to 2).foreach { _ =>
+      BatchWriter.writeJdbcRangeIdempotent(page, url, "\"lineitem_rt\"", props,
+        "L_ORDERKEY", 1L, 100L, batchRowSize = 500, maxConnections = 2,
+        quoteIdent = quote)
+    }
+    assert(source.table(spark, "lineitem_rt").count() === n)
+  }
+}
