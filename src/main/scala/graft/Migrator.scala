@@ -6,8 +6,7 @@ import scala.concurrent.duration.Duration
 import java.util.concurrent.Executors
 
 import graft.config.SyncConfig
-import graft.sinks.BatchWriter
-import graft.sources.{FixtureSource, SqlCapableSource, TableSource}
+import graft.sources.{SqlCapableSource, TableSource}
 import graft.verify.Comparator
 
 /** Per-table migration outcome (the reference's summary-report row,
@@ -33,10 +32,22 @@ final case class TableResult(
 final class Migrator(
     spark: SparkSession,
     src: TableSource,
-    destDir: String,
+    dest: graft.sinks.TableDest,
     cfg: SyncConfig = SyncConfig(),
     logs: graft.sinks.RunLogs = graft.sinks.RunLogs.noop
 ) {
+
+  /** String-destination conveniences: a plain path is a parquet
+    * directory destination, the historical default.
+    */
+  def this(spark: SparkSession, src: TableSource, destDir: String,
+      cfg: SyncConfig, logs: graft.sinks.RunLogs) =
+    this(spark, src, graft.sinks.ParquetDest(destDir), cfg, logs)
+  def this(spark: SparkSession, src: TableSource, destDir: String,
+      cfg: SyncConfig) =
+    this(spark, src, destDir, cfg, graft.sinks.RunLogs.noop)
+  def this(spark: SparkSession, src: TableSource, destDir: String) =
+    this(spark, src, destDir, SyncConfig())
 
   /** Cross-table concurrency: how many table-copy jobs run at once.
     * Within a job, parallelism is the scan's partition count.
@@ -64,7 +75,7 @@ final class Migrator(
       val observed = df.observe(obs,
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("rows"))
-      BatchWriter.writeParquet(observed, destDir, name)
+      dest.write(observed, name)
       val n = obs.get("rows").asInstanceOf[Long]
       TableResult(name, n, (System.nanoTime() - t0) / 1e9, ok = true, None)
     } catch {
@@ -109,7 +120,7 @@ final class Migrator(
   /** Post-copy verification (reference `compareDb`). */
   def compare(): DataFrame = {
     val names = src.tableNamesExcluding(spark, cfg.exclude)
-    Comparator.compareCounts(spark, src, FixtureSource(destDir), names,
+    Comparator.compareCounts(spark, src, dest.asSource, names,
       maxParallel = tableConcurrency)
   }
 }

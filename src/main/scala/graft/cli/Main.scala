@@ -24,8 +24,8 @@ object Main {
 
   private val usage =
     """graft <command> [options]
-      |  sync        --src <dir> --dest <dir> [--exclude t1,t2] [--config f.yml]
-      |              [--selected true] [--logDir <dir>]
+      |  sync        --src <dir> --dest <dir|jdbc:url> [--exclude t1,t2]
+      |              [--config f.yml] [--selected true] [--logDir <dir>]
       |  createTable --src <dir> --script <out.sql>
       |  onlyData    --src <dir> --dest <dir> [--exclude t1,t2] [--selected true]
       |  compareDb   --src <dir> --dest <dir> [--deep true]
@@ -82,7 +82,12 @@ object Main {
     val logs = opts.get("logDir").map(new graft.sinks.RunLogs(_))
       .getOrElse(graft.sinks.RunLogs.noop)
     val t0 = System.nanoTime()
-    val m = new Migrator(spark, src, dest, cfg, logs)
+    // a jdbc: destination routes through the batched JDBC writer
+    // (live-engine path); anything else is a parquet directory
+    val destSink: graft.sinks.TableDest =
+      if (dest.startsWith("jdbc:")) graft.sinks.JdbcDest(dest, new java.util.Properties())
+      else graft.sinks.ParquetDest(dest)
+    val m = new Migrator(spark, src, destSink, cfg, logs)
     val results =
       if (opts.get("selected").exists(_.toBoolean)) m.runSelected() else m.run()
     val secs = (System.nanoTime() - t0) / 1e9

@@ -123,6 +123,36 @@ class DerbyLiveJdbcSpec extends SparkSpec {
     assert(agg === expected)
   }
 
+  test("full Migrator sync into the live engine; compareDb verifies every table") {
+    val surl = "jdbc:derby:memory:graft_sync;create=true"
+    // the Oracle-dictionary emulation, so the destination reads back
+    // through JdbcSource.tableNames verbatim for compareDb
+    val exec = StatementExecutor.jdbc(surl, props)
+    try exec.execute("CREATE VIEW user_tables(table_name) AS " +
+      "SELECT CAST(tablename AS VARCHAR(128)) FROM sys.systables WHERE tabletype = 'T'")
+    finally exec.close()
+    // embeddings carries ARRAY<FLOAT> — not a JDBC type; the exclude
+    // list (reference P2) is exactly the tool for that
+    val cfg = graft.config.SyncConfig(maxParallel = 4, exclude = Set("embeddings"))
+    val m = new Migrator(spark, graft.sources.FixtureSource(sfDir),
+      graft.sinks.JdbcDest(surl, new java.util.Properties(),
+        batchRowSize = 500, maxConnections = 2), cfg)
+    val results = m.run()
+    assert(results.size === 9, results.map(_.table).sorted.mkString(","))
+    assert(results.forall(_.ok), results.filterNot(_.ok).mkString("; "))
+    val report = m.compare()
+    assert(report.count() === 9)
+    assert(report.filter(col("is_ok") === "NO").count() === 0)
+    // deep content check on the largest table, through the live engine
+    val back = JdbcSource(surl, new java.util.Properties())
+      .table(spark, "lineitem")
+      .select(table("lineitem").columns.map(c =>
+        col(c.toUpperCase(java.util.Locale.ROOT)).as(c)): _*)
+    val a = Comparator.portableChecksum(table("lineitem")).collect()(0)
+    val b = Comparator.portableChecksum(back).collect()(0)
+    assert(a.toString === b.toString)
+  }
+
   test("range append is replay-safe: delete-range + append converges over replays") {
     setup
     val n = srcLower.count()
