@@ -26,9 +26,10 @@ object Main {
     """graft <command> [options]
       |  sync        --src <dir> --dest <dir|jdbc:url> [--exclude t1,t2]
       |              [--config f.yml] [--selected true] [--logDir <dir>]
+      |              [--destUser u --destPassword p]
       |  createTable --src <dir> --script <out.sql>
-      |  onlyData    --src <dir> --dest <dir> [--exclude t1,t2] [--selected true]
-      |  compareDb   --src <dir> --dest <dir> [--deep true]
+      |  onlyData    --src <dir> --dest <dir|jdbc:url> [--exclude t1,t2] [--selected true]
+      |  compareDb   --src <dir> --dest <dir|jdbc:url> [--deep true]
       |  analyze     --src <dir> [--table documents] [--out <dir>]
       |  version
       |
@@ -67,6 +68,19 @@ object Main {
   private def require(opts: Map[String, String], key: String): String =
     opts.getOrElse(key, { System.err.println(s"missing --$key\n$usage"); sys.exit(2) })
 
+  /** A jdbc: destination routes through the batched JDBC writer
+    * (quoting sniffed from the URL — backticks for MySQL-kernel
+    * targets, ANSI elsewhere; credentials via --destUser/--destPassword
+    * when not URL-embedded); anything else is a parquet directory.
+    */
+  private def destFor(dest: String, opts: Map[String, String]): graft.sinks.TableDest =
+    if (dest.startsWith("jdbc:")) {
+      val props = new java.util.Properties()
+      opts.get("destUser").foreach(props.setProperty("user", _))
+      opts.get("destPassword").foreach(props.setProperty("password", _))
+      graft.sinks.JdbcDest(dest, props)
+    } else graft.sinks.ParquetDest(dest)
+
   private def config(opts: Map[String, String]): SyncConfig = {
     val base = opts.get("config").map(SyncConfig.load).getOrElse(SyncConfig())
     opts.get("exclude")
@@ -82,12 +96,7 @@ object Main {
     val logs = opts.get("logDir").map(new graft.sinks.RunLogs(_))
       .getOrElse(graft.sinks.RunLogs.noop)
     val t0 = System.nanoTime()
-    // a jdbc: destination routes through the batched JDBC writer
-    // (live-engine path); anything else is a parquet directory
-    val destSink: graft.sinks.TableDest =
-      if (dest.startsWith("jdbc:")) graft.sinks.JdbcDest(dest, new java.util.Properties())
-      else graft.sinks.ParquetDest(dest)
-    val m = new Migrator(spark, src, destSink, cfg, logs)
+    val m = new Migrator(spark, src, destFor(dest, opts), cfg, logs)
     val results =
       if (opts.get("selected").exists(_.toBoolean)) m.runSelected() else m.run()
     val secs = (System.nanoTime() - t0) / 1e9
@@ -161,7 +170,9 @@ object Main {
 
   private def compareDb(spark: SparkSession, opts: Map[String, String]): Unit = {
     val src = FixtureSource(require(opts, "src"))
-    val dest = FixtureSource(require(opts, "dest"))
+    // a jdbc: destination re-verifies through the same read-back source
+    // the sync's in-process compare used
+    val dest = destFor(require(opts, "dest"), opts).asSource
     val tables = src.tableNames(spark)
     val report = Comparator.compareCounts(spark, src, dest, tables)
     report.orderBy("table_name").show(100, truncate = false)

@@ -174,6 +174,11 @@ object Compaction {
   ): (Long, Long) = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     val catalog = spark.sessionState.catalog
+    // a temp view shadowing the table name would hijack BOTH the read
+    // (spark.table resolves the view's rows into the rewrite) and the
+    // rename (ALTER TABLE RENAME hits the view) — refuse up front
+    require(catalog.getTempView(tableName).isEmpty,
+      s"a temp view shadows table $tableName — drop it before compacting")
     val tmp = tableName + "__compact_tmp"
     val old = tableName + "__compact_old"
     val tableExists = catalog.tableExists(TableIdentifier(tableName))
@@ -195,9 +200,16 @@ object Compaction {
     val spec = catalog.getTableMetadata(TableIdentifier(tableName)).bucketSpec
       .getOrElse(throw new IllegalArgumentException(
         s"$tableName is not bucketed — compact its directory with compactParquet instead"))
-    val data = spark.table(tableName)
-    val rowsBefore = data.count()
-    val writer = data.distinct()
+    // both counts observed ON the rewrite itself — separate count()
+    // passes would double the table scans (the Migrator.copyTable
+    // pattern: never re-scan just to read a number)
+    val obsIn = org.apache.spark.sql.Observation(s"graft-compact-in-$tableName")
+    val obsOut = org.apache.spark.sql.Observation(s"graft-compact-out-$tableName")
+    val cnt = org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("n")
+    val data = spark.table(tableName).observe(obsIn, cnt)
+      .distinct().observe(obsOut, cnt)
+    val writer = data
       .write.mode("overwrite").format("parquet")
       .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
         spec.bucketColumnNames.tail: _*)
@@ -205,9 +217,16 @@ object Compaction {
       writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
     else writer).saveAsTable(tmp)
     spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$old`")
-    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$tableName`")
+    // same rollback contract as compactParquet's swap: an exception
+    // installing the compacted copy restores the original name
+    try spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$tableName`")
+    catch {
+      case e: Throwable =>
+        spark.sql(s"ALTER TABLE `$old` RENAME TO `$tableName`")
+        throw e
+    }
     spark.sql(s"DROP TABLE `$old`")
     spark.catalog.refreshTable(tableName)
-    (rowsBefore, spark.table(tableName).count())
+    (obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
   }
 }

@@ -82,7 +82,7 @@ object BatchWriter {
     * ANSI double quotes).
     */
   def deleteRangeSql(table: String, rangeCol: String, lo: Long, hi: Long,
-      quoteIdent: String => String = n => s"`$n`"): String =
+      quoteIdent: String => String = SqlQuote.backtick): String =
     s"DELETE FROM ${quoteIdent(table)} WHERE ${quoteIdent(rangeCol)} >= $lo AND ${quoteIdent(rangeCol)} < $hi"
 
   /** Idempotent JDBC page append: delete the destination range in its own
@@ -99,7 +99,7 @@ object BatchWriter {
       hi: Long,
       batchRowSize: Int = 1000,
       maxConnections: Int = 100,
-      quoteIdent: String => String = n => s"`$n`"
+      quoteIdent: String => String = SqlQuote.backtick
   ): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {

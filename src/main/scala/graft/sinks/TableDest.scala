@@ -1,8 +1,24 @@
 package graft.sinks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sources.{FixtureSource, JdbcSource, TableSource}
+import graft.sources.{FixtureSource, TableSource}
+
+/** The two identifier-quoting conventions the engine speaks, in ONE
+  * place: write path, read-back path, and CLI must stay mutually
+  * consistent or verification silently diverges from the copy.
+  */
+object SqlQuote {
+  /** ANSI double quotes (Derby, Postgres, Oracle). */
+  val ansi: String => String = n => "\"" + n + "\""
+  /** MySQL-kernel backticks (the reference's destination). */
+  val backtick: String => String = n => s"`$n`"
+
+  /** URL-sniffed default for a JDBC destination. */
+  def forUrl(url: String): String => String =
+    if (url.startsWith("jdbc:mysql") || url.startsWith("jdbc:mariadb")) backtick
+    else ansi
+}
 
 /** Destination abstraction for [[graft.Migrator]]: where each table's
   * copy lands, plus how to read the destination back for `compareDb`
@@ -30,19 +46,46 @@ final case class ParquetDest(dir: String) extends TableDest {
 
 /** JDBC destination: each table lands through the batched
   * truncate-before-load writer (the table is created by Spark's
-  * dialect on first load when absent). `quoteIdent` defaults to ANSI
-  * double quotes, preserving the source's lowercase table names
-  * verbatim on case-folding engines.
+  * dialect on first load when absent). `quoteIdent` defaults from the
+  * URL ([[SqlQuote.forUrl]]: backticks for MySQL-kernel targets, ANSI
+  * double quotes elsewhere), preserving the source's lowercase table
+  * names verbatim on case-folding engines.
   */
 final case class JdbcDest(
     url: String,
     props: java.util.Properties,
     batchRowSize: Int = 1000,
     maxConnections: Int = 100,
-    quoteIdent: String => String = n => "\"" + n + "\""
+    quoteIdentOverride: Option[String => String] = None
 ) extends TableDest {
+  val quoteIdent: String => String =
+    quoteIdentOverride.getOrElse(SqlQuote.forUrl(url))
+
   def write(df: DataFrame, name: String): Unit =
     BatchWriter.writeJdbc(df, url, quoteIdent(name), props,
       batchRowSize, maxConnections)
-  def asSource: TableSource = JdbcSource(url, props)
+
+  /** Read-back source for verification. NOT a plain
+    * [[graft.sources.JdbcSource]]: that models an Oracle-STYLE source
+    * (its table list comes from the `user_tables` dictionary, its
+    * quoting is fixed ANSI), while a destination must be listable on
+    * ANY engine and must read back through the SAME `quoteIdent` the
+    * writes used — otherwise `compareDb` crashes on engines without
+    * the Oracle dictionary, or reads a differently-folded identifier
+    * than the one written. Listing goes through the dialect-neutral
+    * JDBC `DatabaseMetaData.getTables` instead.
+    */
+  def asSource: TableSource = new TableSource {
+    override def tableNames(spark: SparkSession): Seq[String] = {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) buf += rs.getString("TABLE_NAME")
+        buf.toSeq
+      } finally conn.close()
+    }
+    override def table(spark: SparkSession, name: String): DataFrame =
+      spark.read.jdbc(url, quoteIdent(name), props)
+  }
 }

@@ -121,6 +121,22 @@ class CompactionSpec extends SparkSpec {
     assert(post === pre)
   }
 
+  test("compactBucketedTable: a temp view shadowing the table name is refused untouched") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def phrase(tag: String) = (1 to 25).map(t => s"${tag}s$t").mkString(" ")
+    val hist = (0 until 5).map(i => (i.toLong, phrase(s"sh$i"))).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(hist, "doc_id", "text", "cbt_shadow", buckets = 2)
+    spark.range(3).toDF("x").createOrReplaceTempView("cbt_shadow")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Compaction.compactBucketedTable(spark, "cbt_shadow")
+      }
+      assert(e.getMessage.contains("temp view"))
+    } finally spark.catalog.dropTempView("cbt_shadow")
+    assert(spark.table("cbt_shadow").count() === 5)
+  }
+
   test("compactBucketedTable: crash states — old-present recovers, both-present refuses") {
     import spark.implicits._
     import graft.operators.Dedup
