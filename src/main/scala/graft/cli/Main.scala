@@ -26,10 +26,12 @@ object Main {
     """graft <command> [options]
       |  sync        --src <dir> --dest <dir|jdbc:url> [--exclude t1,t2]
       |              [--config f.yml] [--selected true] [--logDir <dir>]
-      |              [--destUser u --destPassword p]
       |  createTable --src <dir> --script <out.sql>
       |  onlyData    --src <dir> --dest <dir|jdbc:url> [--exclude t1,t2] [--selected true]
       |  compareDb   --src <dir> --dest <dir|jdbc:url> [--deep true]
+      |
+      |jdbc: destinations accept --destUser u --destPassword p when the
+      |credentials are not embedded in the URL (sync/onlyData/compareDb).
       |  analyze     --src <dir> [--table documents] [--out <dir>]
       |  version
       |

@@ -218,11 +218,16 @@ object Compaction {
     else writer).saveAsTable(tmp)
     spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$old`")
     // same rollback contract as compactParquet's swap: an exception
-    // installing the compacted copy restores the original name
+    // installing the compacted copy restores the original name. The
+    // restore's own failure (e.g. the same catalog outage) must not
+    // mask the root cause — attach it as suppressed and rethrow the
+    // install exception; the on-disk state is then the documented
+    // crash state the triage above recovers.
     try spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$tableName`")
     catch {
-      case e: Throwable =>
-        spark.sql(s"ALTER TABLE `$old` RENAME TO `$tableName`")
+      case scala.util.control.NonFatal(e) =>
+        try spark.sql(s"ALTER TABLE `$old` RENAME TO `$tableName`")
+        catch { case scala.util.control.NonFatal(r) => e.addSuppressed(r) }
         throw e
     }
     spark.sql(s"DROP TABLE `$old`")

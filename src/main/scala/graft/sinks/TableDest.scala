@@ -9,10 +9,15 @@ import graft.sources.{FixtureSource, TableSource}
   * consistent or verification silently diverges from the copy.
   */
 object SqlQuote {
-  /** ANSI double quotes (Derby, Postgres, Oracle). */
-  val ansi: String => String = n => "\"" + n + "\""
-  /** MySQL-kernel backticks (the reference's destination). */
-  val backtick: String => String = n => s"`$n`"
+  /** ANSI double quotes (Derby, Postgres, Oracle); embedded double
+    * quotes double, per the standard — identifiers flow in verbatim
+    * from source listings, so the quoter must not trust them.
+    */
+  val ansi: String => String = n => "\"" + n.replace("\"", "\"\"") + "\""
+  /** MySQL-kernel backticks (the reference's destination); embedded
+    * backticks double, per the MySQL identifier rules.
+    */
+  val backtick: String => String = n => "`" + n.replace("`", "``") + "`"
 
   /** URL-sniffed default for a JDBC destination. */
   def forUrl(url: String): String => String =
@@ -79,7 +84,12 @@ final case class JdbcDest(
     override def tableNames(spark: SparkSession): Seq[String] = {
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
-        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        // scope the listing to the CONNECTION's catalog/schema — null
+        // patterns would list every schema the connection can see, and
+        // a same-named table elsewhere would fake dest-exists for a
+        // table this destination never received
+        val rs = conn.getMetaData.getTables(
+          conn.getCatalog, conn.getSchema, "%", Array("TABLE"))
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         while (rs.next()) buf += rs.getString("TABLE_NAME")
         buf.toSeq

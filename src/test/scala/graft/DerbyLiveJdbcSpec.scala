@@ -124,13 +124,9 @@ class DerbyLiveJdbcSpec extends SparkSpec {
   }
 
   test("full Migrator sync into the live engine; compareDb verifies every table") {
+    // no dictionary emulation needed: JdbcDest.asSource lists the
+    // destination through dialect-neutral DatabaseMetaData.getTables
     val surl = "jdbc:derby:memory:graft_sync;create=true"
-    // the Oracle-dictionary emulation, so the destination reads back
-    // through JdbcSource.tableNames verbatim for compareDb
-    val exec = StatementExecutor.jdbc(surl, props)
-    try exec.execute("CREATE VIEW user_tables(table_name) AS " +
-      "SELECT CAST(tablename AS VARCHAR(128)) FROM sys.systables WHERE tabletype = 'T'")
-    finally exec.close()
     // embeddings carries ARRAY<FLOAT> — not a JDBC type; the exclude
     // list (reference P2) is exactly the tool for that
     val cfg = graft.config.SyncConfig(maxParallel = 4, exclude = Set("embeddings"))
