@@ -162,4 +162,26 @@ class DerbyLiveJdbcSpec extends SparkSpec {
     }
     assert(source.table(spark, "lineitem_rt").count() === n)
   }
+
+  test("tampering the live destination is caught by the checksum, and a re-sync repairs it") {
+    setup
+    def backChecksum() = Comparator.portableChecksum(
+      source.table(spark, "lineitem_rt")
+        .select(cols.map(c => col(c.toUpperCase(java.util.Locale.ROOT)).as(c)): _*))
+      .collect()(0).toString
+    val good = Comparator.portableChecksum(srcLower).collect()(0).toString
+    // a row-count-preserving in-place tamper: counts still match, only
+    // the content fingerprint can catch it (the reference's compareDb
+    // stops at counts — this is the deeper guarantee)
+    val exec = StatementExecutor.jdbc(url, props)
+    try exec.execute("""UPDATE "lineitem_rt" SET L_QUANTITY = L_QUANTITY + 1 """ +
+      """WHERE L_ORDERKEY = (SELECT MIN(L_ORDERKEY) FROM "lineitem_rt")""")
+    finally exec.close()
+    assert(source.table(spark, "lineitem_rt").count() === srcLower.count())
+    assert(backChecksum() !== good, "a content tamper must move the checksum")
+    // repair: the truncate-before-load path converges back to the source
+    BatchWriter.writeJdbc(srcUpper, url, "\"lineitem_rt\"", props,
+      batchRowSize = 500, maxConnections = 4)
+    assert(backChecksum() === good)
+  }
 }
