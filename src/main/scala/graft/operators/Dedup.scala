@@ -1104,6 +1104,57 @@ object Dedup {
     spark.catalog.refreshTable(tableName)
   }
 
+  /** Operational telemetry for a materialized signature index — the
+    * text twin of [[Similarity.ivfIndexStats]].
+    *
+    * @param totalRows         signature rows in the index now
+    * @param distinctRows      distinct signature rows — every id is one
+    *                          row, so the difference is EXACTLY the
+    *                          replay residue [[appendToMinhashIndex]]'s
+    *                          at-least-once appends accumulate
+    * @param duplicateFraction (total − distinct) / total — wasted index
+    *                          bytes and duplicated emitted pairs; when
+    *                          it creeps up, compact with
+    *                          [[graft.plans.Compaction.compactBucketedTable]]
+    *                          (drops exactly these rows) or rebuild with
+    *                          [[writeMinhashIndex]] over the corpus
+    * @param maxBucketRows     hottest `sig_0` blocking value — the
+    *                          ceiling on a single bucket-join task; a
+    *                          degenerate shingle (boilerplate corpus)
+    *                          shows up here before it shows up as a
+    *                          slow query
+    */
+  final case class MinhashIndexStats(
+      totalRows: Long,
+      distinctRows: Long,
+      duplicateFraction: Double,
+      maxBucketRows: Long)
+
+  /** Measure [[MinhashIndexStats]]: one aggregate pass over the index
+    * (count + distinct count + hottest blocking key), nothing
+    * collected beyond four scalars. Run between ingest epochs, same
+    * cadence as [[Similarity.ivfIndexStats]].
+    */
+  def minhashIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): MinhashIndexStats = {
+    val t = spark.table(tableName)
+    val perKey = t.groupBy(t.columns.map(col): _*)
+      .agg(count(lit(1)).as("__dup"))
+    val r = perKey.agg(
+      sum(col("__dup")).as("total"),
+      count(lit(1)).as("distinct")).collect()(0)
+    val total = r.getLong(0)
+    val distinctRows = r.getLong(1)
+    val hottest = t.groupBy("sig_0").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0)
+    MinhashIndexStats(
+      total,
+      distinctRows,
+      if (total == 0L) 0.0 else (total - distinctRows).toDouble / total,
+      if (hottest.isNullAt(0)) 0L else hottest.getLong(0))
+  }
+
   /** Incremental near-dup against a MATERIALIZED index
     * ([[writeMinhashIndex]]): identical output contract to
     * [[portableMinhashPairsAgainst]] — (batch_id, index_id,

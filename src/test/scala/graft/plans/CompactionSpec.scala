@@ -101,12 +101,21 @@ class CompactionSpec extends SparkSpec {
     // a replayed epoch re-appends byte-identical signature rows
     Dedup.appendToMinhashIndex(spark, "cbt_idx", batch, "doc_id", "text")
     assert(spark.table("cbt_idx").count() === 40)
+    // the telemetry reads the residue exactly: 10 of 40 rows are
+    // replay duplicates
+    val stats = Dedup.minhashIndexStats(spark, "cbt_idx")
+    assert(stats.totalRows === 40L && stats.distinctRows === 30L, stats.toString)
+    assert(math.abs(stats.duplicateFraction - 0.25) < 1e-9)
+    assert(stats.maxBucketRows >= 2L, stats.toString)
     val q = Seq((1000L, phrase("cbt3"))).toDF("doc_id", "text")
     val pre = Dedup.portableMinhashPairsAgainstIndex(spark, "cbt_idx", q,
       "doc_id", "text", 3, 8, 0.75).collect().map(_.toString).sorted.toSeq
     assert(pre.nonEmpty)
     val (before, after) = Compaction.compactBucketedTable(spark, "cbt_idx")
     assert(before === 40L && after === 30L, s"$before -> $after")
+    // compaction drops exactly the residue the telemetry counted
+    val cleaned = Dedup.minhashIndexStats(spark, "cbt_idx")
+    assert(cleaned.totalRows === 30L && cleaned.duplicateFraction === 0.0, cleaned.toString)
     // the bucket spec survived the rewrite
     val spec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("cbt_idx"))
