@@ -368,6 +368,34 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("minhash-index query still bucket-prunes AFTER append + compaction") {
+    val docs = table("documents").select("doc_id", "text")
+    graft.operators.Dedup.writeMinhashIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      "mh_idx_compact_plan", buckets = 4)
+    // an epoch append plus its replay, then the maintenance rewrite —
+    // the pruned-scan property must survive the whole lifecycle
+    val batch = docs.filter(col("doc_id") % 2 === 1).limit(40)
+    graft.operators.Dedup.appendToMinhashIndex(
+      spark, "mh_idx_compact_plan", batch, "doc_id", "text")
+    graft.operators.Dedup.appendToMinhashIndex(
+      spark, "mh_idx_compact_plan", batch, "doc_id", "text")
+    graft.plans.Compaction.compactBucketedTable(spark, "mh_idx_compact_plan")
+    def query() = graft.operators.Dedup.portableMinhashPairsAgainstIndex(
+      spark, "mh_idx_compact_plan", docs.filter(col("doc_id") % 2 === 1).limit(50),
+      "doc_id", "text")
+    val plan = explain(query())
+    assert(plan.contains("In(sig_0"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val bucketed = explain(query())
+      assert(bucketed.contains("SelectedBucketsCount"), bucketed)
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("gram-stats kernel stays inside codegen (topgram is exchange-free end to end)") {
     val df = graft.operators.TextAnalysis.topNgramStats(
       table("documents"), "doc_id", "text", n = 2)
