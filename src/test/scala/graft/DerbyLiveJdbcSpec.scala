@@ -163,6 +163,26 @@ class DerbyLiveJdbcSpec extends SparkSpec {
     assert(source.table(spark, "lineitem_rt").count() === n)
   }
 
+  test("DDL failure accounting on the live engine: bad statements count, good ones land") {
+    import spark.implicits._
+    setup
+    val ddl = Seq(
+      (1, """CREATE TABLE "ddl_acct_ok" (ID BIGINT)"""),
+      (2, """CREATE TABLE "ddl_acct_bad" (ID NO_SUCH_TYPE)"""), // rejected by the engine
+      (3, """CREATE INDEX "ddl_acct_ix" ON "ddl_acct_ok"(ID)""")
+    ).toDF("rank", "sql_cmd")
+    val exec = StatementExecutor.jdbc(url, props)
+    try {
+      val rep = new DdlExecutor(exec).executeCategory("Table", ddl,
+        orderCols = Seq("rank"))
+      // per-category report: the engine's real rejection is counted,
+      // the statements around it still execute (reference K5 semantics)
+      assert(rep.total === 3 && rep.failed === 1, rep.toString)
+    } finally exec.close()
+    assert(source.tableNames(spark).contains("ddl_acct_ok"))
+    assert(!source.tableNames(spark).contains("ddl_acct_bad"))
+  }
+
   test("tampering the live destination is caught by the checksum, and a re-sync repairs it") {
     setup
     def backChecksum() = Comparator.portableChecksum(
