@@ -1130,29 +1130,33 @@ object Dedup {
       duplicateFraction: Double,
       maxBucketRows: Long)
 
-  /** Measure [[MinhashIndexStats]]: one aggregate pass over the index
-    * (count + distinct count + hottest blocking key), nothing
-    * collected beyond four scalars. Run between ingest epochs, same
-    * cadence as [[Similarity.ivfIndexStats]].
+  /** Measure [[MinhashIndexStats]]: ONE pass over the index, grouped
+    * by `sig_0` — the table's bucket column, so the single shuffle can
+    * ride the bucket layout. Rows in different `sig_0` groups are
+    * distinct by construction, so the global distinct count is the sum
+    * of within-group distincts. Nothing collected beyond four scalars.
+    * Run between ingest epochs, same cadence as
+    * [[Similarity.ivfIndexStats]].
     */
   def minhashIndexStats(
       spark: org.apache.spark.sql.SparkSession,
       tableName: String): MinhashIndexStats = {
     val t = spark.table(tableName)
-    val perKey = t.groupBy(t.columns.map(col): _*)
-      .agg(count(lit(1)).as("__dup"))
-    val r = perKey.agg(
-      sum(col("__dup")).as("total"),
-      count(lit(1)).as("distinct")).collect()(0)
-    val total = r.getLong(0)
-    val distinctRows = r.getLong(1)
-    val hottest = t.groupBy("sig_0").agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).collect()(0)
+    val r = t.groupBy("sig_0")
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(struct(t.columns.map(col): _*)).as("d"))
+      .agg(sum(col("n")), sum(col("d")), max(col("n")))
+      .collect()(0)
+    // an EMPTY index aggregates to (null, null, null) — sum/max over
+    // zero groups — and must report zeros, not NPE
+    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val distinctRows = if (r.isNullAt(1)) 0L else r.getLong(1)
     MinhashIndexStats(
       total,
       distinctRows,
       if (total == 0L) 0.0 else (total - distinctRows).toDouble / total,
-      if (hottest.isNullAt(0)) 0L else hottest.getLong(0))
+      if (r.isNullAt(2)) 0L else r.getLong(2))
   }
 
   /** Incremental near-dup against a MATERIALIZED index

@@ -165,13 +165,16 @@ class DerbyLiveJdbcSpec extends SparkSpec {
 
   test("DDL failure accounting on the live engine: bad statements count, good ones land") {
     import spark.implicits._
-    setup
+    // a DEDICATED in-memory db: the shared graft_rt database backs an
+    // exact tableNames assertion elsewhere — leaking tables into it
+    // would couple the tests through registration order
+    val durl = "jdbc:derby:memory:graft_ddl;create=true"
     val ddl = Seq(
       (1, """CREATE TABLE "ddl_acct_ok" (ID BIGINT)"""),
       (2, """CREATE TABLE "ddl_acct_bad" (ID NO_SUCH_TYPE)"""), // rejected by the engine
       (3, """CREATE INDEX "ddl_acct_ix" ON "ddl_acct_ok"(ID)""")
     ).toDF("rank", "sql_cmd")
-    val exec = StatementExecutor.jdbc(url, props)
+    val exec = StatementExecutor.jdbc(durl, props)
     try {
       val rep = new DdlExecutor(exec).executeCategory("Table", ddl,
         orderCols = Seq("rank"))
@@ -179,8 +182,9 @@ class DerbyLiveJdbcSpec extends SparkSpec {
       // the statements around it still execute (reference K5 semantics)
       assert(rep.total === 3 && rep.failed === 1, rep.toString)
     } finally exec.close()
-    assert(source.tableNames(spark).contains("ddl_acct_ok"))
-    assert(!source.tableNames(spark).contains("ddl_acct_bad"))
+    val listed = graft.sinks.JdbcDest(durl, new java.util.Properties())
+      .asSource.tableNames(spark)
+    assert(listed.contains("ddl_acct_ok") && !listed.contains("ddl_acct_bad"), listed)
   }
 
   test("tampering the live destination is caught by the checksum, and a re-sync repairs it") {

@@ -387,6 +387,7 @@ class PlanQualitySpec extends SparkSpec {
     val plan = explain(query())
     assert(plan.contains("In(sig_0"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prev = spark.conf.get(conf)
     try {
