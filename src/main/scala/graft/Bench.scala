@@ -146,7 +146,13 @@ object Bench {
       ",\"sq\":\"int8 sl32 k5\",\"ivfsq\":\"c16 p4 int8 sl32 k5\"" +
       ",\"bpe\":\"m64 dict memo\",\"bpe_cold\":" + fmt(bpeCold) +
       ",\"knnivf\":\"c16 p4 k7 sl32\",\"mhidx\":\"n3 k8 b8\"" +
-      ",\"skip\":\"q_stream_ingest_twin(verify-gated stream lifecycle)\"}"
+      // declare the skip only when it was actually applied — under
+      // SPARK_GRAFT_ONLY the skip set is empty and the twin may well
+      // have been timed; metadata must not contradict the measurements
+      (if (benchSkip.nonEmpty)
+        ",\"skip\":\"" + benchSkip.toSeq.sorted.mkString(",") +
+          "(verify-gated stream lifecycle)\""
+      else "") + "}"
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"params":$params,"sf":"$sfDir"}""")
     spark.stop()
   }

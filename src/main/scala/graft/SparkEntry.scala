@@ -24,6 +24,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Stable table-name key for a fixture-backed cached index: a digest
+    * of the data directory PLUS the frame's current file listing.
+    * `dir.hashCode` alone risked two failure modes — a 32-bit collision
+    * between fixture paths silently serving one fixture's index to
+    * another's queries, and a fixture REGENERATED in place (same path,
+    * new part files) reusing an index built from the old data. Part
+    * files carry fresh UUIDs on every write, so the listing digest
+    * changes whenever the data does.
+    */
+  private def fixtureKey(dir: String, df: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(dir.getBytes("UTF-8"))
+    df.inputFiles.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   /** events.ts arrives as long nanoseconds (nanosAsLong read); integer-
     * divide to microseconds (exact on longs — a double division would
     * lose precision past 2^53) and convert.
@@ -465,7 +481,7 @@ object SparkEntry {
       // the recurring cost). The table name is keyed by the DATA
       // DIRECTORY: a bare existence check would silently serve one
       // fixture's index to another fixture's queries
-      val idxTable = s"knn_ivfsq_gate_${Integer.toHexString(dir.hashCode)}"
+      val idxTable = s"knn_ivfsq_gate_${fixtureKey(dir, emb)}"
       if (!s.catalog.tableExists(idxTable))
         Similarity.writeIvfSqIndex(emb, "vec_id", "embedding",
           idxTable, nCentroids = 16, buckets = 8,
@@ -874,7 +890,7 @@ object SparkEntry {
     // the survivor set is invocation-stable.
     "q_stream_ingest_twin" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val idxTable = s"stream_twin_idx_${Integer.toHexString(dir.hashCode)}"
+      val idxTable = s"stream_twin_idx_${fixtureKey(dir, docs)}"
       if (!s.catalog.tableExists(idxTable))
         Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", idxTable, n = 3, k = 8, buckets = 8)
@@ -907,7 +923,16 @@ object SparkEntry {
         throw new IllegalStateException(
           "q_stream_ingest_twin: ingest stream did not finish within 300 s")
       }
-      s.read.parquet(out).select("doc_id").distinct().orderBy("doc_id")
+      // materialize the survivor ids eagerly — bounded by the 1-in-10
+      // epoch slice, not the corpus — so the three per-rep temp dirs
+      // can be deleted NOW instead of leaking one triple per rep
+      val survivors = s.read.parquet(out)
+        .select("doc_id").distinct().orderBy("doc_id").collect().toIndexedSeq
+      Seq(land, new java.io.File(out).getParent, ckpt).foreach { d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+      }
+      import s.implicits._
+      survivors.map(_.getLong(0)).toDF("doc_id").orderBy("doc_id")
     }),
     // Incremental near-dup against the MATERIALIZED signature index:
     // the same batch-vs-history asymmetry as q_dedup_incremental, but
@@ -917,7 +942,7 @@ object SparkEntry {
     // result contract is identical to the in-memory path
     "q_dedup_incremental_indexed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val idxTable = s"minhash_idx_gate_${Integer.toHexString(dir.hashCode)}"
+      val idxTable = s"minhash_idx_gate_${fixtureKey(dir, docs)}"
       if (!s.catalog.tableExists(idxTable))
         Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", idxTable, n = 3, k = 8, buckets = 8)

@@ -80,6 +80,28 @@ object CorpusIngest {
         count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
 
+  /** Pre-create `destDir` with an empty schema-bearing `batch=-1`
+    * sentinel (mode `ignore`: first start wins, restarts no-op). Empty
+    * micro-batches skip their writes, so a run whose batches are ALL
+    * empty — or a stream with zero survivors — would otherwise never
+    * create `destDir` and downstream `spark.read.parquet(destDir)`
+    * would throw path-not-found instead of yielding an empty frame.
+    * Real batch ids are ≥ 0, so the sentinel partition can never
+    * collide, and its zero rows leave every read-back unchanged.
+    */
+  private def ensureDest(cleaned: DataFrame, destDir: String): Unit = {
+    val spark = cleaned.sparkSession
+    spark
+      .createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cleaned.schema)
+      // an emptyRDD has ZERO partitions → zero tasks → no part files,
+      // and a directory holding only _SUCCESS still fails schema
+      // inference; one empty part file with a schema footer is the
+      // whole point of the sentinel
+      .repartition(1)
+      .write.mode("ignore").parquet(s"$destDir/batch=-1")
+  }
+
   /** Start the ingest: cleaned rows append into `destDir`, one
     * idempotent parquet directory per micro-batch (same replay contract
     * as [[IncrementalSync.start]]).
@@ -89,7 +111,8 @@ object CorpusIngest {
       destDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    ensureDest(cleaned, destDir)
     cleaned.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -103,6 +126,7 @@ object CorpusIngest {
             .parquet(s"$destDir/batch=$batchId")
       }
       .start()
+  }
 
   /** The full crawl-epoch ingest: [[start]]'s idempotent per-batch sink
     * composed with the PERSISTENT near-dup history — each micro-batch
@@ -146,7 +170,8 @@ object CorpusIngest {
       k: Int = 8,
       threshold: Double = 0.9,
       trigger: Trigger = Trigger.AvailableNow()
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    ensureDest(cleaned, destDir)
     cleaned.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -189,4 +214,5 @@ object CorpusIngest {
         }
       }
       .start()
+  }
 }

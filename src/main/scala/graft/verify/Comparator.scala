@@ -202,8 +202,18 @@ object Comparator {
           // the fraction's tail). With 10 integer digits every
           // intermediate stays ≤ s+12 ≤ 30.
           val mLit = lit(new java.math.BigDecimal(m)).cast(DecimalType(10, 0))
-          // xm = c mod 2^31 ∈ [0, 2^31): typed (min(p−s,10)+s, s) ≤ 28
-          val xm = pmod(c, mLit)
+          // pmod's POSITIVE representative needs 10 integer digits
+          // (2^31 ≈ 2.1e9), but pmod is typed with min(p−s, 10) of
+          // them — a narrow-integer-part type like decimal(25,16)
+          // carries only p−s = 9, so a NEGATIVE value's pmod would
+          // overflow its own result type and null out, silently
+          // dropping the row. Widen the input's integer part to at
+          // least 10 digits first; the cast is precision-increasing
+          // (s + max(p−s,10) ≥ p), so it can never itself overflow.
+          val cw = c.cast(DecimalType(
+            math.min(38, d.scale + math.max(d.precision - d.scale, 10)), d.scale))
+          // xm = c mod 2^31 ∈ [0, 2^31): typed (10+s, s) ≤ 28
+          val xm = pmod(cw, mLit)
           val i = floor(xm).cast(LongType) // integer part, < 2^31
           // fractional part < 1 with exactly s digits: decimal(s,s)
           // holds it exactly; ×10^s is typed 2s+2 ≤ 38 and integral

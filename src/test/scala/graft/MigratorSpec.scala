@@ -231,6 +231,25 @@ class MigratorSpec extends SparkSpec {
       mixOfBig(new java.math.BigDecimal(s).setScale(18).unscaledValue())
     }.sum
     assert(r18.getAs[java.math.BigDecimal]("d__sum").longValueExact() === expected18, r18.toString)
+    // decimal(25,16) is the NARROW-integer-part tier-2 shape
+    // (p+s+2 = 43 > 38 forces the congruence path, but p−s = 9 < 10):
+    // pmod's positive representative of a NEGATIVE value needs 10
+    // integer digits, so without the pre-pmod widening cast the row
+    // would overflow pmod's own result type and silently null out of
+    // the sum — exactly the failure mode this tier exists to prevent
+    val vals25 = Seq(
+      "-123456789.1234567890123456",
+      "-0.0000000000000001",
+      "999999999.9999999999999999",
+      "-999999999.9999999999999999",
+      null)
+    val df25 = vals25.toDF("raw").select(col("raw").cast("decimal(25,16)").as("d"))
+    val r25 = Comparator.portableChecksum(df25).collect()(0)
+    val expected25 = vals25.filter(_ != null).map { s =>
+      mixOfBig(new java.math.BigDecimal(s).setScale(16).unscaledValue())
+    }.sum
+    assert(r25.getAs[java.math.BigDecimal]("d__sum").longValueExact() === expected25, r25.toString)
+    assert(r25.getAs[Long]("d__nulls") === 1L)
     // the genuinely un-normalizable shape refuses loudly instead of
     // letting overflowed rows vanish from the sum
     val wide = Seq("1.5").toDF("raw").select(col("raw").cast("decimal(38,20)").as("d"))

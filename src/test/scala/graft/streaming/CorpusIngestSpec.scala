@@ -205,6 +205,25 @@ class CorpusIngestSpec extends SparkSpec {
       col("doc_id") === 2001L).count() === 1)
   }
 
+  test("a stream with zero survivors still leaves a readable empty dataset") {
+    val srcDir = tmp("graft_ingest_src_empty")
+    writeMain(srcDir)
+    val outDir = tmp("graft_ingest_empty_out")
+    // an unreachable quality bar drops every row: each micro-batch is
+    // empty and skips its write, so only the batch=-1 schema sentinel
+    // stands between the reader and path-not-found
+    val cleaned = CorpusIngest.clean(
+      CorpusIngest.documentsStream(spark, srcDir), minQuality = 1e9,
+      watermark = "1 hour")
+    CorpusIngest.start(cleaned, outDir, tmp("graft_ingest_empty_ckpt"))
+      .awaitTermination(180000)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === 0)
+    // schema survives, so downstream joins/aggregations still resolve
+    assert(Seq("doc_id", "text", "fp").forall(back.columns.contains),
+      back.columns.mkString(","))
+  }
+
   test("source rollup emits exactly the closed windows of the batch aggregation") {
     val srcDir = tmp("graft_ingest_src2")
     writeMain(srcDir)
