@@ -64,6 +64,50 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
+    // Streaming lifecycle tripwire: q_stream_ingest_twin is bench-
+    // skipped (its wall-clock is ~all lifecycle machinery), which left
+    // streaming startup cost with no regression signal at all. Time
+    // the lifecycle ALONE — start → AvailableNow drain over an empty
+    // parquet source → terminate — with a no-op sink: a regression in
+    // state-store init, WAL/commit-log setup, or micro-batch commit
+    // cost moves this number without re-timing the full twin.
+    val streamLifecycle = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_slc").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_slc_ck").toString
+      val t0 = System.nanoTime()
+      val v = try {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType)))
+        spark.readStream.schema(schema).parquet(dir)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+          .start()
+          .awaitTermination(120000)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      Seq(dir, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      v
+    }
+    // sf1 soak ratios: tools/soak.py runs the heavy-query subset at
+    // sf0.1 and at 10× (graft.tools.ScaleUp fixtures) and writes the
+    // per-query time RATIOS to bench/SOAK.json — embedded verbatim so
+    // the round's BENCH artifact carries the scale measurement beside
+    // its sf0.1 numbers. Absent file = no entry (the soak is a
+    // deliberate run, not part of every bench). Capped at 340 chars:
+    // the whole stdout line must survive the driver's tail window.
+    val soak = try {
+      val p = java.nio.file.Paths.get("bench/SOAK.json")
+      if (java.nio.file.Files.exists(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+        if (s.startsWith("{") && s.endsWith("}") && s.length <= 340 &&
+          !s.contains('\n')) Some(s)
+        else None
+      } else None
+    } catch { case _: Throwable => None }
     // deterministic order → per-query numbers comparable across rounds;
     // each query timed `reps` times, MEDIAN reported — min-of-2 under a
     // loaded machine produced ~21 s of phantom regressions in r5 (2-6×
@@ -113,10 +157,11 @@ object Bench {
     // "[success] Total time: …" line (~75 chars) after ours, so the
     // WHOLE JSON line must stay under ~1900 chars — r1–r3 all came back
     // "parsed": null because the line's head fell off the tail window.
-    // ~130 chars of fixed fields + ~240 of params ⇒ cap the queries map
-    // at 1300 to stay under the ~1900-char ceiling.
+    // ~130 chars of fixed fields + up to ~620 of params (the base ~250
+    // + stream_lifecycle + an embedded ≤340-char soak entry) ⇒ cap the
+    // queries map at 1100 to stay under the ~1900-char ceiling.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val lineBudget = 1300
+    val lineBudget = 1100
     val byTime = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var sz = 2
@@ -146,6 +191,8 @@ object Bench {
       ",\"sq\":\"int8 sl32 k5\",\"ivfsq\":\"c16 p4 int8 sl32 k5\"" +
       ",\"bpe\":\"m64 dict memo\",\"bpe_cold\":" + fmt(bpeCold) +
       ",\"knnivf\":\"c16 p4 k7 sl32\",\"mhidx\":\"n3 k8 b8\"" +
+      ",\"stream_lifecycle\":" + fmt(streamLifecycle) +
+      soak.map(s => ",\"soak\":" + s).getOrElse("") +
       // declare the skip only when it was actually applied — under
       // SPARK_GRAFT_ONLY the skip set is empty and the twin may well
       // have been timed; metadata must not contradict the measurements

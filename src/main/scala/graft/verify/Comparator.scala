@@ -23,40 +23,78 @@ object Comparator {
     * reference's `maxParallel` goroutine fan-out, cmd/compare.go:60-68)
     * — Spark's scheduler interleaves the concurrent jobs, so hundreds of
     * small tables don't serialize behind each other on the driver.
+    *
+    * `timeout` bounds the WHOLE comparison from call start: a table
+    * whose counts haven't landed by the deadline yields a
+    * `dest_is_exist=TIMEOUT, is_ok=NO` failure row (picked up by
+    * [[failures]]) and its Spark jobs are cancelled via its job group —
+    * one hung destination connection degrades to one failure row
+    * instead of hanging verification forever (the reference at least
+    * dies with the process; an `Await(Duration.Inf)` here did not).
     */
   def compareCounts(
       spark: SparkSession,
       src: TableSource,
       dest: TableSource,
       tables: Seq[String],
-      maxParallel: Int = 8
+      maxParallel: Int = 8,
+      timeout: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.FiniteDuration(30, "min")
   ): DataFrame = {
     import spark.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val destTables = dest.tableNames(spark).map(_.toLowerCase).toSet
+    // daemon threads: a table whose scan never returns keeps its thread
+    // hung past our deadline — it must not also pin the JVM open
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(maxParallel, tables.size max 1)))
+      math.max(1, math.min(maxParallel, tables.size max 1)),
+      (r: Runnable) => {
+        val th = new Thread(r, "graft-compare")
+        th.setDaemon(true)
+        th
+      })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def tag(t: String) = s"graft-compare-$t"
+    val deadline = System.nanoTime() + timeout.toNanos
     val rows =
-      try Await.result(
-        Future.sequence(tables.map { t =>
-          Future {
-            val srcN = src.table(spark, t).count()
-            val exists = destTables.contains(t.toLowerCase)
-            val destN = if (exists) Some(dest.table(spark, t).count()) else None
-            (t, srcN, destN, exists)
+      try {
+        val futs = tables.map { t =>
+          t -> Future {
+            // job group per table, from the pool thread (local
+            // properties are thread-inherited): a timeout can then
+            // cancel THIS table's running jobs without touching the
+            // others sharing the session
+            spark.sparkContext.setJobGroup(tag(t), s"compareCounts $t",
+              interruptOnCancel = true)
+            try {
+              val srcN = src.table(spark, t).count()
+              val exists = destTables.contains(t.toLowerCase)
+              val destN = if (exists) Some(dest.table(spark, t).count()) else None
+              (t, srcN, destN, if (exists) "YES" else "NO")
+            } finally spark.sparkContext.clearJobGroup()
           }
-        }), Duration.Inf)
-      finally pool.shutdown()
+        }
+        futs.map { case (t, f) =>
+          val remaining = deadline - System.nanoTime()
+          try Await.result(f,
+            if (remaining > 0) Duration.fromNanos(remaining) else Duration.Zero)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              spark.sparkContext.cancelJobGroup(tag(t))
+              (t, -1L, Option.empty[Long], "TIMEOUT")
+          }
+        }
+      } finally pool.shutdown()
     rows
-      .toDF("table_name", "src_rows", "dest_rows_opt", "dest_exists")
+      .toDF("table_name", "src_rows", "dest_rows_opt", "dest_state")
       .select(
         $"table_name",
         $"src_rows",
         coalesce($"dest_rows_opt", lit(-1L)).as("dest_rows"),
-        when($"dest_exists", lit("YES")).otherwise(lit("NO")).as("dest_is_exist"),
-        when($"dest_exists" && $"dest_rows_opt" === $"src_rows", lit("YES"))
+        $"dest_state".as("dest_is_exist"),
+        when($"dest_state" === "YES" && $"dest_rows_opt" === $"src_rows",
+          lit("YES"))
           .otherwise(lit("NO"))
           .as("is_ok")
       )

@@ -63,6 +63,34 @@ class MigratorSpec extends SparkSpec {
     assert(row.toString === p2.toString)
   }
 
+  test("compareCounts: a hung table degrades to a TIMEOUT failure row within bound") {
+    val src = FixtureSource(sfDir)
+    // a source whose `nation` scan never returns — the hung-connection
+    // shape the reference would hang the whole process on
+    val hung = new graft.sources.TableSource {
+      override def tableNames(s: org.apache.spark.sql.SparkSession) =
+        src.tableNames(s)
+      override def table(s: org.apache.spark.sql.SparkSession, name: String) = {
+        if (name == "nation") Thread.sleep(120000)
+        src.table(s, name)
+      }
+    }
+    val t0 = System.nanoTime()
+    val report = Comparator.compareCounts(spark, hung, src,
+      Seq("region", "nation"),
+      timeout = scala.concurrent.duration.FiniteDuration(5, "sec"))
+    val rows = report.orderBy("table_name").collect() // nation, region
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 60, s"verification must not hang (took $elapsed s)")
+    assert(rows(0).getAs[String]("dest_is_exist") === "TIMEOUT")
+    assert(rows(0).getAs[String]("is_ok") === "NO")
+    assert(rows(0).getAs[Long]("src_rows") === -1L)
+    assert(rows(0).getAs[Long]("dest_rows") === -1L)
+    // the healthy table still compared normally beside the hung one
+    assert(rows(1).getAs[String]("is_ok") === "YES")
+    assert(Comparator.failures(report).count() === 1)
+  }
+
   test("compare flags missing destination tables (DestIsExist=NO)") {
     val dest = Files.createTempDirectory("graft_dest3").toString
     new Migrator(spark, FixtureSource(sfDir), dest).copyTable("region")

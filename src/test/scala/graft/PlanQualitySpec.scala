@@ -404,4 +404,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("codegen id"), plan)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("rowDiff over same-bucketed tables is exchange-free (the 100 TB compose story)") {
+    // rowDiff's scale claim is "compose with bucketed storage: the
+    // full-outer join rides the tables' own bucketing, zero shuffle of
+    // either side" — prove the plan, not just the argument
+    val src = table("orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    src.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("rd_plan_src")
+    src
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 100 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .filter(col("o_orderkey") % 997 =!= 1) // plant some missing rows too
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("rd_plan_dest")
+    val diff = graft.verify.Comparator.rowDiff(
+      spark.table("rd_plan_src"), spark.table("rd_plan_dest"), Seq("o_orderkey"))
+    val expected = src.filter(col("o_orderkey") % 100 === 0 ||
+      col("o_orderkey") % 997 === 1).count()
+    assert(diff.count() === expected)
+    // the FINAL adaptive plan after execution: zero Exchange of any kind
+    // (no ShuffleExchange between the scans and the join, no
+    // BroadcastExchange sneaking in for the full-outer)
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
 }

@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""sf1 scale soak: measure how the heavy operators scale from sf0.1 to
+10x data, on the same box, back-to-back.
+
+Fixtures: `sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1
+target/sf1 10"` (deterministic key-shifted copies; near-dup density and
+cluster geometry preserved per copy — see ScaleUp's scaladoc).
+
+Runs graft.Bench twice (SPARK_GRAFT_ONLY over the heavy subset) and
+writes:
+  - bench/SOAK.json       compact per-query sf1/sf0.1 time ratios; Bench
+                          embeds this file verbatim into its params line,
+                          so the round's BENCH artifact carries the scale
+                          measurement (capped at 340 chars there).
+  - bench/SOAK_DETAIL.md  the full table: absolute times both scales,
+                          ratio, load averages, verdict per query.
+
+Interpretation: data grows 10x, cores are fixed at 32, so perfectly
+linear work lands at ratio <= ~10 once per-query fixed overhead
+(planning, JIT, small-stage scheduling) is amortized; sub-10 ratios mean
+the sf0.1 time was overhead-dominated. A ratio well above ~12 flags
+super-linear work — the thing the soak exists to catch.
+
+Usage: python3 tools/soak.py [--sf1dir target/sf1] [--reps 3]
+"""
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the ~15 most expensive operators (judge's soak list + the next tier of
+# heavy dedup/text queries); anchored regex — Bench matches findFirstIn
+HEAVY = [
+    "q_dedup_minhash", "q_dedup_spans", "q_dedup_clusters",
+    "q_dedup_ngram", "q_dedup_embedding", "q_sem_dedup",
+    "q_sim_ivf_sq_topk", "q_corpus_prepare", "q_text_bpe_merges",
+    "q_text_tfidf", "q_j6_row_diff", "q_k1_copy_lineitem",
+    "q_tpch_q9", "q_tpch_q18", "q_tpch_q21",
+]
+
+# short aliases keep the embedded params entry inside Bench's budget
+ALIAS = {
+    "q_dedup_minhash": "mh", "q_dedup_spans": "spans",
+    "q_dedup_clusters": "cc", "q_dedup_ngram": "ngram",
+    "q_dedup_embedding": "emb", "q_sem_dedup": "sem",
+    "q_sim_ivf_sq_topk": "ivfsq", "q_corpus_prepare": "corpus",
+    "q_text_bpe_merges": "bpe", "q_text_tfidf": "tfidf",
+    "q_j6_row_diff": "rdiff", "q_k1_copy_lineitem": "copy",
+    "q_tpch_q9": "tq9", "q_tpch_q18": "tq18", "q_tpch_q21": "tq21",
+    "bpe_cold": "bpec",
+}
+
+
+# mirrors build.sbt's jdk17AddOpens (Spark 4.x on JDK 17 outside
+# spark-submit); plain `java` against the compiled classes rather than
+# sbt runMain, so an sbt compile of in-flight source edits can neither
+# block the soak nor silently change the binary it measures mid-run
+ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"]]
+
+
+def run_bench(sf_dir: str, reps: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_CPUS"] = env.get("SPARK_GRAFT_CPUS", "32")
+    env["SPARK_GRAFT_BENCH_REPS"] = str(reps)
+    env["SPARK_GRAFT_ONLY"] = "^(" + "|".join(HEAVY) + ")$"
+    cp = os.path.join(REPO, "target/scala-2.13/classes") + ":/opt/spark/jars/*"
+    cmd = ["java"] + ADD_OPENS + [
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-Xmx" + os.environ.get("SPARK_DRIVER_MEM", "16g"),
+        "-cp", cp, "graft.Bench"]
+    out = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                         text=True, timeout=7200)
+    for line in out.stdout.splitlines():
+        if line.startswith('{"metric"'):
+            return json.loads(line)
+    sys.exit(f"no bench JSON for {sf_dir}:\n{out.stdout[-3000:]}\n{out.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf01dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf1dir", default=os.path.join(REPO, "target/sf1"))
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    if not os.path.isdir(args.sf1dir):
+        sys.exit(f"{args.sf1dir} missing — run graft.tools.ScaleUp first")
+
+    t0 = time.time()
+    base = run_bench(args.sf01dir, args.reps)
+    big = run_bench(args.sf1dir, args.reps)
+    wall = time.time() - t0
+
+    def times(art):
+        q = dict(art["queries"])
+        q["bpe_cold"] = art["params"].get("bpe_cold", -1)
+        return q
+
+    tb, tg = times(base), times(big)
+    ratios, lines = {}, []
+    for q in HEAVY + ["bpe_cold"]:
+        b, g = tb.get(q, -1), tg.get(q, -1)
+        if b and b > 0 and g and g > 0:
+            r = g / b
+            ratios[ALIAS[q]] = round(r, 1)
+            verdict = "ok" if r <= 12 else "SUPER-LINEAR"
+            lines.append(f"| {q} | {b:.3f} | {g:.3f} | {r:.1f}x | {verdict} |")
+        else:
+            lines.append(f"| {q} | {b} | {g} | n/a | FAILED |")
+
+    compact = {"x": 10, "load": base["params"]["load"],
+               "load1": big["params"]["load"], **ratios}
+    blob = json.dumps(compact, separators=(",", ":"))
+    assert len(blob) <= 340, f"SOAK.json too long ({len(blob)}) for Bench's budget"
+    os.makedirs(os.path.join(REPO, "bench"), exist_ok=True)
+    with open(os.path.join(REPO, "bench/SOAK.json"), "w") as f:
+        f.write(blob + "\n")
+
+    worst = max((v for v in ratios.values()), default=0)
+    with open(os.path.join(REPO, "bench/SOAK_DETAIL.md"), "w") as f:
+        f.write(
+            "# sf0.1 -> sf1 (10x) scale soak\n\n"
+            f"reps={args.reps} (median), cpus={os.environ.get('SPARK_GRAFT_CPUS', '32')}, "
+            f"load sf0.1={base['params']['load']}, load sf1={big['params']['load']}, "
+            f"wall={wall:.0f}s\n\n"
+            "Linear work on fixed cores lands at <= ~10x once per-query fixed\n"
+            "overhead is amortized; sub-10 means the sf0.1 time was\n"
+            "overhead-dominated; > ~12 flags super-linear work.\n\n"
+            "| query | sf0.1 s | sf1 s | ratio | verdict |\n|---|---|---|---|---|\n"
+            + "\n".join(lines) + "\n\n"
+            f"Worst ratio: {worst}x. bench/SOAK.json is embedded in the next "
+            "BENCH artifact's params.\n")
+    print(blob)
+    print(f"worst ratio {worst}x; detail in bench/SOAK_DETAIL.md ({wall:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()
