@@ -732,15 +732,18 @@ object SparkEntry {
     // gap to the closest non-dup pair makes the set float-robust), so
     // the approximate path gets an exact oracle.
     "q_dedup_embedding" -> ((s, dir) => {
-      // 8-bit bands: 256 buckets/band keeps candidate pairs ~10M at
-      // sf0.1 (4-bit bands = 16 buckets = 78M pairs/band — measured 3×
-      // slower); 2 OR-combined bands recover the recall the extra bits
-      // cost
+      // nBits = 0: band width auto-sized from the corpus (lshBitsFor)
+      // — resolves to the historical 8 bits at sf≤0.1 and 12 at the
+      // sf1 soak scale, where fixed 8-bit bands went quadratic
+      // (n²/256 candidate pairs; measured 27.9× time for 10× data).
+      // Output is width-independent here: planted exact dups collide
+      // in every band at any width, and threshold 0.8 > the 0.513
+      // fixture max cosine excludes everything else.
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = emb.union(emb.select(
         (col("vec_id") + 1000000).as("vec_id"), col("embedding")))
       Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding",
-        threshold = 0.8, nBits = 8, nBands = 2, maxBucket = 10000)
+        threshold = 0.8, nBits = 0, nBands = 2, maxBucket = 10000)
         .select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"))
         .orderBy("id_a", "id_b")
@@ -755,7 +758,7 @@ object SparkEntry {
       val batch = emb.filter(col("vec_id") % 2 === 0).select(
         (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Dedup.embeddingNearDupPairsAgainst(batch, emb, "vec_id", "embedding",
-        threshold = 0.95, nBits = 8, nBands = 2, maxBucket = 10000)
+        threshold = 0.95, nBits = 0, nBands = 2, maxBucket = 10000)
         .select(col("batch_id").cast(LongType).as("batch_id"),
           col("index_id").cast(LongType).as("index_id"))
         .orderBy("batch_id", "index_id")

@@ -446,6 +446,35 @@ object Dedup {
 
   // ------------------------------------------------- embedding near-dup
 
+  /** Band width that keeps expected bucket occupancy ~`targetBucket`
+    * as the corpus grows. A band of `b` bits has 2^b buckets, so the
+    * RANDOM collision mass per vector is n/2^b — at FIXED width the
+    * candidate-pair count grows as n²/2^b, which the sf1 soak measured
+    * as 27.9× wall-clock for 10× data. Growing the width with the
+    * corpus, b = ceil(log2(n/targetBucket)), pins expected occupancy
+    * at `targetBucket` and restores ~linear candidate growth — the
+    * standard prescription from the E2LSH line of work. Clamped to
+    * [minBits, 64/nBands] (all bands slice one 64-bit signature).
+    *
+    * The cost of wider bands is per-band recall for NON-identical
+    * near-dups (P(band agrees) = (1-θ/π)^b for angle θ) — compensate
+    * with more OR-bands, or pass an explicit `nBits` when a fixed
+    * recall target matters more than scaling. Identical vectors agree
+    * on every band at any width, so exact-duplicate recall is 1.0
+    * regardless.
+    */
+  def lshBitsFor(
+      n: Long,
+      nBands: Int,
+      targetBucket: Int = 16,
+      minBits: Int = 8
+  ): Int = {
+    val maxBits = 64 / math.max(1, nBands)
+    val needed = math.ceil(
+      math.log(math.max(1L, n).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, needed))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: only vectors
     * sharing a hyperplane-signature band are compared.
     *
@@ -459,29 +488,35 @@ object Dedup {
     * re-attached AFTER banding+cap via a hash join on id, so the wide
     * embedding column is never carried through the band explode/cap
     * shuffle.
+    *
+    * `nBits = 0` (the default) sizes the bands from the corpus via
+    * [[lshBitsFor]] (one extra count() job) — fixed widths go
+    * quadratic as the corpus grows; see [[lshBitsFor]] for the
+    * measured blow-up and the recall tradeoff.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      nBits: Int = 8,
+      nBits: Int = 0,
       nBands: Int = 1,
       maxBucket: Int = Int.MaxValue
   ): DataFrame = {
-    require(nBits * nBands <= 64, "signature is a single 64-bit word")
+    val bits = if (nBits > 0) nBits else lshBitsFor(df.count(), nBands)
+    require(bits * nBands <= 64, "signature is a single 64-bit word")
     // one fused-kernel pass computes all bands' planes; bands are bit
     // slices of the signature word. The 64-bit mask needs a special
     // case: (1L << 64) wraps to 1, so the naive mask would collapse
     // every vector into band value 0 — the exact n² blow-up banding
     // exists to prevent
-    val mask = if (nBits == 64) -1L else (1L << nBits) - 1
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sig = df.select(col(idCol),
-      VectorFunctions.lshSignature(col(vecCol), nBits * nBands).as("__sig"))
+      VectorFunctions.lshSignature(col(vecCol), bits * nBands).as("__sig"))
     val banded = sig.select(
       col(idCol),
       posexplode(array((0 until nBands).map(b =>
-        shiftright(col("__sig"), b * nBits).bitwiseAND(mask)): _*))
+        shiftright(col("__sig"), b * bits).bitwiseAND(mask)): _*))
         .as(Seq("__band", "__bandval")))
     val capped = capBuckets(banded, Seq("__band", "__bandval"), maxBucket)
     val candidates = capped.select(col(idCol).as("id_a"), col("__band"), col("__bandval"))
@@ -521,6 +556,12 @@ object Dedup {
     * `maxBucket` caps degenerate buckets on the INDEX side, where mass
     * accumulates over time.
     *
+    * `nBits = 0` (the default) sizes the bands from the INDEX side's
+    * count via [[lshBitsFor]] — that is where mass accumulates across
+    * ingest epochs, so that is the side whose occupancy must stay
+    * bounded. NOTE: a persisted signature table bakes in the width it
+    * was built with; rebuild it when the index has outgrown its width.
+    *
     * @return (batch_id, index_id, cosine) — batch vectors with at
     *         least one index collision at cosine >= `threshold`;
     *         anti-join the batch against `select(batch_id)` to admit
@@ -532,18 +573,19 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      nBits: Int = 8,
+      nBits: Int = 0,
       nBands: Int = 1,
       maxBucket: Int = Int.MaxValue
   ): DataFrame = {
-    require(nBits * nBands <= 64, "signature is a single 64-bit word")
-    val mask = if (nBits == 64) -1L else (1L << nBits) - 1
+    val bits = if (nBits > 0) nBits else lshBitsFor(index.count(), nBands)
+    require(bits * nBands <= 64, "signature is a single 64-bit word")
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     def banded(df: DataFrame, outId: String) = df
       .select(col(idCol).as(outId),
-        VectorFunctions.lshSignature(col(vecCol), nBits * nBands).as("__sig"))
+        VectorFunctions.lshSignature(col(vecCol), bits * nBands).as("__sig"))
       .select(col(outId),
         posexplode(array((0 until nBands).map(b =>
-          shiftright(col("__sig"), b * nBits).bitwiseAND(mask)): _*))
+          shiftright(col("__sig"), b * bits).bitwiseAND(mask)): _*))
           .as(Seq("__band", "__bandval")))
     val b = banded(batch, "batch_id")
     val ix = capBuckets(banded(index, "index_id"), Seq("__band", "__bandval"), maxBucket)

@@ -227,6 +227,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("lshBitsFor: width grows with corpus, clamps to floor and signature") {
+    // occupancy target 16: width is ceil(log2(n/16)), floored at 8
+    assert(Dedup.lshBitsFor(400, nBands = 2) === 8)    // historical sf0.1 width
+    assert(Dedup.lshBitsFor(4000, nBands = 2) === 8)   // still under the floor
+    assert(Dedup.lshBitsFor(40000, nBands = 2) === 12) // sf1 soak scale
+    assert(Dedup.lshBitsFor(40000000, nBands = 2) === 22)
+    // 10× data → ~3.3 more bits → expected bucket occupancy constant →
+    // candidate pairs grow ~linearly instead of n²/2^b
+    assert(Dedup.lshBitsFor(400000, nBands = 2) -
+      Dedup.lshBitsFor(40000, nBands = 2) <= 4)
+    // clamp: all bands must slice one 64-bit signature
+    assert(Dedup.lshBitsFor(Long.MaxValue, nBands = 2) === 32)
+    assert(Dedup.lshBitsFor(Long.MaxValue, nBands = 8) === 8)
+    assert(Dedup.lshBitsFor(0, nBands = 1) === 8) // empty corpus: floor
+  }
+
+  test("embedding near-dup: auto band width finds the plant (width-independent output)") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val copy = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    // nBits = 0 → sized from count(); identical vectors agree on every
+    // band at ANY width, so the planted pair always surfaces
+    val pairs = Dedup.embeddingNearDupPairs(emb.union(copy), "vec_id", "embedding",
+      threshold = 0.999, nBits = 0, nBands = 2).collect()
+    assert(pairs.exists(r => r.getLong(0) == 7L && r.getLong(1) == 10007L))
+    val against = Dedup.embeddingNearDupPairsAgainst(copy, emb, "vec_id", "embedding",
+      threshold = 0.999, nBits = 0, nBands = 2).collect()
+    assert(against.length === 1 && against(0).getLong(1) === 7L)
+  }
+
   test("embedding near-dup: maxBucket drops a degenerate dense bucket") {
     import spark.implicits._
     // 60 identical vectors collide in EVERY band; a real corpus alongside
