@@ -405,6 +405,66 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  // ---- TPC-H heavy five: the suite's most join/agg-dense queries.
+  // Gates pin broadcast on every dimension side and map-side partial
+  // aggregation, so later operator work can't silently de-optimize
+  // the plans that carry the benchmark.
+
+  test("TPC-H Q7: both nation roles + customer/supplier broadcast; partial agg") {
+    val plan = SparkEntry.queries("q_tpch_q7")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // customer, supplier, n1, n2 all broadcast; only lineitem⋈orders
+    // (fact⋈fact) may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4, plan)
+    assert("SortMergeJoin".r.findAllIn(plan).length <= 1, plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("TPC-H Q8: five-way star — every dimension broadcasts; partial agg") {
+    val plan = SparkEntry.queries("q_tpch_q8")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // part-filter, asiaCust (nation+region inside), suppNation
+    // (nation inside) all ride broadcasts — 5 in total
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 5, plan)
+    assert("SortMergeJoin".r.findAllIn(plan).length <= 1, plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("TPC-H Q9: part/supplier/nation broadcast; partial agg before the shuffle") {
+    val plan = SparkEntry.queries("q_tpch_q9")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 3, plan)
+    assert("SortMergeJoin".r.findAllIn(plan).length <= 1, plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("TPC-H Q18: HAVING aggregate is partial+final and its partitioning feeds the join") {
+    val df = SparkEntry.queries("q_tpch_q18")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, "expect partial+final\n" + plan)
+    assert(plan.contains("partial_sum"), plan)
+    // the o_orderkey ⋈ l_orderkey join reuses the aggregate's hash
+    // partitioning on the big side: exchanges = lineitem agg shuffle +
+    // orders join shuffle + the final orderBy range — never a fourth
+    assert("Exchange ".r.findAllIn(plan).length <= 3, plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("TPC-H Q21: semi/anti self-joins stay equi-keyed; EUROPE suppliers broadcast") {
+    val plan = SparkEntry.queries("q_tpch_q21")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the EXISTS/NOT-EXISTS pair keys on l_orderkey with the
+    // suppkey-inequality as a residual condition — an equi SMJ/SHJ,
+    // NEVER a nested-loop over the fact table
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    // region→nation→supplier dimension chain broadcasts into the probe
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("rowDiff over same-bucketed tables is exchange-free (the 100 TB compose story)") {
     // rowDiff's scale claim is "compose with bucketed storage: the
     // full-outer join rides the tables' own bucketing, zero shuffle of
