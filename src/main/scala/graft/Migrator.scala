@@ -117,6 +117,12 @@ final class Migrator(
     } finally pool.shutdown()
   }
 
+  /** The destination as a readable source — the same view [[compare]]
+    * verifies through (JDBC destinations unpack ArrayCarrier columns
+    * here, so a synced vector table reads back as `array<float>`).
+    */
+  def destSource: TableSource = dest.asSource
+
   /** Post-copy verification (reference `compareDb`). */
   def compare(): DataFrame = {
     val names = src.tableNamesExcluding(spark, cfg.exclude)

@@ -55,6 +55,11 @@ final case class ParquetDest(dir: String) extends TableDest {
   * URL ([[SqlQuote.forUrl]]: backticks for MySQL-kernel targets, ANSI
   * double quotes elsewhere), preserving the source's lowercase table
   * names verbatim on case-folding engines.
+  *
+  * `array<float>` columns (no portable JDBC type) ride the
+  * [[ArrayCarrier]] convention: packed to float32-LE binary under a
+  * `__arr_f32le`-suffixed name on write, unpacked and renamed back by
+  * [[asSource]] — so vector tables sync and verify like any other.
   */
 final case class JdbcDest(
     url: String,
@@ -67,7 +72,7 @@ final case class JdbcDest(
     quoteIdentOverride.getOrElse(SqlQuote.forUrl(url))
 
   def write(df: DataFrame, name: String): Unit =
-    BatchWriter.writeJdbc(df, url, quoteIdent(name), props,
+    BatchWriter.writeJdbc(ArrayCarrier.pack(df), url, quoteIdent(name), props,
       batchRowSize, maxConnections)
 
   /** Read-back source for verification. NOT a plain
@@ -96,6 +101,6 @@ final case class JdbcDest(
       } finally conn.close()
     }
     override def table(spark: SparkSession, name: String): DataFrame =
-      spark.read.jdbc(url, quoteIdent(name), props)
+      ArrayCarrier.unpack(spark.read.jdbc(url, quoteIdent(name), props))
   }
 }

@@ -208,6 +208,12 @@ object Comparator {
       // /root/reference/cmd/tablemeta.go:153-154); empty binary pins
       // to 0 through the same length guard
       case BinaryType => krHexFold(hex(c))
+      // vector columns fingerprint their float32-LE packed bytes — the
+      // exact payload the ArrayCarrier JDBC convention stores, so a
+      // synced-then-unpacked embedding column checksums equal to its
+      // source by construction (raw IEEE-754 bits, no float rounding)
+      case ArrayType(FloatType, _) =>
+        krHexFold(hex(graft.functions.PackF32Expression.packF32(c)))
       // NUMBER(p,s)→decimal is the reference's flagship type mapping
       // (/root/reference/cmd/tablemeta.go:138-139): normalize to
       // UNSCALED integer units v·10^s. The unscaled VALUE always has

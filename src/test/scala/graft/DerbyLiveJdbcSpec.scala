@@ -127,17 +127,18 @@ class DerbyLiveJdbcSpec extends SparkSpec {
     // no dictionary emulation needed: JdbcDest.asSource lists the
     // destination through dialect-neutral DatabaseMetaData.getTables
     val surl = "jdbc:derby:memory:graft_sync;create=true"
-    // embeddings carries ARRAY<FLOAT> — not a JDBC type; the exclude
-    // list (reference P2) is exactly the tool for that
-    val cfg = graft.config.SyncConfig(maxParallel = 4, exclude = Set("embeddings"))
+    // embeddings' ARRAY<FLOAT> has no JDBC type — it rides JdbcDest's
+    // ArrayCarrier convention (float32-LE BLOB, suffix-marked), so ALL
+    // ten fixture tables sync, vectors included
+    val cfg = graft.config.SyncConfig(maxParallel = 4)
     val m = new Migrator(spark, graft.sources.FixtureSource(sfDir),
       graft.sinks.JdbcDest(surl, new java.util.Properties(),
         batchRowSize = 500, maxConnections = 2), cfg)
     val results = m.run()
-    assert(results.size === 9, results.map(_.table).sorted.mkString(","))
+    assert(results.size === 10, results.map(_.table).sorted.mkString(","))
     assert(results.forall(_.ok), results.filterNot(_.ok).mkString("; "))
     val report = m.compare()
-    assert(report.count() === 9)
+    assert(report.count() === 10)
     assert(report.filter(col("is_ok") === "NO").count() === 0)
     // deep content check on the largest table, through the live engine
     val back = JdbcSource(surl, new java.util.Properties())
@@ -147,6 +148,18 @@ class DerbyLiveJdbcSpec extends SparkSpec {
     val a = Comparator.portableChecksum(table("lineitem")).collect()(0)
     val b = Comparator.portableChecksum(back).collect()(0)
     assert(a.toString === b.toString)
+    // and on the vector table: the read-back goes BLOB → unpack →
+    // array<float>, and the checksum (float32-LE packed-hex fold on
+    // both sides) must land byte-identical to the parquet source
+    val vecBack = m.destSource.table(spark, "embeddings")
+    val vecCols = table("embeddings").columns
+    assert(vecBack.columns.map(_.toLowerCase).sorted === vecCols.sorted,
+      vecBack.columns.mkString(","))
+    val renamed = vecBack.select(vecCols.map(c =>
+      col(c.toUpperCase(java.util.Locale.ROOT)).as(c)): _*)
+    val va = Comparator.portableChecksum(table("embeddings")).collect()(0)
+    val vb = Comparator.portableChecksum(renamed).collect()(0)
+    assert(va.toString === vb.toString)
   }
 
   test("range append is replay-safe: delete-range + append converges over replays") {
