@@ -7,6 +7,15 @@ import graft.sources.{FixtureSource, TableSource}
 /** The two identifier-quoting conventions the engine speaks, in ONE
   * place: write path, read-back path, and CLI must stay mutually
   * consistent or verification silently diverges from the copy.
+  *
+  * Proof status per branch (the sandbox ships an embedded Derby engine
+  * but no MySQL kernel): the ANSI branch is LIVE-PROVEN — every JDBC
+  * surface executes against real Derby in DerbyLiveJdbcSpec; the
+  * MySQL-kernel branch (backticks, the reference's actual destination)
+  * is GOLDEN-PINNED — DialectMatrixSpec asserts the exact generated
+  * DDL/TRUNCATE/DELETE text, quoting escapes, URL sniffing, and the
+  * 65535-placeholder batch clamp for a fixed table meta, and
+  * FakeJdbcSpec captures the statement stream shape end-to-end.
   */
 object SqlQuote {
   /** ANSI double quotes (Derby, Postgres, Oracle); embedded double
