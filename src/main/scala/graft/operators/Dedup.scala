@@ -1165,12 +1165,23 @@ object Dedup {
     *                          degenerate shingle (boilerplate corpus)
     *                          shows up here before it shows up as a
     *                          slow query
+    * @param nBlockingKeys     distinct `sig_0` values — the number of
+    *                          blocking buckets mass is spread over
+    * @param bucketSkew        maxBucketRows / mean bucket size — the
+    *                          text twin of [[Similarity.IvfIndexStats]]
+    *                          `listSkew`. Text blocking keys run much
+    *                          sparser than IVF lists (mean near 1 row
+    *                          per distinct signature), so meaningful
+    *                          thresholds are far looser — see
+    *                          [[isStaleMinhashIndex]]
     */
   final case class MinhashIndexStats(
       totalRows: Long,
       distinctRows: Long,
       duplicateFraction: Double,
-      maxBucketRows: Long)
+      maxBucketRows: Long,
+      nBlockingKeys: Long,
+      bucketSkew: Double)
 
   /** Measure [[MinhashIndexStats]]: ONE pass over the index, grouped
     * by `sig_0` — the table's bucket column, so the single shuffle can
@@ -1188,17 +1199,55 @@ object Dedup {
       .agg(
         count(lit(1)).as("n"),
         count_distinct(struct(t.columns.map(col): _*)).as("d"))
-      .agg(sum(col("n")), sum(col("d")), max(col("n")))
+      .agg(sum(col("n")), sum(col("d")), max(col("n")), count(lit(1)))
       .collect()(0)
-    // an EMPTY index aggregates to (null, null, null) — sum/max over
+    // an EMPTY index aggregates to (null, null, null, 0) — sum/max over
     // zero groups — and must report zeros, not NPE
     val total = if (r.isNullAt(0)) 0L else r.getLong(0)
     val distinctRows = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val maxBucket = if (r.isNullAt(2)) 0L else r.getLong(2)
+    val nKeys = r.getLong(3)
+    val mean = if (nKeys == 0L) 0.0 else total.toDouble / nKeys
     MinhashIndexStats(
       total,
       distinctRows,
       if (total == 0L) 0.0 else (total - distinctRows).toDouble / total,
-      if (r.isNullAt(2)) 0L else r.getLong(2))
+      maxBucket,
+      nKeys,
+      if (mean == 0.0) 1.0 else maxBucket / mean)
+  }
+
+  /** The operational decision API over [[minhashIndexStats]] — parity
+    * with [[Similarity.isStaleIvfSqIndex]], with remediation split by
+    * which signal fired (the two degrade differently):
+    *
+    *  - `duplicateFraction > maxDuplicateFraction`: replay residue from
+    *    [[appendToMinhashIndex]]'s at-least-once appends has piled up —
+    *    wasted index bytes and duplicated emitted pairs. Remediation:
+    *    [[graft.plans.Compaction.compactBucketedTable]] — it drops
+    *    EXACTLY these rows (distinct through the table's own bucket
+    *    spec) and needs no recompute of signatures.
+    *  - `bucketSkew > maxBucketSkew`: one `sig_0` blocking value holds
+    *    far more than its share — almost always an exact/near-dup
+    *    cluster (boilerplate) that entered the corpus, concentrating
+    *    join work and pair output on one bucket. Compaction does NOT
+    *    clear this (the rows have distinct ids); remediation is to
+    *    dedup the corpus (e.g. [[exact]]) and rebuild via
+    *    [[writeMinhashIndex]] — or accept the documented fail-open
+    *    `maxBucket` cap at query time.
+    *
+    * Text blocking keys are sparse (mean bucket ≈ 1 row), so the skew
+    * default is far looser than the IVF's 4×: a bucket only flags when
+    * it holds `maxBucketSkew` × the mean — tighten per corpus from
+    * measured bucket-join times.
+    */
+  def isStaleMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      maxDuplicateFraction: Double = 0.25,
+      maxBucketSkew: Double = 64.0): Boolean = {
+    val s = minhashIndexStats(spark, tableName)
+    s.duplicateFraction > maxDuplicateFraction || s.bucketSkew > maxBucketSkew
   }
 
   /** Incremental near-dup against a MATERIALIZED index

@@ -130,6 +130,48 @@ class CompactionSpec extends SparkSpec {
     assert(post === pre)
   }
 
+  test("isStaleMinhashIndex: replay residue flips it, compaction clears it; a dup-cluster append flips skew, dedup+rebuild clears it") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def phrase(tag: String) = (1 to 25).map(t => s"${tag}w$t").mkString(" ")
+    val hist = (0 until 20).map(i => (i.toLong, phrase(s"st$i"))).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(hist, "doc_id", "text", "stale_idx", buckets = 4)
+    assert(!Dedup.isStaleMinhashIndex(spark, "stale_idx"))
+
+    // ---- signal 1: replay residue. Three replays of one epoch leave
+    // 30 duplicate rows of 50: duplicateFraction 0.4 > the 0.25 default
+    val batch = (100 until 110).map(i => (i.toLong, phrase(s"stb$i"))).toDF("doc_id", "text")
+    (1 to 3).foreach(_ =>
+      Dedup.appendToMinhashIndex(spark, "stale_idx", batch, "doc_id", "text"))
+    val residueStats = Dedup.minhashIndexStats(spark, "stale_idx")
+    assert(residueStats.totalRows === 50L && residueStats.distinctRows === 30L,
+      residueStats.toString)
+    assert(Dedup.isStaleMinhashIndex(spark, "stale_idx"))
+    // the documented remediation for THIS signal: compaction drops
+    // exactly the residue, no signature recompute
+    graft.plans.Compaction.compactBucketedTable(spark, "stale_idx")
+    assert(!Dedup.isStaleMinhashIndex(spark, "stale_idx"))
+
+    // ---- signal 2: a boilerplate cluster — 30 DISTINCT ids sharing one
+    // text, so 30 rows land on one blocking key (skew 30 × mean ≈ 1).
+    // Compaction cannot clear this (the rows are distinct)
+    val boiler = (200 until 230).map(i => (i.toLong, phrase("same"))).toDF("doc_id", "text")
+    Dedup.appendToMinhashIndex(spark, "stale_idx", boiler, "doc_id", "text")
+    assert(Dedup.isStaleMinhashIndex(spark, "stale_idx", maxBucketSkew = 10.0))
+    graft.plans.Compaction.compactBucketedTable(spark, "stale_idx")
+    assert(Dedup.isStaleMinhashIndex(spark, "stale_idx", maxBucketSkew = 10.0),
+      "distinct-id dup clusters must survive compaction — that is why the recipe is dedup+rebuild")
+    // the documented remediation: dedup the corpus, rebuild the index
+    val corpus = hist.union(batch).union(boiler)
+    val deduped = Dedup.exact(corpus, "doc_id", "text")
+    spark.sql("DROP TABLE stale_idx")
+    Dedup.writeMinhashIndex(deduped, "doc_id", "text", "stale_idx", buckets = 4)
+    assert(!Dedup.isStaleMinhashIndex(spark, "stale_idx", maxBucketSkew = 10.0))
+    val rebuilt = Dedup.minhashIndexStats(spark, "stale_idx")
+    assert(rebuilt.totalRows === 31L, rebuilt.toString) // 20 + 10 + 1 survivor
+    spark.sql("DROP TABLE stale_idx")
+  }
+
   test("compactBucketedTable: a temp view shadowing the table name is refused untouched") {
     import spark.implicits._
     import graft.operators.Dedup
