@@ -157,11 +157,12 @@ object Bench {
     // "[success] Total time: …" line (~75 chars) after ours, so the
     // WHOLE JSON line must stay under ~1900 chars — r1–r3 all came back
     // "parsed": null because the line's head fell off the tail window.
-    // ~130 chars of fixed fields + up to ~620 of params (the base ~250
-    // + stream_lifecycle + an embedded ≤340-char soak entry) ⇒ cap the
-    // queries map at 1100 to stay under the ~1900-char ceiling.
+    // ~130 chars of fixed fields + up to ~670 of params (the base ~250
+    // + stream_lifecycle + heap_peak_mb + an embedded ≤340-char soak
+    // entry, itself now carrying hp01/hp1) ⇒ cap the queries map at
+    // 1050 to stay under the ~1900-char ceiling.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val lineBudget = 1100
+    val lineBudget = 1050
     val byTime = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var sz = 2
@@ -181,7 +182,20 @@ object Bench {
     // 1-min load average: a loaded box skews wall-times (r5: 80.7 s
     // reported vs 59 s quiet; r6: 44.7 vs 34.1) — emitting it makes a
     // noisy artifact self-identifying without a re-run
+    // driver peak heap across the whole run: the empirical check on the
+    // bounded-collect invariants (vocab maxVocab, prune lists, centroid
+    // tables, probed lists). A driver-side cost that grows with data
+    // shows up here as a scale-proportional peak — the sf1 soak
+    // compares this number at 10× data, where "flat" is the claim.
+    val heapPeakMb = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+        .sum / (1024 * 1024)
+    }
     val params = "{\"agg\":\"median\",\"load\":" + loadStart +
+      ",\"heap_peak_mb\":" + heapPeakMb +
       ",\"degraded\":" + degraded + ",\"cpus\":" + cpus +
       ",\"simhash_portable\":\"28bit 4x7 h3 cap1000\"" +
       ",\"simhash\":\"64bit 4x16 h3 cap1000 planted\"" +

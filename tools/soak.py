@@ -121,8 +121,16 @@ def main():
         else:
             lines.append(f"| {q} | {b} | {g} | n/a | FAILED |")
 
+    # peak JVM heap at both scales. local[32] is ONE JVM, so this is
+    # driver + executor task memory together: the check is not "flat"
+    # but "bounded and at-worst-linear" — a super-linear heap ratio
+    # means a collect/cache whose size tracks the data, the thing the
+    # bounded-collect invariants forbid.
+    hp01 = base["params"].get("heap_peak_mb", -1)
+    hp1 = big["params"].get("heap_peak_mb", -1)
     compact = {"x": 10, "load": base["params"]["load"],
-               "load1": big["params"]["load"], **ratios}
+               "load1": big["params"]["load"],
+               "hp01": hp01, "hp1": hp1, **ratios}
     blob = json.dumps(compact, separators=(",", ":"))
     assert len(blob) <= 340, f"SOAK.json too long ({len(blob)}) for Bench's budget"
     os.makedirs(os.path.join(REPO, "bench"), exist_ok=True)
@@ -142,7 +150,12 @@ def main():
             "| query | sf0.1 s | sf1 s | ratio | verdict |\n|---|---|---|---|---|\n"
             + "\n".join(lines) + "\n\n"
             f"Worst ratio: {worst}x. bench/SOAK.json is embedded in the next "
-            "BENCH artifact's params.\n")
+            "BENCH artifact's params.\n\n"
+            f"Peak JVM heap: {hp01} MB at sf0.1 vs {hp1} MB at sf1 "
+            "(single local[32] JVM = driver + executor task memory "
+            "together; the invariant is bounded-and-at-worst-linear, "
+            "not flat — a super-linear heap ratio would flag a "
+            "data-proportional collect or cache).\n")
     print(blob)
     print(f"worst ratio {worst}x; detail in bench/SOAK_DETAIL.md ({wall:.0f}s)")
 
