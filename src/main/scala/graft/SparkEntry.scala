@@ -22,7 +22,7 @@ import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Fixtures.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
 
   /** Stable table-name key for a fixture-backed cached index: a digest
     * of the data directory PLUS the frame's current file listing.
@@ -40,11 +40,13 @@ object SparkEntry {
     md.digest().take(8).map("%02x".format(_)).mkString
   }
 
-  /** events.ts arrives as long nanoseconds (nanosAsLong read); integer-
-    * divide to microseconds (exact on longs — a double division would
-    * lose precision past 2^53) and convert.
+  /** events.ts after [[Fixtures.normalizeTs]]: always a proper
+    * microsecond timestamp, whichever vintage the fixture is.
     */
-  private def eventTs = timestamp_micros(expr("ts div 1000"))
+  private def eventTs = col("ts")
+
+  /** events.ts as epoch microseconds (exact: int64 all the way). */
+  private def eventUs = unix_micros(col("ts"))
 
   /** sum over a double column, exact: decimal-accumulate then one cast. */
   private def dsum(c: org.apache.spark.sql.Column) =
@@ -327,7 +329,7 @@ object SparkEntry {
     // flatMapGroupsWithState operator; 30-minute gap)
     "q_events_sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(
-        col("user_id"), expr("ts div 1000").as("us"), col("event_id"), col("value"))
+        col("user_id"), eventUs.as("us"), col("event_id"), col("value"))
       graft.streaming.Sessionize
         .batch(ev, "user_id", "us", "value", "event_id", 30L * 60 * 1000000)
         .orderBy("user_id", "session_seq")
@@ -1102,14 +1104,13 @@ object SparkEntry {
     // plan, oracle is DuckDB's native ASOF LEFT JOIN
     "q_j7_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      // μs, not raw ns: DuckDB reads the ns parquet column at μs
-      // precision, so the oracle can only agree at μs grain (`ts div
-      // 1000` is exact on longs)
+      // μs epoch longs on both sides: DuckDB's epoch_us(ts) is the
+      // oracle's grain, and int64 μs sorts/compares exactly
       val l = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"), col("value").as("l_value"))
+          eventUs.as("ts_us"), col("value").as("l_value"))
       val r = ev.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), expr("ts div 1000").as("r_ts"))
+        .groupBy(col("user_id"), eventUs.as("r_ts"))
         .agg(max(col("value")).as("r_value"))
       graft.operators.Temporal.asofJoin(l, r, "user_id", "ts_us", "r_ts",
         Seq("r_value")).orderBy("event_id")
@@ -1122,11 +1123,11 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val p = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
-          expr("ts div 1000").as("p_ts"))
+          eventUs.as("p_ts"))
       val win = ev.filter(col("event_type") === "error")
         .select(col("event_id").as("e_id"), col("user_id"),
-          expr("ts div 1000").as("s_ts"),
-          (expr("ts div 1000") + lit(3600000000L)).as("e_ts"))
+          eventUs.as("s_ts"),
+          (eventUs + lit(3600000000L)).as("e_ts"))
       graft.operators.Temporal.rangeJoin(p, win, "user_id", "p_ts",
           "s_ts", "e_ts", binWidth = 3600000000L)
         .select("p_id", "e_id", "user_id", "p_ts", "s_ts")

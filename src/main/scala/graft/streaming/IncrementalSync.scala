@@ -18,16 +18,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IncrementalSync {
 
-  /** File-based streaming source over an events directory. `tsNanosCol`
-    * arrives as long nanoseconds (nanosAsLong); emitted as a proper
-    * event-time timestamp column `event_time`.
+  /** File-based streaming source over an events directory. `ts` may
+    * arrive as long nanoseconds (nanosAsLong vintage) or as a proper
+    * timestamp; either way the stream carries an `event_time`
+    * microsecond-timestamp column.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(dir).schema
-    spark.readStream
-      .schema(schema)
-      .parquet(dir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    graft.Fixtures.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(dir))
+      .withColumn("event_time", col("ts"))
   }
 
   /** Watermarked hourly rollup per event type — late rows beyond the

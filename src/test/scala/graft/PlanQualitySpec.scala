@@ -63,7 +63,7 @@ class PlanQualitySpec extends SparkSpec {
 
   test("batch sessionization reuses ONE shuffle for windows and the aggregate") {
     val ev = table("events").select(
-      col("user_id"), expr("ts div 1000").as("us"), col("event_id"), col("value"))
+      col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
     val df = graft.streaming.Sessionize
       .batch(ev, "user_id", "us", "value", "event_id", 1800000000L)
     val plan = df.queryExecution.executedPlan.toString

@@ -25,5 +25,6 @@ object TestSession {
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSession.spark
   def sfDir: String = TestSession.sfDir
-  def table(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(name: String) =
+    Fixtures.normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
 }

@@ -64,7 +64,7 @@ class IncrementalSyncSpec extends SparkSpec {
     // watermark holds back the last open hour in append mode; everything
     // emitted must match the batch ground truth
     val batch = table("events")
-      .select(timestamp_micros(expr("ts div 1000")).as("event_time"),
+      .select(col("ts").as("event_time"),
         col("event_type"), col("value"))
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))

@@ -12,7 +12,7 @@ class SessionizeSpec extends SparkSpec {
 
   private def eventsUs = table("events").select(
     col("user_id"),
-    expr("ts div 1000").as("us"),
+    unix_micros(col("ts")).as("us"),
     col("event_id"),
     col("value"))
 
@@ -45,7 +45,7 @@ class SessionizeSpec extends SparkSpec {
 
     def runOnce(ckpt: String, outDir: String): Unit = {
       val streamEvents = IncrementalSync.eventsStream(spark, srcDir)
-        .select(col("user_id"), expr("ts div 1000").as("us"),
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
           col("event_time"), col("value"))
         .as[SessEvent]
       Sessionize.stream(streamEvents, GapUs, watermark = "30 minutes")
@@ -90,7 +90,7 @@ class SessionizeSpec extends SparkSpec {
     table("events").write.mode("overwrite").parquet(srcDir)
 
     val streamEvents = IncrementalSync.eventsStream(spark, srcDir)
-      .select(col("user_id"), expr("ts div 1000").as("us"),
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_time"), col("value"))
       .as[SessEvent]
     val outDir = tmp("graft_sess_out")
