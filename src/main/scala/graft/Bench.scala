@@ -92,6 +92,37 @@ object Bench {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
       v
     }
+    // Live-JDBC migration throughput. The baseline anchor
+    // q_k1_copy_lineitem times the STORAGE path (parquet read→write);
+    // the reference's published 7.23 s (readme.md:121-136) is a real
+    // DB→DB migration over JDBC. Time that path for real, once per
+    // bench: the full Migrator sync of all 10 fixture tables
+    // (embeddings riding the ArrayCarrier) into an ON-DISK embedded
+    // Derby engine — table DDL on first load, truncate + batched
+    // INSERT, 4 tables in flight — then compareDb must verify every
+    // table before the number counts. jdbc_sync = sync wall seconds
+    // (verify excluded); jdbc_rps = total synced rows / jdbc_sync.
+    val (jdbcSync, jdbcRps) = {
+      val dbDir = java.nio.file.Files.createTempDirectory("graft_bench_derby")
+      // keep derby.log inside the throwaway dir, not the repo
+      System.setProperty("derby.system.home", dbDir.toString)
+      try {
+        val url = s"jdbc:derby:$dbDir/db;create=true"
+        val m = new Migrator(spark, graft.sources.FixtureSource(sfDir),
+          graft.sinks.JdbcDest(url, new java.util.Properties(),
+            batchRowSize = 5000, maxConnections = 16),
+          graft.config.SyncConfig(maxParallel = 4))
+        val t0 = System.nanoTime()
+        val results = m.run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = results.filter(_.ok).map(_.rows).sum
+        val allOk = results.nonEmpty && results.forall(_.ok) &&
+          m.compare().filter(org.apache.spark.sql.functions.col("is_ok") === "NO")
+            .count() == 0
+        if (allOk) (sec, rows / sec) else (-1.0, -1.0)
+      } catch { case _: Throwable => (-1.0, -1.0) }
+      finally org.apache.commons.io.FileUtils.deleteQuietly(dbDir.toFile)
+    }
     // sf1 soak ratios: tools/soak.py runs the heavy-query subset at
     // sf0.1 and at 10× (graft.tools.ScaleUp fixtures) and writes the
     // per-query time RATIOS to bench/SOAK.json — embedded verbatim so
@@ -157,12 +188,12 @@ object Bench {
     // "[success] Total time: …" line (~75 chars) after ours, so the
     // WHOLE JSON line must stay under ~1900 chars — r1–r3 all came back
     // "parsed": null because the line's head fell off the tail window.
-    // ~130 chars of fixed fields + up to ~670 of params (the base ~250
-    // + stream_lifecycle + heap_peak_mb + an embedded ≤340-char soak
-    // entry, itself now carrying hp01/hp1) ⇒ cap the queries map at
-    // 1050 to stay under the ~1900-char ceiling.
+    // ~130 chars of fixed fields + up to ~720 of params (the base ~250
+    // + stream_lifecycle + jdbc_sync/jdbc_rps + heap_peak_mb + an
+    // embedded ≤340-char soak entry, itself carrying hp01/hp1) ⇒ cap
+    // the queries map at 1000 to stay under the ~1900-char ceiling.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val lineBudget = 1050
+    val lineBudget = 1000
     val byTime = results.sortBy(-_._2)
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var sz = 2
@@ -206,6 +237,8 @@ object Bench {
       ",\"bpe\":\"m64 dict memo\",\"bpe_cold\":" + fmt(bpeCold) +
       ",\"knnivf\":\"c16 p4 k7 sl32\",\"mhidx\":\"n3 k8 b8\"" +
       ",\"stream_lifecycle\":" + fmt(streamLifecycle) +
+      ",\"jdbc_sync\":" + fmt(jdbcSync) +
+      ",\"jdbc_rps\":" + (if (jdbcRps < 0) "-1" else f"$jdbcRps%.0f") +
       soak.map(s => ",\"soak\":" + s).getOrElse("") +
       // declare the skip only when it was actually applied — under
       // SPARK_GRAFT_ONLY the skip set is empty and the twin may well
