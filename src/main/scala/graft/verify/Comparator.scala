@@ -56,6 +56,10 @@ object Comparator {
       })
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     def tag(t: String) = s"graft-compare-$t"
+    // side-channel for facts that landed before a table's deadline: a
+    // timed-out row still reports its real source count when the source
+    // scan finished and only the destination hung
+    val srcCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     val deadline = System.nanoTime() + timeout.toNanos
     val rows =
       try {
@@ -69,6 +73,7 @@ object Comparator {
               interruptOnCancel = true)
             try {
               val srcN = src.table(spark, t).count()
+              srcCounts.put(t, srcN)
               val exists = destTables.contains(t.toLowerCase)
               val destN = if (exists) Some(dest.table(spark, t).count()) else None
               (t, srcN, destN, if (exists) "YES" else "NO")
@@ -82,7 +87,8 @@ object Comparator {
           catch {
             case _: java.util.concurrent.TimeoutException =>
               spark.sparkContext.cancelJobGroup(tag(t))
-              (t, -1L, Option.empty[Long], "TIMEOUT")
+              val partialSrc = Option(srcCounts.get(t)).fold(-1L)(_.longValue)
+              (t, partialSrc, Option.empty[Long], "TIMEOUT")
           }
         }
       } finally pool.shutdown()

@@ -91,6 +91,31 @@ class MigratorSpec extends SparkSpec {
     assert(Comparator.failures(report).count() === 1)
   }
 
+  test("compareCounts: a slow DESTINATION times out but the landed source count is reported") {
+    val src = FixtureSource(sfDir)
+    // destination whose `nation` scan hangs AFTER the source count landed:
+    // the failure row must carry the partial fact, not -1
+    val slowDest = new graft.sources.TableSource {
+      override def tableNames(s: org.apache.spark.sql.SparkSession) =
+        src.tableNames(s)
+      override def table(s: org.apache.spark.sql.SparkSession, name: String) = {
+        if (name == "nation") Thread.sleep(120000)
+        src.table(s, name)
+      }
+    }
+    val nationRows = src.table(spark, "nation").count()
+    val report = Comparator.compareCounts(spark, src, slowDest,
+      Seq("region", "nation"),
+      timeout = scala.concurrent.duration.FiniteDuration(8, "sec"))
+    val rows = report.orderBy("table_name").collect() // nation, region
+    assert(rows(0).getAs[String]("dest_is_exist") === "TIMEOUT")
+    assert(rows(0).getAs[String]("is_ok") === "NO")
+    assert(rows(0).getAs[Long]("src_rows") === nationRows,
+      s"timed-out row must carry the landed source count, got ${rows(0)}")
+    assert(rows(0).getAs[Long]("dest_rows") === -1L)
+    assert(rows(1).getAs[String]("is_ok") === "YES")
+  }
+
   test("compare flags missing destination tables (DestIsExist=NO)") {
     val dest = Files.createTempDirectory("graft_dest3").toString
     new Migrator(spark, FixtureSource(sfDir), dest).copyTable("region")
