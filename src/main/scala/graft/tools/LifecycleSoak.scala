@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Index-lifecycle + streaming-ingest soak: the build/append/compact/
+  * stats costs the query-side soak (`tools/soak.py`) doesn't see —
+  * index BUILD is where a 100 TB deployment spends its first day, and
+  * a super-linearity there is invisible to query timings over an
+  * already-built index.
+  *
+  * Run once per scale by `tools/soak.py`; prints ONE JSON line of
+  * seconds per step (plus the streaming checkpoint's on-disk size) so
+  * the soak can ratio sf1 against sf0.1:
+  *
+  *  - `mhb`/`mha`/`mhs`/`mhc`: MinHash signature index build over the
+  *    even-id history, append of the 10 % arriving epoch, stats pass,
+  *    and compaction (after a deliberate replayed append, so the
+  *    compactor has real residue to drop);
+  *  - `ivb`/`iva`/`ivs`: IVF-SQ index build, 10 % append, stats;
+  *  - `ing`/`ckpt_mb`: the full indexed streaming ingest of the epoch
+  *    (quality gate → watermarked exact dedup → near-dup vs the
+  *    persistent index → survivor append), and the state checkpoint's
+  *    size — the state-store growth check at 10× data.
+  */
+object LifecycleSoak {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_lc_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def fmt(v: Double): String = f"$v%.3f"
+
+    val docs = graft.Fixtures.normalizeTs(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    // ---- MinHash signature index lifecycle (text near-dup history)
+    val mhT = "lc_mh_idx"
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val epoch = docs.filter(col("doc_id") % 10 === 1)
+    val mhb = timed(Dedup.writeMinhashIndex(
+      history, "doc_id", "text", mhT, n = 3, k = 8, buckets = 16))
+    val mha = timed(Dedup.appendToMinhashIndex(
+      spark, mhT, epoch, "doc_id", "text", n = 3, k = 8))
+    // replay the append: at-least-once residue is exactly what the
+    // compactor exists to drop — compact must face a real workload
+    Dedup.appendToMinhashIndex(spark, mhT, epoch, "doc_id", "text", n = 3, k = 8)
+    val mhs = timed(Dedup.minhashIndexStats(spark, mhT))
+    val mhc = timed(graft.plans.Compaction.compactBucketedTable(spark, mhT))
+
+    // ---- IVF-SQ vector index lifecycle
+    val ivT = "lc_ivf_idx"
+    val ivb = timed(Similarity.writeIvfSqIndex(
+      emb.filter(col("vec_id") % 10 =!= 1), "vec_id", "embedding", ivT,
+      nCentroids = 16, buckets = 16))
+    val iva = timed(Similarity.appendToIvfSqIndex(
+      spark, ivT, emb.filter(col("vec_id") % 10 === 1), "vec_id", "embedding"))
+    val ivs = timed(Similarity.ivfIndexStats(spark, ivT))
+
+    // ---- streaming indexed ingest of the epoch against the history
+    // index (the q_stream_ingest_twin pipeline shape: landing dir →
+    // quality gate → watermarked exact dedup → near-dup vs index →
+    // idempotent batch sink + survivor signature append)
+    val normKey = array_join(TextAnalysis.tokens(lower(col("text"))), " ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(normKey).orderBy(col("doc_id"))
+    val landing = epoch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("text"),
+        timestamp_micros((lit(3600L) + pmod(col("doc_id"), lit(500L)) * 60L) * 1000000L)
+          .as("ingest_time"))
+    val land = java.nio.file.Files.createTempDirectory("graft_lc_land").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_lc_out").toString + "/corpus"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lc_ckpt").toString
+    landing.write.mode("overwrite").parquet(land)
+    val ing = timed {
+      val cleaned = graft.streaming.CorpusIngest.clean(
+        graft.streaming.CorpusIngest.documentsStream(spark, land),
+        minQuality = 0.3, watermark = "1 hour")
+      val sq = graft.streaming.CorpusIngest.startWithIndex(
+        cleaned, out, ckpt, mhT, n = 3, k = 8, threshold = 0.5)
+      if (!sq.awaitTermination(600000)) {
+        sq.stop()
+        throw new IllegalStateException("ingest did not finish within 600 s")
+      }
+    }
+    val ckptMb = {
+      def size(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+        else f.length
+      size(new java.io.File(ckpt)) / (1024.0 * 1024.0)
+    }
+
+    Seq(land, new java.io.File(out).getParent, ckpt).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+
+    println(
+      s"""{"mhb":${fmt(mhb)},"mha":${fmt(mha)},"mhs":${fmt(mhs)},""" +
+        s""""mhc":${fmt(mhc)},"ivb":${fmt(ivb)},"iva":${fmt(iva)},""" +
+        s""""ivs":${fmt(ivs)},"ing":${fmt(ing)},"ckpt_mb":${fmt(ckptMb)}}""")
+    spark.stop()
+  }
+}

@@ -6,8 +6,11 @@ Fixtures: `sbt "runMain graft.tools.ScaleUp /root/testdata/sf0.1
 target/sf1 10"` (deterministic key-shifted copies; near-dup density and
 cluster geometry preserved per copy — see ScaleUp's scaladoc).
 
-Runs graft.Bench twice (SPARK_GRAFT_ONLY over the heavy subset) and
-writes:
+Runs graft.Bench twice (SPARK_GRAFT_ONLY over the heavy subset) plus
+graft.tools.LifecycleSoak twice (index build/append/compact/stats and
+the indexed streaming ingest — the costs query benches never touch),
+optionally a third bench point (--sf03dir) for scaling-exponent fits
+over the hot tail, and writes:
   - bench/SOAK.json       compact per-query sf1/sf0.1 time ratios; Bench
                           embeds this file verbatim into its params line,
                           so the round's BENCH artifact carries the scale
@@ -21,7 +24,12 @@ linear work lands at ratio <= ~10 once per-query fixed overhead
 the sf0.1 time was overhead-dominated. A ratio well above ~12 flags
 super-linear work — the thing the soak exists to catch.
 
-Usage: python3 tools/soak.py [--sf1dir target/sf1] [--reps 3]
+Usage: python3 tools/soak.py [--sf1dir target/sf1] [--sf03dir target/sf03]
+       [--reps 3] [--assert] [--pin-bounds]
+
+--pin-bounds records this run's ratios (x1.5 headroom) into
+bench/SOAK_BOUNDS.json; --assert turns the soak into a one-command
+regression gate against those pinned bounds.
 """
 import argparse
 import json
@@ -42,6 +50,11 @@ HEAVY = [
     "q_text_tfidf", "q_j6_row_diff", "q_k1_copy_lineitem",
     "q_tpch_q9", "q_tpch_q18", "q_tpch_q21",
 ]
+
+# the queries whose 10x ratios ran hottest (>= ~2.5x) — the set worth a
+# third scaling point to tell linear from n·log n drift
+EXPONENT_TAIL = ["q_text_tfidf", "q_dedup_embedding", "q_dedup_minhash",
+                 "q_dedup_spans"]
 
 # short aliases keep the embedded params entry inside Bench's budget
 ALIAS = {
@@ -70,12 +83,12 @@ ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
     "java.base/sun.security.action", "java.base/sun.util.calendar"]]
 
 
-def run_bench(sf_dir: str, reps: int) -> dict:
+def run_bench(sf_dir: str, reps: int, only=None) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = env.get("SPARK_GRAFT_CPUS", "32")
     env["SPARK_GRAFT_BENCH_REPS"] = str(reps)
-    env["SPARK_GRAFT_ONLY"] = "^(" + "|".join(HEAVY) + ")$"
+    env["SPARK_GRAFT_ONLY"] = "^(" + "|".join(only or HEAVY) + ")$"
     cp = os.path.join(REPO, "target/scala-2.13/classes") + ":/opt/spark/jars/*"
     cmd = ["java"] + ADD_OPENS + [
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -89,11 +102,44 @@ def run_bench(sf_dir: str, reps: int) -> dict:
     sys.exit(f"no bench JSON for {sf_dir}:\n{out.stdout[-3000:]}\n{out.stderr[-2000:]}")
 
 
+# index build/append/compact/stats + streaming indexed ingest — the
+# lifecycle costs the query benches never touch (build is where a
+# 100 TB deployment spends its first day)
+LIFECYCLE = ["mhb", "mha", "mhs", "mhc", "ivb", "iva", "ivs", "ing"]
+# embedded in SOAK.json (short already); stats steps stay detail-only
+LIFECYCLE_EMBED = ["mhb", "mha", "mhc", "ivb", "iva", "ing"]
+
+
+def run_lifecycle(sf_dir: str) -> dict:
+    cp = os.path.join(REPO, "target/scala-2.13/classes") + ":/opt/spark/jars/*"
+    cmd = ["java"] + ADD_OPENS + [
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-Xmx" + os.environ.get("SPARK_DRIVER_MEM", "16g"),
+        "-cp", cp, "graft.tools.LifecycleSoak", sf_dir]
+    out = subprocess.run(cmd, cwd=REPO, env=dict(os.environ),
+                         capture_output=True, text=True, timeout=7200)
+    for line in out.stdout.splitlines():
+        if line.startswith('{"mhb"'):
+            return json.loads(line)
+    sys.exit(f"no lifecycle JSON for {sf_dir}:\n{out.stdout[-3000:]}\n{out.stderr[-2000:]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf01dir", default="/root/testdata/sf0.1")
     ap.add_argument("--sf1dir", default=os.path.join(REPO, "target/sf1"))
+    ap.add_argument("--sf03dir", default=None,
+                    help="optional 3x fixtures: adds a third scaling point "
+                         "and per-query exponent fits for the heavy tail")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--assert", dest="assert_bounds", action="store_true",
+                    help="regression gate: fail (exit 1) if any ratio "
+                         "exceeds its pinned bound in bench/SOAK_BOUNDS.json "
+                         "or heap grows super-linearly vs data")
+    ap.add_argument("--pin-bounds", dest="pin_bounds", action="store_true",
+                    help="write bench/SOAK_BOUNDS.json from this run's "
+                         "ratios (1.5x headroom, min 2.0; heap bound = "
+                         "the data ratio)")
     args = ap.parse_args()
 
     if not os.path.isdir(args.sf1dir):
@@ -102,6 +148,12 @@ def main():
     t0 = time.time()
     base = run_bench(args.sf01dir, args.reps)
     big = run_bench(args.sf1dir, args.reps)
+    lc_base = run_lifecycle(args.sf01dir)
+    lc_big = run_lifecycle(args.sf1dir)
+    # third point: only the super-2.5x tail needs a curve fit — two
+    # points fit any curve, the third distinguishes linear from drift
+    mid = run_bench(args.sf03dir, args.reps, only=EXPONENT_TAIL) \
+        if args.sf03dir else None
     wall = time.time() - t0
 
     def times(art):
@@ -120,6 +172,47 @@ def main():
             lines.append(f"| {q} | {b:.3f} | {g:.3f} | {r:.1f}x | {verdict} |")
         else:
             lines.append(f"| {q} | {b} | {g} | n/a | FAILED |")
+
+    # index/streaming lifecycle steps (one run per scale, not medianed:
+    # build/append/compact mutate state, so a rep loop would measure a
+    # different workload each time)
+    lc_lines = []
+    for s in LIFECYCLE:
+        b, g = lc_base.get(s, -1), lc_big.get(s, -1)
+        if b and b > 0 and g and g > 0:
+            r = g / b
+            if s in LIFECYCLE_EMBED:
+                ratios[s] = round(r, 1)
+            verdict = "ok" if r <= 12 else "SUPER-LINEAR"
+            lc_lines.append(f"| {s} | {b:.3f} | {g:.3f} | {r:.1f}x | {verdict} |")
+        else:
+            lc_lines.append(f"| {s} | {b} | {g} | n/a | FAILED |")
+    ck_b, ck_g = lc_base.get("ckpt_mb", -1), lc_big.get("ckpt_mb", -1)
+    lc_lines.append(f"| ckpt_mb | {ck_b:.3f} | {ck_g:.3f} | "
+                    f"{(ck_g / ck_b if ck_b > 0 else 0):.1f}x | state size |")
+
+    # exponent fit over (0.1, 0.3, 1) for the hot tail: slope of
+    # log(time) vs log(sf). ~1 = linear, ~1.2 = n·log n-ish drift,
+    # >=1.5 = polynomial — the distinction two points cannot make
+    exp_lines = []
+    if mid is not None:
+        tm = dict(mid["queries"])
+        import math
+        for q in EXPONENT_TAIL:
+            pts = [(0.1, tb.get(q, -1)), (0.3, tm.get(q, -1)),
+                   (1.0, tg.get(q, -1))]
+            if all(v and v > 0 for _, v in pts):
+                xs = [math.log(s) for s, _ in pts]
+                ys = [math.log(v) for _, v in pts]
+                n = len(xs)
+                mx, my = sum(xs) / n, sum(ys) / n
+                slope = (sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+                         / sum((x - mx) ** 2 for x in xs))
+                exp_lines.append(
+                    f"| {q} | {pts[0][1]:.3f} | {pts[1][1]:.3f} | "
+                    f"{pts[2][1]:.3f} | {slope:.2f} |")
+            else:
+                exp_lines.append(f"| {q} | n/a | n/a | n/a | FAILED |")
 
     # peak JVM heap at both scales. local[32] is ONE JVM, so this is
     # driver + executor task memory together: the check is not "flat"
@@ -149,7 +242,21 @@ def main():
             "overhead-dominated; > ~12 flags super-linear work.\n\n"
             "| query | sf0.1 s | sf1 s | ratio | verdict |\n|---|---|---|---|---|\n"
             + "\n".join(lines) + "\n\n"
-            f"Worst ratio: {worst}x. bench/SOAK.json is embedded in the next "
+            "## Index + streaming lifecycles (build/append/stats/compact, "
+            "one run per scale)\n\n"
+            "mhb/mha/mhs/mhc = minhash index build / 10% append / stats / "
+            "compact-after-replay; ivb/iva/ivs = IVF-SQ build / 10% append "
+            "/ stats; ing = indexed streaming ingest of the 10% epoch; "
+            "ckpt_mb = streaming state checkpoint on-disk size.\n\n"
+            "| step | sf0.1 s | sf1 s | ratio | verdict |\n|---|---|---|---|---|\n"
+            + "\n".join(lc_lines) + "\n\n"
+            + (("## Scaling exponents (sf 0.1 / 0.3 / 1 fit)\n\n"
+                "slope of log(time) vs log(sf): ~1 linear, ~1.2 n*log n "
+                "drift, >=1.5 polynomial.\n\n"
+                "| query | t(0.1) | t(0.3) | t(1) | exponent |\n"
+                "|---|---|---|---|---|\n" + "\n".join(exp_lines) + "\n\n")
+               if exp_lines else "")
+            + f"Worst ratio: {worst}x. bench/SOAK.json is embedded in the next "
             "BENCH artifact's params.\n\n"
             f"Peak JVM heap: {hp01} MB at sf0.1 vs {hp1} MB at sf1 "
             "(single local[32] JVM = driver + executor task memory "
@@ -158,6 +265,42 @@ def main():
             "data-proportional collect or cache).\n")
     print(blob)
     print(f"worst ratio {worst}x; detail in bench/SOAK_DETAIL.md ({wall:.0f}s)")
+
+    # --assert: the soak as a one-command regression gate. Bounds are
+    # pinned per ratio in bench/SOAK_BOUNDS.json (refresh deliberately
+    # with --pin-bounds after an accepted run); heap must not grow
+    # faster than data.
+    bounds_path = os.path.join(REPO, "bench/SOAK_BOUNDS.json")
+    if args.assert_bounds:
+        if not os.path.exists(bounds_path):
+            sys.exit(f"--assert needs {bounds_path} (run --pin-bounds once)")
+        with open(bounds_path) as f:
+            bounds = json.load(f)
+        failures = []
+        for k, bound in bounds.items():
+            if k == "heap":
+                continue
+            v = ratios.get(k)
+            if v is None:
+                failures.append(f"{k}: no measurement this run")
+            elif v > bound:
+                failures.append(f"{k}: ratio {v} > pinned bound {bound}")
+        if hp01 > 0 and hp1 > 0 and hp1 / hp01 > bounds.get("heap", 10.0):
+            failures.append(
+                f"heap: {hp1}/{hp01} = {hp1 / hp01:.1f}x > {bounds.get('heap', 10.0)}x "
+                "(super-linear vs 10x data)")
+        if failures:
+            sys.exit("SOAK ASSERT FAILED\n" + "\n".join(failures))
+        print(f"soak assert OK: all {len(bounds)} bounds held")
+    if args.pin_bounds:
+        # pin each ratio at 1.5x its measured value (min 2.0 so tiny
+        # fixed-overhead ratios don't pin sub-noise bounds), heap at the
+        # data ratio
+        pinned = {k: max(2.0, round(v * 1.5, 1)) for k, v in ratios.items()}
+        pinned["heap"] = 10.0
+        with open(bounds_path, "w") as f:
+            json.dump(pinned, f, indent=1, sort_keys=True)
+        print(f"pinned {len(pinned)} bounds -> {bounds_path}")
 
 
 if __name__ == "__main__":
