@@ -11,8 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // fixture events.parquet carries TIMESTAMP(NANOS) which Spark 4
-      // rejects natively; read as long (ns) and convert explicitly
+      // old-vintage fixtures carried TIMESTAMP(NANOS), which Spark 4
+      // rejects natively; the flag keeps them readable (as long ns —
+      // Fixtures.normalizeTs converts) and is inert on the current
+      // TIMESTAMP(MICROS) vintage
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // gates that materialize bucketed index tables (q_sim_knn_label_ivf)
       // write through the catalog; keep the warehouse out of the repo
