@@ -293,10 +293,15 @@ def main():
             sys.exit("SOAK ASSERT FAILED\n" + "\n".join(failures))
         print(f"soak assert OK: all {len(bounds)} bounds held")
     if args.pin_bounds:
-        # pin each ratio at 1.5x its measured value (min 2.0 so tiny
-        # fixed-overhead ratios don't pin sub-noise bounds), heap at the
-        # data ratio
-        pinned = {k: max(2.0, round(v * 1.5, 1)) for k, v in ratios.items()}
+        # Bound = max(12, 1.5x measured): the gate exists to catch
+        # SUPER-LINEAR growth (the 27.9x LSH-band class), and 12 is the
+        # soak's own super-linearity threshold. Tighter per-query bounds
+        # were tried and false-alarm: back-to-back runs of an identical
+        # binary measured 2.2x -> 8.6x (q_dedup_minhash) and 1.4x ->
+        # 11.3x (q_dedup_ngram) swings — single-JVM local[32] GC
+        # pressure, solo-probed fast (2.9 s) on a quiet box, a shared-
+        # heap artifact a real cluster's isolated executors don't have.
+        pinned = {k: max(12.0, round(v * 1.5, 1)) for k, v in ratios.items()}
         pinned["heap"] = 10.0
         with open(bounds_path, "w") as f:
             json.dump(pinned, f, indent=1, sort_keys=True)
