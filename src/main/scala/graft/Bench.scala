@@ -177,6 +177,17 @@ object Bench {
           catch { case _: Throwable => false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      // Per-query isolation: the operator library persistOnce-caches
+      // intermediates (signature frames, vocabularies) so REPS of one
+      // query reuse them — but across ~95 queries those entries pile
+      // up in the shared local[32] heap, and the resulting GC pressure
+      // measured as 2-8x run-to-run swings on the shingle-dedup
+      // queries at sf1 (see bench/SOAK_DETAIL.md). Clear the SQL cache
+      // AFTER each query's reps (within-query reuse intact) and hint a
+      // GC, both untimed. Driver-side memos (BPE merges) and on-disk
+      // bucketed index tables are not SQL-cache entries and survive.
+      spark.catalog.clearCache()
+      System.gc()
       name -> (if (times.nonEmpty) median(times) else -1.0)
     }
     // The driver captures only the tail of stdout, so the JSON line must
