@@ -40,6 +40,32 @@ object BatchWriter {
   def cappedForWrite(df: DataFrame, maxConnections: Int): DataFrame =
     df.coalesce(maxConnections)
 
+  /** Effective writer concurrency for a destination URL. EMBEDDED
+    * (in-process) engines serialize writers internally, so concurrent
+    * connections only add latch/lock contention — and the contention
+    * compounds as the table grows: the sf1 soak measured the 6 M-row
+    * lineitem sync into on-disk Derby at 72 s with ONE writer but
+    * 135–194 s with 2–16 (super-linear vs the 11 s sf0.1 run, where
+    * one writer is also ~the same speed as sixteen). Network engines
+    * keep the configured budget — the reference's MySQL destination
+    * genuinely parallelizes (readme.md:121-136).
+    */
+  def connectionBudget(url: String, configured: Int): Int = {
+    val embeddedPrefixes = Seq("jdbc:derby:", "jdbc:h2:", "jdbc:hsqldb:", "jdbc:sqlite:")
+    val embedded = embeddedPrefixes.exists { p =>
+      url.startsWith(p) && {
+        val rest = url.substring(p.length)
+        // server forms stay parallel: derby '//host', h2 'tcp:/ssl:',
+        // hsqldb 'hsql(s):/http(s):'
+        !(rest.startsWith("//") || rest.startsWith("tcp:") ||
+          rest.startsWith("ssl:") || rest.startsWith("hsql:") ||
+          rest.startsWith("hsqls:") || rest.startsWith("http:") ||
+          rest.startsWith("https:"))
+      }
+    }
+    if (embedded) 1 else configured
+  }
+
   /** Write to a JDBC target with truncate-before-load (reference K3,
     * cmd/root.go:264-273) and the batch clamp.
     */
@@ -53,7 +79,7 @@ object BatchWriter {
       truncateFirst: Boolean = true
   ): Unit = {
     val batch = effectiveBatchSize(batchRowSize, df.schema.fields.length)
-    val out = cappedForWrite(df, maxConnections)
+    val out = cappedForWrite(df, connectionBudget(url, maxConnections))
     val writer = out.write
       .option("batchsize", batch.toString)
       .option("isolationLevel", "READ_COMMITTED")

@@ -23,7 +23,11 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   *  - `ing`/`ckpt_mb`: the full indexed streaming ingest of the epoch
   *    (quality gate → watermarked exact dedup → near-dup vs the
   *    persistent index → survivor append), and the state checkpoint's
-  *    size — the state-store growth check at 10× data.
+  *    size — the state-store growth check at 10× data;
+  *  - `jdb`: the live Migrator sync of `lineitem` into on-disk
+  *    embedded Derby (DDL on first load, truncate + batched INSERT) —
+  *    the migration data path's own scale ratio, complementing the
+  *    per-bench sf0.1 `jdbc_sync` absolute number.
   */
 object LifecycleSoak {
 
@@ -46,6 +50,10 @@ object LifecycleSoak {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def fmt(v: Double): String = f"$v%.3f"
+    // dev knob: GRAFT_LC_STEPS=jdb (comma-set of mh,ivf,ing,jdb) probes
+    // one lifecycle family; unset = all. Skipped steps report -1.
+    val steps = sys.env.get("GRAFT_LC_STEPS").map(_.split(",").toSet)
+    def on(s: String) = steps.forall(_.contains(s))
 
     val docs = graft.Fixtures.normalizeTs(
       spark.read.parquet(s"$sfDir/documents.parquet"))
@@ -55,67 +63,98 @@ object LifecycleSoak {
     val mhT = "lc_mh_idx"
     val history = docs.filter(col("doc_id") % 2 === 0)
     val epoch = docs.filter(col("doc_id") % 10 === 1)
-    val mhb = timed(Dedup.writeMinhashIndex(
-      history, "doc_id", "text", mhT, n = 3, k = 8, buckets = 16))
-    val mha = timed(Dedup.appendToMinhashIndex(
-      spark, mhT, epoch, "doc_id", "text", n = 3, k = 8))
-    // replay the append: at-least-once residue is exactly what the
-    // compactor exists to drop — compact must face a real workload
-    Dedup.appendToMinhashIndex(spark, mhT, epoch, "doc_id", "text", n = 3, k = 8)
-    val mhs = timed(Dedup.minhashIndexStats(spark, mhT))
-    val mhc = timed(graft.plans.Compaction.compactBucketedTable(spark, mhT))
+    val (mhb, mha, mhs, mhc) = if (on("mh")) {
+      val b = timed(Dedup.writeMinhashIndex(
+        history, "doc_id", "text", mhT, n = 3, k = 8, buckets = 16))
+      val a = timed(Dedup.appendToMinhashIndex(
+        spark, mhT, epoch, "doc_id", "text", n = 3, k = 8))
+      // replay the append: at-least-once residue is exactly what the
+      // compactor exists to drop — compact must face a real workload
+      Dedup.appendToMinhashIndex(spark, mhT, epoch, "doc_id", "text", n = 3, k = 8)
+      val s = timed(Dedup.minhashIndexStats(spark, mhT))
+      val c = timed(graft.plans.Compaction.compactBucketedTable(spark, mhT))
+      (b, a, s, c)
+    } else (-1.0, -1.0, -1.0, -1.0)
 
     // ---- IVF-SQ vector index lifecycle
     val ivT = "lc_ivf_idx"
-    val ivb = timed(Similarity.writeIvfSqIndex(
-      emb.filter(col("vec_id") % 10 =!= 1), "vec_id", "embedding", ivT,
-      nCentroids = 16, buckets = 16))
-    val iva = timed(Similarity.appendToIvfSqIndex(
-      spark, ivT, emb.filter(col("vec_id") % 10 === 1), "vec_id", "embedding"))
-    val ivs = timed(Similarity.ivfIndexStats(spark, ivT))
+    val (ivb, iva, ivs) = if (on("ivf")) {
+      val b = timed(Similarity.writeIvfSqIndex(
+        emb.filter(col("vec_id") % 10 =!= 1), "vec_id", "embedding", ivT,
+        nCentroids = 16, buckets = 16))
+      val a = timed(Similarity.appendToIvfSqIndex(
+        spark, ivT, emb.filter(col("vec_id") % 10 === 1), "vec_id", "embedding"))
+      val s = timed(Similarity.ivfIndexStats(spark, ivT))
+      (b, a, s)
+    } else (-1.0, -1.0, -1.0)
 
     // ---- streaming indexed ingest of the epoch against the history
     // index (the q_stream_ingest_twin pipeline shape: landing dir →
     // quality gate → watermarked exact dedup → near-dup vs index →
-    // idempotent batch sink + survivor signature append)
-    val normKey = array_join(TextAnalysis.tokens(lower(col("text"))), " ")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(normKey).orderBy(col("doc_id"))
-    val landing = epoch
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("text"),
-        timestamp_micros((lit(3600L) + pmod(col("doc_id"), lit(500L)) * 60L) * 1000000L)
-          .as("ingest_time"))
-    val land = java.nio.file.Files.createTempDirectory("graft_lc_land").toString
-    val out = java.nio.file.Files.createTempDirectory("graft_lc_out").toString + "/corpus"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_lc_ckpt").toString
-    landing.write.mode("overwrite").parquet(land)
-    val ing = timed {
-      val cleaned = graft.streaming.CorpusIngest.clean(
-        graft.streaming.CorpusIngest.documentsStream(spark, land),
-        minQuality = 0.3, watermark = "1 hour")
-      val sq = graft.streaming.CorpusIngest.startWithIndex(
-        cleaned, out, ckpt, mhT, n = 3, k = 8, threshold = 0.5)
-      if (!sq.awaitTermination(600000)) {
-        sq.stop()
-        throw new IllegalStateException("ingest did not finish within 600 s")
+    // idempotent batch sink + survivor signature append); needs the
+    // mh section's index, so "ing" only runs when "mh" also ran
+    val (ing, ckptMb) = if (on("ing") && on("mh")) {
+      val normKey = array_join(TextAnalysis.tokens(lower(col("text"))), " ")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(normKey).orderBy(col("doc_id"))
+      val landing = epoch
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("text"),
+          timestamp_micros((lit(3600L) + pmod(col("doc_id"), lit(500L)) * 60L) * 1000000L)
+            .as("ingest_time"))
+      val land = java.nio.file.Files.createTempDirectory("graft_lc_land").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_lc_out").toString + "/corpus"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_lc_ckpt").toString
+      landing.write.mode("overwrite").parquet(land)
+      val t = timed {
+        val cleaned = graft.streaming.CorpusIngest.clean(
+          graft.streaming.CorpusIngest.documentsStream(spark, land),
+          minQuality = 0.3, watermark = "1 hour")
+        val sq = graft.streaming.CorpusIngest.startWithIndex(
+          cleaned, out, ckpt, mhT, n = 3, k = 8, threshold = 0.5)
+        if (!sq.awaitTermination(600000)) {
+          sq.stop()
+          throw new IllegalStateException("ingest did not finish within 600 s")
+        }
       }
-    }
-    val ckptMb = {
-      def size(f: java.io.File): Long =
-        if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
-        else f.length
-      size(new java.io.File(ckpt)) / (1024.0 * 1024.0)
-    }
+      val mb = {
+        def size(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+          else f.length
+        size(new java.io.File(ckpt)) / (1024.0 * 1024.0)
+      }
+      Seq(land, new java.io.File(out).getParent, ckpt).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      (t, mb)
+    } else (-1.0, -1.0)
 
-    Seq(land, new java.io.File(out).getParent, ckpt).foreach(d =>
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    // ---- live JDBC migration of the fact table into on-disk Derby
+    val jdb = if (!on("jdb")) -1.0 else {
+      val dbDir = java.nio.file.Files.createTempDirectory("graft_lc_derby")
+      System.setProperty("derby.system.home", dbDir.toString)
+      val conn = sys.env.getOrElse("GRAFT_JDB_CONN", "16").toInt
+      val batch = sys.env.getOrElse("GRAFT_JDB_BATCH", "5000").toInt
+      try {
+        val m = new graft.Migrator(spark,
+          graft.sources.FixtureSource(sfDir),
+          graft.sinks.JdbcDest(s"jdbc:derby:$dbDir/db;create=true",
+            new java.util.Properties(), batchRowSize = batch,
+            maxConnections = conn),
+          graft.config.SyncConfig(maxParallel = 1))
+        val t = timed {
+          val r = m.copyTable("lineitem")
+          require(r.ok, s"lineitem sync failed: ${r.error}")
+        }
+        t
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dbDir.toFile)
+    }
 
     println(
       s"""{"mhb":${fmt(mhb)},"mha":${fmt(mha)},"mhs":${fmt(mhs)},""" +
         s""""mhc":${fmt(mhc)},"ivb":${fmt(ivb)},"iva":${fmt(iva)},""" +
-        s""""ivs":${fmt(ivs)},"ing":${fmt(ing)},"ckpt_mb":${fmt(ckptMb)}}""")
+        s""""ivs":${fmt(ivs)},"ing":${fmt(ing)},"jdb":${fmt(jdb)},""" +
+        s""""ckpt_mb":${fmt(ckptMb)}}""")
     spark.stop()
   }
 }

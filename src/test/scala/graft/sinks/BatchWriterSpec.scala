@@ -21,6 +21,23 @@ class BatchWriterSpec extends AnyFunSuite {
     assert(BatchWriter.deleteRangeSql("t1", "id", 100, 200) ===
       "DELETE FROM `t1` WHERE `id` >= 100 AND `id` < 200")
   }
+
+  test("connection budget: embedded engines clamp to one writer, servers keep theirs") {
+    // in-process: concurrent writers only contend (sf1 soak: 1 writer
+    // 72s, 2-16 writers 135-194s on the same 6M-row Derby sync)
+    assert(BatchWriter.connectionBudget("jdbc:derby:/tmp/db;create=true", 16) === 1)
+    assert(BatchWriter.connectionBudget("jdbc:derby:memory:x;create=true", 16) === 1)
+    assert(BatchWriter.connectionBudget("jdbc:h2:~/test", 16) === 1)
+    assert(BatchWriter.connectionBudget("jdbc:h2:mem:x", 16) === 1)
+    assert(BatchWriter.connectionBudget("jdbc:sqlite:/tmp/x.db", 16) === 1)
+    assert(BatchWriter.connectionBudget("jdbc:hsqldb:file:/tmp/x", 16) === 1)
+    // client/server: the configured parallel budget stands
+    assert(BatchWriter.connectionBudget("jdbc:derby://host:1527/db", 16) === 16)
+    assert(BatchWriter.connectionBudget("jdbc:h2:tcp://host/db", 16) === 16)
+    assert(BatchWriter.connectionBudget("jdbc:hsqldb:hsql://host/db", 16) === 16)
+    assert(BatchWriter.connectionBudget("jdbc:mysql://host/db", 16) === 16)
+    assert(BatchWriter.connectionBudget("jdbc:oracle:thin:@host:1521/db", 16) === 16)
+  }
 }
 
 class IdempotentRangeSpec extends graft.SparkSpec {

@@ -105,9 +105,9 @@ def run_bench(sf_dir: str, reps: int, only=None) -> dict:
 # index build/append/compact/stats + streaming indexed ingest — the
 # lifecycle costs the query benches never touch (build is where a
 # 100 TB deployment spends its first day)
-LIFECYCLE = ["mhb", "mha", "mhs", "mhc", "ivb", "iva", "ivs", "ing"]
+LIFECYCLE = ["mhb", "mha", "mhs", "mhc", "ivb", "iva", "ivs", "ing", "jdb"]
 # embedded in SOAK.json (short already); stats steps stay detail-only
-LIFECYCLE_EMBED = ["mhb", "mha", "mhc", "ivb", "iva", "ing"]
+LIFECYCLE_EMBED = ["mhb", "mha", "mhc", "ivb", "iva", "ing", "jdb"]
 
 
 def run_lifecycle(sf_dir: str) -> dict:
@@ -247,6 +247,7 @@ def main():
             "mhb/mha/mhs/mhc = minhash index build / 10% append / stats / "
             "compact-after-replay; ivb/iva/ivs = IVF-SQ build / 10% append "
             "/ stats; ing = indexed streaming ingest of the 10% epoch; "
+            "jdb = live Migrator sync of lineitem into on-disk Derby; "
             "ckpt_mb = streaming state checkpoint on-disk size.\n\n"
             "| step | sf0.1 s | sf1 s | ratio | verdict |\n|---|---|---|---|---|\n"
             + "\n".join(lc_lines) + "\n\n"
@@ -293,15 +294,13 @@ def main():
             sys.exit("SOAK ASSERT FAILED\n" + "\n".join(failures))
         print(f"soak assert OK: all {len(bounds)} bounds held")
     if args.pin_bounds:
-        # Bound = max(12, 1.5x measured): the gate exists to catch
-        # SUPER-LINEAR growth (the 27.9x LSH-band class), and 12 is the
-        # soak's own super-linearity threshold. Tighter per-query bounds
-        # were tried and false-alarm: back-to-back runs of an identical
-        # binary measured 2.2x -> 8.6x (q_dedup_minhash) and 1.4x ->
-        # 11.3x (q_dedup_ngram) swings — single-JVM local[32] GC
-        # pressure, solo-probed fast (2.9 s) on a quiet box, a shared-
-        # heap artifact a real cluster's isolated executors don't have.
-        pinned = {k: max(12.0, round(v * 1.5, 1)) for k, v in ratios.items()}
+        # Bound = max(2.0, 1.5x measured); the 2.0 floor keeps tiny
+        # fixed-overhead ratios from pinning sub-noise bounds. Tight
+        # bounds became viable once Bench isolated queries (SQL-cache
+        # clear + GC hint between queries): before that, shared-heap GC
+        # pressure swung shingle-dedup ratios 2-8x run-to-run and any
+        # per-query bound either false-alarmed or caught nothing.
+        pinned = {k: max(2.0, round(v * 1.5, 1)) for k, v in ratios.items()}
         pinned["heap"] = 10.0
         with open(bounds_path, "w") as f:
             json.dump(pinned, f, indent=1, sort_keys=True)
