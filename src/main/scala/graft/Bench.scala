@@ -102,7 +102,15 @@ object Bench {
     // INSERT, 4 tables in flight — then compareDb must verify every
     // table before the number counts. jdbc_sync = sync wall seconds
     // (verify excluded); jdbc_rps = total synced rows / jdbc_sync.
-    val (jdbcSync, jdbcRps) = {
+    // dev knob: SPARK_GRAFT_ONLY=<regex> probes a subset (e.g. one
+    // query × many reps when chasing a bimodal timing); unset = full
+    // suite. Parsed HERE because the per-bench extras below (two live
+    // Derby syncs ≈ 25 s at sf0.1, minutes at sf1) belong to the full-
+    // suite artifact only — a subset probe (including tools/soak.py's
+    // heavy-query passes, whose scale ratio for this path comes from
+    // LifecycleSoak's jdb step instead) shouldn't pay them.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val (jdbcSync, jdbcRps) = if (only.isDefined) (-1.0, -1.0) else {
       val dbDir = java.nio.file.Files.createTempDirectory("graft_bench_derby")
       // keep derby.log inside the throwaway dir, not the repo
       System.setProperty("derby.system.home", dbDir.toString)
@@ -122,6 +130,51 @@ object Bench {
         if (allOk) (sec, rows / sec) else (-1.0, -1.0)
       } catch { case _: Throwable => (-1.0, -1.0) }
       finally org.apache.commons.io.FileUtils.deleteQuietly(dbDir.toFile)
+    }
+    // Relaxed-durability second sync. The durable number above bills
+    // the embedded engine's inline transaction-log fsync to the
+    // migrator thread — an artifact of in-process Derby (a server
+    // destination overlaps log flushing with the client, reference
+    // readme.md:121-136 runs against a real MySQL server) and the
+    // dominant run-to-run noise source (the same binary measured
+    // 10-20 s across runs, tracking disk state; relaxed probes agree
+    // within ~5%). Shut the engine down, re-boot it with
+    // derby.system.durability=test, sync again: this isolates the
+    // pipeline's own convert+batch+insert path. jdbc_sync stays the
+    // durable headline; this lands beside it as jdbc_rps_rlx.
+    val jdbcRpsRelaxed = if (only.isDefined) -1.0 else {
+      try {
+        try { java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true"); () }
+        catch { case _: java.sql.SQLException => () } // XJ015 = clean engine stop
+        System.setProperty("derby.system.durability", "test")
+        // engine shutdown DEregistered the embedded JDBC driver —
+        // re-instantiate to re-register, and name it explicitly in the
+        // connection props so Spark's DriverRegistry re-resolves it
+        // rather than reusing its stale pre-shutdown wrapper
+        new org.apache.derby.jdbc.EmbeddedDriver()
+        val dbDir = java.nio.file.Files.createTempDirectory("graft_bench_derby2")
+        System.setProperty("derby.system.home", dbDir.toString)
+        try {
+          val url = s"jdbc:derby:$dbDir/db;create=true"
+          val props = new java.util.Properties()
+          props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+          val m = new Migrator(spark, graft.sources.FixtureSource(sfDir),
+            graft.sinks.JdbcDest(url, props,
+              batchRowSize = 5000, maxConnections = 16),
+            graft.config.SyncConfig(maxParallel = 4))
+          val t0 = System.nanoTime()
+          val results = m.run()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val rows = results.filter(_.ok).map(_.rows).sum
+          val allOk = results.nonEmpty && results.forall(_.ok) &&
+            m.compare().filter(org.apache.spark.sql.functions.col("is_ok") === "NO")
+              .count() == 0
+          if (allOk) rows / sec else -1.0
+        } finally {
+          org.apache.commons.io.FileUtils.deleteQuietly(dbDir.toFile)
+          System.clearProperty("derby.system.durability")
+        }
+      } catch { case _: Throwable => -1.0 }
     }
     // sf1 soak ratios: tools/soak.py runs the heavy-query subset at
     // sf0.1 and at 10× (graft.tools.ScaleUp fixtures) and writes the
@@ -154,9 +207,6 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // dev knob: SPARK_GRAFT_ONLY=<regex> probes a subset (e.g. one
-    // query × many reps when chasing a bimodal timing); unset = full suite
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     // q_stream_ingest_twin starts a full stateful streaming-query
     // LIFECYCLE per rep (state-store init, WAL, micro-batch commits,
     // AvailableNow teardown) — its wall-clock measures that machinery,
@@ -199,25 +249,12 @@ object Bench {
     // "[success] Total time: …" line (~75 chars) after ours, so the
     // WHOLE JSON line must stay under ~1900 chars — r1–r3 all came back
     // "parsed": null because the line's head fell off the tail window.
-    // ~130 chars of fixed fields + up to ~720 of params (the base ~250
-    // + stream_lifecycle + jdbc_sync/jdbc_rps + heap_peak_mb + an
-    // embedded ≤340-char soak entry, itself carrying hp01/hp1) ⇒ cap
-    // the queries map at 1000 to stay under the ~1900-char ceiling.
+    // The queries-map budget is computed below AFTER params is built,
+    // from the measured length of everything else on the line.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val lineBudget = 1000
-    val byTime = results.sortBy(-_._2)
-    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var sz = 2
-    byTime.foreach { case (k, v) =>
-      val entrySz = k.length + fmt(v).length + 4
-      if (sz + entrySz <= lineBudget) { kept += ((k, v)); sz += entrySz }
-    }
-    val qs = kept.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val omitted = results.size - kept.size
     // operator params of the headline approximate queries, so a perf
     // delta across rounds is attributable to code vs knob changes
     // (compact: the whole line must survive the driver's tail window)
@@ -250,6 +287,8 @@ object Bench {
       ",\"stream_lifecycle\":" + fmt(streamLifecycle) +
       ",\"jdbc_sync\":" + fmt(jdbcSync) +
       ",\"jdbc_rps\":" + (if (jdbcRps < 0) "-1" else f"$jdbcRps%.0f") +
+      ",\"jdbc_rps_rlx\":" +
+      (if (jdbcRpsRelaxed < 0) "-1" else f"$jdbcRpsRelaxed%.0f") +
       soak.map(s => ",\"soak\":" + s).getOrElse("") +
       // declare the skip only when it was actually applied — under
       // SPARK_GRAFT_ONLY the skip set is empty and the twin may well
@@ -258,6 +297,39 @@ object Bench {
         ",\"skip\":\"" + benchSkip.toSeq.sorted.mkString(",") +
           "(verify-gated stream lifecycle)\""
       else "") + "}"
+    // Budget the queries map DYNAMICALLY against what the rest of the
+    // line actually costs: the fixed 1000-char cap stopped fitting once
+    // params grew the lifecycle soak keys + jdbc numbers — r11's line
+    // hit 1992 chars and the driver's 2000-char tail (minus sbt's ~75-
+    // char trailer) clipped its head → "parsed": null. 1830 total -
+    // measured overhead keeps the slowest (comparison-worthy) entries
+    // and counts the rest in "omitted", whatever params grows to next.
+    val overhead = 110 + params.length + failed.length + sfDir.length
+    val lineBudget = math.max(300, 1830 - overhead)
+    val byTime = results.sortBy(-_._2)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var sz = 2
+    byTime.foreach { case (k, v) =>
+      val entrySz = k.length + fmt(v).length + 4
+      if (sz + entrySz <= lineBudget) { kept += ((k, v)); sz += entrySz }
+    }
+    val qs = kept.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val omitted = results.size - kept.size
+    // The stdout line's budget forces most per-query times into
+    // "omitted", which would lose round-over-round comparability for
+    // everything but the slow tail — so every FULL-suite run also
+    // writes the complete map to bench/LAST_BENCH.json (committed per
+    // round; probe runs under SPARK_GRAFT_ONLY don't clobber it).
+    if (only.isEmpty) try {
+      val full = results.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val blob = s"""{"sf":"$sfDir","reps":$reps,"total":${fmt(total)},"failed":$failed,"queries":$full,"params":$params}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench/LAST_BENCH.json"),
+        (blob + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"params":$params,"sf":"$sfDir"}""")
     spark.stop()
   }

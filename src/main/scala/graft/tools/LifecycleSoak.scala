@@ -135,16 +135,29 @@ object LifecycleSoak {
       System.setProperty("derby.system.home", dbDir.toString)
       val conn = sys.env.getOrElse("GRAFT_JDB_CONN", "16").toInt
       val batch = sys.env.getOrElse("GRAFT_JDB_BATCH", "5000").toInt
+      // GRAFT_JDB_TABLES=all syncs the whole fixture DB (the bench's
+      // jdbc_sync shape) instead of lineitem alone; GRAFT_JDB_PAR sets
+      // how many tables are in flight — used to measure whether
+      // cross-TABLE writers contend on an embedded engine the way
+      // cross-PARTITION writers within one table did (connectionBudget)
+      val tables = sys.env.getOrElse("GRAFT_JDB_TABLES", "lineitem")
+      val par = sys.env.getOrElse("GRAFT_JDB_PAR", "1").toInt
       try {
         val m = new graft.Migrator(spark,
           graft.sources.FixtureSource(sfDir),
           graft.sinks.JdbcDest(s"jdbc:derby:$dbDir/db;create=true",
             new java.util.Properties(), batchRowSize = batch,
             maxConnections = conn),
-          graft.config.SyncConfig(maxParallel = 1))
+          graft.config.SyncConfig(maxParallel = par))
         val t = timed {
-          val r = m.copyTable("lineitem")
-          require(r.ok, s"lineitem sync failed: ${r.error}")
+          if (tables == "all") {
+            val rs = m.run()
+            require(rs.nonEmpty && rs.forall(_.ok),
+              s"sync failed: ${rs.filterNot(_.ok).map(_.error).mkString(";")}")
+          } else {
+            val r = m.copyTable(tables)
+            require(r.ok, s"$tables sync failed: ${r.error}")
+          }
         }
         t
       } finally org.apache.commons.io.FileUtils.deleteQuietly(dbDir.toFile)
