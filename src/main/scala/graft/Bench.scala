@@ -110,14 +110,28 @@ object Bench {
     // heavy-query passes, whose scale ratio for this path comes from
     // LifecycleSoak's jdb step instead) shouldn't pay them.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    val (jdbcSync, jdbcRps) = if (only.isDefined) (-1.0, -1.0) else {
-      val dbDir = java.nio.file.Files.createTempDirectory("graft_bench_derby")
-      // keep derby.log inside the throwaway dir, not the repo
-      System.setProperty("derby.system.home", dbDir.toString)
+    // ONE Derby system home for the whole bench, pointed into /tmp
+    // BEFORE any engine boot: derby.system.home (derby.log location)
+    // is read at boot time, and the relaxed path below boots the
+    // engine a second time — a per-database home would have to be set
+    // before each boot, and the first attempt at that set it after
+    // `new EmbeddedDriver()` had already booted, silently leaving
+    // derby.log pointed at a deleted directory. Databases themselves
+    // live in their own throwaway dirs via absolute URLs.
+    if (only.isEmpty) System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft_bench_derby_home").toString)
+    // One timed sync of the 10-table fixture DB into a throwaway
+    // on-disk Derby under `tag`: DDL on first load, truncate + batched
+    // INSERT, 4 tables in flight, then compareDb must verify every
+    // table before the number counts. Returns (wall seconds, rows/s),
+    // (-1,-1) on any failure. Identical pipeline for both calls below —
+    // the two reported numbers must differ ONLY in engine durability.
+    def syncOnce(tag: String, props: java.util.Properties): (Double, Double) = {
+      val dbDir = java.nio.file.Files.createTempDirectory(tag)
       try {
         val url = s"jdbc:derby:$dbDir/db;create=true"
         val m = new Migrator(spark, graft.sources.FixtureSource(sfDir),
-          graft.sinks.JdbcDest(url, new java.util.Properties(),
+          graft.sinks.JdbcDest(url, props,
             batchRowSize = 5000, maxConnections = 16),
           graft.config.SyncConfig(maxParallel = 4))
         val t0 = System.nanoTime()
@@ -131,47 +145,43 @@ object Bench {
       } catch { case _: Throwable => (-1.0, -1.0) }
       finally org.apache.commons.io.FileUtils.deleteQuietly(dbDir.toFile)
     }
+    // Stop the in-process engine so the next boot re-reads system
+    // properties (home, durability) — and releases its open handles to
+    // the just-deleted database files.
+    def shutdownDerby(): Unit =
+      try { java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true"); () }
+      catch { case _: java.sql.SQLException => () } // XJ015 = clean engine stop
+    val (jdbcSync, jdbcRps) = if (only.isDefined) (-1.0, -1.0)
+      else syncOnce("graft_bench_derby", new java.util.Properties())
     // Relaxed-durability second sync. The durable number above bills
     // the embedded engine's inline transaction-log fsync to the
     // migrator thread — an artifact of in-process Derby (a server
     // destination overlaps log flushing with the client, reference
     // readme.md:121-136 runs against a real MySQL server) and the
     // dominant run-to-run noise source (the same binary measured
-    // 10-20 s across runs, tracking disk state; relaxed probes agree
+    // 9-20 s across runs, tracking disk state; relaxed probes agree
     // within ~5%). Shut the engine down, re-boot it with
     // derby.system.durability=test, sync again: this isolates the
     // pipeline's own convert+batch+insert path. jdbc_sync stays the
     // durable headline; this lands beside it as jdbc_rps_rlx.
     val jdbcRpsRelaxed = if (only.isDefined) -1.0 else {
       try {
-        try { java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true"); () }
-        catch { case _: java.sql.SQLException => () } // XJ015 = clean engine stop
+        shutdownDerby()
+        // read at the next engine boot — which `new EmbeddedDriver()`
+        // below performs immediately, so it must come first
         System.setProperty("derby.system.durability", "test")
         // engine shutdown DEregistered the embedded JDBC driver —
         // re-instantiate to re-register, and name it explicitly in the
         // connection props so Spark's DriverRegistry re-resolves it
         // rather than reusing its stale pre-shutdown wrapper
         new org.apache.derby.jdbc.EmbeddedDriver()
-        val dbDir = java.nio.file.Files.createTempDirectory("graft_bench_derby2")
-        System.setProperty("derby.system.home", dbDir.toString)
-        try {
-          val url = s"jdbc:derby:$dbDir/db;create=true"
-          val props = new java.util.Properties()
-          props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-          val m = new Migrator(spark, graft.sources.FixtureSource(sfDir),
-            graft.sinks.JdbcDest(url, props,
-              batchRowSize = 5000, maxConnections = 16),
-            graft.config.SyncConfig(maxParallel = 4))
-          val t0 = System.nanoTime()
-          val results = m.run()
-          val sec = (System.nanoTime() - t0) / 1e9
-          val rows = results.filter(_.ok).map(_.rows).sum
-          val allOk = results.nonEmpty && results.forall(_.ok) &&
-            m.compare().filter(org.apache.spark.sql.functions.col("is_ok") === "NO")
-              .count() == 0
-          if (allOk) rows / sec else -1.0
-        } finally {
-          org.apache.commons.io.FileUtils.deleteQuietly(dbDir.toFile)
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        try syncOnce("graft_bench_derby2", props)._2
+        finally {
+          // leave the JVM with no engine running in durability=test
+          // mode and no open handles pinning the deleted db files
+          shutdownDerby()
           System.clearProperty("derby.system.durability")
         }
       } catch { case _: Throwable => -1.0 }

@@ -28,13 +28,22 @@ class FixtureVintageSpec extends SparkSpec {
     * re-encoded by `reshape`; only events.parquet is materialized —
     * the event queries read nothing else.
     */
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+
   private def variantDir(tag: String)(
       reshape: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
     val dir = java.nio.file.Files.createTempDirectory(s"graft_vintage_$tag")
+    tempDirs += dir.toString
     val canonical = spark.read.parquet(s"$sfDir/events.parquet")
     reshape(Fixtures.normalizeTs(canonical))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir.toString
+  }
+
+  override def afterAll(): Unit = {
+    tempDirs.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    super.afterAll()
   }
 
   // post-normalizeTs canonical shape, round-tripped through parquet —
