@@ -1972,8 +1972,15 @@ object SparkEntry {
         s"bs AS (SELECT doc_id, $bitSums FROM hv GROUP BY doc_id), " +
         s"sig AS (SELECT doc_id, $sigExpr AS sim FROM bs), " +
         s"band AS (SELECT doc_id, sim, unnest([0,1,2,3]) AS bd, unnest([$bandVals]) AS bv FROM sig), " +
+        // the Spark side caps hot buckets (maxBucket=1000): a whole
+        // (band, value) bucket past the cap is DROPPED, deterministically
+        // — model it identically or the twin diverges exactly when a
+        // bucket first crosses the cap (sf0.1: 171k vs 197k pairs; the
+        // sf0.01 gate never trips it because no bucket is that hot)
+        "capped AS (SELECT doc_id, sim, bd, bv FROM (SELECT doc_id, sim, bd, bv, " +
+        "COUNT(*) OVER (PARTITION BY bd, bv) AS n FROM band) WHERE n <= 1000), " +
         "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sa, b.sim AS sb " +
-        "FROM band a JOIN band b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+        "FROM capped a JOIN capped b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM pairs " +
         "WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b"
     },
