@@ -52,6 +52,42 @@ object SparkEntry {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(18, 4))).cast("double")
 
+  /** Hazard suffix for the text-format round-trip gates: LF, quotes,
+    * backslash, comma, tab, BMP (☃ é) + astral (🦄) unicode, CRLF. The
+    * fixture text is hazard-free word salad, so the gates append this
+    * (and null out / empty out columns on id-keyed slices) identically
+    * in Spark and the DuckDB oracle — the hash only matches if the
+    * JSONL/CSV codec round-trips every class losslessly.
+    */
+  private val HazardSuffix =
+    "\n\"q\" \\ ,\t☃ 🦄 é\r\nend"
+
+  /** documents decorated with the round-trip hazards: suffix on text,
+    * `lang` nulled on doc_id%7=0, `source` emptied on doc_id%11=0 (null
+    * vs empty string must stay distinct through the codec).
+    */
+  private def hazardDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      concat(col("text"), lit(HazardSuffix)).as("text"),
+      when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")).as("lang"),
+      when(col("doc_id") % 11 === 0, lit(""))
+        .otherwise(col("source")).as("source"),
+      col("n_chars"))
+
+  /** DuckDB twin of [[hazardDocs]]: same decoration computed directly
+    * from parquet (standard SQL literals treat backslash literally, so
+    * only the control characters need `chr()`).
+    */
+  private val HazardOracleSql: String =
+    "SELECT doc_id, " +
+      "text || chr(10) || '\"q\" \\ ,' || chr(9) || '☃ 🦄 é' || " +
+      "chr(13) || chr(10) || 'end' AS text, " +
+      "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang, " +
+      "CASE WHEN doc_id % 11 = 0 THEN '' ELSE source END AS source, " +
+      "n_chars FROM documents ORDER BY doc_id"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_a5_group_agg")(spark, "/root/testdata/sf0.001")
@@ -69,6 +105,47 @@ object SparkEntry {
       graft.sinks.BatchWriter.writeParquet(t(s, dir, "lineitem"), tmp, "lineitem")
       s.read.parquet(s"$tmp/lineitem.parquet")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+    // K2/K3 — text-format corpus ingestion round-trips (JSONL / CSV).
+    // Raw training corpora land as JSONL.gz or CSV shards, and a lossy
+    // codec corrupts silently — so the gate decorates documents with
+    // every hazard class (embedded LF + CRLF, quotes, backslash, comma,
+    // tab, BMP + astral unicode, null vs empty string), pushes the rows
+    // through write→read, and hash-compares against the oracle computing
+    // the same decoration straight from parquet: any conflation or
+    // mangling in the codec path breaks the hash.
+    "q_k2_jsonl_roundtrip" -> ((s, dir) => {
+      val dec = hazardDocs(t(s, dir, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val path = graft.sources.TextFormats.writeJsonl(dec, tmp, "documents")
+      graft.sources.TextFormats.readJsonl(s, path, dec.schema).orderBy("doc_id")
+    }),
+    "q_k3_csv_roundtrip" -> ((s, dir) => {
+      val dec = hazardDocs(t(s, dir, "documents"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val path = graft.sources.TextFormats.writeCsv(dec, tmp, "documents")
+      graft.sources.TextFormats.readCsv(s, path, dec.schema).orderBy("doc_id")
+    }),
+    // K4 — ORC round-trip of the embeddings table: complex-type
+    // (array<float>) fidelity through the second columnar format. The
+    // comparison never ships raw float arrays — both sides reduce each
+    // vector to an exact integer KR fold over floor(x·10⁶+0.5) (pure
+    // IEEE double ops, bit-identical across engines), so any element
+    // lost, reordered, or perturbed by the ORC codec breaks the hash.
+    "q_k4_orc_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      graft.sinks.BatchWriter.writeOrc(t(s, dir, "embeddings"), tmp, "embeddings")
+      val back = s.read.orc(s"$tmp/embeddings.orc")
+      val M = 1000000007L
+      back.select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        aggregate(
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e6 + 0.5).cast(LongType)),
+          lit(0L),
+          (acc, v) => ((acc * 31 + v) % M + M) % M).as("emb_fold"))
+        .orderBy("vec_id")
     }),
     // S5/P1 — full scan with explicit column projection (pushed to parquet)
     "q_s5_scan_project" -> ((s, dir) => {
@@ -286,6 +363,27 @@ object SparkEntry {
         .groupBy(md5(col("text")).as("text_hash"))
         .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("keeper"))
         .orderBy("text_hash")
+    }),
+    // Text analysis: HTML → visible-text extraction (web-crawl WET
+    // step). The fixture text is plain, so the query wraps each doc in
+    // a deterministic page — head/title/style, a script whose BODY
+    // contains a decoy </p> tag, a comment, block tags, entity-laden
+    // boilerplate — identically in Spark and the oracle; the twin then
+    // runs the IDENTICAL RE2-safe regexp chain, pinning Spark-vs-
+    // portable parity of the extraction kernel.
+    "q_text_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style>p{color:red}</style></head>" +
+          "<body><script type=\"text/javascript\">var x = \"<p>not content</p>\";" +
+          "</script><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><!-- nav boilerplate --><p>"),
+        col("text"),
+        lit("</p><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&nbsp;end</p>" +
+          "<div>footer</div></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.htmlToText(html).as("plain_text"))
+        .orderBy("doc_id")
     }),
     // Text analysis: token/char counting
     "q_text_tokens" -> ((s, dir) => {
@@ -1594,6 +1692,19 @@ object SparkEntry {
     "q_stream_ingest_twin" -> streamIngestTwinOracleSql,
     "q_k1_copy_lineitem" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice",
+    // The round-trip twins compute the hazard decoration straight from
+    // parquet — the Spark side must survive its write→read through the
+    // text codec to match. Suffix = LF ‖ quotes ‖ backslash ‖ comma ‖
+    // tab ‖ unicode ‖ CRLF, exactly SparkEntry.HazardSuffix.
+    "q_k2_jsonl_roundtrip" -> HazardOracleSql,
+    "q_k3_csv_roundtrip" -> HazardOracleSql,
+    // parquet-direct twin of the ORC round-trip, same exact integer fold
+    "q_k4_orc_roundtrip" ->
+      ("SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim, " +
+        "list_reduce([CAST(0 AS BIGINT)] || list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE)*1000000+0.5) AS BIGINT)), " +
+        "(a,b) -> ((a*31+b) % 1000000007 + 1000000007) % 1000000007) AS emb_fold " +
+        "FROM embeddings ORDER BY vec_id"),
     "q_s5_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q_s6_probe" ->
@@ -1649,6 +1760,40 @@ object SparkEntry {
       "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey",
     "q_text_tokens" ->
       "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents ORDER BY doc_id",
+    // The IDENTICAL RE2-safe chain as TextAnalysis.htmlToText, over the
+    // identical synthesized page — a portable-parity twin like the
+    // simhash/minhash ones. Keep the steps in lockstep with the Scala.
+    "q_text_html_extract" -> {
+      val page =
+        "'<html><head><title>t</title><style>p{color:red}</style></head>" +
+          "<body><script type=\"text/javascript\">var x = \"<p>not content</p>\";" +
+          "</script><h1>Doc ' || CAST(doc_id AS VARCHAR) || " +
+          "'</h1><!-- nav boilerplate --><p>' || text || " +
+          "'</p><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&nbsp;end</p>" +
+          "<div>footer</div></body></html>'"
+      val steps: Seq[(String, String)] = Seq(
+        "(?is)<script\\b[^>]*>.*?</script>" -> "' '",
+        "(?is)<style\\b[^>]*>.*?</style>" -> "' '",
+        "(?is)<head\\b[^>]*>.*?</head>" -> "' '",
+        "(?s)<!--.*?-->" -> "' '",
+        ("(?i)<(br|hr)\\s*/?>|</(p|div|li|tr|td|h1|h2|h3|h4|h5|h6|ul|ol|table)\\s*>"
+          -> "chr(10)"),
+        "(?s)<[^>]*>" -> "' '",
+        "&lt;" -> "'<'",
+        "&gt;" -> "'>'",
+        "&quot;" -> "'\"'",
+        "&#39;" -> "''''",
+        "&nbsp;" -> "' '",
+        "&amp;" -> "'&'",
+        "[ \\t\\r]+" -> "' '",
+        " ?\\n ?" -> "chr(10)",
+        "\\n+" -> "chr(10)",
+        "^\\s+|\\s+$" -> "''")
+      val chain = steps.foldLeft(page) { case (acc, (pat, repl)) =>
+        s"regexp_replace($acc, '$pat', $repl, 'g')"
+      }
+      s"SELECT doc_id, $chain AS plain_text FROM documents ORDER BY doc_id"
+    },
     "q_text_stopword" ->
       "SELECT doc_id, CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the FROM documents ORDER BY doc_id",
     "q_events_hourly" ->

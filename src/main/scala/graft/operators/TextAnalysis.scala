@@ -761,6 +761,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("__ntok")).as("n_bpe_tokens"))
   }
 
+  /** HTML → visible text: the first step of every web-crawl corpus
+    * pipeline (WET-style extraction). Drops non-content subtrees
+    * (script/style/head/comments) wholesale, turns block-level
+    * boundaries into newlines so paragraph structure survives, strips
+    * remaining tags, decodes the common entities, and normalizes
+    * whitespace.
+    *
+    * Pure chained `regexp_replace` — one codegen'd projection, no UDF,
+    * no per-row allocation beyond the string rewrites; linear in
+    * document size and embarrassingly parallel at 100 TB. Every pattern
+    * is RE2-compatible (no backreferences, inline `(?is)` flags only)
+    * so the DuckDB oracle twin (`q_text_html_extract`) runs the
+    * IDENTICAL chain — the gate pins Spark-vs-portable parity the same
+    * way the simhash/minhash portable twins do.
+    *
+    * Entity decode happens after tag-strip (so `&lt;p&gt;` in content
+    * survives as the literal `<p>` rather than being re-stripped) and
+    * `&amp;` decodes last (so `&amp;lt;` yields the literal `&lt;`).
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noHead = regexp_replace(noStyle, "(?is)<head\\b[^>]*>.*?</head>", " ")
+    val noComment = regexp_replace(noHead, "(?s)<!--.*?-->", " ")
+    val blockBreaks = regexp_replace(noComment,
+      "(?i)<(br|hr)\\s*/?>|</(p|div|li|tr|td|h1|h2|h3|h4|h5|h6|ul|ol|table)\\s*>",
+      "\n")
+    val noTags = regexp_replace(blockBreaks, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    val oneSpace = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val tightLines = regexp_replace(oneSpace, " ?\\n ?", "\n")
+    val oneNewline = regexp_replace(tightLines, "\\n+", "\n")
+    regexp_replace(oneNewline, "^\\s+|\\s+$", "")
+  }
+
   val EN_STOPWORDS: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that", "be",

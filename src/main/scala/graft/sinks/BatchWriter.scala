@@ -94,6 +94,15 @@ object BatchWriter {
   def writeParquet(df: DataFrame, dir: String, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$table.parquet")
 
+  /** ORC twin of [[writeParquet]] — the second columnar interchange
+    * format a warehouse-adjacent corpus pipeline meets (Hive-era lakes
+    * hand over ORC). Same complex-type fidelity contract as parquet:
+    * `q_k4_orc_roundtrip` pushes `array<float>` embeddings through
+    * write→read and folds them against the parquet source of truth.
+    */
+  def writeOrc(df: DataFrame, dir: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(s"$dir/$table.orc")
+
   // -------------------------------------------- idempotent page appends
   //
   // SURVEY.md §7.4.1: the reference's txn-rollback-per-batch model does

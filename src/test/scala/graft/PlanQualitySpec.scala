@@ -405,6 +405,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("htmlToText is one codegen'd projection — no shuffle, no fallback") {
+    val df = table("documents").select(
+      graft.operators.TextAnalysis.htmlToText(col("text")).as("plain"))
+    val plan = explain(df)
+    assert(plan.contains("codegen id"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("JSONL ingest keeps the contracted schema at the scan (no inference pass)") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_jsonl").toString
+    val docs = table("documents").select("doc_id", "text", "lang")
+    val path = graft.sources.TextFormats.writeJsonl(docs, dir, "docs")
+    val back = graft.sources.TextFormats.readJsonl(spark, path, docs.schema)
+      .select("doc_id", "lang")
+    val plan = explain(back)
+    // the json scan must read only the contracted columns — an
+    // inference pass or a full-struct read would show text in ReadSchema
+    val readSchema = plan.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang"), readSchema)
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
   // ---- TPC-H heavy five: the suite's most join/agg-dense queries.
   // Gates pin broadcast on every dimension side and map-side partial
   // aggregation, so later operator work can't silently de-optimize

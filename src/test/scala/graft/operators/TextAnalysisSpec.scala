@@ -331,4 +331,32 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "a", "a", 9L),
       (2L, "aa", "aa", 3L)), out.toSeq)
   }
+
+  test("htmlToText: strips non-content subtrees, keeps block structure") {
+    val html = "<html><head><title>nope</title><style>p{x}</style></head>" +
+      "<body><script>var s = \"<p>decoy</p>\";</script>" +
+      "<h1>Title</h1><p>first para</p><p>second  para</p>" +
+      "<ul><li>item one</li><li>item two</li></ul>" +
+      "<!-- hidden comment --><div>footer</div></body></html>"
+    val out = one(TextAnalysis.htmlToText(org.apache.spark.sql.functions.lit(html)), "")
+    assert(out === "Title\nfirst para\nsecond para\nitem one\nitem two\nfooter")
+  }
+
+  test("htmlToText: entity decode order — &amp;lt; yields literal &lt;") {
+    val html = "<p>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&nbsp;x &amp;lt;</p>"
+    val out = one(TextAnalysis.htmlToText(org.apache.spark.sql.functions.lit(html)), "")
+    assert(out === "Tom & Jerry <3 \"q\" 's x &lt;")
+  }
+
+  test("htmlToText: case-insensitive tags, self-closed br, attr-laden script") {
+    val html = "<P>one<BR/>two</P><SCRIPT type=\"text/javascript\" async>x<y</SCRIPT>three"
+    val out = one(TextAnalysis.htmlToText(org.apache.spark.sql.functions.lit(html)), "")
+    assert(out === "one\ntwo\nthree")
+  }
+
+  test("htmlToText: plain text without markup passes through trimmed") {
+    val out = one(TextAnalysis.htmlToText(
+      org.apache.spark.sql.functions.lit("  just   plain words  ")), "")
+    assert(out === "just plain words")
+  }
 }
