@@ -1389,6 +1389,37 @@ object SparkEntry {
         .select("doc_id", "format", "width", "height", "n_bytes")
         .orderBy("doc_id")
     }),
+    // Multimodal: REAL WAV/PCM audio decode. Every 3rd doc carries a
+    // genuine RIFF/WAVE payload — header + fmt + data chunks and an
+    // 8-bit PCM sample plane, all assembled from a doc_id-derived hex
+    // string and unhex'd IDENTICALLY in Spark and the oracle — so the
+    // actual chunk-walking parser runs against the actual byte layout.
+    // Non-planted rows get 'T'-prefixed text -> the KR fake codec. The
+    // gate reads frames as width / channels as height (the audio
+    // reading of the decode contract); features are spec-gated.
+    "q_mm_audio" -> ((s, dir) => {
+      val n = (lit(8) + col("doc_id") % 32).cast("int") // frames < 256
+      def le32small(c: org.apache.spark.sql.Column) = // value < 256
+        concat(format_string("%02x", c), lit("000000"))
+      val sampleHex = array_join(
+        transform(sequence(lit(0), n - 1),
+          i => format_string("%02x", (i * 37 + col("doc_id")) % 256)), "")
+      val wavHex = concat(
+        lit("52494646"), le32small(n + 36), lit("57415645"), // RIFF size WAVE
+        lit("666d7420"), lit("10000000"), // "fmt " 16
+        lit("01000100"), // PCM, 1 channel
+        lit("401f0000"), lit("401f0000"), // rate 8000, byte rate 8000
+        lit("01000800"), // block align 1, 8-bit
+        lit("64617461"), le32small(n), sampleHex) // "data" len samples
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, unhex(wavHex))
+            .otherwise(concat(lit("T"), col("text")).cast("binary"))
+            .as("payload"))
+      Multimodal.decodeFeatures(media, "doc_id", "payload")
+        .select("doc_id", "format", "width", "height", "n_bytes")
+        .orderBy("doc_id")
+    }),
     // S2/F1 — column-metadata scan with the type-mapping CASE/NVL/LEAST
     // normalization riding inside the projection (the reference folds
     // this into its dictionary SQL at tablemeta.go:74,133-158)
@@ -1831,6 +1862,23 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 5 = 0 THEN 2 + doc_id % 7 ELSE 16 + fp % 1024 END AS INT) AS width, " +
         "CAST(CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 5 ELSE 16 + (fp // 1024) % 1024 END AS INT) AS height, " +
         "CAST(octet_length(CAST(payload AS BLOB)) AS BIGINT) AS n_bytes " +
+        "FROM h ORDER BY doc_id"),
+    // audio twin: planted rows are pure doc_id arithmetic (the oracle
+    // doesn't re-parse the WAV — it knows what it planted: n frames,
+    // 1 channel, 44-byte header + n sample bytes); fake rows reuse the
+    // KR-fingerprint model from q_mm_decode
+    "q_mm_audio" ->
+      ("WITH m AS (SELECT doc_id, 8 + doc_id % 32 AS n, " +
+        "CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'T' || text END AS payload FROM documents), " +
+        "t AS (SELECT doc_id, n, payload, regexp_replace(lower(payload), '[^a-z0-9 ]', '', 'g') AS norm FROM m), " +
+        "h AS (SELECT doc_id, n, payload, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, len(norm)+1), i -> CAST(unicode(norm[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS fp FROM t) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 3 = 0 THEN 'wav' WHEN fp % 2 = 0 THEN 'png' ELSE 'jpg' END AS format, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN n ELSE 16 + fp % 1024 END AS INT) AS width, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 16 + (fp // 1024) % 1024 END AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 44 + n ELSE octet_length(CAST(payload AS BLOB)) END AS BIGINT) AS n_bytes " +
         "FROM h ORDER BY doc_id"),
     "q_events_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events), " +

@@ -53,7 +53,7 @@ object Multimodal {
     StructField("features", ArrayType(FloatType))
   ))
 
-  /** Payload decoders. Four codec tiers behind one dispatch:
+  /** Payload decoders. Five codec tiers behind one dispatch:
     *
     *  - a REAL pure-JVM P6 (binary PPM) parser — header (magic,
     *    whitespace/comments, width, height, maxval) plus the full RGB
@@ -63,10 +63,14 @@ object Multimodal {
     *    orientations, BGR order — same corrupt-input rejection;
     *  - the JDK's ImageIO readers ([[imageIoRaster]]) — REAL PNG/JPEG/
     *    GIF decodes via `javax.imageio`, zero new dependencies;
+    *  - a REAL pure-JVM WAV parser ([[parseWav]]) — RIFF chunk walk,
+    *    8/16-bit integer PCM, 1–8 channels — yielding duration/RMS/
+    *    peak/zero-crossing features over the interleaved frames;
     *  - the deterministic Karp–Rabin fake for every remaining payload
     *    (`acc*31 + code mod 1e9+7` over the normalized UTF-8 text, the
     *    same kernel as [[graft.functions.KrHashExpression]]), standing
-    *    in for ffmpeg-class video/audio codecs the JVM doesn't ship.
+    *    in for ffmpeg-class compressed audio/video codecs the JVM
+    *    doesn't ship.
     *    Its exact modular arithmetic keeps the decode *plumbing* under
     *    a full cross-engine rows+schema+hash gate.
     *
@@ -319,9 +323,114 @@ object Multimodal {
       (fmt, w, ht, feats)
     }
 
+    /** A parsed PCM audio clip: geometry plus a zero-copy sample
+      * accessor over the payload bytes (the audio analog of [[Raster]]).
+      * `sample(frame, ch)` is normalized to [-1, 1].
+      */
+    private[operators] final class AudioClip(
+        val channels: Int,
+        val sampleRate: Int,
+        val bitsPerSample: Int,
+        val nFrames: Int,
+        bytes: Array[Byte],
+        dataOff: Int) {
+      def sample(frame: Int, ch: Int): Double =
+        if (bitsPerSample == 8) {
+          // 8-bit WAV is UNSIGNED, midpoint 128
+          ((bytes(dataOff + frame * channels + ch) & 0xff) - 128) / 128.0
+        } else {
+          // 16-bit WAV is SIGNED little-endian
+          val o = dataOff + (frame * channels + ch) * 2
+          (((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort) / 32768.0
+        }
+    }
+
+    /** Real WAV parse: `"RIFF" <size> "WAVE"` then a word-aligned chunk
+      * walk — `"fmt "` must declare integer PCM (format tag 1) with
+      * 8- or 16-bit samples and 1..8 channels, `"data"` carries the
+      * interleaved frames. Anything else (float/ADPCM/extensible
+      * encodings, truncated chunks, zero frames) returns None so the
+      * payload degrades to the fallback codec instead of throwing
+      * mid-partition — the same corrupt-input contract as [[parsePpm]].
+      */
+    private[operators] def parseWav(bytes: Array[Byte]): Option[AudioClip] = {
+      if (bytes == null || bytes.length < 44) return None
+      def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+      def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+      var data: Option[(Int, Int)] = None // offset, byte length
+      while (off + 8 <= bytes.length) {
+        val id = tag(off)
+        val sz = le32(off + 4)
+        if (sz > bytes.length - off - 8) return None // truncated chunk
+        if (id == "fmt ") {
+          if (sz < 16) return None
+          val audioFormat = le16(off + 8)
+          val ch = le16(off + 10)
+          val rate = le32(off + 12)
+          val bits = le16(off + 22)
+          if (audioFormat != 1 || ch < 1 || ch > 8 ||
+            rate <= 0 || rate > Int.MaxValue || (bits != 8 && bits != 16))
+            return None
+          fmt = Some((ch, rate.toInt, bits))
+        } else if (id == "data") data = Some((off + 8, sz.toInt))
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      (fmt, data) match {
+        case (Some((ch, rate, bits)), Some((doff, dlen))) =>
+          val frameBytes = (bits / 8) * ch
+          val frames = dlen / frameBytes
+          if (frames <= 0) None
+          else Some(new AudioClip(ch, rate, bits, frames, bytes, doff))
+        case _ => None
+      }
+    }
+
+    /** Audio features, one pass over the frames (channel-averaged):
+      * duration seconds, RMS, absolute peak, zero-crossing rate, mean
+      * amplitude, then channels / sample rate (kHz) / bit depth —
+      * `featureDim` slots like [[rasterStats]], so the decode contract
+      * is format-independent downstream.
+      */
+    private def audioStats(c: AudioClip): Array[Float] = {
+      var sumSq = 0.0; var sum = 0.0; var peak = 0.0
+      var crossings = 0L; var prev = 0.0
+      var f = 0
+      while (f < c.nFrames) {
+        var acc = 0.0
+        var ch = 0
+        while (ch < c.channels) { acc += c.sample(f, ch); ch += 1 }
+        val v = acc / c.channels
+        sumSq += v * v; sum += v
+        val a = math.abs(v); if (a > peak) peak = a
+        if (f > 0 && (v > 0) != (prev > 0) && v != 0 && prev != 0) crossings += 1
+        prev = v
+        f += 1
+      }
+      val n = c.nFrames.toDouble
+      Array(
+        (n / c.sampleRate).toFloat, math.sqrt(sumSq / n).toFloat,
+        peak.toFloat, (crossings / math.max(1.0, n - 1)).toFloat,
+        (sum / n).toFloat, c.channels.toFloat,
+        (c.sampleRate / 1000.0).toFloat, c.bitsPerSample.toFloat)
+    }
+
+    /** WAV decode → (format, frames, channels, features): the decode
+      * contract reads `width` as sample frames and `height` as channel
+      * count for audio payloads.
+      */
+    def decodeWav(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] =
+      parseWav(bytes).map(c => ("wav", c.nFrames, c.channels, audioStats(c)))
+
     def decode(bytes: Array[Byte]): (String, Int, Int, Array[Float]) =
       parseRaster(bytes)
         .map(r => (r.format, r.width, r.height, rasterStats(r)))
+        .orElse(decodeWav(bytes))
         .getOrElse(decodeFake(bytes))
 
     /** Nearest-neighbor resample of a parsed raster to (w × h),

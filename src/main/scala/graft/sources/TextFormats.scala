@@ -79,6 +79,55 @@ object TextFormats {
     else df
   }
 
+  /** Quarantining twin of [[readJsonl]] for the long-haul ingest: a
+    * multi-day 100 TB run shouldn't die on one malformed line (that's
+    * what FAILFAST does), nor silently dissolve it into a null row
+    * (PERMISSIVE's default). One `text` scan parses every line with
+    * `from_json`; lines that don't parse land in the returned
+    * quarantine frame as (raw line, source shard) for triage, and the
+    * counts add up: good + bad = non-blank lines.
+    *
+    * Built on text + `from_json` rather than the json reader's
+    * `_corrupt_record` column deliberately: the corrupt-column path
+    * forbids queries that reference only the corrupt column (Spark
+    * requires caching the whole frame first — a non-starter at scale),
+    * while this shape is two filters over one scan, no cache, and both
+    * outputs stay lazily re-computable.
+    *
+    * Semantics note: quarantine means UNPARSEABLE. A line that is valid
+    * JSON but missing fields (or null-typed) parses to nulls — that's
+    * representable data under the schema contract, not corruption; gate
+    * it downstream with quality filters.
+    */
+  def readJsonlQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    // PERMISSIVE from_json yields a row of NULLS (not a null struct)
+    // for malformed input, indistinguishable from an all-null record —
+    // a corrupt-record field inside the parse schema is the reliable
+    // malformed-vs-representable signal
+    val corrupt = "_graft_corrupt"
+    require(!schema.fieldNames.contains(corrupt),
+      s"schema may not contain the reserved column $corrupt")
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corrupt,
+        org.apache.spark.sql.types.StringType))
+    val parsed = spark.read.text(path).select(
+      input_file_name().as("shard"),
+      col("value"),
+      from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corrupt)).as("rec"))
+    val good = parsed
+      .filter(col("rec").isNotNull && col(s"rec.$corrupt").isNull)
+      .select(schema.fieldNames.toIndexedSeq.map(f => col(s"rec.$f").as(f)): _*)
+    val bad = parsed
+      .filter((col("rec").isNull || col(s"rec.$corrupt").isNotNull) &&
+        length(trim(col("value"))) > 0)
+      .select(col("value").as("raw_line"), col("shard"))
+    (good, bad)
+  }
+
   /** Write one CSV table: `dir/table.csv/part-*.csv[.gz]`. RFC-4180
     * quoting (quote doubled by escape=quote), explicit null sentinel,
     * header row per shard.

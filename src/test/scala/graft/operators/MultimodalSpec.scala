@@ -303,4 +303,83 @@ class MultimodalSpec extends SparkSpec {
     val plane = bytes.drop("P6\n2 2\n255\n".length).map(_ & 0xff).toSeq
     assert(plane === Seq(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255), plane)
   }
+
+  /** Hand-assembled RIFF/WAVE: header + fmt + data (+ optional extra
+    * chunk), interleaved samples given per-channel in [-1,1]-ish ints
+    * (8-bit unsigned or 16-bit signed as `bits` says).
+    */
+  private def wav(channels: Int, rate: Int, bits: Int, samples: Seq[Int],
+      extraChunk: Boolean = false): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def ascii(s: String): Unit = bb ++= s.getBytes("US-ASCII")
+    def le16(v: Int): Unit = { bb += (v & 0xff).toByte; bb += ((v >> 8) & 0xff).toByte }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    val dataLen = samples.length * (bits / 8)
+    val extraLen = if (extraChunk) 12 else 0
+    ascii("RIFF"); le32(36 + dataLen + extraLen); ascii("WAVE")
+    if (extraChunk) { ascii("LIST"); le32(4); ascii("INFO") }
+    ascii("fmt "); le32(16); le16(1); le16(channels); le32(rate)
+    le32(rate * channels * bits / 8); le16(channels * bits / 8); le16(bits)
+    ascii("data"); le32(dataLen)
+    samples.foreach { s =>
+      if (bits == 8) bb += (s & 0xff).toByte else le16(s & 0xffff)
+    }
+    bb.toArray
+  }
+
+  test("wav decode: 8-bit mono parses geometry and one-pass stats") {
+    // full-scale square wave: 255,1 ~ +0.992,-0.992 around the 128 mid
+    val clip = wav(1, 8000, 8, Seq(255, 1, 255, 1, 255, 1, 255, 1))
+    val (fmt, w, h, feats) = Multimodal.Decoders.decode(clip)
+    assert((fmt, w, h) === (("wav", 8, 1)))
+    val Seq(dur, rms, peak, zcr, mean, ch, khz, depth) = feats.toSeq
+    assert(math.abs(dur - 8f / 8000f) < 1e-7)
+    assert(math.abs(rms - 0.9921875f) < 1e-6, rms)
+    assert(math.abs(peak - 0.9921875f) < 1e-6, peak)
+    assert(math.abs(zcr - 1.0f) < 1e-6, zcr) // alternates every frame
+    assert(math.abs(mean) < 1e-6, mean) // symmetric around the midpoint
+    assert((ch, khz, depth) === ((1f, 8f, 8f)))
+  }
+
+  test("wav decode: 16-bit stereo averages channels; extra chunks are walked over") {
+    // L = +16384, R = -16384 -> channel-averaged silence; 4 frames
+    val clip = wav(2, 44100, 16,
+      Seq(16384, -16384, 16384, -16384, 16384, -16384, 16384, -16384),
+      extraChunk = true)
+    val (fmt, w, h, feats) = Multimodal.Decoders.decode(clip)
+    assert((fmt, w, h) === (("wav", 4, 2)))
+    assert(math.abs(feats(1)) < 1e-6, s"rms of cancelling channels: ${feats(1)}")
+    assert(feats(5) === 2f && feats(7) === 16f)
+  }
+
+  test("wav decode: non-PCM, truncated, and zero-frame payloads degrade to the fake") {
+    val good = wav(1, 8000, 8, Seq(200, 100, 200, 100))
+    // corrupt the format tag (PCM=1 -> 3 = IEEE float)
+    val floatFmt = good.clone(); floatFmt(20) = 3
+    // truncate mid-data
+    val truncated = good.dropRight(3)
+    // data chunk with zero frames
+    val empty = wav(1, 8000, 8, Seq.empty)
+    Seq(floatFmt, truncated, empty).foreach { bad =>
+      val (fmt, _, _, _) = Multimodal.Decoders.decode(bad)
+      assert(fmt === "png" || fmt === "jpg", s"expected fake fallback, got $fmt")
+    }
+    assert(Multimodal.Decoders.decode(good)._1 === "wav")
+  }
+
+  test("q_mm_audio gate: planted hex WAVs hit the real parser end to end") {
+    val out = graft.SparkEntry.queries("q_mm_audio")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val planted = out.keys.filter(_ % 3 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val r = out(id)
+      assert(r.getString(1) === "wav", s"doc $id")
+      assert(r.getInt(2) === (8 + id % 32).toInt) // frames
+      assert(r.getInt(3) === 1) // channels
+      assert(r.getLong(4) === 44 + (8 + id % 32)) // RIFF header + samples
+    }
+    assert(out.keys.filter(_ % 3 != 0).forall(id =>
+      Set("png", "jpg")(out(id).getString(1))))
+  }
 }

@@ -78,6 +78,24 @@ class TextFormatsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("quarantine read: one scan splits parseable rows from raw bad lines") {
+    val dir = java.nio.file.Files.createTempDirectory("tf_quar")
+    java.nio.file.Files.write(dir.resolve("part-00000.json"),
+      ("{\"id\":1,\"text\":\"ok\",\"tag\":\"t\"}\n" +
+        "garbage not json\n" +
+        "\n" + // blank lines are neither good nor quarantined
+        "{\"id\":2,\"text\":\"missing tag is DATA, not corruption\"}\n" +
+        "{\"id\":3,\"text\":\"ok too\",\"tag\":null}\n").getBytes("UTF-8"))
+    val (good, bad) = TextFormats.readJsonlQuarantine(spark, dir.toString, schema)
+    val g = good.orderBy("id").collect()
+    assert(g.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(g(1).isNullAt(2), "absent field parses to null under the contract")
+    val b = bad.collect()
+    assert(b.length === 1)
+    assert(b(0).getString(0) === "garbage not json")
+    assert(b(0).getString(1).endsWith("part-00000.json"), "quarantine keeps the shard")
+  }
+
   test("round-trip gates run against the fixture documents table") {
     // the q_k2/q_k3 shapes end-to-end at sf0.001: decorated text incl.
     // the hazard suffix must hash-match the pre-write frame
