@@ -1420,6 +1420,38 @@ object SparkEntry {
         .select("doc_id", "format", "width", "height", "n_bytes")
         .orderBy("doc_id")
     }),
+    // Multimodal: REAL AVI container metadata. Every 4th doc carries a
+    // genuine RIFF/AVI payload — RIFF header, LIST hdrl, and a full
+    // 56-byte avih main header with doc_id-derived dims/frame count —
+    // hex-assembled identically in Spark and the oracle; the parser
+    // must walk the actual chunk grammar to surface the metadata.
+    // Frame-pixel decode is out of scope by design (no codec in a bare
+    // JVM); non-planted rows take the 'T'-prefix fake path.
+    "q_mm_video" -> ((s, dir) => {
+      def le32small(c: org.apache.spark.sql.Column) = // value < 256
+        concat(format_string("%02x", c), lit("000000"))
+      val frames = lit(1) + col("doc_id") % 100
+      val w = lit(16) + col("doc_id") % 64
+      val h = lit(16) + col("doc_id") % 48
+      val aviHex = concat(
+        lit("52494646"), lit("50000000"), lit("41564920"), // RIFF 80 'AVI '
+        lit("4c495354"), lit("44000000"), lit("6864726c"), // LIST 68 hdrl
+        lit("61766968"), lit("38000000"), // avih 56
+        lit("409c0000"), // dwMicroSecPerFrame = 40000 (25 fps)
+        lit("00000000"), lit("00000000"), lit("00000000"), // maxbps/pad/flags
+        le32small(frames), lit("00000000"), // dwTotalFrames, dwInitialFrames
+        lit("01000000"), lit("00000000"), // dwStreams = 1, dwSuggestedBufSize
+        le32small(w), le32small(h), // dwWidth, dwHeight
+        lit("00000000"), lit("00000000"), lit("00000000"), lit("00000000"))
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, unhex(aviHex))
+            .otherwise(concat(lit("T"), col("text")).cast("binary"))
+            .as("payload"))
+      Multimodal.decodeFeatures(media, "doc_id", "payload")
+        .select("doc_id", "format", "width", "height", "n_bytes")
+        .orderBy("doc_id")
+    }),
     // S2/F1 — column-metadata scan with the type-mapping CASE/NVL/LEAST
     // normalization riding inside the projection (the reference folds
     // this into its dictionary SQL at tablemeta.go:74,133-158)
@@ -1879,6 +1911,22 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 3 = 0 THEN n ELSE 16 + fp % 1024 END AS INT) AS width, " +
         "CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 16 + (fp // 1024) % 1024 END AS INT) AS height, " +
         "CAST(CASE WHEN doc_id % 3 = 0 THEN 44 + n ELSE octet_length(CAST(payload AS BLOB)) END AS BIGINT) AS n_bytes " +
+        "FROM h ORDER BY doc_id"),
+    // video twin: planted rows are doc_id arithmetic (dims/frames as
+    // planted; n_bytes = the fixed 88-byte container); fake rows reuse
+    // the KR-fingerprint model
+    "q_mm_video" ->
+      ("WITH m AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN NULL ELSE 'T' || text END AS payload FROM documents), " +
+        "t AS (SELECT doc_id, payload, regexp_replace(lower(payload), '[^a-z0-9 ]', '', 'g') AS norm FROM m), " +
+        "h AS (SELECT doc_id, payload, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, len(norm)+1), i -> CAST(unicode(norm[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS fp FROM t) " +
+        "SELECT doc_id, " +
+        "CASE WHEN doc_id % 4 = 0 THEN 'avi' WHEN fp % 2 = 0 THEN 'png' ELSE 'jpg' END AS format, " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 16 + doc_id % 64 ELSE 16 + fp % 1024 END AS INT) AS width, " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 16 + doc_id % 48 ELSE 16 + (fp // 1024) % 1024 END AS INT) AS height, " +
+        "CAST(CASE WHEN doc_id % 4 = 0 THEN 88 ELSE octet_length(CAST(payload AS BLOB)) END AS BIGINT) AS n_bytes " +
         "FROM h ORDER BY doc_id"),
     "q_events_sessionize" ->
       ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events), " +

@@ -53,7 +53,7 @@ object Multimodal {
     StructField("features", ArrayType(FloatType))
   ))
 
-  /** Payload decoders. Five codec tiers behind one dispatch:
+  /** Payload decoders. Six codec tiers behind one dispatch:
     *
     *  - a REAL pure-JVM P6 (binary PPM) parser — header (magic,
     *    whitespace/comments, width, height, maxval) plus the full RGB
@@ -66,6 +66,10 @@ object Multimodal {
     *  - a REAL pure-JVM WAV parser ([[parseWav]]) — RIFF chunk walk,
     *    8/16-bit integer PCM, 1–8 channels — yielding duration/RMS/
     *    peak/zero-crossing features over the interleaved frames;
+    *  - a REAL pure-JVM AVI container parser ([[parseAvi]]) — RIFF →
+    *    `LIST hdrl` → `avih` — yielding genuine video metadata
+    *    (dims, frame count, fps, streams); frame pixels stay with the
+    *    fallback, the honest boundary where a codec would be needed;
     *  - the deterministic Karp–Rabin fake for every remaining payload
     *    (`acc*31 + code mod 1e9+7` over the normalized UTF-8 text, the
     *    same kernel as [[graft.functions.KrHashExpression]]), standing
@@ -427,10 +431,77 @@ object Multimodal {
     def decodeWav(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] =
       parseWav(bytes).map(c => ("wav", c.nFrames, c.channels, audioStats(c)))
 
+    /** Parsed AVI main header (the `avih` chunk inside `LIST hdrl`). */
+    private[operators] final case class AviMeta(
+        width: Int, height: Int, totalFrames: Long, usPerFrame: Long,
+        streams: Int)
+
+    /** Real AVI container parse: `"RIFF" <size> "AVI "` then a chunk
+      * walk to `LIST hdrl` → `avih`, whose fixed layout carries
+      * micro-seconds-per-frame, total frames, stream count and the
+      * pixel dimensions. This is honest metadata extraction from the
+      * actual container grammar — frame PIXEL decode stays with the
+      * fallback codec, since compressed video codecs don't ship in a
+      * bare JVM. Malformed input returns None, same contract as the
+      * other parsers.
+      */
+    private[operators] def parseAvi(bytes: Array[Byte]): Option[AviMeta] = {
+      if (bytes == null || bytes.length < 88) return None
+      def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+      def le32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      var off = 12
+      while (off + 8 <= bytes.length) {
+        val id = tag(off)
+        val sz = le32(off + 4)
+        if (sz > bytes.length - off - 8) return None // truncated chunk
+        if (id == "LIST" && sz >= 4 && tag(off + 8) == "hdrl") {
+          var in = off + 12
+          val end = off + 8 + sz.toInt
+          while (in + 8 <= end) {
+            val cid = tag(in)
+            val csz = le32(in + 4)
+            if (csz > end - in - 8) return None
+            if (cid == "avih") {
+              if (csz < 40) return None
+              val o = in + 8
+              val usf = le32(o)
+              val frames = le32(o + 16)
+              val streams = le32(o + 24)
+              val w = le32(o + 32)
+              val h = le32(o + 36)
+              if (w <= 0 || w > Int.MaxValue || h <= 0 || h > Int.MaxValue ||
+                usf <= 0 || streams > Int.MaxValue) return None
+              return Some(AviMeta(w.toInt, h.toInt, frames, usf, streams.toInt))
+            }
+            in += 8 + csz.toInt + (csz.toInt & 1)
+          }
+          return None // hdrl list without a usable avih
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      None
+    }
+
+    /** AVI decode → (format, width, height, features): duration
+      * seconds, frames-per-second, total frames, stream count (pixel
+      * planes stay with the fallback — no video codec in a bare JVM).
+      */
+    def decodeAvi(bytes: Array[Byte]): Option[(String, Int, Int, Array[Float])] =
+      parseAvi(bytes).map { m =>
+        ("avi", m.width, m.height, Array[Float](
+          (m.totalFrames * m.usPerFrame / 1e6).toFloat,
+          (1e6 / m.usPerFrame).toFloat,
+          m.totalFrames.toFloat, m.streams.toFloat, 0f, 0f, 0f, 0f))
+      }
+
     def decode(bytes: Array[Byte]): (String, Int, Int, Array[Float]) =
       parseRaster(bytes)
         .map(r => (r.format, r.width, r.height, rasterStats(r)))
         .orElse(decodeWav(bytes))
+        .orElse(decodeAvi(bytes))
         .getOrElse(decodeFake(bytes))
 
     /** Nearest-neighbor resample of a parsed raster to (w × h),

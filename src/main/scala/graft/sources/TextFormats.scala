@@ -79,6 +79,39 @@ object TextFormats {
     else df
   }
 
+  /** [[writeJsonl]] with the shard count sized from the data itself:
+    * one narrow pass sums the serialized line lengths, the write
+    * repartitions to ceil(bytes / targetShardBytes). This
+    * operationalizes the scale note above — downstream parallelism on
+    * compressed JSONL equals shard count, so a 100 TB corpus written
+    * through a 200-partition upstream plan would otherwise land as 200
+    * half-terabyte single-task stragglers, while a tiny dimension
+    * table would fan into thousands of empty files. The sizing pass
+    * reads only computed line lengths (no payload collect) and costs
+    * one extra scan of the input — worth it exactly when the output's
+    * shard geometry matters more than one pass (i.e. corpus handoff).
+    *
+    * `targetShardBytes` counts UNCOMPRESSED serialized bytes; with the
+    * default gzip codec the on-disk shards land at roughly a third of
+    * it (fixture text compresses ~3:1 — tune per corpus).
+    */
+  def writeJsonlSharded(df: DataFrame, dir: String, table: String,
+      targetShardBytes: Long = 256L << 20,
+      codec: String = "gzip"): String = {
+    require(targetShardBytes > 0, "targetShardBytes must be positive")
+    import org.apache.spark.sql.functions._
+    val totalBytes = df
+      .select(octet_length(to_json(struct(df.columns.map(col)
+        .toIndexedSeq: _*))).cast("long").as("b"))
+      .agg(sum(col("b"))).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    val shards = math.max(1L,
+      (totalBytes + targetShardBytes - 1) / targetShardBytes).toInt
+    writeJsonl(df.repartition(shards), dir, table, codec)
+  }
+
   /** Quarantining twin of [[readJsonl]] for the long-haul ingest: a
     * multi-day 100 TB run shouldn't die on one malformed line (that's
     * what FAILFAST does), nor silently dissolve it into a null row

@@ -367,6 +367,55 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Decoders.decode(good)._1 === "wav")
   }
 
+  /** Hand-assembled minimal AVI: RIFF/AVI + LIST hdrl + 56-byte avih. */
+  private def avi(w: Int, h: Int, frames: Int, usPerFrame: Int,
+      streams: Int = 1): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def ascii(s: String): Unit = bb ++= s.getBytes("US-ASCII")
+    def le32(v: Int): Unit = (0 to 3).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    ascii("RIFF"); le32(80); ascii("AVI ")
+    ascii("LIST"); le32(68); ascii("hdrl")
+    ascii("avih"); le32(56)
+    le32(usPerFrame); le32(0); le32(0); le32(0)
+    le32(frames); le32(0); le32(streams); le32(0)
+    le32(w); le32(h); (1 to 4).foreach(_ => le32(0))
+    bb.toArray
+  }
+
+  test("avi decode: container grammar yields real dims, fps, frame count") {
+    val (fmt, w, h, feats) = Multimodal.Decoders.decode(avi(320, 240, 250, 40000))
+    assert((fmt, w, h) === (("avi", 320, 240)))
+    val Seq(dur, fps, frames, streams, _*) = feats.toSeq
+    assert(math.abs(dur - 10f) < 1e-4, dur) // 250 frames at 25 fps
+    assert(math.abs(fps - 25f) < 1e-4, fps)
+    assert(frames === 250f && streams === 1f)
+  }
+
+  test("avi decode: corrupt containers degrade to the fake, never throw") {
+    val good = avi(320, 240, 250, 40000)
+    val badMagic = good.clone(); badMagic(8) = 'W'.toByte // RIFF but not AVI
+    val truncated = good.dropRight(20) // avih shorter than declared
+    val zeroDims = avi(0, 240, 250, 40000)
+    Seq(badMagic, truncated, zeroDims).foreach { bad =>
+      val (fmt, _, _, _) = Multimodal.Decoders.decode(bad)
+      assert(fmt === "png" || fmt === "jpg", s"expected fake fallback, got $fmt")
+    }
+  }
+
+  test("q_mm_video gate: planted hex AVIs hit the real container parser") {
+    val out = graft.SparkEntry.queries("q_mm_video")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val planted = out.keys.filter(_ % 4 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val r = out(id)
+      assert(r.getString(1) === "avi", s"doc $id")
+      assert(r.getInt(2) === (16 + id % 64).toInt)
+      assert(r.getInt(3) === (16 + id % 48).toInt)
+      assert(r.getLong(4) === 88L)
+    }
+  }
+
   test("q_mm_audio gate: planted hex WAVs hit the real parser end to end") {
     val out = graft.SparkEntry.queries("q_mm_audio")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r).toMap

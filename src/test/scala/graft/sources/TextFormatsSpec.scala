@@ -78,6 +78,21 @@ class TextFormatsSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("sharded write: shard count follows measured bytes, not upstream partitions") {
+    val docs = table("documents") // sf0.001: ~600 docs, ~100 chars each
+    val measured = docs.selectExpr(
+      "sum(octet_length(to_json(struct(*)))) AS b").collect()(0).getLong(0)
+    val target = measured / 4 + 1 // force ~4 shards regardless of input layout
+    val dir = java.nio.file.Files.createTempDirectory("tf_shard").toString
+    val path = TextFormats.writeJsonlSharded(docs.coalesce(1), dir, "docs", target)
+    val parts = new java.io.File(path).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.length() > 0)
+    assert(parts === 4, s"expected 4 shards from a 1-partition input, got $parts")
+    // and the content still round-trips
+    val back = TextFormats.readJsonl(spark, path, docs.schema)
+    assert(back.count() === docs.count())
+  }
+
   test("quarantine read: one scan splits parseable rows from raw bad lines") {
     val dir = java.nio.file.Files.createTempDirectory("tf_quar")
     java.nio.file.Files.write(dir.resolve("part-00000.json"),
