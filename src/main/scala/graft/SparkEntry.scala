@@ -1231,6 +1231,19 @@ object SparkEntry {
         .select("p_id", "e_id", "user_id", "p_ts", "s_ts")
         .orderBy("p_id", "e_id")
     }),
+    // J9 (beyond reference) — fixed-step gap fill: regularize each
+    // user's purchase series onto an aligned hourly grid, forward-
+    // filling the last observation (grid gen + ONE as-of shuffle; the
+    // DuckDB twin rebuilds the grid with range() + ASOF LEFT JOIN)
+    "q_j9_gapfill" -> ((s, dir) => {
+      val obs = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), eventUs.as("us"))
+        .agg(max(col("value")).as("value"))
+      graft.operators.Temporal.gapFill(obs, "user_id", "us",
+          Seq("value"), stepUs = 3600000000L)
+        .orderBy("user_id", "bucket_us")
+    }),
     // Gopher/C4-style repetition + heuristic quality filters (exact
     // arithmetic, engine-reproducible)
     "q_text_gopher" -> ((s, dir) => {
@@ -2701,6 +2714,19 @@ object SparkEntry {
         "r.r_ts AS asof_r_ts, r.r_value AS asof_r_value " +
         "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.r_ts " +
         "ORDER BY event_id"),
+    // grid twin: integer floor-div bucket alignment (non-negative μs),
+    // range() is end-exclusive so hi lands via +1, ASOF LEFT JOIN
+    // carries the latest observation at-or-before each instant
+    "q_j9_gapfill" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS value " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, (min(us) // 3600000000) * 3600000000 AS lo_b, " +
+        "(max(us) // 3600000000) * 3600000000 AS hi_b FROM e GROUP BY 1), " +
+        "g AS (SELECT user_id, unnest(range(lo_b, hi_b + 1, 3600000000)) AS bucket_us FROM b) " +
+        "SELECT g.user_id AS user_id, g.bucket_us AS bucket_us, " +
+        "e.us AS fill_us, e.value AS fill_value " +
+        "FROM g ASOF LEFT JOIN e ON g.user_id = e.user_id AND g.bucket_us >= e.us " +
+        "ORDER BY 1, 2"),
     "q_j8_range_join" ->
       ("WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts " +
         "FROM events WHERE event_type = 'purchase'), " +

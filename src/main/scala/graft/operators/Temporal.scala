@@ -71,6 +71,56 @@ object Temporal {
     carried.filter(col("__side") === 1).select(outCols: _*)
   }
 
+  /** Fixed-step gap fill (time-series regularization): one row per
+    * `stepUs` bucket per key, spanning the key's own [min, max]
+    * observation range, each bucket carrying the latest observation
+    * at-or-before its instant forward ([[asofJoin]] semantics, so a
+    * bucket before the key's first observation — only the aligned
+    * leading bucket can be — fills with nulls). Bucket instants are
+    * multiples of `stepUs`, so grids of different keys line up for
+    * downstream joins. The classic "resample to an even grid +
+    * forward-fill" every feature-store and monitoring pipeline needs,
+    * and Spark has no operator for.
+    *
+    * Cost shape: one partial+final agg for per-key bounds, the grid
+    * generates distributedly via sequence+explode (no driver loop, no
+    * cross join), then ONE [[asofJoin]] shuffle. A key whose span/step
+    * exceeds `maxBucketsPerKey` fails loudly via `raise_error` before
+    * the explode — a mis-set step (seconds where you meant hours) at
+    * 100 TB would otherwise quietly materialize billions of grid rows
+    * per key. Timestamps must be non-negative epoch integers (the
+    * bucket arithmetic uses integer division; the μs-since-epoch grain
+    * every other temporal operator here uses).
+    *
+    * The observations must be unique per (key, ts) — same
+    * pre-aggregation contract as [[asofJoin]]'s right side.
+    */
+  def gapFill(
+      df: DataFrame,
+      keyCol: String,
+      tsUsCol: String,
+      valueCols: Seq[String],
+      stepUs: Long,
+      maxBucketsPerKey: Long = 10_000_000L
+  ): DataFrame = {
+    require(stepUs > 0, "stepUs must be positive")
+    val bounds = df.groupBy(col(keyCol))
+      .agg(min(col(tsUsCol)).as("__lo"), max(col(tsUsCol)).as("__hi"))
+      .withColumn("__b0", expr(s"__lo div ${stepUs}L"))
+      .withColumn("__b1", expr(s"__hi div ${stepUs}L"))
+    val guarded = bounds.withColumn("__b1",
+      when(col("__b1") - col("__b0") >= maxBucketsPerKey,
+        expr(s"raise_error(concat('gapFill: key ', cast(`$keyCol` as string), " +
+          s"' spans more than $maxBucketsPerKey buckets at stepUs=$stepUs'))")
+          .cast("long"))
+        .otherwise(col("__b1")))
+    val grid = guarded
+      .select(col(keyCol), explode(sequence(col("__b0"), col("__b1"))).as("__b"))
+      .select(col(keyCol), (col("__b") * stepUs).as("bucket_us"))
+    asofJoin(grid, df.select((keyCol +: tsUsCol +: valueCols).map(col): _*),
+      keyCol, "bucket_us", tsUsCol, valueCols, prefix = "fill_")
+  }
+
   /** Binned range join: match point rows to interval rows of the same
     * key with `start <= point <= end`. A naive inequality join has no
     * equi-key, so Spark plans a nested-loop — O(|P|·|I|) per key. This

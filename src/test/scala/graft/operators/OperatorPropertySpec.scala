@@ -277,4 +277,40 @@ class OperatorPropertySpec extends SparkSpec {
       assert(got === expected, s"seed=$seed")
     }
   }
+
+  test("htmlToText: markup-free text reduces to whitespace normalization; idempotent") {
+    import spark.implicits._
+    // words + whitespace runs + characters adjacent to the chain's
+    // special handling: a bare & (never forming an entity, since a
+    // separator always follows), quotes, non-ASCII ("<"/">" excluded —
+    // angle brackets ARE markup to a regex extractor, by design)
+    val wordGen = Gen.oneOf("key", "agg", "row", "a", "&", "\"",
+      "café", "☃")
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n", " \n ", "\r\n")
+    val textGen = for {
+      n <- Gen.choose(0, 24)
+      parts <- Gen.listOfN(n, Gen.zip(wordGen, sepGen))
+    } yield parts.map { case (w, s) => w + s }.mkString
+    (0 until 8).foreach { seed =>
+      val raw = textGen.apply(params, rng.Seed(seed.toLong)).get
+      val got = Seq(raw).toDF("t")
+        .select(TextAnalysis.htmlToText(col("t")).as("v"))
+        .collect()(0).getString(0)
+      // reference: whitespace normalization only (no tags to strip)
+      val expected = raw
+        .replaceAll("&lt;", "<").replaceAll("&gt;", ">")
+        .replaceAll("&quot;", "\"").replaceAll("&#39;", "'")
+        .replaceAll("&nbsp;", " ").replaceAll("&amp;", "&")
+        .replaceAll("[ \\t\\r]+", " ")
+        .replaceAll(" ?\\n ?", "\n")
+        .replaceAll("\\n+", "\n")
+        .replaceAll("^\\s+|\\s+$", "")
+      assert(got === expected, s"seed=$seed raw=${raw.take(80)}")
+      // extraction is idempotent: extracted text contains no markup
+      val again = Seq(got).toDF("t")
+        .select(TextAnalysis.htmlToText(col("t")).as("v"))
+        .collect()(0).getString(0)
+      assert(again === got, s"seed=$seed not idempotent")
+    }
+  }
 }

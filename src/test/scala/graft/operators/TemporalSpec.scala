@@ -98,4 +98,41 @@ class TemporalSpec extends SparkSpec {
         (col("m_ts").isNull && col("asof_r_ts").isNotNull)).count()
     assert(disagree === 0L)
   }
+
+  test("gapFill: aligned grid per key, forward-filled values, honest leading null") {
+    import spark.implicits._
+    // key 7: obs at t=25 and t=42, step 10 -> aligned buckets 20,30,40
+    // key 8: one obs exactly on a boundary -> single bucket, no null
+    val obs = Seq((7L, 25L, 1.0), (7L, 42L, 2.0), (8L, 30L, 9.0))
+      .toDF("k", "us", "v")
+    val out = Temporal.gapFill(obs, "k", "us", Seq("v"), stepUs = 10L)
+      .orderBy("k", "bucket_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+    assert(out.toSeq === Seq(
+      (7L, 20L, None), // bucket instant 20 precedes the first obs at 25
+      (7L, 30L, Some((25L, 1.0))),
+      (7L, 40L, Some((25L, 1.0))), // 42 is after the instant; 25 carries
+      (8L, 30L, Some((30L, 9.0))))) // boundary obs matches its own bucket
+  }
+
+  test("gapFill: a span/step blowup fails loudly instead of exploding the grid") {
+    import spark.implicits._
+    val obs = Seq((1L, 0L, 1.0), (1L, 10_000_000L, 2.0)).toDF("k", "us", "v")
+    val ex = intercept[Exception] {
+      Temporal.gapFill(obs, "k", "us", Seq("v"), stepUs = 1L,
+        maxBucketsPerKey = 1000L).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("gapFill plans one explode + one asof shuffle — no join blowup") {
+    import spark.implicits._
+    val obs = Seq((1L, 5L, 1.0), (1L, 25L, 2.0)).toDF("k", "us", "v")
+    val plan = Temporal.gapFill(obs, "k", "us", Seq("v"), stepUs = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("Generate"), plan) // sequence+explode grid
+  }
 }
