@@ -62,6 +62,17 @@ object SparkEntry {
   private val HazardSuffix =
     "\n\"q\" \\ ,\t☃ 🦄 é\r\nend"
 
+  /** One deterministic scratch dir per (format, fixture) for the
+    * round-trip gates, instead of a fresh createTempDirectory per
+    * invocation: every write goes through SaveMode.Overwrite, so reps
+    * reuse the same path and a bench run leaves O(formats) dirs behind,
+    * not O(reps × runs) — the temp-dir-per-rep leak class the stream
+    * twin once had.
+    */
+  private def roundTripDir(fmt: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_rt_${fmt}_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+
   /** documents decorated with the round-trip hazards: suffix on text,
     * `lang` nulled on doc_id%7=0, `source` emptied on doc_id%11=0 (null
     * vs empty string must stay distinct through the codec).
@@ -116,14 +127,14 @@ object SparkEntry {
     // mangling in the codec path breaks the hash.
     "q_k2_jsonl_roundtrip" -> ((s, dir) => {
       val dec = hazardDocs(t(s, dir, "documents"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
-      val path = graft.sources.TextFormats.writeJsonl(dec, tmp, "documents")
+      val path = graft.sources.TextFormats.writeJsonl(dec,
+        roundTripDir("jsonl", dir), "documents")
       graft.sources.TextFormats.readJsonl(s, path, dec.schema).orderBy("doc_id")
     }),
     "q_k3_csv_roundtrip" -> ((s, dir) => {
       val dec = hazardDocs(t(s, dir, "documents"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-      val path = graft.sources.TextFormats.writeCsv(dec, tmp, "documents")
+      val path = graft.sources.TextFormats.writeCsv(dec,
+        roundTripDir("csv", dir), "documents")
       graft.sources.TextFormats.readCsv(s, path, dec.schema).orderBy("doc_id")
     }),
     // K4 — ORC round-trip of the embeddings table: complex-type
@@ -133,7 +144,7 @@ object SparkEntry {
     // IEEE double ops, bit-identical across engines), so any element
     // lost, reordered, or perturbed by the ORC codec breaks the hash.
     "q_k4_orc_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val tmp = roundTripDir("orc", dir)
       graft.sinks.BatchWriter.writeOrc(t(s, dir, "embeddings"), tmp, "embeddings")
       val back = s.read.orc(s"$tmp/embeddings.orc")
       val M = 1000000007L

@@ -47,7 +47,8 @@ HEAVY = [
     "q_dedup_minhash", "q_dedup_spans", "q_dedup_clusters",
     "q_dedup_ngram", "q_dedup_embedding", "q_sem_dedup",
     "q_sim_ivf_sq_topk", "q_corpus_prepare", "q_text_bpe_merges",
-    "q_text_tfidf", "q_j6_row_diff", "q_k1_copy_lineitem",
+    "q_text_tfidf", "q_j6_row_diff", "q_j9_gapfill",
+    "q_k1_copy_lineitem",
     "q_tpch_q9", "q_tpch_q18", "q_tpch_q21",
 ]
 
@@ -63,7 +64,8 @@ ALIAS = {
     "q_dedup_embedding": "emb", "q_sem_dedup": "sem",
     "q_sim_ivf_sq_topk": "ivfsq", "q_corpus_prepare": "corpus",
     "q_text_bpe_merges": "bpe", "q_text_tfidf": "tfidf",
-    "q_j6_row_diff": "rdiff", "q_k1_copy_lineitem": "copy",
+    "q_j6_row_diff": "rdiff", "q_j9_gapfill": "gap",
+    "q_k1_copy_lineitem": "copy",
     "q_tpch_q9": "tq9", "q_tpch_q18": "tq18", "q_tpch_q21": "tq21",
     "bpe_cold": "bpec",
 }
