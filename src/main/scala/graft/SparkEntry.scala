@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
 
 import graft.functions.GroupConcat
 import graft.objects.ObjectMigrator
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -768,6 +768,41 @@ object SparkEntry {
     "q_text_topgram" -> ((s, dir) => {
       TextAnalysis.topNgramStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
         .orderBy("doc_id")
+    }),
+    // Sketch family: KMV distinct-shingle estimation — bounded O(k)
+    // aggregate state per group (custom TypedImperativeAggregate with
+    // map-side partials, plan-gated to one Exchange); the portable
+    // Knuth-mixed KR shingle hash makes the whole pipeline replayable
+    // in ANSI SQL, so the gate is a full oracle, not rows-only
+    "q_sketch_kmv_shingles" -> ((s, dir) => {
+      Sketches.kmvDistinctShingles(t(s, dir, "documents"),
+        "lang", "text", n = 3, k = 64)
+        .orderBy("lang")
+    }),
+    // Same sketch on the count(DISTINCT fk) shape: per-returnflag
+    // distinct part keys on the fact table, Knuth-mixed key hash
+    "q_sketch_kmv_ids" -> ((s, dir) => {
+      Sketches.kmvDistinctKeys(t(s, dir, "lineitem"),
+        "l_returnflag", "l_partkey", k = 64)
+        .orderBy("l_returnflag")
+    }),
+    // Sketch mergeability, pinned cross-engine: Spark sketches two
+    // disjoint doc_id-parity halves and merges the sketch ARRAYS;
+    // DuckDB sketches the whole table in one pass. Exact equality —
+    // the identity that lets per-shard sketches reduce tree-wise at
+    // 100 TB instead of re-scanning the corpus
+    "q_sketch_kmv_merge" -> ((s, dir) => {
+      Sketches.kmvMergedShingleEstimate(t(s, dir, "documents"),
+        "lang", "doc_id", "text", n = 3, k = 64)
+        .orderBy("lang")
+    }),
+    // Deterministic-sample quantiles: portable Knuth lottery keeps 1/4
+    // of docs, then exact integral rank selection per language — no
+    // interpolation semantics for engines to disagree over
+    "q_sketch_quantile_sample" -> ((s, dir) => {
+      Sketches.sampledTokenQuantiles(t(s, dir, "documents"),
+        "lang", "doc_id", "text", rate = 4, tenths = Seq(5, 9))
+        .orderBy("lang")
     }),
     // Dedup (n-gram Jaccard): exact word-3-gram Jaccard over min-shingle
     // blocked pairs — the one near-dup path with an exact SQL oracle
@@ -1772,6 +1807,27 @@ object SparkEntry {
       "AND doc_id NOT IN (SELECT doc_id FROM selfd) ORDER BY doc_id"
   }
 
+  /** Shared CTE chain for the KMV shingle-sketch twins: the pinned
+    * minhash-portable tokenize/shingle/KR-fold steps, then the Knuth
+    * mix, distinct hashes, and the per-group k-th-smallest order
+    * statistic (k = 64).
+    */
+  private val SketchKmvShingleCtes: String = {
+    val kr = "list_reduce([CAST(0 AS BIGINT)] || " +
+      "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+      "(a,c) -> (a*31+c) % 1000000007)"
+    "WITH toks AS (SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT lang, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+      "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
+      "e AS (SELECT lang, unnest(s) AS sg FROM sh), " +
+      s"hv AS (SELECT DISTINCT lang, ($kr * 2654435761) % 4294967296 AS mh " +
+      "FROM (SELECT lang, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
+      "r AS (SELECT lang, mh, row_number() OVER (PARTITION BY lang ORDER BY mh) AS rn, " +
+      "count(*) OVER (PARTITION BY lang) AS cnt FROM hv), " +
+      "kth AS (SELECT lang, max(CASE WHEN rn = 64 THEN mh END) AS h_k, " +
+      "max(cnt) AS cnt FROM r GROUP BY lang) "
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -2096,6 +2152,49 @@ object SparkEntry {
         "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, max(cnt) AS top_count, " +
         "CAST(floor(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS top_frac_fx " +
         "FROM pg GROUP BY doc_id ORDER BY doc_id"),
+    // KMV sketch twin: the q_dedup_minhash_portable shingle/KR-fold
+    // CTEs, Knuth mix onto [0, 2^32), per-group k-th-smallest order
+    // statistic, integer-division estimator — engine-exact incl. the
+    // exact (< k) branch
+    "q_sketch_kmv_shingles" ->
+      (SketchKmvShingleCtes +
+        "SELECT lang, CASE WHEN cnt < 64 THEN cnt " +
+        "ELSE (63 * 4294967296) // (h_k + 1) END AS est_distinct, " +
+        "CASE WHEN cnt < 64 THEN cnt ELSE 64 END AS sketch_size " +
+        "FROM kth ORDER BY lang"),
+    "q_sketch_kmv_ids" ->
+      ("WITH hv AS (SELECT DISTINCT l_returnflag, " +
+        "(l_partkey * 2654435761) % 4294967296 AS mh FROM lineitem), " +
+        "r AS (SELECT l_returnflag, mh, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY mh) AS rn, " +
+        "count(*) OVER (PARTITION BY l_returnflag) AS cnt FROM hv), " +
+        "kth AS (SELECT l_returnflag, max(CASE WHEN rn = 64 THEN mh END) AS h_k, " +
+        "max(cnt) AS cnt FROM r GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, CASE WHEN cnt < 64 THEN cnt " +
+        "ELSE (63 * 4294967296) // (h_k + 1) END AS est_distinct, " +
+        "CASE WHEN cnt < 64 THEN cnt ELSE 64 END AS sketch_size " +
+        "FROM kth ORDER BY l_returnflag"),
+    // Merge-gate twin sketches the WHOLE table in one pass; Spark
+    // merged two disjoint half-sketches — exact equality pins the KMV
+    // merge identity cross-engine
+    "q_sketch_kmv_merge" ->
+      (SketchKmvShingleCtes +
+        "SELECT lang, CASE WHEN cnt < 64 THEN cnt " +
+        "ELSE (63 * 4294967296) // (h_k + 1) END AS est_distinct " +
+        "FROM kth ORDER BY lang"),
+    // Sample-quantile twin: same Knuth lottery, same integral rank
+    // selection — both engines pick the identical element
+    "q_sketch_quantile_sample" ->
+      ("WITH s AS (SELECT lang, doc_id, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents " +
+        "WHERE (doc_id * 2654435761) % 4294967296 % 4 = 0), " +
+        "r AS (SELECT lang, toks, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY toks, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS cnt FROM s) " +
+        "SELECT lang, " +
+        "max(CASE WHEN rn = (cnt-1)*5//10 + 1 THEN toks END) AS p50_tokens, " +
+        "max(CASE WHEN rn = (cnt-1)*9//10 + 1 THEN toks END) AS p90_tokens, " +
+        "max(cnt) AS n_sample FROM r GROUP BY lang ORDER BY lang"),
     "q_f3_default_rewrite" ->
       ("WITH defs(column_name, raw_default, is_numeric) AS (VALUES " +
         "('a','(0)',true), ('b','  ''abc''  ',false), ('c','SYS_GUID()',false), " +

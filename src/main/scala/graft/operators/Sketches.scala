@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.{KmvSketchExpression, KrShingleHashExpression}
+
+/** Portable cardinality / quantile estimation — the sizing layer a
+  * 100 TB corpus needs before it can be planned: distinct-shingle
+  * counts size LSH band widths and vocab builds, token-length
+  * quantiles size packing and length-band mixes. Exact
+  * `countDistinct` at that scale shuffles every distinct value; the
+  * KMV sketch bounds aggregate state at k longs per group instead.
+  * House rule for every approximate path: the pipeline is modular
+  * integer arithmetic an ANSI-SQL engine replays exactly, so each
+  * gate has a full DuckDB oracle rather than a weaker rows-only
+  * check.
+  *
+  * Reference analog: none — the reference engine
+  * (OracleSync2MySQL) verifies row counts only (compareDb,
+  * cmd/compare_table.go); it has no estimation layer. This family is
+  * part of the training-data-pipeline extension surface, not a port.
+  */
+object Sketches {
+
+  /** Hash space of the mixed hashes: [0, 2^32). */
+  val M: Long = 4294967296L
+  private val Mix = 2654435761L
+
+  /** Knuth mix onto [0, 2^32): KR folds (mod 1e9+7) are NOT uniform —
+    * short inputs land near 0, wrecking a k-th-smallest order
+    * statistic — so scatter with the odd-constant multiply. Products
+    * stay < 2^62, so BIGINT replays exactly: `(h * 2654435761) %
+    * 4294967296` (operands non-negative ⇒ `%` = pmod).
+    */
+  def mix32(h: Column): Column = pmod(h * lit(Mix), lit(M))
+
+  /** KMV estimate from a sorted sketch array of size ≤ k: exact count
+    * while the sketch is partial (fewer than k distinct values exist),
+    * else the unbiased k-minimum-values estimator
+    * `(k-1)·M div (h_k + 1)` — integer division (`div` here, `//` in
+    * DuckDB) so no float rounding can split the engines; the `+1`
+    * guards a zero k-th value.
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast(LongType))
+      .otherwise(call_function("div",
+        lit((k - 1) * M), element_at(sketch, k) + lit(1L)))
+
+  /** Per-group distinct-`n`-shingle estimate in ONE shuffle: the
+    * fused Karp–Rabin shingle kernel (identical hashes to
+    * [[Dedup.portableMinhashSignatures]], so the DuckDB twin reuses
+    * the pinned minhash CTEs), Knuth-mixed, then the bounded KMV
+    * aggregate — map-side partials carry ≤ k longs per group
+    * (`.explain` shows the partial/final ObjectHashAggregate pair
+    * around a single Exchange).
+    */
+  def kmvDistinctShingles(
+      df: DataFrame, groupCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    sketchOf(shingleHashes(df, groupCol, textCol, n), groupCol, k)
+      .select(
+        col(groupCol),
+        kmvEstimate(col("sketch"), k).as("est_distinct"),
+        size(col("sketch")).cast(LongType).as("sketch_size"))
+
+  /** Per-group distinct-key estimate for numeric ids (the
+    * `count(DISTINCT fk)` shape on a fact table): Knuth-mix the key
+    * directly — same lottery arithmetic as Corpus sampling, fully
+    * portable.
+    */
+  def kmvDistinctKeys(
+      df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame =
+    sketchOf(
+      df.select(col(groupCol), mix32(col(keyCol).cast(LongType)).as("mh")),
+      groupCol, k)
+      .select(
+        col(groupCol),
+        kmvEstimate(col("sketch"), k).as("est_distinct"),
+        size(col("sketch")).cast(LongType).as("sketch_size"))
+
+  /** Exact sketch-array merge with codegen'd built-ins: the k smallest
+    * of the distinct union. Every element of the union's true sketch
+    * is in some input sketch (each shard kept ITS k smallest), so
+    * merging sketch ARRAYS equals sketching the concatenated data —
+    * associative, which is what lets per-shard sketches reduce
+    * tree-wise at 100 TB instead of re-scanning the corpus.
+    */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** The merge identity as a runnable pipeline: sketch two disjoint
+    * halves of the corpus separately, merge the sketch ARRAYS,
+    * estimate — gated cross-engine against DuckDB sketching the whole
+    * table in one pass (`q_sketch_kmv_merge`), pinning the identity
+    * exactly, not approximately.
+    */
+  def kmvMergedShingleEstimate(
+      df: DataFrame, groupCol: String, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    def half(r: Int): DataFrame =
+      sketchOf(
+        shingleHashes(
+          df.filter(pmod(col(idCol), lit(2)) === r), groupCol, textCol, n),
+        groupCol, k)
+        .withColumnRenamed("sketch", s"sketch_$r")
+    half(0).join(half(1), Seq(groupCol), "full_outer")
+      .select(
+        col(groupCol),
+        kmvEstimate(
+          kmvMerge(
+            coalesce(col("sketch_0"), array().cast("array<bigint>")),
+            coalesce(col("sketch_1"), array().cast("array<bigint>")),
+            k),
+          k).as("est_distinct"))
+  }
+
+  private def shingleHashes(
+      df: DataFrame, groupCol: String, textCol: String, n: Int): DataFrame = {
+    val w = TextAnalysis.tokens(lower(col(textCol)))
+    df.select(col(groupCol),
+        explode(KrShingleHashExpression.krShingleHash(w, n)).as("__h"))
+      .select(col(groupCol), mix32(col("__h")).as("mh"))
+  }
+
+  private def sketchOf(hashed: DataFrame, groupCol: String, k: Int): DataFrame =
+    hashed.groupBy(groupCol)
+      .agg(KmvSketchExpression.kmvSketch(col("mh"), k).as("sketch"))
+
+  /** Deterministic-sample quantiles: keep the 1-in-`rate` slice by the
+    * portable Knuth hash of the id (same auditable lottery as Corpus
+    * sampling), then EXACT rank-selection quantiles of the token count
+    * within each group over the sample. Index arithmetic is integral
+    * (`(n-1)·q div 10 + 1` for q in tenths), so both engines select
+    * the identical element — no interpolation semantics to disagree
+    * over. The rank windows sort only the sample: `rate` is the
+    * accuracy/cost dial at 100 TB.
+    */
+  def sampledTokenQuantiles(
+      df: DataFrame, groupCol: String, idCol: String, textCol: String,
+      rate: Int, tenths: Seq[Int]): DataFrame = {
+    val sampled = df
+      .filter(pmod(Corpus.portableHash(col(idCol)), lit(rate.toLong)) === 0)
+      .select(
+        col(groupCol), col(idCol),
+        size(split(col(textCol), " ", -1)).cast(LongType).as("toks"))
+    val byTok = Window.partitionBy(groupCol).orderBy(col("toks"), col(idCol))
+    val whole = Window.partitionBy(groupCol)
+    val ranked = sampled
+      .withColumn("rn", row_number().over(byTok))
+      .withColumn("cnt", count(lit(1)).over(whole))
+    val qCols = tenths.map { q =>
+      val idx = call_function("div", (col("cnt") - 1) * q, lit(10L)) + lit(1L)
+      max(when(col("rn") === idx, col("toks"))).as(s"p${q}0_tokens")
+    }
+    ranked.groupBy(groupCol)
+      .agg(qCols.head, qCols.tail :+ max(col("cnt")).as("n_sample"): _*)
+  }
+}

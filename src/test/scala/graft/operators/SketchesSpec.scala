@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.KmvSketchExpression
+
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("kmv: exact below k, bounded state at k, estimate within theory bound above k") {
+    // 40_000 ids through the same Knuth mix the operator uses — known
+    // true cardinality, deterministic
+    val n = 40000
+    val df = (1 to n).map(i => ("g", i.toLong)).toDF("grp", "id")
+      .select(col("grp"), Corpus.portableHash(col("id")).as("mh"))
+    val k = 256
+    val sk = df.groupBy("grp")
+      .agg(KmvSketchExpression.kmvSketch(col("mh"), k).as("sketch"))
+      .select(Sketches.kmvEstimate(col("sketch"), k).as("est"),
+        size(col("sketch")).as("sz"))
+      .head()
+    assert(sk.getInt(1) == k, "sketch must cap at k values")
+    val est = sk.getLong(0).toDouble
+    // KMV standard error is ~1/sqrt(k-2); allow 4 sigma
+    val tol = 4.0 / math.sqrt(k - 2.0)
+    assert(math.abs(est - n) / n < tol,
+      s"estimate $est vs true $n outside ${tol * 100}%")
+
+    // below k: exact
+    val small = (1 to 100).map(i => ("g", i.toLong)).toDF("grp", "id")
+      .select(col("grp"), Corpus.portableHash(col("id")).as("mh"))
+    val exact = small.groupBy("grp")
+      .agg(KmvSketchExpression.kmvSketch(col("mh"), k).as("sketch"))
+      .select(Sketches.kmvEstimate(col("sketch"), k).as("est")).head().getLong(0)
+    assert(exact == 100L, "below k the sketch IS the distinct set")
+  }
+
+  test("kmv: duplicate values collapse (sketch dedups, unlike a top-k queue)") {
+    val k = 8
+    val dup = Seq.fill(1000)(7L) ++ Seq(1L, 2L, 3L)
+    val est = dup.map(("g", _)).toDF("grp", "mh")
+      .groupBy("grp").agg(KmvSketchExpression.kmvSketch(col("mh"), k).as("sketch"))
+      .select(Sketches.kmvEstimate(col("sketch"), k).as("est")).head().getLong(0)
+    assert(est == 4L, s"4 distinct values must estimate exactly 4, got $est")
+  }
+
+  test("kmv merge identity: merged half-sketches equal the whole-corpus sketch") {
+    val k = 32
+    val rows = (1 to 5000).map(i => (i % 3, (i * 31 + 7).toLong))
+    val df = rows.toDF("grp", "id")
+      .select(col("grp"), Corpus.portableHash(col("id")).as("mh"))
+    def sketchOf(d: org.apache.spark.sql.DataFrame) = d.groupBy("grp")
+      .agg(KmvSketchExpression.kmvSketch(col("mh"), k).as("sketch"))
+    val whole = sketchOf(df).collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val h0 = sketchOf(df.filter(pmod(col("mh"), lit(2)) === 0))
+    val h1 = sketchOf(df.filter(pmod(col("mh"), lit(2)) === 1))
+    val merged = h0.withColumnRenamed("sketch", "s0")
+      .join(h1.withColumnRenamed("sketch", "s1"), Seq("grp"), "full_outer")
+      .select(col("grp"), Sketches.kmvMerge(
+        coalesce(col("s0"), array().cast("array<bigint>")),
+        coalesce(col("s1"), array().cast("array<bigint>")), k).as("sketch"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == whole,
+      "sketch(A) ⊎ sketch(B) must equal sketch(A ∪ B) exactly")
+  }
+
+  test("kmvDistinctShingles: single shuffle, bounded partial aggregation") {
+    val out = Sketches.kmvDistinctShingles(table("documents"), "lang", "text", n = 3, k = 64)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_kmv_sketch"),
+      "map-side partial must carry the bounded buffer:\n" + plan)
+    assert("""\(\d+\) Exchange""".r.findAllIn(plan).length == 1,
+      "KMV must shuffle exactly once:\n" + plan)
+  }
+
+  test("sampledTokenQuantiles: rank selection matches a driver-side recompute") {
+    val out = Sketches.sampledTokenQuantiles(
+      table("documents"), "lang", "doc_id", "text", rate = 4, tenths = Seq(5, 9))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // recompute the same lottery + rank selection in plain Scala
+    val docs = table("documents")
+      .select(col("lang"), col("doc_id"), col("text")).collect()
+    val sampled = docs.filter { r =>
+      val id = r.getLong(1)
+      val h = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+      h % 4 == 0
+    }
+    val byLang = sampled.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val toks = rows.map(r =>
+        (r.getString(2).split(" ", -1).length.toLong, r.getLong(1)))
+        .sortBy(identity).map(_._1)
+      val n = toks.length
+      def sel(q: Int) = toks(((n - 1) * q / 10 + 1) - 1)
+      assert(out(lang) == ((sel(5), sel(9), n.toLong)),
+        s"quantile mismatch for $lang")
+    }
+  }
+}
