@@ -550,6 +550,22 @@ object SparkEntry {
           col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // Product-quantized ADC ANN: m=4 subspace codes from a Knuth-
+    // sampled codebook (64× smaller than float32 vs SQ's 4×), phase-1
+    // ADC over the code table with fixed-point per-subspace
+    // contributions (quantize-then-sum, order-free), full-precision
+    // re-rank of the shortlist — seed pick, encode argmin, ADC, and
+    // re-rank all replayed exactly by the DuckDB oracle
+    "q_sim_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      Similarity.pqTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5,
+        m = 4, nCodes = 16, shortlist = 32, portable = true)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
     // Two-level ANN (IVF-SQ): probe nProbe inverted lists, int8
     // integer-dot shortlist WITHIN probed lists only, full-precision
     // re-rank — no phase scans the whole corpus per query batch. The
@@ -2104,6 +2120,39 @@ object SparkEntry {
         s"""row_number() OVER (PARTITION BY p.query_id ORDER BY ${cos("p.qv", "p.qn", "a.v", "a.nrm")} DESC, a.vec_id) AS "rank" """ +
         "FROM probes p JOIN assign a ON a.list = p.list " +
         """WHERE a.vec_id <> p.query_id) WHERE "rank" <= 5) """ +
+        """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM ranked ORDER BY query_id, "rank""""
+    },
+    // PQ-ADC twin: Knuth-ranked seeds (seed rank = code), per-(row,
+    // subspace) argmin L2 with `ORDER BY d, cpos` = Spark's first-min
+    // array_position tie-break, per-subspace dot quantized to integer
+    // micro-units BEFORE the cross-subspace SUM (order-free), exact
+    // cosine re-rank of the shortlist. dim=64, m=4, sub=16, nCodes=16.
+    "q_sim_pq_topk" -> {
+      def fold(body: String, hi: Int): String =
+        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, ${hi + 1}), i -> $body), (a, x) -> a + x)"
+      def cos(a: String, na: String, b: String, nb: String): String =
+        s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ${fold(s"$a[i]*$b[i]", 64)} / ($na * $nb) END)"
+      "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"emb AS (SELECT vec_id, v, sqrt(${fold("v[i]*v[i]", 64)}) AS nrm FROM e0), " +
+        "seeds AS (SELECT * FROM (SELECT vec_id AS sid, v AS sv, " +
+        "row_number() OVER (ORDER BY ((CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, vec_id) AS cpos " +
+        "FROM emb) WHERE cpos <= 16), " +
+        "dist AS (SELECT e.vec_id, sp.j, s.cpos, " +
+        s"${fold("(e.v[sp.j*16+i] - s.sv[sp.j*16+i])*(e.v[sp.j*16+i] - s.sv[sp.j*16+i])", 16)} AS d " +
+        "FROM emb e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) sp CROSS JOIN seeds s), " +
+        "code AS (SELECT vec_id, j, cpos AS c FROM (SELECT vec_id, j, cpos, " +
+        "row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cpos) AS rn FROM dist) WHERE rn = 1), " +
+        "qq AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 20), " +
+        "part AS (SELECT q.query_id, co.vec_id AS neighbor_id, " +
+        s"CAST(floor(${fold("q.qv[co.j*16+i] * s.sv[co.j*16+i]", 16)} * 1000000 + 0.5) AS BIGINT) AS part_fx " +
+        "FROM qq q CROSS JOIN code co JOIN seeds s ON s.cpos = co.c WHERE co.vec_id <> q.query_id), " +
+        "adc AS (SELECT query_id, neighbor_id, SUM(part_fx) AS score_fx FROM part GROUP BY query_id, neighbor_id), " +
+        "short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY score_fx DESC, neighbor_id) AS sr FROM adc) WHERE sr <= 32), " +
+        "ranked AS (SELECT * FROM (SELECT sh.query_id, sh.neighbor_id, " +
+        s"""row_number() OVER (PARTITION BY sh.query_id ORDER BY ${cos("a.v", "a.nrm", "q2.v", "q2.nrm")} DESC, sh.neighbor_id) AS "rank" """ +
+        "FROM short sh JOIN emb a ON a.vec_id = sh.neighbor_id JOIN emb q2 ON q2.vec_id = sh.query_id) " +
+        """WHERE "rank" <= 5) """ +
         """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM ranked ORDER BY query_id, "rank""""
     },
     "q_text_tfidf" ->

@@ -855,4 +855,135 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), pairCosine.as("cosine"))
     topKPerKey(scored, "query_id", k)
   }
+
+  // ------------------------------------------- product-quantized search
+
+  /** Product-quantization ADC top-k: the compression tier BELOW int8
+    * scalar quantization. The vector is cut into `m` subspaces; each
+    * subspace is coded as the index of its nearest codeword in an
+    * `nCodes`-entry codebook, so a corpus row carries `m` small ints
+    * (m bytes at nCodes ≤ 256) instead of `dim` floats — 64× smaller
+    * than float32 at dim=64/m=4, vs SQ's 4×. Phase 1 scans ONLY the
+    * code table with ADC (asymmetric distance computation): each
+    * subspace contributes `dot(query_subvector, codeword)`, quantized
+    * to integer micro-units BEFORE summing (the tfidf fixed-point
+    * trick) so the cross-subspace sum is order-free exact integer
+    * arithmetic; phase 2 re-ranks the shortlist at full precision.
+    *
+    * Codebooks are a deterministic Knuth-sample of `nCodes` corpus
+    * vectors sliced per subspace (same reproducible-lottery policy as
+    * the IVF coarse quantizer — a k-means refinement would sharpen
+    * cells but costs iterations and RNG; `portable = true` makes the
+    * whole pipeline — seed pick, encode argmin, ADC, re-rank — exact
+    * ANSI-SQL arithmetic, the variant the DuckDB oracle replays).
+    *
+    * Scale shape (100 TB): the code table is the only per-corpus-row
+    * state phase 1 touches — m bytes/row streamed against broadcast
+    * queries, shortlist on the k-bounded queue, corpus never shuffled.
+    * Compose with the IVF list assignment (filter codes to probed
+    * lists first) exactly as [[ivfQuantizedTopK]] does for SQ.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      m: Int = 4,
+      nCodes: Int = 16,
+      shortlist: Int = 32,
+      portable: Boolean = false
+  ): DataFrame = {
+    require(k > 0 && shortlist >= k, "need shortlist >= k > 0")
+    require(m > 0 && nCodes > 0, "need m > 0 and nCodes > 0")
+    val c = corpus
+      .select(col(corpusIdCol).as("neighbor_id"),
+        col(corpusVecCol).cast("array<double>").as("__cv"))
+    val seeds = pqSeeds(c, nCodes, portable)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val codes = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      c.select(col("neighbor_id"),
+        array((0 until m).map(j => pqCode(col("__cv"), seeds, j, sub)): _*)
+          .as("__pq")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).cast("array<double>").as("__qv"))
+    val phase1 = codes
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // fixed-point ADC rides the k-bounded queue as a double —
+        // micro-unit sums stay far inside double's exact-integer range
+        pqAdcScoreFx(col("__qv"), col("__pq"), seeds, m, sub)
+          .cast("double").as("cosine"))
+    val cand = topKPerKey(phase1, "query_id", shortlist)
+      .select("query_id", "neighbor_id")
+    val scored = cand
+      .join(corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+        .withColumn("__cn", VectorFunctions.norm(col("__cv"))), Seq("neighbor_id"))
+      .join(broadcast(queries
+        .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+        .withColumn("__qn", VectorFunctions.norm(col("__qv")))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCosine.as("cosine"))
+    topKPerKey(scored, "query_id", k)
+  }
+
+  /** Deterministic codebook seeds: the `nCodes` lowest id-hashes, in
+    * hash order — the seed's RANK is its code, so the DuckDB twin's
+    * `row_number() OVER (ORDER BY knuth(id), id)` reproduces the
+    * codebook index-for-index. Collected to the driver (tiny by
+    * construction, like the IVF quantizer) and embedded as literals.
+    */
+  private def pqSeeds(
+      c: DataFrame, nCodes: Int, portable: Boolean): Seq[Seq[Double]] = {
+    val hash =
+      if (portable) Corpus.portableHash(col("neighbor_id"))
+      else xxhash64(col("neighbor_id"))
+    val seeds = c.orderBy(hash, col("neighbor_id"))
+      .limit(nCodes)
+      .select(col("__cv"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(seeds.nonEmpty, "empty corpus — no PQ seeds")
+    seeds
+  }
+
+  /** Subspace code for one vector: argmin squared-L2 over the
+    * codebook, ties to the lower code (array_position takes the FIRST
+    * minimum — the twin's `ORDER BY d, cpos` rule). The per-codeword
+    * distance is a pinned-order fold, so both engines compute
+    * bit-identical doubles and therefore the identical argmin.
+    */
+  private def pqCode(
+      v: Column, seeds: Seq[Seq[Double]], j: Int, sub: Int): Column = {
+    val subv = slice(v, j * sub + 1, sub)
+    val dists = seeds.map { s =>
+      val cw = typedlit(s.slice(j * sub, j * sub + sub))
+      aggregate(zip_with(subv, cw, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val darr = array(dists: _*)
+    (array_position(darr, array_min(darr)) - 1).cast("int")
+  }
+
+  /** Fixed-point ADC score: per subspace, `dot(query_sub, codeword)`
+    * as a pinned-order double fold, quantized to integer micro-units,
+    * THEN summed — the cross-subspace sum is exact integer arithmetic,
+    * immune to float-addition order (the same quantize-first rule as
+    * the tfidf oracle).
+    */
+  private def pqAdcScoreFx(
+      qv: Column, codes: Column, seeds: Seq[Seq[Double]],
+      m: Int, sub: Int): Column =
+    (0 until m).map { j =>
+      val subq = slice(qv, j * sub + 1, sub)
+      val cbj = typedlit(seeds.map(_.slice(j * sub, j * sub + sub)))
+      val cw = element_at(cbj, element_at(codes, j + 1) + 1)
+      val part = aggregate(zip_with(subq, cw, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      floor(part * 1000000 + 0.5).cast("long")
+    }.reduce(_ + _)
 }

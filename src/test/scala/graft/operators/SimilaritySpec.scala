@@ -474,4 +474,52 @@ class SimilaritySpec extends SparkSpec {
     val q2 = rows(1).getStruct(1)
     assert(q2.getDouble(0) === 0.0 && q2.getSeq[Int](1) === Seq(0, 0, 0))
   }
+
+  test("pq top-k: answers every query; shortlist recall@10 beats the blind floor") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    val truth = exactTopK(queries, emb, 10)
+    val pq = Similarity.pqTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10,
+      m = 4, nCodes = 16, shortlist = 64, portable = true)
+    val got = idPairs(pq)
+    assert(got.keySet === truth.keySet, "pq must answer every query")
+    assert(got.values.forall(_.size === 10))
+    val r = recallOf(pq, truth)
+    // a shortlist of 64 picked BLINDLY from ~500 candidates would hit
+    // ~64/500 ≈ 13% of the true top-10; ADC over 4 subspace codes must
+    // do structurally better than chance. The floor is far below the
+    // observed value (see the structural-regression threshold policy
+    // at the top of the recall block).
+    assert(r >= 0.3, s"pq recall@10 = $r")
+    info(f"pq recall@10 = $r%.3f")
+  }
+
+  test("pq: identical vector is re-ranked to rank 1 through the code path") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val copy = emb.filter(col("vec_id") === 9)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    // an identical vector gets identical codes, so its ADC score ties
+    // the query's own reconstruction — it cannot miss the shortlist —
+    // and the exact re-rank must put it first
+    val out = Similarity.pqTopK(emb.filter(col("vec_id") === 9),
+      emb.union(copy), "vec_id", "embedding", "vec_id", "embedding",
+      k = 3, m = 4, nCodes = 16, shortlist = 32, portable = true)
+      .filter(col("rank") === 1).collect()(0)
+    assert(out.getAs[Long]("neighbor_id") === 10009L)
+    assert(math.abs(out.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("pq: pipeline is deterministic end-to-end (codes, ADC, re-rank)") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    val a = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, m = 4, nCodes = 16,
+      shortlist = 32, portable = true).collect()
+    val b = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, m = 4, nCodes = 16,
+      shortlist = 32, portable = true).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "pq pipeline must be deterministic end-to-end")
+  }
 }
