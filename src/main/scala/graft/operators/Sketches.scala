@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{KmvSketchExpression, KrShingleHashExpression}
+import graft.functions.{KmvSketchExpression, KrHashExpression, KrShingleHashExpression}
 
 /** Portable cardinality / quantile estimation — the sizing layer a
   * 100 TB corpus needs before it can be planned: distinct-shingle
@@ -36,6 +36,12 @@ object Sketches {
     * 4294967296` (operands non-negative ⇒ `%` = pmod).
     */
   def mix32(h: Column): Column = pmod(h * lit(Mix), lit(M))
+
+  /** Portable per-token hash: the KR fold through the mix — the unit
+    * the streaming vocab rollup sketches (shingle variants use the
+    * fused [[KrShingleHashExpression]] kernel instead).
+    */
+  def tokenHash(tok: Column): Column = mix32(KrHashExpression.krHash(tok))
 
   /** KMV estimate from a sorted sketch array of size ≤ k: exact count
     * while the sketch is partial (fewer than k distinct values exist),

@@ -80,6 +80,35 @@ object CorpusIngest {
         count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
 
+  /** Windowed distinct-vocabulary estimate over the cleaned stream: a
+    * KMV sketch per (window, source) — the "is this source suddenly
+    * repeating itself" live signal next to [[sourceRollup]]'s volume
+    * counts. The custom bounded aggregate
+    * ([[graft.functions.KmvSketchExpression]]) rides the streaming
+    * state store with O(k) state per open group — distinct-token state
+    * NEVER grows with ingest volume, only with windows × sources — and
+    * because the sketch is order-insensitive (k smallest distinct
+    * hashes, a set property), the emitted closed windows equal the
+    * batch twin exactly, whatever order micro-batches replayed in.
+    * Append-mode compatible (watermarked window).
+    */
+  def vocabRollup(
+      cleaned: DataFrame,
+      window: String = "1 hour",
+      k: Int = 64
+  ): DataFrame =
+    cleaned
+      .select(col("ingest_time"), col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("__tok"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ingest_time"), window),
+        col("source"))
+      .agg(graft.functions.KmvSketchExpression.kmvSketch(
+        graft.operators.Sketches.tokenHash(col("__tok")), k).as("__sketch"))
+      .select(col("window"), col("source"),
+        graft.operators.Sketches.kmvEstimate(col("__sketch"), k)
+          .as("est_distinct_tokens"),
+        size(col("__sketch")).cast("long").as("sketch_size"))
+
   /** Pre-create `destDir` with an empty schema-bearing `batch=-1`
     * sentinel (mode `ignore`: first start wins, restarts no-op). Empty
     * micro-batches skip their writes, so a run whose batches are ALL

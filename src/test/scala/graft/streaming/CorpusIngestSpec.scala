@@ -261,4 +261,51 @@ class CorpusIngestSpec extends SparkSpec {
     assert(s === t)
     assert(s.nonEmpty)
   }
+
+  test("vocab rollup: streaming KMV sketch equals the batch twin on closed windows") {
+    val srcDir = tmp("graft_ingest_src3")
+    writeMain(srcDir)
+    val outDir = tmp("graft_ingest_vocab_out")
+    val rolled = CorpusIngest.vocabRollup(
+      CorpusIngest.clean(
+        CorpusIngest.documentsStream(spark, srcDir), MinQ, watermark = "1 hour"),
+      window = "1 hour", k = 64)
+    rolled.writeStream
+      .option("checkpointLocation", tmp("graft_ingest_vocab_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
+      .awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select(col("window.start").as("ws"), col("source"),
+        col("est_distinct_tokens"), col("sketch_size"))
+
+    // same closed-window rule as the source rollup; the sketch is a set
+    // property of each window's distinct token hashes, so the streaming
+    // result must equal the batch recompute EXACTLY, not approximately
+    val wmSec = 3600L + 499L * 60 - 3600L
+    val twin = twinClean(srcDir)
+      .select(col("ingest_time"), col("source"),
+        explode(graft.operators.TextAnalysis.tokens(lower(col("text")))).as("__tok"))
+      .groupBy(window(col("ingest_time"), "1 hour").getField("start").as("ws"),
+        col("source"))
+      .agg(graft.functions.KmvSketchExpression.kmvSketch(
+        graft.operators.Sketches.tokenHash(col("__tok")), 64).as("__sketch"))
+      .select(col("ws"), col("source"),
+        graft.operators.Sketches.kmvEstimate(col("__sketch"), 64)
+          .as("est_distinct_tokens"),
+        size(col("__sketch")).cast("long").as("sketch_size"))
+      .filter(col("ws").cast("long") + 3600L <= wmSec)
+    val s = streamed.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val t = twin.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(s === t)
+    assert(s.nonEmpty)
+    // the state each open group carried is capped at k hashes
+    assert(streamed.collect().forall(_.getLong(3) <= 64L))
+  }
 }

@@ -49,6 +49,7 @@ HEAVY = [
     "q_sim_ivf_sq_topk", "q_corpus_prepare", "q_text_bpe_merges",
     "q_text_tfidf", "q_j6_row_diff", "q_j9_gapfill",
     "q_k1_copy_lineitem",
+    "q_sketch_kmv_shingles", "q_sim_pq_topk",
     "q_tpch_q9", "q_tpch_q18", "q_tpch_q21",
 ]
 
@@ -66,6 +67,7 @@ ALIAS = {
     "q_text_bpe_merges": "bpe", "q_text_tfidf": "tfidf",
     "q_j6_row_diff": "rdiff", "q_j9_gapfill": "gap",
     "q_k1_copy_lineitem": "copy",
+    "q_sketch_kmv_shingles": "skm", "q_sim_pq_topk": "pq",
     "q_tpch_q9": "tq9", "q_tpch_q18": "tq18", "q_tpch_q21": "tq21",
     "bpe_cold": "bpec",
 }
