@@ -566,6 +566,22 @@ object SparkEntry {
           col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // IVF × PQ, the full production composition: coarse lists prune
+    // WHICH rows phase 1 touches, PQ codes shrink WHAT it reads per
+    // row, shortlist re-ranks exact. Codebook = the Knuth ranks AFTER
+    // the quantizer picks, so codes don't just echo the list id. The
+    // oracle replays every stage bit-for-bit
+    "q_sim_ivf_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      Similarity.ivfPqTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4, m = 4, nCodes = 16,
+        shortlist = 32, portable = true)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
     // Two-level ANN (IVF-SQ): probe nProbe inverted lists, int8
     // integer-dot shortlist WITHIN probed lists only, full-precision
     // re-rank — no phase scans the whole corpus per query batch. The
@@ -2121,6 +2137,53 @@ object SparkEntry {
         "FROM probes p JOIN assign a ON a.list = p.list " +
         """WHERE a.vec_id <> p.query_id) WHERE "rank" <= 5) """ +
         """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM ranked ORDER BY query_id, "rank""""
+    },
+    // IVF-PQ twin: the q_sim_ivf_portable cent/assign/probes CTEs
+    // (verbatim tie-breaks) + the PQ codebook at Knuth ranks 17..32
+    // (offset past the quantizer) + encode argmin + fixed-point ADC
+    // restricted to probed lists + exact re-rank
+    "q_sim_ivf_pq_topk" -> {
+      def fold(body: String, hi: Int): String =
+        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, ${hi + 1}), i -> $body), (a, x) -> a + x)"
+      // cos ranges over len($a)+1, NOT a constant: inside assign's
+      // correlated scalar subquery DuckDB's binder loses the outer
+      // table reference when the lambda's input list is constant-
+      // folded — len() keeps the correlation alive (same shape the
+      // q_sim_ivf_portable oracle uses)
+      def foldLen(body: String, over: String): String =
+        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($over)+1), i -> $body), (a, x) -> a + x)"
+      def cos(a: String, na: String, b: String, nb: String): String =
+        s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ${foldLen(s"$a[i]*$b[i]", a)} / ($na * $nb) END)"
+      "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        s"emb AS (SELECT vec_id, v, sqrt(${fold("v[i]*v[i]", 64)}) AS nrm FROM e0), " +
+        "ranked0 AS (SELECT vec_id, v, nrm, " +
+        "row_number() OVER (ORDER BY ((CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, vec_id) AS cpos FROM emb), " +
+        "cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn, cpos FROM ranked0 WHERE cpos <= 16), " +
+        "seeds AS (SELECT vec_id AS sid, v AS sv, cpos FROM ranked0 WHERE cpos > 16 AND cpos <= 32), " +
+        "assign AS (SELECT e.vec_id, e.v, e.nrm, " +
+        s"(SELECT c.cid FROM cent c ORDER BY ${cos("e.v", "e.nrm", "c.cv", "c.cn")} DESC, c.cpos LIMIT 1) AS list " +
+        "FROM emb e), " +
+        "probes AS (SELECT * FROM (SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, c.cid AS list, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${cos("q.v", "q.nrm", "c.cv", "c.cn")} DESC, c.cid) AS pr " +
+        "FROM emb q, cent c WHERE q.vec_id < 20) WHERE pr <= 4), " +
+        "dist AS (SELECT e.vec_id, sp.j, s.cpos, " +
+        s"${fold("(e.v[sp.j*16+i] - s.sv[sp.j*16+i])*(e.v[sp.j*16+i] - s.sv[sp.j*16+i])", 16)} AS d " +
+        "FROM emb e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) sp CROSS JOIN seeds s), " +
+        "code AS (SELECT vec_id, j, cpos AS c FROM (SELECT vec_id, j, cpos, " +
+        "row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cpos) AS rn FROM dist) WHERE rn = 1), " +
+        "part AS (SELECT p.query_id, a.vec_id AS neighbor_id, " +
+        s"CAST(floor(${fold("p.qv[co.j*16+i] * s.sv[co.j*16+i]", 16)} * 1000000 + 0.5) AS BIGINT) AS part_fx " +
+        "FROM probes p JOIN assign a ON a.list = p.list " +
+        "JOIN code co ON co.vec_id = a.vec_id JOIN seeds s ON s.cpos = co.c " +
+        "WHERE a.vec_id <> p.query_id), " +
+        "adc AS (SELECT query_id, neighbor_id, SUM(part_fx) AS score_fx FROM part GROUP BY query_id, neighbor_id), " +
+        "short AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY score_fx DESC, neighbor_id) AS sr FROM adc) WHERE sr <= 32), " +
+        "rnk AS (SELECT * FROM (SELECT sh.query_id, sh.neighbor_id, " +
+        s"""row_number() OVER (PARTITION BY sh.query_id ORDER BY ${cos("a.v", "a.nrm", "q2.v", "q2.nrm")} DESC, sh.neighbor_id) AS "rank" """ +
+        "FROM short sh JOIN emb a ON a.vec_id = sh.neighbor_id JOIN emb q2 ON q2.vec_id = sh.query_id) " +
+        """WHERE "rank" <= 5) """ +
+        """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rnk ORDER BY query_id, "rank""""
     },
     // PQ-ADC twin: Knuth-ranked seeds (seed rank = code), per-(row,
     // subspace) argmin L2 with `ORDER BY d, cpos` = Spark's first-min

@@ -481,6 +481,25 @@ object Similarity {
     *                   to the probed buckets, so a query batch reads
     *                   only its lists instead of the whole index
     */
+  /** Probe selection shared by the SQ and PQ list-pruned searches:
+    * each query ranks the centroid array with the SAME arithmetic and
+    * tie-breaks as [[ivfTopK]] (cosine desc, then list id) and keeps
+    * its `nProbe` best lists. Returns (query_id, __qv, __qn, __list);
+    * callers project the carrier they need (SQ re-quantizes the query,
+    * PQ keeps the raw vector for ADC).
+    */
+  private def probeListsFor(
+      q: DataFrame, centArr: Column, nProbe: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("__cscore").desc, col("__list"))
+    q.select(col("query_id"), col("__qv"), col("__qn"), explode(centArr).as("__c"))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__c._1").as("__list"),
+        centroidCosine(col("__c"), col("__qv"), col("__qn")).as("__cscore"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("__list"))
+  }
+
   private def ivfSqSearch(
       codes: DataFrame,
       vectors: DataFrame,
@@ -495,14 +514,7 @@ object Similarity {
   ): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
       .withColumn("__qn", VectorFunctions.norm(col("__qv")))
-    val w = Window.partitionBy("query_id").orderBy(col("__cscore").desc, col("__list"))
-    val probes = q
-      .select(col("query_id"), col("__qv"), col("__qn"), explode(centArr).as("__c"))
-      .select(col("query_id"), col("__qv"), col("__qn"),
-        col("__c._1").as("__list"),
-        centroidCosine(col("__c"), col("__qv"), col("__qn")).as("__cscore"))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= nProbe)
+    val probes = probeListsFor(q, centArr, nProbe)
       .select(col("query_id"),
         scalarQuantize(col("__qv")).getField("codes").as("__qq"),
         col("__list"))
@@ -932,6 +944,74 @@ object Similarity {
     topKPerKey(scored, "query_id", k)
   }
 
+  /** IVF × PQ: the full production composition for a 100 TB corpus —
+    * coarse lists prune WHICH rows phase 1 touches (nProbe/nCentroids
+    * of the corpus), PQ codes shrink WHAT it reads per row (m small
+    * ints), and the shortlist re-ranks at full precision. Per query
+    * batch the scan cost is O(n · nProbe/nCentroids) rows × m bytes —
+    * both dials independent. `portable = true` keeps every stage
+    * ANSI-SQL exact: the DuckDB oracle replays centroid pick,
+    * assignment, probe choice, codebook, encode argmin, fixed-point
+    * ADC, and re-rank bit-for-bit (`q_sim_ivf_pq_topk`).
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      nCodes: Int = 16,
+      shortlist: Int = 32,
+      portable: Boolean = false
+  ): DataFrame = {
+    require(k > 0 && shortlist >= k, "need shortlist >= k > 0")
+    require(nCentroids > 0 && nProbe > 0, "need nCentroids > 0 and nProbe > 0")
+    require(m > 0 && nCodes > 0, "need m > 0 and nCodes > 0")
+    val (assigned, centArr) =
+      ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portable)
+    val cd = corpus.select(col(corpusIdCol).as("neighbor_id"),
+      col(corpusVecCol).cast("array<double>").as("__cv"))
+    val seeds = pqSeeds(cd, nCodes, portable, offset = nCentroids)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    // the (id, list, codes) frame IS the IVF-PQ index — built once,
+    // reused by every query batch (persistOnce: same reuse policy as
+    // the SQ code table)
+    val codes = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      assigned.select(col("neighbor_id"), col("__list"),
+        array((0 until m).map(j =>
+          pqCode(col("__cv").cast("array<double>"), seeds, j, sub)): _*)
+          .as("__pq")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", VectorFunctions.norm(col("__qv")))
+    val probes = probeListsFor(q, centArr, nProbe)
+      .select(col("query_id"), col("__qv"), col("__list"))
+    val phase1 = codes
+      .join(broadcast(probes), Seq("__list"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdcScoreFx(col("__qv"), col("__pq"), seeds, m, sub)
+          .cast("double").as("cosine"))
+    val cand = topKPerKey(phase1, "query_id", shortlist)
+      .select("query_id", "neighbor_id")
+    val scored = cand
+      .join(corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+        .withColumn("__cn", VectorFunctions.norm(col("__cv"))), Seq("neighbor_id"))
+      .join(broadcast(queries
+        .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+        .withColumn("__qn", VectorFunctions.norm(col("__qv")))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), pairCosine.as("cosine"))
+    topKPerKey(scored, "query_id", k)
+  }
+
   /** Deterministic codebook seeds: the `nCodes` lowest id-hashes, in
     * hash order — the seed's RANK is its code, so the DuckDB twin's
     * `row_number() OVER (ORDER BY knuth(id), id)` reproduces the
@@ -939,14 +1019,18 @@ object Similarity {
     * construction, like the IVF quantizer) and embedded as literals.
     */
   private def pqSeeds(
-      c: DataFrame, nCodes: Int, portable: Boolean): Seq[Seq[Double]] = {
+      c: DataFrame, nCodes: Int, portable: Boolean,
+      offset: Int = 0): Seq[Seq[Double]] = {
     val hash =
       if (portable) Corpus.portableHash(col("neighbor_id"))
       else xxhash64(col("neighbor_id"))
+    // `offset` skips the first Knuth ranks — [[ivfPqTopK]] passes its
+    // nCentroids so the codebook is NOT the coarse quantizer re-used
+    // (a vector's subspace codes would then mostly echo its list id)
     val seeds = c.orderBy(hash, col("neighbor_id"))
-      .limit(nCodes)
+      .limit(offset + nCodes)
       .select(col("__cv"))
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      .collect().drop(offset).map(_.getSeq[Double](0).toSeq).toSeq
     require(seeds.nonEmpty, "empty corpus — no PQ seeds")
     seeds
   }
