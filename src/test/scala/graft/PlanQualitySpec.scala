@@ -138,6 +138,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("collect_list"), plan)
   }
 
+  test("ivf-pq: probes broadcast against the code table, top-k stays k-bounded") {
+    val plan = SparkEntry.queries("q_sim_ivf_pq_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // probes (queries × nProbe rows) must broadcast — a shuffled join
+    // here would repartition the whole code table per query batch
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // both phase reductions ride the k-bounded queue
+    assert(plan.contains("collect_top_k"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    // the corpus is never cartesian-joined: list equi-join in phase 1,
+    // id equi-joins in phase 2
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("kmv sketch gate: partial aggregation carries the bounded buffer") {
+    val plan = SparkEntry.queries("q_sketch_kmv_shingles")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_kmv_sketch"), plan)
+  }
+
   test("sequence DDL window is partitioned (no single-partition WindowExec)") {
     val plan = SparkEntry.queries("q_s9_seq_ddl")(spark, sfDir)
       .queryExecution.executedPlan.toString
