@@ -982,19 +982,57 @@ object Similarity {
     val sub = dim / m
     // the (id, list, codes) frame IS the IVF-PQ index — built once,
     // reused by every query batch (persistOnce: same reuse policy as
-    // the SQ code table)
+    // the SQ code table); [[writeIvfPqIndex]] is its materialized form
     val codes = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
       assigned.select(col("neighbor_id"), col("__list"),
         array((0 until m).map(j =>
           pqCode(col("__cv").cast("array<double>"), seeds, j, sub)): _*)
           .as("__pq")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = queries.select(col(queryIdCol).as("query_id"),
+    val vectors = corpus
+      .select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+    ivfPqSearch(codes, vectors, centArr, seeds, m, sub,
+      queries, queryIdCol, queryVecCol, k, nProbe, shortlist,
+      pruneLists = false)
+  }
+
+  /** The ONE IVF-PQ search kernel both [[ivfPqTopK]] and
+    * [[ivfPqTopKFromIndex]] run — same round-trip equality contract
+    * as [[ivfSqSearch]]: probe choice, ADC, and re-rank tie-breaks
+    * exist exactly once, so from-index results equal in-memory
+    * results built with the same knobs.
+    */
+  private def ivfPqSearch(
+      codes: DataFrame,
+      vectors: DataFrame,
+      centArr: Column,
+      seeds: Seq[Seq[Double]],
+      m: Int,
+      sub: Int,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nProbe: Int,
+      shortlist: Int,
+      pruneLists: Boolean
+  ): DataFrame = {
+    val qd = queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).cast("array<double>").as("__qv"))
       .withColumn("__qn", VectorFunctions.norm(col("__qv")))
-    val probes = probeListsFor(q, centArr, nProbe)
+    val probes = probeListsFor(qd, centArr, nProbe)
       .select(col("query_id"), col("__qv"), col("__list"))
-    val phase1 = codes
+    val codesIn =
+      if (!pruneLists) codes
+      else {
+        // ≤ queries × nProbe list ids, driver-side: a LITERAL IN
+        // predicate before the join prunes a bucketed index scan to
+        // the probed buckets (same policy as ivfSqSearch)
+        val ids = probes.select("__list").distinct().collect().map(_.getLong(0))
+        codes.filter(col("__list").isin(ids.toIndexedSeq: _*))
+      }
+    val phase1 = codesIn
       .join(broadcast(probes), Seq("__list"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -1003,13 +1041,102 @@ object Similarity {
     val cand = topKPerKey(phase1, "query_id", shortlist)
       .select("query_id", "neighbor_id")
     val scored = cand
-      .join(corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
-        .withColumn("__cn", VectorFunctions.norm(col("__cv"))), Seq("neighbor_id"))
+      .join(vectors, Seq("neighbor_id"))
       .join(broadcast(queries
         .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
         .withColumn("__qn", VectorFunctions.norm(col("__qv")))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), pairCosine.as("cosine"))
     topKPerKey(scored, "query_id", k)
+  }
+
+  /** Materialize the IVF-PQ index: the (id, list, m-int codes, vector,
+    * norm) table bucketed by `__list` plus TWO tiny side tables — the
+    * coarse quantizer (`<table>_centroids`, same layout as the IVF-SQ
+    * index so the staleness/pinning tooling reads both) and the PQ
+    * codebook seeds (`<table>_pqseeds`, position-ordered — the seed's
+    * position IS its code, so queries must decode against the exact
+    * build-time codebook). Build once per epoch; query batches read
+    * only their probed buckets via [[ivfPqTopKFromIndex]].
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      tableName: String,
+      nCentroids: Int = 16,
+      m: Int = 4,
+      nCodes: Int = 16,
+      buckets: Int = 16,
+      portable: Boolean = false
+  ): Unit = {
+    require(nCentroids > 0 && m > 0 && nCodes > 0 && buckets > 0)
+    val (assigned, centArr) =
+      ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portable)
+    val cd = corpus.select(col(corpusIdCol).as("neighbor_id"),
+      col(corpusVecCol).cast("array<double>").as("__cv"))
+    val seeds = pqSeeds(cd, nCodes, portable, offset = nCentroids)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val index = assigned.select(
+      col("neighbor_id"), col("__list"),
+      array((0 until m).map(j =>
+        pqCode(col("__cv").cast("array<double>"), seeds, j, sub)): _*)
+        .as("__pq"),
+      col("__cv"), col("__cn"))
+    graft.plans.ScaleJoins.writeBucketed(index, tableName, "__list", buckets)
+    val spark = corpus.sparkSession
+    spark.range(1)
+      .select(posexplode(centArr).as(Seq("cpos", "__c")))
+      .select(col("cpos").cast("long").as("cpos"), col("__c._1").as("cid"),
+        col("__c._2").as("cvec"), col("__c._3").as("cnorm"),
+        lit(spark.table(tableName).count()).as("built_rows"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(tableName + "_centroids")
+    spark.range(1)
+      .select(posexplode(typedlit(seeds)).as(Seq("spos", "svec")))
+      .select(col("spos").cast("long").as("spos"), col("svec"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(tableName + "_pqseeds")
+  }
+
+  /** Query a materialized IVF-PQ index ([[writeIvfPqIndex]]): the
+    * shared [[ivfPqSearch]] kernel with codes, vectors, quantizer,
+    * and codebook all read from the persisted tables; probed list ids
+    * become a LITERAL filter on the bucketed codes scan, so a query
+    * batch reads only its buckets. Results equal the in-memory
+    * [[ivfPqTopK]] with the same knobs (m is recovered from the
+    * stored codes' width; the codebook is position-pinned).
+    */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      shortlist: Int = 32
+  ): DataFrame = {
+    require(k > 0 && nProbe > 0 && shortlist >= k)
+    val seeds: Seq[Seq[Double]] = spark.table(tableName + "_pqseeds")
+      .orderBy("spos").select("svec")
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(seeds.nonEmpty, s"empty PQ seed table for $tableName")
+    val m = spark.table(tableName)
+      .select(size(col("__pq"))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalStateException(s"empty IVF-PQ index $tableName")
+    }
+    val dim = seeds.head.length
+    require(dim % m == 0, s"stored dim $dim not divisible by stored m $m")
+    ivfPqSearch(
+      spark.table(tableName).select("neighbor_id", "__list", "__pq"),
+      spark.table(tableName).select(col("neighbor_id"), col("__cv"), col("__cn")),
+      typedlit(loadCentroids(spark, tableName)),
+      seeds, m, dim / m,
+      queries, queryIdCol, queryVecCol, k, nProbe, shortlist,
+      pruneLists = true)
   }
 
   /** Deterministic codebook seeds: the `nCodes` lowest id-hashes, in

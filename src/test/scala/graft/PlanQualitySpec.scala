@@ -389,6 +389,26 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("ivf-pq index query: probed list ids bucket-prune the codes scan") {
+    val emb = table("embeddings").select("vec_id", "embedding").limit(300)
+    graft.operators.Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+      "ivfpq_plan", nCentroids = 8, m = 4, nCodes = 16, buckets = 4)
+    def query() = graft.operators.Similarity.ivfPqTopKFromIndex(
+      spark, "ivfpq_plan", emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 16)
+    val plan = explain(query())
+    // the batch's probed lists reach the codes scan as a literal IN
+    assert(plan.contains("In(__list"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val bucketed = explain(query())
+      assert(bucketed.contains("SelectedBucketsCount"), bucketed)
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("minhash-index query still bucket-prunes AFTER append + compaction") {
     val docs = table("documents").select("doc_id", "text")
     graft.operators.Dedup.writeMinhashIndex(

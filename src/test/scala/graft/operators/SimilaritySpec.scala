@@ -545,6 +545,26 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("ivf-pq index round-trip: querying the materialized index equals the in-memory path") {
+    val emb = table("embeddings").select("vec_id", "embedding").limit(300)
+    val q = emb.filter(col("vec_id") < 10)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", "ivfpq_rt",
+      nCentroids = 8, m = 4, nCodes = 16, buckets = 4)
+    val direct = Similarity.ivfPqTopK(q, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5,
+      nCentroids = 8, nProbe = 2, m = 4, nCodes = 16, shortlist = 32)
+      .collect().map(_.toString).sorted
+    val fromIndex = Similarity.ivfPqTopKFromIndex(spark, "ivfpq_rt", q,
+      "vec_id", "embedding", k = 5, nProbe = 2, shortlist = 32)
+      .collect().map(_.toString).sorted
+    assert(direct.length === 50 && direct.toSeq === fromIndex.toSeq,
+      "stored quantizer + position-pinned codebook must reproduce the in-memory results")
+    // the index covers the corpus exactly once and carries both side tables
+    assert(spark.table("ivfpq_rt").count() === emb.count())
+    assert(spark.table("ivfpq_rt_centroids").count() === 8)
+    assert(spark.table("ivfpq_rt_pqseeds").count() === 16)
+  }
+
   test("pq: pipeline is deterministic end-to-end (codes, ADC, re-rank)") {
     val emb = table("embeddings").select("vec_id", "embedding")
     val q = emb.filter(col("vec_id") < 5)
