@@ -1100,6 +1100,53 @@ object Similarity {
       .saveAsTable(tableName + "_pqseeds")
   }
 
+  /** Incremental IVF-PQ index maintenance: assign a NEW batch to the
+    * stored quantizer and encode it against the stored position-pinned
+    * codebook — neither moves, so list membership and code semantics
+    * stay stable across epochs and the append costs
+    * O(|batch|·(nCentroids + m·nCodes)) work, never a corpus rebuild.
+    * Same bucket-spec-from-catalog guard as [[appendToIvfSqIndex]];
+    * [[ivfIndexStats]] reads this index unchanged (same table layout),
+    * so appended-fraction staleness telemetry is shared.
+    */
+  def appendToIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit = {
+    val centArr = typedlit(loadCentroids(spark, tableName))
+    val seeds: Seq[Seq[Double]] = spark.table(tableName + "_pqseeds")
+      .orderBy("spos").select("svec")
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(seeds.nonEmpty, s"empty PQ seed table for $tableName")
+    val m = spark.table(tableName)
+      .select(size(col("__pq"))).limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalStateException(s"empty IVF-PQ index $tableName")
+    }
+    val dim = seeds.head.length
+    require(dim % m == 0, s"stored dim $dim not divisible by stored m $m")
+    val sub = dim / m
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      .bucketSpec
+    require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
+    val b = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+      .withColumn("__list", bestListId(centArr, col("__cv"), col("__cn")))
+    b.select(col("neighbor_id"), col("__list"),
+        array((0 until m).map(j =>
+          pqCode(col("__cv").cast("array<double>"), seeds, j, sub)): _*)
+          .as("__pq"),
+        col("__cv"), col("__cn"))
+      .write.mode("append").format("parquet")
+      .bucketBy(bucketSpec.get.numBuckets, "__list").sortBy("__list")
+      .saveAsTable(tableName)
+    spark.catalog.refreshTable(tableName)
+  }
+
   /** Query a materialized IVF-PQ index ([[writeIvfPqIndex]]): the
     * shared [[ivfPqSearch]] kernel with codes, vectors, quantizer,
     * and codebook all read from the persisted tables; probed list ids

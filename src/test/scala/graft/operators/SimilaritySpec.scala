@@ -565,6 +565,36 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.table("ivfpq_rt_pqseeds").count() === 16)
   }
 
+  test("ivf-pq append: batch rides the stored quantizer+codebook; stats see the epoch") {
+    val emb = table("embeddings").select("vec_id", "embedding").limit(300)
+    val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    Similarity.writeIvfPqIndex(base, "vec_id", "embedding", "ivfpq_app",
+      nCentroids = 8, m = 4, nCodes = 16, buckets = 4)
+    Similarity.appendToIvfPqIndex(spark, "ivfpq_app", batch, "vec_id", "embedding")
+    assert(spark.table("ivfpq_app").count() === emb.count())
+
+    // an appended identical twin of a query vector must be findable
+    // through the index: same stored quantizer -> same list as the
+    // query's best probe; same stored codebook -> tying ADC codes
+    val dup = emb.filter(col("vec_id") === 4)
+      .select((col("vec_id") + 20000).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfPqIndex(spark, "ivfpq_app", dup, "vec_id", "embedding")
+    val hit = Similarity.ivfPqTopKFromIndex(spark, "ivfpq_app",
+      emb.filter(col("vec_id") === 4), "vec_id", "embedding",
+      k = 3, nProbe = 1, shortlist = 16)
+      .filter(col("rank") === 1).collect()(0)
+    assert(hit.getAs[Long]("neighbor_id") === 20004L)
+    assert(math.abs(hit.getAs[Double]("cosine") - 1.0) < 1e-9)
+
+    // shared telemetry: the SQ stats read the PQ index unchanged
+    val stats = Similarity.ivfIndexStats(spark, "ivfpq_app")
+    assert(stats.nLists === 8)
+    assert(stats.totalRows === emb.count() + 1)
+    assert(stats.appendedFraction > 0.4 && stats.appendedFraction < 0.6,
+      s"appended ~half: $stats")
+  }
+
   test("pq: pipeline is deterministic end-to-end (codes, ADC, re-rank)") {
     val emb = table("embeddings").select("vec_id", "embedding")
     val q = emb.filter(col("vec_id") < 5)
