@@ -836,6 +836,36 @@ object SparkEntry {
         "lang", "doc_id", "text", rate = 4, tenths = Seq(5, 9))
         .orderBy("lang")
     }),
+    // Misra–Gries heavy-hitters sketch, pinned cross-engine in its
+    // exact regime: m = 256 counters comfortably exceeds the fixture
+    // vocabulary (31 tokens/lang at every SF), so no decrement fires,
+    // err = 0, and the sketch output IS the exact per-(lang, token)
+    // count — oracle-comparable. The approximation regime (m < vocab),
+    // whose estimates are legitimately partition-order-dependent, is
+    // spec-gated on the deterministic certificate est <= true <= est+err
+    // (MgSketchSpec).
+    "q_sketch_mg_exact" -> ((s, dir) => {
+      Sketches.heavyHitterTokens(t(s, dir, "documents"), "lang", "text", m = 256)
+        .orderBy(col("lang"), col("est").desc, col("term"))
+    }),
+    // Exact grouped heavy hitters: top-8 tokens per language, counts
+    // aggregated BEFORE the rank window so the window sorts vocabulary
+    // rows, not the token stream
+    "q_text_heavy_hitters" -> ((s, dir) => {
+      TextAnalysis.topTermsPerGroup(t(s, dir, "documents"), "lang", "text", k = 8)
+        .orderBy(col("lang"), col("rank"))
+    }),
+    // BM25 top-k retrieval: three aggregates + a broadcast join of the
+    // tiny per-term stats; final top-k is orderBy.limit = TakeOrdered
+    // (per-partition heaps, no global sort). idf quantized once to
+    // integer micro-units, per-term score is a fixed IEEE double op
+    // sequence both engines replay bit-identically, doc score summed
+    // in exact BIGINT
+    "q_text_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        query = Seq("spark", "hash", "vector"), k = 20)
+        .orderBy(col("score_fx").desc, col("doc_id"))
+    }),
     // Dedup (n-gram Jaccard): exact word-3-gram Jaccard over min-shingle
     // blocked pairs — the one near-dup path with an exact SQL oracle
     "q_dedup_ngram" -> ((s, dir) => {
@@ -2307,6 +2337,48 @@ object SparkEntry {
         "max(CASE WHEN rn = (cnt-1)*5//10 + 1 THEN toks END) AS p50_tokens, " +
         "max(CASE WHEN rn = (cnt-1)*9//10 + 1 THEN toks END) AS p90_tokens, " +
         "max(cnt) AS n_sample FROM r GROUP BY lang ORDER BY lang"),
+    // MG sketch exact regime: with err = 0 the sketch output equals the
+    // plain per-(lang, token) counts sorted est desc, term asc
+    "q_sketch_mg_exact" ->
+      ("WITH toks AS (SELECT lang, unnest(str_split(text, ' ')) AS term FROM documents), " +
+        "t2 AS (SELECT lang, term FROM toks WHERE length(term) > 0), " +
+        "c AS (SELECT lang, term, count(*) AS est FROM t2 GROUP BY lang, term) " +
+        "SELECT lang, term, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS err " +
+        "FROM c ORDER BY lang, est DESC, term"),
+    "q_text_heavy_hitters" ->
+      ("WITH toks AS (SELECT lang, unnest(str_split(text, ' ')) AS term FROM documents), " +
+        "t2 AS (SELECT lang, term FROM toks WHERE length(term) > 0), " +
+        "c AS (SELECT lang, term, count(*) AS cnt FROM t2 GROUP BY lang, term), " +
+        "r AS (SELECT lang, term, cnt, " +
+        """row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS "rank" FROM c) """ +
+        """SELECT lang, CAST("rank" AS BIGINT) AS "rank", term, CAST(cnt AS BIGINT) AS cnt """ +
+        """FROM r WHERE "rank" <= 8 ORDER BY lang, "rank""""),
+    // BM25 twin: identical op order parenthesis for parenthesis — idf
+    // floored to micro-units first, the ratio a fixed IEEE double
+    // sequence, the doc score an exact BIGINT sum. (1.2 + 1.0) and
+    // (1.0 - 0.75) are written as ops, not folded literals, so both
+    // engines round the same arithmetic, not a decimal parse.
+    "q_text_bm25" ->
+      ("WITH docs AS (SELECT doc_id, text, " +
+        "CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS dl FROM documents), " +
+        "toks AS (SELECT doc_id, dl, unnest(str_split(text, ' ')) AS term FROM docs), " +
+        "t2 AS (SELECT doc_id, dl, term FROM toks WHERE length(term) > 0 " +
+        "AND term IN ('spark', 'hash', 'vector')), " +
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t2 GROUP BY doc_id, dl, term), " +
+        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs), " +
+        "scored AS (SELECT f.doc_id, " +
+        "CAST(floor(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / " +
+        "(CAST(d.df AS DOUBLE) + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS idf_fx, " +
+        "(CAST(f.tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(f.tf AS DOUBLE) + " +
+        "1.2 * ((1.0 - 0.75) + (0.75 * CAST(f.dl AS DOUBLE)) / " +
+        "(CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS ratio " +
+        "FROM tf f JOIN dfreq d USING (term) CROSS JOIN stats s), " +
+        "sc2 AS (SELECT doc_id, CAST(floor(CAST(idf_fx AS DOUBLE) * ratio + 0.5) AS BIGINT) AS score_fx " +
+        "FROM scored), " +
+        "agg AS (SELECT doc_id, sum(score_fx) AS score_fx, count(*) AS n_terms_hit FROM sc2 GROUP BY doc_id) " +
+        "SELECT doc_id, CAST(score_fx AS BIGINT) AS score_fx, CAST(n_terms_hit AS BIGINT) AS n_terms_hit " +
+        "FROM agg ORDER BY score_fx DESC, doc_id LIMIT 20"),
     "q_f3_default_rewrite" ->
       ("WITH defs(column_name, raw_default, is_numeric) AS (VALUES " +
         "('a','(0)',true), ('b','  ''abc''  ',false), ('c','SYS_GUID()',false), " +

@@ -164,4 +164,39 @@ object Sketches {
     ranked.groupBy(groupCol)
       .agg(qCols.head, qCols.tail :+ max(col("cnt")).as("n_sample"): _*)
   }
+
+  /** Per-group heavy hitters via the Misra–Gries sketch
+    * ([[graft.functions.MgSketchExpression]]): bounded state (m
+    * counters per group) whatever the term cardinality, so the shuffle
+    * carries O(m · groups) — the scale path for unbounded term domains
+    * (URLs, hosts, n-grams) where the exact twin
+    * [[TextAnalysis.topTermsPerGroup]] would shuffle every distinct
+    * (group, term) pair. Long format: one row per surviving counter
+    * with the group's error budget beside the estimate, so callers can
+    * certify `est ≤ true ≤ est + err` row by row. With m ≥ the group's
+    * distinct-term count the sketch is exact (`err = 0`) and the
+    * output deterministic — the cross-engine oracle regime.
+    */
+  def heavyHitters(
+      df: DataFrame, groupCol: String, termCol: String, m: Int): DataFrame =
+    df.groupBy(groupCol)
+      .agg(graft.functions.MgSketchExpression.mgSketch(col(termCol), m).as("__sk"))
+      .select(
+        col(groupCol),
+        col("__sk.err").as("err"),
+        explode(col("__sk.items")).as("__it"))
+      .select(
+        col(groupCol),
+        col("__it.term").as("term"),
+        col("__it.est").as("est"),
+        col("err"))
+
+  /** [[heavyHitters]] over whitespace tokens of a text column. */
+  def heavyHitterTokens(
+      df: DataFrame, groupCol: String, textCol: String, m: Int): DataFrame =
+    heavyHitters(
+      df.select(col(groupCol),
+          explode(split(col(textCol), " ")).as("__term"))
+        .filter(length(col("__term")) > 0),
+      groupCol, "__term", m)
 }

@@ -309,6 +309,115 @@ object TextAnalysis {
         col("score_fx"))
   }
 
+  /** Exact per-group heavy hitters: the k most frequent whitespace
+    * tokens of each group's concatenated text (corpus-level "top tokens
+    * per language / per domain" profiling). Two-stage shape: the
+    * (group, term) counts aggregate FIRST — partial (map-side) combine
+    * collapses each partition's token stream to its local vocabulary,
+    * so the one shuffle carries distinct (group, term) pairs, not
+    * tokens — and the rank window then sorts only the aggregated
+    * vocabulary rows per group, not the corpus. Exactness costs
+    * state proportional to the true vocabulary; when the term domain
+    * is unbounded (URLs, hosts), [[Sketches.heavyHitters]] is the
+    * bounded-state Misra–Gries path with the same output shape plus a
+    * per-group error certificate.
+    */
+  def topTermsPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val counts = df
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("cnt").desc, col("term"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("term"), col("cnt"))
+  }
+
+  /** BM25 top-k document retrieval for a bag-of-words query — the
+    * retrieval scorer a training-data pipeline uses for quality
+    * search / decontamination probes (Robertson–Spärck Jones BM25,
+    * k1/b in their standard roles). Dataflow is three aggregates and
+    * one broadcast join, no collect:
+    *
+    *   - per-document length `dl` — a row-local codegen'd map;
+    *   - corpus stats (N, avgdl) — a single-row aggregate, broadcast;
+    *   - per-term document frequency `df_t` — aggregated over the
+    *     posting rows of the QUERY terms only (the `isin` filter
+    *     prunes the tokenized stream before the shuffle, so the
+    *     aggregate sees |docs containing a query term| rows, not the
+    *     corpus vocabulary);
+    *   - final top-k by total score = `orderBy.limit(k)` — Spark plans
+    *     TakeOrdered (per-partition heaps + driver merge of k·p rows),
+    *     no global sort, no single-partition window.
+    *
+    * Cross-engine determinism mirrors [[tfidfTopTerms]]: the only
+    * transcendental — `ln(1 + (N − df + 0.5)/(df + 0.5))` — is
+    * quantized ONCE to integer micro-units; the per-(doc, term) score
+    * `idf_fx · (tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl))` is then a
+    * fixed sequence of IEEE-754 double ops on identical inputs (both
+    * engines round each op to nearest — bit-identical given the same
+    * operation order, which the oracle SQL mirrors parenthesis for
+    * parenthesis), floored to `score_fx` and summed in exact BIGINT.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(query.nonEmpty, "query must have at least one term")
+    val docs = df.select(
+      col(idCol).as("doc_id"),
+      col(textCol).as("__text"),
+      size(filter(split(col(textCol), " "), t => length(t) > 0))
+        .cast("long").as("dl"))
+    val toks = docs
+      .select(col("doc_id"), col("dl"),
+        explode(split(col("__text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .filter(col("term").isin(query: _*))
+    val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("__idf_fx",
+        floor(log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("__ratio",
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / col("__avgdl"))))
+      .withColumn("__score_fx",
+        floor(col("__idf_fx").cast("double") * col("__ratio") + lit(0.5)).cast("long"))
+    scored
+      .groupBy("doc_id")
+      .agg(sum(col("__score_fx")).as("score_fx"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+      .orderBy(col("score_fx").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Gopher-style top-n-gram occupancy: for each document, the count of
     * its single most frequent word `n`-gram and that count's share of
     * all the document's n-grams. A high share means one phrase dominates

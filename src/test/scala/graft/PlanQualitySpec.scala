@@ -159,6 +159,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_graft_kmv_sketch"), plan)
   }
 
+  test("mg sketch gate: partial aggregation carries the bounded counter map") {
+    val plan = SparkEntry.queries("q_sketch_mg_exact")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // map-side partials shrink each partition's token stream to <= m
+    // counters before the one shuffle — the property that makes the
+    // sketch O(m·groups) traffic at 100 TB
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_mg_sketch"), plan)
+  }
+
+  test("bm25: tiny term stats broadcast, top-k is TakeOrdered (no global sort)") {
+    val plan = SparkEntry.queries("q_text_bm25")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // dfreq (|query| rows) and the one-row corpus stats must broadcast —
+    // a shuffled join here would repartition the posting rows twice
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    // orderBy.limit(k) plans per-partition heaps + driver merge of k·p
+    // rows; a global Sort before the limit would be the scale bug
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("sequence DDL window is partitioned (no single-partition WindowExec)") {
     val plan = SparkEntry.queries("q_s9_seq_ddl")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -101,4 +101,69 @@ class SketchesSpec extends SparkSpec {
         s"quantile mismatch for $lang")
     }
   }
+
+  // --- Misra–Gries heavy hitters ---
+
+  /** Skewed synthetic term stream with known exact counts: term "h{i}"
+    * appears 2000/2^i times (planted hitters), plus a long tail of
+    * 400 singletons. N = 3900 + 400.
+    */
+  private def mgStream: (Seq[String], Map[String, Long]) = {
+    val hitters = (0 to 4).flatMap(i => Seq.fill(2000 / (1 << i))(s"h$i"))
+    val tail = (1 to 400).map(i => s"t$i")
+    val terms = hitters ++ tail
+    (terms, terms.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong })
+  }
+
+  test("mg sketch: exact regime (m >= distinct) yields err=0 and true counts") {
+    val (terms, truth) = mgStream
+    val out = Sketches.heavyHitters(
+      terms.map(("g", _)).toDF("grp", "term"), "grp", "term", m = 1024)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3)))
+    assert(out.length == truth.size)
+    out.foreach { case (t, (est, err)) =>
+      assert(err == 0L, s"exact regime must not decrement, term $t err=$err")
+      assert(est == truth(t), s"term $t: est=$est true=${truth(t)}")
+    }
+  }
+
+  test("mg sketch: certificate est <= true <= est+err holds under any partitioning") {
+    val (terms, truth) = mgStream
+    val n = terms.size.toLong
+    val m = 16
+    for (parts <- Seq(1, 13)) {
+      val out = Sketches.heavyHitters(
+        terms.map(("g", _)).toDF("grp", "term").repartition(parts),
+        "grp", "term", m)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(out.nonEmpty && out.length <= m)
+      val err = out.head._3
+      assert(err <= n / (m + 1),
+        s"error budget $err exceeds N/(m+1) = ${n / (m + 1)}")
+      out.foreach { case (t, est, e) =>
+        assert(e == err, "err is a group-level scalar")
+        val truef = truth(t)
+        assert(est <= truef && truef <= est + err,
+          s"term $t: certificate violated (est=$est err=$err true=$truef)")
+      }
+      // recovery guarantee: any term with true frequency > err survives
+      val present = out.map(_._1).toSet
+      truth.foreach { case (t, f) =>
+        if (f > err) assert(present.contains(t),
+          s"term $t (freq $f > err $err) must be present at parts=$parts")
+      }
+    }
+  }
+
+  test("mg sketch: weighted updates count weight mass, not rows") {
+    import graft.functions.MgSketchExpression
+    val df = Seq(("a", 10L), ("b", 3L), ("a", 5L), ("c", 1L))
+      .toDF("term", "w")
+    val out = df.agg(
+      MgSketchExpression.mgSketchWeighted(col("term"), col("w"), m = 8).as("sk"))
+      .select(explode(col("sk.items")).as("it"))
+      .select(col("it.term"), col("it.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 15L, "b" -> 3L, "c" -> 1L))
+  }
 }

@@ -359,4 +359,50 @@ class TextAnalysisSpec extends SparkSpec {
       org.apache.spark.sql.functions.lit("  just   plain words  ")), "")
     assert(out === "just plain words")
   }
+
+  test("topTermsPerGroup: exact counts, rank ties break on the term string") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "a a a b b c"),
+      ("en", "b c"),
+      ("de", "x y y")
+    ).toDF("lang", "text")
+    val out = TextAnalysis.topTermsPerGroup(docs, "lang", "text", k = 2)
+      .orderBy("lang", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // en: a=3, b=3 (tie -> 'a' first), c=2 cut by k; de: y=2, x=1
+    assert(out.toSeq == Seq(
+      ("de", 1L, "y", 2L), ("de", 2L, "x", 1L),
+      ("en", 1L, "a", 3L), ("en", 2L, "b", 3L)))
+  }
+
+  test("bm25TopK: ranks by query-term relevance, saturates on length and tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark spark"),        // high tf, short
+      (2L, "spark hash"),                     // two distinct query terms
+      (3L, "noise noise noise noise noise"),  // no hits
+      (4L, "spark " + Seq.fill(50)("pad").mkString(" ")) // hit diluted by length
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      query = Seq("spark", "hash"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // no-hit doc never appears
+    assert(!out.map(_._1).contains(3L))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    // doc 2 hits both terms and 'hash' is rarer -> top score
+    assert(out.head._1 == 2L, out.toSeq.toString)
+    assert(byDoc(2L)._3 == 2L, "doc 2 hits both query terms")
+    // same single term: high-tf short doc beats the length-diluted one
+    assert(byDoc(1L)._2 > byDoc(4L)._2, out.toSeq.toString)
+  }
+
+  test("bm25TopK: limit bounds the result and ordering is score desc, id asc") {
+    val out = TextAnalysis.bm25TopK(table("documents"), "doc_id", "text",
+      query = Seq("spark", "hash", "vector"), k = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 7)
+    val resorted = out.sortBy { case (id, s) => (-s, id) }
+    assert(out.toSeq == resorted.toSeq, "TakeOrdered must deliver sorted top-k")
+  }
 }
