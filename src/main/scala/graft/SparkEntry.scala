@@ -1060,6 +1060,16 @@ object SparkEntry {
     // plants a signed DECIMAL(18,3) (NUMBER(p,s) is the reference's
     // flagship mapping) and o_bin a multi-byte BLOB — both with NULL
     // stripes so the null counters of the new types are gated too
+    // Exact per-column distribution profile over orders: row count,
+    // null count, exact distinct count per column in long format —
+    // the cardinality leg of migration verification (a lossy transpile
+    // can pass count- and checksum-compare while collapsing distincts).
+    // The multi-distinct Expand plan is the deliberate exactness cost;
+    // Comparator.columnProfile is the sketch-based 100 TB screen.
+    "q_profile_columns" -> ((s, dir) => {
+      graft.verify.Comparator.exactColumnProfile(t(s, dir, "orders"))
+        .orderBy("column_name")
+    }),
     "q_verify_checksum" -> ((s, dir) => {
       val src = t(s, dir, "orders")
         .withColumn("o_uni",
@@ -2785,6 +2795,15 @@ object SparkEntry {
         """SELECT CAST("rank" AS BIGINT) AS "rank", token, CAST(cnt AS BIGINT) AS cnt, """ +
         "CAST(cum_cnt AS BIGINT) AS cum_cnt, CAST((cum_cnt * 1000000) // n_total AS BIGINT) AS cum_ppm " +
         """FROM r CROSS JOIN n ORDER BY "rank""""
+    },
+    "q_profile_columns" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"SELECT '$c' AS column_name, count(*) AS n_rows, " +
+          s"count(*) - count($c) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct FROM orders"
+      }.mkString("", " UNION ALL ", " ORDER BY column_name")
     },
     "q_verify_checksum" -> {
       // the destination-engine recomputation of portableChecksum: the

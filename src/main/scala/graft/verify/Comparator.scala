@@ -148,6 +148,42 @@ object Comparator {
     df.agg(count(lit(1)).as("rows"), aggs.toIndexedSeq: _*)
   }
 
+  /** Exact per-column profile in long format — one row per column with
+    * `(column_name, n_rows, n_nulls, n_distinct)` — the
+    * value-distribution half of migration verification: row counts
+    * match ([[compareCounts]]) and checksums match ([[checksum]]) can
+    * both hold while a lossy type transpile silently collapsed
+    * cardinality (e.g. a precision-truncated NUMBER); distinct counts
+    * per column catch that class. Exactness costs the standard
+    * multi-distinct plan: Catalyst Expands the scan |columns|-fold and
+    * partial-aggregates each replica before the single shuffle — exact
+    * and parallel, but |columns|× the scan traffic, so at 100 TB this
+    * is the small-table / final-audit tool and [[columnProfile]]
+    * (mergeable HLL sketches, one pass, no Expand) is the fleet-wide
+    * screen. Long format (vs [[columnProfile]]'s one wide row) so the
+    * src/dest comparison is an ordinary join on `column_name`, not a
+    * schema-dependent column walk.
+    */
+  def exactColumnProfile(df: DataFrame): DataFrame = {
+    val aggs = df.schema.fields.flatMap { f =>
+      Seq(
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        count_distinct(col(f.name)).as(s"${f.name}__ndv"))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs.toIndexedSeq: _*)
+    val rows = df.schema.fields.map { f =>
+      struct(
+        lit(f.name).as("column_name"),
+        col("__rows").as("n_rows"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__ndv").as("n_distinct"))
+    }
+    wide
+      .select(explode(array(rows.toIndexedSeq: _*)).as("__p"))
+      .select(col("__p.column_name"), col("__p.n_rows"),
+        col("__p.n_nulls"), col("__p.n_distinct"))
+  }
+
   /** Engine-portable order-insensitive column checksum — the
     * exact-oracle twin of [[checksum]], whose xxhash64 kernel is
     * Spark-specific. Every value normalizes to an exact integer —

@@ -63,6 +63,21 @@ class MigratorSpec extends SparkSpec {
     assert(row.toString === p2.toString)
   }
 
+  test("exactColumnProfile: long format with exact nulls and distincts per column") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (1L, "a"), (2L, null), (null, "b"), (null, null)
+    ).toDF("k", "s")
+    val out = Comparator.exactColumnProfile(df)
+      .orderBy("column_name")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // count(DISTINCT) excludes nulls on every engine; n_rows counts all
+    assert(out.toSeq == Seq(
+      ("k", 5L, 2L, 2L),
+      ("s", 5L, 2L, 2L)))
+  }
+
   test("compareCounts: a hung table degrades to a TIMEOUT failure row within bound") {
     val src = FixtureSource(sfDir)
     // a source whose `nation` scan never returns — the hung-connection
