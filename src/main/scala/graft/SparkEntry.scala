@@ -117,6 +117,20 @@ object SparkEntry {
       s.read.parquet(s"$tmp/lineitem.parquet")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
+    // Z-order clustered copy queried under a two-dimensional range
+    // predicate: the layout (ZOrder.zorderWrite) must be a pure
+    // permutation, so the filtered read-back matches the same predicate
+    // on the source exactly; the skipping effectiveness of the layout
+    // itself is gated in ZOrderSpec (both dims' per-file coverage ≪
+    // the single-column-sort baseline)
+    "q_zorder_scan" -> ((s, dir) => {
+      val out = roundTripDir("zorder", dir)
+      graft.plans.ZOrder.zorderWrite(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey"), out, numFiles = 8)
+      s.read.parquet(out)
+        .filter(col("l_partkey") <= 200 && col("l_orderkey") <= 30000)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
     // K2/K3 — text-format corpus ingestion round-trips (JSONL / CSV).
     // Raw training corpora land as JSONL.gz or CSV shards, and a lossy
     // codec corrupts silently — so the gate decorates documents with
@@ -1907,6 +1921,9 @@ object SparkEntry {
     "q_stream_ingest_twin" -> streamIngestTwinOracleSql,
     "q_k1_copy_lineitem" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice",
+    "q_zorder_scan" ->
+      ("SELECT * FROM lineitem WHERE l_partkey <= 200 AND l_orderkey <= 30000 " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"),
     // The round-trip twins compute the hazard decoration straight from
     // parquet — the Spark side must survive its write→read through the
     // text codec to match. Suffix = LF ‖ quotes ‖ backslash ‖ comma ‖

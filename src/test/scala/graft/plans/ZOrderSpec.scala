@@ -1,0 +1,75 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZOrderSpec extends SparkSpec {
+
+  private def coverageByCol(path: String, cols: Seq[String]): Map[String, Double] =
+    ZOrder.fileCoverage(spark, path, cols)
+      .groupBy("column").agg(avg("coverage").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("zorderWrite: lossless — clustered copy has identical content") {
+    val li = table("lineitem")
+    val out = Files.createTempDirectory("graft_z").toString
+    ZOrder.zorderWrite(li, Seq("l_orderkey", "l_partkey"), out, numFiles = 8)
+    val back = spark.read.parquet(out)
+    assert(back.count() === li.count())
+    assert(back.schema.fieldNames.toSeq === li.schema.fieldNames.toSeq, "no layout column leaks")
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty,
+      "clustered copy must be a permutation of the source")
+  }
+
+  test("z-curve layout prunes on BOTH dimensions where a sort prunes on one") {
+    // independent-ish dims on the fact table
+    val li = table("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val files = 8
+    val zdir = Files.createTempDirectory("graft_z2").toString
+    val sdir = Files.createTempDirectory("graft_s2").toString
+    ZOrder.zorderWrite(li, Seq("l_orderkey", "l_partkey"), zdir, files)
+    // baseline: classic single-column sorted write
+    li.repartitionByRange(files, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(sdir)
+
+    val zc = coverageByCol(zdir, Seq("l_orderkey", "l_partkey"))
+    val sc = coverageByCol(sdir, Seq("l_orderkey", "l_partkey"))
+
+    // the sorted write nails its own column and is blind on the other
+    assert(sc("l_orderkey") < 0.3, s"sorted baseline sanity: $sc")
+    assert(sc("l_partkey") > 0.8, s"sorted baseline sanity: $sc")
+    // z-order: BOTH dimensions skip — each file covers a fraction of
+    // each dim's span (2 dims x 8 files: expect ~sqrt(1/8) per dim)
+    assert(zc("l_orderkey") < 0.6, s"z coverage: $zc")
+    assert(zc("l_partkey") < 0.6, s"z coverage: $zc")
+    // and the second dimension must beat the sorted layout decisively
+    assert(zc("l_partkey") < sc("l_partkey") / 1.5, s"z=$zc sorted=$sc")
+  }
+
+  test("zValue: interleaves rank buckets — null and skew land in low buckets, monotone per dim") {
+    import spark.implicits._
+    val df = (1 to 1024).map(i => (i.toLong, (1025 - i).toLong)).toDF("a", "b")
+    val z = df.select(col("a"), col("b"),
+      ZOrder.zValue(df, Seq("a", "b"), bits = 4).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // width: 2 dims x 4 bits -> z < 2^8
+    assert(z.forall(_._3 < 256L))
+    // de-interleave each dimension's code back out of the z-value:
+    // dim i's bit b sits at curve position b*2 + i
+    def dim(zv: Long, i: Int): Long =
+      (0 until 4).map(b => ((zv >> (b * 2 + i)) & 1L) << b).sum
+    val byA = z.sortBy(_._1)
+    val aCodes = byA.map(t => dim(t._3, 0))
+    val bCodes = byA.map(t => dim(t._3, 1))
+    // a ascending -> a's rank code non-decreasing and spanning all buckets;
+    // b anti-correlated -> b's code non-increasing
+    assert(aCodes.zip(aCodes.tail).forall { case (x, y) => x <= y }, "a code monotone")
+    assert(bCodes.zip(bCodes.tail).forall { case (x, y) => x >= y }, "b code anti-monotone")
+    assert(aCodes.distinct.length == 16 && bCodes.distinct.length == 16,
+      "rank buckets must span the full 2^bits code range")
+  }
+}
