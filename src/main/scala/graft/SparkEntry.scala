@@ -151,6 +151,16 @@ object SparkEntry {
         roundTripDir("csv", dir), "documents")
       graft.sources.TextFormats.readCsv(s, path, dec.schema).orderBy("doc_id")
     }),
+    // K5 — XML round-trip through Spark 4's native XML source: CRLF
+    // survives via the writer's &#xd; character reference (a raw CR
+    // would be parser-normalized to LF), null vs empty string via the
+    // out-of-band XmlNullToken
+    "q_k5_xml_roundtrip" -> ((s, dir) => {
+      val dec = hazardDocs(t(s, dir, "documents"))
+      val path = graft.sources.TextFormats.writeXml(dec,
+        roundTripDir("xml", dir), "documents")
+      graft.sources.TextFormats.readXml(s, path, dec.schema).orderBy("doc_id")
+    }),
     // K4 — ORC round-trip of the embeddings table: complex-type
     // (array<float>) fidelity through the second columnar format. The
     // comparison never ships raw float arrays — both sides reduce each
@@ -1930,6 +1940,7 @@ object SparkEntry {
     // tab ‖ unicode ‖ CRLF, exactly SparkEntry.HazardSuffix.
     "q_k2_jsonl_roundtrip" -> HazardOracleSql,
     "q_k3_csv_roundtrip" -> HazardOracleSql,
+    "q_k5_xml_roundtrip" -> HazardOracleSql,
     // parquet-direct twin of the ORC round-trip, same exact integer fold
     "q_k4_orc_roundtrip" ->
       ("SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim, " +

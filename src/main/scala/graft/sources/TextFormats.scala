@@ -203,4 +203,56 @@ object TextFormats {
       df.repartition(minShards)
     else df
   }
+
+  /** Null sentinel for XML, same rationale as [[CsvNullToken]]: an
+    * absent element and an empty element are both plausible encodings
+    * of null, and implementations disagree — an out-of-band token
+    * keeps `null` and `""` distinct through the round-trip.
+    */
+  val XmlNullToken = "\\N"
+
+  /** Write one XML table via Spark 4's native XML source:
+    * `dir/table.xml/part-*.xml[.gz]`, one `<row>` element per record
+    * under a `<rows>` root per shard.
+    *
+    * CR needs no codec-side protection here, but only because the
+    * writer earns it: XML 1.0 end-of-line rules make every conformant
+    * PARSER normalize `\r\n` and bare `\r` to `\n` in element content,
+    * and Spark's StAX generator emits CR as the character reference
+    * `&#xd;` — which parsers do NOT normalize — so CRLF text
+    * round-trips bit-exact (the hazard gate pins it; a writer that
+    * emitted the raw byte would corrupt silently).
+    */
+  def writeXml(df: DataFrame, dir: String, table: String,
+      codec: String = "gzip"): String = {
+    val path = s"$dir/$table.xml"
+    df.write.mode(SaveMode.Overwrite)
+      .format("xml")
+      .option("rowTag", "row")
+      .option("rootTag", "rows")
+      .option("compression", codec)
+      .option("nullValue", XmlNullToken)
+      .option("declaration", "version=\"1.0\" encoding=\"UTF-8\"")
+      .save(path)
+    path
+  }
+
+  /** Read an XML shard directory with a contracted schema. Surrounding
+    * whitespace is significant (ignoreSurroundingSpaces=false — the
+    * reader default TRIMS element text, the same silent corruption the
+    * CSV writer defaults had); FAILFAST as for JSONL/CSV.
+    */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+      minShards: Int = 0): DataFrame = {
+    val df = spark.read.schema(schema)
+      .format("xml")
+      .option("rowTag", "row")
+      .option("nullValue", XmlNullToken)
+      .option("ignoreSurroundingSpaces", "false")
+      .option("mode", "FAILFAST")
+      .load(path)
+    if (minShards > 0 && df.rdd.getNumPartitions < minShards)
+      df.repartition(minShards)
+    else df
+  }
 }

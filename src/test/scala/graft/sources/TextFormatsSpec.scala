@@ -56,6 +56,21 @@ class TextFormatsSpec extends SparkSpec {
     assert(byId(7L) == "", "empty string must read back as empty, not null")
   }
 
+  test("XML round-trip is lossless, including CR (parser-normalized) and null vs empty") {
+    val dir = java.nio.file.Files.createTempDirectory("tf_xml").toString
+    val path = TextFormats.writeXml(hazardDf, dir, "hazard")
+    val back = TextFormats.readXml(spark, path, schema)
+    assert(collectById(back) === collectById(hazardDf))
+    val byId = collectById(back).map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId(6L) == null, "null must read back as null")
+    assert(byId(7L) == "", "empty string must read back as empty, not null")
+    // the XML-specific hazard: a conformant parser normalizes raw \r\n
+    // -> \n in element content, so row 2 only survives because the
+    // writer emits CR as the &#xd; character reference
+    val texts = collectById(back).map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(2L) == "embedded\nnewline and\r\ncrlf", texts(2L))
+  }
+
   test("JSONL shards are gzip-compressed and re-shardable via minShards") {
     val dir = java.nio.file.Files.createTempDirectory("tf_gz").toString
     val path = TextFormats.writeJsonl(hazardDf, dir, "hazard")
@@ -115,7 +130,8 @@ class TextFormatsSpec extends SparkSpec {
     // the q_k2/q_k3 shapes end-to-end at sf0.001: decorated text incl.
     // the hazard suffix must hash-match the pre-write frame
     import graft.SparkEntry
-    Seq("q_k2_jsonl_roundtrip", "q_k3_csv_roundtrip").foreach { q =>
+    Seq("q_k2_jsonl_roundtrip", "q_k3_csv_roundtrip",
+      "q_k5_xml_roundtrip").foreach { q =>
       val out = SparkEntry.queries(q)(spark, sfDir)
       val docs = table("documents")
       assert(out.count() === docs.count(), s"$q row count")

@@ -51,6 +51,7 @@ HEAVY = [
     "q_k1_copy_lineitem",
     "q_sketch_kmv_shingles", "q_sim_pq_topk",
     "q_tpch_q9", "q_tpch_q18", "q_tpch_q21",
+    "q_sketch_mg_exact", "q_text_bm25", "q_zorder_scan",
 ]
 
 # the queries whose 10x ratios ran hottest (>= ~2.5x) — the set worth a
@@ -69,6 +70,8 @@ ALIAS = {
     "q_k1_copy_lineitem": "copy",
     "q_sketch_kmv_shingles": "skm", "q_sim_pq_topk": "pq",
     "q_tpch_q9": "tq9", "q_tpch_q18": "tq18", "q_tpch_q21": "tq21",
+    "q_sketch_mg_exact": "mg", "q_text_bm25": "bm25",
+    "q_zorder_scan": "zord",
     "bpe_cold": "bpec",
 }
 
