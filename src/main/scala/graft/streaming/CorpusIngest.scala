@@ -109,6 +109,40 @@ object CorpusIngest {
           .as("est_distinct_tokens"),
         size(col("__sketch")).cast("long").as("sketch_size"))
 
+  /** Windowed heavy-hitter terms per (window, source): the Misra–Gries
+    * sketch ([[graft.functions.MgSketchExpression]]) rides the
+    * streaming state store with O(m) counters per open group — "which
+    * tokens dominate this source right now" next to [[vocabRollup]]'s
+    * distinct estimate, with term-frequency state that never grows
+    * with ingest volume. Unlike KMV (a set property, replay-order
+    * free), MG estimates are order-dependent once decrements fire, so
+    * the determinism claim splits by regime: with m ≥ the window's
+    * distinct tokens no decrement fires and closed windows equal the
+    * batch twin EXACTLY (`err = 0`); below that, the emitted rows are
+    * replay-dependent but every one carries the sound certificate
+    * `est ≤ true ≤ est + err` — the spec gates both regimes.
+    * Append-mode compatible (watermarked window); one row per
+    * surviving counter.
+    */
+  def topTermsRollup(
+      cleaned: DataFrame,
+      window: String = "1 hour",
+      m: Int = 256
+  ): DataFrame =
+    cleaned
+      .select(col("ingest_time"), col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("__tok"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ingest_time"), window),
+        col("source"))
+      .agg(graft.functions.MgSketchExpression.mgSketch(col("__tok"), m).as("__sk"))
+      .select(col("window"), col("source"),
+        col("__sk.err").as("err"),
+        explode(col("__sk.items")).as("__it"))
+      .select(col("window"), col("source"),
+        col("__it.term").as("term"),
+        col("__it.est").as("est"),
+        col("err"))
+
   /** Pre-create `destDir` with an empty schema-bearing `batch=-1`
     * sentinel (mode `ignore`: first start wins, restarts no-op). Empty
     * micro-batches skip their writes, so a run whose batches are ALL

@@ -308,4 +308,63 @@ class CorpusIngestSpec extends SparkSpec {
     // the state each open group carried is capped at k hashes
     assert(streamed.collect().forall(_.getLong(3) <= 64L))
   }
+
+  test("top-terms rollup: streaming MG sketch — exact regime equals batch, tight regime certifies") {
+    val srcDir = tmp("graft_ingest_src4")
+    writeMain(srcDir)
+    val wmSec = 3600L + 499L * 60 - 3600L
+    // exact per-(window, source, token) truth over the closed windows
+    val truth = twinClean(srcDir)
+      .select(col("ingest_time"), col("source"),
+        explode(graft.operators.TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy(window(col("ingest_time"), "1 hour").getField("start").as("ws"),
+        col("source"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("ws").cast("long") + 3600L <= wmSec)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+
+    def runRollup(m: Int, tag: String): Seq[(java.sql.Timestamp, String, String, Long, Long)] = {
+      val outDir = tmp(s"graft_ingest_mg_${tag}_out")
+      CorpusIngest.topTermsRollup(
+        CorpusIngest.clean(
+          CorpusIngest.documentsStream(spark, srcDir), MinQ, watermark = "1 hour"),
+        window = "1 hour", m = m)
+        .writeStream
+        .option("checkpointLocation", tmp(s"graft_ingest_mg_${tag}_ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .start()
+        .awaitTermination(180000)
+      spark.read.parquet(s"$outDir/batch=*")
+        .select(col("window.start").as("ws"), col("source"),
+          col("term"), col("est"), col("err"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    }
+
+    // exact regime: m above the fixture vocabulary -> no decrement ever
+    // fires and the closed windows ARE the exact counts
+    val exact = runRollup(m = 1024, tag = "x")
+    assert(exact.nonEmpty)
+    assert(exact.forall(_._5 == 0L), "exact regime must carry err = 0")
+    assert(exact.map(t => (t._1, t._2, t._3) -> t._4).toMap === truth)
+
+    // tight regime: m below vocabulary -> estimates are replay-order-
+    // dependent, but every emitted row must satisfy the certificate
+    // est <= true <= est + err against the exact truth
+    val tight = runRollup(m = 8, tag = "t")
+    assert(tight.nonEmpty)
+    assert(tight.exists(_._5 > 0L), "m=8 should be below the window vocabulary")
+    tight.foreach { case (ws, src, term, est, err) =>
+      val truef = truth.getOrElse((ws, src, term), 0L)
+      assert(est <= truef && truef <= est + err,
+        s"certificate violated: ($ws, $src, $term) est=$est err=$err true=$truef")
+    }
+  }
 }
