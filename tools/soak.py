@@ -14,7 +14,7 @@ over the hot tail, and writes:
   - bench/SOAK.json       compact per-query sf1/sf0.1 time ratios; Bench
                           embeds this file verbatim into its params line,
                           so the round's BENCH artifact carries the scale
-                          measurement (capped at 340 chars there).
+                          measurement (capped at 420 chars there).
   - bench/SOAK_DETAIL.md  the full table: absolute times both scales,
                           ratio, load averages, verdict per query.
 
@@ -280,8 +280,13 @@ def main():
                "load1": big["params"]["load"],
                "hp01": hp01, "hp1": hp1, **ratios}
     blob = json.dumps(compact, separators=(",", ":"))
-    assert len(blob) <= 340, f"SOAK.json too long ({len(blob)}) for Bench's budget"
     os.makedirs(os.path.join(REPO, "bench"), exist_ok=True)
+    # raw dump FIRST: a budget trip below must never lose the ~20 min
+    # of measurement this run just paid for
+    with open(os.path.join(REPO, "bench/SOAK_RAW.json"), "w") as f:
+        json.dump({"base": base, "big": big, "ratios": ratios,
+                   "lifecycle": {"base": lc_base, "big": lc_big}}, f, indent=1)
+    assert len(blob) <= 420, f"SOAK.json too long ({len(blob)}) for Bench's budget"
     with open(os.path.join(REPO, "bench/SOAK.json"), "w") as f:
         f.write(blob + "\n")
 
