@@ -379,6 +379,27 @@ object TextAnalysis {
   ): DataFrame = {
     require(k > 0, "k must be positive")
     require(query.nonEmpty, "query must have at least one term")
+    bm25TermScores(df, idCol, textCol, query, k1, b)
+      .groupBy("doc_id")
+      .agg(sum(col("__score_fx")).as("score_fx"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+      .orderBy(col("score_fx").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Per-(doc, term) BM25 integer scores for `terms` — the shared
+    * scorer behind [[bm25TopK]] and [[bm25TopKBatch]]; see
+    * [[bm25TopK]]'s scaladoc for the dataflow and cross-engine
+    * determinism story.
+    */
+  private def bm25TermScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double,
+      b: Double
+  ): DataFrame = {
     val docs = df.select(
       col(idCol).as("doc_id"),
       col(textCol).as("__text"),
@@ -388,13 +409,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"),
         explode(split(col("__text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-      .filter(col("term").isin(query: _*))
+      .filter(col("term").isin(terms: _*))
     val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
-    val scored = tf
+    tf
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("__avgdl",
@@ -410,12 +431,53 @@ object TextAnalysis {
             lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) / col("__avgdl"))))
       .withColumn("__score_fx",
         floor(col("__idf_fx").cast("double") * col("__ratio") + lit(0.5)).cast("long"))
-    scored
-      .groupBy("doc_id")
-      .agg(sum(col("__score_fx")).as("score_fx"),
-        count(lit(1)).cast("long").as("n_terms_hit"))
-      .orderBy(col("score_fx").desc, col("doc_id"))
-      .limit(k)
+      .select(col("doc_id"), col("term"), col("__score_fx"))
+  }
+
+  /** Batched BM25: top-k documents for EVERY query of a (query_id,
+    * term) bag at once — the decontamination-screen shape, where
+    * thousands of eval probes scan the corpus together instead of
+    * re-tokenizing it per query. One tokenize pass serves all queries
+    * (the `isin` over the union of query terms prunes before the tf
+    * shuffle); per-(doc, term) scores join the tiny query bag
+    * broadcast; and the per-query reduction rides the k-bounded
+    * `CollectTopK` queue — O(k) aggregate state per query in update
+    * AND merge, so the shuffle carries ≤ partitions·k rows per query
+    * where a rank window would sort every candidate doc (the same
+    * queue the ANN family uses, [[Similarity]]).
+    *
+    * Ties break on doc_id ascending (struct order on (−score, doc)),
+    * matching the oracle's `ORDER BY score_fx DESC, doc_id`.
+    */
+  def bm25TopKBatch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame, // (query_id, term)
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val bag = queries.select(col("query_id"), col("term")).distinct()
+    val terms = bag.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: the query vocabulary
+    require(terms.nonEmpty, "query bag must have at least one term")
+    val perDoc = bm25TermScores(df, idCol, textCol, terms, k1, b)
+      .join(broadcast(bag), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__score_fx")).as("score_fx"))
+    val item = struct((col("score_fx") * -1).as("neg"), col("doc_id"))
+    perDoc
+      .groupBy("query_id")
+      .agg(array_sort(org.apache.spark.sql.graftbridge.ColumnBridge
+        .collectTopK(item, k, reverse = true)).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__i")))
+      .select(
+        col("query_id"),
+        (col("__r") + 1).cast("long").as("rank"),
+        col("__i.doc_id").as("doc_id"),
+        (col("__i.neg") * -1).as("score_fx"))
   }
 
   /** Gopher-style top-n-gram occupancy: for each document, the count of

@@ -48,13 +48,7 @@ object ZOrder {
           .as(c)): _*)
       .head()
     val codes = cols.zipWithIndex.map { case (c, i) =>
-      val bs = bounds.getSeq[Double](i)
-      // code = #boundaries <= value, a codegen'd fold over a literal
-      // array — 0 when null or below all cuts, 2^bits-1 above all
-      aggregate(
-        typedLit(bs),
-        lit(0),
-        (acc, b) => acc + when(col(c).cast("double") >= b, 1).otherwise(0))
+      bucketCode(col(c).cast("double"), bounds.getSeq[Double](i))
     }
     // interleave: bit b of code i lands at position b*|cols| + i
     val terms = for {
@@ -64,6 +58,25 @@ object ZOrder {
       shiftright(code.cast("long"), b).bitwiseAND(lit(1L)),
       b * cols.size + i)
     terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** `#boundaries <= value` as a BALANCED nested-`when` binary search
+    * (depth log2 of the boundary count, ~6 codegen'd comparisons per
+    * row at 6 bits). The obvious `aggregate(boundaries, 0, acc + ...)`
+    * fold is a higher-order function — Catalyst interprets those row
+    * by row (CodegenFallback), and at 6 bits that meant 63 interpreted
+    * lambda calls per row per column: the soak measured the whole
+    * z-order write at 10.7 s for 600 k rows before this tree, ~3× the
+    * heaviest ANN query. Null (and below-all-cuts) lands in bucket 0.
+    */
+  private def bucketCode(v: Column, bs: Seq[Double]): Column = {
+    def go(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(v >= bs(mid), go(mid + 1, hi)).otherwise(go(lo, mid))
+      }
+    when(v.isNull, lit(0)).otherwise(go(0, bs.length))
   }
 
   /** Write `df` parquet at `path`, clustered along the z-curve of

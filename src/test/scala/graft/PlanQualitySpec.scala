@@ -181,6 +181,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("batched bm25: per-query top-k rides the k-bounded queue, query bag broadcasts") {
+    val plan = SparkEntry.queries("q_text_bm25_batch")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the per-query reduction must be CollectTopK partials (O(k) state),
+    // never a rank window over every candidate doc
+    assert(plan.contains("collect_top_k"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("Window"), plan)
+    // term stats + the query bag broadcast; candidates never cartesian
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("sequence DDL window is partitioned (no single-partition WindowExec)") {
     val plan = SparkEntry.queries("q_s9_seq_ddl")(spark, sfDir)
       .queryExecution.executedPlan.toString

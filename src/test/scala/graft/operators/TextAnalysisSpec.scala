@@ -397,6 +397,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc(1L)._2 > byDoc(4L)._2, out.toSeq.toString)
   }
 
+  test("bm25TopKBatch: each query's top-k equals the single-query scorer's") {
+    import spark.implicits._
+    val docs = table("documents")
+    val queries = Seq(
+      (1L, "spark"), (1L, "hash"),
+      (2L, "vector"), (2L, "window")).toDF("query_id", "term")
+    val batch = TextAnalysis.bm25TopKBatch(docs, "doc_id", "text", queries, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+      }
+    val singles = Map(
+      1L -> Seq("spark", "hash"),
+      2L -> Seq("vector", "window")
+    ).map { case (q, terms) =>
+      q -> TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    assert(batch == singles)
+  }
+
   test("bm25TopK: limit bounds the result and ordering is score desc, id asc") {
     val out = TextAnalysis.bm25TopK(table("documents"), "doc_id", "text",
       query = Seq("spark", "hash", "vector"), k = 7)
