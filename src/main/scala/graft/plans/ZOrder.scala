@@ -32,23 +32,34 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Morton z-value for `cols`, each rank-bucketed into 2^bits codes.
-    * Null sorts first (bucket 0). Total z width = bits·|cols| ≤ 63.
+  /** One sketch pass for every column's rank-bucket boundaries:
+    * 2^bits − 1 quantile cuts per column (a mergeable
+    * `approx_percentile` aggregate; the collect is bounded by
+    * construction, independent of row count).
     */
-  def zValue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
+  def quantileBounds(
+      df: DataFrame, cols: Seq[String], bits: Int): Seq[Seq[Double]] = {
     require(cols.nonEmpty, "z-order needs at least one column")
     require(bits >= 1 && bits * cols.size <= 63,
       s"bits($bits) x cols(${cols.size}) must fit a long")
     val nb = (1 << bits) - 1
     val qs = (1 to nb).map(i => i.toDouble / (1 << bits))
-    // one sketch pass for every column's quantile boundaries
-    val bounds = df
+    val row = df
       .select(cols.map(c =>
         approx_percentile(col(c).cast("double"), typedLit(qs), lit(10000))
           .as(c)): _*)
       .head()
-    val codes = cols.zipWithIndex.map { case (c, i) =>
-      bucketCode(col(c).cast("double"), bounds.getSeq[Double](i))
+    cols.indices.map(i => row.getSeq[Double](i))
+  }
+
+  /** Morton z-value from PRE-COMPUTED boundaries — the shared kernel of
+    * [[zValue]] and [[zorderAppend]] (appends must code new rows with
+    * the SAME boundaries the base layout used, or the two layouts'
+    * z-values stop being comparable).
+    */
+  def zValueWith(cols: Seq[String], bits: Int, bounds: Seq[Seq[Double]]): Column = {
+    val codes = cols.zip(bounds).map { case (c, bs) =>
+      bucketCode(col(c).cast("double"), bs)
     }
     // interleave: bit b of code i lands at position b*|cols| + i
     val terms = for {
@@ -59,6 +70,12 @@ object ZOrder {
       b * cols.size + i)
     terms.reduce(_.bitwiseOR(_))
   }
+
+  /** Morton z-value for `cols`, each rank-bucketed into 2^bits codes.
+    * Null sorts first (bucket 0). Total z width = bits·|cols| ≤ 63.
+    */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int): Column =
+    zValueWith(cols, bits, quantileBounds(df, cols, bits))
 
   /** `#boundaries <= value` as a BALANCED nested-`when` binary search
     * (depth log2 of the boundary count, ~6 codegen'd comparisons per
@@ -89,13 +106,132 @@ object ZOrder {
       path: String,
       numFiles: Int,
       bits: Int = 6): Unit = {
-    val z = zValue(df, cols, bits)
-    df.withColumn("__z", z)
+    val bounds = quantileBounds(df, cols, bits)
+    df.withColumn("__z", zValueWith(cols, bits, bounds))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+    writeMeta(df.sparkSession, path, cols, bits, bounds)
   }
+
+  /** The layout contract, persisted as a `_`-prefixed parquet side
+    * table under the dataset dir (Spark's input listing skips it, so
+    * plain reads of `path` never see it — the same side-table
+    * convention the ANN indexes use for their quantizer/codebook):
+    * one row per clustered column with its boundary array. Appends
+    * ride this instead of re-deriving boundaries — re-deriving from a
+    * batch would code the same value into a different bucket and
+    * silently break z comparability between old and new files.
+    */
+  private def metaPath(path: String) = s"$path/_zorder_meta"
+
+  private def writeMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cols: Seq[String],
+      bits: Int,
+      bounds: Seq[Seq[Double]]): Unit = {
+    import spark.implicits._
+    cols.zip(bounds).zipWithIndex
+      .map { case ((c, bs), i) => (i, c, bits, bs) }
+      .toDF("idx", "column", "bits", "bounds")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(metaPath(path))
+  }
+
+  private def readMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[String], Int, Seq[Seq[Double]]) = {
+    val rows = spark.read.parquet(metaPath(path))
+      .orderBy("idx").collect()
+    require(rows.nonEmpty, s"no z-order layout contract under $path")
+    (rows.map(_.getString(1)).toSeq, rows.head.getInt(2),
+      rows.map(_.getSeq[Double](3)).toSeq)
+  }
+
+  /** Append a batch to a z-ordered dataset, clustered along the STORED
+    * layout contract — the epoch shape: each append pays one range
+    * exchange of the batch only, never a rewrite of the base (the same
+    * O(batch) policy as the ANN index appends riding their stored
+    * quantizer). New files cluster within the batch, so point
+    * predicates keep pruning them; rows outside the stored boundary
+    * range pile into the edge buckets, which is exactly the drift
+    * signal [[zorderStats]] reads and [[isStaleZorder]] decides on —
+    * remediation is a full [[zorderWrite]] recluster with fresh
+    * boundaries.
+    */
+  def zorderAppend(
+      batch: DataFrame,
+      path: String,
+      numFiles: Int = 1): Unit = {
+    val (cols, bits, bounds) = readMeta(batch.sparkSession, path)
+    batch.withColumn("__z", zValueWith(cols, bits, bounds))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("append").parquet(path)
+  }
+
+  /** Layout health, one row per clustered column:
+    *   - `avg_coverage` — mean per-file span fraction
+    *     ([[fileCoverage]]): the probability a uniform point predicate
+    *     reads a file; creeps up as appends accumulate files.
+    *   - `edge_ppm` — fraction (ppm) of rows whose stored-bucket code
+    *     is the extreme 0 or 2^bits−1: distribution drift lands new
+    *     rows OUTSIDE the stored boundary range, piling them here long
+    *     before coverage notices (a uniform layout keeps ~2/2^bits
+    *     ≈ 31 250 ppm at 6 bits).
+    * One pass over the data plus the per-file min/max jobs.
+    */
+  def zorderStats(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (cols, bits, bounds) = readMeta(spark, path)
+    val cov = fileCoverage(spark, path, cols)
+      .groupBy("column").agg(avg("coverage").as("avg_coverage"))
+    val df = spark.read.parquet(path)
+    val top = (1 << bits) - 1
+    val edges = df.select(cols.zip(bounds).map { case (c, bs) =>
+      val code = bucketCode(col(c).cast("double"), bs)
+      (code === 0 || code === top).cast("long").as(c)
+    }: _*)
+      .agg(count(lit(1)).as("__n"),
+        cols.map(c => sum(col(c)).as(c)).toIndexedSeq: _*)
+      .head()
+    val n = edges.getLong(0)
+    import spark.implicits._
+    val edgeDf = cols.zipWithIndex
+      .map { case (c, i) =>
+        (c, if (n == 0) 0L else edges.getLong(i + 1) * 1000000L / n) }
+      .toDF("column", "edge_ppm")
+    cov.join(edgeDf, Seq("column")).orderBy("column")
+  }
+
+  /** Recluster decision: stale when any clustered column's mean file
+    * coverage exceeds `covMax` (too many files answer every point
+    * query — file accumulation) or its edge-bucket share exceeds
+    * `edgePpmMax` (stored boundaries no longer describe the data —
+    * distribution drift). Both remediate the same way: a full
+    * [[zorderWrite]] with fresh boundaries.
+    *
+    * `covMax` must sit ABOVE the layout's ideal: a z-range split into
+    * `numFiles` chunks fixes ~log2(numFiles) leading interleaved bits,
+    * so each dim's ideal per-file span is ≈ numFiles^(−1/|cols|) (and
+    * the dims split unevenly when log2(numFiles) doesn't divide by
+    * |cols| — the leading bits alternate dims, so one dim gets the
+    * extra split). The 0.5 default suits ≥ 16 files on 2 dims (ideal
+    * 0.25); an 8-file 2-dim layout idealizes at 0.5 on its
+    * worse-split dim and needs a looser bound.
+    */
+  def isStaleZorder(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      covMax: Double = 0.5,
+      edgePpmMax: Long = 100000L): Boolean =
+    zorderStats(spark, path).collect().exists { r =>
+      r.getDouble(1) > covMax || r.getLong(2) > edgePpmMax
+    }
 
   /** Skipping effectiveness of a written layout: for each data file and
     * each of `cols`, the fraction of the column's global [min, max]

@@ -50,6 +50,41 @@ class ZOrderSpec extends SparkSpec {
     assert(zc("l_partkey") < sc("l_partkey") / 1.5, s"z=$zc sorted=$sc")
   }
 
+  test("lifecycle: append rides the stored contract, drift flags stale, recluster clears it") {
+    val li = table("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val out = Files.createTempDirectory("graft_zlc").toString
+    val base = li.filter(col("l_orderkey") % 10 =!= 0)
+    val batch = li.filter(col("l_orderkey") % 10 === 0)
+    // 16 files on 2 dims -> both dims' ideal per-file span is 0.25,
+    // comfortably under the 0.5 staleness bound (see isStaleZorder doc)
+    ZOrder.zorderWrite(base, Seq("l_orderkey", "l_partkey"), out, numFiles = 16)
+
+    // same-distribution epoch append: O(batch) cost, layout stays healthy
+    ZOrder.zorderAppend(batch, out, numFiles = 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() === li.count(), "append must lose nothing")
+    assert(back.exceptAll(li).isEmpty, "append must be a pure permutation")
+    assert(!ZOrder.isStaleZorder(spark, out), "healthy layout must not flag")
+
+    // drifted epoch: keys far beyond the stored boundary range pile
+    // into the top edge bucket -> edge_ppm spikes -> stale
+    val maxKey = li.agg(max("l_orderkey")).head().getLong(0)
+    val drifted = batch.withColumn("l_orderkey", col("l_orderkey") + lit(maxKey * 10))
+    ZOrder.zorderAppend(drifted, out, numFiles = 1)
+    val stats = ZOrder.zorderStats(spark, out).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(stats("l_orderkey")._2 > 100000L,
+      s"drifted keys must land in edge buckets: $stats")
+    assert(ZOrder.isStaleZorder(spark, out), "drift must flag stale")
+
+    // remediation: full recluster with fresh boundaries
+    val current = spark.read.parquet(out)
+    val re = Files.createTempDirectory("graft_zlc2").toString
+    ZOrder.zorderWrite(current, Seq("l_orderkey", "l_partkey"), re, numFiles = 16)
+    assert(!ZOrder.isStaleZorder(spark, re), "recluster must clear staleness")
+    assert(spark.read.parquet(re).count() === current.count())
+  }
+
   test("zValue: interleaves rank buckets — null and skew land in low buckets, monotone per dim") {
     import spark.implicits._
     val df = (1 to 1024).map(i => (i.toLong, (1025 - i).toLong)).toDF("a", "b")
