@@ -1108,6 +1108,19 @@ object SparkEntry {
       graft.verify.Comparator.exactColumnProfile(t(s, dir, "orders"))
         .orderBy("column_name")
     }),
+    // Src/dest profile comparison over a deliberately-damaged copy:
+    // o_orderpriority's cardinality collapsed (the lossy-transpile
+    // shape), o_orderstatus dropped — the missing column must surface
+    // as a full-outer row with a NO verdict, not vanish
+    "q_profile_diff" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+      val dest = src
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 2 === 0, lit(null).cast("string"))
+            .otherwise(lit("X")))
+        .drop("o_orderstatus")
+      graft.verify.Comparator.profileDiff(src, dest)
+    }),
     "q_verify_checksum" -> ((s, dir) => {
       val src = t(s, dir, "orders")
         .withColumn("o_uni",
@@ -2876,6 +2889,27 @@ object SparkEntry {
           s"count(*) - count($c) AS n_nulls, " +
           s"count(DISTINCT $c) AS n_distinct FROM orders"
       }.mkString("", " UNION ALL ", " ORDER BY column_name")
+    },
+    "q_profile_diff" -> {
+      val srcCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val destCols = srcCols.filterNot(_ == "o_orderstatus")
+      def prof(cols: Seq[String], from: String) = cols.map { c =>
+        s"SELECT '$c' AS column_name, count(*) AS n_rows, " +
+          s"count(*) - count($c) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct FROM $from"
+      }.mkString(" UNION ALL ")
+      "WITH dest AS (SELECT o_orderkey, o_custkey, " +
+        "CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE 'X' END AS o_orderpriority, " +
+        "o_totalprice, o_orderdate FROM orders), " +
+        s"sp AS (${prof(srcCols, "orders")}), " +
+        s"dp AS (${prof(destCols, "dest")}) " +
+        "SELECT column_name, " +
+        "sp.n_rows AS src_rows, sp.n_nulls AS src_nulls, sp.n_distinct AS src_distinct, " +
+        "dp.n_rows AS dest_rows, dp.n_nulls AS dest_nulls, dp.n_distinct AS dest_distinct, " +
+        "CASE WHEN sp.n_rows = dp.n_rows AND sp.n_nulls = dp.n_nulls " +
+        "AND sp.n_distinct = dp.n_distinct THEN 'YES' ELSE 'NO' END AS is_ok " +
+        "FROM sp FULL OUTER JOIN dp USING (column_name) ORDER BY column_name"
     },
     "q_verify_checksum" -> {
       // the destination-engine recomputation of portableChecksum: the

@@ -184,6 +184,33 @@ object Comparator {
         col("__p.n_nulls"), col("__p.n_distinct"))
   }
 
+  /** Source-vs-destination profile comparison: both sides'
+    * [[exactColumnProfile]] long formats full-outer-joined on
+    * `column_name` — so a column missing from either side surfaces as
+    * a row (the same shape [[compareCounts]] uses for missing tables)
+    * — with a per-column `is_ok` verdict. This is the cardinality leg
+    * of post-migration verification: counts and checksums can both
+    * pass while a lossy transpile collapses distincts; nulls/distincts
+    * diverging per column names the culprit directly.
+    */
+  def profileDiff(src: DataFrame, dest: DataFrame): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      exactColumnProfile(df).select(
+        col("column_name"),
+        col("n_rows").as(s"${tag}_rows"),
+        col("n_nulls").as(s"${tag}_nulls"),
+        col("n_distinct").as(s"${tag}_distinct"))
+    side(src, "src")
+      .join(side(dest, "dest"), Seq("column_name"), "full_outer")
+      .withColumn("is_ok",
+        when(
+          col("src_rows") === col("dest_rows") &&
+            col("src_nulls") === col("dest_nulls") &&
+            col("src_distinct") === col("dest_distinct"),
+          lit("YES")).otherwise(lit("NO")))
+      .orderBy("column_name")
+  }
+
   /** Engine-portable order-insensitive column checksum — the
     * exact-oracle twin of [[checksum]], whose xxhash64 kernel is
     * Spark-specific. Every value normalizes to an exact integer —

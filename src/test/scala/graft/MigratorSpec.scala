@@ -78,6 +78,26 @@ class MigratorSpec extends SparkSpec {
       ("s", 5L, 2L, 2L)))
   }
 
+  test("profileDiff: a collapsed column and a missing column both flag NO") {
+    val src = table("orders")
+    // destination with o_orderpriority cardinality collapsed (the lossy-
+    // transpile shape) and o_orderstatus dropped entirely
+    val dest = src
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 2 === 0, lit(null).cast("string"))
+          .otherwise(lit("X")))
+      .drop("o_orderstatus")
+    val out = Comparator.profileDiff(src, dest).collect()
+      .map(r => r.getString(0) -> r.getString(r.length - 1)).toMap
+    assert(out("o_orderkey") === "YES")
+    assert(out("o_totalprice") === "YES")
+    assert(out("o_orderpriority") === "NO", "collapsed cardinality must flag")
+    assert(out("o_orderstatus") === "NO", "column missing from dest must flag")
+    // identical sides are all-YES
+    val clean = Comparator.profileDiff(src, src).collect()
+    assert(clean.forall(_.getString(clean.head.length - 1) == "YES"))
+  }
+
   test("compareCounts: a hung table degrades to a TIMEOUT failure row within bound") {
     val src = FixtureSource(sfDir)
     // a source whose `nation` scan never returns — the hung-connection
