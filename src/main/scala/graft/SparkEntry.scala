@@ -852,6 +852,14 @@ object SparkEntry {
         "lang", "doc_id", "text", n = 3, k = 64)
         .orderBy("lang")
     }),
+    // Pairwise cross-language shingle resemblance from the per-group
+    // KMV sketches (Broder k-min estimator, exact integer ppm): the
+    // pairing runs over |groups|² sketch rows, never over the corpus
+    "q_sketch_kmv_jaccard" -> ((s, dir) => {
+      Sketches.kmvPairwiseJaccard(t(s, dir, "documents"),
+        "lang", "text", n = 3, k = 64)
+        .orderBy("group_a", "group_b")
+    }),
     // Deterministic-sample quantiles: portable Knuth lottery keeps 1/4
     // of docs, then exact integral rank selection per language — no
     // interpolation semantics for engines to disagree over
@@ -2402,6 +2410,23 @@ object SparkEntry {
         "max(CASE WHEN rn = (cnt-1)*5//10 + 1 THEN toks END) AS p50_tokens, " +
         "max(CASE WHEN rn = (cnt-1)*9//10 + 1 THEN toks END) AS p90_tokens, " +
         "max(cnt) AS n_sample FROM r GROUP BY lang ORDER BY lang"),
+    // KMV pairwise Jaccard twin: DuckDB rebuilds each lang's k=64
+    // sketch from the pinned shingle CTEs, then replays the k-min
+    // union, the both-sides membership count, and the integer-ppm
+    // division bit-for-bit
+    "q_sketch_kmv_jaccard" ->
+      (SketchKmvShingleCtes +
+        ", sk AS (SELECT lang, list_sort(list(mh)) AS sk FROM r WHERE rn <= 64 GROUP BY lang), " +
+        "p AS (SELECT a.lang AS group_a, b.lang AS group_b, a.sk AS ska, b.sk AS skb " +
+        "FROM sk a JOIN sk b ON a.lang < b.lang), " +
+        "u AS (SELECT group_a, group_b, ska, skb, " +
+        "list_sort(list_distinct(list_concat(ska, skb)))[1:64] AS un FROM p), " +
+        "m AS (SELECT group_a, group_b, " +
+        "CAST(len(list_filter(un, x -> list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT) AS matches, " +
+        "CAST(len(un) AS BIGINT) AS union_k FROM u) " +
+        "SELECT group_a, group_b, matches, union_k, " +
+        "(matches * 1000000) // union_k AS jaccard_ppm " +
+        "FROM m ORDER BY group_a, group_b"),
     // MG sketch exact regime: with err = 0 the sketch output equals the
     // plain per-(lang, token) counts sorted est desc, term asc
     "q_sketch_mg_exact" ->

@@ -199,4 +199,43 @@ object Sketches {
           explode(split(col(textCol), " ")).as("__term"))
         .filter(length(col("__term")) > 0),
       groupCol, "__term", m)
+
+  /** Pairwise group resemblance from KMV sketches — Broder's k-min
+    * estimator: J(A, B) ≈ |{k smallest of A ∪ B} ∩ A ∩ B| / k. The
+    * cross-corpus overlap diagnostic ("how much does source X's
+    * shingle set overlap source Y's") that exact intersection can't
+    * afford at 100 TB: each group reduces to its O(k) sketch in ONE
+    * corpus pass (the same bounded aggregate as
+    * [[kmvDistinctShingles]]), and the pairing then runs over
+    * |groups|² sketch rows, never over data. The pair stage uses
+    * higher-order array ops (interpreted, not codegen) deliberately:
+    * it touches k-element arrays × group-pairs, thousands of values,
+    * regardless of corpus size. Output is exact integer ppm —
+    * `matches·10⁶ ∕ k` — and below k total distinct values the k-min
+    * prefix IS the union, making the estimate exact; both facts let
+    * the DuckDB oracle replay the pipeline bit-for-bit.
+    */
+  def kmvPairwiseJaccard(
+      df: DataFrame, groupCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val sk = shingleHashes(df, groupCol, textCol, n)
+      .groupBy(col(groupCol).as("g"))
+      .agg(KmvSketchExpression.kmvSketch(col("mh"), k).as("sk"))
+    val pairs = sk.select(col("g").as("group_a"), col("sk").as("__ska"))
+      .join(broadcast(sk.select(col("g").as("group_b"), col("sk").as("__skb"))),
+        col("group_a") < col("group_b"))
+    pairs
+      .withColumn("__u", kmvMerge(col("__ska"), col("__skb"), k))
+      .withColumn("__matches",
+        size(filter(col("__u"), x =>
+          array_contains(col("__ska"), x) && array_contains(col("__skb"), x)))
+          .cast(LongType))
+      .select(
+        col("group_a"), col("group_b"),
+        col("__matches").as("matches"),
+        size(col("__u")).cast(LongType).as("union_k"),
+        call_function("div",
+          col("__matches") * lit(1000000L), size(col("__u")).cast(LongType))
+          .as("jaccard_ppm"))
+  }
 }

@@ -155,6 +155,22 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmv pairwise jaccard: identical groups read 1e6 ppm, disjoint groups 0") {
+    // two groups with identical text, one disjoint; below k the sketch
+    // is the distinct set and the estimator is exact
+    val docs = Seq(
+      ("a", "alpha beta gamma delta epsilon zeta"),
+      ("b", "alpha beta gamma delta epsilon zeta"),
+      ("c", "one two three four five six")
+    ).toDF("grp", "text")
+    val out = Sketches.kmvPairwiseJaccard(docs, "grp", "text", n = 3, k = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(out(("a", "b")) == 1000000L, s"identical sets must read 1e6: $out")
+    assert(out(("a", "c")) == 0L && out(("b", "c")) == 0L,
+      s"disjoint sets must read 0: $out")
+  }
+
   test("mg sketch: weighted updates count weight mass, not rows") {
     import graft.functions.MgSketchExpression
     val df = Seq(("a", 10L), ("b", 3L), ("a", 5L), ("c", 1L))
