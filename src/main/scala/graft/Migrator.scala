@@ -129,4 +129,22 @@ final class Migrator(
     Comparator.compareCounts(spark, src, dest.asSource, names,
       maxParallel = tableConcurrency)
   }
+
+  /** Column-level cardinality verification of one synced table — the
+    * third comparison tier after row counts ([[compare]]) and content
+    * checksums: src and dest [[Comparator.exactColumnProfile]]s joined
+    * per column. Counts and checksums can both pass while a lossy type
+    * transpile collapses distincts; a NO row here names the damaged
+    * column directly. Column names compare case-insensitively (the
+    * destination engine may fold identifiers — Derby uppercases).
+    */
+  def compareProfile(name: String): DataFrame = {
+    def lowered(df: DataFrame) =
+      df.select(df.schema.fieldNames.map(c =>
+        org.apache.spark.sql.functions.col(c)
+          .as(c.toLowerCase(java.util.Locale.ROOT))).toIndexedSeq: _*)
+    Comparator.profileDiff(
+      lowered(src.table(spark, name)),
+      lowered(dest.asSource.table(spark, name)))
+  }
 }

@@ -160,6 +160,13 @@ class DerbyLiveJdbcSpec extends SparkSpec {
     val va = Comparator.portableChecksum(table("embeddings")).collect()(0)
     val vb = Comparator.portableChecksum(renamed).collect()(0)
     assert(va.toString === vb.toString)
+    // third verification tier, live: per-column cardinality profiles of
+    // a synced table match the source's column by column (identifiers
+    // case-folded through the engine's uppercasing)
+    val prof = m.compareProfile("orders").collect()
+    assert(prof.length === table("orders").columns.length, prof.mkString("; "))
+    assert(prof.forall(r => r.getString(r.length - 1) == "YES"),
+      prof.mkString("; "))
   }
 
   test("range append is replay-safe: delete-range + append converges over replays") {
