@@ -181,6 +181,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("sign projection is an exchange-free narrow map through the native dot kernel") {
+    val emb = table("embeddings")
+    val df = graft.operators.Similarity.signProject(emb, "vec_id", "embedding", outDim = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    // pure per-row map: no shuffle of any kind, and the outDim dot
+    // products run in the codegen'd kernel, not an interpreted fold
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("graft_vec_dot"), plan)
+  }
+
+  test("kmv pairwise jaccard: one corpus shuffle, sketch pairing broadcasts") {
+    val plan = SparkEntry.queries("q_sketch_kmv_jaccard")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the corpus reduces to per-group sketches through the bounded
+    // partial aggregate; the |groups|x|groups| pairing then joins
+    // sketch rows via broadcast, never re-shuffling data
+    assert(plan.contains("partial_graft_kmv_sketch"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("z-ordered read-back pushes both range predicates to the parquet scan") {
     val df = SparkEntry.queries("q_zorder_scan")(spark, sfDir)
     val plan = explain(df)
