@@ -238,33 +238,38 @@ object ZOrder {
     * span that the file's own [min, max] covers — the probability a
     * uniform point predicate on that column must read the file. A
     * clustered layout scores ≪ 1 on every clustered column; an
-    * arrival-order layout scores ≈ 1. One Spark job per file (the file
-    * list is the driver-bounded unit of work here, as in
-    * [[Compaction]]'s triage).
+    * arrival-order layout scores ≈ 1.
+    *
+    * ONE distributed pass: per-file min/max aggregate grouped on
+    * `input_file_name()` (a driver loop issuing one job per file would
+    * serialize at thousands of files — exactly the shape a 100 TB
+    * layout audit has), plus a one-row global-span aggregate embedded
+    * as literals.
     */
   def fileCoverage(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       cols: Seq[String]): DataFrame = {
-    import spark.implicits._
     val whole = spark.read.parquet(path)
     val span = whole.select(cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"${c}__lo"),
       max(col(c).cast("double")).as(s"${c}__hi"))): _*).head()
-    val files = whole.inputFiles.sorted
-    val rows = files.flatMap { f =>
-      val per = spark.read.parquet(f).select(cols.flatMap(c => Seq(
-        min(col(c).cast("double")).as("lo"),
-        max(col(c).cast("double")).as("hi"))): _*).head()
-      cols.zipWithIndex.map { case (c, i) =>
-        val glo = span.getDouble(2 * i)
-        val ghi = span.getDouble(2 * i + 1)
-        val flo = per.getDouble(2 * i)
-        val fhi = per.getDouble(2 * i + 1)
-        val cov = if (ghi == glo) 1.0 else (fhi - flo) / (ghi - glo)
-        (f, c, cov)
-      }
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"${c}__lo"),
+      max(col(c).cast("double")).as(s"${c}__hi")))
+    val per = whole
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val covRows = cols.zipWithIndex.map { case (c, i) =>
+      val glo = span.getDouble(2 * i)
+      val ghi = span.getDouble(2 * i + 1)
+      val cov =
+        if (ghi == glo) lit(1.0)
+        else (col(s"${c}__hi") - col(s"${c}__lo")) / lit(ghi - glo)
+      struct(lit(c).as("column"), cov.as("coverage"))
     }
-    rows.toSeq.toDF("file", "column", "coverage")
+    per
+      .select(col("file"), explode(array(covRows: _*)).as("__c"))
+      .select(col("file"), col("__c.column"), col("__c.coverage"))
   }
 }
