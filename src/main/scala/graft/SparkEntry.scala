@@ -952,6 +952,19 @@ object SparkEntry {
       ).toDF("id_a", "id_b")
       Dedup.duplicateClusters(pairs).orderBy("id")
     }),
+    // Frequency-capped dedup over the same cluster graph: k = 2 keeps
+    // two members of every duplicate cluster, all edge-free docs
+    // survive untouched
+    "q_dedup_keep_k" -> ((s, _) => {
+      import s.implicits._
+      val docs = (1L to 25L).toDF("doc_id")
+      val pairs = Seq(
+        (1L, 2L), (2L, 3L), (5L, 3L),
+        (10L, 11L),
+        (20L, 21L), (20L, 22L), (20L, 23L)
+      ).toDF("id_a", "id_b")
+      Dedup.keepKPerCluster(docs, "doc_id", pairs, k = 2).orderBy("doc_id")
+    }),
     // Near-dedup via MinHash LSH over a planted-duplicate corpus. The
     // hash family is engine-specific (xxhash64), but the OUTPUT is not:
     // at threshold 1.0 the exact-Jaccard verify keeps only pairs with
@@ -2219,6 +2232,18 @@ object SparkEntry {
         "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src) " +
         "SELECT CAST(a AS BIGINT) AS id, CAST(min(b) AS BIGINT) AS cluster " +
         "FROM reach GROUP BY a ORDER BY id"),
+    "q_dedup_keep_k" ->
+      ("WITH RECURSIVE docs(doc_id) AS (SELECT unnest(range(1, 26))), " +
+        "p(id_a, id_b) AS (SELECT * FROM (VALUES " +
+        "(1,2),(2,3),(5,3),(10,11),(20,21),(20,22),(20,23)) AS v(id_a, id_b)), " +
+        "edges(src, dst) AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach(a, b) AS (SELECT src, src FROM edges " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src), " +
+        "cl AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a), " +
+        "r AS (SELECT id, row_number() OVER (PARTITION BY cluster ORDER BY id) AS rn FROM cl) " +
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id FROM docs d " +
+        "LEFT JOIN r ON d.doc_id = r.id " +
+        "WHERE r.id IS NULL OR r.rn <= 2 ORDER BY doc_id"),
     "q_sim_topk" ->
       ("SELECT q.vec_id AS query_id, " +
         "(SELECT b.vec_id FROM embeddings b WHERE b.vec_id <> q.vec_id " +

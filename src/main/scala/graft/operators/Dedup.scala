@@ -353,6 +353,34 @@ object Dedup {
     labels
   }
 
+  /** Frequency-capped dedup ("soft dedup"): keep up to `k` members of
+    * each connected duplicate cluster instead of one — the knob
+    * training pipelines use when a bounded amount of natural
+    * duplication is wanted as signal (document frequency reweighting)
+    * but unbounded boilerplate is not. `k = 1` degrades to the strict
+    * keep-first transitive dedup; `k ≥` the largest cluster keeps
+    * everything. Membership ranks by id ascending (deterministic);
+    * docs with no duplicate edge never enter the rank window —
+    * [[duplicateClusters]] already reduces the corpus to clustered ids
+    * only, so the window sorts duplicate-cluster rows, not the corpus,
+    * and the survivors join back to the full table on the id.
+    */
+  def keepKPerCluster(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy("id")
+    val ranked = duplicateClusters(pairs)
+      .withColumn("__keep", row_number().over(w) <= k)
+      .select(col("id").as(idCol), col("__keep"))
+    docs.join(ranked, Seq(idCol), "left_outer")
+      .filter(col("__keep").isNull || col("__keep"))
+      .drop("__keep")
+  }
+
   /** Cluster-collapsing dedup: keep exactly one doc (lowest id) per
     * connected near-duplicate cluster — the strict variant of
     * [[minhashDedup]].

@@ -131,6 +131,20 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("keepKPerCluster: k=1 is strict keep-first, k >= max cluster keeps everything") {
+    import spark.implicits._
+    val docs = (1L to 12L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    def ids(k: Int) = Dedup.keepKPerCluster(docs, "doc_id", pairs, k)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // k=1: lowest id of each cluster survives, edge-free docs untouched
+    assert(ids(1) == Seq(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 12L))
+    // k=2: second member of {1,2,3} returns; {10,11} fully back
+    assert(ids(2) == Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L, 12L))
+    // k beyond the largest cluster: nothing dropped
+    assert(ids(5) == (1L to 12L).toSeq)
+  }
+
   test("transitive dedup collapses a bridge cluster that one-pass dedup keeps split") {
     import spark.implicits._
     // A and B are dissimilar; C bridges them (half A's tokens, half B's)
