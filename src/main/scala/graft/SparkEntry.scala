@@ -580,6 +580,13 @@ object SparkEntry {
     // contributions (quantize-then-sum, order-free), full-precision
     // re-rank of the shortlist — seed pick, encode argmin, ADC, and
     // re-rank all replayed exactly by the DuckDB oracle
+    // Per-label embedding centroids in exact fixed point: posexplode →
+    // bounded hash aggregate (shuffle ≤ groups × dim rows), micro-unit
+    // sums in BIGINT, mean by integer division
+    "q_sim_group_centroids" -> ((s, dir) => {
+      Similarity.groupCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "pos")
+    }),
     // Sign-random projection (Achlioptas ±1 JL): dim-64 embeddings to
     // 16 exact integer components, the matrix regenerated from Knuth-
     // mixed parities — a pure per-row map through the native dot
@@ -2329,6 +2336,17 @@ object SparkEntry {
     // array_position tie-break, per-subspace dot quantized to integer
     // micro-units BEFORE the cross-subspace SUM (order-free), exact
     // cosine re-rank of the shortlist. dim=64, m=4, sub=16, nCodes=16.
+    // centroid twin: same micro-unit quantization, BIGINT sums, and
+    // integer-division mean — unnest duplicates the row's other
+    // columns per element, and range() supplies the position
+    "q_sim_group_centroids" ->
+      ("WITH f AS (SELECT label, unnest(range(0, len(embedding))) AS pos, " +
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e " +
+        "FROM embeddings), " +
+        "g AS (SELECT label, pos, sum(e[pos + 1]) AS sum_fx, count(*) AS n FROM f GROUP BY label, pos) " +
+        "SELECT label, CAST(pos AS BIGINT) AS pos, CAST(sum_fx AS BIGINT) AS sum_fx, " +
+        "CAST(sum_fx // n AS BIGINT) AS mean_fx, CAST(n AS BIGINT) AS n " +
+        "FROM g ORDER BY label, pos"),
     // sign-projection twin: regenerate the ±1 matrix from the same
     // nonlinear middle-square parity, quantize to micro-units, integer
     // dot — exact BIGINT end to end

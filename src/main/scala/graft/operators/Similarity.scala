@@ -457,6 +457,38 @@ object Similarity {
       .select(col("vec_id"), array(cols: _*).as("proj_fx"))
   }
 
+  /** Per-group embedding centroids (label / domain / language mean
+    * vectors) in long format — the aggregate behind domain-similarity
+    * routing, drift monitoring, and SemDeDup-style cluster profiling.
+    * Relational shape, not a per-row fold: `posexplode` flattens to
+    * (group, pos, component) and a plain hash aggregate reduces —
+    * partial (map-side) combine collapses each partition to ≤
+    * groups × dim rows, so the one shuffle is bounded by groups × dim
+    * whatever the corpus size. Components quantize to micro-units
+    * FIRST, so the sum is exact BIGINT and the mean an integer
+    * division — both engines replay it bit-for-bit (an IEEE double
+    * mean would depend on reduction order).
+    */
+  def groupCentroids(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String
+  ): DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__x")))
+      .withColumn("__fx", floor(col("__x") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(sum(col("__fx")).as("sum_fx"), count(lit(1)).as("n"))
+      .select(col(groupCol), col("pos").cast("long").as("pos"),
+        col("sum_fx"),
+        // sums go negative, so integer-division SEMANTICS matter:
+        // Spark's `div` and DuckDB's `//` both truncate toward zero
+        // (verified against the oracle: -1725562 / 50 → -34511 on
+        // both) — a floor-division formulation would diverge by one on
+        // every negative non-exact quotient
+        call_function("div", col("sum_fx"), col("n")).as("mean_fx"),
+        col("n"))
+
   /** Two-level ANN — IVF lists × int8 scalar quantization (the IVF-SQ
     * recipe of large-scale vector stores): queries probe their `nProbe`
     * best inverted lists, the integer-dot shortlist runs ONLY within

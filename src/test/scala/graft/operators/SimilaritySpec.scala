@@ -595,6 +595,22 @@ class SimilaritySpec extends SparkSpec {
       s"appended ~half: $stats")
   }
 
+  test("groupCentroids: exact micro-unit means, one row per (group, pos)") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Seq(1.0f, -2.0f)),
+      (0, Seq(3.0f, -1.0f)),
+      (1, Seq(0.5f, 0.5f))
+    ).toDF("label", "embedding")
+    val out = Similarity.groupCentroids(df, "label", "embedding")
+      .orderBy("label", "pos")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // label 0: mean (2.0, -1.5) -> (2000000, -1500000); label 1: (500000, 500000)
+    assert(out.toSeq == Seq(
+      (0, 0L, 2000000L, 2L), (0, 1L, -1500000L, 2L),
+      (1, 0L, 500000L, 1L), (1, 1L, 500000L, 1L)))
+  }
+
   test("signProject: exact integers, and projected cosine tracks original cosine") {
     val emb = table("embeddings").select("vec_id", "embedding")
       .filter(col("vec_id") < 40)
