@@ -580,6 +580,14 @@ object SparkEntry {
     // contributions (quantize-then-sum, order-free), full-precision
     // re-rank of the shortlist — seed pick, encode argmin, ADC, and
     // re-rank all replayed exactly by the DuckDB oracle
+    // Per-label norm band: drop each label's degenerate norm tails by
+    // exact-integer rank — the vector twin of q_corpus_length_band
+    "q_sim_norm_band" -> ((s, dir) => {
+      Similarity.normBandFilter(t(s, dir, "embeddings"),
+        "label", "vec_id", "embedding", lo = 0.05, hi = 0.95)
+        .select(col("vec_id"), col("label"), col("norm2_fx"), col("pr_fx"))
+        .orderBy("vec_id")
+    }),
     // Per-label embedding centroids in exact fixed point: posexplode →
     // bounded hash aggregate (shuffle ≤ groups × dim rows), micro-unit
     // sums in BIGINT, mean by integer division
@@ -2336,6 +2344,17 @@ object SparkEntry {
     // array_position tie-break, per-subspace dot quantized to integer
     // micro-units BEFORE the cross-subspace SUM (order-free), exact
     // cosine re-rank of the shortlist. dim=64, m=4, sub=16, nCodes=16.
+    // norm-band twin: same micro-unit squares in BIGINT, same
+    // tie-broken percent_rank integer ratio
+    "q_sim_norm_band" ->
+      ("WITH f AS (SELECT vec_id, label, list_transform(embedding, " +
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e FROM embeddings), " +
+        "n2 AS (SELECT vec_id, label, list_sum(list_transform(e, x -> x * x)) AS norm2_fx FROM f), " +
+        "r AS (SELECT vec_id, label, norm2_fx, " +
+        "percent_rank() OVER (PARTITION BY label ORDER BY norm2_fx, vec_id) AS pr FROM n2) " +
+        "SELECT vec_id, label, CAST(norm2_fx AS BIGINT) AS norm2_fx, " +
+        "CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS pr_fx " +
+        "FROM r WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY vec_id"),
     // centroid twin: same micro-unit quantization, BIGINT sums, and
     // integer-division mean — unnest duplicates the row's other
     // columns per element, and range() supplies the position

@@ -489,6 +489,39 @@ object Similarity {
         call_function("div", col("sum_fx"), col("n")).as("mean_fx"),
         col("n"))
 
+  /** Per-stratum embedding-norm band filter — the vector-hygiene
+    * screen before ANN/clustering: degenerate embeddings (near-zero
+    * vectors from empty inputs, exploded norms from encoder failures)
+    * sit in the norm distribution's tails, and dropping by PER-STRATUM
+    * rank (not a fixed threshold) keeps the screen calibration-free
+    * across domains — the vector twin of
+    * [[Corpus.lengthBandFilter]]'s quantile band. The squared norm is
+    * EXACT: micro-unit components through the native codegen'd dot
+    * kernel stay integer-valued doubles < 2^53, so the rank is over
+    * exact integers, `percent_rank` an integer ratio, and the gate a
+    * full cross-engine oracle. The rank window partitions by the
+    * stratum — distributed, never a global sort.
+    */
+  def normBandFilter(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      vecCol: String,
+      lo: Double,
+      hi: Double
+  ): DataFrame = {
+    require(lo <= hi && lo >= 0.0 && hi <= 1.0, "band must be 0 <= lo <= hi <= 1")
+    val qd = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1e6) + lit(0.5)).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("norm2_fx"), col(idCol))
+    df.withColumn("norm2_fx", VectorFunctions.dot(qd, qd).cast("long"))
+      .withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= lo && col("__pr") <= hi)
+      .withColumn("pr_fx", floor(col("__pr") * lit(1e6) + lit(0.5)).cast("long"))
+      .drop("__pr")
+  }
+
   /** Two-level ANN — IVF lists × int8 scalar quantization (the IVF-SQ
     * recipe of large-scale vector stores): queries probe their `nProbe`
     * best inverted lists, the integer-dot shortlist runs ONLY within

@@ -595,6 +595,20 @@ class SimilaritySpec extends SparkSpec {
       s"appended ~half: $stats")
   }
 
+  test("normBandFilter: per-stratum tails drop, degenerate vectors land in the cut") {
+    import spark.implicits._
+    // stratum A: 9 unit-ish vectors + 1 near-zero + 1 exploded
+    val a = (1L to 9L).map(i => (i, "A", Seq(1.0f, 0.1f * i))) ++
+      Seq((10L, "A", Seq(0.0001f, 0.0f)), (11L, "A", Seq(100.0f, 100.0f)))
+    val df = a.toDF("vec_id", "grp", "embedding")
+    val kept = Similarity.normBandFilter(df, "grp", "vec_id", "embedding",
+      lo = 0.10, hi = 0.90)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(10L), "near-zero vector must fall below the band")
+    assert(!kept.contains(11L), "exploded vector must fall above the band")
+    assert(kept.subsetOf((1L to 9L).toSet) && kept.size >= 7, kept.toString)
+  }
+
   test("groupCentroids: exact micro-unit means, one row per (group, pos)") {
     import spark.implicits._
     val df = Seq(
