@@ -580,6 +580,17 @@ object SparkEntry {
     // contributions (quantize-then-sum, order-free), full-precision
     // re-rank of the shortlist — seed pick, encode argmin, ADC, and
     // re-rank all replayed exactly by the DuckDB oracle
+    // Centroid drift between two epoch halves (vec_id parity): per
+    // label, cosine of the halves' centroid vectors — near 1e6 ppm for
+    // a stationary distribution; the embedding-space staleness signal
+    "q_sim_centroid_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.centroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "label", "embedding")
+        .orderBy("label")
+    }),
     // Per-label norm band: drop each label's degenerate norm tails by
     // exact-integer rank — the vector twin of q_corpus_length_band
     "q_sim_norm_band" -> ((s, dir) => {
@@ -2344,6 +2355,26 @@ object SparkEntry {
     // array_position tie-break, per-subspace dot quantized to integer
     // micro-units BEFORE the cross-subspace SUM (order-free), exact
     // cosine re-rank of the shortlist. dim=64, m=4, sub=16, nCodes=16.
+    // drift twin: both halves' centroids via the same truncating
+    // integer mean, exact BIGINT cross-sums, one sqrt/divide sequence
+    "q_sim_centroid_drift" -> {
+      def cent(parity: Int, tag: String) =
+        s"f$tag AS (SELECT label, unnest(range(0, len(embedding))) AS pos, " +
+          "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS e " +
+          s"FROM embeddings WHERE vec_id % 2 = $parity), " +
+          s"g$tag AS (SELECT label, pos, sum(e[pos + 1]) // count(*) AS m, count(*) AS n FROM f$tag GROUP BY label, pos)"
+      "WITH " + cent(0, "a") + ", " + cent(1, "b") + ", " +
+        "j AS (SELECT ga.label, ga.m AS ma, gb.m AS mb, ga.n AS n_hist, gb.n AS n_batch " +
+        "FROM ga JOIN gb ON ga.label = gb.label AND ga.pos = gb.pos), " +
+        "s AS (SELECT label, CAST(sum(ma * mb) AS BIGINT) AS ab, " +
+        "CAST(sum(ma * ma) AS BIGINT) AS aa, CAST(sum(mb * mb) AS BIGINT) AS bb, " +
+        "max(n_hist) AS n_hist, max(n_batch) AS n_batch FROM j GROUP BY label) " +
+        "SELECT label, CAST(floor((CASE WHEN aa = 0 OR bb = 0 THEN 0.0 " +
+        "ELSE CAST(ab AS DOUBLE) / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))) END) " +
+        "* 1000000 + 0.5) AS BIGINT) AS cos_ppm, " +
+        "CAST(n_hist AS BIGINT) AS n_hist, CAST(n_batch AS BIGINT) AS n_batch " +
+        "FROM s ORDER BY label"
+    },
     // norm-band twin: same micro-unit squares in BIGINT, same
     // tie-broken percent_rank integer ratio
     "q_sim_norm_band" ->

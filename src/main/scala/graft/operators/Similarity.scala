@@ -489,6 +489,50 @@ object Similarity {
         call_function("div", col("sum_fx"), col("n")).as("mean_fx"),
         col("n"))
 
+  /** Per-group centroid drift between two corpus epochs: cosine of
+    * each group's [[groupCentroids]] mean vector in the history vs the
+    * new batch — the embedding-space counterpart of the index
+    * staleness APIs (a label whose centroid swings is a domain whose
+    * distribution moved; downstream IVF lists and SemDeDup clusters
+    * built on the old geometry are suspect there). Dataflow: two
+    * bounded centroid aggregates (≤ groups × dim rows each), an
+    * equi-join on (group, pos), and one more bounded aggregate — no
+    * corpus-sized shuffle anywhere. The cosine runs over the exact
+    * integer `mean_fx` components (products and sums stay < 2^53, so
+    * the doubles are exact), then one sqrt/divide sequence both
+    * engines round identically, quantized once to ppm.
+    */
+  def centroidDrift(
+      hist: DataFrame,
+      batch: DataFrame,
+      groupCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val a = groupCentroids(hist, groupCol, vecCol)
+      .select(col(groupCol), col("pos"), col("mean_fx").as("__a"),
+        col("n").as("n_hist"))
+    val b = groupCentroids(batch, groupCol, vecCol)
+      .select(col(groupCol), col("pos"), col("mean_fx").as("__b"),
+        col("n").as("n_batch"))
+    a.join(b, Seq(groupCol, "pos"))
+      .groupBy(groupCol)
+      // exact BIGINT sums (components ≤ ~3e6 → products ≤ 9e12, dim-64
+      // sums ≤ 6e14): order-free, then ONE double sequence at the end
+      .agg(
+        sum(col("__a") * col("__b")).as("__ab"),
+        sum(col("__a") * col("__a")).as("__aa"),
+        sum(col("__b") * col("__b")).as("__bb"),
+        max(col("n_hist")).as("n_hist"),
+        max(col("n_batch")).as("n_batch"))
+      .select(col(groupCol),
+        floor(
+          when(col("__aa") === 0L || col("__bb") === 0L, lit(0.0))
+            .otherwise(col("__ab").cast("double") /
+              (sqrt(col("__aa").cast("double")) * sqrt(col("__bb").cast("double"))))
+            * lit(1e6) + lit(0.5)).cast("long").as("cos_ppm"),
+        col("n_hist"), col("n_batch"))
+  }
+
   /** Per-stratum embedding-norm band filter — the vector-hygiene
     * screen before ANN/clustering: degenerate embeddings (near-zero
     * vectors from empty inputs, exploded norms from encoder failures)

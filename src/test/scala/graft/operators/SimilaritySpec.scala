@@ -595,6 +595,21 @@ class SimilaritySpec extends SparkSpec {
       s"appended ~half: $stats")
   }
 
+  test("centroidDrift: identical epochs read 1e6 ppm, a shifted epoch reads less") {
+    import spark.implicits._
+    val emb = table("embeddings")
+    val same = Similarity.centroidDrift(emb, emb, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(same.values.forall(_ == 1000000L), same.toString)
+    // drifted epoch: every component shifted by a constant — centroids
+    // move off-axis, cosine drops for every label
+    val shifted = emb.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(0.5f)))
+    val drift = Similarity.centroidDrift(emb, shifted, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(drift.values.forall(_ < 1000000L), drift.toString)
+  }
+
   test("normBandFilter: per-stratum tails drop, degenerate vectors land in the cut") {
     import spark.implicits._
     // stratum A: 9 unit-ish vectors + 1 near-zero + 1 exploded
