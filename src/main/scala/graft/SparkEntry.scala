@@ -857,6 +857,13 @@ object SparkEntry {
         "lang", "n_chars", lo = 0.05, hi = 0.95)
         .orderBy("doc_id")
     }),
+    // Feature-hashed doc vectors (signed hashing trick, d = 32):
+    // model-free geometry from portable token hashes, sparse exact
+    // integer output
+    "q_text_hash_features" -> ((s, dir) => {
+      TextAnalysis.hashFeatures(t(s, dir, "documents"), "doc_id", "text", d = 32)
+        .orderBy("doc_id", "dim_idx")
+    }),
     // Gopher-style repetition: top word-2-gram occupancy per document
     "q_text_topgram" -> ((s, dir) => {
       TextAnalysis.topNgramStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
@@ -2477,6 +2484,19 @@ object SparkEntry {
         "percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr FROM documents) " +
         "SELECT doc_id, lang, n_chars, CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS pr_fx " +
         "FROM r WHERE pr >= 0.05 AND pr <= 0.95 ORDER BY doc_id"),
+    // hashing-trick twin: same KR fold + Knuth mix, dim = mod d, sign
+    // from the mix's bit 16, exact integer sums
+    "q_text_hash_features" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "t2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0), " +
+        "hv AS (SELECT doc_id, (list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) * 2654435761) % 4294967296 AS mh " +
+        "FROM (SELECT doc_id, regexp_replace(tok, '[^a-z0-9 ]', '', 'g') AS t FROM t2)), " +
+        "f AS (SELECT doc_id, mh % 32 AS dim_idx, " +
+        "CASE WHEN (mh // 65536) % 2 = 0 THEN 1 ELSE -1 END AS s FROM hv) " +
+        "SELECT doc_id, CAST(dim_idx AS BIGINT) AS dim_idx, CAST(sum(s) AS BIGINT) AS f " +
+        "FROM f GROUP BY doc_id, dim_idx ORDER BY doc_id, dim_idx"),
     "q_text_topgram" ->
       ("WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r]+') AS toks FROM documents), " +
         "g AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')] " +

@@ -480,6 +480,40 @@ object TextAnalysis {
         (col("__i.neg") * -1).as("score_fx"))
   }
 
+  /** Feature-hashed document vectors — the hashing trick (HashingTF
+    * with signed buckets): every token lands in dimension
+    * `hash mod d` carrying a ±1 sign read from an independent bit of
+    * the same mixed hash, and the document's vector is the signed
+    * count per dimension. Model-free document geometry: when no
+    * encoder is available (or before one runs), these vectors feed
+    * the same clustering / ANN / dedup machinery real embeddings do.
+    * The sign makes bucket collisions cancel in expectation instead
+    * of compounding (the signed-hash variant of Weinberger et al.).
+    *
+    * Sparse long format `(doc_id, dim_idx, f)` — a relational shape
+    * whose partial aggregation bounds the shuffle at docs × d rows.
+    * Hashes are the portable KR fold + Knuth mix, every value an
+    * exact integer: full DuckDB oracle.
+    */
+  def hashFeatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      d: Int
+  ): DataFrame = {
+    require(d >= 2, "feature dimension must be >= 2")
+    val h = graft.operators.Sketches.tokenHash(col("term"))
+    df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col("doc_id"),
+        pmod(h, lit(d.toLong)).as("dim_idx"),
+        (lit(1L) - lit(2L) *
+          pmod(call_function("div", h, lit(65536L)), lit(2L))).as("__s"))
+      .groupBy("doc_id", "dim_idx")
+      .agg(sum(col("__s")).as("f"))
+  }
+
   /** Gopher-style top-n-gram occupancy: for each document, the count of
     * its single most frequent word `n`-gram and that count's share of
     * all the document's n-grams. A high share means one phrase dominates

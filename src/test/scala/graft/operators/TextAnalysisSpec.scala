@@ -360,6 +360,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === "just plain words")
   }
 
+  test("hashFeatures: deterministic signed buckets, repeated tokens accumulate") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashFeatures(df, "doc_id", "text", d = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1's alpha bucket = 2x doc 2's single alpha contribution
+    val alphaBucket = out.keys.filter(_._1 == 2L).head._2
+    assert(out((2L, alphaBucket)).abs == 1L)
+    assert(out((1L, alphaBucket)) == 2L * out((2L, alphaBucket)) ||
+      out.keySet.count(_._1 == 1L) == 1, // unless beta collided into the bucket
+      out.toString)
+    // dims stay inside [0, d)
+    assert(out.keys.forall { case (_, dim) => dim >= 0 && dim < 8 })
+    // determinism across runs
+    val again = TextAnalysis.hashFeatures(df, "doc_id", "text", d = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == again)
+  }
+
   test("topTermsPerGroup: exact counts, rank ties break on the term string") {
     import spark.implicits._
     val docs = Seq(
