@@ -359,11 +359,14 @@ object Dedup {
     * duplication is wanted as signal (document frequency reweighting)
     * but unbounded boilerplate is not. `k = 1` degrades to the strict
     * keep-first transitive dedup; `k ≥` the largest cluster keeps
-    * everything. Membership ranks by id ascending (deterministic);
-    * docs with no duplicate edge never enter the rank window —
-    * [[duplicateClusters]] already reduces the corpus to clustered ids
-    * only, so the window sorts duplicate-cluster rows, not the corpus,
-    * and the survivors join back to the full table on the id.
+    * everything. The k survivors are the k LOWEST ids of each cluster
+    * (deterministic), selected on the k-bounded `CollectTopK` queue —
+    * O(k) aggregate state per cluster in update AND merge, so a
+    * boilerplate mega-cluster costs one bounded reduction, not a
+    * full-membership sort in one task (the rank-window formulation's
+    * failure mode at 100 TB). Docs with no duplicate edge never enter
+    * the aggregate — [[duplicateClusters]] already reduces the corpus
+    * to clustered ids — and the survivor set joins back on the id.
     */
   def keepKPerCluster(
       docs: DataFrame,
@@ -371,14 +374,25 @@ object Dedup {
       pairs: DataFrame,
       k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster").orderBy("id")
-    val ranked = duplicateClusters(pairs)
-      .withColumn("__keep", row_number().over(w) <= k)
-      .select(col("id").as(idCol), col("__keep"))
-    docs.join(ranked, Seq(idCol), "left_outer")
-      .filter(col("__keep").isNull || col("__keep"))
-      .drop("__keep")
+    // ONE clusters pass (the CC loop runs eagerly inside the call and
+    // returns a checkpointed frame — cheap to branch, expensive to
+    // recompute)
+    val clusters = duplicateClusters(pairs)
+    val keep = clusters
+      .groupBy("cluster")
+      // reverse = true keeps the k SMALLEST structs (the queue's order
+      // convention, as in Similarity.topKPerKey)
+      .agg(array_sort(org.apache.spark.sql.graftbridge.ColumnBridge
+        .collectTopK(struct(col("id")), k, reverse = true)).as("__top"))
+      .select(explode(col("__top")).as("__k"))
+      .select(col("__k.id").as(idCol), lit(true).as("__keep"))
+    val clustered = clusters
+      .select(col("id").as(idCol), lit(true).as("__in"))
+    docs
+      .join(clustered, Seq(idCol), "left_outer")
+      .join(keep, Seq(idCol), "left_outer")
+      .filter(col("__in").isNull || col("__keep").isNotNull)
+      .drop("__in", "__keep")
   }
 
   /** Cluster-collapsing dedup: keep exactly one doc (lowest id) per

@@ -181,6 +181,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("keep-k dedup selects survivors on the k-bounded queue, not a rank window") {
+    val plan = SparkEntry.queries("q_dedup_keep_k")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // a mega-cluster must cost a bounded reduction, never a
+    // full-membership sort inside one window partition
+    assert(plan.contains("collect_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("sign projection is an exchange-free narrow map through the native dot kernel") {
     val emb = table("embeddings")
     val df = graft.operators.Similarity.signProject(emb, "vec_id", "embedding", outDim = 16)
