@@ -54,6 +54,17 @@ case class MgSketchExpression(
 
   require(m >= 1, s"misra-gries sketch needs m >= 1 counters, got $m")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"mg sketch term must be STRING, got ${child.dataType.catalogString}")
+    else if (weight.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"mg sketch weight must be BIGINT, got ${weight.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): MgBuffer = new MgBuffer
 
   override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
@@ -61,7 +72,13 @@ case class MgSketchExpression(
     if (t != null) {
       val w = weight.eval(input)
       if (w != null) {
-        buf.offer(t.asInstanceOf[UTF8String].toString, w.asInstanceOf[Long])
+        val wl = w.asInstanceOf[Long]
+        // a negative weight would push counters BELOW true counts while
+        // err stays 0 — silently voiding the est <= true <= est + err
+        // certificate the whole output is read through
+        if (wl < 0) throw new IllegalArgumentException(
+          s"mg sketch weight must be non-negative, got $wl")
+        buf.offer(t.asInstanceOf[UTF8String].toString, wl)
         buf.trim(m)
       }
     }
@@ -133,15 +150,30 @@ object MgSketchExpression {
 
     /** If more than m counters, subtract the (m+1)-th largest count
       * from all and drop the non-positive; the subtraction joins `err`.
+      * The UPDATE path hits this with size exactly m+1, where the
+      * (m+1)-th largest IS the minimum — an O(m) scan, no allocation,
+      * no sort (the sort ran per incoming unseen token on the map-side
+      * hot path of exactly the unbounded-domain workloads the sketch
+      * exists for); the sort survives only for the MERGE path, whose
+      * combined size can exceed m+1 and which runs once per partition
+      * pair, not per row.
       */
     def trim(m: Int): Unit = if (counts.size > m) {
-      val vals = new Array[Long](counts.size)
-      var i = 0
-      val vit = counts.values().iterator()
-      while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
-      java.util.Arrays.sort(vals)
-      // (m+1)-th largest = index size-(m+1) of the ascending sort
-      val cut = vals(vals.length - (m + 1))
+      val cut =
+        if (counts.size == m + 1) {
+          var mn = Long.MaxValue
+          val vit = counts.values().iterator()
+          while (vit.hasNext) { val v = vit.next(); if (v < mn) mn = v }
+          mn
+        } else {
+          val vals = new Array[Long](counts.size)
+          var i = 0
+          val vit = counts.values().iterator()
+          while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+          java.util.Arrays.sort(vals)
+          // (m+1)-th largest = index size-(m+1) of the ascending sort
+          vals(vals.length - (m + 1))
+        }
       err += cut
       val eit = counts.entrySet().iterator()
       while (eit.hasNext) {

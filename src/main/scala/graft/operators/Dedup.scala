@@ -376,8 +376,12 @@ object Dedup {
     require(k >= 1, "k must be positive")
     // ONE clusters pass (the CC loop runs eagerly inside the call and
     // returns a checkpointed frame — cheap to branch, expensive to
-    // recompute)
+    // recompute). Membership is restricted to ids PRESENT in `docs`
+    // before the k-selection: the pair list routinely references docs
+    // an upstream filter already dropped, and a phantom id consuming a
+    // keep slot would silently under-keep the cluster's real members.
     val clusters = duplicateClusters(pairs)
+      .join(docs.select(col(idCol).as("id")), Seq("id"), "left_semi")
     val keep = clusters
       .groupBy("cluster")
       // reverse = true keeps the k SMALLEST structs (the queue's order

@@ -438,7 +438,14 @@ object Similarity {
       outDim: Int
   ): DataFrame = {
     require(outDim >= 1, "outDim must be positive")
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // dimension from the first non-null vector (one tiny bounded job,
+    // the same probe shape the IVF quantizer uses); null vectors have
+    // no projection and are dropped, and an empty/all-null frame gets
+    // a clear error instead of head()'s NoSuchElementException
+    val probed = df.filter(col(vecCol).isNotNull)
+    val dimRow = probed.select(size(col(vecCol))).limit(1).collect()
+    require(dimRow.nonEmpty, s"no non-null vectors in column $vecCol")
+    val dim = dimRow.head.getInt(0)
     val K1 = 2654435761L
     val K2 = 2246822519L
     val Msp = 4294967296L
@@ -453,7 +460,7 @@ object Similarity {
       val s = (0 until dim).map(i => sign(i, j))
       VectorFunctions.dot(col("__q"), typedLit(s)).cast("long").as(s"__p$j")
     }
-    df.select(col(idCol).as("vec_id"), q.as("__q"))
+    probed.select(col(idCol).as("vec_id"), q.as("__q"))
       .select(col("vec_id"), array(cols: _*).as("proj_fx"))
   }
 

@@ -211,9 +211,10 @@ object Sketches {
     * higher-order array ops (interpreted, not codegen) deliberately:
     * it touches k-element arrays × group-pairs, thousands of values,
     * regardless of corpus size. Output is exact integer ppm —
-    * `matches·10⁶ ∕ k` — and below k total distinct values the k-min
-    * prefix IS the union, making the estimate exact; both facts let
-    * the DuckDB oracle replay the pipeline bit-for-bit.
+    * `matches·10⁶ ∕ |union sketch|` (the merged sketch holds ≤ k
+    * values; below k total distinct values it IS the union, making the
+    * estimate exact) — all modular-integer arithmetic the DuckDB
+    * oracle replays bit-for-bit.
     */
   def kmvPairwiseJaccard(
       df: DataFrame, groupCol: String, textCol: String,

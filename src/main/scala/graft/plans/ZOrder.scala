@@ -49,7 +49,14 @@ object ZOrder {
         approx_percentile(col(c).cast("double"), typedLit(qs), lit(10000))
           .as(c)): _*)
       .head()
-    cols.indices.map(i => row.getSeq[Double](i))
+    cols.zipWithIndex.map { case (c, i) =>
+      val bs = row.getSeq[Double](i)
+      // approx_percentile of an all-null (or empty) column is NULL —
+      // fail with the column named instead of an NPE deep in bucketCode
+      require(bs != null,
+        s"cannot z-order on column $c: no non-null values to bucket")
+      bs
+    }
   }
 
   /** Morton z-value from PRE-COMPUTED boundaries — the shared kernel of
@@ -159,12 +166,15 @@ object ZOrder {
     * range pile into the edge buckets, which is exactly the drift
     * signal [[zorderStats]] reads and [[isStaleZorder]] decides on —
     * remediation is a full [[zorderWrite]] recluster with fresh
-    * boundaries.
+    * boundaries. `numFiles` has no default on purpose: it sets the
+    * batch's whole write parallelism (a 1 here funnels the epoch
+    * through one sorting task), so the caller must size it to the
+    * batch like [[zorderWrite]]'s callers size theirs.
     */
   def zorderAppend(
       batch: DataFrame,
       path: String,
-      numFiles: Int = 1): Unit = {
+      numFiles: Int): Unit = {
     val (cols, bits, bounds) = readMeta(batch.sparkSession, path)
     batch.withColumn("__z", zValueWith(cols, bits, bounds))
       .repartitionByRange(numFiles, col("__z"))
@@ -240,26 +250,32 @@ object ZOrder {
     * clustered layout scores ≪ 1 on every clustered column; an
     * arrival-order layout scores ≈ 1.
     *
-    * ONE distributed pass: per-file min/max aggregate grouped on
-    * `input_file_name()` (a driver loop issuing one job per file would
-    * serialize at thousands of files — exactly the shape a 100 TB
-    * layout audit has), plus a one-row global-span aggregate embedded
-    * as literals.
+    * ONE distributed pass over the data: per-file min/max aggregate
+    * grouped on `input_file_name()` (a driver loop issuing one job per
+    * file would serialize at thousands of files — exactly the shape a
+    * 100 TB layout audit has). The global span folds from the tiny
+    * per-file frame (min of file mins / max of file maxes) — no
+    * second data scan.
     */
   def fileCoverage(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       cols: Seq[String]): DataFrame = {
     val whole = spark.read.parquet(path)
-    val span = whole.select(cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"${c}__lo"),
-      max(col(c).cast("double")).as(s"${c}__hi"))): _*).head()
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"${c}__lo"),
       max(col(c).cast("double")).as(s"${c}__hi")))
+    // materialize the tiny per-file frame once (files × 2·cols rows):
+    // both the span fold and the returned coverage read it without
+    // re-scanning the data
     val per = whole
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true)
+    val spanAggs = cols.flatMap(c => Seq(
+      min(col(s"${c}__lo")).as(s"${c}__lo"),
+      max(col(s"${c}__hi")).as(s"${c}__hi")))
+    val span = per.select(spanAggs: _*).head()
     val covRows = cols.zipWithIndex.map { case (c, i) =>
       val glo = span.getDouble(2 * i)
       val ghi = span.getDouble(2 * i + 1)
