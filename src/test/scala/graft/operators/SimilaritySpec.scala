@@ -595,6 +595,22 @@ class SimilaritySpec extends SparkSpec {
       s"appended ~half: $stats")
   }
 
+  test("signProject: null vectors drop, an all-null frame errors clearly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(1.0f, 2.0f))),
+      (2L, Option.empty[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.signProject(df, "vec_id", "embedding", outDim = 4)
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L), "null vector must drop, not null-propagate")
+    val allNull = Seq((1L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.signProject(allNull, "vec_id", "embedding", outDim = 4)
+    }
+    assert(ex.getMessage.contains("non-null"), ex.getMessage)
+  }
+
   test("centroidDrift: identical epochs read 1e6 ppm, a shifted epoch reads less") {
     import spark.implicits._
     val emb = table("embeddings")

@@ -171,6 +171,24 @@ class SketchesSpec extends SparkSpec {
       s"disjoint sets must read 0: $out")
   }
 
+  test("mg sketch: non-string terms fail analysis; negative weights are rejected at run time") {
+    import graft.functions.MgSketchExpression
+    val nums = Seq(1L, 2L).toDF("v")
+    // a long term column must be an ANALYSIS error, not a per-task
+    // ClassCastException
+    val ex = intercept[Exception] {
+      nums.agg(MgSketchExpression.mgSketch(col("v"), 8)).collect()
+    }
+    assert(ex.getMessage.contains("STRING"), ex.getMessage)
+    // a negative weight silently voids est <= true <= est + err
+    val neg = Seq(("a", -1L)).toDF("term", "w")
+    val ex2 = intercept[Exception] {
+      neg.agg(MgSketchExpression.mgSketchWeighted(col("term"), col("w"), 8)).collect()
+    }
+    assert(ex2.getMessage.contains("non-negative") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("non-negative")), ex2.toString)
+  }
+
   test("mg sketch: weighted updates count weight mass, not rows") {
     import graft.functions.MgSketchExpression
     val df = Seq(("a", 10L), ("b", 3L), ("a", 5L), ("c", 1L))

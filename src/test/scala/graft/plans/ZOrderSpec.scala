@@ -85,6 +85,15 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(re).count() === current.count())
   }
 
+  test("an all-null clustered column fails with the column named") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[Long]), (2L, None)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      ZOrder.quantileBounds(df, Seq("a", "b"), bits = 4)
+    }
+    assert(ex.getMessage.contains("column b"), ex.getMessage)
+  }
+
   test("zValue: interleaves rank buckets — null and skew land in low buckets, monotone per dim") {
     import spark.implicits._
     val df = (1 to 1024).map(i => (i.toLong, (1025 - i).toLong)).toDF("a", "b")
