@@ -145,6 +145,18 @@ class DedupSpec extends SparkSpec {
     assert(ids(5) == (1L to 12L).toSeq)
   }
 
+  test("keepKPerCluster: pair ids absent from the doc set don't consume keep slots") {
+    import spark.implicits._
+    // id 1 was filtered out upstream but still appears in the pair list
+    val docs = Seq(2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepKPerCluster(docs, "doc_id", pairs, k = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // the cluster's two lowest PRESENT members (2, 3) survive — a
+    // phantom slot for id 1 would have silently dropped 3
+    assert(kept == Seq(2L, 3L, 4L))
+  }
+
   test("transitive dedup collapses a bridge cluster that one-pass dedup keeps split") {
     import spark.implicits._
     // A and B are dissimilar; C bridges them (half A's tokens, half B's)
