@@ -139,10 +139,24 @@ final class Migrator(
     * destination engine may fold identifiers — Derby uppercases).
     */
   def compareProfile(name: String): DataFrame = {
-    def lowered(df: DataFrame) =
+    def lowered(df: DataFrame) = {
+      val folded = df.schema.fieldNames
+        .map(c => c.toLowerCase(java.util.Locale.ROOT))
+      // two columns differing only in case would fold to duplicate
+      // names — downstream that's an ambiguous-column analysis error
+      // (or silently doubled join rows in profileDiff); fail up front
+      // naming the collision instead
+      val collisions = folded.groupBy(identity).collect {
+        case (n, hits) if hits.length > 1 => n
+      }
+      require(collisions.isEmpty,
+        s"cannot profile $name: column names collide under case folding " +
+          s"(${collisions.toSeq.sorted.mkString(", ")}) — " +
+          "rename the source columns to differ beyond case")
       df.select(df.schema.fieldNames.map(c =>
         org.apache.spark.sql.functions.col(c)
           .as(c.toLowerCase(java.util.Locale.ROOT))).toIndexedSeq: _*)
+    }
     Comparator.profileDiff(
       lowered(src.table(spark, name)),
       lowered(dest.asSource.table(spark, name)))

@@ -924,6 +924,16 @@ object SparkEntry {
       Sketches.heavyHitterTokens(t(s, dir, "documents"), "lang", "text", m = 256)
         .orderBy(col("lang"), col("est").desc, col("term"))
     }),
+    // Weighted Misra–Gries in the exact regime: top sources per
+    // language by BYTE mass (n_chars), not document count — the
+    // volume-dominance read a mixing pipeline acts on. m = 64 far
+    // exceeds the fixture's source cardinality, so no decrement fires,
+    // err = 0 and est is the exact weighted sum the oracle recomputes
+    "q_sketch_mg_weighted" -> ((s, dir) => {
+      Sketches.heavyHittersWeighted(t(s, dir, "documents"),
+        "lang", "source", "n_chars", m = 64)
+        .orderBy(col("lang"), col("est").desc, col("term"))
+    }),
     // Exact grouped heavy hitters: top-8 tokens per language, counts
     // aggregated BEFORE the rank window so the window sorts vocabulary
     // rows, not the token stream
@@ -2573,6 +2583,11 @@ object SparkEntry {
         "t2 AS (SELECT lang, term FROM toks WHERE length(term) > 0), " +
         "c AS (SELECT lang, term, count(*) AS est FROM t2 GROUP BY lang, term) " +
         "SELECT lang, term, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS err " +
+        "FROM c ORDER BY lang, est DESC, term"),
+    "q_sketch_mg_weighted" ->
+      ("WITH c AS (SELECT lang, source AS term, CAST(sum(n_chars) AS BIGINT) AS est " +
+        "FROM documents GROUP BY lang, source) " +
+        "SELECT lang, term, est, CAST(0 AS BIGINT) AS err " +
         "FROM c ORDER BY lang, est DESC, term"),
     "q_text_heavy_hitters" ->
       ("WITH toks AS (SELECT lang, unnest(str_split(text, ' ')) AS term FROM documents), " +

@@ -78,8 +78,14 @@ case class MgSketchExpression(
         // certificate the whole output is read through
         if (wl < 0) throw new IllegalArgumentException(
           s"mg sketch weight must be non-negative, got $wl")
-        buf.offer(t.asInstanceOf[UTF8String].toString, wl)
-        buf.trim(m)
+        // weight 0 contributes nothing, but offering it would occupy a
+        // counter slot until the next trim — and an untrimmed survivor
+        // would emit a spurious (term, est=0) row the exact-regime
+        // oracle (every count >= 1) does not contain
+        if (wl > 0) {
+          buf.offer(t.asInstanceOf[UTF8String].toString, wl)
+          buf.trim(m)
+        }
       }
     }
     buf

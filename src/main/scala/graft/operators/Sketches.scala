@@ -191,6 +191,33 @@ object Sketches {
         col("__it.est").as("est"),
         col("err"))
 
+  /** Weighted [[heavyHitters]]: each row contributes `weightCol` (a
+    * non-negative BIGINT) of mass to its term instead of 1 — the
+    * common production read is BYTES, not rows ("which sources
+    * dominate this language's corpus by volume"). Same bounded O(m)
+    * state and `est ≤ true ≤ est + err` certificate, with `true` now
+    * the term's total weight; with m ≥ the group's distinct-term count
+    * no decrement fires and the output is the exact weighted sum (the
+    * oracle regime). Zero-weight rows are skipped outright — they
+    * carry no mass and must not occupy a counter slot; negative
+    * weights fail loudly (they would void the certificate).
+    */
+  def heavyHittersWeighted(
+      df: DataFrame, groupCol: String, termCol: String, weightCol: String,
+      m: Int): DataFrame =
+    df.groupBy(groupCol)
+      .agg(graft.functions.MgSketchExpression
+        .mgSketchWeighted(col(termCol), col(weightCol), m).as("__sk"))
+      .select(
+        col(groupCol),
+        col("__sk.err").as("err"),
+        explode(col("__sk.items")).as("__it"))
+      .select(
+        col(groupCol),
+        col("__it.term").as("term"),
+        col("__it.est").as("est"),
+        col("err"))
+
   /** [[heavyHitters]] over whitespace tokens of a text column. */
   def heavyHitterTokens(
       df: DataFrame, groupCol: String, textCol: String, m: Int): DataFrame =

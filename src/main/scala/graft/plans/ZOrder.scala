@@ -187,11 +187,14 @@ object ZOrder {
     *   - `avg_coverage` — mean per-file span fraction
     *     ([[fileCoverage]]): the probability a uniform point predicate
     *     reads a file; creeps up as appends accumulate files.
-    *   - `edge_ppm` — fraction (ppm) of rows whose stored-bucket code
-    *     is the extreme 0 or 2^bits−1: distribution drift lands new
-    *     rows OUTSIDE the stored boundary range, piling them here long
-    *     before coverage notices (a uniform layout keeps ~2/2^bits
-    *     ≈ 31 250 ppm at 6 bits).
+    *   - `edge_ppm` — fraction (ppm) of NON-NULL values whose
+    *     stored-bucket code is the extreme 0 or 2^bits−1: distribution
+    *     drift lands new rows OUTSIDE the stored boundary range, piling
+    *     them here long before coverage notices (a uniform layout keeps
+    *     ~2/2^bits ≈ 31 250 ppm at 6 bits). Nulls always code into
+    *     bucket 0 — that's layout, not drift — so they are excluded
+    *     from the count (the denominator stays all rows: a mostly-null
+    *     column's few real values can't dominate its ppm).
     * One pass over the data plus the per-file min/max jobs.
     */
   def zorderStats(
@@ -204,7 +207,12 @@ object ZOrder {
     val top = (1 << bits) - 1
     val edges = df.select(cols.zip(bounds).map { case (c, bs) =>
       val code = bucketCode(col(c).cast("double"), bs)
-      (code === 0 || code === top).cast("long").as(c)
+      // nulls code into bucket 0 for LAYOUT purposes, but they are not
+      // drift: counting them here would keep a >10%-null column
+      // permanently above edgePpmMax, flagging a staleness no recluster
+      // can ever clear
+      (col(c).cast("double").isNotNull && (code === 0 || code === top))
+        .cast("long").as(c)
     }: _*)
       .agg(count(lit(1)).as("__n"),
         cols.map(c => sum(col(c)).as(c)).toIndexedSeq: _*)
@@ -277,6 +285,12 @@ object ZOrder {
       max(col(s"${c}__hi")).as(s"${c}__hi")))
     val span = per.select(spanAggs: _*).head()
     val covRows = cols.zipWithIndex.map { case (c, i) =>
+      // min/max of an entirely-null column are NULL — possible after
+      // zorderAppend batches, which ride the stored boundaries without
+      // re-validating; fail with the column named (mirroring
+      // quantileBounds' write-path guard) instead of an unexplained NPE
+      require(!span.isNullAt(2 * i) && !span.isNullAt(2 * i + 1),
+        s"cannot audit coverage on column $c: no non-null values in the dataset")
       val glo = span.getDouble(2 * i)
       val ghi = span.getDouble(2 * i + 1)
       val cov =

@@ -41,6 +41,19 @@ import org.apache.spark.sql.types.StructType
   */
 object TextFormats {
 
+  /** Fan a badly-sharded drop out to at least `minShards` partitions.
+    * The partition-count probe reads `queryExecution.toRdd` — the
+    * canonical physical RDD already cached on the plan (computing its
+    * partition array lists files but runs no job) — NOT `df.rdd`,
+    * which builds a SECOND lineage with a row-deserialization layer
+    * just to read a number (the conversion
+    * [[graft.sinks.BatchWriter.cappedForWrite]]'s house rule removed).
+    */
+  private def withMinShards(df: DataFrame, minShards: Int): DataFrame =
+    if (minShards > 0 && df.queryExecution.toRdd.getNumPartitions < minShards)
+      df.repartition(minShards)
+    else df
+
   /** Null sentinel for CSV: Spark's default writes null as an empty
     * unquoted field, which is indistinguishable from the empty string
     * on read. An explicit out-of-band token keeps `null` and `""`
@@ -74,9 +87,7 @@ object TextFormats {
     val df = spark.read.schema(schema)
       .option("mode", "FAILFAST")
       .json(path)
-    if (minShards > 0 && df.rdd.getNumPartitions < minShards)
-      df.repartition(minShards)
-    else df
+    withMinShards(df, minShards)
   }
 
   /** [[writeJsonl]] with the shard count sized from the data itself:
@@ -199,9 +210,7 @@ object TextFormats {
       .option("multiLine", "true")
       .option("mode", "FAILFAST")
       .csv(path)
-    if (minShards > 0 && df.rdd.getNumPartitions < minShards)
-      df.repartition(minShards)
-    else df
+    withMinShards(df, minShards)
   }
 
   /** Null sentinel for XML, same rationale as [[CsvNullToken]]: an
@@ -251,8 +260,6 @@ object TextFormats {
       .option("ignoreSurroundingSpaces", "false")
       .option("mode", "FAILFAST")
       .load(path)
-    if (minShards > 0 && df.rdd.getNumPartitions < minShards)
-      df.repartition(minShards)
-    else df
+    withMinShards(df, minShards)
   }
 }

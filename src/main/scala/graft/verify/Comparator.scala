@@ -167,7 +167,11 @@ object Comparator {
   def exactColumnProfile(df: DataFrame): DataFrame = {
     val aggs = df.schema.fields.flatMap { f =>
       Seq(
-        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        // coalesce: sum over ZERO rows is NULL, which would make an
+        // empty-vs-empty profileDiff read is_ok=NO on identical sides
+        // (and surface n_nulls as NULL instead of 0)
+        coalesce(sum(when(col(f.name).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${f.name}__nulls"),
         count_distinct(col(f.name)).as(s"${f.name}__ndv"))
     }
     val wide = df.agg(count(lit(1)).as("__rows"), aggs.toIndexedSeq: _*)

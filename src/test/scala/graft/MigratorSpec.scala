@@ -98,6 +98,38 @@ class MigratorSpec extends SparkSpec {
     assert(clean.forall(_.getString(clean.head.length - 1) == "YES"))
   }
 
+  test("profileDiff: empty-vs-empty compares identical — n_nulls 0, never NULL") {
+    // sum over zero rows is NULL without the coalesce guard, which read
+    // as is_ok=NO on two identical empty tables
+    val src = table("orders").limit(0)
+    val prof = Comparator.exactColumnProfile(src).collect()
+    assert(prof.nonEmpty)
+    assert(prof.forall(r => !r.isNullAt(2) && r.getLong(1) == 0L &&
+      r.getLong(2) == 0L && r.getLong(3) == 0L), prof.mkString(", "))
+    val out = Comparator.profileDiff(src, src).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getString(out.head.length - 1) == "YES"), out.mkString(", "))
+  }
+
+  test("compareProfile: case-folded column collisions fail with the columns named") {
+    val base = FixtureSource(sfDir)
+    // a source whose region table carries two columns differing only in
+    // case — lowercase folding would alias both to `k` and every later
+    // reference would be ambiguous (or silently doubled in the join)
+    val collide = new graft.sources.TableSource {
+      override def tableNames(s: org.apache.spark.sql.SparkSession) =
+        base.tableNames(s)
+      override def table(s: org.apache.spark.sql.SparkSession, name: String) =
+        base.table(s, name)
+          .select(col("r_regionkey").as("K"), col("r_regionkey").as("k"))
+    }
+    val dest = Files.createTempDirectory("graft_collide").toString
+    val m = new Migrator(spark, collide, dest, SyncConfig())
+    val ex = intercept[IllegalArgumentException] { m.compareProfile("region") }
+    assert(ex.getMessage.contains("collide") && ex.getMessage.contains("k"),
+      ex.getMessage)
+  }
+
   test("compareCounts: a hung table degrades to a TIMEOUT failure row within bound") {
     val src = FixtureSource(sfDir)
     // a source whose `nation` scan never returns — the hung-connection

@@ -200,4 +200,21 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("a" -> 15L, "b" -> 3L, "c" -> 1L))
   }
+
+  test("mg sketch: zero-weight rows neither occupy a slot nor emit est=0 rows") {
+    import graft.functions.MgSketchExpression
+    // m comfortably above the distinct count: no trim ever fires, so a
+    // zero-weight term that slipped into the counter map would survive
+    // to the output as a spurious (term, est=0) row
+    val df = Seq(("a", 5L), ("z", 0L), ("b", 3L), ("z", 0L))
+      .toDF("term", "w")
+    val out = df.agg(
+      MgSketchExpression.mgSketchWeighted(col("term"), col("w"), m = 8).as("sk"))
+      .select(col("sk.err").as("err"), explode(col("sk.items")).as("it"))
+      .select(col("err"), col("it.term"), col("it.est"))
+      .collect()
+    assert(out.forall(_.getLong(0) == 0L), "exact regime: err must stay 0")
+    val items = out.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(items == Map("a" -> 5L, "b" -> 3L), items.toString)
+  }
 }

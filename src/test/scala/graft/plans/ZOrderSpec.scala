@@ -85,6 +85,37 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(re).count() === current.count())
   }
 
+  test("edge_ppm excludes nulls — a nullable column is not permanently stale") {
+    import spark.implicits._
+    // b: uniform values with 30% nulls. Nulls code into bucket 0 for
+    // layout, but counting them as edge rows kept the column above
+    // edgePpmMax forever — a staleness no recluster could clear.
+    val df = (1 to 2000).map { i =>
+      (i.toLong, if (i % 10 < 3) Option.empty[Long] else Some(i.toLong))
+    }.toDF("a", "b")
+    val out = Files.createTempDirectory("graft_znull").toString
+    ZOrder.zorderWrite(df, Seq("a", "b"), out, numFiles = 16)
+    val stats = ZOrder.zorderStats(spark, out).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // a uniform layout keeps ~2/2^6 of NON-NULL values at the edges
+    // (~31 250 ppm over all rows here minus the null share) — far
+    // under the 100 000 default; with nulls counted b read ~331 000
+    assert(stats("b") < 100000L, s"nulls must not count as drift: $stats")
+    assert(!ZOrder.isStaleZorder(spark, out),
+      "a 30%-null column must not flag a fresh layout stale")
+  }
+
+  test("fileCoverage: an all-null audited column fails with the column named") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_zcovnull").toString
+    Seq((1L, Option.empty[Long]), (2L, None)).toDF("a", "b")
+      .write.mode("overwrite").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      ZOrder.fileCoverage(spark, dir, Seq("a", "b")).collect()
+    }
+    assert(ex.getMessage.contains("column b"), ex.getMessage)
+  }
+
   test("an all-null clustered column fails with the column named") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[Long]), (2L, None)).toDF("a", "b")
