@@ -99,6 +99,39 @@ object SparkEntry {
       "CASE WHEN doc_id % 11 = 0 THEN '' ELSE source END AS source, " +
       "n_chars FROM documents ORDER BY doc_id"
 
+  /** DuckDB twin of the batched-BM25 scorer — shared by the
+    * in-memory gate (`q_text_bm25_batch`) and the materialized-index
+    * gate (`q_text_bm25_indexed`): the indexed path must equal the
+    * in-memory path bit-for-bit, so they are held to ONE oracle.
+    */
+  private val Bm25BatchOracleSql: String =
+    ("WITH docs AS (SELECT doc_id, text, " +
+        "CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS dl FROM documents), " +
+        "toks AS (SELECT doc_id, dl, unnest(str_split(text, ' ')) AS term FROM docs), " +
+        "t2 AS (SELECT doc_id, dl, term FROM toks WHERE length(term) > 0 " +
+        "AND term IN ('spark', 'hash', 'vector', 'window', 'merge', 'batch')), " +
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t2 GROUP BY doc_id, dl, term), " +
+        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs), " +
+        "scored AS (SELECT f.doc_id, f.term, " +
+        "CAST(floor(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / " +
+        "(CAST(d.df AS DOUBLE) + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS idf_fx, " +
+        "(CAST(f.tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(f.tf AS DOUBLE) + " +
+        "1.2 * ((1.0 - 0.75) + (0.75 * CAST(f.dl AS DOUBLE)) / " +
+        "(CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS ratio " +
+        "FROM tf f JOIN dfreq d USING (term) CROSS JOIN stats s), " +
+        "sc2 AS (SELECT doc_id, term, CAST(floor(CAST(idf_fx AS DOUBLE) * ratio + 0.5) AS BIGINT) AS score_fx " +
+        "FROM scored), " +
+        "q(query_id, term) AS (VALUES (1, 'spark'), (1, 'hash'), (2, 'vector'), " +
+        "(2, 'window'), (3, 'merge'), (3, 'batch')), " +
+        "agg AS (SELECT q.query_id, s.doc_id, sum(s.score_fx) AS score_fx " +
+        "FROM sc2 s JOIN q USING (term) GROUP BY q.query_id, s.doc_id), " +
+        "r AS (SELECT query_id, doc_id, score_fx, " +
+        """row_number() OVER (PARTITION BY query_id ORDER BY score_fx DESC, doc_id) AS "rank" FROM agg) """ +
+        """SELECT CAST(query_id AS BIGINT) AS query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, """ +
+        "CAST(score_fx AS BIGINT) AS score_fx " +
+        """FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_a5_group_agg")(spark, "/root/testdata/sf0.001")
@@ -964,6 +997,27 @@ object SparkEntry {
         .toDF("query_id", "term")
       TextAnalysis.bm25TopKBatch(t(s, dir, "documents"), "doc_id", "text",
         queries, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // Batched BM25 over the MATERIALIZED postings index: build the
+    // term-bucketed (term, doc_id, tf, dl) table once per fixture
+    // (the build-once/query-many policy the ANN index gates use),
+    // then the same query bag reads only its terms' buckets — zero
+    // corpus scans, zero re-tokenization. Same oracle as the
+    // in-memory batch: the round-trip-equality contract
+    "q_text_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idxTable = s"bm25_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(idxTable))
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", idxTable,
+          buckets = 8)
+      val queries = Seq(
+        (1L, "spark"), (1L, "hash"),
+        (2L, "vector"), (2L, "window"),
+        (3L, "merge"), (3L, "batch"))
+        .toDF("query_id", "term")
+      TextAnalysis.bm25TopKBatchFromIndex(s, idxTable, queries, k = 5)
         .orderBy("query_id", "rank")
     }),
     // Dedup (n-gram Jaccard): exact word-3-gram Jaccard over min-shingle
@@ -2626,33 +2680,10 @@ object SparkEntry {
     // Batch twin: same scorer over the UNION of query terms (df over
     // the pruned postings is term-local, so the union changes nothing
     // per term), then the query bag joins and reduces per query_id
-    "q_text_bm25_batch" ->
-      ("WITH docs AS (SELECT doc_id, text, " +
-        "CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS dl FROM documents), " +
-        "toks AS (SELECT doc_id, dl, unnest(str_split(text, ' ')) AS term FROM docs), " +
-        "t2 AS (SELECT doc_id, dl, term FROM toks WHERE length(term) > 0 " +
-        "AND term IN ('spark', 'hash', 'vector', 'window', 'merge', 'batch')), " +
-        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t2 GROUP BY doc_id, dl, term), " +
-        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
-        "stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs), " +
-        "scored AS (SELECT f.doc_id, f.term, " +
-        "CAST(floor(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / " +
-        "(CAST(d.df AS DOUBLE) + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS idf_fx, " +
-        "(CAST(f.tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(f.tf AS DOUBLE) + " +
-        "1.2 * ((1.0 - 0.75) + (0.75 * CAST(f.dl AS DOUBLE)) / " +
-        "(CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) AS ratio " +
-        "FROM tf f JOIN dfreq d USING (term) CROSS JOIN stats s), " +
-        "sc2 AS (SELECT doc_id, term, CAST(floor(CAST(idf_fx AS DOUBLE) * ratio + 0.5) AS BIGINT) AS score_fx " +
-        "FROM scored), " +
-        "q(query_id, term) AS (VALUES (1, 'spark'), (1, 'hash'), (2, 'vector'), " +
-        "(2, 'window'), (3, 'merge'), (3, 'batch')), " +
-        "agg AS (SELECT q.query_id, s.doc_id, sum(s.score_fx) AS score_fx " +
-        "FROM sc2 s JOIN q USING (term) GROUP BY q.query_id, s.doc_id), " +
-        "r AS (SELECT query_id, doc_id, score_fx, " +
-        """row_number() OVER (PARTITION BY query_id ORDER BY score_fx DESC, doc_id) AS "rank" FROM agg) """ +
-        """SELECT CAST(query_id AS BIGINT) AS query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, """ +
-        "CAST(score_fx AS BIGINT) AS score_fx " +
-        """FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank""""),
+    "q_text_bm25_batch" -> Bm25BatchOracleSql,
+    // round-trip-equality contract: the index path answers the SAME
+    // twin as the in-memory batch
+    "q_text_bm25_indexed" -> Bm25BatchOracleSql,
     "q_f3_default_rewrite" ->
       ("WITH defs(column_name, raw_default, is_numeric) AS (VALUES " +
         "('a','(0)',true), ('b','  ''abc''  ',false), ('c','SYS_GUID()',false), " +

@@ -400,21 +400,46 @@ object TextAnalysis {
       k1: Double,
       b: Double
   ): DataFrame = {
-    val docs = df.select(
-      col(idCol).as("doc_id"),
-      col(textCol).as("__text"),
-      size(filter(split(col(textCol), " "), t => length(t) > 0))
-        .cast("long").as("dl"))
+    val docs = bm25Docs(df, idCol, textCol)
     val toks = docs
       .select(col("doc_id"), col("dl"),
         explode(split(col("__text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .filter(col("term").isin(terms: _*))
     val tf = toks.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
+    bm25ScorePostings(tf, stats, k1, b)
+  }
+
+  /** (doc_id, __text, dl) projection shared by the in-memory scorer and
+    * the postings-index build/append — dl MUST be computed identically
+    * everywhere or stored postings stop being equal to a fresh tokenize.
+    */
+  private def bm25Docs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      col(textCol).as("__text"),
+      size(filter(split(col(textCol), " "), t => length(t) > 0))
+        .cast("long").as("dl"))
+
+  /** The BM25 scoring kernel over PRE-PRUNED posting rows: `tf` is
+    * (doc_id, dl, term, tf) restricted to the query terms, `stats` one
+    * row (n_docs, sum_dl). Document frequency is aggregated HERE, over
+    * the pruned postings — term-local, so pruning doesn't change it,
+    * and always current, so an index append can never serve stale idf.
+    * Shared verbatim by the tokenize-per-call path ([[bm25TermScores]])
+    * and the materialized-index path ([[bm25TopKBatchFromIndex]]) —
+    * identical op sequence is what makes the two paths bit-equal.
+    */
+  private def bm25ScorePostings(
+      tf: DataFrame,
+      stats: DataFrame,
+      k1: Double,
+      b: Double
+  ): DataFrame = {
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
@@ -463,7 +488,18 @@ object TextAnalysis {
     val terms = bag.select("term").distinct()
       .collect().map(_.getString(0)).toSeq // bounded: the query vocabulary
     require(terms.nonEmpty, "query bag must have at least one term")
-    val perDoc = bm25TermScores(df, idCol, textCol, terms, k1, b)
+    bm25BatchReduce(bm25TermScores(df, idCol, textCol, terms, k1, b), bag, k)
+  }
+
+  /** Per-query top-k reduction shared by [[bm25TopKBatch]] and the
+    * indexed path: per-(doc, term) scores join the broadcast query bag,
+    * sum per (query, doc), and reduce on the k-bounded CollectTopK
+    * queue (O(k) aggregate state in update AND merge — never a rank
+    * window over every candidate doc). Ties break doc_id ascending.
+    */
+  private def bm25BatchReduce(
+      perTerm: DataFrame, bag: DataFrame, k: Int): DataFrame = {
+    val perDoc = perTerm
       .join(broadcast(bag), Seq("term"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("__score_fx")).as("score_fx"))
@@ -478,6 +514,250 @@ object TextAnalysis {
         (col("__r") + 1).cast("long").as("rank"),
         col("__i.doc_id").as("doc_id"),
         (col("__i.neg") * -1).as("score_fx"))
+  }
+
+  /** Materialize the BM25 postings index for a corpus — the
+    * build-once/query-many form of [[bm25TopKBatch]], which (like
+    * [[bm25TopK]]) re-tokenizes and re-scans the raw text on every
+    * call. A decontamination service issuing query bags daily re-pays
+    * that full tokenize+tf pass each time; this persists it once, the
+    * same repeated-cost elimination the MinHash and IVF index families
+    * perform for their domains ([[Dedup.writeMinhashIndex]],
+    * [[Similarity.writeIvfSqIndex]]).
+    *
+    * Layout: the postings table `(term, doc_id, tf, dl)` BUCKETED by
+    * `term` ([[graft.plans.ScaleJoins.writeBucketed]]) — a query bag's
+    * literal term filter then bucket-prunes the scan to the query
+    * terms' buckets (`SelectedBucketsCount` in the plan), so retrieval
+    * reads O(postings of the query terms), never the corpus and never
+    * even the whole index. Two side tables ride along:
+    * `<table>_stats`, ONE row `(n_docs, sum_dl, built_docs,
+    * built_sum_dl)` — the current corpus size/length mass maintained
+    * ADDITIVELY by [[appendToBm25Index]] beside the immutable
+    * build-time stamp (the [[bm25IndexStats]] drift reference) — and
+    * `<table>_terms`, the build-time per-term document frequency
+    * (drift reference only: query-time idf always aggregates df from
+    * the live pruned postings, so appends can never serve stale
+    * scores).
+    *
+    * n_docs/sum_dl live in the side table rather than being derived
+    * from postings because zero-token documents have no posting rows
+    * yet still belong in N and avgdl — and because an additive one-row
+    * update is O(1) per epoch where a distinct-doc count over the
+    * index is a full scan.
+    */
+  def writeBm25Index(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tableName: String,
+      buckets: Int = 16
+  ): Unit = {
+    require(buckets > 0)
+    val spark = df.sparkSession
+    val docs = bm25Docs(df, idCol, textCol)
+    val tf = docs
+      .select(col("doc_id"), col("dl"),
+        explode(split(col("__text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    graft.plans.ScaleJoins.writeBucketed(
+      tf.select("term", "doc_id", "tf", "dl"), tableName, "term", buckets)
+    // build-time df per term — the staleness reference, NOT the
+    // scorer's input (scoring df stays live; see the class doc)
+    spark.table(tableName)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(tableName + "_terms")
+    val s = docs
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .head()
+    writeBm25Stats(spark, tableName, s.getLong(0), s.getLong(1),
+      s.getLong(0), s.getLong(1))
+  }
+
+  private def writeBm25Stats(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      nDocs: Long, sumDl: Long,
+      builtDocs: Long, builtSumDl: Long): Unit =
+    spark.range(1)
+      .select(
+        lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"),
+        lit(builtDocs).as("built_docs"), lit(builtSumDl).as("built_sum_dl"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(tableName + "_stats")
+
+  /** [[bm25TopKBatch]] over a materialized index
+    * ([[writeBm25Index]]): the query bag's term vocabulary becomes a
+    * literal filter on the bucketed postings scan — bucket pruning plus
+    * the pushed `In` restrict the read to the query terms' buckets —
+    * and the shared scoring kernel runs over the stored (tf, dl) rows
+    * with (n_docs, sum_dl) from the maintained stats row. Results are
+    * bit-identical to the in-memory batch path over the same corpus
+    * (the round-trip-equality contract the ANN indexes carry), because
+    * the kernel, the op order, and the live-df aggregation are shared
+    * code, and the postings store exactly what a fresh tokenize would
+    * produce.
+    */
+  def bm25TopKBatchFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame, // (query_id, term)
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val bag = queries.select(col("query_id"), col("term")).distinct()
+    val terms = bag.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: the query vocabulary
+    require(terms.nonEmpty, "query bag must have at least one term")
+    val postings = spark.table(tableName)
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val stats = spark.table(tableName + "_stats")
+      .select(col("n_docs"), col("sum_dl"))
+    bm25BatchReduce(bm25ScorePostings(postings, stats, k1, b), bag, k)
+  }
+
+  /** Incremental postings maintenance: tokenize a NEW batch of
+    * documents and append its posting rows through the table's own
+    * bucket spec, then bump the one-row stats additively — each ingest
+    * epoch costs O(batch), never a corpus re-tokenize (the same append
+    * policy as [[Similarity.appendToIvfSqIndex]]). Scoring stays exact
+    * after any number of appends: df aggregates live from the postings
+    * and N/avgdl read the maintained stats row.
+    *
+    * Contract: batch doc ids must be NEW documents (re-appending an id
+    * double-counts its tf and df — the same new-rows contract the ANN
+    * appends carry); replayed epochs produce byte-identical duplicate
+    * rows that [[graft.plans.Compaction.compactBucketedTable]] drops.
+    */
+  def appendToBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Unit = {
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      .bucketSpec
+    require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
+    val docs = bm25Docs(batch, idCol, textCol)
+    val tf = docs
+      .select(col("doc_id"), col("dl"),
+        explode(split(col("__text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    tf.select("term", "doc_id", "tf", "dl")
+      .write.mode("append").format("parquet")
+      .bucketBy(bucketSpec.get.numBuckets, "term").sortBy("term")
+      .saveAsTable(tableName)
+    val s = docs
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
+      .head()
+    val cur = spark.table(tableName + "_stats").head()
+    writeBm25Stats(spark, tableName,
+      cur.getAs[Long]("n_docs") + s.getLong(0),
+      cur.getAs[Long]("sum_dl") + s.getLong(1),
+      cur.getAs[Long]("built_docs"), cur.getAs[Long]("built_sum_dl"))
+    spark.catalog.refreshTable(tableName)
+  }
+
+  /** Staleness telemetry for a materialized BM25 index — the mirror of
+    * [[Similarity.ivfIndexStats]]. Retrieval itself never goes stale
+    * (df is live, N/avgdl additive — see [[appendToBm25Index]]); what
+    * drifts is everything stamped at BUILD time: the `<table>_terms`
+    * df snapshot (which downstream systems export as cached idf
+    * tables) and the length statistics the corpus had when the index
+    * was laid out. High drift says "the corpus this index describes is
+    * no longer the corpus you built from" — refresh exported
+    * snapshots, and recompact ([[graft.plans.Compaction
+    * .compactBucketedTable]]) the small files the append epochs left.
+    *
+    * @param totalDocs        documents the index covers now
+    * @param builtDocs        documents at build time
+    * @param appendedFraction (totalDocs − builtDocs) / totalDocs
+    * @param avgdl            current mean document length
+    * @param builtAvgdl       mean document length at build time
+    * @param avgdlDriftPpm    |avgdl − builtAvgdl| / builtAvgdl, in ppm
+    * @param newTermPpm       fraction (ppm) of the CURRENT vocabulary
+    *                         absent from the build-time snapshot
+    * @param maxDfDriftPpm    worst per-term relative df drift (ppm)
+    *                         over terms present at build time
+    */
+  final case class Bm25IndexStats(
+      totalDocs: Long,
+      builtDocs: Long,
+      appendedFraction: Double,
+      avgdl: Double,
+      builtAvgdl: Double,
+      avgdlDriftPpm: Long,
+      newTermPpm: Long,
+      maxDfDriftPpm: Long)
+
+  /** Measure [[Bm25IndexStats]]: the one-row stats side table plus ONE
+    * aggregate over the postings (per-term current df, joined to the
+    * build-time `<table>_terms` snapshot — at most |vocabulary| rows
+    * shuffle, never posting rows). Run between ingest epochs; feed
+    * [[isStaleBm25Index]] or alert directly.
+    */
+  def bm25IndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Bm25IndexStats = {
+    val s = spark.table(tableName + "_stats").head()
+    val nDocs = s.getAs[Long]("n_docs")
+    val sumDl = s.getAs[Long]("sum_dl")
+    val bDocs = s.getAs[Long]("built_docs")
+    val bSumDl = s.getAs[Long]("built_sum_dl")
+    val appended =
+      if (nDocs == 0L) 0.0 else math.max(0L, nDocs - bDocs).toDouble / nDocs
+    val avgdl = if (nDocs == 0L) 0.0 else sumDl.toDouble / nDocs
+    val bAvgdl = if (bDocs == 0L) 0.0 else bSumDl.toDouble / bDocs
+    val avgdlDrift =
+      if (bAvgdl == 0.0) 0L
+      else math.round(math.abs(avgdl - bAvgdl) / bAvgdl * 1e6)
+    val cur = spark.table(tableName)
+      .groupBy("term").agg(count(lit(1)).as("cur_df"))
+    val built = spark.table(tableName + "_terms")
+    val d = cur.join(built, Seq("term"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        coalesce(sum(when(col("df").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("new_terms"),
+        max(when(col("df").isNotNull,
+          call_function("div",
+            abs(col("cur_df") - col("df")) * lit(1000000L), col("df"))))
+          .as("max_drift"))
+      .head()
+    val nTerms = d.getAs[Long]("n_terms")
+    Bm25IndexStats(
+      nDocs, bDocs, appended, avgdl, bAvgdl, avgdlDrift,
+      if (nTerms == 0L) 0L else d.getAs[Long]("new_terms") * 1000000L / nTerms,
+      if (d.isNullAt(2)) 0L else d.getAs[Long]("max_drift"))
+  }
+
+  /** The operational refresh threshold for a BM25 index, mirroring
+    * [[Similarity.isStaleIvfSqIndex]]: flags when appends dominate the
+    * index (`appendedFraction`) or the corpus' length profile has moved
+    * (`avgdlDriftPpm`) — the two signals that say build-time snapshots
+    * (exported idf tables, capacity plans sized to avgdl) are
+    * describing a corpus that no longer exists. Remediation: re-run
+    * [[writeBm25Index]] over the full corpus (refreshing the stamps),
+    * or — when the only symptom is append-file accumulation —
+    * [[graft.plans.Compaction.compactBucketedTable]], which rewrites
+    * the layout without touching the stamps.
+    */
+  def isStaleBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      maxAppendedFraction: Double = 0.5,
+      maxAvgdlDriftPpm: Long = 200000L): Boolean = {
+    val st = bm25IndexStats(spark, tableName)
+    st.appendedFraction > maxAppendedFraction ||
+      st.avgdlDriftPpm > maxAvgdlDriftPpm
   }
 
   /** Feature-hashed document vectors — the hashing trick (HashingTF

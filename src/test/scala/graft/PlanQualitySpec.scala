@@ -485,6 +485,31 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("bm25-index query: the query bag's terms bucket-prune the postings scan") {
+    import spark.implicits._
+    val docs = table("documents").select("doc_id", "text")
+    graft.operators.TextAnalysis.writeBm25Index(
+      docs, "doc_id", "text", "bm25_plan", buckets = 4)
+    def query() = graft.operators.TextAnalysis.bm25TopKBatchFromIndex(
+      spark, "bm25_plan",
+      Seq((1L, "spark"), (2L, "hash")).toDF("query_id", "term"), k = 5)
+    val plan = explain(query())
+    // the literal IN() on the bucket column reaches the postings scan
+    // as a pushed filter — retrieval reads the query terms' postings,
+    // never the corpus and never the whole index
+    assert(plan.contains("In(term"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // pin the bucketed scan on to witness actual bucket pruning (small
+    // inputs auto-disable it, same as the minhash/IVF gates)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val bucketed = explain(query())
+      assert(bucketed.contains("SelectedBucketsCount"), bucketed)
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("minhash-index query still bucket-prunes AFTER append + compaction") {
     val docs = table("documents").select("doc_id", "text")
     graft.operators.Dedup.writeMinhashIndex(

@@ -446,4 +446,93 @@ class TextAnalysisSpec extends SparkSpec {
     val resorted = out.sortBy { case (id, s) => (-s, id) }
     assert(out.toSeq == resorted.toSeq, "TakeOrdered must deliver sorted top-k")
   }
+
+  private def bm25Rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("bm25 index: indexed retrieval equals the in-memory batch bit-for-bit") {
+    import spark.implicits._
+    val docs = table("documents")
+    val queries = Seq(
+      (1L, "spark"), (1L, "hash"),
+      (2L, "vector"), (2L, "window")).toDF("query_id", "term")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", "bm25_rt", buckets = 4)
+    val fromIndex = bm25Rows(
+      TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_rt", queries, k = 5))
+    val inMemory = bm25Rows(
+      TextAnalysis.bm25TopKBatch(docs, "doc_id", "text", queries, k = 5))
+    assert(fromIndex == inMemory)
+  }
+
+  test("bm25 index: append == rebuild, and stats stay additive-exact") {
+    import spark.implicits._
+    val docs = table("documents")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val queries = Seq((1L, "spark"), (1L, "hash"), (2L, "merge"))
+      .toDF("query_id", "term")
+    TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_app", buckets = 4)
+    TextAnalysis.appendToBm25Index(spark, "bm25_app", batch, "doc_id", "text")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", "bm25_full", buckets = 4)
+    // append must answer exactly like a full rebuild over base ∪ batch:
+    // live df + additively maintained (n_docs, sum_dl) keep scoring exact
+    assert(
+      bm25Rows(TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_app", queries, k = 5))
+        == bm25Rows(TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_full", queries, k = 5)))
+    // ...and both equal the raw-corpus batch path
+    assert(
+      bm25Rows(TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_app", queries, k = 5))
+        == bm25Rows(TextAnalysis.bm25TopKBatch(docs, "doc_id", "text", queries, k = 5)))
+    val st = TextAnalysis.bm25IndexStats(spark, "bm25_app")
+    assert(st.totalDocs === docs.count())
+    assert(st.builtDocs === base.count())
+    val fullSt = TextAnalysis.bm25IndexStats(spark, "bm25_full")
+    assert(math.abs(st.avgdl - fullSt.avgdl) < 1e-12,
+      "additive sum_dl must reproduce the rebuild's avgdl exactly")
+  }
+
+  test("bm25 index: staleness flags append dominance, rebuild clears it") {
+    import spark.implicits._
+    val docs = table("documents")
+    val tenth = docs.filter(col("doc_id") % 10 === 0)
+    val rest = docs.filter(col("doc_id") % 10 =!= 0)
+    TextAnalysis.writeBm25Index(tenth, "doc_id", "text", "bm25_stale", buckets = 4)
+    assert(!TextAnalysis.isStaleBm25Index(spark, "bm25_stale"),
+      "fresh index must not flag")
+    TextAnalysis.appendToBm25Index(spark, "bm25_stale", rest, "doc_id", "text")
+    val st = TextAnalysis.bm25IndexStats(spark, "bm25_stale")
+    assert(st.appendedFraction > 0.5, st.toString)
+    assert(st.newTermPpm >= 0L && st.maxDfDriftPpm > 0L, st.toString)
+    assert(TextAnalysis.isStaleBm25Index(spark, "bm25_stale"),
+      "append-dominated index must flag")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", "bm25_stale", buckets = 4)
+    assert(!TextAnalysis.isStaleBm25Index(spark, "bm25_stale"),
+      "rebuild must clear the flag")
+  }
+
+  test("bm25 index: replayed epoch dedups through bucketed compaction, answers unchanged") {
+    import spark.implicits._
+    val docs = table("documents")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val queries = Seq((1L, "spark"), (2L, "hash")).toDF("query_id", "term")
+    TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_replay", buckets = 4)
+    TextAnalysis.appendToBm25Index(spark, "bm25_replay", batch, "doc_id", "text")
+    val before = bm25Rows(
+      TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_replay", queries, k = 5))
+    // replay the SAME epoch's posting rows (the crash-retry shape);
+    // stats must NOT be re-bumped — replaying an epoch re-lands rows,
+    // it does not re-add documents — so only the postings duplicate
+    spark.table("bm25_replay").filter(col("doc_id") % 2 === 1)
+      .write.mode("append").format("parquet")
+      .bucketBy(4, "term").sortBy("term").saveAsTable("bm25_replay")
+    spark.catalog.refreshTable("bm25_replay")
+    val (rowsBefore, rowsAfter) =
+      graft.plans.Compaction.compactBucketedTable(spark, "bm25_replay")
+    assert(rowsBefore > rowsAfter, "compaction must drop the replay residue")
+    val after = bm25Rows(
+      TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_replay", queries, k = 5))
+    assert(after == before, "compaction must not change answers")
+  }
 }
