@@ -79,6 +79,64 @@ object Compaction {
     cols.toSeq
   }
 
+  /** The staged write-new/swap/clean machinery behind every in-place
+    * directory rewrite here and in [[ZOrder.reclusterZorder]] —
+    * generalized from [[compactParquet]] so each maintenance job gets
+    * the SAME durability contract instead of reinventing it: triage
+    * crash states (recover `__<tag>_old` when the dataset is missing;
+    * refuse when both copies exist; fail fast when neither does),
+    * clear a stale `__<tag>_tmp`, run `write` against the tmp path
+    * while the live dataset stays untouched and readable, then
+    * install via the two renames with exception rollback. `tag` keeps
+    * different maintenance jobs' crash states distinguishable on disk
+    * (`compact` vs `zorder`).
+    */
+  private[plans] def stagedParquetSwap(
+      spark: SparkSession,
+      dir: String,
+      tag: String
+  )(write: String => Unit): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(path)
+    val parent = qualified.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent, qualified.getName + s"__${tag}_tmp")
+    val old = new org.apache.hadoop.fs.Path(parent, qualified.getName + s"__${tag}_old")
+    // Crash-state triage BEFORE any delete, enforcing the durability
+    // contract above. A death between the two install renames leaves
+    // dir missing and the ONLY copy of the data at __<tag>_old —
+    // recover it by renaming back, never by deleting. Both present is
+    // ambiguous (death after install but before old-cleanup, or a
+    // concurrent maintenance job): refuse and let the operator pick.
+    val dirExists = fs.exists(qualified)
+    val oldExists = fs.exists(old)
+    if (!dirExists && oldExists) {
+      if (!fs.rename(old, qualified))
+        throw new java.io.IOException(
+          s"$tag recovery failed renaming $old back to $dir")
+    } else if (!dirExists) {
+      throw new java.io.FileNotFoundException(
+        s"$tag target $dir does not exist")
+    } else if (oldExists) {
+      throw new java.io.IOException(
+        s"refusing to $tag $dir: leftover $old exists alongside the " +
+          "dataset (a previous run died after installing the rewritten " +
+          "copy but before cleanup, or another maintenance job is " +
+          "running) — inspect and remove one copy first")
+    }
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    // swap: src -> old, tmp -> src, drop old (see the durability
+    // contract in the object doc)
+    if (!fs.rename(qualified, old))
+      throw new java.io.IOException(s"$tag swap failed moving $dir aside")
+    if (!fs.rename(tmp, qualified)) {
+      fs.rename(old, qualified) // restore
+      throw new java.io.IOException(s"$tag swap failed installing $tmp")
+    }
+    fs.delete(old, true)
+  }
+
   /** Compact the parquet dataset at `dir` in place. Returns
     * (dataFilesBefore, dataFilesAfter). `targetFileBytes` sizes the
     * output files from the MEASURED input bytes (parquet-to-parquet,
@@ -95,49 +153,18 @@ object Compaction {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qualified = fs.makeQualified(path)
-    val parent = qualified.getParent
-    val tmp = new org.apache.hadoop.fs.Path(parent, qualified.getName + "__compact_tmp")
-    val old = new org.apache.hadoop.fs.Path(parent, qualified.getName + "__compact_old")
-    // Crash-state triage BEFORE any delete, enforcing the durability
-    // contract above. A death between the two install renames leaves
-    // dir missing and the ONLY copy of the data at __compact_old —
-    // recover it by renaming back, never by deleting. Both present is
-    // ambiguous (death after install but before old-cleanup, or a
-    // concurrent compactor): refuse and let the operator pick a copy.
-    val dirExists = fs.exists(qualified)
-    val oldExists = fs.exists(old)
-    if (!dirExists && oldExists) {
-      if (!fs.rename(old, qualified))
-        throw new java.io.IOException(
-          s"compaction recovery failed renaming $old back to $dir")
-    } else if (!dirExists) {
-      throw new java.io.FileNotFoundException(
-        s"compaction target $dir does not exist")
-    } else if (oldExists) {
-      throw new java.io.IOException(
-        s"refusing to compact $dir: leftover $old exists alongside the " +
-          "dataset (a previous run died after installing the compacted " +
-          "copy but before cleanup, or another compactor is running) — " +
-          "inspect and remove one copy first")
+    var before = -1L
+    stagedParquetSwap(spark, dir, "compact") { tmp =>
+      val (b, bytes) = listData(fs, qualified)
+      before = b
+      val partCols = partitionColumns(fs, qualified)
+      val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val writer = spark.read.parquet(dir)
+        .repartition(parts)
+        .write.mode("overwrite")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(tmp)
     }
-    val (before, bytes) = listData(fs, qualified)
-    val partCols = partitionColumns(fs, qualified)
-    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    fs.delete(tmp, true)
-    val writer = spark.read.parquet(dir)
-      .repartition(parts)
-      .write.mode("overwrite")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(tmp.toString)
-    // swap: src -> old, tmp -> src, drop old (see the durability
-    // contract in the object doc)
-    if (!fs.rename(qualified, old))
-      throw new java.io.IOException(s"compaction swap failed moving $dir aside")
-    if (!fs.rename(tmp, qualified)) {
-      fs.rename(old, qualified) // restore
-      throw new java.io.IOException(s"compaction swap failed installing $tmp")
-    }
-    fs.delete(old, true)
     (before, listData(fs, qualified)._1)
   }
 

@@ -251,6 +251,45 @@ object ZOrder {
       r.getDouble(1) > covMax || r.getLong(2) > edgePpmMax
     }
 
+  /** Crash-safe full recluster of a LIVE z-ordered dataset — the
+    * remediation [[isStaleZorder]] prescribes, staged through
+    * [[Compaction.stagedParquetSwap]] so a reader never observes a
+    * partial layout and a crash never loses data: fresh boundaries are
+    * sketched from the current dataset and the clustered rewrite (data
+    * + the `_zorder_meta` contract) lands in `<path>__zorder_tmp`
+    * while the existing layout stays fully readable; the install is
+    * rename(path → path__zorder_old), rename(tmp → path), drop old.
+    * An exception rolls back to the original; a process death between
+    * the renames leaves the original intact at `__zorder_old` and
+    * re-running recovers it — the alternative, an in-place
+    * `zorderWrite(mode=overwrite)` of the same path, holds a
+    * data-loss-on-crash window for the entire rewrite, which at 100 TB
+    * is hours. Same operational contract as compaction: one
+    * maintenance job per dataset, writers paused.
+    *
+    * Clustering columns and bit width default to the STORED layout
+    * contract (recluster means "same layout, fresh boundaries");
+    * `numFiles` has no default for the same reason [[zorderWrite]]'s
+    * doesn't — it sets the rewrite's whole parallelism and must be
+    * sized to the data.
+    */
+  def reclusterZorder(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      numFiles: Int,
+      cols: Seq[String] = Nil,
+      bits: Int = 0): Unit = {
+    Compaction.stagedParquetSwap(spark, path, "zorder") { tmp =>
+      // meta is read INSIDE the staged block: the swap's crash triage
+      // runs first, so a re-run after a mid-install death recovers the
+      // dataset (and with it the stored contract) before this executes
+      val (mcols, mbits, _) = readMeta(spark, path)
+      val useCols = if (cols.nonEmpty) cols else mcols
+      val useBits = if (bits > 0) bits else mbits
+      zorderWrite(spark.read.parquet(path), useCols, tmp, numFiles, useBits)
+    }
+  }
+
   /** Skipping effectiveness of a written layout: for each data file and
     * each of `cols`, the fraction of the column's global [min, max]
     * span that the file's own [min, max] covers — the probability a

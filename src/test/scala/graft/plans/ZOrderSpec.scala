@@ -85,6 +85,86 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(re).count() === current.count())
   }
 
+  test("reclusterZorder: staged remediation clears drift-staleness without a loss window") {
+    val li = table("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val out = Files.createTempDirectory("graft_zrc").toString + "/t"
+    ZOrder.zorderWrite(li, Seq("l_orderkey", "l_partkey"), out, numFiles = 16)
+    // drift the layout stale, exactly as the lifecycle test does
+    val maxKey = li.agg(max("l_orderkey")).head().getLong(0)
+    ZOrder.zorderAppend(
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(maxKey * 10)),
+      out, numFiles = 1)
+    assert(ZOrder.isStaleZorder(spark, out), "drift must flag stale")
+    val pre = spark.read.parquet(out).orderBy(
+      "l_orderkey", "l_partkey", "l_quantity").collect().map(_.toString).toSeq
+    ZOrder.reclusterZorder(spark, out, numFiles = 16)
+    // fresh boundaries over the drifted data clear the staleness, the
+    // content is a pure permutation, and no staging dirs linger
+    assert(!ZOrder.isStaleZorder(spark, out), "recluster must clear staleness")
+    val post = spark.read.parquet(out).orderBy(
+      "l_orderkey", "l_partkey", "l_quantity").collect().map(_.toString).toSeq
+    assert(post === pre)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out + "__zorder_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(out + "__zorder_old")))
+  }
+
+  test("reclusterZorder: crash between the install renames — re-run recovers, zero loss") {
+    val li = table("lineitem").select("l_orderkey", "l_partkey")
+    val out = Files.createTempDirectory("graft_zrc_crash").toString + "/t"
+    ZOrder.zorderWrite(li, Seq("l_orderkey", "l_partkey"), out, numFiles = 16)
+    val pre = spark.read.parquet(out).orderBy("l_orderkey", "l_partkey")
+      .collect().map(_.toString).toSeq
+    // stage the documented death state: dataset renamed aside, nothing
+    // installed, a stale tmp lingering
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = fs.makeQualified(new org.apache.hadoop.fs.Path(out))
+    val old = new org.apache.hadoop.fs.Path(q.getParent, q.getName + "__zorder_old")
+    val tmp = new org.apache.hadoop.fs.Path(q.getParent, q.getName + "__zorder_tmp")
+    assert(fs.rename(q, old))
+    fs.mkdirs(tmp)
+    // re-running the recluster must first recover the only copy (meta
+    // contract included), then complete the rewrite
+    ZOrder.reclusterZorder(spark, out, numFiles = 16)
+    assert(!fs.exists(old) && !fs.exists(tmp))
+    val post = spark.read.parquet(out).orderBy("l_orderkey", "l_partkey")
+      .collect().map(_.toString).toSeq
+    assert(post === pre)
+    assert(!ZOrder.isStaleZorder(spark, out))
+  }
+
+  test("reclusterZorder: both copies present refuses; a failed rewrite leaves the layout live") {
+    import spark.implicits._
+    val li = table("lineitem").select("l_orderkey", "l_partkey")
+    val out = Files.createTempDirectory("graft_zrc_both").toString + "/t"
+    ZOrder.zorderWrite(li, Seq("l_orderkey", "l_partkey"), out, numFiles = 8)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = fs.makeQualified(new org.apache.hadoop.fs.Path(out))
+    val old = new org.apache.hadoop.fs.Path(q.getParent, q.getName + "__zorder_old")
+    Seq((1L, 2L)).toDF("l_orderkey", "l_partkey").write.parquet(old.toString)
+    val pre = spark.read.parquet(out).count()
+    // ambiguous state: refuse, touch neither copy
+    val ex = intercept[java.io.IOException] {
+      ZOrder.reclusterZorder(spark, out, numFiles = 8)
+    }
+    assert(ex.getMessage.contains("refusing"), ex.getMessage)
+    assert(spark.read.parquet(out).count() === pre)
+    assert(spark.read.parquet(old.toString).count() === 1L)
+    fs.delete(old, true)
+    // an exception INSIDE the staged rewrite (bad recluster column)
+    // propagates before any rename — the live layout never moved
+    val ex2 = intercept[Exception] {
+      ZOrder.reclusterZorder(spark, out, numFiles = 8,
+        cols = Seq("no_such_column"))
+    }
+    assert(spark.read.parquet(out).count() === pre,
+      s"failed rewrite must leave the dataset live: $ex2")
+    assert(!fs.exists(old))
+  }
+
   test("edge_ppm excludes nulls — a nullable column is not permanently stale") {
     import spark.implicits._
     // b: uniform values with 30% nulls. Nulls code into bucket 0 for
