@@ -691,6 +691,27 @@ object SparkEntry {
           col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // Hashed-feature ANN, end to end: signed-hash feature vectors from
+    // raw TEXT (no encoder anywhere) → dense d=16 vectors → the SAME
+    // materialized IVF-SQ index machinery the embedding gates use →
+    // probed-bucket-pruned retrieval. Proves the model-free geometry
+    // actually feeds the ANN family, not just that both exist; every
+    // stage (token hash, densify, centroid pick, assignment, int8
+    // codes, probes, re-rank) replays in the DuckDB twin
+    "q_sim_hashed_ann" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vecs = TextAnalysis.hashFeatureVectors(docs, "doc_id", "text", d = 16)
+      val idxTable = s"hashed_ivfsq_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(idxTable))
+        Similarity.writeIvfSqIndex(vecs, "doc_id", "vec", idxTable,
+          nCentroids = 16, buckets = 8, portableCentroids = true)
+      Similarity.ivfQuantizedTopKFromIndex(s, idxTable,
+        vecs.filter(col("doc_id") < 20), "doc_id", "vec",
+        k = 5, nProbe = 4, shortlist = 32)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
     // kNN label propagation: majority vote over the 7 exact nearest
     // labeled neighbors — pseudo-labeling with a deterministic
     // tie-break, the whole pipeline (cosine fold order, rank ties,
@@ -1951,12 +1972,18 @@ object SparkEntry {
     * pipeline SQL from drifting apart. Knobs pinned to the gate
     * params: 16 centroids, 4 probes, shortlist 32, queries vec_id<20.
     */
-  private lazy val ivfSqOracleCtes: String = {
+  /** The IVF-SQ replay chain (centroid pick → argmax assignment → int8
+    * quantize → probes → integer-dot shortlist → exact re-rank) over an
+    * arbitrary `e0(vec_id, v DOUBLE[])` vector source — shared by the
+    * embedding gates and the hashed-feature ANN gate, which differ ONLY
+    * in where the vectors come from.
+    */
+  private def ivfSqOracleCtesFrom(e0Ctes: String): String = {
     def dot(a: String, b: String): String =
       s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
     def cos(a: String, na: String, b: String, nb: String): String =
       s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ${dot(a, b)} / ($na * $nb) END)"
-    "WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+    s"WITH $e0Ctes, " +
       s"emb AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM e0), " +
       "cent AS (SELECT * FROM (SELECT vec_id AS cid, v AS cv, nrm AS cn, " +
       "row_number() OVER (ORDER BY ((CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, vec_id) AS cpos " +
@@ -1983,6 +2010,34 @@ object SparkEntry {
       s"""row_number() OVER (PARTITION BY s.query_id ORDER BY ${cos("a.v", "a.nrm", "b.v", "b.nrm")} DESC, s.neighbor_id) AS "rank" """ +
       "FROM sl s JOIN emb a ON a.vec_id = s.neighbor_id JOIN emb b ON b.vec_id = s.query_id)"
   }
+
+  private lazy val ivfSqOracleCtes: String =
+    ivfSqOracleCtesFrom(
+      "e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+
+  /** `e0` built from the signed-hash feature vectors of `documents`
+    * (d = 16): the q_text_hash_features twin densified — a doc × dim
+    * grid left-joined to the sparse counts, missing dims as 0 — so the
+    * hashed-ANN gate replays hash → dense → index → probe → re-rank
+    * end-to-end in ANSI SQL.
+    */
+  private lazy val hashedVecE0Ctes: String =
+    "hx_t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+      "hx_t2 AS (SELECT doc_id, tok FROM hx_t WHERE length(tok) > 0), " +
+      "hx_h AS (SELECT doc_id, (list_reduce([CAST(0 AS BIGINT)] || " +
+      "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+      "(a,c) -> (a*31+c) % 1000000007) * 2654435761) % 4294967296 AS mh " +
+      "FROM (SELECT doc_id, regexp_replace(tok, '[^a-z0-9 ]', '', 'g') AS t FROM hx_t2)), " +
+      "hx_f AS (SELECT doc_id, mh % 16 AS dim_idx, " +
+      "CASE WHEN (mh // 65536) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM hx_h), " +
+      "hx_sp AS (SELECT doc_id, dim_idx, CAST(sum(sgn) AS BIGINT) AS f " +
+      "FROM hx_f GROUP BY doc_id, dim_idx), " +
+      "hx_g AS (SELECT d.doc_id, r.range AS j " +
+      "FROM (SELECT DISTINCT doc_id FROM hx_sp) d CROSS JOIN range(0, 16) r), " +
+      "e0 AS (SELECT g.doc_id AS vec_id, " +
+      "list(CAST(coalesce(s.f, 0) AS DOUBLE) ORDER BY g.j) AS v " +
+      "FROM hx_g g LEFT JOIN hx_sp s ON s.doc_id = g.doc_id AND s.dim_idx = g.j " +
+      "GROUP BY g.doc_id)"
 
   /** The incremental batch-vs-history MinHash oracle, shared verbatim
     * by `q_dedup_incremental` (in-memory history) and
@@ -3047,6 +3102,11 @@ object SparkEntry {
         "FROM documents) WHERE r <= 15 ORDER BY doc_id"),
     "q_sim_ivf_sq_topk" ->
       (ivfSqOracleCtes +
+        """ SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
+        "ORDER BY query_id, \"rank\""),
+    "q_sim_hashed_ann" ->
+      // the shared IVF-SQ replay chain over hash-derived vectors
+      (ivfSqOracleCtesFrom(hashedVecE0Ctes) +
         """ SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
         "ORDER BY query_id, \"rank\""),
     "q_sim_knn_label_ivf" ->

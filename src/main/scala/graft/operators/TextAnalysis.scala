@@ -794,6 +794,36 @@ object TextAnalysis {
       .agg(sum(col("__s")).as("f"))
   }
 
+  /** [[hashFeatures]] densified to `(doc_id, vec: array<double>)` — the
+    * actual bridge into the ANN machinery: [[Similarity.writeIvfSqIndex]]
+    * and friends take a dense vector column, so this is what makes the
+    * "model-free geometry feeds the same indexes real embeddings do"
+    * claim executable rather than rhetorical (gated end-to-end by
+    * `q_sim_hashed_ann`). Values stay the exact signed integer counts,
+    * carried as doubles (< 2^53, so arithmetic downstream — norms,
+    * dots, int8 quantization — is exact and engine-portable).
+    *
+    * Shape: the sparse aggregate bounds the shuffle at docs × d rows;
+    * assembly is a per-doc map build plus d codegen'd `element_at`
+    * lookups — no interpreted higher-order fold. Documents with zero
+    * tokens have no sparse rows and therefore NO vector (nothing to
+    * retrieve by); filter upstream if every doc must appear.
+    */
+  def hashFeatureVectors(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      d: Int
+  ): DataFrame =
+    hashFeatures(df, idCol, textCol, d)
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim_idx"), col("f"))))
+        .as("__m"))
+      .select(col("doc_id"),
+        array((0 until d).map(j =>
+          coalesce(element_at(col("__m"), lit(j.toLong)), lit(0L))
+            .cast("double")): _*).as("vec"))
+
   /** Gopher-style top-n-gram occupancy: for each document, the count of
     * its single most frequent word `n`-gram and that count's share of
     * all the document's n-grams. A high share means one phrase dominates

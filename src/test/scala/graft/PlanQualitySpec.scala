@@ -485,6 +485,30 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("hashed-vector ivf index: same probed-bucket pruning as embedding indexes") {
+    val docs = table("documents").select("doc_id", "text")
+    val vecs = graft.operators.TextAnalysis.hashFeatureVectors(
+      docs, "doc_id", "text", d = 16)
+    graft.operators.Similarity.writeIvfSqIndex(vecs, "doc_id", "vec",
+      "hashed_ivfsq_plan", nCentroids = 8, buckets = 4,
+      portableCentroids = true)
+    def query() = graft.operators.Similarity.ivfQuantizedTopKFromIndex(
+      spark, "hashed_ivfsq_plan", vecs.filter(col("doc_id") < 5),
+      "doc_id", "vec", k = 3, nProbe = 2, shortlist = 16)
+    val plan = explain(query())
+    // the model-free vectors must ride the IDENTICAL pruned-scan shape
+    // real embeddings get: probed list ids as a literal pushed IN
+    assert(plan.contains("In(__list"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val bucketed = explain(query())
+      assert(bucketed.contains("SelectedBucketsCount"), bucketed)
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("bm25-index query: the query bag's terms bucket-prune the postings scan") {
     import spark.implicits._
     val docs = table("documents").select("doc_id", "text")

@@ -447,6 +447,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == resorted.toSeq, "TakeOrdered must deliver sorted top-k")
   }
 
+  test("hashFeatureVectors: dense assembly equals the sparse counts, zeros elsewhere") {
+    val docs = table("documents").limit(50)
+    val d = 16
+    val sparse = TextAnalysis.hashFeatures(docs, "doc_id", "text", d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dense = TextAnalysis.hashFeatureVectors(docs, "doc_id", "text", d)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(dense.nonEmpty)
+    dense.foreach { case (id, vec) =>
+      assert(vec.length == d)
+      vec.zipWithIndex.foreach { case (v, j) =>
+        assert(v == sparse.getOrElse((id, j.toLong), 0L).toDouble,
+          s"doc $id dim $j")
+      }
+    }
+    // every sparse entry is represented — nothing silently dropped
+    sparse.keys.foreach { case (id, j) => assert(dense.contains(id), s"doc $id") }
+  }
+
+  test("hashed vectors through the IVF-SQ index equal the in-memory ANN path") {
+    val docs = table("documents")
+    val vecs = TextAnalysis.hashFeatureVectors(docs, "doc_id", "text", d = 16)
+    val queries = vecs.filter(col("doc_id") < 10)
+    graft.operators.Similarity.writeIvfSqIndex(vecs, "doc_id", "vec",
+      "hashed_rt", nCentroids = 8, buckets = 4, portableCentroids = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val fromIndex = rows(
+      graft.operators.Similarity.ivfQuantizedTopKFromIndex(spark, "hashed_rt",
+        queries, "doc_id", "vec", k = 4, nProbe = 2, shortlist = 16)
+        .select("query_id", "rank", "neighbor_id"))
+    val inMemory = rows(
+      graft.operators.Similarity.ivfQuantizedTopK(queries, vecs,
+        "doc_id", "vec", "doc_id", "vec", k = 4, nCentroids = 8,
+        nProbe = 2, shortlist = 16, portableCentroids = true)
+        .select("query_id", "rank", "neighbor_id"))
+    assert(fromIndex == inMemory)
+    assert(fromIndex.nonEmpty)
+  }
+
   private def bm25Rows(df: org.apache.spark.sql.DataFrame) =
     df.orderBy("query_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
