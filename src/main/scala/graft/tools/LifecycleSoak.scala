@@ -20,6 +20,9 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   *    and compaction (after a deliberate replayed append, so the
   *    compactor has real residue to drop);
   *  - `ivb`/`iva`/`ivs`: IVF-SQ index build, 10 % append, stats;
+  *  - `bmb`/`bma`/`bmq`/`bms`: BM25 postings index build, 10 % append,
+  *    an indexed batched query, stats — the retrieval family's
+  *    build-once/query-many costs;
   *  - `ing`/`ckpt_mb`: the full indexed streaming ingest of the epoch
   *    (quality gate → watermarked exact dedup → near-dup vs the
   *    persistent index → survivor append), and the state checkpoint's
@@ -50,7 +53,7 @@ object LifecycleSoak {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def fmt(v: Double): String = f"$v%.3f"
-    // dev knob: GRAFT_LC_STEPS=jdb (comma-set of mh,ivf,ing,jdb) probes
+    // dev knob: GRAFT_LC_STEPS=jdb (comma-set of mh,ivf,bm,ing,jdb) probes
     // one lifecycle family; unset = all. Skipped steps report -1.
     val steps = sys.env.get("GRAFT_LC_STEPS").map(_.split(",").toSet)
     def on(s: String) = steps.forall(_.contains(s))
@@ -87,6 +90,28 @@ object LifecycleSoak {
       val s = timed(Similarity.ivfIndexStats(spark, ivT))
       (b, a, s)
     } else (-1.0, -1.0, -1.0)
+
+    // ---- BM25 postings index lifecycle (retrieval history): build
+    // over the even-id history, 10 % epoch append, an indexed batched
+    // query (the recurring cost the index exists to shrink), stats
+    val bmT = "lc_bm25_idx"
+    val (bmb, bma, bmq, bms) = if (on("bm")) {
+      import spark.implicits._
+      val b = timed(TextAnalysis.writeBm25Index(
+        history, "doc_id", "text", bmT, buckets = 16))
+      val a = timed(TextAnalysis.appendToBm25Index(
+        spark, bmT, epoch, "doc_id", "text"))
+      val bag = Seq(
+        (1L, "spark"), (1L, "hash"), (2L, "vector"), (2L, "window"),
+        (3L, "merge"), (3L, "batch")).toDF("query_id", "term")
+      val q = timed {
+        val n = TextAnalysis.bm25TopKBatchFromIndex(spark, bmT, bag, k = 20)
+          .count()
+        require(n > 0, "indexed bm25 returned no rows")
+      }
+      val s = timed(TextAnalysis.bm25IndexStats(spark, bmT))
+      (b, a, q, s)
+    } else (-1.0, -1.0, -1.0, -1.0)
 
     // ---- streaming indexed ingest of the epoch against the history
     // index (the q_stream_ingest_twin pipeline shape: landing dir →
@@ -166,7 +191,9 @@ object LifecycleSoak {
     println(
       s"""{"mhb":${fmt(mhb)},"mha":${fmt(mha)},"mhs":${fmt(mhs)},""" +
         s""""mhc":${fmt(mhc)},"ivb":${fmt(ivb)},"iva":${fmt(iva)},""" +
-        s""""ivs":${fmt(ivs)},"ing":${fmt(ing)},"jdb":${fmt(jdb)},""" +
+        s""""ivs":${fmt(ivs)},"bmb":${fmt(bmb)},"bma":${fmt(bma)},""" +
+        s""""bmq":${fmt(bmq)},"bms":${fmt(bms)},""" +
+        s""""ing":${fmt(ing)},"jdb":${fmt(jdb)},""" +
         s""""ckpt_mb":${fmt(ckptMb)}}""")
     spark.stop()
   }

@@ -51,7 +51,8 @@ HEAVY = [
     "q_k1_copy_lineitem",
     "q_sketch_kmv_shingles", "q_sim_pq_topk",
     "q_tpch_q9", "q_tpch_q18", "q_tpch_q21",
-    "q_sketch_mg_exact", "q_text_bm25", "q_zorder_scan",
+    "q_sketch_mg_exact", "q_text_bm25", "q_text_bm25_indexed",
+    "q_zorder_scan",
 ]
 
 # the queries whose 10x ratios ran hottest (>= ~2.5x) — the set worth a
@@ -71,6 +72,7 @@ ALIAS = {
     "q_sketch_kmv_shingles": "skm", "q_sim_pq_topk": "pq",
     "q_tpch_q9": "tq9", "q_tpch_q18": "tq18", "q_tpch_q21": "tq21",
     "q_sketch_mg_exact": "mg", "q_text_bm25": "bm25",
+    "q_text_bm25_indexed": "bmi",
     "q_zorder_scan": "zord",
     "bpe_cold": "bpec",
 }
@@ -112,9 +114,11 @@ def run_bench(sf_dir: str, reps: int, only=None) -> dict:
 # index build/append/compact/stats + streaming indexed ingest — the
 # lifecycle costs the query benches never touch (build is where a
 # 100 TB deployment spends its first day)
-LIFECYCLE = ["mhb", "mha", "mhs", "mhc", "ivb", "iva", "ivs", "ing", "jdb"]
+LIFECYCLE = ["mhb", "mha", "mhs", "mhc", "ivb", "iva", "ivs",
+             "bmb", "bma", "bmq", "bms", "ing", "jdb"]
 # embedded in SOAK.json (short already); stats steps stay detail-only
-LIFECYCLE_EMBED = ["mhb", "mha", "mhc", "ivb", "iva", "ing", "jdb"]
+LIFECYCLE_EMBED = ["mhb", "mha", "mhc", "ivb", "iva", "bmb", "bmq",
+                   "ing", "jdb"]
 
 
 def run_lifecycle(sf_dir: str, env=None) -> dict:
@@ -196,6 +200,7 @@ def main():
         env = dict(os.environ)
         fams = {{"mhb": "mh", "mha": "mh", "mhs": "mh", "mhc": "mh",
                  "ivb": "ivf", "iva": "ivf", "ivs": "ivf",
+                 "bmb": "bm", "bma": "bm", "bmq": "bm", "bms": "bm",
                  "ing": "ing", "jdb": "jdb"}[s] for s in lc_outliers}
         if "ing" in fams:
             fams.add("mh")  # the indexed ingest needs the mh index built
@@ -306,7 +311,9 @@ def main():
             "one run per scale)\n\n"
             "mhb/mha/mhs/mhc = minhash index build / 10% append / stats / "
             "compact-after-replay; ivb/iva/ivs = IVF-SQ build / 10% append "
-            "/ stats; ing = indexed streaming ingest of the 10% epoch; "
+            "/ stats; bmb/bma/bmq/bms = BM25 postings index build / 10% "
+            "append / indexed batched query / stats; "
+            "ing = indexed streaming ingest of the 10% epoch; "
             "jdb = live Migrator sync of lineitem into on-disk Derby; "
             "ckpt_mb = streaming state checkpoint on-disk size.\n\n"
             "| step | sf0.1 s | sf1 s | ratio | verdict |\n|---|---|---|---|---|\n"
