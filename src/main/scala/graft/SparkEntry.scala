@@ -978,6 +978,19 @@ object SparkEntry {
       Sketches.heavyHitterTokens(t(s, dir, "documents"), "lang", "text", m = 256)
         .orderBy(col("lang"), col("est").desc, col("term"))
     }),
+    // Count–min point queries with the APPROXIMATION oracled: w = 16
+    // columns against a 31-token/lang vocabulary guarantees collisions,
+    // and the DuckDB twin rebuilds the full d×w counter matrix with the
+    // same affine row functions — over-counts and all — so the gate
+    // pins the sketch's actual estimates, not an exact-regime special
+    // case. The absent probe term shows the one-sided floor (its est
+    // is whatever mass collided into its cells, never negative)
+    "q_sketch_cm_counts" -> ((s, dir) => {
+      Sketches.cmTokenCounts(t(s, dir, "documents"), "lang", "text",
+        queryTokens = Seq("spark", "hash", "vector", "merge", "zzqx"),
+        w = 16, d = 4)
+        .orderBy("lang", "term")
+    }),
     // Weighted Misra–Gries in the exact regime: top sources per
     // language by BYTE mass (n_chars), not document count — the
     // volume-dominance read a mixing pipeline acts on. m = 64 far
@@ -1531,6 +1544,20 @@ object SparkEntry {
         .agg(max(col("value")).as("r_value"))
       graft.operators.Temporal.asofJoin(l, r, "user_id", "ts_us", "r_ts",
         Seq("r_value")).orderBy("event_id")
+    }),
+    // Forward as-of twin: the NEXT click at-or-after each purchase —
+    // same single-shuffle union+window, scan direction flipped;
+    // DuckDB's ASOF <= is the oracle
+    "q_j7b_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          eventUs.as("ts_us"), col("value").as("l_value"))
+      val r = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), eventUs.as("r_ts"))
+        .agg(max(col("value")).as("r_value"))
+      graft.operators.Temporal.asofJoinForward(l, r, "user_id", "ts_us",
+        "r_ts", Seq("r_value")).orderBy("event_id")
     }),
     // J8 (beyond reference) — binned range join: purchases falling in a
     // 1-hour incident window after any error by the same user; the
@@ -2693,6 +2720,27 @@ object SparkEntry {
         "c AS (SELECT lang, term, count(*) AS est FROM t2 GROUP BY lang, term) " +
         "SELECT lang, term, CAST(est AS BIGINT) AS est, CAST(0 AS BIGINT) AS err " +
         "FROM c ORDER BY lang, est DESC, term"),
+    "q_sketch_cm_counts" ->
+      ("WITH toks AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "t2 AS (SELECT lang, tok FROM toks WHERE length(tok) > 0), " +
+        "hv AS (SELECT lang, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+        "FROM (SELECT lang, regexp_replace(tok, '[^a-z0-9 ]', '', 'g') AS t FROM t2)), " +
+        "cells AS (SELECT lang, r.range AS j, " +
+        "(((2*r.range+3)*hv + (97*r.range+1)) % 1000000007) % 16 AS colx, count(*) AS tot " +
+        "FROM hv CROSS JOIN range(0, 4) r GROUP BY lang, j, colx), " +
+        "q(term) AS (VALUES ('spark'), ('hash'), ('vector'), ('merge'), ('zzqx')), " +
+        "qh AS (SELECT term, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+        "FROM (SELECT term, regexp_replace(lower(term), '[^a-z0-9 ]', '', 'g') AS t FROM q)), " +
+        "grid AS (SELECT l.lang, qh.term, qh.hv, r.range AS j " +
+        "FROM (SELECT DISTINCT lang FROM documents) l CROSS JOIN qh CROSS JOIN range(0, 4) r) " +
+        "SELECT g.lang, g.term, CAST(min(coalesce(c.tot, 0)) AS BIGINT) AS est " +
+        "FROM grid g LEFT JOIN cells c ON c.lang = g.lang AND c.j = g.j " +
+        "AND c.colx = (((2*g.j+3)*g.hv + (97*g.j+1)) % 1000000007) % 16 " +
+        "GROUP BY g.lang, g.term ORDER BY g.lang, g.term"),
     "q_sketch_mg_weighted" ->
       ("WITH c AS (SELECT lang, source AS term, CAST(sum(n_chars) AS BIGINT) AS est " +
         "FROM documents GROUP BY lang, source) " +
@@ -3402,6 +3450,15 @@ object SparkEntry {
         "SELECT l.event_id, l.user_id, l.ts_us, l.l_value, " +
         "r.r_ts AS asof_r_ts, r.r_value AS asof_r_value " +
         "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.r_ts " +
+        "ORDER BY event_id"),
+    "q_j7b_asof_forward" ->
+      ("WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value AS l_value " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "r AS (SELECT user_id, epoch_us(ts) AS r_ts, max(value) AS r_value " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
+        "SELECT l.event_id, l.user_id, l.ts_us, l.l_value, " +
+        "r.r_ts AS asof_r_ts, r.r_value AS asof_r_value " +
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us <= r.r_ts " +
         "ORDER BY event_id"),
     // grid twin: integer floor-div bucket alignment (non-negative μs),
     // range() is end-exclusive so hi lands via +1, ASOF LEFT JOIN

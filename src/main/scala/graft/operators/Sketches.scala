@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.functions.{KmvSketchExpression, KrHashExpression, KrShingleHashExpression}
+import graft.functions.{CmSketchExpression, KmvSketchExpression, KrHashExpression, KrShingleHashExpression}
 
 /** Portable cardinality / quantile estimation — the sizing layer a
   * 100 TB corpus needs before it can be planned: distinct-shingle
@@ -226,6 +226,53 @@ object Sketches {
           explode(split(col(textCol), " ")).as("__term"))
         .filter(length(col("__term")) > 0),
       groupCol, "__term", m)
+
+  /** Point-query the count–min matrix ([[graft.functions
+    * .CmSketchExpression]]) for one hashed term: the minimum of the
+    * term's d counters — d codegen'd `element_at` lookups, no
+    * interpreted fold. Row j's column replays the sketch's affine
+    * family exactly, so any engine holding the same matrix answers the
+    * same estimate.
+    */
+  def cmEstimate(sketch: Column, hv: Column, w: Int, d: Int): Column = {
+    val cells = (0 until d).map { j =>
+      element_at(sketch,
+        (lit(j * w + 1) +
+          pmod(pmod(hv * lit(2L * j + 3L) + lit(97L * j + 1L),
+            lit(CmSketchExpression.P)), lit(w.toLong)).cast("int")))
+    }
+    if (cells.size == 1) cells.head else least(cells: _*)
+  }
+
+  /** Per-group token-frequency point queries through a count–min
+    * sketch: ONE bounded-state pass collapses each group's token
+    * stream to a d×w counter matrix (map-side partials, single
+    * shuffle, O(d·w·groups) traffic), then any after-the-fact term
+    * list reads its estimates off the matrix — the "how often did
+    * these n-grams / hosts / eval probes occur per slice" screen that
+    * an exact groupBy(term) can't afford when the term domain is
+    * unbounded. Estimates carry count–min's one-sided certificate
+    * `true ≤ est`; the DuckDB twin rebuilds the matrix (collisions
+    * included) and answers bit-identically — the approximation itself
+    * is oracled, not just an exact regime.
+    */
+  def cmTokenCounts(
+      df: DataFrame, groupCol: String, textCol: String,
+      queryTokens: Seq[String], w: Int, d: Int): DataFrame = {
+    require(queryTokens.nonEmpty, "need at least one query token")
+    val hashed = df
+      .select(col(groupCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .select(col(groupCol), KrHashExpression.krHash(col("__tok")).as("__hv"))
+    val sk = hashed.groupBy(groupCol)
+      .agg(CmSketchExpression.cmSketch(col("__hv"), lit(1L), w, d).as("__sk"))
+    sk.select(col(groupCol), col("__sk"),
+        explode(array(queryTokens.map(lit(_)): _*)).as("term"))
+      .select(col(groupCol), col("term"),
+        cmEstimate(col("__sk"), KrHashExpression.krHash(col("term")), w, d)
+          .as("est"))
+  }
 
   /** Pairwise group resemblance from KMV sketches — Broder's k-min
     * estimator: J(A, B) ≈ |{k smallest of A ∪ B} ∩ A ∩ B| / k. The

@@ -41,6 +41,40 @@ object Temporal {
       rightTsCol: String,
       rightValueCols: Seq[String],
       prefix: String = "asof_"
+  ): DataFrame =
+    asofImpl(left, right, keyCol, leftTsCol, rightTsCol, rightValueCols,
+      prefix, forward = false)
+
+  /** Forward as-of join: for every left row, attach the EARLIEST right
+    * row of the same key with `right.ts >= left.ts` — the mirror of
+    * [[asofJoin]], and the other half every event pipeline eventually
+    * needs ("the next click after each impression", "time-to-first-
+    * response"). Identical single-shuffle union+window shape; only the
+    * scan direction of the window flips, so cost and contracts
+    * (unique right per (key, ts), left-outer nulls, ties match) carry
+    * over unchanged.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightValueCols: Seq[String],
+      prefix: String = "asof_"
+  ): DataFrame =
+    asofImpl(left, right, keyCol, leftTsCol, rightTsCol, rightValueCols,
+      prefix, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightValueCols: Seq[String],
+      prefix: String,
+      forward: Boolean
   ): DataFrame = {
     val payload = struct(
       (col(rightTsCol).as(rightTsCol) +: rightValueCols.map(col)): _*)
@@ -59,8 +93,14 @@ object Temporal {
       }.toSeq ++
         Seq(col(rightTsCol).as("__ts"), lit(0).as("__side"), payload.as("__r")): _*)
 
-    // right sorts before left at equal ts, so ties match (ASOF >=)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__side"))
+    // backward scans ts ascending, forward descending; either way the
+    // right row sorts before the left at equal ts, so ties match
+    // (ASOF >= backward, ASOF <= forward), and last-seen-right at each
+    // left row is the nearest match in the scan direction
+    val ord =
+      if (forward) Seq(col("__ts").desc, col("__side"))
+      else Seq(col("__ts"), col("__side"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.union(rTagged)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

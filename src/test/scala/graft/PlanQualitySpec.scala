@@ -159,6 +159,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_graft_kmv_sketch"), plan)
   }
 
+  test("cm sketch gate: partial aggregation carries the bounded counter matrix") {
+    val plan = SparkEntry.queries("q_sketch_cm_counts")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // map-side partials collapse each partition's token stream to one
+    // d×w matrix before the single shuffle — O(d·w·groups) traffic
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_cm_sketch"), plan)
+  }
+
   test("mg sketch gate: partial aggregation carries the bounded counter map") {
     val plan = SparkEntry.queries("q_sketch_mg_exact")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -201,6 +201,58 @@ class SketchesSpec extends SparkSpec {
     assert(out == Map("a" -> 15L, "b" -> 3L, "c" -> 1L))
   }
 
+  test("count-min: one-sided certificate true <= est for every queried term") {
+    val docs = table("documents")
+    val probes = Seq("spark", "hash", "vector", "merge", "window", "zzqx")
+    val est = Sketches.cmTokenCounts(docs, "lang", "text", probes, w = 16, d = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = docs
+      .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(col("t").isin(probes: _*))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(est.nonEmpty)
+    // every (lang, probe) estimate dominates its true count; the absent
+    // probe's floor is whatever collided, never negative
+    est.foreach { case (k, e) =>
+      assert(e >= exact.getOrElse(k, 0L), s"$k: est $e < true ${exact.get(k)}")
+    }
+    // at least one probe must be present somewhere or the cert is vacuous
+    assert(exact.nonEmpty)
+  }
+
+  test("count-min: matrix is partition-invariant and merges by element-wise add") {
+    import graft.functions.{CmSketchExpression, KrHashExpression}
+    val docs = table("documents")
+    def matrix(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .select(KrHashExpression.krHash(col("t")).as("hv"))
+      .agg(CmSketchExpression.cmSketch(col("hv"), lit(1L), 16, 4).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    val whole = matrix(docs)
+    assert(whole.length == 64 && whole.sum > 0)
+    assert(matrix(docs.repartition(7)) == whole, "order/partitioning must not matter")
+    // half-sketches add to the whole — the tree-reduce identity
+    val a = matrix(docs.filter(col("doc_id") % 2 === 0))
+    val b = matrix(docs.filter(col("doc_id") % 2 === 1))
+    assert(a.zip(b).map { case (x, y) => x + y } == whole)
+  }
+
+  test("count-min: negative weights rejected, zero weights contribute nothing") {
+    import graft.functions.CmSketchExpression
+    val neg = Seq((1L, -1L)).toDF("hv", "w")
+    val ex = intercept[Exception] {
+      neg.agg(CmSketchExpression.cmSketch(col("hv"), col("w"), 16, 2)).collect()
+    }
+    assert(ex.getMessage.contains("non-negative") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-negative")), ex.toString)
+    val z = Seq((5L, 0L), (5L, 3L)).toDF("hv", "w")
+      .agg(CmSketchExpression.cmSketch(col("hv"), col("w"), 16, 2).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(z.sum == 3L * 2, "only the weighted mass lands, once per row of depth")
+  }
+
   test("mg sketch: zero-weight rows neither occupy a slot nor emit est=0 rows") {
     import graft.functions.MgSketchExpression
     // m comfortably above the distinct count: no trim ever fires, so a

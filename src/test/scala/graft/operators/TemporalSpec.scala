@@ -37,6 +37,54 @@ class TemporalSpec extends SparkSpec {
       (3L, None)))           // key 9 has no right rows at all
   }
 
+  private def asofFwd(l: Seq[(Long, Long, Long)], r: Seq[(Long, Long, Double)]) = {
+    import spark.implicits._
+    val left = l.toDF("id", "k", "ts")
+    val right = r.toDF("k", "rts", "v")
+    Temporal.asofJoinForward(left, right, "k", "ts", "rts", Seq("v"))
+      .orderBy("id")
+      .collect()
+      .map(row => (row.getLong(0),
+        if (row.isNullAt(3)) None else Some((row.getLong(3), row.getDouble(4)))))
+  }
+
+  test("forward asof picks the earliest right row at or after each left ts") {
+    val out = asofFwd(
+      l = Seq((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 999L)),
+      r = Seq((7L, 50L, 1.0), (7L, 100L, 2.0), (7L, 300L, 3.0)))
+    // ties match (ASOF <=): left@100 takes right@100, not right@300;
+    // nothing at-or-after 999 -> null
+    assert(out.toSeq === Seq(
+      (1L, Some((100L, 2.0))),
+      (2L, Some((300L, 3.0))),
+      (3L, None)))
+  }
+
+  test("forward asof matches a quadratic reference on the events fixture") {
+    import spark.implicits._
+    val ev = table("events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us")).limit(150)
+    val r = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("r_ts"))
+      .agg(max(col("value")).as("v"))
+    val fast = Temporal.asofJoinForward(l, r, "user_id", "ts_us", "r_ts", Seq("v"))
+      .collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(3)) None else Some((row.getLong(3), row.getDouble(4)))))
+      .toMap
+    val rRows = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val slow = l.collect().map { x =>
+      val (id, u, ts) = (x.getLong(0), x.getLong(1), x.getLong(2))
+      val cands = rRows.filter(t => t._1 == u && t._2 >= ts)
+      id -> (if (cands.isEmpty) None
+             else { val m = cands.minBy(_._2); Some((m._2, m._3)) })
+    }.toMap
+    assert(fast === slow)
+    assert(fast.nonEmpty && fast.values.exists(_.isDefined))
+  }
+
   test("asof join runs as ONE hash shuffle per side input (no range-join blowup)") {
     import spark.implicits._
     val left = (1L to 100L).map(i => (i, i % 5, i * 10)).toDF("id", "k", "ts")
