@@ -99,6 +99,27 @@ object SparkEntry {
       "CASE WHEN doc_id % 11 = 0 THEN '' ELSE source END AS source, " +
       "n_chars FROM documents ORDER BY doc_id"
 
+  /** DuckDB twin of the TF-IDF top-terms scorer — shared by the
+    * tokenize-per-call gate (`q_text_tfidf`) and the postings-index
+    * gate (`q_text_tfidf_indexed`), which must answer identically.
+    * idf is quantized FIRST (integer micro-units); score and ranking
+    * are then exact integer arithmetic — see tfidfTopTerms scaladoc.
+    */
+  private val TfidfOracleSql: String =
+    "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents), " +
+      "t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term), " +
+      "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+      "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
+      "scored AS (SELECT f.doc_id, f.term, f.tf, d.df, " +
+      "f.tf * CAST(floor(ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS score_fx " +
+      "FROM tf f JOIN dfreq d USING (term) CROSS JOIN n), " +
+      "r AS (SELECT doc_id, term, tf, df, score_fx, " +
+      """row_number() OVER (PARTITION BY doc_id ORDER BY score_fx DESC, term) AS "rank" FROM scored) """ +
+      """SELECT doc_id, CAST("rank" AS BIGINT) AS "rank", term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, """ +
+      "CAST(score_fx AS BIGINT) AS score_fx " +
+      """FROM r WHERE "rank" <= 5 ORDER BY doc_id, "rank""""
+
   /** DuckDB twin of the batched-BM25 scorer — shared by the
     * in-memory gate (`q_text_bm25_batch`) and the materialized-index
     * gate (`q_text_bm25_indexed`): the indexed path must equal the
@@ -887,6 +908,18 @@ object SparkEntry {
     // (doc,term) tf shuffle, term-keyed df join, doc-keyed top-k window
     "q_text_tfidf" -> ((s, dir) => {
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
+    }),
+    // TF-IDF off the materialized postings index: the persisted
+    // tokenize's second consumer (same index table the BM25 gate
+    // builds — one build serves both), same oracle as q_text_tfidf
+    "q_text_tfidf_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxTable = s"bm25_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(idxTable))
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", idxTable,
+          buckets = 8)
+      TextAnalysis.tfidfTopTermsFromIndex(s, idxTable, k = 5)
         .orderBy("doc_id", "rank")
     }),
     // Span-level dedup: C4-style cross-document paragraph dedup with
@@ -2593,22 +2626,10 @@ object SparkEntry {
         """WHERE "rank" <= 5) """ +
         """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM ranked ORDER BY query_id, "rank""""
     },
-    "q_text_tfidf" ->
-      ("WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents), " +
-        "t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0), " +
-        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term), " +
-        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
-        "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
-        // idf quantized FIRST (integer micro-units); score and ranking
-        // are then exact integer arithmetic — see tfidfTopTerms scaladoc
-        "scored AS (SELECT f.doc_id, f.term, f.tf, d.df, " +
-        "f.tf * CAST(floor(ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS score_fx " +
-        "FROM tf f JOIN dfreq d USING (term) CROSS JOIN n), " +
-        "r AS (SELECT doc_id, term, tf, df, score_fx, " +
-        """row_number() OVER (PARTITION BY doc_id ORDER BY score_fx DESC, term) AS "rank" FROM scored) """ +
-        """SELECT doc_id, CAST("rank" AS BIGINT) AS "rank", term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, """ +
-        "CAST(score_fx AS BIGINT) AS score_fx " +
-        """FROM r WHERE "rank" <= 5 ORDER BY doc_id, "rank""""),
+    "q_text_tfidf" -> TfidfOracleSql,
+    // the postings-index path answers the SAME twin — one persisted
+    // tokenize, two consumers, identical results
+    "q_text_tfidf_indexed" -> TfidfOracleSql,
     "q_dedup_paragraph" ->
       ("WITH docs(doc_id, text) AS (VALUES " +
         "(1, 'alpha beta' || chr(10) || 'common boilerplate' || chr(10) || 'gamma'), " +

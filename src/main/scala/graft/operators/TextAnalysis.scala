@@ -290,8 +290,41 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    tfidfScoreTail(tf, nDocs, k)
+  }
+
+  /** [[tfidfTopTerms]] over a materialized BM25 postings index
+    * ([[writeBm25Index]]) — the second consumer of the same persisted
+    * tokenize: the postings rows ARE the (doc_id, term, tf) frame
+    * TF-IDF aggregates, and the stats row carries N, so keyword
+    * extraction re-pays neither the corpus scan nor the token explode.
+    * One shared tokenize serving retrieval AND salience is the point
+    * of persisting it at 100 TB. Results are bit-identical to the
+    * in-memory path (shared scoring tail, identical tf/df/N inputs;
+    * the contract assumes the unique doc ids every index write/append
+    * already requires).
+    */
+  def tfidfTopTermsFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = spark.table(tableName).select("doc_id", "term", "tf")
+    val nDocs = spark.table(tableName + "_stats").select(col("n_docs"))
+    tfidfScoreTail(tf, nDocs, k)
+  }
+
+  /** The TF-IDF scoring tail shared verbatim by the tokenize-per-call
+    * and postings-index paths: df aggregates from the (doc, term, tf)
+    * frame (always current, so index appends can't serve stale idf),
+    * the smoothed idf quantizes once to micro-units, and the per-doc
+    * rank window reads exact integers.
+    */
+  private def tfidfScoreTail(
+      tf: DataFrame, nDocs: DataFrame, k: Int): DataFrame = {
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))

@@ -533,6 +533,23 @@ class TextAnalysisSpec extends SparkSpec {
       "additive sum_dl must reproduce the rebuild's avgdl exactly")
   }
 
+  test("tfidf from the postings index equals the in-memory path, appends included") {
+    val docs = table("documents")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "rank").collect().map(_.toString).toSeq
+    TextAnalysis.writeBm25Index(base, "doc_id", "text", "tfidf_rt", buckets = 4)
+    assert(
+      rows(TextAnalysis.tfidfTopTermsFromIndex(spark, "tfidf_rt", k = 4))
+        == rows(TextAnalysis.tfidfTopTerms(base, "doc_id", "text", k = 4)))
+    // live df + additive N keep the second consumer exact after appends
+    TextAnalysis.appendToBm25Index(spark, "tfidf_rt", batch, "doc_id", "text")
+    assert(
+      rows(TextAnalysis.tfidfTopTermsFromIndex(spark, "tfidf_rt", k = 4))
+        == rows(TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 4)))
+  }
+
   test("bm25 index: staleness flags append dominance, rebuild clears it") {
     import spark.implicits._
     val docs = table("documents")
