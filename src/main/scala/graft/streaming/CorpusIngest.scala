@@ -143,6 +143,34 @@ object CorpusIngest {
         col("__it.est").as("est"),
         col("err"))
 
+  /** Windowed count–min matrix per (window, source): the third sketch
+    * through the state store — [[vocabRollup]] estimates how many
+    * distinct tokens, [[topTermsRollup]] which dominate, this one
+    * answers "how often did THIS term occur" for ANY term probed after
+    * the fact ([[graft.operators.Sketches.cmEstimate]] over the
+    * emitted matrix). State per open group is the fixed d×w counter
+    * matrix — never grows with ingest volume — and the sketch is pure
+    * addition (order-insensitive like KMV, unlike MG's decrements), so
+    * closed windows equal the batch twin EXACTLY whatever order
+    * micro-batches replayed in. Append-mode compatible (watermarked
+    * window).
+    */
+  def termFrequencyRollup(
+      cleaned: DataFrame,
+      window: String = "1 hour",
+      w: Int = 64,
+      d: Int = 4
+  ): DataFrame =
+    cleaned
+      .select(col("ingest_time"), col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(org.apache.spark.sql.functions.window(col("ingest_time"), window),
+        col("source"))
+      .agg(graft.functions.CmSketchExpression.cmSketch(
+        graft.functions.KrHashExpression.krHash(col("__tok")), lit(1L), w, d)
+        .as("cm_sketch"))
+
   /** Pre-create `destDir` with an empty schema-bearing `batch=-1`
     * sentinel (mode `ignore`: first start wins, restarts no-op). Empty
     * micro-batches skip their writes, so a run whose batches are ALL

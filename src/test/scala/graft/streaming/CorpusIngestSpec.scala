@@ -309,6 +309,67 @@ class CorpusIngestSpec extends SparkSpec {
     assert(streamed.collect().forall(_.getLong(3) <= 64L))
   }
 
+  test("term-frequency rollup: streaming count-min matrix equals the batch twin on closed windows") {
+    val srcDir = tmp("graft_ingest_src5")
+    writeMain(srcDir)
+    val outDir = tmp("graft_ingest_cm_out")
+    CorpusIngest.termFrequencyRollup(
+      CorpusIngest.clean(
+        CorpusIngest.documentsStream(spark, srcDir), MinQ, watermark = "1 hour"),
+      window = "1 hour", w = 32, d = 4)
+      .writeStream
+      .option("checkpointLocation", tmp("graft_ingest_cm_ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .start()
+      .awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select(col("window.start").as("ws"), col("source"), col("cm_sketch"))
+
+    // pure addition is order-insensitive, so the emitted matrices must
+    // equal the batch recompute EXACTLY, whatever order batches ran in
+    val wmSec = 3600L + 499L * 60 - 3600L
+    val twin = twinClean(srcDir)
+      .select(col("ingest_time"), col("source"),
+        explode(graft.operators.TextAnalysis.tokens(lower(col("text")))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(window(col("ingest_time"), "1 hour").getField("start").as("ws"),
+        col("source"))
+      .agg(graft.functions.CmSketchExpression.cmSketch(
+        graft.functions.KrHashExpression.krHash(col("__tok")), lit(1L), 32, 4)
+        .as("cm_sketch"))
+      .filter(col("ws").cast("long") + 3600L <= wmSec)
+    val s = streamed.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getSeq[Long](2))).toSet
+    val t = twin.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getSeq[Long](2))).toSet
+    assert(s === t)
+    assert(s.nonEmpty)
+    // state per open group is the fixed matrix, and a probe through
+    // the emitted matrix dominates the window's true count
+    assert(streamed.collect().forall(_.getSeq[Long](2).length == 128))
+    val probed = streamed
+      .select(col("ws"), col("source"),
+        graft.operators.Sketches.cmEstimate(col("cm_sketch"),
+          graft.functions.KrHashExpression.krHash(lit("the")), 32, 4).as("est"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = twinClean(srcDir)
+      .select(col("ingest_time"), col("source"),
+        explode(graft.operators.TextAnalysis.tokens(lower(col("text")))).as("__tok"))
+      .filter(col("__tok") === "the")
+      .groupBy(window(col("ingest_time"), "1 hour").getField("start").as("ws"),
+        col("source"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("ws").cast("long") + 3600L <= wmSec)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    truth.foreach { case (k, c) =>
+      assert(probed.getOrElse(k, 0L) >= c, s"$k: probe under true count")
+    }
+  }
+
   test("top-terms rollup: streaming MG sketch — exact regime equals batch, tight regime certifies") {
     val srcDir = tmp("graft_ingest_src4")
     writeMain(srcDir)
