@@ -125,7 +125,11 @@ object SparkEntry {
     * gate (`q_text_bm25_indexed`): the indexed path must equal the
     * in-memory path bit-for-bit, so they are held to ONE oracle.
     */
-  private val Bm25BatchOracleSql: String =
+  /** The batched-BM25 CTE chain up to the per-query rank `r` —
+    * shared by [[Bm25BatchOracleSql]] and the rank-fusion twin, which
+    * consumes the SAME ranked run as its relevance channel.
+    */
+  private val Bm25BatchCtes: String =
     ("WITH docs AS (SELECT doc_id, text, " +
         "CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS dl FROM documents), " +
         "toks AS (SELECT doc_id, dl, unnest(str_split(text, ' ')) AS term FROM docs), " +
@@ -148,10 +152,13 @@ object SparkEntry {
         "agg AS (SELECT q.query_id, s.doc_id, sum(s.score_fx) AS score_fx " +
         "FROM sc2 s JOIN q USING (term) GROUP BY q.query_id, s.doc_id), " +
         "r AS (SELECT query_id, doc_id, score_fx, " +
-        """row_number() OVER (PARTITION BY query_id ORDER BY score_fx DESC, doc_id) AS "rank" FROM agg) """ +
-        """SELECT CAST(query_id AS BIGINT) AS query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, """ +
-        "CAST(score_fx AS BIGINT) AS score_fx " +
-        """FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""")
+        """row_number() OVER (PARTITION BY query_id ORDER BY score_fx DESC, doc_id) AS "rank" FROM agg)""")
+
+  private val Bm25BatchOracleSql: String =
+    Bm25BatchCtes +
+      """ SELECT CAST(query_id AS BIGINT) AS query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, """ +
+      "CAST(score_fx AS BIGINT) AS score_fx " +
+      """FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank""""
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1085,6 +1092,29 @@ object SparkEntry {
         (3L, "merge"), (3L, "batch"))
         .toDF("query_id", "term")
       TextAnalysis.bm25TopKBatchFromIndex(s, idxTable, queries, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // Reciprocal-rank fusion: blend the BM25 relevance channel with a
+    // query-independent freshness channel (20 newest doc_ids) — the
+    // classic relevance+recency blend, rank-domain only, exact
+    // fixed-point contributions 1e6 div (60 + rank) so the fused
+    // ordering replays in DuckDB bit-for-bit
+    "q_retrieval_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val queries = Seq(
+        (1L, "spark"), (1L, "hash"),
+        (2L, "vector"), (2L, "window"),
+        (3L, "merge"), (3L, "batch"))
+        .toDF("query_id", "term")
+      val relevance = TextAnalysis.bm25TopKBatch(docs, "doc_id", "text",
+        queries, k = 10).select("query_id", "doc_id", "rank")
+      val newest = docs.select("doc_id").orderBy(col("doc_id").desc).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("doc_id").desc)).cast(LongType))
+      val freshness = queries.select("query_id").distinct()
+        .crossJoin(newest).select("query_id", "doc_id", "rank")
+      TextAnalysis.reciprocalRankFusion(Seq(relevance, freshness), k = 5)
         .orderBy("query_id", "rank")
     }),
     // Dedup (n-gram Jaccard): exact word-3-gram Jaccard over min-shingle
@@ -2808,6 +2838,26 @@ object SparkEntry {
     // round-trip-equality contract: the index path answers the SAME
     // twin as the in-memory batch
     "q_text_bm25_indexed" -> Bm25BatchOracleSql,
+    // fusion twin: the same ranked BM25 run (rank <= 10) as the
+    // relevance channel, the 20 newest doc_ids as the freshness
+    // channel, 1e6 // (60 + rank) summed per (query, doc) — DuckDB's
+    // // truncates toward zero like Spark's div, and operands are
+    // positive, so the fixed-point contributions agree exactly
+    "q_retrieval_fusion" ->
+      (Bm25BatchCtes +
+        """, rel AS (SELECT query_id, doc_id, "rank" FROM r WHERE "rank" <= 10), """ +
+        """fr0 AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id DESC) AS "rank" """ +
+        "FROM documents ORDER BY doc_id DESC LIMIT 20), " +
+        "fresh AS (SELECT q2.query_id, f.doc_id, f.\"rank\" " +
+        "FROM (SELECT DISTINCT query_id FROM q) q2 CROSS JOIN fr0 f), " +
+        """u AS (SELECT query_id, doc_id, 1000000 // (60 + "rank") AS c FROM rel """ +
+        """UNION ALL SELECT query_id, doc_id, 1000000 // (60 + "rank") AS c FROM fresh), """ +
+        "fs AS (SELECT query_id, doc_id, sum(c) AS score_fx FROM u GROUP BY 1, 2), " +
+        "rr2 AS (SELECT query_id, doc_id, score_fx, " +
+        """row_number() OVER (PARTITION BY query_id ORDER BY score_fx DESC, doc_id) AS "rank" FROM fs) """ +
+        """SELECT CAST(query_id AS BIGINT) AS query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, """ +
+        "CAST(score_fx AS BIGINT) AS score_fx " +
+        """FROM rr2 WHERE "rank" <= 5 ORDER BY query_id, "rank""""),
     "q_f3_default_rewrite" ->
       ("WITH defs(column_name, raw_default, is_numeric) AS (VALUES " +
         "('a','(0)',true), ('b','  ''abc''  ',false), ('c','SYS_GUID()',false), " +

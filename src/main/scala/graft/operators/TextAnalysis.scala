@@ -699,6 +699,52 @@ object TextAnalysis {
     spark.catalog.refreshTable(tableName)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of ranked
+    * retrieval runs: each channel contributes `1/(k0 + rank)` per
+    * (query, doc) and the fused ranking orders by the sum — the
+    * standard way to blend heterogeneous retrieval channels (lexical
+    * BM25 beside an ANN run, a relevance run beside a recency run)
+    * without comparing their incomparable raw scores; `k0` (60 in the
+    * original paper) damps the head so one channel's #1 can't drown
+    * agreement further down.
+    *
+    * Every input is rank-domain only — (query_id, doc_id, rank) — so
+    * the operator is channel-agnostic. Contributions are fixed-point:
+    * `1_000_000 div (k0 + rank)` in exact BIGINT, so the fused order
+    * is engine-portable (full DuckDB oracle), summed per (query, doc)
+    * and reduced on the k-bounded CollectTopK queue — the same O(k)
+    * aggregate state per query as [[bm25TopKBatch]], never a rank
+    * window over the union of candidate lists. Ties break on doc_id
+    * ascending.
+    */
+  def reciprocalRankFusion(
+      runs: Seq[DataFrame], // each (query_id, doc_id, rank)
+      k: Int,
+      k0: Int = 60
+  ): DataFrame = {
+    require(runs.nonEmpty, "need at least one ranked run")
+    require(k > 0 && k0 >= 0, "need k > 0 and k0 >= 0")
+    val contrib = runs
+      .map(_.select(col("query_id"), col("doc_id"),
+        call_function("div", lit(1000000L), lit(k0.toLong) + col("rank").cast("long"))
+          .as("__c")))
+      .reduce(_.unionByName(_))
+    val perDoc = contrib
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__c")).as("score_fx"))
+    val item = struct((col("score_fx") * -1).as("neg"), col("doc_id"))
+    perDoc
+      .groupBy("query_id")
+      .agg(array_sort(org.apache.spark.sql.graftbridge.ColumnBridge
+        .collectTopK(item, k, reverse = true)).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__i")))
+      .select(
+        col("query_id"),
+        (col("__r") + 1).cast("long").as("rank"),
+        col("__i.doc_id").as("doc_id"),
+        (col("__i.neg") * -1).as("score_fx"))
+  }
+
   /** Staleness telemetry for a materialized BM25 index — the mirror of
     * [[Similarity.ivfIndexStats]]. Retrieval itself never goes stale
     * (df is live, N/avgdl additive — see [[appendToBm25Index]]); what

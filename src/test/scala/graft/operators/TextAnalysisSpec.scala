@@ -569,6 +569,26 @@ class TextAnalysisSpec extends SparkSpec {
       "rebuild must clear the flag")
   }
 
+  test("reciprocalRankFusion: agreement outranks any single channel, exact fixed point") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 13L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = TextAnalysis.reciprocalRankFusion(Seq(a, b), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 11 is #2 lexically and #1 fresh: 1e6 div 62 + 1e6 div 61 =
+    // 16129 + 16393 = 32522 — agreement beats doc 10's single #1
+    assert(out.toSeq == Seq(
+      (1L, 11L, 32522L), (2L, 10L, 16393L),
+      (3L, 13L, 16129L), (4L, 12L, 15873L)))
+    // per-query reduction rides the k-bounded queue, not a rank window
+    val plan = TextAnalysis.reciprocalRankFusion(Seq(a, b), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("collect_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("bm25 index: replayed epoch dedups through bucketed compaction, answers unchanged") {
     import spark.implicits._
     val docs = table("documents")
