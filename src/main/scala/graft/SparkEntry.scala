@@ -511,6 +511,15 @@ object SparkEntry {
         )
         .orderBy("doc_id")
     }),
+    // Quality-weighted sampling: keep-probability = the document's own
+    // micro-quantized quality score — smooth importance thinning via
+    // the portable hash lottery, exact integer comparison
+    // hash·1e6 < ppm·2^32 (no rounding anywhere past the score quantize)
+    "q_corpus_quality_sample" -> ((s, dir) => {
+      Corpus.qualityWeightedSample(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
     // Streaming-analog: event-time windowed aggregation (batch form of the
     // Structured Streaming hourly rollup)
     "q_events_hourly" -> ((s, dir) => {
@@ -2358,6 +2367,28 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) + len(regexp_extract_all(text, '[^\\p{L}\\p{N} ]')) AS BIGINT) AS n_bpeish, " +
         "FLOOR((len_score + (1.0 - LEAST(pr * 5.0, 1.0)) + (1.0 - LEAST(abs(swr - 0.4) * 2.5, 1.0)) + (1.0 - LEAST(abs(mtl - 5.0) / 5.0, 1.0))) / 4.0 * 1000000 + 0.5) / 1000000.0 AS quality " +
         "FROM m ORDER BY doc_id"
+    },
+    "q_corpus_quality_sample" -> {
+      val sw = TextAnalysis.EN_STOPWORDS.map(s => s"'$s'").mkString(", ")
+      // the q_text_quality CTEs verbatim (same double op order), then
+      // the exact-integer lottery: hash·1e6 < ppm·2^32, where ppm
+      // re-quantizes the round6'd score exactly as the Spark side does
+      "WITH t AS (SELECT doc_id, lang, source, text, string_split_regex(trim(text), '\\s+') AS toks, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS ltoks FROM documents), " +
+        "m AS (SELECT doc_id, lang, source, " +
+        "LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score, " +
+        "CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS pr, " +
+        s"CASE WHEN len(ltoks) > 0 THEN CAST(len(list_filter(ltoks, x -> x IN ($sw))) AS DOUBLE) / len(ltoks) ELSE 0.0 END AS swr, " +
+        "CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl " +
+        "FROM t), " +
+        "p AS (SELECT doc_id, lang, source, " +
+        "CAST(FLOOR(FLOOR((len_score + (1.0 - LEAST(pr * 5.0, 1.0)) + " +
+        "(1.0 - LEAST(abs(swr - 0.4) * 2.5, 1.0)) + (1.0 - LEAST(abs(mtl - 5.0) / 5.0, 1.0))) " +
+        "/ 4.0 * 1000000 + 0.5) / 1000000.0 * 1000000 + 0.5) AS BIGINT) AS ppm FROM m) " +
+        "SELECT doc_id, lang, source FROM p " +
+        "WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 * 1000000 < " +
+        "LEAST(GREATEST(ppm, 0), 1000000) * 4294967296 " +
+        "ORDER BY doc_id"
     },
     "q_mm_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",

@@ -72,6 +72,40 @@ object Corpus {
     df.filter(portableHash(col(idCol)) < cut)
   }
 
+  /** Per-ROW probability sampling: keep a row iff its id-hash lands
+    * below the row's OWN keep-probability (`ppmCol`, integer parts per
+    * million, clamped to [0, 1e6]) — [[deterministicSample]] with the
+    * rate computed from the data instead of configured per stratum.
+    * This is importance-weighted corpus thinning: keep probability
+    * proportional to a quality/fit score, so low-quality mass thins
+    * smoothly instead of at a hard threshold, while the lottery stays
+    * the auditable portable hash (same input ⇒ same sample on any
+    * engine; no RNG state).
+    *
+    * The comparison is EXACT integer arithmetic with no rounding at
+    * all: `hash·10^6 < ppm·2^32`, both sides < 2^52 — the audit SQL
+    * states the identical inequality. Narrow (filter-only), zero
+    * shuffles.
+    */
+  def probabilitySample(df: DataFrame, idCol: String, ppmCol: Column): DataFrame =
+    df.filter(
+      portableHash(col(idCol)) * lit(1000000L) <
+        least(greatest(ppmCol.cast("long"), lit(0L)), lit(1000000L)) *
+          lit(4294967296L))
+
+  /** Quality-weighted sampling of a text corpus: each document keeps
+    * with probability equal to its [[TextAnalysis.qualityScore]] (the
+    * heuristic already micro-unit-quantized for cross-engine replay) —
+    * the smooth alternative to a hard `score >= t` gate: borderline
+    * documents survive in proportion instead of cliff-dropping, which
+    * preserves distributional coverage while still down-weighting
+    * junk. One codegen'd pass, no shuffle.
+    */
+  def qualityWeightedSample(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    probabilitySample(df, idCol,
+      floor(TextAnalysis.qualityScore(col(textCol)) * lit(1e6) + lit(0.5))
+        .cast("long"))
+
   /** Per-group quota cap: deterministically keep at most `cap` rows per
     * group — the "domain cap" of web-corpus curation (no single site may
     * contribute more than N documents), also the shape for per-source or

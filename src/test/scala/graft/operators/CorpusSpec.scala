@@ -18,6 +18,39 @@ class CorpusSpec extends SparkSpec {
     assert(c.subsetOf(a))
   }
 
+  test("probabilitySample: per-row ppm lottery — 0 drops all, 1e6 keeps all, monotone, narrow") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = table("documents")
+    val n = docs.count()
+    assert(Corpus.probabilitySample(docs, "doc_id", lit(0L)).count() === 0L)
+    assert(Corpus.probabilitySample(docs, "doc_id", lit(1000000L)).count() === n)
+    // out-of-range ppm clamps instead of corrupting the inequality
+    assert(Corpus.probabilitySample(docs, "doc_id", lit(2000000L)).count() === n)
+    assert(Corpus.probabilitySample(docs, "doc_id", lit(-5L)).count() === 0L)
+    val half = Corpus.probabilitySample(docs, "doc_id", lit(500000L))
+    val quarter = Corpus.probabilitySample(docs, "doc_id", lit(250000L))
+    // a row kept at lower probability is kept at any higher one (same
+    // hash, higher cut) — the property that makes re-weighting stable
+    val halfIds = half.select("doc_id").collect().map(_.getLong(0)).toSet
+    val qIds = quarter.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(qIds.subsetOf(halfIds))
+    assert(math.abs(half.count().toDouble / n - 0.5) < 0.1)
+    // filter-only: zero exchanges
+    val plan = half.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("qualityWeightedSample: smooth thinning — keeps some, drops some, deterministic") {
+    val docs = table("documents")
+    val kept = Corpus.qualityWeightedSample(docs, "doc_id", "text")
+    val k1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1.nonEmpty && k1.size < docs.count())
+    val k2 = Corpus.qualityWeightedSample(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 === k2, "same corpus must always keep the same sample")
+  }
+
   test("stratifiedSample: per-stratum rates; fraction 1.0 keeps everything") {
     val docs = table("documents")
     val sampled = Corpus.stratifiedSample(docs, "doc_id", "lang",
