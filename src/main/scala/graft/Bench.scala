@@ -208,7 +208,20 @@ object Bench {
                 val landed = spark.read.jdbc(url, "\"lineitem\"", props).count()
                 if (landed == nRows) t else -1.0
               } catch { case _: Throwable => -1.0 }
-              finally org.apache.commons.io.FileUtils.deleteQuietly(dbDir.toFile)
+              finally {
+                // shut THIS database down before deleting it — without
+                // the per-db shutdown, each deleted db stays pinned as
+                // unlinked open files and its background checkpointing
+                // can bleed into the NEXT iteration's timed write,
+                // contaminating exactly the 1w/2w/4w comparison this
+                // probe exists to make (08006 = clean db shutdown)
+                try {
+                  java.sql.DriverManager.getConnection(
+                    s"jdbc:derby:$dbDir/db;shutdown=true", props)
+                  ()
+                } catch { case _: java.sql.SQLException => () }
+                org.apache.commons.io.FileUtils.deleteQuietly(dbDir.toFile)
+              }
               f"${w}w:${sec}%.1f"
             }.mkString(",")
           }

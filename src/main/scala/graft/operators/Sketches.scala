@@ -179,8 +179,16 @@ object Sketches {
     */
   def heavyHitters(
       df: DataFrame, groupCol: String, termCol: String, m: Int): DataFrame =
+    mgExplode(df, groupCol,
+      graft.functions.MgSketchExpression.mgSketch(col(termCol), m))
+
+  /** Shared groupBy + sketch-explode tail of [[heavyHitters]] and
+    * [[heavyHittersWeighted]] — one place owns the output shape.
+    */
+  private def mgExplode(
+      df: DataFrame, groupCol: String, sketchAgg: Column): DataFrame =
     df.groupBy(groupCol)
-      .agg(graft.functions.MgSketchExpression.mgSketch(col(termCol), m).as("__sk"))
+      .agg(sketchAgg.as("__sk"))
       .select(
         col(groupCol),
         col("__sk.err").as("err"),
@@ -205,18 +213,9 @@ object Sketches {
   def heavyHittersWeighted(
       df: DataFrame, groupCol: String, termCol: String, weightCol: String,
       m: Int): DataFrame =
-    df.groupBy(groupCol)
-      .agg(graft.functions.MgSketchExpression
-        .mgSketchWeighted(col(termCol), col(weightCol), m).as("__sk"))
-      .select(
-        col(groupCol),
-        col("__sk.err").as("err"),
-        explode(col("__sk.items")).as("__it"))
-      .select(
-        col(groupCol),
-        col("__it.term").as("term"),
-        col("__it.est").as("est"),
-        col("err"))
+    mgExplode(df, groupCol,
+      graft.functions.MgSketchExpression
+        .mgSketchWeighted(col(termCol), col(weightCol), m))
 
   /** [[heavyHitters]] over whitespace tokens of a text column. */
   def heavyHitterTokens(
@@ -235,10 +234,15 @@ object Sketches {
     * same estimate.
     */
   def cmEstimate(sketch: Column, hv: Column, w: Int, d: Int): Column = {
+    // normalize into [0, P) BEFORE the affine multiply, exactly as the
+    // sketch's update path does — a raw 64-bit hash (~9e18) would
+    // overflow hv·(2j+3) and read DIFFERENT cells than update
+    // incremented, silently voiding the one-sided certificate
+    val h = pmod(hv, lit(CmSketchExpression.P))
     val cells = (0 until d).map { j =>
       element_at(sketch,
         (lit(j * w + 1) +
-          pmod(pmod(hv * lit(2L * j + 3L) + lit(97L * j + 1L),
+          pmod(pmod(h * lit(2L * j + 3L) + lit(97L * j + 1L),
             lit(CmSketchExpression.P)), lit(w.toLong)).cast("int")))
     }
     if (cells.size == 1) cells.head else least(cells: _*)
@@ -265,8 +269,17 @@ object Sketches {
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("__tok"))
       .filter(length(col("__tok")) > 0)
       .select(col(groupCol), KrHashExpression.krHash(col("__tok")).as("__hv"))
-    val sk = hashed.groupBy(groupCol)
-      .agg(CmSketchExpression.cmSketch(col("__hv"), lit(1L), w, d).as("__sk"))
+    // every group of the INPUT gets a row per probe — a group whose
+    // documents are all token-free has the all-zero matrix (true est 0
+    // for every term), not a silently missing row; the oracle grids
+    // over all groups, so the pair must agree on this shape
+    val zeros = typedlit(Seq.fill(d * w)(0L))
+    val sk = df.select(col(groupCol)).distinct()
+      .join(
+        hashed.groupBy(groupCol)
+          .agg(CmSketchExpression.cmSketch(col("__hv"), lit(1L), w, d).as("__sk")),
+        Seq(groupCol), "left_outer")
+      .select(col(groupCol), coalesce(col("__sk"), zeros).as("__sk"))
     sk.select(col(groupCol), col("__sk"),
         explode(array(queryTokens.map(lit(_)): _*)).as("term"))
       .select(col(groupCol), col("term"),

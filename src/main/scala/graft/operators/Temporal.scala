@@ -26,7 +26,9 @@ object Temporal {
     *
     * The right side must be unique per (key, ts) — pre-aggregate
     * otherwise, or the carried payload is whichever duplicate sorted
-    * last.
+    * last. NULL timestamps have no position on the time axis: right
+    * rows with a null ts never match, left rows with a null ts get the
+    * no-match nulls (identically in both scan directions).
     *
     * @param rightValueCols right columns to carry onto left rows
     * @param prefix         carried columns are named `prefix + name`
@@ -85,13 +87,20 @@ object Temporal {
       .withColumn("__side", lit(1))
       .withColumn("__r", lit(null).cast(payloadType))
     // right rows become null-padded left rows (keeping their key, which
-    // both sides must name identically) so the union lines up
-    val rTagged = right.select(
-      left.schema.fields.map { f =>
-        if (f.name == keyCol) col(keyCol).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }.toSeq ++
-        Seq(col(rightTsCol).as("__ts"), lit(0).as("__side"), payload.as("__r")): _*)
+    // both sides must name identically) so the union lines up. A right
+    // row with a NULL timestamp has no position on the time axis and
+    // can never legitimately be "the latest at-or-before" anything —
+    // without this filter the backward window's nulls-first ordering
+    // carried it as a spurious match while the forward ordering
+    // (nulls-last) did not, making the two mirrored operators disagree
+    val rTagged = right
+      .filter(col(rightTsCol).isNotNull)
+      .select(
+        left.schema.fields.map { f =>
+          if (f.name == keyCol) col(keyCol).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq ++
+          Seq(col(rightTsCol).as("__ts"), lit(0).as("__side"), payload.as("__r")): _*)
 
     // backward scans ts ascending, forward descending; either way the
     // right row sorts before the left at equal ts, so ties match
@@ -103,7 +112,13 @@ object Temporal {
     val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.union(rTagged)
-      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      // a LEFT row with a NULL timestamp has no as-of position either:
+      // force the no-match row rather than whatever the null happened
+      // to sort next to (nulls-first vs nulls-last differs by
+      // direction, and neither is a temporal answer)
+      .withColumn("__asof",
+        when(col("__ts").isNull, lit(null).cast(payloadType))
+          .otherwise(last(col("__r"), ignoreNulls = true).over(w)))
 
     val outCols = left.columns.map(col).toSeq ++
       (rightTsCol +: rightValueCols).map(c =>

@@ -588,7 +588,14 @@ object TextAnalysis {
   ): Unit = {
     require(buckets > 0)
     val spark = df.sparkSession
+    // (n_docs, sum_dl) observed ON the postings write itself — a
+    // separate stats aggregate would re-scan and re-tokenize the whole
+    // corpus for two numbers (the Compaction.compactBucketedTable
+    // pattern: never re-scan just to read a count)
+    val obs = org.apache.spark.sql.Observation(s"graft-bm25-build-$tableName")
     val docs = bm25Docs(df, idCol, textCol)
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s"))
     val tf = docs
       .select(col("doc_id"), col("dl"),
         explode(split(col("__text"), " ")).as("term"))
@@ -597,16 +604,15 @@ object TextAnalysis {
     graft.plans.ScaleJoins.writeBucketed(
       tf.select("term", "doc_id", "tf", "dl"), tableName, "term", buckets)
     // build-time df per term — the staleness reference, NOT the
-    // scorer's input (scoring df stays live; see the class doc)
+    // scorer's input (scoring df stays live; see the class doc).
+    // Aggregated from the WRITTEN postings (index-sized), not the text
     spark.table(tableName)
       .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(tableName + "_terms")
-    val s = docs
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
-      .head()
-    writeBm25Stats(spark, tableName, s.getLong(0), s.getLong(1),
-      s.getLong(0), s.getLong(1))
+    val n = obs.get("n").asInstanceOf[Long]
+    val s = obs.get("s").asInstanceOf[Long]
+    writeBm25Stats(spark, tableName, n, s, n, s)
   }
 
   private def writeBm25Stats(
@@ -678,7 +684,13 @@ object TextAnalysis {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
       .bucketSpec
     require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
+    // batch stats observed on the append write itself — one tokenize
+    // pass per epoch, same as the build path
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-bm25-append-$tableName-${java.util.UUID.randomUUID()}")
     val docs = bm25Docs(batch, idCol, textCol)
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("s"))
     val tf = docs
       .select(col("doc_id"), col("dl"),
         explode(split(col("__text"), " ")).as("term"))
@@ -688,13 +700,10 @@ object TextAnalysis {
       .write.mode("append").format("parquet")
       .bucketBy(bucketSpec.get.numBuckets, "term").sortBy("term")
       .saveAsTable(tableName)
-    val s = docs
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s"))
-      .head()
     val cur = spark.table(tableName + "_stats").head()
     writeBm25Stats(spark, tableName,
-      cur.getAs[Long]("n_docs") + s.getLong(0),
-      cur.getAs[Long]("sum_dl") + s.getLong(1),
+      cur.getAs[Long]("n_docs") + obs.get("n").asInstanceOf[Long],
+      cur.getAs[Long]("sum_dl") + obs.get("s").asInstanceOf[Long],
       cur.getAs[Long]("built_docs"), cur.getAs[Long]("built_sum_dl"))
     spark.catalog.refreshTable(tableName)
   }

@@ -239,6 +239,31 @@ class SketchesSpec extends SparkSpec {
     assert(a.zip(b).map { case (x, y) => x + y } == whole)
   }
 
+  test("count-min: token-free groups emit the zero matrix; raw 64-bit hashes probe update's cells") {
+    import graft.functions.CmSketchExpression
+    val df = Seq((1L, "en", "alpha beta"), (2L, "xx", "   "))
+      .toDF("doc_id", "lang", "text")
+    val out = Sketches.cmTokenCounts(df, "lang", "text", Seq("alpha", "zz"),
+      w = 8, d = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the oracle grids over every group, so a group whose documents are
+    // all token-free must answer est=0 rows, not silently vanish
+    assert(out.keySet.map(_._1) == Set("en", "xx"), out.toString)
+    assert(out(("xx", "alpha")) == 0L && out(("xx", "zz")) == 0L)
+    assert(out(("en", "alpha")) >= 1L)
+    // estimate must normalize a raw hash into [0, P) exactly as update
+    // does — an overflowing affine multiply would read DIFFERENT cells
+    // and could answer below the true count
+    val big = Seq(9100000000000000000L, -123456789L).toDF("hv")
+    val est = big
+      .agg(CmSketchExpression.cmSketch(col("hv"), lit(1L), 8, 3).as("sk"))
+      .select(
+        Sketches.cmEstimate(col("sk"), lit(9100000000000000000L), 8, 3).as("a"),
+        Sketches.cmEstimate(col("sk"), lit(-123456789L), 8, 3).as("b"))
+      .head()
+    assert(est.getLong(0) >= 1L && est.getLong(1) >= 1L, est.toString)
+  }
+
   test("count-min: negative weights rejected, zero weights contribute nothing") {
     import graft.functions.CmSketchExpression
     val neg = Seq((1L, -1L)).toDF("hv", "w")

@@ -60,6 +60,28 @@ class TemporalSpec extends SparkSpec {
       (3L, None)))
   }
 
+  test("asof: null timestamps never match, identically in both directions") {
+    import spark.implicits._
+    // a null-ts right row used to sort nulls-FIRST in the backward
+    // window and get carried as a spurious match, while the forward
+    // direction (nulls-last) did not — the mirrored operators disagreed
+    val left = Seq((1L, 1L, Some(5L)), (2L, 1L, Option.empty[Long]))
+      .toDF("id", "k", "ts")
+    val right = Seq((1L, Option.empty[Long], 9.0), (1L, Some(100L), 7.0))
+      .toDF("k", "rts", "v")
+    def run(fwd: Boolean) = {
+      val out = if (fwd) Temporal.asofJoinForward(left, right, "k", "ts", "rts", Seq("v"))
+                else Temporal.asofJoin(left, right, "k", "ts", "rts", Seq("v"))
+      out.orderBy("id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4)))))
+        .toSeq
+    }
+    // backward: nothing at-or-before 5; forward: right@100 is ahead of 5
+    assert(run(fwd = false) == Seq((1L, None), (2L, None)))
+    assert(run(fwd = true) == Seq((1L, Some((100L, 7.0))), (2L, None)))
+  }
+
   test("forward asof matches a quadratic reference on the events fixture") {
     import spark.implicits._
     val ev = table("events")

@@ -117,7 +117,7 @@ def run_bench(sf_dir: str, reps: int, only=None) -> dict:
 LIFECYCLE = ["mhb", "mha", "mhs", "mhc", "ivb", "iva", "ivs",
              "bmb", "bma", "bmq", "bms", "ing", "jdb"]
 # embedded in SOAK.json (short already); stats steps stay detail-only
-LIFECYCLE_EMBED = ["mhb", "mha", "mhc", "ivb", "iva", "bmb", "bmq",
+LIFECYCLE_EMBED = ["mhb", "mha", "mhc", "ivb", "iva", "bmb", "bma", "bmq",
                    "ing", "jdb"]
 
 
