@@ -1883,6 +1883,45 @@ object SparkEntry {
         .select("doc_id", "format", "width", "height", "n_bytes")
         .orderBy("doc_id")
     }),
+    // REAL video frame extraction: synthetic AVIs with a LIST movi of
+    // F = 1 + doc_id % 7 deterministic 4-byte frame chunks; the
+    // extractor walks the container and keeps min(4, F) evenly spaced
+    // REAL frame payloads ((i·F) div m ordinals) — the oracle rebuilds
+    // the exact frame bytes from the same construction formula. Non-AVI
+    // payloads (3 of every 4 docs) honestly emit zero rows
+    "q_mm_video_frames" -> ((s, dir) => {
+      def le32small(c: org.apache.spark.sql.Column) = // value < 256
+        concat(format_string("%02x", c), lit("000000"))
+      val f = lit(1) + col("doc_id") % 7
+      val frameChunks = array_join(transform(sequence(lit(0), f - 1),
+        k => concat(lit("30306463"), lit("04000000"), // '00dc' size 4
+          format_string("%02x", k),
+          format_string("%02x", pmod(col("doc_id"), lit(256))),
+          lit("beef"))), "")
+      val aviHex = concat(
+        lit("52494646"), le32small(lit(92) + lit(12) * f), lit("41564920"),
+        lit("4c495354"), lit("44000000"), lit("6864726c"), // LIST 68 hdrl
+        lit("61766968"), lit("38000000"), // avih 56
+        lit("409c0000"), // 25 fps
+        lit("00000000"), lit("00000000"), lit("00000000"),
+        le32small(f), lit("00000000"), // dwTotalFrames, dwInitialFrames
+        lit("01000000"), lit("00000000"),
+        le32small(lit(16)), le32small(lit(16)), // dims
+        lit("00000000"), lit("00000000"), lit("00000000"), lit("00000000"),
+        lit("4c495354"), le32small(lit(4) + lit(12) * f), lit("6d6f7669"),
+        frameChunks)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, unhex(aviHex))
+            .otherwise(concat(lit("T"), col("text")).cast("binary"))
+            .as("payload"))
+      Multimodal.sampleVideoFrames(media, "doc_id", "payload", n = 4)
+        .select(col("doc_id"),
+          col("frame_idx").cast(LongType).as("frame_idx"),
+          col("frame_no").cast(LongType).as("frame_no"),
+          lower(hex(col("frame"))).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     // S2/F1 — column-metadata scan with the type-mapping CASE/NVL/LEAST
     // normalization riding inside the projection (the reference folds
     // this into its dictionary SQL at tablemeta.go:74,133-158)
@@ -2390,6 +2429,14 @@ object SparkEntry {
         "LEAST(GREATEST(ppm, 0), 1000000) * 4294967296 " +
         "ORDER BY doc_id"
     },
+    "q_mm_video_frames" ->
+      ("WITH m AS (SELECT doc_id, 1 + doc_id % 7 AS f FROM documents WHERE doc_id % 4 = 0), " +
+        "sel AS (SELECT doc_id, f, r.range AS i FROM m CROSS JOIN range(0, 4) r " +
+        "WHERE r.range < LEAST(4, f)) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, " +
+        "CAST((i * f) // LEAST(4, f) AS BIGINT) AS frame_no, " +
+        "printf('%02x%02x', (i * f) // LEAST(4, f), doc_id % 256) || 'beef' AS frame_hex " +
+        "FROM sel ORDER BY doc_id, frame_idx"),
     "q_mm_binary_meta" ->
       "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes FROM documents ORDER BY doc_id",
     "q_mm_decode" ->

@@ -382,6 +382,82 @@ class MultimodalSpec extends SparkSpec {
     bb.toArray
   }
 
+  /** [[avi]] extended with a LIST movi: video frames (00dc), an
+    * interleaved audio chunk (01wb), an odd-sized frame (pad byte),
+    * and optionally a `LIST rec ` grouping around the tail frames.
+    */
+  private def aviWithMovi(framePayloads: Seq[Array[Byte]],
+      withAudio: Boolean = false, recWrap: Boolean = false): Array[Byte] = {
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def ascii(s: String): Unit = bb ++= s.getBytes("US-ASCII")
+    def le32(v: Int): Unit = (0 to 3).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Unit = {
+      ascii(id); le32(payload.length); bb ++= payload
+      if (payload.length % 2 == 1) bb += 0 // RIFF pad
+    }
+    val movi = {
+      val inner = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      val save = bb.toSeq; bb.clear()
+      ascii("movi")
+      val (head, tail) =
+        if (recWrap && framePayloads.size > 1) framePayloads.splitAt(1)
+        else (framePayloads, Seq.empty)
+      head.foreach(chunk("00dc", _))
+      if (withAudio) chunk("01wb", Array[Byte](9, 9, 9))
+      if (tail.nonEmpty) {
+        val recBody = {
+          val save2 = bb.toSeq; bb.clear()
+          ascii("rec ")
+          tail.foreach(chunk("00db", _))
+          val out = bb.toArray; bb.clear(); bb ++= save2; out
+        }
+        ascii("LIST"); le32(recBody.length); bb ++= recBody
+      }
+      val out = bb.toArray; bb.clear(); bb ++= save; inner ++= out; inner.toArray
+    }
+    val hdr = avi(16, 16, framePayloads.size, 40000)
+    bb.clear(); bb ++= hdr
+    ascii("LIST"); le32(movi.length); bb ++= movi
+    // fix the RIFF size to cover the appended movi list
+    val total = bb.length - 8
+    (0 to 3).foreach(i => bb(4 + i) = ((total >> (8 * i)) & 0xff).toByte)
+    bb.toArray
+  }
+
+  test("aviFrameChunks: video chunks extracted in order; audio, padding, rec-lists handled") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](8))
+    // plain, with audio interleaved, and with the tail rec-wrapped
+    for ((audio, rec) <- Seq((false, false), (true, false), (true, true))) {
+      val got = Multimodal.Decoders.aviFrameChunks(
+        aviWithMovi(frames, withAudio = audio, recWrap = rec))
+      assert(got.map(_.map(_.toSeq)) === Some(frames.map(_.toSeq)),
+        s"audio=$audio rec=$rec")
+    }
+    // not an AVI -> None; AVI without movi -> Some(empty)
+    assert(Multimodal.Decoders.aviFrameChunks("plain text".getBytes) === None)
+    assert(Multimodal.Decoders.aviFrameChunks(avi(16, 16, 3, 40000)) === Some(Vector.empty))
+    // truncated movi chunk -> rejected, not thrown
+    val trunc = aviWithMovi(frames).dropRight(3)
+    assert(Multimodal.Decoders.aviFrameChunks(trunc) === None)
+  }
+
+  test("sampleVideoFrames: evenly spaced real frames, all frames when F < n, zero rows otherwise") {
+    import spark.implicits._
+    val sevenFrames = aviWithMovi((0 until 7).map(k => Array[Byte](k.toByte, 77)))
+    val twoFrames = aviWithMovi((0 until 2).map(k => Array[Byte](k.toByte)))
+    val df = Seq(
+      (1L, sevenFrames), (2L, twoFrames), (3L, "not a container".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.sampleVideoFrames(df, "id", "payload", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Array[Byte]](3).toSeq)).toSeq.sortBy(t => (t._1, t._2))
+    // id 1: F=7, m=3 -> ordinals 0, 2, 4; id 2: F=2 < n -> both; id 3: none
+    assert(out == Seq(
+      (1L, 0, 0, Seq[Byte](0, 77)), (1L, 1, 2, Seq[Byte](2, 77)),
+      (1L, 2, 4, Seq[Byte](4, 77)),
+      (2L, 0, 0, Seq[Byte](0)), (2L, 1, 1, Seq[Byte](1))), out.toString)
+  }
+
   test("avi decode: container grammar yields real dims, fps, frame count") {
     val (fmt, w, h, feats) = Multimodal.Decoders.decode(avi(320, 240, 250, 40000))
     assert((fmt, w, h) === (("avi", 320, 240)))
