@@ -327,6 +327,46 @@ class MultimodalSpec extends SparkSpec {
     bb.toArray
   }
 
+  test("resamplePcmWav: exact nearest-frame selection, lossless byte shuttle, honest failures") {
+    val src = wav(1, 8000, 8, Seq(10, 20, 30, 40, 50, 60, 70, 80))
+    // 2:1 downsample keeps every other frame, bytes verbatim
+    val down = Multimodal.Decoders.resamplePcmWav(src, 4000).get
+    val dc = Multimodal.Decoders.parseWav(down).get
+    assert((dc.sampleRate, dc.nFrames, dc.channels, dc.bitsPerSample)
+      === ((4000, 4, 1, 8)))
+    assert(down.drop(44).toSeq === Seq(10, 30, 50, 70).map(_.toByte))
+    // 1:2 upsample duplicates each frame (zero-order hold)
+    val up = Multimodal.Decoders.resamplePcmWav(
+      wav(1, 8000, 8, Seq(10, 20)), 16000).get
+    assert(up.drop(44).toSeq === Seq(10, 10, 20, 20).map(_.toByte))
+    // stereo 16-bit: frames stay interleaved pairs, untouched bytes
+    val st = wav(2, 44100, 16, Seq(100, -100, 200, -200, 300, -300, 400, -400))
+    val st2 = Multimodal.Decoders.resamplePcmWav(st, 22050).get
+    val sc = Multimodal.Decoders.parseWav(st2).get
+    assert((sc.sampleRate, sc.nFrames, sc.channels) === ((22050, 2, 2)))
+    assert(sc.sample(0, 0) === 100 / 32768.0)
+    assert(sc.sample(1, 1) === -300 / 32768.0)
+    // zero-output conversions and non-WAV payloads reject, never throw
+    assert(Multimodal.Decoders.resamplePcmWav(
+      wav(1, 8000, 8, Seq(10, 20)), 3999).isEmpty)
+    assert(Multimodal.Decoders.resamplePcmWav("not audio".getBytes, 8000).isEmpty)
+  }
+
+  test("resampleAudio: wav payloads convert, non-audio passes through with null dims") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, wav(1, 8000, 8, Seq(10, 20, 30, 40))),
+      (2L, "plain text".getBytes)).toDF("id", "payload")
+    val out = Multimodal.resampleAudio(df, "id", "payload", sampleRate = 4000)
+      .orderBy("id").collect()
+    assert(out(0).getString(2) === "wav")
+    assert((out(0).getInt(3), out(0).getInt(4)) === ((2, 1)))
+    val rc = Multimodal.Decoders.parseWav(out(0).getAs[Array[Byte]](1)).get
+    assert(rc.sampleRate === 4000 && rc.nFrames === 2)
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+    assert(out(1).getAs[Array[Byte]](1).toSeq === "plain text".getBytes.toSeq)
+  }
+
   test("wav decode: 8-bit mono parses geometry and one-pass stats") {
     // full-scale square wave: 255,1 ~ +0.992,-0.992 around the 128 mid
     val clip = wav(1, 8000, 8, Seq(255, 1, 255, 1, 255, 1, 255, 1))
@@ -456,6 +496,25 @@ class MultimodalSpec extends SparkSpec {
       (1L, 0, 0, Seq[Byte](0, 77)), (1L, 1, 2, Seq[Byte](2, 77)),
       (1L, 2, 4, Seq[Byte](4, 77)),
       (2L, 0, 0, Seq[Byte](0)), (2L, 1, 1, Seq[Byte](1))), out.toString)
+  }
+
+  test("mjpeg pipeline: extracted AVI frames are real JPEGs that decodeFeatures decodes") {
+    import spark.implicits._
+    // an MJPEG-style AVI: each movi frame chunk is a REAL JPEG payload
+    val jpegs = (0 until 3).map { k =>
+      imageIoBytes("jpg", Seq(
+        Seq(0x101010 * (k + 1), 0x202020),
+        Seq(0x303030, 0x404040 + k)))
+    }
+    val df = Seq((7L, aviWithMovi(jpegs))).toDF("id", "payload")
+    val frames = Multimodal.sampleVideoFrames(df, "id", "payload", n = 3)
+    // container walk → frame bytes → the SAME image decoder the still
+    // gates use: the composition the operator doc promises
+    val decoded = Multimodal.decodeFeatures(frames, "frame_no", "frame")
+      .orderBy("frame_no")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(decoded.toSeq == Seq((0, "jpeg", 2, 2), (1, "jpeg", 2, 2), (2, "jpeg", 2, 2)),
+      decoded.toSeq.toString)
   }
 
   test("avi decode: container grammar yields real dims, fps, frame count") {
