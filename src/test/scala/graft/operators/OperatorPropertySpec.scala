@@ -313,4 +313,90 @@ class OperatorPropertySpec extends SparkSpec {
       assert(again === got, s"seed=$seed not idempotent")
     }
   }
+
+  test("count-min: certificate and merge identity on random weighted streams") {
+    import spark.implicits._
+    import graft.functions.CmSketchExpression
+    val streamGen = for {
+      vocab <- org.scalacheck.Gen.choose(3, 40)
+      rows <- org.scalacheck.Gen.choose(5, 200)
+      data <- org.scalacheck.Gen.listOfN(rows, for {
+        t <- org.scalacheck.Gen.choose(0, vocab - 1)
+        w <- org.scalacheck.Gen.choose(0L, 50L)
+      } yield (s"t$t", w))
+      w <- org.scalacheck.Gen.choose(2, 12)
+      d <- org.scalacheck.Gen.choose(1, 5)
+    } yield (data, w, d)
+    (0 until 6).foreach { seed =>
+      val (data, w, d) = streamGen.apply(params, rng.Seed(seed.toLong)).get
+      val hv = graft.functions.KrHashExpression.krHash(col("term"))
+      val df = data.toDF("term", "wt")
+      val sk = df.agg(CmSketchExpression.cmSketch(hv, col("wt"), w, d).as("sk"))
+      val terms = data.map(_._1).distinct :+ "absent_zz"
+      val ests = sk.select(terms.map(t =>
+          Sketches.cmEstimate(col("sk"),
+            graft.functions.KrHashExpression.krHash(lit(t)), w, d).as(t)): _*)
+        .collect()(0)
+      val truth = data.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val totalMass = data.map(_._2).sum
+      terms.zipWithIndex.foreach { case (t, i) =>
+        val est = ests.getLong(i)
+        val tru = truth.getOrElse(t, 0L)
+        // one-sided certificate, and the over-count is bounded by the
+        // rest of the stream's mass (everything else that could collide)
+        assert(est >= tru, s"seed=$seed $t est=$est true=$tru")
+        assert(est <= totalMass, s"seed=$seed $t est=$est total=$totalMass")
+      }
+      // merge identity: any split's element-wise sum equals the whole
+      val (a, b) = data.splitAt(data.length / 2)
+      def matrix(part: Seq[(String, Long)]): Seq[Long] =
+        if (part.isEmpty) Seq.fill(w * d)(0L)
+        else part.toDF("term", "wt")
+          .agg(CmSketchExpression.cmSketch(
+            graft.functions.KrHashExpression.krHash(col("term")), col("wt"), w, d).as("sk"))
+          .collect()(0).getSeq[Long](0)
+      val whole = sk.collect()(0).getSeq[Long](0)
+      assert(matrix(a).zip(matrix(b)).map { case (x, y) => x + y } == whole,
+        s"seed=$seed merge identity")
+    }
+  }
+
+  test("reciprocalRankFusion: channel order never matters; single channel preserves order") {
+    import spark.implicits._
+    val runGen = for {
+      docs <- org.scalacheck.Gen.choose(2, 30)
+      qs <- org.scalacheck.Gen.choose(1, 4)
+      runs <- org.scalacheck.Gen.listOfN(3, org.scalacheck.Gen.listOfN(qs,
+        org.scalacheck.Gen.someOf(0L until docs.toLong)))
+    } yield runs.map(_.zipWithIndex.flatMap { case (ds, q) =>
+      new scala.util.Random(docs * 31 + q).shuffle(ds.toSeq).zipWithIndex
+        .map { case (doc, r) => (q.toLong, doc, (r + 1).toLong) }
+    })
+    (0 until 5).foreach { seed =>
+      val runs = runGen.apply(params, rng.Seed(seed.toLong)).get
+        .map(_.toDF("query_id", "doc_id", "rank"))
+      def rows(rs: Seq[org.apache.spark.sql.DataFrame]) =
+        TextAnalysis.reciprocalRankFusion(rs, k = 50)
+          .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      // permuting the channels changes nothing (sum is commutative)
+      assert(rows(runs) == rows(runs.reverse), s"seed=$seed")
+      // one channel alone: fusion is a monotone transform of its ranks
+      val single = runs.head
+      val fused = TextAnalysis.reciprocalRankFusion(Seq(single), k = 50)
+        .select("query_id", "doc_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val orig = single.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // ties in the 1e6 div (60+rank) fixed-point can merge adjacent
+      // ranks only when contributions collide — identical contributions
+      // only happen at identical source ranks, which ranked runs forbid,
+      // so per query the fused order must equal the source order
+      assert(fused.keySet == orig.keySet, s"seed=$seed")
+      fused.groupBy(_._1._1).foreach { case (_, qf) =>
+        val byFused = qf.toSeq.sortBy(_._2).map(_._1)
+        val byOrig = qf.toSeq.sortBy(t => orig(t._1)).map(_._1)
+        assert(byFused == byOrig, s"seed=$seed single-channel order")
+      }
+    }
+  }
 }
