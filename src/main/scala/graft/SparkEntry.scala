@@ -749,6 +749,26 @@ object SparkEntry {
           col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // FILTERED vector search: the IVF-SQ index built WITH a carried
+    // metadata column (label), queried under a predicate — phase-1
+    // candidates prune to qualifying rows BEFORE ranking, so top-k is
+    // over the qualifying sub-corpus with the full corpus's quantizer.
+    // The oracle adds the same candidate predicate to the shared
+    // replay chain
+    "q_sim_ann_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxTable = s"filtered_ivfsq_gate_${fixtureKey(dir, emb)}"
+      if (!s.catalog.tableExists(idxTable))
+        Similarity.writeIvfSqIndex(emb, "vec_id", "embedding", idxTable,
+          nCentroids = 16, buckets = 8, portableCentroids = true,
+          carryCols = Seq("label"))
+      Similarity.ivfQuantizedTopKFromIndexWhere(s, idxTable,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        predicate = col("label") === 2, k = 5, nProbe = 4, shortlist = 32)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
     // kNN label propagation: majority vote over the 7 exact nearest
     // labeled neighbors — pseudo-labeling with a deterministic
     // tie-break, the whole pipeline (cosine fold order, rank ties,
@@ -2116,7 +2136,7 @@ object SparkEntry {
     * embedding gates and the hashed-feature ANN gate, which differ ONLY
     * in where the vectors come from.
     */
-  private def ivfSqOracleCtesFrom(e0Ctes: String): String = {
+  private def ivfSqOracleCtesFrom(e0Ctes: String, candWhere: String = ""): String = {
     def dot(a: String, b: String): String =
       s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
     def cos(a: String, na: String, b: String, nb: String): String =
@@ -2141,7 +2161,7 @@ object SparkEntry {
       "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(q.qc)+1), " +
       "i -> CAST(q.qc[i] AS BIGINT) * c.codes[i]), (a,b) -> a + b) AS iscore " +
       "FROM probes p JOIN cd c ON c.list = p.list JOIN qq q ON q.query_id = p.query_id " +
-      "WHERE c.vec_id <> p.query_id), " +
+      s"WHERE c.vec_id <> p.query_id$candWhere), " +
       "sl AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY iscore DESC, neighbor_id) AS r FROM p1) WHERE r <= 32), " +
       "rr AS (SELECT s.query_id, s.neighbor_id, " +
@@ -3304,6 +3324,14 @@ object SparkEntry {
     "q_sim_hashed_ann" ->
       // the shared IVF-SQ replay chain over hash-derived vectors
       (ivfSqOracleCtesFrom(hashedVecE0Ctes) +
+        """ SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
+        "ORDER BY query_id, \"rank\""),
+    "q_sim_ann_filtered" ->
+      // the shared replay chain with the label predicate applied to
+      // phase-1 candidates — qualifying sub-corpus, full-corpus quantizer
+      (ivfSqOracleCtesFrom(
+        "e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        " AND (SELECT e2.label FROM embeddings e2 WHERE e2.vec_id = c.vec_id) = 2") +
         """ SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
         "ORDER BY query_id, \"rank\""),
     "q_sim_knn_label_ivf" ->

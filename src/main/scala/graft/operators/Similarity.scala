@@ -179,9 +179,14 @@ object Similarity {
       corpusIdCol: String,
       corpusVecCol: String,
       nCentroids: Int,
-      portable: Boolean
+      portable: Boolean,
+      carryCols: Seq[String] = Nil
   ): (DataFrame, Column) = {
-    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+    // carried metadata rides the narrow assignment untouched — the
+    // filtered-search payload ([[writeIvfSqIndex]]'s carryCols)
+    val c = corpus.select(
+        col(corpusIdCol).as("neighbor_id") +: col(corpusVecCol).as("__cv") +:
+          carryCols.map(col): _*)
       .withColumn("__cn", VectorFunctions.norm(col("__cv")))
     val centArr = centroidArray(c, nCentroids, portable)
     (c.withColumn("__list", bestListId(centArr, col("__cv"), col("__cn"))), centArr)
@@ -730,9 +735,17 @@ object Similarity {
       nCentroids: Int = 16,
       buckets: Int = 16,
       portableCentroids: Boolean = false,
-      pinQuantizerFrom: Option[String] = None
+      pinQuantizerFrom: Option[String] = None,
+      carryCols: Seq[String] = Nil
   ): Unit = {
     require(nCentroids > 0 && buckets > 0)
+    // carryCols = metadata columns stored verbatim beside each code row
+    // (label, lang, license, date …) — the payload
+    // [[ivfQuantizedTopKFromIndexWhere]] predicates push down against;
+    // reserved index column names can't double as payload
+    val reserved = Set("neighbor_id", "__list", "__cq", "__cv", "__cn")
+    require(carryCols.forall(c => !reserved.contains(c)),
+      s"carryCols collide with index columns: ${carryCols.filter(reserved).mkString(", ")}")
     // pinQuantizerFrom reuses another index's STORED coarse quantizer
     // instead of sampling fresh centroids — the rebuild/compaction
     // shape: list membership stays stable across rebuilds, and a
@@ -763,18 +776,21 @@ object Similarity {
           else None // pre-telemetry source: fall back to the written count
         val arr = typedlit(cents)
         val c = corpus
-          .select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+          .select(
+            col(corpusIdCol).as("neighbor_id") +: col(corpusVecCol).as("__cv") +:
+              carryCols.map(col): _*)
           .withColumn("__cn", VectorFunctions.norm(col("__cv")))
         (c.withColumn("__list", bestListId(arr, col("__cv"), col("__cn"))), arr, srcBuilt)
       case None =>
         val (a, arr) =
-          ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portableCentroids)
+          ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids,
+            portableCentroids, carryCols)
         (a, arr, None)
     }
     val index = assigned.select(
-      col("neighbor_id"), col("__list"),
-      scalarQuantize(col("__cv")).getField("codes").as("__cq"),
-      col("__cv"), col("__cn"))
+      col("neighbor_id") +: col("__list") +:
+        scalarQuantize(col("__cv")).getField("codes").as("__cq") +:
+        col("__cv") +: col("__cn") +: carryCols.map(col): _*)
     graft.plans.ScaleJoins.writeBucketed(index, tableName, "__list", buckets)
     // quantizer-training row count: for a fresh build, the just-written
     // table's count (a parquet count(*) is metadata-only); for a pinned
@@ -843,12 +859,25 @@ object Similarity {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
       .bucketSpec
     require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
-    val b = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // carried metadata columns are whatever the stored schema holds
+    // beyond the index's own five — the append must supply them under
+    // the same names, or the filtered-search payload would silently
+    // go null for every appended row
+    val reserved = Set("neighbor_id", "__list", "__cq", "__cv", "__cn")
+    val carryCols = spark.table(tableName).schema.fieldNames.toSeq
+      .filterNot(reserved.contains)
+    val missing = carryCols.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"$tableName carries metadata columns the batch lacks: ${missing.mkString(", ")}")
+    val b = batch.select(
+        col(idCol).as("neighbor_id") +: col(vecCol).as("__cv") +:
+          carryCols.map(col): _*)
       .withColumn("__cn", VectorFunctions.norm(col("__cv")))
       .withColumn("__list", bestListId(centArr, col("__cv"), col("__cn")))
-    b.select(col("neighbor_id"), col("__list"),
-        scalarQuantize(col("__cv")).getField("codes").as("__cq"),
-        col("__cv"), col("__cn"))
+    b.select(
+        col("neighbor_id") +: col("__list") +:
+          scalarQuantize(col("__cv")).getField("codes").as("__cq") +:
+          col("__cv") +: col("__cn") +: carryCols.map(col): _*)
       .write.mode("append").format("parquet")
       .bucketBy(bucketSpec.get.numBuckets, "__list").sortBy("__list")
       .saveAsTable(tableName)
@@ -966,6 +995,46 @@ object Similarity {
     ivfSqSearch(
       spark.table(tableName).select("neighbor_id", "__list", "__cq"),
       spark.table(tableName).select(col("neighbor_id"), col("__cv"), col("__cn")),
+      typedlit(loadCentroids(spark, tableName)), queries, queryIdCol, queryVecCol,
+      k, nProbe, shortlist, pruneLists = true)
+  }
+
+  /** FILTERED vector search over a materialized IVF-SQ index — the
+    * metadata-constrained retrieval every vector store offers ("nearest
+    * neighbors WHERE lang = 'en' AND license = 'permissive'"): the
+    * predicate evaluates against the metadata columns stored beside
+    * each code row (`carryCols` at [[writeIvfSqIndex]] build time) and
+    * prunes phase-1 candidates BEFORE ranking, so the top-k is over
+    * the qualifying sub-corpus — never a post-filter that silently
+    * returns fewer than k because the shortlist filled with
+    * non-qualifying rows. Semantics: search the sub-corpus satisfying
+    * `predicate` with the FULL corpus's quantizer (probes and recall
+    * behavior stay those of the built index; an empty qualifying set
+    * in every probed list returns zero rows for that query).
+    *
+    * Scale shape: identical to [[ivfQuantizedTopKFromIndex]] — the
+    * probed-list literal IN prunes buckets, and the predicate pushes
+    * into the same parquet scan as an ordinary column filter, so a
+    * selective predicate REDUCES bytes read below the unfiltered
+    * query's. Phase 2 re-ranks the (already qualifying) shortlist on
+    * the stored vectors.
+    */
+  def ivfQuantizedTopKFromIndexWhere(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      predicate: Column,
+      k: Int,
+      nProbe: Int = 2,
+      shortlist: Int = 64
+  ): DataFrame = {
+    require(k > 0 && nProbe > 0 && shortlist >= k)
+    val t = spark.table(tableName)
+    ivfSqSearch(
+      t.filter(predicate).select("neighbor_id", "__list", "__cq"),
+      t.select(col("neighbor_id"), col("__cv"), col("__cn")),
       typedlit(loadCentroids(spark, tableName)), queries, queryIdCol, queryVecCol,
       k, nProbe, shortlist, pruneLists = true)
   }

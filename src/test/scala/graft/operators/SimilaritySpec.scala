@@ -701,4 +701,53 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
       "pq pipeline must be deterministic end-to-end")
   }
+
+  test("filtered index search: predicate-true results; fully probed == brute force over the sub-corpus") {
+    val emb = table("embeddings")
+    Similarity.writeIvfSqIndex(emb, "vec_id", "embedding", "flt_idx",
+      nCentroids = 8, buckets = 4, portableCentroids = true,
+      carryCols = Seq("label"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val n = emb.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    // probe every list with a corpus-wide shortlist: the filtered
+    // search must equal exact brute force over the qualifying rows
+    val got = Similarity.ivfQuantizedTopKFromIndexWhere(spark, "flt_idx",
+      queries, "vec_id", "embedding", col("label") === 1, k = 5,
+      nProbe = 8, shortlist = n)
+    val want = Similarity.bruteForceTopK(queries,
+      emb.filter(col("label") === 1), "vec_id", "embedding",
+      "vec_id", "embedding", k = 5)
+    assert(rows(got) == rows(want))
+    assert(got.count() > 0)
+    // every returned neighbor satisfies the predicate
+    val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+    assert(got.join(labels, "neighbor_id")
+      .filter(col("label") =!= 1 || col("label").isNull).count() === 0)
+  }
+
+  test("filtered index append: carried metadata rides; a batch missing it is refused") {
+    import spark.implicits._
+    val emb = table("embeddings")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.writeIvfSqIndex(base, "vec_id", "embedding", "flt_app",
+      nCentroids = 8, buckets = 4, portableCentroids = true,
+      carryCols = Seq("label"))
+    Similarity.appendToIvfSqIndex(spark, "flt_app", batch, "vec_id", "embedding")
+    // appended rows carry their labels: a filtered query can return them
+    val fromOdd = Similarity.ivfQuantizedTopKFromIndexWhere(spark, "flt_app",
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      col("label").isNotNull, k = 10, nProbe = 8, shortlist = emb.count().toInt)
+      .filter(col("neighbor_id") % 2 === 1)
+    assert(fromOdd.count() > 0, "appended rows must be retrievable under the predicate")
+    // a batch without the carried column must be refused loudly
+    val bare = batch.select("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfSqIndex(spark, "flt_app", bare, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("label"), ex.getMessage)
+  }
 }
