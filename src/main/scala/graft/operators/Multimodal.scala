@@ -369,8 +369,12 @@ object Multimodal {
       * conversion that yields zero frames.
       */
     private[operators] def resamplePcmWav(
-        bytes: Array[Byte], dstRate: Int): Option[Array[Byte]] = {
-      require(dstRate > 0, "target sample rate must be positive")
+        bytes: Array[Byte], dstRate: Int): Option[(Array[Byte], Int, Int)] = {
+      // upper bound keeps every header field (incl. dwAvgBytesPerSec =
+      // dstRate·frameBytes, frameBytes <= 16) inside Int — an
+      // unguarded absurd rate would silently write a garbage byte-rate
+      require(dstRate > 0 && dstRate <= 10000000,
+        s"target sample rate out of range: $dstRate")
       parseWav(bytes).flatMap { c =>
         val fb = (c.bitsPerSample / 8) * c.channels
         val nOutL = c.nFrames.toLong * dstRate / c.sampleRate
@@ -401,7 +405,7 @@ object Multimodal {
             c.copyFrame((i.toLong * c.sampleRate / dstRate).toInt, out, 44 + i * fb)
             i += 1
           }
-          Some(out)
+          Some((out, nOut, c.channels))
         }
       }
     }
@@ -753,9 +757,8 @@ object Multimodal {
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
         Decoders.resamplePcmWav(bytes, sampleRate) match {
-          case Some(wav) =>
-            val c = Decoders.parseWav(wav).get // our own canonical encode
-            Row(r.get(0), wav, "wav", c.nFrames, c.channels)
+          case Some((wav, frames, channels)) =>
+            Row(r.get(0), wav, "wav", frames, channels)
           case None =>
             Row(r.get(0), bytes, null, null, null)
         }

@@ -28,6 +28,14 @@ object Similarity {
     * @param queries small DataFrame (id, vector) — gets broadcast
     * @param corpus  large DataFrame (id, vector)
     */
+  /** The IVF-SQ index's own column names — ONE definition shared by
+    * the build-time carryCols collision guard and the append-time
+    * carried-column discovery, so the two can never drift when an
+    * internal column is added.
+    */
+  private val IvfIndexReservedCols =
+    Set("neighbor_id", "__list", "__cq", "__cv", "__cn")
+
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -743,9 +751,9 @@ object Similarity {
     // (label, lang, license, date …) — the payload
     // [[ivfQuantizedTopKFromIndexWhere]] predicates push down against;
     // reserved index column names can't double as payload
-    val reserved = Set("neighbor_id", "__list", "__cq", "__cv", "__cn")
-    require(carryCols.forall(c => !reserved.contains(c)),
-      s"carryCols collide with index columns: ${carryCols.filter(reserved).mkString(", ")}")
+    require(carryCols.forall(c => !IvfIndexReservedCols.contains(c)),
+      s"carryCols collide with index columns: " +
+        carryCols.filter(IvfIndexReservedCols).mkString(", "))
     // pinQuantizerFrom reuses another index's STORED coarse quantizer
     // instead of sampling fresh centroids — the rebuild/compaction
     // shape: list membership stays stable across rebuilds, and a
@@ -862,11 +870,13 @@ object Similarity {
     // carried metadata columns are whatever the stored schema holds
     // beyond the index's own five — the append must supply them under
     // the same names, or the filtered-search payload would silently
-    // go null for every appended row
-    val reserved = Set("neighbor_id", "__list", "__cq", "__cv", "__cn")
+    // go null for every appended row. Presence is checked with the
+    // session's own resolver (case-insensitive by default), matching
+    // how the select below will actually resolve the columns
     val carryCols = spark.table(tableName).schema.fieldNames.toSeq
-      .filterNot(reserved.contains)
-    val missing = carryCols.filterNot(batch.columns.contains)
+      .filterNot(IvfIndexReservedCols.contains)
+    val resolver = spark.sessionState.analyzer.resolver
+    val missing = carryCols.filterNot(c => batch.columns.exists(resolver(_, c)))
     require(missing.isEmpty,
       s"$tableName carries metadata columns the batch lacks: ${missing.mkString(", ")}")
     val b = batch.select(

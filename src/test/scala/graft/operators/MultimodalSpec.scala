@@ -330,18 +330,18 @@ class MultimodalSpec extends SparkSpec {
   test("resamplePcmWav: exact nearest-frame selection, lossless byte shuttle, honest failures") {
     val src = wav(1, 8000, 8, Seq(10, 20, 30, 40, 50, 60, 70, 80))
     // 2:1 downsample keeps every other frame, bytes verbatim
-    val down = Multimodal.Decoders.resamplePcmWav(src, 4000).get
+    val down = Multimodal.Decoders.resamplePcmWav(src, 4000).get._1
     val dc = Multimodal.Decoders.parseWav(down).get
     assert((dc.sampleRate, dc.nFrames, dc.channels, dc.bitsPerSample)
       === ((4000, 4, 1, 8)))
     assert(down.drop(44).toSeq === Seq(10, 30, 50, 70).map(_.toByte))
     // 1:2 upsample duplicates each frame (zero-order hold)
     val up = Multimodal.Decoders.resamplePcmWav(
-      wav(1, 8000, 8, Seq(10, 20)), 16000).get
+      wav(1, 8000, 8, Seq(10, 20)), 16000).get._1
     assert(up.drop(44).toSeq === Seq(10, 10, 20, 20).map(_.toByte))
     // stereo 16-bit: frames stay interleaved pairs, untouched bytes
     val st = wav(2, 44100, 16, Seq(100, -100, 200, -200, 300, -300, 400, -400))
-    val st2 = Multimodal.Decoders.resamplePcmWav(st, 22050).get
+    val st2 = Multimodal.Decoders.resamplePcmWav(st, 22050).get._1
     val sc = Multimodal.Decoders.parseWav(st2).get
     assert((sc.sampleRate, sc.nFrames, sc.channels) === ((22050, 2, 2)))
     assert(sc.sample(0, 0) === 100 / 32768.0)
