@@ -631,6 +631,32 @@ object SparkEntry {
           col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // k-means-refined IVF: two deterministic Lloyd passes sharpen the
+    // coarse quantizer, then the same planted-copy scheme — the copy
+    // ranks the refined centroids with the same arithmetic that
+    // assigned its original, so the original's list is its top probe
+    // and the exact copy wins rank 1 by the fixture's cosine margin
+    "q_sim_ivf_refined_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.ivfRefinedTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5,
+        nCentroids = 16, nProbe = 4, iters = 2)
+        .filter(col("rank") === 1)
+        .select(col("query_id").cast(LongType).as("query_id"),
+          col("neighbor_id").cast(LongType).as("neighbor_id"))
+        .orderBy("query_id")
+    }),
+    // The Lloyd refinement itself, oracled end to end: seed pick,
+    // argmax-cosine assignment, exact BIGINT component sums, and the
+    // truncating integer mean of BOTH passes replay in DuckDB — an
+    // RNG-free k-means whose every centroid component is bit-checked
+    "q_sim_kmeans_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.kmeansRefine(emb, "vec_id", "embedding", nCentroids = 8, iters = 2)
+        .orderBy("list_id", "pos")
+    }),
     // Scalar-quantized two-phase ANN: int8 codes rank ALL candidates by
     // exact integer dot (no float in candidate selection), the
     // shortlist re-ranks at full precision — the quantized-retrieval
@@ -2711,6 +2737,49 @@ object SparkEntry {
         "SELECT label, CAST(pos AS BIGINT) AS pos, CAST(sum_fx AS BIGINT) AS sum_fx, " +
         "CAST(sum_fx // n AS BIGINT) AS mean_fx, CAST(n AS BIGINT) AS n " +
         "FROM g ORDER BY label, pos"),
+    // refined-IVF planted-copy twin: rank-1 of an exact copy is its
+    // original (the q_sim_ivf_topk argument, quantizer-independent)
+    "q_sim_ivf_refined_topk" ->
+      ("SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id, " +
+        "CAST(vec_id AS BIGINT) AS neighbor_id FROM embeddings " +
+        "WHERE vec_id < 20 ORDER BY query_id"),
+    // Lloyd twin: Knuth-ranked seeds relabeled 1..8, two unrolled
+    // assign/mean passes — argmax cosine over exact micro-unit
+    // components (ORDER BY cos DESC, cpos = Spark's first-max fold),
+    // BIGINT sums, truncating // means, empty lists carried from the
+    // previous pass's centroid grid
+    "q_sim_kmeans_refine" -> {
+      def foldLen(body: String, over: String): String =
+        s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($over)+1), i -> $body), (a, x) -> a + x)"
+      def cos(a: String, na: String, b: String, nb: String): String =
+        s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE ${foldLen(s"$a[i]*$b[i]", a)} / ($na * $nb) END)"
+      "WITH e0 AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> CAST(floor(x * 1000000 + 0.5) AS DOUBLE)) AS q FROM embeddings), " +
+        s"emb AS (SELECT vec_id, q, sqrt(${foldLen("q[i]*q[i]", "q")}) AS nrm FROM e0), " +
+        "cent0 AS (SELECT cpos, cv, cn FROM (SELECT q AS cv, nrm AS cn, " +
+        "row_number() OVER (ORDER BY ((CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, vec_id) AS cpos " +
+        "FROM emb) WHERE cpos <= 8), " +
+        "a0 AS (SELECT e.q, " +
+        s"(SELECT c.cpos FROM cent0 c ORDER BY ${cos("e.q", "e.nrm", "c.cv", "c.cn")} DESC, c.cpos LIMIT 1) AS list " +
+        "FROM emb e), " +
+        "x0 AS (SELECT list, unnest(range(0, 64)) AS pos, q FROM a0), " +
+        "g1 AS (SELECT list, pos, sum(CAST(q[pos + 1] AS BIGINT)) // count(*) AS m FROM x0 GROUP BY list, pos), " +
+        "c1l AS (SELECT c.cpos, p.pos, COALESCE(g1.m, CAST(c.cv[p.pos + 1] AS BIGINT)) AS m " +
+        "FROM cent0 c CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p " +
+        "LEFT JOIN g1 ON g1.list = c.cpos AND g1.pos = p.pos), " +
+        "cent1 AS (SELECT cpos, list_transform(list(m ORDER BY pos), y -> CAST(y AS DOUBLE)) AS cv FROM c1l GROUP BY cpos), " +
+        s"cent1n AS (SELECT cpos, cv, sqrt(${foldLen("cv[i]*cv[i]", "cv")}) AS cn FROM cent1), " +
+        "a1 AS (SELECT e.q, " +
+        s"(SELECT c.cpos FROM cent1n c ORDER BY ${cos("e.q", "e.nrm", "c.cv", "c.cn")} DESC, c.cpos LIMIT 1) AS list " +
+        "FROM emb e), " +
+        "x1 AS (SELECT list, unnest(range(0, 64)) AS pos, q FROM a1), " +
+        "g2 AS (SELECT list, pos, sum(CAST(q[pos + 1] AS BIGINT)) // count(*) AS m, count(*) AS n FROM x1 GROUP BY list, pos) " +
+        "SELECT CAST(c.cpos AS BIGINT) AS list_id, CAST(c.pos AS BIGINT) AS pos, " +
+        "CAST(COALESCE(g2.m, c.m) AS BIGINT) AS mean_fx, " +
+        "CAST(COALESCE(g2.n, 0) AS BIGINT) AS n_members " +
+        "FROM c1l c LEFT JOIN g2 ON g2.list = c.cpos AND g2.pos = c.pos " +
+        "ORDER BY list_id, pos"
+    },
     // sign-projection twin: regenerate the ±1 matrix from the same
     // nonlinear middle-square parity, quantize to micro-units, integer
     // dot — exact BIGINT end to end

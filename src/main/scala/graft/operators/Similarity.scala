@@ -132,7 +132,24 @@ object Similarity {
     require(nCentroids > 0 && nProbe > 0)
     val (assigned, centArr) =
       ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids, portableCentroids)
+    probeAndRank(queries, assigned, centArr, queryIdCol, queryVecCol, k, nProbe)
+  }
 
+  /** Shared probe → in-list score → top-k tail of [[ivfTopK]] and
+    * [[ivfRefinedTopK]]: queries rank the centroid array, keep their
+    * `nProbe` best lists, broadcast-join into the assigned corpus, and
+    * reduce on the k-bounded queue — one place owns the probe/tie-break
+    * contract the DuckDB twins replay.
+    */
+  private def probeAndRank(
+      queries: DataFrame,
+      assigned: DataFrame,
+      centArr: Column,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
       .withColumn("__qn", VectorFunctions.norm(col("__qv")))
     // queries are the small side: explode the centroid array and keep the
@@ -584,6 +601,187 @@ object Similarity {
       .filter(col("__pr") >= lo && col("__pr") <= hi)
       .withColumn("pr_fx", floor(col("__pr") * lit(1e6) + lit(0.5)).cast("long"))
       .drop("__pr")
+  }
+
+  // ---------------------------------------------------------------------
+  // k-means (Lloyd) refinement of the IVF coarse quantizer
+  // ---------------------------------------------------------------------
+
+  /** Micro-unit quantization shared by the k-means path: integer-valued
+    * doubles so the native dot kernel applies and every sum/product
+    * stays exact (< 2^53) — the [[normBandFilter]] arithmetic.
+    */
+  private def microQuant(vec: Column): Column =
+    transform(vec.cast("array<double>"), x => floor(x * lit(1e6) + lit(0.5)).cast("double"))
+
+  /** One Lloyd refinement pass as a DataFrame: assign every vector to
+    * its argmax-cosine centroid (narrow shuffle-free map over the
+    * embedded centroid literal — the [[ivfTopK]] assignment shape),
+    * then reduce to per-(list, pos) component sums. The aggregate is
+    * bounded at nCentroids × dim rows whatever the corpus size
+    * (map-side partials collapse each partition before the one
+    * shuffle), so an iteration costs exactly one corpus pass.
+    */
+  private def lloydAgg(q: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    val centArr = kmeansCentArr(cents)
+    q.withColumn("__qn", VectorFunctions.norm(col("__q")))
+      .withColumn("__list", bestListId(centArr, col("__q"), col("__qn")))
+      .select(col("__list"), posexplode(col("__q")).as(Seq("pos", "__x")))
+      .groupBy(col("__list"), col("pos"))
+      .agg(sum(col("__x").cast("long")).as("sum_fx"), count(lit(1)).as("n"))
+      // truncating integer mean — Spark `div` = DuckDB `//`, exact on
+      // negative sums (the groupCentroids contract)
+      .select(col("__list"), col("pos"),
+        call_function("div", col("sum_fx"), col("n")).as("mean_fx"), col("n"))
+  }
+
+  /** Pack driver-held fixed-point centroids as the (id, vector, norm)
+    * struct array the shared assignment/probe machinery consumes. The
+    * norm is computed on the driver over exact integer-valued squares
+    * (≤ 2^53), so it equals what any engine computes from the same
+    * components.
+    */
+  private def kmeansCentArr(cents: Seq[(Long, Seq[Double])]): Column =
+    typedlit(cents.map { case (cid, v) =>
+      (cid, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+    })
+
+  /** Drive `iters` Lloyd passes, collecting the (bounded-by-
+    * construction: nCentroids × dim longs) refined centroids between
+    * passes; a list that captured no members keeps its previous
+    * centroid, so the quantizer never shrinks.
+    */
+  private def kmeansIterate(
+      q: DataFrame, init: Seq[(Long, Seq[Double])], iters: Int): Seq[(Long, Seq[Double])] = {
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val rows = lloydAgg(q, cents).collect()
+      val byList = rows.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, prev) =>
+        byList.get(cid) match {
+          case Some(rs) =>
+            val m = rs.map(r => r.getInt(1) -> r.getLong(2).toDouble).toMap
+            (cid, prev.indices.map(p => m(p)))
+          case None => (cid, prev) // empty list: carry the old centroid
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Deterministic seed centroids: the `nCentroids` lowest Knuth-hash
+    * ids (the portable [[centroidArray]] lottery), re-labeled 1..n in
+    * hash-rank order so centroid id, array position, and the DuckDB
+    * twin's `row_number() OVER (ORDER BY knuth(id), id)` all agree —
+    * which makes the assignment fold's first-max tie-break and the
+    * probe window's `ORDER BY score DESC, list` provably consistent
+    * (both resolve to the lowest list id).
+    */
+  private def kmeansSeeds(q: DataFrame, nCentroids: Int): Seq[(Long, Seq[Double])] = {
+    val rows = q
+      .orderBy(Corpus.portableHash(col("__id")), col("__id"))
+      .limit(nCentroids)
+      .select(col("__q"))
+      .collect()
+    require(rows.nonEmpty, "empty corpus — no centroids")
+    rows.toSeq.zipWithIndex.map { case (r, i) => ((i + 1).toLong, r.getSeq[Double](0)) }
+  }
+
+  /** k-means (Lloyd) refinement of the IVF coarse quantizer — the
+    * sharpening [[ivfTopK]]'s doc defers: seed with the deterministic
+    * Knuth-hash sample, then `iters` alternating assign/mean passes.
+    * Everything is exact fixed-point integer arithmetic (micro-unit
+    * components, BIGINT sums, truncating integer means) plus the one
+    * zero-guarded cosine quotient both engines round identically, so
+    * the refinement is fully replayable in ANSI SQL — RNG-free Lloyd,
+    * which is what makes a k-means gate oracle-able at all.
+    *
+    * Scale shape: each iteration is ONE corpus pass — a narrow
+    * assignment map against the embedded centroid literal and a
+    * bounded aggregate (≤ nCentroids × dim rows cross the shuffle);
+    * the driver holds only the nCentroids × dim centroid matrix
+    * between passes. `iters` is small by construction (Lloyd's gains
+    * concentrate in the first few passes).
+    *
+    * Output long format (the [[groupCentroids]] shape): one row per
+    * (list_id, pos) with the refined component, plus `n_members` from
+    * the final assignment (0 for a carried empty list).
+    */
+  def kmeansRefine(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      iters: Int
+  ): DataFrame = {
+    require(nCentroids > 0 && iters >= 1, "need nCentroids > 0 and iters >= 1")
+    val q = corpus.select(col(idCol).as("__id"), microQuant(col(vecCol)).as("__q"))
+    val cents = kmeansIterate(q, kmeansSeeds(q, nCentroids), iters - 1)
+    // final pass stays a DataFrame; the full-outer carry against the
+    // exploded centroid literal keeps empty lists present with their
+    // previous centroid and n_members = 0 — the same carry rule the
+    // driver loop applies between passes
+    val prev = corpus.sparkSession.range(1)
+      .select(explode(kmeansCentArr(cents)).as("__c"))
+      .select(col("__c._1").as("list_id"),
+        posexplode(col("__c._2")).as(Seq("pos", "__pm")))
+      .select(col("list_id"), col("pos"), col("__pm").cast("long").as("__prev_fx"))
+    prev
+      .join(lloydAgg(q, cents).withColumnRenamed("__list", "list_id"),
+        Seq("list_id", "pos"), "left_outer")
+      .select(col("list_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("mean_fx"), col("__prev_fx")).as("mean_fx"),
+        coalesce(col("n"), lit(0L)).as("n_members"))
+  }
+
+  /** The refined quantizer as a driver-side value for the search path:
+    * runs [[kmeansRefine]]'s loop to completion and packs (id, vector,
+    * norm) structs. Centroid components stay in micro-units — cosine
+    * is scale-invariant, so the refined centroids rank RAW corpus and
+    * query vectors without rescaling.
+    */
+  private def kmeansQuantizer(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int): Seq[(Long, Seq[Double], Double)] = {
+    val q = corpus.select(col(idCol).as("__id"), microQuant(col(vecCol)).as("__q"))
+    kmeansIterate(q, kmeansSeeds(q, nCentroids), iters).map { case (cid, v) =>
+      (cid, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+    }
+  }
+
+  /** [[ivfTopK]] with a k-means-refined coarse quantizer: Lloyd
+    * centroids replace the raw sample, then the standard
+    * assign → probe → in-list score → top-k tail runs unchanged
+    * ([[probeAndRank]]). Refined Voronoi cells track the corpus's real
+    * cluster structure, so the same `nProbe` recovers more of the true
+    * neighbors — recall improves at IDENTICAL query cost (the
+    * per-query work is nProbe lists either way; only the one-off build
+    * pays the `iters` extra corpus passes). Centroid ids are hash-rank
+    * positions 1..nCentroids, making every tie-break (assignment
+    * first-max, probe window, DuckDB `ORDER BY`) agree on the lowest
+    * list id.
+    */
+  def ivfRefinedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2,
+      iters: Int = 2
+  ): DataFrame = {
+    require(nCentroids > 0 && nProbe > 0 && iters >= 1)
+    val centArr = typedlit(
+      kmeansQuantizer(corpus, corpusIdCol, corpusVecCol, nCentroids, iters))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+      .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+    val assigned = c.withColumn("__list", bestListId(centArr, col("__cv"), col("__cn")))
+    probeAndRank(queries, assigned, centArr, queryIdCol, queryVecCol, k, nProbe)
   }
 
   /** Two-level ANN — IVF lists × int8 scalar quantization (the IVF-SQ

@@ -152,6 +152,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("k-means refined ivf: probes broadcast, top-k k-bounded, no cartesian corpus join") {
+    val plan = SparkEntry.queries("q_sim_ivf_refined_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the refined quantizer must not change the search dataflow: probes
+    // (queries × nProbe rows) broadcast into the assigned corpus, the
+    // reduction rides the k-bounded queue, and the corpus is never
+    // cartesian-joined — refinement buys recall, not a new plan shape
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("collect_top_k"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("k-means refine gate: one bounded hash aggregate per pass, no global sort") {
+    val plan = SparkEntry.queries("q_sim_kmeans_refine")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the Lloyd mean is a plain partial/final hash aggregate over
+    // (list, pos) — map-side combine collapses each partition to
+    // ≤ nCentroids × dim rows before the one shuffle
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("kmv sketch gate: partial aggregation carries the bounded buffer") {
     val plan = SparkEntry.queries("q_sketch_kmv_shingles")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -191,6 +191,43 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 >= r4, s"recall must not fall as probes widen: $r4 -> $r8")
   }
 
+  test("k-means refine: Lloyd invariants — full grid, conserved membership, determinism") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val n = emb.count()
+    val ref = Similarity.kmeansRefine(emb, "vec_id", "embedding", nCentroids = 8, iters = 2)
+    val rows = ref.collect()
+    // the centroid table is a full grid: every list × every dimension,
+    // even for a list that captured no members (carried centroid)
+    assert(rows.length === 8 * 64, s"grid was ${rows.length}")
+    assert(rows.map(_.getLong(0)).toSet === (1L to 8L).toSet)
+    // the final assignment partitions the corpus: each dimension's
+    // membership counts sum to the corpus size across lists
+    val perPos = rows.groupBy(_.getLong(1)).map { case (_, rs) => rs.map(_.getLong(3)).sum }
+    assert(perPos.toSet === Set(n), s"membership sums $perPos != $n")
+    // RNG-free Lloyd: a rerun is bit-identical
+    val again = Similarity.kmeansRefine(emb, "vec_id", "embedding", nCentroids = 8, iters = 2)
+      .orderBy("list_id", "pos").collect()
+    assert(again.toSeq === ref.orderBy("list_id", "pos").collect().toSeq)
+  }
+
+  test("k-means refined quantizer: recall@10 does not fall vs the raw sample") {
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 25)
+    val truth = exactTopK(queries, emb, 10)
+    val sample = recallOf(Similarity.ivfTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 10,
+      nCentroids = 16, nProbe = 4, portableCentroids = true), truth)
+    val refined = recallOf(Similarity.ivfRefinedTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 10,
+      nCentroids = 16, nProbe = 4, iters = 2), truth)
+    info(s"recall@10 nProbe=4/16: sample=$sample refined=$refined")
+    // both are deterministic, so the comparison is stable; Lloyd cells
+    // track the fixture's 10 planted clusters, so refinement must not
+    // lose recall at identical query cost (measured: a clear gain)
+    assert(refined >= sample, s"refinement lost recall: $sample -> $refined")
+    assert(refined >= 0.33, s"refined recall@10 was $refined")
+  }
+
   test("portable-centroid ivf is deterministic and as structured as the xxhash pick") {
     val emb = table("embeddings").select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 20)
