@@ -1708,6 +1708,25 @@ object SparkEntry {
           Seq("value"), stepUs = 3600000000L)
         .orderBy("user_id", "bucket_us")
     }),
+    // Sketch-driven adaptive skew salting: a Misra–Gries pass certifies
+    // the hot join keys (no false negatives), only those spread over
+    // salt buckets, and the join result is provably invariant to the
+    // hot set — which is exactly what the oracle (a plain join) pins
+    "q_join_skew_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.plans.ScaleJoins.sketchSaltedJoin(li, sup, "suppkey",
+          saltBuckets = 4, hotThreshold = 500, m = 64)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast("double").as("sum_qty"))
+        .select(col("s_nationkey").cast(LongType).as("s_nationkey"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
     // Gopher/C4-style repetition + heuristic quality filters (exact
     // arithmetic, engine-reproducible)
     "q_text_gopher" -> ((s, dir) => {
@@ -3727,6 +3746,14 @@ object SparkEntry {
         "SELECT p_id, e_id, p.user_id AS user_id, p_ts, s_ts FROM p JOIN w " +
         "ON p.user_id = w.user_id AND p_ts >= s_ts AND p_ts <= e_ts " +
         "ORDER BY p_id, e_id"),
+    // skew-salted twin: the sketch only tunes the partitioning, so the
+    // oracle is the PLAIN join — any divergence means salting touched
+    // semantics (a lost row, a double-counted replica)
+    "q_join_skew_salted" ->
+      ("SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_rows, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
     "q_corpus_split" -> {
       val valCut = math.round(0.1 * 4294967296.0)
       val testCut = math.round(0.2 * 4294967296.0)

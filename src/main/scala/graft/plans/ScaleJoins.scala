@@ -77,4 +77,88 @@ object ScaleJoins {
       .join(replicated, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Heavy-key certificate for [[sketchSaltedJoin]]: every key whose
+    * true row count in `df` reaches `hotThreshold` is returned — the
+    * Misra–Gries bound `est ≤ true ≤ est + err` means a qualifying key
+    * always satisfies `est + err ≥ hotThreshold`, so filtering on the
+    * certificate's upper side has NO false negatives; the price is at
+    * most m near-threshold false positives (keys salted without
+    * needing it, which costs a little replication, never correctness).
+    * Pick `m ≥ n / hotThreshold` so a qualifying key can never be
+    * decremented out of the sketch entirely (MG keeps every key with
+    * count > n/(m+1)).
+    *
+    * One bounded-state corpus pass: O(m) aggregate state with map-side
+    * partials — the scan a full `groupBy(key).count()` would turn into
+    * a shuffle of every distinct key.
+    */
+  def hotKeys(df: DataFrame, key: String, hotThreshold: Long, m: Int): DataFrame = {
+    require(hotThreshold > 0 && m >= 1)
+    df.select(col(key).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .groupBy()
+      .agg(graft.functions.MgSketchExpression.mgSketch(col("__k"), m).as("__sk"))
+      .select(col("__sk.err").as("err"), explode(col("__sk.items")).as("__it"))
+      .select(col("__it.term").as("hot_key"), col("__it.est").as("est"), col("err"))
+      .filter(col("est") + col("err") >= hotThreshold)
+  }
+
+  /** `large` with a `__salt` column: hot keys spread over
+    * `saltBuckets` deterministic content-hash salts, every other key
+    * pinned to salt 0 — the assignment half of [[sketchSaltedJoin]],
+    * split out so the spread is testable.
+    */
+  private[plans] def saltAssign(
+      large: DataFrame, key: String, hotLit: Column, saltBuckets: Int): DataFrame =
+    large.withColumn("__salt",
+      when(array_contains(hotLit, col(key).cast("string")),
+        pmod(xxhash64(struct(large.columns.map(col).toIndexedSeq: _*)), lit(saltBuckets)))
+        .otherwise(lit(0L)))
+
+  /** Sketch-driven adaptive salting: [[saltedJoin]] replicates the
+    * WHOLE small side `saltBuckets`× — fine for a dimension table,
+    * pure waste for the 99% of keys that were never skewed. Here a
+    * Misra–Gries pass certifies the hot keys first ([[hotKeys]] — no
+    * false negatives), and only those are salted: hot large-side rows
+    * spread over `saltBuckets` reducers, hot small-side rows replicate
+    * `saltBuckets`×, and every cold key joins exactly as before on
+    * salt 0. Small-side inflation drops from |small| × saltBuckets to
+    * |hot| × saltBuckets with |hot| ≤ m — bounded by the sketch, not
+    * by the key domain.
+    *
+    * The hot set rides the plan as a ≤ m-element literal (bounded by
+    * construction — the centroid-literal pattern). The join RESULT is
+    * identical to the unsalted join for inner/left shapes whatever the
+    * hot set contains — the sketch tunes the partitioning, never the
+    * semantics — which is what the cross-engine gate pins. Right/full
+    * outer are rejected: an unmatched replicated small-side row would
+    * null-extend once per salt.
+    */
+  def sketchSaltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int,
+      hotThreshold: Long,
+      m: Int = 256,
+      joinType: String = "inner"
+  ): DataFrame = {
+    require(saltBuckets > 0)
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"sketchSaltedJoin supports inner/left join shapes, got $joinType")
+    // ≤ m rows by construction — the sketch bounds the collect
+    val hot = hotKeys(large, key, hotThreshold, m)
+      .select(col("hot_key")).collect().map(_.getString(0)).toSeq
+    if (hot.isEmpty) return large.join(small, Seq(key), joinType)
+    val hotLit = typedlit(hot)
+    val replicated = small.withColumn("__salt",
+      explode(when(array_contains(hotLit, col(key).cast("string")),
+        sequence(lit(0L), lit((saltBuckets - 1).toLong)))
+        .otherwise(array(lit(0L)))))
+    saltAssign(large, key, hotLit, saltBuckets)
+      .join(replicated, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
 }

@@ -80,6 +80,71 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(ScaleJoins.saltedJoin(large, small, "k", 8).count() === 10000)
   }
 
+  test("hotKeys: the MG certificate finds every planted hot key, cold keys can only be near-threshold") {
+    import spark.implicits._
+    // planted skew: key 1 = 5000 rows, key 2 = 1200 rows, 100 singletons
+    val df = spark.range(5000).select(lit(1L).as("k"))
+      .union(spark.range(1200).select(lit(2L).as("k")))
+      .union(spark.range(100).select((col("id") + 10).as("k")))
+    // exact regime (m >= distinct keys): est is the true count, err = 0
+    val exact = ScaleJoins.hotKeys(df, "k", hotThreshold = 1000, m = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact === Map("1" -> 5000L, "2" -> 1200L))
+    // tight-sketch regime (m = 4 << 102 distinct): both true hot keys
+    // must STILL be returned — the certificate has no false negatives —
+    // and any extra key must be there only via its error upper bound
+    val tight = ScaleJoins.hotKeys(df, "k", hotThreshold = 1000, m = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val names = tight.map(_._1).toSet
+    assert(names.contains("1") && names.contains("2"), tight.mkString(","))
+    tight.foreach { case (_, est, err) => assert(est + err >= 1000, s"$est + $err") }
+  }
+
+  test("sketch-salted join: result equals the plain join; only hot keys spread") {
+    import spark.implicits._
+    val large = spark.range(10000).select(lit(1L).as("k"), col("id").as("v"))
+      .union(spark.range(100).select((col("id") + 2).as("k"), col("id").as("v")))
+    val small = Seq((1L, "hot"), (2L, "cold"), (50L, "cool")).toDF("k", "label")
+
+    val plain = large.join(small, Seq("k")).groupBy("k", "label")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(_.toString).toSet
+    val salted = ScaleJoins.sketchSaltedJoin(large, small, "k",
+      saltBuckets = 8, hotThreshold = 1000, m = 64)
+      .groupBy("k", "label")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(_.toString).toSet
+    assert(salted === plain)
+
+    // the assignment half: the hot key occupies every salt bucket,
+    // cold keys never leave salt 0 — replication stays |hot| × buckets
+    val hotLit = typedlit(Seq("1"))
+    val assigned = ScaleJoins.saltAssign(large, "k", hotLit, 8)
+    val hotSalts = assigned.filter(col("k") === 1).select("__salt").distinct().count()
+    val coldSalts = assigned.filter(col("k") =!= 1).select("__salt").distinct().collect()
+    assert(hotSalts === 8, s"hot key spread over $hotSalts buckets")
+    assert(coldSalts.map(_.getLong(0)).toSeq === Seq(0L))
+
+    // left outer keeps unmatched large keys exactly once
+    val lo = ScaleJoins.sketchSaltedJoin(large, small, "k",
+      saltBuckets = 8, hotThreshold = 1000, m = 64, joinType = "left_outer")
+    assert(lo.count() === large.count())
+
+    // the salt rides the join key when something is hot; with nothing
+    // hot the adaptive path degrades to the PLAIN join — no salt
+    // column, no small-side replication at all
+    val hotPlan = ScaleJoins.sketchSaltedJoin(large, small, "k", 8, 1000, 64)
+      .queryExecution.executedPlan.toString
+    assert(hotPlan.contains("__salt"), hotPlan)
+    val coldPlan = ScaleJoins.sketchSaltedJoin(large, small, "k", 8, 100000, 64)
+      .queryExecution.executedPlan.toString
+    assert(!coldPlan.contains("__salt"), coldPlan)
+    // outer shapes that would duplicate null-extensions are rejected
+    intercept[IllegalArgumentException] {
+      ScaleJoins.sketchSaltedJoin(large, small, "k", 8, 1000, 64, "full_outer")
+    }
+  }
+
   test("rowDiff over same-bucketed tables needs no exchange") {
     // the 100 TB composition: src and dest both bucketed on the diff
     // key at ingest => the full-outer diff join reads co-located buckets
