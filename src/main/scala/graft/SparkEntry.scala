@@ -1061,6 +1061,19 @@ object SparkEntry {
         "lang", "doc_id", "text", rate = 4, tenths = Seq(5, 9))
         .orderBy("lang")
     }),
+    // Mergeable quantile sketch in its exact regime: c = 4096 exceeds
+    // every per-lang group (2,059 docs max at sf0.1), so no compaction
+    // fires, err = 0, the (value, weight) items ARE the exact
+    // multiset, and the rank selection is the house integral index —
+    // oracle-comparable. The compaction regime is spec-gated on the
+    // carried certificate (QuantileSketchSpec), which holds under any
+    // partitioning even though the surviving items do not.
+    "q_sketch_quantiles" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("lang"),
+        size(split(col("text"), " ", -1)).cast(LongType).as("toks"))
+      Sketches.sketchQuantiles(toks, "lang", "toks", c = 4096, tenths = Seq(1, 5, 9))
+        .orderBy("lang")
+    }),
     // Misra–Gries heavy-hitters sketch, pinned cross-engine in its
     // exact regime: m = 256 counters comfortably exceeds the fixture
     // vocabulary (31 tokens/lang at every SF), so no decrement fires,
@@ -2949,6 +2962,19 @@ object SparkEntry {
         "SELECT group_a, group_b, matches, union_k, " +
         "(matches * 1000000) // union_k AS jaccard_ppm " +
         "FROM m ORDER BY group_a, group_b"),
+    // Quantile-sketch exact regime: with no compaction the weighted
+    // items are the raw multiset, so the twin is plain rank selection
+    // with the house integral index over EVERY row (no sample lottery)
+    "q_sketch_quantiles" ->
+      ("WITH s AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +
+        "r AS (SELECT lang, toks, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY toks) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS cnt FROM s) " +
+        "SELECT lang, " +
+        "max(CASE WHEN rn = (cnt-1)*1//10 + 1 THEN toks END) AS p10, " +
+        "max(CASE WHEN rn = (cnt-1)*5//10 + 1 THEN toks END) AS p50, " +
+        "max(CASE WHEN rn = (cnt-1)*9//10 + 1 THEN toks END) AS p90, " +
+        "CAST(0 AS BIGINT) AS err, max(cnt) AS n FROM r GROUP BY lang ORDER BY lang"),
     // MG sketch exact regime: with err = 0 the sketch output equals the
     // plain per-(lang, token) counts sorted est desc, term asc
     "q_sketch_mg_exact" ->

@@ -165,6 +165,52 @@ object Sketches {
       .agg(qCols.head, qCols.tail :+ max(col("cnt")).as("n_sample"): _*)
   }
 
+  /** Per-group rank-selection quantiles read off the mergeable
+    * quantile sketch ([[graft.functions.QuantileSketchExpression]]):
+    * ONE bounded-state pass collapses each group's value stream to
+    * O(c·log(n/c)) weighted items (map-side partials, single shuffle),
+    * then exact integer rank selection over the (value, weight) pairs
+    * picks each requested decile — `idx = (W−1)·q div 10 + 1`, the
+    * same integral index arithmetic as [[sampledTokenQuantiles]], so
+    * no interpolation semantics can split engines. The two quantile
+    * paths complement each other: the sample gives probabilistic
+    * accuracy on a fraction of the data; the sketch sees EVERY row and
+    * carries a deterministic worst-case certificate (`err`, the
+    * accumulated compaction budget — true rank within ±err of the
+    * reported rank), and its state merges associatively across shards
+    * and batches. With c > the group's row count the sketch is exact
+    * (`err = 0`) and the gate a full DuckDB oracle — the MG playbook.
+    *
+    * The rank window sorts sketch ITEMS (≤ c·log levels per group),
+    * never the value stream — at 100 TB the sort input is thousands of
+    * rows per group regardless of corpus size.
+    */
+  def sketchQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      c: Int, tenths: Seq[Int]): DataFrame = {
+    require(tenths.nonEmpty, "need at least one decile")
+    val sk = df.groupBy(groupCol)
+      .agg(graft.functions.QuantileSketchExpression
+        .quantileSketch(col(valueCol).cast(LongType), c).as("__sk"))
+    val ex = sk
+      .select(col(groupCol), col("__sk.err").as("err"),
+        explode(col("__sk.items")).as("__it"))
+      .select(col(groupCol), col("err"),
+        col("__it.v").as("v"), col("__it.w").as("w"))
+    val byV = Window.partitionBy(groupCol).orderBy(col("v"), col("w"))
+    val whole = Window.partitionBy(groupCol)
+    val ranked = ex
+      .withColumn("__cum", sum(col("w")).over(byV))
+      .withColumn("__tot", sum(col("w")).over(whole))
+    val qCols = tenths.map { q =>
+      val idx = call_function("div", (col("__tot") - 1) * q, lit(10L)) + lit(1L)
+      min(when(col("__cum") >= idx, col("v"))).as(s"p${q}0")
+    }
+    ranked.groupBy(groupCol)
+      .agg(qCols.head,
+        qCols.tail :+ max(col("err")).as("err") :+ max(col("__tot")).as("n"): _*)
+  }
+
   /** Per-group heavy hitters via the Misra–Gries sketch
     * ([[graft.functions.MgSketchExpression]]): bounded state (m
     * counters per group) whatever the term cardinality, so the shuffle

@@ -191,6 +191,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_graft_cm_sketch"), plan)
   }
 
+  test("quantile sketch gate: partial aggregation carries the bounded level buffers") {
+    val plan = SparkEntry.queries("q_sketch_quantiles")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // map-side partials collapse each partition's value stream to
+    // O(c·levels) weighted items before the one shuffle; the rank
+    // window then sorts sketch items, never the value stream
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_quantile_sketch"), plan)
+  }
+
   test("mg sketch gate: partial aggregation carries the bounded counter map") {
     val plan = SparkEntry.queries("q_sketch_mg_exact")(spark, sfDir)
       .queryExecution.executedPlan.toString

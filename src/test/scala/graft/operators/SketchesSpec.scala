@@ -294,4 +294,77 @@ class SketchesSpec extends SparkSpec {
     val items = out.map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(items == Map("a" -> 5L, "b" -> 3L), items.toString)
   }
+
+  // --- mergeable quantile sketch -------------------------------------
+
+  /** Reported deciles + err from sketchQuantiles over (g, v) pairs. */
+  private def qsDeciles(df: org.apache.spark.sql.DataFrame, c: Int): (Map[Int, Long], Long) = {
+    val r = Sketches.sketchQuantiles(df, "g", "v", c, tenths = Seq(1, 5, 9)).head()
+    (Map(1 -> r.getAs[Long]("p10"), 5 -> r.getAs[Long]("p50"), 9 -> r.getAs[Long]("p90")),
+      r.getAs[Long]("err"))
+  }
+
+  test("quantile sketch: exact regime — err 0, deciles equal plain rank selection, partition-invariant") {
+    val vals = (1L to 1000L).map(v => ("g", v))
+    for (parts <- Seq(1, 7)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vals, parts)).toDF("g", "v")
+      val (dec, err) = qsDeciles(df, c = 2048)
+      assert(err === 0L, s"no compaction below c: err $err")
+      // integral index over 1..1000: idx = 999*q/10 + 1
+      assert(dec === Map(1 -> 100L, 5 -> 500L, 9 -> 900L), dec.toString)
+    }
+  }
+
+  test("quantile sketch: compaction certificate holds under any partitioning, err is budgeted") {
+    // deterministic skew: squares compress the low end, stretch the top
+    val n = 20000
+    val vals = (1L to n.toLong).map(v => ("g", v * v))
+    val sortedVals = vals.map(_._2).sorted
+    for (parts <- Seq(1, 8, 32)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(vals, parts)).toDF("g", "v")
+      val c = 64
+      val (dec, err) = qsDeciles(df, c)
+      assert(err > 0L, "deep compaction must spend error budget")
+      // the carried budget must stay within the MRL bound O(n·log(n/c)/c)
+      val bound = (2.0 * n * (math.log(n.toDouble / c) / math.log(2)) / c).toLong
+      assert(err <= bound, s"err $err exceeds theory bound $bound")
+      dec.foreach { case (q, v) =>
+        val idx = (n - 1).toLong * q / 10 + 1
+        val less = sortedVals.count(_ < v).toLong
+        val leq = sortedVals.count(_ <= v).toLong
+        // certificate: trueLess − err < idx ≤ trueLeq + err
+        assert(less - err < idx && idx <= leq + err,
+          s"parts=$parts decile $q: value $v rank ($less, $leq] vs idx $idx ± $err")
+      }
+    }
+  }
+
+  test("quantile sketch: growing capacity shrinks the certificate, state stays bounded") {
+    val n = 20000
+    val vals = (1L to n.toLong).map(v => ("g", v))
+    val df = vals.toDF("g", "v")
+    val errs = Seq(32, 128, 512).map { c => qsDeciles(df, c)._2 }
+    assert(errs(0) > errs(1) && errs(1) > errs(2), s"err must fall with c: $errs")
+    // surviving items are O(c · levels), never O(n)
+    val items = df.groupBy("g")
+      .agg(graft.functions.QuantileSketchExpression
+        .quantileSketch(col("v"), 64).as("sk"))
+      .select(size(col("sk.items"))).head().getInt(0)
+    val levels = (math.log(n / 64.0) / math.log(2)).toInt + 2
+    assert(items <= 64 * levels, s"state $items exceeds c·levels bound ${64 * levels}")
+  }
+
+  test("quantile sketch: duplicates carry weight mass; odd stragglers are never dropped") {
+    // 10k copies of one value plus a tail — mass conservation means the
+    // heavy value still dominates every low decile after compaction
+    val vals = Seq.fill(10000)(("g", 5L)) ++ (1L to 100L).map(v => ("g", 1000L + v))
+    val df = vals.toDF("g", "v")
+    val r = Sketches.sketchQuantiles(df, "g", "v", c = 64, tenths = Seq(1, 5, 9)).head()
+    // total mass is conserved exactly through halvings (doubled weights
+    // + stragglers), so n reads the true row count
+    assert(r.getAs[Long]("n") === 10100L, r.toString)
+    assert(r.getAs[Long]("p10") === 5L && r.getAs[Long]("p50") === 5L, r.toString)
+  }
 }
