@@ -171,6 +171,40 @@ object CorpusIngest {
         graft.functions.KrHashExpression.krHash(col("__tok")), lit(1L), w, d)
         .as("cm_sketch"))
 
+  /** Windowed document-length quantile sketch per (window, source):
+    * the fourth sketch through the state store — after how-many-
+    * distinct ([[vocabRollup]]), which-dominate ([[topTermsRollup]])
+    * and how-often ([[termFrequencyRollup]]), this one carries the
+    * SHAPE of each window's length distribution
+    * ([[graft.functions.QuantileSketchExpression]]): O(c·log) weighted
+    * items per open group, never the window's row count. Emitted
+    * sketches merge associatively downstream (hour → day → epoch
+    * rollups without revisiting data) and read out via the exact
+    * integer rank selection of
+    * [[graft.operators.Sketches.sketchQuantiles]]'s arithmetic.
+    * Determinism splits by regime exactly like MG: with c above the
+    * window's row count nothing compacts and closed windows equal the
+    * batch twin EXACTLY; once compaction fires the surviving items are
+    * replay-dependent but total mass is conserved and the carried
+    * `err` certificate stays sound under any replay order. Append-mode
+    * compatible (watermarked window).
+    */
+  def lengthQuantilesRollup(
+      cleaned: DataFrame,
+      window: String = "1 hour",
+      c: Int = 256
+  ): DataFrame =
+    cleaned
+      .select(col("ingest_time"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__len"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ingest_time"), window),
+        col("source"))
+      .agg(graft.functions.QuantileSketchExpression
+        .quantileSketch(col("__len"), c).as("qs_sketch"))
+      .select(col("window"), col("source"), col("qs_sketch"),
+        aggregate(col("qs_sketch.items"), lit(0L), (a, it) => a + it.getField("w"))
+          .as("n_mass"))
+
   /** Pre-create `destDir` with an empty schema-bearing `batch=-1`
     * sentinel (mode `ignore`: first start wins, restarts no-op). Empty
     * micro-batches skip their writes, so a run whose batches are ALL

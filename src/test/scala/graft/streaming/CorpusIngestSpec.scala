@@ -428,4 +428,69 @@ class CorpusIngestSpec extends SparkSpec {
         s"certificate violated: ($ws, $src, $term) est=$est err=$err true=$truef")
     }
   }
+
+  test("length-quantiles rollup: exact regime equals batch, tight regime conserves mass") {
+    val srcDir = tmp("graft_ingest_src6")
+    writeMain(srcDir)
+    val wmSec = 3600L + 499L * 60 - 3600L
+    // exact per-(window, source) length multisets over closed windows
+    val lens = twinClean(srcDir)
+      .select(col("ingest_time"), col("source"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("len"))
+      .groupBy(window(col("ingest_time"), "1 hour").getField("start").as("ws"),
+        col("source"))
+      .agg(sort_array(collect_list(col("len"))).as("lens"))
+      .filter(col("ws").cast("long") + 3600L <= wmSec)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+
+    def runRollup(c: Int, tag: String) = {
+      val outDir = tmp(s"graft_ingest_qs_${tag}_out")
+      CorpusIngest.lengthQuantilesRollup(
+        CorpusIngest.clean(
+          CorpusIngest.documentsStream(spark, srcDir), MinQ, watermark = "1 hour"),
+        window = "1 hour", c = c)
+        .writeStream
+        .option("checkpointLocation", tmp(s"graft_ingest_qs_${tag}_ckpt"))
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .start()
+        .awaitTermination(180000)
+      spark.read.parquet(s"$outDir/batch=*")
+        .select(col("window.start").as("ws"), col("source"),
+          col("qs_sketch.err").as("err"), col("qs_sketch.items").as("items"),
+          col("n_mass"))
+        .collect()
+        .map(r => ((r.getTimestamp(0), r.getString(1)), r.getLong(2),
+          r.getSeq[org.apache.spark.sql.Row](3).map(it => (it.getLong(0), it.getLong(1))),
+          r.getLong(4))).toSeq
+    }
+
+    // exact regime: c above every window's row count -> no compaction,
+    // the emitted items ARE the sorted length multiset at weight 1
+    val exact = runRollup(c = 2048, tag = "x")
+    assert(exact.nonEmpty)
+    exact.foreach { case (key, err, items, mass) =>
+      assert(err === 0L, s"$key: exact regime err $err")
+      assert(items.map(_._1) === lens(key), s"$key: items != batch multiset")
+      assert(items.forall(_._2 == 1L) && mass === lens(key).length.toLong)
+    }
+    assert(exact.map(_._1).toSet === lens.keySet)
+
+    // tight regime: compaction fires, surviving items are replay-
+    // dependent — but total mass is conserved exactly and the err
+    // budget stays within the per-window MRL bound
+    val tight = runRollup(c = 2, tag = "t")
+    assert(tight.exists(_._2 > 0L), "c=2 should force compaction")
+    tight.foreach { case (key, err, items, mass) =>
+      val n = lens(key).length.toLong
+      assert(mass === n, s"$key: mass $mass != rows $n")
+      assert(err < n, s"$key: err $err must stay below the window size")
+      assert(items.length < lens(key).length || err == 0L,
+        s"$key: compaction must shrink the item set")
+    }
+  }
 }
