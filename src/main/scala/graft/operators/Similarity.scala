@@ -942,9 +942,12 @@ object Similarity {
       buckets: Int = 16,
       portableCentroids: Boolean = false,
       pinQuantizerFrom: Option[String] = None,
-      carryCols: Seq[String] = Nil
+      carryCols: Seq[String] = Nil,
+      refineIters: Int = 0
   ): Unit = {
     require(nCentroids > 0 && buckets > 0)
+    require(refineIters == 0 || pinQuantizerFrom.isEmpty,
+      "refineIters trains a fresh quantizer — it cannot combine with pinQuantizerFrom")
     // carryCols = metadata columns stored verbatim beside each code row
     // (label, lang, license, date …) — the payload
     // [[ivfQuantizedTopKFromIndexWhere]] predicates push down against;
@@ -987,6 +990,21 @@ object Similarity {
               carryCols.map(col): _*)
           .withColumn("__cn", VectorFunctions.norm(col("__cv")))
         (c.withColumn("__list", bestListId(arr, col("__cv"), col("__cn"))), arr, srcBuilt)
+      case None if refineIters > 0 =>
+        // k-means-refined quantizer ([[kmeansQuantizer]]): the Lloyd
+        // centroids are stored like any other quantizer, so appends,
+        // pinned rebuilds, staleness stats, and query batches all ride
+        // them with zero further changes — refinement is a build-time
+        // knob, not a new index format. Micro-unit components are fine
+        // everywhere downstream: cosine is scale-invariant.
+        val arr = typedlit(
+          kmeansQuantizer(corpus, corpusIdCol, corpusVecCol, nCentroids, refineIters))
+        val c = corpus
+          .select(
+            col(corpusIdCol).as("neighbor_id") +: col(corpusVecCol).as("__cv") +:
+              carryCols.map(col): _*)
+          .withColumn("__cn", VectorFunctions.norm(col("__cv")))
+        (c.withColumn("__list", bestListId(arr, col("__cv"), col("__cn"))), arr, None)
       case None =>
         val (a, arr) =
           ivfAssignWithCentroids(corpus, corpusIdCol, corpusVecCol, nCentroids,

@@ -426,6 +426,46 @@ class SimilaritySpec extends SparkSpec {
     assert(hit.length === 1 && hit(0).getAs[Long]("neighbor_id") === 200L, hit.mkString)
   }
 
+  test("ivf-sq index with a k-means-refined quantizer: lifecycle intact, recall not worse") {
+    val all = table("embeddings").select("vec_id", "embedding")
+    val base = all.filter(col("vec_id") < 400)
+    val batch = all.filter(col("vec_id") >= 400 && col("vec_id") < 460)
+    Similarity.writeIvfSqIndex(base, "vec_id", "embedding", "ivfsq_km",
+      nCentroids = 8, buckets = 4, refineIters = 2)
+    // the refined quantizer is stored like any other — same side table
+    assert(spark.table("ivfsq_km_centroids").count() === 8)
+    // appends ride the stored refined centroids; a pinned rebuild over
+    // base ∪ batch is row-identical (the standard lifecycle contract)
+    Similarity.appendToIvfSqIndex(spark, "ivfsq_km", batch, "vec_id", "embedding")
+    Similarity.writeIvfSqIndex(all.filter(col("vec_id") < 460),
+      "vec_id", "embedding", "ivfsq_km_reb",
+      nCentroids = 8, buckets = 4, pinQuantizerFrom = Some("ivfsq_km"))
+    val a = spark.table("ivfsq_km").select("neighbor_id", "__list")
+      .collect().map(_.toString).sorted
+    val b = spark.table("ivfsq_km_reb").select("neighbor_id", "__list")
+      .collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+    // refinement cannot combine with a pinned quantizer
+    intercept[IllegalArgumentException] {
+      Similarity.writeIvfSqIndex(base, "vec_id", "embedding", "ivfsq_km_bad",
+        nCentroids = 8, refineIters = 2, pinQuantizerFrom = Some("ivfsq_km"))
+    }
+    // at the same query knobs, the refined index must not lose recall
+    // vs the sampled quantizer (both paths deterministic)
+    Similarity.writeIvfSqIndex(all, "vec_id", "embedding", "ivfsq_km_full",
+      nCentroids = 16, buckets = 4, refineIters = 2)
+    Similarity.writeIvfSqIndex(all, "vec_id", "embedding", "ivfsq_sm_full",
+      nCentroids = 16, buckets = 4)
+    val queries = all.filter(col("vec_id") < 25)
+    val truth = exactTopK(queries, all, 10)
+    val rRef = recallOf(Similarity.ivfQuantizedTopKFromIndex(spark, "ivfsq_km_full",
+      queries, "vec_id", "embedding", k = 10, nProbe = 4, shortlist = 64), truth)
+    val rSmp = recallOf(Similarity.ivfQuantizedTopKFromIndex(spark, "ivfsq_sm_full",
+      queries, "vec_id", "embedding", k = 10, nProbe = 4, shortlist = 64), truth)
+    info(s"index recall@10 nProbe=4/16: sampled=$rSmp refined=$rRef")
+    assert(rRef >= rSmp, s"refined index lost recall: $rSmp -> $rRef")
+  }
+
   test("ivf-sq staleness: skewed appends flip isStale, a fresh rebuild restores balance and recall") {
     import spark.implicits._
     val base = table("embeddings").select("vec_id", "embedding").filter(col("vec_id") < 240)
