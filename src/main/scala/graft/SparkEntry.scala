@@ -1214,6 +1214,33 @@ object SparkEntry {
       ).toDF("id_a", "id_b")
       Dedup.duplicateClusters(pairs).orderBy("id")
     }),
+    // Fixed-point PageRank over the same pair graph: two power-
+    // iteration rounds of exact ppb integer arithmetic — the DuckDB
+    // twin unrolls both rounds and reproduces every rank bit-for-bit
+    "q_graph_pagerank" -> ((s, _) => {
+      import s.implicits._
+      val pairs = Seq(
+        (1L, 2L), (2L, 3L), (5L, 3L),
+        (10L, 11L),
+        (20L, 21L), (20L, 22L), (20L, 23L)
+      ).toDF("id_a", "id_b")
+      graft.operators.Graph.pageRankFixedPoint(pairs, iters = 2, dampPpm = 850000L)
+        .orderBy("id")
+    }),
+    // Centrality keeper election: each duplicate cluster keeps its
+    // most-connected member (ties to the lowest id) — the star keeps
+    // its hub, not its lowest spoke
+    "q_dedup_keep_central" -> ((s, _) => {
+      import s.implicits._
+      val docs = (1L to 25L).toDF("doc_id")
+      val pairs = Seq(
+        (1L, 2L), (2L, 3L), (5L, 3L),
+        (10L, 11L),
+        (20L, 21L), (20L, 22L), (20L, 23L)
+      ).toDF("id_a", "id_b")
+      graft.operators.Graph.keepCentralPerCluster(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
     // Frequency-capped dedup over the same cluster graph: k = 2 keeps
     // two members of every duplicate cluster, all edge-free docs
     // survive untouched
@@ -2630,6 +2657,42 @@ object SparkEntry {
         "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src) " +
         "SELECT CAST(a AS BIGINT) AS id, CAST(min(b) AS BIGINT) AS cluster " +
         "FROM reach GROUP BY a ORDER BY id"),
+    // PageRank twin: both power-iteration rounds unrolled — same ppb
+    // base, same per-edge truncating share division, same damped sum
+    "q_graph_pagerank" ->
+      ("WITH p(id_a, id_b) AS (SELECT * FROM (VALUES " +
+        "(1,2),(2,3),(5,3),(10,11),(20,21),(20,22),(20,23)) AS v(id_a, id_b)), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+        "d AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src), " +
+        "n AS (SELECT count(*) AS n FROM d), " +
+        "r0 AS (SELECT id, 1000000000 // (SELECT n FROM n) AS r FROM d), " +
+        "r1 AS (SELECT e.dst AS id, " +
+        "((CAST(1000000000 AS BIGINT) * 150000) // 1000000) // (SELECT n FROM n) + " +
+        "(850000 * sum(r0.r // d.deg)) // 1000000 AS r " +
+        "FROM e JOIN r0 ON r0.id = e.src JOIN d ON d.id = e.src GROUP BY e.dst), " +
+        "r2 AS (SELECT e.dst AS id, " +
+        "((CAST(1000000000 AS BIGINT) * 150000) // 1000000) // (SELECT n FROM n) + " +
+        "(850000 * sum(r1.r // d.deg)) // 1000000 AS r " +
+        "FROM e JOIN r1 ON r1.id = e.src JOIN d ON d.id = e.src GROUP BY e.dst) " +
+        "SELECT CAST(r2.id AS BIGINT) AS id, CAST(r2.r AS BIGINT) AS rank_ppb, " +
+        "CAST(d.deg AS BIGINT) AS degree FROM r2 JOIN d ON d.id = r2.id ORDER BY id"),
+    // keeper-election twin: same recursive-CTE clusters, keeper = row 1
+    // by (degree DESC, id) within each cluster
+    "q_dedup_keep_central" ->
+      ("WITH RECURSIVE docs(doc_id) AS (SELECT unnest(range(1, 26))), " +
+        "p(id_a, id_b) AS (SELECT * FROM (VALUES " +
+        "(1,2),(2,3),(5,3),(10,11),(20,21),(20,22),(20,23)) AS v(id_a, id_b)), " +
+        "edges(src, dst) AS (SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p), " +
+        "reach(a, b) AS (SELECT src, src FROM edges " +
+        "UNION SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src), " +
+        "cl AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a), " +
+        "dg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src), " +
+        "el AS (SELECT cl.id, row_number() OVER (PARTITION BY cl.cluster " +
+        "ORDER BY dg.deg DESC, cl.id) AS rn FROM cl JOIN dg ON dg.id = cl.id) " +
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id FROM docs d " +
+        "LEFT JOIN cl ON d.doc_id = cl.id " +
+        "WHERE cl.id IS NULL OR d.doc_id IN (SELECT id FROM el WHERE rn = 1) " +
+        "ORDER BY doc_id"),
     "q_dedup_keep_k" ->
       ("WITH RECURSIVE docs(doc_id) AS (SELECT unnest(range(1, 26))), " +
         "p(id_a, id_b) AS (SELECT * FROM (VALUES " +

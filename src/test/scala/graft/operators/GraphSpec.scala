@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // chain+bridge {1,2,3,5}, pair {10,11}, star {20,21,22,23}
+  private val pairs7 = Seq(
+    (1L, 2L), (2L, 3L), (5L, 3L),
+    (10L, 11L),
+    (20L, 21L), (20L, 22L), (20L, 23L))
+
+  test("keeper election: hubs win, ties break to the lowest id, edge-free docs survive") {
+    val docs = (1L to 25L).toDF("doc_id")
+    val out = Graph.keepCentralPerCluster(docs, "doc_id", pairs7.toDF("id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSet
+    // star keeps its hub 20 (degree 3); chain keeps 2 (degree 2, tied
+    // with 3, lower id); pair keeps 10 (tie, lower id); 4,6..9,12..19,
+    // 24,25 have no edges and survive untouched
+    val dropped = Set(1L, 3L, 5L, 11L, 21L, 22L, 23L)
+    assert(out === (1L to 25L).toSet -- dropped, out.toSeq.sorted.mkString(","))
+  }
+
+  test("keeper election: phantom pair ids neither vote nor stand") {
+    // doc 2 was dropped upstream: its edges vanish, so the chain
+    // cluster shrinks to {3,5} (kept 3, tie to lower id) and 1 becomes
+    // edge-free — a phantom keeper or phantom-inflated degree would
+    // change both outcomes
+    val docs = (1L to 25L).filter(_ != 2L).toDF("doc_id")
+    val out = Graph.keepCentralPerCluster(docs, "doc_id", pairs7.toDF("id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSet
+    val dropped = Set(5L, 11L, 21L, 22L, 23L)
+    assert(out === ((1L to 25L).toSet - 2L) -- dropped, out.toSeq.sorted.mkString(","))
+  }
+
+  test("pagerank: hub dominates, symmetric nodes tie, mass ~conserved, partition-invariant") {
+    val df = pairs7.toDF("id_a", "id_b")
+    val r = Graph.pageRankFixedPoint(df, iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r.size === 10)
+    // the star hub out-ranks every spoke; spokes are symmetric and tie
+    assert(r(20L)._1 > r(21L)._1)
+    assert(r(21L) === r(22L) && r(22L) === r(23L))
+    // the isolated pair is fully symmetric
+    assert(r(10L) === r(11L))
+    // truncating division only LEAKS mass — total stays within a tight
+    // band below 1e9 (each node loses < 1 ppb per div, per round)
+    val mass = r.values.map(_._1).sum
+    assert(mass <= 1000000000L && mass >= 999999000L, s"mass $mass")
+    // exact integer arithmetic: repartitioned input, identical ranks
+    val r2 = Graph.pageRankFixedPoint(df.repartition(7), iters = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r2 === r)
+  }
+
+  test("pagerank converges toward the degree-proportional stationary ranking") {
+    // on an undirected graph PageRank's stationary distribution orders
+    // by degree; after a few rounds the fixed-point iteration must
+    // agree on the fixture's degree ranking (3 > 2 > 1)
+    val r = Graph.pageRankFixedPoint(pairs7.toDF("id_a", "id_b"), iters = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val byDeg = r.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    assert(byDeg(3L) > byDeg(2L) && byDeg(2L) > byDeg(1L), byDeg.toString)
+  }
+}
