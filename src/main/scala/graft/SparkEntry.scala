@@ -1074,6 +1074,16 @@ object SparkEntry {
       Sketches.sketchQuantiles(toks, "lang", "toks", c = 4096, tenths = Seq(1, 5, 9))
         .orderBy("lang")
     }),
+    // Quantile-sketch merge identity: two disjoint half-corpus sketches
+    // pool into the whole table's exact quantiles — the per-shard
+    // rollup contract, pinned cross-engine against the one-pass twin
+    "q_sketch_quantile_merge" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ", -1)).cast(LongType).as("toks"))
+      Sketches.mergedQuantiles(toks, "lang", "doc_id", "toks",
+        c = 4096, tenths = Seq(1, 5, 9))
+        .orderBy("lang")
+    }),
     // Misra–Gries heavy-hitters sketch, pinned cross-engine in its
     // exact regime: m = 256 counters comfortably exceeds the fixture
     // vocabulary (31 tokens/lang at every SF), so no decrement fires,
@@ -3029,6 +3039,19 @@ object SparkEntry {
     // items are the raw multiset, so the twin is plain rank selection
     // with the house integral index over EVERY row (no sample lottery)
     "q_sketch_quantiles" ->
+      ("WITH s AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +
+        "r AS (SELECT lang, toks, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY toks) AS rn, " +
+        "count(*) OVER (PARTITION BY lang) AS cnt FROM s) " +
+        "SELECT lang, " +
+        "max(CASE WHEN rn = (cnt-1)*1//10 + 1 THEN toks END) AS p10, " +
+        "max(CASE WHEN rn = (cnt-1)*5//10 + 1 THEN toks END) AS p50, " +
+        "max(CASE WHEN rn = (cnt-1)*9//10 + 1 THEN toks END) AS p90, " +
+        "CAST(0 AS BIGINT) AS err, max(cnt) AS n FROM r GROUP BY lang ORDER BY lang"),
+    // merge-identity twin: in the exact regime pooled half-sketches ARE
+    // the union multiset, so the twin is the SAME one-pass rank
+    // selection as q_sketch_quantiles
+    "q_sketch_quantile_merge" ->
       ("WITH s AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents), " +
         "r AS (SELECT lang, toks, " +
         "row_number() OVER (PARTITION BY lang ORDER BY toks) AS rn, " +

@@ -211,6 +211,47 @@ object Sketches {
         qCols.tail :+ max(col("err")).as("err") :+ max(col("__tot")).as("n"): _*)
   }
 
+  /** The quantile sketch's merge identity as a runnable pipeline
+    * (the [[kmvMergedShingleEstimate]] pattern): sketch two disjoint
+    * id-parity halves of the corpus separately, pool the (value,
+    * weight) items, read quantiles off the pooled items. In the exact
+    * regime the pooled items are the union multiset, so the result
+    * equals sketching the whole table in one pass — gated cross-engine
+    * (`q_sketch_quantile_merge`) to pin the mergeability contract
+    * exactly, not approximately. This is the shape per-shard/per-epoch
+    * rollups take at 100 TB: hour sketches pool into day quantiles
+    * without revisiting any data.
+    */
+  def mergedQuantiles(
+      df: DataFrame, groupCol: String, idCol: String, valueCol: String,
+      c: Int, tenths: Seq[Int]): DataFrame = {
+    def half(r: Int): DataFrame =
+      df.filter(pmod(col(idCol), lit(2)) === r)
+        .groupBy(groupCol)
+        .agg(graft.functions.QuantileSketchExpression
+          .quantileSketch(col(valueCol).cast(LongType), c).as("__sk"))
+        .select(col(groupCol), lit(r).as("__h"), col("__sk.err").as("err"),
+          explode(col("__sk.items")).as("__it"))
+        .select(col(groupCol), col("__h"), col("err"),
+          col("__it.v").as("v"), col("__it.w").as("w"))
+    val pooled = half(0).union(half(1))
+    val byV = Window.partitionBy(groupCol).orderBy(col("v"), col("w"))
+    val whole = Window.partitionBy(groupCol)
+    val ranked = pooled
+      .withColumn("__cum", sum(col("w")).over(byV))
+      .withColumn("__tot", sum(col("w")).over(whole))
+    val qCols = tenths.map { q =>
+      val idx = call_function("div", (col("__tot") - 1) * q, lit(10L)) + lit(1L)
+      min(when(col("__cum") >= idx, col("v"))).as(s"p${q}0")
+    }
+    // pooled budget = the two halves' budgets added (each half's err
+    // rides every one of its item rows — read it once per half)
+    val errCol = (coalesce(max(when(col("__h") === 0, col("err"))), lit(0L)) +
+      coalesce(max(when(col("__h") === 1, col("err"))), lit(0L))).as("err")
+    ranked.groupBy(groupCol)
+      .agg(qCols.head, qCols.tail :+ errCol :+ max(col("__tot")).as("n"): _*)
+  }
+
   /** Per-group heavy hitters via the Misra–Gries sketch
     * ([[graft.functions.MgSketchExpression]]): bounded state (m
     * counters per group) whatever the term cardinality, so the shuffle

@@ -57,6 +57,34 @@ class GraphSpec extends SparkSpec {
     assert(r2 === r)
   }
 
+  test("keeper election composes with real near-dup pairs: one survivor per cluster") {
+    // the production composition: minhash candidate pairs over the
+    // fixture + planted duplicates feed the election directly
+    val docs = table("documents").select("doc_id", "text")
+    val planted = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val all = docs.union(planted)
+    val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "text",
+      shingleSize = 8, k = 16, bands = 8, threshold = 0.7)
+      .select(col("id_a"), col("id_b"))
+    val kept = Graph.keepCentralPerCluster(all, "doc_id", pairs)
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    // survivors are a subset of the corpus, and every duplicate
+    // cluster retains EXACTLY one member
+    assert(keptIds.subsetOf(all.collect().map(_.getLong(0)).toSet))
+    val clusters = Dedup.duplicateClusters(pairs)
+      .join(all.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    byCluster.foreach { case (c, members) =>
+      assert((members & keptIds).size === 1, s"cluster $c kept ${(members & keptIds).size}")
+    }
+    // docs with no duplicate edge all survive
+    val clustered = clusters.map(_._1).toSet
+    val edgeFree = all.collect().map(_.getLong(0)).toSet -- clustered
+    assert(edgeFree.subsetOf(keptIds))
+  }
+
   test("pagerank converges toward the degree-proportional stationary ranking") {
     // on an undirected graph PageRank's stationary distribution orders
     // by degree; after a few rounds the fixed-point iteration must
