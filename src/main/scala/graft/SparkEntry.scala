@@ -192,6 +192,17 @@ object SparkEntry {
         .filter(col("l_partkey") <= 200 && col("l_orderkey") <= 30000)
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
+    // Same contract along the Hilbert curve: the clustered write is a
+    // pure permutation (the native Skilling kernel only PLACES rows),
+    // so the pruned scan answers exactly what the raw table answers
+    "q_hilbert_scan" -> ((s, dir) => {
+      val out = roundTripDir("hilbert", dir)
+      graft.plans.ZOrder.hilbertWrite(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey"), out, numFiles = 8)
+      s.read.parquet(out)
+        .filter(col("l_partkey") <= 200 && col("l_orderkey") <= 30000)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
     // K2/K3 — text-format corpus ingestion round-trips (JSONL / CSV).
     // Raw training corpora land as JSONL.gz or CSV shards, and a lossy
     // codec corrupts silently — so the gate decorates documents with
@@ -2396,6 +2407,9 @@ object SparkEntry {
     "q_k1_copy_lineitem" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice",
     "q_zorder_scan" ->
+      ("SELECT * FROM lineitem WHERE l_partkey <= 200 AND l_orderkey <= 30000 " +
+        "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"),
+    "q_hilbert_scan" ->
       ("SELECT * FROM lineitem WHERE l_partkey <= 200 AND l_orderkey <= 30000 " +
         "ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"),
     // The round-trip twins compute the hazard decoration straight from

@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Native Hilbert-curve index from per-dimension rank-bucket codes —
+  * the locality-sharper alternative to Morton interleaving for
+  * clustered writes ([[graft.plans.ZOrder]]): consecutive Hilbert
+  * indices always differ by ONE step along ONE axis (the curve never
+  * teleports across the key space the way Morton's bit-carry jumps
+  * do), so a file holding a contiguous index range covers a tighter
+  * hyper-rectangle and point/range predicates prune more files at the
+  * same file count.
+  *
+  * The transform is Skilling's axes→transpose algorithm ("Programming
+  * the Hilbert curve", AIP Conf. Proc. 707, 2004 — public domain):
+  * pure integer bit arithmetic, no RNG, no state, so the mapping is
+  * deterministic and engine-independent. A sequential bit-twiddling
+  * loop is a poor fit for Catalyst expression trees (the unrolled
+  * nested-`when` form explodes at bits·dims terms with data-dependent
+  * swaps), so it rides a native kernel like the other hot-path
+  * expressions ([[VecDotExpression]] and family): one static call per
+  * row, zero allocation beyond the scratch code array.
+  *
+  * Input: `array<int>` of axis codes, each in [0, 2^bits); output: the
+  * Hilbert index in [0, 2^(bits·dims)), a long. `bits·dims ≤ 63`.
+  */
+case class HilbertIndexExpression(child: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) if bits >= 1 && bits <= 31 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hilbert_index requires array<int> codes and 1<=bits<=31, " +
+            s"got ${other.catalogString}, bits=$bits")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HilbertIndexExpression.compute(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HilbertIndexExpression.compute($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): HilbertIndexExpression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hilbert_index"
+}
+
+object HilbertIndexExpression {
+
+  /** Axes → Hilbert index. Skilling's in-place transform followed by
+    * MSB-first bit interleaving of the transpose.
+    */
+  def compute(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    require(n >= 1 && bits.toLong * n <= 63,
+      s"hilbert_index: bits($bits) x dims($n) must fit a long")
+    val x = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      // null codes cluster first, like bucketCode's null -> bucket 0
+      x(i) = if (arr.isNullAt(i)) 0 else arr.getInt(i)
+      require(x(i) >= 0 && x(i) < (1 << bits),
+        s"hilbert_index: code ${x(i)} outside [0, 2^$bits)")
+      i += 1
+    }
+    // Skilling: inverse undo (axes -> transpose)
+    var q = 1 << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0
+    q = 1 << (bits - 1)
+    while (q > 1) {
+      if ((x(n - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // interleave the transpose, MSB first: index bit (b·n − 1 − (k·n + i))
+    // comes from bit (bits − 1 − k) of x(i)
+    var h = 0L
+    var k = bits - 1
+    while (k >= 0) {
+      i = 0
+      while (i < n) {
+        h = (h << 1) | ((x(i) >> k) & 1).toLong
+        i += 1
+      }
+      k -= 1
+    }
+    h
+  }
+
+  /** Inverse (index → axis codes) — the property-test witness: a curve
+    * index kernel without its inverse can't be bijectivity-checked.
+    * Skilling's transpose→axes undo, exactly mirroring [[compute]].
+    */
+  def axesOf(h: Long, bits: Int, dims: Int): Array[Int] = {
+    val x = new Array[Int](dims)
+    // de-interleave MSB-first
+    var pos = bits * dims - 1
+    var k = bits - 1
+    while (k >= 0) {
+      var i = 0
+      while (i < dims) {
+        x(i) |= (((h >> pos) & 1L) << k).toInt
+        pos -= 1
+        i += 1
+      }
+      k -= 1
+    }
+    // Gray decode
+    var t = x(dims - 1) >> 1
+    var i = dims - 1
+    while (i > 0) { x(i) ^= x(i - 1); i -= 1 }
+    x(0) ^= t
+    // undo the inverse-undo
+    var q = 2
+    while (q != (1 << bits)) {
+      val p = q - 1
+      i = dims - 1
+      while (i >= 0) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val w = (x(0) ^ x(i)) & p; x(0) ^= w; x(i) ^= w }
+        i -= 1
+      }
+      q <<= 1
+    }
+    x
+  }
+
+  def hilbertIndex(codes: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HilbertIndexExpression(ColumnBridge.expression(codes), bits))
+  }
+}

@@ -84,6 +84,35 @@ object ZOrder {
   def zValue(df: DataFrame, cols: Seq[String], bits: Int): Column =
     zValueWith(cols, bits, quantileBounds(df, cols, bits))
 
+  /** Hilbert curve value from PRE-COMPUTED boundaries — the same
+    * rank-bucket codes as [[zValueWith]] through the native Skilling
+    * kernel ([[graft.functions.HilbertIndexExpression]]) instead of
+    * Morton interleave: consecutive curve positions always step ONE
+    * bucket along ONE dimension, so a file holding a contiguous curve
+    * range covers a tighter hyper-rectangle than Morton's bit-carry
+    * jumps allow — measurably lower [[fileCoverage]] at the same file
+    * count (ZOrderSpec pins the comparison).
+    */
+  def hilbertValueWith(cols: Seq[String], bits: Int, bounds: Seq[Seq[Double]]): Column = {
+    val codes = cols.zip(bounds).map { case (c, bs) =>
+      bucketCode(col(c).cast("double"), bs).cast("int")
+    }
+    graft.functions.HilbertIndexExpression.hilbertIndex(array(codes: _*), bits)
+  }
+
+  /** Curve dispatch shared by write/append/stats: the persisted layout
+    * contract names its curve, so appends and audits always code rows
+    * the way the base layout did.
+    */
+  private def curveValueWith(
+      curve: String, cols: Seq[String], bits: Int, bounds: Seq[Seq[Double]]): Column =
+    curve match {
+      case "morton" => zValueWith(cols, bits, bounds)
+      case "hilbert" => hilbertValueWith(cols, bits, bounds)
+      case other => throw new IllegalArgumentException(
+        s"unknown clustering curve '$other' (morton | hilbert)")
+    }
+
   /** `#boundaries <= value` as a BALANCED nested-`when` binary search
     * (depth log2 of the boundary count, ~6 codegen'd comparisons per
     * row at 6 bits). The obvious `aggregate(boundaries, 0, acc + ...)`
@@ -112,15 +141,30 @@ object ZOrder {
       cols: Seq[String],
       path: String,
       numFiles: Int,
-      bits: Int = 6): Unit = {
+      bits: Int = 6,
+      curve: String = "morton"): Unit = {
     val bounds = quantileBounds(df, cols, bits)
-    df.withColumn("__z", zValueWith(cols, bits, bounds))
+    df.withColumn("__z", curveValueWith(curve, cols, bits, bounds))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
-    writeMeta(df.sparkSession, path, cols, bits, bounds)
+    writeMeta(df.sparkSession, path, cols, bits, bounds, curve)
   }
+
+  /** [[zorderWrite]] along the Hilbert curve — same boundaries, same
+    * one-sketch-pass + one-range-exchange cost, tighter per-file
+    * hyper-rectangles. Appends, stats, staleness and recluster all
+    * read the curve off the stored contract, so the whole lifecycle
+    * works unchanged on either curve.
+    */
+  def hilbertWrite(
+      df: DataFrame,
+      cols: Seq[String],
+      path: String,
+      numFiles: Int,
+      bits: Int = 6): Unit =
+    zorderWrite(df, cols, path, numFiles, bits, curve = "hilbert")
 
   /** The layout contract, persisted as a `_`-prefixed parquet side
     * table under the dataset dir (Spark's input listing skips it, so
@@ -138,23 +182,28 @@ object ZOrder {
       path: String,
       cols: Seq[String],
       bits: Int,
-      bounds: Seq[Seq[Double]]): Unit = {
+      bounds: Seq[Seq[Double]],
+      curve: String): Unit = {
     import spark.implicits._
     cols.zip(bounds).zipWithIndex
-      .map { case ((c, bs), i) => (i, c, bits, bs) }
-      .toDF("idx", "column", "bits", "bounds")
+      .map { case ((c, bs), i) => (i, c, bits, bs, curve) }
+      .toDF("idx", "column", "bits", "bounds", "curve")
       .coalesce(1)
       .write.mode("overwrite").parquet(metaPath(path))
   }
 
   private def readMeta(
       spark: org.apache.spark.sql.SparkSession,
-      path: String): (Seq[String], Int, Seq[Seq[Double]]) = {
-    val rows = spark.read.parquet(metaPath(path))
-      .orderBy("idx").collect()
+      path: String): (Seq[String], Int, Seq[Seq[Double]], String) = {
+    val df = spark.read.parquet(metaPath(path))
+    val rows = df.orderBy("idx").collect()
     require(rows.nonEmpty, s"no z-order layout contract under $path")
+    // contracts persisted before the curve column existed are Morton
+    // by construction — persisted layouts must stay readable
+    val curve =
+      if (df.columns.contains("curve")) rows.head.getString(4) else "morton"
     (rows.map(_.getString(1)).toSeq, rows.head.getInt(2),
-      rows.map(_.getSeq[Double](3)).toSeq)
+      rows.map(_.getSeq[Double](3)).toSeq, curve)
   }
 
   /** Append a batch to a z-ordered dataset, clustered along the STORED
@@ -175,8 +224,8 @@ object ZOrder {
       batch: DataFrame,
       path: String,
       numFiles: Int): Unit = {
-    val (cols, bits, bounds) = readMeta(batch.sparkSession, path)
-    batch.withColumn("__z", zValueWith(cols, bits, bounds))
+    val (cols, bits, bounds, curve) = readMeta(batch.sparkSession, path)
+    batch.withColumn("__z", curveValueWith(curve, cols, bits, bounds))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -200,7 +249,7 @@ object ZOrder {
   def zorderStats(
       spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val (cols, bits, bounds) = readMeta(spark, path)
+    val (cols, bits, bounds, _) = readMeta(spark, path)
     val cov = fileCoverage(spark, path, cols)
       .groupBy("column").agg(avg("coverage").as("avg_coverage"))
     val df = spark.read.parquet(path)
@@ -283,10 +332,10 @@ object ZOrder {
       // meta is read INSIDE the staged block: the swap's crash triage
       // runs first, so a re-run after a mid-install death recovers the
       // dataset (and with it the stored contract) before this executes
-      val (mcols, mbits, _) = readMeta(spark, path)
+      val (mcols, mbits, _, mcurve) = readMeta(spark, path)
       val useCols = if (cols.nonEmpty) cols else mcols
       val useBits = if (bits > 0) bits else mbits
-      zorderWrite(spark.read.parquet(path), useCols, tmp, numFiles, useBits)
+      zorderWrite(spark.read.parquet(path), useCols, tmp, numFiles, useBits, mcurve)
     }
   }
 

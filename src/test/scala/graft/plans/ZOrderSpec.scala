@@ -50,6 +50,74 @@ class ZOrderSpec extends SparkSpec {
     assert(zc("l_partkey") < sc("l_partkey") / 1.5, s"z=$zc sorted=$sc")
   }
 
+  test("hilbert kernel: bijective on the full grid, consecutive indices step one axis by one") {
+    import graft.functions.HilbertIndexExpression
+    for ((dims, bits) <- Seq((2, 4), (3, 3))) {
+      val side = 1 << bits
+      val total = 1L << (bits * dims)
+      val codes = (0L until total).map { h =>
+        HilbertIndexExpression.axesOf(h, bits, dims).toSeq
+      }
+      // bijection: every grid cell visited exactly once
+      assert(codes.toSet.size === total.toInt, s"d=$dims b=$bits not bijective")
+      assert(codes.forall(_.forall(c => c >= 0 && c < side)))
+      // the defining Hilbert property (Morton fails it): each step
+      // moves ONE axis by exactly 1
+      codes.sliding(2).foreach { case Seq(a, b) =>
+        val diffs = a.zip(b).map { case (x, y) => math.abs(x - y) }
+        assert(diffs.sum === 1 && diffs.max === 1, s"jump $a -> $b")
+      }
+      // and axesOf inverts compute exactly
+      (0L until total).foreach { h =>
+        val x = HilbertIndexExpression.axesOf(h, bits, dims)
+        val back = HilbertIndexExpression.compute(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(x.map(i => i: Any)), bits)
+        assert(back === h, s"round-trip $h -> ${x.toSeq} -> $back")
+      }
+    }
+  }
+
+  test("hilbertWrite: lossless, prunes both dims, coverage not worse than morton") {
+    val li = table("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val hdir = Files.createTempDirectory("graft_h").toString
+    val zdir = Files.createTempDirectory("graft_hz").toString
+    ZOrder.hilbertWrite(li, Seq("l_orderkey", "l_partkey"), hdir, numFiles = 16)
+    ZOrder.zorderWrite(li, Seq("l_orderkey", "l_partkey"), zdir, numFiles = 16)
+    val back = spark.read.parquet(hdir)
+    assert(back.count() === li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    val hc = coverageByCol(hdir, Seq("l_orderkey", "l_partkey"))
+    val zc = coverageByCol(zdir, Seq("l_orderkey", "l_partkey"))
+    info(s"coverage hilbert=$hc morton=$zc")
+    // both dims skip, and the no-teleport curve must not cover MORE of
+    // the key space per file than Morton at the same file count
+    assert(hc("l_orderkey") < 0.6 && hc("l_partkey") < 0.6, hc.toString)
+    assert(hc.values.sum <= zc.values.sum * 1.05,
+      s"hilbert $hc should not trail morton $zc")
+  }
+
+  test("hilbert lifecycle: append rides the stored curve, recluster keeps it") {
+    val li = table("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val out = Files.createTempDirectory("graft_hlc").toString
+    val base = li.filter(col("l_orderkey") % 10 =!= 0)
+    val batch = li.filter(col("l_orderkey") % 10 === 0)
+    ZOrder.hilbertWrite(base, Seq("l_orderkey", "l_partkey"), out, numFiles = 16)
+    ZOrder.zorderAppend(batch, out, numFiles = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() === li.count())
+    assert(back.exceptAll(li).isEmpty, "append must not duplicate or drop rows")
+    // staged recluster preserves the hilbert curve from the contract
+    ZOrder.reclusterZorder(spark, out, numFiles = 16)
+    val after = spark.read.parquet(out)
+    assert(after.count() === li.count())
+    val meta = spark.read.parquet(s"$out/_zorder_meta")
+    assert(meta.select("curve").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("hilbert"))
+    // and the reclustered layout still skips on both dims
+    val hc = coverageByCol(out, Seq("l_orderkey", "l_partkey"))
+    assert(hc.values.forall(_ < 0.6), hc.toString)
+  }
+
   test("lifecycle: append rides the stored contract, drift flags stale, recluster clears it") {
     val li = table("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     val out = Files.createTempDirectory("graft_zlc").toString
