@@ -150,15 +150,24 @@ object SparkEntry {
         "q(query_id, term) AS (VALUES (1, 'spark'), (1, 'hash'), (2, 'vector'), " +
         "(2, 'window'), (3, 'merge'), (3, 'batch')), " +
         "agg AS (SELECT q.query_id, s.doc_id, sum(s.score_fx) AS score_fx " +
-        "FROM sc2 s JOIN q USING (term) GROUP BY q.query_id, s.doc_id), " +
+        "FROM sc2 s JOIN q USING (term)__CAND__ GROUP BY q.query_id, s.doc_id), " +
         "r AS (SELECT query_id, doc_id, score_fx, " +
         """row_number() OVER (PARTITION BY query_id ORDER BY score_fx DESC, doc_id) AS "rank" FROM agg)""")
 
-  private val Bm25BatchOracleSql: String =
-    Bm25BatchCtes +
+  private def bm25BatchOracle(candidateJoin: String): String =
+    Bm25BatchCtes.replace("__CAND__", candidateJoin) +
       """ SELECT CAST(query_id AS BIGINT) AS query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, """ +
       "CAST(score_fx AS BIGINT) AS score_fx " +
       """FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank""""
+
+  private val Bm25BatchOracleSql: String = bm25BatchOracle("")
+
+  /** Filtered-retrieval twin: the SAME corpus-wide statistics and
+    * per-(doc, term) scores, with only the CANDIDATE set restricted —
+    * an inner join to the doc's metadata in the per-query aggregation.
+    */
+  private val Bm25FilteredOracleSql: String =
+    bm25BatchOracle(" JOIN documents dd ON dd.doc_id = s.doc_id AND dd.lang = 'en'")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1181,6 +1190,28 @@ object SparkEntry {
         (3L, "merge"), (3L, "batch"))
         .toDF("query_id", "term")
       TextAnalysis.bm25TopKBatchFromIndex(s, idxTable, queries, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // Filtered retrieval over the postings index: lang rides each
+    // posting row as carried metadata, the predicate restricts
+    // CANDIDATES during the term-pruned scan, and corpus statistics
+    // stay global — surviving docs score bit-identically to the
+    // unfiltered run (the twin joins the doc metadata into the same
+    // per-query aggregation)
+    "q_text_bm25_filtered" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idxTable = s"bm25f_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(idxTable))
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", idxTable,
+          buckets = 8, carryCols = Seq("lang"))
+      val queries = Seq(
+        (1L, "spark"), (1L, "hash"),
+        (2L, "vector"), (2L, "window"),
+        (3L, "merge"), (3L, "batch"))
+        .toDF("query_id", "term")
+      TextAnalysis.bm25TopKBatchFromIndexWhere(s, idxTable, queries, k = 5,
+        predicate = col("lang") === "en")
         .orderBy("query_id", "rank")
     }),
     // Reciprocal-rank fusion: blend the BM25 relevance channel with a
@@ -3150,13 +3181,14 @@ object SparkEntry {
     // round-trip-equality contract: the index path answers the SAME
     // twin as the in-memory batch
     "q_text_bm25_indexed" -> Bm25BatchOracleSql,
+    "q_text_bm25_filtered" -> Bm25FilteredOracleSql,
     // fusion twin: the same ranked BM25 run (rank <= 10) as the
     // relevance channel, the 20 newest doc_ids as the freshness
     // channel, 1e6 // (60 + rank) summed per (query, doc) — DuckDB's
     // // truncates toward zero like Spark's div, and operands are
     // positive, so the fixed-point contributions agree exactly
     "q_retrieval_fusion" ->
-      (Bm25BatchCtes +
+      (Bm25BatchCtes.replace("__CAND__", "") +
         """, rel AS (SELECT query_id, doc_id, "rank" FROM r WHERE "rank" <= 10), """ +
         """fr0 AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id DESC) AS "rank" """ +
         "FROM documents ORDER BY doc_id DESC LIMIT 20), " +

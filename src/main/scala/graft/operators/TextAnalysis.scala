@@ -446,16 +446,33 @@ object TextAnalysis {
     bm25ScorePostings(tf, stats, k1, b)
   }
 
-  /** (doc_id, __text, dl) projection shared by the in-memory scorer and
-    * the postings-index build/append — dl MUST be computed identically
-    * everywhere or stored postings stop being equal to a fresh tokenize.
+  /** (doc_id, __text, dl[, carry…]) projection shared by the in-memory
+    * scorer and the postings-index build/append — dl MUST be computed
+    * identically everywhere or stored postings stop being equal to a
+    * fresh tokenize.
     */
-  private def bm25Docs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def bm25Docs(
+      df: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame =
     df.select(
-      col(idCol).as("doc_id"),
-      col(textCol).as("__text"),
-      size(filter(split(col(textCol), " "), t => length(t) > 0))
-        .cast("long").as("dl"))
+      col(idCol).as("doc_id") +:
+        col(textCol).as("__text") +:
+        size(filter(split(col(textCol), " "), t => length(t) > 0))
+          .cast("long").as("dl") +:
+        carryCols.map(col): _*)
+
+  /** Tokenize → per-(doc, term) tf, carrying metadata columns through
+    * the aggregate (they are functionally dependent on doc_id, so they
+    * ride the groupBy keys) — shared by the index build and append so
+    * the two can never tokenize differently.
+    */
+  private def bm25Tf(docs: DataFrame, carryCols: Seq[String]): DataFrame =
+    docs
+      .select(col("doc_id") +: col("dl") +:
+        explode(split(col("__text"), " ")).as("term") +: carryCols.map(col): _*)
+      .filter(length(col("term")) > 0)
+      .groupBy(("doc_id" +: "dl" +: carryCols :+ "term").map(col): _*)
+      .agg(count(lit(1)).as("tf"))
 
   /** The BM25 scoring kernel over PRE-PRUNED posting rows: `tf` is
     * (doc_id, dl, term, tf) restricted to the query terms, `stats` one
@@ -470,10 +487,15 @@ object TextAnalysis {
       tf: DataFrame,
       stats: DataFrame,
       k1: Double,
-      b: Double
+      b: Double,
+      candidateFilter: Option[Column] = None
   ): DataFrame = {
+    // df aggregates BEFORE any candidate filter: filtered retrieval
+    // restricts who may be returned, never the corpus statistics —
+    // surviving docs score exactly as in the unfiltered run (the
+    // contract the filtered gate pins)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf
+    candidateFilter.map(tf.filter).getOrElse(tf)
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("__avgdl",
@@ -579,30 +601,43 @@ object TextAnalysis {
     * update is O(1) per epoch where a distinct-doc count over the
     * index is a full scan.
     */
+  /** The postings table's own column names — the carryCols collision
+    * guard and the append-time carried-column discovery share ONE
+    * definition (the [[Similarity]] IVF index convention).
+    */
+  private val Bm25IndexReservedCols = Set("term", "doc_id", "tf", "dl")
+
   def writeBm25Index(
       df: DataFrame,
       idCol: String,
       textCol: String,
       tableName: String,
-      buckets: Int = 16
+      buckets: Int = 16,
+      carryCols: Seq[String] = Nil
   ): Unit = {
     require(buckets > 0)
+    // carryCols = document metadata stored verbatim on each posting row
+    // (lang, source, license, date …) — the payload
+    // [[bm25TopKBatchFromIndexWhere]] predicates filter against.
+    // Denormalized per posting (a doc's metadata repeats once per
+    // distinct term), the standard search-index trade: the filter
+    // applies during the pruned scan with no join back to a doc table.
+    require(carryCols.forall(c => !Bm25IndexReservedCols.contains(c)),
+      s"carryCols collide with index columns: " +
+        carryCols.filter(Bm25IndexReservedCols).mkString(", "))
     val spark = df.sparkSession
     // (n_docs, sum_dl) observed ON the postings write itself — a
     // separate stats aggregate would re-scan and re-tokenize the whole
     // corpus for two numbers (the Compaction.compactBucketedTable
     // pattern: never re-scan just to read a count)
     val obs = org.apache.spark.sql.Observation(s"graft-bm25-build-$tableName")
-    val docs = bm25Docs(df, idCol, textCol)
+    val docs = bm25Docs(df, idCol, textCol, carryCols)
       .observe(obs, count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("s"))
-    val tf = docs
-      .select(col("doc_id"), col("dl"),
-        explode(split(col("__text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val tf = bm25Tf(docs, carryCols)
     graft.plans.ScaleJoins.writeBucketed(
-      tf.select("term", "doc_id", "tf", "dl"), tableName, "term", buckets)
+      tf.select(("term" +: "doc_id" +: "tf" +: "dl" +: carryCols).map(col): _*),
+      tableName, "term", buckets)
     // build-time df per term — the staleness reference, NOT the
     // scorer's input (scoring df stays live; see the class doc).
     // Aggregated from the WRITTEN postings (index-sized), not the text
@@ -660,6 +695,41 @@ object TextAnalysis {
     bm25BatchReduce(bm25ScorePostings(postings, stats, k1, b), bag, k)
   }
 
+  /** Filtered retrieval over the materialized index: like
+    * [[bm25TopKBatchFromIndex]], but only documents whose CARRIED
+    * metadata (the build's `carryCols` — lang, source, license …)
+    * satisfies `predicate` may be returned — the "retrieve within
+    * lang = 'en'" shape, the lexical twin of
+    * [[Similarity.ivfQuantizedTopKFromIndexWhere]]. The predicate
+    * applies during the already-term-pruned postings scan (no join
+    * back to a document table), and it restricts CANDIDATES only:
+    * df/N/avgdl stay the corpus-wide statistics, so a surviving doc
+    * scores bit-identically to the unfiltered run and the filtered
+    * top-k IS the top-k of the restriction — the contract the gate
+    * pins cross-engine.
+    */
+  def bm25TopKBatchFromIndexWhere(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame, // (query_id, term)
+      k: Int,
+      predicate: Column,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val bag = queries.select(col("query_id"), col("term")).distinct()
+    val terms = bag.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: the query vocabulary
+    require(terms.nonEmpty, "query bag must have at least one term")
+    val postings = spark.table(tableName)
+      .filter(col("term").isin(terms: _*))
+    val stats = spark.table(tableName + "_stats")
+      .select(col("n_docs"), col("sum_dl"))
+    bm25BatchReduce(
+      bm25ScorePostings(postings, stats, k1, b, Some(predicate)), bag, k)
+  }
+
   /** Incremental postings maintenance: tokenize a NEW batch of
     * documents and append its posting rows through the table's own
     * bucket spec, then bump the one-row stats additively — each ingest
@@ -686,17 +756,20 @@ object TextAnalysis {
     require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
     // batch stats observed on the append write itself — one tokenize
     // pass per epoch, same as the build path
+    // discover carried metadata from the STORED schema — the batch must
+    // supply every carried column (the IVF append's discovery rule)
+    val carried = spark.table(tableName).columns.toSeq
+      .filterNot(Bm25IndexReservedCols)
+    val missing = carried.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"batch lacks carried index columns: ${missing.mkString(", ")}")
     val obs = org.apache.spark.sql.Observation(
       s"graft-bm25-append-$tableName-${java.util.UUID.randomUUID()}")
-    val docs = bm25Docs(batch, idCol, textCol)
+    val docs = bm25Docs(batch, idCol, textCol, carried)
       .observe(obs, count(lit(1)).as("n"),
         coalesce(sum(col("dl")), lit(0L)).as("s"))
-    val tf = docs
-      .select(col("doc_id"), col("dl"),
-        explode(split(col("__text"), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    tf.select("term", "doc_id", "tf", "dl")
+    val tf = bm25Tf(docs, carried)
+    tf.select(("term" +: "doc_id" +: "tf" +: "dl" +: carried).map(col): _*)
       .write.mode("append").format("parquet")
       .bucketBy(bucketSpec.get.numBuckets, "term").sortBy("term")
       .saveAsTable(tableName)

@@ -576,6 +576,22 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("filtered bm25-index query: metadata predicate AND term prune both reach the scan") {
+    import spark.implicits._
+    val docs = table("documents").select("doc_id", "text", "lang")
+    graft.operators.TextAnalysis.writeBm25Index(
+      docs, "doc_id", "text", "bm25f_plan", buckets = 4, carryCols = Seq("lang"))
+    val plan = explain(graft.operators.TextAnalysis.bm25TopKBatchFromIndexWhere(
+      spark, "bm25f_plan",
+      Seq((1L, "spark"), (2L, "hash")).toDF("query_id", "term"), k = 5,
+      predicate = col("lang") === "en"))
+    // candidates filter on the CARRIED column during the pruned scan —
+    // no join back to a document table anywhere in the plan
+    assert(plan.contains("In(term"), plan)
+    assert(plan.contains("EqualTo(lang,en)"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("minhash-index query still bucket-prunes AFTER append + compaction") {
     val docs = table("documents").select("doc_id", "text")
     graft.operators.Dedup.writeMinhashIndex(

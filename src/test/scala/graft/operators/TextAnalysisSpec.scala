@@ -506,6 +506,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fromIndex == inMemory)
   }
 
+  test("bm25 filtered retrieval: top-k of the restriction at unchanged scores; carry survives appends") {
+    import spark.implicits._
+    val docs = table("documents")
+    val queries = Seq(
+      (1L, "spark"), (1L, "hash"),
+      (2L, "vector"), (2L, "window")).toDF("query_id", "term")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", "bm25_flt",
+      buckets = 4, carryCols = Seq("lang"))
+    val filtered = bm25Rows(
+      TextAnalysis.bm25TopKBatchFromIndexWhere(spark, "bm25_flt", queries,
+        k = 5, predicate = col("lang") === "en"))
+    // the contract: same scores as the unfiltered run, candidates
+    // restricted — so filtered top-5 = the en-docs of a deep
+    // unfiltered run, re-ranked, cut at 5
+    val enIds = docs.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deep = TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_flt", queries,
+      k = 100000)
+      .filter(col("doc_id").isin(enIds.toSeq: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score_fx").desc, col("doc_id"))
+    val expected = bm25Rows(deep
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "doc_id", "score_fx"))
+    assert(filtered == expected)
+    // every returned doc satisfies the predicate
+    assert(filtered.forall { case (_, _, doc, _) => enIds.contains(doc) })
+
+    // appends must supply the carried metadata — and then keep serving it
+    val more = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 5000000).as("doc_id"), col("text"), col("lang"))
+    TextAnalysis.appendToBm25Index(spark, "bm25_flt", more, "doc_id", "text")
+    val after = bm25Rows(
+      TextAnalysis.bm25TopKBatchFromIndexWhere(spark, "bm25_flt", queries,
+        k = 5, predicate = col("lang") === "en"))
+    assert(after.forall { case (_, _, doc, _) =>
+      enIds.contains(doc) || doc >= 5000000 })
+    intercept[IllegalArgumentException] {
+      TextAnalysis.appendToBm25Index(spark, "bm25_flt",
+        docs.select((col("doc_id") + 9000000).as("doc_id"), col("text")),
+        "doc_id", "text")
+    }
+  }
+
   test("bm25 index: append == rebuild, and stats stay additive-exact") {
     import spark.implicits._
     val docs = table("documents")
