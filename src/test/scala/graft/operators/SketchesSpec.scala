@@ -356,6 +356,33 @@ class SketchesSpec extends SparkSpec {
     assert(items <= 64 * levels, s"state $items exceeds c·levels bound ${64 * levels}")
   }
 
+  test("quantile sketch buffer: mass exact and levels bounded under 200 adversarial merge trees") {
+    // the raw buffer, no Spark: random data merged in random tree
+    // orders must conserve mass EXACTLY (the n readout the operators
+    // trust) and never let a level exceed 2c (the bounded-state claim)
+    import graft.functions.QuantileSketchExpression.QsBuffer
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 200) {
+      val c = Seq(2, 4, 8, 16)(rnd.nextInt(4))
+      val n = 1 + rnd.nextInt(5000)
+      val parts = 1 + rnd.nextInt(8)
+      val bufs = Array.fill(parts)(new QsBuffer)
+      for (_ <- 1 to n) bufs(rnd.nextInt(parts)).offer(rnd.nextLong(1000), c)
+      val live = bufs.toBuffer
+      while (live.size > 1) {
+        val i = rnd.nextInt(live.size - 1) + 1
+        live(0).absorb(live(i), c)
+        live.remove(i)
+      }
+      val b = live(0)
+      assert(b.allItems.map(_._2).sum === n.toLong,
+        s"trial $trial (c=$c, parts=$parts): mass lost")
+      val sizes = b.levels.map(_.length).toSeq
+      assert(sizes.forall(_ <= 2 * c), s"trial $trial: level sizes $sizes vs c=$c")
+      assert(b.err >= 0L)
+    }
+  }
+
   test("quantile sketch: duplicates carry weight mass; odd stragglers are never dropped") {
     // 10k copies of one value plus a tail — mass conservation means the
     // heavy value still dominates every low decile after compaction

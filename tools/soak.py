@@ -53,6 +53,7 @@ HEAVY = [
     "q_tpch_q9", "q_tpch_q18", "q_tpch_q21",
     "q_sketch_mg_exact", "q_text_bm25", "q_text_bm25_indexed",
     "q_zorder_scan",
+    "q_hilbert_scan", "q_join_skew_salted",
 ]
 
 # the queries whose 10x ratios ran hottest (>= ~2.5x) — the set worth a
@@ -74,6 +75,7 @@ ALIAS = {
     "q_sketch_mg_exact": "mg", "q_text_bm25": "bm25",
     "q_text_bm25_indexed": "bmi",
     "q_zorder_scan": "zord",
+    "q_hilbert_scan": "hilb", "q_join_skew_salted": "salt",
     "bpe_cold": "bpec",
 }
 
