@@ -1279,6 +1279,22 @@ object SparkEntry {
       graft.operators.Graph.pageRankFixedPoint(pairs, iters = 2, dampPpm = 850000L)
         .orderBy("id")
     }),
+    // Personalized PageRank from a seed set: teleport mass lands only
+    // on the seeds, so rank decays with graph distance and unreachable
+    // components converge to zero — both rounds unrolled in the twin
+    "q_graph_ppr" -> ((s, _) => {
+      import s.implicits._
+      val pairs = Seq(
+        (1L, 2L), (2L, 3L), (5L, 3L),
+        (10L, 11L),
+        (20L, 21L), (20L, 22L), (20L, 23L)
+      ).toDF("id_a", "id_b")
+      val seeds = Seq(1L, 20L).toDF("id")
+      graft.operators.Graph.personalizedPageRank(pairs, seeds, iters = 2)
+        .select(col("id"), col("rank_ppb"), col("degree"),
+          col("is_seed").cast(LongType).as("is_seed"))
+        .orderBy("id")
+    }),
     // Centrality keeper election: each duplicate cluster keeps its
     // most-connected member (ties to the lowest id) — the star keeps
     // its hub, not its lowest spoke
@@ -2731,6 +2747,32 @@ object SparkEntry {
         "FROM e JOIN r1 ON r1.id = e.src JOIN d ON d.id = e.src GROUP BY e.dst) " +
         "SELECT CAST(r2.id AS BIGINT) AS id, CAST(r2.r AS BIGINT) AS rank_ppb, " +
         "CAST(d.deg AS BIGINT) AS degree FROM r2 JOIN d ON d.id = r2.id ORDER BY id"),
+    // personalized twin: seed-only teleport, LEFT JOIN keeps nodes that
+    // received nothing this round (their teleport term still applies)
+    "q_graph_ppr" ->
+      ("WITH p(id_a, id_b) AS (SELECT * FROM (VALUES " +
+        "(1,2),(2,3),(5,3),(10,11),(20,21),(20,22),(20,23)) AS v(id_a, id_b)), " +
+        "e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p), " +
+        "d AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src), " +
+        "sd(id) AS (SELECT * FROM (VALUES (1), (20)) AS w(id)), " +
+        "dn AS (SELECT d.id, d.deg, (d.id IN (SELECT id FROM sd)) AS is_seed FROM d), " +
+        "ns AS (SELECT count(*) AS ns FROM dn WHERE is_seed), " +
+        "r0 AS (SELECT id, CASE WHEN is_seed THEN 1000000000 // (SELECT ns FROM ns) ELSE 0 END AS r FROM dn), " +
+        "c1 AS (SELECT e.dst AS id, sum(r0.r // d.deg) AS cin " +
+        "FROM e JOIN r0 ON r0.id = e.src JOIN d ON d.id = e.src GROUP BY e.dst), " +
+        "r1 AS (SELECT dn.id, (CASE WHEN dn.is_seed THEN " +
+        "((CAST(1000000000 AS BIGINT) * 150000) // 1000000) // (SELECT ns FROM ns) ELSE 0 END) + " +
+        "(850000 * COALESCE(c1.cin, 0)) // 1000000 AS r " +
+        "FROM dn LEFT JOIN c1 ON c1.id = dn.id), " +
+        "c2 AS (SELECT e.dst AS id, sum(r1.r // d.deg) AS cin " +
+        "FROM e JOIN r1 ON r1.id = e.src JOIN d ON d.id = e.src GROUP BY e.dst), " +
+        "r2 AS (SELECT dn.id, (CASE WHEN dn.is_seed THEN " +
+        "((CAST(1000000000 AS BIGINT) * 150000) // 1000000) // (SELECT ns FROM ns) ELSE 0 END) + " +
+        "(850000 * COALESCE(c2.cin, 0)) // 1000000 AS r " +
+        "FROM dn LEFT JOIN c2 ON c2.id = dn.id) " +
+        "SELECT CAST(r2.id AS BIGINT) AS id, CAST(r2.r AS BIGINT) AS rank_ppb, " +
+        "CAST(dn.deg AS BIGINT) AS degree, CAST(dn.is_seed AS BIGINT) AS is_seed " +
+        "FROM r2 JOIN dn ON dn.id = r2.id ORDER BY id"),
     // keeper-election twin: same recursive-CTE clusters, keeper = row 1
     // by (degree DESC, id) within each cluster
     "q_dedup_keep_central" ->

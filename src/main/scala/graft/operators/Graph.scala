@@ -95,6 +95,71 @@ object Graph {
     out
   }
 
+  /** Personalized PageRank from a seed set — the curated-seed quality
+    * propagation read ("how close is every document to the vetted
+    * seeds, through the near-dup/link graph"): the teleport mass lands
+    * ONLY on seeds instead of uniformly, so rank decays with graph
+    * distance from the seed set and un-reachable nodes converge to 0.
+    * Same exact ppb integer arithmetic, join-per-round dataflow and
+    * plan-pinning `localCheckpoint` as [[pageRankFixedPoint]]; the
+    * seed set rides the plan as a broadcast membership flag. Seeds not
+    * present in the pair graph contribute nothing (documented: an
+    * isolated seed has no edges to propagate through).
+    *
+    * Output: (id, rank_ppb, degree, is_seed).
+    */
+  def personalizedPageRank(
+      pairs: DataFrame,
+      seeds: DataFrame, // one column: id
+      iters: Int,
+      dampPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1 && dampPpm >= 0L && dampPpm <= 1000000L)
+    val edges = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      edgesOf(pairs), org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct()
+    val deg = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+        .join(broadcast(seedIds.select(col("id"), lit(true).as("__seed"))),
+          Seq("id"), "left_outer")
+        .select(col("id"), col("degree"),
+          coalesce(col("__seed"), lit(false)).as("is_seed")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = deg.filter(col("is_seed")).count()
+    require(nSeeds > 0, "no seed is present in the pair graph")
+    // teleport: (1−d) split over the SEEDS; start mass likewise
+    val base = (1000000000L * (1000000L - dampPpm)) / 1000000L / nSeeds
+    val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
+    var ranks = deg.select(col("id"),
+      when(col("is_seed"), lit(1000000000L / nSeeds)).otherwise(lit(0L))
+        .as("rank_ppb"))
+    var i = 0
+    while (i < iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg.select(col("id").as("src"), col("degree")), Seq("src"))
+        .select(col("dst").as("id"),
+          call_function("div", col("rank_ppb"), col("degree")).as("__share"))
+        .groupBy("id")
+        .agg(sum(col("__share")).as("__in"))
+      // outer join against ALL nodes: a node that received nothing this
+      // round still holds its teleport mass (0 for non-seeds) — unlike
+      // the uniform walk, zero-in-degree-from-ranked nodes are routine
+      ranks = deg.select(col("id"), col("is_seed"))
+        .join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          (seedBase + call_function("div",
+            lit(dampPpm) * coalesce(col("__in"), lit(0L)), lit(1000000L)))
+            .as("rank_ppb"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    val out = ranks.join(deg, Seq("id"))
+    edges.unpersist()
+    deg.unpersist()
+    out
+  }
+
   /** Centrality-based keeper election: like
     * [[Dedup.keepKPerCluster]]'s k = 1 but the survivor of each
     * duplicate cluster is its MOST CONNECTED member (highest degree

@@ -85,6 +85,24 @@ class GraphSpec extends SparkSpec {
     assert(edgeFree.subsetOf(keptIds))
   }
 
+  test("personalized pagerank: rank decays from the seed, unreachable components read zero") {
+    val df = pairs7.toDF("id_a", "id_b")
+    val seeds = Seq(20L).toDF("id")
+    val r = Graph.personalizedPageRank(df, seeds, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // distance decay within the star: hub > its spokes > everything else
+    assert(r(20L) > r(21L) && r(21L) > 0L)
+    assert(r(21L) === r(22L) && r(22L) === r(23L))
+    // components the walk can't reach from the seed converge to zero
+    assert(r(1L) === 0L && r(10L) === 0L && r(11L) === 0L, r.toString)
+    // truncating arithmetic only leaks mass downward
+    assert(r.values.sum <= 1000000000L)
+    // a seed with no edges in the graph is rejected loudly
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(df, Seq(999L).toDF("id"), iters = 2).collect()
+    }
+  }
+
   test("pagerank converges toward the degree-proportional stationary ranking") {
     // on an undirected graph PageRank's stationary distribution orders
     // by degree; after a few rounds the fixed-point iteration must
