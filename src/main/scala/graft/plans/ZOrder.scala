@@ -97,7 +97,13 @@ object ZOrder {
     val codes = cols.zip(bounds).map { case (c, bs) =>
       bucketCode(col(c).cast("double"), bs).cast("int")
     }
-    graft.functions.HilbertIndexExpression.hilbertIndex(array(codes: _*), bits)
+    // 2-D (the common clustered-write case) takes the scalar kernel —
+    // no per-row CreateArray / scratch array (bit-identical mapping,
+    // pinned by HilbertIndexExpressionSpec's grid equality)
+    if (codes.size == 2)
+      graft.functions.HilbertIndexExpression.hilbert2(codes(0), codes(1), bits)
+    else
+      graft.functions.HilbertIndexExpression.hilbertIndex(array(codes: _*), bits)
   }
 
   /** Curve dispatch shared by write/append/stats: the persisted layout
@@ -113,16 +119,30 @@ object ZOrder {
         s"unknown clustering curve '$other' (morton | hilbert)")
     }
 
-  /** `#boundaries <= value` as a BALANCED nested-`when` binary search
-    * (depth log2 of the boundary count, ~6 codegen'd comparisons per
-    * row at 6 bits). The obvious `aggregate(boundaries, 0, acc + ...)`
-    * fold is a higher-order function — Catalyst interprets those row
-    * by row (CodegenFallback), and at 6 bits that meant 63 interpreted
-    * lambda calls per row per column: the soak measured the whole
-    * z-order write at 10.7 s for 600 k rows before this tree, ~3× the
-    * heaviest ANN query. Null (and below-all-cuts) lands in bucket 0.
+  /** `#boundaries <= value` via the native binary-search kernel
+    * ([[graft.functions.BucketCodeExpression]] + a `coalesce` for the
+    * null → bucket 0 layout rule). Third implementation generation,
+    * each forced by measurement: the `aggregate(boundaries, …)` HOF
+    * was interpreted per row (10.7 s writes, round 12); its
+    * nested-`when` replacement was codegen'd but weighed ~5 KB of
+    * bytecode per column, and a single-use tree pushed the Hilbert
+    * write's whole-stage method past HotSpot's 8000-byte JIT ceiling
+    * (maxMethodCodeSize 10842 → interpreted bytecode, 1.7× the write
+    * cost — Morton escaped only because its 6 reuses of each tree
+    * tripped subexpression elimination into separate small methods).
+    * The kernel is identical arithmetic in a ~40-byte call site; the
+    * tree survives below as [[bucketCodeBuiltin]], the correctness
+    * cross-check ZOrderSpec pins the kernel against.
     */
-  private def bucketCode(v: Column, bs: Seq[Double]): Column = {
+  private def bucketCode(v: Column, bs: Seq[Double]): Column =
+    coalesce(
+      graft.functions.BucketCodeExpression.bucketCode(v, bs), lit(0))
+
+  /** The nested-`when` binary-search formulation [[bucketCode]]
+    * replaced — kept as the cross-check (the VecDot/LSH builtin-twin
+    * convention).
+    */
+  private[plans] def bucketCodeBuiltin(v: Column, bs: Seq[Double]): Column = {
     def go(lo: Int, hi: Int): Column =
       if (lo >= hi) lit(lo)
       else {

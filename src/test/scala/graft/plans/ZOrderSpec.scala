@@ -75,6 +75,13 @@ class ZOrderSpec extends SparkSpec {
         assert(back === h, s"round-trip $h -> ${x.toSeq} -> $back")
       }
     }
+    // the zero-allocation 2-D scalar kernel IS the general mapping —
+    // full-grid equality, so the write path may pick either freely
+    for (bits <- Seq(3, 6); a <- 0 until (1 << bits); b <- 0 until (1 << bits)) {
+      val g = HilbertIndexExpression.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](a, b)), bits)
+      assert(HilbertIndexExpression.compute2(a, b, bits) === g, s"($a,$b) bits=$bits")
+    }
   }
 
   test("hilbertWrite: lossless, prunes both dims, coverage not worse than morton") {
@@ -271,6 +278,57 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.quantileBounds(df, Seq("a", "b"), bits = 4)
     }
     assert(ex.getMessage.contains("column b"), ex.getMessage)
+  }
+
+  test("native bucket kernel equals the nested-when tree: duplicates, NaN, nulls, extremes") {
+    import spark.implicits._
+    // boundaries with duplicates (skewed approx_percentile output) and
+    // values at/below/above every cut, plus NaN and null
+    val bs = Seq(1.0, 3.0, 3.0, 3.0, 7.0, 10.0, 10.0)
+    val vals: Seq[java.lang.Double] = Seq(
+      -5.0, 0.999, 1.0, 2.0, 3.0, 3.0001, 6.0, 7.0, 9.0, 10.0, 11.0,
+      Double.NaN, Double.MaxValue, Double.MinValue).map(Double.box) :+
+      (null: java.lang.Double)
+    val df = vals.toDF("v").select(col("v").cast("double").as("v"))
+    val got = df.select(
+      ZOrder.bucketCodeBuiltin(col("v"), bs).as("tree"),
+      coalesce(graft.functions.BucketCodeExpression.bucketCode(col("v"), bs), lit(0))
+        .as("kern"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1), s"tree ${r.getInt(0)} vs kernel ${r.getInt(1)}")
+    }
+    // and across a random sweep against fresh random boundaries
+    val rnd = new scala.util.Random(7)
+    val bs2 = Seq.fill(63)(rnd.nextDouble() * 100).sorted
+    val sweep = (1 to 2000).map(_ => rnd.nextDouble() * 120 - 10).toDF("v")
+    val eq = sweep.select(
+      (ZOrder.bucketCodeBuiltin(col("v"), bs2) ===
+        coalesce(graft.functions.BucketCodeExpression.bucketCode(col("v"), bs2), lit(0)))
+        .as("ok"))
+      .collect()
+    assert(eq.forall(_.getBoolean(0)))
+  }
+
+  test("clustered-write projections stay under HotSpot's 8000-byte JIT method ceiling") {
+    // the regression this gate exists for: a single-use nested-when
+    // bucket tree once pushed the Hilbert projection's whole-stage
+    // method to 10842 bytecodes — past DontCompileHugeMethods, so the
+    // hot loop ran INTERPRETED at 1.7x the write cost while Morton
+    // escaped by a subexpression-elimination accident
+    val li = table("lineitem").select("l_orderkey", "l_partkey")
+    val cols = Seq("l_orderkey", "l_partkey")
+    val bounds = ZOrder.quantileBounds(li, cols, 6)
+    for ((tag, vc) <- Seq(
+        "morton" -> ZOrder.zValueWith(cols, 6, bounds),
+        "hilbert" -> ZOrder.hilbertValueWith(cols, 6, bounds))) {
+      val cg = li.withColumn("__z", vc).queryExecution
+        .explainString(org.apache.spark.sql.execution.CodegenMode)
+      val sizes = "maxMethodCodeSize:(\\d+)".r
+        .findAllMatchIn(cg).map(_.group(1).toInt).toSeq
+      assert(sizes.nonEmpty, s"$tag: no codegen subtree found")
+      assert(sizes.max < 8000, s"$tag: maxMethodCodeSize ${sizes.max} breaches the JIT ceiling")
+    }
   }
 
   test("zValue: interleaves rank buckets — null and skew land in low buckets, monotone per dim") {
