@@ -1094,6 +1094,16 @@ object SparkEntry {
       Sketches.sketchQuantiles(toks, "lang", "toks", c = 4096, tenths = Seq(1, 5, 9))
         .orderBy("lang")
     }),
+    // KMV join-key overlap: the pre-join selectivity screen — each
+    // side's distinct keys sketched in one bounded pass, overlap via
+    // Broder's k-min over the merged sketch, exact integer division;
+    // the DuckDB twin rebuilds both sketches and replays the estimate
+    "q_sketch_join_overlap" -> ((s, dir) => {
+      Sketches.kmvKeyOverlap(
+        t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0), "o_orderkey",
+        k = 64)
+    }),
     // Quantile-sketch merge identity: two disjoint half-corpus sketches
     // pool into the whole table's exact quantiles — the per-shard
     // rollup contract, pinned cross-engine against the one-pass twin
@@ -3122,6 +3132,28 @@ object SparkEntry {
         "SELECT group_a, group_b, matches, union_k, " +
         "(matches * 1000000) // union_k AS jaccard_ppm " +
         "FROM m ORDER BY group_a, group_b"),
+    // join-overlap twin: both key sets Knuth-mixed, k smallest distinct
+    // kept, Broder k-min overlap over the merged sketch, truncating
+    // integer estimate — the approximation replayed bit-for-bit
+    "q_sketch_join_overlap" -> {
+      def mh(expr: String) =
+        s"((CAST($expr AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296"
+      def est(sk: String) =
+        s"CASE WHEN len($sk) < 64 THEN CAST(len($sk) AS BIGINT) ELSE (63 * 4294967296) // ($sk[64] + 1) END"
+      "WITH ka AS (SELECT DISTINCT " + mh("l_orderkey") + " AS mh FROM lineitem), " +
+        "kb AS (SELECT DISTINCT " + mh("o_orderkey") + " AS mh FROM orders WHERE o_orderkey % 3 = 0), " +
+        "sa AS (SELECT list_sort(list(mh)) AS sk FROM (SELECT mh FROM ka ORDER BY mh LIMIT 64)), " +
+        "sb AS (SELECT list_sort(list(mh)) AS sk FROM (SELECT mh FROM kb ORDER BY mh LIMIT 64)), " +
+        "u AS (SELECT sa.sk AS ska, sb.sk AS skb, " +
+        "list_sort(list_distinct(list_concat(sa.sk, sb.sk)))[1:64] AS un FROM sa, sb), " +
+        "m AS (SELECT ska, skb, un, " +
+        "CAST(len(list_filter(un, x -> list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT) AS matches, " +
+        "CAST(len(un) AS BIGINT) AS union_k FROM u) " +
+        "SELECT CAST(" + est("ska") + " AS BIGINT) AS est_distinct_a, " +
+        "CAST(" + est("skb") + " AS BIGINT) AS est_distinct_b, " +
+        "matches, union_k, " +
+        "CAST((matches * (" + est("un") + ")) // union_k AS BIGINT) AS est_overlap FROM m"
+    },
     // Quantile-sketch exact regime: with no compaction the weighted
     // items are the raw multiset, so the twin is plain rank selection
     // with the house integral index over EVERY row (no sample lottery)

@@ -374,6 +374,40 @@ object Sketches {
           .as("est"))
   }
 
+  /** Join-key overlap estimate from two KMV sketches — the
+    * join-planning screen ([[graft.plans.ScaleJoins]]'s companion):
+    * before committing 100 TB to a shuffle join, one bounded-state
+    * pass per side (O(k) aggregate state, map-side partials) estimates
+    * each side's distinct-key count, their Jaccard resemblance, and
+    * the distinct-key overlap `J · |A ∪ B|` — the number that decides
+    * broadcast vs shuffle vs "this join matches almost nothing, stop".
+    * Broder's k-min estimator over the merged sketch, all exact
+    * integer arithmetic (`matches · est_union div union_k`), so the
+    * approximation itself is oracled cross-engine like the other KMV
+    * gates. Exact below k distinct keys per side.
+    */
+  def kmvKeyOverlap(
+      a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String, k: Int): DataFrame = {
+    def sk(df: DataFrame, c: String, out: String) =
+      df.select(mix32(col(c).cast(LongType)).as("mh"))
+        .agg(KmvSketchExpression.kmvSketch(col("mh"), k).as(out))
+    sk(a, aKey, "__ska").crossJoin(sk(b, bKey, "__skb")) // two one-row frames
+      .withColumn("__u", kmvMerge(col("__ska"), col("__skb"), k))
+      .withColumn("__matches",
+        size(filter(col("__u"), x =>
+          array_contains(col("__ska"), x) && array_contains(col("__skb"), x)))
+          .cast(LongType))
+      .withColumn("__estu", kmvEstimate(col("__u"), k))
+      .select(
+        kmvEstimate(col("__ska"), k).as("est_distinct_a"),
+        kmvEstimate(col("__skb"), k).as("est_distinct_b"),
+        col("__matches").as("matches"),
+        size(col("__u")).cast(LongType).as("union_k"),
+        call_function("div", col("__matches") * col("__estu"),
+          size(col("__u")).cast(LongType)).as("est_overlap"))
+  }
+
   /** Pairwise group resemblance from KMV sketches — Broder's k-min
     * estimator: J(A, B) ≈ |{k smallest of A ∪ B} ∩ A ∩ B| / k. The
     * cross-corpus overlap diagnostic ("how much does source X's

@@ -295,6 +295,26 @@ class SketchesSpec extends SparkSpec {
     assert(items == Map("a" -> 5L, "b" -> 3L), items.toString)
   }
 
+  test("kmv join-key overlap: exact below k, within tolerance above, disjoint reads zero") {
+    def keys(r: Range) = r.map(i => ("x", i.toLong)).toDF("g", "k")
+    // exact regime: both sides under k distinct — overlap is exact
+    val ex = Sketches.kmvKeyOverlap(keys(1 to 50), "k", keys(26 to 75), "k", k = 256).head()
+    assert(ex.getAs[Long]("est_distinct_a") === 50L)
+    assert(ex.getAs[Long]("est_distinct_b") === 50L)
+    assert(ex.getAs[Long]("est_overlap") === 25L)
+    // approximate regime: 4-sigma KMV tolerance on sides and overlap
+    val ap = Sketches.kmvKeyOverlap(
+      keys(1 to 40000), "k", keys(20001 to 60000), "k", k = 256).head()
+    val tol = 4.0 / math.sqrt(256 - 2.0)
+    assert(math.abs(ap.getAs[Long]("est_distinct_a") - 40000.0) / 40000 < tol, ap.toString)
+    assert(math.abs(ap.getAs[Long]("est_overlap") - 20000.0) / 20000 < 2 * tol, ap.toString)
+    // disjoint key spaces: the screen must answer "this join matches
+    // nothing" with a hard zero, not a small estimate
+    val dj = Sketches.kmvKeyOverlap(
+      keys(1 to 10000), "k", keys(50001 to 60000), "k", k = 256).head()
+    assert(dj.getAs[Long]("matches") === 0L && dj.getAs[Long]("est_overlap") === 0L)
+  }
+
   // --- mergeable quantile sketch -------------------------------------
 
   /** Reported deciles + err from sketchQuantiles over (g, v) pairs. */
