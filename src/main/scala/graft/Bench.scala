@@ -239,13 +239,13 @@ object Bench {
     // per-query time RATIOS to bench/SOAK.json — embedded verbatim so
     // the round's BENCH artifact carries the scale measurement beside
     // its sf0.1 numbers. Absent file = no entry (the soak is a
-    // deliberate run, not part of every bench). Capped at 420 chars:
+    // deliberate run, not part of every bench). Capped at 470 chars:
     // the whole stdout line must survive the driver's tail window.
     val soak = try {
       val p = java.nio.file.Paths.get("bench/SOAK.json")
       if (java.nio.file.Files.exists(p)) {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
-        if (s.startsWith("{") && s.endsWith("}") && s.length <= 420 &&
+        if (s.startsWith("{") && s.endsWith("}") && s.length <= 470 &&
           !s.contains('\n')) Some(s)
         else None
       } else None

@@ -103,6 +103,16 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("keeper election: an all-phantom pair list leaves every doc untouched") {
+    // every pair endpoint was dropped upstream -> the live graph is
+    // empty, no cluster exists, and the election must be a no-op
+    // rather than an empty-aggregate error
+    val docs = (100L to 110L).toDF("doc_id")
+    val out = Graph.keepCentralPerCluster(docs, "doc_id", pairs7.toDF("id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out === (100L to 110L).toSet)
+  }
+
   test("pagerank converges toward the degree-proportional stationary ranking") {
     // on an undirected graph PageRank's stationary distribution orders
     // by degree; after a few rounds the fixed-point iteration must

@@ -14,7 +14,7 @@ over the hot tail, and writes:
   - bench/SOAK.json       compact per-query sf1/sf0.1 time ratios; Bench
                           embeds this file verbatim into its params line,
                           so the round's BENCH artifact carries the scale
-                          measurement (capped at 420 chars there).
+                          measurement (capped at 470 chars there).
   - bench/SOAK_DETAIL.md  the full table: absolute times both scales,
                           ratio, load averages, verdict per query.
 
@@ -293,7 +293,7 @@ def main():
     with open(os.path.join(REPO, "bench/SOAK_RAW.json"), "w") as f:
         json.dump({"base": base, "big": big, "ratios": ratios,
                    "lifecycle": {"base": lc_base, "big": lc_big}}, f, indent=1)
-    assert len(blob) <= 420, f"SOAK.json too long ({len(blob)}) for Bench's budget"
+    assert len(blob) <= 470, f"SOAK.json too long ({len(blob)}) for Bench's budget"
     with open(os.path.join(REPO, "bench/SOAK.json"), "w") as f:
         f.write(blob + "\n")
 
