@@ -52,7 +52,7 @@ class ZOrderSpec extends SparkSpec {
 
   test("hilbert kernel: bijective on the full grid, consecutive indices step one axis by one") {
     import graft.functions.HilbertIndexExpression
-    for ((dims, bits) <- Seq((2, 4), (3, 3))) {
+    for ((dims, bits) <- Seq((2, 4), (3, 3), (4, 2), (2, 7))) {
       val side = 1 << bits
       val total = 1L << (bits * dims)
       val codes = (0L until total).map { h =>
