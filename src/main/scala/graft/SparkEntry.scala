@@ -1827,16 +1827,20 @@ object SparkEntry {
         .orderBy("user_id", "bucket_us")
     }),
     // Sketch-driven adaptive skew salting: a Misra–Gries pass certifies
-    // the hot join keys (no false negatives), only those spread over
-    // salt buckets, and the join result is provably invariant to the
-    // hot set — which is exactly what the oracle (a plain join) pins
+    // the hot join keys (no false negatives while err < threshold —
+    // the operator enforces it, degrading to full salting otherwise),
+    // only those spread over salt buckets, and the join result is
+    // provably invariant to the hot set and to WHICH path ran — which
+    // is exactly what the oracle (a plain join) pins. m = 256 exceeds
+    // sf0.01's supplier count (exact regime, certified path); at
+    // larger SFs the run-time guard picks the safe path by itself
     "q_join_skew_salted" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
       val sup = t(s, dir, "supplier")
         .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
       graft.plans.ScaleJoins.sketchSaltedJoin(li, sup, "suppkey",
-          saltBuckets = 4, hotThreshold = 500, m = 64)
+          saltBuckets = 4, hotThreshold = 500, m = 256)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast(DecimalType(18, 4)))

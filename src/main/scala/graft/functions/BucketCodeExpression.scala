@@ -15,8 +15,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * maxMethodCodeSize 10842 → the projection ran INTERPRETED, 1.7× the
   * write), where Morton's 6 reuses of each tree happened to trigger
   * subexpression elimination into separate small methods. The loop
-  * here is identical arithmetic (upper-bound binary search; NaN lands
-  * in bucket 0 exactly like the tree's all-comparisons-false path) in
+  * here is identical arithmetic (upper-bound binary search; NaN takes
+  * the TOP bucket, matching Spark SQL's total order — see [[compute]])
+  * in
   * ~40 bytecodes of generated call site, JIT-hot for every curve and
   * every bits width.
   *

@@ -98,7 +98,9 @@ object HilbertIndexExpression {
     * over full grids), zero allocation per row.
     */
   def compute2(c0: Int, c1: Int, bits: Int): Long = {
-    require(c0 >= 0 && c0 < (1 << bits) && c1 >= 0 && c1 < (1 << bits),
+    // 1L: at bits = 31 an Int shift wraps to MIN_VALUE and would
+    // reject every code despite checkInputDataTypes admitting bits=31
+    require(c0 >= 0 && c0 < (1L << bits) && c1 >= 0 && c1 < (1L << bits),
       s"hilbert2: codes ($c0, $c1) outside [0, 2^$bits)")
     var x0 = c0
     var x1 = c1
@@ -150,7 +152,7 @@ object HilbertIndexExpression {
     while (i < n) {
       // null codes cluster first, like bucketCode's null -> bucket 0
       x(i) = if (arr.isNullAt(i)) 0 else arr.getInt(i)
-      require(x(i) >= 0 && x(i) < (1 << bits),
+      require(x(i) >= 0 && x(i) < (1L << bits), // 1L: Int shift wraps at bits=31
         s"hilbert_index: code ${x(i)} outside [0, 2^$bits)")
       i += 1
     }

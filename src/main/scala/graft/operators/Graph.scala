@@ -62,47 +62,17 @@ object Graph {
     * graph.
     */
   def pageRankFixedPoint(
-      pairs: DataFrame, iters: Int, dampPpm: Long = 850000L): DataFrame = {
-    require(iters >= 1 && dampPpm >= 0L && dampPpm <= 1000000L)
-    val edges = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      edgesOf(pairs), org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // N is the pair graph's node count — bounded by the candidate-pair
-    // stage, and a one-row aggregate like the CC convergence witness
-    val n = deg.count()
-    require(n > 0, "empty pair graph — nothing to rank")
-    val base = (1000000000L * (1000000L - dampPpm)) / 1000000L / n
-    var ranks = deg.select(col("id"), lit(1000000000L / n).as("rank_ppb"))
-    var i = 0
-    while (i < iters) {
-      ranks = edges
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg.select(col("id").as("src"), col("degree")), Seq("src"))
-        .select(col("dst").as("id"),
-          call_function("div", col("rank_ppb"), col("degree")).as("__share"))
-        .groupBy("id")
-        .agg((lit(base) +
-          call_function("div", lit(dampPpm) * sum(col("__share")), lit(1000000L)))
-          .as("rank_ppb"))
-        .localCheckpoint(true)
-      i += 1
-    }
-    val out = ranks.join(deg, Seq("id"))
-    edges.unpersist()
-    deg.unpersist()
-    out
-  }
+      pairs: DataFrame, iters: Int, dampPpm: Long = 850000L): DataFrame =
+    powerWalk(pairs, iters, dampPpm, seeds = None).drop("is_seed")
 
   /** Personalized PageRank from a seed set — the curated-seed quality
     * propagation read ("how close is every document to the vetted
     * seeds, through the near-dup/link graph"): the teleport mass lands
     * ONLY on seeds instead of uniformly, so rank decays with graph
     * distance from the seed set and un-reachable nodes converge to 0.
-    * Same exact ppb integer arithmetic, join-per-round dataflow and
-    * plan-pinning `localCheckpoint` as [[pageRankFixedPoint]]; the
-    * seed set rides the plan as a broadcast membership flag. Seeds not
+    * Same walk as [[pageRankFixedPoint]] — ONE parameterized loop owns
+    * the round dataflow, so the two can never drift — with the seed
+    * set riding the plan as a broadcast membership flag. Seeds not
     * present in the pair graph contribute nothing (documented: an
     * isolated seed has no edges to propagate through).
     *
@@ -112,26 +82,50 @@ object Graph {
       pairs: DataFrame,
       seeds: DataFrame, // one column: id
       iters: Int,
-      dampPpm: Long = 850000L): DataFrame = {
+      dampPpm: Long = 850000L): DataFrame =
+    powerWalk(pairs, iters, dampPpm, seeds = Some(seeds))
+
+  /** The shared power-iteration loop: teleport mass lands on the
+    * `is_seed` nodes — every node for the uniform walk, the seed set
+    * for the personalized one. Each round is one equi-join
+    * (edges ⋈ ranks) plus one sum aggregate; the outer join back to
+    * the node set keeps nodes that received nothing this round at
+    * their teleport term (routine in the personalized walk; a no-op
+    * in the uniform walk, where the symmetric graph gives every node
+    * in-edges). The result is `localCheckpoint`-materialized BEFORE
+    * the edge/degree caches are dropped — returning it lazy would
+    * hand the caller a plan whose cached inputs were just unpersisted
+    * (the [[Dedup.duplicateClusters]] rule).
+    */
+  private def powerWalk(
+      pairs: DataFrame, iters: Int, dampPpm: Long,
+      seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 1 && dampPpm >= 0L && dampPpm <= 1000000L)
     val edges = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
       edgesOf(pairs), org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seedIds = seeds.select(col(seeds.columns.head).cast("long").as("id"))
-      .distinct()
+    val degBase = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
     val deg = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
-        .join(broadcast(seedIds.select(col("id"), lit(true).as("__seed"))),
-          Seq("id"), "left_outer")
-        .select(col("id"), col("degree"),
-          coalesce(col("__seed"), lit(false)).as("is_seed")),
+      seeds match {
+        case Some(sd) =>
+          val ids = sd.select(col(sd.columns.head).cast("long").as("id")).distinct()
+          degBase
+            .join(broadcast(ids.select(col("id"), lit(true).as("__seed"))),
+              Seq("id"), "left_outer")
+            .select(col("id"), col("degree"),
+              coalesce(col("__seed"), lit(false)).as("is_seed"))
+        case None => degBase.withColumn("is_seed", lit(true))
+      },
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSeeds = deg.filter(col("is_seed")).count()
-    require(nSeeds > 0, "no seed is present in the pair graph")
-    // teleport: (1−d) split over the SEEDS; start mass likewise
-    val base = (1000000000L * (1000000L - dampPpm)) / 1000000L / nSeeds
+    // the teleport-set size is a one-row aggregate over the (bounded)
+    // pair-graph node set, like the CC convergence witness
+    val nTel = deg.filter(col("is_seed")).count()
+    require(nTel > 0,
+      if (seeds.isDefined) "no seed is present in the pair graph"
+      else "empty pair graph — nothing to rank")
+    val base = (1000000000L * (1000000L - dampPpm)) / 1000000L / nTel
     val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
     var ranks = deg.select(col("id"),
-      when(col("is_seed"), lit(1000000000L / nSeeds)).otherwise(lit(0L))
+      when(col("is_seed"), lit(1000000000L / nTel)).otherwise(lit(0L))
         .as("rank_ppb"))
     var i = 0
     while (i < iters) {
@@ -142,9 +136,6 @@ object Graph {
           call_function("div", col("rank_ppb"), col("degree")).as("__share"))
         .groupBy("id")
         .agg(sum(col("__share")).as("__in"))
-      // outer join against ALL nodes: a node that received nothing this
-      // round still holds its teleport mass (0 for non-seeds) — unlike
-      // the uniform walk, zero-in-degree-from-ranked nodes are routine
       ranks = deg.select(col("id"), col("is_seed"))
         .join(contrib, Seq("id"), "left_outer")
         .select(col("id"),
@@ -154,7 +145,7 @@ object Graph {
         .localCheckpoint(true)
       i += 1
     }
-    val out = ranks.join(deg, Seq("id"))
+    val out = ranks.join(deg, Seq("id")).localCheckpoint(true)
     edges.unpersist()
     deg.unpersist()
     out

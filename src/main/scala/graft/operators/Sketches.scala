@@ -187,16 +187,37 @@ object Sketches {
     */
   def sketchQuantiles(
       df: DataFrame, groupCol: String, valueCol: String,
-      c: Int, tenths: Seq[Int]): DataFrame = {
-    require(tenths.nonEmpty, "need at least one decile")
-    val sk = df.groupBy(groupCol)
+      c: Int, tenths: Seq[Int]): DataFrame =
+    decileSelect(
+      qsItems(df, groupCol, valueCol, c), groupCol, tenths,
+      max(col("err")).as("err"))
+
+  /** Sketch + explode to (group, err, v, w) item rows — the shared
+    * head of [[sketchQuantiles]] and [[mergedQuantiles]].
+    * `explode_outer`: a group whose values are ALL null has an empty
+    * item array, and a plain explode would silently drop the group
+    * from the output; outer keeps it, and the selection tail then
+    * reports null deciles with n = 0 rather than no row at all.
+    */
+  private def qsItems(
+      df: DataFrame, groupCol: String, valueCol: String, c: Int): DataFrame =
+    df.groupBy(groupCol)
       .agg(graft.functions.QuantileSketchExpression
         .quantileSketch(col(valueCol).cast(LongType), c).as("__sk"))
-    val ex = sk
       .select(col(groupCol), col("__sk.err").as("err"),
-        explode(col("__sk.items")).as("__it"))
+        explode_outer(col("__sk.items")).as("__it"))
       .select(col(groupCol), col("err"),
         col("__it.v").as("v"), col("__it.w").as("w"))
+
+  /** Exact integral rank selection over (group, err, v, w) item rows —
+    * ONE owner of the `idx = (W−1)·q div 10 + 1` contract both DuckDB
+    * twins pin; `errAgg` is the only point the one-pass and merged
+    * paths differ (max of one budget vs sum of the halves').
+    */
+  private def decileSelect(
+      ex: DataFrame, groupCol: String, tenths: Seq[Int],
+      errAgg: Column): DataFrame = {
+    require(tenths.nonEmpty, "need at least one decile")
     val byV = Window.partitionBy(groupCol).orderBy(col("v"), col("w"))
     val whole = Window.partitionBy(groupCol)
     val ranked = ex
@@ -208,7 +229,7 @@ object Sketches {
     }
     ranked.groupBy(groupCol)
       .agg(qCols.head,
-        qCols.tail :+ max(col("err")).as("err") :+ max(col("__tot")).as("n"): _*)
+        qCols.tail :+ errAgg :+ coalesce(max(col("__tot")), lit(0L)).as("n"): _*)
   }
 
   /** The quantile sketch's merge identity as a runnable pipeline
@@ -226,30 +247,13 @@ object Sketches {
       df: DataFrame, groupCol: String, idCol: String, valueCol: String,
       c: Int, tenths: Seq[Int]): DataFrame = {
     def half(r: Int): DataFrame =
-      df.filter(pmod(col(idCol), lit(2)) === r)
-        .groupBy(groupCol)
-        .agg(graft.functions.QuantileSketchExpression
-          .quantileSketch(col(valueCol).cast(LongType), c).as("__sk"))
-        .select(col(groupCol), lit(r).as("__h"), col("__sk.err").as("err"),
-          explode(col("__sk.items")).as("__it"))
-        .select(col(groupCol), col("__h"), col("err"),
-          col("__it.v").as("v"), col("__it.w").as("w"))
-    val pooled = half(0).union(half(1))
-    val byV = Window.partitionBy(groupCol).orderBy(col("v"), col("w"))
-    val whole = Window.partitionBy(groupCol)
-    val ranked = pooled
-      .withColumn("__cum", sum(col("w")).over(byV))
-      .withColumn("__tot", sum(col("w")).over(whole))
-    val qCols = tenths.map { q =>
-      val idx = call_function("div", (col("__tot") - 1) * q, lit(10L)) + lit(1L)
-      min(when(col("__cum") >= idx, col("v"))).as(s"p${q}0")
-    }
+      qsItems(df.filter(pmod(col(idCol), lit(2)) === r), groupCol, valueCol, c)
+        .withColumn("__h", lit(r))
     // pooled budget = the two halves' budgets added (each half's err
     // rides every one of its item rows — read it once per half)
     val errCol = (coalesce(max(when(col("__h") === 0, col("err"))), lit(0L)) +
       coalesce(max(when(col("__h") === 1, col("err"))), lit(0L))).as("err")
-    ranked.groupBy(groupCol)
-      .agg(qCols.head, qCols.tail :+ errCol :+ max(col("__tot")).as("n"): _*)
+    decileSelect(half(0).union(half(1)), groupCol, tenths, errCol)
   }
 
   /** Per-group heavy hitters via the Misra–Gries sketch
@@ -389,8 +393,20 @@ object Sketches {
   def kmvKeyOverlap(
       a: DataFrame, aKey: String,
       b: DataFrame, bKey: String, k: Int): DataFrame = {
+    // numeric keys ride the Knuth mix directly (the oracle-pinned
+    // path); any other type hashes its string form through the KR
+    // fold first — a bare cast-to-long would turn every string/date
+    // key into NULL and silently report zero overlap for a join that
+    // matches everything. Null keys drop either way (the sketch
+    // skips nulls), matching a join's null-never-matches semantics.
+    def keyHash(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          mix32(col(c).cast(LongType))
+        case _ => mix32(KrHashExpression.krHash(col(c).cast("string")))
+      }
     def sk(df: DataFrame, c: String, out: String) =
-      df.select(mix32(col(c).cast(LongType)).as("mh"))
+      df.select(keyHash(df, c).as("mh"))
         .agg(KmvSketchExpression.kmvSketch(col("mh"), k).as(out))
     sk(a, aKey, "__ska").crossJoin(sk(b, bKey, "__skb")) // two one-row frames
       .withColumn("__u", kmvMerge(col("__ska"), col("__skb"), k))

@@ -82,12 +82,16 @@ object ScaleJoins {
     * true row count in `df` reaches `hotThreshold` is returned — the
     * Misra–Gries bound `est ≤ true ≤ est + err` means a qualifying key
     * always satisfies `est + err ≥ hotThreshold`, so filtering on the
-    * certificate's upper side has NO false negatives; the price is at
-    * most m near-threshold false positives (keys salted without
-    * needing it, which costs a little replication, never correctness).
-    * Pick `m ≥ n / hotThreshold` so a qualifying key can never be
-    * decremented out of the sketch entirely (MG keeps every key with
-    * count > n/(m+1)).
+    * certificate's upper side has NO false negatives AMONG SURVIVING
+    * KEYS; a key decremented out of the sketch entirely hides at most
+    * `err` true rows, so the full no-false-negative claim additionally
+    * needs `err < hotThreshold` — pick `m ≥ n / hotThreshold` (MG
+    * keeps every key with count > n/(m+1)) and
+    * [[sketchSaltedJoin]] enforces the err condition at run time,
+    * degrading to full salting when the sketch cannot certify. The
+    * price is at most m near-threshold false positives (keys salted
+    * without needing it, which costs a little replication, never
+    * correctness).
     *
     * One bounded-state corpus pass: O(m) aggregate state with map-side
     * partials — the scan a full `groupBy(key).count()` would turn into
@@ -144,13 +148,34 @@ object ScaleJoins {
       m: Int = 256,
       joinType: String = "inner"
   ): DataFrame = {
-    require(saltBuckets > 0)
+    require(saltBuckets > 0 && hotThreshold > 0 && m >= 1)
     val jt = joinType.toLowerCase.replace("_", "")
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
       s"sketchSaltedJoin supports inner/left join shapes, got $joinType")
-    // ≤ m rows by construction — the sketch bounds the collect
-    val hot = hotKeys(large, key, hotThreshold, m)
-      .select(col("hot_key")).collect().map(_.getString(0)).toSeq
+    // ONE bounded collect of the whole sketch (≤ m items + the err
+    // budget): the hot filter needs the items, and the SOUNDNESS check
+    // needs err — a key ABSENT from the sketch can still hide up to
+    // `err` true rows (MG undercounts by at most err), so the
+    // "every key at the threshold gets salted" certificate only holds
+    // while err < hotThreshold. Past that the sketch cannot clear any
+    // cold key, and the only safe answer is the full salting of
+    // [[saltedJoin]] — graceful degradation (more small-side
+    // replication), never a silently-unsalted straggler. Keep
+    // m ≥ rows/hotThreshold to stay on the adaptive path.
+    val skRow = large.select(col(key).cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .groupBy()
+      .agg(graft.functions.MgSketchExpression.mgSketch(col("__k"), m).as("__sk"))
+      .select(col("__sk.err"), col("__sk.items"))
+      .collect()
+    val err = if (skRow.isEmpty) 0L else skRow.head.getLong(0)
+    val hot: Seq[String] =
+      if (skRow.isEmpty) Nil
+      else skRow.head.getSeq[org.apache.spark.sql.Row](1)
+        .filter(it => it.getLong(1) + err >= hotThreshold)
+        .map(_.getString(0))
+    if (err >= hotThreshold)
+      return saltedJoin(large, small, key, saltBuckets, joinType)
     if (hot.isEmpty) return large.join(small, Seq(key), joinType)
     val hotLit = typedlit(hot)
     val replicated = small.withColumn("__salt",

@@ -313,6 +313,12 @@ class SketchesSpec extends SparkSpec {
     val dj = Sketches.kmvKeyOverlap(
       keys(1 to 10000), "k", keys(50001 to 60000), "k", k = 256).head()
     assert(dj.getAs[Long]("matches") === 0L && dj.getAs[Long]("est_overlap") === 0L)
+    // STRING join keys hash through the KR fold — a bare cast-to-long
+    // would null every key and report zero overlap for a full match
+    def urls(r: Range) = r.map(i => ("x", s"https://host/$i")).toDF("g", "k")
+    val su = Sketches.kmvKeyOverlap(urls(1 to 50), "k", urls(26 to 75), "k", k = 256).head()
+    assert(su.getAs[Long]("est_distinct_a") === 50L)
+    assert(su.getAs[Long]("est_overlap") === 25L, su.toString)
   }
 
   // --- mergeable quantile sketch -------------------------------------
@@ -374,6 +380,17 @@ class SketchesSpec extends SparkSpec {
       .select(size(col("sk.items"))).head().getInt(0)
     val levels = (math.log(n / 64.0) / math.log(2)).toInt + 2
     assert(items <= 64 * levels, s"state $items exceeds c·levels bound ${64 * levels}")
+  }
+
+  test("quantile sketch: an all-null group stays in the output with null deciles and n = 0") {
+    val df = Seq(("a", Some(10L)), ("a", Some(20L)), ("b", None), ("b", None))
+      .toDF("g", "v")
+    val rows = Sketches.sketchQuantiles(df, "g", "v", c = 64, tenths = Seq(5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("a", "b"), "the null-only group must not vanish")
+    assert(rows("a").getAs[Long]("p50") === 10L && rows("a").getAs[Long]("n") === 2L)
+    assert(rows("b").isNullAt(rows("b").fieldIndex("p50")))
+    assert(rows("b").getAs[Long]("n") === 0L)
   }
 
   test("quantile sketch buffer: mass exact and levels bounded under 200 adversarial merge trees") {

@@ -139,6 +139,18 @@ class ScaleJoinsSpec extends SparkSpec {
     val coldPlan = ScaleJoins.sketchSaltedJoin(large, small, "k", 8, 100000, 64)
       .queryExecution.executedPlan.toString
     assert(!coldPlan.contains("__salt"), coldPlan)
+
+    // uncertifiable sketch (m = 2 forces err past the threshold): the
+    // operator must degrade to FULL salting — salted plan, and the
+    // result still equals the plain join — never a silently-unsalted
+    // hot key
+    val fb = ScaleJoins.sketchSaltedJoin(large, small, "k",
+      saltBuckets = 8, hotThreshold = 50, m = 2)
+    assert(fb.queryExecution.executedPlan.toString.contains("__salt"))
+    val fbRows = fb.groupBy("k", "label")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(_.toString).toSet
+    assert(fbRows === plain)
     // outer shapes that would duplicate null-extensions are rejected
     intercept[IllegalArgumentException] {
       ScaleJoins.sketchSaltedJoin(large, small, "k", 8, 1000, 64, "full_outer")

@@ -75,6 +75,9 @@ class ZOrderSpec extends SparkSpec {
         assert(back === h, s"round-trip $h -> ${x.toSeq} -> $back")
       }
     }
+    // bits = 31 (2 dims × 31 = 62 ≤ 63 — valid) must not Int-wrap the
+    // range check: Int.MaxValue is a legal code there
+    assert(HilbertIndexExpression.compute2(Int.MaxValue, 0, 31) >= 0L)
     // the zero-allocation 2-D scalar kernel IS the general mapping —
     // full-grid equality, so the write path may pick either freely
     for (bits <- Seq(3, 6); a <- 0 until (1 << bits); b <- 0 until (1 << bits)) {
