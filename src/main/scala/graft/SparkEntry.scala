@@ -1289,6 +1289,20 @@ object SparkEntry {
       graft.operators.Graph.pageRankFixedPoint(pairs, iters = 2, dampPpm = 850000L)
         .orderBy("id")
     }),
+    // Weight-proportional PageRank: rank flows along edges in
+    // proportion to their similarity mass — the star's heavy spoke
+    // out-ranks its light siblings where the uniform walk ties them;
+    // same exact integer arithmetic, both rounds unrolled in the twin
+    "q_graph_pagerank_weighted" -> ((s, _) => {
+      import s.implicits._
+      val pairs = Seq(
+        (1L, 2L, 500000L), (2L, 3L, 900000L), (5L, 3L, 100000L),
+        (10L, 11L, 700000L),
+        (20L, 21L, 300000L), (20L, 22L, 300000L), (20L, 23L, 900000L)
+      ).toDF("id_a", "id_b", "w")
+      graft.operators.Graph.pageRankWeighted(pairs, "w", iters = 2)
+        .orderBy("id")
+    }),
     // Personalized PageRank from a seed set: teleport mass lands only
     // on the seeds, so rank decays with graph distance and unreachable
     // components converge to zero — both rounds unrolled in the twin
@@ -2761,6 +2775,30 @@ object SparkEntry {
         "FROM e JOIN r1 ON r1.id = e.src JOIN d ON d.id = e.src GROUP BY e.dst) " +
         "SELECT CAST(r2.id AS BIGINT) AS id, CAST(r2.r AS BIGINT) AS rank_ppb, " +
         "CAST(d.deg AS BIGINT) AS degree FROM r2 JOIN d ON d.id = r2.id ORDER BY id"),
+    // weighted twin: symmetrize keeping weights (UNION ALL + sum of
+    // duplicates), strength = outgoing weight mass, share =
+    // (r·w) // strength — both rounds unrolled
+    "q_graph_pagerank_weighted" ->
+      ("WITH p(id_a, id_b, w) AS (SELECT * FROM (VALUES " +
+        "(1,2,500000),(2,3,900000),(5,3,100000),(10,11,700000)," +
+        "(20,21,300000),(20,22,300000),(20,23,900000)) AS v(id_a, id_b, w)), " +
+        "e0 AS (SELECT id_a AS src, id_b AS dst, w FROM p " +
+        "UNION ALL SELECT id_b, id_a, w FROM p), " +
+        "e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM e0 GROUP BY src, dst), " +
+        "d AS (SELECT src AS id, count(*) AS deg, sum(w) AS st FROM e GROUP BY src), " +
+        "n AS (SELECT count(*) AS n FROM d), " +
+        "r0 AS (SELECT id, 1000000000 // (SELECT n FROM n) AS r FROM d), " +
+        "r1 AS (SELECT e.dst AS id, " +
+        "((CAST(1000000000 AS BIGINT) * 150000) // 1000000) // (SELECT n FROM n) + " +
+        "(850000 * sum((r0.r * e.w) // d.st)) // 1000000 AS r " +
+        "FROM e JOIN r0 ON r0.id = e.src JOIN d ON d.id = e.src GROUP BY e.dst), " +
+        "r2 AS (SELECT e.dst AS id, " +
+        "((CAST(1000000000 AS BIGINT) * 150000) // 1000000) // (SELECT n FROM n) + " +
+        "(850000 * sum((r1.r * e.w) // d.st)) // 1000000 AS r " +
+        "FROM e JOIN r1 ON r1.id = e.src JOIN d ON d.id = e.src GROUP BY e.dst) " +
+        "SELECT CAST(r2.id AS BIGINT) AS id, CAST(r2.r AS BIGINT) AS rank_ppb, " +
+        "CAST(d.deg AS BIGINT) AS degree, CAST(d.st AS BIGINT) AS strength " +
+        "FROM r2 JOIN d ON d.id = r2.id ORDER BY id"),
     // personalized twin: seed-only teleport, LEFT JOIN keeps nodes that
     // received nothing this round (their teleport term still applies)
     "q_graph_ppr" ->

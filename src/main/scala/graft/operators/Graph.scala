@@ -63,7 +63,27 @@ object Graph {
     */
   def pageRankFixedPoint(
       pairs: DataFrame, iters: Int, dampPpm: Long = 850000L): DataFrame =
-    powerWalk(pairs, iters, dampPpm, seeds = None).drop("is_seed")
+    powerWalk(pairs, iters, dampPpm, seeds = None).drop("is_seed", "strength")
+
+  /** Weight-proportional PageRank: each edge carries a positive BIGINT
+    * weight (a near-dup pair's `jaccard_ppm`, a link count, a byte
+    * mass), and a node's rank flows to its neighbors in proportion —
+    * `share(u→v) = r(u)·w(u,v) div strength(u)` with `strength` the
+    * node's total outgoing weight, so a 0.9-similarity duplicate pulls
+    * 3× the mass of a 0.3 one instead of tying. Same walk, same exact
+    * integer arithmetic ([[powerWalk]] with w = 1 IS the uniform
+    * walk), same unrolled DuckDB twin. Duplicate and mirrored input
+    * pairs sum their weights; non-positive weights fail loudly (a zero
+    * weight would pad `strength` while contributing nothing — silently
+    * deflating every sibling edge's share).
+    *
+    * Output: (id, rank_ppb, degree, strength).
+    */
+  def pageRankWeighted(
+      pairs: DataFrame, weightCol: String, iters: Int,
+      dampPpm: Long = 850000L): DataFrame =
+    powerWalk(pairs, iters, dampPpm, seeds = None, weightCol = Some(weightCol))
+      .drop("is_seed")
 
   /** Personalized PageRank from a seed set — the curated-seed quality
     * propagation read ("how close is every document to the vetted
@@ -99,11 +119,28 @@ object Graph {
     */
   private def powerWalk(
       pairs: DataFrame, iters: Int, dampPpm: Long,
-      seeds: Option[DataFrame]): DataFrame = {
+      seeds: Option[DataFrame],
+      weightCol: Option[String] = None): DataFrame = {
     require(iters >= 1 && dampPpm >= 0L && dampPpm <= 1000000L)
+    // weighted edges: symmetrize keeping weights, sum duplicates, and
+    // refuse non-positive mass; unweighted edges ride weight 1, which
+    // makes the weighted share formula degrade to the uniform one
+    // exactly (r·1 div strength = r div degree)
+    val rawEdges = weightCol match {
+      case Some(wc) =>
+        val w = when(col(wc).cast("long") <= 0L,
+          raise_error(concat(lit("pageRankWeighted: non-positive weight "),
+            col(wc).cast("string"))))
+          .otherwise(col(wc).cast("long"))
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst"), w.as("__w"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), w.as("__w")))
+          .groupBy("src", "dst").agg(sum(col("__w")).as("__w"))
+      case None => edgesOf(pairs).withColumn("__w", lit(1L))
+    }
     val edges = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      edgesOf(pairs), org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val degBase = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+      rawEdges, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degBase = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("degree"), sum(col("__w")).as("strength"))
     val deg = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
       seeds match {
         case Some(sd) =>
@@ -111,7 +148,7 @@ object Graph {
           degBase
             .join(broadcast(ids.select(col("id"), lit(true).as("__seed"))),
               Seq("id"), "left_outer")
-            .select(col("id"), col("degree"),
+            .select(col("id"), col("degree"), col("strength"),
               coalesce(col("__seed"), lit(false)).as("is_seed"))
         case None => degBase.withColumn("is_seed", lit(true))
       },
@@ -131,9 +168,10 @@ object Graph {
     while (i < iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg.select(col("id").as("src"), col("degree")), Seq("src"))
+        .join(deg.select(col("id").as("src"), col("strength")), Seq("src"))
         .select(col("dst").as("id"),
-          call_function("div", col("rank_ppb"), col("degree")).as("__share"))
+          call_function("div", col("rank_ppb") * col("__w"), col("strength"))
+            .as("__share"))
         .groupBy("id")
         .agg(sum(col("__share")).as("__in"))
       ranks = deg.select(col("id"), col("is_seed"))

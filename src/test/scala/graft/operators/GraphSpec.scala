@@ -113,6 +113,37 @@ class GraphSpec extends SparkSpec {
     assert(out === (100L to 110L).toSet)
   }
 
+  test("weighted pagerank: heavy spokes out-rank light ones; w = 1 IS the uniform walk") {
+    val wPairs = Seq(
+      (1L, 2L, 500000L), (2L, 3L, 900000L), (5L, 3L, 100000L),
+      (10L, 11L, 700000L),
+      (20L, 21L, 300000L), (20L, 22L, 300000L), (20L, 23L, 900000L))
+      .toDF("id_a", "id_b", "w")
+    val r = Graph.pageRankWeighted(wPairs, "w", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the star's 0.9-weight spoke receives 3x its siblings' share
+    assert(r(23L) > r(21L), r.toString)
+    assert(r(21L) === r(22L))
+    // weight 1 on every edge reduces to the uniform walk bit-for-bit
+    // (r·1 div strength = r div degree)
+    val ones = pairs7.map { case (a, b) => (a, b, 1L) }.toDF("id_a", "id_b", "w")
+    val viaW = Graph.pageRankWeighted(ones, "w", iters = 3)
+      .select("id", "rank_ppb", "degree")
+      .collect().map(_.toString).sorted.toSeq
+    val uni = Graph.pageRankFixedPoint(pairs7.toDF("id_a", "id_b"), iters = 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaW === uni)
+    // a zero weight would pad strength while contributing nothing —
+    // rejected loudly instead
+    val bad = (pairs7.map { case (a, b) => (a, b, 1L) } :+ ((1L, 5L, 0L)))
+      .toDF("id_a", "id_b", "w")
+    val ex = intercept[Exception] {
+      Graph.pageRankWeighted(bad, "w", iters = 1).collect()
+    }
+    assert(ex.getMessage.contains("non-positive") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-positive")), ex.toString)
+  }
+
   test("pagerank converges toward the degree-proportional stationary ranking") {
     // on an undirected graph PageRank's stationary distribution orders
     // by degree; after a few rounds the fixed-point iteration must
