@@ -1303,6 +1303,24 @@ object SparkEntry {
       graft.operators.Graph.pageRankWeighted(pairs, "w", iters = 2)
         .orderBy("id")
     }),
+    // The combined walk: seed-anchored teleport AND similarity-
+    // proportional flow — seed quality spreads along duplicate edges
+    // counting a 0.9-similarity hop as three 0.3 ones; unreachable
+    // components still read zero. Both rounds unrolled in the twin
+    "q_graph_ppr_weighted" -> ((s, _) => {
+      import s.implicits._
+      val pairs = Seq(
+        (1L, 2L, 500000L), (2L, 3L, 900000L), (5L, 3L, 100000L),
+        (10L, 11L, 700000L),
+        (20L, 21L, 300000L), (20L, 22L, 300000L), (20L, 23L, 900000L)
+      ).toDF("id_a", "id_b", "w")
+      val seeds = Seq(1L, 20L).toDF("id")
+      graft.operators.Graph.personalizedPageRankWeighted(
+          pairs, "w", seeds, iters = 2)
+        .select(col("id"), col("rank_ppb"), col("degree"), col("strength"),
+          col("is_seed").cast(LongType).as("is_seed"))
+        .orderBy("id")
+    }),
     // Personalized PageRank from a seed set: teleport mass lands only
     // on the seeds, so rank decays with graph distance and unreachable
     // components converge to zero — both rounds unrolled in the twin
@@ -2799,6 +2817,37 @@ object SparkEntry {
         "SELECT CAST(r2.id AS BIGINT) AS id, CAST(r2.r AS BIGINT) AS rank_ppb, " +
         "CAST(d.deg AS BIGINT) AS degree, CAST(d.st AS BIGINT) AS strength " +
         "FROM r2 JOIN d ON d.id = r2.id ORDER BY id"),
+    // combined twin: weighted edges + strength from the weighted
+    // oracle, seed-only teleport + LEFT JOIN carry from the
+    // personalized one — shares are (r·w) // strength
+    "q_graph_ppr_weighted" ->
+      ("WITH p(id_a, id_b, w) AS (SELECT * FROM (VALUES " +
+        "(1,2,500000),(2,3,900000),(5,3,100000),(10,11,700000)," +
+        "(20,21,300000),(20,22,300000),(20,23,900000)) AS v(id_a, id_b, w)), " +
+        "e0 AS (SELECT id_a AS src, id_b AS dst, w FROM p " +
+        "UNION ALL SELECT id_b, id_a, w FROM p), " +
+        "e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM e0 GROUP BY src, dst), " +
+        "d AS (SELECT src AS id, count(*) AS deg, sum(w) AS st FROM e GROUP BY src), " +
+        "sd(id) AS (SELECT * FROM (VALUES (1), (20)) AS x(id)), " +
+        "dn AS (SELECT d.id, d.deg, d.st, (d.id IN (SELECT id FROM sd)) AS is_seed FROM d), " +
+        "ns AS (SELECT count(*) AS ns FROM dn WHERE is_seed), " +
+        "r0 AS (SELECT id, CASE WHEN is_seed THEN 1000000000 // (SELECT ns FROM ns) ELSE 0 END AS r FROM dn), " +
+        "c1 AS (SELECT e.dst AS id, sum((r0.r * e.w) // d.st) AS cin " +
+        "FROM e JOIN r0 ON r0.id = e.src JOIN d ON d.id = e.src GROUP BY e.dst), " +
+        "r1 AS (SELECT dn.id, (CASE WHEN dn.is_seed THEN " +
+        "((CAST(1000000000 AS BIGINT) * 150000) // 1000000) // (SELECT ns FROM ns) ELSE 0 END) + " +
+        "(850000 * COALESCE(c1.cin, 0)) // 1000000 AS r " +
+        "FROM dn LEFT JOIN c1 ON c1.id = dn.id), " +
+        "c2 AS (SELECT e.dst AS id, sum((r1.r * e.w) // d.st) AS cin " +
+        "FROM e JOIN r1 ON r1.id = e.src JOIN d ON d.id = e.src GROUP BY e.dst), " +
+        "r2 AS (SELECT dn.id, (CASE WHEN dn.is_seed THEN " +
+        "((CAST(1000000000 AS BIGINT) * 150000) // 1000000) // (SELECT ns FROM ns) ELSE 0 END) + " +
+        "(850000 * COALESCE(c2.cin, 0)) // 1000000 AS r " +
+        "FROM dn LEFT JOIN c2 ON c2.id = dn.id) " +
+        "SELECT CAST(r2.id AS BIGINT) AS id, CAST(r2.r AS BIGINT) AS rank_ppb, " +
+        "CAST(dn.deg AS BIGINT) AS degree, CAST(dn.st AS BIGINT) AS strength, " +
+        "CAST(dn.is_seed AS BIGINT) AS is_seed " +
+        "FROM r2 JOIN dn ON dn.id = r2.id ORDER BY id"),
     // personalized twin: seed-only teleport, LEFT JOIN keeps nodes that
     // received nothing this round (their teleport term still applies)
     "q_graph_ppr" ->

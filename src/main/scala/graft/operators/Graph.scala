@@ -105,6 +105,25 @@ object Graph {
       dampPpm: Long = 850000L): DataFrame =
     powerWalk(pairs, iters, dampPpm, seeds = Some(seeds))
 
+  /** [[personalizedPageRank]] × [[pageRankWeighted]] — seed-anchored
+    * teleport AND similarity-proportional flow together: "how close is
+    * each document to the curated seeds, counting a 0.9-similarity
+    * hop as three 0.3 ones". The most production-shaped read of the
+    * four walks, and free by construction: the one parameterized
+    * [[powerWalk]] already owns both axes, so this is a binding, not
+    * an implementation.
+    *
+    * Output: (id, rank_ppb, degree, strength, is_seed).
+    */
+  def personalizedPageRankWeighted(
+      pairs: DataFrame,
+      weightCol: String,
+      seeds: DataFrame,
+      iters: Int,
+      dampPpm: Long = 850000L): DataFrame =
+    powerWalk(pairs, iters, dampPpm, seeds = Some(seeds),
+      weightCol = Some(weightCol))
+
   /** The shared power-iteration loop: teleport mass lands on the
     * `is_seed` nodes — every node for the uniform walk, the seed set
     * for the personalized one. Each round is one equi-join

@@ -144,6 +144,30 @@ class GraphSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("non-positive")), ex.toString)
   }
 
+  test("combined walk: seed mass flows along weights; w = 1 IS the personalized walk") {
+    val wPairs = Seq(
+      (1L, 2L, 500000L), (2L, 3L, 900000L), (5L, 3L, 100000L),
+      (10L, 11L, 700000L),
+      (20L, 21L, 300000L), (20L, 22L, 300000L), (20L, 23L, 900000L))
+      .toDF("id_a", "id_b", "w")
+    val seeds = Seq(20L).toDF("id")
+    val r = Graph.personalizedPageRankWeighted(wPairs, "w", seeds, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the heavy spoke receives more of the seed's mass; unreachable
+    // components still read zero
+    assert(r(23L) > r(21L) && r(21L) === r(22L), r.toString)
+    assert(r(1L) === 0L && r(10L) === 0L)
+    // unit weights reduce to the personalized walk bit-for-bit
+    val ones = pairs7.map { case (a, b) => (a, b, 1L) }.toDF("id_a", "id_b", "w")
+    val viaW = Graph.personalizedPageRankWeighted(ones, "w", seeds, iters = 3)
+      .select("id", "rank_ppb", "degree", "is_seed")
+      .collect().map(_.toString).sorted.toSeq
+    val ppr = Graph.personalizedPageRank(pairs7.toDF("id_a", "id_b"), seeds, iters = 3)
+      .select("id", "rank_ppb", "degree", "is_seed")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaW === ppr)
+  }
+
   test("pagerank converges toward the degree-proportional stationary ranking") {
     // on an undirected graph PageRank's stationary distribution orders
     // by degree; after a few rounds the fixed-point iteration must
