@@ -147,9 +147,13 @@ object Graph {
     // exactly (r·1 div strength = r div degree)
     val rawEdges = weightCol match {
       case Some(wc) =>
-        val w = when(col(wc).cast("long") <= 0L,
+        // the guard must name NULL explicitly: `when(w <= 0, err)` is
+        // itself null for a null weight, so without the isNull arm a
+        // null-weight edge would silently carry null strength/shares
+        // and LOSE rank mass instead of failing as documented
+        val w = when(col(wc).isNull || col(wc).cast("long") <= 0L,
           raise_error(concat(lit("pageRankWeighted: non-positive weight "),
-            col(wc).cast("string"))))
+            coalesce(col(wc).cast("string"), lit("NULL")))))
           .otherwise(col(wc).cast("long"))
         pairs.select(col("id_a").as("src"), col("id_b").as("dst"), w.as("__w"))
           .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"), w.as("__w")))

@@ -564,9 +564,14 @@ object Multimodal {
         (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
           ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
       if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      // AVI stream numbers are TWO HEX DIGITS ('0A' is stream 10) — a
+      // decimal-only check would silently drop every frame of video
+      // streams ≥ 10
+      def isHex(c: Char): Boolean =
+        (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
       def isVideoChunk(id: String): Boolean =
         id.length == 4 &&
-          id(0).isDigit && id(1).isDigit &&
+          isHex(id(0)) && isHex(id(1)) &&
           id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')
       val out = Vector.newBuilder[Array[Byte]]
       def collect(from: Int, end: Int, depth: Int): Boolean = {

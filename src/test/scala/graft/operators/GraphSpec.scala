@@ -142,6 +142,15 @@ class GraphSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("non-positive") ||
       Option(ex.getCause).exists(_.getMessage.contains("non-positive")), ex.toString)
+    // a NULL weight must fail the same way — when(w <= 0, err) alone
+    // evaluates to null for null weights, silently losing rank mass
+    val nullW = Seq((1L, 2L, Some(5L)), (2L, 3L, None))
+      .toDF("id_a", "id_b", "w")
+    val exN = intercept[Exception] {
+      Graph.pageRankWeighted(nullW, "w", iters = 1).collect()
+    }
+    assert(exN.getMessage.contains("non-positive") ||
+      Option(exN.getCause).exists(_.getMessage.contains("non-positive")), exN.toString)
   }
 
   test("combined walk: seed mass flows along weights; w = 1 IS the personalized walk") {

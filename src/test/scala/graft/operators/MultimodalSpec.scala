@@ -481,6 +481,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Decoders.aviFrameChunks(trunc) === None)
   }
 
+  test("aviFrameChunks: hex stream numbers — stream 0x0A's frames are video, not dropped") {
+    // AVI stream ids are TWO HEX DIGITS: '0Adc' is compressed video of
+    // stream 10. Build a movi list by hand with one decimal-id frame
+    // and one hex-id frame; both must be extracted, audio skipped.
+    val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def ascii(s: String): Unit = bb ++= s.getBytes("US-ASCII")
+    def le32(v: Int): Unit = (0 to 3).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Unit = {
+      ascii(id); le32(payload.length); bb ++= payload
+      if (payload.length % 2 == 1) bb += 0
+    }
+    ascii("movi")
+    chunk("00dc", Array[Byte](1, 2))
+    chunk("0Adc", Array[Byte](3, 4)) // hex stream number 10
+    chunk("0bdb", Array[Byte](5))    // lowercase hex stream 11
+    chunk("01wb", Array[Byte](9))    // audio — skipped
+    val movi = bb.toArray
+    bb.clear()
+    ascii("RIFF"); le32(0); ascii("AVI ")
+    ascii("LIST"); le32(movi.length); bb ++= movi
+    val total = bb.length - 8
+    (0 to 3).foreach(i => bb(4 + i) = ((total >> (8 * i)) & 0xff).toByte)
+    val got = Multimodal.Decoders.aviFrameChunks(bb.toArray)
+    assert(got.map(_.map(_.toSeq)) ===
+      Some(Vector(Seq[Byte](1, 2), Seq[Byte](3, 4), Seq[Byte](5))))
+  }
+
   test("sampleVideoFrames: evenly spaced real frames, all frames when F < n, zero rows otherwise") {
     import spark.implicits._
     val sevenFrames = aviWithMovi((0 until 7).map(k => Array[Byte](k.toByte, 77)))
