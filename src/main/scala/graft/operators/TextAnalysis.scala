@@ -311,8 +311,8 @@ object TextAnalysis {
       k: Int
   ): DataFrame = {
     require(k > 0, "k must be positive")
-    val tf = spark.table(tableName).select("doc_id", "term", "tf")
-    val nDocs = spark.table(tableName + "_stats").select(col("n_docs"))
+    val tf = bm25LivePostings(spark, tableName).select("doc_id", "term", "tf")
+    val nDocs = bm25CurrentStats(spark, tableName).select(col("n_docs"))
     tfidfScoreTail(tf, nDocs, k)
   }
 
@@ -585,21 +585,34 @@ object TextAnalysis {
     * literal term filter then bucket-prunes the scan to the query
     * terms' buckets (`SelectedBucketsCount` in the plan), so retrieval
     * reads O(postings of the query terms), never the corpus and never
-    * even the whole index. Two side tables ride along:
-    * `<table>_stats`, ONE row `(n_docs, sum_dl, built_docs,
-    * built_sum_dl)` — the current corpus size/length mass maintained
-    * ADDITIVELY by [[appendToBm25Index]] beside the immutable
-    * build-time stamp (the [[bm25IndexStats]] drift reference) — and
-    * `<table>_terms`, the build-time per-term document frequency
-    * (drift reference only: query-time idf always aggregates df from
-    * the live pruned postings, so appends can never serve stale
-    * scores).
+    * even the whole index. Three side tables ride along:
     *
-    * n_docs/sum_dl live in the side table rather than being derived
-    * from postings because zero-token documents have no posting rows
-    * yet still belong in N and avgdl — and because an additive one-row
-    * update is O(1) per epoch where a distinct-doc count over the
-    * index is a full scan.
+    *  - `<table>_docs`, the per-document roster `(doc_id, dl)` — THE
+    *    durable source of truth for corpus size and length mass.
+    *    Queries aggregate (n_docs, sum_dl) from it live (distinct
+    *    rows, minus tombstones), so there is no read-modify-write
+    *    stats row to corrupt: a crashed append either landed a doc's
+    *    roster row or it didn't, and a replayed epoch lands
+    *    byte-identical rows the distinct collapses. The roster exists
+    *    separately from postings because zero-token documents have no
+    *    posting rows yet still belong in N and avgdl. Its scan cost is
+    *    two columns over one row per document — ~10⁻⁴ of the corpus
+    *    bytes, dwarfed by any postings read.
+    *  - `<table>_stats`, ONE row `(n_docs, sum_dl, built_docs,
+    *    built_sum_dl)` — BUILD-TIME stamps only (the [[bm25IndexStats]]
+    *    drift reference), written once and never updated; the two
+    *    current-value columns are retained for pre-roster readers.
+    *  - `<table>_terms`, the build-time per-term document frequency
+    *    (drift reference only: query-time idf always aggregates df
+    *    from the live pruned postings, so appends and deletes can
+    *    never serve stale scores).
+    *
+    * Deletion: [[deleteFromBm25Index]] appends ids to
+    * `<table>_tombstones`; every query path anti-joins the roster and
+    * the postings against it, so a tombstoned document is gone from
+    * candidates AND from df/N/avgdl in the same instant — scoring
+    * after a delete is bit-identical to a rebuild without those docs.
+    * [[purgeBm25Index]] makes the deletion physical.
     */
   /** The postings table's own column names — the carryCols collision
     * guard and the append-time carried-column discovery share ONE
@@ -645,9 +658,78 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(tableName + "_terms")
+    // the per-document roster — dl recomputed by the same shared
+    // projection (no explode, so this second corpus pass is a narrow
+    // map); zero-token docs land here with dl = 0 even though they
+    // have no posting rows
+    bm25Docs(df, idCol, textCol).select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(tableName + "_docs")
+    spark.sql(s"DROP TABLE IF EXISTS `${tableName}_tombstones`")
     val n = obs.get("n").asInstanceOf[Long]
     val s = obs.get("s").asInstanceOf[Long]
     writeBm25Stats(spark, tableName, n, s, n, s)
+  }
+
+  /** The live document roster of a BM25 index: distinct `(doc_id, dl)`
+    * rows of `<table>_docs` (replayed epochs land byte-identical rows;
+    * distinct collapses them) minus tombstoned ids — the frame every
+    * (n_docs, sum_dl) aggregate and every deletion-aware read derives
+    * from. Falls back to reconstructing from postings for a pre-roster
+    * index (zero-token legacy docs are invisible there — run
+    * [[repairBm25Index]] once to materialize the roster and get the
+    * build-time count reconciliation).
+    */
+  private def bm25LiveDocs(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): DataFrame = {
+    val base =
+      if (spark.catalog.tableExists(tableName + "_docs"))
+        spark.table(tableName + "_docs").distinct()
+      else
+        spark.table(tableName)
+          .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    bm25Tombstones(spark, tableName) match {
+      case Some(ts) => base.join(broadcast(ts), Seq("doc_id"), "left_anti")
+      case None => base
+    }
+  }
+
+  /** The distinct tombstoned ids of a BM25 index, if any were ever
+    * written. A missing table means no deletions — which is also
+    * exactly the post-[[purgeBm25Index]] state, so every crash point
+    * of the purge leaves reads correct.
+    */
+  private def bm25Tombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(tableName + "_tombstones"))
+      Some(spark.table(tableName + "_tombstones").select("doc_id").distinct())
+    else None
+
+  /** One-row (n_docs, sum_dl) of the CURRENT corpus — aggregated live
+    * from the roster (see [[bm25LiveDocs]]); `_stats`' stored values
+    * are build-time stamps, never read on the query path.
+    */
+  private def bm25CurrentStats(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): DataFrame =
+    bm25LiveDocs(spark, tableName).agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+
+  /** Postings restricted to live (non-tombstoned) documents — the
+    * frame the scoring kernel must see so df, candidates, and carried
+    * metadata all forget a deleted doc in the same instant.
+    */
+  private def bm25LivePostings(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): DataFrame = {
+    val t = spark.table(tableName)
+    bm25Tombstones(spark, tableName) match {
+      case Some(ts) => t.join(broadcast(ts), Seq("doc_id"), "left_anti")
+      case None => t
+    }
   }
 
   private def writeBm25Stats(
@@ -687,11 +769,10 @@ object TextAnalysis {
     val terms = bag.select("term").distinct()
       .collect().map(_.getString(0)).toSeq // bounded: the query vocabulary
     require(terms.nonEmpty, "query bag must have at least one term")
-    val postings = spark.table(tableName)
+    val postings = bm25LivePostings(spark, tableName)
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    val stats = spark.table(tableName + "_stats")
-      .select(col("n_docs"), col("sum_dl"))
+    val stats = bm25CurrentStats(spark, tableName)
     bm25BatchReduce(bm25ScorePostings(postings, stats, k1, b), bag, k)
   }
 
@@ -722,26 +803,40 @@ object TextAnalysis {
     val terms = bag.select("term").distinct()
       .collect().map(_.getString(0)).toSeq // bounded: the query vocabulary
     require(terms.nonEmpty, "query bag must have at least one term")
-    val postings = spark.table(tableName)
+    val postings = bm25LivePostings(spark, tableName)
       .filter(col("term").isin(terms: _*))
-    val stats = spark.table(tableName + "_stats")
-      .select(col("n_docs"), col("sum_dl"))
+    val stats = bm25CurrentStats(spark, tableName)
     bm25BatchReduce(
       bm25ScorePostings(postings, stats, k1, b, Some(predicate)), bag, k)
   }
 
   /** Incremental postings maintenance: tokenize a NEW batch of
-    * documents and append its posting rows through the table's own
-    * bucket spec, then bump the one-row stats additively — each ingest
-    * epoch costs O(batch), never a corpus re-tokenize (the same append
-    * policy as [[Similarity.appendToIvfSqIndex]]). Scoring stays exact
-    * after any number of appends: df aggregates live from the postings
-    * and N/avgdl read the maintained stats row.
+    * documents, append its posting rows through the table's own bucket
+    * spec, then append its `(doc_id, dl)` rows to the roster — each
+    * ingest epoch costs O(batch), never a corpus re-tokenize (the same
+    * append policy as [[Similarity.appendToIvfSqIndex]]). Scoring
+    * stays exact after any number of appends: df aggregates live from
+    * the postings and N/avgdl aggregate live from the roster.
+    *
+    * Durability, stated exactly: both writes are APPENDS of
+    * deterministic rows — there is no read-modify-write anywhere, so
+    * no crash can corrupt existing state. A death between the two
+    * appends leaves the batch's postings present and its roster rows
+    * missing (df sees the docs, N/avgdl don't — a skew
+    * [[repairBm25Index]] detects as a non-zero backfill); re-running
+    * the SAME epoch heals it
+    * completely (every row lands byte-identically; distinct-on-read
+    * collapses the duplicates), and [[repairBm25Index]] heals it
+    * without the batch by backfilling the roster from postings (only a
+    * crashed epoch's ZERO-TOKEN docs are unrecoverable that way — they
+    * have no posting rows — and they vanish consistently, as if never
+    * appended).
     *
     * Contract: batch doc ids must be NEW documents (re-appending an id
     * double-counts its tf and df — the same new-rows contract the ANN
     * appends carry); replayed epochs produce byte-identical duplicate
-    * rows that [[graft.plans.Compaction.compactBucketedTable]] drops.
+    * rows that [[graft.plans.Compaction.compactBucketedTable]] and the
+    * roster's distinct-on-read drop.
     */
   def appendToBm25Index(
       spark: org.apache.spark.sql.SparkSession,
@@ -758,27 +853,161 @@ object TextAnalysis {
     // pass per epoch, same as the build path
     // discover carried metadata from the STORED schema — the batch must
     // supply every carried column (the IVF append's discovery rule)
+    // presence checked with the session's own resolver
+    // (case-insensitive by default), matching how col() will actually
+    // resolve below — the appendToIvfSqIndex rule; a batch supplying
+    // 'Lang' for stored 'lang' must not be spuriously rejected
     val carried = spark.table(tableName).columns.toSeq
       .filterNot(Bm25IndexReservedCols)
-    val missing = carried.filterNot(batch.columns.contains)
+    val resolver = spark.sessionState.analyzer.resolver
+    val missing = carried.filterNot(c => batch.columns.exists(resolver(_, c)))
     require(missing.isEmpty,
       s"batch lacks carried index columns: ${missing.mkString(", ")}")
-    val obs = org.apache.spark.sql.Observation(
-      s"graft-bm25-append-$tableName-${java.util.UUID.randomUUID()}")
+    require(spark.catalog.tableExists(tableName + "_docs"),
+      s"$tableName has no ${tableName}_docs roster (pre-roster index) — " +
+        "run repairBm25Index once to materialize it before appending")
     val docs = bm25Docs(batch, idCol, textCol, carried)
-      .observe(obs, count(lit(1)).as("n"),
-        coalesce(sum(col("dl")), lit(0L)).as("s"))
     val tf = bm25Tf(docs, carried)
     tf.select(("term" +: "doc_id" +: "tf" +: "dl" +: carried).map(col): _*)
       .write.mode("append").format("parquet")
       .bucketBy(bucketSpec.get.numBuckets, "term").sortBy("term")
       .saveAsTable(tableName)
-    val cur = spark.table(tableName + "_stats").head()
-    writeBm25Stats(spark, tableName,
-      cur.getAs[Long]("n_docs") + obs.get("n").asInstanceOf[Long],
-      cur.getAs[Long]("sum_dl") + obs.get("s").asInstanceOf[Long],
-      cur.getAs[Long]("built_docs"), cur.getAs[Long]("built_sum_dl"))
+    // roster rows SECOND: a death in between is the repairable /
+    // replay-healable window documented above (postings-first means the
+    // backfill repair can always reconstruct tokenful docs)
+    docs.select(col("doc_id"), col("dl"))
+      .write.mode("append").format("parquet")
+      .saveAsTable(tableName + "_docs")
     spark.catalog.refreshTable(tableName)
+    spark.catalog.refreshTable(tableName + "_docs")
+  }
+
+  /** Reconcile a BM25 index's roster with its postings — the crash
+    * triage for [[appendToBm25Index]]'s one residual window (death
+    * between the postings append and the roster append) and the
+    * one-time upgrade path for a pre-roster index. Every doc_id
+    * present in postings but missing from the roster gets its
+    * `(doc_id, dl)` row backfilled (dl rides every posting row, so
+    * the reconstruction is exact); doc_ids the roster has that
+    * postings lack are NOT touched — they are the legitimate
+    * zero-token documents. Idempotent: a repaired index repairs to
+    * zero backfills.
+    *
+    * @return (rosterRowsBefore, backfilledDocs) — a non-zero backfill
+    *         after a clean history means an append died mid-protocol;
+    *         for a pre-roster upgrade, compare the result against the
+    *         legacy `_stats` n_docs: a shortfall is the count of
+    *         zero-token legacy docs whose ids are unrecoverable
+    */
+  def repairBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): (Long, Long) = {
+    val hadRoster = spark.catalog.tableExists(tableName + "_docs")
+    val roster =
+      if (hadRoster) Some(spark.table(tableName + "_docs").distinct()) else None
+    val before = roster.map(_.count()).getOrElse(0L)
+    val fromPostings = spark.table(tableName)
+      .groupBy("doc_id").agg(max(col("dl")).as("dl"))
+    val missing = roster match {
+      case Some(r) =>
+        fromPostings.join(r.select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => fromPostings
+    }
+    // materialize the backfill BEFORE writing: the append below reads
+    // the roster table it writes to
+    val rows = missing.localCheckpoint(true)
+    val n = rows.count()
+    if (n > 0 || !hadRoster) {
+      rows.write.mode(if (hadRoster) "append" else "overwrite")
+        .format("parquet").saveAsTable(tableName + "_docs")
+      spark.catalog.refreshTable(tableName + "_docs")
+    }
+    (before, n)
+  }
+
+  /** Delete documents from a materialized BM25 index — the takedown /
+    * PII-purge verb (license revocation, deduplication-driven removal,
+    * a compliance request), O(|ids|) however large the index:
+    * tombstone ids are appended to `<table>_tombstones` and every
+    * query path anti-joins against them, removing the documents from
+    * candidates, df, N, and avgdl in the same instant. Scoring after a
+    * delete is therefore bit-identical to an index REBUILT without
+    * those documents (the delete == rebuild contract, mirror of the
+    * append == rebuild one) — df was always live, and N/avgdl
+    * aggregate from the roster minus tombstones.
+    *
+    * The posting bytes stay on disk until [[purgeBm25Index]] — the
+    * standard logical-delete/physical-purge split (a bucketed postings
+    * table cannot rewrite just "the deleted doc's buckets": doc→bucket
+    * membership is doc→terms, which only a full postings scan knows,
+    * so eager physical deletion would cost O(index) per request).
+    * Unknown ids tombstone harmlessly (the anti-join matches nothing).
+    * Idempotent: re-deleting an id appends a duplicate tombstone row
+    * the distinct-on-read collapses.
+    *
+    * @param ids one-column frame of doc ids to remove
+    * @return number of distinct NEW ids tombstoned (already-tombstoned
+    *         and unknown ids excluded) — the takedown receipt
+    */
+  def deleteFromBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      ids: DataFrame): Long = {
+    require(ids.columns.length == 1, "ids must be a one-column frame of doc ids")
+    val docIdType = spark.table(tableName).schema("doc_id").dataType
+    val ts = ids.select(col(ids.columns.head).cast(docIdType).as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+    // the receipt counts ids that are (a) new to the tombstone set and
+    // (b) actually in the roster — a takedown audit wants "how many
+    // documents did this remove", not "how many rows did I write"
+    val known = ts.join(
+      bm25LiveDocs(spark, tableName).select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val n = known.count()
+    known.write.mode("append").format("parquet")
+      .saveAsTable(tableName + "_tombstones")
+    spark.catalog.refreshTable(tableName + "_tombstones")
+    n
+  }
+
+  /** Make BM25 deletions physical: rewrite the postings and the roster
+    * without the tombstoned documents, then drop the tombstone table.
+    * Answers never change across the purge (reads already excluded
+    * tombstoned docs); what changes is the disk — the deleted bytes
+    * are gone, which is what a compliance purge actually requires.
+    *
+    * Crash safety by ORDERING, not by a transaction: (1) postings
+    * rewrite rides [[graft.plans.Compaction.rewriteBucketedTable]]'s
+    * staged swap (tag `purge`); (2) roster rewrite rides
+    * [[graft.plans.Compaction.rewriteTable]]'s; (3) only THEN is the
+    * tombstone table dropped. A death after any step leaves the
+    * tombstone set intact, and anti-joining an already-purged table is
+    * a no-op — every intermediate state reads exactly like the final
+    * one. A missing tombstone table IS the "nothing deleted" state,
+    * so the final drop needs no staging. Re-running completes the
+    * purge. (The rewrites also run the standard distinct, so a purge
+    * doubles as a compaction pass.)
+    *
+    * @return (postingRowsBefore, postingRowsAfter)
+    */
+  def purgeBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): (Long, Long) = {
+    bm25Tombstones(spark, tableName) match {
+      case None => // already purged (or never deleted): idempotent no-op
+        val n = spark.table(tableName).count()
+        (n, n)
+      case Some(ts) =>
+        val pinned = ts.localCheckpoint(true) // survive the table drop below
+        val counts = graft.plans.Compaction.rewriteBucketedTable(
+          spark, tableName, tag = "purge")(
+          _.join(broadcast(pinned), Seq("doc_id"), "left_anti"))
+        if (spark.catalog.tableExists(tableName + "_docs"))
+          graft.plans.Compaction.rewriteTable(spark, tableName + "_docs")(
+            _.distinct().join(broadcast(pinned), Seq("doc_id"), "left_anti"))
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_tombstones`")
+        counts
+    }
   }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of ranked
@@ -805,7 +1034,11 @@ object TextAnalysis {
       k0: Int = 60
   ): DataFrame = {
     require(runs.nonEmpty, "need at least one ranked run")
-    require(k > 0 && k0 >= 0, "need k > 0 and k0 >= 0")
+    // k0 ≥ 1, not ≥ 0: ranks start at 1 in every producer here, but a
+    // defensive rank-0 row under k0 = 0 would hit div(·, 0), which is
+    // NULL under non-ANSI SQL — silently dropping that row's
+    // contribution from the fused sum instead of failing
+    require(k > 0 && k0 >= 1, "need k > 0 and k0 >= 1")
     val contrib = runs
       .map(_.select(col("query_id"), col("doc_id"),
         call_function("div", lit(1000000L), lit(k0.toLong) + col("rank").cast("long"))
@@ -848,6 +1081,10 @@ object TextAnalysis {
     *                         absent from the build-time snapshot
     * @param maxDfDriftPpm    worst per-term relative df drift (ppm)
     *                         over terms present at build time
+    * @param tombstoneFraction deleted docs still physically present /
+    *                         (live + deleted) — disk and scan waste
+    *                         [[purgeBm25Index]] reclaims; answers are
+    *                         already delete-exact regardless
     */
   final case class Bm25IndexStats(
       totalDocs: Long,
@@ -857,7 +1094,8 @@ object TextAnalysis {
       builtAvgdl: Double,
       avgdlDriftPpm: Long,
       newTermPpm: Long,
-      maxDfDriftPpm: Long)
+      maxDfDriftPpm: Long,
+      tombstoneFraction: Double = 0.0)
 
   /** Measure [[Bm25IndexStats]]: the one-row stats side table plus ONE
     * aggregate over the postings (per-term current df, joined to the
@@ -869,10 +1107,25 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession,
       tableName: String): Bm25IndexStats = {
     val s = spark.table(tableName + "_stats").head()
-    val nDocs = s.getAs[Long]("n_docs")
-    val sumDl = s.getAs[Long]("sum_dl")
     val bDocs = s.getAs[Long]("built_docs")
     val bSumDl = s.getAs[Long]("built_sum_dl")
+    // current values aggregate LIVE from the roster (minus tombstones)
+    // — the _stats row holds build-time stamps only; the extra scan is
+    // two columns over one row per doc
+    val cur = bm25CurrentStats(spark, tableName).head()
+    val nDocs = cur.getAs[Long]("n_docs")
+    val sumDl = cur.getAs[Long]("sum_dl")
+    // tombstone mass: distinct dead ids still physically present —
+    // the signal that a purge pass is due
+    val deadDocs = bm25Tombstones(spark, tableName) match {
+      case Some(ts) =>
+        val roster =
+          if (spark.catalog.tableExists(tableName + "_docs"))
+            spark.table(tableName + "_docs").select("doc_id").distinct()
+          else spark.table(tableName).select("doc_id").distinct()
+        ts.join(roster, Seq("doc_id"), "left_semi").count()
+      case None => 0L
+    }
     val appended =
       if (nDocs == 0L) 0.0 else math.max(0L, nDocs - bDocs).toDouble / nDocs
     val avgdl = if (nDocs == 0L) 0.0 else sumDl.toDouble / nDocs
@@ -880,10 +1133,10 @@ object TextAnalysis {
     val avgdlDrift =
       if (bAvgdl == 0.0) 0L
       else math.round(math.abs(avgdl - bAvgdl) / bAvgdl * 1e6)
-    val cur = spark.table(tableName)
+    val curDf = bm25LivePostings(spark, tableName)
       .groupBy("term").agg(count(lit(1)).as("cur_df"))
     val built = spark.table(tableName + "_terms")
-    val d = cur.join(built, Seq("term"), "left_outer")
+    val d = curDf.join(built, Seq("term"), "left_outer")
       .agg(
         count(lit(1)).as("n_terms"),
         coalesce(sum(when(col("df").isNull, 1L).otherwise(0L)), lit(0L))
@@ -897,7 +1150,9 @@ object TextAnalysis {
     Bm25IndexStats(
       nDocs, bDocs, appended, avgdl, bAvgdl, avgdlDrift,
       if (nTerms == 0L) 0L else d.getAs[Long]("new_terms") * 1000000L / nTerms,
-      if (d.isNullAt(2)) 0L else d.getAs[Long]("max_drift"))
+      if (d.isNullAt(2)) 0L else d.getAs[Long]("max_drift"),
+      if (nDocs + deadDocs == 0L) 0.0
+      else deadDocs.toDouble / (nDocs + deadDocs))
   }
 
   /** The operational refresh threshold for a BM25 index, mirroring
@@ -915,10 +1170,14 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession,
       tableName: String,
       maxAppendedFraction: Double = 0.5,
-      maxAvgdlDriftPpm: Long = 200000L): Boolean = {
+      maxAvgdlDriftPpm: Long = 200000L,
+      maxTombstoneFraction: Double = 0.2): Boolean = {
     val st = bm25IndexStats(spark, tableName)
     st.appendedFraction > maxAppendedFraction ||
-      st.avgdlDriftPpm > maxAvgdlDriftPpm
+      st.avgdlDriftPpm > maxAvgdlDriftPpm ||
+      // answers stay exact under tombstones; what degrades is bytes
+      // scanned and stored — past the threshold, run purgeBm25Index
+      st.tombstoneFraction > maxTombstoneFraction
   }
 
   /** Feature-hashed document vectors — the hashing trick (HashingTF

@@ -198,54 +198,126 @@ object Compaction {
   def compactBucketedTable(
       spark: SparkSession,
       tableName: String
-  ): (Long, Long) = {
+  ): (Long, Long) =
+    rewriteBucketedTable(spark, tableName, tag = "compact")(identity)
+
+  /** Staged in-place rewrite of a BUCKETED catalog table — the
+    * generalized machinery behind [[compactBucketedTable]] (transform
+    * = identity) and the index families' tombstone purges
+    * ([[graft.operators.TextAnalysis.purgeBm25Index]] and kin), where
+    * transform = anti-join against the tombstone roster. The pipeline
+    * is always `distinct().transform(...)` re-written through the
+    * table's OWN bucket spec, so every caller gets replay-residue
+    * dedup plus the same durability contract: rewrite lands in
+    * `<table>__<tag>_tmp`, install is the two catalog renames with
+    * exception rollback, a death between them auto-recovers on rerun,
+    * and table-beside-`__<tag>_old` refuses. `tag` keeps different
+    * maintenance jobs' crash states distinguishable in the catalog
+    * (`compact` vs `purge`), mirroring [[stagedParquetSwap]].
+    *
+    * @return (rowsBefore, rowsAfter) observed on the rewrite itself
+    */
+  def rewriteBucketedTable(
+      spark: SparkSession,
+      tableName: String,
+      tag: String = "compact"
+  )(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Long, Long) = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val catalog = spark.sessionState.catalog
+    // both counts observed ON the rewrite itself — separate count()
+    // passes would double the table scans (the Migrator.copyTable
+    // pattern: never re-scan just to read a number)
+    val obsIn = org.apache.spark.sql.Observation(
+      s"graft-$tag-in-$tableName-${java.util.UUID.randomUUID()}")
+    val obsOut = org.apache.spark.sql.Observation(
+      s"graft-$tag-out-$tableName-${java.util.UUID.randomUUID()}")
+    val cnt = org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("n")
+    stagedTableSwap(spark, tableName, tag) { tmp =>
+      // metadata read INSIDE the swap: the crash triage may first have
+      // to recover the table from its __<tag>_old copy
+      val spec = catalog.getTableMetadata(TableIdentifier(tableName)).bucketSpec
+        .getOrElse(throw new IllegalArgumentException(
+          s"$tableName is not bucketed — compact its directory with compactParquet instead"))
+      val data = transform(spark.table(tableName).observe(obsIn, cnt).distinct())
+        .observe(obsOut, cnt)
+      val writer = data
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+          spec.bucketColumnNames.tail: _*)
+      (if (spec.sortColumnNames.nonEmpty)
+        writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      else writer).saveAsTable(tmp)
+    }
+    (obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
+  }
+
+  /** [[rewriteBucketedTable]] for a PLAIN (non-bucketed) catalog
+    * parquet table — the side-table twin (`<index>_docs` rosters and
+    * similar), with the identical crash contract. The transform sees
+    * the raw table (no implicit distinct — side tables own their
+    * dedup semantics).
+    */
+  def rewriteTable(
+      spark: SparkSession,
+      tableName: String,
+      tag: String = "purge"
+  )(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Long, Long) = {
+    val obsIn = org.apache.spark.sql.Observation(
+      s"graft-$tag-in-$tableName-${java.util.UUID.randomUUID()}")
+    val obsOut = org.apache.spark.sql.Observation(
+      s"graft-$tag-out-$tableName-${java.util.UUID.randomUUID()}")
+    val cnt = org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("n")
+    stagedTableSwap(spark, tableName, tag) { tmp =>
+      transform(spark.table(tableName).observe(obsIn, cnt)).observe(obsOut, cnt)
+        .write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    }
+    (obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
+  }
+
+  /** The catalog-table half of the durability contract
+    * ([[stagedParquetSwap]] in catalog terms): triage crash states,
+    * drop a stale `__<tag>_tmp`, run `writeTmp` against the tmp table
+    * name while the live table stays readable, install via the two
+    * renames with exception rollback, drop the old copy, refresh.
+    */
+  private[plans] def stagedTableSwap(
+      spark: SparkSession,
+      tableName: String,
+      tag: String
+  )(writeTmp: String => Unit): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     val catalog = spark.sessionState.catalog
     // a temp view shadowing the table name would hijack BOTH the read
     // (spark.table resolves the view's rows into the rewrite) and the
     // rename (ALTER TABLE RENAME hits the view) — refuse up front
     require(catalog.getTempView(tableName).isEmpty,
-      s"a temp view shadows table $tableName — drop it before compacting")
-    val tmp = tableName + "__compact_tmp"
-    val old = tableName + "__compact_old"
+      s"a temp view shadows table $tableName — drop it before rewriting")
+    val tmp = tableName + s"__${tag}_tmp"
+    val old = tableName + s"__${tag}_old"
     val tableExists = catalog.tableExists(TableIdentifier(tableName))
     val oldExists = catalog.tableExists(TableIdentifier(old))
     if (!tableExists && oldExists) {
       // death between the two install renames: the original is the
-      // __compact_old copy — recover it, never drop it
+      // __<tag>_old copy — recover it, never drop it
       spark.sql(s"ALTER TABLE `$old` RENAME TO `$tableName`")
     } else if (!tableExists) {
       throw new java.util.NoSuchElementException(
-        s"compaction target table $tableName does not exist")
+        s"$tag target table $tableName does not exist")
     } else if (oldExists) {
       throw new IllegalStateException(
-        s"refusing to compact $tableName: leftover $old exists alongside it " +
+        s"refusing to $tag $tableName: leftover $old exists alongside it " +
           "(a previous run died after install but before cleanup, or another " +
-          "compactor is running) — inspect and drop one copy first")
+          "maintenance job is running) — inspect and drop one copy first")
     }
     spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
-    val spec = catalog.getTableMetadata(TableIdentifier(tableName)).bucketSpec
-      .getOrElse(throw new IllegalArgumentException(
-        s"$tableName is not bucketed — compact its directory with compactParquet instead"))
-    // both counts observed ON the rewrite itself — separate count()
-    // passes would double the table scans (the Migrator.copyTable
-    // pattern: never re-scan just to read a number)
-    val obsIn = org.apache.spark.sql.Observation(s"graft-compact-in-$tableName")
-    val obsOut = org.apache.spark.sql.Observation(s"graft-compact-out-$tableName")
-    val cnt = org.apache.spark.sql.functions
-      .count(org.apache.spark.sql.functions.lit(1)).as("n")
-    val data = spark.table(tableName).observe(obsIn, cnt)
-      .distinct().observe(obsOut, cnt)
-    val writer = data
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
-        spec.bucketColumnNames.tail: _*)
-    (if (spec.sortColumnNames.nonEmpty)
-      writer.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
-    else writer).saveAsTable(tmp)
+    writeTmp(tmp)
     spark.sql(s"ALTER TABLE `$tableName` RENAME TO `$old`")
     // same rollback contract as compactParquet's swap: an exception
-    // installing the compacted copy restores the original name. The
+    // installing the rewritten copy restores the original name. The
     // restore's own failure (e.g. the same catalog outage) must not
     // mask the root cause — attach it as suppressed and rethrow the
     // install exception; the on-disk state is then the documented
@@ -259,6 +331,5 @@ object Compaction {
     }
     spark.sql(s"DROP TABLE `$old`")
     spark.catalog.refreshTable(tableName)
-    (obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
   }
 }

@@ -658,4 +658,141 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_replay", queries, k = 5))
     assert(after == before, "compaction must not change answers")
   }
+
+  test("reciprocalRankFusion: k0 = 0 rejected — rank 0 would div-by-zero to NULL silently") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.reciprocalRankFusion(Seq(a), k = 1, k0 = 0)
+    }
+  }
+
+  test("bm25 append: carried-column presence check uses the session resolver (case-insensitive)") {
+    import spark.implicits._
+    val docs = table("documents")
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") < 50), "doc_id", "text",
+      "bm25_case", buckets = 2, carryCols = Seq("lang"))
+    // a batch supplying 'Lang' for stored 'lang' must be ACCEPTED —
+    // col() resolves it case-insensitively, so the guard must too
+    val batch = docs.filter(col("doc_id").between(50, 59))
+      .select(col("doc_id"), col("text"), col("lang").as("Lang"))
+    TextAnalysis.appendToBm25Index(spark, "bm25_case", batch, "doc_id", "text")
+    val st = TextAnalysis.bm25IndexStats(spark, "bm25_case")
+    assert(st.totalDocs === docs.filter(col("doc_id") < 60).count())
+  }
+
+  test("bm25 delete == rebuild: scores bit-identical to an index built without the docs") {
+    import spark.implicits._
+    val docs = table("documents")
+    val queries = Seq((1L, "spark"), (1L, "hash"), (2L, "merge"), (2L, "vector"))
+      .toDF("query_id", "term")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", "bm25_del", buckets = 4)
+    val gone = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+    val receipt = TextAnalysis.deleteFromBm25Index(spark, "bm25_del", gone)
+    assert(receipt === gone.count(), "receipt counts removed documents")
+    TextAnalysis.writeBm25Index(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", "bm25_del_ref", buckets = 4)
+    assert(
+      bm25Rows(TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_del", queries, k = 5))
+        == bm25Rows(TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_del_ref", queries, k = 5)),
+      "deleted index must score exactly like a rebuild without the docs")
+    // the second consumer (TF-IDF off the same postings) forgets them too
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "rank").collect().map(_.toString).toSeq
+    assert(rows(TextAnalysis.tfidfTopTermsFromIndex(spark, "bm25_del", k = 3))
+      == rows(TextAnalysis.tfidfTopTermsFromIndex(spark, "bm25_del_ref", k = 3)))
+    // idempotent: re-deleting the same ids removes nothing further;
+    // unknown ids tombstone harmlessly
+    assert(TextAnalysis.deleteFromBm25Index(spark, "bm25_del", gone) === 0L)
+    assert(TextAnalysis.deleteFromBm25Index(spark, "bm25_del",
+      Seq(987654321L).toDF("doc_id")) === 0L)
+  }
+
+  test("bm25 delete: zero-token documents leave N exactly (roster, not postings, is truth)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, ""), (3L, "alpha"), (4L, "   "))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(corpus, "doc_id", "text", "bm25_zt", buckets = 2)
+    assert(TextAnalysis.bm25IndexStats(spark, "bm25_zt").totalDocs === 4,
+      "zero-token docs belong in N")
+    // deleting a zero-token doc has no posting rows to anti-join, yet
+    // must still decrement N — only the roster knows it existed
+    assert(TextAnalysis.deleteFromBm25Index(spark, "bm25_zt",
+      Seq(2L, 4L).toDF("doc_id")) === 2L)
+    val st = TextAnalysis.bm25IndexStats(spark, "bm25_zt")
+    assert(st.totalDocs === 2)
+    assert(st.tombstoneFraction === 0.5)
+  }
+
+  test("bm25 purge: every intermediate crash state reads like the final one; disk shrinks") {
+    import spark.implicits._
+    val docs = table("documents")
+    val queries = Seq((1L, "spark"), (2L, "hash")).toDF("query_id", "term")
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", "bm25_pg", buckets = 4)
+    val gone = docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+    TextAnalysis.deleteFromBm25Index(spark, "bm25_pg", gone)
+    val logical = bm25Rows(
+      TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_pg", queries, k = 5))
+    // simulate a purge that died after step 1 (postings rewritten,
+    // tombstones still present): reads must be unchanged — the
+    // anti-join over already-purged postings is a no-op
+    val ts = spark.table("bm25_pg_tombstones").select("doc_id").localCheckpoint(true)
+    graft.plans.Compaction.rewriteBucketedTable(spark, "bm25_pg", tag = "purge")(
+      _.join(broadcast(ts), Seq("doc_id"), "left_anti"))
+    assert(bm25Rows(TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_pg", queries, k = 5))
+      == logical, "crash between purge steps must not change answers")
+    // re-running the purge completes it
+    val (before, after) = TextAnalysis.purgeBm25Index(spark, "bm25_pg")
+    assert(before === after, "step-1 rows were already purged")
+    assert(!spark.catalog.tableExists("bm25_pg_tombstones"))
+    assert(bm25Rows(TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_pg", queries, k = 5))
+      == logical, "purge must not change answers")
+    // physically gone: no posting row and no roster row carries a dead id
+    val deadIds = gone.collect().map(_.getLong(0)).toSet
+    assert(spark.table("bm25_pg").filter(col("doc_id").isin(deadIds.toSeq: _*)).count() === 0)
+    assert(spark.table("bm25_pg_docs").filter(col("doc_id").isin(deadIds.toSeq: _*)).count() === 0)
+    assert(TextAnalysis.bm25IndexStats(spark, "bm25_pg").tombstoneFraction === 0.0)
+    // idempotent: purging an unpurged... already-clean index is a no-op
+    val (b2, a2) = TextAnalysis.purgeBm25Index(spark, "bm25_pg")
+    assert(b2 === a2)
+  }
+
+  test("bm25 repair: crashed append (postings landed, roster rows lost) backfills exactly") {
+    import spark.implicits._
+    val docs = table("documents")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val queries = Seq((1L, "spark"), (2L, "merge")).toDF("query_id", "term")
+    TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_crash", buckets = 4)
+    TextAnalysis.appendToBm25Index(spark, "bm25_crash", batch, "doc_id", "text")
+    // simulate the death BETWEEN the two appends: roll the roster back
+    // to base only (the postings keep the batch)
+    graft.plans.Compaction.rewriteTable(spark, "bm25_crash_docs", tag = "purge")(
+      _.join(base.select("doc_id"), Seq("doc_id"), "left_semi"))
+    // a clean index repairs to zero; this one must backfill the batch
+    val (_, backfilled) = TextAnalysis.repairBm25Index(spark, "bm25_crash")
+    assert(backfilled === batch.count(), "every tokenful crashed doc recovered")
+    assert(TextAnalysis.repairBm25Index(spark, "bm25_crash")._2 === 0L, "idempotent")
+    // after repair the index answers like a clean build over the union
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", "bm25_crash_ref", buckets = 4)
+    assert(
+      bm25Rows(TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_crash", queries, k = 5))
+        == bm25Rows(TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_crash_ref", queries, k = 5)))
+  }
+
+  test("bm25 staleness: tombstone mass flags the purge the same way append mass flags rebuild") {
+    import spark.implicits._
+    val docs = table("documents").filter(col("doc_id") < 200)
+    TextAnalysis.writeBm25Index(docs, "doc_id", "text", "bm25_tsf", buckets = 2)
+    assert(!TextAnalysis.isStaleBm25Index(spark, "bm25_tsf"))
+    TextAnalysis.deleteFromBm25Index(spark, "bm25_tsf",
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id"))
+    val st = TextAnalysis.bm25IndexStats(spark, "bm25_tsf")
+    assert(st.tombstoneFraction > 0.2, st.toString)
+    assert(TextAnalysis.isStaleBm25Index(spark, "bm25_tsf"),
+      "tombstone-dominated index must flag")
+    TextAnalysis.purgeBm25Index(spark, "bm25_tsf")
+    assert(!TextAnalysis.isStaleBm25Index(spark, "bm25_tsf"),
+      "purge must clear the flag")
+  }
 }
