@@ -1227,7 +1227,12 @@ object Dedup {
       duplicateFraction: Double,
       maxBucketRows: Long,
       nBlockingKeys: Long,
-      bucketSkew: Double)
+      bucketSkew: Double,
+      // deleted ids still physically present / totalRows — disk and
+      // scan waste [[purgeMinhashIndex]] reclaims; collisions are
+      // already delete-exact regardless. Trailing default keeps older
+      // positional constructions valid.
+      tombstoneFraction: Double = 0.0)
 
   /** Measure [[MinhashIndexStats]]: ONE pass over the index, grouped
     * by `sig_0` — the table's bucket column, so the single shuffle can
@@ -1254,13 +1259,19 @@ object Dedup {
     val maxBucket = if (r.isNullAt(2)) 0L else r.getLong(2)
     val nKeys = r.getLong(3)
     val mean = if (nKeys == 0L) 0.0 else total.toDouble / nKeys
+    val dead = minhashTombstones(spark, tableName) match {
+      case Some(ts) =>
+        ts.join(t.select("index_id"), Seq("index_id"), "left_semi").count()
+      case None => 0L
+    }
     MinhashIndexStats(
       total,
       distinctRows,
       if (total == 0L) 0.0 else (total - distinctRows).toDouble / total,
       maxBucket,
       nKeys,
-      if (mean == 0.0) 1.0 else maxBucket / mean)
+      if (mean == 0.0) 1.0 else maxBucket / mean,
+      if (total == 0L) 0.0 else dead.toDouble / total)
   }
 
   /** The operational decision API over [[minhashIndexStats]] — parity
@@ -1291,10 +1302,92 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       tableName: String,
       maxDuplicateFraction: Double = 0.25,
-      maxBucketSkew: Double = 64.0): Boolean = {
+      maxBucketSkew: Double = 64.0,
+      maxTombstoneFraction: Double = 0.2): Boolean = {
     val s = minhashIndexStats(spark, tableName)
-    s.duplicateFraction > maxDuplicateFraction || s.bucketSkew > maxBucketSkew
+    s.duplicateFraction > maxDuplicateFraction || s.bucketSkew > maxBucketSkew ||
+      // collisions stay exact under tombstones; what degrades is bytes
+      // scanned and stored — past the threshold, run purgeMinhashIndex
+      s.tombstoneFraction > maxTombstoneFraction
   }
+
+  /** The distinct tombstoned ids of a signature index, if any were
+    * ever written — a missing table means no deletions, which is also
+    * exactly the post-[[purgeMinhashIndex]] state.
+    */
+  private def minhashTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(tableName + "_tombstones"))
+      Some(spark.table(tableName + "_tombstones").select("index_id").distinct())
+    else None
+
+  /** Delete documents from a materialized signature index — the
+    * takedown / PII-purge verb, O(|ids|) however large the index: ids
+    * land in `<table>_tombstones` and
+    * [[portableMinhashPairsAgainstIndex]] anti-joins the history side
+    * against them (BEFORE the hot-bucket cap, exactly as a rebuilt
+    * index would apply it), so a deleted document can never collide
+    * with an arriving batch again. Collision output after a delete is
+    * identical to an index rebuilt without those docs — signatures
+    * are per-row, nothing corpus-wide moves. Physical removal is
+    * [[purgeMinhashIndex]]; unknown ids tombstone harmlessly;
+    * re-deletes are idempotent.
+    *
+    * @param ids one-column frame of document ids to remove
+    * @return distinct NEW ids actually removed — the takedown receipt
+    */
+  def deleteFromMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      ids: DataFrame): Long = {
+    require(ids.columns.length == 1, "ids must be a one-column frame of ids")
+    val idType = spark.table(tableName).schema("index_id").dataType
+    val ts = ids.select(col(ids.columns.head).cast(idType).as("index_id"))
+      .filter(col("index_id").isNotNull).distinct()
+    val live = minhashTombstones(spark, tableName) match {
+      case Some(t) => spark.table(tableName)
+        .join(broadcast(t), Seq("index_id"), "left_anti")
+      case None => spark.table(tableName)
+    }
+    val known = ts.join(live.select("index_id"), Seq("index_id"), "left_semi")
+      .localCheckpoint(true)
+    val n = known.count()
+    known.write.mode("append").format("parquet")
+      .saveAsTable(tableName + "_tombstones")
+    spark.catalog.refreshTable(tableName + "_tombstones")
+    n
+  }
+
+  /** Make signature-index deletions physical: rewrite the signature
+    * rows without the tombstoned ids (riding
+    * [[graft.plans.Compaction.rewriteBucketedTable]]'s staged swap,
+    * tag `purge`; the rewrite's distinct also drops replay residue),
+    * then drop the tombstone table. Crash safety by ordering — the
+    * tombstone drop comes last, anti-joining already-purged rows is a
+    * no-op, and a missing tombstone table IS the purged state; every
+    * intermediate crash state reads like the final one, and re-running
+    * completes the purge. The stored shingle-width stamp survives the
+    * rewrite (column metadata rides the bucket spec), so appends still
+    * validate afterwards.
+    *
+    * @return (rowsBefore, rowsAfter)
+    */
+  def purgeMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): (Long, Long) =
+    minhashTombstones(spark, tableName) match {
+      case None =>
+        val n = spark.table(tableName).count()
+        (n, n)
+      case Some(ts) =>
+        val pinned = ts.localCheckpoint(true) // survive the drop below
+        val counts = graft.plans.Compaction.rewriteBucketedTable(
+          spark, tableName, tag = "purge")(
+          _.join(broadcast(pinned), Seq("index_id"), "left_anti"))
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_tombstones`")
+        counts
+    }
 
   /** Incremental near-dup against a MATERIALIZED index
     * ([[writeMinhashIndex]]): identical output contract to
@@ -1341,10 +1434,16 @@ object Dedup {
       portableMinhashSignatures(batch, idCol, textCol, n, k),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = bSig.select("sig_0").distinct().limit(pruneKeys + 1).collect()
+    // tombstones excluded BEFORE the hot-bucket cap: the cap must see
+    // the live rows only, exactly as a rebuilt index would
+    val live = minhashTombstones(spark, tableName) match {
+      case Some(ts) => index.join(broadcast(ts), Seq("index_id"), "left_anti")
+      case None => index
+    }
     val iSig = capBuckets(
       if (keys.length <= pruneKeys)
-        index.filter(col("sig_0").isin(keys.map(_.getLong(0)).toIndexedSeq: _*))
-      else index,
+        live.filter(col("sig_0").isin(keys.map(_.getLong(0)).toIndexedSeq: _*))
+      else live,
       Seq("sig_0"), maxBucket)
     val bSide = (1 until k).foldLeft(bSig.withColumnRenamed(idCol, "batch_id")) {
       (d, j) => d.withColumnRenamed(s"sig_$j", s"a_$j")

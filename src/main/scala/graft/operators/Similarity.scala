@@ -1138,7 +1138,12 @@ object Similarity {
       appendedFraction: Double,
       nLists: Int,
       maxListRows: Long,
-      listSkew: Double)
+      listSkew: Double,
+      // deleted rows still physically present / totalRows — disk and
+      // scan waste purgeIvfSqIndex reclaims; answers are already
+      // delete-exact regardless. Trailing default keeps older
+      // positional constructions valid.
+      tombstoneFraction: Double = 0.0)
 
   /** Measure [[IvfIndexStats]] for an index table: one aggregate over
     * the bucketed index (per-list counts — at most `nLists` rows reach
@@ -1163,8 +1168,15 @@ object Similarity {
       if (total == 0L) 0.0 else math.max(0L, total - built).toDouble / total
     val maxList = if (perList.isEmpty) 0L else perList.max
     val mean = if (nLists == 0) 0.0 else total.toDouble / nLists
+    val dead = ivfTombstones(spark, tableName) match {
+      case Some(ts) =>
+        ts.join(spark.table(tableName).select("neighbor_id"),
+          Seq("neighbor_id"), "left_semi").count()
+      case None => 0L
+    }
     IvfIndexStats(total, built, appendedFraction, nLists, maxList,
-      if (mean == 0.0) 1.0 else maxList / mean)
+      if (mean == 0.0) 1.0 else maxList / mean,
+      if (total == 0L) 0.0 else dead.toDouble / total)
   }
 
   /** The operational rebuild threshold [[appendToIvfSqIndex]]'s design
@@ -1192,10 +1204,134 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       tableName: String,
       maxAppendedFraction: Double = 0.5,
-      maxListSkew: Double = 4.0): Boolean = {
+      maxListSkew: Double = 4.0,
+      maxTombstoneFraction: Double = 0.2): Boolean = {
     val s = ivfIndexStats(spark, tableName)
-    s.appendedFraction > maxAppendedFraction || s.listSkew > maxListSkew
+    s.appendedFraction > maxAppendedFraction || s.listSkew > maxListSkew ||
+      // answers stay exact under tombstones; what degrades is bytes
+      // scanned and stored — past the threshold, run purgeIvfSqIndex
+      s.tombstoneFraction > maxTombstoneFraction
   }
+
+  /** The distinct tombstoned ids of an IVF index (SQ or PQ — shared
+    * layout), if any were ever written. A missing table means no
+    * deletions, which is also exactly the post-purge state — every
+    * crash point of [[purgeIvfSqIndex]] leaves reads correct.
+    */
+  private def ivfTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(tableName + "_tombstones"))
+      Some(spark.table(tableName + "_tombstones").select("neighbor_id").distinct())
+    else None
+
+  /** The index's code rows restricted to live (non-tombstoned)
+    * vectors — what every query path's phase 1 must see, so a deleted
+    * vector can never reach a shortlist. The broadcast anti-join sits
+    * ABOVE the bucketed scan, so probed-list pruning and pushed
+    * metadata predicates are untouched.
+    */
+  private def ivfLiveRows(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): DataFrame = {
+    val t = spark.table(tableName)
+    ivfTombstones(spark, tableName) match {
+      case Some(ts) => t.join(broadcast(ts), Seq("neighbor_id"), "left_anti")
+      case None => t
+    }
+  }
+
+  /** Delete vectors from a materialized IVF-SQ index — the takedown /
+    * PII-purge verb, O(|ids|) however large the index: ids land in
+    * `<table>_tombstones` and every query path anti-joins its phase-1
+    * candidates against them, so a deleted vector can never appear in
+    * a shortlist or a result. Search after a delete returns exactly
+    * what an index REBUILT without those vectors (with the SAME
+    * quantizer — `pinQuantizerFrom`) returns: the quantizer never
+    * moves on delete, list membership of survivors is untouched, and
+    * ranking is per-row. (A fresh-quantizer rebuild re-samples
+    * centroids from the smaller corpus and may legitimately probe
+    * differently — that is drift repair, not deletion.)
+    *
+    * The vector's bytes stay on disk until [[purgeIvfSqIndex]] — a
+    * bucketed codes table cannot rewrite just "the deleted ids'
+    * lists" without knowing their vectors (id→list is id→vector),
+    * which only a full index scan recovers; the logical-delete /
+    * physical-purge split keeps the delete O(|ids|). Unknown ids
+    * tombstone harmlessly; re-deletes are idempotent.
+    *
+    * @param ids one-column frame of neighbor ids to remove
+    * @return distinct NEW ids actually removed (already-tombstoned and
+    *         unknown ids excluded) — the takedown receipt
+    */
+  def deleteFromIvfSqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      ids: DataFrame): Long = {
+    require(ids.columns.length == 1, "ids must be a one-column frame of ids")
+    val idType = spark.table(tableName).schema("neighbor_id").dataType
+    val ts = ids.select(col(ids.columns.head).cast(idType).as("neighbor_id"))
+      .filter(col("neighbor_id").isNotNull).distinct()
+    val known = ts.join(
+      ivfLiveRows(spark, tableName).select("neighbor_id"),
+      Seq("neighbor_id"), "left_semi")
+      .localCheckpoint(true)
+    val n = known.count()
+    known.write.mode("append").format("parquet")
+      .saveAsTable(tableName + "_tombstones")
+    spark.catalog.refreshTable(tableName + "_tombstones")
+    n
+  }
+
+  /** [[deleteFromIvfSqIndex]] for an IVF-PQ index — the two families
+    * share the `(neighbor_id, __list, …)` layout and the tombstone
+    * machinery verbatim.
+    */
+  def deleteFromIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      ids: DataFrame): Long =
+    deleteFromIvfSqIndex(spark, tableName, ids)
+
+  /** Make IVF deletions physical: rewrite the code rows without the
+    * tombstoned ids (riding
+    * [[graft.plans.Compaction.rewriteBucketedTable]]'s staged swap,
+    * tag `purge`), then drop the tombstone table. The centroid /
+    * codebook side tables are deliberately untouched — the quantizer
+    * is corpus-wide state that deletion must NOT move (that is the
+    * delete == rebuild contract). Crash safety by ordering: the
+    * tombstone drop comes last, anti-joining already-purged rows is a
+    * no-op, and a missing tombstone table IS the purged state — every
+    * intermediate crash state reads exactly like the final one, and
+    * re-running completes the purge. The rewrite also runs the
+    * standard distinct, so a purge doubles as replay-residue
+    * compaction.
+    *
+    * @return (rowsBefore, rowsAfter)
+    */
+  def purgeIvfSqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): (Long, Long) =
+    ivfTombstones(spark, tableName) match {
+      case None =>
+        val n = spark.table(tableName).count()
+        (n, n)
+      case Some(ts) =>
+        val pinned = ts.localCheckpoint(true) // survive the drop below
+        val counts = graft.plans.Compaction.rewriteBucketedTable(
+          spark, tableName, tag = "purge")(
+          _.join(broadcast(pinned), Seq("neighbor_id"), "left_anti"))
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_tombstones`")
+        counts
+    }
+
+  /** [[purgeIvfSqIndex]] for an IVF-PQ index — shared layout, shared
+    * machinery.
+    */
+  def purgeIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): (Long, Long) =
+    purgeIvfSqIndex(spark, tableName)
 
   /** Query a materialized IVF-SQ index ([[writeIvfSqIndex]]): the
     * shared [[ivfSqSearch]] kernel with every corpus-side input read
@@ -1205,7 +1341,9 @@ object Similarity {
     * whole index; phase 2 joins the tiny shortlist back to the stored
     * vectors by id. Results are identical to the in-memory path built
     * with the same knobs, because the stored centroids pin the
-    * quantizer and the kernel is shared.
+    * quantizer and the kernel is shared. Tombstoned ids
+    * ([[deleteFromIvfSqIndex]]) are excluded from phase 1, so they can
+    * never reach a shortlist.
     */
   def ivfQuantizedTopKFromIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -1219,7 +1357,7 @@ object Similarity {
   ): DataFrame = {
     require(k > 0 && nProbe > 0 && shortlist >= k)
     ivfSqSearch(
-      spark.table(tableName).select("neighbor_id", "__list", "__cq"),
+      ivfLiveRows(spark, tableName).select("neighbor_id", "__list", "__cq"),
       spark.table(tableName).select(col("neighbor_id"), col("__cv"), col("__cn")),
       typedlit(loadCentroids(spark, tableName)), queries, queryIdCol, queryVecCol,
       k, nProbe, shortlist, pruneLists = true)
@@ -1259,7 +1397,8 @@ object Similarity {
     require(k > 0 && nProbe > 0 && shortlist >= k)
     val t = spark.table(tableName)
     ivfSqSearch(
-      t.filter(predicate).select("neighbor_id", "__list", "__cq"),
+      ivfLiveRows(spark, tableName).filter(predicate)
+        .select("neighbor_id", "__list", "__cq"),
       t.select(col("neighbor_id"), col("__cv"), col("__cn")),
       typedlit(loadCentroids(spark, tableName)), queries, queryIdCol, queryVecCol,
       k, nProbe, shortlist, pruneLists = true)
@@ -1641,7 +1780,7 @@ object Similarity {
     val dim = seeds.head.length
     require(dim % m == 0, s"stored dim $dim not divisible by stored m $m")
     ivfPqSearch(
-      spark.table(tableName).select("neighbor_id", "__list", "__pq"),
+      ivfLiveRows(spark, tableName).select("neighbor_id", "__list", "__pq"),
       spark.table(tableName).select(col("neighbor_id"), col("__cv"), col("__cn")),
       typedlit(loadCentroids(spark, tableName)),
       seeds, m, dim / m,

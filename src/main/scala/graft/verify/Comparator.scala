@@ -397,6 +397,41 @@ object Comparator {
       .select(keys.map(col) :+ col("diff_status"): _*)
   }
 
+  /** Negative-space deletion audit — the compliance read a takedown /
+    * PII purge ends with: for each probe id, how many rows still carry
+    * it on each named surface (base table, index postings, rosters,
+    * tombstones, served query results …). A deleted id must show 0 on
+    * every post-purge surface while untouched ids show their expected
+    * presence — the per-id counts are the evidence, not a bare
+    * boolean, so an audit row can be compared against an independent
+    * recomputation (the CORRECTNESS gate does exactly that).
+    *
+    * Scale shape: one broadcast-probe aggregate per surface (probes
+    * are a bounded audit sample; each surface scans once, grouped by
+    * id), left-joined back to the probe frame so absent ids read 0 —
+    * never a collect of surface rows.
+    *
+    * Output: (id, <surface>_rows …) — one BIGINT column per surface,
+    * in the given order, one row per distinct probe id.
+    */
+  def absenceAudit(
+      probes: DataFrame,
+      probeCol: String,
+      surfaces: Seq[(String, DataFrame, String)] // (name, frame, idCol)
+  ): DataFrame = {
+    require(surfaces.nonEmpty, "need at least one surface to audit")
+    val base = probes.select(col(probeCol).as("id")).distinct()
+    surfaces.foldLeft(base) { case (acc, (name, frame, idCol)) =>
+      val counts = frame
+        .join(broadcast(base), frame(idCol) === base("id"), "left_semi")
+        .groupBy(col(idCol).as("id"))
+        .agg(count(lit(1)).as(s"${name}_rows"))
+      acc.join(counts, Seq("id"), "left_outer")
+        .withColumn(s"${name}_rows",
+          coalesce(col(s"${name}_rows"), lit(0L)))
+    }
+  }
+
   /** Deep compare of one table on both sides via [[checksum]]. */
   def compareChecksums(
       spark: SparkSession,

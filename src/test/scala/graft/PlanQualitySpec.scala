@@ -621,6 +621,47 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("deleted indexes still bucket-prune: the tombstone anti-join sits ABOVE the pruned scan") {
+    import spark.implicits._
+    // BM25: delete some docs, then the query bag's terms must still
+    // prune buckets and push the IN(), with the tombstone exclusion a
+    // broadcast anti-join — never a nested loop, never a full scan
+    val docs = table("documents").select("doc_id", "text")
+    graft.operators.TextAnalysis.writeBm25Index(
+      docs, "doc_id", "text", "bm25_delplan", buckets = 4)
+    graft.operators.TextAnalysis.deleteFromBm25Index(spark, "bm25_delplan",
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
+    def bm25() = graft.operators.TextAnalysis.bm25TopKBatchFromIndex(
+      spark, "bm25_delplan",
+      Seq((1L, "spark"), (2L, "hash")).toDF("query_id", "term"), k = 5)
+    val plan = explain(bm25())
+    assert(plan.contains("In(term"), plan)
+    // the tombstone exclusion must plan as a broadcast HASH anti-join
+    // (the one-row stats crossJoin is the plan's only nested loop,
+    // as in the undeleted gate)
+    assert(plan.contains("BroadcastHashJoin LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // IVF-SQ: probed-list pruning must survive deletion the same way
+    val emb = table("embeddings").select("vec_id", "embedding").limit(300)
+    graft.operators.Similarity.writeIvfSqIndex(
+      emb, "vec_id", "embedding", "ivfsq_delplan", nCentroids = 8, buckets = 4)
+    graft.operators.Similarity.deleteFromIvfSqIndex(spark, "ivfsq_delplan",
+      emb.filter(col("vec_id") % 5 === 0).select("vec_id"))
+    def ann() = graft.operators.Similarity.ivfQuantizedTopKFromIndex(
+      spark, "ivfsq_delplan", emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 16)
+    val annPlan = explain(ann())
+    assert(annPlan.contains("In(__list"), annPlan)
+    assert(annPlan.contains("BroadcastHashJoin LeftAnti"), annPlan)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      assert(explain(bm25()).contains("SelectedBucketsCount"), "bm25 pruning lost")
+      assert(explain(ann()).contains("SelectedBucketsCount"), "ivf pruning lost")
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("gram-stats kernel stays inside codegen (topgram is exchange-free end to end)") {
     val df = graft.operators.TextAnalysis.topNgramStats(
       table("documents"), "doc_id", "text", n = 2)

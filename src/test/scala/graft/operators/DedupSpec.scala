@@ -535,4 +535,43 @@ class DedupSpec extends SparkSpec {
       nClusters = 4, threshold = 0.8, maxCluster = 1)
     assert(out.count() === 100L)
   }
+
+  test("minhash index delete == rebuild: tombstoned docs stop colliding exactly") {
+    import spark.implicits._
+    val docs = table("documents").select("doc_id", "text")
+    val index = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 200)
+    Dedup.writeMinhashIndex(index, "doc_id", "text", "mh_idx_del", buckets = 4)
+    val gone = index.filter(col("doc_id") % 4 === 0).select("doc_id")
+    val receipt = Dedup.deleteFromMinhashIndex(spark, "mh_idx_del", gone)
+    assert(receipt === gone.count(), "receipt counts removed documents")
+    // collisions equal an index REBUILT without the deleted docs —
+    // signatures are per-row, nothing corpus-wide moves on delete
+    Dedup.writeMinhashIndex(index.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", "mh_idx_del_ref", buckets = 4)
+    def pairs(t: String) = Dedup.portableMinhashPairsAgainstIndex(spark, t, batch,
+      "doc_id", "text", threshold = 0.3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(pairs("mh_idx_del") === pairs("mh_idx_del_ref"))
+    // idempotent; unknown ids no-op; staleness sees the mass
+    assert(Dedup.deleteFromMinhashIndex(spark, "mh_idx_del", gone) === 0L)
+    assert(Dedup.deleteFromMinhashIndex(spark, "mh_idx_del",
+      Seq(987654321L).toDF("doc_id")) === 0L)
+    val st = Dedup.minhashIndexStats(spark, "mh_idx_del")
+    assert(st.tombstoneFraction > 0.2, st.toString)
+    assert(Dedup.isStaleMinhashIndex(spark, "mh_idx_del"))
+    // purge: physical, answer-preserving, clears the flag, keeps the
+    // shingle-width stamp so appends still validate
+    val before = pairs("mh_idx_del")
+    val (b, a) = Dedup.purgeMinhashIndex(spark, "mh_idx_del")
+    assert(b > a)
+    assert(!spark.catalog.tableExists("mh_idx_del_tombstones"))
+    assert(pairs("mh_idx_del") === before)
+    assert(Dedup.minhashIndexStats(spark, "mh_idx_del").tombstoneFraction === 0.0)
+    Dedup.appendToMinhashIndex(spark, "mh_idx_del",
+      docs.filter(col("doc_id").between(400, 450)), "doc_id", "text")
+    val deadIds = gone.collect().map(_.getLong(0)).toSet
+    assert(spark.table("mh_idx_del")
+      .filter(col("index_id").isin(deadIds.toSeq: _*)).count() === 0)
+  }
 }

@@ -827,4 +827,87 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("label"), ex.getMessage)
   }
+
+  test("ivf-sq delete == pinned rebuild: tombstoned vectors vanish from search exactly") {
+    import spark.implicits._
+    val all = table("embeddings").select("vec_id", "embedding").limit(300)
+    val q = all.filter(col("vec_id") < 10)
+    Similarity.writeIvfSqIndex(all, "vec_id", "embedding", "ivfsq_del",
+      nCentroids = 8, buckets = 4)
+    val gone = all.filter(col("vec_id") % 3 === 0).select("vec_id")
+    val receipt = Similarity.deleteFromIvfSqIndex(spark, "ivfsq_del", gone)
+    assert(receipt === gone.count(), "receipt counts removed vectors")
+    // reference: rebuild WITHOUT the deleted vectors under the SAME
+    // stored quantizer — the delete == rebuild contract's other side
+    Similarity.writeIvfSqIndex(all.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding", "ivfsq_del_ref",
+      nCentroids = 8, buckets = 4, pinQuantizerFrom = Some("ivfsq_del"))
+    def rows(t: String) = Similarity.ivfQuantizedTopKFromIndex(spark, t, q,
+      "vec_id", "embedding", k = 5, nProbe = 2, shortlist = 32)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows("ivfsq_del") === rows("ivfsq_del_ref"))
+    // no deleted id can reach a result, even fully probed
+    val deadIds = gone.collect().map(_.getLong(0)).toSet
+    val deep = Similarity.ivfQuantizedTopKFromIndex(spark, "ivfsq_del", q,
+      "vec_id", "embedding", k = 50, nProbe = 8, shortlist = 300)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(deep.intersect(deadIds).isEmpty)
+    // idempotent re-delete; unknown ids are a no-op
+    assert(Similarity.deleteFromIvfSqIndex(spark, "ivfsq_del", gone) === 0L)
+    assert(Similarity.deleteFromIvfSqIndex(spark, "ivfsq_del",
+      Seq(987654321L).toDF("vec_id")) === 0L)
+    // staleness telemetry sees the tombstone mass; purge clears it and
+    // leaves answers unchanged with the quantizer untouched
+    val st = Similarity.ivfIndexStats(spark, "ivfsq_del")
+    assert(st.tombstoneFraction > 0.2, st.toString)
+    assert(Similarity.isStaleIvfSqIndex(spark, "ivfsq_del"))
+    val before = rows("ivfsq_del")
+    val (b, a) = Similarity.purgeIvfSqIndex(spark, "ivfsq_del")
+    assert(b > a, "purge must drop the dead rows physically")
+    assert(!spark.catalog.tableExists("ivfsq_del_tombstones"))
+    assert(spark.table("ivfsq_del")
+      .filter(col("neighbor_id").isin(deadIds.toSeq: _*)).count() === 0)
+    assert(spark.table("ivfsq_del_centroids").count() === 8,
+      "purge must not move the quantizer")
+    assert(rows("ivfsq_del") === before)
+    assert(Similarity.ivfIndexStats(spark, "ivfsq_del").tombstoneFraction === 0.0)
+  }
+
+  test("ivf delete: filtered search and knn-from-index forget tombstoned vectors too") {
+    val emb = table("embeddings").select("vec_id", "embedding", "label").limit(200)
+    Similarity.writeIvfSqIndex(emb, "vec_id", "embedding", "ivfsq_delf",
+      nCentroids = 4, buckets = 2, carryCols = Seq("label"))
+    val gone = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+    Similarity.deleteFromIvfSqIndex(spark, "ivfsq_delf", gone)
+    val deadIds = gone.collect().map(_.getLong(0)).toSet
+    val q = emb.filter(col("vec_id") < 6)
+    val filtered = Similarity.ivfQuantizedTopKFromIndexWhere(spark, "ivfsq_delf", q,
+      "vec_id", "embedding", predicate = col("label") >= 0, k = 20,
+      nProbe = 4, shortlist = 200)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(filtered.nonEmpty && filtered.intersect(deadIds).isEmpty)
+    val voted = Similarity.knnClassifyFromIndex(spark, "ivfsq_delf", q,
+      "vec_id", "embedding", emb, "vec_id", "label", k = 5,
+      nProbe = 4, shortlist = 200)
+    assert(voted.count() > 0, "live neighbors still vote")
+  }
+
+  test("ivf-pq delete: shared layout rides the same tombstones") {
+    val emb = table("embeddings").select("vec_id", "embedding").limit(200)
+    val q = emb.filter(col("vec_id") < 6)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", "ivfpq_del",
+      nCentroids = 4, m = 4, nCodes = 8, buckets = 2)
+    val gone = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+    assert(Similarity.deleteFromIvfPqIndex(spark, "ivfpq_del", gone) === gone.count())
+    val deadIds = gone.collect().map(_.getLong(0)).toSet
+    def hits() = Similarity.ivfPqTopKFromIndex(spark, "ivfpq_del", q,
+      "vec_id", "embedding", k = 10, nProbe = 4, shortlist = 100)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(hits().intersect(deadIds).isEmpty)
+    val pre = hits()
+    val (b, a) = Similarity.purgeIvfPqIndex(spark, "ivfpq_del")
+    assert(b > a && hits() === pre, "purge is physical and answer-preserving")
+    assert(spark.table("ivfpq_del_pqseeds").count() === 8,
+      "purge must not move the codebook")
+  }
 }
