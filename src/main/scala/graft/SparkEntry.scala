@@ -129,9 +129,10 @@ object SparkEntry {
     * shared by [[Bm25BatchOracleSql]] and the rank-fusion twin, which
     * consumes the SAME ranked run as its relevance channel.
     */
-  private val Bm25BatchCtes: String =
+  private def bm25BatchCtesOver(docsWhere: String): String =
     ("WITH docs AS (SELECT doc_id, text, " +
-        "CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS dl FROM documents), " +
+        "CAST(len(list_filter(str_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS dl " +
+        s"FROM documents$docsWhere), " +
         "toks AS (SELECT doc_id, dl, unnest(str_split(text, ' ')) AS term FROM docs), " +
         "t2 AS (SELECT doc_id, dl, term FROM toks WHERE length(term) > 0 " +
         "AND term IN ('spark', 'hash', 'vector', 'window', 'merge', 'batch')), " +
@@ -154,13 +155,24 @@ object SparkEntry {
         "r AS (SELECT query_id, doc_id, score_fx, " +
         """row_number() OVER (PARTITION BY query_id ORDER BY score_fx DESC, doc_id) AS "rank" FROM agg)""")
 
-  private def bm25BatchOracle(candidateJoin: String): String =
-    Bm25BatchCtes.replace("__CAND__", candidateJoin) +
+  private val Bm25BatchCtes: String = bm25BatchCtesOver("")
+
+  private def bm25BatchOracle(
+      candidateJoin: String, docsWhere: String = ""): String =
+    bm25BatchCtesOver(docsWhere).replace("__CAND__", candidateJoin) +
       """ SELECT CAST(query_id AS BIGINT) AS query_id, CAST("rank" AS BIGINT) AS "rank", doc_id, """ +
       "CAST(score_fx AS BIGINT) AS score_fx " +
       """FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank""""
 
   private val Bm25BatchOracleSql: String = bm25BatchOracle("")
+
+  /** Deletion twin: the whole chain — dl, tf, df, N, avgdl, candidates
+    * — recomputed over the corpus WITHOUT the tombstoned docs; the
+    * tombstoned index must answer bit-identically (the delete ==
+    * rebuild contract).
+    */
+  private val Bm25DeletedOracleSql: String =
+    bm25BatchOracle("", " WHERE doc_id % 3 <> 0")
 
   /** Filtered-retrieval twin: the SAME corpus-wide statistics and
     * per-(doc, term) scores, with only the CANDIDATE set restricted —
@@ -815,6 +827,27 @@ object SparkEntry {
           col("neighbor_id"))
         .orderBy("query_id", "rank")
     }),
+    // DELETED vector search: the IVF-SQ index with every vec_id % 3 == 0
+    // tombstoned — deleted vectors can never reach a shortlist, the
+    // quantizer stays the full corpus's (deletion must not move it),
+    // and the oracle excludes the same ids from phase-1 candidates in
+    // the shared replay chain (the delete == rebuild contract)
+    "q_sim_ann_deleted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxTable = s"deleted_ivfsq_gate_${fixtureKey(dir, emb)}"
+      if (!s.catalog.tableExists(idxTable)) {
+        Similarity.writeIvfSqIndex(emb, "vec_id", "embedding", idxTable,
+          nCentroids = 16, buckets = 8, portableCentroids = true)
+        Similarity.deleteFromIvfSqIndex(s, idxTable,
+          emb.filter(col("vec_id") % 3 === 0).select("vec_id"))
+      }
+      Similarity.ivfQuantizedTopKFromIndex(s, idxTable,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, nProbe = 4, shortlist = 32)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
     // kNN label propagation: majority vote over the 7 exact nearest
     // labeled neighbors — pseudo-labeling with a deterministic
     // tie-break, the whole pipeline (cosine fold order, rank ties,
@@ -1224,6 +1257,60 @@ object SparkEntry {
         predicate = col("lang") === "en")
         .orderBy("query_id", "rank")
     }),
+    // DELETION over the postings index: build over the full corpus,
+    // tombstone every doc_id % 3 == 0, then query — candidates, df, N
+    // and avgdl must all forget the deleted docs in the same instant,
+    // so the answer equals the twin's full recompute over the corpus
+    // WITHOUT them (the delete == rebuild contract, cross-engine)
+    "q_text_bm25_deleted" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idxTable = s"bm25del_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(idxTable)) {
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", idxTable,
+          buckets = 8)
+        TextAnalysis.deleteFromBm25Index(s, idxTable,
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+      }
+      val queries = Seq(
+        (1L, "spark"), (1L, "hash"),
+        (2L, "vector"), (2L, "window"),
+        (3L, "merge"), (3L, "batch"))
+        .toDF("query_id", "term")
+      TextAnalysis.bm25TopKBatchFromIndex(s, idxTable, queries, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // The NEGATIVE-SPACE deletion audit a compliance review ends with:
+    // a second index is deleted AND PURGED, then every storage surface
+    // (postings, roster, tombstones) is probed per id — deleted ids
+    // must count 0 rows everywhere while surviving ids show their
+    // expected presence (a tokenful doc has postings, a zero-token doc
+    // only a roster row). The twin recomputes the expected counts from
+    // the raw corpus and the delete predicate alone
+    "q_verify_deletion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxTable = s"bm25purge_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(idxTable)) {
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", idxTable,
+          buckets = 8)
+        TextAnalysis.deleteFromBm25Index(s, idxTable,
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+        TextAnalysis.purgeBm25Index(s, idxTable)
+      }
+      val probes = docs.filter(col("doc_id") < 60).select("doc_id")
+      val tombstones =
+        if (s.catalog.tableExists(idxTable + "_tombstones"))
+          s.table(idxTable + "_tombstones")
+        else probes.filter(lit(false)) // post-purge: dropped == empty
+      graft.verify.Comparator.absenceAudit(probes, "doc_id", Seq(
+        ("corpus", docs, "doc_id"),
+        ("posting", s.table(idxTable)
+          .groupBy("doc_id").agg(count(lit(1)).as("__n"))
+          .select("doc_id"), "doc_id"), // distinct-doc presence
+        ("roster", s.table(idxTable + "_docs"), "doc_id"),
+        ("tombstone", tombstones, "doc_id")))
+        .orderBy("id")
+    }),
     // Reciprocal-rank fusion: blend the BM25 relevance channel with a
     // query-independent freshness channel (20 newest doc_ids) — the
     // classic relevance+recency blend, rank-domain only, exact
@@ -1300,6 +1387,20 @@ object SparkEntry {
         (10L, 11L, 700000L),
         (20L, 21L, 300000L), (20L, 22L, 300000L), (20L, 23L, 900000L)
       ).toDF("id_a", "id_b", "w")
+      graft.operators.Graph.pageRankWeighted(pairs, "w", iters = 2)
+        .orderBy("id")
+    }),
+    // The weighted walk over a REAL near-dup pair graph: edges are the
+    // portable-MinHash collision pairs of the documents fixture, each
+    // weighted by its match count (minhash_est · 8 — the exact integer
+    // the estimate was computed from), so heavily-duplicated documents
+    // accumulate rank through their similarity mass. The twin replays
+    // signature → pairs → weight → two unrolled weighted rounds
+    "q_graph_rank_real" -> ((s, dir) => {
+      val pairs = Dedup.portableMinhashPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, k = 8, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          (col("minhash_est") * 8).cast(LongType).as("w"))
       graft.operators.Graph.pageRankWeighted(pairs, "w", iters = 2)
         .orderBy("id")
     }),
@@ -1654,6 +1755,24 @@ object SparkEntry {
         n = 3, k = 8, threshold = 0.5)
         .orderBy("batch_id", "index_id")
     }),
+    // DELETION over the signature index: the even-id history with every
+    // doc_id % 4 == 0 tombstoned — a taken-down document must stop
+    // colliding with arriving batches instantly; the twin drops the
+    // same ids from the index side of the shared replay
+    "q_dedup_deleted_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxTable = s"minhash_del_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(idxTable)) {
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", idxTable, n = 3, k = 8, buckets = 8)
+        Dedup.deleteFromMinhashIndex(s, idxTable,
+          docs.filter(col("doc_id") % 4 === 0).select("doc_id"))
+      }
+      Dedup.portableMinhashPairsAgainstIndex(s, idxTable,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        n = 3, k = 8, threshold = 0.5)
+        .orderBy("batch_id", "index_id")
+    }),
     // Portable MinHash near-dup: Karp-Rabin + affine permutations —
     // the exact-oracle twin of the xxhash64 kernel path
     "q_dedup_minhash_portable" -> ((s, dir) => {
@@ -1873,6 +1992,26 @@ object SparkEntry {
         .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
       graft.plans.ScaleJoins.sketchSaltedJoin(li, sup, "suppkey",
           saltBuckets = 4, hotThreshold = 500, m = 256)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast("double").as("sum_qty"))
+        .select(col("s_nationkey").cast(LongType).as("s_nationkey"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
+    // KMV-driven join planning END TO END: adaptiveJoin measures both
+    // sides' distinct keys and their overlap, picks the arm (supplier's
+    // key count fits the broadcast ceiling here), and the result must
+    // equal the plain join — the sketches tune distribution, never
+    // semantics, which is exactly what the shared twin pins
+    "q_join_adaptive" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.plans.ScaleJoins.adaptiveJoin(li, sup, "suppkey",
+          broadcastMaxDistinct = 1000000, hotThreshold = 500).df
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast(DecimalType(18, 4)))
@@ -2401,27 +2540,41 @@ object SparkEntry {
     * `q_dedup_incremental_indexed` (materialized signature index) —
     * one SQL twin, because the two paths promise the same result.
     */
-  private lazy val minhashIncrementalOracleSql: String = {
-      val k = 8
-      val sigs = (0 until k).map(j =>
-        s"MIN((${2 * j + 3}*hv+${97 * j + 1})%1000000007) AS sig_$j").mkString(", ")
-      val matchSum = (1 until k).map(j =>
-        s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END").mkString("1 + ", " + ", "")
-      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
-        "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
-        "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
-        "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
-        "hv AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
-        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
-        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
-        "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
-        s"sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id) " +
-        s"SELECT a.doc_id AS batch_id, b.doc_id AS index_id, CAST($matchSum AS DOUBLE)/8 AS minhash_est " +
-        "FROM sig a JOIN sig b ON a.sig_0 = b.sig_0 " +
-        "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 " +
-        s"AND CAST($matchSum AS DOUBLE)/8 >= 0.5 " +
-        "ORDER BY batch_id, index_id"
+  /** The portable-MinHash signature CTE chain over `documents` —
+    * shared by the incremental, incremental-indexed, deleted-index and
+    * real-pair-graph twins. Ends with `sig(doc_id, sig_0..sig_7)`.
+    */
+  private lazy val minhashSigCtes: String = {
+    val k = 8
+    val sigs = (0 until k).map(j =>
+      s"MIN((${2 * j + 3}*hv+${97 * j + 1})%1000000007) AS sig_$j").mkString(", ")
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+      "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
+      "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+      "hv AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+      "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+      "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+      "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
+      s"sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id)"
   }
+
+  /** Sum of per-component signature matches between sides `a` and `b`
+    * of a sig-join — the integer the minhash estimate is matches/8 of.
+    */
+  private val minhashMatchSum: String = (1 until 8).map(j =>
+    s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END").mkString("1 + ", " + ", "")
+
+  private def minhashIncrementalOracle(indexExtra: String): String =
+    s"$minhashSigCtes " +
+      s"SELECT a.doc_id AS batch_id, b.doc_id AS index_id, CAST($minhashMatchSum AS DOUBLE)/8 AS minhash_est " +
+      "FROM sig a JOIN sig b ON a.sig_0 = b.sig_0 " +
+      s"WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0$indexExtra " +
+      s"AND CAST($minhashMatchSum AS DOUBLE)/8 >= 0.5 " +
+      "ORDER BY batch_id, index_id"
+
+  private lazy val minhashIncrementalOracleSql: String =
+    minhashIncrementalOracle("")
 
   /** Twin of `q_stream_ingest_twin` — the BATCH computation of the
     * streaming indexed-ingest survivor set, composed from the gates'
@@ -2817,6 +2970,32 @@ object SparkEntry {
         "SELECT CAST(r2.id AS BIGINT) AS id, CAST(r2.r AS BIGINT) AS rank_ppb, " +
         "CAST(d.deg AS BIGINT) AS degree, CAST(d.st AS BIGINT) AS strength " +
         "FROM r2 JOIN d ON d.id = r2.id ORDER BY id"),
+    // fixture-scale twin: the portable-MinHash pair CTEs produce the
+    // edge list (weight = signature match count), then the SAME two
+    // unrolled weighted rounds — g-prefixed CTE names avoid colliding
+    // with the signature chain's `e`
+    "q_graph_rank_real" ->
+      (s"$minhashSigCtes, " +
+        s"p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($minhashMatchSum AS BIGINT) AS w " +
+        "FROM sig a JOIN sig b ON a.sig_0 = b.sig_0 AND a.doc_id < b.doc_id " +
+        s"WHERE CAST($minhashMatchSum AS DOUBLE)/8 >= 0.5), " +
+        "ge0 AS (SELECT id_a AS src, id_b AS dst, w FROM p " +
+        "UNION ALL SELECT id_b, id_a, w FROM p), " +
+        "ge AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM ge0 GROUP BY src, dst), " +
+        "gd AS (SELECT src AS id, count(*) AS deg, sum(w) AS st FROM ge GROUP BY src), " +
+        "gn AS (SELECT count(*) AS n FROM gd), " +
+        "gr0 AS (SELECT id, 1000000000 // (SELECT n FROM gn) AS r FROM gd), " +
+        "gr1 AS (SELECT ge.dst AS id, " +
+        "((CAST(1000000000 AS BIGINT) * 150000) // 1000000) // (SELECT n FROM gn) + " +
+        "(850000 * sum((gr0.r * ge.w) // gd.st)) // 1000000 AS r " +
+        "FROM ge JOIN gr0 ON gr0.id = ge.src JOIN gd ON gd.id = ge.src GROUP BY ge.dst), " +
+        "gr2 AS (SELECT ge.dst AS id, " +
+        "((CAST(1000000000 AS BIGINT) * 150000) // 1000000) // (SELECT n FROM gn) + " +
+        "(850000 * sum((gr1.r * ge.w) // gd.st)) // 1000000 AS r " +
+        "FROM ge JOIN gr1 ON gr1.id = ge.src JOIN gd ON gd.id = ge.src GROUP BY ge.dst) " +
+        "SELECT CAST(gr2.id AS BIGINT) AS id, CAST(gr2.r AS BIGINT) AS rank_ppb, " +
+        "CAST(gd.deg AS BIGINT) AS degree, CAST(gd.st AS BIGINT) AS strength " +
+        "FROM gr2 JOIN gd ON gd.id = gr2.id ORDER BY id"),
     // combined twin: weighted edges + strength from the weighted
     // oracle, seed-only teleport + LEFT JOIN carry from the
     // personalized one — shares are (r·w) // strength
@@ -3347,6 +3526,21 @@ object SparkEntry {
     // twin as the in-memory batch
     "q_text_bm25_indexed" -> Bm25BatchOracleSql,
     "q_text_bm25_filtered" -> Bm25FilteredOracleSql,
+    "q_text_bm25_deleted" -> Bm25DeletedOracleSql,
+    "q_verify_deletion" ->
+      // expected per-id surface counts recomputed from the raw corpus
+      // and the delete predicate alone: a surviving tokenful doc has
+      // exactly one distinct-doc posting presence and one roster row;
+      // a deleted doc counts 0 everywhere; tombstones are dropped by
+      // the purge, so every probe reads 0 there
+      ("WITH d AS (SELECT doc_id, count(*) AS n, " +
+        "max(len(list_filter(str_split(text, ' '), t -> len(t) > 0))) AS dl " +
+        "FROM documents WHERE doc_id < 60 GROUP BY doc_id) " +
+        "SELECT CAST(doc_id AS BIGINT) AS id, CAST(n AS BIGINT) AS corpus_rows, " +
+        "CAST(CASE WHEN doc_id % 3 <> 0 AND dl > 0 THEN 1 ELSE 0 END AS BIGINT) AS posting_rows, " +
+        "CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS roster_rows, " +
+        "CAST(0 AS BIGINT) AS tombstone_rows " +
+        "FROM d ORDER BY id"),
     // fusion twin: the same ranked BM25 run (rank <= 10) as the
     // relevance channel, the 20 newest doc_ids as the freshness
     // channel, 1e6 // (60 + rank) summed per (query, doc) — DuckDB's
@@ -3745,6 +3939,15 @@ object SparkEntry {
         " AND (SELECT e2.label FROM embeddings e2 WHERE e2.vec_id = c.vec_id) = 2") +
         """ SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
         "ORDER BY query_id, \"rank\""),
+    "q_sim_ann_deleted" ->
+      // the shared replay chain with the tombstoned ids dropped from
+      // phase-1 candidates — full-corpus quantizer, deleted vectors
+      // unreachable (the delete == rebuild contract)
+      (ivfSqOracleCtesFrom(
+        "e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        " AND c.vec_id % 3 <> 0") +
+        """ SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +
+        "ORDER BY query_id, \"rank\""),
     "q_sim_knn_label_ivf" ->
       // the same IVF-SQ chain, k = 7 neighbors, then the knn vote tail
       // (votes DESC, smaller label) — identical to q_sim_knn_label's
@@ -3860,6 +4063,10 @@ object SparkEntry {
     // materialized signature index must reproduce the in-memory
     // batch-vs-history result exactly
     "q_dedup_incremental_indexed" -> minhashIncrementalOracleSql,
+    "q_dedup_deleted_index" ->
+      // the shared incremental replay with the tombstoned ids dropped
+      // from the INDEX side — a deleted doc must stop colliding
+      minhashIncrementalOracle(" AND b.doc_id % 4 <> 0"),
     "q_dedup_minhash_portable" -> {
       val k = 8
       val sigs = (0 until k).map(j =>
@@ -4073,6 +4280,13 @@ object SparkEntry {
     // oracle is the PLAIN join — any divergence means salting touched
     // semantics (a lost row, a double-counted replica)
     "q_join_skew_salted" ->
+      ("SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_rows, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    "q_join_adaptive" ->
+      // same twin as the salted gate: whatever arm the planner picks,
+      // the join IS the plain join
       ("SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_rows, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +

@@ -152,16 +152,29 @@ object ScaleJoins {
     val jt = joinType.toLowerCase.replace("_", "")
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
       s"sketchSaltedJoin supports inner/left join shapes, got $joinType")
-    // ONE bounded collect of the whole sketch (≤ m items + the err
-    // budget): the hot filter needs the items, and the SOUNDNESS check
-    // needs err — a key ABSENT from the sketch can still hide up to
-    // `err` true rows (MG undercounts by at most err), so the
-    // "every key at the threshold gets salted" certificate only holds
-    // while err < hotThreshold. Past that the sketch cannot clear any
-    // cold key, and the only safe answer is the full salting of
-    // [[saltedJoin]] — graceful degradation (more small-side
-    // replication), never a silently-unsalted straggler. Keep
-    // m ≥ rows/hotThreshold to stay on the adaptive path.
+    val (err, hot) = collectHotKeys(large, key, hotThreshold, m)
+    if (err >= hotThreshold)
+      return saltedJoin(large, small, key, saltBuckets, joinType)
+    if (hot.isEmpty) return large.join(small, Seq(key), joinType)
+    sketchSaltedJoinWith(large, small, key, saltBuckets, hot, joinType)
+  }
+
+  /** ONE bounded collect of the whole MG sketch (≤ m items + the err
+    * budget): the hot filter needs the items, and the SOUNDNESS check
+    * needs err — a key ABSENT from the sketch can still hide up to
+    * `err` true rows (MG undercounts by at most err), so the
+    * "every key at the threshold gets salted" certificate only holds
+    * while err < hotThreshold. Past that the sketch cannot clear any
+    * cold key, and the only safe answer is the full salting of
+    * [[saltedJoin]] — graceful degradation (more small-side
+    * replication), never a silently-unsalted straggler. Keep
+    * m ≥ rows/hotThreshold to stay on the adaptive path. Shared by
+    * [[sketchSaltedJoin]] and [[adaptiveJoin]], so the two pay the
+    * corpus pass once each, never twice per call.
+    */
+  private def collectHotKeys(
+      large: DataFrame, key: String, hotThreshold: Long, m: Int
+  ): (Long, Seq[String]) = {
     val skRow = large.select(col(key).cast("string").as("__k"))
       .filter(col("__k").isNotNull)
       .groupBy()
@@ -174,9 +187,20 @@ object ScaleJoins {
       else skRow.head.getSeq[org.apache.spark.sql.Row](1)
         .filter(it => it.getLong(1) + err >= hotThreshold)
         .map(_.getString(0))
-    if (err >= hotThreshold)
-      return saltedJoin(large, small, key, saltBuckets, joinType)
-    if (hot.isEmpty) return large.join(small, Seq(key), joinType)
+    (err, hot)
+  }
+
+  /** The join half of [[sketchSaltedJoin]], with the certified hot set
+    * already in hand.
+    */
+  private def sketchSaltedJoinWith(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int,
+      hot: Seq[String],
+      joinType: String
+  ): DataFrame = {
     val hotLit = typedlit(hot)
     val replicated = small.withColumn("__salt",
       explode(when(array_contains(hotLit, col(key).cast("string")),
@@ -185,5 +209,100 @@ object ScaleJoins {
     saltAssign(large, key, hotLit, saltBuckets)
       .join(replicated, Seq(key, "__salt"), joinType)
       .drop("__salt")
+  }
+
+  /** What [[adaptiveJoin]] decided and why — the measured inputs
+    * beside the chosen arm, so a pipeline can log/alert on its join
+    * plans instead of discovering them in a post-mortem.
+    */
+  final case class JoinDecision(
+      strategy: String, // broadcast | shuffle | salted
+      estDistinctLarge: Long,
+      estDistinctSmall: Long,
+      estOverlap: Long,
+      hotKeyCount: Int)
+
+  final case class AdaptiveJoinResult(df: DataFrame, decision: JoinDecision)
+
+  /** Sketch-driven join PLANNING — the consumer of
+    * [[graft.operators.Sketches.kmvKeyOverlap]]'s estimates: before
+    * committing 100 TB to an exchange, two O(k)-state KMV passes and
+    * (when needed) one O(m)-state MG pass decide the join arm:
+    *
+    *  - **skip**: estimated distinct-key overlap below `minOverlap` —
+    *    the join would match (almost) nothing; fail with a NAMED error
+    *    rather than burn a full shuffle discovering it. An estimate
+    *    can be wrong, so this is a guardrail with an explicit
+    *    threshold the caller sets (0 disables it), not silent
+    *    behavior.
+    *  - **broadcast**: the small side's estimated distinct keys fit
+    *    under `broadcastMaxDistinct` — hint `broadcast(small)` and
+    *    skip both the shuffle and the skew question entirely.
+    *  - **salted**: an MG pass certifies hot keys at `hotThreshold`
+    *    (or cannot clear any — err ≥ threshold) — ride
+    *    [[sketchSaltedJoin]]'s machinery with the sketch ALREADY
+    *    collected (the pass is never paid twice).
+    *  - **shuffle**: no skew certified — the plain equi-join, letting
+    *    Catalyst/AQE plan the exchange.
+    *
+    * The join RESULT is identical across arms for the supported
+    * inner/left shapes (the sketches tune distribution, never
+    * semantics) — the cross-engine gate pins that. The decision inputs
+    * ride the returned plan as an `observe()` named
+    * `graft-adaptive-join-*`, so the numbers land in the listener
+    * metrics of whatever action the caller finally runs, and the
+    * decision itself returns in [[AdaptiveJoinResult]].
+    */
+  def adaptiveJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      broadcastMaxDistinct: Long,
+      hotThreshold: Long,
+      minOverlap: Long = 1L,
+      saltBuckets: Int = 8,
+      k: Int = 1024,
+      m: Int = 256,
+      joinType: String = "inner"
+  ): AdaptiveJoinResult = {
+    require(broadcastMaxDistinct >= 0 && hotThreshold > 0 && minOverlap >= 0)
+    require(saltBuckets > 0 && k > 0 && m >= 1)
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(jt),
+      s"adaptiveJoin supports inner/left join shapes, got $joinType")
+    val est = graft.operators.Sketches.kmvKeyOverlap(large, key, small, key, k)
+      .collect()(0) // one row by construction
+    val dLarge = est.getAs[Long]("est_distinct_a")
+    val dSmall = est.getAs[Long]("est_distinct_b")
+    val overlap = est.getAs[Long]("est_overlap")
+    if (overlap < minOverlap)
+      throw new IllegalStateException(
+        s"adaptiveJoin: estimated distinct-key overlap $overlap is below " +
+          s"minOverlap $minOverlap (large ≈ $dLarge keys, small ≈ $dSmall) — " +
+          "the join would match almost nothing; verify the key columns " +
+          "or lower minOverlap to force the join")
+    val (strategy, hotCount, joined) =
+      if (dSmall <= broadcastMaxDistinct)
+        ("broadcast", 0, large.join(broadcast(small), Seq(key), joinType))
+      else {
+        val (err, hot) = collectHotKeys(large, key, hotThreshold, m)
+        if (err >= hotThreshold)
+          ("salted", hot.size, saltedJoin(large, small, key, saltBuckets, joinType))
+        else if (hot.nonEmpty)
+          ("salted", hot.size,
+            sketchSaltedJoinWith(large, small, key, saltBuckets, hot, joinType))
+        else ("shuffle", 0, large.join(small, Seq(key), joinType))
+      }
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-adaptive-join-${java.util.UUID.randomUUID()}")
+    val decision = JoinDecision(strategy, dLarge, dSmall, overlap, hotCount)
+    AdaptiveJoinResult(
+      joined.observe(obs,
+        max(lit(strategy)).as("strategy"),
+        max(lit(dLarge)).as("est_distinct_large"),
+        max(lit(dSmall)).as("est_distinct_small"),
+        max(lit(overlap)).as("est_overlap"),
+        max(lit(hotCount)).as("hot_key_count")),
+      decision)
   }
 }

@@ -157,6 +157,64 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("adaptiveJoin: the sketch estimates drive all four arms; results never change") {
+    import spark.implicits._
+    val large = spark.range(10000).select(lit(1L).as("k"), col("id").as("v"))
+      .union(spark.range(100).select((col("id") + 2).as("k"), col("id").as("v")))
+    val small = Seq((1L, "hot"), (2L, "cold"), (50L, "cool")).toDF("k", "label")
+    val plain = large.join(small, Seq("k")).groupBy("k", "label")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(_.toString).toSet
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "label").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(_.toString).toSet
+    // auto-broadcast off: the spec must witness the OPERATOR's arm
+    // choice, not AQE's small-input shortcut
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // broadcast arm: 3 distinct small keys under the ceiling
+      val b = ScaleJoins.adaptiveJoin(large, small, "k",
+        broadcastMaxDistinct = 100, hotThreshold = 1000)
+      assert(b.decision.strategy === "broadcast", b.decision.toString)
+      assert(b.df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "the broadcast arm must actually broadcast")
+      assert(agg(b.df) === plain)
+      // salted arm: ceiling 0 forces past broadcast, the planted hot
+      // key certifies at the threshold
+      val sa = ScaleJoins.adaptiveJoin(large, small, "k",
+        broadcastMaxDistinct = 0, hotThreshold = 1000)
+      assert(sa.decision.strategy === "salted" && sa.decision.hotKeyCount >= 1,
+        sa.decision.toString)
+      assert(sa.df.queryExecution.executedPlan.toString.contains("__salt"))
+      assert(agg(sa.df) === plain)
+      // shuffle arm: threshold above every key's count — nothing hot,
+      // no broadcast, the plain exchange join
+      val sh = ScaleJoins.adaptiveJoin(large, small, "k",
+        broadcastMaxDistinct = 0, hotThreshold = 1000000)
+      assert(sh.decision.strategy === "shuffle", sh.decision.toString)
+      val shPlan = sh.df.queryExecution.executedPlan.toString
+      assert(!shPlan.contains("__salt") && !shPlan.contains("BroadcastHashJoin"),
+        shPlan)
+      assert(agg(sh.df) === plain)
+      // the measured inputs ride the decision
+      assert(sh.decision.estDistinctSmall === 3L)
+      assert(sh.decision.estOverlap >= 1L && sh.decision.estOverlap <= 3L,
+        sh.decision.toString)
+      // skip arm: disjoint key domains — named error, no shuffle burned
+      val disjoint = Seq((777777L, "x")).toDF("k", "label")
+      val ex = intercept[IllegalStateException] {
+        ScaleJoins.adaptiveJoin(large, disjoint, "k",
+          broadcastMaxDistinct = 0, hotThreshold = 1000, minOverlap = 1L)
+      }
+      assert(ex.getMessage.contains("overlap"), ex.getMessage)
+      // ...and minOverlap = 0 forces the join through anyway
+      val forced = ScaleJoins.adaptiveJoin(large, disjoint, "k",
+        broadcastMaxDistinct = 0, hotThreshold = 1000, minOverlap = 0L)
+      assert(forced.df.count() === 0L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("rowDiff over same-bucketed tables needs no exchange") {
     // the 100 TB composition: src and dest both bucketed on the diff
     // key at ingest => the full-outer diff join reads co-located buckets
