@@ -105,12 +105,12 @@ object SparkEntry {
     * idf is quantized FIRST (integer micro-units); score and ranking
     * are then exact integer arithmetic — see tfidfTopTerms scaladoc.
     */
-  private val TfidfOracleSql: String =
-    "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents), " +
+  private def tfidfOracleOver(src: String): String =
+    s"toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM $src), " +
       "t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0), " +
       "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term), " +
       "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
-      "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), " +
+      s"n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM $src), " +
       "scored AS (SELECT f.doc_id, f.term, f.tf, d.df, " +
       "f.tf * CAST(floor(ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS score_fx " +
       "FROM tf f JOIN dfreq d USING (term) CROSS JOIN n), " +
@@ -119,6 +119,8 @@ object SparkEntry {
       """SELECT doc_id, CAST("rank" AS BIGINT) AS "rank", term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, """ +
       "CAST(score_fx AS BIGINT) AS score_fx " +
       """FROM r WHERE "rank" <= 5 ORDER BY doc_id, "rank""""
+
+  private val TfidfOracleSql: String = "WITH " + tfidfOracleOver("documents")
 
   /** DuckDB twin of the batched-BM25 scorer — shared by the
     * in-memory gate (`q_text_bm25_batch`) and the materialized-index
@@ -1023,6 +1025,28 @@ object SparkEntry {
     // (doc,term) tf shuffle, term-keyed df join, doc-keyed top-k window
     "q_text_tfidf" -> ((s, dir) => {
       TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
+    }),
+    // Script-adaptive tokenization feeding the SAME vocab machinery: a
+    // planted mixed corpus (CJK, kana with incidental spaces, Latin,
+    // majority-Latin with a CJK quote) is re-tokenized per document —
+    // space-free-script docs become character bigrams, everything else
+    // passes through byte-identically (the documented no-op) — then
+    // the ordinary TF-IDF chain scores it. The twin replays detect →
+    // strip → bigram → re-space → score in ANSI SQL
+    "q_text_cjk_tfidf" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "東京都は大都市です"),
+        (2L, "東京の人口は多い"),
+        (3L, "the quick brown fox jumps"),
+        (4L, "quick fox and lazy dog"),
+        (5L, "ひらがな と カタカナ"),
+        (6L, "mixed 東京 latin heavy text here"))
+        .toDF("doc_id", "text")
+      TextAnalysis.tfidfTopTerms(
+        docs.withColumn("text", TextAnalysis.adaptiveRetokenize(col("text"))),
+        "doc_id", "text", k = 5)
         .orderBy("doc_id", "rank")
     }),
     // TF-IDF off the materialized postings index: the persisted
@@ -3296,6 +3320,26 @@ object SparkEntry {
         """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM ranked ORDER BY query_id, "rank""""
     },
     "q_text_tfidf" -> TfidfOracleSql,
+    "q_text_cjk_tfidf" ->
+      // detect → strip → bigram → re-space, then the SAME tfidf chain
+      // over the re-tokenized corpus (RE2 \x{...} = the Java \uXXXX
+      // class, same BMP codepoints)
+      ("WITH raw(doc_id, text) AS (VALUES " +
+        "(1, '東京都は大都市です'), (2, '東京の人口は多い'), " +
+        "(3, 'the quick brown fox jumps'), (4, 'quick fox and lazy dog'), " +
+        "(5, 'ひらがな と カタカナ'), (6, 'mixed 東京 latin heavy text here')), " +
+        "det AS (SELECT doc_id, text, " +
+        "regexp_replace(text, '[ \t\n\f\r]', '', 'g') AS stripped, " +
+        "length(text) - length(regexp_replace(text, " +
+        "'[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}\\x{0E00}-\\x{0E7F}]', '', 'g')) AS scriptc " +
+        "FROM raw), " +
+        "retok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, " +
+        "CASE WHEN scriptc * 2 > length(stripped) THEN " +
+        "CASE WHEN length(stripped) >= 2 THEN " +
+        "array_to_string(list_transform(range(1, length(stripped)), i -> stripped[i:i+1]), ' ') " +
+        "ELSE stripped END " +
+        "ELSE text END AS text FROM det), " +
+        tfidfOracleOver("retok")),
     // the postings-index path answers the SAME twin — one persisted
     // tokenize, two consumers, identical results
     "q_text_tfidf_indexed" -> TfidfOracleSql,

@@ -188,6 +188,80 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  // ------------------------------------ script-adaptive tokenization
+  //
+  // The whitespace tokenizer is wrong for space-free scripts: a CJK or
+  // Thai sentence has no spaces, so every "token" is the whole
+  // sentence — BM25, TF-IDF, vocabulary coverage, and stopword rates
+  // all silently degrade to document-granularity matching. The
+  // standard fix (what Lucene's CJKAnalyzer and the n-gram indexing
+  // literature do) is character bigrams for those scripts. Everything
+  // here is deterministic BMP-range arithmetic, so the whole chain —
+  // detect → strip → bigram → re-space — replays in ANSI SQL.
+
+  /** BMP ranges of the major space-free scripts: CJK Unified
+    * ideographs, kana, hangul syllables, Thai. (One character class,
+    * shared by detection and the oracle twins — RE2 spells it
+    * `\x{4E00}` where Java spells `一`, same codepoints.)
+    */
+  private val SpaceFreeScriptClass =
+    "[\u4E00-\u9FFF\u3040-\u30FF\uAC00-\uD7AF\u0E00-\u0E7F]"
+
+  /** True when the document is MAJORITY space-free-script: more than
+    * half its non-whitespace characters fall in
+    * [[SpaceFreeScriptClass]]. A Latin document quoting one ideograph
+    * stays on the whitespace path; a CJK document quoting one Latin
+    * word flips to bigrams — per-document, deterministic, and exactly
+    * reproducible cross-engine (no statistical language model).
+    */
+  def isSpaceFreeScript(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "[ \t\n\f\r]", ""))
+    val scriptChars =
+      length(text) - length(regexp_replace(text, SpaceFreeScriptClass, ""))
+    scriptChars * 2 > nonSpace
+  }
+
+  /** Re-space a space-free-script document into character bigrams:
+    * whitespace is stripped (a bigram spanning an incidental space is
+    * noise), then overlapping 2-char grams are joined by single
+    * spaces — "東京都" → "東京 京都". Documents shorter than 2 chars
+    * pass through stripped (a single ideograph IS its own token).
+    * The expansion is ~2× the character count — the standard n-gram
+    * indexing trade. The gram transform is a higher-order function
+    * (interpreted, not codegen); it runs only on the detected
+    * space-free rows, a narrow map either way.
+    */
+  private def charBigramText(text: Column): Column = {
+    val stripped = regexp_replace(text, "[ \t\n\f\r]", "")
+    when(length(stripped) >= 2,
+      array_join(
+        transform(sequence(lit(1), length(stripped) - 1),
+          i => substring(stripped, i, lit(2))),
+        " "))
+      .otherwise(stripped)
+  }
+
+  /** Script-adaptive re-tokenization — the ONE entry point that makes
+    * the whole text family CJK-correct: space-free-script documents
+    * ([[isSpaceFreeScript]]) are rewritten into space-joined character
+    * bigrams, and every space-delimited document passes through
+    * UNCHANGED (the documented no-op — byte-identical output, so
+    * existing gates and indexes are unaffected by adopting it).
+    * Because the output is ordinary space-joined text, the EXISTING
+    * downstream machinery consumes it verbatim:
+    * `writeBm25Index(docs.withColumn("text", adaptiveRetokenize(col("text"))), …)`,
+    * same for [[tfidfTopTerms]], [[vocabCoverage]], [[topTermsPerGroup]]
+    * and the BPE corpus paths — one projection, zero new operator
+    * variants.
+    */
+  def adaptiveRetokenize(text: Column): Column =
+    when(isSpaceFreeScript(text), charBigramText(text)).otherwise(text)
+
+  /** Whitespace tokens of the script-adaptively re-tokenized text —
+    * token-count/quality heuristics for mixed-script corpora.
+    */
+  def adaptiveTokens(text: Column): Column = tokens(adaptiveRetokenize(text))
+
   /** 64-bit content fingerprint: hash of the whitespace-normalized,
     * lowercased text. Identical fingerprints ⇒ exact duplicates modulo
     * whitespace/case — the first-stage key for exact dedup.

@@ -659,6 +659,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(after == before, "compaction must not change answers")
   }
 
+  test("adaptiveRetokenize: space-free scripts become bigrams; everything else is a byte no-op") {
+    import spark.implicits._
+    def retok(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.adaptiveRetokenize(col("t"))).head().getString(0)
+    // CJK → overlapping character bigrams, space-joined
+    assert(retok("東京都") === "東京 京都")
+    // incidental spaces are stripped BEFORE gramming — no space-spanning grams
+    assert(retok("ひらがな と カタカナ")
+      === "ひら らが がな なと とカ カタ タカ カナ")
+    // single ideograph is its own token; empty stays empty
+    assert(retok("本") === "本")
+    assert(retok("") === "")
+    // space-delimited text passes through BYTE-IDENTICALLY — adopting
+    // the adaptive path cannot change any existing Latin-corpus result
+    for (s <- Seq("the quick brown fox", "  padded   text ", "a\tb\nc",
+        "mixed 東京 latin heavy text here"))
+      assert(retok(s) === s, s"no-op violated for '$s'")
+    // detection is majority-rule per document
+    def free(s: String): Boolean =
+      Seq(s).toDF("t").select(TextAnalysis.isSpaceFreeScript(col("t"))).head().getBoolean(0)
+    assert(free("東京都は大都市") && free("ภาษาไทย") && free("한국어문장"))
+    assert(!free("one 東 two") && !free("plain english") && !free(""))
+    // the adaptive tokens feed the SAME counters: a CJK doc stops
+    // counting as one giant token
+    val n = Seq("東京都は大都市です").toDF("t")
+      .select(size(TextAnalysis.adaptiveTokens(col("t")))).head().getInt(0)
+    assert(n === 8, s"expected 8 bigrams, got $n")
+  }
+
   test("reciprocalRankFusion: k0 = 0 rejected — rank 0 would div-by-zero to NULL silently") {
     import spark.implicits._
     val a = Seq((1L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
