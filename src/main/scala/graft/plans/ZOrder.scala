@@ -164,13 +164,29 @@ object ZOrder {
       bits: Int = 6,
       curve: String = "morton"): Unit = {
     val bounds = quantileBounds(df, cols, bits)
+    clusterInto(df, cols, bits, bounds, curve, numFiles, path)
+    writeMeta(df.sparkSession, path, cols, bits, bounds, curve)
+  }
+
+  /** The one clustered-write kernel every entry point shares: code the
+    * curve value against the given boundaries, range-partition into
+    * `numFiles`, sort within partitions, land at `target`. Content is
+    * byte-identical to an unclustered write — only row-to-file layout
+    * changes.
+    */
+  private def clusterInto(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int,
+      bounds: Seq[Seq[Double]],
+      curve: String,
+      numFiles: Int,
+      target: String): Unit =
     df.withColumn("__z", curveValueWith(curve, cols, bits, bounds))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
-    writeMeta(df.sparkSession, path, cols, bits, bounds, curve)
-  }
+      .write.mode("overwrite").parquet(target)
 
   /** [[zorderWrite]] along the Hilbert curve — same boundaries, same
     * one-sketch-pass + one-range-exchange cost, tighter per-file
@@ -250,6 +266,81 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("append").parquet(path)
+  }
+
+  /** Does `path` carry a persisted layout contract yet? The streaming
+    * sink asks this once per micro-batch to decide init vs append.
+    */
+  def hasLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Establish a layout contract WITHOUT writing data: sketch
+    * boundaries from `sample` (for a streaming sink, the first
+    * non-empty epoch — the best view of the distribution available at
+    * that moment) and persist them at `path`. Deterministic for a
+    * given sample, so a replayed first epoch re-derives the identical
+    * contract.
+    */
+  def zorderInit(
+      sample: DataFrame,
+      cols: Seq[String],
+      path: String,
+      bits: Int = 6,
+      curve: String = "morton"): Unit =
+    writeMeta(sample.sparkSession, path, cols, bits,
+      quantileBounds(sample, cols, bits), curve)
+
+  /** IDEMPOTENT epoch append — the streaming-sink form of
+    * [[zorderAppend]]: the batch clusters along the ROOT-stored layout
+    * contract exactly like a plain append, but lands in its own
+    * `batch=<epochId>` partition directory with mode overwrite, so a
+    * REPLAYED micro-batch (crash between sink write and offset commit)
+    * overwrites its own epoch instead of double-appending rows — the
+    * same `batch=` replay contract [[graft.streaming.CorpusIngest]]'s
+    * flat sink has, now with clustered files. Readers see the dataset
+    * through ordinary partition discovery (plus a `batch` provenance
+    * column); point predicates prune within every epoch because each
+    * epoch's files are curve-clustered; what accumulates is epoch
+    * COUNT — the file-accumulation staleness [[isStaleZorder]] reads
+    * and [[reclusterZorderEpochs]] repairs.
+    */
+  def zorderAppendEpoch(
+      batch: DataFrame,
+      path: String,
+      epochId: Long,
+      numFiles: Int): Unit = {
+    val (cols, bits, bounds, curve) = readMeta(batch.sparkSession, path)
+    clusterInto(batch, cols, bits, bounds, curve, numFiles,
+      s"$path/batch=$epochId")
+  }
+
+  /** [[reclusterZorder]] for an EPOCH-PARTITIONED clustered dataset
+    * (the [[zorderAppendEpoch]] streaming-sink layout): collapse every
+    * accumulated `batch=` epoch into ONE fresh layout with fresh
+    * boundaries, staged through the same crash-safe swap — readers
+    * never observe a partial layout, and a death between the install
+    * renames recovers on re-run. The collapsed data lands as a single
+    * `batch=0` epoch so the directory shape (and the sink's next
+    * `batch=<id>` append) stays valid; the `batch` provenance column
+    * is collapsed with the epochs — recluster deliberately forgets
+    * arrival grouping, that is what it is for.
+    */
+  def reclusterZorderEpochs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      numFiles: Int): Unit = {
+    Compaction.stagedParquetSwap(spark, path, "zorder") { tmp =>
+      // meta read INSIDE the staged block (the reclusterZorder rule):
+      // crash triage must recover the dataset before this executes
+      val (mcols, mbits, _, mcurve) = readMeta(spark, path)
+      val data = spark.read.parquet(path).drop("batch")
+      val bounds = quantileBounds(data, mcols, mbits)
+      clusterInto(data, mcols, mbits, bounds, mcurve, numFiles, s"$tmp/batch=0")
+      writeMeta(spark, tmp, mcols, mbits, bounds, mcurve)
+    }
   }
 
   /** Layout health, one row per clustered column:

@@ -253,6 +253,57 @@ object CorpusIngest {
       .start()
   }
 
+  /** [[start]] with CLUSTERED epochs — the perpetual crawler composed
+    * with the z-order lifecycle, closing the gap where a stream
+    * accumulates unclustered `batch=` directories until someone
+    * manually reclusters: the FIRST non-empty micro-batch establishes
+    * the layout contract at `destDir`
+    * ([[graft.plans.ZOrder.zorderInit]] — boundaries sketched from
+    * that epoch, the best view of the distribution the stream has),
+    * and every epoch then lands curve-clustered in its own
+    * overwrite-idempotent `batch=<id>` directory
+    * ([[graft.plans.ZOrder.zorderAppendEpoch]] — same replay contract
+    * as the flat sink, so a crashed-and-replayed micro-batch
+    * overwrites its own epoch instead of duplicating rows).
+    *
+    * Operations between epochs: [[graft.plans.ZOrder.isStaleZorder]]
+    * reads the accumulated file-coverage/drift,
+    * [[graft.plans.ZOrder.reclusterZorderEpochs]] collapses the epochs
+    * into one fresh layout through the crash-safe staged swap — the
+    * stream keeps appending `batch=<id>` afterwards, readers never see
+    * a partial layout. The lifecycle spec drives exactly that loop.
+    */
+  def startClustered(
+      cleaned: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      clusterCols: Seq[String],
+      numFilesPerEpoch: Int,
+      bits: Int = 6,
+      curve: String = "morton",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    require(clusterCols.nonEmpty && numFilesPerEpoch > 0)
+    cleaned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // empty watermark-advance batches write nothing (guard, not
+        // `return` — non-local returns abort the stream)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // first non-empty epoch establishes the contract; a replay
+          // re-derives the identical boundaries (deterministic sketch
+          // over the same epoch), so the crash window between init and
+          // append is replay-healed
+          if (!graft.plans.ZOrder.hasLayout(spark, destDir))
+            graft.plans.ZOrder.zorderInit(batch, clusterCols, destDir, bits, curve)
+          graft.plans.ZOrder.zorderAppendEpoch(batch, destDir, batchId, numFilesPerEpoch)
+        }
+      }
+      .start()
+  }
+
   /** The full crawl-epoch ingest: [[start]]'s idempotent per-batch sink
     * composed with the PERSISTENT near-dup history — each micro-batch
     * is checked against the materialized signature index

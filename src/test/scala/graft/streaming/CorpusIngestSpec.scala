@@ -493,4 +493,55 @@ class CorpusIngestSpec extends SparkSpec {
         s"$key: compaction must shrink the item set")
     }
   }
+
+  test("startClustered lifecycle: clustered epochs accumulate, drift flips staleness, one recluster repairs, the stream resumes") {
+    val srcDir = tmp("graft_zst_src")
+    val destDir = tmp("graft_zst_out") + "/corpus"
+    val ckpt = tmp("graft_zst_ckpt")
+    def stamp(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ingest_time",
+        timestamp_micros((lit(3600L) + pmod(col("doc_id"), lit(500L)) * 60L) * 1000000L))
+    val base = table("documents").select("doc_id", "text").filter(col("doc_id") < 300)
+    def shifted(by: Long) = base.select((col("doc_id") + by).as("doc_id"), col("text"))
+    def runOnce(): Unit = {
+      val q = CorpusIngest.startClustered(
+        CorpusIngest.documentsStream(spark, srcDir).select("doc_id", "text"),
+        destDir, ckpt, clusterCols = Seq("doc_id"), numFilesPerEpoch = 2)
+      assert(q.awaitTermination(180000), "clustered ingest did not finish")
+    }
+    // epoch 1 establishes the layout contract from its own distribution
+    stamp(base).write.mode("overwrite").parquet(srcDir)
+    runOnce()
+    assert(graft.plans.ZOrder.hasLayout(spark, destDir))
+    assert(!graft.plans.ZOrder.isStaleZorder(spark, destDir),
+      "a one-epoch layout is fresh by construction")
+    // epochs 2 and 3 drift: every id lands OUTSIDE the stored boundary
+    // range, piling into the edge bucket — the zorderStats drift signal
+    stamp(shifted(100000)).write.mode("append").parquet(srcDir)
+    runOnce()
+    stamp(shifted(200000)).write.mode("append").parquet(srcDir)
+    runOnce()
+    val allRows = spark.read.parquet(destDir)
+    assert(allRows.select("batch").distinct().count() >= 3, "one clustered dir per epoch")
+    assert(allRows.count() === base.count() * 3)
+    val before = spark.read.parquet(destDir).drop("batch")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(graft.plans.ZOrder.isStaleZorder(spark, destDir),
+      "two drifted epochs must flip the staleness flag")
+    // ONE maintenance pass collapses the epochs under fresh boundaries;
+    // the swap is staged, so readers never observe a partial layout and
+    // not one row moves content-wise
+    graft.plans.ZOrder.reclusterZorderEpochs(spark, destDir, numFiles = 4)
+    assert(!graft.plans.ZOrder.isStaleZorder(spark, destDir),
+      "fresh boundaries must clear the flag")
+    val after = spark.read.parquet(destDir).drop("batch")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(after === before, "recluster is a pure permutation")
+    assert(spark.read.parquet(destDir).select("batch").distinct().count() === 1,
+      "epochs collapse into one")
+    // the stream keeps appending clustered epochs after the recluster
+    stamp(shifted(300000)).write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(spark.read.parquet(destDir).count() === base.count() * 4)
+  }
 }
