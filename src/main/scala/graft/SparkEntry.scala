@@ -2044,6 +2044,38 @@ object SparkEntry {
           col("n_rows"), col("sum_qty"))
         .orderBy("s_nationkey")
     }),
+    // Bloom-reduced join: the small side's keys become a 2^17-bit
+    // literal filter applied to the large side IN ITS SCAN STAGE,
+    // before any exchange; false positives drop in the real join, so
+    // the result IS the plain join (the shared twin)
+    "q_join_bloom" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val sup = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      graft.plans.ScaleJoins.bloomFilteredJoin(li, sup, "suppkey",
+          mBits = 1 << 17, kHashes = 5)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast("double").as("sum_qty"))
+        .select(col("s_nationkey").cast(LongType).as("s_nationkey"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
+    // Base-corpus deletion: the takedown verb for the DATA itself (the
+    // four index families tombstone; the parquet corpus rewrites
+    // through the staged swap). Copy → delete doc_id % 3 == 0 → read
+    // back; the twin is simply the corpus without those rows
+    "q_corpus_delete" -> ((s, dir) => {
+      val out = roundTripDir("del", dir)
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+      docs.write.mode("overwrite").parquet(out)
+      graft.plans.Compaction.deleteWhere(s, out, col("doc_id") % 3 === 0)
+      s.read.parquet(out).orderBy("doc_id")
+    }),
     // Gopher/C4-style repetition + heuristic quality filters (exact
     // arithmetic, engine-reproducible)
     "q_text_gopher" -> ((s, dir) => {
@@ -4335,6 +4367,17 @@ object SparkEntry {
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    "q_join_bloom" ->
+      // the prefilter has no false negatives and false positives drop
+      // in the join — the result is the plain (restricted) join
+      ("SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n_rows, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE s_suppkey % 3 = 0 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    "q_corpus_delete" ->
+      ("SELECT doc_id, text, lang, source FROM documents " +
+        "WHERE doc_id % 3 <> 0 ORDER BY doc_id"),
     "q_corpus_split" -> {
       val valCut = math.round(0.1 * 4294967296.0)
       val testCut = math.round(0.2 * 4294967296.0)

@@ -168,6 +168,57 @@ object Compaction {
     (before, listData(fs, qualified)._1)
   }
 
+  /** Row deletion for a parquet DATASET DIRECTORY — the base-corpus
+    * half of the takedown story (the four index families delete via
+    * their tombstone verbs; the corpus itself deletes here): rewrite
+    * the dataset WITHOUT the rows matching `condition`, staged through
+    * [[stagedParquetSwap]] (tag `delete`) so readers never observe a
+    * partial dataset and every crash state triages exactly like
+    * compaction's. Partition layout (`name=value` directories) is
+    * preserved; output files are sized from the measured surviving
+    * byte fraction. Unlike the tombstone verbs this is O(dataset) per
+    * call — batch takedown requests and run one sweep.
+    *
+    * Z-ORDER-clustered datasets must NOT pass through here: the
+    * round-robin repartition would scramble their layout — the guard
+    * refuses and points at [[ZOrder.deleteWhereZorder]], which deletes
+    * under the stored clustering contract.
+    *
+    * @return (rowsBefore, rowsAfter)
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      dir: String,
+      condition: org.apache.spark.sql.Column,
+      targetFileBytes: Long = 128L << 20
+  ): (Long, Long) = {
+    require(targetFileBytes > 0)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(path)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(qualified, "_zorder_meta")),
+      s"$dir is a z-order clustered dataset — delete with " +
+        "ZOrder.deleteWhereZorder to preserve its layout")
+    val obsIn = org.apache.spark.sql.Observation(
+      s"graft-delete-in-${java.util.UUID.randomUUID()}")
+    val obsOut = org.apache.spark.sql.Observation(
+      s"graft-delete-out-${java.util.UUID.randomUUID()}")
+    val cnt = org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("n")
+    stagedParquetSwap(spark, dir, "delete") { tmp =>
+      val (_, bytes) = listData(fs, qualified)
+      val partCols = partitionColumns(fs, qualified)
+      val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val writer = spark.read.parquet(dir).observe(obsIn, cnt)
+        .filter(!condition).observe(obsOut, cnt)
+        .repartition(parts)
+        .write.mode("overwrite")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(tmp)
+    }
+    (obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
+  }
+
   /** Compaction for BUCKETED catalog tables — the signature/ANN index
     * tables ([[graft.operators.Dedup.writeMinhashIndex]],
     * [[graft.operators.Similarity.writeIvfSqIndex]]) that

@@ -211,6 +211,88 @@ object ScaleJoins {
       .drop("__salt")
   }
 
+  /** Bloom bit WORDS of the small side's join keys: k affine positions
+    * per key over `mBits` bits, OR-reduced into ⌈mBits/64⌉ longs — a
+    * semi-join reduction artifact bounded by mBits/8 bytes no matter
+    * how many rows the build side has (2²⁰ bits = 128 KB). Built
+    * distributed: one explode + one `bit_or` aggregate grouped by word
+    * index (≤ mBits/64 rows collected), never a driver fold over keys.
+    * Build once, prefilter MANY probe sides — the cross-query reuse
+    * Catalyst's own runtime filters can't give you.
+    */
+  def keyBloomWords(
+      small: DataFrame, key: String, mBits: Int, kHashes: Int): Array[Long] = {
+    require(mBits >= 64 && mBits % 64 == 0 && kHashes >= 1 && kHashes <= 16)
+    val nWords = mBits / 64
+    // the affine positions multiply the hash by small constants, so the
+    // hash must be range-clamped first — a raw 64-bit xxhash64 would
+    // overflow the ANSI multiply
+    val rows = small
+      .filter(col(key).isNotNull)
+      .select(pmod(xxhash64(col(key).cast("string")), lit(2147483647L)).as("__h"))
+      .select(explode(array((0 until kHashes).map(i =>
+        pmod(col("__h") * lit(2L * i + 3) + lit(97L * i + 1), lit(mBits.toLong))): _*))
+        .as("__pos"))
+      .groupBy((col("__pos") / 64).cast("int").as("__w"))
+      .agg(bit_or(call_function("shiftleft",
+          lit(1L), pmod(col("__pos"), lit(64L)).cast("int"))).as("__bits"))
+      .collect() // ≤ mBits/64 rows by construction
+    val words = new Array[Long](nWords)
+    rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    words
+  }
+
+  /** Probe-side reduction against [[keyBloomWords]]: keep only rows
+    * whose key's k bit positions are ALL set — a pure per-row filter
+    * on a literal word array (no join, no shuffle, plan-gated), so at
+    * 100 TB the reduction happens IN THE SCAN STAGE before any
+    * exchange. No false negatives by construction (build and probe
+    * share the hash family verbatim), so `filter → real join` returns
+    * EXACTLY the plain join; false positives only cost shuffled bytes.
+    * Null keys are kept — the downstream join owns null semantics.
+    */
+  def bloomPrefilter(
+      large: DataFrame, key: String, words: Array[Long], kHashes: Int): DataFrame = {
+    val mBits = words.length * 64L
+    val wordsLit = typedlit(words.toSeq)
+    val h = pmod(xxhash64(col(key).cast("string")), lit(2147483647L))
+    val hit = (0 until kHashes).map { i =>
+      val pos = pmod(h * lit(2L * i + 3) + lit(97L * i + 1), lit(mBits))
+      (call_function("shiftright",
+        element_at(wordsLit, (pos / 64).cast("int") + 1),
+        pmod(pos, lit(64L)).cast("int")) bitwiseAND lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+    large.filter(col(key).isNull || hit)
+  }
+
+  /** Bloom-reduced equi-join: build the bit words from the small side,
+    * prefilter the large side in its scan stage, then run the REAL
+    * join — result exactly equals the plain join (the prefilter has no
+    * false negatives; false positives drop in the join), with the
+    * shuffle carrying only the ~matching fraction of the large side.
+    * This is the explicit, reusable form of the bloom runtime filter:
+    * when one dimension screens many fact scans (a crawl pipeline
+    * joining every epoch against the same allowlist), build
+    * [[keyBloomWords]] once and [[bloomPrefilter]] each epoch instead.
+    * Inner/left-semi only: shapes that must KEEP unmatched large rows
+    * (left outer/anti) cannot prefilter the probe side.
+    */
+  def bloomFilteredJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      mBits: Int = 1 << 20,
+      kHashes: Int = 5,
+      joinType: String = "inner"
+  ): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "leftsemi").contains(jt),
+      s"bloomFilteredJoin supports inner/left_semi, got $joinType " +
+        "(outer shapes must keep unmatched probe rows)")
+    bloomPrefilter(large, key, keyBloomWords(small, key, mBits, kHashes), kHashes)
+      .join(small, Seq(key), joinType)
+  }
+
   /** What [[adaptiveJoin]] decided and why — the measured inputs
     * beside the chosen arm, so a pipeline can log/alert on its join
     * plans instead of discovering them in a post-mortem.

@@ -317,6 +317,45 @@ object ZOrder {
       s"$path/batch=$epochId")
   }
 
+  /** Row deletion for a z-order clustered dataset — the clustered twin
+    * of [[Compaction.deleteWhere]]: the survivors are re-clustered
+    * under the STORED contract AND the STORED boundaries (deletion
+    * must not move the layout contract, exactly as the index deletes
+    * never move their quantizers — a takedown is not a drift repair),
+    * staged through the crash-safe swap. Point predicates prune the
+    * same way before and after; only the rows are gone.
+    *
+    * @return (rowsBefore, rowsAfter)
+    */
+  def deleteWhereZorder(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      condition: Column,
+      numFiles: Int): (Long, Long) = {
+    // counts via parquet metadata, NOT observe: repartitionByRange runs
+    // a separate boundary-sampling pass over its input, so an observed
+    // count on the clustered rewrite would fire twice and double-report
+    val before = spark.read.parquet(path).count()
+    Compaction.stagedParquetSwap(spark, path, "delete") { tmp =>
+      // meta read INSIDE the staged block (the reclusterZorder rule)
+      val (mcols, mbits, mbounds, mcurve) = readMeta(spark, path)
+      // an epoch-partitioned sink dataset ([[zorderAppendEpoch]])
+      // collapses its epochs on delete, like [[reclusterZorderEpochs]]
+      // — the directory shape stays valid for the resuming stream
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val epochLayout = fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch="))
+      val raw = spark.read.parquet(path)
+      val survivors = (if (epochLayout) raw.drop("batch") else raw)
+        .filter(!condition)
+      clusterInto(survivors, mcols, mbits, mbounds, mcurve, numFiles,
+        if (epochLayout) s"$tmp/batch=0" else tmp)
+      writeMeta(spark, tmp, mcols, mbits, mbounds, mcurve)
+    }
+    (before, spark.read.parquet(path).count())
+  }
+
   /** [[reclusterZorder]] for an EPOCH-PARTITIONED clustered dataset
     * (the [[zorderAppendEpoch]] streaming-sink layout): collapse every
     * accumulated `batch=` epoch into ONE fresh layout with fresh

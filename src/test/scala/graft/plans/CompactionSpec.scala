@@ -36,6 +36,40 @@ class CompactionSpec extends SparkSpec {
     assert(resumed.filter(col("batch") === 12).count() === 50)
   }
 
+  test("deleteWhere: rows vanish, partition layout survives, z-ordered datasets are refused") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString + "/corpus"
+    (0 until 4).foreach { b =>
+      (0 until 100).map(i => (b * 100L + i, s"doc $b $i"))
+        .toDF("id", "v").write.parquet(s"$dir/batch=$b")
+    }
+    val (before, after) = Compaction.deleteWhere(spark, dir, col("id") % 4 === 0)
+    assert(before === 400L && after === 300L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 300L)
+    assert(back.filter(col("id") % 4 === 0).count() === 0L)
+    // the batch= layout survives the rewrite, so a resumed writer keeps
+    // appending partition dirs
+    assert(back.columns.contains("batch"))
+    // appended ids ≡ 1 (mod 4), so the idempotency re-delete below has
+    // genuinely nothing to remove
+    (0 until 10).map(i => (9001L + i * 4, s"doc 4 $i"))
+      .toDF("id", "v").write.parquet(s"$dir/batch=4")
+    assert(spark.read.parquet(dir).count() === 310L)
+    // idempotent: deleting already-deleted rows is a no-op rewrite
+    val (b2, a2) = Compaction.deleteWhere(spark, dir, col("id") % 4 === 0)
+    assert(b2 === a2)
+    // a clustered dataset must go through the layout-preserving verb
+    val zdir = java.nio.file.Files.createTempDirectory("graft_delz").toString + "/z"
+    graft.plans.ZOrder.zorderWrite(
+      (0 until 100).map(i => (i.toLong, i.toLong * 2)).toDF("a", "b"),
+      Seq("a", "b"), zdir, numFiles = 2)
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.deleteWhere(spark, zdir, col("a") === 0)
+    }
+    assert(ex.getMessage.contains("deleteWhereZorder"), ex.getMessage)
+  }
+
   test("compactParquet: crash between the install renames — re-run recovers __compact_old, zero data loss") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString + "/t"

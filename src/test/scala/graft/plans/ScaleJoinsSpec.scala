@@ -215,6 +215,51 @@ class ScaleJoinsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bloomFilteredJoin: exact result, scan-stage reduction, build-once-probe-many") {
+    import spark.implicits._
+    val large = spark.range(20000)
+      .select(pmod(col("id"), lit(1000L)).as("k"), col("id").as("v"))
+    val small = (0L until 1000L by 50).map(k => (k, s"dim$k")).toDF("k", "label")
+    val plain = large.join(small, Seq("k")).groupBy("k", "label")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(_.toString).toSet
+    // tiny filter (high false-positive rate) — result must STILL be
+    // exact: false positives drop in the real join
+    for (mBits <- Seq(64, 1 << 16)) {
+      val got = ScaleJoins.bloomFilteredJoin(large, small, "k", mBits, kHashes = 3)
+        .groupBy("k", "label").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(_.toString).toSet
+      assert(got === plain, s"mBits=$mBits")
+    }
+    // the reduction is a pure filter in the probe side's own stage —
+    // no join, no exchange introduced by the prefilter itself
+    val words = ScaleJoins.keyBloomWords(small, "k", 1 << 16, 3)
+    val reduced = ScaleJoins.bloomPrefilter(large, "k", words, 3)
+    val plan = reduced.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    // no false negatives: every truly-matching key survives the filter
+    val surviving = reduced.select("k").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val trueKeys = small.select("k").collect().map(_.getLong(0)).toSet
+    assert(trueKeys.subsetOf(surviving))
+    // ...and the filter actually reduces (20 of 1000 keys match; even
+    // with false positives the survivors are far under the input)
+    assert(reduced.count() < large.count() / 2,
+      s"${reduced.count()} of ${large.count()} survived — no reduction")
+    // build-once-probe-many: the same words screen a second probe side
+    val large2 = spark.range(5000).select(pmod(col("id"), lit(997L)).as("k"))
+    val r2 = ScaleJoins.bloomPrefilter(large2, "k", words, 3)
+      .join(small, Seq("k")).count()
+    assert(r2 === large2.join(small, Seq("k")).count())
+    // null probe keys pass the filter (the join owns null semantics)
+    val withNull = Seq(Option(0L), None).toDF("k")
+    assert(ScaleJoins.bloomPrefilter(withNull, "k", words, 3).count() === 2)
+    // outer shapes that must keep unmatched probe rows are rejected
+    intercept[IllegalArgumentException] {
+      ScaleJoins.bloomFilteredJoin(large, small, "k", joinType = "left_outer")
+    }
+  }
+
   test("rowDiff over same-bucketed tables needs no exchange") {
     // the 100 TB composition: src and dest both bucketed on the diff
     // key at ingest => the full-outer diff join reads co-located buckets

@@ -163,6 +163,43 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(re).count() === current.count())
   }
 
+  test("deleteWhereZorder: survivors stay clustered under the UNMOVED contract; epoch sinks collapse") {
+    import spark.implicits._
+    val li = table("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    val out = Files.createTempDirectory("graft_zdel").toString + "/z"
+    ZOrder.zorderWrite(li, Seq("l_orderkey", "l_partkey"), out, numFiles = 16)
+    val boundsBefore = spark.read.parquet(s"$out/_zorder_meta")
+      .orderBy("idx").collect().map(_.toString).toSeq
+    val expected = li.filter(!(col("l_orderkey") % 5 === 0))
+    val (b, a) = ZOrder.deleteWhereZorder(spark, out,
+      col("l_orderkey") % 5 === 0, numFiles = 16)
+    assert(b === li.count() && a === expected.count())
+    val back = spark.read.parquet(out)
+    assert(back.count() === expected.count())
+    assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty,
+      "delete must keep exactly the survivors")
+    // the layout contract did NOT move (a takedown is not drift repair)
+    val boundsAfter = spark.read.parquet(s"$out/_zorder_meta")
+      .orderBy("idx").collect().map(_.toString).toSeq
+    assert(boundsAfter === boundsBefore)
+    // ...and the survivors are still a clustered layout, not a scramble
+    assert(!ZOrder.isStaleZorder(spark, out))
+    // epoch-partitioned sink datasets collapse their epochs on delete
+    // and stay valid for the resuming stream
+    val edir = Files.createTempDirectory("graft_zdel_e").toString + "/corpus"
+    val base = (0 until 200).map(i => (i.toLong, i.toLong * 3)).toDF("a", "b")
+    ZOrder.zorderInit(base, Seq("a", "b"), edir)
+    ZOrder.zorderAppendEpoch(base.filter(col("a") < 100), edir, 0L, 2)
+    ZOrder.zorderAppendEpoch(base.filter(col("a") >= 100), edir, 1L, 2)
+    val (eb, ea) = ZOrder.deleteWhereZorder(spark, edir, col("a") % 2 === 0, 2)
+    assert(eb === 200L && ea === 100L)
+    val eback = spark.read.parquet(edir)
+    assert(eback.count() === 100L &&
+      eback.select("batch").distinct().count() === 1L)
+    ZOrder.zorderAppendEpoch(base.filter(col("a") < 10), edir, 7L, 1)
+    assert(spark.read.parquet(edir).count() === 110L, "stream resumes after delete")
+  }
+
   test("reclusterZorder: staged remediation clears drift-staleness without a loss window") {
     val li = table("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
     val out = Files.createTempDirectory("graft_zrc").toString + "/t"
