@@ -1404,6 +1404,55 @@ object Similarity {
       k, nProbe, shortlist, pruneLists = true)
   }
 
+  /** Sampled ground-truth recall of a materialized IVF-SQ index — the
+    * staleness signal that actually matters: `appendedFraction` and
+    * `listSkew` ([[ivfIndexStats]]) are PROXIES for "the quantizer no
+    * longer routes queries to the right lists"; this measures the real
+    * thing. A deterministic portable-hash sample of the index's own
+    * live vectors queries BOTH paths — exact brute-force cosine top-k
+    * (ground truth) and the index's pruned search at the caller's
+    * production knobs — and recall is the exact integer fraction of
+    * ground-truth neighbors the index returned.
+    *
+    * Cost, stated honestly: the ground-truth side is one full scan of
+    * the stored vectors against `nQueries` broadcast queries (the
+    * labeled-audit tier, like the brute-force dedup baseline) — run it
+    * between epochs at a bounded `nQueries`, not per query batch.
+    * Deterministic end to end (hash-ordered sample, tie-broken ranks),
+    * so two probes of the same index state return the same number.
+    *
+    * @return recall in ppm: matched ground-truth pairs · 10⁶ div
+    *         ground-truth pairs (denominator from the truth side, so a
+    *         corpus smaller than k stays exact)
+    */
+  def ivfRecallProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      nQueries: Int = 32,
+      k: Int = 10,
+      nProbe: Int = 2,
+      shortlist: Int = 64): Long = {
+    require(nQueries > 0 && k > 0)
+    val live = ivfLiveRows(spark, tableName)
+      .select(col("neighbor_id").as("vec_id"), col("__cv").as("embedding"))
+    val queries = live
+      .orderBy(graft.operators.Corpus.portableHash(col("vec_id")), col("vec_id"))
+      .limit(nQueries)
+      .localCheckpoint(true) // one sample frame feeds both paths
+    val truth = bruteForceTopK(queries, live,
+      "vec_id", "embedding", "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = ivfQuantizedTopKFromIndex(spark, tableName, queries,
+      "vec_id", "embedding", k, nProbe, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val r = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hit"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n"))))
+      .select(call_function("div", col("hit") * lit(1000000L), col("n")))
+      .head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Quantize-shortlist-rerank top-k — the two-phase retrieval shape of
     * quantized vector search: rank ALL candidates by the integer dot
     * product of int8 codes (exact integer arithmetic — no float enters

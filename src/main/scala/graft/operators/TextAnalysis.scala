@@ -999,6 +999,33 @@ object TextAnalysis {
     (before, n)
   }
 
+  /** Re-stamp a BM25 index's staleness REFERENCES to "now" — the cheap
+    * alternative to a full rebuild when [[isStaleBm25Index]] flips on
+    * append mass or avgdl drift: retrieval itself never went stale
+    * (df is live, N/avgdl aggregate from the roster), so what a
+    * "rebuild" actually refreshes is the drift baseline — the
+    * `<table>_terms` df snapshot and the `_stats` build stamps. This
+    * recomputes both from the LIVE index state: O(index) + O(roster),
+    * never a corpus re-tokenize. Answers are untouched by
+    * construction (the query path reads neither table). Downstream
+    * systems exporting the `_terms` snapshot as a cached idf table get
+    * the refresh they were being warned about; a tombstone-driven
+    * flag still needs [[purgeBm25Index]] — restamping doesn't reclaim
+    * bytes.
+    */
+  def restampBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Unit = {
+    val cur = bm25CurrentStats(spark, tableName).head()
+    val n = cur.getAs[Long]("n_docs")
+    val s = cur.getAs[Long]("sum_dl")
+    bm25LivePostings(spark, tableName)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(tableName + "_terms")
+    writeBm25Stats(spark, tableName, n, s, n, s)
+  }
+
   /** Delete documents from a materialized BM25 index — the takedown /
     * PII-purge verb (license revocation, deduplication-driven removal,
     * a compliance request), O(|ids|) however large the index:

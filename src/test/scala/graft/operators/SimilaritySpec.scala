@@ -828,6 +828,33 @@ class SimilaritySpec extends SparkSpec {
     assert(ex.getMessage.contains("label"), ex.getMessage)
   }
 
+  test("ivfRecallProbe: exhaustive knobs read 1.0, pruning can only lose, deterministic, delete-aware") {
+    val emb = table("embeddings").select("vec_id", "embedding").limit(300)
+    Similarity.writeIvfSqIndex(emb, "vec_id", "embedding", "ivfsq_probe",
+      nCentroids = 8, buckets = 4)
+    // every list probed + corpus-sized shortlist = the brute-force
+    // path re-derived through the index — recall must be exactly 1
+    val full = Similarity.ivfRecallProbe(spark, "ivfsq_probe",
+      nQueries = 8, k = 5, nProbe = 8, shortlist = 300)
+    assert(full === 1000000L, s"exhaustive probe read $full ppm")
+    // production knobs prune — recall can only drop, never exceed
+    val pruned = Similarity.ivfRecallProbe(spark, "ivfsq_probe",
+      nQueries = 8, k = 5, nProbe = 2, shortlist = 32)
+    assert(pruned <= 1000000L && pruned > 0L, pruned.toString)
+    // deterministic: the hash-ordered sample and tie-broken ranks make
+    // the probe a pure function of index state
+    assert(pruned === Similarity.ivfRecallProbe(spark, "ivfsq_probe",
+      nQueries = 8, k = 5, nProbe = 2, shortlist = 32))
+    // the probe samples LIVE vectors only — it keeps working after a
+    // delete (a tombstoned vector can be neither query nor truth)
+    Similarity.deleteFromIvfSqIndex(spark, "ivfsq_probe",
+      emb.filter(col("vec_id") % 2 === 0).select("vec_id"))
+    val afterDelete = Similarity.ivfRecallProbe(spark, "ivfsq_probe",
+      nQueries = 8, k = 5, nProbe = 8, shortlist = 300)
+    assert(afterDelete === 1000000L,
+      s"exhaustive probe over the surviving half read $afterDelete ppm")
+  }
+
   test("ivf-sq delete == pinned rebuild: tombstoned vectors vanish from search exactly") {
     import spark.implicits._
     val all = table("embeddings").select("vec_id", "embedding").limit(300)

@@ -809,6 +809,35 @@ class TextAnalysisSpec extends SparkSpec {
         == bm25Rows(TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_crash_ref", queries, k = 5)))
   }
 
+  test("restampBm25Index: clears append-driven staleness without a corpus re-tokenize; answers untouched") {
+    import spark.implicits._
+    val docs = table("documents")
+    val tenth = docs.filter(col("doc_id") % 10 === 0)
+    val rest = docs.filter(col("doc_id") % 10 =!= 0)
+    val queries = Seq((1L, "spark"), (2L, "hash")).toDF("query_id", "term")
+    TextAnalysis.writeBm25Index(tenth, "doc_id", "text", "bm25_restamp", buckets = 4)
+    TextAnalysis.appendToBm25Index(spark, "bm25_restamp", rest, "doc_id", "text")
+    assert(TextAnalysis.isStaleBm25Index(spark, "bm25_restamp"),
+      "append-dominated index must flag")
+    val before = bm25Rows(
+      TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_restamp", queries, k = 5))
+    TextAnalysis.restampBm25Index(spark, "bm25_restamp")
+    assert(!TextAnalysis.isStaleBm25Index(spark, "bm25_restamp"),
+      "restamp must clear the append/drift flags")
+    val st = TextAnalysis.bm25IndexStats(spark, "bm25_restamp")
+    assert(st.appendedFraction === 0.0 && st.builtDocs === docs.count(), st.toString)
+    assert(st.maxDfDriftPpm === 0L && st.newTermPpm === 0L, st.toString)
+    assert(bm25Rows(
+      TextAnalysis.bm25TopKBatchFromIndex(spark, "bm25_restamp", queries, k = 5))
+      == before, "restamp must not change answers")
+    // a tombstone-driven flag is NOT clearable by restamping — bytes
+    // need the purge
+    TextAnalysis.deleteFromBm25Index(spark, "bm25_restamp",
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id"))
+    TextAnalysis.restampBm25Index(spark, "bm25_restamp")
+    assert(TextAnalysis.bm25IndexStats(spark, "bm25_restamp").tombstoneFraction > 0.2)
+  }
+
   test("bm25 staleness: tombstone mass flags the purge the same way append mass flags rebuild") {
     import spark.implicits._
     val docs = table("documents").filter(col("doc_id") < 200)

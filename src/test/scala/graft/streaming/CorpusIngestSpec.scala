@@ -494,6 +494,59 @@ class CorpusIngestSpec extends SparkSpec {
     }
   }
 
+  test("startWithIndex after a takedown: a deleted history doc stops blocking new arrivals; purge preserves that") {
+    import spark.implicits._
+    def phrase(tag: String) = (1 to 25).map(t => s"${tag}w$t").mkString(" ")
+    def stamp(df: org.apache.spark.sql.DataFrame) = df.withColumn("ingest_time",
+      timestamp_micros((lit(3600L) + pmod(col("doc_id"), lit(500L)) * 60L) * 1000000L))
+    val srcDir = tmp("graft_idel_src")
+    val outDir = tmp("graft_idel_out") + "/corpus"
+    val ckpt = tmp("graft_idel_ckpt")
+    val history = Seq((1L, phrase("keep1")), (2L, phrase("taken2")))
+      .toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(history, "doc_id", "text", "ingest_del_idx", buckets = 4)
+    def run(): Unit =
+      CorpusIngest.startWithIndex(
+        CorpusIngest.clean(CorpusIngest.documentsStream(spark, srcDir),
+          minQuality = 0.0, watermark = "1 hour"),
+        outDir, ckpt, "ingest_del_idx", threshold = 0.75)
+        .awaitTermination(180000)
+    // epoch 1: near-dups of BOTH history docs — both must drop
+    stamp(Seq(
+      (100L, phrase("keep1") + " trailing extra marker"),
+      (101L, phrase("taken2") + " trailing extra marker"))
+      .toDF("doc_id", "text")).write.mode("overwrite").parquet(srcDir)
+    run()
+    assert(spark.read.parquet(outDir).filter(col("doc_id").isin(100L, 101L))
+      .count() === 0, "both history docs still block")
+    // takedown: doc 2 deleted — a NEW near-dup of it must now be
+    // ADMITTED (content re-enters the corpus legitimately after the
+    // original's removal), while doc 1 keeps blocking
+    Dedup.deleteFromMinhashIndex(spark, "ingest_del_idx", Seq(2L).toDF("doc_id"))
+    stamp(Seq(
+      (200L, phrase("taken2") + " other trailing words here"),
+      (201L, phrase("keep1") + " other trailing words here"))
+      .toDF("doc_id", "text")).write.mode("append").parquet(srcDir)
+    run()
+    val ids2 = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2.contains(200L), "deleted history doc must stop blocking")
+    assert(!ids2.contains(201L), "surviving history doc must still block")
+    // ...and doc 200's own signatures were appended, so the takedown
+    // content is now guarded by its NEW representative
+    spark.catalog.refreshTable("ingest_del_idx")
+    // purge makes the deletion physical; the stream's behavior is
+    // unchanged (tombstone-table-missing IS the purged state)
+    Dedup.purgeMinhashIndex(spark, "ingest_del_idx")
+    stamp(Seq((300L, phrase("taken2") + " third trailing variant marker"))
+      .toDF("doc_id", "text")).write.mode("append").parquet(srcDir)
+    run()
+    val ids3 = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids3.contains(300L),
+      "the re-admitted representative (200) must now block its own near-dups")
+  }
+
   test("startClustered lifecycle: clustered epochs accumulate, drift flips staleness, one recluster repairs, the stream resumes") {
     val srcDir = tmp("graft_zst_src")
     val destDir = tmp("graft_zst_out") + "/corpus"
