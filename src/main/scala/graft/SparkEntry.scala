@@ -950,6 +950,57 @@ object SparkEntry {
           col("format"), col("width"), col("height"))
         .orderBy("media_id")
     }),
+    // Perceptual image fingerprints: 100 planted gray P6 payloads at
+    // varying dims (9·fx × 8·fy, fx = 1+d%3, fy = 1+d%2 — the 9×8
+    // dHash grid reads pixel (x·fx, y·fy), exact integer multiples, so
+    // the REAL parser, the REAL nearest-neighbor grid sample and the
+    // integer luma all replay in the oracle bit for bit); the other
+    // 400 ids carry unparseable text bytes and honestly emit NULL
+    // format/dims/hash — dispatch is content-driven, id-replayable
+    "q_mm_dhash" -> ((s, _) => {
+      import s.implicits._
+      def ppm(d: Int): Array[Byte] = {
+        val fx = 1 + d % 3; val fy = 1 + d % 2
+        val w = 9 * fx; val h = 8 * fy
+        val px = new Array[Byte](w * h * 3)
+        var o = 0
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = ((x * 13 + y * 11 + d * 3) % 256).toByte
+          px(o) = v; px(o + 1) = v; px(o + 2) = v; o += 3
+        }
+        s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+      }
+      val media = (0 until 500).map { d =>
+        (d.toLong, if (d % 5 == 0) ppm(d) else s"T$d".getBytes("US-ASCII"))
+      }.toDF("doc_id", "payload")
+      Multimodal.imageDHash(media, "doc_id", "payload").orderBy("doc_id")
+    }),
+    // Image near-dup: 500 planted 9×8 grays in 250 pairs — even/odd
+    // share a base image, odd perturbs ONE corner pixel (+40 mod 256),
+    // flipping at most bit 0 of the dHash, so every pair survives the
+    // 4×16-bit banding by pigeonhole. The oracle replays the ENTIRE
+    // pipeline — per-doc bit vector, band values, banded self-join,
+    // Hamming verify — so cross-base band collisions (gray ramps wrap
+    // mod 256; nearby bases CAN land within Hamming 3) are matched
+    // exactly, not assumed away
+    "q_mm_image_dedup" -> ((s, _) => {
+      import s.implicits._
+      def ppm(d: Int): Array[Byte] = {
+        val base = d / 2
+        val px = new Array[Byte](9 * 8 * 3)
+        var o = 0
+        for (y <- 0 until 8; x <- 0 until 9) {
+          val bump = if (x == 0 && y == 0 && d % 2 == 1) 40 else 0
+          val v = ((x * 31 + y * 17 + base * 7 + bump) % 256).toByte
+          px(o) = v; px(o + 1) = v; px(o + 2) = v; o += 3
+        }
+        "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
+      }
+      val media = (0 until 500).map(d => (d.toLong, ppm(d)))
+        .toDF("doc_id", "payload")
+      Multimodal.imageNearDupPairs(media, "doc_id", "payload", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
     // JSON sidecar flatten: schema inferred once driver-side from a
     // bounded sample, then one codegen'd from_json pass corpus-wide —
     // crawl-metadata extraction as typed columns
@@ -3993,6 +4044,44 @@ object SparkEntry {
         "CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS INT) " +
         "UNION ALL SELECT 101, hex(encode('not an image')), NULL, NULL, NULL " +
         "ORDER BY media_id"),
+    "q_mm_dhash" ->
+      // grid gray g(x,y) = (x·fx·13 + y·fy·11 + d·3) % 256 (gray pixel
+      // ⇒ luma (77+151+28)v >> 8 = v); bit b set iff g(x+1,y) > g(x,y),
+      // x = b%8, y = b//8; bit 63 carries the sign of the BIGINT hash
+      ("WITH d AS (SELECT range AS doc_id, 1 + range % 3 AS fx, " +
+        "1 + range % 2 AS fy FROM range(500)), " +
+        "g AS (SELECT doc_id, CAST(list_sum(list_transform(range(64), b -> " +
+        "CASE WHEN (((b % 8) + 1) * fx * 13 + (b // 8) * fy * 11 + doc_id * 3) % 256 > " +
+        "((b % 8) * fx * 13 + (b // 8) * fy * 11 + doc_id * 3) % 256 " +
+        "THEN CASE WHEN b = 63 THEN -9223372036854775808 " +
+        "ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END " +
+        "ELSE 0 END)) AS BIGINT) AS dhash FROM d WHERE doc_id % 5 = 0) " +
+        "SELECT d.doc_id, CASE WHEN d.doc_id % 5 = 0 THEN 'ppm' END AS format, " +
+        "CAST(CASE WHEN d.doc_id % 5 = 0 THEN 9 * fx END AS INTEGER) AS width, " +
+        "CAST(CASE WHEN d.doc_id % 5 = 0 THEN 8 * fy END AS INTEGER) AS height, " +
+        "g.dhash FROM d LEFT JOIN g ON d.doc_id = g.doc_id ORDER BY d.doc_id"),
+    "q_mm_image_dedup" ->
+      // full-pipeline replay: per-doc 64-bit vector (base gray ramp +
+      // the odd-doc corner bump, which only ever sits under bit 0's
+      // LEFT operand), 4×16-bit band values, banded self-join,
+      // Hamming <= 3 verify — identical shape to the Spark kernel
+      ("WITH d AS (SELECT range AS doc_id, range // 2 AS base, " +
+        "range % 2 AS odd FROM range(500)), " +
+        "bits AS (SELECT doc_id, list_transform(range(64), b -> " +
+        "CASE WHEN (((b % 8) + 1) * 31 + (b // 8) * 17 + base * 7) % 256 > " +
+        "(CASE WHEN b = 0 AND odd = 1 THEN (base * 7 + 40) % 256 " +
+        "ELSE ((b % 8) * 31 + (b // 8) * 17 + base * 7) % 256 END) " +
+        "THEN 1 ELSE 0 END) AS ba FROM d), " +
+        "bnd AS (SELECT doc_id, ba, unnest([0, 1, 2, 3]) AS bd FROM bits), " +
+        "bv AS (SELECT doc_id, bd, CAST(list_sum(list_transform(range(16), j -> " +
+        "ba[bd * 16 + j + 1] * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS bv FROM bnd), " +
+        "p2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(ham AS INTEGER) AS hamming FROM " +
+        "(SELECT p2.id_a, p2.id_b, list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.id_a JOIN bits y ON y.doc_id = p2.id_b) " +
+        "WHERE ham <= 3 ORDER BY id_a, id_b"),
     "q_corpus_domain_cap" ->
       ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
         "row_number() OVER (PARTITION BY source ORDER BY " +

@@ -466,15 +466,36 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = Int.MaxValue
+  ): DataFrame =
+    hash64BandPairs(
+      df.select(col(idCol), simhash64(col(textCol)).as("__sim")),
+      idCol, "__sim", maxHamming, maxBucket)
+
+  /** The banding kernel behind [[simhashNearDupPairs]], generic over WHERE
+    * the 64-bit signature came from: any producer of a (id, hash64) frame
+    * — text SimHash, image dHash ([[Multimodal.imageNearDupPairs]]), audio
+    * fingerprints — gets the same 4 × 16-bit band → equi-join → Hamming
+    * verify pipeline. One kernel, one recall proof, one shuffle shape.
+    *
+    * Shuffle profile: the explode emits 4 rows per signature; the
+    * self-join shuffles on (band, bandval) — at 100 TB the bucket cap is
+    * the guard against a degenerate signature (e.g. an all-black image
+    * corpus collapsing onto one dHash) turning the join quadratic.
+    */
+  private[graft] def hash64BandPairs(
+      sig: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      maxBucket: Int
   ): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding guarantees recall only to Hamming 3 (got $maxHamming); " +
         "raising the threshold needs more bands, not a bigger filter")
-    val sig = df.select(col(idCol), simhash64(col(textCol)).as("__sim"))
     val banded = sig.select(
-      col(idCol), col("__sim"),
+      col(idCol), col(hashCol).as("__sim"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("__sim"), b * 16).bitwiseAND(0xffffL)): _*))
+        shiftright(col(hashCol), b * 16).bitwiseAND(0xffffL)): _*))
         .as(Seq("__band", "__bandval"))
     )
     val capped = capBuckets(banded, Seq("__band", "__bandval"), maxBucket)

@@ -651,6 +651,46 @@ object Multimodal {
       }
       out
     }
+
+    /** 64-bit difference hash (dHash) of a parsed raster — the standard
+      * perceptual fingerprint for image near-duplicate detection
+      * (Krawetz's dHash: resample to a 9 × 8 grayscale grid, emit one
+      * bit per horizontal gradient sign). Grid sampling reuses the
+      * EXACT nearest-neighbor kernel of [[resampleNearestP6]]
+      * (source pixel ⌊x·srcW/9⌋, ⌊y·srcH/8⌋) and integer ITU-R-601-ish
+      * luma `(77·R + 151·G + 28·B) >> 8` (weights sum to 256, so a
+      * gray pixel's luma is itself) — every step exact integer
+      * arithmetic, engine-reproducible, oracle-replayable. Bit `y·8+x`
+      * is set iff `gray(x+1, y) > gray(x, y)`.
+      *
+      * Why dHash over aHash/pHash here: gradient signs survive uniform
+      * brightness shifts and re-encodes (the dominant web near-dup
+      * transforms) without needing a DCT, and 64 bits drop straight
+      * into the repo's existing 4 × 16-bit banding kernel.
+      */
+    private[operators] def dHash64(ra: Raster): Long = {
+      val g = new Array[Int](9 * 8)
+      var y = 0
+      while (y < 8) {
+        val sy = (y.toLong * ra.height / 8).toInt
+        var x = 0
+        while (x < 9) {
+          val sx = (x.toLong * ra.width / 9).toInt
+          val p = ra.pix(sx, sy)
+          g(y * 9 + x) =
+            (77 * ((p >> 16) & 0xff) + 151 * ((p >> 8) & 0xff) + 28 * (p & 0xff)) >> 8
+          x += 1
+        }
+        y += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (g((b / 8) * 9 + (b % 8) + 1) > g((b / 8) * 9 + (b % 8))) h |= 1L << b
+        b += 1
+      }
+      h
+    }
   }
 
   /** Decode/feature-extract stage: one pass, partition-parallel, batch
@@ -770,6 +810,63 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Perceptual image fingerprints: one 64-bit dHash per decodable
+    * payload ([[Decoders.dHash64]] — P6/PPM, uncompressed BMP, and the
+    * ImageIO formats all land on the shared [[Decoders.Raster]] shape,
+    * so one hash serves every codec). Payloads no image parser accepts
+    * emit NULL format/dims/hash — the honest "not an image" contract of
+    * [[resize]], never a hash over garbage bytes. Output: (id, format,
+    * width, height, dhash). Narrow map, zero shuffles; same
+    * `mapPartitions` batch shape as the other codec stages (per-payload
+    * imperative pixel walking).
+    */
+  def imageDHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("dhash", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Decoders.parseRaster(bytes) match {
+          case Some(ra) =>
+            Row(r.get(0), ra.format, ra.width, ra.height, Decoders.dHash64(ra))
+          case None => Row(r.get(0), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs: dHash fingerprints through the SAME
+    * 4 × 16-bit banding kernel as text SimHash
+    * ([[Dedup.hash64BandPairs]]) — two images within Hamming distance
+    * `maxHamming` (≤ 3) of each other agree on at least one band by
+    * pigeonhole, so recall over the banded equi-join is exactly 1.0.
+    * Undecodable payloads are excluded before banding (a NULL hash is
+    * not "similar" to anything). Output: (id_a, id_b, hamming).
+    *
+    * 100 TB shape: hash computation is a narrow map over the binary
+    * column; only (id, 64-bit hash) rows reach the band shuffle — the
+    * image bytes themselves never move. `maxBucket` guards the
+    * degenerate-corpus case (mono-color thumbnails all hashing to 0).
+    */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame =
+    Dedup.hash64BandPairs(
+      imageDHash(df, idCol, binCol)
+        .filter(col("dhash").isNotNull)
+        .select(col(idCol), col("dhash")),
+      idCol, "dhash", maxHamming, maxBucket)
 
   /** REAL video frame sampling for AVI payloads: up to `n` evenly
     * spaced frames extracted from the container's `LIST movi`

@@ -593,4 +593,84 @@ class MultimodalSpec extends SparkSpec {
     assert(out.keys.filter(_ % 3 != 0).forall(id =>
       Set("png", "jpg")(out(id).getString(1))))
   }
+
+  // ------------------------------------------------------ perceptual hash
+
+  /** 9×8 gray pixel plane from a (x, y) → value function. */
+  private def grayRows(f: (Int, Int) => Int): Seq[Seq[(Int, Int, Int)]] =
+    (0 until 8).map(y => (0 until 9).map { x =>
+      val v = f(x, y) & 0xff; (v, v, v)
+    })
+
+  private def ppm98(f: (Int, Int) => Int): Array[Byte] =
+    "P6\n9 8\n255\n".getBytes("US-ASCII") ++
+      grayRows(f).flatten.flatMap { case (r, g, b) =>
+        Seq(r.toByte, g.toByte, b.toByte)
+      }.toArray
+
+  test("imageDHash: identical pixels hash identically across codecs (P6 == BMP)") {
+    import spark.implicits._
+    def f(x: Int, y: Int): Int = (x * 31 + y * 17) % 256
+    val in = Seq(
+      (1L, ppm98(f)),
+      (2L, bmp(9, 8, bottomUp = true, grayRows(f))),
+      (3L, bmp(9, 8, bottomUp = false, grayRows(f))),
+      (4L, "not an image".getBytes("US-ASCII"))
+    ).toDF("id", "payload")
+    val out = Multimodal.imageDHash(in, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val h1 = out(1L).getLong(4)
+    // the Raster abstraction normalizes row order and BGR: all three
+    // encodings of the same pixel plane produce the same fingerprint
+    assert(out(2L).getLong(4) === h1)
+    assert(out(3L).getLong(4) === h1)
+    assert(out(1L).getString(1) === "ppm" && out(2L).getString(1) === "bmp")
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(4))
+  }
+
+  test("imageDHash: gradient signs survive a uniform brightness shift") {
+    import spark.implicits._
+    def f(x: Int, y: Int): Int = (x * 13 + y * 7) % 200 // headroom for +40
+    val in = Seq(
+      (1L, ppm98(f)),
+      (2L, ppm98((x, y) => f(x, y) + 40))
+    ).toDF("id", "payload")
+    val hs = Multimodal.imageDHash(in, "id", "payload")
+      .orderBy("id").collect().map(_.getLong(4))
+    assert(hs(0) === hs(1)) // dHash compares neighbors, not absolute luma
+  }
+
+  test("imageNearDupPairs: one-bit perturbations pair up, far images do not") {
+    import spark.implicits._
+    def f(x: Int, y: Int): Int = (x * 31 + y * 17) % 256
+    val in = Seq(
+      (1L, ppm98(f)),
+      (2L, ppm98((x, y) => if (x == 0 && y == 0) f(0, 0) + 40 else f(x, y))),
+      // inverted gradient: far in Hamming distance from 1 and 2
+      (3L, ppm98((x, y) => 255 - f(x, y))),
+      (4L, "undecodable".getBytes("US-ASCII")) // must not pair with anything
+    ).toDF("id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(in, "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1)))
+  }
+
+  test("imageDHash: the resample grid really decimates larger images") {
+    import spark.implicits._
+    // 18×16 image whose even-coordinate pixels reproduce the 9×8 base:
+    // grid (x, y) reads source (2x, 2y), so the hashes must agree
+    def base(x: Int, y: Int): Int = (x * 31 + y * 17) % 256
+    val big = "P6\n18 16\n255\n".getBytes("US-ASCII") ++
+      (0 until 16).flatMap(y => (0 until 18).flatMap { x =>
+        val v = (base(x / 2, y / 2) + (x % 2) * 3 + (y % 2) * 5) & 0xff
+        // odd positions carry noise the 2× decimation never samples
+        val vv = if (x % 2 == 0 && y % 2 == 0) base(x / 2, y / 2) else v
+        Seq(vv.toByte, vv.toByte, vv.toByte)
+      }).toArray
+    val in = Seq((1L, ppm98(base)), (2L, big)).toDF("id", "payload")
+    val out = Multimodal.imageDHash(in, "id", "payload")
+      .orderBy("id").collect()
+    assert(out(0).getLong(4) === out(1).getLong(4))
+    assert(out(1).getInt(2) === 18 && out(1).getInt(3) === 16)
+  }
 }
