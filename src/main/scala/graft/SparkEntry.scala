@@ -1033,6 +1033,15 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
+    // Temperature-smoothed mixture (α = 1/2): per-language keep rate
+    // √(c_min/c_g) — sqrt/divide/scale are correctly-rounded IEEE ops,
+    // so the micro-unit rates and the exact-integer lottery replay
+    // bit-for-bit in the twin
+    "q_corpus_temperature" -> ((s, dir) => {
+      Corpus.sqrtTemperatureSample(t(s, dir, "documents"), "doc_id", "lang")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
     // BPE merge training: the first 64 learned merges of the corpus —
     // corpus touched once (word counts), then the merge loop runs
     // driver-side over the collected vocabulary (zero Spark jobs per
@@ -4087,6 +4096,16 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY source ORDER BY " +
         "((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, doc_id) AS r " +
         "FROM documents) WHERE r <= 15 ORDER BY doc_id"),
+    "q_corpus_temperature" ->
+      // √(c_min/c_g) micro-unit rate + the exact-integer hash lottery,
+      // all correctly-rounded IEEE ops — same clamp as probabilitySample
+      ("WITH c AS (SELECT lang, COUNT(*) AS cg FROM documents GROUP BY lang), " +
+        "m AS (SELECT MIN(cg) AS cmin FROM c), " +
+        "r AS (SELECT lang, CAST(FLOOR(SQRT(CAST(cmin AS DOUBLE) / CAST(cg AS DOUBLE)) * 1000000.0) AS BIGINT) AS ppm FROM c, m) " +
+        "SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang " +
+        "WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296 * 1000000 < " +
+        "LEAST(GREATEST(ppm, 0), 1000000) * 4294967296 " +
+        "ORDER BY doc_id"),
     "q_sim_ivf_sq_topk" ->
       (ivfSqOracleCtes +
         """ SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM rr WHERE "rank" <= 5 """ +

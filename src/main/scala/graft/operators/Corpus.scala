@@ -106,6 +106,38 @@ object Corpus {
       floor(TextAnalysis.qualityScore(col(textCol)) * lit(1e6) + lit(0.5))
         .cast("long"))
 
+  /** Temperature-smoothed mixture sampling at α = 1/2: per-stratum keep
+    * rate `√(c_min / c_g)`, so the SAMPLED mixture follows `√c_g` — the
+    * square-root smoothing multilingual pretraining uses to lift
+    * low-resource languages without duplicating rows (the subsample-only
+    * realization of "sample language g ∝ c_g^α"; the smallest stratum
+    * keeps everything, rate 1). α is FIXED at 1/2 on purpose: `sqrt`,
+    * `/`, and `·10⁶` are all correctly-rounded IEEE-754 ops, identical
+    * on any engine, so the micro-unit rate — and therefore the exact
+    * sample membership — replays bit-for-bit in the audit SQL. A general
+    * `pow(c, α)` has no such guarantee (libm-dependent), which would
+    * make the sample engine-dependent; compose repeated calls for
+    * α ∈ {1/4, 1/8, …} if ever needed.
+    *
+    * Scale shape: one partial-aggregated count per stratum (strata are
+    * config-sized: languages, sources), a one-row min, and a BROADCAST
+    * join of the rate table back onto the corpus — the corpus itself is
+    * touched by exactly one filter pass, zero corpus-sized shuffles.
+    * The lottery is [[probabilitySample]]'s exact-integer comparison on
+    * the portable hash: deterministic, resumable, lineage-auditable.
+    */
+  def sqrtTemperatureSample(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cg"))
+    val cmin = counts.agg(min(col("__cg")).as("__cmin"))
+    val rates = counts.crossJoin(broadcast(cmin)).select(
+      col(stratumCol),
+      floor(sqrt(col("__cmin").cast("double") / col("__cg").cast("double")) *
+        lit(1000000.0)).as("__ppm"))
+    probabilitySample(
+      df.join(broadcast(rates), Seq(stratumCol)), idCol, col("__ppm"))
+      .select(df.columns.map(col).toIndexedSeq: _*) // join put the key first
+  }
+
   /** Per-group quota cap: deterministically keep at most `cap` rows per
     * group — the "domain cap" of web-corpus curation (no single site may
     * contribute more than N documents), also the shape for per-source or

@@ -476,4 +476,42 @@ class CorpusSpec extends SparkSpec {
     // a cap wider than any group passes everything through
     assert(Corpus.capPerGroup(docs, "doc_id", "source", 1000000).count() === docs.count())
   }
+
+  test("sqrtTemperatureSample: exact membership replay, smallest stratum kept whole") {
+    val docs = table("documents")
+    val out = Corpus.sqrtTemperatureSample(docs, "doc_id", "source")
+    assert(out.columns === docs.columns) // helper column dropped
+
+    // replay the whole contract in plain Scala: counts, IEEE sqrt rate,
+    // micro-unit floor, exact-integer lottery
+    val rows = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val cg = rows.groupBy(_._2).map { case (s, v) => s -> v.length.toLong }
+    val cmin = cg.values.min
+    def ppm(s: String): Long =
+      math.floor(math.sqrt(cmin.toDouble / cg(s).toDouble) * 1000000.0).toLong
+    val expected = rows.filter { case (id, s) =>
+      val h = Math.floorMod(id * 2654435761L, 4294967296L)
+      h * 1000000L < ppm(s) * 4294967296L
+    }.map(_._1).sorted
+    val got = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === expected.toSeq)
+
+    // the smallest stratum runs at rate 1.0: nothing dropped there
+    val smallest = cg.minBy(_._2)._1
+    assert(out.filter(col("source") === smallest).count() === cmin)
+    // larger strata thin monotonically: bigger group, lower ppm
+    val sorted = cg.toSeq.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Seq((_, a), (_, b)) if a < b =>
+        assert(ppm(sorted.find(_._2 == a).get._1) >= ppm(sorted.find(_._2 == b).get._1))
+      case _ =>
+    }
+  }
+
+  test("sqrtTemperatureSample: the rate table broadcasts, the corpus never shuffles") {
+    val plan = Corpus.sqrtTemperatureSample(table("documents"), "doc_id", "source")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
