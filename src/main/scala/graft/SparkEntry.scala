@@ -24,6 +24,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Fixtures.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
 
+  /** Planted 9×8 gray P6 for the image-dedup gates: ids 2k/2k+1 share a
+    * base ramp, the odd id perturbs ONE corner pixel (+40 mod 256) —
+    * the construction every dHash twin replays bit for bit.
+    */
+  private def dedupPpm98(d: Int): Array[Byte] = {
+    val base = d / 2
+    val px = new Array[Byte](9 * 8 * 3)
+    var o = 0
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val bump = if (x == 0 && y == 0 && d % 2 == 1) 40 else 0
+      val v = ((x * 31 + y * 17 + base * 7 + bump) % 256).toByte
+      px(o) = v; px(o + 1) = v; px(o + 2) = v; o += 3
+    }
+    "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
+  }
+
   /** Stable table-name key for a fixture-backed cached index: a digest
     * of the data directory PLUS the frame's current file listing.
     * `dir.hashCode` alone risked two failure modes — a 32-bit collision
@@ -985,21 +1001,48 @@ object SparkEntry {
     // exactly, not assumed away
     "q_mm_image_dedup" -> ((s, _) => {
       import s.implicits._
-      def ppm(d: Int): Array[Byte] = {
-        val base = d / 2
-        val px = new Array[Byte](9 * 8 * 3)
-        var o = 0
-        for (y <- 0 until 8; x <- 0 until 9) {
-          val bump = if (x == 0 && y == 0 && d % 2 == 1) 40 else 0
-          val v = ((x * 31 + y * 17 + base * 7 + bump) % 256).toByte
-          px(o) = v; px(o + 1) = v; px(o + 2) = v; o += 3
-        }
-        "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
-      }
-      val media = (0 until 500).map(d => (d.toLong, ppm(d)))
+      val media = (0 until 500).map(d => (d.toLong, dedupPpm98(d)))
         .toDF("doc_id", "payload")
       Multimodal.imageNearDupPairs(media, "doc_id", "payload", maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+    // Image near-dup AGAINST THE MATERIALIZED dHash index: the same
+    // planted pairs, but the even-id history is a persisted bucketed
+    // band table (the fifth index family) and only the odd-id batch is
+    // hashed — the crawl-epoch production shape. Same verify contract,
+    // asymmetric output
+    "q_mm_dhash_indexed" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 500).map(d => (d.toLong, dedupPpm98(d)))
+        .toDF("doc_id", "payload")
+      val idxTable = "dhash_idx_gate"
+      if (!s.catalog.tableExists(idxTable))
+        Multimodal.writeDHashIndex(media.filter(col("doc_id") % 2 === 0),
+          "doc_id", "payload", idxTable, buckets = 8)
+      Multimodal.imagePairsAgainstIndex(s, idxTable,
+        media.filter(col("doc_id") % 2 === 1), "doc_id", "payload",
+        maxHamming = 3)
+        .orderBy("batch_id", "index_id")
+    }),
+    // DELETION over the dHash index: every index image with
+    // doc_id % 4 == 0 tombstoned — a taken-down image must stop
+    // colliding with arriving batches instantly (delete == rebuild);
+    // the twin drops the same ids from the index side of the replay
+    "q_mm_dhash_index_deleted" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 500).map(d => (d.toLong, dedupPpm98(d)))
+        .toDF("doc_id", "payload")
+      val idxTable = "dhash_del_gate"
+      if (!s.catalog.tableExists(idxTable)) {
+        Multimodal.writeDHashIndex(media.filter(col("doc_id") % 2 === 0),
+          "doc_id", "payload", idxTable, buckets = 8)
+        Multimodal.deleteFromDHashIndex(s, idxTable,
+          media.filter(col("doc_id") % 4 === 0).select("doc_id"))
+      }
+      Multimodal.imagePairsAgainstIndex(s, idxTable,
+        media.filter(col("doc_id") % 2 === 1), "doc_id", "payload",
+        maxHamming = 3)
+        .orderBy("batch_id", "index_id")
     }),
     // JSON sidecar flatten: schema inferred once driver-side from a
     // bounded sample, then one codegen'd from_json pass corpus-wide —
@@ -2623,6 +2666,23 @@ object SparkEntry {
       "FROM sl s JOIN emb a ON a.vec_id = s.neighbor_id JOIN emb b ON b.vec_id = s.query_id)"
   }
 
+  /** Shared dHash-gate replay CTEs: the planted 9×8 gray construction
+    * ([[dedupPpm98]]) reduced to per-doc 64-bit vectors (`bits.ba`) and
+    * 4 × 16-bit band values (`bv`) — every dHash pair twin appends its
+    * own join + Hamming-verify tail. Trailing comma included.
+    */
+  private lazy val dhashPairCtes: String =
+    "WITH d AS (SELECT range AS doc_id, range // 2 AS base, " +
+      "range % 2 AS odd FROM range(500)), " +
+      "bits AS (SELECT doc_id, list_transform(range(64), b -> " +
+      "CASE WHEN (((b % 8) + 1) * 31 + (b // 8) * 17 + base * 7) % 256 > " +
+      "(CASE WHEN b = 0 AND odd = 1 THEN (base * 7 + 40) % 256 " +
+      "ELSE ((b % 8) * 31 + (b // 8) * 17 + base * 7) % 256 END) " +
+      "THEN 1 ELSE 0 END) AS ba FROM d), " +
+      "bnd AS (SELECT doc_id, ba, unnest([0, 1, 2, 3]) AS bd FROM bits), " +
+      "bv AS (SELECT doc_id, bd, CAST(list_sum(list_transform(range(16), j -> " +
+      "ba[bd * 16 + j + 1] * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS bv FROM bnd), "
+
   private lazy val ivfSqOracleCtes: String =
     ivfSqOracleCtesFrom(
       "e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
@@ -4074,16 +4134,7 @@ object SparkEntry {
       // the odd-doc corner bump, which only ever sits under bit 0's
       // LEFT operand), 4×16-bit band values, banded self-join,
       // Hamming <= 3 verify — identical shape to the Spark kernel
-      ("WITH d AS (SELECT range AS doc_id, range // 2 AS base, " +
-        "range % 2 AS odd FROM range(500)), " +
-        "bits AS (SELECT doc_id, list_transform(range(64), b -> " +
-        "CASE WHEN (((b % 8) + 1) * 31 + (b // 8) * 17 + base * 7) % 256 > " +
-        "(CASE WHEN b = 0 AND odd = 1 THEN (base * 7 + 40) % 256 " +
-        "ELSE ((b % 8) * 31 + (b // 8) * 17 + base * 7) % 256 END) " +
-        "THEN 1 ELSE 0 END) AS ba FROM d), " +
-        "bnd AS (SELECT doc_id, ba, unnest([0, 1, 2, 3]) AS bd FROM bits), " +
-        "bv AS (SELECT doc_id, bd, CAST(list_sum(list_transform(range(16), j -> " +
-        "ba[bd * 16 + j + 1] * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS bv FROM bnd), " +
+      (dhashPairCtes +
         "p2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
         "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, CAST(ham AS INTEGER) AS hamming FROM " +
@@ -4091,6 +4142,30 @@ object SparkEntry {
         "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
         "FROM p2 JOIN bits x ON x.doc_id = p2.id_a JOIN bits y ON y.doc_id = p2.id_b) " +
         "WHERE ham <= 3 ORDER BY id_a, id_b"),
+    "q_mm_dhash_indexed" ->
+      // asymmetric replay: odd-id batch vs even-id index, same band
+      // join + Hamming verify as the in-memory pair gate
+      (dhashPairCtes +
+        "p2 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id " +
+        "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv " +
+        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) " +
+        "SELECT batch_id, index_id, CAST(ham AS INTEGER) AS hamming FROM " +
+        "(SELECT p2.batch_id, p2.index_id, list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +
+        "WHERE ham <= 3 ORDER BY batch_id, index_id"),
+    "q_mm_dhash_index_deleted" ->
+      // delete == rebuild: the twin simply drops the tombstoned ids
+      // from the index side of the same replay
+      (dhashPairCtes +
+        "p2 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id " +
+        "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv " +
+        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 4 != 0) " +
+        "SELECT batch_id, index_id, CAST(ham AS INTEGER) AS hamming FROM " +
+        "(SELECT p2.batch_id, p2.index_id, list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +
+        "WHERE ham <= 3 ORDER BY batch_id, index_id"),
     "q_corpus_domain_cap" ->
       ("SELECT doc_id, source FROM (SELECT doc_id, source, " +
         "row_number() OVER (PARTITION BY source ORDER BY " +

@@ -77,7 +77,7 @@ object Dedup {
     * partitions by the same key the self-join shuffles on, so the
     * partitioning is computed once and reused.
     */
-  private def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
+  private[graft] def capBuckets(banded: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) banded
     else banded
       .withColumn("__bsz", count(lit(1)).over(
@@ -482,6 +482,14 @@ object Dedup {
     * the guard against a degenerate signature (e.g. an all-black image
     * corpus collapsing onto one dHash) turning the join quadratic.
     */
+  /** The 4 × 16-bit band values of a 64-bit signature, in band order —
+    * masked arithmetic shifts, so band 3 (the sign-carrying slice) still
+    * reads as an unsigned 16-bit value.
+    */
+  private[graft] def bands64(hash: Column): Column =
+    array((0 until 4).map(b =>
+      shiftright(hash, b * 16).bitwiseAND(0xffffL)): _*)
+
   private[graft] def hash64BandPairs(
       sig: DataFrame,
       idCol: String,
@@ -494,9 +502,7 @@ object Dedup {
         "raising the threshold needs more bands, not a bigger filter")
     val banded = sig.select(
       col(idCol), col(hashCol).as("__sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col(hashCol), b * 16).bitwiseAND(0xffffL)): _*))
-        .as(Seq("__band", "__bandval"))
+      posexplode(bands64(col(hashCol))).as(Seq("__band", "__bandval"))
     )
     val capped = capBuckets(banded, Seq("__band", "__bandval"), maxBucket)
     val a = capped.select(col(idCol).as("id_a"), col("__sim").as("sim_a"),

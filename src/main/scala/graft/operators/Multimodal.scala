@@ -868,6 +868,258 @@ object Multimodal {
         .select(col(idCol), col("dhash")),
       idCol, "dhash", maxHamming, maxBucket)
 
+  // ------------------------------------------------- dHash signature index
+
+  /** Band-exploded (id, dhash, band, bandval) rows — the persisted LSH
+    * layout: one row per band so a query joins exactly the buckets its
+    * own bands touch.
+    */
+  private def dhashBandRows(sig: DataFrame, idCol: String): DataFrame =
+    sig.select(col(idCol).as("index_id"), col("dhash"),
+      posexplode(Dedup.bands64(col("dhash"))).as(Seq("band", "bandval")))
+
+  /** Materialize an image corpus's dHash signatures as a bucketed index
+    * table — the image twin of [[Dedup.writeMinhashIndex]], and the
+    * fifth persisted index family (MinHash, IVF-SQ, IVF-PQ, BM25,
+    * dHash): a perpetual image-ingest pipeline signatures each arriving
+    * batch ONCE, then collides it against this table instead of
+    * re-hashing the history corpus. Layout is the band-exploded LSH
+    * standard — 4 rows per image, `(index_id, dhash, band, bandval)`,
+    * bucketed on `bandval` so the collision join rides the bucket
+    * layout exchange-free and small query batches bucket-prune the
+    * scan. Undecodable payloads are skipped (no fabricated
+    * signatures); count them upstream via [[imageDHash]]'s NULL rows.
+    */
+  def writeDHashIndex(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      tableName: String,
+      buckets: Int = 16
+  ): Unit = {
+    require(buckets > 0)
+    graft.plans.ScaleJoins.writeBucketed(
+      dhashBandRows(
+        imageDHash(df, idCol, binCol).filter(col("dhash").isNotNull), idCol),
+      tableName, "bandval", buckets)
+  }
+
+  /** Incremental index maintenance: signature an accepted image batch
+    * and append its band rows through the table's own bucket spec —
+    * O(batch) per ingest epoch, never a corpus re-hash (the
+    * [[Dedup.appendToMinhashIndex]] policy, same replay caveat: a
+    * re-run epoch appends byte-identical duplicate rows that
+    * [[graft.plans.Compaction.compactBucketedTable]] drops).
+    */
+  def appendToDHashIndex(
+      spark: SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      binCol: String
+  ): Unit = {
+    val index = spark.table(tableName)
+    require(index.columns.sameElements(Array("index_id", "dhash", "band", "bandval")),
+      s"$tableName does not hold band-exploded dHash signatures")
+    val bucketSpec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
+      .bucketSpec
+    require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
+    dhashBandRows(
+      imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(bucketSpec.get.numBuckets, "bandval").sortBy("bandval")
+      .saveAsTable(tableName)
+    spark.catalog.refreshTable(tableName)
+  }
+
+  /** The distinct tombstoned ids of a dHash index, if any were ever
+    * written — a missing table means no deletions, which is also the
+    * post-[[purgeDHashIndex]] state.
+    */
+  private def dhashTombstones(
+      spark: SparkSession, tableName: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(tableName + "_tombstones"))
+      Some(spark.table(tableName + "_tombstones").select("index_id").distinct())
+    else None
+
+  /** Image near-dup collisions of a batch AGAINST the materialized
+    * index: identical verify semantics to [[imageNearDupPairs]]
+    * (Hamming ≤ `maxHamming` over the full 64-bit hashes) but the
+    * history side is the persisted table, so an ingest epoch hashes
+    * the BATCH only. Output: (batch_id, index_id, hamming).
+    *
+    * Scale shape: the join key `bandval` is the index's bucket column,
+    * so the (big) index side joins exchange-free while the (small)
+    * batch shuffles to it; when the batch's distinct band values fit a
+    * literal list (≤ `pruneKeys`) they are pushed as an IN() on the
+    * bucketed scan — Spark bucket-prunes the read to the touched
+    * buckets, the [[Dedup.portableMinhashPairsAgainstIndex]] shape.
+    * Tombstoned ids are excluded BEFORE the hot-bucket cap, exactly as
+    * a rebuilt index would see them.
+    */
+  def imagePairsAgainstIndex(
+      spark: SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue,
+      pruneKeys: Int = 4096
+  ): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only to Hamming 3 (got $maxHamming)")
+    val index = spark.table(tableName)
+    require(index.columns.sameElements(Array("index_id", "dhash", "band", "bandval")),
+      s"$tableName does not hold band-exploded dHash signatures")
+    val bSig = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      dhashBandRows(
+        imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol)
+        .withColumnRenamed("index_id", "batch_id")
+        .withColumnRenamed("dhash", "a_hash"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = bSig.select("bandval").distinct().limit(pruneKeys + 1).collect()
+    val live = dhashTombstones(spark, tableName) match {
+      case Some(ts) => index.join(broadcast(ts), Seq("index_id"), "left_anti")
+      case None => index
+    }
+    val iSig = Dedup.capBuckets(
+      if (keys.length <= pruneKeys)
+        live.filter(col("bandval").isin(keys.map(_.getLong(0)).toIndexedSeq: _*))
+      else live,
+      Seq("band", "bandval"), maxBucket)
+    bSig.join(iSig.withColumnRenamed("dhash", "b_hash"), Seq("band", "bandval"))
+      .select(col("batch_id"), col("index_id"),
+        Dedup.hammingDistance(col("a_hash"), col("b_hash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("batch_id", "index_id")
+  }
+
+  /** Delete images from the materialized dHash index — the takedown /
+    * PII-purge verb, O(|ids|) however large the index: ids land in
+    * `<table>_tombstones` and [[imagePairsAgainstIndex]] anti-joins the
+    * history side against them before the hot-bucket cap, so a deleted
+    * image can never collide with an arriving batch again — collision
+    * output after a delete is identical to an index REBUILT without
+    * those images (the delete == rebuild contract shared by all five
+    * index families). Unknown ids tombstone harmlessly; re-deletes are
+    * idempotent.
+    *
+    * @return distinct NEW ids actually removed — the takedown receipt
+    */
+  def deleteFromDHashIndex(
+      spark: SparkSession,
+      tableName: String,
+      ids: DataFrame): Long = {
+    require(ids.columns.length == 1, "ids must be a one-column frame of ids")
+    val idType = spark.table(tableName).schema("index_id").dataType
+    val ts = ids.select(col(ids.columns.head).cast(idType).as("index_id"))
+      .filter(col("index_id").isNotNull).distinct()
+    val live = dhashTombstones(spark, tableName) match {
+      case Some(t) => spark.table(tableName)
+        .join(broadcast(t), Seq("index_id"), "left_anti")
+      case None => spark.table(tableName)
+    }
+    val known = ts.join(live.select("index_id"), Seq("index_id"), "left_semi")
+      .localCheckpoint(true)
+    val n = known.count()
+    known.write.mode("append").format("parquet")
+      .saveAsTable(tableName + "_tombstones")
+    spark.catalog.refreshTable(tableName + "_tombstones")
+    n
+  }
+
+  /** Make dHash-index deletions physical: rewrite the band rows without
+    * the tombstoned ids (riding
+    * [[graft.plans.Compaction.rewriteBucketedTable]]'s staged swap, tag
+    * `purge`; the rewrite's distinct also drops replay residue), then
+    * drop the tombstone table. Crash safety by ordering — a death after
+    * any step leaves the tombstone set intact and every intermediate
+    * state reads exactly like the final one; re-running completes the
+    * purge.
+    *
+    * @return (bandRowsBefore, bandRowsAfter)
+    */
+  def purgeDHashIndex(
+      spark: SparkSession,
+      tableName: String): (Long, Long) =
+    dhashTombstones(spark, tableName) match {
+      case None =>
+        val n = spark.table(tableName).count()
+        (n, n)
+      case Some(ts) =>
+        val pinned = ts.localCheckpoint(true) // survive the drop below
+        val counts = graft.plans.Compaction.rewriteBucketedTable(
+          spark, tableName, tag = "purge")(
+          _.join(broadcast(pinned), Seq("index_id"), "left_anti"))
+        spark.sql(s"DROP TABLE IF EXISTS `${tableName}_tombstones`")
+        counts
+    }
+
+  /** Operational telemetry for a dHash index — the image twin of
+    * [[Dedup.minhashIndexStats]], measured in ONE pass grouped by the
+    * table's own bucket column. `duplicateFraction` is replay residue
+    * (compact to drop), `maxBucketRows`/`bucketSkew` surface a
+    * degenerate image cluster (mono-color thumbnails) before it
+    * surfaces as a slow query, `tombstoneFraction` is disk the next
+    * [[purgeDHashIndex]] reclaims.
+    */
+  final case class DHashIndexStats(
+      totalRows: Long,
+      distinctRows: Long,
+      duplicateFraction: Double,
+      maxBucketRows: Long,
+      nBlockingKeys: Long,
+      bucketSkew: Double,
+      tombstoneFraction: Double)
+
+  def dhashIndexStats(
+      spark: SparkSession,
+      tableName: String): DHashIndexStats = {
+    val t = spark.table(tableName)
+    val r = t.groupBy("band", "bandval")
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(struct(t.columns.map(col).toIndexedSeq: _*)).as("d"))
+      .agg(sum(col("n")), sum(col("d")), max(col("n")), count(lit(1)))
+      .collect()(0)
+    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val distinctRows = if (r.isNullAt(1)) 0L else r.getLong(1)
+    val maxBucket = if (r.isNullAt(2)) 0L else r.getLong(2)
+    val nKeys = r.getLong(3)
+    val mean = if (nKeys == 0L) 0.0 else total.toDouble / nKeys
+    val dead = dhashTombstones(spark, tableName) match {
+      case Some(ts) => t.join(broadcast(ts), Seq("index_id"), "left_semi").count()
+      case None => 0L
+    }
+    DHashIndexStats(
+      total,
+      distinctRows,
+      if (total == 0L) 0.0 else (total - distinctRows).toDouble / total,
+      maxBucket,
+      nKeys,
+      if (mean == 0.0) 1.0 else maxBucket / mean,
+      if (total == 0L) 0.0 else dead.toDouble / total)
+  }
+
+  /** The operational decision API over [[dhashIndexStats]] — parity
+    * with [[Dedup.isStaleMinhashIndex]]: duplicate residue compacts,
+    * bucket skew means a degenerate image cluster entered the corpus
+    * (dedup and rebuild, or accept the fail-open query-time cap),
+    * tombstone mass past the threshold means run [[purgeDHashIndex]].
+    */
+  def isStaleDHashIndex(
+      spark: SparkSession,
+      tableName: String,
+      maxDuplicateFraction: Double = 0.25,
+      maxBucketSkew: Double = 64.0,
+      maxTombstoneFraction: Double = 0.2): Boolean = {
+    val s = dhashIndexStats(spark, tableName)
+    s.duplicateFraction > maxDuplicateFraction || s.bucketSkew > maxBucketSkew ||
+      s.tombstoneFraction > maxTombstoneFraction
+  }
+
   /** REAL video frame sampling for AVI payloads: up to `n` evenly
     * spaced frames extracted from the container's `LIST movi`
     * ([[Decoders.aviFrameChunks]]) — actual per-frame codec payloads

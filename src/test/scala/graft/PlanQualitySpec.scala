@@ -662,6 +662,40 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("dhash-index query bucket-prunes; tombstone exclusion is a hash anti-join") {
+    import spark.implicits._
+    def gray98(f: (Int, Int) => Int): Array[Byte] =
+      "P6\n9 8\n255\n".getBytes("US-ASCII") ++
+        (0 until 8).flatMap(y => (0 until 9).flatMap { x =>
+          val v = (f(x, y) & 0xff).toByte; Seq(v, v, v)
+        }).toArray
+    val media = (0 until 40).map(d =>
+      (d.toLong, gray98((x, y) => (x * 31 + y * 17 + d * 7) % 256)))
+      .toDF("id", "payload")
+    graft.operators.Multimodal.writeDHashIndex(
+      media.filter(col("id") % 2 === 0), "id", "payload",
+      "dh_idx_plan", buckets = 4)
+    graft.operators.Multimodal.deleteFromDHashIndex(spark, "dh_idx_plan",
+      media.filter(col("id") % 4 === 0).select("id"))
+    def query() = graft.operators.Multimodal.imagePairsAgainstIndex(
+      spark, "dh_idx_plan", media.filter(col("id") % 2 === 1),
+      "id", "payload")
+    val plan = explain(query())
+    // the batch's band values reach the index scan as an IN(), the
+    // tombstone exclusion is a broadcast HASH anti-join, and nothing
+    // degenerates to a nested loop
+    assert(plan.contains("In(bandval"), plan)
+    assert(plan.contains("BroadcastHashJoin LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      assert(explain(query()).contains("SelectedBucketsCount"), "dhash pruning lost")
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("gram-stats kernel stays inside codegen (topgram is exchange-free end to end)") {
     val df = graft.operators.TextAnalysis.topNgramStats(
       table("documents"), "doc_id", "text", n = 2)

@@ -655,6 +655,52 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 1)))
   }
 
+  test("dHash index lifecycle: append == rebuild, delete == rebuild, purge reclaims") {
+    import spark.implicits._
+    // 60 planted images in 30 near-pairs (even = base, odd = one-pixel bump)
+    def img(d: Int): Array[Byte] = ppm98((x, y) =>
+      (x * 31 + y * 17 + (d / 2) * 7 +
+        (if (x == 0 && y == 0 && d % 2 == 1) 40 else 0)) % 256)
+    val media = (0 until 60).map(d => (d.toLong, img(d))).toDF("id", "payload")
+    val evens = media.filter(col("id") % 2 === 0)
+    val odds = media.filter(col("id") % 2 === 1)
+    def pairs(tbl: String) =
+      Multimodal.imagePairsAgainstIndex(spark, tbl, odds, "id", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    Multimodal.writeDHashIndex(evens, "id", "payload", "dh_idx_whole", buckets = 4)
+    Multimodal.writeDHashIndex(evens.filter(col("id") < 30),
+      "id", "payload", "dh_idx_half", buckets = 4)
+    Multimodal.appendToDHashIndex(spark, "dh_idx_half",
+      evens.filter(col("id") >= 30), "id", "payload")
+    val whole = pairs("dh_idx_whole")
+    assert(whole === pairs("dh_idx_half"), "append must equal rebuild")
+    assert(whole.exists { case (a, b, h) => a == b + 1 && h <= 1 },
+      "planted near-pairs must surface")
+
+    // delete == rebuild
+    val receipt = Multimodal.deleteFromDHashIndex(spark, "dh_idx_whole",
+      evens.filter(col("id") % 4 === 0).select("id"))
+    assert(receipt === evens.filter(col("id") % 4 === 0).count())
+    assert(Multimodal.deleteFromDHashIndex(spark, "dh_idx_whole",
+      evens.filter(col("id") % 4 === 0).select("id")) === 0L, "re-delete is a no-op")
+    Multimodal.writeDHashIndex(evens.filter(col("id") % 4 =!= 0),
+      "id", "payload", "dh_idx_rebuilt", buckets = 4)
+    val deleted = pairs("dh_idx_whole")
+    assert(deleted === pairs("dh_idx_rebuilt"), "delete must equal rebuild")
+
+    // purge: answers unchanged, tombstone mass reclaimed
+    val statsBefore = Multimodal.dhashIndexStats(spark, "dh_idx_whole")
+    assert(statsBefore.tombstoneFraction > 0.0)
+    val (before, after) = Multimodal.purgeDHashIndex(spark, "dh_idx_whole")
+    assert(after < before)
+    assert(pairs("dh_idx_whole") === deleted, "purge must not change answers")
+    assert(Multimodal.dhashIndexStats(spark, "dh_idx_whole").tombstoneFraction === 0.0)
+    // idempotent second purge
+    val (b2, a2) = Multimodal.purgeDHashIndex(spark, "dh_idx_whole")
+    assert(b2 === a2)
+  }
+
   test("imageDHash: the resample grid really decimates larger images") {
     import spark.implicits._
     // 18×16 image whose even-coordinate pixels reproduce the 9×8 base:
