@@ -89,6 +89,16 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_rt_${fmt}_" +
       java.lang.Integer.toHexString(dir.hashCode)
 
+  /** Drop a round-trip dataset's `__versions` sibling from a previous
+    * driver run, so a versioned gate's version numbering starts at v1
+    * every run (the gate re-copies the dataset itself via overwrite;
+    * the versions root lives beside it and would otherwise accumulate).
+    */
+  private def freshVersionsRoot(s: SparkSession, out: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(out + "__versions")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** documents decorated with the round-trip hazards: suffix on text,
     * `lang` nulled on doc_id%7=0, `source` emptied on doc_id%11=0 (null
     * vs empty string must stay distinct through the codec).
@@ -2179,6 +2189,66 @@ object SparkEntry {
       graft.plans.Compaction.deleteWhere(s, out, col("doc_id") % 3 === 0)
       s.read.parquet(out).orderBy("doc_id")
     }),
+    // Keyed upsert (MERGE): the update half of the CDC verb set.
+    // Copy → one batch that REVISES doc_id%7 rows and INSERTS shifted
+    // copies of doc_id%13 rows → read back; the twin replays the
+    // anti-join + union in SQL
+    "q_corpus_upsert" -> ((s, dir) => {
+      val out = roundTripDir("ups", dir)
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+      docs.write.mode("overwrite").parquet(out)
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(lit("REVISED "), col("doc_id").cast("string")).as("text"),
+          col("lang"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit("xx").as("lang"), col("source")))
+      graft.plans.Compaction.upsertParquet(s, out, updates, Seq("doc_id"))
+      s.read.parquet(out).orderBy("doc_id")
+    }),
+    // Time travel: version retention turns every staged rewrite into a
+    // snapshot — v1 = pre-delete, v2 = pre-upsert, live = final. One
+    // aggregate row per readable state; the twin replays each state's
+    // transform chain
+    "q_corpus_time_travel" -> ((s, dir) => {
+      val out = roundTripDir("tt", dir)
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+      docs.write.mode("overwrite").parquet(out)
+      freshVersionsRoot(s, out)
+      graft.plans.Snapshots.enableVersioning(s, out)
+      graft.plans.Compaction.deleteWhere(s, out, col("doc_id") % 3 === 0)
+      val updates = s.read.parquet(out).filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(lit("REVISED "), col("doc_id").cast("string")))
+      graft.plans.Compaction.upsertParquet(s, out, updates, Seq("doc_id"))
+      val states = Seq(
+        (1, graft.plans.Snapshots.readVersion(s, out, 1L)),
+        (2, graft.plans.Snapshots.readVersion(s, out, 2L)),
+        (3, s.read.parquet(out)))
+      states.map { case (v, df) =>
+        df.select(lit(v).as("version"), col("doc_id"), col("text"))
+      }.reduce(_ unionByName _)
+        .groupBy("version")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("version")
+    }),
+    // Rollback: restore the pre-delete snapshot as live — the result
+    // IS the original corpus, byte for byte
+    "q_corpus_rollback" -> ((s, dir) => {
+      val out = roundTripDir("rb", dir)
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+      docs.write.mode("overwrite").parquet(out)
+      freshVersionsRoot(s, out)
+      graft.plans.Snapshots.enableVersioning(s, out)
+      graft.plans.Compaction.deleteWhere(s, out, col("doc_id") % 3 === 0)
+      graft.plans.Snapshots.rollbackTo(s, out, 1L)
+      s.read.parquet(out).orderBy("doc_id")
+    }),
     // Gopher/C4-style repetition + heuristic quality filters (exact
     // arithmetic, engine-reproducible)
     "q_text_gopher" -> ((s, dir) => {
@@ -2277,6 +2347,16 @@ object SparkEntry {
     "q_corpus_split" -> ((s, dir) => {
       Corpus.deterministicSplit(t(s, dir, "documents"), "doc_id",
         valFraction = 0.1, testFraction = 0.1)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+    // Leakage-safe split: hash split + near-dup hygiene — every
+    // non-train member of a cross-split portable-MinHash pair demotes
+    // to train (24 demotions at sf0.01). The twin replays hash split,
+    // signatures, pairing and demotion in one CTE chain
+    "q_corpus_leak_split" -> ((s, dir) => {
+      Corpus.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text",
+        valFraction = 0.2, testFraction = 0.2)
         .select("doc_id", "split")
         .orderBy("doc_id")
     }),
@@ -4561,6 +4641,29 @@ object SparkEntry {
     "q_corpus_delete" ->
       ("SELECT doc_id, text, lang, source FROM documents " +
         "WHERE doc_id % 3 <> 0 ORDER BY doc_id"),
+    "q_corpus_upsert" ->
+      // survivors of the anti-join, the revised rows, the inserted rows
+      ("SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 7 <> 0 " +
+        "UNION ALL SELECT doc_id, 'REVISED ' || doc_id, lang, source " +
+        "FROM documents WHERE doc_id % 7 = 0 " +
+        "UNION ALL SELECT doc_id + 1000000, text, 'xx', source " +
+        "FROM documents WHERE doc_id % 13 = 0 " +
+        "ORDER BY doc_id"),
+    "q_corpus_time_travel" ->
+      // v1 = the original corpus, v2 = post-delete, live = post-upsert
+      ("WITH v2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0), " +
+        "live AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+        "THEN 'REVISED ' || doc_id ELSE text END AS text FROM v2) " +
+        "SELECT 1 AS version, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_id, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_len FROM documents " +
+        "UNION ALL SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT), " +
+        "CAST(sum(length(text)) AS BIGINT) FROM v2 " +
+        "UNION ALL SELECT 3, count(*), CAST(sum(doc_id) AS BIGINT), " +
+        "CAST(sum(length(text)) AS BIGINT) FROM live " +
+        "ORDER BY version"),
+    "q_corpus_rollback" ->
+      // delete then rollback: the live dataset is the original again
+      "SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id",
     "q_corpus_split" -> {
       val valCut = math.round(0.1 * 4294967296.0)
       val testCut = math.round(0.2 * 4294967296.0)
@@ -4572,6 +4675,39 @@ object SparkEntry {
     "q_corpus_shuffle" ->
       ("SELECT doc_id, CAST(((CAST(xor(doc_id, 7) AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS BIGINT) AS shuffle_key " +
         "FROM documents ORDER BY shuffle_key, doc_id"),
+    "q_corpus_leak_split" -> {
+      // the portable-minhash CTE chain (same as q_dedup_minhash_portable)
+      // feeding the split-hygiene demotion
+      val k = 8
+      val sigs = (0 until k).map(j =>
+        s"MIN((${2 * j + 3}*hv+${97 * j + 1})%1000000007) AS sig_$j").mkString(", ")
+      val matchSum = (1 until k).map(j =>
+        s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END").mkString("1 + ", " + ", "")
+      val valCut = math.round(0.2 * 4294967296.0)
+      val testCut = math.round(0.4 * 4294967296.0)
+      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
+        "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
+        "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+        "hv AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+        "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
+        s"sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b " +
+        s"ON a.sig_0 = b.sig_0 AND a.doc_id < b.doc_id WHERE CAST($matchSum AS DOUBLE)/8 >= 0.5), " +
+        s"spl AS (SELECT doc_id, CASE WHEN h < $valCut THEN 'val' WHEN h < $testCut THEN 'test' " +
+        "ELSE 'train' END AS split FROM (SELECT doc_id, " +
+        "((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS h " +
+        "FROM documents)), " +
+        "leaky AS (SELECT p.id_a, p.id_b, sa.split AS sa, sb.split AS sb FROM pairs p " +
+        "JOIN spl sa ON p.id_a = sa.doc_id JOIN spl sb ON p.id_b = sb.doc_id " +
+        "WHERE sa.split <> sb.split), " +
+        "demote AS (SELECT DISTINCT id FROM (SELECT id_a AS id, sa AS sp FROM leaky " +
+        "UNION ALL SELECT id_b, sb FROM leaky) WHERE sp <> 'train') " +
+        "SELECT s.doc_id, CASE WHEN d.id IS NOT NULL THEN 'train' ELSE s.split END AS split " +
+        "FROM spl s LEFT JOIN demote d ON s.doc_id = d.id ORDER BY doc_id"
+    },
     "q_corpus_bloom_decontam" -> {
       val m = 1 << 18
       val k = 5

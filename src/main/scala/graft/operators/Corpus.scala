@@ -793,6 +793,58 @@ object Corpus {
         .otherwise(lit("train")))
   }
 
+  /** Leakage-safe train/val/test split: [[deterministicSplit]] plus
+    * near-dup hygiene. A val/test document whose near-duplicate sits in
+    * a DIFFERENT split is contaminated — its "held-out" content is
+    * effectively in the training set — so every non-train member of a
+    * cross-split near-dup pair ([[graft.operators.Dedup.portableMinhashPairs]],
+    * the exact-oracle MinHash) is demoted to train. Demotion (not
+    * dropping) keeps the corpus intact: train absorbing a near-dup of
+    * itself is harmless, an eval set silently shrunk by drops is not.
+    * Val↔test pairs demote BOTH ends — held-out sets must not leak
+    * into each other either.
+    *
+    * Scale shape: the split is a per-row hash (no shuffle); the pair
+    * list is the banded signature self-join, already bounded by the
+    * MinHash machinery; the two split-assignment joins touch only pair
+    * rows (≪ corpus); the demotion roster is small and broadcasts back
+    * onto the corpus. Everything is exact portable arithmetic — the
+    * whole pipeline (hash split + signatures + pairing + demotion)
+    * replays in an ANSI-SQL twin.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      valFraction: Double,
+      testFraction: Double = 0.0,
+      n: Int = 3,
+      kSig: Int = 8,
+      simThreshold: Double = 0.5
+  ): DataFrame = {
+    val split = deterministicSplit(df, idCol, valFraction, testFraction)
+    val pairs = graft.operators.Dedup
+      .portableMinhashPairs(df, idCol, textCol, n, kSig, simThreshold)
+    val assign = split.select(col(idCol), col("split"))
+    val joined = pairs
+      .join(assign.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("split", "split_a"), "id_a")
+      .join(assign.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("split", "split_b"), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+    val demoted = joined.select(explode(array(
+        struct(col("id_a").as("id"), col("split_a").as("sp")),
+        struct(col("id_b").as("id"), col("split_b").as("sp")))).as("m"))
+      .select(col("m.id").as(idCol), col("m.sp").as("sp"))
+      .filter(col("sp") =!= "train")
+      .select(col(idCol)).distinct()
+      .withColumn("__demote", lit(true))
+    split.join(demoted, Seq(idCol), "left")
+      .withColumn("split",
+        when(col("__demote"), lit("train")).otherwise(col("split")))
+      .drop("__demote")
+  }
+
   // ------------------------------------------------------------ shuffling
 
   /** Deterministic global shuffle for training order: sort by the salted

@@ -102,12 +102,21 @@ object Compaction {
     val parent = qualified.getParent
     val tmp = new org.apache.hadoop.fs.Path(parent, qualified.getName + s"__${tag}_tmp")
     val old = new org.apache.hadoop.fs.Path(parent, qualified.getName + s"__${tag}_old")
+    // Version retention ([[Snapshots.enableVersioning]]): when the
+    // sibling __versions root exists, the pre-rewrite copy is archived
+    // as v=<n> instead of deleted — the one branch point between the
+    // plain and the time-travelable contract.
+    val vRoot = Snapshots.versionsRoot(qualified)
+    val versioned = fs.exists(vRoot)
     // Crash-state triage BEFORE any delete, enforcing the durability
     // contract above. A death between the two install renames leaves
     // dir missing and the ONLY copy of the data at __<tag>_old —
     // recover it by renaming back, never by deleting. Both present is
-    // ambiguous (death after install but before old-cleanup, or a
-    // concurrent maintenance job): refuse and let the operator pick.
+    // ambiguous on an unversioned dataset (death after install but
+    // before old-cleanup, or a concurrent maintenance job): refuse and
+    // let the operator pick. On a VERSIONED dataset the state is
+    // unambiguous — successful runs always archive — so the leftover
+    // copy is archived as its own version and the rewrite proceeds.
     val dirExists = fs.exists(qualified)
     val oldExists = fs.exists(old)
     if (!dirExists && oldExists) {
@@ -117,6 +126,8 @@ object Compaction {
     } else if (!dirExists) {
       throw new java.io.FileNotFoundException(
         s"$tag target $dir does not exist")
+    } else if (oldExists && versioned) {
+      Snapshots.archive(spark, fs, vRoot, old, s"$tag-recovered")
     } else if (oldExists) {
       throw new java.io.IOException(
         s"refusing to $tag $dir: leftover $old exists alongside the " +
@@ -126,15 +137,16 @@ object Compaction {
     }
     fs.delete(tmp, true)
     write(tmp.toString)
-    // swap: src -> old, tmp -> src, drop old (see the durability
-    // contract in the object doc)
+    // swap: src -> old, tmp -> src, then archive or drop old (see the
+    // durability contract in the object doc)
     if (!fs.rename(qualified, old))
       throw new java.io.IOException(s"$tag swap failed moving $dir aside")
     if (!fs.rename(tmp, qualified)) {
       fs.rename(old, qualified) // restore
       throw new java.io.IOException(s"$tag swap failed installing $tmp")
     }
-    fs.delete(old, true)
+    if (versioned) Snapshots.archive(spark, fs, vRoot, old, tag)
+    else fs.delete(old, true)
   }
 
   /** Compact the parquet dataset at `dir` in place. Returns
@@ -217,6 +229,110 @@ object Compaction {
         .parquet(tmp)
     }
     (obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
+  }
+
+  /** Keyed upsert (MERGE) for a parquet DATASET DIRECTORY — the
+    * update half of the CDC verb set ([[deleteWhere]] is the delete
+    * half): rows in `updates` REPLACE base rows sharing their key and
+    * INSERT where no base row matches, staged through
+    * [[stagedParquetSwap]] (tag `upsert`) so readers never observe the
+    * dataset mid-merge and every crash state triages exactly like
+    * compaction's and deletion's.
+    *
+    * Scale shape: the survivors are `base LEFT ANTI JOIN updates` on
+    * the key — ONE equi-join whose small side is the update batch
+    * (AQE broadcasts it below the threshold; a takedown-sized or
+    * CDC-batch-sized frame always is), then a union with the batch.
+    * The base is scanned once; O(dataset) output like every in-place
+    * rewrite here — batch CDC events and run one sweep per cadence.
+    *
+    * Loud-failure contract: `updates` carrying two rows with the same
+    * key makes the merge ambiguous (which one wins?) — refused with
+    * the offending key count rather than resolved arbitrarily. The
+    * batch must cover every base column (names resolved
+    * case-insensitively via the session resolver, order free); columns
+    * the base does NOT have are refused unless `allowNewColumns` opts
+    * into schema evolution, in which case they append to the schema
+    * and pre-existing rows read null there — the standard additive
+    * CDC evolution, never a silent drop. Z-order-clustered datasets
+    * are refused and pointed at the layout-preserving verbs, mirroring
+    * [[deleteWhere]].
+    *
+    * @return (rowsBefore, rowsUpdated, rowsInserted); rowsAfter =
+    *         rowsBefore + rowsInserted
+    */
+  def upsertParquet(
+      spark: SparkSession,
+      dir: String,
+      updates: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      targetFileBytes: Long = 128L << 20,
+      allowNewColumns: Boolean = false
+  ): (Long, Long, Long) = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(targetFileBytes > 0)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(path)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(qualified, "_zorder_meta")),
+      s"$dir is a z-order clustered dataset — merge through the z-order " +
+        "verbs to preserve its layout")
+    val resolver = spark.sessionState.analyzer.resolver
+    keyCols.foreach(k => require(updates.columns.exists(resolver(_, k)),
+      s"key column $k is not a column of the updates batch"))
+    // the batch is the SMALL side: dup-key detection is one bounded
+    // aggregate over it, not a scan of the base dataset
+    val dupKeys = updates.groupBy(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    require(dupKeys == 0L,
+      s"updates batch carries $dupKeys duplicate key group(s) on " +
+        s"(${keyCols.mkString(", ")}) — the merge would be ambiguous; " +
+        "dedup the batch first (e.g. keep the latest event per key)")
+    val obsIn = org.apache.spark.sql.Observation(
+      s"graft-upsert-in-${java.util.UUID.randomUUID()}")
+    val obsKeep = org.apache.spark.sql.Observation(
+      s"graft-upsert-keep-${java.util.UUID.randomUUID()}")
+    val cnt = org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("n")
+    var updCount = -1L
+    stagedParquetSwap(spark, dir, "upsert") { tmp =>
+      val (_, bytes) = listData(fs, qualified)
+      val partCols = partitionColumns(fs, qualified)
+      val base = spark.read.parquet(dir)
+      val baseCols = base.columns
+      require(baseCols.forall(c => updates.columns.exists(resolver(_, c))),
+        s"updates schema (${updates.columns.mkString(", ")}) does not cover " +
+          s"the dataset's columns (${baseCols.mkString(", ")})")
+      val extras = updates.columns
+        .filterNot(c => baseCols.exists(resolver(_, c))).toSeq
+      require(extras.isEmpty || allowNewColumns,
+        s"updates batch carries new column(s) ${extras.mkString(", ")} — " +
+          "pass allowNewColumns = true to evolve the schema additively " +
+          "(pre-existing rows read null there)")
+      keyCols.foreach(k => require(baseCols.exists(resolver(_, k)),
+        s"key column $k is not a column of $dir"))
+      // align the batch to the base's column order (evolution extras
+      // append after) so the union is by-position-safe regardless of
+      // how the caller built the frame
+      val aligned = updates.select(baseCols.toSeq.map(c =>
+        org.apache.spark.sql.functions.col(
+          updates.columns.find(resolver(_, c)).get).as(c)) ++
+        extras.map(org.apache.spark.sql.functions.col): _*)
+      val cond = keyCols.map(k => base(k) <=> aligned(k)).reduce(_ && _)
+      val kept = base.observe(obsIn, cnt)
+        .join(aligned, cond, "left_anti").observe(obsKeep, cnt)
+      updCount = aligned.count()
+      val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val writer = kept
+        .unionByName(aligned, allowMissingColumns = extras.nonEmpty)
+        .repartition(parts)
+        .write.mode("overwrite")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(tmp)
+    }
+    val before = obsIn.get("n").asInstanceOf[Long]
+    val updated = before - obsKeep.get("n").asInstanceOf[Long]
+    (before, updated, updCount - updated)
   }
 
   /** Compaction for BUCKETED catalog tables — the signature/ANN index

@@ -1,0 +1,198 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dataset versioning — time travel and rollback for parquet dataset
+  * directories, built on what the staged rewrites ALREADY produce.
+  *
+  * Every in-place maintenance verb here ([[Compaction.compactParquet]],
+  * [[Compaction.deleteWhere]], [[Compaction.upsertParquet]],
+  * [[ZOrder.reclusterZorder]]) stages a full rewritten copy and, at
+  * install time, holds the complete pre-rewrite dataset at
+  * `<dir>__<tag>_old` for one rename before deleting it. Versioning
+  * simply KEEPS that copy: once [[enableVersioning]] has created the
+  * sibling `<dir>__versions/` directory, [[Compaction.stagedParquetSwap]]
+  * archives the old copy as `<dir>__versions/v=<n>` instead of deleting
+  * it — zero additional I/O at write time (one rename), storage cost
+  * one full dataset copy per retained version, bounded by
+  * [[vacuumVersions]]. Version `n` is always THE dataset as it was
+  * immediately before the (n+1)-th retained rewrite; the live directory
+  * is the newest state.
+  *
+  * Why directory-granularity and not file-granularity (Iceberg/Delta
+  * manifests): the maintenance verbs rewrite the whole dataset anyway
+  * (delete, upsert and recluster are O(dataset) sweeps by contract), so
+  * at rewrite cadence the retained copies ARE the manifest-level
+  * snapshots — and the truth stays self-describing on the filesystem
+  * (`v=<n>` subdirectories, no manifest file to corrupt or compact).
+  * Each archived version carries a `_version_info` sidecar (tag + wall
+  * clock) that readers ignore (`_`-prefix) and [[listVersions]] reads.
+  *
+  * Crash contract (extends the one in [[Compaction]]'s doc): with
+  * versioning enabled, a death after install but before the archive
+  * rename leaves `__<tag>_old` beside the live dataset — on a
+  * versioned dataset that state is unambiguous (successful runs never
+  * leave it) and the next rewrite archives it as its own version
+  * (tag suffixed `-recovered`) instead of refusing. [[rollbackTo]] is
+  * idempotent across its own mid-rename death: rerunning completes the
+  * restore.
+  */
+object Snapshots {
+
+  private def hadoop(spark: SparkSession, dir: String) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(path))
+  }
+
+  /** Sibling versions root for a dataset directory — OUTSIDE the
+    * dataset so `spark.read.parquet(dir)` never sees archived copies
+    * and the rewrites' own directory listing stays version-blind.
+    */
+  private[plans] def versionsRoot(
+      qualified: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      qualified.getParent, qualified.getName + "__versions")
+
+  private def versionDir(
+      root: org.apache.hadoop.fs.Path, n: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(root, s"v=$n")
+
+  /** Existing version numbers, ascending (empty when none). */
+  private def versionNumbers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.drop(2).toLong)
+      .sorted
+
+  /** Turn version retention on for the dataset at `dir`: all later
+    * staged rewrites archive their pre-rewrite copy as a version.
+    * Idempotent; requires the dataset to exist (enabling versioning on
+    * nothing is a caller bug, not a state to represent).
+    */
+  def enableVersioning(spark: SparkSession, dir: String): Unit = {
+    val (fs, qualified) = hadoop(spark, dir)
+    require(fs.exists(qualified), s"dataset $dir does not exist")
+    fs.mkdirs(versionsRoot(qualified))
+  }
+
+  def isVersioned(spark: SparkSession, dir: String): Boolean = {
+    val (fs, qualified) = hadoop(spark, dir)
+    fs.exists(versionsRoot(qualified))
+  }
+
+  /** Archive a complete dataset copy sitting at `src` as the next
+    * version under `root`: one rename plus a tiny `_version_info`
+    * sidecar (readers skip `_`-prefixed paths, so the archived copy
+    * stays a readable parquet dataset). Called by
+    * [[Compaction.stagedParquetSwap]] at install time and by
+    * [[rollbackTo]] when it archives the pre-rollback live state.
+    *
+    * @return the version number assigned
+    */
+  private[plans] def archive(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      src: org.apache.hadoop.fs.Path,
+      tag: String): Long = {
+    val n = versionNumbers(fs, root).lastOption.getOrElse(0L) + 1L
+    val dst = versionDir(root, n)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"versioning failed archiving $src as $dst")
+    import spark.implicits._
+    Seq((n, tag, System.currentTimeMillis()))
+      .toDF("version", "tag", "archived_at_ms")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(dst, "_version_info").toString)
+    n
+  }
+
+  /** The retained versions of `dir`, one row each:
+    * (version, tag, archived_at_ms), ascending. Versions archived
+    * before a crash cleaned their sidecar still list (tag/time null) —
+    * the data directory is the truth, the sidecar is annotation.
+    */
+  def listVersions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (fs, qualified) = hadoop(spark, dir)
+    val root = versionsRoot(qualified)
+    val nums = versionNumbers(fs, root)
+    val infos = nums.map { n =>
+      val info = new org.apache.hadoop.fs.Path(versionDir(root, n), "_version_info")
+      if (fs.exists(info)) {
+        val r = spark.read.parquet(info.toString).collect().head
+        (n, Option(r.getString(1)), Option(r.getLong(2)))
+      } else (n, None: Option[String], None: Option[Long])
+    }
+    infos.toDF("version", "tag", "archived_at_ms")
+      .orderBy(col("version"))
+  }
+
+  /** Read the dataset as of retained version `n` (fails loudly on an
+    * unknown version — silent fallback to live would un-time-travel a
+    * compliance query). The archived copy is a plain parquet dataset;
+    * filters and pruning push into its scan exactly as on live data.
+    */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val (fs, qualified) = hadoop(spark, dir)
+    val vd = versionDir(versionsRoot(qualified), version)
+    require(fs.exists(vd),
+      s"version $version of $dir does not exist (vacuumed or never made)")
+    spark.read.parquet(vd.toString)
+  }
+
+  /** Restore version `n` as the live dataset. Zero-copy and
+    * history-preserving: the CURRENT live state is archived as a new
+    * version (tag `rollback`) and the restored snapshot MOVES to live —
+    * its old `v=<n>` slot empties, but its bytes live on as the
+    * dataset, and the pre-rollback state remains reachable, so a
+    * rollback is always itself roll-back-able. Idempotent across a
+    * mid-rename death: rerunning completes the restore (the target
+    * version is validated before the live state is archived, and the
+    * archive half is skipped when a prior attempt already did it).
+    *
+    * @return the version number the pre-rollback live state was
+    *         archived under
+    */
+  def rollbackTo(spark: SparkSession, dir: String, version: Long): Long = {
+    val (fs, qualified) = hadoop(spark, dir)
+    val root = versionsRoot(qualified)
+    require(fs.exists(root), s"$dir is not versioned — enableVersioning first")
+    val vd = versionDir(root, version)
+    require(fs.exists(vd),
+      s"version $version of $dir does not exist (vacuumed or never made)")
+    // archive live first (skipped on a rerun after a mid-death — live
+    // is already gone, its copy already a version)
+    val archivedAs =
+      if (fs.exists(qualified)) archive(spark, fs, root, qualified, "rollback")
+      else versionNumbers(fs, root).last
+    // the restored copy keeps its _version_info sidecar out of the live
+    // dataset: drop it as part of the restore
+    val info = new org.apache.hadoop.fs.Path(vd, "_version_info")
+    fs.delete(info, true)
+    if (!fs.rename(vd, qualified))
+      throw new java.io.IOException(
+        s"rollback failed installing $vd as $dir — rerun to complete " +
+          "(the live state is already archived; this call is idempotent)")
+    archivedAs
+  }
+
+  /** Drop the oldest retained versions beyond `keepLast`. Returns the
+    * version numbers deleted. The only destructive verb in the family —
+    * and the only place version storage is reclaimed.
+    */
+  def vacuumVersions(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val (fs, qualified) = hadoop(spark, dir)
+    val root = versionsRoot(qualified)
+    val nums = versionNumbers(fs, root)
+    val drop = if (nums.size <= keepLast) Seq.empty else nums.dropRight(keepLast)
+    drop.foreach(n => fs.delete(versionDir(root, n), true))
+    drop
+  }
+}

@@ -514,4 +514,55 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("leakageSafeSplit: after hygiene, no near-dup pair crosses splits; clean docs keep their hash split") {
+    // planted corpus: 5 near-identical twin pairs (i, i+100) whose hash
+    // splits may disagree, plus 15 distinct docs
+    val twins = (0 until 5).flatMap { i =>
+      val text = s"the quick brown fox jumps over the lazy dog number $i " +
+        "and keeps running through the long identical meadow sentence"
+      Seq((i.toLong, text), (i + 100L, text + " tail"))
+    }
+    val solo = (20 until 35).map(i =>
+      (i.toLong, s"completely unrelated document $i about topic ${i * 37} " +
+        s"with unique words ${"w" + i} ${"x" + i * 3} ${"y" + i * 7}"))
+    val docs = (twins ++ solo).toDF("doc_id", "text")
+    val result = Corpus.leakageSafeSplit(docs, "doc_id", "text",
+      valFraction = 0.4, testFraction = 0.3)
+    assert(result.count() === docs.count())
+    // post-condition: every near-dup pair's ends share a split — the
+    // invariant demotion exists to establish
+    val pairs = Dedup.portableMinhashPairs(docs, "doc_id", "text")
+    val assign = result.select(col("doc_id"), col("split"))
+    val crossing = pairs
+      .join(assign.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "split_a"), "id_a")
+      .join(assign.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "split_b"), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(crossing.count() === 0L)
+    // demotion actually fired (the plain split DOES leak on this corpus)
+    val plain = Corpus.deterministicSplit(docs, "doc_id", 0.4, 0.3)
+      .select("doc_id", "split")
+    val plainLeaks = pairs
+      .join(plain.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "split_a"), "id_a")
+      .join(plain.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "split_b"), "id_b")
+      .filter(col("split_a") =!= col("split_b")).count()
+    assert(plainLeaks > 0L, "fixture failed to plant a cross-split near-dup pair")
+    // docs with no near-dup partner keep their deterministic assignment
+    val pairedIds = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val untouched = result.join(pairedIds, Seq("doc_id"), "left_anti")
+      .withColumnRenamed("split", "split_after")
+      .join(plain, "doc_id")
+      .filter(col("split_after") =!= col("split")).count()
+    assert(untouched === 0L)
+    // demoted docs moved TO train only — no other reassignment exists
+    val moved = result.withColumnRenamed("split", "split_after")
+      .join(plain, "doc_id")
+      .filter(col("split_after") =!= col("split"))
+    assert(moved.filter(col("split_after") =!= "train").count() === 0L)
+  }
 }

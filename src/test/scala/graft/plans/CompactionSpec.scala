@@ -260,4 +260,139 @@ class CompactionSpec extends SparkSpec {
     assert(after > 2, s"after=$after")
     assert(spark.read.parquet(dir).count() === 20000L)
   }
+
+  test("upsertParquet: matched keys replace, unmatched insert, layout survives, counts exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups").toString + "/corpus"
+    (0 until 2).foreach { b =>
+      (0 until 100).map(i => (b * 100L + i, s"doc $b $i", b))
+        .toDF("id", "v", "b").write.parquet(s"$dir/batch=$b")
+    }
+    // 10 updates (ids 0,10..90 exist) + 5 inserts (ids 1000..1004).
+    // The batch carries the PARTITION column too (the base's read
+    // schema includes it) — columns deliberately reordered and
+    // re-cased: the merge aligns by the session resolver, not by
+    // position
+    val updates = ((0 until 10).map(i => (s"REVISED $i", i * 10L, 0, i % 2)) ++
+      (0 until 5).map(i => (s"NEW $i", 1000L + i, 9, 1)))
+      .toDF("V", "ID", "B", "BATCH")
+    val (before, updated, inserted) =
+      Compaction.upsertParquet(spark, dir, updates, Seq("id"))
+    assert(before === 200L && updated === 10L && inserted === 5L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 205L)
+    assert(back.filter(col("v").startsWith("REVISED")).count() === 10L)
+    assert(back.filter(col("id") >= 1000L).count() === 5L)
+    assert(back.filter(col("id") === 50L).select("v").head.getString(0) === "REVISED 5")
+    // untouched rows byte-identical, batch= partition layout intact
+    assert(back.filter(col("id") === 51L).select("v").head.getString(0) === "doc 0 51")
+    assert(back.columns.contains("batch"))
+    // idempotent re-apply: same batch again updates 15, inserts 0
+    val (b2, u2, i2) = Compaction.upsertParquet(spark, dir, updates, Seq("id"))
+    assert(b2 === 205L && u2 === 15L && i2 === 0L)
+    assert(spark.read.parquet(dir).count() === 205L)
+  }
+
+  test("upsertParquet: ambiguous batches, schema drift, bad keys and clustered datasets are refused") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups2").toString + "/t"
+    (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "v").write.parquet(dir)
+    // duplicate keys in the batch = ambiguous merge
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Compaction.upsertParquet(spark, dir, dup, Seq("id"))
+    }
+    assert(e1.getMessage.contains("ambiguous"), e1.getMessage)
+    // schema not covering the base columns
+    val skinny = Seq((1L, "a")).toDF("id", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      Compaction.upsertParquet(spark, dir, skinny, Seq("id"))
+    }
+    assert(e2.getMessage.contains("does not cover"), e2.getMessage)
+    // key column absent from the dataset
+    val e3 = intercept[IllegalArgumentException] {
+      Compaction.upsertParquet(spark, dir,
+        Seq((1L, "a")).toDF("id", "v"), Seq("nope"))
+    }
+    assert(e3.getMessage.contains("not a column"), e3.getMessage)
+    // refusals left the dataset untouched
+    assert(spark.read.parquet(dir).count() === 50L)
+    // clustered datasets route through the z-order verbs
+    val zdir = java.nio.file.Files.createTempDirectory("graft_upsz").toString + "/z"
+    graft.plans.ZOrder.zorderWrite(
+      (0 until 100).map(i => (i.toLong, i.toLong * 2)).toDF("a", "b"),
+      Seq("a", "b"), zdir, numFiles = 2)
+    val e4 = intercept[IllegalArgumentException] {
+      Compaction.upsertParquet(spark, zdir,
+        Seq((1L, 2L)).toDF("a", "b"), Seq("a"))
+    }
+    assert(e4.getMessage.contains("z-order"), e4.getMessage)
+  }
+
+  test("upsertParquet: additive schema evolution behind allowNewColumns; strict mode refuses new columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups4").toString + "/t"
+    (0 until 20).map(i => (i.toLong, s"v$i")).toDF("id", "v").write.parquet(dir)
+    val evolved = Seq((5L, "REV 5", 0.9), (100L, "NEW", 0.1)).toDF("id", "v", "score")
+    // strict mode: a new column is refused, not silently dropped
+    val e = intercept[IllegalArgumentException] {
+      Compaction.upsertParquet(spark, dir, evolved, Seq("id"))
+    }
+    assert(e.getMessage.contains("allowNewColumns"), e.getMessage)
+    assert(!spark.read.parquet(dir).columns.contains("score"))
+    // evolution: column appends, pre-existing rows read null there
+    val (before, updated, inserted) = Compaction.upsertParquet(
+      spark, dir, evolved, Seq("id"), allowNewColumns = true)
+    assert(before === 20L && updated === 1L && inserted === 1L)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSeq === Seq("id", "v", "score"))
+    assert(back.filter(col("score").isNull).count() === 19L)
+    assert(back.filter(col("id") === 5L).select("score").head.getDouble(0) === 0.9)
+    // next batch must now cover the evolved schema too
+    val e2 = intercept[IllegalArgumentException] {
+      Compaction.upsertParquet(spark, dir, Seq((6L, "x")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("does not cover"), e2.getMessage)
+  }
+
+  test("upsertParquet: the batch side of the anti-join broadcasts — the base never shuffles for a small CDC batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups5").toString + "/t"
+    (0 until 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v").write.parquet(dir)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Compaction.upsertParquet(spark, dir,
+        Seq((1L, "REV"), (9999L, "NEW")).toDF("id", "v"), Seq("id"))
+      // the listener fires asynchronously: poll until the merge plan lands
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!plans.toArray.exists(_.toString.contains("LeftAnti")) &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+      val merge = plans.toArray.map(_.toString).filter(_.contains("LeftAnti"))
+      assert(merge.nonEmpty, "no anti-join plan captured")
+      assert(merge.exists(p => p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop")),
+        s"anti-join did not broadcast the batch:\n${merge.head.take(2000)}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("upsertParquet: null keys match null-keyed rows (null-safe equality), not silently duplicate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ups3").toString + "/t"
+    Seq((Some(1L), "one"), (None, "null-row"), (Some(2L), "two"))
+      .toDF("id", "v").write.parquet(dir)
+    val updates = Seq((None: Option[Long], "null-revised")).toDF("id", "v")
+    val (before, updated, inserted) =
+      Compaction.upsertParquet(spark, dir, updates, Seq("id"))
+    assert(before === 3L && updated === 1L && inserted === 0L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3L)
+    assert(back.filter(col("id").isNull).select("v").head.getString(0) === "null-revised")
+  }
 }
