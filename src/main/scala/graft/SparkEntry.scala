@@ -2343,6 +2343,29 @@ object SparkEntry {
         n = 8, mBits = 1 << 18, k = 5)
         .orderBy("doc_id")
     }),
+    // Persisted benchmark bloom index: build the bit roster once, serve
+    // the SAME flags from the stored table (the twin is the in-memory
+    // gate's twin verbatim)
+    "q_corpus_decontam_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.writeBloomIndex(docs.filter(col("doc_id") % 97 === 0), "text",
+        "bloom_decontam_idx", n = 8, mBits = 1 << 18, k = 5)
+      Corpus.bloomDecontaminationFromIndex(docs, "doc_id", "text",
+        "bloom_decontam_idx")
+        .orderBy("doc_id")
+    }),
+    // Append lifecycle: a second eval suite unions in O(suite); the
+    // result must equal a rebuild from both suites (twin = bits of A∪B)
+    "q_corpus_decontam_appended" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.writeBloomIndex(docs.filter(col("doc_id") % 97 === 0), "text",
+        "bloom_decontam_app", n = 8, mBits = 1 << 18, k = 5)
+      Corpus.appendToBloomIndex("bloom_decontam_app",
+        docs.filter(col("doc_id") % 89 === 0), "text")
+      Corpus.bloomDecontaminationFromIndex(docs, "doc_id", "text",
+        "bloom_decontam_app")
+        .orderBy("doc_id")
+    }),
     // Corpus-pipeline: deterministic hash-bucket train/val/test split
     "q_corpus_split" -> ((s, dir) => {
       Corpus.deterministicSplit(t(s, dir, "documents"), "doc_id",
@@ -2820,6 +2843,35 @@ object SparkEntry {
     */
   private val minhashMatchSum: String = (1 until 8).map(j =>
     s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END").mkString("1 + ", " + ", "")
+
+  /** The bloom-decontamination twin, parameterized by the SQL predicate
+    * selecting the benchmark suite(s) whose bits are set — one builder
+    * for the in-memory gate, the indexed gate, and the append==rebuild
+    * gate (bits from A ∪ B).
+    */
+  private def bloomDecontamOracle(benchPred: String): String = {
+    val m = 1 << 18
+    val k = 5
+    val posExprs = (0 until k).map(i =>
+      s"(hv * ${2 * i + 3} + ${97 * i + 1}) % $m").mkString(", ")
+    // distinct on (doc, KR hash) — not on shingle strings — so a hash
+    // collision collapses identically in both engines
+    "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')] " +
+      "ELSE list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')) END AS s FROM toks), " +
+      "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
+      "hv0 AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+      "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+      "(a,c) -> (a*31+c) % 1000000007) AS hv " +
+      "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
+      "hv AS (SELECT DISTINCT doc_id, hv FROM hv0), " +
+      s"bb AS (SELECT DISTINCT unnest([$posExprs]) AS bit FROM hv WHERE $benchPred), " +
+      s"probes AS (SELECT doc_id, hv, unnest([$posExprs]) AS bit FROM hv), " +
+      "hits AS (SELECT doc_id, hv, count(*) AS nset FROM probes JOIN bb USING (bit) GROUP BY doc_id, hv), " +
+      s"fl AS (SELECT doc_id, count(*) AS n_flagged FROM hits WHERE nset = $k GROUP BY doc_id) " +
+      "SELECT d.doc_id, COALESCE(fl.n_flagged, 0) AS n_flagged, COALESCE(fl.n_flagged, 0) > 0 AS flagged " +
+      "FROM documents d LEFT JOIN fl USING (doc_id) ORDER BY d.doc_id"
+  }
 
   private def minhashIncrementalOracle(indexExtra: String): String =
     s"$minhashSigCtes " +
@@ -4708,29 +4760,14 @@ object SparkEntry {
         "SELECT s.doc_id, CASE WHEN d.id IS NOT NULL THEN 'train' ELSE s.split END AS split " +
         "FROM spl s LEFT JOIN demote d ON s.doc_id = d.id ORDER BY doc_id"
     },
-    "q_corpus_bloom_decontam" -> {
-      val m = 1 << 18
-      val k = 5
-      val posExprs = (0 until k).map(i =>
-        s"(hv * ${2 * i + 3} + ${97 * i + 1}) % $m").mkString(", ")
-      // distinct on (doc, KR hash) — not on shingle strings — so a hash
-      // collision collapses identically in both engines
-      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
-        "sh AS (SELECT doc_id, CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')] " +
-        "ELSE list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')) END AS s FROM toks), " +
-        "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
-        "hv0 AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
-        "list_transform(range(1, length(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
-        "(a,c) -> (a*31+c) % 1000000007) AS hv " +
-        "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
-        "hv AS (SELECT DISTINCT doc_id, hv FROM hv0), " +
-        s"bb AS (SELECT DISTINCT unnest([$posExprs]) AS bit FROM hv WHERE doc_id % 97 = 0), " +
-        s"probes AS (SELECT doc_id, hv, unnest([$posExprs]) AS bit FROM hv), " +
-        "hits AS (SELECT doc_id, hv, count(*) AS nset FROM probes JOIN bb USING (bit) GROUP BY doc_id, hv), " +
-        s"fl AS (SELECT doc_id, count(*) AS n_flagged FROM hits WHERE nset = $k GROUP BY doc_id) " +
-        "SELECT d.doc_id, COALESCE(fl.n_flagged, 0) AS n_flagged, COALESCE(fl.n_flagged, 0) > 0 AS flagged " +
-        "FROM documents d LEFT JOIN fl USING (doc_id) ORDER BY d.doc_id"
-    },
+    "q_corpus_bloom_decontam" -> bloomDecontamOracle("doc_id % 97 = 0"),
+    // the persisted index serves the SAME flags as the in-memory bloom:
+    // identical twin, bench predicate = the suite the index was built from
+    "q_corpus_decontam_indexed" -> bloomDecontamOracle("doc_id % 97 = 0"),
+    // append == rebuild: querying after appending suite B must equal a
+    // filter built from A ∪ B directly
+    "q_corpus_decontam_appended" ->
+      bloomDecontamOracle("doc_id % 97 = 0 OR doc_id % 89 = 0"),
     "q_corpus_shards" -> {
       def mix(v: String) =
         s"(((($v) % 2147483648 + 2147483648) % 2147483648) * 2654435761) % 4294967296"

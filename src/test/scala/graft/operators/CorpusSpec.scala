@@ -515,6 +515,56 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("bloom index: indexed == in-memory, append == rebuild, replayed append harmless, stored params rule") {
+    val docs = table("documents")
+    val suiteA = docs.filter(col("doc_id") % 97 === 0)
+    val suiteB = docs.filter(col("doc_id") % 89 === 0)
+    // non-default n pins that queries run the STORED hash family
+    Corpus.writeBloomIndex(suiteA, "text", "bloom_spec_idx", n = 5, mBits = 1 << 16, k = 4)
+    val fromIndex = Corpus.bloomDecontaminationFromIndex(
+      docs, "doc_id", "text", "bloom_spec_idx").orderBy("doc_id").collect().toSeq
+    val inMemory = Corpus.bloomDecontaminationFlags(
+      docs, "doc_id", "text", suiteA, "text", n = 5, mBits = 1 << 16, k = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(fromIndex === inMemory)
+    assert(fromIndex.exists(_.getBoolean(2)), "fixture planted no contamination")
+    // append suite B, then again (replay): queries distinct the roster
+    Corpus.appendToBloomIndex("bloom_spec_idx", suiteB, "text")
+    Corpus.appendToBloomIndex("bloom_spec_idx", suiteB, "text")
+    val appended = Corpus.bloomDecontaminationFromIndex(
+      docs, "doc_id", "text", "bloom_spec_idx").orderBy("doc_id").collect().toSeq
+    Corpus.writeBloomIndex(suiteA.unionByName(suiteB), "text",
+      "bloom_spec_rebuilt", n = 5, mBits = 1 << 16, k = 4)
+    val rebuilt = Corpus.bloomDecontaminationFromIndex(
+      docs, "doc_id", "text", "bloom_spec_rebuilt").orderBy("doc_id").collect().toSeq
+    assert(appended === rebuilt)
+    // the bit roster broadcasts; the corpus side never shuffles for it
+    val plan = Corpus.bloomDecontaminationFromIndex(
+      docs, "doc_id", "text", "bloom_spec_idx")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("bloom index stats: fill ratio is the staleness signal; a too-small filter reads stale") {
+    val docs = table("documents")
+    val suite = docs.filter(col("doc_id") % 11 === 0)
+    // generous filter: low fill, healthy
+    Corpus.writeBloomIndex(suite, "text", "bloom_spec_wide", n = 8, mBits = 1 << 20, k = 5)
+    val wide = Corpus.bloomIndexStats(spark, "bloom_spec_wide").head
+    assert(wide.getAs[Long]("set_bits") > 0L)
+    assert(wide.getAs[Long]("fill_ppm") < 250000L)
+    assert(!Corpus.isStaleBloomIndex(spark, "bloom_spec_wide"))
+    // starved filter: same suite crammed into 2^8 bits saturates
+    Corpus.writeBloomIndex(suite, "text", "bloom_spec_tiny", n = 8, mBits = 1 << 8, k = 5)
+    val tiny = Corpus.bloomIndexStats(spark, "bloom_spec_tiny").head
+    assert(tiny.getAs[Long]("fill_ppm") > 250000L)
+    assert(tiny.getAs[Long]("est_fp_ppm") > wide.getAs[Long]("est_fp_ppm"))
+    assert(Corpus.isStaleBloomIndex(spark, "bloom_spec_tiny"))
+    // fill is exact integer arithmetic: set_bits * 1e6 div m
+    assert(wide.getAs[Long]("fill_ppm") ===
+      wide.getAs[Long]("set_bits") * 1000000L / (1L << 20))
+  }
+
   test("leakageSafeSplit: after hygiene, no near-dup pair crosses splits; clean docs keep their hash split") {
     // planted corpus: 5 near-identical twin pairs (i, i+100) whose hash
     // splits may disagree, plus 15 distinct docs
