@@ -2236,6 +2236,27 @@ object SparkEntry {
           sum(length(col("text"))).as("sum_len"))
         .orderBy("version")
     }),
+    // Version diff: what the rewrite span DID, keyed — deleted /
+    // updated / inserted labels from the full-outer compare of v1
+    // against live, each class replayed literally in the twin
+    "q_corpus_version_diff" -> ((s, dir) => {
+      val out = roundTripDir("vd", dir)
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+      docs.write.mode("overwrite").parquet(out)
+      freshVersionsRoot(s, out)
+      graft.plans.Snapshots.enableVersioning(s, out)
+      graft.plans.Compaction.deleteWhere(s, out, col("doc_id") % 3 === 0)
+      val live = s.read.parquet(out)
+      val updates = live.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(lit("REVISED "), col("doc_id").cast("string")))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit("xx").as("lang"), col("source")))
+      graft.plans.Compaction.upsertParquet(s, out, updates, Seq("doc_id"))
+      graft.plans.Snapshots.diffVersions(s, out, 1L, None, Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
     // Rollback: restore the pre-delete snapshot as live — the result
     // IS the original corpus, byte for byte
     "q_corpus_rollback" -> ((s, dir) => {
@@ -4716,6 +4737,14 @@ object SparkEntry {
     "q_corpus_rollback" ->
       // delete then rollback: the live dataset is the original again
       "SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id",
+    "q_corpus_version_diff" ->
+      // v1 → live: %3 rows deleted, surviving %5 rows revised, %50
+      // rows inserted under shifted ids
+      ("SELECT doc_id, 'deleted' AS diff_status FROM documents WHERE doc_id % 3 = 0 " +
+        "UNION ALL SELECT doc_id, 'updated' FROM documents " +
+        "WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0 " +
+        "UNION ALL SELECT doc_id + 1000000, 'inserted' FROM documents " +
+        "WHERE doc_id % 50 = 0 ORDER BY doc_id"),
     "q_corpus_split" -> {
       val valCut = math.round(0.1 * 4294967296.0)
       val testCut = math.round(0.2 * 4294967296.0)

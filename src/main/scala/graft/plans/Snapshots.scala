@@ -182,6 +182,31 @@ object Snapshots {
     archivedAs
   }
 
+  /** What a span of rewrites DID, keyed: compare retained version
+    * `fromVersion` against `toVersion` (or live when None) and label
+    * every differing key `deleted` / `inserted` / `updated` — the
+    * audit read behind "what changed between snapshot 3 and today",
+    * riding [[graft.verify.Comparator.rowDiff]]'s order-insensitive
+    * full-outer compare. One equi-join on the keys; both sides are
+    * plain pruned parquet scans.
+    */
+  def diffVersions(
+      spark: SparkSession,
+      dir: String,
+      fromVersion: Long,
+      toVersion: Option[Long],
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val from = readVersion(spark, dir, fromVersion)
+    val to = toVersion.map(readVersion(spark, dir, _))
+      .getOrElse(spark.read.parquet(dir))
+    graft.verify.Comparator.rowDiff(from, to, keyCols)
+      .withColumn("diff_status",
+        when(col("diff_status") === "missing_in_dest", lit("deleted"))
+          .when(col("diff_status") === "missing_in_src", lit("inserted"))
+          .otherwise(lit("updated")))
+  }
+
   /** Drop the oldest retained versions beyond `keepLast`. Returns the
     * version numbers deleted. The only destructive verb in the family —
     * and the only place version storage is reclaimed.

@@ -253,6 +253,65 @@ object CorpusIngest {
       .start()
   }
 
+  /** [[start]] composed with the persisted benchmark bloom index
+    * ([[graft.operators.Corpus.bloomDecontaminationFromIndex]]):
+    * every micro-batch probes the stored bit roster and CONTAMINATED
+    * documents are dropped before the epoch lands — benchmark overlap
+    * never reaches the training corpus, instead of being re-filtered
+    * at every downstream read. The flags are exact modular arithmetic
+    * over the batch, so a replayed epoch (crash between parquet write
+    * and offset commit) recomputes the same survivor set and the
+    * idempotent `batch=<id>` overwrite holds — the flat sink's replay
+    * contract, unchanged.
+    *
+    * Each epoch also lands a one-row audit record at
+    * `<destDir>_decontam_log/batch=<id>` (docs in, docs dropped) —
+    * overwrite-idempotent like the data epoch, so the log never
+    * double-counts a replay. Appending a NEW eval suite to the bloom
+    * index mid-stream takes effect from the next micro-batch — the
+    * roster is re-read per epoch, which is the point of serving it
+    * from a table instead of a captured broadcast.
+    */
+  def startDecontaminated(
+      cleaned: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      idCol: String,
+      textCol: String,
+      bloomTable: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    ensureDest(cleaned, destDir)
+    cleaned.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // empty watermark-advance batches write nothing (guard, not
+        // `return` — non-local returns abort the stream)
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          // the flag pass scans the batch twice (flags + anti-join);
+          // pin it so the epoch isn't recomputed from the source
+          batch.persist()
+          try {
+            val flagged = graft.operators.Corpus
+              .bloomDecontaminationFromIndex(batch, idCol, textCol, bloomTable)
+              .filter(org.apache.spark.sql.functions.col("flagged"))
+              .select(idCol)
+            val survivors = batch.join(flagged, Seq(idCol), "left_anti")
+            survivors.write.mode("overwrite").parquet(s"$destDir/batch=$batchId")
+            val nIn = batch.count()
+            val nOut = spark.read.parquet(s"$destDir/batch=$batchId").count()
+            Seq((nIn, nIn - nOut)).toDF("docs_in", "docs_dropped")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"${destDir}_decontam_log/batch=$batchId")
+          } finally batch.unpersist()
+        }
+      }
+      .start()
+  }
+
   /** [[start]] with CLUSTERED epochs — the perpetual crawler composed
     * with the z-order lifecycle, closing the gap where a stream
     * accumulates unclustered `batch=` directories until someone

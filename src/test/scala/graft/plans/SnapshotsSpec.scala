@@ -116,6 +116,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 45L)
   }
 
+  test("diffVersions: deleted/updated/inserted labels across any two readable states") {
+    import spark.implicits._
+    val dir = freshCorpus("graft_diff")
+    Snapshots.enableVersioning(spark, dir)
+    Compaction.deleteWhere(spark, dir, col("id") < 10) // v1 = original
+    Compaction.upsertParquet(spark, dir,
+      Seq((20L, "REVISED"), (500L, "NEW")).toDF("id", "v"), Seq("id")) // v2 = post-delete
+    val toLive = Snapshots.diffVersions(spark, dir, 1L, None, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(toLive === ((0L until 10L).map((_, "deleted")).toSet +
+      ((20L, "updated")) + ((500L, "inserted"))))
+    // between two snapshots: only the delete separates v1 from v2
+    val v1v2 = Snapshots.diffVersions(spark, dir, 1L, Some(2L), Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v1v2 === (0L until 10L).map((_, "deleted")).toSet)
+    // v2 → live: the upsert alone
+    val v2Live = Snapshots.diffVersions(spark, dir, 2L, None, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v2Live === Set((20L, "updated"), (500L, "inserted")))
+  }
+
   test("vacuumVersions: drops oldest beyond keepLast; vacuumed versions fail loudly on read") {
     import spark.implicits._
     val dir = freshCorpus("graft_vac")

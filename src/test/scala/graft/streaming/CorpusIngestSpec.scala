@@ -597,4 +597,59 @@ class CorpusIngestSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(destDir).count() === base.count() * 4)
   }
+
+  test("decontaminated ingest drops exactly the bloom-indexed flags; a new suite applies from the next epoch") {
+    import graft.operators.Corpus
+    val srcDir = tmp("graft_ingest_dcsrc")
+    val docs = table("documents").select("doc_id", "text", "lang", "source")
+    docs.withColumn("ingest_time",
+        timestamp_micros((lit(3600L) + pmod(col("doc_id"), lit(500L)) * 60L) * 1000000L))
+      .write.mode("overwrite").parquet(srcDir)
+    Corpus.writeBloomIndex(docs.filter(col("doc_id") % 97 === 0), "text",
+      "bloom_stream_idx", n = 8, mBits = 1 << 18, k = 5)
+    val outDir = tmp("graft_ingest_dcout")
+    val ckpt = tmp("graft_ingest_dcckpt")
+    CorpusIngest.startDecontaminated(
+      CorpusIngest.documentsStream(spark, srcDir), outDir,
+      ckpt, "doc_id", "text", "bloom_stream_idx")
+      .awaitTermination(180000)
+    // the streamed survivor set IS the batch twin's unflagged set
+    val streamedIds = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val twinKept = Corpus.bloomDecontaminationFromIndex(
+        docs, "doc_id", "text", "bloom_stream_idx")
+      .filter(!col("flagged")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamedIds === twinKept)
+    assert(streamedIds.size < docs.count(), "fixture planted no contamination")
+    // the audit log accounts for every document exactly once
+    val log = spark.read.parquet(s"${outDir}_decontam_log/batch=*")
+    val (nIn, nDropped) = (
+      log.agg(sum("docs_in")).head.getLong(0),
+      log.agg(sum("docs_dropped")).head.getLong(0))
+    assert(nIn === docs.count())
+    assert(nDropped === docs.count() - streamedIds.size)
+    // append a second suite mid-stream: the NEXT epoch sees it
+    Corpus.appendToBloomIndex("bloom_stream_idx",
+      docs.filter(col("doc_id") % 89 === 0), "text")
+    val shifted = docs.select((col("doc_id") + 700000L).as("doc_id"),
+      col("text"), col("lang"), col("source"))
+    shifted.withColumn("ingest_time",
+        timestamp_micros((lit(3600L) + pmod(col("doc_id"), lit(500L)) * 60L) * 1000000L))
+      .write.mode("append").parquet(srcDir)
+    // SAME checkpoint: only the appended files form the next epoch —
+    // committed epochs are never reprocessed under the wider roster
+    CorpusIngest.startDecontaminated(
+      CorpusIngest.documentsStream(spark, srcDir), outDir,
+      ckpt, "doc_id", "text", "bloom_stream_idx")
+      .awaitTermination(180000)
+    val secondKept = Corpus.bloomDecontaminationFromIndex(
+        shifted, "doc_id", "text", "bloom_stream_idx")
+      .filter(!col("flagged")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val allIds = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(allIds.filter(_ >= 700000L) === secondKept,
+      "the appended suite must gate the second wave")
+  }
 }
