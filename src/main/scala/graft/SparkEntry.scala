@@ -2177,6 +2177,24 @@ object SparkEntry {
           col("n_rows"), col("sum_qty"))
         .orderBy("s_nationkey")
     }),
+    // Record linkage: edit-distance similarity join. Blocking is
+    // lossless by the q-gram count-filter theorem, so the twin is the
+    // BRUTE cross join — proving the whole blocked pipeline exact
+    "q_link_fuzzy_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      graft.operators.Linkage.editDistanceJoin(
+        sup.filter(col("s_suppkey") % 2 === 0), "s_suppkey", "s_name",
+        sup.filter(col("s_suppkey") % 2 === 1), "s_suppkey", "s_name",
+        maxDist = 1)
+        .orderBy("id_l", "id_r")
+    }),
+    // The self-join form: unordered near-dup key pairs within one table
+    "q_link_fuzzy_pairs" -> ((s, dir) => {
+      graft.operators.Linkage.editDistancePairs(
+        t(s, dir, "supplier").filter(col("s_suppkey") % 2 === 0),
+        "s_suppkey", "s_name", maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
     // Base-corpus deletion: the takedown verb for the DATA itself (the
     // four index families tombstone; the parquet corpus rewrites
     // through the staged swap). Copy → delete doc_id % 3 == 0 → read
@@ -4714,6 +4732,19 @@ object SparkEntry {
     "q_corpus_delete" ->
       ("SELECT doc_id, text, lang, source FROM documents " +
         "WHERE doc_id % 3 <> 0 ORDER BY doc_id"),
+    "q_link_fuzzy_join" ->
+      ("SELECT a.s_suppkey AS id_l, b.s_suppkey AS id_r, " +
+        "CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist " +
+        "FROM supplier a, supplier b " +
+        "WHERE a.s_suppkey % 2 = 0 AND b.s_suppkey % 2 = 1 " +
+        "AND levenshtein(a.s_name, b.s_name) <= 1 ORDER BY id_l, id_r"),
+    "q_link_fuzzy_pairs" ->
+      ("SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, " +
+        "CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist " +
+        "FROM supplier a, supplier b " +
+        "WHERE a.s_suppkey % 2 = 0 AND b.s_suppkey % 2 = 0 " +
+        "AND a.s_suppkey < b.s_suppkey " +
+        "AND levenshtein(a.s_name, b.s_name) <= 2 ORDER BY id_a, id_b"),
     "q_corpus_upsert" ->
       // survivors of the anti-join, the revised rows, the inserted rows
       ("SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 7 <> 0 " +
