@@ -234,6 +234,30 @@ object Bench {
         }
       } catch { case _: Throwable => (-1.0, "") }
     }
+    // Versioning-overhead probe: the Snapshots claim is "archiving the
+    // pre-rewrite copy costs one rename, zero added write I/O" — this
+    // measures the same deleteWhere sweep over a fresh copy of the
+    // documents corpus with retention off vs on (median of 3 each).
+    // Near-equal seconds = the claim, measured instead of argued.
+    val versionOverhead = if (only.isDefined) "" else {
+      try {
+        def timeDelete(versioned: Boolean): Double = {
+          val parent = java.nio.file.Files.createTempDirectory("graft_bench_ver")
+          val dir = s"$parent/corpus"
+          try {
+            spark.read.parquet(s"$sfDir/documents.parquet")
+              .write.mode("overwrite").parquet(dir)
+            if (versioned) graft.plans.Snapshots.enableVersioning(spark, dir)
+            val t0 = System.nanoTime()
+            graft.plans.Compaction.deleteWhere(spark, dir,
+              org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+            (System.nanoTime() - t0) / 1e9
+          } finally org.apache.commons.io.FileUtils.deleteQuietly(parent.toFile)
+        }
+        def med3(f: => Double) = { val xs = Seq(f, f, f).sorted; xs(1) }
+        f"plain:${med3(timeDelete(false))}%.2f,versioned:${med3(timeDelete(true))}%.2f"
+      } catch { case _: Throwable => "" }
+    }
     // sf1 soak ratios: tools/soak.py runs the heavy-query subset at
     // sf0.1 and at 10× (graft.tools.ScaleUp fixtures) and writes the
     // per-query time RATIOS to bench/SOAK.json — embedded verbatim so
@@ -352,6 +376,10 @@ object Bench {
       // embedded Derby plus that documented absence IS the scaling
       // answer
       (if (jdbcScaling.nonEmpty) ",\"jdbc_scaling\":\"" + jdbcScaling + "\"" else "") +
+      // seconds for the same delete sweep with version retention off/on
+      // (the "archiving costs one rename" claim, measured)
+      (if (versionOverhead.nonEmpty)
+        ",\"version_overhead\":\"" + versionOverhead + "\"" else "") +
       soak.map(s => ",\"soak\":" + s).getOrElse("") +
       // declare the skip only when it was actually applied — under
       // SPARK_GRAFT_ONLY the skip set is empty and the twin may well
