@@ -1155,7 +1155,8 @@ object SparkEntry {
         (3L, "the quick brown fox jumps"),
         (4L, "quick fox and lazy dog"),
         (5L, "ひらがな と カタカナ"),
-        (6L, "mixed 東京 latin heavy text here"))
+        (6L, "mixed 東京 latin heavy text here"),
+        (7L, "東京　大阪の通勤")) // U+3000-separated: the CJK space strips
         .toDF("doc_id", "text")
       TextAnalysis.tfidfTopTerms(
         docs.withColumn("text", TextAnalysis.adaptiveRetokenize(col("text"))),
@@ -3650,9 +3651,10 @@ object SparkEntry {
       ("WITH raw(doc_id, text) AS (VALUES " +
         "(1, '東京都は大都市です'), (2, '東京の人口は多い'), " +
         "(3, 'the quick brown fox jumps'), (4, 'quick fox and lazy dog'), " +
-        "(5, 'ひらがな と カタカナ'), (6, 'mixed 東京 latin heavy text here')), " +
+        "(5, 'ひらがな と カタカナ'), (6, 'mixed 東京 latin heavy text here'), " +
+        "(7, '東京　大阪の通勤')), " +
         "det AS (SELECT doc_id, text, " +
-        "regexp_replace(text, '[ \t\n\f\r]', '', 'g') AS stripped, " +
+        "regexp_replace(text, '[ \t\n\f\r　]', '', 'g') AS stripped, " +
         "length(text) - length(regexp_replace(text, " +
         "'[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}\\x{0E00}-\\x{0E7F}]', '', 'g')) AS scriptc " +
         "FROM raw), " +
@@ -4789,7 +4791,9 @@ object SparkEntry {
         "FROM documents ORDER BY shuffle_key, doc_id"),
     "q_corpus_leak_split" -> {
       // the portable-minhash CTE chain (same as q_dedup_minhash_portable)
-      // feeding the split-hygiene demotion
+      // feeding cluster-level split hygiene: transitive closure over the
+      // pair graph (recursive CTE — the q_dedup_clusters replay), then
+      // every non-train member of a split-straddling cluster demotes
       val k = 8
       val sigs = (0 until k).map(j =>
         s"MIN((${2 * j + 3}*hv+${97 * j + 1})%1000000007) AS sig_$j").mkString(", ")
@@ -4797,7 +4801,7 @@ object SparkEntry {
         s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END").mkString("1 + ", " + ", "")
       val valCut = math.round(0.2 * 4294967296.0)
       val testCut = math.round(0.4 * 4294967296.0)
-      "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+      "WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
         "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
         "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
@@ -4808,15 +4812,17 @@ object SparkEntry {
         s"sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id), " +
         "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b " +
         s"ON a.sig_0 = b.sig_0 AND a.doc_id < b.doc_id WHERE CAST($matchSum AS DOUBLE)/8 >= 0.5), " +
+        "edges(src, dst) AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(a, b) AS (SELECT src, src FROM edges " +
+        "UNION SELECT r.a, e2.dst FROM reach r JOIN edges e2 ON r.b = e2.src), " +
+        "clus AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a), " +
         s"spl AS (SELECT doc_id, CASE WHEN h < $valCut THEN 'val' WHEN h < $testCut THEN 'test' " +
         "ELSE 'train' END AS split FROM (SELECT doc_id, " +
         "((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 AS h " +
         "FROM documents)), " +
-        "leaky AS (SELECT p.id_a, p.id_b, sa.split AS sa, sb.split AS sb FROM pairs p " +
-        "JOIN spl sa ON p.id_a = sa.doc_id JOIN spl sb ON p.id_b = sb.doc_id " +
-        "WHERE sa.split <> sb.split), " +
-        "demote AS (SELECT DISTINCT id FROM (SELECT id_a AS id, sa AS sp FROM leaky " +
-        "UNION ALL SELECT id_b, sb FROM leaky) WHERE sp <> 'train') " +
+        "mem AS (SELECT c.id, c.cluster, s.split FROM clus c JOIN spl s ON c.id = s.doc_id), " +
+        "mixed AS (SELECT cluster FROM mem GROUP BY cluster HAVING count(DISTINCT split) > 1), " +
+        "demote AS (SELECT DISTINCT id FROM mem JOIN mixed USING (cluster) WHERE split <> 'train') " +
         "SELECT s.doc_id, CASE WHEN d.id IS NOT NULL THEN 'train' ELSE s.split END AS split " +
         "FROM spl s LEFT JOIN demote d ON s.doc_id = d.id ORDER BY doc_id"
     },

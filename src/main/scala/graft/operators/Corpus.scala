@@ -129,13 +129,17 @@ object Corpus {
   def sqrtTemperatureSample(df: DataFrame, idCol: String, stratumCol: String): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cg"))
     val cmin = counts.agg(min(col("__cg")).as("__cmin"))
+    // a NULL stratum is a stratum: groupBy keeps it (it rightly
+    // participates in c_min), so the rate join must be null-safe too —
+    // a plain equi-join would silently drop every null-stratum row
     val rates = counts.crossJoin(broadcast(cmin)).select(
-      col(stratumCol),
+      col(stratumCol).as("__stratum"),
       floor(sqrt(col("__cmin").cast("double") / col("__cg").cast("double")) *
         lit(1000000.0)).as("__ppm"))
     probabilitySample(
-      df.join(broadcast(rates), Seq(stratumCol)), idCol, col("__ppm"))
-      .select(df.columns.map(col).toIndexedSeq: _*) // join put the key first
+      df.join(broadcast(rates), col(stratumCol) <=> col("__stratum")),
+      idCol, col("__ppm"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Per-group quota cap: deterministically keep at most `cap` rows per
@@ -796,21 +800,28 @@ object Corpus {
   /** Leakage-safe train/val/test split: [[deterministicSplit]] plus
     * near-dup hygiene. A val/test document whose near-duplicate sits in
     * a DIFFERENT split is contaminated — its "held-out" content is
-    * effectively in the training set — so every non-train member of a
-    * cross-split near-dup pair ([[graft.operators.Dedup.portableMinhashPairs]],
-    * the exact-oracle MinHash) is demoted to train. Demotion (not
-    * dropping) keeps the corpus intact: train absorbing a near-dup of
-    * itself is harmless, an eval set silently shrunk by drops is not.
-    * Val↔test pairs demote BOTH ends — held-out sets must not leak
-    * into each other either.
+    * effectively in the training set — so demotion works on whole
+    * near-dup CLUSTERS ([[graft.operators.Dedup.duplicateClusters]]
+    * over the exact-oracle
+    * [[graft.operators.Dedup.portableMinhashPairs]]): any cluster
+    * whose members straddle more than one split has every non-train
+    * member demoted to train. Cluster-level (not pair-level) demotion
+    * is what CLOSES the invariant — a pair-only pass demoting B out of
+    * A~B~C would leave a fresh A(val)↔B(train) leak behind; after
+    * cluster demotion no near-dup pair's ends ever sit in different
+    * splits, chains included. Demotion (not dropping) keeps the corpus
+    * intact: train absorbing a near-dup of itself is harmless, an eval
+    * set silently shrunk by drops is not. Val↔test clusters demote
+    * wholesale — held-out sets must not leak into each other either.
     *
     * Scale shape: the split is a per-row hash (no shuffle); the pair
     * list is the banded signature self-join, already bounded by the
-    * MinHash machinery; the two split-assignment joins touch only pair
-    * rows (≪ corpus); the demotion roster is small and broadcasts back
-    * onto the corpus. Everything is exact portable arithmetic — the
-    * whole pipeline (hash split + signatures + pairing + demotion)
-    * replays in an ANSI-SQL twin.
+    * MinHash machinery; connected components run over pair rows only
+    * (≪ corpus, pointer-jumping label propagation); the demotion
+    * roster is small and broadcasts back onto the corpus. Everything
+    * is exact portable arithmetic — hash split, signatures, pairing,
+    * transitive closure and demotion all replay in an ANSI-SQL twin
+    * (recursive CTE for the closure).
     */
   def leakageSafeSplit(
       df: DataFrame,
@@ -825,19 +836,17 @@ object Corpus {
     val split = deterministicSplit(df, idCol, valFraction, testFraction)
     val pairs = graft.operators.Dedup
       .portableMinhashPairs(df, idCol, textCol, n, kSig, simThreshold)
+    val clusters = graft.operators.Dedup.duplicateClusters(pairs)
     val assign = split.select(col(idCol), col("split"))
-    val joined = pairs
-      .join(assign.withColumnRenamed(idCol, "id_a")
-        .withColumnRenamed("split", "split_a"), "id_a")
-      .join(assign.withColumnRenamed(idCol, "id_b")
-        .withColumnRenamed("split", "split_b"), "id_b")
-      .filter(col("split_a") =!= col("split_b"))
-    val demoted = joined.select(explode(array(
-        struct(col("id_a").as("id"), col("split_a").as("sp")),
-        struct(col("id_b").as("id"), col("split_b").as("sp")))).as("m"))
-      .select(col("m.id").as(idCol), col("m.sp").as("sp"))
-      .filter(col("sp") =!= "train")
-      .select(col(idCol)).distinct()
+    val membered = clusters
+      .join(assign.withColumnRenamed(idCol, "id"), "id")
+    val mixed = membered.groupBy("cluster")
+      .agg(count_distinct(col("split")).as("__nsplits"))
+      .filter(col("__nsplits") > 1)
+      .select("cluster")
+    val demoted = membered.join(mixed, "cluster")
+      .filter(col("split") =!= "train")
+      .select(col("id").as(idCol)).distinct()
       .withColumn("__demote", lit(true))
     split.join(demoted, Seq(idCol), "left")
       .withColumn("split",

@@ -1286,9 +1286,13 @@ object Dedup {
     val maxBucket = if (r.isNullAt(2)) 0L else r.getLong(2)
     val nKeys = r.getLong(3)
     val mean = if (nKeys == 0L) 0.0 else total.toDouble / nKeys
+    // dead counts tombstoned ROWS of the index (the dhashIndexStats
+    // idiom), not distinct tombstoned ids — under replay-duplicate
+    // residue the id-based count halves the reported dead mass and
+    // staleness stays quiet at double the intended threshold
     val dead = minhashTombstones(spark, tableName) match {
       case Some(ts) =>
-        ts.join(t.select("index_id"), Seq("index_id"), "left_semi").count()
+        t.join(broadcast(ts), Seq("index_id"), "left_semi").count()
       case None => 0L
     }
     MinhashIndexStats(

@@ -66,8 +66,18 @@ object Linkage {
     require(maxDist >= 0, "maxDist must be >= 0")
     require(q >= 1, "q must be >= 1")
     val kq = maxDist * q
-    val keysL = left.select(col(leftKey).as("__kl")).filter(col("__kl").isNotNull).distinct()
-    val keysR = right.select(col(rightKey).as("__kr")).filter(col("__kr").isNotNull).distinct()
+    // the key frames and the gram-frequency table are each consumed by
+    // several branches (prefixes, short filters, df joins) — pin them
+    // so the "one bounded aggregate" in the scaladoc executes once,
+    // not once per consumer (persistOnce: the duplicateClusters idiom,
+    // released by the caller's cache-clear cadence)
+    def pin(frame: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+        frame, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keysL = pin(left.select(col(leftKey).as("__kl"))
+      .filter(col("__kl").isNotNull).distinct())
+    val keysR = pin(right.select(col(rightKey).as("__kr"))
+      .filter(col("__kr").isNotNull).distinct())
 
     // shared rarest-first gram order: document frequency over the
     // distinct keys of BOTH sides (one bounded aggregate)
@@ -75,8 +85,8 @@ object Linkage {
       explode(distinctGrams(col("__kl"), q)).as("__g"))
     val gramsR = keysR.select(col("__kr").as("__key"),
       explode(distinctGrams(col("__kr"), q)).as("__g"))
-    val df = gramsL.unionByName(gramsR)
-      .groupBy("__g").agg(count(lit(1)).as("__df"))
+    val df = pin(gramsL.unionByName(gramsR)
+      .groupBy("__g").agg(count(lit(1)).as("__df")))
 
     // per key: grams sorted by (df, gram), first kq+1 explode as the
     // blocking prefix (struct field order IS the sort order)

@@ -215,7 +215,10 @@ object TextAnalysis {
     * reproducible cross-engine (no statistical language model).
     */
   def isSpaceFreeScript(text: Column): Column = {
-    val nonSpace = length(regexp_replace(text, "[ \t\n\f\r]", ""))
+    // U+3000 (ideographic space) counts as whitespace here: it is the
+    // standard separator in CJK text, and counting it as content would
+    // both skew the majority test and leak into bigrams downstream
+    val nonSpace = length(regexp_replace(text, "[ \t\n\f\r　]", ""))
     val scriptChars =
       length(text) - length(regexp_replace(text, SpaceFreeScriptClass, ""))
     scriptChars * 2 > nonSpace
@@ -232,7 +235,7 @@ object TextAnalysis {
     * space-free rows, a narrow map either way.
     */
   private def charBigramText(text: Column): Column = {
-    val stripped = regexp_replace(text, "[ \t\n\f\r]", "")
+    val stripped = regexp_replace(text, "[ \t\n\f\r　]", "")
     when(length(stripped) >= 2,
       array_join(
         transform(sequence(lit(1), length(stripped) - 1),

@@ -115,8 +115,13 @@ object Compaction {
     // ambiguous on an unversioned dataset (death after install but
     // before old-cleanup, or a concurrent maintenance job): refuse and
     // let the operator pick. On a VERSIONED dataset the state is
-    // unambiguous — successful runs always archive — so the leftover
-    // copy is archived as its own version and the rewrite proceeds.
+    // unambiguous UNDER THE SINGLE-WRITER CONTRACT (successful runs
+    // always archive; only a crash leaves the copy) — so the leftover
+    // is archived as its own version and the rewrite proceeds. A
+    // second concurrent job could adopt a live job's pre-archive copy
+    // and surface as that job's archive failing post-install — the
+    // same corruption class concurrency always had here; pause writers
+    // and run one maintenance job per dataset, as the object doc says.
     val dirExists = fs.exists(qualified)
     val oldExists = fs.exists(old)
     if (!dirExists && oldExists) {
@@ -221,8 +226,14 @@ object Compaction {
       val (_, bytes) = listData(fs, qualified)
       val partCols = partitionColumns(fs, qualified)
       val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      // SQL DELETE semantics: a row is deleted only when the predicate
+      // is TRUE — a NULL-evaluating row (e.g. a null column under an
+      // equality predicate) SURVIVES. A bare !condition is NULL for
+      // such rows and filter would silently delete them.
       val writer = spark.read.parquet(dir).observe(obsIn, cnt)
-        .filter(!condition).observe(obsOut, cnt)
+        .filter(!org.apache.spark.sql.functions.coalesce(
+          condition, org.apache.spark.sql.functions.lit(false)))
+        .observe(obsOut, cnt)
         .repartition(parts)
         .write.mode("overwrite")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
@@ -258,8 +269,14 @@ object Compaction {
     * are refused and pointed at the layout-preserving verbs, mirroring
     * [[deleteWhere]].
     *
-    * @return (rowsBefore, rowsUpdated, rowsInserted); rowsAfter =
-    *         rowsBefore + rowsInserted
+    * @return (rowsBefore, rowsReplaced, rowsAfter) — all three observed
+    *         ON the rewrite itself (the rewriteBucketedTable rule:
+    *         never re-scan just to read a number). rowsReplaced counts
+    *         BASE rows the merge removed; when base keys are unique
+    *         that equals the matched batch rows and
+    *         rowsAfter − rowsBefore + rowsReplaced equals the batch
+    *         size, but a dup-keyed base replaces several rows per key
+    *         and only this triple reports that faithfully.
     */
   def upsertParquet(
       spark: SparkSession,
@@ -292,9 +309,10 @@ object Compaction {
       s"graft-upsert-in-${java.util.UUID.randomUUID()}")
     val obsKeep = org.apache.spark.sql.Observation(
       s"graft-upsert-keep-${java.util.UUID.randomUUID()}")
+    val obsOut = org.apache.spark.sql.Observation(
+      s"graft-upsert-out-${java.util.UUID.randomUUID()}")
     val cnt = org.apache.spark.sql.functions
       .count(org.apache.spark.sql.functions.lit(1)).as("n")
-    var updCount = -1L
     stagedParquetSwap(spark, dir, "upsert") { tmp =>
       val (_, bytes) = listData(fs, qualified)
       val partCols = partitionColumns(fs, qualified)
@@ -321,18 +339,18 @@ object Compaction {
       val cond = keyCols.map(k => base(k) <=> aligned(k)).reduce(_ && _)
       val kept = base.observe(obsIn, cnt)
         .join(aligned, cond, "left_anti").observe(obsKeep, cnt)
-      updCount = aligned.count()
       val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val writer = kept
         .unionByName(aligned, allowMissingColumns = extras.nonEmpty)
+        .observe(obsOut, cnt)
         .repartition(parts)
         .write.mode("overwrite")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(tmp)
     }
     val before = obsIn.get("n").asInstanceOf[Long]
-    val updated = before - obsKeep.get("n").asInstanceOf[Long]
-    (before, updated, updCount - updated)
+    val replaced = before - obsKeep.get("n").asInstanceOf[Long]
+    (before, replaced, obsOut.get("n").asInstanceOf[Long])
   }
 
   /** Compaction for BUCKETED catalog tables — the signature/ANN index

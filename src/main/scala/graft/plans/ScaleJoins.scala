@@ -357,7 +357,13 @@ object ScaleJoins {
     val dLarge = est.getAs[Long]("est_distinct_a")
     val dSmall = est.getAs[Long]("est_distinct_b")
     val overlap = est.getAs[Long]("est_overlap")
-    if (overlap < minOverlap)
+    // The doomed-join screen applies to MATCH-producing shapes only:
+    // for left_anti (and plain left) zero overlap is a legitimate,
+    // often-expected answer — "no blocklisted key present" must keep
+    // everything, not throw. Inner/semi joins with ~zero overlap
+    // produce ~nothing, which is the mistake the screen exists to name.
+    val overlapGuarded = jt == "inner" || jt == "leftsemi"
+    if (overlapGuarded && overlap < minOverlap)
       throw new IllegalStateException(
         s"adaptiveJoin: estimated distinct-key overlap $overlap is below " +
           s"minOverlap $minOverlap (large ≈ $dLarge keys, small ≈ $dSmall) — " +

@@ -347,8 +347,11 @@ object ZOrder {
       val epochLayout = fs.listStatus(p).exists(s =>
         s.isDirectory && s.getPath.getName.startsWith("batch="))
       val raw = spark.read.parquet(path)
+      // SQL DELETE semantics (the Compaction.deleteWhere rule): only
+      // predicate-TRUE rows delete; NULL-evaluating rows survive
       val survivors = (if (epochLayout) raw.drop("batch") else raw)
-        .filter(!condition)
+        .filter(!org.apache.spark.sql.functions.coalesce(
+          condition, org.apache.spark.sql.functions.lit(false)))
       clusterInto(survivors, mcols, mbits, mbounds, mcurve, numFiles,
         if (epochLayout) s"$tmp/batch=0" else tmp)
       writeMeta(spark, tmp, mcols, mbits, mbounds, mcurve)

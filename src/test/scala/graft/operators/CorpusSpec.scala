@@ -515,6 +515,26 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sqrtTemperatureSample: a NULL stratum is a stratum — rows kept, rates unaffected vs dropping them") {
+    import spark.implicits._
+    // 4 null-stratum docs beside a 40-doc and a 400-doc language; null
+    // is the smallest stratum, so it sets c_min AND keeps all its rows
+    val docs = ((0 until 4).map(i => (i.toLong, None: Option[String])) ++
+      (100 until 140).map(i => (i.toLong, Some("de"))) ++
+      (1000 until 1400).map(i => (i.toLong, Some("en"))))
+      .toDF("doc_id", "lang")
+    val kept = Corpus.sqrtTemperatureSample(docs, "doc_id", "lang")
+    // every null-stratum row survives (rate = sqrt(cmin/cmin) = 1)
+    assert(kept.filter(col("lang").isNull).count() === 4L)
+    // real strata thin by sqrt(4/c): de ≈ 40·sqrt(0.1), en ≈ 400·sqrt(0.01)
+    val de = kept.filter(col("lang") === "de").count()
+    val en = kept.filter(col("lang") === "en").count()
+    assert(de > 5 && de < 25, s"de=$de")
+    assert(en > 20 && en < 60, s"en=$en")
+    // schema and membership deterministic
+    assert(kept.columns.toSeq === docs.columns.toSeq)
+  }
+
   test("bloom index: indexed == in-memory, append == rebuild, replayed append harmless, stored params rule") {
     val docs = table("documents")
     val suiteA = docs.filter(col("doc_id") % 97 === 0)
@@ -567,16 +587,25 @@ class CorpusSpec extends SparkSpec {
 
   test("leakageSafeSplit: after hygiene, no near-dup pair crosses splits; clean docs keep their hash split") {
     // planted corpus: 5 near-identical twin pairs (i, i+100) whose hash
-    // splits may disagree, plus 15 distinct docs
+    // splits may disagree, 15 distinct docs, plus near-dup CHAIN
+    // triplets (i, i+100, i+200) — the shape pair-level demotion
+    // cannot close (demoting the middle doc creates a fresh cross-split
+    // pair with the end it left behind)
     val twins = (0 until 5).flatMap { i =>
       val text = s"the quick brown fox jumps over the lazy dog number $i " +
         "and keeps running through the long identical meadow sentence"
       Seq((i.toLong, text), (i + 100L, text + " tail"))
     }
+    val chains = (40 until 44).flatMap { i =>
+      val text = s"a chained near duplicate family rooted at $i telling " +
+        "one long shared story about corpora splits and leakage hygiene"
+      Seq((i.toLong, text), (i + 100L, text + " tail"),
+        (i + 200L, text + " tail two"))
+    }
     val solo = (20 until 35).map(i =>
       (i.toLong, s"completely unrelated document $i about topic ${i * 37} " +
         s"with unique words ${"w" + i} ${"x" + i * 3} ${"y" + i * 7}"))
-    val docs = (twins ++ solo).toDF("doc_id", "text")
+    val docs = (twins ++ chains ++ solo).toDF("doc_id", "text")
     val result = Corpus.leakageSafeSplit(docs, "doc_id", "text",
       valFraction = 0.4, testFraction = 0.3)
     assert(result.count() === docs.count())

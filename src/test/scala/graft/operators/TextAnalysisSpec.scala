@@ -686,6 +686,11 @@ class TextAnalysisSpec extends SparkSpec {
     val n = Seq("東京都は大都市です").toDF("t")
       .select(size(TextAnalysis.adaptiveTokens(col("t")))).head().getInt(0)
     assert(n === 8, s"expected 8 bigrams, got $n")
+    // the ideographic space U+3000 — the standard CJK separator —
+    // strips like ASCII whitespace: no noise grams spanning it, and it
+    // cannot vote against detection as if it were content
+    assert(retok("東京　大阪") === "東京 京大 大阪")
+    assert(free("東京　大阪　　　　"))
   }
 
   test("reciprocalRankFusion: k0 = 0 rejected — rank 0 would div-by-zero to NULL silently") {

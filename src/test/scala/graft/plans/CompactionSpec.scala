@@ -70,6 +70,29 @@ class CompactionSpec extends SparkSpec {
     assert(ex.getMessage.contains("deleteWhereZorder"), ex.getMessage)
   }
 
+  test("deleteWhere / deleteWhereZorder: NULL-evaluating predicates keep their rows — SQL DELETE semantics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delnull").toString + "/t"
+    Seq((1L, Some("en")), (2L, None), (3L, Some("de")), (4L, Some("en")))
+      .toDF("id", "lang").write.parquet(dir)
+    // lang === 'en' is NULL for row 2: it must SURVIVE, not silently
+    // delete with the matches
+    val (before, after) = Compaction.deleteWhere(spark, dir, col("lang") === "en")
+    assert(before === 4L && after === 2L)
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(back.head.isNullAt(1))
+    // same contract on the clustered verb
+    val zdir = java.nio.file.Files.createTempDirectory("graft_delnullz").toString + "/z"
+    val zdf = Seq((1L, 10L, Some("en")), (2L, 20L, None), (3L, 30L, Some("de")))
+      .toDF("a", "b", "lang")
+    graft.plans.ZOrder.zorderWrite(zdf, Seq("a", "b"), zdir, numFiles = 2)
+    graft.plans.ZOrder.deleteWhereZorder(spark, zdir, col("lang") === "en", numFiles = 2)
+    val zback = spark.read.parquet(zdir)
+    assert(zback.count() === 2L)
+    assert(zback.filter(col("lang").isNull).count() === 1L)
+  }
+
   test("compactParquet: crash between the install renames — re-run recovers __compact_old, zero data loss") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString + "/t"
@@ -276,9 +299,9 @@ class CompactionSpec extends SparkSpec {
     val updates = ((0 until 10).map(i => (s"REVISED $i", i * 10L, 0, i % 2)) ++
       (0 until 5).map(i => (s"NEW $i", 1000L + i, 9, 1)))
       .toDF("V", "ID", "B", "BATCH")
-    val (before, updated, inserted) =
+    val (before, replaced, after) =
       Compaction.upsertParquet(spark, dir, updates, Seq("id"))
-    assert(before === 200L && updated === 10L && inserted === 5L)
+    assert(before === 200L && replaced === 10L && after === 205L)
     val back = spark.read.parquet(dir)
     assert(back.count() === 205L)
     assert(back.filter(col("v").startsWith("REVISED")).count() === 10L)
@@ -287,9 +310,9 @@ class CompactionSpec extends SparkSpec {
     // untouched rows byte-identical, batch= partition layout intact
     assert(back.filter(col("id") === 51L).select("v").head.getString(0) === "doc 0 51")
     assert(back.columns.contains("batch"))
-    // idempotent re-apply: same batch again updates 15, inserts 0
-    val (b2, u2, i2) = Compaction.upsertParquet(spark, dir, updates, Seq("id"))
-    assert(b2 === 205L && u2 === 15L && i2 === 0L)
+    // idempotent re-apply: same batch again replaces 15, inserts 0
+    val (b2, r2, a2) = Compaction.upsertParquet(spark, dir, updates, Seq("id"))
+    assert(b2 === 205L && r2 === 15L && a2 === 205L)
     assert(spark.read.parquet(dir).count() === 205L)
   }
 
@@ -341,9 +364,9 @@ class CompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("allowNewColumns"), e.getMessage)
     assert(!spark.read.parquet(dir).columns.contains("score"))
     // evolution: column appends, pre-existing rows read null there
-    val (before, updated, inserted) = Compaction.upsertParquet(
+    val (before, replaced, after) = Compaction.upsertParquet(
       spark, dir, evolved, Seq("id"), allowNewColumns = true)
-    assert(before === 20L && updated === 1L && inserted === 1L)
+    assert(before === 20L && replaced === 1L && after === 21L)
     val back = spark.read.parquet(dir)
     assert(back.columns.toSeq === Seq("id", "v", "score"))
     assert(back.filter(col("score").isNull).count() === 19L)
@@ -388,9 +411,9 @@ class CompactionSpec extends SparkSpec {
     Seq((Some(1L), "one"), (None, "null-row"), (Some(2L), "two"))
       .toDF("id", "v").write.parquet(dir)
     val updates = Seq((None: Option[Long], "null-revised")).toDF("id", "v")
-    val (before, updated, inserted) =
+    val (before, replaced, after) =
       Compaction.upsertParquet(spark, dir, updates, Seq("id"))
-    assert(before === 3L && updated === 1L && inserted === 0L)
+    assert(before === 3L && replaced === 1L && after === 3L)
     val back = spark.read.parquet(dir)
     assert(back.count() === 3L)
     assert(back.filter(col("id").isNull).select("v").head.getString(0) === "null-revised")

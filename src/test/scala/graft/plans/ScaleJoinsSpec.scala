@@ -212,6 +212,14 @@ class ScaleJoinsSpec extends SparkSpec {
       val forced = ScaleJoins.adaptiveJoin(large, disjoint, "k",
         broadcastMaxDistinct = 0, hotThreshold = 1000, minOverlap = 0L)
       assert(forced.df.count() === 0L)
+      // anti arm: zero overlap is the EXPECTED answer for a blocklist
+      // probe — "no blocklisted key present" keeps everything instead
+      // of tripping the doomed-join screen (which guards inner/semi)
+      val anti = ScaleJoins.adaptiveJoin(large, disjoint, "k",
+        broadcastMaxDistinct = 100, hotThreshold = 1000,
+        joinType = "left_anti")
+      assert(anti.df.count() === large.count())
+      assert(anti.decision.estOverlap === 0L)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
