@@ -1163,6 +1163,16 @@ object SparkEntry {
         "doc_id", "text", k = 5)
         .orderBy("doc_id", "rank")
     }),
+    // Weighted lexical cosine similarity join: exact rational
+    // threshold (num²·q² ≥ p²·‖a‖²·‖b‖², decimal compare, no sqrt) —
+    // the third similarity measure beside MinHash Jaccard and dense
+    // embedding cosine
+    "q_text_cosine_pairs" -> ((s, dir) => {
+      TextAnalysis.lexicalCosinePairs(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", minCosNum = 4, minCosDen = 5)
+        .orderBy("id_a", "id_b")
+    }),
     // TF-IDF off the materialized postings index: the persisted
     // tokenize's second consumer (same index table the BM25 gate
     // builds — one build serves both), same oracle as q_text_tfidf
@@ -3644,6 +3654,29 @@ object SparkEntry {
         """SELECT query_id, CAST("rank" AS BIGINT) AS "rank", neighbor_id FROM ranked ORDER BY query_id, "rank""""
     },
     "q_text_tfidf" -> TfidfOracleSql,
+    "q_text_cosine_pairs" ->
+      // same milli-unit idf quantization as the Spark side; the
+      // threshold compare runs in HUGEINT — no sqrt, no float sums
+      ("WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), " +
+        "toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM sub), " +
+        "t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM sub), " +
+        "w AS (SELECT f.doc_id, f.term, f.tf * CAST(floor(ln(CAST(n.n_docs + 1 AS DOUBLE) / " +
+        "CAST(d.df + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w " +
+        "FROM tf f JOIN dfreq d USING (term) CROSS JOIN n), " +
+        "wz AS (SELECT * FROM w WHERE w > 0), " +
+        "norms AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nrm FROM wz GROUP BY doc_id), " +
+        "num AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "sum(CAST(a.w AS HUGEINT) * b.w) AS num FROM wz a JOIN wz b " +
+        "ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT num.id_a, num.id_b, CAST(num.num AS BIGINT) AS num_fx, " +
+        "CAST(na.nrm AS BIGINT) AS norm_a, CAST(nb.nrm AS BIGINT) AS norm_b " +
+        "FROM num JOIN norms na ON na.doc_id = num.id_a " +
+        "JOIN norms nb ON nb.doc_id = num.id_b " +
+        "WHERE num.num * num.num * 25 >= 16 * na.nrm * nb.nrm " +
+        "ORDER BY id_a, id_b"),
     "q_text_cjk_tfidf" ->
       // detect → strip → bigram → re-space, then the SAME tfidf chain
       // over the re-tokenized corpus (RE2 \x{...} = the Java \uXXXX

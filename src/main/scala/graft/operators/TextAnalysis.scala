@@ -419,6 +419,89 @@ object TextAnalysis {
         col("score_fx"))
   }
 
+  /** TF-IDF-weighted lexical cosine similarity join: all unordered
+    * document pairs whose weighted-term cosine clears
+    * `minCosNum / minCosDen` — the third classic text-similarity
+    * measure beside MinHash Jaccard ([[graft.operators.Dedup]]) and
+    * dense embedding cosine ([[graft.operators.Similarity]]): Jaccard
+    * sees shared shingles, embeddings see latent meaning, weighted
+    * lexical cosine sees shared RARE vocabulary — near-dup detection
+    * for re-writes that share topic words but not phrasing.
+    *
+    * Exactness: weights are `tf · idf_fx` with the house milli-unit
+    * idf quantization (`floor(ln((N+1)/(df+1))·1000 + 0.5)` — the one
+    * accepted float→int rounding, shared with [[tfidfTopTerms]]'s
+    * micro-unit variant), and the threshold is an exact RATIONAL:
+    * `cos ≥ p/q  ⇔  num ≥ 0 ∧ num²·q² ≥ p²·‖a‖²·‖b‖²`, compared in
+    * DECIMAL(38,0) — no sqrt, no float sums, so the SQL twin matches
+    * bit-for-bit. Terms with idf_fx ≤ 0 (present in every document)
+    * carry no signal and leave the vectors by definition, identically
+    * in both engines. The compare is exact for per-doc
+    * `Σ(tf·idf_fx)² ≲ 1e19`; beyond that the decimal product would
+    * overflow — detected and FAILED LOUDLY (raise_error), never a
+    * silently dropped pair; chunk pathological documents first.
+    *
+    * Scale shape: one tokenize + two bounded aggregates build the
+    * weighted postings (persistOnce — three consumers, one
+    * computation); the pair numerators come from the term-bucketed
+    * self-join, whose fan-out is Σ_t df(t)² — inherent to EXACT
+    * all-pairs similarity. At corpus scale, restrict the candidate
+    * universe first (a partition, a near-dup bucket, a top-k shortlist
+    * from the ANN/BM25 indexes) and run the exact measure inside it;
+    * an unrestricted 100 TB all-pairs cosine is a quadratic ask no
+    * engine honors.
+    */
+  def lexicalCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCosNum: Int = 4,
+      minCosDen: Int = 5
+  ): DataFrame = {
+    require(minCosDen > 0 && minCosNum >= 0 && minCosNum <= minCosDen,
+      "threshold must be a rational in [0, 1]")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val toks = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("w", col("tf") *
+          floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))
+            * lit(1000.0) + lit(0.5)).cast("long"))
+        .filter(col("w") > 0)
+        .select("doc_id", "term", "w"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = w.groupBy("doc_id")
+      .agg(sum(col("w").cast(dec) * col("w")).as("nrm"))
+    val num = w.select(col("doc_id").as("id_a"), col("term"), col("w").as("w_a"))
+      .join(w.select(col("doc_id").as("id_b"), col("term"), col("w").as("w_b")),
+        Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("w_a").cast(dec) * col("w_b")).as("num"))
+    val lhs = col("num").cast(dec) * col("num") * lit(minCosDen.toLong * minCosDen)
+    val rhs = col("norm_a").cast(dec) * col("norm_b") * lit(minCosNum.toLong * minCosNum)
+    num
+      .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("norm_a")), "id_a")
+      .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("norm_b")), "id_b")
+      .filter(
+        when(lhs.isNull || rhs.isNull,
+          raise_error(lit("lexicalCosinePairs: fixed-point overflow — a " +
+            "document's weight mass exceeds the exact-compare domain " +
+            "(Σ(tf·idf_fx)² ≲ 1e19); chunk or cap documents first"))
+            .cast("boolean"))
+          .otherwise(lhs >= rhs))
+      .select(col("id_a"), col("id_b"),
+        col("num").cast("long").as("num_fx"),
+        col("norm_a").cast("long").as("norm_a"),
+        col("norm_b").cast("long").as("norm_b"))
+  }
+
   /** Exact per-group heavy hitters: the k most frequent whitespace
     * tokens of each group's concatenated text (corpus-level "top tokens
     * per language / per domain" profiling). Two-stage shape: the

@@ -693,6 +693,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(free("東京　大阪　　　　"))
   }
 
+  test("lexicalCosinePairs: identical docs score 1, rare-term overlap beats stopword overlap, thresholds nest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "quantum entanglement superconductor lattice"),
+      (2L, "quantum entanglement superconductor lattice"), // exact dup of 1
+      (3L, "quantum entanglement superconductor membrane"), // 3/4 rare overlap
+      (4L, "the and of to in with from the and of"),        // stopword soup
+      (5L, "the and of to in with from but or nor"),        // shares only soup
+      (6L, "completely different vocabulary zone here"))
+      .toDF("doc_id", "text")
+    def pairs(p: Int, q: Int): Set[(Long, Long)] =
+      TextAnalysis.lexicalCosinePairs(docs, "doc_id", "text", p, q)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strict = pairs(99, 100)
+    // the exact dup clears ANY threshold: num = ‖a‖² = ‖b‖²
+    assert(strict.contains((1L, 2L)), strict.toString)
+    // rows and orientation: unordered pairs once, id_a < id_b
+    val all = TextAnalysis.lexicalCosinePairs(docs, "doc_id", "text", 1, 100)
+      .collect()
+    assert(all.forall(r => r.getLong(0) < r.getLong(1)))
+    // thresholds nest: stricter ⊆ looser
+    val mid = pairs(4, 5)
+    val loose = pairs(2, 5)
+    assert(strict.subsetOf(mid) && mid.subsetOf(loose))
+    // the 3-shared-rare-term pair scores cos ≈ 0.46 (the unshared
+    // terms carry the HIGHER idf, pulling it under 1/2): present at
+    // 0.4, absent at 0.5 — the weighting is doing its job
+    assert(loose.contains((1L, 3L)) && loose.contains((2L, 3L)))
+    assert(!pairs(1, 2).contains((1L, 3L)))
+    // num/norms are exact integers the caller can audit
+    val r12 = TextAnalysis.lexicalCosinePairs(docs, "doc_id", "text", 99, 100)
+      .filter(col("id_a") === 1L && col("id_b") === 2L).head
+    assert(r12.getLong(2) === r12.getLong(3) && r12.getLong(3) === r12.getLong(4))
+  }
+
   test("reciprocalRankFusion: k0 = 0 rejected — rank 0 would div-by-zero to NULL silently") {
     import spark.implicits._
     val a = Seq((1L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
