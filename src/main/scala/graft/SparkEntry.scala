@@ -1169,7 +1169,7 @@ object SparkEntry {
     // embedding cosine
     "q_text_cosine_pairs" -> ((s, dir) => {
       TextAnalysis.lexicalCosinePairs(
-        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
         "doc_id", "text", minCosNum = 4, minCosDen = 5)
         .orderBy("id_a", "id_b")
     }),
@@ -3657,7 +3657,7 @@ object SparkEntry {
     "q_text_cosine_pairs" ->
       // same milli-unit idf quantization as the Spark side; the
       // threshold compare runs in HUGEINT — no sqrt, no float sums
-      ("WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), " +
+      ("WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0), " +
         "toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM sub), " +
         "t2 AS (SELECT doc_id, term FROM toks WHERE length(term) > 0), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term), " +
