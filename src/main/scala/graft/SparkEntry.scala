@@ -1173,6 +1173,22 @@ object SparkEntry {
         "doc_id", "text", minCosNum = 4, minCosDen = 5)
         .orderBy("id_a", "id_b")
     }),
+    // Incremental lexical cosine: a shifted-id copy batch scored
+    // against ALL history THROUGH the materialized postings index —
+    // restrict-then-measure realized; every planted copy recovers its
+    // original at cos = 1, the twin replays the index as the corpus
+    "q_text_cosine_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxTable = s"bm25_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(idxTable))
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", idxTable,
+          buckets = 8)
+      val batch = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      TextAnalysis.lexicalCosineAgainstIndex(s, idxTable, batch,
+        "doc_id", "text", minCosNum = 4, minCosDen = 5)
+        .orderBy("batch_id", "doc_id")
+    }),
     // TF-IDF off the materialized postings index: the persisted
     // tokenize's second consumer (same index table the BM25 gate
     // builds — one build serves both), same oracle as q_text_tfidf
@@ -3677,6 +3693,40 @@ object SparkEntry {
         "JOIN norms nb ON nb.doc_id = num.id_b " +
         "WHERE num.num * num.num * 25 >= 16 * na.nrm * nb.nrm " +
         "ORDER BY id_a, id_b"),
+    "q_text_cosine_incremental" ->
+      // the index IS the corpus, so the twin recomputes the index-side
+      // vector space from documents: idf from history df/N; batch terms
+      // unseen by history weight at ln((N+1)/1) into the batch norm
+      ("WITH hist AS (SELECT doc_id, text FROM documents), " +
+        "batch AS (SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0), " +
+        "htoks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM hist), " +
+        "ht2 AS (SELECT doc_id, term FROM htoks WHERE length(term) > 0), " +
+        "htf AS (SELECT doc_id, term, count(*) AS tf FROM ht2 GROUP BY 1, 2), " +
+        "n AS (SELECT count(DISTINCT doc_id) AS n FROM hist), " +
+        "idf AS (SELECT term, df, CAST(floor(ln(CAST((SELECT n FROM n) + 1 AS DOUBLE) / " +
+        "CAST(df + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS idf " +
+        "FROM (SELECT term, count(*) AS df FROM htf GROUP BY term)), " +
+        "wh AS (SELECT h.doc_id, h.term, h.tf * i.idf AS w FROM htf h JOIN idf i USING (term) " +
+        "WHERE h.tf * i.idf > 0), " +
+        "hnorm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nrm FROM wh GROUP BY doc_id), " +
+        "btoks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM batch), " +
+        "bt2 AS (SELECT doc_id, term FROM btoks WHERE length(term) > 0), " +
+        "btf AS (SELECT doc_id, term, count(*) AS tf FROM bt2 GROUP BY 1, 2), " +
+        "wb AS (SELECT b.doc_id, b.term, b.tf * CAST(floor(ln(CAST((SELECT n FROM n) + 1 AS DOUBLE) / " +
+        "CAST(COALESCE(i.df, 0) + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w " +
+        "FROM btf b LEFT JOIN idf i USING (term)), " +
+        "wbz AS (SELECT * FROM wb WHERE w > 0), " +
+        "bnorm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nrm FROM wbz GROUP BY doc_id), " +
+        "num AS (SELECT b.doc_id AS batch_id, h.doc_id AS doc_id, " +
+        "sum(CAST(b.w AS HUGEINT) * h.w) AS num FROM wbz b JOIN wh h USING (term) " +
+        "WHERE b.doc_id <> h.doc_id GROUP BY 1, 2) " +
+        "SELECT num.batch_id AS batch_id, num.doc_id AS doc_id, " +
+        "CAST(num.num AS BIGINT) AS num_fx, " +
+        "CAST(bn.nrm AS BIGINT) AS norm_b, CAST(hn.nrm AS BIGINT) AS norm_h " +
+        "FROM num JOIN bnorm bn ON bn.doc_id = num.batch_id " +
+        "JOIN hnorm hn ON hn.doc_id = num.doc_id " +
+        "WHERE num.num * num.num * 25 >= 16 * bn.nrm * hn.nrm " +
+        "ORDER BY num.batch_id, num.doc_id"),
     "q_text_cjk_tfidf" ->
       // detect → strip → bigram → re-space, then the SAME tfidf chain
       // over the re-tokenized corpus (RE2 \x{...} = the Java \uXXXX

@@ -502,6 +502,93 @@ object TextAnalysis {
         col("norm_b").cast("long").as("norm_b"))
   }
 
+  /** [[lexicalCosinePairs]]'s INCREMENTAL form — a new batch scored
+    * against ALL history through the materialized BM25 postings index
+    * ([[writeBm25Index]]): the restrict-then-measure path the all-pairs
+    * scaladoc prescribes, realized. The index DEFINES the vector
+    * space — idf comes from the live postings' df and the stats N, so
+    * batch terms the history has never seen weight at
+    * `ln((N+1)/1)` and count toward the batch norm (they can't match
+    * history, and ignoring them would inflate every cosine). History
+    * is never re-tokenized: weights and norms aggregate from the
+    * stored (doc_id, term, tf) rows, tombstone-filtered like every
+    * index read. Same exact-rational threshold, same DECIMAL compare,
+    * same loud-overflow contract as the all-pairs form.
+    *
+    * Replay contract (the incremental-MinHash rule): same-id pairs are
+    * EXCLUDED, so a replayed batch that already appended its own rows
+    * re-scores without self-colliding at cos = 1.
+    *
+    * Scale shape: one pass over the postings builds df/weights/norms
+    * (norms are df-dependent and must be CURRENT — they cannot be
+    * materialized at build time because every append moves df; the one
+    * pass amortizes across the whole batch), the numerator join
+    * touches only the batch's terms, and the batch side is O(batch).
+    */
+  def lexicalCosineAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCosNum: Int = 4,
+      minCosDen: Int = 5
+  ): DataFrame = {
+    require(minCosDen > 0 && minCosNum >= 0 && minCosNum <= minCosDen,
+      "threshold must be a rational in [0, 1]")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def idfFx(dfCol: Column, nCol: Column): Column =
+      floor(log((nCol + 1).cast("double") / (dfCol + 1).cast("double"))
+        * lit(1000.0) + lit(0.5)).cast("long")
+    val postings = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      bm25LivePostings(spark, tableName).select("doc_id", "term", "tf"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = bm25CurrentStats(spark, tableName).select(col("n_docs"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val wHist = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      postings.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+        .withColumn("w", col("tf") * idfFx(col("df"), col("n_docs")))
+        .filter(col("w") > 0)
+        .select("doc_id", "term", "w"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val histNorms = wHist.groupBy("doc_id")
+      .agg(sum(col("w").cast(dec) * col("w")).as("norm_h"))
+    val bTf = batch
+      .select(col(idCol).as("batch_id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("batch_id", "term").agg(count(lit(1)).as("tf"))
+    val wBatch = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      bTf.join(dfreq, Seq("term"), "left")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("w",
+          col("tf") * idfFx(coalesce(col("df"), lit(0L)), col("n_docs")))
+        .filter(col("w") > 0)
+        .select("batch_id", "term", "w"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchNorms = wBatch.groupBy("batch_id")
+      .agg(sum(col("w").cast(dec) * col("w")).as("norm_b"))
+    val num = wBatch.select(col("batch_id"), col("term"), col("w").as("w_b"))
+      .join(wHist.select(col("doc_id"), col("term"), col("w").as("w_h")), Seq("term"))
+      .filter(col("batch_id") =!= col("doc_id"))
+      .groupBy("batch_id", "doc_id")
+      .agg(sum(col("w_b").cast(dec) * col("w_h")).as("num"))
+    val lhs = col("num").cast(dec) * col("num") * lit(minCosDen.toLong * minCosDen)
+    val rhs = col("norm_b").cast(dec) * col("norm_h") * lit(minCosNum.toLong * minCosNum)
+    num.join(batchNorms, "batch_id")
+      .join(histNorms, "doc_id")
+      .filter(
+        when(lhs.isNull || rhs.isNull,
+          raise_error(lit("lexicalCosineAgainstIndex: fixed-point overflow — " +
+            "a document's weight mass exceeds the exact-compare domain " +
+            "(Σ(tf·idf_fx)² ≲ 1e19); chunk or cap documents first"))
+            .cast("boolean"))
+          .otherwise(lhs >= rhs))
+      .select(col("batch_id"), col("doc_id"),
+        col("num").cast("long").as("num_fx"),
+        col("norm_b").cast("long").as("norm_b"),
+        col("norm_h").cast("long").as("norm_h"))
+  }
+
   /** Exact per-group heavy hitters: the k most frequent whitespace
     * tokens of each group's concatenated text (corpus-level "top tokens
     * per language / per domain" profiling). Two-stage shape: the

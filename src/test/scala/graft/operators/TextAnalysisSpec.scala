@@ -728,6 +728,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r12.getLong(2) === r12.getLong(3) && r12.getLong(3) === r12.getLong(4))
   }
 
+  test("lexicalCosineAgainstIndex: exact copies recover their originals at cos 1; replayed ids never self-pair") {
+    import spark.implicits._
+    def phrase(tag: String) = (1 to 20).map(t => s"${tag}term$t").mkString(" ")
+    val hist = ((0 until 12).map(i => (i.toLong, phrase(s"h$i"))) :+
+      (12L, phrase("shared"))).toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(hist, "doc_id", "text", "cos_inc_idx", buckets = 4)
+    // batch: an exact copy of doc 12 under a new id, plus a doc of
+    // terms history has never seen
+    val batch = Seq((100L, phrase("shared")), (101L, phrase("unseen")))
+      .toDF("doc_id", "text")
+    val strict = TextAnalysis.lexicalCosineAgainstIndex(
+      spark, "cos_inc_idx", batch, "doc_id", "text", 99, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((100L, 12L)), strict.toString)
+    // the all-unseen doc pairs with nothing at any threshold — but its
+    // norm still exists (unseen terms weight ln((N+1)/1) into it)
+    val loose = TextAnalysis.lexicalCosineAgainstIndex(
+      spark, "cos_inc_idx", batch, "doc_id", "text", 1, 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(!loose.contains(101L))
+    // replay: re-scoring a batch whose ids ALREADY sit in the index
+    // must not self-collide at cos = 1 (the incremental-MinHash rule)
+    val replay = Seq((12L, phrase("shared"))).toDF("doc_id", "text")
+    val rp = TextAnalysis.lexicalCosineAgainstIndex(
+      spark, "cos_inc_idx", replay, "doc_id", "text", 99, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rp.isEmpty, rp.toString)
+  }
+
   test("reciprocalRankFusion: k0 = 0 rejected — rank 0 would div-by-zero to NULL silently") {
     import spark.implicits._
     val a = Seq((1L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
