@@ -3746,7 +3746,7 @@ object SparkEntry {
         "CASE WHEN length(stripped) >= 2 THEN " +
         "array_to_string(list_transform(range(1, length(stripped)), i -> stripped[i:i+1]), ' ') " +
         "ELSE stripped END " +
-        "ELSE text END AS text FROM det), " +
+        "ELSE regexp_replace(text, '　', ' ', 'g') END AS text FROM det), " +
         tfidfOracleOver("retok")),
     // the postings-index path answers the SAME twin — one persisted
     // tokenize, two consumers, identical results
@@ -4433,7 +4433,9 @@ object SparkEntry {
       ("WITH c AS (SELECT lang, COUNT(*) AS cg FROM documents GROUP BY lang), " +
         "m AS (SELECT MIN(cg) AS cmin FROM c), " +
         "r AS (SELECT lang, CAST(FLOOR(SQRT(CAST(cmin AS DOUBLE) / CAST(cg AS DOUBLE)) * 1000000.0) AS BIGINT) AS ppm FROM c, m) " +
-        "SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang " +
+        // null-safe rate join: a NULL stratum is a stratum (it rightly
+        // sets c_min when smallest) — parity with the Spark side's <=>
+        "SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang IS NOT DISTINCT FROM r.lang " +
         "WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296 * 1000000 < " +
         "LEAST(GREATEST(ppm, 0), 1000000) * 4294967296 " +
         "ORDER BY doc_id"),

@@ -1255,9 +1255,11 @@ object Dedup {
       maxBucketRows: Long,
       nBlockingKeys: Long,
       bucketSkew: Double,
-      // deleted ids still physically present / totalRows — disk and
-      // scan waste [[purgeMinhashIndex]] reclaims; collisions are
-      // already delete-exact regardless. Trailing default keeps older
+      // tombstoned ROWS still physically present / totalRows (row
+      // mass, not distinct ids — replay-duplicate rows of a deleted
+      // doc all count, the dhashIndexStats idiom) — disk and scan
+      // waste [[purgeMinhashIndex]] reclaims; collisions are already
+      // delete-exact regardless. Trailing default keeps older
       // positional constructions valid.
       tombstoneFraction: Double = 0.0)
 

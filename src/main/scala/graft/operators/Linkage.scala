@@ -69,8 +69,10 @@ object Linkage {
     // the key frames and the gram-frequency table are each consumed by
     // several branches (prefixes, short filters, df joins) — pin them
     // so the "one bounded aggregate" in the scaladoc executes once,
-    // not once per consumer (persistOnce: the duplicateClusters idiom,
-    // released by the caller's cache-clear cadence)
+    // not once per consumer (persistOnce: the duplicateClusters idiom
+    // — repeated identical calls share one entry; LOOP callers with
+    // changing inputs must release between iterations via their
+    // cache-clear cadence, the CorpusIngest rule)
     def pin(frame: DataFrame): DataFrame =
       org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
         frame, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

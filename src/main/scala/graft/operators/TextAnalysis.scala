@@ -247,9 +247,11 @@ object TextAnalysis {
   /** Script-adaptive re-tokenization — the ONE entry point that makes
     * the whole text family CJK-correct: space-free-script documents
     * ([[isSpaceFreeScript]]) are rewritten into space-joined character
-    * bigrams, and every space-delimited document passes through
-    * UNCHANGED (the documented no-op — byte-identical output, so
-    * existing gates and indexes are unaffected by adopting it).
+    * bigrams, and every space-delimited document passes through with
+    * ONLY the ideographic space U+3000 normalized to ASCII space —
+    * byte-identical otherwise, so existing gates and indexes are
+    * unaffected by adopting it unless they carried the one separator
+    * the ASCII-whitespace tokenizers cannot split on.
     * Because the output is ordinary space-joined text, the EXISTING
     * downstream machinery consumes it verbatim:
     * `writeBm25Index(docs.withColumn("text", adaptiveRetokenize(col("text"))), …)`,
@@ -258,7 +260,13 @@ object TextAnalysis {
     * variants.
     */
   def adaptiveRetokenize(text: Column): Column =
-    when(isSpaceFreeScript(text), charBigramText(text)).otherwise(text)
+    // the pass-through branch normalizes ONLY U+3000 → ASCII space:
+    // it is the one CJK separator the downstream ASCII-whitespace
+    // tokenizers cannot split on, so a Latin-majority doc quoting a
+    // "東京　大阪" phrase would otherwise keep it glued as one token;
+    // text without U+3000 passes through byte-identically
+    when(isSpaceFreeScript(text), charBigramText(text))
+      .otherwise(regexp_replace(text, "　", " "))
 
   /** Whitespace tokens of the script-adaptively re-tokenized text —
     * token-count/quality heuristics for mixed-script corpora.
@@ -437,9 +445,15 @@ object TextAnalysis {
     * bit-for-bit. Terms with idf_fx ≤ 0 (present in every document)
     * carry no signal and leave the vectors by definition, identically
     * in both engines. The compare is exact for per-doc
-    * `Σ(tf·idf_fx)² ≲ 1e19`; beyond that the decimal product would
-    * overflow — detected and FAILED LOUDLY (raise_error), never a
-    * silently dropped pair; chunk pathological documents first.
+    * `Σ(tf·idf_fx)² ≲ 1e19`; beyond that the arithmetic FAILS LOUDLY —
+    * on this build's default ANSI mode the decimal overflow itself
+    * throws, and with ANSI off the explicit guards catch the
+    * null-on-overflow (threshold compare AND the long output casts) —
+    * never a silently dropped pair or null column; chunk pathological
+    * documents first. Tokenization is the single-space split of the
+    * BM25/TF-IDF postings family (twin parity with `str_split`);
+    * pre-normalize whitespace (or run [[adaptiveRetokenize]]) for
+    * tab/newline-separated corpora.
     *
     * Scale shape: one tokenize + two bounded aggregates build the
     * weighted postings (persistOnce — three consumers, one
@@ -451,6 +465,39 @@ object TextAnalysis {
     * an unrestricted 100 TB all-pairs cosine is a quadratic ask no
     * engine honors.
     */
+  /** The milli-unit idf quantization both cosine forms share — one
+    * definition so the exact-rational contract cannot drift between
+    * the all-pairs and the index-backed paths (or their twins).
+    */
+  private def cosineIdfFx(dfCol: Column, nCol: Column): Column =
+    floor(log((nCol + 1).cast("double") / (dfCol + 1).cast("double"))
+      * lit(1000.0) + lit(0.5)).cast("long")
+
+  /** The shared loud-overflow threshold filter: under ANSI (this
+    * build's default) decimal overflow throws before any null exists;
+    * with ANSI off a null product means overflow and must raise, not
+    * silently drop the pair.
+    */
+  private def cosineThresholdFilter(
+      lhs: Column, rhs: Column, opName: String): Column =
+    when(lhs.isNull || rhs.isNull,
+      raise_error(lit(s"$opName: fixed-point overflow — a document's " +
+        "weight mass exceeds the exact-compare domain " +
+        "(Σ(tf·idf_fx)² ≲ 1e19); chunk or cap documents first"))
+        .cast("boolean"))
+      .otherwise(lhs >= rhs)
+
+  /** Long output cast that cannot silently null on overflow: under
+    * ANSI the cast itself throws; with ANSI off a non-null decimal
+    * casting to null long means overflow and raises.
+    */
+  private def cosineLongExact(c: Column, what: String, opName: String): Column =
+    when(c.isNotNull && c.cast("long").isNull,
+      raise_error(lit(s"$opName: $what exceeds Long range — the " +
+        "exact-compare domain was exceeded; chunk or cap documents first"))
+        .cast("long"))
+      .otherwise(c.cast("long"))
+
   def lexicalCosinePairs(
       df: DataFrame,
       idCol: String,
@@ -467,12 +514,13 @@ object TextAnalysis {
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    // pinned like the minhash signature frames: repeated structurally
+    // identical calls share one entry; loop callers release between
+    // epochs via their cache-clear cadence (the CorpusIngest rule)
     val w = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
       tf.join(dfreq, Seq("term"))
         .crossJoin(broadcast(nDocs))
-        .withColumn("w", col("tf") *
-          floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))
-            * lit(1000.0) + lit(0.5)).cast("long"))
+        .withColumn("w", col("tf") * cosineIdfFx(col("df"), col("n_docs")))
         .filter(col("w") > 0)
         .select("doc_id", "term", "w"),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -489,17 +537,11 @@ object TextAnalysis {
     num
       .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("norm_a")), "id_a")
       .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("norm_b")), "id_b")
-      .filter(
-        when(lhs.isNull || rhs.isNull,
-          raise_error(lit("lexicalCosinePairs: fixed-point overflow — a " +
-            "document's weight mass exceeds the exact-compare domain " +
-            "(Σ(tf·idf_fx)² ≲ 1e19); chunk or cap documents first"))
-            .cast("boolean"))
-          .otherwise(lhs >= rhs))
+      .filter(cosineThresholdFilter(lhs, rhs, "lexicalCosinePairs"))
       .select(col("id_a"), col("id_b"),
-        col("num").cast("long").as("num_fx"),
-        col("norm_a").cast("long").as("norm_a"),
-        col("norm_b").cast("long").as("norm_b"))
+        cosineLongExact(col("num"), "num", "lexicalCosinePairs").as("num_fx"),
+        cosineLongExact(col("norm_a"), "norm_a", "lexicalCosinePairs").as("norm_a"),
+        cosineLongExact(col("norm_b"), "norm_b", "lexicalCosinePairs").as("norm_b"))
   }
 
   /** [[lexicalCosinePairs]]'s INCREMENTAL form — a new batch scored
@@ -519,11 +561,15 @@ object TextAnalysis {
     * EXCLUDED, so a replayed batch that already appended its own rows
     * re-scores without self-colliding at cos = 1.
     *
-    * Scale shape: one pass over the postings builds df/weights/norms
-    * (norms are df-dependent and must be CURRENT — they cannot be
-    * materialized at build time because every append moves df; the one
-    * pass amortizes across the whole batch), the numerator join
-    * touches only the batch's terms, and the batch side is O(batch).
+    * Scale shape: the postings feed three aggregates (df, history
+    * norms, the numerator) — DELIBERATELY uncached: the index mutates
+    * between ingest epochs and a pinned snapshot would serve stale df
+    * after an append; a caller working a read-only index can pin the
+    * table externally and every pass rides the one cache. Norms are
+    * df-dependent and cannot be materialized at build time (every
+    * append moves df); recomputing them per batch call amortizes
+    * across the whole batch. The numerator join touches only the
+    * batch's terms; the batch side is O(batch).
     */
   def lexicalCosineAgainstIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -537,34 +583,26 @@ object TextAnalysis {
     require(minCosDen > 0 && minCosNum >= 0 && minCosNum <= minCosDen,
       "threshold must be a rational in [0, 1]")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    def idfFx(dfCol: Column, nCol: Column): Column =
-      floor(log((nCol + 1).cast("double") / (dfCol + 1).cast("double"))
-        * lit(1000.0) + lit(0.5)).cast("long")
-    val postings = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      bm25LivePostings(spark, tableName).select("doc_id", "term", "tf"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = bm25LivePostings(spark, tableName)
+      .select("doc_id", "term", "tf")
     val nDocs = bm25CurrentStats(spark, tableName).select(col("n_docs"))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val wHist = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      postings.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
-        .withColumn("w", col("tf") * idfFx(col("df"), col("n_docs")))
-        .filter(col("w") > 0)
-        .select("doc_id", "term", "w"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wHist = postings.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") * cosineIdfFx(col("df"), col("n_docs")))
+      .filter(col("w") > 0)
+      .select("doc_id", "term", "w")
     val histNorms = wHist.groupBy("doc_id")
       .agg(sum(col("w").cast(dec) * col("w")).as("norm_h"))
     val bTf = batch
       .select(col(idCol).as("batch_id"), explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("batch_id", "term").agg(count(lit(1)).as("tf"))
-    val wBatch = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      bTf.join(dfreq, Seq("term"), "left")
-        .crossJoin(broadcast(nDocs))
-        .withColumn("w",
-          col("tf") * idfFx(coalesce(col("df"), lit(0L)), col("n_docs")))
-        .filter(col("w") > 0)
-        .select("batch_id", "term", "w"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wBatch = bTf.join(dfreq, Seq("term"), "left")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), col("n_docs")))
+      .filter(col("w") > 0)
+      .select("batch_id", "term", "w")
     val batchNorms = wBatch.groupBy("batch_id")
       .agg(sum(col("w").cast(dec) * col("w")).as("norm_b"))
     val num = wBatch.select(col("batch_id"), col("term"), col("w").as("w_b"))
@@ -576,17 +614,11 @@ object TextAnalysis {
     val rhs = col("norm_b").cast(dec) * col("norm_h") * lit(minCosNum.toLong * minCosNum)
     num.join(batchNorms, "batch_id")
       .join(histNorms, "doc_id")
-      .filter(
-        when(lhs.isNull || rhs.isNull,
-          raise_error(lit("lexicalCosineAgainstIndex: fixed-point overflow — " +
-            "a document's weight mass exceeds the exact-compare domain " +
-            "(Σ(tf·idf_fx)² ≲ 1e19); chunk or cap documents first"))
-            .cast("boolean"))
-          .otherwise(lhs >= rhs))
+      .filter(cosineThresholdFilter(lhs, rhs, "lexicalCosineAgainstIndex"))
       .select(col("batch_id"), col("doc_id"),
-        col("num").cast("long").as("num_fx"),
-        col("norm_b").cast("long").as("norm_b"),
-        col("norm_h").cast("long").as("norm_h"))
+        cosineLongExact(col("num"), "num", "lexicalCosineAgainstIndex").as("num_fx"),
+        cosineLongExact(col("norm_b"), "norm_b", "lexicalCosineAgainstIndex").as("norm_b"),
+        cosineLongExact(col("norm_h"), "norm_h", "lexicalCosineAgainstIndex").as("norm_h"))
   }
 
   /** Exact per-group heavy hitters: the k most frequent whitespace

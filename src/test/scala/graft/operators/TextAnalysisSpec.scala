@@ -691,6 +691,11 @@ class TextAnalysisSpec extends SparkSpec {
     // cannot vote against detection as if it were content
     assert(retok("東京　大阪") === "東京 京大 大阪")
     assert(free("東京　大阪　　　　"))
+    // on the PASS-THROUGH branch U+3000 normalizes to ASCII space —
+    // a Latin-majority doc quoting a CJK phrase must not keep it glued
+    // as one token for the ASCII-whitespace tokenizers downstream
+    assert(retok("quick brown fox jumps over 東京　大阪 streets")
+      === "quick brown fox jumps over 東京 大阪 streets")
   }
 
   test("lexicalCosinePairs: identical docs score 1, rare-term overlap beats stopword overlap, thresholds nest") {
