@@ -1183,7 +1183,10 @@ object SparkEntry {
       if (!s.catalog.tableExists(idxTable))
         TextAnalysis.writeBm25Index(docs, "doc_id", "text", idxTable,
           buckets = 8)
-      val batch = docs.filter(col("doc_id") % 9 === 0)
+      // %45: the synthetic corpus has a 31-term vocabulary, so every
+      // term is near-ubiquitous and the term join approaches a dense
+      // cross product — the batch size alone governs the gate's cost
+      val batch = docs.filter(col("doc_id") % 45 === 0)
         .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
       TextAnalysis.lexicalCosineAgainstIndex(s, idxTable, batch,
         "doc_id", "text", minCosNum = 4, minCosDen = 5)
@@ -3698,7 +3701,7 @@ object SparkEntry {
       // vector space from documents: idf from history df/N; batch terms
       // unseen by history weight at ln((N+1)/1) into the batch norm
       ("WITH hist AS (SELECT doc_id, text FROM documents), " +
-        "batch AS (SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0), " +
+        "batch AS (SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 45 = 0), " +
         "htoks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM hist), " +
         "ht2 AS (SELECT doc_id, term FROM htoks WHERE length(term) > 0), " +
         "htf AS (SELECT doc_id, term, count(*) AS tf FROM ht2 GROUP BY 1, 2), " +
