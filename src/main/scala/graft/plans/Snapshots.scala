@@ -28,6 +28,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Each archived version carries a `_version_info` sidecar (tag + wall
   * clock) that readers ignore (`_`-prefix) and [[listVersions]] reads.
   *
+  * Scope: versioning covers parquet DATASET DIRECTORIES — the corpora
+  * that are systems of record. The index families' catalog tables
+  * ([[Compaction.stagedTableSwap]] rewrites) deliberately do NOT
+  * version: an index is a derived artifact with a rebuild verb, its
+  * history is the corpus's history, and retaining N full index copies
+  * would buy nothing a rebuild-at-version cannot — time travel the
+  * corpus, rebuild the index from the snapshot if an as-of index is
+  * ever needed.
+  *
   * Crash contract (extends the one in [[Compaction]]'s doc): with
   * versioning enabled, a death after install but before the archive
   * rename leaves `__<tag>_old` beside the live dataset — on a
