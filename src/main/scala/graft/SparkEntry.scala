@@ -89,14 +89,23 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_rt_${fmt}_" +
       java.lang.Integer.toHexString(dir.hashCode)
 
-  /** Drop a round-trip dataset's `__versions` sibling from a previous
-    * driver run, so a versioned gate's version numbering starts at v1
-    * every run (the gate re-copies the dataset itself via overwrite;
-    * the versions root lives beside it and would otherwise accumulate).
+  /** Drop a round-trip dataset's versioning siblings from a previous
+    * driver run — `__versions` AND any `__<tag>_old`/`__<tag>_tmp`
+    * crash residue — so a versioned gate's numbering starts at v1
+    * every run. Without the residue sweep, a crashed previous run's
+    * `__delete_old` would be ADOPTED as v1 by the versioned triage
+    * (correct production behavior, wrong gate fixture): the gate must
+    * start from a provably clean slate.
     */
   private def freshVersionsRoot(s: SparkSession, out: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(out + "__versions")
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val q = fs.makeQualified(p)
+    val prefix = q.getName + "__"
+    if (fs.exists(q.getParent))
+      fs.listStatus(q.getParent)
+        .filter(_.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** documents decorated with the round-trip hazards: suffix on text,
