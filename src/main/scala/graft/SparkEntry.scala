@@ -2327,6 +2327,31 @@ object SparkEntry {
       graft.plans.Snapshots.rollbackTo(s, out, 1L)
       s.read.parquet(out).orderBy("doc_id")
     }),
+    // Versioned takedown, closed end-to-end: routine maintenance
+    // deletes (%3, %5) retain pre-rewrite snapshots; the takedown (%7)
+    // deletes from LIVE (archiving the pre-takedown state — which
+    // still carries the purged ids!) and then purgeVersions sweeps
+    // every retained version. The audit reads live + ALL version
+    // surfaces: takedown ids must count 0 everywhere, survivors show
+    // each state's expected presence — proving the r14 loophole
+    // (readVersion serving purged rows) is closed
+    "q_verify_deletion_versioned" -> ((s, dir) => {
+      val out = roundTripDir("vdel", dir)
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source")
+      docs.write.mode("overwrite").parquet(out)
+      freshVersionsRoot(s, out)
+      graft.plans.Snapshots.enableVersioning(s, out)
+      graft.plans.Compaction.deleteWhere(s, out, col("doc_id") % 3 === 0)
+      graft.plans.Compaction.deleteWhere(s, out, col("doc_id") % 5 === 0)
+      graft.plans.Compaction.deleteWhere(s, out, col("doc_id") % 7 === 0)
+      graft.plans.Snapshots.purgeVersions(s, out, col("doc_id") % 7 === 0)
+      val probes = docs.filter(col("doc_id") < 60).select("doc_id")
+      graft.verify.Comparator.absenceAudit(probes, "doc_id",
+        Seq(("live", s.read.parquet(out), "doc_id")) ++
+          graft.plans.Snapshots.versionSurfaces(s, out, "doc_id"))
+        .orderBy("id")
+    }),
     // Gopher/C4-style repetition + heuristic quality filters (exact
     // arithmetic, engine-reproducible)
     "q_text_gopher" -> ((s, dir) => {
@@ -4399,8 +4424,9 @@ object SparkEntry {
         "g.dhash FROM d LEFT JOIN g ON d.doc_id = g.doc_id ORDER BY d.doc_id"),
     "q_mm_image_dedup" ->
       // full-pipeline replay: per-doc 64-bit vector (base gray ramp +
-      // the odd-doc corner bump, which only ever sits under bit 0's
-      // LEFT operand), 4×16-bit band values, banded self-join,
+      // the odd-doc corner bump at pixel (0,0), which only ever sits
+      // under bit 0's RIGHT operand of g(1,0) > g(0,0)), 4×16-bit
+      // band values, banded self-join,
       // Hamming <= 3 verify — identical shape to the Spark kernel
       (dhashPairCtes +
         "p2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
@@ -4867,6 +4893,23 @@ object SparkEntry {
     "q_corpus_rollback" ->
       // delete then rollback: the live dataset is the original again
       "SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id",
+    "q_verify_deletion_versioned" ->
+      // expected per-id counts per surface, recomputed from the raw
+      // corpus and the predicates alone: v1 = original, v2 = minus %3,
+      // v3 = minus %3 and %5 (the pre-takedown live), live = minus all
+      // three — and the %7 takedown ids must read 0 on EVERY surface
+      // after the version sweep
+      ("WITH d AS (SELECT doc_id, count(*) AS n FROM documents " +
+        "WHERE doc_id < 60 GROUP BY doc_id) " +
+        "SELECT CAST(doc_id AS BIGINT) AS id, " +
+        "CAST(CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 0 AND doc_id % 7 <> 0 " +
+        "THEN n ELSE 0 END AS BIGINT) AS live_rows, " +
+        "CAST(CASE WHEN doc_id % 7 <> 0 THEN n ELSE 0 END AS BIGINT) AS v1_rows, " +
+        "CAST(CASE WHEN doc_id % 3 <> 0 AND doc_id % 7 <> 0 " +
+        "THEN n ELSE 0 END AS BIGINT) AS v2_rows, " +
+        "CAST(CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 0 AND doc_id % 7 <> 0 " +
+        "THEN n ELSE 0 END AS BIGINT) AS v3_rows " +
+        "FROM d ORDER BY id"),
     "q_corpus_version_diff" ->
       // v1 → live: %3 rows deleted, surviving %5 rows revised, %50
       // rows inserted under shifted ids

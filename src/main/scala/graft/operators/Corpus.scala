@@ -1003,7 +1003,7 @@ object Corpus {
       spark: org.apache.spark.sql.SparkSession,
       tableName: String): (Int, Int, Int) = {
     val r = spark.table(tableName + "_stats").collect()
-    require(r.length == 1, s"$tableName+_stats must hold exactly one row")
+    require(r.length == 1, s"${tableName}_stats must hold exactly one row")
     (r.head.getInt(2), r.head.getInt(0), r.head.getInt(1)) // (n, mBits, k)
   }
 
@@ -1058,8 +1058,9 @@ object Corpus {
       .select(
         lit(mBits).as("m_bits"), lit(k).as("k_hashes"), lit(n).as("shingle_n"),
         col("set_bits"),
-        (col("set_bits") * lit(1000000L) / lit(mBits.toLong))
-          .cast("long").as("fill_ppm"),
+        // `div` is Spark's integral division — long*long/long via `/`
+        // would round-trip through DOUBLE and could be off by one ppm.
+        expr(s"(set_bits * 1000000L) div ${mBits.toLong}L").as("fill_ppm"),
         round(pow(col("set_bits").cast("double") / lit(mBits.toDouble), k) * 1e6)
           .cast("long").as("est_fp_ppm"))
   }

@@ -37,6 +37,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * corpus, rebuild the index from the snapshot if an as-of index is
   * ever needed.
   *
+  * TAKEDOWN CONTRACT — versioning retains FULL COPIES, including rows
+  * later deleted: [[Compaction.deleteWhere]] on a versioned dataset
+  * archives the pre-delete copy as a version, so the deleted rows stay
+  * readable through [[readVersion]] (and restorable through
+  * [[rollbackTo]]) until explicitly swept. A compliance takedown on a
+  * versioned dataset is therefore complete ONLY after
+  * [[purgeVersions]] with the same predicate (or [[vacuumVersions]]
+  * past every version that predates the delete) — and the audit that
+  * proves it must include the retained versions as surfaces, which
+  * [[versionSurfaces]] feeds straight into
+  * [[graft.verify.Comparator.absenceAudit]].
+  *
   * Crash contract (extends the one in [[Compaction]]'s doc): with
   * versioning enabled, a death after install but before the archive
   * rename leaves `__<tag>_old` beside the live dataset — on a
@@ -67,13 +79,17 @@ object Snapshots {
       root: org.apache.hadoop.fs.Path, n: Long): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(root, s"v=$n")
 
-  /** Existing version numbers, ascending (empty when none). */
+  /** Existing version numbers, ascending (empty when none). The match
+    * is exact (`v=<digits>`) so a [[purgeVersions]] crash leftover
+    * (`v=3__vpurge_old` / `__vpurge_tmp`) never parses as a version —
+    * the triage inside the purge sweep owns those names.
+    */
   private def versionNumbers(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[Long] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
       .map(_.getPath.getName.drop(2).toLong)
       .sorted
 
@@ -121,9 +137,12 @@ object Snapshots {
   }
 
   /** The retained versions of `dir`, one row each:
-    * (version, tag, archived_at_ms), ascending. Versions archived
-    * before a crash cleaned their sidecar still list (tag/time null) —
-    * the data directory is the truth, the sidecar is annotation.
+    * (version, tag, archived_at_ms, data_bytes, data_files), ascending.
+    * Versions archived before a crash cleaned their sidecar still list
+    * (tag/time null) — the data directory is the truth, the sidecar is
+    * annotation. Bytes/files come from one recursive listing per
+    * version (data files only, `_`-prefixed bookkeeping excluded) —
+    * the numbers a [[vacuumVersions]] retention decision needs.
     */
   def listVersions(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -132,14 +151,60 @@ object Snapshots {
     val root = versionsRoot(qualified)
     val nums = versionNumbers(fs, root)
     val infos = nums.map { n =>
-      val info = new org.apache.hadoop.fs.Path(versionDir(root, n), "_version_info")
+      val vd = versionDir(root, n)
+      val info = new org.apache.hadoop.fs.Path(vd, "_version_info")
+      val (files, bytes) = listData(fs, vd)
       if (fs.exists(info)) {
         val r = spark.read.parquet(info.toString).collect().head
-        (n, Option(r.getString(1)), Option(r.getLong(2)))
-      } else (n, None: Option[String], None: Option[Long])
+        (n, Option(r.getString(1)), Option(r.getLong(2)), bytes, files)
+      } else (n, None: Option[String], None: Option[Long], bytes, files)
     }
-    infos.toDF("version", "tag", "archived_at_ms")
+    infos.toDF("version", "tag", "archived_at_ms", "data_bytes", "data_files")
       .orderBy(col("version"))
+  }
+
+  /** One recursive sweep of a version directory: (data files, data
+    * bytes), `_`-prefixed bookkeeping (the `_version_info` sidecar,
+    * `_SUCCESS`) excluded — [[Compaction]]'s listData, local so the
+    * version listing stays self-contained.
+    */
+  private def listData(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): (Long, Long) = {
+    val it = fs.listFiles(path, true)
+    var files = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.toString.contains("/_version_info/")) {
+        files += 1; bytes += f.getLen
+      }
+    }
+    (files, bytes)
+  }
+
+  /** Retention staleness for the version family — the
+    * `isStaleBm25Index`-shaped signal: true when the retained-version
+    * count exceeds `maxVersions` or their total data bytes exceed
+    * `maxBytes`. Remediation is [[vacuumVersions]]; the thresholds are
+    * the caller's storage budget, not a quality property, so there are
+    * no defaults to get silently wrong.
+    */
+  def isStaleVersions(
+      spark: SparkSession,
+      dir: String,
+      maxVersions: Int = Int.MaxValue,
+      maxBytes: Long = Long.MaxValue): Boolean = {
+    val (fs, qualified) = hadoop(spark, dir)
+    val root = versionsRoot(qualified)
+    val nums = versionNumbers(fs, root)
+    if (nums.size > maxVersions) true
+    else {
+      var bytes = 0L
+      nums.foreach { n => bytes += listData(fs, versionDir(root, n))._2 }
+      bytes > maxBytes
+    }
   }
 
   /** Read the dataset as of retained version `n` (fails loudly on an
@@ -214,6 +279,115 @@ object Snapshots {
         when(col("diff_status") === "missing_in_dest", lit("deleted"))
           .when(col("diff_status") === "missing_in_src", lit("inserted"))
           .otherwise(lit("updated")))
+  }
+
+  /** Redaction sweep over the RETAINED VERSIONS — the verb that makes
+    * a takedown reach history (see the TAKEDOWN CONTRACT in the object
+    * doc). Each retained `v=<n>` containing rows matching `condition`
+    * is rewritten WITHOUT them, staged per version through
+    * [[Compaction.stagedParquetSwap]] (tag `vpurge`) so a reader never
+    * observes a half-purged version and a death mid-rewrite triages
+    * exactly like compaction's (leftover `v=<n>__vpurge_old` with the
+    * version missing recovers on rerun; both present refuses). The
+    * `_version_info` sidecar is carried through the rewrite, so the
+    * purged version keeps its tag and timestamp. Versions with no
+    * matching rows are left byte-identical (one pushdown-pruned probe
+    * scan decides — a takedown predicate is id-keyed, so min/max
+    * pruning makes the probe cheap).
+    *
+    * SQL DELETE semantics, matching [[Compaction.deleteWhere]]: a row
+    * is purged only when the predicate is TRUE; NULL survives.
+    *
+    * O(matching versions' bytes) per call — batch takedown requests
+    * and run one sweep, the [[Compaction.deleteWhere]] advice. This
+    * purges HISTORY only; delete from the live dataset first
+    * (`deleteWhere`), then sweep — the sweep also covers the version
+    * that delete itself archived.
+    *
+    * @return one (version, rowsBefore, rowsAfter) per retained
+    *         version, ascending; untouched versions report
+    *         rowsBefore == rowsAfter == -1 (not scanned — the probe
+    *         proves zero matches, a full count would be a wasted pass)
+    */
+  def purgeVersions(
+      spark: SparkSession,
+      dir: String,
+      condition: org.apache.spark.sql.Column,
+      targetFileBytes: Long = 128L << 20): Seq[(Long, Long, Long)] = {
+    require(targetFileBytes > 0)
+    import org.apache.spark.sql.functions.{coalesce, count, lit}
+    val (fs, qualified) = hadoop(spark, dir)
+    val root = versionsRoot(qualified)
+    require(fs.exists(root), s"$dir is not versioned — nothing to purge")
+    // Crash-residue triage BEFORE listing: a previous sweep's death
+    // between the install renames leaves v=<n>__vpurge_old holding the
+    // ONLY copy and v=<n> missing — versionNumbers skips the residue
+    // name, so recover it here (rename back; the rerun then re-purges
+    // it). Residue BESIDE a live v=<n> is ambiguous, same refusal as
+    // every staged rewrite.
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val m = "v=(\\d+)__vpurge_old".r
+      st.getPath.getName match {
+        case m(n) =>
+          val vd = versionDir(root, n.toLong)
+          if (!fs.exists(vd)) {
+            if (!fs.rename(st.getPath, vd))
+              throw new java.io.IOException(
+                s"vpurge recovery failed renaming ${st.getPath} back to $vd")
+          } else throw new java.io.IOException(
+            s"refusing to purge versions of $dir: leftover ${st.getPath} " +
+              s"exists alongside $vd — inspect and remove one copy first")
+        case _ => ()
+      }
+    }
+    versionNumbers(fs, root).map { n =>
+      val vd = versionDir(root, n)
+      val pred = coalesce(condition, lit(false))
+      val hasMatch = spark.read.parquet(vd.toString)
+        .filter(pred).limit(1).count() > 0
+      if (!hasMatch) (n, -1L, -1L)
+      else {
+        val obsIn = org.apache.spark.sql.Observation(
+          s"graft-vpurge-in-$n-${java.util.UUID.randomUUID()}")
+        val obsOut = org.apache.spark.sql.Observation(
+          s"graft-vpurge-out-$n-${java.util.UUID.randomUUID()}")
+        val cnt = count(lit(1)).as("n")
+        Compaction.stagedParquetSwap(spark, vd.toString, "vpurge") { tmp =>
+          val (_, bytes) = listData(fs, vd)
+          val parts = math.max(1L,
+            (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+          spark.read.parquet(vd.toString).observe(obsIn, cnt)
+            .filter(!pred).observe(obsOut, cnt)
+            .repartition(parts)
+            .write.mode("overwrite").parquet(tmp)
+          // carry the annotation sidecar: the purged version keeps its
+          // tag/timestamp identity
+          val info = new org.apache.hadoop.fs.Path(vd, "_version_info")
+          if (fs.exists(info))
+            spark.read.parquet(info.toString).coalesce(1)
+              .write.mode("overwrite")
+              .parquet(new org.apache.hadoop.fs.Path(tmp, "_version_info").toString)
+        }
+        (n, obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
+      }
+    }
+  }
+
+  /** The retained versions as audit surfaces — one
+    * (`v<n>`, readVersion frame, idCol) triple per version, ascending,
+    * shaped for [[graft.verify.Comparator.absenceAudit]]'s surface
+    * list: append these to the live + index surfaces and a takedown
+    * audit covers history too (the TAKEDOWN CONTRACT's closing step).
+    * Empty when the dataset is unversioned or retains nothing.
+    */
+  def versionSurfaces(
+      spark: SparkSession,
+      dir: String,
+      idCol: String): Seq[(String, DataFrame, String)] = {
+    val (fs, qualified) = hadoop(spark, dir)
+    versionNumbers(fs, versionsRoot(qualified)).map { n =>
+      (s"v$n", readVersion(spark, dir, n), idCol)
+    }
   }
 
   /** Drop the oldest retained versions beyond `keepLast`. Returns the

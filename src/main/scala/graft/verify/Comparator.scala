@@ -411,6 +411,13 @@ object Comparator {
     * id), left-joined back to the probe frame so absent ids read 0 —
     * never a collect of surface rows.
     *
+    * VERSIONED datasets: retained versions are surfaces too — a
+    * takedown that skips them audits clean while
+    * [[graft.plans.Snapshots.readVersion]] still serves the purged
+    * rows. Append [[graft.plans.Snapshots.versionSurfaces]] to the
+    * surface list (after [[graft.plans.Snapshots.purgeVersions]]) so
+    * the audit covers history.
+    *
     * Output: (id, <surface>_rows …) — one BIGINT column per surface,
     * in the given order, one row per distinct probe id.
     */

@@ -169,6 +169,146 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("purgeVersions: a takedown reaches history — matching rows leave every retained version, sidecars and clean versions survive") {
+    import spark.implicits._
+    val dir = freshCorpus("graft_vpurge")
+    Snapshots.enableVersioning(spark, dir)
+    Compaction.deleteWhere(spark, dir, col("id") % 3 === 0) // v1 = original
+    Compaction.deleteWhere(spark, dir, col("id") % 5 === 0) // v2 = minus %3
+    // takedown: id 7 — in live, v1 AND v2
+    Compaction.deleteWhere(spark, dir, col("id") === 7L)    // v3 = pre-takedown
+    // pre-purge: the r14 loophole — readVersion serves the deleted row
+    assert(Snapshots.readVersion(spark, dir, 1L).filter(col("id") === 7L).count() === 1L)
+    val results = Snapshots.purgeVersions(spark, dir, col("id") === 7L)
+    assert(results.map(_._1) === Seq(1L, 2L, 3L))
+    // each version had exactly one id=7 row; before − after == 1
+    results.foreach { case (_, before, after) => assert(before - after === 1L) }
+    // post-purge: no surface serves it — including every version
+    (1L to 3L).foreach { v =>
+      assert(Snapshots.readVersion(spark, dir, v).filter(col("id") === 7L).count() === 0L)
+    }
+    assert(spark.read.parquet(dir).filter(col("id") === 7L).count() === 0L)
+    // everything else in each version is untouched
+    assert(Snapshots.readVersion(spark, dir, 1L).count() === 89L)
+    assert(Snapshots.readVersion(spark, dir, 2L).count() === 59L)
+    // sidecars carried through the rewrite: tags/timestamps intact
+    val versions = Snapshots.listVersions(spark, dir).collect()
+    assert(versions.map(_.getString(1)).toSeq === Seq("delete", "delete", "delete"))
+    assert(versions.forall(!_.isNullAt(2)))
+    // a second sweep with no matches rewrites nothing: (-1, -1) markers
+    // and byte-identical version directories
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = Snapshots.versionsRoot(fs.makeQualified(fsPath))
+    def snapshotListing(): Seq[(String, Long)] = {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next(); b += ((f.getPath.toString, f.getModificationTime))
+      }
+      b.sortBy(_._1).toSeq
+    }
+    val filesBefore = snapshotListing()
+    val noop = Snapshots.purgeVersions(spark, dir, col("id") === 7L)
+    assert(noop === Seq((1L, -1L, -1L), (2L, -1L, -1L), (3L, -1L, -1L)))
+    assert(snapshotListing() === filesBefore)
+    // SQL DELETE semantics: NULL-evaluating rows survive the purge
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_vpnull").toString + "/c"
+    Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"))
+      .toDF("id", "v").write.parquet(dir2)
+    Snapshots.enableVersioning(spark, dir2)
+    Compaction.deleteWhere(spark, dir2, col("id") === 2L) // v1 = all three
+    Snapshots.purgeVersions(spark, dir2, col("id") === 2L)
+    val v1 = Snapshots.readVersion(spark, dir2, 1L).collect()
+    assert(v1.length === 2) // null-id row SURVIVED, id=2 purged
+    assert(v1.count(_.isNullAt(0)) === 1)
+    // unversioned dataset: loud refusal, not a silent no-op
+    val dir3 = freshCorpus("graft_vpunv")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.purgeVersions(spark, dir3, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("not versioned"), e.getMessage)
+  }
+
+  test("purgeVersions crash states: mid-rewrite death recovers on rerun; residue beside a live version refuses; listVersions ignores residue names") {
+    import spark.implicits._
+    val dir = freshCorpus("graft_vpcrash")
+    Snapshots.enableVersioning(spark, dir)
+    Compaction.deleteWhere(spark, dir, col("id") % 2 === 0) // v1 = original (90 rows)
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = Snapshots.versionsRoot(fs.makeQualified(fsPath))
+    val v1 = new org.apache.hadoop.fs.Path(root, "v=1")
+    val residue = new org.apache.hadoop.fs.Path(root, "v=1__vpurge_old")
+    // death between the install renames: v=1 missing, the only copy at
+    // the __vpurge_old name
+    assert(fs.rename(v1, residue))
+    // the residue name never parses as a version
+    assert(Snapshots.listVersions(spark, dir).count() === 0L)
+    // rerun recovers the copy, then purges it
+    val res = Snapshots.purgeVersions(spark, dir, col("id") === 4L)
+    assert(res === Seq((1L, 90L, 89L)))
+    assert(Snapshots.readVersion(spark, dir, 1L).count() === 89L)
+    // residue BESIDE a live version is ambiguous: refuse
+    spark.read.parquet(new org.apache.hadoop.fs.Path(root, "v=1").toString)
+      .limit(5).write.parquet(residue.toString)
+    val e = intercept[java.io.IOException] {
+      Snapshots.purgeVersions(spark, dir, col("id") === 5L)
+    }
+    assert(e.getMessage.contains("refusing"), e.getMessage)
+  }
+
+  test("listVersions sizes + isStaleVersions: bytes/files per version feed the retention decision") {
+    import spark.implicits._
+    val dir = freshCorpus("graft_vsz")
+    Snapshots.enableVersioning(spark, dir)
+    Compaction.deleteWhere(spark, dir, col("id") < 30) // v1 = 90 rows
+    Compaction.deleteWhere(spark, dir, col("id") < 60) // v2 = 60 rows
+    val rows = Snapshots.listVersions(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val bytes = rows.map(r => r.getLong(r.fieldIndex("data_bytes")))
+    val files = rows.map(r => r.getLong(r.fieldIndex("data_files")))
+    assert(bytes.forall(_ > 0L) && files.forall(_ > 0L))
+    // v1 holds more rows than v2 — more data bytes
+    assert(bytes(0) > bytes(1))
+    // retention signals: count threshold and byte threshold
+    assert(Snapshots.isStaleVersions(spark, dir, maxVersions = 1))
+    assert(!Snapshots.isStaleVersions(spark, dir, maxVersions = 2))
+    assert(Snapshots.isStaleVersions(spark, dir, maxBytes = bytes.sum - 1))
+    assert(!Snapshots.isStaleVersions(spark, dir, maxBytes = bytes.sum))
+    // vacuum reclaims; the listing reflects it
+    Snapshots.vacuumVersions(spark, dir, keepLast = 1)
+    assert(!Snapshots.isStaleVersions(spark, dir, maxVersions = 1))
+  }
+
+  test("versionSurfaces: retained versions plug into absenceAudit as first-class surfaces") {
+    import spark.implicits._
+    val dir = freshCorpus("graft_vsurf")
+    Snapshots.enableVersioning(spark, dir)
+    Compaction.deleteWhere(spark, dir, col("id") === 7L) // v1 = original
+    val probes = Seq(7L, 8L).toDF("id")
+    // BEFORE the version purge: the audit over version surfaces
+    // exposes the loophole — id 7 gone from live, still in v1
+    val surfaces = Seq(("live", spark.read.parquet(dir), "id")) ++
+      Snapshots.versionSurfaces(spark, dir, "id")
+    assert(surfaces.map(_._1) === Seq("live", "v1"))
+    val audit = graft.verify.Comparator.absenceAudit(probes, "id", surfaces)
+      .orderBy("id").collect()
+    assert(audit.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((7L, 0L, 1L), (8L, 1L, 1L)))
+    // after the sweep the same audit reads zero residue
+    Snapshots.purgeVersions(spark, dir, col("id") === 7L)
+    val surfaces2 = Seq(("live", spark.read.parquet(dir), "id")) ++
+      Snapshots.versionSurfaces(spark, dir, "id")
+    val audit2 = graft.verify.Comparator.absenceAudit(probes, "id", surfaces2)
+      .orderBy("id").collect()
+    assert(audit2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((7L, 0L, 0L), (8L, 1L, 1L)))
+    // unversioned dataset: no surfaces, not an error
+    val dir2 = freshCorpus("graft_vsurf2")
+    assert(Snapshots.versionSurfaces(spark, dir2, "id").isEmpty)
+  }
+
   test("zorder recluster rides the same contract: a versioned clustered dataset archives pre-recluster state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_snapz").toString + "/z"
