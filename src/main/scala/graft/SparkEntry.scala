@@ -1182,21 +1182,32 @@ object SparkEntry {
         "doc_id", "text", minCosNum = 4, minCosDen = 5)
         .orderBy("id_a", "id_b")
     }),
-    // Incremental lexical cosine: a shifted-id copy batch scored
-    // against ALL history THROUGH the materialized postings index —
-    // restrict-then-measure realized; every planted copy recovers its
-    // original at cos = 1, the twin replays the index as the corpus
+    // Incremental lexical cosine, O(batch) per epoch: a shifted-id
+    // copy batch scored against ALL history (the build corpus PLUS an
+    // appended slab) through the stored df snapshot + persisted norms
+    // sidecar — idf and history norms are SERVED, never re-aggregated
+    // from the postings. The appended slab proves the frozen-snapshot
+    // contract: live df moved, the stored vector space did not, and
+    // appended docs are scorable history immediately. Own index table
+    // (not the shared bm25_gate): the append would move the live df
+    // the tfidf gate's twin replays
     "q_text_cosine_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val idxTable = s"bm25_gate_${fixtureKey(dir, docs)}"
-      if (!s.catalog.tableExists(idxTable))
+      val idxTable = s"bm25cos_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(idxTable)) {
         TextAnalysis.writeBm25Index(docs, "doc_id", "text", idxTable,
           buckets = 8)
+        TextAnalysis.refreshCosineNorms(s, idxTable)
+        TextAnalysis.appendToBm25Index(s, idxTable,
+          docs.filter(col("doc_id") % 45 === 0)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("text")),
+          "doc_id", "text")
+      }
       // %45: the synthetic corpus has a 31-term vocabulary, so every
       // term is near-ubiquitous and the term join approaches a dense
       // cross product — the batch size alone governs the gate's cost
       val batch = docs.filter(col("doc_id") % 45 === 0)
-        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
       TextAnalysis.lexicalCosineAgainstIndex(s, idxTable, batch,
         "doc_id", "text", minCosNum = 4, minCosDen = 5)
         .orderBy("batch_id", "doc_id")
@@ -3731,20 +3742,28 @@ object SparkEntry {
         "WHERE num.num * num.num * 25 >= 16 * na.nrm * nb.nrm " +
         "ORDER BY id_a, id_b"),
     "q_text_cosine_incremental" ->
-      // the index IS the corpus, so the twin recomputes the index-side
-      // vector space from documents: idf from history df/N; batch terms
-      // unseen by history weight at ln((N+1)/1) into the batch norm
-      ("WITH hist AS (SELECT doc_id, text FROM documents), " +
-        "batch AS (SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 45 = 0), " +
+      // the STORED SNAPSHOT defines the vector space: idf/N from the
+      // BUILD corpus (documents) only — the appended slab is history
+      // (it scores as candidates) but never moves df or N until a
+      // restamp; batch terms unseen by the snapshot weight at
+      // ln((N+1)/1) into the batch norm
+      ("WITH hist AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 500000, text FROM documents WHERE doc_id % 45 = 0), " +
+        "batch AS (SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id % 45 = 0), " +
         "htoks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM hist), " +
         "ht2 AS (SELECT doc_id, term FROM htoks WHERE length(term) > 0), " +
         "htf AS (SELECT doc_id, term, count(*) AS tf FROM ht2 GROUP BY 1, 2), " +
-        "n AS (SELECT count(DISTINCT doc_id) AS n FROM hist), " +
+        "snap AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents), " +
+        "stf AS (SELECT doc_id, term FROM snap WHERE length(term) > 0 GROUP BY doc_id, term), " +
+        "n AS (SELECT count(DISTINCT doc_id) AS n FROM documents), " +
         "idf AS (SELECT term, df, CAST(floor(ln(CAST((SELECT n FROM n) + 1 AS DOUBLE) / " +
         "CAST(df + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS idf " +
-        "FROM (SELECT term, count(*) AS df FROM htf GROUP BY term)), " +
-        "wh AS (SELECT h.doc_id, h.term, h.tf * i.idf AS w FROM htf h JOIN idf i USING (term) " +
-        "WHERE h.tf * i.idf > 0), " +
+        "FROM (SELECT term, count(*) AS df FROM stf GROUP BY term)), " +
+        "wh AS (SELECT h.doc_id, h.term, h.tf * COALESCE(i.idf, " +
+        "CAST(floor(ln(CAST((SELECT n FROM n) + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT)) AS w " +
+        "FROM htf h LEFT JOIN idf i USING (term) " +
+        "WHERE h.tf * COALESCE(i.idf, " +
+        "CAST(floor(ln(CAST((SELECT n FROM n) + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT)) > 0), " +
         "hnorm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nrm FROM wh GROUP BY doc_id), " +
         "btoks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM batch), " +
         "bt2 AS (SELECT doc_id, term FROM btoks WHERE length(term) > 0), " +

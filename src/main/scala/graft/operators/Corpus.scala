@@ -1075,7 +1075,7 @@ object Corpus {
       tableName: String,
       maxFillPpm: Long = 250000L): Boolean =
     bloomIndexStats(spark, tableName)
-      .select(col("fill_ppm")).head.getLong(0) > maxFillPpm
+      .select(col("fill_ppm")).head().getLong(0) > maxFillPpm
 
   /** Top-`k` vocabulary with cumulative corpus coverage — the
     * tokenizer-training precursor: which tokens, ranked by frequency,

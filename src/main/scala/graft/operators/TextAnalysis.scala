@@ -547,29 +547,38 @@ object TextAnalysis {
   /** [[lexicalCosinePairs]]'s INCREMENTAL form — a new batch scored
     * against ALL history through the materialized BM25 postings index
     * ([[writeBm25Index]]): the restrict-then-measure path the all-pairs
-    * scaladoc prescribes, realized. The index DEFINES the vector
-    * space — idf comes from the live postings' df and the stats N, so
-    * batch terms the history has never seen weight at
-    * `ln((N+1)/1)` and count toward the batch norm (they can't match
-    * history, and ignoring them would inflate every cosine). History
-    * is never re-tokenized: weights and norms aggregate from the
-    * stored (doc_id, term, tf) rows, tombstone-filtered like every
-    * index read. Same exact-rational threshold, same DECIMAL compare,
-    * same loud-overflow contract as the all-pairs form.
+    * scaladoc prescribes, realized. The index's STORED df snapshot
+    * (`<table>_terms` + the `_stats` build stamp N) DEFINES the vector
+    * space: idf is served from the snapshot, and per-history-doc norms
+    * are served from the `<table>_norms` sidecar
+    * ([[refreshCosineNorms]]) — so a per-batch call aggregates NOTHING
+    * over the full postings. Scores are therefore deterministic
+    * BETWEEN SNAPSHOT REFRESHES: appends move the live df but not the
+    * stored snapshot; when [[isStaleBm25Index]] flips on df drift, one
+    * [[restampBm25Index]] re-derives snapshot and norms together and
+    * scores move then — exactly then, never silently per batch. Batch
+    * terms the snapshot has never seen weight at `ln((N+1)/1)` and
+    * count toward the batch norm (they can't match history, and
+    * ignoring them would inflate every cosine). Same exact-rational
+    * threshold, same DECIMAL compare, same loud-overflow contract as
+    * the all-pairs form.
     *
     * Replay contract (the incremental-MinHash rule): same-id pairs are
     * EXCLUDED, so a replayed batch that already appended its own rows
-    * re-scores without self-colliding at cos = 1.
+    * re-scores without self-colliding at cos = 1. Replay-residue
+    * posting rows (a crash-replayed append's byte-identical
+    * duplicates) are dropped before the numerator sums — scores do NOT
+    * assume a compacted index.
     *
-    * Scale shape: the postings feed three aggregates (df, history
-    * norms, the numerator) — DELIBERATELY uncached: the index mutates
-    * between ingest epochs and a pinned snapshot would serve stale df
-    * after an append; a caller working a read-only index can pin the
-    * table externally and every pass rides the one cache. Norms are
-    * df-dependent and cannot be materialized at build time (every
-    * append moves df); recomputing them per batch call amortizes
-    * across the whole batch. The numerator join touches only the
-    * batch's terms; the batch side is O(batch).
+    * Scale shape — O(batch) per epoch: idf is an O(|vocabulary|) read
+    * of `_terms`, history norms an O(n_docs) read of `_norms`, and the
+    * ONE postings pass is the numerator join, semi-restricted to the
+    * batch's terms before the dedup and the sum. Validity is checked
+    * loudly per call with three bounded aggregates: the `_terms`
+    * fingerprint must match the one the norms were stamped with
+    * (else the snapshot moved — [[refreshCosineNorms]]), and the live
+    * roster and live norms must cover the same documents (else an
+    * append died mid-protocol — [[repairCosineNorms]]).
     */
   def lexicalCosineAgainstIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -583,33 +592,50 @@ object TextAnalysis {
     require(minCosDen > 0 && minCosNum >= 0 && minCosNum <= minCosDen,
       "threshold must be a rational in [0, 1]")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val postings = bm25LivePostings(spark, tableName)
-      .select("doc_id", "term", "tf")
-    val nDocs = bm25CurrentStats(spark, tableName).select(col("n_docs"))
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
-    val wHist = postings.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
-      .withColumn("w", col("tf") * cosineIdfFx(col("df"), col("n_docs")))
-      .filter(col("w") > 0)
-      .select("doc_id", "term", "w")
-    val histNorms = wHist.groupBy("doc_id")
-      .agg(sum(col("w").cast(dec) * col("w")).as("norm_h"))
+    val nSnap = requireFreshCosineNorms(spark, tableName)
+    // completeness: every live roster doc must carry a norm row — a
+    // mismatch means an append died between the roster and the norms
+    // write (or the roster was repaired); two bounded aggregates over
+    // the slim side tables, never the postings
+    val rosterDocs = bm25LiveDocs(spark, tableName)
+      .agg(countDistinct(col("doc_id"))).head().getLong(0)
+    val normDocs = cosineLiveNorms(spark, tableName)
+      .agg(countDistinct(col("doc_id"))).head().getLong(0)
+    require(rosterDocs == normDocs,
+      s"$tableName: norms sidecar covers $normDocs of $rosterDocs live " +
+        "docs — an append died before its norms landed; run " +
+        "repairCosineNorms to backfill")
+    val terms = spark.table(tableName + "_terms")
     val bTf = batch
       .select(col(idCol).as("batch_id"), explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("batch_id", "term").agg(count(lit(1)).as("tf"))
-    val wBatch = bTf.join(dfreq, Seq("term"), "left")
-      .crossJoin(broadcast(nDocs))
+    val wBatch = bTf.join(terms, Seq("term"), "left")
       .withColumn("w",
-        col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), col("n_docs")))
+        col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), lit(nSnap)))
       .filter(col("w") > 0)
       .select("batch_id", "term", "w")
     val batchNorms = wBatch.groupBy("batch_id")
       .agg(sum(col("w").cast(dec) * col("w")).as("norm_b"))
+    // the ONE postings pass: semi-restrict to the batch's terms FIRST,
+    // then drop replay-residue duplicates — the dedup aggregate sees
+    // only the batch-term postings, not the index
+    val wHist = bm25LivePostings(spark, tableName)
+      .select("doc_id", "term", "tf")
+      .join(wBatch.select("term").distinct(), Seq("term"), "left_semi")
+      .dropDuplicates("doc_id", "term")
+      .join(terms, Seq("term"), "left")
+      .withColumn("w",
+        col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), lit(nSnap)))
+      .filter(col("w") > 0)
+      .select("doc_id", "term", "w")
     val num = wBatch.select(col("batch_id"), col("term"), col("w").as("w_b"))
       .join(wHist.select(col("doc_id"), col("term"), col("w").as("w_h")), Seq("term"))
       .filter(col("batch_id") =!= col("doc_id"))
       .groupBy("batch_id", "doc_id")
       .agg(sum(col("w_b").cast(dec) * col("w_h")).as("num"))
+    val histNorms = cosineLiveNorms(spark, tableName)
+      .select(col("doc_id"), col("nrm").as("norm_h"))
     val lhs = col("num").cast(dec) * col("num") * lit(minCosDen.toLong * minCosDen)
     val rhs = col("norm_b").cast(dec) * col("norm_h") * lit(minCosNum.toLong * minCosNum)
     num.join(batchNorms, "batch_id")
@@ -619,6 +645,164 @@ object TextAnalysis {
         cosineLongExact(col("num"), "num", "lexicalCosineAgainstIndex").as("num_fx"),
         cosineLongExact(col("norm_b"), "norm_b", "lexicalCosineAgainstIndex").as("norm_b"),
         cosineLongExact(col("norm_h"), "norm_h", "lexicalCosineAgainstIndex").as("norm_h"))
+  }
+
+  /** Exact content fingerprint of the `<table>_terms` df snapshot:
+    * (row count, Σdf, Σ pmod(xxhash64(term, df), 1e9+7)) — one bounded
+    * aggregate over the vocabulary-sized table. Stamped into
+    * `<table>_norms_stats` at norm-build time and re-derived per
+    * cosine call, so norms built against an OLDER snapshot (a restamp
+    * or rebuild that died before refreshing them) fail loudly instead
+    * of silently mixing two vector spaces.
+    */
+  private def termsFingerprint(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): (Long, Long, Long) = {
+    val r = spark.table(tableName + "_terms")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        coalesce(sum(col("df")), lit(0L)).as("df_mass"),
+        coalesce(sum(pmod(xxhash64(col("term"), col("df")), lit(1000000007L))),
+          lit(0L)).as("df_hash"))
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Validate the norms sidecar against the live `_terms` snapshot and
+    * return the snapshot N the norms were built with. Raises when the
+    * sidecar is missing (never materialized) or stale (the snapshot
+    * moved underneath it).
+    */
+  private def requireFreshCosineNorms(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Long = {
+    require(spark.catalog.tableExists(tableName + "_norms") &&
+      spark.catalog.tableExists(tableName + "_norms_stats"),
+      s"$tableName has no cosine norms sidecar — run refreshCosineNorms " +
+        "once to materialize it (the incremental cosine serves history " +
+        "norms and idf from stored state, O(batch) per call)")
+    val ns = spark.table(tableName + "_norms_stats").head()
+    val (nT, mass, hash) = termsFingerprint(spark, tableName)
+    require(nT == ns.getAs[Long]("n_terms") &&
+      mass == ns.getAs[Long]("df_mass") && hash == ns.getAs[Long]("df_hash"),
+      s"$tableName's df snapshot moved since the cosine norms were " +
+        "built (a restamp or rebuild ran without refreshing them) — " +
+        "run refreshCosineNorms")
+    ns.getAs[Long]("snapshot_docs")
+  }
+
+  /** Live (non-tombstoned) rows of the cosine norms sidecar — distinct
+    * on read like every side table (replayed appends land
+    * byte-identical rows).
+    */
+  private def cosineLiveNorms(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): DataFrame = {
+    val base = spark.table(tableName + "_norms").distinct()
+    bm25Tombstones(spark, tableName) match {
+      case Some(ts) => base.join(broadcast(ts), Seq("doc_id"), "left_anti")
+      case None => base
+    }
+  }
+
+  /** Materialize (or re-derive) the cosine norms sidecar of a BM25
+    * index: `<table>_norms` (doc_id, nrm) holds every roster doc's
+    * Σ(tf·idf_fx)² in DECIMAL(38,0) under the CURRENT `_terms`/`_stats`
+    * df snapshot, and `<table>_norms_stats` stamps the snapshot's
+    * fingerprint + N beside it. One O(index) pass (postings ⨝ terms,
+    * replay-residue rows dropped first) at enable/refresh cadence buys
+    * [[lexicalCosineAgainstIndex]] its O(batch) per-epoch shape; once
+    * materialized, [[appendToBm25Index]] maintains the sidecar
+    * incrementally and [[restampBm25Index]] re-derives it whenever the
+    * snapshot moves. Norm rows are written for EVERY roster doc (0 for
+    * docs with no positive-weight term), so sidecar completeness is
+    * checkable by a count compare. Tombstoned docs' rows are filtered
+    * at read like every index surface; [[purgeBm25Index]] sweeps them
+    * physically.
+    *
+    * @return number of documents stamped
+    */
+  def refreshCosineNorms(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Long = {
+    require(spark.catalog.tableExists(tableName + "_terms") &&
+      spark.catalog.tableExists(tableName + "_stats"),
+      s"$tableName is not a BM25 index (missing _terms/_stats)")
+    require(spark.catalog.tableExists(tableName + "_docs"),
+      s"$tableName has no ${tableName}_docs roster (pre-roster index) — " +
+        "run repairBm25Index once to materialize it first")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val nSnap = spark.table(tableName + "_stats").head().getAs[Long]("built_docs")
+    val terms = spark.table(tableName + "_terms")
+    val sums = spark.table(tableName)
+      .select("doc_id", "term", "tf")
+      .dropDuplicates("doc_id", "term")
+      .join(terms, Seq("term"), "left")
+      .withColumn("w",
+        col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), lit(nSnap)))
+      .filter(col("w") > 0)
+      .groupBy("doc_id")
+      .agg(sum(col("w").cast(dec) * col("w")).as("nrm"))
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-cosnorms-$tableName-${java.util.UUID.randomUUID()}")
+    spark.table(tableName + "_docs").select("doc_id").distinct()
+      .join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nrm"), lit(0).cast(dec)).as("nrm"))
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(tableName + "_norms")
+    val (nT, mass, hash) = termsFingerprint(spark, tableName)
+    spark.range(1)
+      .select(lit(nT).as("n_terms"), lit(mass).as("df_mass"),
+        lit(hash).as("df_hash"), lit(nSnap).as("snapshot_docs"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(tableName + "_norms_stats")
+    spark.catalog.refreshTable(tableName + "_norms")
+    spark.catalog.refreshTable(tableName + "_norms_stats")
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Backfill norm rows for live roster docs the sidecar lacks — the
+    * crash triage for [[appendToBm25Index]]'s death between the roster
+    * and the norms append (and the follow-up to a [[repairBm25Index]]
+    * roster backfill: repair the roster FIRST, then the norms).
+    * Computes only the missing docs' norms — the postings scan is
+    * semi-restricted to them. Idempotent; refuses on a stale snapshot
+    * (backfilling against a moved snapshot would mix vector spaces —
+    * run [[refreshCosineNorms]] instead, it re-derives everything).
+    *
+    * @return (normDocsBefore, backfilledDocs)
+    */
+  def repairCosineNorms(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): (Long, Long) = {
+    val nSnap = requireFreshCosineNorms(spark, tableName)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val have = spark.table(tableName + "_norms").select("doc_id").distinct()
+    val before = have.count()
+    val missing = bm25LiveDocs(spark, tableName).select("doc_id")
+      .join(have, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val n = missing.count()
+    if (n > 0) {
+      val terms = spark.table(tableName + "_terms")
+      val sums = spark.table(tableName)
+        .select("doc_id", "term", "tf")
+        .join(broadcast(missing), Seq("doc_id"), "left_semi")
+        .dropDuplicates("doc_id", "term")
+        .join(terms, Seq("term"), "left")
+        .withColumn("w",
+          col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), lit(nSnap)))
+        .filter(col("w") > 0)
+        .groupBy("doc_id")
+        .agg(sum(col("w").cast(dec) * col("w")).as("nrm"))
+      missing.join(sums, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("nrm"), lit(0).cast(dec)).as("nrm"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(tableName + "_norms")
+      spark.catalog.refreshTable(tableName + "_norms")
+    }
+    (before, n)
   }
 
   /** Exact per-group heavy hitters: the k most frequent whitespace
@@ -881,10 +1065,17 @@ object TextAnalysis {
     *    built_sum_dl)` — BUILD-TIME stamps only (the [[bm25IndexStats]]
     *    drift reference), written once and never updated; the two
     *    current-value columns are retained for pre-roster readers.
-    *  - `<table>_terms`, the build-time per-term document frequency
-    *    (drift reference only: query-time idf always aggregates df
-    *    from the live pruned postings, so appends and deletes can
-    *    never serve stale scores).
+    *  - `<table>_terms`, the build-time per-term document frequency.
+    *    For BM25/TF-IDF retrieval it is a drift reference only
+    *    (query-time idf aggregates df from the live pruned postings,
+    *    so appends and deletes can never serve stale scores); for the
+    *    incremental cosine it IS the scoring snapshot (see
+    *    [[lexicalCosineAgainstIndex]]).
+    *  - `<table>_norms` + `<table>_norms_stats` (OPTIONAL — created by
+    *    [[refreshCosineNorms]], then maintained by every append,
+    *    swept by the purge): per-doc Σ(tf·idf_fx)² under the `_terms`
+    *    snapshot, the stored history norms that make the incremental
+    *    cosine O(batch) per call.
     *
     * Deletion: [[deleteFromBm25Index]] appends ids to
     * `<table>_tombstones`; every query path anti-joins the roster and
@@ -945,6 +1136,11 @@ object TextAnalysis {
       .write.mode("overwrite").format("parquet")
       .saveAsTable(tableName + "_docs")
     spark.sql(s"DROP TABLE IF EXISTS `${tableName}_tombstones`")
+    // a rebuild re-creates the world: a cosine norms sidecar from the
+    // previous build would be stale against the new snapshot — drop it
+    // (re-enable explicitly via refreshCosineNorms)
+    spark.sql(s"DROP TABLE IF EXISTS `${tableName}_norms`")
+    spark.sql(s"DROP TABLE IF EXISTS `${tableName}_norms_stats`")
     val n = obs.get("n").asInstanceOf[Long]
     val s = obs.get("s").asInstanceOf[Long]
     writeBm25Stats(spark, tableName, n, s, n, s)
@@ -1145,6 +1341,11 @@ object TextAnalysis {
     require(spark.catalog.tableExists(tableName + "_docs"),
       s"$tableName has no ${tableName}_docs roster (pre-roster index) — " +
         "run repairBm25Index once to materialize it before appending")
+    // cosine sidecar precondition CHECKED BEFORE ANY WRITE: appending
+    // under a snapshot the norms weren't built against would mix two
+    // vector spaces — fail clean, land nothing
+    val maintainNorms = spark.catalog.tableExists(tableName + "_norms")
+    val nSnap = if (maintainNorms) requireFreshCosineNorms(spark, tableName) else 0L
     val docs = bm25Docs(batch, idCol, textCol, carried)
     val tf = bm25Tf(docs, carried)
     tf.select(("term" +: "doc_id" +: "tf" +: "dl" +: carried).map(col): _*)
@@ -1159,6 +1360,26 @@ object TextAnalysis {
       .saveAsTable(tableName + "_docs")
     spark.catalog.refreshTable(tableName)
     spark.catalog.refreshTable(tableName + "_docs")
+    if (maintainNorms) {
+      // norms LAST, under the SAME stored snapshot — appended docs are
+      // scorable history for the very next batch without any index
+      // rescan; death before this write is repairCosineNorms' window
+      // (caught by the count compare on the next cosine call)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val sums = tf
+        .select("doc_id", "term", "tf")
+        .join(spark.table(tableName + "_terms"), Seq("term"), "left")
+        .withColumn("w",
+          col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), lit(nSnap)))
+        .filter(col("w") > 0)
+        .groupBy("doc_id")
+        .agg(sum(col("w").cast(dec) * col("w")).as("nrm"))
+      docs.select("doc_id").join(sums, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("nrm"), lit(0).cast(dec)).as("nrm"))
+        .write.mode("append").format("parquet")
+        .saveAsTable(tableName + "_norms")
+      spark.catalog.refreshTable(tableName + "_norms")
+    }
   }
 
   /** Reconcile a BM25 index's roster with its postings — the crash
@@ -1229,6 +1450,12 @@ object TextAnalysis {
       .write.mode("overwrite").format("parquet")
       .saveAsTable(tableName + "_terms")
     writeBm25Stats(spark, tableName, n, s, n, s)
+    // the restamp MOVES the snapshot — a cosine norms sidecar built
+    // against the old one is now stale; re-derive it in the same
+    // breath (a death in between leaves the fingerprint mismatch the
+    // next cosine call refuses on, and a rerun completes)
+    if (spark.catalog.tableExists(tableName + "_norms"))
+      refreshCosineNorms(spark, tableName)
   }
 
   /** Delete documents from a materialized BM25 index — the takedown /
@@ -1310,6 +1537,12 @@ object TextAnalysis {
           _.join(broadcast(pinned), Seq("doc_id"), "left_anti"))
         if (spark.catalog.tableExists(tableName + "_docs"))
           graft.plans.Compaction.rewriteTable(spark, tableName + "_docs")(
+            _.distinct().join(broadcast(pinned), Seq("doc_id"), "left_anti"))
+        // the cosine norms sidecar is an index surface too: sweep the
+        // tombstoned docs' rows before the tombstones drop, same
+        // ordering argument as the roster
+        if (spark.catalog.tableExists(tableName + "_norms"))
+          graft.plans.Compaction.rewriteTable(spark, tableName + "_norms")(
             _.distinct().join(broadcast(pinned), Seq("doc_id"), "left_anti"))
         spark.sql(s"DROP TABLE IF EXISTS `${tableName}_tombstones`")
         counts

