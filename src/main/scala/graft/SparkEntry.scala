@@ -1942,6 +1942,25 @@ object SparkEntry {
         n = 3, k = 8, threshold = 0.5)
         .orderBy("batch_id", "index_id")
     }),
+    // FILTERED near-dup over the signature index: carried metadata
+    // (lang) restricts the candidates during the banded probe — the
+    // per-language dedup slice. The twin is the restriction oracle:
+    // the shared incremental replay with the index side filtered to
+    // the predicate's sub-corpus, which is exactly what an index
+    // REBUILT over that sub-corpus would emit
+    "q_dedup_filtered" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxTable = s"minhash_flt_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(idxTable))
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", idxTable, n = 3, k = 8, buckets = 8,
+          carryCols = Seq("lang"))
+      Dedup.portableMinhashPairsAgainstIndexWhere(s, idxTable,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        predicate = col("lang") === "en",
+        n = 3, k = 8, threshold = 0.5)
+        .orderBy("batch_id", "index_id")
+    }),
     // DELETION over the signature index: the even-id history with every
     // doc_id % 4 == 0 tombstoned — a taken-down document must stop
     // colliding with arriving batches instantly; the twin drops the
@@ -4641,6 +4660,18 @@ object SparkEntry {
       // the shared incremental replay with the tombstoned ids dropped
       // from the INDEX side — a deleted doc must stop colliding
       minhashIncrementalOracle(" AND b.doc_id % 4 <> 0"),
+    "q_dedup_filtered" ->
+      // restriction oracle: the shared incremental replay with the
+      // index side filtered to lang = 'en' — identical to a brute
+      // batch-vs-subcorpus pass over just the English history
+      (s"$minhashSigCtes " +
+        s"SELECT a.doc_id AS batch_id, b.doc_id AS index_id, " +
+        s"CAST($minhashMatchSum AS DOUBLE)/8 AS minhash_est, d.lang AS lang " +
+        "FROM sig a JOIN sig b ON a.sig_0 = b.sig_0 " +
+        "JOIN documents d ON d.doc_id = b.doc_id " +
+        "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND d.lang = 'en' " +
+        s"AND CAST($minhashMatchSum AS DOUBLE)/8 >= 0.5 " +
+        "ORDER BY batch_id, index_id"),
     "q_dedup_minhash_portable" -> {
       val k = 8
       val sigs = (0 until k).map(j =>

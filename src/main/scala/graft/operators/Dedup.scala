@@ -1153,6 +1153,27 @@ object Dedup {
     * batch against it with [[portableMinhashPairsAgainstIndex]] — the
     * history corpus is never re-signatured and never re-shuffled.
     */
+  /** The signature table's own column names for width `k` — the
+    * carryCols collision guard and the append/query-time carried-column
+    * discovery share one definition (the BM25/IVF index convention).
+    */
+  private def minhashReservedCols(k: Int): Seq[String] =
+    "index_id" +: (0 until k).map(j => s"sig_$j")
+
+  /** Validate a stored signature table's schema for width `k` and
+    * return its CARRIED metadata columns: the first 1+k columns must
+    * be `index_id, sig_0..sig_{k-1}` (the signature identity), any
+    * remainder is carried metadata (lang, license, source …) stored
+    * verbatim per signature row for the filtered probe.
+    */
+  private def minhashCarriedCols(index: DataFrame, tableName: String, k: Int): Seq[String] = {
+    val reserved = minhashReservedCols(k)
+    require(index.columns.length >= reserved.length &&
+      index.columns.take(reserved.length).sameElements(reserved),
+      s"$tableName does not hold k=$k portable minhash signatures")
+    index.columns.drop(reserved.length).toSeq
+  }
+
   def writeMinhashIndex(
       docs: DataFrame,
       idCol: String,
@@ -1160,9 +1181,19 @@ object Dedup {
       tableName: String,
       n: Int = 3,
       k: Int = 8,
-      buckets: Int = 16
+      buckets: Int = 16,
+      carryCols: Seq[String] = Nil
   ): Unit = {
     require(buckets > 0)
+    // carryCols = document metadata stored verbatim on each signature
+    // row (lang, source, license …) — the payload
+    // [[portableMinhashPairsAgainstIndexWhere]]'s predicate filters
+    // against during the banded probe. One row per doc, so there is no
+    // denormalization cost at all (unlike the postings index, where a
+    // doc's metadata repeats per term)
+    require(carryCols.forall(c => !minhashReservedCols(k).contains(c)),
+      s"carryCols collide with index columns: " +
+        carryCols.filter(minhashReservedCols(k).contains).mkString(", "))
     // the shingle width is part of the signature's identity: stamp it
     // into the stored schema (column metadata on the blocking
     // component) so a query with a different n errors loudly instead
@@ -1172,7 +1203,13 @@ object Dedup {
     val sig = portableMinhashSignatures(docs, idCol, textCol, n, k)
       .withColumnRenamed(idCol, "index_id")
       .withColumn("sig_0", col("sig_0").as("sig_0", meta))
-    graft.plans.ScaleJoins.writeBucketed(sig, tableName, "sig_0", buckets)
+    val carried =
+      if (carryCols.isEmpty) sig
+      else sig.join(
+        docs.select(col(idCol).as("index_id") +: carryCols.map(col): _*),
+        Seq("index_id"))
+        .select(minhashReservedCols(k).map(col) ++ carryCols.map(col): _*)
+    graft.plans.ScaleJoins.writeBucketed(carried, tableName, "sig_0", buckets)
   }
 
   /** Incremental signature-index maintenance: signature an accepted
@@ -1198,8 +1235,7 @@ object Dedup {
       k: Int = 8
   ): Unit = {
     val index = spark.table(tableName)
-    require(index.columns.sameElements("index_id" +: (0 until k).map(j => s"sig_$j")),
-      s"$tableName does not hold k=$k portable minhash signatures")
+    val carried = minhashCarriedCols(index, tableName, k)
     val storedMeta = index.schema("sig_0").metadata
     require(storedMeta.contains("graft_minhash_n") &&
       storedMeta.getLong("graft_minhash_n") == n.toLong,
@@ -1208,8 +1244,22 @@ object Dedup {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
       .bucketSpec
     require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
-    portableMinhashSignatures(batch, idCol, textCol, n, k)
+    // the batch must supply every carried column (the BM25/IVF append
+    // rule) — checked with the session resolver, matching how col()
+    // resolves below
+    val resolver = spark.sessionState.analyzer.resolver
+    val missing = carried.filterNot(c => batch.columns.exists(resolver(_, c)))
+    require(missing.isEmpty,
+      s"batch lacks carried index columns: ${missing.mkString(", ")}")
+    val sig = portableMinhashSignatures(batch, idCol, textCol, n, k)
       .withColumnRenamed(idCol, "index_id")
+    val rows =
+      if (carried.isEmpty) sig
+      else sig.join(
+        batch.select(col(idCol).as("index_id") +: carried.map(col): _*),
+        Seq("index_id"))
+        .select(minhashReservedCols(k).map(col) ++ carried.map(col): _*)
+    rows
       .write.mode("append").format("parquet")
       .bucketBy(bucketSpec.get.numBuckets, "sig_0").sortBy("sig_0")
       .saveAsTable(tableName)
@@ -1454,24 +1504,79 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = Int.MaxValue,
       pruneKeys: Int = 4096
+  ): DataFrame =
+    minhashProbeIndex(spark, tableName, batch, idCol, textCol,
+      predicate = None, n, k, threshold, maxBucket, pruneKeys)
+
+  /** [[portableMinhashPairsAgainstIndex]] restricted to the index rows
+    * matching `predicate` over the CARRIED metadata columns
+    * ([[writeMinhashIndex]]'s `carryCols`) — the per-language /
+    * per-license / per-domain dedup slice, parity with
+    * [[TextAnalysis.bm25TopKBatchFromIndexWhere]] and the IVF filtered
+    * search. The predicate applies to the index side BEFORE the
+    * hot-bucket cap (the cap must see exactly the rows an index
+    * rebuilt over the sub-corpus would hold), and it reaches the
+    * bucket-pruned scan as a pushed filter — a per-language pass reads
+    * the touched buckets' matching rows, never the whole index.
+    * Output carries the matched index row's metadata columns after
+    * (batch_id, index_id, minhash_est).
+    */
+  def portableMinhashPairsAgainstIndexWhere(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      predicate: Column,
+      n: Int = 3,
+      k: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue,
+      pruneKeys: Int = 4096
+  ): DataFrame =
+    minhashProbeIndex(spark, tableName, batch, idCol, textCol,
+      Some(predicate), n, k, threshold, maxBucket, pruneKeys)
+
+  private def minhashProbeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      predicate: Option[Column],
+      n: Int,
+      k: Int,
+      threshold: Double,
+      maxBucket: Int,
+      pruneKeys: Int
   ): DataFrame = {
     val index = spark.table(tableName)
-    require(index.columns.sameElements("index_id" +: (0 until k).map(j => s"sig_$j")),
-      s"$tableName does not hold k=$k portable minhash signatures")
+    val carried = minhashCarriedCols(index, tableName, k)
     val storedMeta = index.schema("sig_0").metadata
     require(storedMeta.contains("graft_minhash_n") &&
       storedMeta.getLong("graft_minhash_n") == n.toLong,
       s"$tableName was built with a different shingle width than n=$n — " +
         "signatures from mismatched widths never legitimately match")
+    // the unfiltered probe drops the carried payload before the banded
+    // join (column pruning reaches the scan); the filtered probe keeps
+    // it — the predicate needs it, and the caller gets it back
+    val kept = if (predicate.isEmpty) Nil else carried
+    val projected = index.select(
+      (minhashReservedCols(k) ++ kept).map(col): _*)
+    val restricted = predicate match {
+      case Some(p) => projected.filter(p)
+      case None => projected
+    }
     val bSig = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
       portableMinhashSignatures(batch, idCol, textCol, n, k),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = bSig.select("sig_0").distinct().limit(pruneKeys + 1).collect()
     // tombstones excluded BEFORE the hot-bucket cap: the cap must see
-    // the live rows only, exactly as a rebuilt index would
+    // the live rows only, exactly as a rebuilt index would — and the
+    // metadata restriction sits at the same level for the same reason
     val live = minhashTombstones(spark, tableName) match {
-      case Some(ts) => index.join(broadcast(ts), Seq("index_id"), "left_anti")
-      case None => index
+      case Some(ts) => restricted.join(broadcast(ts), Seq("index_id"), "left_anti")
+      case None => restricted
     }
     val iSig = capBuckets(
       if (keys.length <= pruneKeys)
@@ -1488,8 +1593,8 @@ object Dedup {
       .map(j => when(col(s"a_$j") === col(s"b_$j"), 1).otherwise(0))
       .foldLeft(lit(1): Column)(_ + _)
     bSide.join(iSide, Seq("sig_0"))
-      .select(col("batch_id"), col("index_id"),
-        (matches.cast("double") / k).as("minhash_est"))
+      .select(col("batch_id") +: col("index_id") +:
+        (matches.cast("double") / k).as("minhash_est") +: kept.map(col): _*)
       .filter(col("minhash_est") >= threshold)
   }
 

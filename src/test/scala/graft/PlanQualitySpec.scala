@@ -507,6 +507,32 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("filtered minhash-index query: metadata predicate AND blocking-key prune both reach the scan") {
+    val docs = table("documents").select("doc_id", "text", "lang")
+    graft.operators.Dedup.writeMinhashIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      "mh_flt_plan", buckets = 4, carryCols = Seq("lang"))
+    def query() = graft.operators.Dedup.portableMinhashPairsAgainstIndexWhere(
+      spark, "mh_flt_plan", docs.filter(col("doc_id") % 2 === 1).limit(50),
+      "doc_id", "text", predicate = col("lang") === "en")
+    val plan = explain(query())
+    // the carried-metadata predicate is pushed to the index scan
+    // alongside the blocking-key IN() — a per-language pass reads the
+    // touched buckets' matching rows, never the whole index
+    assert(plan.contains("EqualTo(lang,en)"), plan)
+    assert(plan.contains("In(sig_0"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val bucketed = explain(query())
+      assert(bucketed.contains("SelectedBucketsCount"), bucketed)
+      assert(bucketed.contains("EqualTo(lang,en)"), bucketed)
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("ivf-pq index query: probed list ids bucket-prune the codes scan") {
     val emb = table("embeddings").select("vec_id", "embedding").limit(300)
     graft.operators.Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",

@@ -514,6 +514,65 @@ class DedupSpec extends SparkSpec {
     assert(en.getMessage.contains("shingle width"), en.getMessage)
   }
 
+  test("filtered minhash-index probe: filtered == brute over the sub-corpus; carried columns governed by the BM25 append rule") {
+    import spark.implicits._
+    val docs = table("documents").select("doc_id", "text", "lang")
+    val index = docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") % 2 === 1 && col("doc_id") < 200)
+    Dedup.writeMinhashIndex(index, "doc_id", "text", "mh_idx_flt",
+      buckets = 4, carryCols = Seq("lang"))
+    // the restriction twin: the filtered probe must equal the brute
+    // in-memory pass over JUST the predicate's sub-corpus
+    val brute = Dedup.portableMinhashPairsAgainst(
+      batch, index.filter(col("lang") === "en"),
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val filtered = Dedup.portableMinhashPairsAgainstIndexWhere(
+      spark, "mh_idx_flt", batch, "doc_id", "text",
+      predicate = col("lang") === "en", threshold = 0.5)
+    assert(filtered.columns.toSeq ===
+      Seq("batch_id", "index_id", "minhash_est", "lang"))
+    val got = filtered
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(got === brute)
+    assert(filtered.select("lang").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("en"))
+    // the UNFILTERED probe on a carried index still equals the full
+    // brute pass (the payload is projected away before the band join)
+    val bruteAll = Dedup.portableMinhashPairsAgainst(batch, index,
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val all = Dedup.portableMinhashPairsAgainstIndex(
+      spark, "mh_idx_flt", batch, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(all === bruteAll)
+    // appends must supply every carried column (the BM25 rule) …
+    val bare = Seq((9001L, "some fresh text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToMinhashIndex(spark, "mh_idx_flt", bare, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("carried index columns: lang"), e.getMessage)
+    // … resolved with the session resolver: 'Lang' for stored 'lang'
+    // is accepted, and the appended row is immediately filterable
+    val firstEn = index.filter(col("lang") === "en").orderBy("doc_id")
+      .select("doc_id", "text").head()
+    val cased = Seq((9002L, firstEn.getString(1), "en"))
+      .toDF("doc_id", "text", "Lang")
+    Dedup.appendToMinhashIndex(spark, "mh_idx_flt", cased, "doc_id", "text")
+    val probe = Seq((9500L, firstEn.getString(1))).toDF("doc_id", "text")
+    val hits = Dedup.portableMinhashPairsAgainstIndexWhere(
+      spark, "mh_idx_flt", probe, "doc_id", "text",
+      predicate = col("lang") === "en", threshold = 0.99)
+      .select("index_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(9002L) && hits.contains(firstEn.getLong(0)), hits.toString)
+    // and a non-en predicate excludes the appended en doc
+    val deHits = Dedup.portableMinhashPairsAgainstIndexWhere(
+      spark, "mh_idx_flt", probe, "doc_id", "text",
+      predicate = col("lang") === "de", threshold = 0.99)
+      .select("index_id").collect().map(_.getLong(0)).toSet
+    assert(!deHits.contains(9002L) && !deHits.contains(firstEn.getLong(0)), deHits.toString)
+  }
+
   test("semanticDedup: planted identical vectors collapse to the lower id") {
     val emb = table("embeddings").select("vec_id", "embedding").limit(200)
     val planted = emb.union(emb.select(
