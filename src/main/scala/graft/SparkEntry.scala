@@ -40,6 +40,49 @@ object SparkEntry {
     "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
   }
 
+  /** Planted 16-bit mono WAVs for the audio-dedup gates: ids 2k/2k+1
+    * share a waveform — the even id at 4 kHz; the odd id the SAME
+    * waveform at 8 kHz via zero-order-hold frame doubling AND at half
+    * volume (samples are even, so the halving is exact) — the two
+    * invariances the fingerprint holds exactly, so every pair lands at
+    * Hamming 0 after canonicalization. Every 10th id (d % 10 == 9)
+    * carries text bytes instead: non-audio payloads must pass through
+    * fingerprint-less, never hashed.
+    */
+  private def dedupWav(d: Int): Array[Byte] = {
+    if (d % 10 == 9) return s"not audio $d".getBytes("US-ASCII")
+    val base = d / 2
+    val n = 96 + base % 32 // canonical frames (>= the 72-frame floor)
+    val rep = 1 + d % 2    // odd ids: ZOH frame doubling + half volume
+    val frames = n * rep
+    val rate = 4000 * rep
+    val out = new Array[Byte](44 + frames * 2)
+    def ascii(o: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, out, o, 4)
+    }
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + frames * 2); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, rate); le32(28, rate * 2); le16(32, 2); le16(34, 16)
+    ascii(36, "data"); le32(40, frames * 2)
+    var i = 0
+    while (i < frames) {
+      val j = i / rep
+      // even in [-12000, 11998] so the odd id's halving is exact
+      val v = 2 * ((j * j * 7 + j * 31 + base * 131) % 12000 - 6000) / rep
+      le16(44 + 2 * i, v & 0xffff)
+      i += 1
+    }
+    out
+  }
+
   /** Stable table-name key for a fixture-backed cached index: a digest
     * of the data directory PLUS the frame's current file listing.
     * `dir.hashCode` alone risked two failure modes — a 32-bit collision
@@ -1061,6 +1104,41 @@ object SparkEntry {
       Multimodal.imagePairsAgainstIndex(s, idxTable,
         media.filter(col("doc_id") % 2 === 1), "doc_id", "payload",
         maxHamming = 3)
+        .orderBy("batch_id", "index_id")
+    }),
+    // Perceptual AUDIO dedup: planted 16-bit WAV pairs — the odd id
+    // ships the even id's waveform at double rate (ZOH) and half
+    // volume, and the energy-sign fingerprint must recover every pair
+    // at Hamming 0 through the shared 4×16-bit banding kernel. The
+    // oracle replays the ENTIRE pipeline from the generating formula:
+    // canonical sample sequence, 8×9 lag-band energies, adjacent-band
+    // sign bits, band values, banded self-join, Hamming verify. Text
+    // payloads (d%10==9) pass through fingerprint-less
+    "q_mm_audio_dedup" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 200).map(d => (d.toLong, dedupWav(d)))
+        .toDF("doc_id", "payload")
+      Multimodal.audioNearDupPairs(media, "doc_id", "payload",
+        maxHamming = 3, canonicalRate = 4000)
+        .orderBy("id_a", "id_b")
+    }),
+    // Audio near-dup AGAINST THE MATERIALIZED fingerprint index (the
+    // sixth signature surface, riding the dHash family's layout and
+    // shared delete/purge/stats verbs): even-id history persisted,
+    // odd-id batch hashed — same asymmetric contract as the image and
+    // minhash index gates
+    "q_mm_audio_dedup_indexed" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 200).map(d => (d.toLong, dedupWav(d)))
+        .toDF("doc_id", "payload")
+      val idxTable = "afp_idx_gate"
+      if (!s.catalog.tableExists(idxTable))
+        Multimodal.writeAudioFingerprintIndex(
+          media.filter(col("doc_id") % 2 === 0),
+          "doc_id", "payload", idxTable, buckets = 8, canonicalRate = 4000)
+      Multimodal.audioPairsAgainstIndex(s, idxTable,
+        media.filter(col("doc_id") % 2 === 1), "doc_id", "payload",
+        maxHamming = 3, canonicalRate = 4000)
         .orderBy("batch_id", "index_id")
     }),
     // JSON sidecar flatten: schema inferred once driver-side from a
@@ -2919,6 +2997,35 @@ object SparkEntry {
       "bv AS (SELECT doc_id, bd, CAST(list_sum(list_transform(range(16), j -> " +
       "ba[bd * 16 + j + 1] * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS bv FROM bnd), "
 
+  /** Shared audio-fingerprint replay CTEs: the planted WAV
+    * construction ([[dedupWav]]) reduced to per-doc canonical sample
+    * lists (`xs.x`), 8×9 slice-local lag-band energies (`e.en`),
+    * 64-bit sign vectors (`bits.ba`) and 4×16-bit band values (`bv`) —
+    * each audio pair twin appends its own join + Hamming-verify tail.
+    * The odd id's formula divides by 2 (exact: the numerator is even),
+    * replaying volume-halving + ZOH-rate canonicalization as the
+    * identity they are. Trailing comma included.
+    */
+  private lazy val audioPairCtes: String =
+    "WITH d0 AS (SELECT range AS doc_id FROM range(200)), " +
+      "d AS (SELECT doc_id, doc_id // 2 AS base, 96 + (doc_id // 2) % 32 AS n, " +
+      "1 + doc_id % 2 AS dv FROM d0 WHERE doc_id % 10 <> 9), " +
+      "xs AS (SELECT doc_id, n, list_transform(range(0, n), i -> " +
+      "(2 * ((i*i*7 + i*31 + base*131) % 12000 - 6000)) // dv) AS x FROM d), " +
+      // slice-local lag energies: lag = bi+1, i runs lo+lag .. hi-1
+      // (0-based), DuckDB lists are 1-based so x[j+1] - x[j - bi]
+      "e AS (SELECT doc_id, t.ti, b.bi, COALESCE(list_sum(list_transform(" +
+      "range((t.ti*n)//8 + b.bi + 1, ((t.ti+1)*n)//8), " +
+      "j -> CAST(x[j+1] - x[j - b.bi] AS BIGINT) * (x[j+1] - x[j - b.bi]))), 0) AS en " +
+      "FROM xs, range(0,8) t(ti), range(0,9) b(bi)), " +
+      "bits AS (SELECT a.doc_id, list(CASE WHEN nx.en > a.en THEN 1 ELSE 0 END " +
+      "ORDER BY a.ti*8 + a.bi) AS ba " +
+      "FROM e a JOIN e nx ON nx.doc_id = a.doc_id AND nx.ti = a.ti AND nx.bi = a.bi + 1 " +
+      "WHERE a.bi < 8 GROUP BY a.doc_id), " +
+      "bnd AS (SELECT doc_id, ba, unnest([0, 1, 2, 3]) AS bd FROM bits), " +
+      "bv AS (SELECT doc_id, bd, CAST(list_sum(list_transform(range(16), j -> " +
+      "ba[bd * 16 + j + 1] * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS bv FROM bnd), "
+
   private lazy val ivfSqOracleCtes: String =
     ivfSqOracleCtesFrom(
       "e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
@@ -4493,6 +4600,33 @@ object SparkEntry {
         "p2 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id " +
         "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv " +
         "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 4 != 0) " +
+        "SELECT batch_id, index_id, CAST(ham AS INTEGER) AS hamming FROM " +
+        "(SELECT p2.batch_id, p2.index_id, list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +
+        "WHERE ham <= 3 ORDER BY batch_id, index_id"),
+    "q_mm_audio_dedup" ->
+      // full-pipeline replay from the generating formula: canonical
+      // samples → lag-band energies → sign bits → bands → banded
+      // self-join → Hamming verify (the q_mm_image_dedup shape over
+      // sound); the even/odd volume+rate twins reduce to the same
+      // canonical sequence up to an exact factor of 2, so every pair
+      // verifies at Hamming 0
+      (audioPairCtes +
+        "p2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(ham AS INTEGER) AS hamming FROM " +
+        "(SELECT p2.id_a, p2.id_b, list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.id_a JOIN bits y ON y.doc_id = p2.id_b) " +
+        "WHERE ham <= 3 ORDER BY id_a, id_b"),
+    "q_mm_audio_dedup_indexed" ->
+      // asymmetric replay: odd-id batch vs even-id persisted index,
+      // same band join + Hamming verify
+      (audioPairCtes +
+        "p2 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id " +
+        "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv " +
+        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) " +
         "SELECT batch_id, index_id, CAST(ham AS INTEGER) AS hamming FROM " +
         "(SELECT p2.batch_id, p2.index_id, list_sum(list_transform(range(64), i -> " +
         "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +

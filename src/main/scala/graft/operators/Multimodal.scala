@@ -348,6 +348,18 @@ object Multimodal {
           (((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort) / 32768.0
         }
 
+      /** The raw INTEGER sample (8-bit recentered to signed, 16-bit as
+        * stored) — the exact-arithmetic accessor the fingerprint path
+        * uses so its energies replay bit-for-bit in an oracle.
+        */
+      def rawSample(frame: Int, ch: Int): Int =
+        if (bitsPerSample == 8)
+          (bytes(dataOff + frame * channels + ch) & 0xff) - 128
+        else {
+          val o = dataOff + (frame * channels + ch) * 2
+          ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+        }
+
       /** Copy one interleaved frame's RAW bytes (all channels) — the
         * lossless unit [[resamplePcmWav]] shuttles, no decode/requantize
         * round-trip.
@@ -691,6 +703,75 @@ object Multimodal {
       }
       h
     }
+
+    /** 64-bit perceptual AUDIO fingerprint — the dHash shape over a
+      * time × lag-energy grid instead of a pixel grid, every step
+      * exact integer arithmetic:
+      *
+      *  1. canonicalize rate: `x(i) = Σ_ch rawSample(⌊i·srcRate/C⌋, ch)`
+      *     for `i < N = ⌊nFrames·C/srcRate⌋` — the nearest-frame grid
+      *     [[resamplePcmWav]] already walks, channel-SUMMED (not
+      *     averaged: the sum stays integer and scale-invariance does
+      *     not care about the constant factor);
+      *  2. integer filterbank: 8 time slices × 9 lag bands —
+      *     `E(t,b) = Σ (x(i) − x(i−(b+1)))²` over slice-local i (a
+      *     lag-ℓ difference is a comb filter whose first passband peak
+      *     sits at C/2ℓ, so the 9 lags sample 9 frequency bands);
+      *  3. bit `t·8+b` is set iff `E(t, b+1) > E(t, b)` — exactly
+      *     [[dHash64]]'s adjacent-compare over a 9-wide, 8-tall grid.
+      *
+      * Invariances, EXACT by construction: volume (scaling every
+      * sample by c scales every energy by c², preserving all
+      * comparisons — exact when the scaling itself is exact, e.g.
+      * halving even 16-bit samples) and zero-order-hold rate
+      * multiples (a clip upsampled m× at rate m·C canonicalizes back
+      * to the identical x sequence). Re-encodes within those families
+      * land at Hamming 0; codec-noise variants land within the banding
+      * kernel's Hamming ≤ 3 budget. None for clips whose canonical
+      * length is under 72 frames (slices would not cover the longest
+      * lag honestly) or over 2²⁶ (≈ 2.3 h at 8 kHz — past that the
+      * slice energies could leave Long's exact domain; chunk longer
+      * media upstream).
+      */
+    private[operators] def audioFingerprint64(
+        c: AudioClip, canonicalRate: Int): Option[Long] = {
+      val nL = c.nFrames.toLong * canonicalRate / c.sampleRate
+      if (nL < 72 || nL > (1L << 26)) return None
+      val n = nL.toInt
+      val x = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val f = (i.toLong * c.sampleRate / canonicalRate).toInt
+        var acc = 0L
+        var ch = 0
+        while (ch < c.channels) { acc += c.rawSample(f, ch); ch += 1 }
+        x(i) = acc
+        i += 1
+      }
+      val e = Array.ofDim[Long](8, 9)
+      var t = 0
+      while (t < 8) {
+        val lo = (t.toLong * n / 8).toInt      // long product: t·n can pass Int
+        val hi = ((t + 1).toLong * n / 8).toInt
+        var b = 0
+        while (b < 9) {
+          val lag = b + 1
+          var s = 0L
+          var j = lo + lag
+          while (j < hi) { val d = x(j) - x(j - lag); s += d * d; j += 1 }
+          e(t)(b) = s
+          b += 1
+        }
+        t += 1
+      }
+      var h = 0L
+      var bit = 0
+      while (bit < 64) {
+        if (e(bit / 8)(bit % 8 + 1) > e(bit / 8)(bit % 8)) h |= 1L << bit
+        bit += 1
+      }
+      Some(h)
+    }
   }
 
   /** Decode/feature-extract stage: one pass, partition-parallel, batch
@@ -868,15 +949,78 @@ object Multimodal {
         .select(col(idCol), col("dhash")),
       idCol, "dhash", maxHamming, maxBucket)
 
-  // ------------------------------------------------- dHash signature index
+  /** Perceptual audio fingerprints: one 64-bit energy-sign hash per
+    * decodable PCM WAV payload ([[Decoders.audioFingerprint64]] —
+    * rate-canonicalized to `canonicalRate`, 8 time slices × 9 integer
+    * lag-band energies, adjacent-band sign compares: the dHash shape
+    * over sound). Payloads the WAV parser rejects — and clips too
+    * short/long to fingerprint honestly — emit NULL format/dims/hash,
+    * the [[imageDHash]] contract, never a hash over garbage bytes.
+    * Output: (id, format, frames, channels, afp). Narrow map, zero
+    * shuffles, same `mapPartitions` batch shape as the other codecs.
+    */
+  def audioFingerprint(
+      df: DataFrame, idCol: String, binCol: String,
+      canonicalRate: Int = 8000): DataFrame = {
+    require(canonicalRate > 0, "canonical rate must be positive")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("format", StringType),
+      StructField("frames", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("afp", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Decoders.parseWav(bytes).flatMap { c =>
+          Decoders.audioFingerprint64(c, canonicalRate)
+            .map(h => Row(r.get(0), "wav", c.nFrames, c.channels, h))
+        }.getOrElse(Row(r.get(0), null, null, null, null))
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate pairs: fingerprints through the SAME
+    * 4 × 16-bit banding kernel as dHash and text SimHash
+    * ([[Dedup.hash64BandPairs]]) — recall 1.0 for Hamming ≤ 3 by
+    * pigeonhole. Duplicate clips at different volumes or ZOH rate
+    * multiples land at Hamming 0 (the fingerprint's exact
+    * invariances); non-audio payloads are excluded before banding.
+    * Output: (id_a, id_b, hamming). Same 100 TB shape as
+    * [[imageNearDupPairs]]: only (id, hash) rows reach the shuffle.
+    */
+  def audioNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue,
+      canonicalRate: Int = 8000
+  ): DataFrame =
+    Dedup.hash64BandPairs(
+      audioFingerprint(df, idCol, binCol, canonicalRate)
+        .filter(col("afp").isNotNull)
+        .select(col(idCol), col("afp")),
+      idCol, "afp", maxHamming, maxBucket)
+
+  // -------------------------------- 64-bit perceptual signature indexes
+  // (dHash for images, energy-sign fingerprints for audio — ONE stored
+  // layout `(index_id, dhash, band, bandval)` bucketed on bandval, so
+  // deleteFromDHashIndex / purgeDHashIndex / dhashIndexStats /
+  // isStaleDHashIndex serve BOTH families verbatim; `dhash` is the
+  // 64-bit perceptual hash column whatever the modality)
 
   /** Band-exploded (id, dhash, band, bandval) rows — the persisted LSH
     * layout: one row per band so a query joins exactly the buckets its
     * own bands touch.
     */
-  private def dhashBandRows(sig: DataFrame, idCol: String): DataFrame =
-    sig.select(col(idCol).as("index_id"), col("dhash"),
-      posexplode(Dedup.bands64(col("dhash"))).as(Seq("band", "bandval")))
+  private def dhashBandRows(
+      sig: DataFrame, idCol: String, hashCol: String = "dhash"): DataFrame =
+    sig.select(col(idCol).as("index_id"), col(hashCol).as("dhash"))
+      .select(col("index_id"), col("dhash"),
+        posexplode(Dedup.bands64(col("dhash"))).as(Seq("band", "bandval")))
 
   /** Materialize an image corpus's dHash signatures as a bucketed index
     * table — the image twin of [[Dedup.writeMinhashIndex]], and the
@@ -904,6 +1048,32 @@ object Multimodal {
       tableName, "bandval", buckets)
   }
 
+  /** Materialize an audio corpus's perceptual fingerprints as a
+    * bucketed index table — the SIXTH persisted signature surface,
+    * riding the dHash family's stored layout verbatim (see the section
+    * comment): build/append here, collide with
+    * [[audioPairsAgainstIndex]], delete/purge/measure with the SHARED
+    * [[deleteFromDHashIndex]] / [[purgeDHashIndex]] /
+    * [[dhashIndexStats]] / [[isStaleDHashIndex]] verbs. Undecodable
+    * and unfingerprint-able payloads are skipped (no fabricated
+    * signatures).
+    */
+  def writeAudioFingerprintIndex(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      tableName: String,
+      buckets: Int = 16,
+      canonicalRate: Int = 8000
+  ): Unit = {
+    require(buckets > 0)
+    graft.plans.ScaleJoins.writeBucketed(
+      dhashBandRows(
+        audioFingerprint(df, idCol, binCol, canonicalRate)
+          .filter(col("afp").isNotNull), idCol, "afp"),
+      tableName, "bandval", buckets)
+  }
+
   /** Incremental index maintenance: signature an accepted image batch
     * and append its band rows through the table's own bucket spec —
     * O(batch) per ingest epoch, never a corpus re-hash (the
@@ -917,16 +1087,42 @@ object Multimodal {
       batch: DataFrame,
       idCol: String,
       binCol: String
-  ): Unit = {
+  ): Unit =
+    appendHash64BandRows(spark, tableName,
+      dhashBandRows(
+        imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol))
+
+  /** Incremental audio-index maintenance — [[appendToDHashIndex]]'s
+    * contract (O(batch) per epoch, replay appends byte-identical
+    * residue compaction drops) over the fingerprint signatures.
+    */
+  def appendToAudioFingerprintIndex(
+      spark: SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      binCol: String,
+      canonicalRate: Int = 8000
+  ): Unit =
+    appendHash64BandRows(spark, tableName,
+      dhashBandRows(
+        audioFingerprint(batch, idCol, binCol, canonicalRate)
+          .filter(col("afp").isNotNull), idCol, "afp"))
+
+  /** The shared append tail of the 64-bit signature index family:
+    * schema-validate, append through the table's own bucket spec,
+    * refresh cached listings.
+    */
+  private def appendHash64BandRows(
+      spark: SparkSession, tableName: String, rows: DataFrame): Unit = {
     val index = spark.table(tableName)
     require(index.columns.sameElements(Array("index_id", "dhash", "band", "bandval")),
-      s"$tableName does not hold band-exploded dHash signatures")
+      s"$tableName does not hold band-exploded 64-bit signatures")
     val bucketSpec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
       .bucketSpec
     require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
-    dhashBandRows(
-      imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol)
+    rows
       .write.mode("append").format("parquet")
       .bucketBy(bucketSpec.get.numBuckets, "bandval").sortBy("bandval")
       .saveAsTable(tableName)
@@ -967,15 +1163,56 @@ object Multimodal {
       maxHamming: Int = 3,
       maxBucket: Int = Int.MaxValue,
       pruneKeys: Int = 4096
+  ): DataFrame =
+    hash64PairsAgainstIndex(spark, tableName,
+      dhashBandRows(
+        imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol),
+      maxHamming, maxBucket, pruneKeys)
+
+  /** Audio near-dup collisions of a batch AGAINST the materialized
+    * fingerprint index — [[imagePairsAgainstIndex]]'s contract and
+    * scale shape (batch-only hashing, bucket-pruned probe, tombstones
+    * excluded before the cap) over the audio family. Output:
+    * (batch_id, index_id, hamming).
+    */
+  def audioPairsAgainstIndex(
+      spark: SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue,
+      pruneKeys: Int = 4096,
+      canonicalRate: Int = 8000
+  ): DataFrame =
+    hash64PairsAgainstIndex(spark, tableName,
+      dhashBandRows(
+        audioFingerprint(batch, idCol, binCol, canonicalRate)
+          .filter(col("afp").isNotNull), idCol, "afp"),
+      maxHamming, maxBucket, pruneKeys)
+
+  /** The shared banded probe of the 64-bit signature index family:
+    * persist the batch's band rows once, push the touched band values
+    * as an IN() when they fit a literal list (bucket-pruning the
+    * scan), exclude tombstones BEFORE the hot-bucket cap, verify on
+    * full-hash Hamming.
+    */
+  private def hash64PairsAgainstIndex(
+      spark: SparkSession,
+      tableName: String,
+      batchBandRows: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int,
+      pruneKeys: Int
   ): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit banding guarantees recall only to Hamming 3 (got $maxHamming)")
     val index = spark.table(tableName)
     require(index.columns.sameElements(Array("index_id", "dhash", "band", "bandval")),
-      s"$tableName does not hold band-exploded dHash signatures")
+      s"$tableName does not hold band-exploded 64-bit signatures")
     val bSig = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      dhashBandRows(
-        imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol)
+      batchBandRows
         .withColumnRenamed("index_id", "batch_id")
         .withColumnRenamed("dhash", "a_hash"),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

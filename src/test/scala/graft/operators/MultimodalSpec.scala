@@ -701,6 +701,86 @@ class MultimodalSpec extends SparkSpec {
     assert(b2 === a2)
   }
 
+  test("audioFingerprint: exact volume + ZOH-rate invariance; non-audio and too-short clips pass through fingerprint-less") {
+    import spark.implicits._
+    def wave(base: Int, n: Int): Seq[Int] =
+      (0 until n).map(j => 2 * ((j * j * 7 + j * 31 + base * 131) % 12000 - 6000))
+    val s0 = wave(5, 200)
+    val media = Seq(
+      (0L, wav(1, 4000, 16, s0)),
+      (1L, wav(1, 4000, 16, s0.map(_ / 2))),            // exact half volume
+      (2L, wav(1, 8000, 16, s0.flatMap(v => Seq(v, v)))), // ZOH rate double
+      (3L, wav(1, 4000, 16, wave(9, 200))),             // different waveform
+      (4L, wav(1, 4000, 16, wave(1, 71))),              // below the 72 floor
+      (5L, "not audio at all".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val fp = Multimodal.audioFingerprint(media, "id", "payload", canonicalRate = 4000)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    assert(fp(0L).isDefined)
+    assert(fp(1L) === fp(0L), "exact volume halving must not move a single bit")
+    assert(fp(2L) === fp(0L), "ZOH rate doubling must canonicalize away")
+    assert(fp(3L).isDefined && fp(3L) != fp(0L), "different waveforms must differ")
+    assert(fp(4L).isEmpty, "sub-72-frame clips are honestly unfingerprinted")
+    assert(fp(5L).isEmpty, "non-audio passes through fingerprint-less")
+    // the banding kernel recovers the invariance trio; the null rows
+    // never reach it
+    val pairs = Multimodal.audioNearDupPairs(media, "id", "payload",
+      maxHamming = 0, canonicalRate = 4000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(pairs), pairs.toString)
+    assert(!pairs.exists(p => p._1 >= 4L || p._2 >= 4L),
+      "unfingerprinted payloads must never pair")
+  }
+
+  test("audio fingerprint index lifecycle: append == rebuild; the dHash family's delete/purge/stats verbs serve it verbatim") {
+    import spark.implicits._
+    def wave(base: Int, n: Int): Seq[Int] =
+      (0 until n).map(j => 2 * ((j * j * 7 + j * 31 + base * 131) % 12000 - 6000))
+    def clip(d: Int): Array[Byte] = {
+      val base = d / 2
+      val s = wave(base, 96 + base % 32)
+      if (d % 2 == 0) wav(1, 4000, 16, s)
+      else wav(1, 8000, 16, s.flatMap(v => Seq(v / 2, v / 2))) // rate+volume twin
+    }
+    val media = (0 until 60).map(d => (d.toLong, clip(d))).toDF("id", "payload")
+    val evens = media.filter(col("id") % 2 === 0)
+    val odds = media.filter(col("id") % 2 === 1)
+    def pairs(tbl: String) =
+      Multimodal.audioPairsAgainstIndex(spark, tbl, odds, "id", "payload",
+        canonicalRate = 4000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    Multimodal.writeAudioFingerprintIndex(evens, "id", "payload",
+      "afp_idx_whole", buckets = 4, canonicalRate = 4000)
+    Multimodal.writeAudioFingerprintIndex(evens.filter(col("id") < 30),
+      "id", "payload", "afp_idx_half", buckets = 4, canonicalRate = 4000)
+    Multimodal.appendToAudioFingerprintIndex(spark, "afp_idx_half",
+      evens.filter(col("id") >= 30), "id", "payload", canonicalRate = 4000)
+    val whole = pairs("afp_idx_whole")
+    assert(whole === pairs("afp_idx_half"), "append must equal rebuild")
+    // every odd batch clip recovers its even rate+volume twin at Hamming 0
+    (0 until 60 by 2).foreach { d =>
+      assert(whole.contains(((d + 1).toLong, d.toLong, 0)),
+        s"planted twin ($d, ${d + 1}) not recovered: $whole")
+    }
+
+    // the SHARED family verbs: delete == rebuild, purge reclaims
+    val receipt = Multimodal.deleteFromDHashIndex(spark, "afp_idx_whole",
+      evens.filter(col("id") % 4 === 0).select("id"))
+    assert(receipt === evens.filter(col("id") % 4 === 0).count())
+    Multimodal.writeAudioFingerprintIndex(evens.filter(col("id") % 4 =!= 0),
+      "id", "payload", "afp_idx_rebuilt", buckets = 4, canonicalRate = 4000)
+    val deleted = pairs("afp_idx_whole")
+    assert(deleted === pairs("afp_idx_rebuilt"), "delete must equal rebuild")
+    assert(Multimodal.dhashIndexStats(spark, "afp_idx_whole").tombstoneFraction > 0.0)
+    val (before, after) = Multimodal.purgeDHashIndex(spark, "afp_idx_whole")
+    assert(after < before)
+    assert(pairs("afp_idx_whole") === deleted, "purge must not change answers")
+    assert(Multimodal.dhashIndexStats(spark, "afp_idx_whole").tombstoneFraction === 0.0)
+  }
+
   test("imageDHash: the resample grid really decimates larger images") {
     import spark.implicits._
     // 18×16 image whose even-coordinate pixels reproduce the 9×8 base:
