@@ -714,6 +714,89 @@ object Corpus {
         coalesce(col("mean_logprob"), lit(0.0)).as("mean_logprob"))
   }
 
+  /** Multinomial naive Bayes with add-one smoothing — the LEARNED
+    * quality/domain gate beside the LM scorers (the CCNet-style
+    * supervised classifier every corpus pipeline runs, fastText's
+    * niche, in exact-arithmetic form): train per-class token counts on
+    * a labeled stratum, score every document by integer micro-unit
+    * log-likelihood, emit per-class scores and the argmax prediction.
+    *
+    *   score_fx(y) = fx(ln(d_y / D)) + Σ_w tf(w) · fx(ln((c_yw + 1) /
+    *                 (N_y + V)))        with fx(x) = ⌊x·10⁶ + 0.5⌋
+    *
+    * d_y = class-y training docs, c_yw = class-y count of token w,
+    * N_y = class-y token total, V = training vocabulary size. Tokens
+    * unseen in class y — including tokens unseen in training entirely —
+    * take the same smoothed (0+1)/(N_y+V) arm, so the model is total.
+    * Every `ln` is evaluated on an exact integer ratio in double
+    * (bit-identical on any IEEE-754 engine) and quantized to fixed
+    * point BEFORE the tf multiply and the per-document sum — the
+    * [[TextAnalysis]] cosineIdfFx discipline — so scores, and therefore
+    * predictions, replay exactly in the DuckDB oracle. Ties break
+    * toward the lexicographically smaller label (deterministic).
+    *
+    * Scale shape: training is two bounded hash aggregates over the
+    * labeled stratum (class counts are config-sized, the (class, token)
+    * table is vocabulary-sized and broadcast); scoring is one
+    * tokenize+tf pass over the corpus cross-joined with the K class
+    * rows (K is small — the token stream fans out K×, the standard
+    * one-vs-all cost) and one left join against the (class, token)
+    * counts. Zero corpus-sized shuffles beyond the per-doc tf
+    * aggregate.
+    *
+    * @return one row per (document, class):
+    *         (idCol, label, score_fx, pred) — `pred` marks the argmax
+    *         row; zero-token documents score the prior alone
+    */
+  def naiveBayesClassScores(
+      train: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def toks(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .select(keep :+ explode(TextAnalysis.tokens(lower(col(textCol)))).as("__w"): _*)
+      .filter(length(col("__w")) > 0)
+    val trainTok = toks(train, Seq(col(labelCol).as("__label")))
+    val cyw = trainTok.groupBy("__label", "__w").agg(count(lit(1)).as("__cyw"))
+    val ny = trainTok.groupBy("__label").agg(count(lit(1)).as("__ny"))
+    val v = trainTok.agg(countDistinct(col("__w")).as("__v"))
+    val dy = train.groupBy(col(labelCol).as("__label")).agg(count(lit(1)).as("__dy"))
+    val dTot = train.agg(count(lit(1)).as("__d"))
+    // K class rows: prior + the (N_y + V) smoothing denominator
+    val classes = ny.join(dy, Seq("__label"))
+      .crossJoin(broadcast(v)).crossJoin(broadcast(dTot))
+      .select(
+        col("__label"),
+        TextAnalysis.fxLong(
+          log(col("__dy").cast("double") / col("__d").cast("double")) * lit(1e6))
+          .as("__prior_fx"),
+        (col("__ny") + col("__v")).as("__den"))
+    val dtf = toks(docs, Seq(col(idCol)))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
+    val contrib = dtf
+      .crossJoin(broadcast(classes))
+      .join(cyw, Seq("__label", "__w"), "left_outer")
+      .withColumn("__fx", TextAnalysis.fxLong(
+        log((coalesce(col("__cyw"), lit(0L)) + 1).cast("double") /
+          col("__den").cast("double")) * lit(1e6)))
+      .groupBy(col(idCol), col("__label"), col("__prior_fx"))
+      .agg(sum((col("__tf") * col("__fx")).cast(dec)).as("__sum"))
+      .select(col(idCol), col("__label"),
+        (col("__prior_fx") + col("__sum").cast("long")).as("score_fx"))
+    // zero-token documents still get K rows: the prior alone
+    val all = docs.select(col(idCol)).distinct()
+      .crossJoin(broadcast(classes.select(col("__label"), col("__prior_fx"))))
+      .join(contrib, Seq(idCol, "__label"), "left_outer")
+      .select(col(idCol), col("__label").as("label"),
+        coalesce(col("score_fx"), col("__prior_fx")).as("score_fx"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_fx").desc, col("label"))
+    all.withColumn("pred", row_number().over(w) === 1)
+  }
+
   // -------------------------------------------------------------- stats
 
   /** Per-group corpus statistics: document count, total/mean length and

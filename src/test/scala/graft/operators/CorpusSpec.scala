@@ -644,4 +644,77 @@ class CorpusSpec extends SparkSpec {
       .filter(col("split_after") =!= col("split"))
     assert(moved.filter(col("split_after") =!= "train").count() === 0L)
   }
+
+  test("naive Bayes quality gate: supervision beats the bigram-LM perplexity baseline on planted two-mode junk") {
+    // two junk modes fool a perplexity threshold from opposite sides:
+    // repetitive spam scores HIGH (repetition is predictable), rare
+    // gibberish chains score LOW, fluent corpus text sits between —
+    // no single threshold separates junk from good, but the learned
+    // classifier sees the junk VOCABULARY and nails both modes
+    val docs = table("documents").select("doc_id", "text")
+      .filter(col("doc_id") < 600)
+    val fixture = docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+        expr("trim(repeat('spamword spamton ', cast(6 + doc_id % 5 as int)))"))
+        .when(col("doc_id") % 6 === 3,
+          expr("array_join(transform(sequence(0, 20), " +
+            "i -> concat('zq', cast((doc_id * 37 + i * i * 3 + i * doc_id) % 1000 as string))), ' ')"))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 3 === 0, lit("junk"))
+        .otherwise(lit("good")).as("label"))
+    // block split (NOT parity: junk_rep ids are all even) — both junk
+    // modes land on both sides
+    val train = fixture.filter(col("doc_id") % 12 < 6)
+    val holdout = fixture.filter(col("doc_id") % 12 >= 6)
+    val truth = holdout.select("doc_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(truth.values.toSet === Set("good", "junk"),
+      "the holdout must carry both classes")
+
+    val scored = Corpus.naiveBayesClassScores(
+      train, holdout.select("doc_id", "text"), "doc_id", "text", "label")
+      .collect()
+    // shape invariants: K rows per doc, exactly one argmax
+    val byDoc = scored.groupBy(_.getLong(0))
+    assert(byDoc.forall(_._2.length == 2), "two class rows per doc")
+    assert(byDoc.forall(_._2.count(_.getBoolean(3)) == 1), "one argmax per doc")
+    val nbAcc = byDoc.map { case (id, rows) =>
+      if (rows.find(_.getBoolean(3)).get.getString(1) == truth(id)) 1 else 0
+    }.sum.toDouble / byDoc.size
+
+    // the perplexity baseline, given its BEST possible single
+    // threshold in either direction on the held-out scores
+    val lm = Corpus.bigramLogProbScores(fixture, "doc_id", "text")
+      .join(holdout.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "mean_logprob").collect()
+      .map(r => (truth(r.getLong(0)), r.getDouble(1)))
+    val cuts = lm.map(_._2).distinct.sorted
+    val lmBest = (cuts :+ Double.MaxValue).flatMap { t =>
+      Seq(
+        lm.count { case (l, s) => (s >= t) == (l == "junk") },
+        lm.count { case (l, s) => (s <= t) == (l == "junk") })
+    }.max.toDouble / lm.length
+    assert(nbAcc > lmBest,
+      s"NB holdout accuracy $nbAcc must beat the best-threshold LM baseline $lmBest")
+    assert(nbAcc > 0.95, s"NB should essentially solve the planted labels, got $nbAcc")
+  }
+
+  test("naive Bayes: zero-token docs score the prior alone; ties break toward the smaller label") {
+    import spark.implicits._
+    val train = Seq(
+      ("apple pie", "a"), ("apple tart", "a"),
+      ("zebra run", "b"), ("zebra walk", "b"))
+      .toDF("text", "label")
+    val docs = Seq((1L, ""), (2L, "unseen tokens only here")).toDF("doc_id", "text")
+    val out = Corpus.naiveBayesClassScores(train, docs, "doc_id", "text", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val empty = out.filter(_._1 == 1L)
+    // equal priors (2 docs each): ln(1/2) in micro-units on both rows
+    assert(empty.map(_._3).toSet === Set(Math.floor(Math.log(0.5) * 1e6 + 0.5).toLong))
+    assert(empty.find(_._4).get._2 === "a", "tie must break toward the smaller label")
+    // all-unseen tokens: every class scores prior + n·ln(1/(N_y+V));
+    // N and V are symmetric here so the tie again breaks to 'a'
+    assert(out.filter(_._1 == 2L).find(_._4).get._2 === "a")
+  }
 }
