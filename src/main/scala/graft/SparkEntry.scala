@@ -1141,6 +1141,40 @@ object SparkEntry {
         maxHamming = 3, canonicalRate = 4000)
         .orderBy("batch_id", "index_id")
     }),
+    // FILTERED image near-dup over the dHash index: carried metadata
+    // (cam) restricts candidates during the banded probe — filtered
+    // probe parity for the image family; twin = the shared replay with
+    // the index side restricted to the predicate's sub-corpus
+    "q_mm_dhash_filtered" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 500).map(d => (d.toLong, dedupPpm98(d),
+        if (d % 3 == 0) "a" else "b")).toDF("doc_id", "payload", "cam")
+      val idxTable = "dhash_flt_gate"
+      if (!s.catalog.tableExists(idxTable))
+        Multimodal.writeDHashIndex(media.filter(col("doc_id") % 2 === 0),
+          "doc_id", "payload", idxTable, buckets = 8, carryCols = Seq("cam"))
+      Multimodal.imagePairsAgainstIndexWhere(s, idxTable,
+        media.filter(col("doc_id") % 2 === 1), "doc_id", "payload",
+        predicate = col("cam") === "a", maxHamming = 3)
+        .orderBy("batch_id", "index_id")
+    }),
+    // FILTERED audio near-dup over the fingerprint index — the same
+    // carried-metadata restriction for the audio family
+    "q_mm_audio_dedup_filtered" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 200).map(d => (d.toLong, dedupWav(d),
+        if (d % 3 == 0) "a" else "b")).toDF("doc_id", "payload", "cam")
+      val idxTable = "afp_flt_gate"
+      if (!s.catalog.tableExists(idxTable))
+        Multimodal.writeAudioFingerprintIndex(
+          media.filter(col("doc_id") % 2 === 0),
+          "doc_id", "payload", idxTable, buckets = 8, canonicalRate = 4000,
+          carryCols = Seq("cam"))
+      Multimodal.audioPairsAgainstIndexWhere(s, idxTable,
+        media.filter(col("doc_id") % 2 === 1), "doc_id", "payload",
+        predicate = col("cam") === "a", maxHamming = 3, canonicalRate = 4000)
+        .orderBy("batch_id", "index_id")
+    }),
     // JSON sidecar flatten: schema inferred once driver-side from a
     // bounded sample, then one codegen'd from_json pass corpus-wide —
     // crawl-metadata extraction as typed columns
@@ -4646,6 +4680,30 @@ object SparkEntry {
         "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv " +
         "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) " +
         "SELECT batch_id, index_id, CAST(ham AS INTEGER) AS hamming FROM " +
+        "(SELECT p2.batch_id, p2.index_id, list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +
+        "WHERE ham <= 3 ORDER BY batch_id, index_id"),
+    "q_mm_dhash_filtered" ->
+      // restriction replay: the asymmetric band join with the index
+      // side limited to cam='a' ids (doc_id % 3 = 0) — exactly what an
+      // index rebuilt over that sub-corpus would emit
+      (dhashPairCtes +
+        "p2 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id " +
+        "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv " +
+        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 3 = 0) " +
+        "SELECT batch_id, index_id, CAST(ham AS INTEGER) AS hamming, 'a' AS cam FROM " +
+        "(SELECT p2.batch_id, p2.index_id, list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +
+        "WHERE ham <= 3 ORDER BY batch_id, index_id"),
+    "q_mm_audio_dedup_filtered" ->
+      // same restriction replay over the audio fingerprint chain
+      (audioPairCtes +
+        "p2 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id " +
+        "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv " +
+        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 3 = 0) " +
+        "SELECT batch_id, index_id, CAST(ham AS INTEGER) AS hamming, 'a' AS cam FROM " +
         "(SELECT p2.batch_id, p2.index_id, list_sum(list_transform(range(64), i -> " +
         "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
         "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +

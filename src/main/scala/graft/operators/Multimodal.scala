@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1022,6 +1022,35 @@ object Multimodal {
       .select(col("index_id"), col("dhash"),
         posexplode(Dedup.bands64(col("dhash"))).as(Seq("band", "bandval")))
 
+  private val Hash64ReservedCols = Array("index_id", "dhash", "band", "bandval")
+
+  /** Validate a stored signature table's layout and return its CARRIED
+    * metadata columns — the first four columns are the signature
+    * identity, any remainder is per-row metadata (lang, license,
+    * camera, source …) for the filtered probes; the
+    * [[Dedup.minhashCarriedCols]] convention.
+    */
+  private def hash64CarriedCols(index: DataFrame, tableName: String): Seq[String] = {
+    require(index.columns.length >= Hash64ReservedCols.length &&
+      index.columns.take(Hash64ReservedCols.length).sameElements(Hash64ReservedCols),
+      s"$tableName does not hold band-exploded 64-bit signatures")
+    index.columns.drop(Hash64ReservedCols.length).toSeq
+  }
+
+  /** Attach carried metadata columns (from the source frame, keyed by
+    * id) to band rows — carried values repeat once per band (4×), the
+    * denormalization that lets the filtered probe's predicate reach
+    * the bucket-pruned scan with no join back to a doc table.
+    */
+  private def withCarried(
+      rows: DataFrame, src: DataFrame, idCol: String,
+      carryCols: Seq[String]): DataFrame =
+    if (carryCols.isEmpty) rows
+    else rows.join(
+      src.select(col(idCol).as("index_id") +: carryCols.map(col): _*),
+      Seq("index_id"))
+      .select((Hash64ReservedCols.toSeq ++ carryCols).map(col): _*)
+
   /** Materialize an image corpus's dHash signatures as a bucketed index
     * table — the image twin of [[Dedup.writeMinhashIndex]], and the
     * fifth persisted index family (MinHash, IVF-SQ, IVF-PQ, BM25,
@@ -1039,12 +1068,18 @@ object Multimodal {
       idCol: String,
       binCol: String,
       tableName: String,
-      buckets: Int = 16
+      buckets: Int = 16,
+      carryCols: Seq[String] = Nil
   ): Unit = {
     require(buckets > 0)
+    require(carryCols.forall(c => !Hash64ReservedCols.contains(c)),
+      s"carryCols collide with index columns: " +
+        carryCols.filter(Hash64ReservedCols.contains).mkString(", "))
     graft.plans.ScaleJoins.writeBucketed(
-      dhashBandRows(
-        imageDHash(df, idCol, binCol).filter(col("dhash").isNotNull), idCol),
+      withCarried(
+        dhashBandRows(
+          imageDHash(df, idCol, binCol).filter(col("dhash").isNotNull), idCol),
+        df, idCol, carryCols),
       tableName, "bandval", buckets)
   }
 
@@ -1064,13 +1099,19 @@ object Multimodal {
       binCol: String,
       tableName: String,
       buckets: Int = 16,
-      canonicalRate: Int = 8000
+      canonicalRate: Int = 8000,
+      carryCols: Seq[String] = Nil
   ): Unit = {
     require(buckets > 0)
+    require(carryCols.forall(c => !Hash64ReservedCols.contains(c)),
+      s"carryCols collide with index columns: " +
+        carryCols.filter(Hash64ReservedCols.contains).mkString(", "))
     graft.plans.ScaleJoins.writeBucketed(
-      dhashBandRows(
-        audioFingerprint(df, idCol, binCol, canonicalRate)
-          .filter(col("afp").isNotNull), idCol, "afp"),
+      withCarried(
+        dhashBandRows(
+          audioFingerprint(df, idCol, binCol, canonicalRate)
+            .filter(col("afp").isNotNull), idCol, "afp"),
+        df, idCol, carryCols),
       tableName, "bandval", buckets)
   }
 
@@ -1088,7 +1129,7 @@ object Multimodal {
       idCol: String,
       binCol: String
   ): Unit =
-    appendHash64BandRows(spark, tableName,
+    appendHash64BandRows(spark, tableName, batch, idCol,
       dhashBandRows(
         imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol))
 
@@ -1104,25 +1145,31 @@ object Multimodal {
       binCol: String,
       canonicalRate: Int = 8000
   ): Unit =
-    appendHash64BandRows(spark, tableName,
+    appendHash64BandRows(spark, tableName, batch, idCol,
       dhashBandRows(
         audioFingerprint(batch, idCol, binCol, canonicalRate)
           .filter(col("afp").isNotNull), idCol, "afp"))
 
   /** The shared append tail of the 64-bit signature index family:
-    * schema-validate, append through the table's own bucket spec,
-    * refresh cached listings.
+    * schema-validate, discover carried metadata from the stored schema
+    * (the batch must supply every carried column — the BM25/IVF/MinHash
+    * append rule, session-resolver checked), append through the
+    * table's own bucket spec, refresh cached listings.
     */
   private def appendHash64BandRows(
-      spark: SparkSession, tableName: String, rows: DataFrame): Unit = {
+      spark: SparkSession, tableName: String, batch: DataFrame,
+      idCol: String, rows: DataFrame): Unit = {
     val index = spark.table(tableName)
-    require(index.columns.sameElements(Array("index_id", "dhash", "band", "bandval")),
-      s"$tableName does not hold band-exploded 64-bit signatures")
+    val carried = hash64CarriedCols(index, tableName)
+    val resolver = spark.sessionState.analyzer.resolver
+    val missing = carried.filterNot(c => batch.columns.exists(resolver(_, c)))
+    require(missing.isEmpty,
+      s"batch lacks carried index columns: ${missing.mkString(", ")}")
     val bucketSpec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
       .bucketSpec
     require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
-    rows
+    withCarried(rows, batch, idCol, carried)
       .write.mode("append").format("parquet")
       .bucketBy(bucketSpec.get.numBuckets, "bandval").sortBy("bandval")
       .saveAsTable(tableName)
@@ -1167,7 +1214,34 @@ object Multimodal {
     hash64PairsAgainstIndex(spark, tableName,
       dhashBandRows(
         imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol),
-      maxHamming, maxBucket, pruneKeys)
+      None, maxHamming, maxBucket, pruneKeys)
+
+  /** [[imagePairsAgainstIndex]] restricted to index rows matching
+    * `predicate` over the CARRIED metadata columns
+    * ([[writeDHashIndex]]'s `carryCols`) — the per-license /
+    * per-camera / per-source image-dedup slice, completing filtered
+    * probe parity across the index families (BM25 `carryCols`, IVF
+    * filtered search, MinHash `...AgainstIndexWhere`). The predicate
+    * applies BEFORE the hot-bucket cap (exactly the rows a sub-corpus
+    * rebuild would hold) and reaches the bucket-pruned scan as a
+    * pushed filter. Output carries the matched row's metadata after
+    * (batch_id, index_id, hamming).
+    */
+  def imagePairsAgainstIndexWhere(
+      spark: SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      binCol: String,
+      predicate: Column,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue,
+      pruneKeys: Int = 4096
+  ): DataFrame =
+    hash64PairsAgainstIndex(spark, tableName,
+      dhashBandRows(
+        imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol),
+      Some(predicate), maxHamming, maxBucket, pruneKeys)
 
   /** Audio near-dup collisions of a batch AGAINST the materialized
     * fingerprint index — [[imagePairsAgainstIndex]]'s contract and
@@ -1190,7 +1264,29 @@ object Multimodal {
       dhashBandRows(
         audioFingerprint(batch, idCol, binCol, canonicalRate)
           .filter(col("afp").isNotNull), idCol, "afp"),
-      maxHamming, maxBucket, pruneKeys)
+      None, maxHamming, maxBucket, pruneKeys)
+
+  /** [[audioPairsAgainstIndex]] restricted by a predicate over the
+    * carried metadata — [[imagePairsAgainstIndexWhere]]'s contract for
+    * the audio family.
+    */
+  def audioPairsAgainstIndexWhere(
+      spark: SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      binCol: String,
+      predicate: Column,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue,
+      pruneKeys: Int = 4096,
+      canonicalRate: Int = 8000
+  ): DataFrame =
+    hash64PairsAgainstIndex(spark, tableName,
+      dhashBandRows(
+        audioFingerprint(batch, idCol, binCol, canonicalRate)
+          .filter(col("afp").isNotNull), idCol, "afp"),
+      Some(predicate), maxHamming, maxBucket, pruneKeys)
 
   /** The shared banded probe of the 64-bit signature index family:
     * persist the batch's band rows once, push the touched band values
@@ -1202,6 +1298,7 @@ object Multimodal {
       spark: SparkSession,
       tableName: String,
       batchBandRows: DataFrame,
+      predicate: Option[Column],
       maxHamming: Int,
       maxBucket: Int,
       pruneKeys: Int
@@ -1209,8 +1306,18 @@ object Multimodal {
     require(maxHamming <= 3,
       s"4x16-bit banding guarantees recall only to Hamming 3 (got $maxHamming)")
     val index = spark.table(tableName)
-    require(index.columns.sameElements(Array("index_id", "dhash", "band", "bandval")),
-      s"$tableName does not hold band-exploded 64-bit signatures")
+    val carried = hash64CarriedCols(index, tableName)
+    // the unfiltered probe drops the carried payload before the band
+    // join (column pruning reaches the scan); the filtered probe keeps
+    // it — the predicate needs it and the caller gets it back
+    val kept = if (predicate.isEmpty) Nil else carried
+    val projected = index.select((Hash64ReservedCols.toSeq ++ kept).map(col): _*)
+    // metadata restriction BEFORE tombstones and the hot-bucket cap —
+    // the cap must see exactly what a sub-corpus rebuild would hold
+    val restricted = predicate match {
+      case Some(p) => projected.filter(p)
+      case None => projected
+    }
     val bSig = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
       batchBandRows
         .withColumnRenamed("index_id", "batch_id")
@@ -1218,8 +1325,8 @@ object Multimodal {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = bSig.select("bandval").distinct().limit(pruneKeys + 1).collect()
     val live = dhashTombstones(spark, tableName) match {
-      case Some(ts) => index.join(broadcast(ts), Seq("index_id"), "left_anti")
-      case None => index
+      case Some(ts) => restricted.join(broadcast(ts), Seq("index_id"), "left_anti")
+      case None => restricted
     }
     val iSig = Dedup.capBuckets(
       if (keys.length <= pruneKeys)
@@ -1227,8 +1334,9 @@ object Multimodal {
       else live,
       Seq("band", "bandval"), maxBucket)
     bSig.join(iSig.withColumnRenamed("dhash", "b_hash"), Seq("band", "bandval"))
-      .select(col("batch_id"), col("index_id"),
-        Dedup.hammingDistance(col("a_hash"), col("b_hash")).as("hamming"))
+      .select(col("batch_id") +: col("index_id") +:
+        Dedup.hammingDistance(col("a_hash"), col("b_hash")).as("hamming") +:
+        kept.map(col): _*)
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("batch_id", "index_id")
   }

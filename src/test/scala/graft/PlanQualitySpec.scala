@@ -533,6 +533,37 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("filtered dhash-index query: metadata predicate AND band-key prune both reach the scan") {
+    import spark.implicits._
+    def ppm(d: Int): Array[Byte] = {
+      val px = Array.tabulate(9 * 8 * 3) { o =>
+        val p = o / 3; ((p % 9) * 13 + (p / 9) * 11 + d * 3).toByte
+      }
+      "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
+    }
+    val media = (0 until 60)
+      .map(d => (d.toLong, ppm(d), if (d % 3 == 0) "a" else "b"))
+      .toDF("id", "payload", "cam")
+    graft.operators.Multimodal.writeDHashIndex(
+      media.filter(col("id") % 2 === 0), "id", "payload",
+      "dh_plan_flt", buckets = 4, carryCols = Seq("cam"))
+    def query() = graft.operators.Multimodal.imagePairsAgainstIndexWhere(
+      spark, "dh_plan_flt", media.filter(col("id") % 2 === 1).limit(20),
+      "id", "payload", col("cam") === "a")
+    val plan = explain(query())
+    assert(plan.contains("EqualTo(cam,a)"), plan)
+    assert(plan.contains("In(bandval"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val bucketed = explain(query())
+      assert(bucketed.contains("SelectedBucketsCount"), bucketed)
+      assert(bucketed.contains("EqualTo(cam,a)"), bucketed)
+    } finally spark.conf.set(conf, prev)
+  }
+
   test("ivf-pq index query: probed list ids bucket-prune the codes scan") {
     val emb = table("embeddings").select("vec_id", "embedding").limit(300)
     graft.operators.Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",

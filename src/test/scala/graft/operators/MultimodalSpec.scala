@@ -781,6 +781,75 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dhashIndexStats(spark, "afp_idx_whole").tombstoneFraction === 0.0)
   }
 
+  test("filtered perceptual-index probes: filtered == rebuild over the sub-corpus; carried columns follow the append rule (both modalities)") {
+    import spark.implicits._
+    // ---- image family
+    def img(d: Int): Array[Byte] = ppm98((x, y) =>
+      (x * 31 + y * 17 + (d / 2) * 7 +
+        (if (x == 0 && y == 0 && d % 2 == 1) 40 else 0)) % 256)
+    val media = (0 until 60)
+      .map(d => (d.toLong, img(d), if (d % 3 == 0) "a" else "b"))
+      .toDF("id", "payload", "cam")
+    val evens = media.filter(col("id") % 2 === 0)
+    val odds = media.filter(col("id") % 2 === 1)
+    Multimodal.writeDHashIndex(evens, "id", "payload", "dh_flt_idx",
+      buckets = 4, carryCols = Seq("cam"))
+    Multimodal.writeDHashIndex(evens.filter(col("cam") === "a"),
+      "id", "payload", "dh_flt_sub", buckets = 4)
+    val filtered = Multimodal.imagePairsAgainstIndexWhere(
+      spark, "dh_flt_idx", odds, "id", "payload", col("cam") === "a")
+    assert(filtered.columns.toSeq === Seq("batch_id", "index_id", "hamming", "cam"))
+    assert(filtered.select("cam").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("a"))
+    def triples(df: org.apache.spark.sql.DataFrame) = df
+      .select("batch_id", "index_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(triples(filtered) ===
+      triples(Multimodal.imagePairsAgainstIndex(
+        spark, "dh_flt_sub", odds, "id", "payload")),
+      "filtered probe must equal a rebuild over the sub-corpus")
+    // the UNFILTERED probe on a carried index equals the plain index
+    Multimodal.writeDHashIndex(evens, "id", "payload", "dh_flt_plain", buckets = 4)
+    assert(triples(Multimodal.imagePairsAgainstIndex(
+      spark, "dh_flt_idx", odds, "id", "payload")) ===
+      triples(Multimodal.imagePairsAgainstIndex(
+        spark, "dh_flt_plain", odds, "id", "payload")))
+    // appends must supply carried columns; case-insensitive resolution
+    val bare = Seq((9001L, img(0))).toDF("id", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.appendToDHashIndex(spark, "dh_flt_idx", bare, "id", "payload")
+    }
+    assert(e.getMessage.contains("carried index columns: cam"), e.getMessage)
+    val cased = Seq((9002L, img(0), "a")).toDF("id", "payload", "Cam")
+    Multimodal.appendToDHashIndex(spark, "dh_flt_idx", cased, "id", "payload")
+    val probe = Seq((9500L, img(0))).toDF("id", "payload")
+    val hits = Multimodal.imagePairsAgainstIndexWhere(
+      spark, "dh_flt_idx", probe, "id", "payload", col("cam") === "a")
+      .select("index_id").collect().map(_.getLong(0)).toSet
+    assert(hits.contains(9002L), hits.toString)
+
+    // ---- audio family (same kernel, prove the wiring)
+    def wave(base: Int, n: Int): Seq[Int] =
+      (0 until n).map(j => 2 * ((j * j * 7 + j * 31 + base * 131) % 12000 - 6000))
+    def clip(d: Int): Array[Byte] = wav(1, 4000, 16, wave(d / 2, 96 + (d / 2) % 16))
+    val amedia = (0 until 40)
+      .map(d => (d.toLong, clip(d), if (d % 3 == 0) "a" else "b"))
+      .toDF("id", "payload", "cam")
+    Multimodal.writeAudioFingerprintIndex(amedia.filter(col("id") % 2 === 0),
+      "id", "payload", "afp_flt_idx", buckets = 4, canonicalRate = 4000,
+      carryCols = Seq("cam"))
+    Multimodal.writeAudioFingerprintIndex(
+      amedia.filter(col("id") % 2 === 0 && col("cam") === "a"),
+      "id", "payload", "afp_flt_sub", buckets = 4, canonicalRate = 4000)
+    val aodds = amedia.filter(col("id") % 2 === 1)
+    assert(triples(Multimodal.audioPairsAgainstIndexWhere(
+      spark, "afp_flt_idx", aodds, "id", "payload", col("cam") === "a",
+      canonicalRate = 4000)) ===
+      triples(Multimodal.audioPairsAgainstIndex(
+        spark, "afp_flt_sub", aodds, "id", "payload", canonicalRate = 4000)),
+      "audio filtered probe must equal the sub-corpus rebuild")
+  }
+
   test("imageDHash: the resample grid really decimates larger images") {
     import spark.implicits._
     // 18×16 image whose even-coordinate pixels reproduce the 9×8 base:
