@@ -2560,6 +2560,27 @@ object SparkEntry {
         "doc_id", "text", "label")
         .orderBy("doc_id", "label")
     }),
+    // The same classifier served from a PERSISTED model (train once,
+    // score many): identical contract, identical twin — the model
+    // tables must reproduce the inline path bit for bit
+    "q_corpus_nb_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fixture = docs.select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          expr("trim(repeat('spamword ', cast(8 + doc_id % 9 as int)))"))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 3 === 0, lit("junk"))
+          .otherwise(lit("good")).as("label"))
+      val mdl = s"nb_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(mdl))
+        Corpus.writeNaiveBayesModel(
+          fixture.filter(col("doc_id") % 2 === 0), "text", "label", mdl)
+      Corpus.naiveBayesScoresFromModel(s, mdl,
+        fixture.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
+        "doc_id", "text")
+        .orderBy("doc_id", "label")
+    }),
     "q_corpus_lm_score" -> ((s, dir) => {
       Corpus.bigramLogProbScores(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
@@ -3077,6 +3098,47 @@ object SparkEntry {
       "bnd AS (SELECT doc_id, ba, unnest([0, 1, 2, 3]) AS bd FROM bits), " +
       "bv AS (SELECT doc_id, bd, CAST(list_sum(list_transform(range(16), j -> " +
       "ba[bd * 16 + j + 1] * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS bv FROM bnd), "
+
+  /** The naive-Bayes replay twin — per-class token counts, smoothing
+    * denominators N_y + V, micro-unit-quantized logs (each ln an exact
+    * integer ratio in double, floored at +0.5 like fxLong), per-doc
+    * sums, argmax with the label-ascending tie break. Shared verbatim
+    * by the inline gate and the persisted-model gate: the two paths
+    * promise the identical result.
+    */
+  private lazy val NbOracleSql: String =
+    "WITH fx AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
+        "THEN trim(repeat('spamword ', CAST(8 + doc_id % 9 AS INTEGER))) " +
+        "ELSE text END AS text, CASE WHEN doc_id % 3 = 0 THEN 'junk' " +
+        "ELSE 'good' END AS label FROM documents), " +
+        "tr AS (SELECT * FROM fx WHERE doc_id % 2 = 0), " +
+        "ho AS (SELECT doc_id, text FROM fx WHERE doc_id % 2 = 1), " +
+        "tt AS (SELECT label, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM tr), " +
+        "tt2 AS (SELECT label, w FROM tt WHERE length(w) > 0), " +
+        "cyw AS (SELECT label, w, count(*) AS cyw FROM tt2 GROUP BY 1, 2), " +
+        "ny AS (SELECT label, count(*) AS ny FROM tt2 GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT w) AS v FROM tt2), " +
+        "dy AS (SELECT label, count(*) AS dy FROM tr GROUP BY 1), " +
+        "dt AS (SELECT count(*) AS d FROM tr), " +
+        "cls AS (SELECT ny.label, CAST(floor(ln(CAST(dy.dy AS DOUBLE) / " +
+        "CAST((SELECT d FROM dt) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS prior_fx, " +
+        "CAST(ny.ny + (SELECT v FROM v) AS DOUBLE) AS den " +
+        "FROM ny JOIN dy ON dy.label = ny.label), " +
+        "ht AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM ho), " +
+        "htf AS (SELECT doc_id, w, count(*) AS tf FROM " +
+        "(SELECT * FROM ht WHERE length(w) > 0) GROUP BY 1, 2), " +
+        "contrib AS (SELECT h.doc_id, c.label, c.prior_fx, " +
+        "h.tf * CAST(floor(ln(CAST(COALESCE(y.cyw, 0) + 1 AS DOUBLE) / c.den) " +
+        "* 1000000 + 0.5) AS BIGINT) AS t " +
+        "FROM htf h CROSS JOIN cls c LEFT JOIN cyw y ON y.label = c.label AND y.w = h.w), " +
+        "sc0 AS (SELECT doc_id, label, prior_fx + CAST(sum(t) AS BIGINT) AS score_fx " +
+        "FROM contrib GROUP BY doc_id, label, prior_fx), " +
+        "sc AS (SELECT a.doc_id, c.label, COALESCE(s.score_fx, c.prior_fx) AS score_fx " +
+        "FROM (SELECT DISTINCT doc_id FROM ho) a CROSS JOIN cls c " +
+        "LEFT JOIN sc0 s ON s.doc_id = a.doc_id AND s.label = c.label) " +
+        "SELECT doc_id, label, score_fx, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY score_fx DESC, label) = 1 AS pred " +
+        "FROM sc ORDER BY doc_id, label"
 
   private lazy val ivfSqOracleCtes: String =
     ivfSqOracleCtesFrom(
@@ -5040,44 +5102,10 @@ object SparkEntry {
         "CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id " +
         "FROM w ORDER BY doc_id"
     },
-    "q_corpus_nb_score" ->
-      // the full NB replay: per-class token counts, smoothing
-      // denominators N_y + V, micro-unit-quantized logs (each ln is an
-      // exact integer ratio in double, floored at +0.5 like the
-      // engine's fxLong), per-doc decimal sums, argmax with the
-      // label-ascending tie break
-      ("WITH fx AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 " +
-        "THEN trim(repeat('spamword ', CAST(8 + doc_id % 9 AS INTEGER))) " +
-        "ELSE text END AS text, CASE WHEN doc_id % 3 = 0 THEN 'junk' " +
-        "ELSE 'good' END AS label FROM documents), " +
-        "tr AS (SELECT * FROM fx WHERE doc_id % 2 = 0), " +
-        "ho AS (SELECT doc_id, text FROM fx WHERE doc_id % 2 = 1), " +
-        "tt AS (SELECT label, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM tr), " +
-        "tt2 AS (SELECT label, w FROM tt WHERE length(w) > 0), " +
-        "cyw AS (SELECT label, w, count(*) AS cyw FROM tt2 GROUP BY 1, 2), " +
-        "ny AS (SELECT label, count(*) AS ny FROM tt2 GROUP BY 1), " +
-        "v AS (SELECT count(DISTINCT w) AS v FROM tt2), " +
-        "dy AS (SELECT label, count(*) AS dy FROM tr GROUP BY 1), " +
-        "dt AS (SELECT count(*) AS d FROM tr), " +
-        "cls AS (SELECT ny.label, CAST(floor(ln(CAST(dy.dy AS DOUBLE) / " +
-        "CAST((SELECT d FROM dt) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS prior_fx, " +
-        "CAST(ny.ny + (SELECT v FROM v) AS DOUBLE) AS den " +
-        "FROM ny JOIN dy ON dy.label = ny.label), " +
-        "ht AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM ho), " +
-        "htf AS (SELECT doc_id, w, count(*) AS tf FROM " +
-        "(SELECT * FROM ht WHERE length(w) > 0) GROUP BY 1, 2), " +
-        "contrib AS (SELECT h.doc_id, c.label, c.prior_fx, " +
-        "h.tf * CAST(floor(ln(CAST(COALESCE(y.cyw, 0) + 1 AS DOUBLE) / c.den) " +
-        "* 1000000 + 0.5) AS BIGINT) AS t " +
-        "FROM htf h CROSS JOIN cls c LEFT JOIN cyw y ON y.label = c.label AND y.w = h.w), " +
-        "sc0 AS (SELECT doc_id, label, prior_fx + CAST(sum(t) AS BIGINT) AS score_fx " +
-        "FROM contrib GROUP BY doc_id, label, prior_fx), " +
-        "sc AS (SELECT a.doc_id, c.label, COALESCE(s.score_fx, c.prior_fx) AS score_fx " +
-        "FROM (SELECT DISTINCT doc_id FROM ho) a CROSS JOIN cls c " +
-        "LEFT JOIN sc0 s ON s.doc_id = a.doc_id AND s.label = c.label) " +
-        "SELECT doc_id, label, score_fx, " +
-        "row_number() OVER (PARTITION BY doc_id ORDER BY score_fx DESC, label) = 1 AS pred " +
-        "FROM sc ORDER BY doc_id, label"),
+    "q_corpus_nb_score" -> NbOracleSql,
+    // the persisted-model path promises the identical result — one
+    // twin serves both gates
+    "q_corpus_nb_indexed" -> NbOracleSql,
     "q_corpus_lm_score" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "e AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM toks, unnest(range(1, len(w))) AS t(i)), " +

@@ -755,26 +755,48 @@ object Corpus {
       textCol: String,
       labelCol: String
   ): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    def toks(df: DataFrame, keep: Seq[Column]): DataFrame = df
-      .select(keep :+ explode(TextAnalysis.tokens(lower(col(textCol)))).as("__w"): _*)
+    val trainTok = nbToks(train, textCol, Seq(col(labelCol).as("__label")))
+    nbScoreDocs(docs, idCol, textCol,
+      trainTok.groupBy("__label", "__w").agg(count(lit(1)).as("__cyw")),
+      trainTok.groupBy("__label").agg(count(lit(1)).as("__ny")),
+      train.groupBy(col(labelCol).as("__label")).agg(count(lit(1)).as("__dy")))
+  }
+
+  private def nbToks(df: DataFrame, textCol: String, keep: Seq[Column]): DataFrame =
+    df.select(keep :+ explode(TextAnalysis.tokens(lower(col(textCol)))).as("__w"): _*)
       .filter(length(col("__w")) > 0)
-    val trainTok = toks(train, Seq(col(labelCol).as("__label")))
-    val cyw = trainTok.groupBy("__label", "__w").agg(count(lit(1)).as("__cyw"))
-    val ny = trainTok.groupBy("__label").agg(count(lit(1)).as("__ny"))
-    val v = trainTok.agg(countDistinct(col("__w")).as("__v"))
-    val dy = train.groupBy(col(labelCol).as("__label")).agg(count(lit(1)).as("__dy"))
-    val dTot = train.agg(count(lit(1)).as("__d"))
-    // K class rows: prior + the (N_y + V) smoothing denominator
-    val classes = ny.join(dy, Seq("__label"))
+
+  /** The shared scoring tail of the naive-Bayes family — fed by
+    * [[naiveBayesClassScores]] (counts computed inline) and
+    * [[naiveBayesScoresFromModel]] (counts read from the persisted
+    * model), so the two paths cannot diverge. V and D aggregate from
+    * the count frames themselves (vocabulary-/K-sized — never the
+    * corpus), which keeps a persisted model self-describing with no
+    * stats row to go stale.
+    */
+  private def nbScoreDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cyw: DataFrame, // (__label, __w, __cyw)
+      ny: DataFrame,  // (__label, __ny)
+      dy: DataFrame   // (__label, __dy)
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = cyw.agg(countDistinct(col("__w")).as("__v"))
+    val dTot = dy.agg(coalesce(sum(col("__dy")), lit(0L)).as("__d"))
+    // K class rows: prior + the (N_y + V) smoothing denominator. dy is
+    // the class spine (a zero-token class still classifies — every
+    // token takes its smoothed zero arm)
+    val classes = dy.join(ny, Seq("__label"), "left_outer")
       .crossJoin(broadcast(v)).crossJoin(broadcast(dTot))
       .select(
         col("__label"),
         TextAnalysis.fxLong(
           log(col("__dy").cast("double") / col("__d").cast("double")) * lit(1e6))
           .as("__prior_fx"),
-        (col("__ny") + col("__v")).as("__den"))
-    val dtf = toks(docs, Seq(col(idCol)))
+        (coalesce(col("__ny"), lit(0L)) + col("__v")).as("__den"))
+    val dtf = nbToks(docs, textCol, Seq(col(idCol)))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
     val contrib = dtf
       .crossJoin(broadcast(classes))
@@ -795,6 +817,57 @@ object Corpus {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_fx").desc, col("label"))
     all.withColumn("pred", row_number().over(w) === 1)
+  }
+
+  /** Persist a trained naive-Bayes model — the train-once/score-many
+    * shape of the index families applied to the classifier: `<table>`
+    * holds the (label, w, cyw) token counts (vocabulary × K rows) and
+    * `<table>_classes` the per-class (label, ny, dy) totals. V and D
+    * are NOT stamped — [[naiveBayesScoresFromModel]] re-aggregates
+    * them from the stored counts (vocabulary-sized, cheap), so the
+    * model is self-describing with nothing to go stale. A model is a
+    * derived artifact: to incorporate new labeled data, retrain —
+    * counts are one bounded aggregate over the stratum.
+    */
+  def writeNaiveBayesModel(
+      train: DataFrame,
+      textCol: String,
+      labelCol: String,
+      tableName: String
+  ): Unit = {
+    val spark = train.sparkSession
+    val trainTok = nbToks(train, textCol, Seq(col(labelCol).as("label")))
+    trainTok.groupBy("label", "__w").agg(count(lit(1)).as("cyw"))
+      .select(col("label"), col("__w").as("w"), col("cyw"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tableName)
+    val ny = trainTok.groupBy("label").agg(count(lit(1)).as("ny"))
+    train.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("dy"))
+      .join(ny, Seq("label"), "left_outer")
+      .select(col("label"), coalesce(col("ny"), lit(0L)).as("ny"), col("dy"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tableName + "_classes")
+    spark.catalog.refreshTable(tableName)
+    spark.catalog.refreshTable(tableName + "_classes")
+  }
+
+  /** Score documents against a PERSISTED naive-Bayes model
+    * ([[writeNaiveBayesModel]]) — identical output contract to
+    * [[naiveBayesClassScores]] by construction (both feed the same
+    * scoring tail), but training never re-runs: an ingest epoch pays
+    * one tf pass over the batch plus vocabulary-sized model reads.
+    */
+  def naiveBayesScoresFromModel(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val cls = spark.table(tableName + "_classes")
+    nbScoreDocs(docs, idCol, textCol,
+      spark.table(tableName).select(col("label").as("__label"),
+        col("w").as("__w"), col("cyw").as("__cyw")),
+      cls.select(col("label").as("__label"), col("ny").as("__ny")),
+      cls.select(col("label").as("__label"), col("dy").as("__dy")))
   }
 
   // -------------------------------------------------------------- stats

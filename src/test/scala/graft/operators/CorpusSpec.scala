@@ -700,6 +700,30 @@ class CorpusSpec extends SparkSpec {
     assert(nbAcc > 0.95, s"NB should essentially solve the planted labels, got $nbAcc")
   }
 
+  test("naive Bayes persisted model: from-model scoring == inline scoring bit for bit; a zero-token class still classifies") {
+    import spark.implicits._
+    val train = table("documents").select("doc_id", "text", "lang")
+      .filter(col("doc_id") < 400)
+    val docs = table("documents").select("doc_id", "text")
+      .filter(col("doc_id").between(400, 500))
+    val inline = Corpus.naiveBayesClassScores(train, docs, "doc_id", "text", "lang")
+      .collect().map(_.toString).sorted.toSeq
+    Corpus.writeNaiveBayesModel(train, "text", "lang", "nb_model_rt")
+    val fromModel = Corpus.naiveBayesScoresFromModel(
+      spark, "nb_model_rt", docs, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromModel === inline, "persisted model must reproduce inline scoring")
+    // a class whose every training doc is zero-token still exists in
+    // the output (prior + all-smoothed-zero likelihoods), never dropped
+    val t2 = Seq(("apple pie good", "x"), ("apple tart fine", "x"), ("", "empty"))
+      .toDF("text", "label")
+    val out = Corpus.naiveBayesClassScores(
+      t2, Seq((1L, "apple pie")).toDF("doc_id", "text"), "doc_id", "text", "label")
+      .collect()
+    assert(out.map(_.getString(1)).toSet === Set("x", "empty"))
+    assert(out.find(_.getBoolean(3)).get.getString(1) === "x")
+  }
+
   test("naive Bayes: zero-token docs score the prior alone; ties break toward the smaller label") {
     import spark.implicits._
     val train = Seq(
