@@ -2542,6 +2542,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // Corpus-pipeline: bigram-LM quality scoring (corpus fit + doc score)
+    // URL canonicalization for web corpora: fragment/tracking-param
+    // strip, scheme+host lowercasing, default-port removal, byte-wise
+    // query sort — synthesized hazard URLs from doc_id, every
+    // normalization replayed by the identical regexes in the twin
+    "q_corpus_url_canon" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select("doc_id").withColumn("url", expr(
+        "concat('HTTP', CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'S' END, " +
+          "'://ExAmple', cast(doc_id % 7 as string), '.COM', " +
+          "CASE WHEN doc_id % 2 = 0 THEN ':80' WHEN doc_id % 5 = 0 THEN ':443' ELSE ':8080' END, " +
+          "CASE WHEN doc_id % 11 = 0 THEN '' ELSE concat('/Path/', cast(doc_id % 5 as string)) END, " +
+          "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1' " +
+          "WHEN doc_id % 3 = 1 THEN '?z=9&utm_campaign=c&a=1&fbclid=f' ELSE '' END, " +
+          "CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END)"))
+      urls.select(col("doc_id"), col("url"),
+        Corpus.canonicalizeUrl(col("url")).as("url_canon"),
+        Corpus.urlHost(col("url")).as("host"))
+        .orderBy("doc_id")
+    }),
     // Learned quality gate: exact-integer multinomial naive Bayes —
     // train good-vs-junk on the even-id half of a planted fixture
     // (junk = repetitive spamword runs), score the HELD-OUT odd half;
@@ -5102,6 +5120,36 @@ object SparkEntry {
         "CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id " +
         "FROM w ORDER BY doc_id"
     },
+    "q_corpus_url_canon" ->
+      // identical construction + identical regexes: fragment via first
+      // '#', query via first '?', "scheme://host[:port]" by the SAME
+      // regexp the engine uses, default ports stripped, tracking
+      // params dropped, survivors byte-sorted
+      ("WITH u AS (SELECT doc_id, 'HTTP' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'S' END || " +
+        "'://ExAmple' || CAST(doc_id % 7 AS VARCHAR) || '.COM' || " +
+        "CASE WHEN doc_id % 2 = 0 THEN ':80' WHEN doc_id % 5 = 0 THEN ':443' ELSE ':8080' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN '' ELSE '/Path/' || CAST(doc_id % 5 AS VARCHAR) END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1' " +
+        "WHEN doc_id % 3 = 1 THEN '?z=9&utm_campaign=c&a=1&fbclid=f' ELSE '' END || " +
+        "CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url FROM documents), " +
+        "nf AS (SELECT doc_id, url, split_part(url, '#', 1) AS u0 FROM u), " +
+        "pq AS (SELECT doc_id, url, split_part(u0, '?', 1) AS base, " +
+        "CASE WHEN position('?' IN u0) > 0 THEN substr(u0, position('?' IN u0) + 1) " +
+        "ELSE '' END AS q FROM nf), " +
+        "hp AS (SELECT *, regexp_extract(base, '^[^/]*//[^/]*', 0) AS hostpart FROM pq), " +
+        "pp AS (SELECT *, CASE WHEN length(hostpart) > 0 AND " +
+        "length(substr(base, length(hostpart) + 1)) = 0 THEN '/' " +
+        "ELSE substr(base, length(hostpart) + 1) END AS p, " +
+        "regexp_replace(regexp_replace(lower(hostpart), '^(http://.*):80$', '\\1'), " +
+        "'^(https://.*):443$', '\\1') AS hc FROM hp), " +
+        "qq AS (SELECT doc_id, url, hc, p, " +
+        "list_sort(list_filter(string_split(q, '&'), x -> length(x) > 0 AND " +
+        "NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)(=|$)'))) AS ks FROM pp) " +
+        "SELECT doc_id, url, hc || p || CASE WHEN len(ks) > 0 " +
+        "THEN '?' || array_to_string(ks, '&') ELSE '' END AS url_canon, " +
+        "regexp_extract(lower(split_part(split_part(url, '#', 1), '?', 1)), " +
+        "'^[a-z0-9+.-]+://([^/:]+)', 1) AS host " +
+        "FROM qq ORDER BY doc_id"),
     "q_corpus_nb_score" -> NbOracleSql,
     // the persisted-model path promises the identical result — one
     // twin serves both gates

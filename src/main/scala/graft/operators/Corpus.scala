@@ -455,6 +455,67 @@ object Corpus {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  // ------------------------------------------------- URL canonicalization
+
+  /** Query parameters a web-corpus canonicalizer drops — the
+    * click-tracking decorations that make one page look like many URLs
+    * (the #1 source of spurious URL-level "uniqueness" in crawl data).
+    * Anchored partial-match regex over a single `k=v` token.
+    */
+  private val TrackingParamRe =
+    "^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)(=|$)"
+
+  /** Canonicalize an absolute http(s) URL for URL-level dedup and
+    * domain accounting, the standard crawl-pipeline normalizations —
+    * each one a pure codegen'd string expression, so the whole chain
+    * replays in ANSI SQL (the gate's oracle applies the identical
+    * regexes):
+    *
+    *  1. drop the fragment (`#…` — client-side only);
+    *  2. lowercase the `scheme://host[:port]` part (case-insensitive
+    *     by RFC 3986) while leaving path and query case alone;
+    *  3. strip default ports (`:80` on http, `:443` on https);
+    *  4. empty path becomes `/`;
+    *  5. drop tracking parameters ([[TrackingParamRe]]) and sort the
+    *     survivors byte-wise, so parameter order can't split a page's
+    *     identity; an emptied query drops its `?`.
+    *
+    * Best-effort on non-absolute input: a string without
+    * `scheme://host` passes through with only fragment/query handling.
+    * Compose with [[graft.operators.Dedup.exact]] on the result for
+    * URL-level dedup and with [[domainCap]] on [[urlHost]] for
+    * per-site quotas.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val query = when(instr(noFrag, "?") > 0,
+      noFrag.substr(instr(noFrag, "?") + 1, length(noFrag)))
+      .otherwise(lit(""))
+    // "scheme://host[:port]" — same regex the oracle uses (no
+    // substring_index divergence risk across engines)
+    val hostPart = regexp_extract(base, "^[^/]*//[^/]*", 0)
+    val rawPath = base.substr(length(hostPart) + 1, length(base))
+    val path = when(length(hostPart) > 0 && length(rawPath) === 0, lit("/"))
+      .otherwise(rawPath)
+    val hostCanon = regexp_replace(
+      regexp_replace(lower(hostPart), "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    val kept = array_sort(filter(split(query, "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamRe)))
+    concat(hostCanon, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** The bare lowercased host of an absolute URL (no scheme, port,
+    * path) — the grouping key for [[domainCap]]-style per-site quotas
+    * and host-level corpus stats. Empty string for non-absolute input.
+    */
+  def urlHost(url: Column): Column =
+    regexp_extract(lower(substring_index(substring_index(url, "#", 1), "?", 1)),
+      "^[a-z0-9+.-]+://([^/:]+)", 1)
+
   // ------------------------------------------------- end-to-end prepare
 
   /** Thresholds for [[prepareTrainingData]]. */

@@ -700,6 +700,51 @@ class CorpusSpec extends SparkSpec {
     assert(nbAcc > 0.95, s"NB should essentially solve the planted labels, got $nbAcc")
   }
 
+  test("canonicalizeUrl: fragments, default ports, tracking params, param order, case — and the edges") {
+    import spark.implicits._
+    val cases = Seq(
+      // default port strips only on the matching scheme
+      ("HTTP://Host.COM:80/a", "http://host.com/a"),
+      ("https://host.com:443/a", "https://host.com/a"),
+      ("https://host.com:80/a", "https://host.com:80/a"),
+      ("http://host.com:443/a", "http://host.com:443/a"),
+      // empty path normalizes; path/query case preserved
+      ("http://HOST.com", "http://host.com/"),
+      ("http://host.com/CaseD?B=2&a=1", "http://host.com/CaseD?B=2&a=1"),
+      // tracking strip can empty the query entirely
+      ("http://h.co/p?utm_source=x&utm_medium=y", "http://h.co/p"),
+      ("http://h.co/p?gclid=1&z=2#frag", "http://h.co/p?z=2"),
+      // a bare 'utm_x' token (no =) drops; 'utmost=1' survives
+      ("http://h.co/p?utm_x&a=1", "http://h.co/p?a=1"),
+      ("http://h.co/p?utmost=1", "http://h.co/p?utmost=1"),
+      // non-absolute input: best-effort passthrough
+      ("not a url #frag", "not a url "),
+      ("/relative/path?a=1", "/relative/path?a=1"))
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "u")
+      .select(col("i"), Corpus.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) === want, s"canonicalizeUrl($in)")
+    }
+    // urlHost: bare lowercase host, no port/path; empty on non-absolute
+    val hosts = Seq("HTTPS://A.B.c:8443/x?q#f", "http://plain.org", "nope")
+      .zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "u")
+      .select(col("i"), Corpus.urlHost(col("u")).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(hosts(0) === "a.b.c" && hosts(1) === "plain.org" && hosts(2) === "")
+    // composition: canonical-URL dedup collapses tracking variants
+    val pages = Seq(
+      (1L, "http://h.co/p?utm_source=a"),
+      (2L, "http://h.co/p?utm_source=b"),
+      (3L, "http://h.co/other"))
+      .toDF("doc_id", "url")
+      .withColumn("url_canon", Corpus.canonicalizeUrl(col("url")))
+    val survivors = Dedup.exact(pages, "doc_id", "url_canon")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 3L))
+  }
+
   test("naive Bayes persisted model: from-model scoring == inline scoring bit for bit; a zero-token class still classifies") {
     import spark.implicits._
     val train = table("documents").select("doc_id", "text", "lang")
