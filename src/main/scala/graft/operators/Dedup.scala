@@ -1171,7 +1171,14 @@ object Dedup {
     require(index.columns.length >= reserved.length &&
       index.columns.take(reserved.length).sameElements(reserved),
       s"$tableName does not hold k=$k portable minhash signatures")
-    index.columns.drop(reserved.length).toSeq
+    val extras = index.columns.drop(reserved.length).toSeq
+    // a k smaller than the stored width would leave sig_k.. looking
+    // like carried metadata — that is a signature-width mismatch, not
+    // a carried column
+    require(!extras.exists(_.matches("sig_\\d+")),
+      s"$tableName does not hold k=$k portable minhash signatures " +
+        s"(stored width is wider: ${extras.filter(_.matches("sig_\\d+")).mkString(", ")})")
+    extras
   }
 
   def writeMinhashIndex(

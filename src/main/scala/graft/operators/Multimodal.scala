@@ -1212,8 +1212,7 @@ object Multimodal {
       pruneKeys: Int = 4096
   ): DataFrame =
     hash64PairsAgainstIndex(spark, tableName,
-      dhashBandRows(
-        imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol),
+      imageProbeBandRows(batch, idCol, binCol),
       None, maxHamming, maxBucket, pruneKeys)
 
   /** [[imagePairsAgainstIndex]] restricted to index rows matching
@@ -1239,8 +1238,7 @@ object Multimodal {
       pruneKeys: Int = 4096
   ): DataFrame =
     hash64PairsAgainstIndex(spark, tableName,
-      dhashBandRows(
-        imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol),
+      imageProbeBandRows(batch, idCol, binCol),
       Some(predicate), maxHamming, maxBucket, pruneKeys)
 
   /** Audio near-dup collisions of a batch AGAINST the materialized
@@ -1261,9 +1259,7 @@ object Multimodal {
       canonicalRate: Int = 8000
   ): DataFrame =
     hash64PairsAgainstIndex(spark, tableName,
-      dhashBandRows(
-        audioFingerprint(batch, idCol, binCol, canonicalRate)
-          .filter(col("afp").isNotNull), idCol, "afp"),
+      audioProbeBandRows(batch, idCol, binCol, canonicalRate),
       None, maxHamming, maxBucket, pruneKeys)
 
   /** [[audioPairsAgainstIndex]] restricted by a predicate over the
@@ -1283,9 +1279,7 @@ object Multimodal {
       canonicalRate: Int = 8000
   ): DataFrame =
     hash64PairsAgainstIndex(spark, tableName,
-      dhashBandRows(
-        audioFingerprint(batch, idCol, binCol, canonicalRate)
-          .filter(col("afp").isNotNull), idCol, "afp"),
+      audioProbeBandRows(batch, idCol, binCol, canonicalRate),
       Some(predicate), maxHamming, maxBucket, pruneKeys)
 
   /** The shared banded probe of the 64-bit signature index family:
@@ -1294,10 +1288,31 @@ object Multimodal {
     * scan), exclude tombstones BEFORE the hot-bucket cap, verify on
     * full-hash Hamming.
     */
+  /** The probe-side band rows of a batch, renamed for the banded
+    * join — built HERE (and only here) so the kernel's persistOnce
+    * cache and [[graft.streaming.CorpusIngest]]'s per-epoch cache
+    * release construct the identical plan.
+    */
+  private[graft] def imageProbeBandRows(
+      batch: DataFrame, idCol: String, binCol: String): DataFrame =
+    dhashBandRows(
+      imageDHash(batch, idCol, binCol).filter(col("dhash").isNotNull), idCol)
+      .withColumnRenamed("index_id", "batch_id")
+      .withColumnRenamed("dhash", "a_hash")
+
+  private[graft] def audioProbeBandRows(
+      batch: DataFrame, idCol: String, binCol: String,
+      canonicalRate: Int): DataFrame =
+    dhashBandRows(
+      audioFingerprint(batch, idCol, binCol, canonicalRate)
+        .filter(col("afp").isNotNull), idCol, "afp")
+      .withColumnRenamed("index_id", "batch_id")
+      .withColumnRenamed("dhash", "a_hash")
+
   private def hash64PairsAgainstIndex(
       spark: SparkSession,
       tableName: String,
-      batchBandRows: DataFrame,
+      probeRows: DataFrame,
       predicate: Option[Column],
       maxHamming: Int,
       maxBucket: Int,
@@ -1319,9 +1334,7 @@ object Multimodal {
       case None => projected
     }
     val bSig = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      batchBandRows
-        .withColumnRenamed("index_id", "batch_id")
-        .withColumnRenamed("dhash", "a_hash"),
+      probeRows,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = bSig.select("bandval").distinct().limit(pruneKeys + 1).collect()
     val live = dhashTombstones(spark, tableName) match {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 
 /** Streaming corpus ingest — the training-data pipeline's cleaning
   * stages (quality gate → content dedup → per-source rollup) run
@@ -446,6 +446,106 @@ object CorpusIngest {
           // one cache entry per micro-batch forever
           org.apache.spark.sql.graftbridge.CacheBridge.uncache(
             Dedup.portableMinhashSignatures(batch, idCol, textCol, n, k))
+        }
+      }
+      .start()
+  }
+
+  /** [[startWithIndex]]'s contract for BINARY media: each micro-batch's
+    * payloads are perceptually fingerprinted (dHash), collided against
+    * the persisted signature index ([[Multimodal.imagePairsAgainstIndex]],
+    * same-id hits excluded for replay safety) AND against themselves
+    * ([[Multimodal.imageNearDupPairs]], keep-first by id), colliders
+    * drop, survivors land in the idempotent `batch=<id>` sink and
+    * their band rows append so the NEXT epoch sees them. Payloads no
+    * parser accepts pass through UNDEDUPED — no fingerprint means no
+    * identity claim; junk filtering is an upstream policy, silent
+    * drops are not.
+    */
+  def startImageIngest(
+      media: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      indexTable: String,
+      idCol: String = "doc_id",
+      binCol: String = "payload",
+      maxHamming: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    startPerceptualIngest(media, destDir, checkpointDir, idCol, trigger)(
+      (spark, batch) => Multimodal.imagePairsAgainstIndex(
+        spark, indexTable, batch, idCol, binCol, maxHamming),
+      batch => Multimodal.imageNearDupPairs(batch, idCol, binCol, maxHamming),
+      (spark, survivors) =>
+        Multimodal.appendToDHashIndex(spark, indexTable, survivors, idCol, binCol),
+      batch => Multimodal.imageProbeBandRows(batch, idCol, binCol))
+
+  /** [[startImageIngest]] for AUDIO clips — the energy-sign
+    * fingerprint family over the same shared machinery.
+    */
+  def startAudioIngest(
+      media: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      indexTable: String,
+      idCol: String = "doc_id",
+      binCol: String = "payload",
+      maxHamming: Int = 3,
+      canonicalRate: Int = 8000,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    startPerceptualIngest(media, destDir, checkpointDir, idCol, trigger)(
+      (spark, batch) => Multimodal.audioPairsAgainstIndex(
+        spark, indexTable, batch, idCol, binCol, maxHamming,
+        canonicalRate = canonicalRate),
+      batch => Multimodal.audioNearDupPairs(batch, idCol, binCol, maxHamming,
+        canonicalRate = canonicalRate),
+      (spark, survivors) => Multimodal.appendToAudioFingerprintIndex(
+        spark, indexTable, survivors, idCol, binCol, canonicalRate),
+      batch => Multimodal.audioProbeBandRows(batch, idCol, binCol, canonicalRate))
+
+  /** The shared perceptual-ingest foreachBatch: one implementation,
+    * two modalities — the same replay/idempotence/cache-hygiene
+    * contract as [[startWithIndex]], with (batch_id, index_id) /
+    * (id_a, id_b) collision frames supplied by the modality.
+    */
+  private def startPerceptualIngest(
+      media: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      idCol: String,
+      trigger: Trigger
+  )(indexHits: (SparkSession, DataFrame) => DataFrame,
+    selfPairs: DataFrame => DataFrame,
+    appendIndex: (SparkSession, DataFrame) => Unit,
+    probeCacheFrame: DataFrame => DataFrame): StreamingQuery = {
+    ensureDest(media, destDir)
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // same-id exclusion = the startWithIndex replay rule: a
+          // replayed batch re-encounters its own appended signatures
+          val hits = indexHits(spark, batch)
+            .filter(col("batch_id") =!= col("index_id"))
+          // intra-batch: pairs come id_a < id_b — dropping every id_b
+          // keeps exactly the lowest id of each neighborhood
+          val selfDups = selfPairs(batch)
+            .select(col("id_b").as(idCol)).distinct()
+          val survivors = batch
+            .join(hits.select(col("batch_id").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            .join(selfDups, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          survivors.write
+            .mode("overwrite")
+            .parquet(s"$destDir/batch=$batchId")
+          appendIndex(spark, survivors)
+          // one batch's probe cache at a time, never one per epoch
+          org.apache.spark.sql.graftbridge.CacheBridge.uncache(
+            probeCacheFrame(batch))
         }
       }
       .start()

@@ -138,6 +138,116 @@ class CorpusIngestSpec extends SparkSpec {
     assert(ids2.contains(2001L), ids2.toSeq.sorted.mkString(","))
   }
 
+  test("startImageIngest: perceptual colliders drop, non-images pass through, the next epoch remembers survivors") {
+    import spark.implicits._
+    // hashed per-(doc, pixel) grays with a FULL-AVALANCHE mix (a
+    // multiplicative hash is linear — adjacent pixels would keep a
+    // near-constant difference and every doc's gradient signs would
+    // match): distinct docs get decorrelated dHashes; deterministic —
+    // green once, green always
+    def mix8(z0: Long): Int = {
+      var z = z0 * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 33); z *= 0xFF51AFD7ED558CCDL; z ^= (z >>> 33)
+      (z & 0xffL).toInt
+    }
+    def img(d: Int, bump: Int = 0): Array[Byte] = {
+      val px = new Array[Byte](9 * 8 * 3)
+      var o = 0
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val b = if (x == 0 && y == 0) bump else 0
+        val v = ((mix8(x + 9 * y + 72 * d + 1) + b) % 256).toByte
+        px(o) = v; px(o + 1) = v; px(o + 2) = v; o += 3
+      }
+      "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
+    }
+    val history = (0 until 10).map(d => (d.toLong, img(d))).toDF("doc_id", "payload")
+    graft.operators.Multimodal.writeDHashIndex(history, "doc_id", "payload",
+      "ingest_dh_idx", buckets = 4)
+    val srcDir = tmp("graft_mi_src")
+    val outDir = tmp("graft_mi_out")
+    val ckpt = tmp("graft_mi_ckpt")
+    // epoch 1: 8 fresh images, one exact copy of history image 3 (must
+    // collide), an intra-batch near-pair (1050 base / 1051 one-pixel
+    // bump: keep-first drops 1051), and a NON-image payload (no
+    // fingerprint -> passes through undeduped)
+    val fresh = (0 until 8).map(i => (1000L + i, img(100 + i * 3)))
+    val pair = Seq((1050L, img(500)), (1051L, img(500, bump = 40)))
+    val copied = Seq((20000L, img(3)))
+    val junk = Seq((30000L, "not an image".getBytes("US-ASCII")))
+    (fresh ++ pair ++ copied ++ junk).toDF("doc_id", "payload")
+      .write.mode("overwrite").parquet(srcDir)
+    def mediaStream() = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    def run(): Unit =
+      CorpusIngest.startImageIngest(mediaStream(), outDir, ckpt, "ingest_dh_idx")
+        .awaitTermination(180000)
+    run()
+    val ids1 = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids1.contains(20000L), "history collider must drop")
+    assert((1000L until 1008L).forall(ids1.contains), ids1.toSeq.sorted.mkString(","))
+    assert(ids1.contains(1050L) && !ids1.contains(1051L), ids1.toSeq.sorted.mkString(","))
+    assert(ids1.contains(30000L), "non-image payloads pass through undeduped")
+    // epoch 2: a copy of an epoch-1 survivor (only the appended index
+    // can catch it) + a genuinely new image
+    Seq((2000L, img(100)), (2001L, img(700)))
+      .toDF("doc_id", "payload").write.mode("append").parquet(srcDir)
+    run()
+    val ids2 = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids2.contains(2000L), "epoch-1 survivor copy must collide via the appended index")
+    assert(ids2.contains(2001L), ids2.toSeq.sorted.mkString(","))
+  }
+
+  test("startAudioIngest: volume/rate twins of accepted clips collide across epochs") {
+    import spark.implicits._
+    def wave(base: Int, n: Int): Seq[Int] =
+      (0 until n).map(j => 2 * ((j * j * 7 + j * 31 + base * 131) % 12000 - 6000))
+    def wavBytes(samples: Seq[Int], rate: Int): Array[Byte] = {
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def ascii(s: String): Unit = bb ++= s.getBytes("US-ASCII")
+      def le16(v: Int): Unit = { bb += (v & 0xff).toByte; bb += ((v >> 8) & 0xff).toByte }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+      ascii("RIFF"); le32(36 + samples.length * 2); ascii("WAVE")
+      ascii("fmt "); le32(16); le16(1); le16(1); le32(rate); le32(rate * 2)
+      le16(2); le16(16); ascii("data"); le32(samples.length * 2)
+      samples.foreach(s => le16(s & 0xffff))
+      bb.toArray
+    }
+    val history = (0 until 6).map(d => (d.toLong, wavBytes(wave(d, 120), 4000)))
+      .toDF("doc_id", "payload")
+    graft.operators.Multimodal.writeAudioFingerprintIndex(history,
+      "doc_id", "payload", "ingest_afp_idx", buckets = 4, canonicalRate = 4000)
+    val srcDir = tmp("graft_ai_src")
+    val outDir = tmp("graft_ai_out")
+    val ckpt = tmp("graft_ai_ckpt")
+    // epoch 1: a fresh clip + a HALF-VOLUME DOUBLE-RATE twin of history
+    // clip 2 (only the perceptual fingerprint can see through that)
+    Seq(
+      (1000L, wavBytes(wave(50, 120), 4000)),
+      (1001L, wavBytes(wave(2, 120).flatMap(v => Seq(v / 2, v / 2)), 8000)))
+      .toDF("doc_id", "payload").write.mode("overwrite").parquet(srcDir)
+    def run(): Unit =
+      CorpusIngest.startAudioIngest(
+        spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir),
+        outDir, ckpt, "ingest_afp_idx", canonicalRate = 4000)
+        .awaitTermination(180000)
+    run()
+    val ids1 = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === Set(1000L), ids1.toSeq.sorted.mkString(","))
+    // epoch 2: a rate-doubled twin of the epoch-1 SURVIVOR — the
+    // appended fingerprints remember it
+    Seq((2000L, wavBytes(wave(50, 120).flatMap(v => Seq(v, v)), 8000)),
+      (2001L, wavBytes(wave(60, 120), 4000)))
+      .toDF("doc_id", "payload").write.mode("append").parquet(srcDir)
+    run()
+    val ids2 = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids2.contains(2000L), "epoch-1 survivor's rate twin must collide")
+    assert(ids2.contains(2001L), ids2.toSeq.sorted.mkString(","))
+  }
+
   test("startWithIndex → compact → resume: index and batch= layout survive, crash leftover recovered") {
     import spark.implicits._
     def phrase(tag: String) = (1 to 25).map(t => s"${tag}w$t").mkString(" ")
