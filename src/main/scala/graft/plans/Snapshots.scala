@@ -325,7 +325,7 @@ object Snapshots {
     // name, so recover it here (rename back; the rerun then re-purges
     // it). Residue BESIDE a live v=<n> is ambiguous, same refusal as
     // every staged rewrite.
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+    fs.listStatus(root).foreach { st =>
       val m = "v=(\\d+)__vpurge_old".r
       st.getPath.getName match {
         case m(n) =>
