@@ -60,7 +60,7 @@ object Compaction {
     * levels — the column names a compacted rewrite must `partitionBy`
     * to reproduce the layout the readers and the resumed writer expect.
     */
-  private def partitionColumns(
+  private[plans] def partitionColumns(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[String] = {
     val cols = scala.collection.mutable.ArrayBuffer.empty[String]

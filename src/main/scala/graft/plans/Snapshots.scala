@@ -290,10 +290,16 @@ object Snapshots {
     * exactly like compaction's (leftover `v=<n>__vpurge_old` with the
     * version missing recovers on rerun; both present refuses). The
     * `_version_info` sidecar is carried through the rewrite, so the
-    * purged version keeps its tag and timestamp. Versions with no
-    * matching rows are left byte-identical (one pushdown-pruned probe
-    * scan decides — a takedown predicate is id-keyed, so min/max
-    * pruning makes the probe cheap).
+    * purged version keeps its tag and timestamp; `name=value`
+    * partition layouts are preserved ([[Compaction.deleteWhere]]'s
+    * rule — a rolled-back version must keep the directory shape its
+    * readers expect), and an archived Z-ORDERED copy routes through
+    * [[ZOrder.deleteWhereZorder]] (swap tag `delete`, recovered by the
+    * same triage) so its clustering contract survives the sweep
+    * instead of being scrambled under a lying `_zorder_meta`. Versions
+    * with no matching rows are left byte-identical (one
+    * pushdown-pruned probe scan decides — a takedown predicate is
+    * id-keyed, so min/max pruning makes the probe cheap).
     *
     * SQL DELETE semantics, matching [[Compaction.deleteWhere]]: a row
     * is purged only when the predicate is TRUE; NULL survives.
@@ -326,9 +332,11 @@ object Snapshots {
     // it). Residue BESIDE a live v=<n> is ambiguous, same refusal as
     // every staged rewrite.
     fs.listStatus(root).foreach { st =>
-      val m = "v=(\\d+)__vpurge_old".r
+      // vpurge = the plain staged rewrite below; delete = the
+      // z-order-aware sweep (deleteWhereZorder's swap tag)
+      val m = "v=(\\d+)__(vpurge|delete)_old".r
       st.getPath.getName match {
-        case m(n) =>
+        case m(n, _) =>
           val vd = versionDir(root, n.toLong)
           if (!fs.exists(vd)) {
             if (!fs.rename(st.getPath, vd))
@@ -347,28 +355,57 @@ object Snapshots {
         .filter(pred).limit(1).count() > 0
       if (!hasMatch) (n, -1L, -1L)
       else {
-        val obsIn = org.apache.spark.sql.Observation(
-          s"graft-vpurge-in-$n-${java.util.UUID.randomUUID()}")
-        val obsOut = org.apache.spark.sql.Observation(
-          s"graft-vpurge-out-$n-${java.util.UUID.randomUUID()}")
-        val cnt = count(lit(1)).as("n")
-        Compaction.stagedParquetSwap(spark, vd.toString, "vpurge") { tmp =>
-          val (_, bytes) = listData(fs, vd)
-          val parts = math.max(1L,
-            (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-          spark.read.parquet(vd.toString).observe(obsIn, cnt)
-            .filter(!pred).observe(obsOut, cnt)
-            .repartition(parts)
-            .write.mode("overwrite").parquet(tmp)
-          // carry the annotation sidecar: the purged version keeps its
-          // tag/timestamp identity
-          val info = new org.apache.hadoop.fs.Path(vd, "_version_info")
-          if (fs.exists(info))
-            spark.read.parquet(info.toString).coalesce(1)
+        val (_, bytes) = listData(fs, vd)
+        val parts = math.max(1L,
+          (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val infoPath = new org.apache.hadoop.fs.Path(vd, "_version_info")
+        if (fs.exists(new org.apache.hadoop.fs.Path(vd, "_zorder_meta"))) {
+          // an archived Z-ORDERED copy: sweep through the
+          // layout-preserving delete so the purged version keeps its
+          // clustering contract (a blind repartition would scramble the
+          // rows under a _zorder_meta that then lies). The annotation
+          // sidecar is captured first and re-written after the install
+          // (a death in between leaves an unannotated version —
+          // benign, listVersions tolerates a missing sidecar)
+          val info =
+            if (fs.exists(infoPath))
+              spark.read.parquet(infoPath.toString).collect().headOption
+            else None
+          val (b, a) = ZOrder.deleteWhereZorder(spark, vd.toString, condition, parts)
+          info.foreach { r =>
+            import spark.implicits._
+            Seq((r.getLong(0), r.getString(1), r.getLong(2)))
+              .toDF("version", "tag", "archived_at_ms")
+              .coalesce(1).write.mode("overwrite")
+              .parquet(new org.apache.hadoop.fs.Path(vd, "_version_info").toString)
+          }
+          (n, b, a)
+        } else {
+          val obsIn = org.apache.spark.sql.Observation(
+            s"graft-vpurge-in-$n-${java.util.UUID.randomUUID()}")
+          val obsOut = org.apache.spark.sql.Observation(
+            s"graft-vpurge-out-$n-${java.util.UUID.randomUUID()}")
+          val cnt = count(lit(1)).as("n")
+          Compaction.stagedParquetSwap(spark, vd.toString, "vpurge") { tmp =>
+            // name=value partition layout is preserved exactly like
+            // deleteWhere's rewrite — a rolled-back version must keep
+            // the directory shape its readers and writers expect
+            val partCols = Compaction.partitionColumns(fs, vd)
+            val writer = spark.read.parquet(vd.toString).observe(obsIn, cnt)
+              .filter(!pred).observe(obsOut, cnt)
+              .repartition(parts)
               .write.mode("overwrite")
-              .parquet(new org.apache.hadoop.fs.Path(tmp, "_version_info").toString)
+            (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+              .parquet(tmp)
+            // carry the annotation sidecar: the purged version keeps
+            // its tag/timestamp identity
+            if (fs.exists(infoPath))
+              spark.read.parquet(infoPath.toString).coalesce(1)
+                .write.mode("overwrite")
+                .parquet(new org.apache.hadoop.fs.Path(tmp, "_version_info").toString)
+          }
+          (n, obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
         }
-        (n, obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
       }
     }
   }

@@ -309,6 +309,51 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.versionSurfaces(spark, dir2, "id").isEmpty)
   }
 
+  test("purgeVersions preserves layout: partitioned versions keep their directory shape, z-ordered versions keep their clustering contract") {
+    import spark.implicits._
+    // ---- partitioned dataset
+    val dir = java.nio.file.Files.createTempDirectory("graft_vpp").toString + "/c"
+    (0 until 90).map(i => (i.toLong, s"doc $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "v", "lang")
+      .write.partitionBy("lang").parquet(dir)
+    Snapshots.enableVersioning(spark, dir)
+    Compaction.deleteWhere(spark, dir, col("id") % 9 === 0) // v1 = original
+    Snapshots.purgeVersions(spark, dir, col("id") === 4L)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = Snapshots.versionsRoot(fs.makeQualified(p))
+    val v1 = new org.apache.hadoop.fs.Path(root, "v=1")
+    val subdirs = fs.listStatus(v1).filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(subdirs.contains("lang=en") && subdirs.contains("lang=de"),
+      s"partition layout must survive the purge, got $subdirs")
+    val rv1 = Snapshots.readVersion(spark, dir, 1L)
+    assert(rv1.count() === 89L && rv1.columns.contains("lang"))
+    assert(rv1.filter(col("id") === 4L).count() === 0L)
+    // the tag sidecar survived too
+    assert(Snapshots.listVersions(spark, dir).collect().head.getString(1) === "delete")
+
+    // ---- z-ordered dataset: the version keeps _zorder_meta AND the
+    // clustered read-back contract (pushdown plan gate, the ZOrder rule)
+    val zdir = java.nio.file.Files.createTempDirectory("graft_vpz").toString + "/z"
+    ZOrder.zorderWrite(
+      (0 until 400).map(i => (i.toLong, (i * 37 % 400).toLong)).toDF("a", "b"),
+      Seq("a", "b"), zdir, numFiles = 4)
+    Snapshots.enableVersioning(spark, zdir)
+    ZOrder.reclusterZorder(spark, zdir, numFiles = 2) // v1 = pre-recluster, z-ordered
+    val res = Snapshots.purgeVersions(spark, zdir, col("a") < 10)
+    assert(res === Seq((1L, 400L, 390L)))
+    val zroot = Snapshots.versionsRoot(fs.makeQualified(
+      new org.apache.hadoop.fs.Path(zdir)))
+    val zv1 = new org.apache.hadoop.fs.Path(zroot, "v=1")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(zv1, "_zorder_meta")),
+      "the purged z-ordered version must keep its clustering sidecar")
+    assert(Snapshots.readVersion(spark, zdir, 1L).count() === 390L)
+    // rollback restores a STILL-CLUSTERED dataset the zorder verbs accept
+    Snapshots.rollbackTo(spark, zdir, 1L)
+    ZOrder.deleteWhereZorder(spark, zdir, col("a") === 11L, numFiles = 2)
+    assert(spark.read.parquet(zdir).count() === 389L)
+  }
+
   test("zorder recluster rides the same contract: a versioned clustered dataset archives pre-recluster state") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_snapz").toString + "/z"
