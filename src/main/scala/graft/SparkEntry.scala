@@ -2505,6 +2505,23 @@ object SparkEntry {
         TextAnalysis.digitRatio(col("text")).as("digit_ratio")
       ).orderBy("doc_id")
     }),
+    // Encoding-damage quality signals: mojibake (wrong-charset
+    // double-decode artifacts) and control-char mass, exact integer
+    // ppm — planted corruption suffixes, identical regexes in the twin
+    "q_text_mojibake" -> ((s, dir) => {
+      val corrupted = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(" naÃ¯ve â€œquote Â· bad�")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            expr("concat(chr(7), 'x', chr(27), chr(127))")).otherwise(lit("")))
+          .as("text"))
+      corrupted.select(col("doc_id"),
+        TextAnalysis.mojibakeRatioPpm(col("text")).as("moji_ppm"),
+        TextAnalysis.controlCharRatioPpm(col("text")).as("ctl_ppm"))
+        .orderBy("doc_id")
+    }),
     // Corpus-pipeline: deterministic stratified sampling (portable
     // multiplicative hash — auditable outside Spark)
     "q_corpus_sample" -> ((s, dir) => {
@@ -5120,6 +5137,22 @@ object SparkEntry {
         "CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id " +
         "FROM w ORDER BY doc_id"
     },
+    "q_text_mojibake" ->
+      // same planted suffixes, same regexes (RE2 and Java agree on
+      // this alternation; '.' excludes newline in both), same exact
+      // integer ppm division
+      ("WITH c AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' naÃ¯ve â€œquote Â· bad�' ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 0 THEN chr(7) || 'x' || chr(27) || chr(127) " +
+        "ELSE '' END AS text FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE WHEN length(text) > 0 THEN (length(text) - " +
+        "length(regexp_replace(text, '(Ã.|Â.|â€.|�)', '', 'g'))) " +
+        "* 1000000 // length(text) ELSE 0 END AS moji_ppm, " +
+        "CASE WHEN length(text) > 0 THEN (length(text) - " +
+        "length(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))) " +
+        "* 1000000 // length(text) ELSE 0 END AS ctl_ppm " +
+        "FROM c ORDER BY doc_id"),
     "q_corpus_url_canon" ->
       // identical construction + identical regexes: fragment via first
       // '#', query via first '?', "scheme://host[:port]" by the SAME

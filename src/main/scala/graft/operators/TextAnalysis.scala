@@ -106,6 +106,46 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** The classic UTF-8-decoded-as-Latin-1 artifact shapes: a C3/C2
+    * lead byte surfacing as `Ã`/`Â` glued to the misread continuation
+    * char, the E2-80 punctuation family surfacing as `â€` + one more,
+    * and the replacement character itself. One alternation, anchored
+    * nowhere — the same regex runs under Java (Spark) and RE2 (DuckDB)
+    * with identical semantics (`.` excludes newline in both).
+    */
+  private val MojibakeRe = "(Ã.|Â.|â€.|�)"
+
+  /** Mojibake mass per character, exact integer ppm: the share of
+    * characters participating in wrong-charset double-decode artifacts
+    * ([[MojibakeRe]]) — the cleaning signal that catches text whose
+    * bytes were decoded with the wrong charset upstream, which
+    * length/stopword heuristics and even perplexity miss when the
+    * damage is sparse. Integer division, so the twin is bit-exact;
+    * empty text scores 0.
+    */
+  def mojibakeRatioPpm(text: Column): Column = {
+    val bad = length(text) - length(regexp_replace(text, MojibakeRe, ""))
+    when(length(text) > 0,
+      call_function("div", bad.cast("long") * lit(1000000L),
+        length(text).cast("long")))
+      .otherwise(lit(0L))
+  }
+
+  /** Control-character mass per character, exact integer ppm —
+    * C0 controls and DEL, EXCLUDING tab/newline/carriage-return
+    * (legitimate text structure): binary junk, terminal escapes, and
+    * truncated-decode residue show up here. Empty text scores 0.
+    */
+  def controlCharRatioPpm(text: Column): Column = {
+    val bad = length(text) -
+      length(regexp_replace(text,
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+    when(length(text) > 0,
+      call_function("div", bad.cast("long") * lit(1000000L),
+        length(text).cast("long")))
+      .otherwise(lit(0L))
+  }
+
   /** Engine-portable rounding to 6 decimals: `floor(x·10⁶ + 0.5)/10⁶`
     * in pure IEEE double arithmetic, identical on any engine. SQL
     * `round(x, 6)` is NOT portable at representability boundaries —

@@ -698,6 +698,29 @@ class TextAnalysisSpec extends SparkSpec {
       === "quick brown fox jumps over 東京 大阪 streets")
   }
 
+  test("mojibake + control-char ppm: exact counts, clean text scores 0, tab/newline are structure not junk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text with tabs\tand\nnewlines\rok"), // structure, not junk
+      (2L, "naÃ¯ve text"),          // one Ã + follower = 2 of 11 chars
+      (3L, "â€œquotedâ€ here"),     // two â€. hits = 6 of 16 chars
+      (4L, "bad\u0007bell\u001besc\u007f"), // BEL+ESC+DEL = 3 controls of 13 chars
+      (5L, ""),                     // empty: both 0
+      (6L, "ends with Ã")           // lead char with no follower: no hit
+    ).toDF("doc_id", "text")
+    val out = docs.select(
+      col("doc_id"),
+      TextAnalysis.mojibakeRatioPpm(col("text")).as("m"),
+      TextAnalysis.controlCharRatioPpm(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((0L, 0L)))
+    assert(out(2L)._1 === 2L * 1000000L / 11L, out(2L).toString)
+    assert(out(3L)._1 === 6L * 1000000L / 16L, out(3L).toString)
+    assert(out(4L) === ((0L, 3L * 1000000L / 13L)), out(4L).toString)
+    assert(out(5L) === ((0L, 0L)))
+    assert(out(6L)._1 === 0L, out(6L).toString)
+  }
+
   test("lexicalCosinePairs: identical docs score 1, rare-term overlap beats stopword overlap, thresholds nest") {
     import spark.implicits._
     val docs = Seq(
