@@ -2505,6 +2505,28 @@ object SparkEntry {
         TextAnalysis.digitRatio(col("text")).as("digit_ratio")
       ).orderBy("doc_id")
     }),
+    // C4-style structural line filter: planted nav/menu/cookie lines
+    // drop (too few words or no terminal punctuation), sentence lines
+    // survive and reassemble in order — the identical line-shape rules
+    // replay in the twin
+    "q_corpus_c4_filter" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(col("text"), lit(".")),
+          lit("Click here"),
+          lit("Accept all cookies now"),
+          when(col("doc_id") % 2 === 0, lit("A proper sentence stays here."))
+            .otherwise(lit("short.")),
+          lit("Menu"),
+          lit("Ends with a question mark?")).as("text"))
+      staged.select(col("doc_id"),
+        Corpus.c4LineFilter(col("text"), minWords = 3).as("kept"),
+        Corpus.c4LineStats(col("text"), minWords = 3)
+          .getField("lines_in").as("lines_in"),
+        Corpus.c4LineStats(col("text"), minWords = 3)
+          .getField("lines_kept").as("lines_kept"))
+        .orderBy("doc_id")
+    }),
     // Encoding-damage quality signals: mojibake (wrong-charset
     // double-decode artifacts) and control-char mass, exact integer
     // ppm — planted corruption suffixes, identical regexes in the twin
@@ -5137,6 +5159,23 @@ object SparkEntry {
         "CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id " +
         "FROM w ORDER BY doc_id"
     },
+    "q_corpus_c4_filter" ->
+      // identical construction, identical line-shape rules: >= 3
+      // whitespace tokens AND a terminal-punctuation tail, survivors
+      // rejoined in order
+      ("WITH c AS (SELECT doc_id, text || '.' || chr(10) || 'Click here' || chr(10) || " +
+        "'Accept all cookies now' || chr(10) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN 'A proper sentence stays here.' " +
+        "ELSE 'short.' END || chr(10) || 'Menu' || chr(10) || " +
+        "'Ends with a question mark?' AS text FROM documents), " +
+        "f AS (SELECT doc_id, text, list_filter(string_split(text, chr(10)), l -> " +
+        "len(list_filter(string_split_regex(trim(l), '[ \\t]+'), t -> length(t) > 0)) >= 3 " +
+        "AND regexp_matches(trim(l), '[.!?\"]$')) AS kept FROM c) " +
+        "SELECT doc_id, array_to_string(kept, chr(10)) AS kept, " +
+        "CASE WHEN length(text) > 0 THEN CAST(len(string_split(text, chr(10))) AS BIGINT) " +
+        "ELSE 0 END AS lines_in, " +
+        "CASE WHEN length(text) > 0 THEN CAST(len(kept) AS BIGINT) ELSE 0 END AS lines_kept " +
+        "FROM f ORDER BY doc_id"),
     "q_text_mojibake" ->
       // same planted suffixes, same regexes (RE2 and Java agree on
       // this alternation; '.' excludes newline in both), same exact

@@ -455,6 +455,44 @@ object Corpus {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** C4-style structural line filter (Raffel et al. 2020 §2.2's
+    * best-known rules, the ones that are pure line-shape tests): keep
+    * a line only if it (a) carries at least `minWords` whitespace
+    * tokens AND (b) ends in terminal punctuation (`. ! ? "` — the
+    * "looks like a sentence" test that drops nav menus, button labels,
+    * and list fragments), then reassemble the survivors in order.
+    * Returns (kept text, lines before, lines after) as a struct-shaped
+    * projection via [[c4LineStats]] columns, or use this column alone
+    * for the text. One codegen'd array pipeline — split, filter with a
+    * lambda, rejoin — no explode, no shuffle, replayable in ANSI SQL
+    * (the gate's twin applies the identical rules with list_filter).
+    * Single-line fixture docs pass through iff they pass the rules —
+    * the filter is line-shape-driven, never a whole-doc bypass.
+    */
+  def c4LineFilter(text: Column, minWords: Int = 3): Column = {
+    require(minWords >= 1, "minWords must be >= 1")
+    array_join(filter(split(text, "\n"), l =>
+      size(filter(split(trim(l), "[ \t]+"), t => length(t) > 0)) >= minWords &&
+        trim(l).rlike("[.!?\"]$")), "\n")
+  }
+
+  /** Line accounting for [[c4LineFilter]]: (lines_in, lines_kept) —
+    * the per-document evidence a cleaning audit wants next to the
+    * filtered text. Empty text counts zero lines in and zero kept.
+    */
+  def c4LineStats(text: Column, minWords: Int = 3): Column = {
+    require(minWords >= 1, "minWords must be >= 1")
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      size(filter(split(trim(l), "[ \t]+"), t => length(t) > 0)) >= minWords &&
+        trim(l).rlike("[.!?\"]$"))
+    struct(
+      when(length(text) > 0, size(lines).cast("long")).otherwise(lit(0L))
+        .as("lines_in"),
+      when(length(text) > 0, size(kept).cast("long")).otherwise(lit(0L))
+        .as("lines_kept"))
+  }
+
   // ------------------------------------------------- URL canonicalization
 
   /** Query parameters a web-corpus canonicalizer drops — the

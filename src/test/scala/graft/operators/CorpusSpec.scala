@@ -700,6 +700,27 @@ class CorpusSpec extends SparkSpec {
     assert(nbAcc > 0.95, s"NB should essentially solve the planted labels, got $nbAcc")
   }
 
+  test("c4LineFilter: sentence lines survive, nav/menu fragments drop, order preserved, stats account") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A real first sentence here.\nClick here\nMenu\nAnother good line stays!\nok?\n\"Quoted line also counts here.\""),
+      (2L, "no terminal punctuation at all"),
+      (3L, "Tabs\tcount\tas separators too.\nshort."),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      Corpus.c4LineFilter(col("text")).as("kept"),
+      Corpus.c4LineStats(col("text")).getField("lines_in").as("li"),
+      Corpus.c4LineStats(col("text")).getField("lines_kept").as("lk"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 ===
+      "A real first sentence here.\nAnother good line stays!\n\"Quoted line also counts here.\"")
+    assert(out(1L)._2 === 6L && out(1L)._3 === 3L) // 'ok?' has 1 word: dropped
+    assert(out(2L) === (("", 1L, 0L)))
+    assert(out(3L) === (("Tabs\tcount\tas separators too.", 2L, 1L)))
+    assert(out(4L) === (("", 0L, 0L)))
+  }
+
   test("canonicalizeUrl: fragments, default ports, tracking params, param order, case — and the edges") {
     import spark.implicits._
     val cases = Seq(
