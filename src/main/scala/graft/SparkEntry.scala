@@ -1592,6 +1592,9 @@ object SparkEntry {
       if (!s.catalog.tableExists(idxTable)) {
         TextAnalysis.writeBm25Index(docs, "doc_id", "text", idxTable,
           buckets = 8)
+        // the cosine norms sidecar is an index surface too: enable it
+        // BEFORE the takedown so the audit proves the purge sweeps it
+        TextAnalysis.refreshCosineNorms(s, idxTable)
         TextAnalysis.deleteFromBm25Index(s, idxTable,
           docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
         TextAnalysis.purgeBm25Index(s, idxTable)
@@ -1607,6 +1610,7 @@ object SparkEntry {
           .groupBy("doc_id").agg(count(lit(1)).as("__n"))
           .select("doc_id"), "doc_id"), // distinct-doc presence
         ("roster", s.table(idxTable + "_docs"), "doc_id"),
+        ("norm", s.table(idxTable + "_norms"), "doc_id"),
         ("tombstone", tombstones, "doc_id")))
         .orderBy("id")
     }),
@@ -4344,6 +4348,10 @@ object SparkEntry {
         "SELECT CAST(doc_id AS BIGINT) AS id, CAST(n AS BIGINT) AS corpus_rows, " +
         "CAST(CASE WHEN doc_id % 3 <> 0 AND dl > 0 THEN 1 ELSE 0 END AS BIGINT) AS posting_rows, " +
         "CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS roster_rows, " +
+        // every roster doc carries exactly one norm row (zero-token
+        // docs included), so the sidecar's expected presence IS the
+        // roster's — and a purged doc must read 0 there too
+        "CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS norm_rows, " +
         "CAST(0 AS BIGINT) AS tombstone_rows " +
         "FROM d ORDER BY id"),
     // fusion twin: the same ranked BM25 run (rank <= 10) as the
