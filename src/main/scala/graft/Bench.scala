@@ -37,6 +37,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.silenceSidecarPathNoise()
     // Warm-up: run a representative mix (scan+agg, join, window, text)
     // untimed so JVM/JIT/codegen/parquet-footer warm-up isn't billed to
     // whichever queries happen to run first. q_text_bpe_merges is in

@@ -2512,15 +2512,18 @@ object SparkEntry {
     // C4-style structural line filter: planted nav/menu/cookie lines
     // drop (too few words or no terminal punctuation), sentence lines
     // survive and reassemble in order — the identical line-shape rules
-    // replay in the twin
+    // replay in the twin. Two planted lines are CRLF-terminated (a
+    // trailing \r before the \n join) to pin the \r?\n split: one that
+    // must be KEPT (the even-branch sentence) and one that must be
+    // DROPPED either way (the cookie banner)
     "q_corpus_c4_filter" -> ((s, dir) => {
       val staged = t(s, dir, "documents").select(col("doc_id"),
         concat_ws("\n",
           concat(col("text"), lit(".")),
           lit("Click here"),
-          lit("Accept all cookies now"),
-          when(col("doc_id") % 2 === 0, lit("A proper sentence stays here."))
-            .otherwise(lit("short.")),
+          lit("Accept all cookies now\r"),
+          when(col("doc_id") % 2 === 0, lit("A proper sentence stays here.\r"))
+            .otherwise(lit("short.\r")),
           lit("Menu"),
           lit("Ends with a question mark?")).as("text"))
       staged.select(col("doc_id"),
@@ -2592,7 +2595,8 @@ object SparkEntry {
     "q_corpus_url_canon" -> ((s, dir) => {
       val urls = t(s, dir, "documents").select("doc_id").withColumn("url", expr(
         "concat('HTTP', CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'S' END, " +
-          "'://ExAmple', cast(doc_id % 7 as string), '.COM', " +
+          "'://', CASE WHEN doc_id % 13 = 0 THEN 'UserInfo:Secret@' ELSE '' END, " +
+          "'ExAmple', cast(doc_id % 7 as string), '.COM', " +
           "CASE WHEN doc_id % 2 = 0 THEN ':80' WHEN doc_id % 5 = 0 THEN ':443' ELSE ':8080' END, " +
           "CASE WHEN doc_id % 11 = 0 THEN '' ELSE concat('/Path/', cast(doc_id % 5 as string)) END, " +
           "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1' " +
@@ -5168,19 +5172,19 @@ object SparkEntry {
         "FROM w ORDER BY doc_id"
     },
     "q_corpus_c4_filter" ->
-      // identical construction, identical line-shape rules: >= 3
-      // whitespace tokens AND a terminal-punctuation tail, survivors
-      // rejoined in order
+      // identical construction (same CRLF plants), identical
+      // line-shape rules: split on \r?\n, >= 3 whitespace tokens AND a
+      // terminal-punctuation tail, survivors rejoined in order
       ("WITH c AS (SELECT doc_id, text || '.' || chr(10) || 'Click here' || chr(10) || " +
-        "'Accept all cookies now' || chr(10) || " +
+        "'Accept all cookies now' || chr(13) || chr(10) || " +
         "CASE WHEN doc_id % 2 = 0 THEN 'A proper sentence stays here.' " +
-        "ELSE 'short.' END || chr(10) || 'Menu' || chr(10) || " +
+        "ELSE 'short.' END || chr(13) || chr(10) || 'Menu' || chr(10) || " +
         "'Ends with a question mark?' AS text FROM documents), " +
-        "f AS (SELECT doc_id, text, list_filter(string_split(text, chr(10)), l -> " +
+        "f AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\r?\\n'), l -> " +
         "len(list_filter(string_split_regex(trim(l), '[ \\t]+'), t -> length(t) > 0)) >= 3 " +
         "AND regexp_matches(trim(l), '[.!?\"]$')) AS kept FROM c) " +
         "SELECT doc_id, array_to_string(kept, chr(10)) AS kept, " +
-        "CASE WHEN length(text) > 0 THEN CAST(len(string_split(text, chr(10))) AS BIGINT) " +
+        "CASE WHEN length(text) > 0 THEN CAST(len(string_split_regex(text, '\\r?\\n')) AS BIGINT) " +
         "ELSE 0 END AS lines_in, " +
         "CASE WHEN length(text) > 0 THEN CAST(len(kept) AS BIGINT) ELSE 0 END AS lines_kept " +
         "FROM f ORDER BY doc_id"),
@@ -5206,7 +5210,8 @@ object SparkEntry {
       // regexp the engine uses, default ports stripped, tracking
       // params dropped, survivors byte-sorted
       ("WITH u AS (SELECT doc_id, 'HTTP' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'S' END || " +
-        "'://ExAmple' || CAST(doc_id % 7 AS VARCHAR) || '.COM' || " +
+        "'://' || CASE WHEN doc_id % 13 = 0 THEN 'UserInfo:Secret@' ELSE '' END || " +
+        "'ExAmple' || CAST(doc_id % 7 AS VARCHAR) || '.COM' || " +
         "CASE WHEN doc_id % 2 = 0 THEN ':80' WHEN doc_id % 5 = 0 THEN ':443' ELSE ':8080' END || " +
         "CASE WHEN doc_id % 11 = 0 THEN '' ELSE '/Path/' || CAST(doc_id % 5 AS VARCHAR) END || " +
         "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1' " +
@@ -5220,7 +5225,9 @@ object SparkEntry {
         "pp AS (SELECT *, CASE WHEN length(hostpart) > 0 AND " +
         "length(substr(base, length(hostpart) + 1)) = 0 THEN '/' " +
         "ELSE substr(base, length(hostpart) + 1) END AS p, " +
-        "regexp_replace(regexp_replace(lower(hostpart), '^(http://.*):80$', '\\1'), " +
+        "regexp_replace(regexp_replace(lower(" +
+        "regexp_replace(hostpart, '^([^/]*//)[^/@]*@', '\\1')), " +
+        "'^(http://.*):80$', '\\1'), " +
         "'^(https://.*):443$', '\\1') AS hc FROM hp), " +
         "qq AS (SELECT doc_id, url, hc, p, " +
         "list_sort(list_filter(string_split(q, '&'), x -> length(x) > 0 AND " +
@@ -5228,7 +5235,7 @@ object SparkEntry {
         "SELECT doc_id, url, hc || p || CASE WHEN len(ks) > 0 " +
         "THEN '?' || array_to_string(ks, '&') ELSE '' END AS url_canon, " +
         "regexp_extract(lower(split_part(split_part(url, '#', 1), '?', 1)), " +
-        "'^[a-z0-9+.-]+://([^/:]+)', 1) AS host " +
+        "'^[a-z0-9+.-]+://(?:[^/@]*@)?([^/:@]+)', 1) AS host " +
         "FROM qq ORDER BY doc_id"),
     "q_corpus_nb_score" -> NbOracleSql,
     // the persisted-model path promises the identical result — one

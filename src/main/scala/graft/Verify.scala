@@ -23,6 +23,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.silenceSidecarPathNoise()
     new java.io.File(outDir).mkdirs()
     // dev knob (driver leaves it unset): restrict the dump to queries
     // matching a regex — single-gate iteration without the full 8-min run

@@ -471,7 +471,11 @@ object Corpus {
     */
   def c4LineFilter(text: Column, minWords: Int = 3): Column = {
     require(minWords >= 1, "minWords must be >= 1")
-    array_join(filter(split(text, "\n"), l =>
+    // split on \r?\n, not \n: CRLF crawl text would otherwise keep a
+    // trailing \r on every line, which Spark's trim (spaces only)
+    // doesn't strip and which makes Java's non-MULTILINE `$` diverge
+    // from RE2's end-of-text `$` — the twin mirrors the same \r?\n
+    array_join(filter(split(text, "\r?\n"), l =>
       size(filter(split(trim(l), "[ \t]+"), t => length(t) > 0)) >= minWords &&
         trim(l).rlike("[.!?\"]$")), "\n")
   }
@@ -482,7 +486,7 @@ object Corpus {
     */
   def c4LineStats(text: Column, minWords: Int = 3): Column = {
     require(minWords >= 1, "minWords must be >= 1")
-    val lines = split(text, "\n")
+    val lines = split(text, "\r?\n")
     val kept = filter(lines, l =>
       size(filter(split(trim(l), "[ \t]+"), t => length(t) > 0)) >= minWords &&
         trim(l).rlike("[.!?\"]$"))
@@ -510,8 +514,11 @@ object Corpus {
     * regexes):
     *
     *  1. drop the fragment (`#…` — client-side only);
-    *  2. lowercase the `scheme://host[:port]` part (case-insensitive
-    *     by RFC 3986) while leaving path and query case alone;
+    *  2. strip RFC-3986 userinfo (`user:pass@` — credentials are not
+    *     page identity, and lowercasing them would be wrong anyway:
+    *     userinfo is case-sensitive), then lowercase the remaining
+    *     `scheme://host[:port]` part (case-insensitive by RFC 3986)
+    *     while leaving path and query case alone;
     *  3. strip default ports (`:80` on http, `:443` on https);
     *  4. empty path becomes `/`;
     *  5. drop tracking parameters ([[TrackingParamRe]]) and sort the
@@ -536,8 +543,12 @@ object Corpus {
     val rawPath = base.substr(length(hostPart) + 1, length(base))
     val path = when(length(hostPart) > 0 && length(rawPath) === 0, lit("/"))
       .otherwise(rawPath)
+    // drop userinfo BEFORE lowercasing (userinfo is case-sensitive;
+    // the canonical form strips it entirely) — `[^/@]*` cannot cross
+    // the authority's first `@`, which is the RFC-3986 delimiter
+    val hostNoUser = regexp_replace(hostPart, "^([^/]*//)[^/@]*@", "$1")
     val hostCanon = regexp_replace(
-      regexp_replace(lower(hostPart), "^(http://.*):80$", "$1"),
+      regexp_replace(lower(hostNoUser), "^(http://.*):80$", "$1"),
       "^(https://.*):443$", "$1")
     val kept = array_sort(filter(split(query, "&"),
       p => length(p) > 0 && !p.rlike(TrackingParamRe)))
@@ -547,12 +558,13 @@ object Corpus {
   }
 
   /** The bare lowercased host of an absolute URL (no scheme, port,
-    * path) — the grouping key for [[domainCap]]-style per-site quotas
-    * and host-level corpus stats. Empty string for non-absolute input.
+    * userinfo, path) — the grouping key for [[domainCap]]-style
+    * per-site quotas and host-level corpus stats. Empty string for
+    * non-absolute input.
     */
   def urlHost(url: Column): Column =
     regexp_extract(lower(substring_index(substring_index(url, "#", 1), "?", 1)),
-      "^[a-z0-9+.-]+://([^/:]+)", 1)
+      "^[a-z0-9+.-]+://(?:[^/@]*@)?([^/:@]+)", 1)
 
   // ------------------------------------------------- end-to-end prepare
 

@@ -1213,7 +1213,12 @@ object Dedup {
     val carried =
       if (carryCols.isEmpty) sig
       else sig.join(
-        docs.select(col(idCol).as("index_id") +: carryCols.map(col): _*),
+        // one metadata row per id: a duplicated id in `docs` must not
+        // multiply signature/band rows (that would skew the hot-bucket
+        // cap and break filtered == sub-corpus-rebuild equivalence —
+        // the uncarried path emits exactly one row per signature)
+        docs.select(col(idCol).as("index_id") +: carryCols.map(col): _*)
+          .dropDuplicates("index_id"),
         Seq("index_id"))
         .select(minhashReservedCols(k).map(col) ++ carryCols.map(col): _*)
     graft.plans.ScaleJoins.writeBucketed(carried, tableName, "sig_0", buckets)

@@ -1047,7 +1047,11 @@ object Multimodal {
       carryCols: Seq[String]): DataFrame =
     if (carryCols.isEmpty) rows
     else rows.join(
-      src.select(col(idCol).as("index_id") +: carryCols.map(col): _*),
+      // one metadata row per id: a duplicated id in `src` must not
+      // multiply band rows (same guard as Dedup.writeMinhashIndex's
+      // carried projection)
+      src.select(col(idCol).as("index_id") +: carryCols.map(col): _*)
+        .dropDuplicates("index_id"),
       Seq("index_id"))
       .select((Hash64ReservedCols.toSeq ++ carryCols).map(col): _*)
 

@@ -633,18 +633,22 @@ object TextAnalysis {
       "threshold must be a rational in [0, 1]")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val nSnap = requireFreshCosineNorms(spark, tableName)
-    // completeness: every live roster doc must carry a norm row — a
-    // mismatch means an append died between the roster and the norms
-    // write (or the roster was repaired); two bounded aggregates over
-    // the slim side tables, never the postings
-    val rosterDocs = bm25LiveDocs(spark, tableName)
-      .agg(countDistinct(col("doc_id"))).head().getLong(0)
-    val normDocs = cosineLiveNorms(spark, tableName)
-      .agg(countDistinct(col("doc_id"))).head().getLong(0)
-    require(rosterDocs == normDocs,
-      s"$tableName: norms sidecar covers $normDocs of $rosterDocs live " +
-        "docs — an append died before its norms landed; run " +
-        "repairCosineNorms to backfill")
+    // completeness: the live roster and the live norms must cover the
+    // SAME document set — validated by set difference, not count
+    // equality (a sidecar holding a norm for a non-roster doc while
+    // missing a roster doc — e.g. a repairBm25Index roster prune
+    // interleaved with a crashed norms append — passes a count compare
+    // and then scores with wrong/missing history norms). Still two
+    // bounded aggregates over the slim side tables, never the postings.
+    val rosterIds = bm25LiveDocs(spark, tableName).select(col("doc_id"))
+    val normIds = cosineLiveNorms(spark, tableName).select(col("doc_id")).distinct()
+    val missingNorms = rosterIds.join(normIds, Seq("doc_id"), "left_anti").count()
+    val orphanNorms = normIds.join(rosterIds, Seq("doc_id"), "left_anti").count()
+    require(missingNorms == 0 && orphanNorms == 0,
+      s"$tableName: norms sidecar diverges from the live roster " +
+        s"($missingNorms roster docs without a norm, $orphanNorms norm " +
+        "rows for non-roster docs) — an append or repair died " +
+        "mid-protocol; run repairCosineNorms to reconcile")
     val terms = spark.table(tableName + "_terms")
     val bTf = batch
       .select(col(idCol).as("batch_id"), explode(split(col(textCol), " ")).as("term"))

@@ -154,14 +154,32 @@ object Snapshots {
       val vd = versionDir(root, n)
       val info = new org.apache.hadoop.fs.Path(vd, "_version_info")
       val (files, bytes) = listData(fs, vd)
-      if (fs.exists(info)) {
-        val r = spark.read.parquet(info.toString).collect().head
-        (n, Option(r.getString(1)), Option(r.getLong(2)), bytes, files)
-      } else (n, None: Option[String], None: Option[Long], bytes, files)
+      readInfoRow(spark, fs, info) match {
+        case Some(r) =>
+          (n, Option(r.getString(1)), Option(r.getLong(2)), bytes, files)
+        case None => (n, None: Option[String], None: Option[Long], bytes, files)
+      }
     }
     infos.toDF("version", "tag", "archived_at_ms", "data_bytes", "data_files")
       .orderBy(col("version"))
   }
+
+  /** Read a `_version_info` annotation sidecar, tolerating every crash
+    * shape the archive path can leave: missing entirely, OR created but
+    * EMPTY/unreadable (a death between the sidecar dir's creation and
+    * its part-file commit leaves `fs.exists` true with nothing
+    * readable inside). All of those are "no annotation" — the data
+    * directory is the truth, the sidecar is annotation, and the crash
+    * contract in the object doc promises the listing still serves.
+    */
+  private def readInfoRow(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      info: org.apache.hadoop.fs.Path): Option[org.apache.spark.sql.Row] =
+    if (!fs.exists(info)) None
+    else
+      try spark.read.parquet(info.toString).collect().headOption
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   /** One recursive sweep of a version directory: (data files, data
     * bytes), `_`-prefixed bookkeeping (the `_version_info` sidecar,
@@ -367,10 +385,7 @@ object Snapshots {
           // sidecar is captured first and re-written after the install
           // (a death in between leaves an unannotated version —
           // benign, listVersions tolerates a missing sidecar)
-          val info =
-            if (fs.exists(infoPath))
-              spark.read.parquet(infoPath.toString).collect().headOption
-            else None
+          val info = readInfoRow(spark, fs, infoPath)
           val (b, a) = ZOrder.deleteWhereZorder(spark, vd.toString, condition, parts)
           info.foreach { r =>
             import spark.implicits._
@@ -398,11 +413,16 @@ object Snapshots {
             (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
               .parquet(tmp)
             // carry the annotation sidecar: the purged version keeps
-            // its tag/timestamp identity
-            if (fs.exists(infoPath))
-              spark.read.parquet(infoPath.toString).coalesce(1)
-                .write.mode("overwrite")
+            // its tag/timestamp identity (an empty/unreadable crashed
+            // sidecar is dropped, not propagated — same tolerance as
+            // listVersions)
+            readInfoRow(spark, fs, infoPath).foreach { r =>
+              import spark.implicits._
+              Seq((r.getLong(0), r.getString(1), r.getLong(2)))
+                .toDF("version", "tag", "archived_at_ms")
+                .coalesce(1).write.mode("overwrite")
                 .parquet(new org.apache.hadoop.fs.Path(tmp, "_version_info").toString)
+            }
           }
           (n, obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
         }

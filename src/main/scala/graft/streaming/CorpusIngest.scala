@@ -530,8 +530,11 @@ object CorpusIngest {
           // replayed batch re-encounters its own appended signatures
           val hits = indexHits(spark, batch)
             .filter(col("batch_id") =!= col("index_id"))
-          // intra-batch: pairs come id_a < id_b — dropping every id_b
-          // keeps exactly the lowest id of each neighborhood
+          // intra-batch rule: pairs come id_a < id_b, and ANY doc with
+          // a smaller-id collider is dropped — deterministic, but note
+          // it is neither greedy-sequential nor connected-component
+          // semantics (chain A<B<C with pairs (A,B),(B,C) keeps A
+          // only: C drops for colliding with the already-dropped B)
           val selfDups = selfPairs(batch)
             .select(col("id_b").as(idCol)).distinct()
           val survivors = batch

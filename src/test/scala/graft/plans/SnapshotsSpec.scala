@@ -154,6 +154,33 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.vacuumVersions(spark, dir, keepLast = 10) === Seq.empty)
   }
 
+  test("crashed _version_info sidecar (exists but empty): listVersions lists unannotated, purgeVersions sweeps past it") {
+    import spark.implicits._
+    val dir = freshCorpus("graft_crashinfo")
+    Snapshots.enableVersioning(spark, dir)
+    Compaction.deleteWhere(spark, dir, col("id") < 10) // v1 = original 90 rows
+    Compaction.deleteWhere(spark, dir, col("id") < 20) // v2 = 80 rows
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = Snapshots.versionsRoot(fs.makeQualified(path))
+    // simulate a death between the sidecar dir's creation and its
+    // part-file commit: v1's _version_info exists but holds nothing
+    val info1 = new org.apache.hadoop.fs.Path(root, "v=1/_version_info")
+    assert(fs.delete(info1, true) && fs.mkdirs(info1))
+    val versions = Snapshots.listVersions(spark, dir).orderBy("version").collect()
+    assert(versions.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(versions(0).isNullAt(1) && versions(0).isNullAt(2),
+      "an unreadable sidecar must list like a missing one (tag/time null)")
+    assert(versions(1).getString(1) === "delete")
+    // the history purge crosses the crashed sidecar without dying and
+    // does not fabricate an annotation for the rewritten version
+    val res = Snapshots.purgeVersions(spark, dir, col("id") === 5L)
+    assert(res === Seq((1L, 90L, 89L), (2L, -1L, -1L)))
+    val after = Snapshots.listVersions(spark, dir).orderBy("version").collect()
+    assert(after(0).isNullAt(1) && after(1).getString(1) === "delete")
+    assert(Snapshots.readVersion(spark, dir, 1L).count() === 89L)
+  }
+
   test("unversioned datasets keep the original contract: old copy deleted, no versions root appears") {
     import spark.implicits._
     val dir = freshCorpus("graft_unv")
