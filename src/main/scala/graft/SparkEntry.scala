@@ -83,6 +83,55 @@ object SparkEntry {
     out
   }
 
+  /** Planted AVIs for the video-dedup gates: ids 2k/2k+1 share F =
+    * 3 + 2·(k % 2) gray 9×8 P6 frames in a real RIFF/AVI `LIST movi`
+    * (pixel v(x,y,t) = (x·31 + y·17 + base·7 + [y>0]·t·11) % 256 —
+    * row 0 is frame-invariant so bit 0's operands never drift with t);
+    * the odd id bumps the (0,0) corner (+40 mod 256) in the MINORITY
+    * ⌊F/2⌋ leading frames — each bumped frame's dHash can flip bit 0,
+    * and the per-bit majority must absorb the flips, so every pair
+    * lands at Hamming 0 (the per-frame-noise robustness the video
+    * fingerprint exists for). F is odd (3 or 5), so no majority ties.
+    * Every 10th id (d % 10 == 9) carries text bytes instead:
+    * non-video payloads must pass through fingerprint-less.
+    */
+  private def dedupAvi(d: Int): Array[Byte] = {
+    if (d % 10 == 9) return s"not video $d".getBytes("US-ASCII")
+    val base = d / 2
+    val f = 3 + 2 * (base % 2)
+    val frames = (0 until f).map { t =>
+      val px = new Array[Byte](9 * 8 * 3)
+      var o = 0
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val bump = if (x == 0 && y == 0 && d % 2 == 1 && t < f / 2) 40 else 0
+        val tt = if (y == 0) 0 else t * 11
+        val v = ((x * 31 + y * 17 + base * 7 + tt + bump) % 256).toByte
+        px(o) = v; px(o + 1) = v; px(o + 2) = v; o += 3
+      }
+      "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    val frameSz = frames.head.length // 231, odd → RIFF pad byte
+    val moviSz = 4 + f * (8 + frameSz + (frameSz & 1))
+    ascii("RIFF"); le32(4 + (8 + 68) + (8 + moviSz)); ascii("AVI ")
+    ascii("LIST"); le32(68); ascii("hdrl")
+    ascii("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0) // 25 fps, maxbps/pad/flags
+    le32(f); le32(0); le32(1); le32(0) // totalFrames, initial, streams, bufsize
+    le32(9); le32(8); le32(0); le32(0); le32(0); le32(0) // dims + reserved
+    ascii("LIST"); le32(moviSz); ascii("movi")
+    frames.foreach { fr =>
+      ascii("00db"); le32(fr.length); bos.write(fr)
+      if ((fr.length & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
+  }
+
   /** Stable table-name key for a fixture-backed cached index: a digest
     * of the data directory PLUS the frame's current file listing.
     * `dir.hashCode` alone risked two failure modes — a 32-bit collision
@@ -1173,6 +1222,56 @@ object SparkEntry {
       Multimodal.audioPairsAgainstIndexWhere(s, idxTable,
         media.filter(col("doc_id") % 2 === 1), "doc_id", "payload",
         predicate = col("cam") === "a", maxHamming = 3, canonicalRate = 4000)
+        .orderBy("batch_id", "index_id")
+    }),
+    // Perceptual VIDEO dedup (the seventh signature surface): planted
+    // AVI pairs — the odd id re-delivers the even id's clip with a
+    // corner bump in a MINORITY of frames, and the per-bit majority
+    // fingerprint must absorb the per-frame noise so every pair lands
+    // at Hamming 0. The oracle replays the ENTIRE pipeline from the
+    // generating formula: per-frame 64-bit dHash vectors, per-bit
+    // strict majority, band values, banded self-join, Hamming verify.
+    // Text payloads (d%10==9) pass through fingerprint-less
+    "q_mm_video_dedup" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 240).map(d => (d.toLong, dedupAvi(d)))
+        .toDF("doc_id", "payload")
+      Multimodal.videoNearDupPairs(media, "doc_id", "payload", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+    // Video near-dup AGAINST THE MATERIALIZED fingerprint index,
+    // riding the dHash family's layout and shared delete/purge/stats
+    // verbs: even-id history persisted, odd-id batch hashed — same
+    // asymmetric contract as the image and audio index gates
+    "q_mm_video_dedup_indexed" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 240).map(d => (d.toLong, dedupAvi(d)))
+        .toDF("doc_id", "payload")
+      val idxTable = "vfp_idx_gate"
+      if (!s.catalog.tableExists(idxTable))
+        Multimodal.writeVideoFingerprintIndex(
+          media.filter(col("doc_id") % 2 === 0),
+          "doc_id", "payload", idxTable, buckets = 8)
+      Multimodal.videoPairsAgainstIndex(s, idxTable,
+        media.filter(col("doc_id") % 2 === 1), "doc_id", "payload",
+        maxHamming = 3)
+        .orderBy("batch_id", "index_id")
+    }),
+    // FILTERED video near-dup over the fingerprint index — the same
+    // carried-metadata restriction as the image and audio families:
+    // probe parity is complete across all seven index families
+    "q_mm_video_dedup_filtered" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 240).map(d => (d.toLong, dedupAvi(d),
+        if (d % 3 == 0) "a" else "b")).toDF("doc_id", "payload", "cam")
+      val idxTable = "vfp_flt_gate"
+      if (!s.catalog.tableExists(idxTable))
+        Multimodal.writeVideoFingerprintIndex(
+          media.filter(col("doc_id") % 2 === 0),
+          "doc_id", "payload", idxTable, buckets = 8, carryCols = Seq("cam"))
+      Multimodal.videoPairsAgainstIndexWhere(s, idxTable,
+        media.filter(col("doc_id") % 2 === 1), "doc_id", "payload",
+        predicate = col("cam") === "a", maxHamming = 3)
         .orderBy("batch_id", "index_id")
     }),
     // JSON sidecar flatten: schema inferred once driver-side from a
@@ -3164,6 +3263,36 @@ object SparkEntry {
       "bv AS (SELECT doc_id, bd, CAST(list_sum(list_transform(range(16), j -> " +
       "ba[bd * 16 + j + 1] * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS bv FROM bnd), "
 
+  /** Shared video-fingerprint replay CTEs: the planted AVI
+    * construction ([[dedupAvi]]) reduced to per-(doc, frame) dHash
+    * bits from the generating pixel formula (`fb.bit`), per-bit
+    * STRICT-MAJORITY video bits (`bits.ba`) and 4×16-bit band values
+    * (`bv`) — each video pair twin appends its own join +
+    * Hamming-verify tail. Row 0's operands carry no t term (the
+    * fixture's design), the corner bump sits only under bit 0's RIGHT
+    * operand for the odd id's minority ⌊F/2⌋ leading frames, and F is
+    * odd so `2·Σbit > F` never ties. Trailing comma included.
+    */
+  private lazy val videoPairCtes: String =
+    "WITH d0 AS (SELECT range AS doc_id FROM range(240)), " +
+      "d AS (SELECT doc_id, doc_id // 2 AS base, doc_id % 2 AS odd, " +
+      "3 + 2 * ((doc_id // 2) % 2) AS f FROM d0 WHERE doc_id % 10 <> 9), " +
+      "fb AS (SELECT doc_id, b.b AS b, CASE WHEN " +
+      "((b.b % 8 + 1) * 31 + (b.b // 8) * 17 + base * 7 + " +
+      "CASE WHEN b.b // 8 = 0 THEN 0 ELSE t.t * 11 END) % 256 > " +
+      "(CASE WHEN b.b = 0 AND odd = 1 AND t.t < f // 2 " +
+      "THEN (base * 7 + 40) % 256 " +
+      "ELSE ((b.b % 8) * 31 + (b.b // 8) * 17 + base * 7 + " +
+      "CASE WHEN b.b // 8 = 0 THEN 0 ELSE t.t * 11 END) % 256 END) " +
+      "THEN 1 ELSE 0 END AS bit " +
+      "FROM d, range(0, 5) t(t), range(0, 64) b(b) WHERE t.t < f), " +
+      "mj AS (SELECT doc_id, b, CASE WHEN 2 * sum(bit) > count(*) " +
+      "THEN 1 ELSE 0 END AS mb FROM fb GROUP BY doc_id, b), " +
+      "bits AS (SELECT doc_id, list(mb ORDER BY b) AS ba FROM mj GROUP BY doc_id), " +
+      "bnd AS (SELECT doc_id, ba, unnest([0, 1, 2, 3]) AS bd FROM bits), " +
+      "bv AS (SELECT doc_id, bd, CAST(list_sum(list_transform(range(16), j -> " +
+      "ba[bd * 16 + j + 1] * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS bv FROM bnd), "
+
   /** The naive-Bayes replay twin — per-class token counts, smoothing
     * denominators N_y + V, micro-unit-quantized logs (each ln an exact
     * integer ratio in double, floored at +0.5 like fxLong), per-doc
@@ -4831,6 +4960,44 @@ object SparkEntry {
     "q_mm_audio_dedup_filtered" ->
       // same restriction replay over the audio fingerprint chain
       (audioPairCtes +
+        "p2 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id " +
+        "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv " +
+        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 3 = 0) " +
+        "SELECT batch_id, index_id, CAST(ham AS INTEGER) AS hamming, 'a' AS cam FROM " +
+        "(SELECT p2.batch_id, p2.index_id, list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +
+        "WHERE ham <= 3 ORDER BY batch_id, index_id"),
+    "q_mm_video_dedup" ->
+      // full-pipeline replay from the generating formula: per-frame
+      // dHash bit vectors → per-bit strict majority → bands → banded
+      // self-join → Hamming verify (the q_mm_audio_dedup shape over
+      // moving pictures); the odd id's minority-frame corner bumps
+      // are absorbed by the majority, so every pair lands at Hamming 0
+      (videoPairCtes +
+        "p2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(ham AS INTEGER) AS hamming FROM " +
+        "(SELECT p2.id_a, p2.id_b, list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.id_a JOIN bits y ON y.doc_id = p2.id_b) " +
+        "WHERE ham <= 3 ORDER BY id_a, id_b"),
+    "q_mm_video_dedup_indexed" ->
+      // asymmetric replay: odd-id batch vs even-id persisted index,
+      // same band join + Hamming verify
+      (videoPairCtes +
+        "p2 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id " +
+        "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv " +
+        "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) " +
+        "SELECT batch_id, index_id, CAST(ham AS INTEGER) AS hamming FROM " +
+        "(SELECT p2.batch_id, p2.index_id, list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +
+        "WHERE ham <= 3 ORDER BY batch_id, index_id"),
+    "q_mm_video_dedup_filtered" ->
+      // restriction replay: the asymmetric band join with the index
+      // side limited to cam='a' ids (doc_id % 3 = 0)
+      (videoPairCtes +
         "p2 AS (SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS index_id " +
         "FROM bv a JOIN bv b ON a.bd = b.bd AND a.bv = b.bv " +
         "AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 3 = 0) " +

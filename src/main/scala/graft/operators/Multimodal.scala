@@ -1006,11 +1006,12 @@ object Multimodal {
       idCol, "afp", maxHamming, maxBucket)
 
   // -------------------------------- 64-bit perceptual signature indexes
-  // (dHash for images, energy-sign fingerprints for audio — ONE stored
-  // layout `(index_id, dhash, band, bandval)` bucketed on bandval, so
+  // (dHash for images, energy-sign fingerprints for audio, per-bit
+  // majority frame hashes for video — ONE stored layout
+  // `(index_id, dhash, band, bandval)` bucketed on bandval, so
   // deleteFromDHashIndex / purgeDHashIndex / dhashIndexStats /
-  // isStaleDHashIndex serve BOTH families verbatim; `dhash` is the
-  // 64-bit perceptual hash column whatever the modality)
+  // isStaleDHashIndex serve ALL THREE families verbatim; `dhash` is
+  // the 64-bit perceptual hash column whatever the modality)
 
   /** Band-exploded (id, dhash, band, bandval) rows — the persisted LSH
     * layout: one row per band so a query joins exactly the buckets its
@@ -1119,6 +1120,37 @@ object Multimodal {
       tableName, "bandval", buckets)
   }
 
+  /** Materialize a video corpus's majority fingerprints as a bucketed
+    * index table — the SEVENTH persisted signature surface, riding the
+    * dHash family's stored layout verbatim (see the section comment):
+    * build/append here, collide with [[videoPairsAgainstIndex]],
+    * delete/purge/measure with the SHARED [[deleteFromDHashIndex]] /
+    * [[purgeDHashIndex]] / [[dhashIndexStats]] / [[isStaleDHashIndex]]
+    * verbs. Undecodable and frame-less payloads are skipped (no
+    * fabricated signatures).
+    */
+  def writeVideoFingerprintIndex(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      tableName: String,
+      buckets: Int = 16,
+      maxFrames: Int = 8,
+      carryCols: Seq[String] = Nil
+  ): Unit = {
+    require(buckets > 0)
+    require(carryCols.forall(c => !Hash64ReservedCols.contains(c)),
+      s"carryCols collide with index columns: " +
+        carryCols.filter(Hash64ReservedCols.contains).mkString(", "))
+    graft.plans.ScaleJoins.writeBucketed(
+      withCarried(
+        dhashBandRows(
+          videoFingerprint(df, idCol, binCol, maxFrames)
+            .filter(col("vfp").isNotNull), idCol, "vfp"),
+        df, idCol, carryCols),
+      tableName, "bandval", buckets)
+  }
+
   /** Incremental index maintenance: signature an accepted image batch
     * and append its band rows through the table's own bucket spec —
     * O(batch) per ingest epoch, never a corpus re-hash (the
@@ -1153,6 +1185,23 @@ object Multimodal {
       dhashBandRows(
         audioFingerprint(batch, idCol, binCol, canonicalRate)
           .filter(col("afp").isNotNull), idCol, "afp"))
+
+  /** Incremental video-index maintenance — [[appendToDHashIndex]]'s
+    * contract (O(batch) per epoch, replay appends byte-identical
+    * residue compaction drops) over the majority fingerprints.
+    */
+  def appendToVideoFingerprintIndex(
+      spark: SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxFrames: Int = 8
+  ): Unit =
+    appendHash64BandRows(spark, tableName, batch, idCol,
+      dhashBandRows(
+        videoFingerprint(batch, idCol, binCol, maxFrames)
+          .filter(col("vfp").isNotNull), idCol, "vfp"))
 
   /** The shared append tail of the 64-bit signature index family:
     * schema-validate, discover carried metadata from the stored schema
@@ -1286,6 +1335,47 @@ object Multimodal {
       audioProbeBandRows(batch, idCol, binCol, canonicalRate),
       Some(predicate), maxHamming, maxBucket, pruneKeys)
 
+  /** Video near-dup collisions of a batch AGAINST the materialized
+    * fingerprint index — [[imagePairsAgainstIndex]]'s contract and
+    * scale shape (batch-only hashing, bucket-pruned probe, tombstones
+    * excluded before the cap) over the video family. Output:
+    * (batch_id, index_id, hamming).
+    */
+  def videoPairsAgainstIndex(
+      spark: SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue,
+      pruneKeys: Int = 4096,
+      maxFrames: Int = 8
+  ): DataFrame =
+    hash64PairsAgainstIndex(spark, tableName,
+      videoProbeBandRows(batch, idCol, binCol, maxFrames),
+      None, maxHamming, maxBucket, pruneKeys)
+
+  /** [[videoPairsAgainstIndex]] restricted by a predicate over the
+    * carried metadata — [[imagePairsAgainstIndexWhere]]'s contract for
+    * the video family.
+    */
+  def videoPairsAgainstIndexWhere(
+      spark: SparkSession,
+      tableName: String,
+      batch: DataFrame,
+      idCol: String,
+      binCol: String,
+      predicate: Column,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue,
+      pruneKeys: Int = 4096,
+      maxFrames: Int = 8
+  ): DataFrame =
+    hash64PairsAgainstIndex(spark, tableName,
+      videoProbeBandRows(batch, idCol, binCol, maxFrames),
+      Some(predicate), maxHamming, maxBucket, pruneKeys)
+
   /** The shared banded probe of the 64-bit signature index family:
     * persist the batch's band rows once, push the touched band values
     * as an IN() when they fit a literal list (bucket-pruning the
@@ -1310,6 +1400,15 @@ object Multimodal {
     dhashBandRows(
       audioFingerprint(batch, idCol, binCol, canonicalRate)
         .filter(col("afp").isNotNull), idCol, "afp")
+      .withColumnRenamed("index_id", "batch_id")
+      .withColumnRenamed("dhash", "a_hash")
+
+  private[graft] def videoProbeBandRows(
+      batch: DataFrame, idCol: String, binCol: String,
+      maxFrames: Int): DataFrame =
+    dhashBandRows(
+      videoFingerprint(batch, idCol, binCol, maxFrames)
+        .filter(col("vfp").isNotNull), idCol, "vfp")
       .withColumnRenamed("index_id", "batch_id")
       .withColumnRenamed("dhash", "a_hash")
 
@@ -1500,6 +1599,99 @@ object Multimodal {
     * per-payload imperative byte walking, the one place an
     * `Expression` genuinely doesn't fit.
     */
+  /** Perceptual VIDEO fingerprints: one 64-bit hash per decodable AVI
+    * payload — the composition the frame machinery was built for:
+    *
+    *  1. extract the container's real video frames
+    *     ([[Decoders.aviFrameChunks]] — the `q_mm_video_frames` walk);
+    *  2. keep `maxFrames` evenly spaced ones (ordinal `(i·F) div m`,
+    *     [[sampleVideoFrames]]' exact selection — a 2-hour clip never
+    *     hashes every frame);
+    *  3. dHash each decodable frame ([[Decoders.dHash64]], the image
+    *     family's kernel — frames are raster payloads: P6/BMP for
+    *     uncompressed interchange, JPEG for MJPEG);
+    *  4. aggregate per-bit STRICT MAJORITY across the hashed frames:
+    *     bit j of the video hash is set iff more than half its frame
+    *     hashes set bit j. Per-frame noise (a re-encode artifact, one
+    *     corrupted frame, a caption flash) flips a minority of frames'
+    *     bits and the majority absorbs it; ties (even frame counts)
+    *     round DOWN deterministically.
+    *
+    * Payloads that are not well-formed AVI, carry no movi video
+    * chunks, or whose sampled frames none decode emit NULL
+    * format/counts/hash — the honest "not a video" contract, never a
+    * hash over garbage. Output: (id, format, n_frames = movi total,
+    * frames_hashed, vfp). Narrow map, zero shuffles, same
+    * `mapPartitions` batch shape as the other codecs.
+    */
+  def videoFingerprint(
+      df: DataFrame, idCol: String, binCol: String,
+      maxFrames: Int = 8): DataFrame = {
+    require(maxFrames > 0, "maxFrames must be positive")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("format", StringType),
+      StructField("n_frames", IntegerType),
+      StructField("frames_hashed", IntegerType),
+      StructField("vfp", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(binCol)).mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Decoders.aviFrameChunks(bytes) match {
+          case Some(frames) if frames.nonEmpty =>
+            val f = frames.length
+            val m = math.min(maxFrames, f)
+            val hashes = (0 until m).iterator
+              .map(i => frames(i * f / m))
+              .flatMap(p => Decoders.parseRaster(p).map(Decoders.dHash64))
+              .toArray
+            if (hashes.isEmpty) Row(r.get(0), null, null, null, null)
+            else {
+              var vfp = 0L
+              var j = 0
+              while (j < 64) {
+                var c = 0
+                var i = 0
+                while (i < hashes.length) {
+                  if (((hashes(i) >>> j) & 1L) == 1L) c += 1
+                  i += 1
+                }
+                if (2 * c > hashes.length) vfp |= 1L << j
+                j += 1
+              }
+              Row(r.get(0), "avi", f, hashes.length, vfp)
+            }
+          case _ => Row(r.get(0), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Video near-duplicate pairs: per-clip majority fingerprints
+    * through the SAME 4 × 16-bit banding kernel as dHash, audio and
+    * text SimHash ([[Dedup.hash64BandPairs]]) — recall 1.0 for
+    * Hamming ≤ 3 by pigeonhole. Non-video payloads are excluded
+    * before banding. Output: (id_a, id_b, hamming). Same 100 TB shape
+    * as [[imageNearDupPairs]]: frame extraction and hashing are a
+    * narrow map over the binary column; only (id, 64-bit hash) rows
+    * reach the band shuffle — the video bytes never move.
+    */
+  def videoNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue,
+      maxFrames: Int = 8
+  ): DataFrame =
+    Dedup.hash64BandPairs(
+      videoFingerprint(df, idCol, binCol, maxFrames)
+        .filter(col("vfp").isNotNull)
+        .select(col(idCol), col("vfp")),
+      idCol, "vfp", maxHamming, maxBucket)
+
   def sampleVideoFrames(
       df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame = {
     require(n > 0, "n must be positive")

@@ -504,8 +504,32 @@ object CorpusIngest {
         spark, indexTable, survivors, idCol, binCol, canonicalRate),
       batch => Multimodal.audioProbeBandRows(batch, idCol, binCol, canonicalRate))
 
+  /** [[startImageIngest]] for VIDEO clips — the per-bit-majority
+    * frame-hash fingerprint family over the same shared machinery.
+    */
+  def startVideoIngest(
+      media: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      indexTable: String,
+      idCol: String = "doc_id",
+      binCol: String = "payload",
+      maxHamming: Int = 3,
+      maxFrames: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    startPerceptualIngest(media, destDir, checkpointDir, idCol, trigger)(
+      (spark, batch) => Multimodal.videoPairsAgainstIndex(
+        spark, indexTable, batch, idCol, binCol, maxHamming,
+        maxFrames = maxFrames),
+      batch => Multimodal.videoNearDupPairs(batch, idCol, binCol, maxHamming,
+        maxFrames = maxFrames),
+      (spark, survivors) => Multimodal.appendToVideoFingerprintIndex(
+        spark, indexTable, survivors, idCol, binCol, maxFrames),
+      batch => Multimodal.videoProbeBandRows(batch, idCol, binCol, maxFrames))
+
   /** The shared perceptual-ingest foreachBatch: one implementation,
-    * two modalities — the same replay/idempotence/cache-hygiene
+    * three modalities — the same replay/idempotence/cache-hygiene
     * contract as [[startWithIndex]], with (batch_id, index_id) /
     * (id_a, id_b) collision frames supplied by the modality.
     */

@@ -701,6 +701,103 @@ class MultimodalSpec extends SparkSpec {
     assert(b2 === a2)
   }
 
+  // ---- video fingerprint family (frames via aviWithMovi, pixels via ppm98)
+
+  private def vframe(base: Int, t: Int, bump: Boolean): Array[Byte] =
+    ppm98((x, y) =>
+      (x * 31 + y * 17 + base * 7 + (if (y == 0) 0 else t * 11) +
+        (if (bump && x == 0 && y == 0) 40 else 0)) % 256)
+
+  test("videoFingerprint: per-bit majority absorbs minority-frame noise; sampling bounds the hashing; non-video passes through fingerprint-less") {
+    import spark.implicits._
+    def clip(base: Int, f: Int, bumped: Int): Array[Byte] =
+      aviWithMovi((0 until f).map(t => vframe(base, t, t < bumped)))
+    val media = Seq(
+      (0L, clip(3, 5, 0)),
+      (1L, clip(3, 5, 2)), // same clip, corner noise in 2 of 5 frames
+      // reversed gradient — every compare flips, guaranteed different
+      (2L, aviWithMovi((0 until 5).map(_ =>
+        ppm98((x, y) => (1024 - x * 31 - y * 17) % 256)))),
+      (3L, aviWithMovi(Seq(Array[Byte](1, 2, 3)))), // no decodable frame
+      (4L, "not a video".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val fp = Multimodal.videoFingerprint(media, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some((r.getInt(2), r.getInt(3), r.getLong(4)))))
+      .toMap
+    assert(fp(0L).isDefined && fp(0L).get._1 === 5 && fp(0L).get._2 === 5)
+    assert(fp(0L).get._3 === fp(1L).get._3,
+      "minority-frame noise must be absorbed by the per-bit majority")
+    assert(fp(2L).isDefined && fp(2L).get._3 != fp(0L).get._3)
+    assert(fp(3L).isEmpty, "a movi of undecodable frames is honestly unfingerprinted")
+    assert(fp(4L).isEmpty, "non-video passes through fingerprint-less")
+    // maxFrames bounds the hashing (a long clip never hashes every frame)
+    val sampled = Multimodal.videoFingerprint(media, "id", "payload", maxFrames = 3)
+      .filter(col("id") === 0L).head()
+    assert(sampled.getInt(2) === 5 && sampled.getInt(3) === 3)
+    // the banding kernel recovers the noisy twin; null rows never reach it
+    val pairs = Multimodal.videoNearDupPairs(media, "id", "payload", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L),
+      "unfingerprinted payloads must never pair")
+  }
+
+  test("video fingerprint index lifecycle: append == rebuild; filtered == sub-corpus rebuild; the dHash family's delete/purge/stats verbs serve it verbatim") {
+    import spark.implicits._
+    def clip(d: Int): Array[Byte] =
+      aviWithMovi((0 until 3).map(t =>
+        vframe(d / 2, t, d % 2 == 1 && t < 1))) // odd id: 1 noisy frame of 3
+    val media = (0 until 60)
+      .map(d => (d.toLong, clip(d), if (d % 3 == 0) "a" else "b"))
+      .toDF("id", "payload", "cam")
+    val evens = media.filter(col("id") % 2 === 0)
+    val odds = media.filter(col("id") % 2 === 1)
+    def pairs(tbl: String) =
+      Multimodal.videoPairsAgainstIndex(spark, tbl, odds, "id", "payload")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    Multimodal.writeVideoFingerprintIndex(evens, "id", "payload",
+      "vfp_idx_whole", buckets = 4)
+    Multimodal.writeVideoFingerprintIndex(evens.filter(col("id") < 30),
+      "id", "payload", "vfp_idx_half", buckets = 4)
+    Multimodal.appendToVideoFingerprintIndex(spark, "vfp_idx_half",
+      evens.filter(col("id") >= 30), "id", "payload")
+    val whole = pairs("vfp_idx_whole")
+    assert(whole === pairs("vfp_idx_half"), "append must equal rebuild")
+    // every odd batch clip recovers its even noisy twin at Hamming 0
+    (0 until 60 by 2).foreach { d =>
+      assert(whole.contains(((d + 1).toLong, d.toLong, 0)),
+        s"planted twin ($d, ${d + 1}) not recovered: $whole")
+    }
+
+    // filtered probe == rebuild over the predicate's sub-corpus
+    Multimodal.writeVideoFingerprintIndex(evens, "id", "payload",
+      "vfp_flt_idx", buckets = 4, carryCols = Seq("cam"))
+    Multimodal.writeVideoFingerprintIndex(evens.filter(col("cam") === "a"),
+      "id", "payload", "vfp_flt_sub", buckets = 4)
+    val filtered = Multimodal.videoPairsAgainstIndexWhere(
+      spark, "vfp_flt_idx", odds, "id", "payload", col("cam") === "a")
+    assert(filtered.columns.toSeq === Seq("batch_id", "index_id", "hamming", "cam"))
+    assert(filtered.select("batch_id", "index_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ===
+      pairs("vfp_flt_sub"),
+      "filtered probe must equal a rebuild over the sub-corpus")
+
+    // the SHARED family verbs: delete == rebuild, purge reclaims
+    val receipt = Multimodal.deleteFromDHashIndex(spark, "vfp_idx_whole",
+      evens.filter(col("id") % 4 === 0).select("id"))
+    assert(receipt === evens.filter(col("id") % 4 === 0).count())
+    Multimodal.writeVideoFingerprintIndex(evens.filter(col("id") % 4 =!= 0),
+      "id", "payload", "vfp_idx_rebuilt", buckets = 4)
+    val deleted = pairs("vfp_idx_whole")
+    assert(deleted === pairs("vfp_idx_rebuilt"), "delete must equal rebuild")
+    assert(Multimodal.dhashIndexStats(spark, "vfp_idx_whole").tombstoneFraction > 0.0)
+    val (before, after) = Multimodal.purgeDHashIndex(spark, "vfp_idx_whole")
+    assert(after < before)
+    assert(pairs("vfp_idx_whole") === deleted, "purge must not change answers")
+  }
+
   test("audioFingerprint: exact volume + ZOH-rate invariance; non-audio and too-short clips pass through fingerprint-less") {
     import spark.implicits._
     def wave(base: Int, n: Int): Seq[Int] =

@@ -248,6 +248,82 @@ class CorpusIngestSpec extends SparkSpec {
     assert(ids2.contains(2001L), ids2.toSeq.sorted.mkString(","))
   }
 
+  test("startVideoIngest: noisy re-delivered clips collide across epochs, non-video passes through") {
+    import spark.implicits._
+    // full-avalanche per-(clip, frame, pixel) grays — the image-ingest
+    // fixture rule: linear ramps would make every clip's gradient
+    // signs collide
+    def mix8(z0: Long): Int = {
+      var z = z0 * 0x9E3779B97F4A7C15L
+      z ^= (z >>> 33); z *= 0xFF51AFD7ED558CCDL; z ^= (z >>> 33)
+      (z & 0xffL).toInt
+    }
+    def frame(base: Int, t: Int, bump: Int): Array[Byte] = {
+      val px = new Array[Byte](9 * 8 * 3)
+      var o = 0
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val b = if (x == 0 && y == 0) bump else 0
+        val v = ((mix8(x + 9L * y + 72L * (base * 3 + t) + 1) + b) % 256).toByte
+        px(o) = v; px(o + 1) = v; px(o + 2) = v; o += 3
+      }
+      "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
+    }
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bb = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      def ascii(s: String): Unit = bb ++= s.getBytes("US-ASCII")
+      def le32(v: Int): Unit =
+        (0 to 3).foreach(i => bb += ((v >> (8 * i)) & 0xff).toByte)
+      val frameSz = frames.head.length
+      val moviSz = 4 + frames.size * (8 + frameSz + (frameSz & 1))
+      ascii("RIFF"); le32(4 + 76 + 8 + moviSz); ascii("AVI ")
+      ascii("LIST"); le32(68); ascii("hdrl"); ascii("avih"); le32(56)
+      le32(40000); le32(0); le32(0); le32(0); le32(frames.size); le32(0)
+      le32(1); le32(0); le32(9); le32(8); le32(0); le32(0); le32(0); le32(0)
+      ascii("LIST"); le32(moviSz); ascii("movi")
+      frames.foreach { f =>
+        ascii("00db"); le32(f.length); bb ++= f
+        if ((f.length & 1) == 1) bb += 0
+      }
+      bb.toArray
+    }
+    // 3 frames per clip; the "noisy re-delivery" bumps ONE frame's
+    // corner — the per-bit majority absorbs it, so the twin collides
+    def vclip(base: Int, noisy: Boolean = false): Array[Byte] =
+      avi((0 until 3).map(t => frame(base, t, if (noisy && t == 0) 40 else 0)))
+    val history = (0 until 6).map(d => (d.toLong, vclip(d))).toDF("doc_id", "payload")
+    graft.operators.Multimodal.writeVideoFingerprintIndex(history,
+      "doc_id", "payload", "ingest_vfp_idx", buckets = 4)
+    val srcDir = tmp("graft_vi_src")
+    val outDir = tmp("graft_vi_out")
+    val ckpt = tmp("graft_vi_ckpt")
+    // epoch 1: a fresh clip, a NOISY re-delivery of history clip 2
+    // (only the majority fingerprint sees through the frame noise),
+    // and a non-video payload (passes through undeduped)
+    Seq(
+      (1000L, vclip(50)),
+      (1001L, vclip(2, noisy = true)),
+      (3000L, "not a video".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload").write.mode("overwrite").parquet(srcDir)
+    def run(): Unit =
+      CorpusIngest.startVideoIngest(
+        spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir),
+        outDir, ckpt, "ingest_vfp_idx")
+        .awaitTermination(180000)
+    run()
+    val ids1 = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === Set(1000L, 3000L), ids1.toSeq.sorted.mkString(","))
+    // epoch 2: a noisy twin of the epoch-1 SURVIVOR — the appended
+    // fingerprints remember it — plus a genuinely new clip
+    Seq((2000L, vclip(50, noisy = true)), (2001L, vclip(60)))
+      .toDF("doc_id", "payload").write.mode("append").parquet(srcDir)
+    run()
+    val ids2 = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids2.contains(2000L), "epoch-1 survivor's noisy twin must collide")
+    assert(ids2.contains(2001L), ids2.toSeq.sorted.mkString(","))
+  }
+
   test("startWithIndex → compact → resume: index and batch= layout survive, crash leftover recovered") {
     import spark.implicits._
     def phrase(tag: String) = (1 to 25).map(t => s"${tag}w$t").mkString(" ")
