@@ -2572,6 +2572,73 @@ object SparkEntry {
       graft.plans.Snapshots.rollbackTo(s, out, 1L)
       s.read.parquet(out).orderBy("doc_id")
     }),
+    // ONE-VERB takedown orchestration: a corpus registered with its
+    // live dir (versioned), BM25 (+ cosine norms sidecar), MinHash,
+    // IVF-SQ, dHash, audio and video fingerprint indexes — then a
+    // single Takedown.sweep(%7 ids) runs every family's delete+purge,
+    // the live delete, the version purge, and returns the composed
+    // audit. The gate's RESULT is the absence audit over probes
+    // (doomed + survivors) against every registered surface: doomed
+    // ids count 0 on ALL of them, survivors show each surface's
+    // expected membership (media/vectors only exist for id < 120) —
+    // the registry guarantees no surface is forgotten, and the strict
+    // sweep proves no unregistered index-layout table held swept ids.
+    // Ids are offset to 9e6 so discovery never collides with the
+    // other gates' raw-id index tables
+    "q_verify_takedown_sweep" -> ((s, dir) => {
+      import graft.verify.Takedown
+      val off = 9000000L
+      val docs0 = t(s, dir, "documents")
+      val key = fixtureKey(dir, docs0)
+      val corpus = s"tkswp_$key"
+      val reg = s"tkreg_$key"
+      val bmT = s"tkbm_$key"
+      val liveDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_tk_$key/corpus"
+      if (!s.catalog.tableExists(bmT)) {
+        val docs = docs0.select((col("doc_id") + off).as("doc_id"),
+          col("text"), col("lang"))
+        docs.write.mode("overwrite").parquet(liveDir)
+        freshVersionsRoot(s, liveDir)
+        Takedown.enableVersioning(s, corpus, liveDir, "doc_id", reg)
+        // v1 = the full pre-takedown corpus (history the sweep must reach)
+        graft.plans.Compaction.compactParquet(s, liveDir)
+        Takedown.writeBm25Index(s, corpus, docs, "doc_id", "text", bmT,
+          buckets = 4, registryTable = reg)
+        TextAnalysis.refreshCosineNorms(s, bmT)
+        Takedown.writeMinhashIndex(s, corpus, docs, "doc_id", "text",
+          s"tkmh_$key", buckets = 4, registryTable = reg)
+        Takedown.writeIvfSqIndex(s, corpus,
+          t(s, dir, "embeddings").filter(col("vec_id") < 120)
+            .select((col("vec_id") + off).as("doc_id"), col("embedding")),
+          "doc_id", "embedding", s"tksq_$key", nCentroids = 8, buckets = 4,
+          registryTable = reg)
+        // media for the perceptual families: one distinct payload per
+        // id (even fixture indices — never the text-payload class).
+        // Bounded collect: ≤ 120 ids drive the driver-side synthesis
+        val nDocs = math.min(120L, docs0.count()).toInt
+        import s.implicits._
+        val imgs = (0 until nDocs).map(d => (d + off, dedupPpm98(2 * d)))
+          .toDF("doc_id", "payload")
+        val wavs = (0 until nDocs).map(d => (d + off, dedupWav(2 * d)))
+          .toDF("doc_id", "payload")
+        val avis = (0 until nDocs).map(d => (d + off, dedupAvi(2 * d)))
+          .toDF("doc_id", "payload")
+        Takedown.writeDHashIndex(s, corpus, imgs, "doc_id", "payload",
+          s"tkdh_$key", buckets = 4, registryTable = reg)
+        Takedown.writeAudioFingerprintIndex(s, corpus, wavs, "doc_id",
+          "payload", s"tkaf_$key", buckets = 4, registryTable = reg)
+        Takedown.writeVideoFingerprintIndex(s, corpus, avis, "doc_id",
+          "payload", s"tkvf_$key", buckets = 4, registryTable = reg)
+        Takedown.sweep(s, corpus, (col("doc_id") - off) % 7 === 0,
+          registryTable = reg)
+      }
+      val probes = docs0.filter(col("doc_id") < 140)
+        .select((col("doc_id") + off).as("doc_id"))
+      graft.verify.Comparator.absenceAudit(probes, "doc_id",
+        Takedown.auditSurfaces(s, corpus, reg))
+        .orderBy("id")
+    }),
     // Versioned takedown, closed end-to-end: routine maintenance
     // deletes (%3, %5) retain pre-rewrite snapshots; the takedown (%7)
     // deletes from LIVE (archiving the pre-takedown state — which
@@ -5521,6 +5588,28 @@ object SparkEntry {
     "q_corpus_rollback" ->
       // delete then rollback: the live dataset is the original again
       "SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id",
+    "q_verify_takedown_sweep" ->
+      // expected per-id counts per surface after the one-verb sweep,
+      // recomputed from the raw corpus and the predicates alone: the
+      // %7 takedown ids read 0 on EVERY registered surface (live, all
+      // six index families + the BM25 roster and norms sidecars, both
+      // retained versions); survivors read each surface's expected
+      // membership — media and vector families only ever held
+      // id < 120, embeddings membership bounds the IVF column
+      ("SELECT doc_id + 9000000 AS id, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS live_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 OR doc_id >= 120 THEN 0 ELSE 1 END AS BIGINT) AS audio_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS bm25_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS bm25_roster_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS bm25_norm_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 OR doc_id >= 120 THEN 0 ELSE 1 END AS BIGINT) AS dhash_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 OR doc_id >= 120 OR " +
+        "doc_id NOT IN (SELECT vec_id FROM embeddings) THEN 0 ELSE 1 END AS BIGINT) AS ivfsq_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS minhash_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 OR doc_id >= 120 THEN 0 ELSE 1 END AS BIGINT) AS video_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS v1_rows, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS v2_rows " +
+        "FROM documents WHERE doc_id < 140 ORDER BY id"),
     "q_verify_deletion_versioned" ->
       // expected per-id counts per surface, recomputed from the raw
       // corpus and the predicates alone: v1 = original, v2 = minus %3,

@@ -1,0 +1,507 @@
+package graft.verify
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.plans.{Compaction, Snapshots, ZOrder}
+
+/** One-verb takedown orchestration across the engine's surface zoo.
+  *
+  * Round-15 state of the art: every surface family had its OWN
+  * crash-safe, gate-proven deletion verb — `Compaction.deleteWhere` on
+  * the live dataset, `deleteFrom{Minhash,Bm25,IvfSq,IvfPq,DHash}Index`
+  * (+ the purge that makes them physical), `Snapshots.purgeVersions`
+  * for retained history, `Comparator.absenceAudit` to prove the
+  * result. A COMPLETE takedown therefore required ~10 correctly
+  * ordered manual calls, and the remaining compliance risk was not a
+  * broken verb but a FORGOTTEN one: an index family nobody remembered
+  * the corpus had. Nothing discovered which surfaces existed.
+  *
+  * This object closes that last mile with a SURFACE REGISTRY — a tiny
+  * catalog table mapping (corpus, family, surface) — plus
+  * [[Takedown.sweep]], which runs the whole ordered pipeline against
+  * every registered surface in one call and returns the composed
+  * absence audit as its receipt, and [[Takedown.surfaceStats]], the
+  * registry-driven staleness dashboard over the same rows.
+  *
+  * Registration happens at WRITE time: the `write*Index` /
+  * [[registerCorpus]] / [[enableVersioning]] wrappers here register
+  * BEFORE they write, so a death between the two leaves a PHANTOM
+  * registration (a surface with no data — vacuously clean, skipped by
+  * the sweep) rather than an UNREGISTERED surface (data the sweep
+  * would miss). The registry deliberately over-approximates.
+  *
+  * The sweep's ORDER is what makes a mid-sweep death rerunnable:
+  *
+  *  1. gather the matching ids from live + retained versions (the
+  *     pre-delete copies);
+  *  2. tombstone + purge every registered index family (ids-keyed —
+  *     safe first: reads already exclude tombstones);
+  *  3. delete from the live dataset (z-order-aware dispatch);
+  *  4. [[Snapshots.purgeVersions]] over retained history;
+  *  5. rebuild any registered bloom filter from the post-delete live
+  *     corpus (bloom bits cannot be unset — rebuild IS the delete);
+  *  6. the composed [[Comparator.absenceAudit]] over live + every
+  *     index surface + every retained version.
+  *
+  * A death after step 3 on a VERSIONED corpus still recovers its ids
+  * from the archived pre-delete version on rerun; on an unversioned
+  * corpus every step before the death already ran ids-complete (the
+  * index deletes precede the live delete precisely so the ids they
+  * need still exist), and the rerun's no-op steps are all idempotent.
+  *
+  * STRICT MODE (default): before touching anything, the sweep scans
+  * the catalog for tables that LOOK like an index family (the stored
+  * layouts are self-describing) but are registered nowhere, and
+  * refuses if any of them still carries a matching id — the
+  * forgotten-surface failure made loud instead of silent.
+  *
+  * Scale shape: the registry is O(surfaces) rows; ids are a slim
+  * one-column frame (broadcast into every probe); each family verb
+  * keeps its own documented cost (tombstones O(|ids|), purges
+  * O(index), live delete O(dataset), version purge O(matching
+  * versions' bytes)). Batch takedown requests and run ONE sweep.
+  */
+object Takedown {
+
+  /** Default registry catalog table. */
+  val DefaultRegistry = "graft_surfaces"
+
+  /** Families the registry accepts. `live` is the corpus dataset
+    * directory (aux = its id column); the index families' surfaces are
+    * catalog tables; `bloom` additionally records the text column it
+    * was built from (aux) so the sweep can rebuild it.
+    */
+  val KnownFamilies: Set[String] =
+    Set("live", "minhash", "bm25", "ivfsq", "ivfpq", "dhash", "audio",
+      "video", "bloom")
+
+  private val FamilyIdCol = Map(
+    "minhash" -> "index_id", "bm25" -> "doc_id",
+    "ivfsq" -> "neighbor_id", "ivfpq" -> "neighbor_id",
+    "dhash" -> "index_id", "audio" -> "index_id", "video" -> "index_id")
+
+  /** Side-table suffixes the index families hang off their base table —
+    * never surfaces of their own (the base table's family verbs own
+    * them), so registration, discovery and the audit all skip them.
+    */
+  private val SideSuffixes = Seq(
+    "_tombstones", "_docs", "_norms", "_norms_stats", "_terms", "_stats",
+    "_centroids", "_codebook")
+
+  /** Record a surface for `corpus`. Idempotent (re-registering the
+    * same triple is a no-op); loud on an unknown family. Safe to call
+    * for surfaces built long before the registry existed.
+    */
+  def register(
+      spark: SparkSession,
+      corpus: String,
+      family: String,
+      surface: String,
+      aux: String = "",
+      registryTable: String = DefaultRegistry): Unit = {
+    require(KnownFamilies.contains(family),
+      s"unknown surface family '$family' (known: ${KnownFamilies.toSeq.sorted.mkString(", ")})")
+    require(corpus.nonEmpty && surface.nonEmpty, "corpus and surface must be non-empty")
+    import spark.implicits._
+    val row = Seq((corpus, family, surface, aux))
+      .toDF("corpus", "family", "surface", "aux")
+    if (spark.catalog.tableExists(registryTable)) {
+      val dup = spark.table(registryTable)
+        .filter(col("corpus") === corpus && col("family") === family &&
+          col("surface") === surface)
+        .limit(1).count() > 0 // bounded: the registry is O(surfaces) rows
+      if (!dup)
+        row.write.mode("append").format("parquet").saveAsTable(registryTable)
+    } else row.write.format("parquet").saveAsTable(registryTable)
+    spark.catalog.refreshTable(registryTable)
+  }
+
+  /** The registered surfaces of `corpus`, distinct (replayed appends
+    * dedupe at read — the tombstone-table rule), ordered (family,
+    * surface) so every consumer sees one deterministic sequence.
+    */
+  def registered(
+      spark: SparkSession,
+      corpus: String,
+      registryTable: String = DefaultRegistry): DataFrame = {
+    require(spark.catalog.tableExists(registryTable),
+      s"surface registry $registryTable does not exist — register surfaces first")
+    spark.table(registryTable)
+      .filter(col("corpus") === corpus)
+      .distinct()
+      .orderBy("family", "surface")
+  }
+
+  /** Register the corpus's LIVE dataset directory (family `live`,
+    * aux = its id column) — the root surface every sweep starts from.
+    */
+  def registerCorpus(
+      spark: SparkSession,
+      corpus: String,
+      dir: String,
+      idCol: String,
+      registryTable: String = DefaultRegistry): Unit =
+    register(spark, corpus, "live", dir, idCol, registryTable)
+
+  /** [[Snapshots.enableVersioning]] that first records the live
+    * surface — retained versions are then discovered per sweep via
+    * [[Snapshots.versionSurfaces]], never registered row by row.
+    */
+  def enableVersioning(
+      spark: SparkSession,
+      corpus: String,
+      dir: String,
+      idCol: String,
+      registryTable: String = DefaultRegistry): Unit = {
+    registerCorpus(spark, corpus, dir, idCol, registryTable)
+    Snapshots.enableVersioning(spark, dir)
+  }
+
+  // ------------------------- self-registering index writes (register
+  // FIRST: a death in between leaves a phantom registration — a
+  // vacuously-clean surface — never an unregistered one)
+
+  def writeMinhashIndex(spark: SparkSession, corpus: String, docs: DataFrame,
+      idCol: String, textCol: String, tableName: String, n: Int = 3,
+      k: Int = 8, buckets: Int = 16, carryCols: Seq[String] = Nil,
+      registryTable: String = DefaultRegistry): Unit = {
+    register(spark, corpus, "minhash", tableName, "", registryTable)
+    Dedup.writeMinhashIndex(docs, idCol, textCol, tableName, n, k, buckets, carryCols)
+  }
+
+  def writeBm25Index(spark: SparkSession, corpus: String, docs: DataFrame,
+      idCol: String, textCol: String, tableName: String, buckets: Int = 16,
+      carryCols: Seq[String] = Nil,
+      registryTable: String = DefaultRegistry): Unit = {
+    register(spark, corpus, "bm25", tableName, "", registryTable)
+    TextAnalysis.writeBm25Index(docs, idCol, textCol, tableName, buckets, carryCols)
+  }
+
+  def writeIvfSqIndex(spark: SparkSession, corpus: String, docs: DataFrame,
+      idCol: String, vecCol: String, tableName: String, nCentroids: Int = 16,
+      buckets: Int = 16, carryCols: Seq[String] = Nil,
+      registryTable: String = DefaultRegistry): Unit = {
+    register(spark, corpus, "ivfsq", tableName, "", registryTable)
+    Similarity.writeIvfSqIndex(docs, idCol, vecCol, tableName, nCentroids,
+      buckets, carryCols = carryCols)
+  }
+
+  def writeIvfPqIndex(spark: SparkSession, corpus: String, docs: DataFrame,
+      idCol: String, vecCol: String, tableName: String, nCentroids: Int = 16,
+      m: Int = 4, nCodes: Int = 16, buckets: Int = 16,
+      registryTable: String = DefaultRegistry): Unit = {
+    register(spark, corpus, "ivfpq", tableName, "", registryTable)
+    Similarity.writeIvfPqIndex(docs, idCol, vecCol, tableName, nCentroids,
+      m, nCodes, buckets)
+  }
+
+  def writeDHashIndex(spark: SparkSession, corpus: String, media: DataFrame,
+      idCol: String, binCol: String, tableName: String, buckets: Int = 16,
+      carryCols: Seq[String] = Nil,
+      registryTable: String = DefaultRegistry): Unit = {
+    register(spark, corpus, "dhash", tableName, "", registryTable)
+    Multimodal.writeDHashIndex(media, idCol, binCol, tableName, buckets, carryCols)
+  }
+
+  def writeAudioFingerprintIndex(spark: SparkSession, corpus: String,
+      media: DataFrame, idCol: String, binCol: String, tableName: String,
+      buckets: Int = 16, canonicalRate: Int = 8000,
+      carryCols: Seq[String] = Nil,
+      registryTable: String = DefaultRegistry): Unit = {
+    register(spark, corpus, "audio", tableName, "", registryTable)
+    Multimodal.writeAudioFingerprintIndex(media, idCol, binCol, tableName,
+      buckets, canonicalRate, carryCols)
+  }
+
+  def writeVideoFingerprintIndex(spark: SparkSession, corpus: String,
+      media: DataFrame, idCol: String, binCol: String, tableName: String,
+      buckets: Int = 16, maxFrames: Int = 8, carryCols: Seq[String] = Nil,
+      registryTable: String = DefaultRegistry): Unit = {
+    register(spark, corpus, "video", tableName, "", registryTable)
+    Multimodal.writeVideoFingerprintIndex(media, idCol, binCol, tableName,
+      buckets, maxFrames, carryCols)
+  }
+
+  def writeBloomIndex(spark: SparkSession, corpus: String,
+      benchmark: DataFrame, benchTextCol: String, tableName: String,
+      n: Int = 8, mBits: Int = 1 << 18, k: Int = 5,
+      registryTable: String = DefaultRegistry): Unit = {
+    register(spark, corpus, "bloom", tableName, benchTextCol, registryTable)
+    Corpus.writeBloomIndex(benchmark, benchTextCol, tableName, n, mBits, k)
+  }
+
+  // ------------------------------------------------------------ sweep
+
+  /** The one-verb takedown: delete every row matching `condition` from
+    * EVERY registered surface of `corpus` — index families first
+    * (tombstone + purge), then the live dataset (z-order aware), then
+    * retained versions, then bloom rebuilds — and return the composed
+    * [[Comparator.absenceAudit]] over all of them as the receipt: one
+    * row per matched id, one `<surface>_rows` column per surface,
+    * every cell 0 when the sweep is complete.
+    *
+    * SQL DELETE semantics throughout ([[Compaction.deleteWhere]]'s
+    * rule): a row is swept only when the predicate is TRUE; NULL
+    * survives. `condition` is evaluated against the live dataset's
+    * columns (and the retained versions', which share them).
+    *
+    * Registered-but-missing tables (a registration whose write died)
+    * are skipped: no data is vacuously clean. Strict mode refuses on
+    * DISCOVERED unregistered index-layout tables still holding a
+    * matching id — see [[discoverUnregistered]].
+    *
+    * Rerunnable across any mid-sweep death — see the object doc's
+    * ordering argument. Idempotent once complete: a second sweep
+    * finds no matching ids and audits an empty probe set.
+    */
+  def sweep(
+      spark: SparkSession,
+      corpus: String,
+      condition: Column,
+      registryTable: String = DefaultRegistry,
+      strict: Boolean = true,
+      targetFileBytes: Long = 128L << 20): DataFrame = {
+    val rows = registered(spark, corpus, registryTable).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    require(rows.nonEmpty, s"no surfaces registered for corpus '$corpus'")
+    val lives = rows.filter(_._1 == "live")
+    require(lives.length == 1,
+      s"corpus '$corpus' must register exactly one live surface (found ${lives.length})")
+    val (_, liveDir, idCol) = lives.head
+    require(idCol.nonEmpty, s"live registration for '$corpus' lacks its id column (aux)")
+    val pred = coalesce(condition, lit(false))
+
+    // 1. matching ids from live + retained versions — gathered BEFORE
+    // any delete so the index tombstones and the audit probes agree;
+    // pinned because live is about to be rewritten underneath
+    val versioned = Snapshots.isVersioned(spark, liveDir)
+    val versionFrames =
+      if (versioned) Snapshots.versionSurfaces(spark, liveDir, idCol) else Seq.empty
+    val ids = (spark.read.parquet(liveDir).filter(pred).select(col(idCol)) +:
+      versionFrames.map(_._2.filter(pred).select(col(idCol))))
+      .reduce(_.unionByName(_))
+      .distinct()
+      .localCheckpoint(true)
+
+    // 2. strict: the forgotten-surface check, loud
+    if (strict) {
+      val forgotten = discoverUnregistered(spark, registryTable, ids, idCol)
+      require(forgotten.isEmpty,
+        s"takedown sweep for '$corpus' found UNREGISTERED index-layout " +
+          s"tables still holding matching ids: ${forgotten.mkString(", ")} — " +
+          "register them (Takedown.register) or clean them up first")
+    }
+
+    // 3. index families: tombstone the ids, then make it physical
+    val families = rows.filterNot(r => r._1 == "live" || r._1 == "bloom")
+    families.foreach { case (family, table, _) =>
+      if (spark.catalog.tableExists(table)) family match {
+        case "minhash" =>
+          Dedup.deleteFromMinhashIndex(spark, table, ids)
+          Dedup.purgeMinhashIndex(spark, table)
+        case "bm25" =>
+          TextAnalysis.deleteFromBm25Index(spark, table, ids)
+          TextAnalysis.purgeBm25Index(spark, table)
+        case "ivfsq" | "ivfpq" =>
+          Similarity.deleteFromIvfSqIndex(spark, table, ids)
+          Similarity.purgeIvfSqIndex(spark, table)
+        case "dhash" | "audio" | "video" =>
+          Multimodal.deleteFromDHashIndex(spark, table, ids)
+          Multimodal.purgeDHashIndex(spark, table)
+      }
+    }
+
+    // 4. live delete — z-order clustered datasets route through the
+    // layout-preserving verb, mirroring purgeVersions' dispatch
+    val (fs, qualified) = {
+      val p = new org.apache.hadoop.fs.Path(liveDir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (f, f.makeQualified(p))
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(qualified, "_zorder_meta"))) {
+      // file count from current data bytes — purgeVersions' sizing rule
+      val it = fs.listFiles(qualified, true)
+      var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && !f.getPath.getName.startsWith("_")) bytes += f.getLen
+      }
+      val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      ZOrder.deleteWhereZorder(spark, liveDir, condition, parts)
+    } else
+      Compaction.deleteWhere(spark, liveDir, condition, targetFileBytes)
+
+    // 5. retained history (covers the version the delete just archived)
+    if (versioned) Snapshots.purgeVersions(spark, liveDir, condition, targetFileBytes)
+
+    // 6. bloom: bits cannot be unset — rebuild from the post-delete
+    // live corpus with the STORED hash-family parameters and the
+    // registered text column
+    rows.filter(_._1 == "bloom").foreach { case (_, table, textCol) =>
+      if (spark.catalog.tableExists(table)) {
+        require(textCol.nonEmpty,
+          s"bloom registration for $table lacks its text column (aux) — " +
+            "the sweep cannot rebuild it")
+        val p = spark.table(table + "_stats").collect()
+        require(p.length == 1, s"${table}_stats must hold exactly one row")
+        Corpus.writeBloomIndex(spark.read.parquet(liveDir), textCol, table,
+          n = p.head.getInt(2), mBits = p.head.getInt(0), k = p.head.getInt(1))
+      }
+    }
+
+    // 7. the receipt: absence across EVERY surface, history included
+    val surfaces = auditSurfaces(spark, corpus, registryTable)
+    Comparator.absenceAudit(ids.toDF(idCol), idCol, surfaces)
+  }
+
+  /** The audit surface list a sweep (or an independent re-audit)
+    * covers: live, every registered index family's id-presence frame
+    * (bm25 contributes postings + roster + norms), and one surface per
+    * retained version. Names are deterministic: family name, suffixed
+    * `_2`, `_3`… when a corpus registers several tables of one family.
+    * Bloom has no per-id rows (bits are shared) and is excluded — its
+    * deletion story is the rebuild in [[sweep]] step 6.
+    */
+  def auditSurfaces(
+      spark: SparkSession,
+      corpus: String,
+      registryTable: String = DefaultRegistry): Seq[(String, DataFrame, String)] = {
+    val rows = registered(spark, corpus, registryTable).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val (_, liveDir, idCol) = rows.filter(_._1 == "live").head
+    val counters = scala.collection.mutable.Map.empty[String, Int]
+    def name(family: String, suffix: String = ""): String = {
+      val k = family + suffix
+      val n = counters.getOrElse(k, 0) + 1
+      counters(k) = n
+      if (n == 1) k else s"${k}_$n"
+    }
+    val live = Seq(("live", spark.read.parquet(liveDir), idCol))
+    val index = rows.filterNot(r => r._1 == "live" || r._1 == "bloom")
+      .filter(r => spark.catalog.tableExists(r._2))
+      .flatMap { case (family, table, _) =>
+        val idc = FamilyIdCol(family)
+        val base = Seq((name(family),
+          spark.table(table).select(idc).distinct(), idc))
+        val bm25Sides =
+          if (family != "bm25") Seq.empty
+          else Seq("_docs" -> "_roster", "_norms" -> "_norm")
+            .filter { case (sfx, _) => spark.catalog.tableExists(table + sfx) }
+            .map { case (sfx, tag) =>
+              (name(family, tag), spark.table(table + sfx).select(idc), idc)
+            }
+        base ++ bm25Sides
+      }
+    val versions =
+      if (Snapshots.isVersioned(spark, liveDir))
+        Snapshots.versionSurfaces(spark, liveDir, idCol)
+      else Seq.empty
+    live ++ index ++ versions
+  }
+
+  /** Catalog tables that LOOK like an index family's stored layout but
+    * appear in NO registry row, restricted to those still holding at
+    * least one of `ids` — the forgotten-surface list [[sweep]]'s
+    * strict mode refuses on. Side tables (`_tombstones`, `_docs`, …)
+    * are skipped: their base table is the surface. One bounded
+    * `limit(1)` semi-probe per candidate.
+    */
+  def discoverUnregistered(
+      spark: SparkSession,
+      registryTable: String,
+      ids: DataFrame,
+      idsCol: String): Seq[String] = {
+    val known = spark.table(registryTable).select("surface").distinct()
+      .collect().map(_.getString(0).toLowerCase).toSet + registryTable.toLowerCase
+    spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+      .filterNot(n => known.contains(n.toLowerCase))
+      .filterNot(n => SideSuffixes.exists(n.toLowerCase.endsWith))
+      .flatMap { n =>
+        val cols = scala.util.Try(spark.table(n).columns.toSeq).getOrElse(Seq.empty)
+        val idc =
+          if (cols.take(4) == Seq("index_id", "dhash", "band", "bandval"))
+            Some("index_id") // dHash/audio/video band layout
+          else if (cols.take(2) == Seq("index_id", "sig_0"))
+            Some("index_id") // MinHash signature layout
+          else if (Seq("doc_id", "term", "tf").forall(cols.contains))
+            Some("doc_id") // BM25 postings layout
+          else if (cols.contains("neighbor_id") && cols.contains("__list"))
+            Some("neighbor_id") // IVF code layout
+          else None
+        idc.filter { c =>
+          val t = spark.table(n)
+          t.join(
+            broadcast(ids.select(col(idsCol).cast(t.schema(c).dataType).as(c))
+              .filter(col(c).isNotNull).distinct()),
+            Seq(c), "left_semi")
+            .limit(1).count() > 0
+        }.map(_ => n)
+      }
+  }
+
+  /** Registry-driven staleness dashboard: ONE frame over every
+    * registered surface of `corpus` — (corpus, family, surface,
+    * present, stale, remediation) — unioning the per-family `isStale*`
+    * verdicts at their default thresholds, plus a `versions` row when
+    * the live dataset retains history. `present = false` rows (a
+    * registration whose write died) read stale = null. The flags are
+    * EXACTLY the per-family calls — this is a view, not a second
+    * opinion; drive remediation by the named verb.
+    */
+  def surfaceStats(
+      spark: SparkSession,
+      corpus: String,
+      registryTable: String = DefaultRegistry): DataFrame = {
+    import spark.implicits._
+    val rows = registered(spark, corpus, registryTable).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val out = rows.flatMap { case (family, surface, _) =>
+      family match {
+        case "live" =>
+          val zordered = {
+            val p = new org.apache.hadoop.fs.Path(surface)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.exists(new org.apache.hadoop.fs.Path(fs.makeQualified(p), "_zorder_meta"))
+          }
+          val liveRow =
+            if (zordered)
+              (corpus, "live", surface, true,
+                Some(ZOrder.isStaleZorder(spark, surface)), "reclusterZorder")
+            else
+              (corpus, "live", surface, true,
+                Some(false), "compactParquet")
+          val versionRow =
+            if (Snapshots.isVersioned(spark, surface))
+              Seq((corpus, "versions", surface, true,
+                Some(Snapshots.isStaleVersions(spark, surface)), "vacuumVersions"))
+            else Seq.empty
+          liveRow +: versionRow
+        case fam =>
+          val present = spark.catalog.tableExists(surface)
+          val (stale, fix): (Option[Boolean], String) =
+            if (!present) (None, "re-run the registered write")
+            else fam match {
+              case "minhash" =>
+                (Some(Dedup.isStaleMinhashIndex(spark, surface)),
+                  "compactBucketedTable / purgeMinhashIndex")
+              case "bm25" =>
+                (Some(TextAnalysis.isStaleBm25Index(spark, surface)),
+                  "repairBm25Index / purgeBm25Index / refreshCosineNorms")
+              case "ivfsq" | "ivfpq" =>
+                (Some(Similarity.isStaleIvfSqIndex(spark, surface)),
+                  "rebuild (pinQuantizerFrom) / purgeIvfSqIndex")
+              case "dhash" | "audio" | "video" =>
+                (Some(Multimodal.isStaleDHashIndex(spark, surface)),
+                  "compactBucketedTable / purgeDHashIndex")
+              case "bloom" =>
+                (Some(Corpus.isStaleBloomIndex(spark, surface)),
+                  "writeBloomIndex (rebuild wider)")
+            }
+          Seq((corpus, fam, surface, present, stale, fix))
+      }
+    }
+    out.toSeq.toDF("corpus", "family", "surface", "present", "stale", "remediation")
+  }
+}

@@ -1,0 +1,226 @@
+package graft.verify
+
+import graft.SparkSpec
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.plans.{Compaction, Snapshots}
+import org.apache.spark.sql.functions._
+
+/** The one-verb takedown story: registry-driven sweep over every
+  * surface family, loud refusal on forgotten surfaces, crash-ordering
+  * rerunnability, the bloom rebuild, and the staleness dashboard.
+  * Ids live at +5e6 so the strict discovery scan never collides with
+  * other suites' index tables in the shared warehouse.
+  */
+class TakedownSpec extends SparkSpec {
+
+  private val Off = 5000000L
+
+  // ONE registry table across the suite — the production shape: the
+  // strict discovery scan treats every corpus's registered surfaces
+  // as known, so corpora sharing an id domain never flag each other
+  private val SharedReg = "tkd_shared_reg"
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/corpus"
+
+  private def mix8(z0: Long): Int = {
+    var z = z0 * 0x9E3779B97F4A7C15L
+    z ^= (z >>> 33); z *= 0xFF51AFD7ED558CCDL; z ^= (z >>> 33)
+    (z & 0xffL).toInt
+  }
+
+  private def img(d: Int): Array[Byte] = {
+    val px = new Array[Byte](9 * 8 * 3)
+    var o = 0
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = mix8(x + 9L * y + 72L * d + 1).toByte
+      px(o) = v; px(o + 1) = v; px(o + 2) = v; o += 3
+    }
+    "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
+  }
+
+  private def docsFrame(n: Int) = {
+    import spark.implicits._
+    // every token carries the doc number, so every token n-gram is
+    // doc-UNIQUE — the bloom-rebuild test needs shingles that belong
+    // to exactly one document (shared shingles survive a rebuild
+    // through the surviving docs, correctly but unhelpfully here)
+    (0 until n).map(d => (Off + d,
+      s"u${d}a u${d}b u${d}c u${d}d u${d}e u${d}f"))
+      .toDF("doc_id", "text")
+  }
+
+  test("sweep: all families registered, one verb, zero residue everywhere — and the audit frame is the receipt") {
+    import spark.implicits._
+    val dir = tmp("graft_tkd1")
+    val reg = SharedReg
+    val docs = docsFrame(70)
+    docs.write.parquet(dir)
+    Takedown.enableVersioning(spark, "tkd1", dir, "doc_id", reg)
+    Compaction.compactParquet(spark, dir) // v1 = full pre-takedown corpus
+    Takedown.writeBm25Index(spark, "tkd1", docs, "doc_id", "text",
+      "tkd1_bm25", buckets = 4, registryTable = reg)
+    TextAnalysis.refreshCosineNorms(spark, "tkd1_bm25")
+    Takedown.writeMinhashIndex(spark, "tkd1", docs, "doc_id", "text",
+      "tkd1_mh", buckets = 4, registryTable = reg)
+    val emb = (0 until 70).map(d => (Off + d,
+      Array.tabulate(8)(j => mix8(d * 8L + j) / 255.0f)))
+      .toDF("doc_id", "embedding")
+    Takedown.writeIvfSqIndex(spark, "tkd1", emb, "doc_id", "embedding",
+      "tkd1_sq", nCentroids = 4, buckets = 4, registryTable = reg)
+    Takedown.writeIvfPqIndex(spark, "tkd1", emb, "doc_id", "embedding",
+      "tkd1_pq", nCentroids = 4, m = 4, nCodes = 8, buckets = 4,
+      registryTable = reg)
+    val imgs = (0 until 70).map(d => (Off + d, img(d))).toDF("doc_id", "payload")
+    Takedown.writeDHashIndex(spark, "tkd1", imgs, "doc_id", "payload",
+      "tkd1_dh", buckets = 4, registryTable = reg)
+    // the registry knows every family (self-registration at write time)
+    val fams = Takedown.registered(spark, "tkd1", reg)
+      .select("family").collect().map(_.getString(0)).toSet
+    assert(fams === Set("live", "bm25", "minhash", "ivfsq", "ivfpq", "dhash"))
+
+    val audit = Takedown.sweep(spark, "tkd1",
+      (col("doc_id") - Off) % 7 === 0, registryTable = reg)
+    val cols = audit.columns.filter(_.endsWith("_rows"))
+    assert(cols.toSet === Set("live_rows", "bm25_rows", "bm25_roster_rows",
+      "bm25_norm_rows", "minhash_rows", "ivfsq_rows", "ivfpq_rows",
+      "dhash_rows", "v1_rows", "v2_rows"), cols.mkString(","))
+    val rows = audit.collect()
+    assert(rows.length === 10) // 70 ids, every 7th doomed
+    rows.foreach { r =>
+      cols.foreach(c => assert(r.getAs[Long](c) === 0L,
+        s"residue on $c for id ${r.getAs[Long]("id")}"))
+    }
+    // survivors keep their presence on every surface
+    val ctl = Comparator.absenceAudit(Seq(Off + 1L).toDF("doc_id"), "doc_id",
+      Takedown.auditSurfaces(spark, "tkd1", reg)).head()
+    cols.foreach(c => assert(ctl.getAs[Long](c) === 1L, s"control lost on $c"))
+    // live really shrank; versions really purged
+    assert(spark.read.parquet(dir).count() === 60L)
+    assert(Snapshots.readVersion(spark, dir, 1L)
+      .filter((col("doc_id") - Off) % 7 === 0).count() === 0L)
+    // idempotent: a second sweep finds nothing and audits empty
+    assert(Takedown.sweep(spark, "tkd1", (col("doc_id") - Off) % 7 === 0,
+      registryTable = reg).count() === 0L)
+  }
+
+  test("strict sweep fails loudly on an unregistered index-layout table holding swept ids; registering it (or strict=false) proceeds") {
+    val dir = tmp("graft_tkd2")
+    val reg = SharedReg
+    val docs = docsFrame(40)
+    docs.write.parquet(dir)
+    Takedown.registerCorpus(spark, "tkd2", dir, "doc_id", reg)
+    // the FORGOTTEN surface: built through the primitive verb, never
+    // registered — exactly the operational error the registry exists
+    // to catch
+    Dedup.writeMinhashIndex(docs, "doc_id", "text", "tkd2_forgotten", buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      Takedown.sweep(spark, "tkd2", (col("doc_id") - Off) % 5 === 0,
+        registryTable = reg)
+    }
+    assert(e.getMessage.contains("UNREGISTERED") &&
+      e.getMessage.contains("tkd2_forgotten"), e.getMessage)
+    // nothing was touched: the refusal precedes every delete
+    assert(spark.read.parquet(dir).count() === 40L)
+    // register the forgotten surface -> the same sweep completes clean
+    Takedown.register(spark, "tkd2", "minhash", "tkd2_forgotten",
+      registryTable = reg)
+    val audit = Takedown.sweep(spark, "tkd2", (col("doc_id") - Off) % 5 === 0,
+      registryTable = reg)
+    assert(audit.count() === 8L)
+    assert(audit.filter(col("live_rows") + col("minhash_rows") > 0).count() === 0L)
+  }
+
+  test("crash-ordering: a sweep that died mid-way (after some index deletes, or after the live delete) completes on rerun") {
+    import spark.implicits._
+    val dir = tmp("graft_tkd3")
+    val reg = SharedReg
+    val docs = docsFrame(50)
+    docs.write.parquet(dir)
+    Takedown.enableVersioning(spark, "tkd3", dir, "doc_id", reg)
+    Takedown.writeBm25Index(spark, "tkd3", docs, "doc_id", "text",
+      "tkd3_bm25", buckets = 4, registryTable = reg)
+    Takedown.writeMinhashIndex(spark, "tkd3", docs, "doc_id", "text",
+      "tkd3_mh", buckets = 4, registryTable = reg)
+    val cond = (col("doc_id") - Off) % 4 === 0
+    val doomed = docs.filter(cond).select("doc_id")
+    // crash shape A: one family tombstoned, everything else untouched
+    Dedup.deleteFromMinhashIndex(spark, "tkd3_mh", doomed)
+    // crash shape B stacked on top: the live delete also ran (archiving
+    // the pre-delete copy as a version) before the death
+    Compaction.deleteWhere(spark, dir, cond)
+    assert(spark.read.parquet(dir).filter(cond).count() === 0L)
+    // the rerun recovers the ids from the retained version and finishes
+    val audit = Takedown.sweep(spark, "tkd3", cond, registryTable = reg)
+    assert(audit.count() === 13L) // ids 0,4,...,48
+    val cols = audit.columns.filter(_.endsWith("_rows"))
+    audit.collect().foreach { r =>
+      cols.foreach(c => assert(r.getAs[Long](c) === 0L,
+        s"residue on $c for id ${r.getAs[Long]("id")}"))
+    }
+    val ctl = Comparator.absenceAudit(Seq(Off + 1L).toDF("doc_id"), "doc_id",
+      Takedown.auditSurfaces(spark, "tkd3", reg)).head()
+    assert(ctl.getAs[Long]("live_rows") === 1L)
+    assert(ctl.getAs[Long]("bm25_rows") === 1L)
+    assert(ctl.getAs[Long]("minhash_rows") === 1L)
+  }
+
+  test("bloom surface: the sweep rebuilds it from the post-delete corpus — doomed docs stop flagging, survivors keep flagging") {
+    val dir = tmp("graft_tkd4")
+    val reg = SharedReg
+    val docs = docsFrame(40)
+    docs.write.parquet(dir)
+    Takedown.registerCorpus(spark, "tkd4", dir, "doc_id", reg)
+    // a do-not-train roster bloom built over the WHOLE corpus text
+    Takedown.writeBloomIndex(spark, "tkd4", docs, "text", "tkd4_bloom",
+      n = 4, registryTable = reg)
+    val cond = (col("doc_id") - Off) % 5 === 0
+    val doomedDocs = docs.filter(cond)
+    def flagged(probe: org.apache.spark.sql.DataFrame): Long =
+      Corpus.bloomDecontaminationFromIndex(probe, "doc_id", "text", "tkd4_bloom")
+        .filter(col("flagged")).count()
+    assert(flagged(doomedDocs) === doomedDocs.count(),
+      "pre-sweep: every doomed doc's shingles are in the bloom")
+    Takedown.sweep(spark, "tkd4", cond, registryTable = reg)
+    // the rebuild holds only the survivors' shingles: doomed docs (with
+    // per-doc unique tokens) stop flagging, survivors keep flagging
+    assert(flagged(doomedDocs) === 0L,
+      "post-sweep: the rebuilt bloom must not know the doomed docs")
+    val survivors = spark.read.parquet(dir)
+    assert(flagged(survivors) === survivors.count())
+  }
+
+  test("surfaceStats: one dashboard frame, flags exactly the per-family isStale calls, phantom registrations read present=false") {
+    val dir = tmp("graft_tkd5")
+    val reg = SharedReg
+    val docs = docsFrame(40)
+    docs.write.parquet(dir)
+    Takedown.enableVersioning(spark, "tkd5", dir, "doc_id", reg)
+    Compaction.compactParquet(spark, dir) // one retained version
+    Takedown.writeBm25Index(spark, "tkd5", docs, "doc_id", "text",
+      "tkd5_bm25", buckets = 4, registryTable = reg)
+    Takedown.writeMinhashIndex(spark, "tkd5", docs, "doc_id", "text",
+      "tkd5_mh", buckets = 4, registryTable = reg)
+    // phantom: registered, never written (the register-first crash shape)
+    Takedown.register(spark, "tkd5", "dhash", "tkd5_never_written",
+      registryTable = reg)
+    val stats = Takedown.surfaceStats(spark, "tkd5", reg).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        (r.getBoolean(3), if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+      .toMap
+    assert(stats(("live", dir)) === ((true, Some(false))))
+    assert(stats(("versions", dir))._1 === true)
+    assert(stats(("versions", dir))._2 ===
+      Some(Snapshots.isStaleVersions(spark, dir)))
+    assert(stats(("bm25", "tkd5_bm25"))._2 ===
+      Some(TextAnalysis.isStaleBm25Index(spark, "tkd5_bm25")))
+    assert(stats(("minhash", "tkd5_mh"))._2 ===
+      Some(Dedup.isStaleMinhashIndex(spark, "tkd5_mh")))
+    assert(stats(("dhash", "tkd5_never_written")) === ((false, None)),
+      "a phantom registration reads present=false, stale=null")
+    // remediation names a verb for every present surface
+    Takedown.surfaceStats(spark, "tkd5", reg).collect().foreach { r =>
+      assert(r.getString(5).nonEmpty)
+    }
+  }
+}
