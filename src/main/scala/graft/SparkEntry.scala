@@ -1423,6 +1423,32 @@ object SparkEntry {
         "doc_id", "text", minCosNum = 4, minCosDen = 5)
         .orderBy("batch_id", "doc_id")
     }),
+    // Incremental cosine in its SPARSE regime: the same O(batch) path
+    // with a BOUNDED batch (ids < 4500 — fixed as the fixture scales,
+    // copy-0 only under ScaleUp's disjoint token spaces), so the
+    // scale soak measures what the design promises: history and its
+    // vocabulary grow 10x, the batch's term set does not, and the
+    // IN()-pruned term-bucketed postings scan keeps the epoch
+    // O(batch). Shares the incremental gate's index build
+    "q_text_cosine_sparse" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxTable = s"bm25cos_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(idxTable)) {
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", idxTable,
+          buckets = 8)
+        TextAnalysis.refreshCosineNorms(s, idxTable)
+        TextAnalysis.appendToBm25Index(s, idxTable,
+          docs.filter(col("doc_id") % 45 === 0)
+            .select((col("doc_id") + 500000L).as("doc_id"), col("text")),
+          "doc_id", "text")
+      }
+      val batch = docs
+        .filter(col("doc_id") % 45 === 0 && col("doc_id") < 4500)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+      TextAnalysis.lexicalCosineAgainstIndex(s, idxTable, batch,
+        "doc_id", "text", minCosNum = 4, minCosDen = 5)
+        .orderBy("batch_id", "doc_id")
+    }),
     // TF-IDF off the materialized postings index: the persisted
     // tokenize's second consumer (same index table the BM25 gate
     // builds — one build serves both), same oracle as q_text_tfidf
@@ -4251,6 +4277,46 @@ object SparkEntry {
       ("WITH hist AS (SELECT doc_id, text FROM documents " +
         "UNION ALL SELECT doc_id + 500000, text FROM documents WHERE doc_id % 45 = 0), " +
         "batch AS (SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id % 45 = 0), " +
+        "htoks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM hist), " +
+        "ht2 AS (SELECT doc_id, term FROM htoks WHERE length(term) > 0), " +
+        "htf AS (SELECT doc_id, term, count(*) AS tf FROM ht2 GROUP BY 1, 2), " +
+        "snap AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents), " +
+        "stf AS (SELECT doc_id, term FROM snap WHERE length(term) > 0 GROUP BY doc_id, term), " +
+        "n AS (SELECT count(DISTINCT doc_id) AS n FROM documents), " +
+        "idf AS (SELECT term, df, CAST(floor(ln(CAST((SELECT n FROM n) + 1 AS DOUBLE) / " +
+        "CAST(df + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS idf " +
+        "FROM (SELECT term, count(*) AS df FROM stf GROUP BY term)), " +
+        "wh AS (SELECT h.doc_id, h.term, h.tf * COALESCE(i.idf, " +
+        "CAST(floor(ln(CAST((SELECT n FROM n) + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT)) AS w " +
+        "FROM htf h LEFT JOIN idf i USING (term) " +
+        "WHERE h.tf * COALESCE(i.idf, " +
+        "CAST(floor(ln(CAST((SELECT n FROM n) + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT)) > 0), " +
+        "hnorm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nrm FROM wh GROUP BY doc_id), " +
+        "btoks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM batch), " +
+        "bt2 AS (SELECT doc_id, term FROM btoks WHERE length(term) > 0), " +
+        "btf AS (SELECT doc_id, term, count(*) AS tf FROM bt2 GROUP BY 1, 2), " +
+        "wb AS (SELECT b.doc_id, b.term, b.tf * CAST(floor(ln(CAST((SELECT n FROM n) + 1 AS DOUBLE) / " +
+        "CAST(COALESCE(i.df, 0) + 1 AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS w " +
+        "FROM btf b LEFT JOIN idf i USING (term)), " +
+        "wbz AS (SELECT * FROM wb WHERE w > 0), " +
+        "bnorm AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS nrm FROM wbz GROUP BY doc_id), " +
+        "num AS (SELECT b.doc_id AS batch_id, h.doc_id AS doc_id, " +
+        "sum(CAST(b.w AS HUGEINT) * h.w) AS num FROM wbz b JOIN wh h USING (term) " +
+        "WHERE b.doc_id <> h.doc_id GROUP BY 1, 2) " +
+        "SELECT num.batch_id AS batch_id, num.doc_id AS doc_id, " +
+        "CAST(num.num AS BIGINT) AS num_fx, " +
+        "CAST(bn.nrm AS BIGINT) AS norm_b, CAST(hn.nrm AS BIGINT) AS norm_h " +
+        "FROM num JOIN bnorm bn ON bn.doc_id = num.batch_id " +
+        "JOIN hnorm hn ON hn.doc_id = num.doc_id " +
+        "WHERE num.num * num.num * 25 >= 16 * bn.nrm * hn.nrm " +
+        "ORDER BY num.batch_id, num.doc_id"),
+    "q_text_cosine_sparse" ->
+      // the incremental twin with the batch bounded to ids < 4500 —
+      // identical snapshot/idf/norm arithmetic, smaller probe set
+      ("WITH hist AS (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 500000, text FROM documents WHERE doc_id % 45 = 0), " +
+        "batch AS (SELECT doc_id + 900000 AS doc_id, text FROM documents " +
+        "WHERE doc_id % 45 = 0 AND doc_id < 4500), " +
         "htoks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM hist), " +
         "ht2 AS (SELECT doc_id, term FROM htoks WHERE length(term) > 0), " +
         "htf AS (SELECT doc_id, term, count(*) AS tf FROM ht2 GROUP BY 1, 2), " +

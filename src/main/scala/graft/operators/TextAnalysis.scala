@@ -613,7 +613,11 @@ object TextAnalysis {
     * Scale shape — O(batch) per epoch: idf is an O(|vocabulary|) read
     * of `_terms`, history norms an O(n_docs) read of `_norms`, and the
     * ONE postings pass is the numerator join, semi-restricted to the
-    * batch's terms before the dedup and the sum. Validity is checked
+    * batch's terms before the dedup and the sum — pushed as a literal
+    * IN() on the term-bucketed scan when the batch's vocabulary fits
+    * `pruneKeys`, so the read itself bucket-prunes to the touched
+    * terms (a bounded batch against a wide-vocabulary history never
+    * scans the whole index). Validity is checked
     * loudly per call with three bounded aggregates: the `_terms`
     * fingerprint must match the one the norms were stamped with
     * (else the snapshot moved — [[refreshCosineNorms]]), and the live
@@ -627,7 +631,8 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       minCosNum: Int = 4,
-      minCosDen: Int = 5
+      minCosDen: Int = 5,
+      pruneKeys: Int = 4096
   ): DataFrame = {
     require(minCosDen > 0 && minCosNum >= 0 && minCosNum <= minCosDen,
       "threshold must be a rational in [0, 1]")
@@ -663,10 +668,22 @@ object TextAnalysis {
       .agg(sum(col("w").cast(dec) * col("w")).as("norm_b"))
     // the ONE postings pass: semi-restrict to the batch's terms FIRST,
     // then drop replay-residue duplicates — the dedup aggregate sees
-    // only the batch-term postings, not the index
-    val wHist = bm25LivePostings(spark, tableName)
+    // only the batch-term postings, not the index. When the batch's
+    // distinct terms fit a literal list (≤ pruneKeys) they are pushed
+    // as an IN() on the term-bucketed scan — Spark bucket-prunes the
+    // read to the touched buckets (the portableMinhashPairsAgainstIndex
+    // shape), so a bounded batch against a wide-vocabulary history
+    // reads only its own terms' postings instead of scanning the
+    // index. Bounded collect: at most pruneKeys+1 one-column rows,
+    // the batch's own vocabulary.
+    val batchTerms = wBatch.select("term").distinct()
+    val termKeys = batchTerms.limit(pruneKeys + 1).collect()
+    val postings = bm25LivePostings(spark, tableName)
       .select("doc_id", "term", "tf")
-      .join(wBatch.select("term").distinct(), Seq("term"), "left_semi")
+    val wHist = (if (termKeys.length <= pruneKeys)
+      postings.filter(col("term").isin(
+        termKeys.map(_.getString(0)).toIndexedSeq: _*))
+    else postings.join(batchTerms, Seq("term"), "left_semi"))
       .dropDuplicates("doc_id", "term")
       .join(terms, Seq("term"), "left")
       .withColumn("w",

@@ -504,6 +504,75 @@ object CorpusIngest {
         spark, indexTable, survivors, idCol, binCol, canonicalRate),
       batch => Multimodal.audioProbeBandRows(batch, idCol, binCol, canonicalRate))
 
+  /** Streaming maintenance of the LEXICAL index family: each
+    * micro-batch of accepted documents lands in the idempotent
+    * `batch=<id>` sink and is appended to the persisted BM25 index —
+    * postings, roster, and (when the corpus serves incremental
+    * cosine) the `_norms` sidecar under the FROZEN `_terms` snapshot,
+    * all through [[TextAnalysis.appendToBm25Index]]'s ordered
+    * protocol. A streaming corpus can then serve
+    * [[TextAnalysis.bm25TopKBatchFromIndex]] and
+    * [[TextAnalysis.lexicalCosineAgainstIndex]] current to the last
+    * closed epoch with O(batch) work per epoch — never a rebuild.
+    *
+    * RESTART RECOVERY is wired in at start: a previous run's death
+    * inside an epoch leaves one of the two repairable windows
+    * (postings without roster rows; roster rows without norms), and
+    * the append's own preconditions would fail the stream loudly on
+    * the very first new epoch. So `start` runs
+    * [[TextAnalysis.repairBm25Index]] (+
+    * [[TextAnalysis.repairCosineNorms]] when the sidecar exists) ONCE
+    * before attaching the stream — O(postings) paid at restart, not
+    * per epoch.
+    *
+    * Replay contract: a replayed epoch re-appends byte-identical
+    * postings/roster/norms rows — reads dedupe them (the roster
+    * distincts; the cosine drops posting residue before its sums) and
+    * [[graft.plans.Compaction.compactBucketedTable]] reclaims the
+    * bytes. The batch is pinned once per epoch (localCheckpoint) so
+    * the postings, roster and norms writes inside the append all read
+    * ONE tokenize pass instead of recomputing the source thrice;
+    * nothing else is cached, so a perpetual stream holds no
+    * accumulating cache state.
+    */
+  def startLexicalIngest(
+      docs: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      indexTable: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    ensureDest(docs, destDir)
+    val session = docs.sparkSession
+    TextAnalysis.repairBm25Index(session, indexTable)
+    if (session.catalog.tableExists(indexTable + "_norms"))
+      TextAnalysis.repairCosineNorms(session, indexTable)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val pinned = batch.localCheckpoint(true)
+          pinned.write.mode("overwrite").parquet(s"$destDir/batch=$batchId")
+          TextAnalysis.appendToBm25Index(spark, indexTable, pinned, idCol, textCol)
+          // the micro-batch runs in the stream's CLONED session, whose
+          // refreshTable cannot invalidate the OWNER session's table
+          // relation cache — refresh it here so the session that
+          // started the stream serves post-epoch retrieval without the
+          // external-writer stale-cache footgun (any OTHER session
+          // still follows the standard Spark rule: refreshTable before
+          // reading behind an external writer)
+          Seq(indexTable, indexTable + "_docs", indexTable + "_norms")
+            .filter(session.catalog.tableExists)
+            .foreach(session.catalog.refreshTable)
+        }
+      }
+      .start()
+  }
+
   /** [[startImageIngest]] for VIDEO clips — the per-bit-majority
     * frame-hash fingerprint family over the same shared machinery.
     */

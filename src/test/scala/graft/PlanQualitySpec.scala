@@ -889,5 +889,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(postingsScans === 1, s"postings scanned $postingsScans times:\n$plan")
     assert(plan.contains("cosplan_idx_norms"), plan)
     assert(plan.contains("cosplan_idx_terms"), plan)
+    // sparse-regime shape: a bounded batch's terms fit pruneKeys, so
+    // the ONE postings pass carries them as a literal IN() pushed to
+    // the term-bucketed scan — the scan reads the batch's terms, not
+    // the index (the wide-vocabulary 10x-history soak relies on this)
+    val postingsLine = plan.linesIterator
+      .filter(l => l.contains("default.cosplan_idx[") && l.contains("PushedFilters"))
+      .mkString
+    assert(postingsLine.contains("In(term, ["),
+      s"batch terms not pushed to the postings scan:\n$plan")
   }
 }

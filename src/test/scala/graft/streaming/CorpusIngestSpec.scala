@@ -324,6 +324,81 @@ class CorpusIngestSpec extends SparkSpec {
     assert(ids2.contains(2001L), ids2.toSeq.sorted.mkString(","))
   }
 
+  test("startLexicalIngest: streamed epochs == the same appends in batch bit for bit; restart heals both crash windows") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def doc(d: Int) = (d.toLong, s"w${d % 7}a w${d % 5}b w${d % 3}c shared tok${d % 11}")
+    val history = (0 until 40).map(doc).toDF("doc_id", "text")
+    TextAnalysis.writeBm25Index(history, "doc_id", "text", "lex_ing_idx", buckets = 4)
+    TextAnalysis.refreshCosineNorms(spark, "lex_ing_idx")
+    // the batch twin: identical build, identical appends, no stream
+    TextAnalysis.writeBm25Index(history, "doc_id", "text", "lex_ing_twin", buckets = 4)
+    TextAnalysis.refreshCosineNorms(spark, "lex_ing_twin")
+    val e1 = (100 until 120).map(doc).toDF("doc_id", "text")
+    val e2 = (200 until 215).map(doc).toDF("doc_id", "text")
+    val srcDir = tmp("graft_lx_src")
+    val outDir = tmp("graft_lx_out")
+    val ckpt = tmp("graft_lx_ckpt")
+    e1.write.mode("overwrite").parquet(srcDir)
+    def run(): Unit = {
+      val q = CorpusIngest.startLexicalIngest(
+        spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir),
+        outDir, ckpt, "lex_ing_idx")
+      q.awaitTermination(180000)
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    }
+    run()
+    assert(spark.read.parquet(s"$outDir/batch=*").count() === 20L,
+      "epoch 1 must land in the sink")
+    e2.write.mode("append").parquet(srcDir)
+    run()
+    TextAnalysis.appendToBm25Index(spark, "lex_ing_twin", e1, "doc_id", "text")
+    TextAnalysis.appendToBm25Index(spark, "lex_ing_twin", e2, "doc_id", "text")
+    def rows(t: String) = spark.table(t).collect().map(_.toSeq).toSet
+    assert(rows("lex_ing_idx") === rows("lex_ing_twin"), "postings must match")
+    assert(rows("lex_ing_idx_docs") === rows("lex_ing_twin_docs"), "roster must match")
+    assert(rows("lex_ing_idx_norms") === rows("lex_ing_twin_norms"), "norms must match")
+    // lexical retrieval and incremental cosine are current to the
+    // last closed epoch — identical to the batch twin, and streamed
+    // docs really are scorable history
+    val queries = Seq((1L, "shared"), (2L, "w1a")).toDF("query_id", "term")
+    def topk(t: String) = TextAnalysis.bm25TopKBatchFromIndex(spark, t, queries, k = 8)
+      .collect().map(_.toSeq).toSet
+    assert(topk("lex_ing_idx") === topk("lex_ing_twin"))
+    assert(topk("lex_ing_idx").nonEmpty)
+    val probe = Seq((9000L, "w1a w1b shared")).toDF("doc_id", "text")
+    def cos(t: String) = TextAnalysis.lexicalCosineAgainstIndex(
+      spark, t, probe, "doc_id", "text", minCosNum = 0, minCosDen = 1)
+      .collect().map(_.toSeq).toSet
+    assert(cos("lex_ing_idx") === cos("lex_ing_twin"))
+    assert(cos("lex_ing_idx").exists(_(1).asInstanceOf[Long] >= 100L),
+      "a streamed doc must be scorable cosine history")
+
+    // both crash windows at once: a postings-without-roster doc (100)
+    // and a roster-without-norms doc (101) — the incremental cosine
+    // refuses loudly, and the next stream START heals both before its
+    // epoch appends
+    graft.plans.Compaction.rewriteTable(spark, "lex_ing_idx_docs")(
+      _.filter(col("doc_id") =!= 100L))
+    graft.plans.Compaction.rewriteTable(spark, "lex_ing_idx_norms")(
+      _.filter(col("doc_id") =!= 101L))
+    val e = intercept[IllegalArgumentException] { cos("lex_ing_idx") }
+    assert(e.getMessage.contains("diverges from the live roster"), e.getMessage)
+    val e3 = Seq(doc(300)).toDF("doc_id", "text")
+    e3.write.mode("append").parquet(srcDir)
+    run() // restart recovery: repairBm25Index + repairCosineNorms, then epoch 3
+    TextAnalysis.appendToBm25Index(spark, "lex_ing_twin", e3, "doc_id", "text")
+    assert(rows("lex_ing_idx_docs") === rows("lex_ing_twin_docs"),
+      "restart must backfill the dropped roster row bit-exactly")
+    assert(rows("lex_ing_idx_norms") === rows("lex_ing_twin_norms"),
+      "restart must backfill the dropped norm row bit-exactly")
+    assert(cos("lex_ing_idx") === cos("lex_ing_twin"))
+    // the batch=<id> sink holds exactly the streamed epochs
+    val sunk = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sunk === ((100L until 120L) ++ (200L until 215L) :+ 300L).toSet)
+  }
+
   test("startWithIndex → compact → resume: index and batch= layout survive, crash leftover recovered") {
     import spark.implicits._
     def phrase(tag: String) = (1 to 25).map(t => s"${tag}w$t").mkString(" ")

@@ -60,6 +60,11 @@ HEAVY = [
     "q_text_cosine_incremental", "q_corpus_leak_split",
     "q_link_fuzzy_pairs", "q_graph_rank_real",
     "q_corpus_nb_score", "q_verify_deletion_versioned",
+    # round-16: the SPARSE-regime cosine — a BOUNDED batch (copy-0 ids
+    # only) against 10x history with a 10x-wider vocabulary; the
+    # IN()-pruned postings scan should hold the ratio near 1x, the
+    # O(batch) claim measured where the fixture can't densify it
+    "q_text_cosine_sparse",
 ]
 
 # the queries whose 10x ratios ran hottest (>= ~2.5x) — the set worth a
@@ -86,6 +91,7 @@ ALIAS = {
     "q_text_cosine_incremental": "cosi", "q_corpus_leak_split": "leak",
     "q_link_fuzzy_pairs": "link", "q_graph_rank_real": "rank",
     "q_corpus_nb_score": "nb", "q_verify_deletion_versioned": "vdel",
+    "q_text_cosine_sparse": "coss",
 }
 
 
@@ -228,7 +234,7 @@ def main():
     # blob (which must fit Bench's 470-char params budget) but still
     # pinned/asserted via full_ratios — the automated SOAK_BOUNDS gate
     # covers every measured ratio, only the blob is trimmed
-    DETAIL_ONLY = {"link", "rank", "nb", "vdel"}
+    DETAIL_ONLY = {"link", "rank", "nb", "vdel", "coss"}
     ratios, full_ratios, lines = {}, {}, []
     for q in HEAVY + ["bpe_cold"]:
         b, g = tb.get(q, -1), tg.get(q, -1)
