@@ -285,6 +285,15 @@ object Takedown {
       .distinct()
       .localCheckpoint(true)
 
+    // a sweep with NOTHING to do stops here: every delete verb below
+    // is a full rewrite of its surface, and paying O(corpus + indexes)
+    // to remove zero rows would make the documented "idempotent once
+    // complete" rerun an expensive no-op instead of a cheap one. The
+    // bounded count is over the slim matched-ids frame.
+    if (ids.isEmpty)
+      return Comparator.absenceAudit(
+        ids.toDF(idCol), idCol, auditSurfaces(spark, corpus, registryTable))
+
     // 2. strict: the forgotten-surface check, loud
     if (strict) {
       val forgotten = discoverUnregistered(spark, registryTable, ids, idCol)

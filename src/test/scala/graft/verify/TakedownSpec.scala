@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   */
 class TakedownSpec extends SparkSpec {
 
-  private val Off = 5000000L
+  // 7.7e6 is unique to this suite: other suites plant ids at +5e5,
+  // +1e6, +5e6 — sharing any of those ranges would make the strict
+  // discovery scan (correctly!) flag their unregistered index tables
+  // as holding our swept ids when the whole suite runs in one session
+  private val Off = 7700000L
 
   // ONE registry table across the suite — the production shape: the
   // strict discovery scan treats every corpus's registered surfaces
