@@ -1463,7 +1463,7 @@ object Multimodal {
     * history side against them before the hot-bucket cap, so a deleted
     * image can never collide with an arriving batch again — collision
     * output after a delete is identical to an index REBUILT without
-    * those images (the delete == rebuild contract shared by all five
+    * those images (the delete == rebuild contract shared by all the
     * index families). Unknown ids tombstone harmlessly; re-deletes are
     * idempotent.
     *
