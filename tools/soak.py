@@ -115,6 +115,11 @@ def run_bench(sf_dir: str, reps: int, only=None) -> dict:
     env["SPARK_GRAFT_CPUS"] = env.get("SPARK_GRAFT_CPUS", "32")
     env["SPARK_GRAFT_BENCH_REPS"] = str(reps)
     env["SPARK_GRAFT_ONLY"] = "^(" + "|".join(only or HEAVY) + ")$"
+    # the stdout blob trims its fastest entries to fit the driver's
+    # tail window; the probe side-channel carries EVERY probed query's
+    # time, so a cheap query never reads as failed here
+    probe_out = os.path.join(REPO, "target", f"soak_probe_{os.getpid()}.json")
+    env["SPARK_GRAFT_PROBE_OUT"] = probe_out
     cp = os.path.join(REPO, "target/scala-2.13/classes") + ":/opt/spark/jars/*"
     cmd = ["java"] + ADD_OPENS + [
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -124,7 +129,14 @@ def run_bench(sf_dir: str, reps: int, only=None) -> dict:
                          text=True, timeout=7200)
     for line in out.stdout.splitlines():
         if line.startswith('{"metric"'):
-            return json.loads(line)
+            d = json.loads(line)
+            try:
+                with open(probe_out) as f:
+                    d["queries"] = json.load(f)["queries"]
+                os.remove(probe_out)
+            except OSError:
+                pass  # old binary without the side-channel: stdout map
+            return d
     sys.exit(f"no bench JSON for {sf_dir}:\n{out.stdout[-3000:]}\n{out.stderr[-2000:]}")
 
 
