@@ -573,6 +573,127 @@ object CorpusIngest {
       .start()
   }
 
+  /** The COMPOSED acceptance funnel — the whole production ingest as
+    * one streaming verb: every micro-batch runs
+    *
+    *  1. structural quality ([[TextAnalysis.qualityScore]] ≥
+    *     `minQuality` AND [[TextAnalysis.wordRepetitionRatio]] ≤
+    *     `maxWordRep` — [[Corpus.prepareTrainingData]]'s gate);
+    *  2. benchmark decontamination against the persisted bloom index
+    *     (when `bloomTable` is set — [[startDecontaminated]]'s stage);
+    *  3. near-dup against the MinHash HISTORY index (same-id hits
+    *     excluded — the replay rule), then intra-batch keep-first
+    *     (drop any doc with a smaller-id collider) —
+    *     [[startWithIndex]]'s stages;
+    *  4. survivors land in the idempotent `batch=<id>` sink, their
+    *     signatures append to the MinHash index, and (when
+    *     `bm25Table` is set) the lexical index + norms sidecar stay
+    *     current — [[startLexicalIngest]]'s stage, restart repairs
+    *     included.
+    *
+    * Every epoch also writes a one-row FUNNEL AUDIT to
+    * `<destDir>_curate_log/batch=<id>` — (docs_in, low_quality,
+    * contaminated, dup_history, dup_batch, accepted), overwrite-
+    * idempotent like the sink, so the acceptance accounting replays
+    * with the data. Stage order is the funnel's identity: a doc both
+    * low-quality and contaminated counts as low_quality; a doc
+    * colliding with history AND a batch sibling counts as
+    * dup_history. The intra-batch rule is evaluated on the
+    * POST-DECONTAM batch (a contaminated doc must not shadow a clean
+    * sibling out of the corpus).
+    *
+    * Scale shape per epoch: O(batch) — the quality gate is a codegen
+    * projection, the bloom probe broadcasts ≤ mBits/64 words, the
+    * index probes are bucket-pruned scans, the appends are O(batch);
+    * the batch pins once (localCheckpoint) per stage boundary so
+    * funnel counts and writes share work, and the epoch's signature
+    * cache releases before the next batch.
+    */
+  def startCuratedIngest(
+      docs: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      minhashTable: String,
+      bloomTable: Option[String] = None,
+      bm25Table: Option[String] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minQuality: Double = 0.3,
+      maxWordRep: Double = 0.3,
+      n: Int = 3,
+      k: Int = 8,
+      threshold: Double = 0.9,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    ensureDest(docs, destDir)
+    val session = docs.sparkSession
+    bm25Table.foreach { t =>
+      TextAnalysis.repairBm25Index(session, t)
+      if (session.catalog.tableExists(t + "_norms"))
+        TextAnalysis.repairCosineNorms(session, t)
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val pinned = batch.localCheckpoint(true)
+          val nIn = pinned.count()
+          val quality = pinned
+            .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+              TextAnalysis.wordRepetitionRatio(col(textCol)) <= maxWordRep)
+            .localCheckpoint(true)
+          val nQ = quality.count()
+          val clean = bloomTable match {
+            case Some(bt) =>
+              val flagged = graft.operators.Corpus
+                .bloomDecontaminationFromIndex(quality, idCol, textCol, bt)
+                .filter(col("flagged")).select(idCol)
+              quality.join(flagged, Seq(idCol), "left_anti").localCheckpoint(true)
+            case None => quality
+          }
+          val nC = clean.count()
+          val hits = Dedup.portableMinhashPairsAgainstIndex(
+            spark, minhashTable, clean, idCol, textCol, n, k, threshold)
+            .filter(col("batch_id") =!= col("index_id"))
+            .select(col("batch_id").as(idCol)).distinct()
+          val noHist = clean.join(hits, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          val nH = noHist.count()
+          val selfDups = Dedup.portableMinhashPairs(
+            clean, idCol, textCol, n, k, threshold)
+            .select(col("id_b").as(idCol)).distinct()
+          val survivors = noHist.join(selfDups, Seq(idCol), "left_anti")
+            .localCheckpoint(true)
+          val nOut = survivors.count()
+          survivors.write.mode("overwrite").parquet(s"$destDir/batch=$batchId")
+          Dedup.appendToMinhashIndex(
+            spark, minhashTable, survivors, idCol, textCol, n, k)
+          bm25Table.foreach { t =>
+            TextAnalysis.appendToBm25Index(spark, t, survivors, idCol, textCol)
+          }
+          Seq((nIn, nIn - nQ, nQ - nC, nC - nH, nH - nOut, nOut))
+            .toDF("docs_in", "low_quality", "contaminated", "dup_history",
+              "dup_batch", "accepted")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"${destDir}_curate_log/batch=$batchId")
+          // per-epoch cache hygiene: the clean batch's signature frame
+          // serves both the history probe and the intra-batch pairs
+          org.apache.spark.sql.graftbridge.CacheBridge.uncache(
+            Dedup.portableMinhashSignatures(clean, idCol, textCol, n, k))
+          // the owner session's table caches go stale behind the
+          // stream's cloned session — the startLexicalIngest rule
+          (minhashTable +: bm25Table.toSeq.flatMap(t =>
+            Seq(t, t + "_docs", t + "_norms")))
+            .filter(session.catalog.tableExists)
+            .foreach(session.catalog.refreshTable)
+        }
+      }
+      .start()
+  }
+
   /** [[startImageIngest]] for VIDEO clips — the per-bit-majority
     * frame-hash fingerprint family over the same shared machinery.
     */

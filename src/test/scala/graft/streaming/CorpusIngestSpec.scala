@@ -399,6 +399,69 @@ class CorpusIngestSpec extends SparkSpec {
     assert(sunk === ((100L until 120L) ++ (200L until 215L) :+ 300L).toSet)
   }
 
+  test("startCuratedIngest: the composed funnel — quality, decontam, history-dup, batch-dup — with exact per-epoch accounting and all indexes current") {
+    import spark.implicits._
+    import graft.operators.{Corpus, Dedup, TextAnalysis}
+    def T(d: Int) = s"u${d}a u${d}b u${d}c u${d}d u${d}e u${d}f" // doc-unique tokens
+    val history = (0 until 6).map(d => (d.toLong, T(d))).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(history, "doc_id", "text", "cur_mh", buckets = 4)
+    TextAnalysis.writeBm25Index(history, "doc_id", "text", "cur_bm", buckets = 4)
+    TextAnalysis.refreshCosineNorms(spark, "cur_bm")
+    val benchText = "bench secret aaa bbb ccc ddd"
+    Corpus.writeBloomIndex(Seq((999L, benchText)).toDF("doc_id", "text"),
+      "text", "cur_bloom", n = 4)
+    val srcDir = tmp("graft_ci_src")
+    val outDir = tmp("graft_ci_out")
+    val ckpt = tmp("graft_ci_ckpt")
+    // epoch 1: one of each funnel class + two accepted
+    Seq(
+      (1000L, T(100)),                                  // accepted
+      (1001L, ("spam " * 10).trim),                     // low quality (word rep)
+      (1002L, benchText),                               // benchmark contamination
+      (1003L, T(2)),                                    // history near-dup
+      (1010L, T(200)), (1011L, T(200)))                 // intra-batch pair
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(srcDir)
+    def run(): Unit = CorpusIngest.startCuratedIngest(
+      spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir),
+      outDir, ckpt, "cur_mh", bloomTable = Some("cur_bloom"),
+      bm25Table = Some("cur_bm")).awaitTermination(180000)
+    run()
+    val ids1 = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === Set(1000L, 1010L), ids1.toSeq.sorted.mkString(","))
+    val log1 = spark.read.parquet(s"${outDir}_curate_log/batch=*")
+      .collect().map(r => (0 to 5).map(r.getLong)).head
+    assert(log1 === Seq(6L, 1L, 1L, 1L, 1L, 2L),
+      s"(in, low_quality, contaminated, dup_history, dup_batch, accepted) = $log1")
+    // epoch 2: a copy of an epoch-1 SURVIVOR (only the appended
+    // signatures catch it) + a fresh doc
+    Seq((2000L, T(100)), (2001L, T(300)))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    run()
+    val ids2 = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 === Set(1000L, 1010L, 2001L), ids2.toSeq.sorted.mkString(","))
+    val log2 = spark.read.parquet(s"${outDir}_curate_log/batch=*")
+      .orderBy("docs_in").collect().map(r => (0 to 5).map(r.getLong))
+    assert(log2.head === Seq(2L, 0L, 0L, 1L, 0L, 1L), log2.mkString(";"))
+    // every index family is current to the last epoch: the minhash
+    // roster holds exactly history + accepted, and so do the BM25
+    // roster and the norms sidecar (the lexical stage kept them
+    // aligned, so the incremental cosine's validity check passes)
+    val mhIds = spark.table("cur_mh").select("index_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(mhIds === (0L until 6L).toSet ++ Set(1000L, 1010L, 2001L))
+    val roster = spark.table("cur_bm_docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(roster === (0L until 6L).toSet ++ Set(1000L, 1010L, 2001L))
+    val cos = TextAnalysis.lexicalCosineAgainstIndex(spark, "cur_bm",
+      Seq((9000L, T(300))).toDF("doc_id", "text"), "doc_id", "text",
+      minCosNum = 4, minCosDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cos.toSeq === Seq((9000L, 2001L)),
+      "the epoch-2 survivor must be scorable cosine history")
+  }
+
   test("startWithIndex → compact → resume: index and batch= layout survive, crash leftover recovered") {
     import spark.implicits._
     def phrase(tag: String) = (1 to 25).map(t => s"${tag}w$t").mkString(" ")
