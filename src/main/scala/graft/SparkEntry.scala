@@ -2943,6 +2943,27 @@ object SparkEntry {
       Corpus.domainAffinityScores(t(s, dir, "documents"), "doc_id", "text", "lang")
         .orderBy("doc_id")
     }),
+    // Corpus-pipeline: DSIR importance log-weights — every raw doc
+    // (doc_id % 13 != 0) scored by how target-like (doc_id % 13 == 0
+    // slice) its hashed unigram+bigram features read; micro-nat
+    // integers end to end
+    "q_corpus_dsir_weight" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirLogWeights(docs.filter(col("doc_id") % 13 =!= 0),
+        "doc_id", "text", docs.filter(col("doc_id") % 13 === 0), "text",
+        buckets = 1024)
+        .orderBy("doc_id")
+    }),
+    // Corpus-pipeline: DSIR Gumbel top-k importance resample — the
+    // derandomized uniform comes from the doc id's own KR hash, so
+    // the SAMPLE (not just the weights) is oracle-exact
+    "q_corpus_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.dsirResample(docs.filter(col("doc_id") % 13 =!= 0),
+        "doc_id", "text", docs.filter(col("doc_id") % 13 === 0), "text",
+        k = 120, buckets = 1024)
+        .orderBy("doc_id")
+    }),
     // Corpus-pipeline: trigram stupid-backoff LM scoring, fit on the
     // deterministic held-in half so backoff genuinely triggers
     "q_corpus_lm3_score" -> ((s, dir) => {
@@ -3366,6 +3387,40 @@ object SparkEntry {
     * operand for the odd id's minority ⌊F/2⌋ leading frames, and F is
     * odd so `2·Σbit > F` never ties. Trailing comma included.
     */
+  /** The DSIR replay pipeline shared by the weight and sample twins:
+    * filtered lowercase tokens, unigram+bigram feature stream with
+    * multiplicity, KR-fold+mix bucket hash (the q_text_hash_features
+    * hash verbatim), target (doc_id % 13 = 0) and raw add-one bucket
+    * multinomials over 1024 buckets, per-bucket micro-unit log-ratio
+    * rounded BEFORE the difference and the per-doc integer sum.
+    * Ends with `wts AS (doc_id, n_feats, logw_fx)` over the raw side.
+    */
+  private lazy val dsirOracleCtes: String =
+    "WITH tl AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+      "t -> length(t) > 0) AS w FROM documents), " +
+      "feats AS (SELECT doc_id, unnest(w) AS f FROM tl " +
+      "UNION ALL SELECT doc_id, unnest(list_transform(range(1, len(w)), " +
+      "i -> w[i] || ' ' || w[i + 1])) AS f FROM tl), " +
+      "hv AS (SELECT doc_id, (list_reduce([CAST(0 AS BIGINT)] || " +
+      "list_transform(range(1, length(t) + 1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+      "(a, c) -> (a * 31 + c) % 1000000007) * 2654435761) % 4294967296 AS mh " +
+      "FROM (SELECT doc_id, regexp_replace(f, '[^a-z0-9 ]', '', 'g') AS t FROM feats)), " +
+      "b AS (SELECT doc_id, mh % 1024 AS bucket FROM hv), " +
+      "tc AS (SELECT bucket, count(*) AS ct FROM b WHERE doc_id % 13 = 0 GROUP BY 1), " +
+      "tn AS (SELECT count(*) AS nt FROM b WHERE doc_id % 13 = 0), " +
+      "rb AS (SELECT doc_id, bucket FROM b WHERE doc_id % 13 <> 0), " +
+      "rc AS (SELECT bucket, count(*) AS cr FROM rb GROUP BY 1), " +
+      "rn AS (SELECT count(*) AS nr FROM rb), " +
+      "ratio AS (SELECT rc.bucket, " +
+      "CAST(floor(ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) / (tn.nt + 1024)) * 1e6 + 0.5) AS BIGINT) - " +
+      "CAST(floor(ln(CAST(rc.cr + 1 AS DOUBLE) / (rn.nr + 1024)) * 1e6 + 0.5) AS BIGINT) AS term_fx " +
+      "FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tn CROSS JOIN rn), " +
+      "p AS (SELECT doc_id, count(*) AS n_feats, SUM(term_fx) AS s " +
+      "FROM rb JOIN ratio USING (bucket) GROUP BY 1), " +
+      "wts AS (SELECT d.doc_id, COALESCE(p.n_feats, 0) AS n_feats, " +
+      "CAST(COALESCE(p.s, 0) AS BIGINT) AS logw_fx " +
+      "FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d LEFT JOIN p USING (doc_id)) "
+
   private lazy val videoPairCtes: String =
     "WITH d0 AS (SELECT range AS doc_id FROM range(240)), " +
       "d AS (SELECT doc_id, doc_id // 2 AS base, doc_id % 2 AS odd, " +
@@ -5822,6 +5877,27 @@ object SparkEntry {
         "COALESCE(FLOOR(CAST(p.sm AS DOUBLE) / (p.n_bigrams * 1e15) * 1000000 + 0.5) / 1000000.0, 0.0) AS domain_fit " +
         "FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id AND d.lang = p.lang " +
         "ORDER BY d.doc_id"),
+    // DSIR replay: hashed unigram+bigram buckets (KR fold + Knuth
+    // mix, the q_text_hash_features hash), target/raw add-one bucket
+    // multinomials, each ln floored to micro-units BEFORE the
+    // difference and the per-doc sum — logw_fx is an exact integer
+    "q_corpus_dsir_weight" ->
+      (dsirOracleCtes +
+        "SELECT doc_id, n_feats, logw_fx FROM wts ORDER BY doc_id"),
+    // Gumbel top-k replay: uniform from the doc id's own KR hash,
+    // key = logw_fx + floor(-ln(-ln u)·1e6 + 0.5) — the sample is
+    // integer-decided, so selection AND ties replay exactly
+    "q_corpus_dsir_sample" ->
+      (dsirOracleCtes +
+        ", hid AS (SELECT doc_id, (list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, length(t) + 1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a, c) -> (a * 31 + c) % 1000000007) * 2654435761) % 4294967296 AS h " +
+        "FROM (SELECT doc_id, regexp_replace(CAST(doc_id AS VARCHAR), '[^a-z0-9 ]', '', 'g') AS t FROM wts)), " +
+        "keyed AS (SELECT w.doc_id, w.n_feats, w.logw_fx, w.logw_fx + " +
+        "CAST(floor(-ln(-ln((CAST(h.h AS DOUBLE) + 0.5) / 4294967296)) * 1e6 + 0.5) AS BIGINT) AS key_fx " +
+        "FROM wts w JOIN hid h USING (doc_id)), " +
+        "sel AS (SELECT * FROM keyed ORDER BY key_fx DESC, doc_id LIMIT 120) " +
+        "SELECT doc_id, n_feats, logw_fx, key_fx FROM sel ORDER BY doc_id"),
     "q_corpus_lm3_score" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "tri AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3 " +

@@ -1379,4 +1379,138 @@ object Corpus {
       .withColumn("cum_ppm", expr("cum_cnt * 1000000 div n_total"))
       .select("rank", "token", "cnt", "cum_cnt", "cum_ppm")
   }
+
+  // ------------------------------------------- DSIR data selection
+
+  /** Hashed unigram+bigram feature buckets — the DSIR feature map
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): every token and every adjacent token
+    * pair hashes through the portable KR fold + Knuth mix into one of
+    * `buckets` bins. One tokenize pass builds BOTH gram orders as a
+    * single array (unigrams ++ bigrams) so the explode runs once.
+    * Output: `keep` columns + `bucket`, one row per feature
+    * OCCURRENCE (multiplicity preserved — the n-gram model is
+    * multinomial, not set-valued).
+    */
+  private def hashedNgramBuckets(
+      df: DataFrame,
+      textCol: String,
+      buckets: Int,
+      keep: Seq[Column]
+  ): DataFrame = {
+    val w = filter(TextAnalysis.tokens(lower(col(textCol))),
+      t => length(t) > 0)
+    val bi = zip_with(
+      slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+      slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(keep :+ explode(concat(w, bi)).as("__feat"): _*)
+      .select(keep :+ pmod(Sketches.tokenHash(col("__feat")),
+        lit(buckets.toLong)).as("bucket"): _*)
+  }
+
+  /** DSIR importance log-weights: score every `raw` document by how
+    * much more likely its hashed-n-gram features are under the TARGET
+    * distribution than under the RAW distribution,
+    *
+    *   log w(x) = Σ_f [ ln p_target(bucket(f)) − ln p_raw(bucket(f)) ]
+    *
+    * over the doc's feature occurrences, with add-one smoothing on
+    * both bag-of-buckets multinomials (Xie et al. 2023). High weight
+    * = "reads like the target domain"; the companion
+    * [[dsirResample]] turns the weights into a Gumbel top-k sample.
+    *
+    * Engine-exact like [[domainAffinityScores]]: both `ln` terms
+    * round to micro-unit fixed point BEFORE the subtraction and the
+    * per-document sum, so the fold is order-independent and the
+    * DuckDB oracle bit-matches; the weight is returned as the exact
+    * integer `logw_fx` (micro-nats).
+    *
+    * Scale shape (100 TB): the target pass reduces to ≤ `buckets`
+    * count rows; the raw feature stream (persisted — the bucket count
+    * and the scoring pass both consume it) aggregates to ≤ `buckets`
+    * rows for the ratio table, which BROADCASTS to the scoring join —
+    * no shuffle keyed on anything wider than the doc id ever happens,
+    * and the per-doc sum combines map-side. `buckets` caps the model
+    * size by construction (the hashing trick), so the ratio table is
+    * a bounded broadcast at any corpus size.
+    *
+    * @return (idCol, n_feats, logw_fx) — one row per raw doc; docs
+    *         with zero features (empty text) score 0 with n_feats 0
+    */
+  def dsirLogWeights(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      buckets: Int = 1 << 13
+  ): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val b = lit(buckets.toLong)
+    val tgtB = hashedNgramBuckets(target, targetTextCol, buckets, Nil)
+    val tgtCounts = tgtB.groupBy("bucket").agg(count(lit(1)).as("__ct"))
+    val tgtTotal = tgtB.agg(count(lit(1)).as("__nt"))
+    val rawB = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      hashedNgramBuckets(raw, textCol, buckets, Seq(col(idCol))),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawCounts = rawB.groupBy("bucket").agg(count(lit(1)).as("__cr"))
+    val rawTotal = rawB.agg(count(lit(1)).as("__nr"))
+    // ≤ buckets rows: every bucket any raw doc can hash into has a
+    // row here, so the scoring join below is inner and lossless
+    val ratio = rawCounts
+      .join(tgtCounts, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(tgtTotal))
+      .crossJoin(broadcast(rawTotal))
+      .select(col("bucket"),
+        (TextAnalysis.fxLong(log(
+          (coalesce(col("__ct"), lit(0L)) + 1).cast("double") /
+            (col("__nt") + b).cast("double")) * lit(1e6)) -
+          TextAnalysis.fxLong(log(
+            (col("__cr") + 1).cast("double") /
+              (col("__nr") + b).cast("double")) * lit(1e6))).as("__term"))
+    val perDoc = rawB
+      .join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__term")).as("__sum"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("__sum"), lit(0L)).as("logw_fx"))
+  }
+
+  /** DSIR importance RESAMPLING: draw `k` docs from `raw` without
+    * replacement with probability ∝ their importance weight, via the
+    * Gumbel top-k trick — rank by `log w(x) + Gumbel(0,1)` and keep
+    * the k largest. The Gumbel noise is DERANDOMIZED portably: the
+    * uniform is read from the doc id's own KR hash,
+    * `u = (hash(id) + 0.5) / 2^32`, `g = −ln(−ln u)` — deterministic,
+    * replayable in any engine, and independent of the weights. The
+    * perturbed key rounds to the same micro-unit fixed point as
+    * `logw_fx`, so selection (and every tie) is integer-decided.
+    *
+    * Scale shape: [[dsirLogWeights]]' bounded-broadcast passes plus
+    * one TakeOrdered — `orderBy(...).limit(k)` plans as a per-
+    * partition top-k and a k-row driver merge, never a global sort.
+    *
+    * @return the k selected rows, (idCol, n_feats, logw_fx, key_fx)
+    */
+  def dsirResample(
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      k: Int,
+      buckets: Int = 1 << 13
+  ): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val u = (Sketches.tokenHash(col(idCol).cast("string")).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    dsirLogWeights(raw, idCol, textCol, target, targetTextCol, buckets)
+      .withColumn("key_fx",
+        col("logw_fx") + TextAnalysis.fxLong(-log(-log(u)) * lit(1e6)))
+      .orderBy(col("key_fx").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -831,4 +831,61 @@ class CorpusSpec extends SparkSpec {
     // N and V are symmetric here so the tie again breaks to 'a'
     assert(out.filter(_._1 == 2L).find(_._4).get._2 === "a")
   }
+
+  test("DSIR: target-like raw docs outweigh off-domain ones; empty text scores 0 with n_feats 0") {
+    import spark.implicits._
+    // target vocabulary {alpha..epsilon}; half the raw docs speak it,
+    // half speak a disjoint off-domain vocabulary
+    val tgtWords = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val offWords = Seq("zebra", "yak", "xenon", "walrus", "vole")
+    def doc(words: Seq[String], seed: Int) =
+      (0 until 20).map(i => words((i * 7 + seed) % words.length)).mkString(" ")
+    val target = (0 until 10).map(i => (i.toLong, doc(tgtWords, i)))
+      .toDF("doc_id", "text")
+    val raw = ((100 until 110).map(i => (i.toLong, doc(tgtWords, i))) ++
+      (200 until 210).map(i => (i.toLong, doc(offWords, i))) :+
+      (300L, "")).toDF("doc_id", "text")
+    val w = Corpus.dsirLogWeights(raw, "doc_id", "text", target, "text",
+      buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(w.length === 21) // every raw doc scored, empty one included
+    val byId = w.map(r => r._1 -> r).toMap
+    assert(byId(300L) === ((300L, 0L, 0L)))
+    val inDomain = w.filter(r => r._1 >= 100 && r._1 < 110).map(_._3)
+    val offDomain = w.filter(r => r._1 >= 200 && r._1 < 210).map(_._3)
+    // strict separation: the WORST in-domain weight beats the BEST
+    // off-domain weight (disjoint vocabularies, 256 buckets — a
+    // collision would have to flip a ~whole-doc margin to break this)
+    assert(inDomain.min > offDomain.max,
+      s"in=${inDomain.sorted.mkString(",")} off=${offDomain.sorted.mkString(",")}")
+
+    // Gumbel top-k at k = 10: the resample must draw overwhelmingly
+    // from the in-domain half; the key replays in plain Scala
+    val sel = Corpus.dsirResample(raw, "doc_id", "text", target, "text",
+      k = 10, buckets = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(sel.length === 10)
+    def gumbelFx(id: Long): Long = {
+      val kr = id.toString.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+      val h = Math.floorMod(kr * 2654435761L, 4294967296L)
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      math.floor(-math.log(-math.log(u)) * 1e6 + 0.5).toLong
+    }
+    sel.foreach { case (id, logw, key) =>
+      assert(key === logw + gumbelFx(id), s"key mismatch for $id")
+    }
+    // the exact expected set: top 10 keys over the replayed weights
+    val expected = w.map(r => (r._1, r._3 + gumbelFx(r._1)))
+      .sortBy { case (id, key) => (-key, id) }.take(10).map(_._1).toSet
+    assert(sel.map(_._1).toSet === expected)
+  }
+
+  test("DSIR: the ratio table broadcasts into the scoring join — no shuffle wider than the doc id") {
+    val docs = table("documents")
+    val plan = Corpus.dsirLogWeights(
+      docs.filter(col("doc_id") % 13 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 13 === 0), "text", buckets = 1024)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
