@@ -132,6 +132,63 @@ object SparkEntry {
     bos.toByteArray
   }
 
+  /** Planted AVIs for the shot-segmentation gate: 9 gray 9×8 P6
+    * frames in a real RIFF/AVI `LIST movi`, cut into three shots at
+    * frame boundaries b1 = 2 + d%3 and b2 = 6 + d%2. Shot s picks
+    * the gradient pattern — pixel v(x,y,t) = (x·(29+97·s) + y·17 +
+    * d·7) % 128 + [y>0]·t·11 + bump — the spatial term wraps INSIDE
+    * 128 so the additive t·11 row drift (≤ 88) never re-wraps a
+    * pixel: consecutive frames WITHIN a shot share every gradient
+    * sign (measured within-shot Hamming ≤ 1, boundary Hamming ≥ 15
+    * against the threshold 8) while a shot change rewrites the
+    * pattern. The bump (+40 at pixel
+    * (0,0) on odd frames) jitters ≤ 1 bit per consecutive pair — a
+    * false-cut trap the threshold must absorb. Docs with d % 4 == 2
+    * plant a non-raster garbage chunk at frame 4: the walk must drop
+    * it without splitting the shot. Every 10th id (d % 10 == 9)
+    * carries text bytes — non-video payloads emit zero shots.
+    */
+  private def sceneAvi(d: Int): Array[Byte] = {
+    if (d % 10 == 9) return s"not video $d".getBytes("US-ASCII")
+    val f = 9
+    val b1 = 2 + d % 3
+    val b2 = 6 + d % 2
+    val frames: Seq[Array[Byte]] = (0 until f).map { t =>
+      if (d % 4 == 2 && t == 4) s"garbage frame $d".getBytes("US-ASCII")
+      else {
+        val s = if (t < b1) 0 else if (t < b2) 1 else 2
+        val px = new Array[Byte](9 * 8 * 3)
+        var o = 0
+        for (y <- 0 until 8; x <- 0 until 9) {
+          val bump = if (x == 0 && y == 0 && t % 2 == 1) 40 else 0
+          val tt = if (y == 0) 0 else t * 11
+          val v = ((x * (29 + 97 * s) + y * 17 + d * 7) % 128 + tt + bump).toByte
+          px(o) = v; px(o + 1) = v; px(o + 2) = v; o += 3
+        }
+        "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+    }
+    val moviSz = 4 + frames.map(fr => 8 + fr.length + (fr.length & 1)).sum
+    ascii("RIFF"); le32(4 + (8 + 68) + (8 + moviSz)); ascii("AVI ")
+    ascii("LIST"); le32(68); ascii("hdrl")
+    ascii("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0) // 25 fps, maxbps/pad/flags
+    le32(f); le32(0); le32(1); le32(0) // totalFrames, initial, streams, bufsize
+    le32(9); le32(8); le32(0); le32(0); le32(0); le32(0) // dims + reserved
+    ascii("LIST"); le32(moviSz); ascii("movi")
+    frames.foreach { fr =>
+      ascii("00db"); le32(fr.length); bos.write(fr)
+      if ((fr.length & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
+  }
+
   /** Stable table-name key for a fixture-backed cached index: a digest
     * of the data directory PLUS the frame's current file listing.
     * `dir.hashCode` alone risked two failure modes — a 32-bit collision
@@ -1273,6 +1330,17 @@ object SparkEntry {
         media.filter(col("doc_id") % 2 === 1), "doc_id", "payload",
         predicate = col("cam") === "a", maxHamming = 3)
         .orderBy("batch_id", "index_id")
+    }),
+    // Shot segmentation over REAL AVI payloads: consecutive-frame
+    // dHash Hamming > threshold starts a new shot; garbage frames
+    // drop without splitting, non-video payloads emit zero rows
+    "q_mm_video_scenes" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 240).map(d => (d.toLong, sceneAvi(d)))
+        .toDF("doc_id", "payload")
+      Multimodal.videoShots(media, "doc_id", "payload",
+        cutThreshold = 8, maxFrames = 16)
+        .orderBy("doc_id", "shot")
     }),
     // JSON sidecar flatten: schema inferred once driver-side from a
     // bounded sample, then one codegen'd from_json pass corpus-wide —
@@ -5156,6 +5224,37 @@ object SparkEntry {
         "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
         "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +
         "WHERE ham <= 3 ORDER BY batch_id, index_id"),
+    // shot-segmentation replay from the generating formula: per-frame
+    // dHash bits (garbage frame t=4 of d%4==2 docs excluded, like the
+    // failed raster decode drops it), lag over the DECODED sequence,
+    // cut where Hamming > 8, shot = running cut count, then per-shot
+    // (min frame, count); the odd-frame (0,0) bump moves ≤ 1 bit so
+    // it never opens a false cut
+    "q_mm_video_scenes" ->
+      ("WITH d0 AS (SELECT range AS doc_id FROM range(240)), " +
+        "d AS (SELECT doc_id, 2 + doc_id % 3 AS b1, 6 + doc_id % 2 AS b2 " +
+        "FROM d0 WHERE doc_id % 10 <> 9), " +
+        "fb AS (SELECT doc_id, t.t AS t, b.b AS b, CASE WHEN " +
+        "((b.b % 8 + 1) * (29 + 97 * CASE WHEN t.t < b1 THEN 0 WHEN t.t < b2 THEN 1 ELSE 2 END) + " +
+        "(b.b // 8) * 17 + doc_id * 7) % 128 + " +
+        "CASE WHEN b.b // 8 = 0 THEN 0 ELSE t.t * 11 END > " +
+        "((b.b % 8) * (29 + 97 * CASE WHEN t.t < b1 THEN 0 WHEN t.t < b2 THEN 1 ELSE 2 END) + " +
+        "(b.b // 8) * 17 + doc_id * 7) % 128 + " +
+        "CASE WHEN b.b // 8 = 0 THEN 0 ELSE t.t * 11 END + " +
+        "CASE WHEN b.b = 0 AND t.t % 2 = 1 THEN 40 ELSE 0 END " +
+        "THEN 1 ELSE 0 END AS bit " +
+        "FROM d, range(0, 9) t(t), range(0, 64) b(b) " +
+        "WHERE NOT (doc_id % 4 = 2 AND t.t = 4)), " +
+        "bits AS (SELECT doc_id, t, list(bit ORDER BY b) AS ba FROM fb GROUP BY doc_id, t), " +
+        "seq AS (SELECT doc_id, t, ba, row_number() OVER (PARTITION BY doc_id ORDER BY t) AS rn FROM bits), " +
+        "hm AS (SELECT a.doc_id, a.t, CASE WHEN p.t IS NULL THEN 0 " +
+        "WHEN list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN a.ba[i + 1] != p.ba[i + 1] THEN 1 ELSE 0 END)) > 8 THEN 1 ELSE 0 END AS cut " +
+        "FROM seq a LEFT JOIN seq p ON p.doc_id = a.doc_id AND p.rn = a.rn - 1), " +
+        "sh AS (SELECT doc_id, t, SUM(cut) OVER (PARTITION BY doc_id ORDER BY t) AS shot FROM hm) " +
+        "SELECT doc_id, CAST(shot AS INTEGER) AS shot, " +
+        "CAST(min(t) AS INTEGER) AS start_frame_no, CAST(count(*) AS INTEGER) AS n_frames " +
+        "FROM sh GROUP BY doc_id, shot ORDER BY doc_id, shot"),
     "q_mm_video_dedup" ->
       // full-pipeline replay from the generating formula: per-frame
       // dHash bit vectors → per-bit strict majority → bands → banded

@@ -1718,4 +1718,82 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** SHOT (scene-cut) segmentation for AVI payloads — the temporal
+    * structure pass a video corpus needs before per-shot sampling or
+    * shot-level dedup: extract the container's real frames
+    * ([[Decoders.aviFrameChunks]]), keep up to `maxFrames` evenly
+    * spaced ones (the `(i·F) div m` selection all the video verbs
+    * share), dHash each decodable frame, and start a NEW shot
+    * wherever the Hamming distance between consecutive decoded
+    * frames exceeds `cutThreshold`. dHash is a gradient-sign hash,
+    * so global brightness drift inside a shot moves ~no bits while a
+    * content change rewrites the gradient field — exactly the
+    * threshold-able boundary signal (the classical pHash-difference
+    * shot detector, engine-exact because every quantity is an
+    * integer).
+    *
+    * Contracts, shared with [[videoFingerprint]]: payloads that are
+    * not well-formed AVI (or decode zero sampled frames) emit ZERO
+    * rows; sampled frames that fail raster decode are DROPPED from
+    * the walk (the consecutive relation runs over decoded frames —
+    * one corrupt frame cannot split a shot into three). Output one
+    * row per shot: (id, shot ordinal from 0, start_frame_no = movi
+    * ordinal of the shot's first decoded frame, n_frames = decoded
+    * frames in the shot). Narrow map, zero shuffles — the segmenter
+    * streams each payload once; at 100 TB this is scan-bound like
+    * every other codec pass, and only (id, shot) rows leave the map.
+    */
+  def videoShots(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      cutThreshold: Int = 8,
+      maxFrames: Int = 64
+  ): DataFrame = {
+    require(cutThreshold >= 0, "cutThreshold must be >= 0")
+    require(maxFrames > 0, "maxFrames must be positive")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("shot", IntegerType),
+      StructField("start_frame_no", IntegerType),
+      StructField("n_frames", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(binCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Decoders.aviFrameChunks(bytes) match {
+          case Some(frames) if frames.nonEmpty =>
+            val f = frames.length
+            val m = math.min(maxFrames, f)
+            val decoded = (0 until m).iterator.flatMap { i =>
+              val k = i * f / m
+              Decoders.parseRaster(frames(k)).map(p => (k, Decoders.dHash64(p)))
+            }.toArray
+            if (decoded.isEmpty) Iterator.empty
+            else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+              var shot = 0
+              var start = decoded(0)._1
+              var n = 1
+              var j = 1
+              while (j < decoded.length) {
+                val ham = java.lang.Long.bitCount(decoded(j - 1)._2 ^ decoded(j)._2)
+                if (ham > cutThreshold) {
+                  out += Row(r.get(0), shot, start, n)
+                  shot += 1
+                  start = decoded(j)._1
+                  n = 1
+                } else n += 1
+                j += 1
+              }
+              out += Row(r.get(0), shot, start, n)
+              out.iterator
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }(enc)
+  }
 }

@@ -743,6 +743,49 @@ class MultimodalSpec extends SparkSpec {
       "unfingerprinted payloads must never pair")
   }
 
+  test("videoShots: planted cuts recovered, jitter absorbed, garbage frame dropped without splitting, sampling + non-video contracts") {
+    import spark.implicits._
+    // shot s picks the gradient pattern; spatial term wraps inside 128
+    // so the additive t·11 row drift never re-wraps a pixel — within a
+    // shot only the odd-frame corner bump (≤ 1 bit) moves
+    def sframe(s: Int, t: Int): Array[Byte] =
+      ppm98((x, y) => (x * (29 + 97 * s) + y * 17) % 128 +
+        (if (y == 0) 0 else t * 11) +
+        (if (t % 2 == 1 && x == 0 && y == 0) 40 else 0))
+    def shotOf(t: Int) = if (t < 3) 0 else if (t < 6) 1 else 2
+    val clip = aviWithMovi((0 until 9).map(t => sframe(shotOf(t), t)))
+    val garbled = aviWithMovi((0 until 9).map(t =>
+      if (t == 4) Array[Byte](1, 2, 3) else sframe(shotOf(t), t)))
+    val flat = aviWithMovi((0 until 9).map(t => sframe(0, t)))
+    val media = Seq(
+      (0L, clip), (1L, garbled), (2L, flat),
+      (3L, "not a video".getBytes("US-ASCII")),
+      (4L, aviWithMovi(Seq(Array[Byte](7, 7, 7))))) // zero decodable frames
+      .toDF("id", "payload")
+    def shots(df: org.apache.spark.sql.DataFrame, cut: Int = 8, mf: Int = 64) =
+      Multimodal.videoShots(df, "id", "payload", cutThreshold = cut, maxFrames = mf)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .groupBy(_._1).map { case (k, v) =>
+          k -> v.sortBy(_._2).map(x => (x._2, x._3, x._4)).toSeq
+        }
+    val out = shots(media)
+    assert(out(0L) === Seq((0, 0, 3), (1, 3, 3), (2, 6, 3)),
+      "both planted cuts recovered; the odd-frame bump opens no false cut")
+    assert(out(1L) === Seq((0, 0, 3), (1, 3, 2), (2, 6, 3)),
+      "the undecodable frame drops from its shot without splitting it")
+    assert(out(2L) === Seq((0, 0, 9)), "a cut-free clip is one shot")
+    assert(!out.contains(3L) && !out.contains(4L),
+      "non-video and zero-decodable payloads emit zero rows")
+    // sampling: maxFrames = 3 keeps movi ordinals 0/3/6 — one frame
+    // per planted shot, three one-frame shots at the real offsets
+    val sampled = shots(media.filter(col("id") === 0L), mf = 3)
+    assert(sampled(0L) === Seq((0, 0, 1), (1, 3, 1), (2, 6, 1)))
+    // the threshold is the knob: past the worst boundary, one shot
+    val loose = shots(media.filter(col("id") === 0L), cut = 63)
+    assert(loose(0L) === Seq((0, 0, 9)))
+  }
+
   test("video fingerprint index lifecycle: append == rebuild; filtered == sub-corpus rebuild; the dHash family's delete/purge/stats verbs serve it verbatim") {
     import spark.implicits._
     def clip(d: Int): Array[Byte] =
