@@ -3032,6 +3032,19 @@ object SparkEntry {
         k = 120, buckets = 1024)
         .orderBy("doc_id")
     }),
+    // Persisted DSIR model: bucket multinomials written once, the
+    // same raw pool scored FROM the model — must equal the inline
+    // q_corpus_dsir_weight twin verbatim (train-once/score-many)
+    "q_corpus_dsir_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mdl = s"dsir_gate_${fixtureKey(dir, docs)}"
+      if (!s.catalog.tableExists(mdl))
+        Corpus.writeDsirModel(docs.filter(col("doc_id") % 13 === 0), "text",
+          docs.filter(col("doc_id") % 13 =!= 0), "text", mdl, buckets = 1024)
+      Corpus.dsirScoresFromModel(s, mdl,
+        docs.filter(col("doc_id") % 13 =!= 0), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Corpus-pipeline: trigram stupid-backoff LM scoring, fit on the
     // deterministic held-in half so backoff genuinely triggers
     "q_corpus_lm3_score" -> ((s, dir) => {
@@ -5981,6 +5994,10 @@ object SparkEntry {
     // multinomials, each ln floored to micro-units BEFORE the
     // difference and the per-doc sum — logw_fx is an exact integer
     "q_corpus_dsir_weight" ->
+      (dsirOracleCtes +
+        "SELECT doc_id, n_feats, logw_fx FROM wts ORDER BY doc_id"),
+    // the persisted model promises inline-identical scores: one twin
+    "q_corpus_dsir_indexed" ->
       (dsirOracleCtes +
         "SELECT doc_id, n_feats, logw_fx FROM wts ORDER BY doc_id"),
     // Gumbel top-k replay: uniform from the doc id's own KR hash,

@@ -1479,6 +1479,90 @@ object Corpus {
         coalesce(col("__sum"), lit(0L)).as("logw_fx"))
   }
 
+  /** Persist the DSIR bucket multinomials as a self-describing model —
+    * train once on a representative raw pool, score every future
+    * batch without re-aggregating the 100 TB raw distribution (the
+    * [[writeNaiveBayesModel]] pattern for importance weighting).
+    * Layout: `<table>` holds (bucket, ct, cr) for every bucket either
+    * side touched (≤ `buckets` rows); `<table>_stats` one row
+    * (nt, nr, b) with the totals RE-AGGREGATED from the written count
+    * table, so the two surfaces cannot drift.
+    */
+  def writeDsirModel(
+      target: DataFrame,
+      targetTextCol: String,
+      raw: DataFrame,
+      rawTextCol: String,
+      tableName: String,
+      buckets: Int = 1 << 13
+  ): Unit = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val spark = target.sparkSession
+    val tc = hashedNgramBuckets(target, targetTextCol, buckets, Nil)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val rc = hashedNgramBuckets(raw, rawTextCol, buckets, Nil)
+      .groupBy("bucket").agg(count(lit(1)).as("cr"))
+    tc.join(rc, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .write.mode("overwrite").format("parquet").saveAsTable(tableName)
+    spark.catalog.refreshTable(tableName)
+    spark.table(tableName)
+      .agg(coalesce(sum(col("ct")), lit(0L)).as("nt"),
+        coalesce(sum(col("cr")), lit(0L)).as("nr"))
+      .withColumn("b", lit(buckets.toLong))
+      .write.mode("overwrite").format("parquet").saveAsTable(tableName + "_stats")
+    spark.catalog.refreshTable(tableName + "_stats")
+  }
+
+  /** Score documents against a PERSISTED DSIR model
+    * ([[writeDsirModel]]). Scoring the train-time raw pool reproduces
+    * [[dsirLogWeights]] bit for bit (same fixed-point formula; every
+    * one of those docs' buckets carries cr ≥ 1 in the model). NEW
+    * documents may hash features into buckets the model never saw —
+    * those take the both-zero smoothing arm,
+    * `fx(ln(1/(nt+B))) − fx(ln(1/(nr+B)))`, the same values the
+    * formula yields for a (ct=0, cr=0) row, so an unseen bucket is
+    * indistinguishable from an unpopulated one. Per batch: one
+    * tokenize pass + two bounded broadcasts (ratio table ≤ B rows,
+    * stats one row) — an ingest epoch never touches the corpora the
+    * model was fit on.
+    */
+  def dsirScoresFromModel(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val st = spark.table(tableName + "_stats")
+    val buckets = st.select("b").head().getLong(0).toInt
+    val ratio = spark.table(tableName)
+      .crossJoin(broadcast(st))
+      .select(col("bucket"),
+        (TextAnalysis.fxLong(log(
+          (col("ct") + 1).cast("double") /
+            (col("nt") + col("b")).cast("double")) * lit(1e6)) -
+          TextAnalysis.fxLong(log(
+            (col("cr") + 1).cast("double") /
+              (col("nr") + col("b")).cast("double")) * lit(1e6))).as("__term"))
+    val perDoc = hashedNgramBuckets(docs, textCol, buckets, Seq(col(idCol)))
+      .join(broadcast(ratio), Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(st))
+      .withColumn("__t", coalesce(col("__term"),
+        TextAnalysis.fxLong(log(
+          lit(1.0) / (col("nt") + col("b")).cast("double")) * lit(1e6)) -
+          TextAnalysis.fxLong(log(
+            lit(1.0) / (col("nr") + col("b")).cast("double")) * lit(1e6))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__t")).as("__sum"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("__sum"), lit(0L)).as("logw_fx"))
+  }
+
   /** DSIR importance RESAMPLING: draw `k` docs from `raw` without
     * replacement with probability ∝ their importance weight, via the
     * Gumbel top-k trick — rank by `log w(x) + Gumbel(0,1)` and keep

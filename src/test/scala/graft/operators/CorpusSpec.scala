@@ -880,6 +880,57 @@ class CorpusSpec extends SparkSpec {
     assert(sel.map(_._1).toSet === expected)
   }
 
+  test("DSIR persisted model: from-model == inline bit for bit; unseen buckets take the both-zero smoothing arm") {
+    import spark.implicits._
+    val tgtWords = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val offWords = Seq("zebra", "yak", "xenon", "walrus", "vole")
+    def doc(words: Seq[String], seed: Int) =
+      (0 until 20).map(i => words((i * 7 + seed) % words.length)).mkString(" ")
+    val target = (0 until 10).map(i => (i.toLong, doc(tgtWords, i)))
+      .toDF("doc_id", "text")
+    val raw = ((100 until 110).map(i => (i.toLong, doc(tgtWords, i))) ++
+      (200 until 210).map(i => (i.toLong, doc(offWords, i))))
+      .toDF("doc_id", "text")
+    Corpus.writeDsirModel(target, "text", raw, "text", "dsir_mdl_spec",
+      buckets = 256)
+    val inline = Corpus.dsirLogWeights(raw, "doc_id", "text", target, "text",
+      buckets = 256).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fromModel = Corpus.dsirScoresFromModel(spark, "dsir_mdl_spec",
+      raw, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fromModel.sortBy(_._1).toSeq === inline.sortBy(_._1).toSeq,
+      "scoring the train-time raw pool from the model must be inline-identical")
+    // a NEW doc outside the trained vocabulary: replay the whole
+    // scoring contract in plain Scala from the persisted model —
+    // seen buckets (hash collisions with trained features are real
+    // at 256 buckets) score their counts, unseen buckets the
+    // both-zero smoothing arm
+    val st = spark.table("dsir_mdl_spec_stats").head()
+    val (nt, nr) = (st.getLong(0), st.getLong(1))
+    def fxLn(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val model = spark.table("dsir_mdl_spec").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def bucket(f: String): Long = {
+      val kr = f.filter(c => c.isDigit || c == ' ' || (c >= 'a' && c <= 'z'))
+        .foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+      Math.floorMod(kr * 2654435761L, 4294967296L) % 256
+    }
+    val toks = Seq("qqq", "www", "rrr")
+    val feats = toks ++ toks.sliding(2).map(_.mkString(" "))
+    assert(feats.exists(f => !model.contains(bucket(f))),
+      "fixture must exercise the unseen-bucket arm")
+    val expected = feats.map { f =>
+      val (ct, cr) = model.getOrElse(bucket(f), (0L, 0L))
+      fxLn((ct + 1).toDouble / (nt + 256)) - fxLn((cr + 1).toDouble / (nr + 256))
+    }.sum
+    val novel = Seq((900L, toks.mkString(" "))).toDF("doc_id", "text")
+    val got = Corpus.dsirScoresFromModel(spark, "dsir_mdl_spec",
+      novel, "doc_id", "text").head()
+    assert(got.getLong(1) === 5L)
+    assert(got.getLong(2) === expected,
+      "from-model scoring must replay the per-feature contract exactly")
+  }
+
   test("DSIR: the ratio table broadcasts into the scoring join — no shuffle wider than the doc id") {
     val docs = table("documents")
     val plan = Corpus.dsirLogWeights(
