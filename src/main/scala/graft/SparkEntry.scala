@@ -168,6 +168,13 @@ object SparkEntry {
         "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
       }
     }
+    aviContainer(frames)
+  }
+
+  /** Minimal real RIFF/AVI container around 9×8 frame payloads —
+    * shared by the scene/shot fixtures.
+    */
+  private def aviContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
     def le32(v: Int): Unit = {
@@ -179,7 +186,7 @@ object SparkEntry {
     ascii("LIST"); le32(68); ascii("hdrl")
     ascii("avih"); le32(56)
     le32(40000); le32(0); le32(0); le32(0) // 25 fps, maxbps/pad/flags
-    le32(f); le32(0); le32(1); le32(0) // totalFrames, initial, streams, bufsize
+    le32(frames.length); le32(0); le32(1); le32(0) // totalFrames, initial, streams, bufsize
     le32(9); le32(8); le32(0); le32(0); le32(0); le32(0) // dims + reserved
     ascii("LIST"); le32(moviSz); ascii("movi")
     frames.foreach { fr =>
@@ -187,6 +194,47 @@ object SparkEntry {
       if ((fr.length & 1) == 1) bos.write(0)
     }
     bos.toByteArray
+  }
+
+  /** Planted AVIs for the SHOT-dedup gate: 9 frames, three shots cut
+    * at frames 3 and 6. Shot pixels come from a FULL-AVALANCHE hash of
+    * (pattern key, x, y) — `m = key·4096 + x·64 + y`, one Knuth
+    * multiply, a 16-bit xor-shift fold, a second multiply, high bits
+    * mod 128 — so distinct keys give independent gradient fields
+    * (measured: boundary Hamming ≥ 22, non-planted shot pairs ≥ 19
+    * apart) while equal keys give identical frames up to the additive
+    * per-row drift. Keys: shot 0 is the GLOBAL intro (key 9999 —
+    * every video shares it, the boilerplate-segment plant); shots 1–2
+    * key on (base = d/2, s), so twin videos 2k/2k+1 share their
+    * non-intro shots too. Odd ids bump pixel (0,0) on odd frames
+    * (≤ 1 fingerprint bit — the majority absorbs or carries it, either
+    * way within Hamming 1). Every 10th id (d % 10 == 9) carries text
+    * bytes: non-video payloads emit nothing.
+    */
+  private def shotDedupAvi(d: Int): Array[Byte] = {
+    if (d % 10 == 9) return s"not video $d".getBytes("US-ASCII")
+    val base = d / 2
+    def pix(key: Int, x: Int, y: Int): Int = {
+      val m = key.toLong * 4096L + x * 64L + y
+      val h1 = Math.floorMod(m * 2654435761L, 4294967296L)
+      val h2 = h1 ^ (h1 / 65536L)
+      val h3 = Math.floorMod(h2 * 40503L, 4294967296L)
+      ((h3 / 32768L) % 128L).toInt
+    }
+    val frames = (0 until 9).map { t =>
+      val s = if (t < 3) 0 else if (t < 6) 1 else 2
+      val key = if (s == 0) 9999 else 1 + base * 2 + (s - 1)
+      val px = new Array[Byte](9 * 8 * 3)
+      var o = 0
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val bump = if (x == 0 && y == 0 && d % 2 == 1 && t % 2 == 1) 40 else 0
+        val tt = if (y == 0) 0 else t * 11
+        val v = (pix(key, x, y) + tt + bump).toByte
+        px(o) = v; px(o + 1) = v; px(o + 2) = v; o += 3
+      }
+      "P6\n9 8\n255\n".getBytes("US-ASCII") ++ px
+    }
+    aviContainer(frames)
   }
 
   /** Stable table-name key for a fixture-backed cached index: a digest
@@ -1341,6 +1389,17 @@ object SparkEntry {
       Multimodal.videoShots(media, "doc_id", "payload",
         cutThreshold = 8, maxFrames = 16)
         .orderBy("doc_id", "shot")
+    }),
+    // SHOT-level dedup: duplicated segments across clips — the global
+    // intro every video shares plus the twins' re-used body shots —
+    // (video, shot) entities through the shared banding kernel
+    "q_mm_video_shot_dedup" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 40).map(d => (d.toLong, shotDedupAvi(d)))
+        .toDF("doc_id", "payload")
+      Multimodal.videoShotNearDupPairs(media, "doc_id", "payload",
+        cutThreshold = 8, maxFrames = 16, maxHamming = 3)
+        .orderBy("id_a", "shot_a", "id_b", "shot_b")
     }),
     // JSON sidecar flatten: schema inferred once driver-side from a
     // bounded sample, then one codegen'd from_json pass corpus-wide —
@@ -5237,6 +5296,50 @@ object SparkEntry {
         "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
         "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +
         "WHERE ham <= 3 ORDER BY batch_id, index_id"),
+    // shot-dedup replay: avalanche pixel hash → per-frame bits →
+    // per-shot (t div 3 — boundaries verified 22+ bits over the cut
+    // threshold) strict majority → 4×16-bit bands → banded join over
+    // (video, shot) entities → Hamming verify; the drift terms cancel
+    // inside a shot, the odd-id bump moves at most fingerprint bit 0
+    "q_mm_video_shot_dedup" ->
+      ("WITH d0 AS (SELECT range AS doc_id FROM range(40)), " +
+        "d AS (SELECT doc_id, doc_id // 2 AS base, doc_id % 2 AS odd " +
+        "FROM d0 WHERE doc_id % 10 <> 9), " +
+        "ks AS (SELECT DISTINCT CASE WHEN s.s = 0 THEN 9999 " +
+        "ELSE 1 + base * 2 + (s.s - 1) END AS key FROM d CROSS JOIN range(0, 3) s(s)), " +
+        "px0 AS (SELECT key, x, y, (m * 2654435761) % 4294967296 AS h1 FROM " +
+        "(SELECT ks.key AS key, x.x AS x, y.y AS y, ks.key * 4096 + x.x * 64 + y.y AS m " +
+        "FROM ks CROSS JOIN range(0, 9) x(x) CROSS JOIN range(0, 8) y(y))), " +
+        "px AS (SELECT key, x, y, " +
+        "((xor(h1, h1 // 65536) * 40503) % 4294967296) // 32768 % 128 AS p FROM px0), " +
+        "fr AS (SELECT d.doc_id, d.odd, t.t AS t, CASE WHEN t.t < 3 THEN 9999 " +
+        "ELSE 1 + d.base * 2 + (t.t // 3 - 1) END AS key FROM d CROSS JOIN range(0, 9) t(t)), " +
+        "fb AS (SELECT fr.doc_id, fr.t, b.b AS b, CASE WHEN " +
+        "pr.p + (CASE WHEN b.b // 8 = 0 THEN 0 ELSE fr.t * 11 END) > " +
+        "pl.p + (CASE WHEN b.b // 8 = 0 THEN 0 ELSE fr.t * 11 END) + " +
+        "(CASE WHEN b.b = 0 AND fr.odd = 1 AND fr.t % 2 = 1 THEN 40 ELSE 0 END) " +
+        "THEN 1 ELSE 0 END AS bit " +
+        "FROM fr CROSS JOIN range(0, 64) b(b) " +
+        "JOIN px pr ON pr.key = fr.key AND pr.x = b.b % 8 + 1 AND pr.y = b.b // 8 " +
+        "JOIN px pl ON pl.key = fr.key AND pl.x = b.b % 8 AND pl.y = b.b // 8), " +
+        "mj AS (SELECT doc_id, t // 3 AS shot, b, CASE WHEN 2 * sum(bit) > count(*) " +
+        "THEN 1 ELSE 0 END AS mb FROM fb GROUP BY doc_id, t // 3, b), " +
+        "bits AS (SELECT doc_id, shot, list(mb ORDER BY b) AS ba FROM mj GROUP BY doc_id, shot), " +
+        "bnd AS (SELECT doc_id, shot, ba, unnest([0, 1, 2, 3]) AS bd FROM bits), " +
+        "bv AS (SELECT doc_id, shot, bd, CAST(list_sum(list_transform(range(16), j -> " +
+        "ba[bd * 16 + j + 1] * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS bv FROM bnd), " +
+        "p2 AS (SELECT DISTINCT a.doc_id AS id_a, a.shot AS shot_a, " +
+        "c.doc_id AS id_b, c.shot AS shot_b FROM bv a JOIN bv c " +
+        "ON a.bd = c.bd AND a.bv = c.bv AND " +
+        "(a.doc_id < c.doc_id OR (a.doc_id = c.doc_id AND a.shot < c.shot))), " +
+        "hm AS (SELECT p2.id_a, p2.shot_a, p2.id_b, p2.shot_b, " +
+        "list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS hm " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.id_a AND x.shot = p2.shot_a " +
+        "JOIN bits y ON y.doc_id = p2.id_b AND y.shot = p2.shot_b) " +
+        "SELECT id_a, CAST(shot_a AS INTEGER) AS shot_a, id_b, " +
+        "CAST(shot_b AS INTEGER) AS shot_b, CAST(hm AS INTEGER) AS hamming " +
+        "FROM hm WHERE hm <= 3 ORDER BY id_a, shot_a, id_b, shot_b"),
     // shot-segmentation replay from the generating formula: per-frame
     // dHash bits (garbage frame t=4 of d%4==2 docs excluded, like the
     // failed raster decode drops it), lag over the DECODED sequence,

@@ -1762,38 +1762,131 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(outSchema)
     df.select(col(idCol), col(binCol)).mapPartitions { it =>
       it.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        Decoders.aviFrameChunks(bytes) match {
-          case Some(frames) if frames.nonEmpty =>
-            val f = frames.length
-            val m = math.min(maxFrames, f)
-            val decoded = (0 until m).iterator.flatMap { i =>
-              val k = i * f / m
-              Decoders.parseRaster(frames(k)).map(p => (k, Decoders.dHash64(p)))
-            }.toArray
-            if (decoded.isEmpty) Iterator.empty
-            else {
-              val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-              var shot = 0
-              var start = decoded(0)._1
-              var n = 1
-              var j = 1
-              while (j < decoded.length) {
-                val ham = java.lang.Long.bitCount(decoded(j - 1)._2 ^ decoded(j)._2)
-                if (ham > cutThreshold) {
-                  out += Row(r.get(0), shot, start, n)
-                  shot += 1
-                  start = decoded(j)._1
-                  n = 1
-                } else n += 1
-                j += 1
-              }
-              out += Row(r.get(0), shot, start, n)
-              out.iterator
-            }
-          case _ => Iterator.empty
-        }
+        segmentShots(r.getAs[Array[Byte]](1), cutThreshold, maxFrames)
+          .map { case (shot, start, n, _) => Row(r.get(0), shot, start, n) }
       }
     }(enc)
+  }
+
+  /** The shared shot walk behind [[videoShots]] and
+    * [[videoShotFingerprints]]: decode, sample, dHash, cut on
+    * consecutive Hamming > `cutThreshold`, and aggregate each shot's
+    * frame hashes to a per-bit STRICT-MAJORITY fingerprint (the
+    * [[videoFingerprint]] kernel at shot granularity). Empty for
+    * non-AVI / zero-decodable payloads. Returns
+    * (shot, start_frame_no, n_frames, shot_fp) per shot.
+    */
+  private def segmentShots(
+      bytes: Array[Byte],
+      cutThreshold: Int,
+      maxFrames: Int): Seq[(Int, Int, Int, Long)] =
+    Decoders.aviFrameChunks(bytes) match {
+      case Some(frames) if frames.nonEmpty =>
+        val f = frames.length
+        val m = math.min(maxFrames, f)
+        val decoded = (0 until m).iterator.flatMap { i =>
+          val k = i * f / m
+          Decoders.parseRaster(frames(k)).map(p => (k, Decoders.dHash64(p)))
+        }.toArray
+        if (decoded.isEmpty) Seq.empty
+        else {
+          def majority(hashes: Array[Long]): Long = {
+            var fp = 0L
+            var j = 0
+            while (j < 64) {
+              var c = 0
+              var i = 0
+              while (i < hashes.length) {
+                if (((hashes(i) >>> j) & 1L) == 1L) c += 1
+                i += 1
+              }
+              if (2 * c > hashes.length) fp |= 1L << j
+              j += 1
+            }
+            fp
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+          var shot = 0
+          var lo = 0 // first decoded-ordinal of the current shot
+          var j = 1
+          while (j <= decoded.length) {
+            val cut = j == decoded.length ||
+              java.lang.Long.bitCount(decoded(j - 1)._2 ^ decoded(j)._2) > cutThreshold
+            if (cut) {
+              out += ((shot, decoded(lo)._1, j - lo,
+                majority(decoded.slice(lo, j).map(_._2))))
+              shot += 1
+              lo = j
+            }
+            j += 1
+          }
+          out.toSeq
+        }
+      case _ => Seq.empty
+    }
+
+  /** Per-SHOT perceptual fingerprints: [[videoShots]]' segmentation
+    * with each shot carrying the strict-majority dHash of its decoded
+    * frames — the signature that makes a shot a dedup-able entity.
+    * Output: (id, shot, start_frame_no, n_frames, sfp); zero rows for
+    * non-AVI / zero-decodable payloads, same narrow-map shape as the
+    * other codec passes.
+    */
+  def videoShotFingerprints(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      cutThreshold: Int = 8,
+      maxFrames: Int = 64
+  ): DataFrame = {
+    require(cutThreshold >= 0, "cutThreshold must be >= 0")
+    require(maxFrames > 0, "maxFrames must be positive")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("shot", IntegerType),
+      StructField("start_frame_no", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("sfp", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(binCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        segmentShots(r.getAs[Array[Byte]](1), cutThreshold, maxFrames)
+          .map { case (shot, start, n, fp) => Row(r.get(0), shot, start, n, fp) }
+      }
+    }(enc)
+  }
+
+  /** SHOT-level video near-dup pairs — duplicated SEGMENTS across (or
+    * within) clips: the shared intro, the boilerplate credit roll, the
+    * re-used stock cut that whole-clip fingerprints average away.
+    * Each (video, shot) becomes an entity — a STRUCT key through the
+    * SAME 4 × 16-bit banding kernel every other signature family rides
+    * ([[Dedup.hash64BandPairs]] orders struct keys lexicographically,
+    * so no id packing and no range limits) — and pairs land wherever
+    * two shots' majority fingerprints sit within `maxHamming`.
+    * Output: (id_a, shot_a, id_b, shot_b, hamming) with
+    * (id_a, shot_a) < (id_b, shot_b); intra-video repeats (id_a ==
+    * id_b, different shots) are reported — a clip that replays its own
+    * intro is a real signal. 100 TB shape: frame decode and hashing
+    * never leave the scan; only (video, shot, 64-bit hash) rows reach
+    * the band shuffle.
+    */
+  def videoShotNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      cutThreshold: Int = 8,
+      maxFrames: Int = 64,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame = {
+    val ent = videoShotFingerprints(df, idCol, binCol, cutThreshold, maxFrames)
+      .select(struct(col(idCol).as("vid"), col("shot")).as("__e"), col("sfp"))
+    Dedup.hash64BandPairs(ent, "__e", "sfp", maxHamming, maxBucket)
+      .select(
+        col("id_a.vid").as("id_a"), col("id_a.shot").as("shot_a"),
+        col("id_b.vid").as("id_b"), col("id_b.shot").as("shot_b"),
+        col("hamming"))
   }
 }

@@ -786,6 +786,42 @@ class MultimodalSpec extends SparkSpec {
     assert(loose(0L) === Seq((0, 0, 9)))
   }
 
+  test("videoShotNearDupPairs: shared intros pair across clips, repeated shots pair within one, distinct shots stay apart") {
+    import spark.implicits._
+    // full-avalanche pattern per key: distinct keys → independent
+    // gradient fields, equal keys → identical frames
+    def pix(key: Int, x: Int, y: Int): Int = {
+      val m = key.toLong * 4096L + x * 64L + y
+      val h1 = Math.floorMod(m * 2654435761L, 4294967296L)
+      val h2 = h1 ^ (h1 / 65536L)
+      ((Math.floorMod(h2 * 40503L, 4294967296L) / 32768L) % 128L).toInt
+    }
+    def shotFrames(key: Int) =
+      (0 until 3).map(_ => ppm98((x, y) => pix(key, x, y)))
+    def clip(keys: Int*) = aviWithMovi(keys.flatMap(shotFrames))
+    val media = Seq(
+      (0L, clip(1, 2)),    // intro + own body
+      (1L, clip(1, 3)),    // same intro, different body
+      (2L, clip(4, 5, 4)), // replays its own opening as shot 2
+      (3L, "not a video".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val pairs = Multimodal.videoShotNearDupPairs(media, "id", "payload",
+      cutThreshold = 8, maxHamming = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(pairs === Set((0L, 0, 1L, 0), (2L, 0, 2L, 2)),
+      s"expected the shared intro and the intra-clip repeat, got $pairs")
+    // fingerprint surface sanity: every decoded clip yields its shots
+    val fps = Multimodal.videoShotFingerprints(media, "id", "payload",
+      cutThreshold = 8)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(4))).toMap
+    assert(fps.keySet === Set((0L, 0), (0L, 1), (1L, 0), (1L, 1),
+      (2L, 0), (2L, 1), (2L, 2)))
+    assert(fps((0L, 0)) === fps((1L, 0)) && fps((2L, 0)) === fps((2L, 2)))
+    assert(fps((0L, 1)) !== fps((1L, 1)))
+  }
+
   test("video fingerprint index lifecycle: append == rebuild; filtered == sub-corpus rebuild; the dHash family's delete/purge/stats verbs serve it verbatim") {
     import spark.implicits._
     def clip(d: Int): Array[Byte] =
