@@ -227,4 +227,59 @@ class TakedownSpec extends SparkSpec {
       assert(r.getString(5).nonEmpty)
     }
   }
+
+  test("sweep over a STREAMED curated corpus: the surfaces the ingest funnel maintains are swept by the same one verb") {
+    import spark.implicits._
+    // 9.3e6 keeps this corpus's ids disjoint from every other suite's
+    // planted range in the shared warehouse (strict-discovery rule)
+    val S = 9300000L
+    def T(d: Long) = s"v${d}a v${d}b v${d}c v${d}d v${d}e v${d}f"
+    val seed = Seq((S + 100L, T(S + 100L))).toDF("doc_id", "text")
+    val (mh, bm, bloom) = ("tkd_cur_mh", "tkd_cur_bm", "tkd_cur_bloom")
+    val reg = SharedReg
+    // seed every index through the self-registering wrappers, then
+    // stream — the funnel's appends keep the REGISTERED tables current
+    Takedown.writeMinhashIndex(spark, "tkd_cur", seed, "doc_id", "text",
+      mh, buckets = 4, registryTable = reg)
+    Takedown.writeBm25Index(spark, "tkd_cur", seed, "doc_id", "text",
+      bm, buckets = 4, registryTable = reg)
+    TextAnalysis.refreshCosineNorms(spark, bm)
+    Takedown.writeBloomIndex(spark, "tkd_cur",
+      Seq((1L, "bench secret xqj wqk eqm rqn")).toDF("doc_id", "text"),
+      "text", bloom, n = 4, registryTable = reg)
+    val srcDir = tmp("graft_tkd_cur_src")
+    val outDir = tmp("graft_tkd_cur_out")
+    val ckpt = tmp("graft_tkd_cur_ckpt")
+    (0L until 6L).map(d => (S + d, T(S + d)))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(srcDir)
+    graft.streaming.CorpusIngest.startCuratedIngest(
+      spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir),
+      outDir, ckpt, mh, bloomTable = Some(bloom), bm25Table = Some(bm))
+      .awaitTermination(180000)
+    Takedown.registerCorpus(spark, "tkd_cur", outDir, "doc_id", reg)
+    assert(spark.read.parquet(outDir).count() === 6L)
+
+    // take down one streamed doc with the one verb; the audit frame
+    // is the receipt — zero residue on every registered surface
+    val audit = Takedown.sweep(spark, "tkd_cur",
+      col("doc_id") === (S + 2L), registryTable = reg)
+    val row = audit.collect()
+    assert(row.length === 1)
+    audit.columns.filter(_.endsWith("_rows")).foreach { c =>
+      assert(row.head.getAs[Long](c) === 0L, s"$c must read zero residue")
+    }
+    // live keeps the survivors, the rosters shrink coherently, and —
+    // because purgeBm25Index sweeps the norms sidecar with the roster —
+    // the incremental cosine's validity check still passes
+    assert(spark.read.parquet(outDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet ===
+      ((0L until 6L).map(S + _).toSet - (S + 2L)))
+    assert(spark.table(bm + "_docs").filter(col("doc_id") === (S + 2L)).count() === 0L)
+    assert(spark.table(mh).filter(col("index_id") === (S + 2L)).count() === 0L)
+    val cos = TextAnalysis.lexicalCosineAgainstIndex(spark, bm,
+      Seq((S + 900L, T(S + 4L))).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cos.toSeq === Seq((S + 900L, S + 4L)),
+      "streamed history must stay cosine-scorable after the sweep")
+  }
 }
