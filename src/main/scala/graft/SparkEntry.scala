@@ -132,6 +132,52 @@ object SparkEntry {
     bos.toByteArray
   }
 
+  /** Planted 16-bit mono 8 kHz WAVs for the audio-segmentation gate:
+    * 50 windows of 160 frames with three voiced runs separated by two
+    * planted silent gaps ([a, a+g1) and [b, b+g2), a = 8+d%5,
+    * g1 = 2+d%3, b = 25+d%4, g2 = 3+d%2 — always ordered, always
+    * three segments). Voiced samples come from the avalanche-ish
+    * quadratic `2·(((i²·13 + i·31 + d·131) % 6000) − 3000)` (window
+    * energy ≈ 1.9e9 vs the relative threshold ≈ 1.7e8 — an 11×
+    * margin, verified over all plants); silent windows are exact
+    * zeros. Every 10th id (d % 10 == 9) carries text bytes (non-audio
+    * emits nothing); every 7th-mod-3 id is ALL-silent (mean 0, no
+    * window passes a strict-inequality threshold — zero rows).
+    */
+  private def segWav(d: Int): Array[Byte] = {
+    if (d % 10 == 9) return s"not audio $d".getBytes("US-ASCII")
+    val frames = 8000
+    val out = new Array[Byte](44 + frames * 2)
+    def ascii(o: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, out, o, 4)
+    }
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + frames * 2); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, 8000); le32(28, 8000 * 2); le16(32, 2); le16(34, 16)
+    ascii(36, "data"); le32(40, frames * 2)
+    val a = 8 + d % 5; val g1 = 2 + d % 3
+    val b = 25 + d % 4; val g2 = 3 + d % 2
+    var i = 0
+    while (i < frames) {
+      val w = i / 160
+      val silent = d % 7 == 3 ||
+        (w >= a && w < a + g1) || (w >= b && w < b + g2)
+      val v = if (silent) 0
+        else 2 * ((((i.toLong * i * 13 + i * 31 + d * 131) % 6000) - 3000).toInt)
+      le16(44 + 2 * i, v & 0xffff)
+      i += 1
+    }
+    out
+  }
+
   /** Planted AVIs for the shot-segmentation gate: 9 gray 9×8 P6
     * frames in a real RIFF/AVI `LIST movi`, cut into three shots at
     * frame boundaries b1 = 2 + d%3 and b2 = 6 + d%2. Shot s picks
@@ -1389,6 +1435,16 @@ object SparkEntry {
       Multimodal.videoShots(media, "doc_id", "payload",
         cutThreshold = 8, maxFrames = 16)
         .orderBy("doc_id", "shot")
+    }),
+    // Audio silence-split segmentation: volume-invariant relative
+    // energy threshold over canonical windows; all-silent and
+    // non-audio payloads emit zero rows
+    "q_mm_audio_segments" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 240).map(d => (d.toLong, segWav(d)))
+        .toDF("doc_id", "payload")
+      Multimodal.audioSegments(media, "doc_id", "payload")
+        .orderBy("doc_id", "segment")
     }),
     // SHOT-level dedup: duplicated segments across clips — the global
     // intro every video shares plus the twins' re-used body shots —
@@ -5296,6 +5352,31 @@ object SparkEntry {
         "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
         "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +
         "WHERE ham <= 3 ORDER BY batch_id, index_id"),
+    // audio-segmentation replay: per-sample formula (planted silent
+    // windows exact zero), window energies, integer mean, the
+    // strict-inequality relative threshold, gaps-and-islands runs;
+    // all-silent docs (mean 0) and non-audio ids fall out naturally
+    "q_mm_audio_segments" ->
+      ("WITH d0 AS (SELECT range AS doc_id FROM range(240)), " +
+        "d AS (SELECT doc_id, 8 + doc_id % 5 AS a, 2 + doc_id % 3 AS g1, " +
+        "25 + doc_id % 4 AS b, 3 + doc_id % 2 AS g2 FROM d0 WHERE doc_id % 10 <> 9), " +
+        "sm AS (SELECT d.doc_id, i.i // 160 AS w, " +
+        "CASE WHEN d.doc_id % 7 = 3 OR (i.i // 160 >= a AND i.i // 160 < a + g1) " +
+        "OR (i.i // 160 >= b AND i.i // 160 < b + g2) THEN 0 " +
+        "ELSE 2 * (((i.i * i.i * 13 + i.i * 31 + d.doc_id * 131) % 6000) - 3000) END AS v " +
+        "FROM d CROSS JOIN range(0, 8000) i(i)), " +
+        "en AS (SELECT doc_id, w, SUM(v * v) AS e FROM sm GROUP BY doc_id, w), " +
+        "mn AS (SELECT doc_id, SUM(e) // 50 AS mean FROM en GROUP BY doc_id), " +
+        "vw AS (SELECT en.doc_id, en.w FROM en JOIN mn USING (doc_id) " +
+        "WHERE en.e * 1000 > 100 * mn.mean), " +
+        "isl AS (SELECT doc_id, w, w - row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY w) AS grp FROM vw), " +
+        "seg AS (SELECT doc_id, grp, min(w) AS w0, count(*) AS nw " +
+        "FROM isl GROUP BY doc_id, grp) " +
+        "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY w0) - 1 " +
+        "AS INTEGER) AS segment, CAST(w0 * 160 AS INTEGER) AS start_frame, " +
+        "CAST(nw AS INTEGER) AS n_windows, CAST(nw * 160 AS INTEGER) AS n_frames " +
+        "FROM seg ORDER BY doc_id, segment"),
     // shot-dedup replay: avalanche pixel hash → per-frame bits →
     // per-shot (t div 3 — boundaries verified 22+ bits over the cut
     // threshold) strict majority → 4×16-bit bands → banded join over

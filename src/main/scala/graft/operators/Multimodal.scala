@@ -1857,6 +1857,98 @@ object Multimodal {
     }(enc)
   }
 
+  /** Energy-based AUDIO segmentation — the silence-split chunking a
+    * speech corpus runs before anything else (ASR, per-utterance
+    * dedup, packing): canonicalize the clip to `canonicalRate` with
+    * the fingerprint family's exact nearest-frame channel-summed walk,
+    * cut it into `windowFrames`-frame windows (the trailing partial
+    * window is DROPPED — a half-window has no comparable energy), and
+    * mark a window SILENT when its energy falls under `perMille`
+    * thousandths of the clip's mean window energy. Segments are the
+    * maximal runs of consecutive VOICED windows. The threshold is
+    * RELATIVE, so the verdicts are exactly volume-invariant (scaling
+    * every sample by c scales every window energy and the mean by c²
+    * — the family's invariance contract), and every quantity is an
+    * exact integer: window energy `Σ x(i)²` (Long-safe: the
+    * fingerprint's 2²⁶-frame bound is enforced here per WINDOW, far
+    * inside it), mean by integer division, the comparison
+    * `E·1000 ≤ perMille·mean` in Long.
+    *
+    * Contracts: non-WAV payloads, clips shorter than one window, and
+    * all-silent clips emit ZERO rows (honest "nothing segmentable").
+    * Output: (id, segment ordinal from 0, start_frame = first voiced
+    * window's first canonical frame, n_windows, n_frames =
+    * n_windows · windowFrames). Narrow map, zero shuffles — same
+    * 100 TB scan-bound shape as every codec pass.
+    */
+  def audioSegments(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      canonicalRate: Int = 8000,
+      windowFrames: Int = 160,
+      perMille: Long = 100L
+  ): DataFrame = {
+    require(canonicalRate > 0, "canonicalRate must be positive")
+    require(windowFrames > 0, "windowFrames must be positive")
+    require(perMille >= 0, "perMille must be >= 0")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("segment", IntegerType),
+      StructField("start_frame", IntegerType),
+      StructField("n_windows", IntegerType),
+      StructField("n_frames", IntegerType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(binCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        val parsed = Decoders.parseWav(r.getAs[Array[Byte]](1))
+          .filter { c =>
+            val nL = c.nFrames.toLong * canonicalRate / c.sampleRate
+            nL >= windowFrames && nL <= (1L << 26)
+          }
+        parsed match {
+          case Some(c) =>
+            val n = (c.nFrames.toLong * canonicalRate / c.sampleRate).toInt
+            val nW = n / windowFrames
+            val e = new Array[Long](nW)
+            var w = 0
+            while (w < nW) {
+              var s = 0L
+              var i = w * windowFrames
+              val hi = i + windowFrames
+              while (i < hi) {
+                val f = (i.toLong * c.sampleRate / canonicalRate).toInt
+                var acc = 0L
+                var ch = 0
+                while (ch < c.channels) { acc += c.rawSample(f, ch); ch += 1 }
+                s += acc * acc
+                i += 1
+              }
+              e(w) = s
+              w += 1
+            }
+            val mean = e.sum / nW
+            val voiced = e.map(_ * 1000L > perMille * mean)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var seg = 0
+            var j = 0
+            while (j < nW) {
+              if (voiced(j)) {
+                val lo = j
+                while (j < nW && voiced(j)) j += 1
+                out += Row(r.get(0), seg, lo * windowFrames, j - lo,
+                  (j - lo) * windowFrames)
+                seg += 1
+              } else j += 1
+            }
+            out.iterator
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   /** SHOT-level video near-dup pairs — duplicated SEGMENTS across (or
     * within) clips: the shared intro, the boilerplate credit roll, the
     * re-used stock cut that whole-clip fingerprints average away.

@@ -786,6 +786,39 @@ class MultimodalSpec extends SparkSpec {
     assert(loose(0L) === Seq((0, 0, 9)))
   }
 
+  test("audioSegments: planted silence splits, exact volume + ZOH-rate invariance, stereo summing, edge contracts") {
+    import spark.implicits._
+    // 10 windows of 160 frames at the canonical 8 kHz; windows 3-4
+    // silent → segments (0, 0..2) and (1, 5..9)
+    def voiced(w: Int) = w < 3 || w > 4
+    def samp(i: Int): Int = // even, so exact halving exists
+      if (voiced(i / 160)) 2 * (((i * i * 7 + i * 13 + 5) % 6000) - 3000) else 0
+    val mono = (0 until 1600).map(samp)
+    val media = Seq(
+      (0L, wav(1, 8000, 16, mono)),
+      (1L, wav(1, 8000, 16, mono.map(_ / 2))),         // half volume
+      (2L, wav(1, 16000, 16, mono.flatMap(v => Seq(v, v)))), // ZOH 2x rate
+      (3L, wav(2, 8000, 16, mono.flatMap(v => Seq(v, -v / 2)))), // stereo sums
+      (4L, wav(1, 8000, 16, mono ++ mono.take(100))),  // trailing partial window
+      (5L, wav(1, 8000, 16, Seq.fill(80)(1000))),      // shorter than one window
+      (6L, "not audio".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val segs = Multimodal.audioSegments(media, "id", "payload")
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sortBy(_._1).toSeq }
+    val expected = Seq((0, 0, 3, 480), (1, 800, 5, 800))
+    assert(segs(0L) === expected)
+    assert(segs(1L) === expected, "exact half volume must not move a verdict")
+    assert(segs(2L) === expected, "a ZOH rate-doubled clip canonicalizes back")
+    // stereo: channels SUM per frame (v + (-v/2) = v/2 — half volume again)
+    assert(segs(3L) === expected)
+    assert(segs(4L) === expected,
+      "the trailing partial window is dropped, not scored")
+    assert(!segs.contains(5L) && !segs.contains(6L),
+      "sub-window clips and non-audio payloads emit zero rows")
+  }
+
   test("videoShotNearDupPairs: shared intros pair across clips, repeated shots pair within one, distinct shots stay apart") {
     import spark.implicits._
     // full-avalanche pattern per key: distinct keys → independent
