@@ -865,6 +865,22 @@ object SparkEntry {
         .select("doc_id")
         .orderBy("doc_id")
     }),
+    // Exact dedup with the QUALITY keep policy: within a duplicate
+    // set keep the best-scored copy (ties to the smaller id), not
+    // whichever id sorts first — the C4/RefinedWeb curation rule
+    "q_dedup_exact_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // plant duplicate SETS: ids 3k/3k+1/3k+2 all carry doc 3k's text,
+      // so every set must elect its best-quality member
+      val fixture = docs.select(col("doc_id"))
+        .withColumn("__src", col("doc_id") - pmod(col("doc_id"), lit(3L)))
+        .join(docs.select(col("doc_id").as("__src"), col("text")), Seq("__src"))
+        .withColumn("quality", pmod(col("doc_id") * lit(2654435761L), lit(97L)))
+        .select("doc_id", "text", "quality")
+      Dedup.exactKeepBest(fixture, "doc_id", "text", col("quality"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    }),
     // Text analysis battery: whitespace tokens, punct/stopword ratios,
     // mean token length (all codegen'd expression compositions)
     "q_text_analysis" -> ((s, dir) => {
@@ -4073,6 +4089,17 @@ object SparkEntry {
       ("SELECT doc_id FROM documents WHERE doc_id IN " +
         "(SELECT MIN(doc_id) FROM documents GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) " +
         "ORDER BY doc_id"),
+    // keep-best replay: same normalized fingerprint groups, keeper by
+    // (quality DESC, doc_id) — the synthetic quality is the id's own
+    // Knuth hash mod 97, so duplicate copies genuinely disagree
+    "q_dedup_exact_keep_best" ->
+      ("WITH fx AS (SELECT d.doc_id, s.text, (d.doc_id * 2654435761) % 97 AS quality " +
+        "FROM documents d JOIN documents s ON s.doc_id = d.doc_id - d.doc_id % 3), " +
+        "q AS (SELECT doc_id, quality, " +
+        "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS fp FROM fx), " +
+        "r AS (SELECT doc_id, quality, row_number() OVER " +
+        "(PARTITION BY fp ORDER BY quality DESC, doc_id) AS rn FROM q) " +
+        "SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id"),
     "q_text_analysis" -> {
       val sw = TextAnalysis.EN_STOPWORDS.map(s => s"'$s'").mkString(", ")
       "WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks, " +

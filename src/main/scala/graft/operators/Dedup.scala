@@ -47,6 +47,34 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keeper"))
 
+  /** Exact dedup with a QUALITY keep policy: within each duplicate set
+    * keep the row ranked best by `keepBy` (descending — higher is
+    * better), ties broken by ascending id so the choice is total. The
+    * C4/RefinedWeb curation rule: when a page is crawled twice, keep
+    * the copy with the better quality signal (longer canonical
+    * version, higher LM score, fresher fetch), not whichever id sorts
+    * first. Same single-shuffle shape as [[exact]] — one window over
+    * the fingerprint partition; at 100 TB the fingerprint hash
+    * partitioning carries it exactly like [[exact]].
+    *
+    * `keepBy` is evaluated against `df`'s columns; pass e.g.
+    * `col("quality")`, `length(col("text"))`, or a fetched-at
+    * timestamp.
+    */
+  def exactKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepBy: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col("__kb").desc, col(idCol))
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__kb", keepBy)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__kb", "__rn")
+  }
+
   // -------------------------------------------------------------- shingles
 
   /** Word `n`-gram shingles of a text column (distinct). */

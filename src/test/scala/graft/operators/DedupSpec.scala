@@ -60,6 +60,29 @@ class DedupSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("exactKeepBest: the best-scored duplicate survives, ties break to the smaller id, uniques pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared page text", 10L),
+      (2L, "shared page text", 40L), // best copy — must win over id order
+      (3L, "Shared   PAGE text", 40L), // normalizes equal; quality tie → id 2 wins
+      (4L, "unique text", 1L),
+      (5L, "tied text", 7L),
+      (6L, "tied text", 7L) // full tie → smaller id
+    ).toDF("doc_id", "text", "quality")
+    val out = Dedup.exactKeepBest(docs, "doc_id", "text", col("quality"))
+    assert(out.columns.toSeq === Seq("doc_id", "text", "quality"),
+      "helper columns must not leak")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(2L, 4L, 5L))
+    // keepBy can be any expression over the frame's columns
+    val byLen = Dedup.exactKeepBest(
+      Seq((1L, "a  b"), (2L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", length(col("text")))
+    assert(byLen.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L),
+      "the longer raw copy of the same normalized text wins")
+  }
+
   test("exactGroups reports the duplicate set") {
     val g = Dedup.exactGroups(planted, "doc_id", "text")
       .filter(col("dup_count") > 1)
