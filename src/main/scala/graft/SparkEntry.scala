@@ -178,6 +178,57 @@ object SparkEntry {
     out
   }
 
+  /** Planted WAVs for the audio SEGMENT-dedup gate: the [[segWav]]
+    * layout with base-keyed boundaries (g1 = 2+base%3, b = 25+base%4,
+    * g2 = 3+base%2, base = d/2 — twin clips 2k/2k+1 share them) and
+    * three planted identities: segment 0 is a GLOBAL 8-window jingle
+    * (every clip shares its samples — the syndicated-ad plant),
+    * segments 1–2 key on base (twins share their bodies), and odd ids
+    * play the whole clip at EXACT half volume (samples even) — the
+    * segmentation's relative threshold and the fingerprint's
+    * volume invariance must both hold for the pairs to land. Measured:
+    * all 1431 jingle + 48 twin-body pairs at Hamming ≤ 3, worst
+    * non-planted pair 6 apart. Every 10th id carries text bytes.
+    */
+  private def segDedupWav(d: Int): Array[Byte] = {
+    if (d % 10 == 9) return s"not audio $d".getBytes("US-ASCII")
+    val base = d / 2
+    val dv = 1 + d % 2
+    val g1 = 2 + base % 3; val b = 25 + base % 4; val g2 = 3 + base % 2
+    val frames = 8000
+    val out = new Array[Byte](44 + frames * 2)
+    def ascii(o: Int, s: String): Unit = {
+      val bb = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(bb, 0, out, o, 4)
+    }
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + frames * 2); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, 8000); le32(28, 8000 * 2); le16(32, 2); le16(34, 16)
+    ascii(36, "data"); le32(40, frames * 2)
+    var i = 0
+    while (i < frames) {
+      val w = i / 160
+      // samples are even, so the odd id's halving is exact — floor
+      // and truncating division agree, keeping the twin replayable
+      val v =
+        if (w < 8)
+          2 * ((((i.toLong * i * 11 + i * 29 + 7) % 6000) - 3000).toInt) / dv
+        else if ((w >= 8 && w < 8 + g1) || (w >= b && w < b + g2)) 0
+        else
+          2 * ((((i.toLong * i * 13 + i * 31 + base * 131) % 6000) - 3000).toInt) / dv
+      le16(44 + 2 * i, v & 0xffff)
+      i += 1
+    }
+    out
+  }
+
   /** Planted AVIs for the shot-segmentation gate: 9 gray 9×8 P6
     * frames in a real RIFF/AVI `LIST movi`, cut into three shots at
     * frame boundaries b1 = 2 + d%3 and b2 = 6 + d%2. Shot s picks
@@ -1461,6 +1512,17 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       Multimodal.audioSegments(media, "doc_id", "payload")
         .orderBy("doc_id", "segment")
+    }),
+    // SEGMENT-level audio dedup: the shared jingle + twin bodies at
+    // exact half volume — segmentation and fingerprint invariances
+    // must compose for the pairs to land
+    "q_mm_audio_segment_dedup" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 60).map(d => (d.toLong, segDedupWav(d)))
+        .toDF("doc_id", "payload")
+      Multimodal.audioSegmentNearDupPairs(media, "doc_id", "payload",
+        maxHamming = 3)
+        .orderBy("id_a", "seg_a", "id_b", "seg_b")
     }),
     // SHOT-level dedup: duplicated segments across clips — the global
     // intro every video shares plus the twins' re-used body shots —
@@ -5379,6 +5441,46 @@ object SparkEntry {
         "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS ham " +
         "FROM p2 JOIN bits x ON x.doc_id = p2.batch_id JOIN bits y ON y.doc_id = p2.index_id) " +
         "WHERE ham <= 3 ORDER BY batch_id, index_id"),
+    // audio segment-dedup replay: planted segment windows → per-
+    // segment canonical sample lists (exact halving for odd ids) →
+    // slice-local lag-energy grids → adjacent-compare bits → bands →
+    // struct-ordered banded join → Hamming verify
+    "q_mm_audio_segment_dedup" ->
+      ("WITH d0 AS (SELECT range AS doc_id FROM range(60)), " +
+        "d AS (SELECT doc_id, doc_id // 2 AS base, 1 + doc_id % 2 AS dv " +
+        "FROM d0 WHERE doc_id % 10 <> 9), " +
+        "p AS (SELECT doc_id, base, dv, 2 + base % 3 AS g1, 25 + base % 4 AS b, " +
+        "3 + base % 2 AS g2 FROM d), " +
+        "sg AS (SELECT doc_id, base, dv, s.s AS seg, " +
+        "CASE s.s WHEN 0 THEN 0 WHEN 1 THEN (8 + g1) * 160 ELSE (b + g2) * 160 END AS lo, " +
+        "CASE s.s WHEN 0 THEN 1280 WHEN 1 THEN b * 160 ELSE 8000 END AS hi " +
+        "FROM p CROSS JOIN range(0, 3) s(s)), " +
+        "xs AS (SELECT doc_id, seg, hi - lo AS n, list_transform(range(lo, hi), i -> " +
+        "CASE WHEN seg = 0 THEN (2 * ((i*i*11 + i*29 + 7) % 6000 - 3000)) // dv " +
+        "ELSE (2 * ((i*i*13 + i*31 + base*131) % 6000 - 3000)) // dv END) AS x FROM sg), " +
+        "e AS (SELECT doc_id, seg, t.ti, bi.bi, COALESCE(list_sum(list_transform(" +
+        "range((t.ti*n)//8 + bi.bi + 1, ((t.ti+1)*n)//8), " +
+        "j -> CAST(x[j+1] - x[j - bi.bi] AS BIGINT) * (x[j+1] - x[j - bi.bi]))), 0) AS en " +
+        "FROM xs, range(0,8) t(ti), range(0,9) bi(bi)), " +
+        "bits AS (SELECT a.doc_id, a.seg, list(CASE WHEN nx.en > a.en THEN 1 ELSE 0 END " +
+        "ORDER BY a.ti*8 + a.bi) AS ba " +
+        "FROM e a JOIN e nx ON nx.doc_id = a.doc_id AND nx.seg = a.seg " +
+        "AND nx.ti = a.ti AND nx.bi = a.bi + 1 WHERE a.bi < 8 GROUP BY a.doc_id, a.seg), " +
+        "bnd AS (SELECT doc_id, seg, ba, unnest([0, 1, 2, 3]) AS bd FROM bits), " +
+        "bv AS (SELECT doc_id, seg, bd, CAST(list_sum(list_transform(range(16), j -> " +
+        "ba[bd * 16 + j + 1] * (CAST(1 AS BIGINT) << CAST(j AS INTEGER)))) AS BIGINT) AS bv FROM bnd), " +
+        "p2 AS (SELECT DISTINCT a.doc_id AS id_a, a.seg AS seg_a, " +
+        "c.doc_id AS id_b, c.seg AS seg_b FROM bv a JOIN bv c " +
+        "ON a.bd = c.bd AND a.bv = c.bv AND " +
+        "(a.doc_id < c.doc_id OR (a.doc_id = c.doc_id AND a.seg < c.seg))), " +
+        "hm AS (SELECT p2.id_a, p2.seg_a, p2.id_b, p2.seg_b, " +
+        "list_sum(list_transform(range(64), i -> " +
+        "CASE WHEN x.ba[i + 1] != y.ba[i + 1] THEN 1 ELSE 0 END)) AS hm " +
+        "FROM p2 JOIN bits x ON x.doc_id = p2.id_a AND x.seg = p2.seg_a " +
+        "JOIN bits y ON y.doc_id = p2.id_b AND y.seg = p2.seg_b) " +
+        "SELECT id_a, CAST(seg_a AS INTEGER) AS seg_a, id_b, " +
+        "CAST(seg_b AS INTEGER) AS seg_b, CAST(hm AS INTEGER) AS hamming " +
+        "FROM hm WHERE hm <= 3 ORDER BY id_a, seg_a, id_b, seg_b"),
     // audio-segmentation replay: per-sample formula (planted silent
     // windows exact zero), window energies, integer mean, the
     // strict-inequality relative threshold, gaps-and-islands runs;

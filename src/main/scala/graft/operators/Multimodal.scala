@@ -738,6 +738,15 @@ object Multimodal {
       val nL = c.nFrames.toLong * canonicalRate / c.sampleRate
       if (nL < 72 || nL > (1L << 26)) return None
       val n = nL.toInt
+      lagEnergyFingerprint64(canonicalSamples(c, canonicalRate, n), 0, n)
+    }
+
+    /** Step 1 of [[audioFingerprint64]] alone: the exact nearest-frame
+      * channel-summed canonical walk, materialized — shared by the
+      * whole-clip fingerprint and the per-segment variants.
+      */
+    private[operators] def canonicalSamples(
+        c: AudioClip, canonicalRate: Int, n: Int): Array[Long] = {
       val x = new Array[Long](n)
       var i = 0
       while (i < n) {
@@ -748,11 +757,25 @@ object Multimodal {
         x(i) = acc
         i += 1
       }
+      x
+    }
+
+    /** Steps 2–3 of [[audioFingerprint64]] parameterized by a slice
+      * `x[off, off+n)` — the 8 × 9 slice-local lag-energy grid and the
+      * adjacent-compare bits, shared VERBATIM by the whole-clip
+      * fingerprint (off = 0) and the per-segment fingerprints, so a
+      * segment's hash is exactly the hash of that segment extracted
+      * as its own clip. None under 72 frames (slices would not cover
+      * the longest lag honestly) or over 2²⁶ (energy exactness bound).
+      */
+    private[operators] def lagEnergyFingerprint64(
+        x: Array[Long], off: Int, n: Int): Option[Long] = {
+      if (n < 72 || n > (1 << 26)) return None
       val e = Array.ofDim[Long](8, 9)
       var t = 0
       while (t < 8) {
-        val lo = (t.toLong * n / 8).toInt      // long product: t·n can pass Int
-        val hi = ((t + 1).toLong * n / 8).toInt
+        val lo = off + (t.toLong * n / 8).toInt // long product: t·n can pass Int
+        val hi = off + ((t + 1).toLong * n / 8).toInt
         var b = 0
         while (b < 9) {
           val lag = b + 1
@@ -1947,6 +1970,117 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** [[audioSegments]] with each segment carrying its own perceptual
+    * fingerprint — the signature that makes an utterance/jingle a
+    * dedup-able entity: the SAME slice-parameterized lag-energy kernel
+    * as [[audioFingerprint]], run over the segment's canonical
+    * samples, so a segment's hash equals the hash of that segment
+    * extracted as its own clip (and inherits the family's EXACT volume
+    * + ZOH-rate invariances — compounding with the segmentation's own
+    * volume-invariant threshold, the whole pipeline is
+    * volume-transparent end to end). Segments shorter than 72
+    * canonical frames carry a NULL fingerprint (honest, like every
+    * undecodable payload in this family). Output: (id, segment,
+    * start_frame, n_frames, afp).
+    */
+  def audioSegmentFingerprints(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      canonicalRate: Int = 8000,
+      windowFrames: Int = 160,
+      perMille: Long = 100L
+  ): DataFrame = {
+    require(canonicalRate > 0, "canonicalRate must be positive")
+    require(windowFrames > 0, "windowFrames must be positive")
+    require(perMille >= 0, "perMille must be >= 0")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("segment", IntegerType),
+      StructField("start_frame", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("afp", LongType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(binCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        val parsed = Decoders.parseWav(r.getAs[Array[Byte]](1))
+          .filter { c =>
+            val nL = c.nFrames.toLong * canonicalRate / c.sampleRate
+            nL >= windowFrames && nL <= (1L << 26)
+          }
+        parsed match {
+          case Some(c) =>
+            val n = (c.nFrames.toLong * canonicalRate / c.sampleRate).toInt
+            val x = Decoders.canonicalSamples(c, canonicalRate, n)
+            val nW = n / windowFrames
+            val e = new Array[Long](nW)
+            var w = 0
+            while (w < nW) {
+              var s = 0L
+              var i = w * windowFrames
+              val hi = i + windowFrames
+              while (i < hi) { s += x(i) * x(i); i += 1 }
+              e(w) = s
+              w += 1
+            }
+            val mean = e.sum / nW
+            val voiced = e.map(_ * 1000L > perMille * mean)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var seg = 0
+            var j = 0
+            while (j < nW) {
+              if (voiced(j)) {
+                val lo = j
+                while (j < nW && voiced(j)) j += 1
+                val frames = (j - lo) * windowFrames
+                out += Row(r.get(0), seg, lo * windowFrames, frames,
+                  Decoders.lagEnergyFingerprint64(
+                    x, lo * windowFrames, frames).map(Long.box).orNull)
+                seg += 1
+              } else j += 1
+            }
+            out.iterator
+          case None => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
+  /** SEGMENT-level audio near-dup pairs — the repeated jingle, the
+    * syndicated ad, the re-used intro music that whole-clip
+    * fingerprints average away: every (clip, segment) becomes a STRUCT
+    * entity through the SAME 4 × 16-bit banding kernel as the other
+    * signature families, and pairs land wherever two segments'
+    * fingerprints sit within `maxHamming`. NULL-fingerprint segments
+    * (under 72 canonical frames) never pair. Output: (id_a, seg_a,
+    * id_b, seg_b, hamming) with (id_a, seg_a) < (id_b, seg_b);
+    * intra-clip repeats are reported. Same 100 TB shape as
+    * [[videoShotNearDupPairs]]: decode and hashing never leave the
+    * scan, only (clip, segment, 64-bit hash) rows reach the band
+    * shuffle.
+    */
+  def audioSegmentNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      canonicalRate: Int = 8000,
+      windowFrames: Int = 160,
+      perMille: Long = 100L,
+      maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame = {
+    val ent = audioSegmentFingerprints(df, idCol, binCol, canonicalRate,
+      windowFrames, perMille)
+      .filter(col("afp").isNotNull)
+      .select(struct(col(idCol).as("cid"), col("segment")).as("__e"), col("afp"))
+    Dedup.hash64BandPairs(ent, "__e", "afp", maxHamming, maxBucket)
+      .select(
+        col("id_a.cid").as("id_a"), col("id_a.segment").as("seg_a"),
+        col("id_b.cid").as("id_b"), col("id_b.segment").as("seg_b"),
+        col("hamming"))
   }
 
   /** SHOT-level video near-dup pairs — duplicated SEGMENTS across (or

@@ -819,6 +819,48 @@ class MultimodalSpec extends SparkSpec {
       "sub-window clips and non-audio payloads emit zero rows")
   }
 
+  test("audioSegmentNearDupPairs: a shared jingle pairs across clips and volumes, intra-clip repeats pair, short segments are honestly null") {
+    import spark.implicits._
+    // the jingle repeats its 480-frame pattern so a second occurrence
+    // at a 480-aligned offset carries identical samples
+    def J(i: Int) = { val r = i % 480; 2 * (((r * r * 11 + r * 29 + 7) % 6000) - 3000) }
+    def B(k: Int)(i: Int) = 2 * (((i * i * 13 + i * 31 + k * 997) % 6000) - 3000)
+    def clip(f: Int => Int): Array[Byte] = wav(1, 8000, 16, (0 until 1600).map(f))
+    val media = Seq(
+      (0L, clip(i => if (i < 480) J(i) else if (i < 800) 0 else B(1)(i))),
+      (1L, clip(i => (if (i < 480) J(i) else if (i < 800) 0 else B(2)(i)) / 2)), // half volume
+      (2L, clip(i => if (i < 480) J(i) else if (i < 960) 0 else if (i < 1440) J(i) else 0)))
+      .toDF("id", "payload")
+    val fps = Multimodal.audioSegmentFingerprints(media, "id", "payload")
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(fps.keySet === Set((0L, 0), (0L, 1), (1L, 0), (1L, 1), (2L, 0), (2L, 1)))
+    assert(fps((0L, 0)) === fps((1L, 0)),
+      "exact half volume must not move the segment fingerprint")
+    assert(fps((2L, 0)) === fps((2L, 1)), "the 480-aligned repeat hashes equal")
+    val pairs = Multimodal.audioSegmentNearDupPairs(media, "id", "payload",
+      maxHamming = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val jingles = Seq((0L, 0), (1L, 0), (2L, 0), (2L, 1))
+    val expected = (for {
+      i <- jingles.indices; j <- (i + 1) until jingles.length
+    } yield (jingles(i)._1, jingles(i)._2, jingles(j)._1, jingles(j)._2)).toSet
+    assert(pairs === expected, s"got $pairs")
+    // a segment under 72 canonical frames (one 64-frame window) is
+    // honestly unfingerprinted and never pairs
+    val tiny = Seq(
+      (0L, wav(1, 8000, 16, (0 until 640).map(i => if (i < 64) 4000 else 0))),
+      (1L, wav(1, 8000, 16, (0 until 640).map(i => if (i < 64) 4000 else 0))))
+      .toDF("id", "payload")
+    val tf = Multimodal.audioSegmentFingerprints(tiny, "id", "payload",
+      windowFrames = 64).collect()
+    assert(tf.length === 2 && tf.forall(_.isNullAt(4)))
+    assert(Multimodal.audioSegmentNearDupPairs(tiny, "id", "payload",
+      windowFrames = 64).isEmpty)
+  }
+
   test("videoShotNearDupPairs: shared intros pair across clips, repeated shots pair within one, distinct shots stay apart") {
     import spark.implicits._
     // full-avalanche pattern per key: distinct keys → independent
