@@ -1513,6 +1513,17 @@ object SparkEntry {
       Multimodal.audioSegments(media, "doc_id", "payload")
         .orderBy("doc_id", "segment")
     }),
+    // One keyframe per detected shot (the middle decoded frame):
+    // integer surface gated; the payload bytes ride the same rows
+    "q_mm_video_keyframes" -> ((s, _) => {
+      import s.implicits._
+      val media = (0 until 240).map(d => (d.toLong, sceneAvi(d)))
+        .toDF("doc_id", "payload")
+      Multimodal.videoKeyframes(media, "doc_id", "payload",
+        cutThreshold = 8, maxFrames = 16)
+        .select("doc_id", "shot", "frame_no", "n_frames")
+        .orderBy("doc_id", "shot")
+    }),
     // SEGMENT-level audio dedup: the shared jingle + twin bodies at
     // exact half volume — segmentation and fingerprint invariances
     // must compose for the pairs to land
@@ -3695,6 +3706,36 @@ object SparkEntry {
       "CAST(COALESCE(p.s, 0) AS BIGINT) AS logw_fx " +
       "FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d LEFT JOIN p USING (doc_id)) "
 
+  /** Shot-segmentation replay shared by the scenes and keyframes
+    * twins: per-frame dHash bits from [[sceneAvi]]'s generating
+    * formula (garbage frame t=4 of d%4==2 docs excluded, like the
+    * failed raster decode drops it), lag over the DECODED sequence,
+    * cut where Hamming > 8, shot = running cut count. Ends with
+    * `sh AS (doc_id, t, shot)`; NO trailing comma.
+    */
+  private lazy val videoSceneCtes: String =
+    "WITH d0 AS (SELECT range AS doc_id FROM range(240)), " +
+      "d AS (SELECT doc_id, 2 + doc_id % 3 AS b1, 6 + doc_id % 2 AS b2 " +
+      "FROM d0 WHERE doc_id % 10 <> 9), " +
+      "fb AS (SELECT doc_id, t.t AS t, b.b AS b, CASE WHEN " +
+      "((b.b % 8 + 1) * (29 + 97 * CASE WHEN t.t < b1 THEN 0 WHEN t.t < b2 THEN 1 ELSE 2 END) + " +
+      "(b.b // 8) * 17 + doc_id * 7) % 128 + " +
+      "CASE WHEN b.b // 8 = 0 THEN 0 ELSE t.t * 11 END > " +
+      "((b.b % 8) * (29 + 97 * CASE WHEN t.t < b1 THEN 0 WHEN t.t < b2 THEN 1 ELSE 2 END) + " +
+      "(b.b // 8) * 17 + doc_id * 7) % 128 + " +
+      "CASE WHEN b.b // 8 = 0 THEN 0 ELSE t.t * 11 END + " +
+      "CASE WHEN b.b = 0 AND t.t % 2 = 1 THEN 40 ELSE 0 END " +
+      "THEN 1 ELSE 0 END AS bit " +
+      "FROM d, range(0, 9) t(t), range(0, 64) b(b) " +
+      "WHERE NOT (doc_id % 4 = 2 AND t.t = 4)), " +
+      "bits AS (SELECT doc_id, t, list(bit ORDER BY b) AS ba FROM fb GROUP BY doc_id, t), " +
+      "seq AS (SELECT doc_id, t, ba, row_number() OVER (PARTITION BY doc_id ORDER BY t) AS rn FROM bits), " +
+      "hm AS (SELECT a.doc_id, a.t, CASE WHEN p.t IS NULL THEN 0 " +
+      "WHEN list_sum(list_transform(range(64), i -> " +
+      "CASE WHEN a.ba[i + 1] != p.ba[i + 1] THEN 1 ELSE 0 END)) > 8 THEN 1 ELSE 0 END AS cut " +
+      "FROM seq a LEFT JOIN seq p ON p.doc_id = a.doc_id AND p.rn = a.rn - 1), " +
+      "sh AS (SELECT doc_id, t, SUM(cut) OVER (PARTITION BY doc_id ORDER BY t) AS shot FROM hm) "
+
   private lazy val videoPairCtes: String =
     "WITH d0 AS (SELECT range AS doc_id FROM range(240)), " +
       "d AS (SELECT doc_id, doc_id // 2 AS base, doc_id % 2 AS odd, " +
@@ -5557,30 +5598,20 @@ object SparkEntry {
     // (min frame, count); the odd-frame (0,0) bump moves ≤ 1 bit so
     // it never opens a false cut
     "q_mm_video_scenes" ->
-      ("WITH d0 AS (SELECT range AS doc_id FROM range(240)), " +
-        "d AS (SELECT doc_id, 2 + doc_id % 3 AS b1, 6 + doc_id % 2 AS b2 " +
-        "FROM d0 WHERE doc_id % 10 <> 9), " +
-        "fb AS (SELECT doc_id, t.t AS t, b.b AS b, CASE WHEN " +
-        "((b.b % 8 + 1) * (29 + 97 * CASE WHEN t.t < b1 THEN 0 WHEN t.t < b2 THEN 1 ELSE 2 END) + " +
-        "(b.b // 8) * 17 + doc_id * 7) % 128 + " +
-        "CASE WHEN b.b // 8 = 0 THEN 0 ELSE t.t * 11 END > " +
-        "((b.b % 8) * (29 + 97 * CASE WHEN t.t < b1 THEN 0 WHEN t.t < b2 THEN 1 ELSE 2 END) + " +
-        "(b.b // 8) * 17 + doc_id * 7) % 128 + " +
-        "CASE WHEN b.b // 8 = 0 THEN 0 ELSE t.t * 11 END + " +
-        "CASE WHEN b.b = 0 AND t.t % 2 = 1 THEN 40 ELSE 0 END " +
-        "THEN 1 ELSE 0 END AS bit " +
-        "FROM d, range(0, 9) t(t), range(0, 64) b(b) " +
-        "WHERE NOT (doc_id % 4 = 2 AND t.t = 4)), " +
-        "bits AS (SELECT doc_id, t, list(bit ORDER BY b) AS ba FROM fb GROUP BY doc_id, t), " +
-        "seq AS (SELECT doc_id, t, ba, row_number() OVER (PARTITION BY doc_id ORDER BY t) AS rn FROM bits), " +
-        "hm AS (SELECT a.doc_id, a.t, CASE WHEN p.t IS NULL THEN 0 " +
-        "WHEN list_sum(list_transform(range(64), i -> " +
-        "CASE WHEN a.ba[i + 1] != p.ba[i + 1] THEN 1 ELSE 0 END)) > 8 THEN 1 ELSE 0 END AS cut " +
-        "FROM seq a LEFT JOIN seq p ON p.doc_id = a.doc_id AND p.rn = a.rn - 1), " +
-        "sh AS (SELECT doc_id, t, SUM(cut) OVER (PARTITION BY doc_id ORDER BY t) AS shot FROM hm) " +
+      (videoSceneCtes +
         "SELECT doc_id, CAST(shot AS INTEGER) AS shot, " +
         "CAST(min(t) AS INTEGER) AS start_frame_no, CAST(count(*) AS INTEGER) AS n_frames " +
         "FROM sh GROUP BY doc_id, shot ORDER BY doc_id, shot"),
+    // keyframe replay: within each replayed shot, the MIDDLE decoded
+    // member (offset n div 2 in movi order) is the keyframe
+    "q_mm_video_keyframes" ->
+      (videoSceneCtes +
+        ", mem AS (SELECT doc_id, shot, t, row_number() OVER " +
+        "(PARTITION BY doc_id, shot ORDER BY t) - 1 AS o, " +
+        "count(*) OVER (PARTITION BY doc_id, shot) AS n FROM sh) " +
+        "SELECT doc_id, CAST(shot AS INTEGER) AS shot, " +
+        "CAST(t AS INTEGER) AS frame_no, CAST(n AS INTEGER) AS n_frames " +
+        "FROM mem WHERE o = n // 2 ORDER BY doc_id, shot"),
     "q_mm_video_dedup" ->
       // full-pipeline replay from the generating formula: per-frame
       // dHash bit vectors → per-bit strict majority → bands → banded

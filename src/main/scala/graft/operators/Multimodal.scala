@@ -1848,6 +1848,72 @@ object Multimodal {
       case _ => Seq.empty
     }
 
+  /** One KEYFRAME per shot — the representative-frame sampling pass
+    * that makes [[videoShots]] actionable: for each detected shot,
+    * emit its MIDDLE decoded frame (ordinal ⌊n/2⌋ within the shot —
+    * the frame least likely to straddle a transition) with its real
+    * payload bytes, ready for [[decodeFeatures]] / embedding /
+    * captioning downstream. One row per shot: (id, shot,
+    * frame_no = the keyframe's movi ordinal, n_frames = decoded
+    * frames in the shot, frame bytes). Zero rows for non-AVI /
+    * zero-decodable payloads. Same narrow-map shape as
+    * [[sampleVideoFrames]], but shot-aware where that is blind-even.
+    */
+  def videoKeyframes(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      cutThreshold: Int = 8,
+      maxFrames: Int = 64
+  ): DataFrame = {
+    require(cutThreshold >= 0, "cutThreshold must be >= 0")
+    require(maxFrames > 0, "maxFrames must be positive")
+    val idField = df.schema(idCol)
+    val outSchema = StructType(Seq(
+      idField,
+      StructField("shot", IntegerType),
+      StructField("frame_no", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("frame", BinaryType)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col(binCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Decoders.aviFrameChunks(bytes) match {
+          case Some(frames) if frames.nonEmpty =>
+            val f = frames.length
+            val m = math.min(maxFrames, f)
+            // the same decoded walk as segmentShots, but keeping the
+            // per-shot member lists so the middle member is addressable
+            val decoded = (0 until m).iterator.flatMap { i =>
+              val k = i * f / m
+              Decoders.parseRaster(frames(k)).map(p => (k, Decoders.dHash64(p)))
+            }.toArray
+            if (decoded.isEmpty) Iterator.empty
+            else {
+              val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+              var shot = 0
+              var lo = 0
+              var j = 1
+              while (j <= decoded.length) {
+                val cut = j == decoded.length ||
+                  java.lang.Long.bitCount(decoded(j - 1)._2 ^ decoded(j)._2) > cutThreshold
+                if (cut) {
+                  val key = decoded(lo + (j - lo) / 2)._1
+                  out += Row(r.get(0), shot, key, j - lo, frames(key))
+                  shot += 1
+                  lo = j
+                }
+                j += 1
+              }
+              out.iterator
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }(enc)
+  }
+
   /** Per-SHOT perceptual fingerprints: [[videoShots]]' segmentation
     * with each shot carrying the strict-majority dHash of its decoded
     * frames — the signature that makes a shot a dedup-able entity.

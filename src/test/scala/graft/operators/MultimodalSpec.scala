@@ -819,6 +819,35 @@ class MultimodalSpec extends SparkSpec {
       "sub-window clips and non-audio payloads emit zero rows")
   }
 
+  test("videoKeyframes: the middle decoded frame of each shot, real payload bytes, garbage-frame shift honored") {
+    import spark.implicits._
+    def sframe(s: Int, t: Int): Array[Byte] =
+      ppm98((x, y) => (x * (29 + 97 * s) + y * 17) % 128 +
+        (if (y == 0) 0 else t * 11))
+    def shotOf(t: Int) = if (t < 3) 0 else if (t < 6) 1 else 2
+    val cleanFrames = (0 until 9).map(t => sframe(shotOf(t), t))
+    val garbledFrames = (0 until 9).map(t =>
+      if (t == 4) Array[Byte](1, 2, 3) else sframe(shotOf(t), t))
+    val media = Seq(
+      (0L, aviWithMovi(cleanFrames)),
+      (1L, aviWithMovi(garbledFrames)),
+      (2L, "not a video".getBytes("US-ASCII")))
+      .toDF("id", "payload")
+    val kf = Multimodal.videoKeyframes(media, "id", "payload", cutThreshold = 8)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](4))))
+      .toMap
+    // clean clip: shots {0,1,2},{3,4,5},{6,7,8} → middles 1, 4, 7
+    assert(kf((0L, 0))._1 === 1 && kf((0L, 1))._1 === 4 && kf((0L, 2))._1 === 7)
+    // garbled: shot 1's decoded members are {3,5} → middle (offset 1) = 5
+    assert(kf((1L, 1))._1 === 5 && kf((1L, 1))._2 === 2)
+    // the payload is the REAL planted frame, byte for byte
+    assert(java.util.Arrays.equals(kf((0L, 1))._3, cleanFrames(4)))
+    assert(java.util.Arrays.equals(kf((1L, 1))._3, garbledFrames(5)))
+    assert(!kf.keySet.exists(_._1 == 2L), "non-video emits no keyframes")
+  }
+
   test("audioSegmentNearDupPairs: a shared jingle pairs across clips and volumes, intra-clip repeats pair, short segments are honestly null") {
     import spark.implicits._
     // the jingle repeats its 480-frame pattern so a second occurrence
