@@ -3255,6 +3255,12 @@ object SparkEntry {
       Corpus.trigramBackoffScores(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Corpus-health: distinct-bigram diversity per language slice —
+    // duplication/templating collapses the ratio before dedup sees it
+    "q_corpus_distinct_ngrams" -> ((s, dir) => {
+      Corpus.distinctNgramStats(t(s, dir, "documents"), "lang", "text", n = 2)
+        .orderBy("lang")
+    }),
     // Corpus-pipeline: per-group stats with an exact median
     "q_corpus_stats" -> ((s, dir) => {
       Corpus.corpusStats(t(s, dir, "documents"), "lang", "n_chars")
@@ -6358,6 +6364,17 @@ object SparkEntry {
         "FROM wts w JOIN hid h USING (doc_id)), " +
         "sel AS (SELECT * FROM keyed ORDER BY key_fx DESC, doc_id LIMIT 120) " +
         "SELECT doc_id, n_feats, logw_fx, key_fx FROM sel ORDER BY doc_id"),
+    // diversity twin: the q_text_topgram gram construction rolled up
+    // per language — totals, exact distinct, integer-ppm ratio
+    "q_corpus_distinct_ngrams" ->
+      ("WITH tk AS (SELECT lang, string_split_regex(lower(trim(text)), '[ \t\n\f\r]+') AS toks FROM documents), " +
+        "g AS (SELECT lang, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')] " +
+        "ELSE list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) END AS grams FROM tk), " +
+        "e AS (SELECT lang, unnest(grams) AS gram FROM g) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams, " +
+        "count(DISTINCT gram) * 1000000 // count(*) AS distinct_ppm " +
+        "FROM e GROUP BY lang ORDER BY lang"),
     "q_corpus_lm3_score" ->
       ("WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
         "tri AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3 " +

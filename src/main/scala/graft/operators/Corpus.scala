@@ -1380,6 +1380,43 @@ object Corpus {
       .select("rank", "token", "cnt", "cum_cnt", "cum_ppm")
   }
 
+  /** Distinct-n diversity statistics per corpus slice — the standard
+    * corpus-health metric (high duplication/templating collapses the
+    * distinct-n ratio long before exact dedup can see it): for each
+    * group, the total word n-gram occurrences, the distinct n-grams,
+    * and their ratio in exact ppm. N-gram construction follows
+    * [[TextAnalysis.topNgramStats]]'s convention (a doc shorter than
+    * `n` tokens contributes its whole text as one gram), so the two
+    * surfaces reconcile. Scale shape: one tokenize+explode pass, one
+    * two-level aggregate — (group, gram) partial counts first (the
+    * map-side combine bounds the shuffle at the distinct-gram
+    * cardinality), then the group rollup; exact, no sketches — swap
+    * in [[corpusSketchStats]]'s KMV estimate when the distinct count
+    * itself is the bottleneck.
+    */
+  def distinctNgramStats(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      n: Int = 2
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = TextAnalysis.tokens(lower(trim(col(textCol))))
+    val grams = when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    val perGram = df
+      .select(col(groupCol), explode(grams).as("__g"))
+      .groupBy(col(groupCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    perGram.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("distinct_grams"))
+      .withColumn("distinct_ppm",
+        expr("distinct_grams * 1000000 div n_grams"))
+  }
+
   // ------------------------------------------- DSIR data selection
 
   /** Hashed unigram+bigram feature buckets — the DSIR feature map

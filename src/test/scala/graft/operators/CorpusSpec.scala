@@ -832,6 +832,22 @@ class CorpusSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).find(_._4).get._2 === "a")
   }
 
+  test("distinctNgramStats: hand-counted bigram diversity, short docs contribute one whole-text gram, templating collapses the ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "x y z"),       // bigrams: "x y", "y z"
+      ("a", "x y w"),       // "x y" (repeat), "y w"
+      ("a", "solo"),        // < 2 tokens → one gram "solo"
+      ("b", "p q p q p q")  // "p q","q p","p q","q p","p q" → 2 distinct / 5
+    ).toDF("lang", "text")
+    val out = Corpus.distinctNgramStats(docs, "lang", "text", n = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("a") === ((5L, 4L, 800000L))) // {x y, y z, y w, solo} of 5
+    assert(out("b") === ((5L, 2L, 400000L)),
+      "the templated slice reads the collapsed ratio")
+  }
+
   test("DSIR: target-like raw docs outweigh off-domain ones; empty text scores 0 with n_feats 0") {
     import spark.implicits._
     // target vocabulary {alpha..epsilon}; half the raw docs speak it,
