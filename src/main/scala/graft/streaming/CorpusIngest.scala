@@ -608,6 +608,13 @@ object CorpusIngest {
     * the batch pins once (localCheckpoint) per stage boundary so
     * funnel counts and writes share work, and the epoch's signature
     * cache releases before the next batch.
+    *
+    * Pass `registerCorpus = Some(name)` to record the live sink and
+    * every index surface this stream maintains in the takedown
+    * registry BEFORE the stream starts (the register-first crash
+    * contract) — the streamed corpus is then
+    * [[graft.verify.Takedown.sweep]]-able from its first epoch with
+    * no manual registration step.
     */
   def startCuratedIngest(
       docs: DataFrame,
@@ -623,10 +630,26 @@ object CorpusIngest {
       n: Int = 3,
       k: Int = 8,
       threshold: Double = 0.9,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      registerCorpus: Option[String] = None,
+      registryTable: String = graft.verify.Takedown.DefaultRegistry
   ): StreamingQuery = {
     ensureDest(docs, destDir)
     val session = docs.sparkSession
+    // register-FIRST (the Takedown wrappers' crash contract: a death
+    // in between leaves a phantom, vacuously-clean registration —
+    // never an unregistered surface), so a corpus this stream builds
+    // is one-verb sweepable from its first epoch
+    registerCorpus.foreach { corpus =>
+      graft.verify.Takedown.registerCorpus(session, corpus, destDir, idCol,
+        registryTable)
+      graft.verify.Takedown.register(session, corpus, "minhash", minhashTable,
+        "", registryTable)
+      bm25Table.foreach(t => graft.verify.Takedown.register(
+        session, corpus, "bm25", t, "", registryTable))
+      bloomTable.foreach(t => graft.verify.Takedown.register(
+        session, corpus, "bloom", t, textCol, registryTable))
+    }
     bm25Table.foreach { t =>
       TextAnalysis.repairBm25Index(session, t)
       if (session.catalog.tableExists(t + "_norms"))

@@ -252,11 +252,15 @@ class TakedownSpec extends SparkSpec {
     val ckpt = tmp("graft_tkd_cur_ckpt")
     (0L until 6L).map(d => (S + d, T(S + d)))
       .toDF("doc_id", "text").write.mode("overwrite").parquet(srcDir)
+    // the stream registers its OWN surfaces (live sink included) —
+    // register-first, so the corpus is sweepable from epoch one
     graft.streaming.CorpusIngest.startCuratedIngest(
       spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir),
-      outDir, ckpt, mh, bloomTable = Some(bloom), bm25Table = Some(bm))
+      outDir, ckpt, mh, bloomTable = Some(bloom), bm25Table = Some(bm),
+      registerCorpus = Some("tkd_cur"), registryTable = reg)
       .awaitTermination(180000)
-    Takedown.registerCorpus(spark, "tkd_cur", outDir, "doc_id", reg)
+    assert(Takedown.registered(spark, "tkd_cur", reg)
+      .filter(col("family") === "live").count() === 1L)
     assert(spark.read.parquet(outDir).count() === 6L)
 
     // take down one streamed doc with the one verb; the audit frame
