@@ -1626,6 +1626,18 @@ object SparkEntry {
       TextAnalysis.bpeTokenCountsDict(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
+    // Tokenizer fertility per language slice: BPE tokens per word
+    // under the 64-merge trained table — which slices the vocabulary
+    // serves badly (fragmenting words, inflating sequence lengths)
+    "q_text_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeMerges(docs, "text", nMerges = 64,
+        minCount = 1)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeFertilityStats(docs, "lang", "text", merges)
+        .orderBy("lang")
+    }),
     // TF-IDF top-terms: keyword extraction over the whole corpus —
     // (doc,term) tf shuffle, term-keyed df join, doc-keyed top-k window
     "q_text_tfidf" -> ((s, dir) => {
@@ -5317,6 +5329,17 @@ object SparkEntry {
         ", dw AS (SELECT doc_id, w FROM toks WHERE length(w) > 0) " +
         s"SELECT doc_id, count(*) AS n_words, CAST(SUM(len(v.sym)) AS BIGINT) AS n_bpe_tokens " +
         s"FROM dw JOIN w$n v USING (w) GROUP BY doc_id ORDER BY doc_id"
+    },
+    "q_text_bpe_fertility" -> {
+      // the dict-encode twin rolled up per language: same 64 trained
+      // merges as sequential folds, word-keyed join, integer-ppm ratio
+      val n = 64
+      bpeOracleCtes(n, carryWord = true) +
+        ", toks AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents)" +
+        ", dw AS (SELECT lang, w FROM toks WHERE length(w) > 0) " +
+        s"SELECT lang, count(*) AS n_words, CAST(SUM(len(v.sym)) AS BIGINT) AS n_bpe_tokens, " +
+        s"CAST(SUM(len(v.sym)) AS BIGINT) * 1000000 // count(*) AS fertility_ppm " +
+        s"FROM dw JOIN w$n v USING (w) GROUP BY lang ORDER BY lang"
     },
     "q_sim_knn_label" -> {
       // exact-kNN majority vote: same cosine fold, rank tie by

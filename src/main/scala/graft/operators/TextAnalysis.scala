@@ -2274,6 +2274,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("__ntok")).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer FERTILITY per corpus slice — BPE tokens per whitespace
+    * word under a trained merge table, the metric that tells you which
+    * languages/domains your tokenizer serves badly (fertility ≫ 1
+    * means the vocabulary fragments that slice's words, inflating its
+    * effective sequence lengths and training cost). Encoding rides the
+    * native [[graft.functions.BpeEncodeExpression]] rank-map kernel
+    * over the DISTINCT word vocabulary (the [[bpeTokenCountsDict]]
+    * shape — the corpus stream only joins word → token count), and
+    * the ratio is exact integer ppm. Output: (groupCol, n_words,
+    * n_bpe_tokens, fertility_ppm).
+    */
+  def bpeFertilityStats(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    val words = df
+      .select(col(groupCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val vocab = words.select("__w").distinct()
+      .select(col("__w"),
+        size(graft.functions.BpeEncodeExpression.bpeEncode(col("__w"), merges)).as("__ntok"))
+    words.join(vocab, Seq("__w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__ntok")).as("n_bpe_tokens"))
+      .withColumn("fertility_ppm",
+        expr("n_bpe_tokens * 1000000 div n_words"))
+  }
+
   def bpeTokenCounts(
       df: DataFrame,
       idCol: String,

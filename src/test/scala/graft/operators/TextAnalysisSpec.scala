@@ -1065,4 +1065,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!TextAnalysis.isStaleBm25Index(spark, "bm25_tsf"),
       "purge must clear the flag")
   }
+
+  test("bpeFertilityStats: hand-checked fertility per slice; the unserved slice reads inflated") {
+    import spark.implicits._
+    // merges: (a,b) then (ab,c) — "abc" → 1 token, "ab" → 1, "cd" → 2
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq(
+      ("x", "abc ab abc"), // 3 words → 1+1+1 = 3 tokens
+      ("x", "cd"),         // 1 word → 2 tokens
+      ("y", "zzzz")        // 1 word, no merges apply → 4 tokens
+    ).toDF("lang", "text")
+    val out = TextAnalysis.bpeFertilityStats(docs, "lang", "text", merges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("x") === ((4L, 5L, 1250000L)))
+    assert(out("y") === ((1L, 4L, 4000000L)),
+      "the unserved slice reads the inflated fertility")
+  }
 }
