@@ -3083,6 +3083,40 @@ object SparkEntry {
         Corpus.urlHost(col("url")).as("host"))
         .orderBy("doc_id")
     }),
+    // URL policy blocklist: domain + subdomain rule with a suffix
+    // trap (notspam.example), pattern rule on the canonical URL
+    "q_corpus_url_policy" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select("doc_id").withColumn("url", expr(
+        "concat('https://', CASE cast(doc_id % 7 as int) " +
+          "WHEN 0 THEN 'ok.example.com' WHEN 1 THEN 'spam.example' " +
+          "WHEN 2 THEN 'sub.spam.example' WHEN 3 THEN 'ads.example' " +
+          "WHEN 4 THEN 'notspam.example' WHEN 5 THEN 'ok2.example.com' " +
+          "ELSE 'cdn.ads.example' END, '/p/', cast(doc_id as string), " +
+          "CASE WHEN doc_id % 11 = 0 THEN '?download=setup.exe' ELSE '' END)"))
+      Corpus.urlPolicyFlags(urls, "url",
+        blockedDomains = Seq("spam.example", "ads.example"),
+        blockedPatterns = Seq("\\?download="))
+        .select("doc_id", "host", "blocked_domain", "blocked_pattern", "blocked")
+        .orderBy("doc_id")
+    }),
+    // C4 policy-line dropper: phrase blocklist beside the structural
+    // line filter — planted "enable javascript" / "lorem ipsum" lines
+    "q_corpus_line_blocklist" -> ((s, dir) => {
+      val phrases = Seq("enable javascript", "lorem ipsum")
+      val docs = t(s, dir, "documents").withColumn("text", expr(
+        "concat(text, '\n', CASE WHEN doc_id % 5 = 0 " +
+          "THEN 'Please Enable JavaScript to continue.' " +
+          "ELSE 'A fine closing sentence.' END, '\n', " +
+          "CASE WHEN doc_id % 7 = 0 THEN 'Lorem Ipsum dolor sit amet.' " +
+          "ELSE 'Another good line.' END)"))
+      docs.select(col("doc_id"),
+        Corpus.lineBlocklistFilter(col("text"), phrases).as("cleaned"),
+        Corpus.lineBlocklistStats(col("text"), phrases).as("__st"))
+        .select(col("doc_id"), col("cleaned"),
+          col("__st.lines_in").as("lines_in"),
+          col("__st.lines_kept").as("lines_kept"))
+        .orderBy("doc_id")
+    }),
     // Learned quality gate: exact-integer multinomial naive Bayes —
     // train good-vs-junk on the even-id half of a planted fixture
     // (junk = repetitive spamword runs), score the HELD-OUT odd half;
@@ -6044,6 +6078,37 @@ object SparkEntry {
         "length(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))) " +
         "* 1000000 // length(text) ELSE 0 END AS ctl_ppm " +
         "FROM c ORDER BY doc_id"),
+    // policy replay: host from the generating CASE (these URLs are
+    // canonical by construction), domain = exact-or-".d"-suffix,
+    // pattern on the URL, blocked = either
+    "q_corpus_url_policy" ->
+      ("WITH u AS (SELECT doc_id, CASE CAST(doc_id % 7 AS INTEGER) " +
+        "WHEN 0 THEN 'ok.example.com' WHEN 1 THEN 'spam.example' " +
+        "WHEN 2 THEN 'sub.spam.example' WHEN 3 THEN 'ads.example' " +
+        "WHEN 4 THEN 'notspam.example' WHEN 5 THEN 'ok2.example.com' " +
+        "ELSE 'cdn.ads.example' END AS host, " +
+        "CASE WHEN doc_id % 11 = 0 THEN '?download=setup.exe' ELSE '' END AS q FROM documents) " +
+        "SELECT doc_id, host, " +
+        "(host = 'spam.example' OR ends_with(host, '.spam.example') OR " +
+        "host = 'ads.example' OR ends_with(host, '.ads.example')) AS blocked_domain, " +
+        "(q <> '') AS blocked_pattern, " +
+        "(host = 'spam.example' OR ends_with(host, '.spam.example') OR " +
+        "host = 'ads.example' OR ends_with(host, '.ads.example') OR q <> '') AS blocked " +
+        "FROM u ORDER BY doc_id"),
+    // line-blocklist replay: same construction, list_filter on the
+    // lowercase contains tests, count accounting
+    "q_corpus_line_blocklist" ->
+      ("WITH fx AS (SELECT doc_id, text || chr(10) || CASE WHEN doc_id % 5 = 0 " +
+        "THEN 'Please Enable JavaScript to continue.' ELSE 'A fine closing sentence.' END " +
+        "|| chr(10) || CASE WHEN doc_id % 7 = 0 THEN 'Lorem Ipsum dolor sit amet.' " +
+        "ELSE 'Another good line.' END AS text FROM documents), " +
+        "sp AS (SELECT doc_id, string_split_regex(text, '\\r?\\n') AS ls, length(text) > 0 AS ne FROM fx), " +
+        "ft AS (SELECT doc_id, ne, ls, list_filter(ls, l -> NOT (" +
+        "contains(lower(l), 'enable javascript') OR contains(lower(l), 'lorem ipsum'))) AS kept FROM sp) " +
+        "SELECT doc_id, array_to_string(kept, chr(10)) AS cleaned, " +
+        "CASE WHEN ne THEN CAST(len(ls) AS BIGINT) ELSE 0 END AS lines_in, " +
+        "CASE WHEN ne THEN CAST(len(kept) AS BIGINT) ELSE 0 END AS lines_kept " +
+        "FROM ft ORDER BY doc_id"),
     "q_corpus_url_canon" ->
       // identical construction + identical regexes: fragment via first
       // '#', query via first '?', "scheme://host[:port]" by the SAME

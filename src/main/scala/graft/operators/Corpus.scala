@@ -1380,6 +1380,76 @@ object Corpus {
       .select("rank", "token", "cnt", "cum_cnt", "cum_ppm")
   }
 
+  /** URL policy flags — the domain/pattern blocklist stage every
+    * crawl pipeline runs before content filtering (CCNet/RefinedWeb's
+    * URL filtering): canonicalize ([[canonicalizeUrl]]), extract the
+    * host ([[urlHost]]), and flag rows whose host IS a blocked domain
+    * or sits under one (`host == d` or `host ends with ".d"` — the
+    * subdomain rule), or whose canonical URL matches any blocked
+    * pattern. Flags, not a filter, so the caller can audit what a
+    * policy would remove before enforcing it (`.filter(!col(
+    * "blocked"))` enforces). Everything is a codegen'd projection —
+    * zero shuffles, zero UDFs; blocklists are compile-time constants
+    * in the plan, the right shape for the thousands-of-domains case
+    * is a broadcast semi-join the caller can compose instead.
+    *
+    * @return input columns + (host, blocked_domain, blocked_pattern,
+    *         blocked)
+    */
+  def urlPolicyFlags(
+      df: DataFrame,
+      urlCol: String,
+      blockedDomains: Seq[String] = Nil,
+      blockedPatterns: Seq[String] = Nil
+  ): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol))
+    val host = urlHost(canon)
+    val bd =
+      if (blockedDomains.isEmpty) lit(false)
+      else blockedDomains.map(d =>
+        host === lit(d) || host.endsWith("." + d)).reduce(_ || _)
+    val bp =
+      if (blockedPatterns.isEmpty) lit(false)
+      else blockedPatterns.map(p => canon.rlike(p)).reduce(_ || _)
+    df.withColumn("host", host)
+      .withColumn("blocked_domain", bd)
+      .withColumn("blocked_pattern", bp)
+      .withColumn("blocked", col("blocked_domain") || col("blocked_pattern"))
+  }
+
+  /** Line-level phrase blocklist — the C4 "policy line" dropper
+    * beside [[c4LineFilter]]'s structural one: remove every line
+    * containing any blocked phrase (case-insensitive substring —
+    * "enable javascript", "lorem ipsum", "terms of use"), reassemble
+    * the survivors in order. Splits on `\r?\n` like its structural
+    * sibling (the CRLF rule). One codegen'd array pipeline, zero
+    * shuffles, zero explodes.
+    */
+  def lineBlocklistFilter(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "need at least one blocked phrase")
+    require(phrases.forall(_.nonEmpty), "blocked phrases must be non-empty")
+    array_join(filter(split(text, "\r?\n"), l =>
+      !phrases.map(p => lower(l).contains(lit(p.toLowerCase(java.util.Locale.ROOT))))
+        .reduce(_ || _)), "\n")
+  }
+
+  /** Line accounting for [[lineBlocklistFilter]]:
+    * (lines_in, lines_kept) — [[c4LineStats]]'s contract for the
+    * policy dropper. Empty text counts zero lines in and zero kept.
+    */
+  def lineBlocklistStats(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "need at least one blocked phrase")
+    val lines = split(text, "\r?\n")
+    val kept = filter(lines, l =>
+      !phrases.map(p => lower(l).contains(lit(p.toLowerCase(java.util.Locale.ROOT))))
+        .reduce(_ || _))
+    struct(
+      when(length(text) > 0, size(lines).cast("long")).otherwise(lit(0L))
+        .as("lines_in"),
+      when(length(text) > 0, size(kept).cast("long")).otherwise(lit(0L))
+        .as("lines_kept"))
+  }
+
   /** Distinct-n diversity statistics per corpus slice — the standard
     * corpus-health metric (high duplication/templating collapses the
     * distinct-n ratio long before exact dedup can see it): for each

@@ -832,6 +832,52 @@ class CorpusSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).find(_._4).get._2 === "a")
   }
 
+  test("urlPolicyFlags: subdomain rule without suffix false-positives, pattern rule on the canonical URL, empty lists block nothing") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://spam.example/x"),
+      (2L, "https://deep.sub.spam.example/x"),
+      (3L, "https://notspam.example/x"),       // suffix trap: must pass
+      (4L, "HTTPS://SPAM.EXAMPLE:443/x"),      // canonicalization feeds the rule
+      (5L, "https://ok.example.com/get?download=setup.exe"),
+      (6L, "https://ok.example.com/plain")
+    ).toDF("doc_id", "url")
+    val out = Corpus.urlPolicyFlags(urls, "url",
+      blockedDomains = Seq("spam.example"),
+      blockedPatterns = Seq("\\?download="))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(out(1L) === ((true, false, true)))
+    assert(out(2L) === ((true, false, true)), "any-depth subdomain blocks")
+    assert(out(3L) === ((false, false, false)), "suffix lookalike must pass")
+    assert(out(4L) === ((true, false, true)),
+      "the rule sees the canonical lowercase host")
+    assert(out(5L) === ((false, true, true)))
+    assert(out(6L) === ((false, false, false)))
+    val none = Corpus.urlPolicyFlags(urls, "url")
+    assert(none.filter(col("blocked")).count() === 0L,
+      "empty blocklists block nothing")
+  }
+
+  test("lineBlocklistFilter: case-insensitive phrase drop, CRLF split, order preserved, stats account") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Good opening.\r\nPlease ENABLE JAVASCRIPT now\nGood close."),
+      (2L, "lorem ipsum only"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val phrases = Seq("enable javascript", "Lorem Ipsum")
+    val out = docs.select(col("doc_id"),
+      Corpus.lineBlocklistFilter(col("text"), phrases).as("cleaned"),
+      Corpus.lineBlocklistStats(col("text"), phrases).as("st"))
+      .collect().map(r => (r.getLong(0),
+        (r.getString(1), r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))).toMap
+    assert(out(1L) === (("Good opening.\nGood close.", 3L, 2L)),
+      "CRLF splits, the phrase line drops case-insensitively, order holds")
+    assert(out(2L) === (("", 1L, 0L)))
+    assert(out(3L) === (("", 0L, 0L)), "empty text counts zero lines")
+  }
+
   test("distinctNgramStats: hand-counted bigram diversity, short docs contribute one whole-text gram, templating collapses the ratio") {
     import spark.implicits._
     val docs = Seq(
