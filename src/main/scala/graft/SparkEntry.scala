@@ -3117,6 +3117,25 @@ object SparkEntry {
           col("__st.lines_kept").as("lines_kept"))
         .orderBy("doc_id")
     }),
+    // Per-doc curation verdicts: the streaming funnel's stage order
+    // in batch form — planted dup sets, low-quality overrides,
+    // benchmark-contaminated groups; keeper elected among CLEAN only
+    "q_corpus_curation_verdicts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fixture = docs.select(col("doc_id"))
+        .withColumn("__src", col("doc_id") - pmod(col("doc_id"), lit(3L)))
+        .join(docs.select(col("doc_id").as("__src"), col("text")), Seq("__src"))
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          expr("trim(repeat('spam ', 12))")).otherwise(col("text")))
+        .select("doc_id", "text")
+      // thresholds sized to the fixture's repetitious synthetic text:
+      // the spam plant (wr ~0.92) still fails, real docs pass, so all
+      // four verdicts are exercised
+      Corpus.curationVerdicts(fixture, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "text",
+        minQuality = 0.2, maxWordRep = 0.9)
+        .orderBy("doc_id")
+    }),
     // Learned quality gate: exact-integer multinomial naive Bayes —
     // train good-vs-junk on the even-id half of a planted fixture
     // (junk = repetitive spamword runs), score the HELD-OUT odd half;
@@ -6078,6 +6097,46 @@ object SparkEntry {
         "length(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))) " +
         "* 1000000 // length(text) ELSE 0 END AS ctl_ppm " +
         "FROM c ORDER BY doc_id"),
+    // verdict replay: the prepare twin's quality formula over the
+    // planted fixture, the decontam twin's shingle overlap against
+    // the ORIGINAL benchmark slice, fingerprint keep-first among
+    // clean docs only, stage-ordered CASE
+    "q_corpus_curation_verdicts" -> {
+      val sw = TextAnalysis.EN_STOPWORDS.map(s => s"'$s'").mkString(", ")
+      "WITH fx0 AS (SELECT d.doc_id, s.text FROM documents d " +
+        "JOIN documents s ON s.doc_id = d.doc_id - d.doc_id % 3), " +
+        "fx AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0 " +
+        "THEN trim(repeat('spam ', 12)) ELSE text END AS text FROM fx0), " +
+        "t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks, " +
+        "string_split_regex(lower(trim(text)), '\\s+') AS ltoks FROM fx), " +
+        "m AS (SELECT doc_id, text, " +
+        "LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score, " +
+        "CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS pr, " +
+        s"CASE WHEN len(ltoks) > 0 THEN CAST(len(list_filter(ltoks, x -> x IN ($sw))) AS DOUBLE) / len(ltoks) ELSE 0.0 END AS swr, " +
+        "CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl, " +
+        "CASE WHEN len(ltoks) > 0 THEN 1.0 - CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks) ELSE 0.0 END AS wr " +
+        "FROM t), " +
+        "qq AS (SELECT doc_id, text, " +
+        "(FLOOR((len_score + (1.0 - LEAST(pr * 5.0, 1.0)) + (1.0 - LEAST(abs(swr - 0.4) * 2.5, 1.0)) + (1.0 - LEAST(abs(mtl - 5.0) / 5.0, 1.0))) / 4.0 * 1000000 + 0.5) / 1000000.0 >= 0.2 " +
+        "AND wr <= 0.9) AS q FROM m), " +
+        "dw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM fx), " +
+        "ds AS (SELECT DISTINCT doc_id, array_to_string(w[i : i + 7], ' ') AS s " +
+        "FROM dw, unnest(range(1, len(w) - 6)) AS u(i)), " +
+        "bw AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS w " +
+        "FROM documents WHERE doc_id % 97 = 0), " +
+        "b AS (SELECT DISTINCT array_to_string(w[i : i + 7], ' ') AS s " +
+        "FROM bw, unnest(range(1, len(w) - 6)) AS u(i)), " +
+        "cont AS (SELECT DISTINCT doc_id FROM ds JOIN b USING (s)), " +
+        "v0 AS (SELECT qq.doc_id, qq.q, (cont.doc_id IS NOT NULL) AS c, " +
+        "regexp_replace(trim(lower(qq.text)), '\\s+', ' ', 'g') AS fp " +
+        "FROM qq LEFT JOIN cont USING (doc_id)), " +
+        "k AS (SELECT fp, MIN(CASE WHEN q AND NOT c THEN doc_id END) AS keeper " +
+        "FROM v0 GROUP BY fp) " +
+        "SELECT v0.doc_id, CASE WHEN NOT q THEN 'low_quality' " +
+        "WHEN c THEN 'contaminated' WHEN v0.doc_id <> k.keeper THEN 'duplicate' " +
+        "ELSE 'accepted' END AS verdict " +
+        "FROM v0 JOIN k USING (fp) ORDER BY v0.doc_id"
+    },
     // policy replay: host from the generating CASE (these URLs are
     // canonical by construction), domain = exact-or-".d"-suffix,
     // pattern on the URL, blocked = either

@@ -1380,6 +1380,55 @@ object Corpus {
       .select("rank", "token", "cnt", "cum_cnt", "cum_ppm")
   }
 
+  /** Per-document curation VERDICTS — the BATCH twin of the streaming
+    * funnel's stage order
+    * ([[graft.streaming.CorpusIngest.startCuratedIngest]]'s identity):
+    *
+    *  - `low_quality` — fails the structural gate
+    *    ([[TextAnalysis.qualityScore]] < minQuality OR
+    *    [[TextAnalysis.wordRepetitionRatio]] > maxWordRep), counted
+    *    here even when the doc is ALSO contaminated (stage order);
+    *  - `contaminated` — quality passer sharing an exact `n`-token
+    *    shingle with the benchmark ([[decontaminationFlags]]);
+    *  - `duplicate` — CLEAN passer whose normalized fingerprint's
+    *    keep-first keeper (lowest clean id) is another doc — the
+    *    keeper election runs among clean docs ONLY, so a contaminated
+    *    copy never shadows a clean sibling out of the corpus;
+    *  - `accepted` — everything else.
+    *
+    * One declarative plan: a codegen'd quality projection, one
+    * broadcast shingle semi-join, one window over the fingerprint
+    * partition (min over clean ids). `.filter(col("verdict") ===
+    * "accepted")` IS the funnel; the verdict frame is its audit.
+    */
+  def curationVerdicts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      minQuality: Double = 0.3,
+      maxWordRep: Double = 0.3,
+      n: Int = 8
+  ): DataFrame = {
+    val flags = decontaminationFlags(df, idCol, textCol, benchmark,
+      benchTextCol, n).select(col(idCol), col("contaminated"))
+    val q = TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+      TextAnalysis.wordRepetitionRatio(col(textCol)) <= maxWordRep
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    df.join(flags, Seq(idCol))
+      .withColumn("__q", q)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__clean", col("__q") && !col("contaminated"))
+      .withColumn("__keeper",
+        min(when(col("__clean"), col(idCol))).over(w))
+      .select(col(idCol),
+        when(!col("__q"), lit("low_quality"))
+          .when(col("contaminated"), lit("contaminated"))
+          .when(col(idCol) =!= col("__keeper"), lit("duplicate"))
+          .otherwise(lit("accepted")).as("verdict"))
+  }
+
   /** URL policy flags — the domain/pattern blocklist stage every
     * crawl pipeline runs before content filtering (CCNet/RefinedWeb's
     * URL filtering): canonicalize ([[canonicalizeUrl]]), extract the

@@ -832,6 +832,46 @@ class CorpusSpec extends SparkSpec {
     assert(out.filter(_._1 == 2L).find(_._4).get._2 === "a")
   }
 
+  test("curationVerdicts: stage order is the funnel's identity — low-quality beats contaminated, a contaminated copy never shadows a clean sibling") {
+    import spark.implicits._
+    val good = (1 to 30).map(i => s"w$i").mkString(" ") + "."
+    val bench = "leak one two three four five six seven eight nine"
+    val docs = Seq(
+      (1L, good),                     // accepted (keeper of its group)
+      (2L, good),                     // duplicate of 1
+      (3L, bench),                    // contaminated — min id of group {3,4}...
+      (4L, bench + " "),              // ...same fingerprint, ALSO contaminated
+      (5L, ("spam " * 20).trim),      // low quality
+      (6L, ("spam " * 20).trim + " " + bench), // low quality AND contaminated → low_quality
+      (7L, "tidy " + bench),          // contaminated, shares fingerprint with 8
+      (8L, "tidy " + bench)           // contaminated too
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((0L, bench)).toDF("bid", "btext")
+    val out = Corpus.curationVerdicts(docs, "doc_id", "text",
+      benchmark, "btext", minQuality = 0.0, maxWordRep = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "accepted", 2L -> "duplicate",
+      3L -> "contaminated", 4L -> "contaminated",
+      5L -> "low_quality", 6L -> "low_quality",
+      7L -> "contaminated", 8L -> "contaminated"))
+
+    // the shadow rule: a CONTAMINATED lower id must not steal the
+    // keeper slot from its clean higher-id twin
+    val shadow = Seq(
+      (10L, "prefix " + bench + " " + good), // contaminated, smaller id
+      (11L, good)                            // clean — must be ACCEPTED
+    ).toDF("doc_id", "text")
+    val out2 = Corpus.curationVerdicts(
+      shadow.union(Seq((12L, good)).toDF("doc_id", "text")), // dup of 11
+      "doc_id", "text", benchmark, "btext",
+      minQuality = 0.0, maxWordRep = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 === Map(10L -> "contaminated", 11L -> "accepted",
+      12L -> "duplicate"),
+      "the clean sibling takes the keeper slot, not the contaminated copy")
+  }
+
   test("urlPolicyFlags: subdomain rule without suffix false-positives, pattern rule on the canonical URL, empty lists block nothing") {
     import spark.implicits._
     val urls = Seq(
