@@ -872,6 +872,17 @@ class CorpusSpec extends SparkSpec {
       "the clean sibling takes the keeper slot, not the contaminated copy")
   }
 
+  test("curationVerdicts plan: the benchmark broadcasts into the shingle semi-join; one fingerprint window, no cartesian") {
+    val docs = table("documents")
+    val plan = Corpus.curationVerdicts(docs, "doc_id", "text",
+      docs.filter(col("doc_id") % 97 === 0), "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan.linesIterator.take(30).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), "no cartesian anywhere")
+    assert("(?s)Window".r.findAllIn(plan).size >= 1)
+  }
+
   test("urlPolicyFlags: subdomain rule without suffix false-positives, pattern rule on the canonical URL, empty lists block nothing") {
     import spark.implicits._
     val urls = Seq(
