@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
 
 import graft.functions.GroupConcat
 import graft.objects.ObjectMigrator
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Pca, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -512,6 +512,61 @@ object SparkEntry {
   private val Bm25FilteredOracleSql: String =
     bm25BatchOracle(" JOIN documents dd ON dd.doc_id = s.doc_id AND dd.lang = 'en'")
 
+  /** Semantic-decontamination twin, shared by the brute and banded
+    * arms: benchmark = exact copies of vec_id < 50, so the count of
+    * cosine-≥0.8 benchmark hits per corpus vector is decided with a
+    * ≥ 0.199 margin on every fixture — `list_cosine_similarity`'s
+    * ulp-order differences cannot flip it.
+    */
+  /** MMR greedy twin, shared by the in-memory and full-recall indexed
+    * arms: micro-unit vectors, the pinned-order double fold for every
+    * dot, λppm·rel − μppm·maxSim scores, per-round argmax with the
+    * (score DESC, cid) tie rule — four unrolled rounds reproduce the
+    * picks AND the emitted score_ppm bit-for-bit.
+    */
+  private val MmrOracleSql: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
+    def cos(a: String, n2a: String, b: String, n2b: String): String =
+      s"(CASE WHEN $n2a * $n2b = 0.0 THEN 0.0 ELSE ${dot(a, b)} / (sqrt($n2a) * sqrt($n2b)) END)"
+    val mq = "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000 + 0.5) AS DOUBLE))"
+    val lam = 700000L
+    val mu = 300000L
+    val k = 4
+    val sb = new StringBuilder
+    sb ++= s"WITH q0 AS (SELECT vec_id + 1000000 AS qid, $mq AS qv FROM embeddings WHERE vec_id < 3), "
+    sb ++= s"c0 AS (SELECT vec_id AS cid, $mq AS cv FROM embeddings WHERE vec_id < 150), "
+    sb ++= s"qn AS (SELECT qid, qv, ${dot("qv", "qv")} AS qn2 FROM q0), "
+    sb ++= s"cn AS (SELECT cid, cv, ${dot("cv", "cv")} AS cn2 FROM c0), "
+    sb ++= s"rel AS (SELECT qid, cid, cv, cn2, ${cos("qv", "qn2", "cv", "cn2")} AS rel FROM qn, cn WHERE cid <> qid), "
+    sb ++= s"s1 AS (SELECT qid, cid, cv, cn2, $lam * rel - $mu * 0.0 AS score, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY $lam * rel - $mu * 0.0 DESC, cid) AS rn FROM rel), "
+    sb ++= "sel1 AS (SELECT qid, cid, cv, cn2, score, 1 AS rank FROM s1 WHERE rn = 1), "
+    for (r <- 2 to k) {
+      val prev = s"sel${r - 1}"
+      sb ++= s"pen$r AS (SELECT r.qid, r.cid, r.cv, r.cn2, r.rel, " +
+        s"MAX(${cos("r.cv", "r.cn2", "s.cv", "s.cn2")}) AS ms " +
+        s"FROM rel r JOIN $prev s ON r.qid = s.qid " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $prev t WHERE t.qid = r.qid AND t.cid = r.cid) " +
+        "GROUP BY r.qid, r.cid, r.cv, r.cn2, r.rel), "
+      sb ++= s"s$r AS (SELECT qid, cid, cv, cn2, $lam * rel - $mu * ms AS score, " +
+        s"row_number() OVER (PARTITION BY qid ORDER BY $lam * rel - $mu * ms DESC, cid) AS rn FROM pen$r), "
+      sb ++= s"sel$r AS (SELECT * FROM $prev UNION ALL " +
+        s"SELECT qid, cid, cv, cn2, score, $r AS rank FROM s$r WHERE rn = 1), "
+    }
+    sb ++= s"fin AS (SELECT qid, rank, cid, CAST(floor(score + 0.5) AS BIGINT) AS score_ppm FROM sel$k) "
+    sb ++= "SELECT CAST(qid AS BIGINT) AS query_id, rank, CAST(cid AS BIGINT) AS neighbor_id, score_ppm " +
+      "FROM fin ORDER BY query_id, rank"
+    sb.toString
+  }
+
+  private val EmbeddingDecontamOracle: String =
+    "WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE vec_id < 50), " +
+      "h AS (SELECT e.vec_id, count(*) AS n_hits FROM embeddings e JOIN b " +
+      "ON list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), b.bv) >= 0.8 GROUP BY e.vec_id) " +
+      "SELECT e.vec_id, COALESCE(h.n_hits, 0) AS n_hits, COALESCE(h.n_hits, 0) > 0 AS contaminated " +
+      "FROM embeddings e LEFT JOIN h USING (vec_id) ORDER BY e.vec_id"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_a5_group_agg")(spark, "/root/testdata/sf0.001")
@@ -960,6 +1015,83 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 1)
         .select(col("query_id"), col("neighbor_id").as("nn_id"))
         .orderBy("query_id")
+    }),
+    // PCA squeeze + exact search in the reduced space: one distributed
+    // moments pass fits the top-16 principal directions, both sides
+    // project through the same literal weights, brute-force cosine runs
+    // 4× narrower. Planted exact copies project IDENTICALLY to their
+    // originals (same input, same literals, same arithmetic) so the
+    // rank-1 neighbor is the original by a measured ≥ 0.10 projected-
+    // cosine margin (max non-copy 16-dim cosine: 0.86 sf0.001 / 0.82
+    // sf0.01 / 0.90 sf0.1) — engine-independent even though the
+    // covariance itself is floating-point.
+    "q_sim_pca_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Pca.pcaTopK(queries, emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", "vec_id", "embedding",
+        dim = 64, nComponents = 16, k = 1)
+        .select(col("query_id").cast(LongType).as("query_id"),
+          col("neighbor_id").cast(LongType).as("neighbor_id"))
+        .orderBy("query_id")
+    }),
+    // PCA lifecycle arm: the projector fitted from PERSISTED per-batch
+    // moments rows — two disjoint halves appended as epochs 0/1, epoch
+    // 1 re-appended as a crash-replay twin (fitFromMoments keeps one
+    // row per batch_id, so the double-count never reaches the
+    // covariance), then the same planted-copy search as q_sim_pca_topk.
+    "q_sim_pca_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      s.sql("DROP TABLE IF EXISTS pca_moments_gate")
+      Pca.appendMoments(emb.filter(col("vec_id") % 2 === 0), "embedding",
+        dim = 64, batchId = 0L, tableName = "pca_moments_gate")
+      Pca.appendMoments(emb.filter(col("vec_id") % 2 === 1), "embedding",
+        dim = 64, batchId = 1L, tableName = "pca_moments_gate")
+      Pca.appendMoments(emb.filter(col("vec_id") % 2 === 1), "embedding",
+        dim = 64, batchId = 1L, tableName = "pca_moments_gate")
+      val model = Pca.fitFromMoments(s, "pca_moments_gate", 16)
+      val queries = emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Pca.pcaTopKWithModel(queries, emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", "vec_id", "embedding", model, k = 1)
+        .select(col("query_id").cast(LongType).as("query_id"),
+          col("neighbor_id").cast(LongType).as("neighbor_id"))
+        .orderBy("query_id")
+    }),
+    // MMR diversified retrieval: 4 greedy rounds, λ = 0.7, micro-unit
+    // vectors and pinned-order folds throughout — the oracle unrolls
+    // the SAME four rounds and reproduces every pick AND the emitted
+    // score_ppm bit-for-bit (no planted-margin crutch: the greedy
+    // argmax itself is engine-exact).
+    "q_sim_mmr_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.mmrTopK(queries, emb.filter(col("vec_id") < 150),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 4, lambdaPpm = 700000L)
+        .select(col("query_id").cast(LongType).as("query_id"), col("rank"),
+          col("neighbor_id").cast(LongType).as("neighbor_id"), col("score_ppm"))
+        .orderBy("query_id", "rank")
+    }),
+    // MMR through the materialized IVF-SQ index at full-recall knobs
+    // (every list probed, shortlist = corpus): candidate set and
+    // arithmetic equal the in-memory arm's, so the SAME greedy twin
+    // gates both — production knobs then trade recall for the
+    // bucket-pruned shortlist like every other FromIndex searcher.
+    "q_sim_mmr_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.writeIvfSqIndex(emb.filter(col("vec_id") < 150),
+        "vec_id", "embedding", "mmr_ivf_gate", nCentroids = 8, buckets = 4)
+      val queries = emb.filter(col("vec_id") < 3).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.mmrTopKFromIndex(s, "mmr_ivf_gate", queries,
+        "vec_id", "embedding", k = 4, shortlist = 150, nProbe = 8,
+        lambdaPpm = 700000L)
+        .select(col("query_id").cast(LongType).as("query_id"), col("rank"),
+          col("neighbor_id").cast(LongType).as("neighbor_id"), col("score_ppm"))
+        .orderBy("query_id", "rank")
     }),
     // ANN scale path: LSH-bucketed top-k, 6 OR-combined 6-bit bands.
     // Queries are planted exact copies (vec_id+1000000) of the first 20
@@ -3187,6 +3319,36 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0), "text", n = 8)
         .orderBy("doc_id")
     }),
+    // Semantic decontamination: the benchmark is 50 planted exact
+    // copies, so cosine vs the corpus is ≈ 1.0 for the 50 sources and
+    // ≤ 0.601 for everything else (max non-dup cosine across fixtures)
+    // — the 0.8 threshold decision is engine-exact by margin even
+    // though the cosine itself is floating-point.
+    "q_corpus_decontam_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Corpus.embeddingDecontaminationFlags(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", bench, "embedding", threshold = 0.8)
+        .orderBy("vec_id")
+    }),
+    // Banded arm of the same screen — both sides bucket through the
+    // portable hyperplane family, only colliding vectors meet, exact
+    // verify gates the flag. On this fixture the output EQUALS the
+    // brute arm's: copies share every band (identical signatures) so
+    // recall on true hits is 1, and verification kills every false
+    // candidate — one oracle serves both arms.
+    "q_corpus_decontam_embedding_banded" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Corpus.embeddingDecontaminationBanded(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", bench, "embedding",
+        threshold = 0.8, nBits = 6, nBands = 6)
+        .orderBy("vec_id")
+    }),
     // Sharded-output manifests: balanced Knuth-hash shards of orders
     // with per-shard row counts + portable column fingerprints; shard
     // sums add up to the q_verify_checksum whole-table sums
@@ -4489,6 +4651,28 @@ object SparkEntry {
         "ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id " +
         "LIMIT 1) AS nn_id " +
         "FROM embeddings q WHERE q.vec_id < 5 ORDER BY query_id"),
+    // planted-copy contract: identical projection ⇒ the original wins
+    // rank 1 by the measured ≥ 0.10 reduced-space margin
+    "q_sim_pca_topk" ->
+      ("SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id, " +
+        "CAST(vec_id AS BIGINT) AS neighbor_id FROM embeddings " +
+        "WHERE vec_id < 20 ORDER BY query_id"),
+    // same contract through the persisted-moments lifecycle: the
+    // deduped epoch sum reproduces the whole-corpus covariance (up to
+    // float-sum order), and identical projection still decides rank 1
+    "q_sim_pca_indexed" ->
+      ("SELECT CAST(vec_id + 1000000 AS BIGINT) AS query_id, " +
+        "CAST(vec_id AS BIGINT) AS neighbor_id FROM embeddings " +
+        "WHERE vec_id < 20 ORDER BY query_id"),
+    // full greedy replay: micro-unit vectors, the pinned-order double
+    // fold for every dot, λppm·rel − μppm·maxSim scores, per-round
+    // argmax with the (score DESC, cid) tie rule — four unrolled rounds
+    // reproduce picks and score_ppm bit-for-bit
+    "q_sim_mmr_topk" -> MmrOracleSql,
+    // the indexed arm runs at full-recall knobs (every list probed,
+    // shortlist ⊇ corpus), so its candidate set and arithmetic equal
+    // the in-memory arm's — ONE greedy twin serves both
+    "q_sim_mmr_indexed" -> MmrOracleSql,
     // Portable IVF: the oracle mirrors the Spark arithmetic BIT-FOR-BIT —
     // dot is the same left-to-right double fold (list_reduce), norm the
     // same sqrt∘dot, cosine the same zero-guarded quotient — so centroid
@@ -6461,6 +6645,12 @@ object SparkEntry {
         "h AS (SELECT doc_id, count(*) AS n_hits FROM sh JOIN b USING (s) GROUP BY doc_id) " +
         "SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits, COALESCE(h.n_hits, 0) > 0 AS contaminated " +
         "FROM documents d LEFT JOIN h USING (doc_id) ORDER BY d.doc_id"),
+    // one oracle body for BOTH semantic-decontam arms (brute + banded):
+    // the 0.8 threshold decision has a ≥ 0.199 margin on every fixture
+    // (copies ≈ 1.0, max non-dup cosine 0.601), and the banded arm's
+    // exact verify makes its output equal the brute arm's here
+    "q_corpus_decontam_embedding" -> EmbeddingDecontamOracle,
+    "q_corpus_decontam_embedding_banded" -> EmbeddingDecontamOracle,
     "q_corpus_chunk" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
         "c AS (SELECT doc_id, i AS chunk_id, list_slice(w, i * 24 + 1, i * 24 + 32) AS ck " +

@@ -1536,6 +1536,112 @@ object Corpus {
         expr("distinct_grams * 1000000 div n_grams"))
   }
 
+  // ------------------------------- embedding (semantic) decontamination
+
+  /** Semantic decontamination: flag corpus documents whose EMBEDDING is
+    * near-duplicate of any benchmark embedding — the contamination the
+    * n-gram families ([[decontaminationFlags]] and kin) structurally
+    * miss, because a paraphrased eval question shares meaning, not
+    * 8-gram shingles. Output contract matches the lexical family:
+    * `(id, n_hits, contaminated)` with `n_hits` = how many benchmark
+    * vectors sit at cosine ≥ `threshold` (an exact integer — the float
+    * only ever crosses the threshold with the planted-margin room the
+    * gate fixtures guarantee).
+    *
+    * Scale shape (100 TB): eval benchmarks are small by nature, so the
+    * benchmark side BROADCASTS and the corpus side makes one scan —
+    * n·m dot kernels, no shuffle of vectors. For a benchmark too big
+    * to broadcast, use [[embeddingDecontaminationBanded]].
+    */
+  def embeddingDecontaminationFlags(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchVecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    val c = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__vn", graft.functions.VectorFunctions.norm(col("__v")))
+    val b = benchmark.select(col(benchVecCol).cast("array<double>").as("__bv"))
+      .withColumn("__bn", graft.functions.VectorFunctions.norm(col("__bv")))
+    val cos = when(col("__vn") * col("__bn") === 0.0, lit(0.0))
+      .otherwise(graft.functions.VectorFunctions.dot(col("__v"), col("__bv")) /
+        (col("__vn") * col("__bn")))
+    val hits = c.crossJoin(broadcast(b))
+      .filter(cos >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    df.select(col(idCol)).join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Banded semantic decontamination — the both-sides-big arm: neither
+    * frame broadcasts its vectors. Both sides hash through the SAME
+    * portable random-hyperplane family the LSH searcher uses
+    * ([[graft.functions.VectorFunctions.lshSignature]], split into
+    * `nBands` bucket keys); candidate (doc, bench) pairs come from a
+    * shuffle join on (band, bucket) — only colliding vectors ever
+    * meet — and every candidate is verified with the exact cosine
+    * before it can flag. Verification makes false positives
+    * impossible; recall is the banding trade (near-identical vectors
+    * share every band, which is what contamination looks like).
+    * Same output contract as [[embeddingDecontaminationFlags]].
+    */
+  def embeddingDecontaminationBanded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchVecCol: String,
+      threshold: Double,
+      nBits: Int = 6,
+      nBands: Int = 6
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    require(nBits > 0 && nBands > 0 && nBits * nBands <= 64,
+      s"nBits*nBands must fit the 64-bit signature, got $nBits*$nBands")
+    import graft.functions.VectorFunctions
+    val mask = (1L << nBits) - 1
+    // the lshTopK band split, verbatim, so both searchers and this
+    // screen bucket identically
+    def bands(vec: Column): Column = {
+      val sig = VectorFunctions.lshSignature(vec, nBits * nBands)
+      array((0 until nBands).map { bd =>
+        struct(lit(bd).as("__band"),
+          shiftrightunsigned(sig, bd * nBits).bitwiseAND(lit(mask)).as("__sig"))
+      }: _*)
+    }
+    val c = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__vn", VectorFunctions.norm(col("__v")))
+      .withColumn("__b", explode(bands(col("__v"))))
+      .select(col(idCol), col("__v"), col("__vn"),
+        col("__b.__band").as("__band"), col("__b.__sig").as("__sig"))
+    val b = benchmark.select(col(benchVecCol).cast("array<double>").as("__bv"))
+      .withColumn("__bid", monotonically_increasing_id())
+      .withColumn("__bn", VectorFunctions.norm(col("__bv")))
+      .withColumn("__b", explode(bands(col("__bv"))))
+      .select(col("__bid"), col("__bv"), col("__bn"),
+        col("__b.__band").as("__band"), col("__b.__sig").as("__sig"))
+    val cos = when(col("__vn") * col("__bn") === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.dot(col("__v"), col("__bv")) /
+        (col("__vn") * col("__bn")))
+    val hits = c.join(b, Seq("__band", "__sig"))
+      // a (doc, bench) pair colliding in several bands must count once,
+      // not once per band — collided rows are identical modulo band
+      .dropDuplicates(idCol, "__bid")
+      .filter(cos >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    df.select(col(idCol)).join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   // ------------------------------------------- DSIR data selection
 
   /** Hashed unigram+bigram feature buckets — the DSIR feature map

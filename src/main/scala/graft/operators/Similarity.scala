@@ -1895,4 +1895,180 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       floor(part * 1000000 + 0.5).cast("long")
     }.reduce(_ + _)
+
+  // --------------------------------------- MMR diversified retrieval
+
+  /** Maximal-marginal-relevance top-k (Carbonell–Goldstein): greedy
+    * selection maximizing `λ·cos(q, c) − (1−λ)·max_{s∈S} cos(c, s)` —
+    * the diversity-aware retrieval a RAG/few-shot example picker needs
+    * when plain top-k returns k paraphrases of the same document.
+    *
+    * Execution shape: the relevance frame (query × candidate cosine)
+    * is computed ONCE and persisted; each of the k greedy rounds is
+    * then one bounded pass over it — a broadcast join against the
+    * ≤ (round−1)·|queries| already-selected rows for the diversity
+    * penalty, a per-query argmax window, and a collect of exactly
+    * |queries| picked rows (bounded by construction, the
+    * [[kmeansRefine]] driver-iteration shape). Queries broadcast
+    * throughout; the corpus is never shuffled by vector.
+    *
+    * Arithmetic is the engine-portable micro-unit recipe: vectors
+    * quantize to integer-valued doubles, every dot is the pinned-order
+    * native fold, and the score `λppm·rel − (10⁶−λppm)·maxSim` is a
+    * fixed chain of IEEE ops — so an ANSI twin replays the greedy
+    * choices and the emitted `score_ppm` bit-for-bit (`q_sim_mmr_topk`).
+    *
+    * @param lambdaPpm relevance weight λ in parts-per-million
+    * @return (query_id, rank, neighbor_id, score_ppm) — `rank` is the
+    *         greedy pick order, `score_ppm` the marginal score at pick
+    *         time, floored to integer micro-units
+    */
+  def mmrTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      lambdaPpm: Long = 700000L
+  ): DataFrame = {
+    require(k >= 1 && k <= 64, s"k in [1, 64], got $k")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"lambdaPpm in [0, 1e6], got $lambdaPpm")
+    val spark = queries.sparkSession
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        microQuant(col(queryVecCol)).as("__qv"))
+      .withColumn("__qn2", VectorFunctions.dot(col("__qv"), col("__qv")))
+    val c = corpus.select(col(corpusIdCol).as("cand_id"),
+        microQuant(col(corpusVecCol)).as("__cv"))
+      .withColumn("__cn2", VectorFunctions.dot(col("__cv"), col("__cv")))
+    mmrGreedy(c.crossJoin(broadcast(q))
+      .filter(col("cand_id") =!= col("query_id")), k, lambdaPpm)
+  }
+
+  /** [[mmrTopK]] served from the materialized IVF-SQ index — the
+    * 100 TB arm: the in-memory path's relevance frame costs k greedy
+    * passes over query × CORPUS, while here phase 1 shortlists
+    * `shortlist` candidates per query through the bucket-pruned index
+    * (probed lists only, exact re-rank on the stored vectors) and the
+    * greedy runs over query × shortlist — corpus-sized work happens
+    * once, in the index build. Same arithmetic as the in-memory arm
+    * end-to-end (micro-unit vectors, pinned folds), so with
+    * full-recall knobs (`nProbe` = lists, `shortlist` ≥ corpus) the
+    * output EQUALS [[mmrTopK]]'s row-for-row — the gate's contract;
+    * production knobs trade that equality for bucket pruning exactly
+    * like every other `FromIndex` searcher.
+    */
+  def mmrTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      shortlist: Int = 64,
+      nProbe: Int = 2,
+      lambdaPpm: Long = 700000L
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k = $k")
+    val short = ivfQuantizedTopKFromIndex(spark, tableName, queries,
+      queryIdCol, queryVecCol, k = shortlist, nProbe = nProbe,
+      shortlist = shortlist)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        microQuant(col(queryVecCol)).as("__qv"))
+      .withColumn("__qn2", VectorFunctions.dot(col("__qv"), col("__qv")))
+    // stored full-precision vectors re-quantize to the SAME micro-unit
+    // arrays the in-memory arm builds from the raw corpus; live rows
+    // only, so a tombstoned vector can't re-enter through the fetch
+    // even though the shortlist already excluded it
+    val vecs = ivfLiveRows(spark, tableName)
+      .select(col("neighbor_id").as("cand_id"), microQuant(col("__cv")).as("__cv"))
+      .withColumn("__cn2", VectorFunctions.dot(col("__cv"), col("__cv")))
+    // the shortlist (≤ queries × shortlist rows) broadcasts into the
+    // index scan — fetching candidate vectors never shuffles the index
+    val cand = vecs.join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("cand_id") =!= col("query_id"))
+    mmrGreedy(cand, k, lambdaPpm)
+  }
+
+  /** The shared greedy engine behind both MMR arms. `cand` must carry
+    * (query_id, cand_id, __cv micro-unit, __cn2, __qv, __qn2); rounds,
+    * scoring, tie rules and the bounded per-round collect are
+    * documented at [[mmrTopK]].
+    */
+  private def mmrGreedy(
+      candIn: DataFrame, k: Int, lambdaPpm: Long): DataFrame = {
+    val spark = candIn.sparkSession
+    val rel = when(col("__qn2") * col("__cn2") === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.dot(col("__qv"), col("__cv")) /
+        (sqrt(col("__qn2")) * sqrt(col("__cn2"))))
+    val cand = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      candIn.select(col("query_id"), col("cand_id"), col("__cv"), col("__cn2"),
+        rel.as("__rel")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val selSchema = org.apache.spark.sql.types.StructType(
+      cand.schema.filter(f => Set("query_id", "cand_id", "__cv", "__cn2").contains(f.name)))
+    val mu = 1000000L - lambdaPpm
+    val score = lit(lambdaPpm).cast("double") * col("__rel") -
+      lit(mu).cast("double") * col("__maxsim")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("cand_id"))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      // lineage break per round: selections live as a literal frame of
+      // ≤ (round−1)·|queries| collected rows, never a growing plan
+      val selRows = picks.map(r => org.apache.spark.sql.Row(
+        r.get(0), r.get(1), r.get(2), r.get(3)))
+      val selDf = spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .BufferHasAsJava(selRows).asJava), selSchema)
+      val remaining = cand.join(
+        broadcast(selDf.select(col("query_id"), col("cand_id"))),
+        Seq("query_id", "cand_id"), "left_anti")
+      val scored =
+        if (picks.isEmpty) remaining.withColumn("__maxsim", lit(0.0))
+        else {
+          val s = selDf.select(col("query_id"),
+            col("__cv").as("__sv"), col("__cn2").as("__sn2"))
+          val simCS = when(col("__cn2") * col("__sn2") === 0.0, lit(0.0))
+            .otherwise(VectorFunctions.dot(col("__cv"), col("__sv")) /
+              (sqrt(col("__cn2")) * sqrt(col("__sn2"))))
+          remaining.join(broadcast(s), Seq("query_id"))
+            .withColumn("__sim", simCS)
+            .groupBy(col("query_id"), col("cand_id"))
+            // per-group constants ride along; only __sim varies
+            .agg(first(col("__cv")).as("__cv"), first(col("__cn2")).as("__cn2"),
+              first(col("__rel")).as("__rel"), max(col("__sim")).as("__maxsim"))
+        }
+      // bounded collect BY CONSTRUCTION: the rank-1 window row per query
+      val won = scored.withColumn("__score", score)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("cand_id"), col("__cv"), col("__cn2"),
+          col("__score"))
+        .collect()
+      if (won.isEmpty) done = true
+      else picks ++= won.map(r => org.apache.spark.sql.Row(
+        r.get(0), r.get(1), r.get(2), r.get(3), round, r.getDouble(4)))
+      round += 1
+    }
+    cand.unpersist()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      selSchema("query_id"),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      selSchema("cand_id").copy(name = "neighbor_id"),
+      org.apache.spark.sql.types.StructField("score_ppm",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val outRows = picks.map(r => org.apache.spark.sql.Row(
+      r.get(0), r.getInt(4), r.get(1), math.floor(r.getDouble(5) + 0.5).toLong))
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .BufferHasAsJava(outRows).asJava), outSchema)
+  }
 }

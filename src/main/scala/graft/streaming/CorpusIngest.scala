@@ -573,6 +573,44 @@ object CorpusIngest {
       .start()
   }
 
+  /** Streaming maintenance of a PCA projector: every micro-batch lands
+    * in the idempotent `batch=<id>` sink and appends ONE bounded
+    * moments row ([[graft.operators.Pca.appendMoments]]) keyed by the
+    * EPOCH id — Structured Streaming replays an epoch under the same
+    * id, and [[graft.operators.Pca.fitFromMoments]] keeps one row per
+    * key, so the crash-replay dedupe falls out of the checkpoint
+    * contract with no repair step at all (the simplest lifecycle in
+    * the streaming column: moments are exactly mergeable aggregates,
+    * not per-row index state). Refit whenever current — the refit
+    * reads `epochs × bufLen` values, never the corpus.
+    */
+  def startMomentsIngest(
+      vecs: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      momentsTable: String,
+      dim: Int,
+      vecCol: String = "embedding",
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    ensureDest(vecs, destDir)
+    val session = vecs.sparkSession
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val pinned = batch.localCheckpoint(true)
+          pinned.write.mode("overwrite").parquet(s"$destDir/batch=$batchId")
+          graft.operators.Pca.appendMoments(
+            pinned, vecCol, dim, batchId, momentsTable)
+          if (session.catalog.tableExists(momentsTable))
+            session.catalog.refreshTable(momentsTable)
+        }
+      }
+      .start()
+  }
+
   /** The COMPOSED acceptance funnel — the whole production ingest as
     * one streaming verb: every micro-batch runs
     *

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EmbeddingDecontamSpec extends SparkSpec {
+
+  private def emb = table("embeddings")
+
+  test("brute: planted copies flag exactly the benchmark sources") {
+    val bench = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val out = Corpus.embeddingDecontaminationFlags(
+      emb.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", bench, "embedding", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == 500)
+    out.foreach { case (id, nHits, flagged) =>
+      if (id < 50) assert(flagged && nHits == 1L, s"source $id: hits=$nHits")
+      else assert(!flagged && nHits == 0L, s"clean $id flagged with $nHits")
+    }
+  }
+
+  test("brute: a doubled benchmark vector counts twice in n_hits") {
+    val bench1 = emb.filter(col("vec_id") === 7).select(col("embedding"))
+    val bench = bench1.unionAll(bench1)
+    val out = Corpus.embeddingDecontaminationFlags(
+      emb.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", bench, "embedding", threshold = 0.8)
+      .filter(col("vec_id") === 7).head()
+    assert(out.getLong(1) == 2L && out.getBoolean(2))
+  }
+
+  test("banded arm equals the brute arm on the fixture") {
+    val bench = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val brute = Corpus.embeddingDecontaminationFlags(
+      corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.8)
+      .orderBy("vec_id").collect().toSeq
+    val banded = Corpus.embeddingDecontaminationBanded(
+      corpus, "vec_id", "embedding", bench, "embedding",
+      threshold = 0.8, nBits = 6, nBands = 6)
+      .orderBy("vec_id").collect().toSeq
+    assert(banded == brute)
+  }
+
+  test("empty benchmark: nothing is contaminated, in both arms") {
+    val bench = emb.filter(col("vec_id") < 0).select(col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).limit(20)
+    Seq(
+      Corpus.embeddingDecontaminationFlags(
+        corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.8),
+      Corpus.embeddingDecontaminationBanded(
+        corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.8)
+    ).foreach { out =>
+      val rows = out.collect()
+      assert(rows.length == 20)
+      assert(rows.forall(r => r.getLong(1) == 0L && !r.getBoolean(2)))
+    }
+  }
+
+  test("banded: a multi-band collision still counts a benchmark vector once") {
+    // the planted copy collides in EVERY band; n_hits must stay 1
+    val bench = emb.filter(col("vec_id") === 3)
+      .select(col("embedding"))
+    val out = Corpus.embeddingDecontaminationBanded(
+      emb.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", bench, "embedding",
+      threshold = 0.8, nBits = 4, nBands = 8)
+      .filter(col("vec_id") === 3).head()
+    assert(out.getLong(1) == 1L, s"multi-band dup counted ${out.getLong(1)}×")
+  }
+
+  test("guards: threshold and band ranges") {
+    val bench = emb.limit(1).select(col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    intercept[IllegalArgumentException](Corpus.embeddingDecontaminationFlags(
+      corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.0))
+    intercept[IllegalArgumentException](Corpus.embeddingDecontaminationBanded(
+      corpus, "vec_id", "embedding", bench, "embedding",
+      threshold = 0.8, nBits = 33, nBands = 2))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MmrSpec extends SparkSpec {
+
+  private def emb = table("embeddings")
+
+  private def tiny = {
+    import spark.implicits._
+    // hand-built geometry vs query (1,0,0,0): 1 is the relevance winner
+    // (rel .90); 2 is a near-copy of 1 (rel .85, cos(2,1) ≈ .99 — the
+    // redundant result MMR exists to demote); 3 is relevant-but-distant
+    // (rel .70, cos(3,1) ≈ .41); 4 is near-orthogonal filler (rel .10).
+    // At λ = 0.65 the greedy order is 1, 3, 2, 4 — NOT the relevance
+    // order 1, 2, 3, 4 (margins ≥ 0.1 in every round, replayed in the
+    // scaladoc arithmetic by hand)
+    Seq(
+      (1L, Seq(0.9, 0.43589, 0.0, 0.0)),
+      (2L, Seq(0.85, 0.516, 0.107, 0.0)),
+      (3L, Seq(0.7, -0.51, 0.5, 0.0)),
+      (4L, Seq(0.1, 0.0, 0.0, 0.995))
+    ).toDF("cand_id", "vec")
+  }
+
+  private def tinyQuery = {
+    import spark.implicits._
+    Seq((100L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("query_id", "vec")
+  }
+
+  test("mmr: rank 1 is the plain relevance argmax") {
+    val out = Similarity.mmrTopK(tinyQuery, tiny,
+      "query_id", "vec", "cand_id", "vec", k = 1, lambdaPpm = 500000L)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("neighbor_id") == 1L)
+    assert(out(0).getAs[Int]("rank") == 1)
+  }
+
+  test("mmr: diversity penalty demotes the near-duplicate of an earlier pick") {
+    val out = Similarity.mmrTopK(tinyQuery, tiny,
+      "query_id", "vec", "cand_id", "vec", k = 4, lambdaPpm = 650000L)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    // plain top-4 by relevance would be (1, 2, 3, 4); MMR at λ=0.65
+    // demotes 2 (cos(2,1) ≈ 0.99 penalty) below 3
+    assert(out == Seq(1L, 3L, 2L, 4L), s"got $out")
+  }
+
+  test("mmr: λ=1 reduces to relevance-ordered top-k") {
+    val out = Similarity.mmrTopK(tinyQuery, tiny,
+      "query_id", "vec", "cand_id", "vec", k = 4, lambdaPpm = 1000000L)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    val brute = Similarity.bruteForceTopK(tinyQuery, tiny,
+      "query_id", "vec", "cand_id", "vec", k = 4)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(out == brute, s"λ=1 MMR $out vs brute $brute")
+  }
+
+  test("mmr: k beyond the corpus stops early with every candidate ranked once") {
+    val out = Similarity.mmrTopK(tinyQuery, tiny,
+      "query_id", "vec", "cand_id", "vec", k = 10, lambdaPpm = 700000L)
+      .collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L, 2L, 3L, 4L))
+    assert(out.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("mmr: a candidate sharing the query id is excluded") {
+    import spark.implicits._
+    val q = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("query_id", "vec")
+    val out = Similarity.mmrTopK(q, tiny,
+      "query_id", "vec", "cand_id", "vec", k = 4, lambdaPpm = 700000L)
+      .collect()
+    assert(out.length == 3)
+    assert(!out.map(_.getAs[Long]("neighbor_id")).contains(1L))
+  }
+
+  test("mmr: deterministic across invocations, fixture-scale, multiple queries") {
+    def run() = Similarity.mmrTopK(
+      emb.filter(col("vec_id") < 3).select(
+        (col("vec_id") + 1000000).as("vec_id"), col("embedding")),
+      emb.filter(col("vec_id") < 150),
+      "vec_id", "embedding", "vec_id", "embedding", k = 4, lambdaPpm = 700000L)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val a = run()
+    val b = run()
+    assert(a == b)
+    assert(a.length == 12)
+    // rank 1 of each query is its planted original (cos ≈ 1.0 dominates)
+    a.filter(_._2 == 1).foreach { case (q, _, n, _) => assert(n == q - 1000000) }
+  }
+
+  test("mmr from index at full-recall knobs equals the in-memory arm row-for-row") {
+    val corpus = emb.filter(col("vec_id") < 150)
+    Similarity.writeIvfSqIndex(corpus, "vec_id", "embedding",
+      "mmr_spec_ivf", nCentroids = 8, buckets = 4)
+    val queries = emb.filter(col("vec_id") < 3).select(
+      (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val mem = rows(Similarity.mmrTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 4, lambdaPpm = 700000L)
+      .select(col("query_id").cast("long"), col("rank"),
+        col("neighbor_id").cast("long"), col("score_ppm")))
+    val idx = rows(Similarity.mmrTopKFromIndex(spark, "mmr_spec_ivf", queries,
+      "vec_id", "embedding", k = 4, shortlist = 150, nProbe = 8,
+      lambdaPpm = 700000L)
+      .select(col("query_id").cast("long"), col("rank"),
+        col("neighbor_id").cast("long"), col("score_ppm")))
+    assert(idx == mem)
+  }
+
+  test("mmr from index: production knobs stay inside the shortlist") {
+    val corpus = emb.filter(col("vec_id") < 150)
+    Similarity.writeIvfSqIndex(corpus, "vec_id", "embedding",
+      "mmr_spec_ivf2", nCentroids = 8, buckets = 4)
+    val queries = emb.filter(col("vec_id") < 3).select(
+      (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val out = Similarity.mmrTopKFromIndex(spark, "mmr_spec_ivf2", queries,
+      "vec_id", "embedding", k = 4, shortlist = 16, nProbe = 2)
+      .collect()
+    assert(out.length == 12)
+    // rank 1 is still the planted original: the copy's list is always
+    // probed (same assignment arithmetic) and cosine ≈ 1.0 wins
+    out.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 1000000) }
+  }
+
+  test("mmr guards: k and lambda ranges") {
+    intercept[IllegalArgumentException](Similarity.mmrTopK(tinyQuery, tiny,
+      "query_id", "vec", "cand_id", "vec", k = 0))
+    intercept[IllegalArgumentException](Similarity.mmrTopK(tinyQuery, tiny,
+      "query_id", "vec", "cand_id", "vec", k = 2, lambdaPpm = 1000001L))
+  }
+}

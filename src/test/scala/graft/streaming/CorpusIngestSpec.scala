@@ -399,6 +399,44 @@ class CorpusIngestSpec extends SparkSpec {
     assert(sunk === ((100L until 120L) ++ (200L until 215L) :+ 300L).toSet)
   }
 
+  test("startMomentsIngest: streamed epochs refit the batch-whole PCA projector; replay can't double-count") {
+    import graft.operators.Pca
+    val emb = table("embeddings").select("vec_id", "embedding")
+    val e1 = emb.filter(col("vec_id") % 2 === 0)
+    val e2 = emb.filter(col("vec_id") % 2 === 1)
+    val srcDir = tmp("graft_pm_src")
+    val outDir = tmp("graft_pm_out")
+    val ckpt = tmp("graft_pm_ckpt")
+    spark.sql("DROP TABLE IF EXISTS pm_ing_moments")
+    e1.write.mode("overwrite").parquet(srcDir)
+    def run(): Unit = {
+      val q = CorpusIngest.startMomentsIngest(
+        spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir),
+        outDir, ckpt, "pm_ing_moments", dim = 64)
+      q.awaitTermination(180000)
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    }
+    run()
+    e2.write.mode("append").parquet(srcDir)
+    run()
+    val streamed = Pca.fitFromMoments(spark, "pm_ing_moments", 8)
+    val whole = Pca.fit(emb, "embedding", 64, 8)
+    assert(streamed.count == whole.count)
+    streamed.mean.zip(whole.mean).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"mean drift: $a vs $b") }
+    streamed.eigenvalues.zip(whole.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"eigenvalue drift: $a vs $b") }
+    // crash-replay twin: re-append under an EPOCH ID the stream already
+    // used (what a replayed micro-batch does) — the refit is unchanged
+    val epochIds = spark.table("pm_ing_moments")
+      .select("batch_id").collect().map(_.getLong(0)).toSet
+    Pca.appendMoments(e2, "embedding", 64, epochIds.max, "pm_ing_moments")
+    val replayed = Pca.fitFromMoments(spark, "pm_ing_moments", 8)
+    assert(replayed == streamed, "replayed epoch changed the projector")
+    // the batch=<id> sink holds exactly the streamed vectors
+    assert(spark.read.parquet(s"$outDir/batch=*").count() === emb.count())
+  }
+
   test("startCuratedIngest: the composed funnel — quality, decontam, history-dup, batch-dup — with exact per-epoch accounting and all indexes current") {
     import spark.implicits._
     import graft.operators.{Corpus, Dedup, TextAnalysis}
