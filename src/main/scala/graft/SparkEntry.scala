@@ -560,6 +560,76 @@ object SparkEntry {
     sb.toString
   }
 
+  /** k-center twin: the MMR greedy twin's λ=0 specialization — no
+    * query table, seed = lowest id from the all-tied first round,
+    * score = 0.0 − 10⁶·maxSim with the same pinned-order folds.
+    */
+  private val KCenterOracleSql: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
+    def cos(a: String, n2a: String, b: String, n2b: String): String =
+      s"(CASE WHEN $n2a * $n2b = 0.0 THEN 0.0 ELSE ${dot(a, b)} / (sqrt($n2a) * sqrt($n2b)) END)"
+    val mq = "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000 + 0.5) AS DOUBLE))"
+    val k = 5
+    val sb = new StringBuilder
+    sb ++= s"WITH c0 AS (SELECT vec_id AS cid, $mq AS cv FROM embeddings WHERE vec_id < 120), "
+    sb ++= s"cn AS (SELECT cid, cv, ${dot("cv", "cv")} AS cn2 FROM c0), "
+    sb ++= "sel1 AS (SELECT cid, cv, cn2, 0.0 AS score, 1 AS rank FROM cn ORDER BY cid LIMIT 1), "
+    for (r <- 2 to k) {
+      val prev = s"sel${r - 1}"
+      sb ++= s"pen$r AS (SELECT r.cid, r.cv, r.cn2, " +
+        s"MAX(${cos("r.cv", "r.cn2", "s.cv", "s.cn2")}) AS ms " +
+        s"FROM cn r, $prev s " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $prev t WHERE t.cid = r.cid) " +
+        "GROUP BY r.cid, r.cv, r.cn2), "
+      sb ++= s"s$r AS (SELECT cid, cv, cn2, 0.0 - 1000000 * ms AS score, " +
+        s"row_number() OVER (ORDER BY 0.0 - 1000000 * ms DESC, cid) AS rn FROM pen$r), "
+      sb ++= s"sel$r AS (SELECT * FROM $prev UNION ALL " +
+        s"SELECT cid, cv, cn2, score, $r AS rank FROM s$r WHERE rn = 1), "
+    }
+    sb ++= s"fin AS (SELECT rank, cid, CAST(-floor(score + 0.5) AS BIGINT) AS max_cos_ppm FROM sel$k) "
+    sb ++= "SELECT rank, CAST(cid AS BIGINT) AS vec_id, max_cos_ppm FROM fin ORDER BY rank"
+    sb.toString
+  }
+
+  /** Per-group diverse-sample twin: the MMR greedy rounds with the
+    * LABEL as the greedy key and the exact-ratio quality column as the
+    * relevance — same pinned-order folds, same tie rules.
+    */
+  private val DiverseSampleOracleSql: String = {
+    def dot(a: String, b: String): String =
+      s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
+    def cos(a: String, n2a: String, b: String, n2b: String): String =
+      s"(CASE WHEN $n2a * $n2b = 0.0 THEN 0.0 ELSE ${dot(a, b)} / (sqrt($n2a) * sqrt($n2b)) END)"
+    val mq = "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000 + 0.5) AS DOUBLE))"
+    val lam = 600000L
+    val mu = 400000L
+    val k = 3
+    val sb = new StringBuilder
+    sb ++= s"WITH c0 AS (SELECT label AS qid, vec_id AS cid, $mq AS cv, " +
+      "CAST(vec_id % 97 AS DOUBLE) / 97.0 AS rel FROM embeddings WHERE vec_id < 200), "
+    sb ++= s"rel AS (SELECT qid, cid, cv, ${dot("cv", "cv")} AS cn2, rel FROM c0), "
+    sb ++= s"s1 AS (SELECT qid, cid, cv, cn2, rel, $lam * rel - $mu * 0.0 AS score, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY $lam * rel - $mu * 0.0 DESC, cid) AS rn FROM rel), "
+    sb ++= "sel1 AS (SELECT qid, cid, cv, cn2, score, 1 AS rank FROM s1 WHERE rn = 1), "
+    for (r <- 2 to k) {
+      val prev = s"sel${r - 1}"
+      sb ++= s"pen$r AS (SELECT r.qid, r.cid, r.cv, r.cn2, r.rel, " +
+        s"MAX(${cos("r.cv", "r.cn2", "s.cv", "s.cn2")}) AS ms " +
+        s"FROM rel r JOIN $prev s ON r.qid = s.qid " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $prev t WHERE t.qid = r.qid AND t.cid = r.cid) " +
+        "GROUP BY r.qid, r.cid, r.cv, r.cn2, r.rel), "
+      sb ++= s"s$r AS (SELECT qid, cid, cv, cn2, $lam * rel - $mu * ms AS score, " +
+        s"row_number() OVER (PARTITION BY qid ORDER BY $lam * rel - $mu * ms DESC, cid) AS rn FROM pen$r), "
+      sb ++= s"sel$r AS (SELECT * FROM $prev UNION ALL " +
+        s"SELECT qid, cid, cv, cn2, score, $r AS rank FROM s$r WHERE rn = 1), "
+    }
+    sb ++= s"fin AS (SELECT qid, rank, cid, CAST(floor(score + 0.5) AS BIGINT) AS score_ppm FROM sel$k) "
+    sb ++= "SELECT qid AS label, rank, CAST(cid AS BIGINT) AS vec_id, score_ppm " +
+      "FROM fin ORDER BY label, rank"
+    sb.toString
+  }
+
   private val EmbeddingDecontamOracle: String =
     "WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE vec_id < 50), " +
       "h AS (SELECT e.vec_id, count(*) AS n_hits FROM embeddings e JOIN b " +
@@ -1074,6 +1144,33 @@ object SparkEntry {
         .select(col("query_id").cast(LongType).as("query_id"), col("rank"),
           col("neighbor_id").cast(LongType).as("neighbor_id"), col("score_ppm"))
         .orderBy("query_id", "rank")
+    }),
+    // Per-group diversified exemplar selection: quality as relevance,
+    // the group as the greedy key — 3 lockstep rounds pick the best
+    // non-redundant exemplars per label; quality is an exact integer
+    // ratio ((vec_id % 97)/97) so the twin replays picks AND score_ppm
+    "q_sim_diverse_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.diverseSamplePerGroup(
+        emb.filter(col("vec_id") < 200).withColumn("q",
+          (col("vec_id") % 97).cast("double") / 97.0),
+        "label", "vec_id", "embedding", "q", k = 3, lambdaPpm = 600000L)
+        .select(col("label"), col("rank"),
+          col("vec_id").cast(LongType).as("vec_id"), col("score_ppm"))
+        .orderBy("label", "rank")
+    }),
+    // k-center coreset: farthest-point traversal (the MMR engine's λ=0
+    // arm) — seed at the lowest id (all round-1 scores tie), then k−1
+    // rounds of argmin max-cosine-to-selected; the twin unrolls the
+    // same rounds with the same micro-unit arithmetic, so picks AND
+    // the per-pick coverage telemetry replay bit-for-bit
+    "q_sim_kcenter" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.kCenterSample(emb.filter(col("vec_id") < 120),
+        "vec_id", "embedding", k = 5)
+        .select(col("rank"), col("vec_id").cast(LongType).as("vec_id"),
+          col("max_cos_ppm"))
+        .orderBy("rank")
     }),
     // MMR through the materialized IVF-SQ index at full-recall knobs
     // (every list probed, shortlist = corpus): candidate set and
@@ -4673,6 +4770,8 @@ object SparkEntry {
     // shortlist ⊇ corpus), so its candidate set and arithmetic equal
     // the in-memory arm's — ONE greedy twin serves both
     "q_sim_mmr_indexed" -> MmrOracleSql,
+    "q_sim_kcenter" -> KCenterOracleSql,
+    "q_sim_diverse_sample" -> DiverseSampleOracleSql,
     // Portable IVF: the oracle mirrors the Spark arithmetic BIT-FOR-BIT —
     // dot is the same left-to-right double fold (list_reduce), norm the
     // same sqrt∘dot, cosine the same zero-guarded quotient — so centroid

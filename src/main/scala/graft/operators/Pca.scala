@@ -68,10 +68,18 @@ object Pca {
   /** The projection as a Column: component j of the output is
     * `dot(vec, w_j) − mean·w_j`, with the constant half computed once
     * on the driver — centering without per-row vector subtraction.
+    * `whiten = true` additionally scales component j by `1/√λ_j`
+    * (folded into the literal weights, so whitening is free per row) —
+    * unit variance per retained direction, the Mahalanobis-flavored
+    * space SemDeDup-style pipelines cluster in. Degenerate directions
+    * (λ ≤ 1e-12) stay unscaled rather than exploding.
     */
-  def projectionColumn(model: PcaModel, vec: Column): Column = {
-    val planes = typedlit(model.components.map { w =>
-      (w, w.zip(model.mean).map { case (wi, mi) => wi * mi }.sum)
+  def projectionColumn(
+      model: PcaModel, vec: Column, whiten: Boolean = false): Column = {
+    val planes = typedlit(model.components.zip(model.eigenvalues).map {
+      case (w, ev) =>
+        val s = if (whiten && ev > 1e-12) 1.0 / math.sqrt(ev) else 1.0
+        (w.map(_ * s), w.zip(model.mean).map { case (wi, mi) => wi * mi }.sum * s)
     })
     val v = vec.cast("array<double>")
     transform(planes, p =>
@@ -83,9 +91,10 @@ object Pca {
       df: DataFrame,
       vecCol: String,
       model: PcaModel,
-      outCol: String = "pca"
+      outCol: String = "pca",
+      whiten: Boolean = false
   ): DataFrame =
-    df.withColumn(outCol, projectionColumn(model, col(vecCol)))
+    df.withColumn(outCol, projectionColumn(model, col(vecCol), whiten))
 
   /** End-to-end reduced-space exact search: fit on the corpus, project
     * both sides, brute-force cosine top-k in k-dim space — the

@@ -1994,6 +1994,79 @@ object Similarity {
     mmrGreedy(cand, k, lambdaPpm)
   }
 
+  /** Greedy k-center (farthest-point) coreset sample — diversity-first
+    * data selection: pick k vectors so every corpus vector is close to
+    * some pick (the 2-approximation of the k-center objective, the
+    * coreset construction active-learning and data-pruning pipelines
+    * use). This is exactly the MMR engine's λ=0 arm: with the
+    * relevance term zeroed, each round's argmax of `−maxSim` IS the
+    * farthest point from the selected set, so the verb reuses
+    * [[mmrTopK]]'s greedy loop verbatim — same bounded per-round
+    * collect, same engine-exact micro-unit arithmetic, same
+    * (score DESC, id) tie rule. Round 1 scores all tie at 0.0, so the
+    * seed is the LOWEST id — deterministic where textbook k-center
+    * says "arbitrary".
+    *
+    * @return (rank, id, max_cos_ppm) — `max_cos_ppm` is the pick's
+    *         max cosine to the previously selected set in micro-units
+    *         (0 for the seed): the redundancy of the pick, and a
+    *         monotone coverage telemetry as k grows
+    */
+  def kCenterSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1 && k <= 64, s"k in [1, 64], got $k")
+    val c = corpus.select(col(idCol).as("cand_id"),
+        microQuant(col(vecCol)).as("__cv"))
+      .withColumn("__cn2", VectorFunctions.dot(col("__cv"), col("__cv")))
+      // a coreset has no query: a constant query id + the vector as its
+      // own __qv satisfies the engine's schema, and λ=0 multiplies the
+      // relevance away before it can matter
+      .withColumn("query_id", lit(0L))
+      .withColumn("__qv", col("__cv"))
+      .withColumn("__qn2", col("__cn2"))
+    mmrGreedy(c, k, lambdaPpm = 0L)
+      .select(col("rank"), col("neighbor_id").as(idCol),
+        (-col("score_ppm")).as("max_cos_ppm"))
+  }
+
+  /** Quality-and-diversity exemplar selection per group: pick k rows
+    * per `groupCol` maximizing `λ·quality − (1−λ)·maxCosToSelected` —
+    * the few-shot-pool / eval-set / review-sample builder ("the k best
+    * documents per domain that aren't near-copies of each other").
+    * This is the MMR engine with the group as the query key and a
+    * caller-supplied quality column as the relevance, so all groups
+    * select in lockstep rounds — k bounded passes however many groups
+    * exist. `quality` should live on the cosine's [-1, 1] scale (a
+    * [0, 1] score is ideal) or λ stops meaning what it says.
+    *
+    * @return (group, rank, id, score_ppm) — pick order and the
+    *         marginal score at pick time in micro-units
+    */
+  def diverseSamplePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      vecCol: String,
+      qualityCol: String,
+      k: Int,
+      lambdaPpm: Long = 700000L
+  ): DataFrame = {
+    require(k >= 1 && k <= 64, s"k in [1, 64], got $k")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"lambdaPpm in [0, 1e6], got $lambdaPpm")
+    val c = df.select(col(groupCol).as("query_id"), col(idCol).as("cand_id"),
+        microQuant(col(vecCol)).as("__cv"),
+        col(qualityCol).cast("double").as("__rel"))
+      .withColumn("__cn2", VectorFunctions.dot(col("__cv"), col("__cv")))
+    mmrGreedyScored(c, k, lambdaPpm)
+      .select(col("query_id").as(groupCol), col("rank"),
+        col("neighbor_id").as(idCol), col("score_ppm"))
+  }
+
   /** The shared greedy engine behind both MMR arms. `cand` must carry
     * (query_id, cand_id, __cv micro-unit, __cn2, __qv, __qn2); rounds,
     * scoring, tie rules and the bounded per-round collect are
@@ -2001,13 +2074,23 @@ object Similarity {
     */
   private def mmrGreedy(
       candIn: DataFrame, k: Int, lambdaPpm: Long): DataFrame = {
-    val spark = candIn.sparkSession
     val rel = when(col("__qn2") * col("__cn2") === 0.0, lit(0.0))
       .otherwise(VectorFunctions.dot(col("__qv"), col("__cv")) /
         (sqrt(col("__qn2")) * sqrt(col("__cn2"))))
+    mmrGreedyScored(candIn.select(col("query_id"), col("cand_id"),
+      col("__cv"), col("__cn2"), rel.as("__rel")), k, lambdaPpm)
+  }
+
+  /** The greedy engine on a PRE-SCORED candidate frame — `__rel` comes
+    * from the caller (query cosine for the MMR arms, a quality column
+    * for [[diverseSamplePerGroup]], zero for [[kCenterSample]]'s λ=0).
+    */
+  private def mmrGreedyScored(
+      candIn: DataFrame, k: Int, lambdaPpm: Long): DataFrame = {
+    val spark = candIn.sparkSession
     val cand = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
       candIn.select(col("query_id"), col("cand_id"), col("__cv"), col("__cn2"),
-        rel.as("__rel")),
+        col("__rel")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val selSchema = org.apache.spark.sql.types.StructType(
       cand.schema.filter(f => Set("query_id", "cand_id", "__cv", "__cn2").contains(f.name)))

@@ -899,4 +899,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(postingsLine.contains("In(term, ["),
       s"batch terms not pushed to the postings scan:\n$plan")
   }
+
+  test("pca moments: ONE partial+final bounded aggregate, no d^2-row explode") {
+    import graft.functions.VecMomentsExpression
+    val df = table("embeddings")
+      .agg(VecMomentsExpression.vecMoments(col("embedding"), 64))
+    val plan = explain(df)
+    // TypedImperativeAggregate rides ObjectHashAggregate with a partial
+    // stage: per-partition buffers collapse before the one exchange
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_vec_moments") ||
+      plan.toLowerCase.contains("partial"), plan)
+    assert(!plan.contains("Generate"), s"moments must not explode rows:\n$plan")
+  }
+
+  test("pca projection is an exchange-free narrow map") {
+    import graft.operators.Pca
+    val emb = table("embeddings")
+    val model = Pca.fit(emb, "embedding", 64, 4)
+    val plan = explain(Pca.project(emb, "embedding", model))
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+
+  test("semantic decontam: brute arm broadcasts the benchmark; banded arm has no cartesian") {
+    import graft.operators.Corpus
+    val emb = table("embeddings").select(col("vec_id"), col("embedding"))
+    val bench = emb.limit(50).select(col("embedding"))
+    val brute = explain(Corpus.embeddingDecontaminationFlags(
+      emb, "vec_id", "embedding", bench, "embedding", 0.8))
+    assert(brute.contains("BroadcastNestedLoopJoin") || brute.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$brute")
+    val banded = explain(Corpus.embeddingDecontaminationBanded(
+      emb, "vec_id", "embedding", bench, "embedding", 0.8))
+    assert(!banded.contains("CartesianProduct"),
+      s"banded arm must join on band buckets, never all-pairs:\n$banded")
+  }
+
 }

@@ -130,6 +130,92 @@ class MmrSpec extends SparkSpec {
       assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 1000000) }
   }
 
+  test("kCenterSample: farthest-point order on a known geometry; seed is the lowest id") {
+    import spark.implicits._
+    // seed = 1 (lowest id, all round-1 scores tie); farthest from 1 is
+    // 3 (orthogonal); then 4 (max-cos .71 to {1,3}) beats 2 (≈1.0 to 1)
+    val pts = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.999, 0.045)),
+      (3L, Seq(0.0, 1.0)),
+      (4L, Seq(0.7, 0.7))
+    ).toDF("id", "vec")
+    val out = Similarity.kCenterSample(pts, "id", "vec", k = 4)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L, 4L, 2L))
+    assert(out(0).getAs[Long]("max_cos_ppm") == 0L, "seed has no selected set")
+    // among NON-SEED picks coverage is non-decreasing: each pick is the
+    // least redundant remaining point, and redundancy only grows as the
+    // selected set grows (the seed's conventional 0 sits outside the
+    // invariant — later picks can be negative-cosine far)
+    val cov = out.drop(1).map(_.getAs[Long]("max_cos_ppm")).toSeq
+    assert(cov == cov.sorted, s"coverage not monotone: $cov")
+  }
+
+  test("kCenterSample: fixture-scale determinism and spread beats a prefix sample") {
+    def run() = Similarity.kCenterSample(
+      emb.filter(col("vec_id") < 120), "vec_id", "embedding", k = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = run()
+    assert(a == run())
+    assert(a.map(_._2).distinct.length == 8)
+    // the traversal's max pairwise cosine must not exceed the first-8-
+    // ids prefix sample's (diversity is the verb's whole point)
+    def maxPairCos(ids: Set[Long]): Double = {
+      val vs = emb.filter(col("vec_id").isin(ids.toSeq: _*))
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      (for (i <- vs.indices; j <- vs.indices if i < j) yield {
+        val d = vs(i).zip(vs(j)).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(vs(i).map(x => x * x).sum) * math.sqrt(vs(j).map(x => x * x).sum))
+      }).max
+    }
+    assert(maxPairCos(a.map(_._2).toSet) <= maxPairCos((0L until 8L).toSet) + 1e-12)
+  }
+
+  test("diverseSamplePerGroup: quality wins rank 1, near-copies demote, groups select independently") {
+    import spark.implicits._
+    // group g1: 1 is the quality winner; 2 is a near-copy of 1 with
+    // slightly lower quality (plain top-2 would take both); 3 is
+    // distant with middling quality — MMR demotes 2 below 3.
+    // group g2: only two rows, both selected, quality order.
+    val rows = Seq(
+      ("g1", 1L, Seq(0.9, 0.43589, 0.0, 0.0), 0.95),
+      ("g1", 2L, Seq(0.85, 0.516, 0.107, 0.0), 0.90),
+      ("g1", 3L, Seq(0.7, -0.51, 0.5, 0.0), 0.60),
+      ("g2", 4L, Seq(1.0, 0.0, 0.0, 0.0), 0.20),
+      ("g2", 5L, Seq(0.0, 1.0, 0.0, 0.0), 0.80)
+    ).toDF("grp", "id", "vec", "quality")
+    val out = Similarity.diverseSamplePerGroup(rows, "grp", "id", "vec",
+      "quality", k = 3, lambdaPpm = 500000L)
+      .orderBy("grp", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // g1 at λ=0.5: r1 = 1 (.95); r2: 2 scores .5(.90−.99)<0,
+    // 3 scores .5(.60−.41)>0 → 3; r3 = 2. g2: 5 (.80) then 4.
+    assert(out.toSeq == Seq(("g1", 1, 1L), ("g1", 2, 3L), ("g1", 3, 2L),
+      ("g2", 1, 5L), ("g2", 2, 4L)), out.toSeq.toString)
+  }
+
+  test("diverseSamplePerGroup: fixture labels, k per group, no cross-group leakage") {
+    val out = Similarity.diverseSamplePerGroup(
+      emb.filter(col("vec_id") < 200).withColumn("q",
+        (col("vec_id") % 97).cast("double") / 97.0),
+      "label", "vec_id", "embedding", "q", k = 3, lambdaPpm = 600000L)
+      .collect()
+    val byGroup = out.groupBy(_.getAs[Int]("label"))
+    byGroup.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+    }
+    // every pick belongs to its claimed group
+    val membership = emb.filter(col("vec_id") < 200)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach(r =>
+      assert(membership(r.getAs[Long]("vec_id")) == r.getAs[Int]("label")))
+  }
+
   test("mmr guards: k and lambda ranges") {
     intercept[IllegalArgumentException](Similarity.mmrTopK(tinyQuery, tiny,
       "query_id", "vec", "cand_id", "vec", k = 0))

@@ -128,6 +128,26 @@ class PcaSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("whitened projection has unit variance per retained direction; whiten=false is unchanged") {
+    val model = Pca.fit(emb, "embedding", dim, 8)
+    val w = Pca.project(emb, "embedding", model, "pca", whiten = true)
+      .select(col("pca")).collect().map(_.getSeq[Double](0))
+    val n = w.length
+    for (c <- 0 until 8) {
+      val xs = w.map(_(c))
+      val mean = xs.sum / n
+      val varc = xs.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(varc - 1.0) < 1e-6, s"whitened var[$c] = $varc")
+      assert(math.abs(mean) < 1e-6, s"whitened mean[$c] = $mean")
+    }
+    // default path is bit-identical to the pre-whitening contract
+    val a = Pca.project(emb.limit(5), "embedding", model)
+      .select(col("pca")).collect().map(_.getSeq[Double](0)).toSeq
+    val b = Pca.project(emb.limit(5), "embedding", model, "pca", whiten = false)
+      .select(col("pca")).collect().map(_.getSeq[Double](0)).toSeq
+    assert(a == b)
+  }
+
   test("moments lifecycle: two appended halves refit the whole-corpus model") {
     spark.sql("DROP TABLE IF EXISTS pca_moments_spec")
     Pca.appendMoments(emb.filter(col("vec_id") % 2 === 0), "embedding",
