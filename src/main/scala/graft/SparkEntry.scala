@@ -512,110 +512,36 @@ object SparkEntry {
   private val Bm25FilteredOracleSql: String =
     bm25BatchOracle(" JOIN documents dd ON dd.doc_id = s.doc_id AND dd.lang = 'en'")
 
-  /** Semantic-decontamination twin, shared by the brute and banded
-    * arms: benchmark = exact copies of vec_id < 50, so the count of
-    * cosine-≥0.8 benchmark hits per corpus vector is decided with a
-    * ≥ 0.199 margin on every fixture — `list_cosine_similarity`'s
-    * ulp-order differences cannot flip it.
-    */
-  /** MMR greedy twin, shared by the in-memory and full-recall indexed
-    * arms: micro-unit vectors, the pinned-order double fold for every
-    * dot, λppm·rel − μppm·maxSim scores, per-round argmax with the
-    * (score DESC, cid) tie rule — four unrolled rounds reproduce the
-    * picks AND the emitted score_ppm bit-for-bit.
-    */
-  private val MmrOracleSql: String = {
-    def dot(a: String, b: String): String =
-      s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
-    def cos(a: String, n2a: String, b: String, n2b: String): String =
-      s"(CASE WHEN $n2a * $n2b = 0.0 THEN 0.0 ELSE ${dot(a, b)} / (sqrt($n2a) * sqrt($n2b)) END)"
-    val mq = "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000 + 0.5) AS DOUBLE))"
-    val lam = 700000L
-    val mu = 300000L
-    val k = 4
-    val sb = new StringBuilder
-    sb ++= s"WITH q0 AS (SELECT vec_id + 1000000 AS qid, $mq AS qv FROM embeddings WHERE vec_id < 3), "
-    sb ++= s"c0 AS (SELECT vec_id AS cid, $mq AS cv FROM embeddings WHERE vec_id < 150), "
-    sb ++= s"qn AS (SELECT qid, qv, ${dot("qv", "qv")} AS qn2 FROM q0), "
-    sb ++= s"cn AS (SELECT cid, cv, ${dot("cv", "cv")} AS cn2 FROM c0), "
-    sb ++= s"rel AS (SELECT qid, cid, cv, cn2, ${cos("qv", "qn2", "cv", "cn2")} AS rel FROM qn, cn WHERE cid <> qid), "
-    sb ++= s"s1 AS (SELECT qid, cid, cv, cn2, $lam * rel - $mu * 0.0 AS score, " +
-      s"row_number() OVER (PARTITION BY qid ORDER BY $lam * rel - $mu * 0.0 DESC, cid) AS rn FROM rel), "
-    sb ++= "sel1 AS (SELECT qid, cid, cv, cn2, score, 1 AS rank FROM s1 WHERE rn = 1), "
-    for (r <- 2 to k) {
-      val prev = s"sel${r - 1}"
-      sb ++= s"pen$r AS (SELECT r.qid, r.cid, r.cv, r.cn2, r.rel, " +
-        s"MAX(${cos("r.cv", "r.cn2", "s.cv", "s.cn2")}) AS ms " +
-        s"FROM rel r JOIN $prev s ON r.qid = s.qid " +
-        s"WHERE NOT EXISTS (SELECT 1 FROM $prev t WHERE t.qid = r.qid AND t.cid = r.cid) " +
-        "GROUP BY r.qid, r.cid, r.cv, r.cn2, r.rel), "
-      sb ++= s"s$r AS (SELECT qid, cid, cv, cn2, $lam * rel - $mu * ms AS score, " +
-        s"row_number() OVER (PARTITION BY qid ORDER BY $lam * rel - $mu * ms DESC, cid) AS rn FROM pen$r), "
-      sb ++= s"sel$r AS (SELECT * FROM $prev UNION ALL " +
-        s"SELECT qid, cid, cv, cn2, score, $r AS rank FROM s$r WHERE rn = 1), "
-    }
-    sb ++= s"fin AS (SELECT qid, rank, cid, CAST(floor(score + 0.5) AS BIGINT) AS score_ppm FROM sel$k) "
-    sb ++= "SELECT CAST(qid AS BIGINT) AS query_id, rank, CAST(cid AS BIGINT) AS neighbor_id, score_ppm " +
-      "FROM fin ORDER BY query_id, rank"
-    sb.toString
-  }
+  // ---- shared SQL lambdas for the greedy-family twins ----
+  private def oracleDot(a: String, b: String): String =
+    s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
+  private def oracleCosN2(a: String, n2a: String, b: String, n2b: String): String =
+    s"(CASE WHEN $n2a * $n2b = 0.0 THEN 0.0 ELSE ${oracleDot(a, b)} / (sqrt($n2a) * sqrt($n2b)) END)"
+  private val OracleMicroQuant =
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000 + 0.5) AS DOUBLE))"
 
-  /** k-center twin: the MMR greedy twin's λ=0 specialization — no
-    * query table, seed = lowest id from the all-tied first round,
-    * score = 0.0 − 10⁶·maxSim with the same pinned-order folds.
+  /** ONE parameterized greedy twin serves the MMR arms, the k-center
+    * coreset, and the per-group diverse sampler — the engine arithmetic
+    * (pinned-order folds, λppm·rel − μppm·maxSim scores, the
+    * (score DESC, cid) argmax, NOT-EXISTS exclusion) is written once,
+    * so a tie-rule or fold change can never leave a sibling oracle
+    * gating stale arithmetic. The caller supplies the CTE prefix
+    * (must end in `rel AS (SELECT qid, cid, cv, cn2, rel …), `), λ,
+    * the round count, and the final projection over
+    * `fin(qid, rank, cid, score)`.
     */
-  private val KCenterOracleSql: String = {
-    def dot(a: String, b: String): String =
-      s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
-    def cos(a: String, n2a: String, b: String, n2b: String): String =
-      s"(CASE WHEN $n2a * $n2b = 0.0 THEN 0.0 ELSE ${dot(a, b)} / (sqrt($n2a) * sqrt($n2b)) END)"
-    val mq = "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000 + 0.5) AS DOUBLE))"
-    val k = 5
+  private def greedyOracleSql(
+      prefix: String, lam: Long, k: Int, finalSelect: String): String = {
+    val mu = 1000000L - lam
     val sb = new StringBuilder
-    sb ++= s"WITH c0 AS (SELECT vec_id AS cid, $mq AS cv FROM embeddings WHERE vec_id < 120), "
-    sb ++= s"cn AS (SELECT cid, cv, ${dot("cv", "cv")} AS cn2 FROM c0), "
-    sb ++= "sel1 AS (SELECT cid, cv, cn2, 0.0 AS score, 1 AS rank FROM cn ORDER BY cid LIMIT 1), "
-    for (r <- 2 to k) {
-      val prev = s"sel${r - 1}"
-      sb ++= s"pen$r AS (SELECT r.cid, r.cv, r.cn2, " +
-        s"MAX(${cos("r.cv", "r.cn2", "s.cv", "s.cn2")}) AS ms " +
-        s"FROM cn r, $prev s " +
-        s"WHERE NOT EXISTS (SELECT 1 FROM $prev t WHERE t.cid = r.cid) " +
-        "GROUP BY r.cid, r.cv, r.cn2), "
-      sb ++= s"s$r AS (SELECT cid, cv, cn2, 0.0 - 1000000 * ms AS score, " +
-        s"row_number() OVER (ORDER BY 0.0 - 1000000 * ms DESC, cid) AS rn FROM pen$r), "
-      sb ++= s"sel$r AS (SELECT * FROM $prev UNION ALL " +
-        s"SELECT cid, cv, cn2, score, $r AS rank FROM s$r WHERE rn = 1), "
-    }
-    sb ++= s"fin AS (SELECT rank, cid, CAST(-floor(score + 0.5) AS BIGINT) AS max_cos_ppm FROM sel$k) "
-    sb ++= "SELECT rank, CAST(cid AS BIGINT) AS vec_id, max_cos_ppm FROM fin ORDER BY rank"
-    sb.toString
-  }
-
-  /** Per-group diverse-sample twin: the MMR greedy rounds with the
-    * LABEL as the greedy key and the exact-ratio quality column as the
-    * relevance — same pinned-order folds, same tie rules.
-    */
-  private val DiverseSampleOracleSql: String = {
-    def dot(a: String, b: String): String =
-      s"list_reduce([CAST(0.0 AS DOUBLE)] || list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (acc, v) -> acc + v)"
-    def cos(a: String, n2a: String, b: String, n2b: String): String =
-      s"(CASE WHEN $n2a * $n2b = 0.0 THEN 0.0 ELSE ${dot(a, b)} / (sqrt($n2a) * sqrt($n2b)) END)"
-    val mq = "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000 + 0.5) AS DOUBLE))"
-    val lam = 600000L
-    val mu = 400000L
-    val k = 3
-    val sb = new StringBuilder
-    sb ++= s"WITH c0 AS (SELECT label AS qid, vec_id AS cid, $mq AS cv, " +
-      "CAST(vec_id % 97 AS DOUBLE) / 97.0 AS rel FROM embeddings WHERE vec_id < 200), "
-    sb ++= s"rel AS (SELECT qid, cid, cv, ${dot("cv", "cv")} AS cn2, rel FROM c0), "
+    sb ++= prefix
     sb ++= s"s1 AS (SELECT qid, cid, cv, cn2, rel, $lam * rel - $mu * 0.0 AS score, " +
       s"row_number() OVER (PARTITION BY qid ORDER BY $lam * rel - $mu * 0.0 DESC, cid) AS rn FROM rel), "
     sb ++= "sel1 AS (SELECT qid, cid, cv, cn2, score, 1 AS rank FROM s1 WHERE rn = 1), "
     for (r <- 2 to k) {
       val prev = s"sel${r - 1}"
       sb ++= s"pen$r AS (SELECT r.qid, r.cid, r.cv, r.cn2, r.rel, " +
-        s"MAX(${cos("r.cv", "r.cn2", "s.cv", "s.cn2")}) AS ms " +
+        s"MAX(${oracleCosN2("r.cv", "r.cn2", "s.cv", "s.cn2")}) AS ms " +
         s"FROM rel r JOIN $prev s ON r.qid = s.qid " +
         s"WHERE NOT EXISTS (SELECT 1 FROM $prev t WHERE t.qid = r.qid AND t.cid = r.cid) " +
         "GROUP BY r.qid, r.cid, r.cv, r.cn2, r.rel), "
@@ -624,12 +550,53 @@ object SparkEntry {
       sb ++= s"sel$r AS (SELECT * FROM $prev UNION ALL " +
         s"SELECT qid, cid, cv, cn2, score, $r AS rank FROM s$r WHERE rn = 1), "
     }
-    sb ++= s"fin AS (SELECT qid, rank, cid, CAST(floor(score + 0.5) AS BIGINT) AS score_ppm FROM sel$k) "
-    sb ++= "SELECT qid AS label, rank, CAST(cid AS BIGINT) AS vec_id, score_ppm " +
-      "FROM fin ORDER BY label, rank"
+    sb ++= s"fin AS (SELECT qid, rank, cid, score FROM sel$k) "
+    sb ++= finalSelect
     sb.toString
   }
 
+  /** MMR greedy twin, shared by the in-memory and full-recall indexed
+    * arms: four unrolled rounds reproduce the picks AND the emitted
+    * score_ppm bit-for-bit.
+    */
+  private val MmrOracleSql: String = greedyOracleSql(
+    prefix = s"WITH q0 AS (SELECT vec_id + 1000000 AS qid, $OracleMicroQuant AS qv FROM embeddings WHERE vec_id < 3), " +
+      s"c0 AS (SELECT vec_id AS cid, $OracleMicroQuant AS cv FROM embeddings WHERE vec_id < 150), " +
+      s"qn AS (SELECT qid, qv, ${oracleDot("qv", "qv")} AS qn2 FROM q0), " +
+      s"cn AS (SELECT cid, cv, ${oracleDot("cv", "cv")} AS cn2 FROM c0), " +
+      s"rel AS (SELECT qid, cid, cv, cn2, ${oracleCosN2("qv", "qn2", "cv", "cn2")} AS rel FROM qn, cn WHERE cid <> qid), ",
+    lam = 700000L, k = 4,
+    finalSelect = "SELECT CAST(qid AS BIGINT) AS query_id, rank, CAST(cid AS BIGINT) AS neighbor_id, " +
+      "CAST(floor(score + 0.5) AS BIGINT) AS score_ppm FROM fin ORDER BY query_id, rank")
+
+  /** k-center twin: the greedy twin's λ=0 specialization — one
+    * constant greedy key, rel ≡ 0.0 (the engine multiplies relevance
+    * away), seed = lowest id from the all-tied first round.
+    */
+  private val KCenterOracleSql: String = greedyOracleSql(
+    prefix = s"WITH c0 AS (SELECT 0 AS qid, vec_id AS cid, $OracleMicroQuant AS cv, 0.0 AS rel FROM embeddings WHERE vec_id < 120), " +
+      s"rel AS (SELECT qid, cid, cv, ${oracleDot("cv", "cv")} AS cn2, rel FROM c0), ",
+    lam = 0L, k = 5,
+    finalSelect = "SELECT rank, CAST(cid AS BIGINT) AS vec_id, " +
+      "CAST(-floor(score + 0.5) AS BIGINT) AS max_cos_ppm FROM fin ORDER BY rank")
+
+  /** Per-group diverse-sample twin: the greedy twin with the LABEL as
+    * the key and the exact-ratio quality column as the relevance.
+    */
+  private val DiverseSampleOracleSql: String = greedyOracleSql(
+    prefix = s"WITH c0 AS (SELECT label AS qid, vec_id AS cid, $OracleMicroQuant AS cv, " +
+      "CAST(vec_id % 97 AS DOUBLE) / 97.0 AS rel FROM embeddings WHERE vec_id < 200), " +
+      s"rel AS (SELECT qid, cid, cv, ${oracleDot("cv", "cv")} AS cn2, rel FROM c0), ",
+    lam = 600000L, k = 3,
+    finalSelect = "SELECT qid AS label, rank, CAST(cid AS BIGINT) AS vec_id, " +
+      "CAST(floor(score + 0.5) AS BIGINT) AS score_ppm FROM fin ORDER BY label, rank")
+
+  /** Semantic-decontamination twin, shared by the brute and banded
+    * arms: benchmark = exact copies of vec_id < 50, so the count of
+    * cosine-≥0.8 benchmark hits per corpus vector is decided with a
+    * ≥ 0.199 margin on every fixture — `list_cosine_similarity`'s
+    * ulp-order differences cannot flip it.
+    */
   private val EmbeddingDecontamOracle: String =
     "WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE vec_id < 50), " +
       "h AS (SELECT e.vec_id, count(*) AS n_hits FROM embeddings e JOIN b " +
@@ -1144,6 +1111,20 @@ object SparkEntry {
         .select(col("query_id").cast(LongType).as("query_id"), col("rank"),
           col("neighbor_id").cast(LongType).as("neighbor_id"), col("score_ppm"))
         .orderBy("query_id", "rank")
+    }),
+    // Neighborhood density: cosine to the 5th nearest neighbor per
+    // vector, exact micro-units — the full frame (neighbor identity
+    // and score) replays in the twin; the all-pairs pass is the
+    // documented O(n²) oracle-baseline tier
+    "q_sim_knn_density" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.kthNeighborScore(
+        emb.filter(col("vec_id") < 120).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 5)
+        .select(col("vec_id").cast(LongType).as("vec_id"),
+          col("kth_neighbor").cast(LongType).as("kth_neighbor"),
+          col("kth_cos_ppm"))
+        .orderBy("vec_id")
     }),
     // Per-group diversified exemplar selection: quality as relevance,
     // the group as the greedy key — 3 lockstep rounds pick the best
@@ -4772,6 +4753,17 @@ object SparkEntry {
     "q_sim_mmr_indexed" -> MmrOracleSql,
     "q_sim_kcenter" -> KCenterOracleSql,
     "q_sim_diverse_sample" -> DiverseSampleOracleSql,
+    // density twin: the same micro-unit pinned-order cosine, ranked
+    // (cos DESC, nid) per vector, row 5 kept
+    "q_sim_knn_density" -> {
+      s"WITH e AS (SELECT vec_id AS id, $OracleMicroQuant AS v FROM embeddings WHERE vec_id < 120), " +
+        s"n AS (SELECT id, v, ${oracleDot("v", "v")} AS n2 FROM e), " +
+        s"p AS (SELECT a.id, b.id AS nid, ${oracleCosN2("a.v", "a.n2", "b.v", "b.n2")} AS c " +
+        "FROM n a JOIN n b ON a.id <> b.id), " +
+        "r AS (SELECT id, nid, c, row_number() OVER (PARTITION BY id ORDER BY c DESC, nid) AS rk FROM p) " +
+        "SELECT CAST(id AS BIGINT) AS vec_id, CAST(nid AS BIGINT) AS kth_neighbor, " +
+        "CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS kth_cos_ppm FROM r WHERE rk = 5 ORDER BY vec_id"
+    },
     // Portable IVF: the oracle mirrors the Spark arithmetic BIT-FOR-BIT —
     // dot is the same left-to-right double fold (list_reduce), norm the
     // same sqrt∘dot, cosine the same zero-guarded quotient — so centroid

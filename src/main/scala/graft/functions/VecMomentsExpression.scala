@@ -59,6 +59,15 @@ case class VecMomentsExpression(
     val arr = v.asInstanceOf[ArrayData]
     if (arr.numElements() != d) throw new IllegalArgumentException(
       s"vector moments: expected dim $d, got a row with ${arr.numElements()}")
+    // a null ELEMENT would read as 0.0 through toDoubleArray and
+    // silently bias the covariance — the exact failure the null-row
+    // guard above exists to prevent
+    var nc = 0
+    while (nc < d) {
+      if (arr.isNullAt(nc)) throw new IllegalArgumentException(
+        s"vector moments: null element at dim $nc (filter or impute before fitting)")
+      nc += 1
+    }
     val x = arr.toDoubleArray()
     buf(0) += 1.0
     var i = 0

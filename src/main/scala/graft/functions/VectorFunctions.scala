@@ -75,6 +75,25 @@ object VectorFunctions {
   def lshSignature(vec: Column, nBits: Int): Column =
     LshSign64Expression.lshSign64(vec, nBits)
 
+  /** The band split of an `nBits × nBands` hyperplane signature —
+    * `array<struct<__band, __sig>>`, one bucket key per band. ONE
+    * definition shared by the LSH searcher
+    * ([[graft.operators.Similarity.lshTopK]]) and the banded semantic
+    * decontamination screen, whose recall contract is "buckets
+    * IDENTICALLY to the searcher" — sharing the code is what enforces
+    * it.
+    */
+  def lshBands(vec: Column, nBits: Int, nBands: Int): Column = {
+    require(nBits > 0 && nBands > 0 && nBits * nBands <= 64,
+      s"nBits*nBands must fit the 64-bit signature, got $nBits*$nBands")
+    val mask = (1L << nBits) - 1
+    val sig = lshSignature(vec, nBits * nBands)
+    array((0 until nBands).map { b =>
+      struct(lit(b).as("__band"),
+        shiftrightunsigned(sig, b * nBits).bitwiseAND(lit(mask)).as("__sig"))
+    }: _*)
+  }
+
   /** The per-plane built-in composition the kernel replaces (string of
     * '0'/'1' per plane; kept as the correctness cross-check).
     */

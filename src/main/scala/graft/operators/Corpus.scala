@@ -1602,19 +1602,10 @@ object Corpus {
       nBands: Int = 6
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
-    require(nBits > 0 && nBands > 0 && nBits * nBands <= 64,
-      s"nBits*nBands must fit the 64-bit signature, got $nBits*$nBands")
     import graft.functions.VectorFunctions
-    val mask = (1L << nBits) - 1
-    // the lshTopK band split, verbatim, so both searchers and this
-    // screen bucket identically
-    def bands(vec: Column): Column = {
-      val sig = VectorFunctions.lshSignature(vec, nBits * nBands)
-      array((0 until nBands).map { bd =>
-        struct(lit(bd).as("__band"),
-          shiftrightunsigned(sig, bd * nBits).bitwiseAND(lit(mask)).as("__sig"))
-      }: _*)
-    }
+    // the SHARED band split (VectorFunctions.lshBands) — the searcher
+    // and this screen bucket identically by construction
+    def bands(vec: Column): Column = VectorFunctions.lshBands(vec, nBits, nBands)
     val c = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__vn", VectorFunctions.norm(col("__v")))
       .withColumn("__b", explode(bands(col("__v"))))

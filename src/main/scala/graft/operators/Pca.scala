@@ -72,13 +72,17 @@ object Pca {
     * (folded into the literal weights, so whitening is free per row) —
     * unit variance per retained direction, the Mahalanobis-flavored
     * space SemDeDup-style pipelines cluster in. Degenerate directions
-    * (λ ≤ 1e-12) stay unscaled rather than exploding.
+    * stay unscaled rather than exploding; "degenerate" is judged
+    * RELATIVE to the model's top eigenvalue (λ ≤ 1e-12·λ_max), so
+    * small-magnitude but well-conditioned data still whitens.
     */
   def projectionColumn(
       model: PcaModel, vec: Column, whiten: Boolean = false): Column = {
+    val evMax = if (model.eigenvalues.isEmpty) 0.0 else model.eigenvalues.max
     val planes = typedlit(model.components.zip(model.eigenvalues).map {
       case (w, ev) =>
-        val s = if (whiten && ev > 1e-12) 1.0 / math.sqrt(ev) else 1.0
+        val s = if (whiten && ev > 1e-12 * evMax && evMax > 0.0)
+          1.0 / math.sqrt(ev) else 1.0
         (w.map(_ * s), w.zip(model.mean).map { case (wi, mi) => wi * mi }.sum * s)
     })
     val v = vec.cast("array<double>")
@@ -171,6 +175,50 @@ object Pca {
       components = comps.map(_.getAs[scala.collection.Seq[Double]]("component").toSeq).toSeq,
       eigenvalues = comps.map(_.getAs[Double]("eigenvalue")).toSeq,
       totalVariance = meta.getAs[Double]("total_variance"))
+  }
+
+  /** Sampled ground-truth recall of the PCA squeeze — the same honest
+    * telemetry [[Similarity.ivfRecallProbe]] gives the IVF index: a
+    * deterministic portable-hash sample of the corpus queries BOTH
+    * paths — exact full-width cosine top-k (ground truth) and the
+    * reduced-space top-k under the fitted projector — and recall is
+    * the exact integer fraction of ground-truth neighbors the squeeze
+    * preserved. Run it when choosing `nComponents`: the first k whose
+    * recall clears the application's bar is the cheapest safe squeeze.
+    *
+    * Cost, stated honestly: both sides scan the corpus against
+    * `nQueries` broadcast queries — the labeled-audit tier; run it
+    * between epochs at bounded `nQueries`, not per batch.
+    * Deterministic end to end (hash-ordered sample, tie-broken ranks).
+    *
+    * @return recall in ppm: matched pairs · 10⁶ div ground-truth pairs
+    */
+  def pcaRecallProbe(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nComponents: Int,
+      nQueries: Int = 32,
+      k: Int = 10): Long = {
+    require(nQueries > 0 && k > 0)
+    val live = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val queries = live
+      .orderBy(graft.operators.Corpus.portableHash(col("vec_id")), col("vec_id"))
+      .limit(nQueries)
+      .localCheckpoint(true) // one sample frame feeds both paths
+    val truth = Similarity.bruteForceTopK(queries, live,
+      "vec_id", "embedding", "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val got = pcaTopK(queries, live, "vec_id", "embedding",
+      "vec_id", "embedding", dim, nComponents, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val r = truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hit"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n"))))
+      .select(call_function("div", col("hit") * lit(1000000L), col("n")))
+      .head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   // ------------------------------------------ persisted moments lifecycle

@@ -288,16 +288,7 @@ object Similarity {
       nBits: Int = 8,
       nBands: Int = 1
   ): DataFrame = {
-    require(nBits > 0 && nBands > 0 && nBits * nBands <= 64,
-      s"nBits*nBands must fit the 64-bit signature, got $nBits*$nBands")
-    val mask = (1L << nBits) - 1
-    def bands(vec: Column): Column = {
-      val sig = VectorFunctions.lshSignature(vec, nBits * nBands)
-      array((0 until nBands).map { b =>
-        struct(lit(b).as("__band"),
-          (shiftrightunsigned(sig, b * nBits).bitwiseAND(lit(mask))).as("__sig"))
-      }: _*)
-    }
+    def bands(vec: Column): Column = VectorFunctions.lshBands(vec, nBits, nBands)
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
       .withColumn("__b", explode(bands(col("__qv"))))
       .select(col("query_id"), col("__qv"),
@@ -1936,7 +1927,6 @@ object Similarity {
     require(k >= 1 && k <= 64, s"k in [1, 64], got $k")
     require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
       s"lambdaPpm in [0, 1e6], got $lambdaPpm")
-    val spark = queries.sparkSession
     val q = queries.select(col(queryIdCol).as("query_id"),
         microQuant(col(queryVecCol)).as("__qv"))
       .withColumn("__qn2", VectorFunctions.dot(col("__qv"), col("__qv")))
@@ -1971,6 +1961,9 @@ object Similarity {
       nProbe: Int = 2,
       lambdaPpm: Long = 700000L
   ): DataFrame = {
+    require(k >= 1 && k <= 64, s"k in [1, 64], got $k")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"lambdaPpm in [0, 1e6], got $lambdaPpm")
     require(shortlist >= k, s"shortlist $shortlist must cover k = $k")
     val short = ivfQuantizedTopKFromIndex(spark, tableName, queries,
       queryIdCol, queryVecCol, k = shortlist, nProbe = nProbe,
@@ -2019,18 +2012,61 @@ object Similarity {
       k: Int
   ): DataFrame = {
     require(k >= 1 && k <= 64, s"k in [1, 64], got $k")
+    // a coreset has no query: a constant greedy key and rel ≡ 0.0 —
+    // λ=0 would multiply any relevance away, so don't compute one
     val c = corpus.select(col(idCol).as("cand_id"),
         microQuant(col(vecCol)).as("__cv"))
       .withColumn("__cn2", VectorFunctions.dot(col("__cv"), col("__cv")))
-      // a coreset has no query: a constant query id + the vector as its
-      // own __qv satisfies the engine's schema, and λ=0 multiplies the
-      // relevance away before it can matter
       .withColumn("query_id", lit(0L))
-      .withColumn("__qv", col("__cv"))
-      .withColumn("__qn2", col("__cn2"))
-    mmrGreedy(c, k, lambdaPpm = 0L)
+      .withColumn("__rel", lit(0.0))
+    mmrGreedyScored(c, k, lambdaPpm = 0L)
       .select(col("rank"), col("neighbor_id").as(idCol),
         (-col("score_ppm")).as("max_cos_ppm"))
+  }
+
+  /** Neighborhood-density score: every vector's cosine to its k-th
+    * nearest neighbor — the data-pruning signal density-based curation
+    * uses (a HIGH k-th-neighbor cosine marks a dense/redundant region:
+    * dedup harder or downsample; a LOW one marks an isolated point:
+    * an outlier to inspect or an example worth keeping). Emitted in
+    * exact micro-units through the pinned-order folds, so the whole
+    * frame — neighbor identity AND score — replays in the twin
+    * (`q_sim_knn_density`).
+    *
+    * This is the EXACT all-pairs baseline (the documented-O(n²) tier
+    * of [[bruteForceTopK]]'s family — the oracle-able arm); at corpus
+    * scale, shortlist per-vector neighbors through the IVF-SQ index
+    * ([[ivfQuantizedTopKFromIndex]] with the corpus as its own query
+    * batch) and keep rank k. The per-key reduction is the k-bounded
+    * [[topKPerKey]] queue either way — no per-vector score list ever
+    * materializes.
+    *
+    * @return (id, kth_neighbor, kth_cos_ppm) for every vector with at
+    *         least k other vectors (smaller corpora emit no row —
+    *         there is no k-th neighbor to score)
+    */
+  def kthNeighborScore(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1 && k <= 256, s"k in [1, 256], got $k")
+    val a = df.select(col(idCol).as("query_id"), microQuant(col(vecCol)).as("__qv"))
+      .withColumn("__qn2", VectorFunctions.dot(col("__qv"), col("__qv")))
+    val b = df.select(col(idCol).as("neighbor_id"), microQuant(col(vecCol)).as("__cv"))
+      .withColumn("__cn2", VectorFunctions.dot(col("__cv"), col("__cv")))
+    val cosExact = when(col("__qn2") * col("__cn2") === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.dot(col("__qv"), col("__cv")) /
+        (sqrt(col("__qn2")) * sqrt(col("__cn2"))))
+    val scored = b.crossJoin(a)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosExact.as("cosine"))
+    topKPerKey(scored, "query_id", k)
+      .filter(col("rank") === k)
+      .select(col("query_id").as(idCol),
+        col("neighbor_id").as("kth_neighbor"),
+        floor(col("cosine") * 1000000 + 0.5).cast("long").as("kth_cos_ppm"))
   }
 
   /** Quality-and-diversity exemplar selection per group: pick k rows
@@ -2041,7 +2077,9 @@ object Similarity {
     * caller-supplied quality column as the relevance, so all groups
     * select in lockstep rounds — k bounded passes however many groups
     * exist. `quality` should live on the cosine's [-1, 1] scale (a
-    * [0, 1] score is ideal) or λ stops meaning what it says.
+    * [0, 1] score is ideal) or λ stops meaning what it says. A NULL
+    * group selects like any other (the greedy joins are null-safe,
+    * matching groupBy's null semantics).
     *
     * @return (group, rank, id, score_ppm) — pick order and the
     *         marginal score at pick time in micro-units
@@ -2100,47 +2138,55 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__score").desc, col("cand_id"))
     val picks = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-    var round = 1
-    var done = false
-    while (round <= k && !done) {
-      // lineage break per round: selections live as a literal frame of
-      // ≤ (round−1)·|queries| collected rows, never a growing plan
-      val selRows = picks.map(r => org.apache.spark.sql.Row(
-        r.get(0), r.get(1), r.get(2), r.get(3)))
-      val selDf = spark.createDataFrame(
-        new java.util.ArrayList(scala.jdk.CollectionConverters
-          .BufferHasAsJava(selRows).asJava), selSchema)
-      val remaining = cand.join(
-        broadcast(selDf.select(col("query_id"), col("cand_id"))),
-        Seq("query_id", "cand_id"), "left_anti")
-      val scored =
-        if (picks.isEmpty) remaining.withColumn("__maxsim", lit(0.0))
-        else {
-          val s = selDf.select(col("query_id"),
-            col("__cv").as("__sv"), col("__cn2").as("__sn2"))
-          val simCS = when(col("__cn2") * col("__sn2") === 0.0, lit(0.0))
-            .otherwise(VectorFunctions.dot(col("__cv"), col("__sv")) /
-              (sqrt(col("__cn2")) * sqrt(col("__sn2"))))
-          remaining.join(broadcast(s), Seq("query_id"))
-            .withColumn("__sim", simCS)
-            .groupBy(col("query_id"), col("cand_id"))
-            // per-group constants ride along; only __sim varies
-            .agg(first(col("__cv")).as("__cv"), first(col("__cn2")).as("__cn2"),
-              first(col("__rel")).as("__rel"), max(col("__sim")).as("__maxsim"))
-        }
-      // bounded collect BY CONSTRUCTION: the rank-1 window row per query
-      val won = scored.withColumn("__score", score)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("query_id"), col("cand_id"), col("__cv"), col("__cn2"),
-          col("__score"))
-        .collect()
-      if (won.isEmpty) done = true
-      else picks ++= won.map(r => org.apache.spark.sql.Row(
-        r.get(0), r.get(1), r.get(2), r.get(3), round, r.getDouble(4)))
-      round += 1
+    try {
+      var round = 1
+      var done = false
+      while (round <= k && !done) {
+        // lineage break per round: selections live as a literal frame of
+        // ≤ (round−1)·|queries| collected rows, never a growing plan
+        val selRows = picks.map(r => org.apache.spark.sql.Row(
+          r.get(0), r.get(1), r.get(2), r.get(3)))
+        val selDf = spark.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .BufferHasAsJava(selRows).asJava), selSchema)
+        // joins on the greedy key are NULL-SAFE (<=>): a null group in
+        // diverseSamplePerGroup selects like any other group instead of
+        // silently losing every round after its first pick
+        val selKeys = selDf.select(col("query_id").as("__sq"), col("cand_id").as("__sc"))
+        val remaining = cand.join(broadcast(selKeys),
+          col("query_id") <=> col("__sq") && col("cand_id") <=> col("__sc"),
+          "left_anti")
+        val scored =
+          if (picks.isEmpty) remaining.withColumn("__maxsim", lit(0.0))
+          else {
+            val s = selDf.select(col("query_id").as("__sq"),
+              col("__cv").as("__sv"), col("__cn2").as("__sn2"))
+            val simCS = when(col("__cn2") * col("__sn2") === 0.0, lit(0.0))
+              .otherwise(VectorFunctions.dot(col("__cv"), col("__sv")) /
+                (sqrt(col("__cn2")) * sqrt(col("__sn2"))))
+            remaining.join(broadcast(s), col("query_id") <=> col("__sq"))
+              .withColumn("__sim", simCS)
+              .groupBy(col("query_id"), col("cand_id"))
+              // per-group constants ride along; only __sim varies
+              .agg(first(col("__cv")).as("__cv"), first(col("__cn2")).as("__cn2"),
+                first(col("__rel")).as("__rel"), max(col("__sim")).as("__maxsim"))
+          }
+        // bounded collect BY CONSTRUCTION: the rank-1 window row per query
+        val won = scored.withColumn("__score", score)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("query_id"), col("cand_id"), col("__cv"), col("__cn2"),
+            col("__score"))
+          .collect()
+        if (won.isEmpty) done = true
+        else picks ++= won.map(r => org.apache.spark.sql.Row(
+          r.get(0), r.get(1), r.get(2), r.get(3), round, r.getDouble(4)))
+        round += 1
+      }
+    } finally {
+      cand.unpersist()
+      ()
     }
-    cand.unpersist()
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       selSchema("query_id"),
       org.apache.spark.sql.types.StructField("rank",

@@ -216,6 +216,24 @@ class MmrSpec extends SparkSpec {
       assert(membership(r.getAs[Long]("vec_id")) == r.getAs[Int]("label")))
   }
 
+  test("diverseSamplePerGroup: a NULL group selects k exemplars like any other") {
+    import spark.implicits._
+    val rows = Seq(
+      (Some("g1"), 1L, Seq(1.0, 0.0), 0.9),
+      (Some("g1"), 2L, Seq(0.0, 1.0), 0.5),
+      (None, 3L, Seq(1.0, 0.0), 0.9),
+      (None, 4L, Seq(0.0, 1.0), 0.5),
+      (None, 5L, Seq(0.7, 0.7), 0.3)
+    ).toDF("grp", "id", "vec", "quality")
+    val out = Similarity.diverseSamplePerGroup(rows, "grp", "id", "vec",
+      "quality", k = 3, lambdaPpm = 600000L).collect()
+    val nullGroup = out.filter(_.isNullAt(0))
+    assert(nullGroup.length == 3,
+      s"null group must run all rounds, got ${nullGroup.length} picks")
+    assert(nullGroup.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3))
+    assert(out.count(!_.isNullAt(0)) == 2)
+  }
+
   test("mmr guards: k and lambda ranges") {
     intercept[IllegalArgumentException](Similarity.mmrTopK(tinyQuery, tiny,
       "query_id", "vec", "cand_id", "vec", k = 0))

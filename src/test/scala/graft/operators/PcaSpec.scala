@@ -126,6 +126,13 @@ class PcaSpec extends SparkSpec {
     val ragged = emb.select(slice(col("embedding"), 1, 32).as("embedding"))
     val ex = intercept[Exception](Pca.fit(ragged, "embedding", dim, 2))
     assert(ex.getMessage != null)
+    // a null ELEMENT must fail loudly, not silently read as 0.0
+    val nullElem = emb.select(concat(
+      slice(col("embedding").cast("array<double>"), 1, dim - 1),
+      array(lit(null).cast("double"))).as("embedding"))
+    val ex2 = intercept[Exception](Pca.fit(nullElem, "embedding", dim, 2))
+    assert(ex2.getMessage != null && ex2.getMessage.contains("null element"),
+      s"wanted the null-element guard, got: ${ex2.getMessage}")
   }
 
   test("whitened projection has unit variance per retained direction; whiten=false is unchanged") {
@@ -197,6 +204,19 @@ class PcaSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       Pca.fitFromMoments(spark, "pca_moments_mixed", 2))
     assert(ex.getMessage.contains("mixes dims"))
+  }
+
+  test("pcaRecallProbe: deterministic, and a 16-component squeeze preserves most full-space neighbors") {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val r16 = Pca.pcaRecallProbe(base, "vec_id", "embedding",
+      dim, nComponents = 16, nQueries = 16, k = 5)
+    assert(r16 == Pca.pcaRecallProbe(base, "vec_id", "embedding",
+      dim, nComponents = 16, nQueries = 16, k = 5), "probe must be deterministic")
+    assert(r16 >= 300000L && r16 <= 1000000L, s"16-comp recall $r16 ppm out of band")
+    // a 2-component squeeze must lose more neighbors than 16 keep
+    val r2 = Pca.pcaRecallProbe(base, "vec_id", "embedding",
+      dim, nComponents = 2, nQueries = 16, k = 5)
+    assert(r2 < r16, s"2-comp recall $r2 should trail 16-comp $r16")
   }
 
   test("jacobi: known 2x2 eigensystem") {

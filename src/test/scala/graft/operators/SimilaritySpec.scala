@@ -937,4 +937,36 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.table("ivfpq_del_pqseeds").count() === 8,
       "purge must not move the codebook")
   }
+
+  test("kthNeighborScore: matches a driver-side exact replay; planted copy maxes the density") {
+    val base = table("embeddings").filter(col("vec_id") < 40)
+      .select(col("vec_id"), col("embedding"))
+    val out = Similarity.kthNeighborScore(base, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 40)
+    // driver replay of one vector's 3rd neighbor over micro-quant doubles
+    val vs = base.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6 + 0.5)).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var ab = 0.0; var aa = 0.0; var bb = 0.0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      if (aa * bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    val ranked = vs.keys.filter(_ != 7L).toSeq
+      .map(n => (n, cos(vs(7L), vs(n)))).sortBy { case (n, c) => (-c, n) }
+    val (wantN, wantC) = ranked(2)
+    assert(out(7L)._1 == wantN)
+    assert(out(7L)._2 == math.floor(wantC * 1e6 + 0.5).toLong)
+    // a planted exact copy gives its source a 1.0 first neighbor; with
+    // k=1 the copy pair saturates density at ~1e6 ppm
+    val withCopy = base.unionAll(base.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val k1 = Similarity.kthNeighborScore(withCopy, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(k1(3L) >= 999999L, s"copy density ${k1(3L)}")
+    // corpora smaller than k+1 emit nothing
+    assert(Similarity.kthNeighborScore(base.limit(3), "vec_id", "embedding", k = 5)
+      .count() == 0L)
+  }
 }
