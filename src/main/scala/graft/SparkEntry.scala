@@ -1112,6 +1112,22 @@ object SparkEntry {
           col("neighbor_id").cast(LongType).as("neighbor_id"), col("score_ppm"))
         .orderBy("query_id", "rank")
     }),
+    // Cross-dataset semantic join: planted copies of vec_id 40..79 on
+    // the right side pair with their originals at cosine ≈ 1.0 (≥ 0.199
+    // margin over any non-copy pair); the banded arm's exact verify
+    // makes the output equal brute-force threshold pairs
+    "q_sim_cosine_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val right = emb.filter(col("vec_id") >= 40 && col("vec_id") < 80)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.cosineJoin(
+        emb.filter(col("vec_id") < 300).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", right, "vec_id", "embedding",
+        threshold = 0.8, nBits = 6, nBands = 6)
+        .select(col("left_id").cast(LongType).as("left_id"),
+          col("right_id").cast(LongType).as("right_id"))
+        .orderBy("left_id", "right_id")
+    }),
     // Neighborhood density: cosine to the 5th nearest neighbor per
     // vector, exact micro-units — the full frame (neighbor identity
     // and score) replays in the twin; the all-pairs pass is the
@@ -4753,6 +4769,15 @@ object SparkEntry {
     "q_sim_mmr_indexed" -> MmrOracleSql,
     "q_sim_kcenter" -> KCenterOracleSql,
     "q_sim_diverse_sample" -> DiverseSampleOracleSql,
+    // cross-dataset join twin: brute-force threshold pairs — the banded
+    // arm's exact verify guarantees equality on the planted fixture
+    "q_sim_cosine_join" ->
+      ("WITH r AS (SELECT vec_id + 1000000 AS rid, CAST(embedding AS DOUBLE[]) AS rv " +
+        "FROM embeddings WHERE vec_id >= 40 AND vec_id < 80) " +
+        "SELECT CAST(l.vec_id AS BIGINT) AS left_id, CAST(r.rid AS BIGINT) AS right_id " +
+        "FROM embeddings l JOIN r " +
+        "ON list_cosine_similarity(CAST(l.embedding AS DOUBLE[]), r.rv) >= 0.8 " +
+        "WHERE l.vec_id < 300 ORDER BY left_id, right_id"),
     // density twin: the same micro-unit pinned-order cosine, ranked
     // (cos DESC, nid) per vector, row 5 kept
     "q_sim_knn_density" -> {

@@ -1589,7 +1589,11 @@ object Corpus {
     * before it can flag. Verification makes false positives
     * impossible; recall is the banding trade (near-identical vectors
     * share every band, which is what contamination looks like).
-    * Same output contract as [[embeddingDecontaminationFlags]].
+    * Same output contract as [[embeddingDecontaminationFlags]] —
+    * including the id-uniqueness requirement: the multi-band dedupe
+    * keys on (id, benchmark row), so duplicate corpus ids carrying
+    * different vectors would collapse arbitrarily (and diverge from
+    * the brute arm). Dedupe upstream first.
     */
   def embeddingDecontaminationBanded(
       df: DataFrame,

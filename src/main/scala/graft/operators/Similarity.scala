@@ -2024,6 +2024,58 @@ object Similarity {
         (-col("score_ppm")).as("max_cos_ppm"))
   }
 
+  /** Cross-dataset semantic join: all (left, right) pairs whose
+    * embedding cosine clears `threshold` — the "align two corpora by
+    * meaning" verb (translated-pair mining, QA-to-passage alignment,
+    * cross-source entity matching) that [[graft.operators.Linkage]]'s
+    * edit-distance join is for strings. Both sides bucket through the
+    * SHARED hyperplane band split
+    * ([[graft.functions.VectorFunctions.lshBands]]) and only colliding
+    * vectors meet, then every candidate is verified with the exact
+    * cosine — false positives impossible, recall the banding trade
+    * (near-identical vectors share every band). Neither side
+    * broadcasts its vectors: the join shuffles on (band, bucket) keys,
+    * so BOTH sides can be corpus-sized.
+    *
+    * Ids are the pair identity and must be UNIQUE per side: the
+    * multi-band dedupe keys on (left_id, right_id), so two rows
+    * sharing an id but carrying different vectors would collapse to
+    * an arbitrary one (the same contract as the index families'
+    * carried-column join — dedupe upstream first).
+    *
+    * @return (left_id, right_id) pairs at cosine ≥ threshold, one row
+    *         per pair however many bands collide
+    */
+  def cosineJoin(
+      left: DataFrame,
+      leftIdCol: String,
+      leftVecCol: String,
+      right: DataFrame,
+      rightIdCol: String,
+      rightVecCol: String,
+      threshold: Double,
+      nBits: Int = 6,
+      nBands: Int = 6
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    def side(df: DataFrame, idCol: String, vecCol: String, out: String) =
+      df.select(col(idCol).as(out), col(vecCol).cast("array<double>").as(s"__v_$out"))
+        .withColumn(s"__n_$out", VectorFunctions.norm(col(s"__v_$out")))
+        .withColumn("__b", explode(VectorFunctions.lshBands(col(s"__v_$out"), nBits, nBands)))
+        .select(col(out), col(s"__v_$out"), col(s"__n_$out"),
+          col("__b.__band").as("__band"), col("__b.__sig").as("__sig"))
+    val l = side(left, leftIdCol, leftVecCol, "left_id")
+    val r = side(right, rightIdCol, rightVecCol, "right_id")
+    val cos = when(col("__n_left_id") * col("__n_right_id") === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.dot(col("__v_left_id"), col("__v_right_id")) /
+        (col("__n_left_id") * col("__n_right_id")))
+    l.join(r, Seq("__band", "__sig"))
+      // a pair colliding in several bands must emit once
+      .dropDuplicates("left_id", "right_id")
+      .filter(cos >= threshold)
+      .select(col("left_id"), col("right_id"))
+  }
+
   /** Neighborhood-density score: every vector's cosine to its k-th
     * nearest neighbor — the data-pruning signal density-based curation
     * uses (a HIGH k-th-neighbor cosine marks a dense/redundant region:

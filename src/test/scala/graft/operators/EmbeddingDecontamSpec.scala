@@ -73,6 +73,28 @@ class EmbeddingDecontamSpec extends SparkSpec {
     assert(out.getLong(1) == 1L, s"multi-band dup counted ${out.getLong(1)}×")
   }
 
+  test("cosineJoin: planted cross-dataset copies pair exactly; no false positives") {
+    val left = emb.filter(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
+    val right = emb.filter(col("vec_id") >= 40 && col("vec_id") < 80)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val pairs = Similarity.cosineJoin(left, "vec_id", "embedding",
+      right, "vec_id", "embedding", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (40L until 80L).map(i => (i, i + 1000000)).toSet)
+  }
+
+  test("cosineJoin: multi-band collisions emit one pair; empty right side emits nothing") {
+    val one = emb.filter(col("vec_id") === 11).select(col("vec_id"), col("embedding"))
+    val dup = one.select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val pairs = Similarity.cosineJoin(one, "vec_id", "embedding",
+      dup, "vec_id", "embedding", threshold = 0.9, nBits = 4, nBands = 8)
+      .collect()
+    assert(pairs.length == 1, s"multi-band copy emitted ${pairs.length} pairs")
+    assert(Similarity.cosineJoin(one, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 0).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", threshold = 0.9).count() == 0L)
+  }
+
   test("guards: threshold and band ranges") {
     val bench = emb.limit(1).select(col("embedding"))
     val corpus = emb.select(col("vec_id"), col("embedding"))
