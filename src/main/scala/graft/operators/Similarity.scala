@@ -2187,8 +2187,6 @@ object Similarity {
     val mu = 1000000L - lambdaPpm
     val score = lit(lambdaPpm).cast("double") * col("__rel") -
       lit(mu).cast("double") * col("__maxsim")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__score").desc, col("cand_id"))
     val picks = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     try {
       var round = 1
@@ -2223,12 +2221,23 @@ object Similarity {
               .agg(first(col("__cv")).as("__cv"), first(col("__cn2")).as("__cn2"),
                 first(col("__rel")).as("__rel"), max(col("__sim")).as("__maxsim"))
           }
-        // bounded collect BY CONSTRUCTION: the rank-1 window row per query
+        // per-query argmax on the 1-bounded top-k queue — partial
+        // aggregation collapses each partition before the one shuffle,
+        // so even kCenterSample's SINGLE constant key never funnels the
+        // corpus through a one-partition window (the WindowExec global-
+        // sort anti-pattern). Struct order (negScore, cand_id) = the
+        // (score DESC, cand_id ASC) tie rule; cand_id is unique, so the
+        // trailing payload fields never decide.
+        // bounded collect BY CONSTRUCTION: one winner row per query
+        val item = struct((col("__score") * -1).as("neg"), col("cand_id"),
+          col("__cv"), col("__cn2"))
         val won = scored.withColumn("__score", score)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("query_id"), col("cand_id"), col("__cv"), col("__cn2"),
-            col("__score"))
+          .groupBy(col("query_id"))
+          .agg(element_at(array_sort(org.apache.spark.sql.graftbridge.ColumnBridge
+            .collectTopK(item, 1, reverse = true)), 1).as("__w"))
+          .select(col("query_id"), col("__w.cand_id").as("cand_id"),
+            col("__w.__cv").as("__cv"), col("__w.__cn2").as("__cn2"),
+            (col("__w.neg") * -1).as("__score"))
           .collect()
         if (won.isEmpty) done = true
         else picks ++= won.map(r => org.apache.spark.sql.Row(
