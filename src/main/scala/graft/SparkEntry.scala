@@ -540,10 +540,13 @@ object SparkEntry {
     sb ++= "sel1 AS (SELECT qid, cid, cv, cn2, score, 1 AS rank FROM s1 WHERE rn = 1), "
     for (r <- 2 to k) {
       val prev = s"sel${r - 1}"
+      // IS NOT DISTINCT FROM mirrors the engine's null-safe <=> joins,
+      // so a NULL group key (diverseSamplePerGroup) keeps selecting in
+      // the twin exactly as it does in the engine.
       sb ++= s"pen$r AS (SELECT r.qid, r.cid, r.cv, r.cn2, r.rel, " +
         s"MAX(${oracleCosN2("r.cv", "r.cn2", "s.cv", "s.cn2")}) AS ms " +
-        s"FROM rel r JOIN $prev s ON r.qid = s.qid " +
-        s"WHERE NOT EXISTS (SELECT 1 FROM $prev t WHERE t.qid = r.qid AND t.cid = r.cid) " +
+        s"FROM rel r JOIN $prev s ON r.qid IS NOT DISTINCT FROM s.qid " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM $prev t WHERE t.qid IS NOT DISTINCT FROM r.qid AND t.cid = r.cid) " +
         "GROUP BY r.qid, r.cid, r.cv, r.cn2, r.rel), "
       sb ++= s"s$r AS (SELECT qid, cid, cv, cn2, $lam * rel - $mu * ms AS score, " +
         s"row_number() OVER (PARTITION BY qid ORDER BY $lam * rel - $mu * ms DESC, cid) AS rn FROM pen$r), "
@@ -2264,9 +2267,15 @@ object SparkEntry {
         .toDF("query_id", "term")
       val relevance = TextAnalysis.bm25TopKBatch(docs, "doc_id", "text",
         queries, k = 10).select("query_id", "doc_id", "rank")
-      val newest = docs.select("doc_id").orderBy(col("doc_id").desc).limit(20)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("doc_id").desc)).cast(LongType))
+      // window-free rank over the constant 20-row frame: rank(d) =
+      // #kept ids ≥ d (doc_id is unique). A 20×20 self-join replaces the
+      // single-partition WindowExec whose warning competed with the
+      // bench JSON line for the driver's stdout tail budget.
+      val top20 = docs.select("doc_id").orderBy(col("doc_id").desc).limit(20)
+      val newest = top20.alias("a")
+        .join(top20.alias("b"), col("b.doc_id") >= col("a.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(count(lit(1)).cast(LongType).as("rank"))
       val freshness = queries.select("query_id").distinct()
         .crossJoin(newest).select("query_id", "doc_id", "rank")
       TextAnalysis.reciprocalRankFusion(Seq(relevance, freshness), k = 5)

@@ -86,7 +86,9 @@ object VectorFunctions {
   def lshBands(vec: Column, nBits: Int, nBands: Int): Column = {
     require(nBits > 0 && nBands > 0 && nBits * nBands <= 64,
       s"nBits*nBands must fit the 64-bit signature, got $nBits*$nBands")
-    val mask = (1L << nBits) - 1
+    // JVM shifts mod 64: (1L << 64) - 1 == 0, which would mask every
+    // signature to bucket 0 and collapse the band join to all-pairs.
+    val mask = if (nBits == 64) -1L else (1L << nBits) - 1
     val sig = lshSignature(vec, nBits * nBands)
     array((0 until nBands).map { b =>
       struct(lit(b).as("__band"),

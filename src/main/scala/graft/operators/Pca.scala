@@ -304,6 +304,13 @@ object Pca {
     val n = buf(0)
     require(n >= 2.0, s"PCA needs at least 2 rows, got ${n.toLong}")
     val mean = Array.tabulate(dim)(i => buf(1 + i) / n)
+    // Covariance via E[xy] − E[x]E[y] from the raw second moments. This
+    // single-pass form is numerically fine for the unit-scale embedding
+    // vectors this tier targets, but it cancels catastrophically when a
+    // dimension's mean magnitude dwarfs its variance (large un-centered
+    // offsets, e.g. raw feature columns around 1e6 with variance ~1):
+    // shift such inputs toward zero (subtract a per-dimension pivot)
+    // before calling fit/appendMoments.
     val cov = Array.ofDim[Double](dim, dim)
     var tri = 1 + dim
     var i = 0
