@@ -3245,6 +3245,22 @@ object SparkEntry {
           .getField("lines_kept").as("lines_kept"))
         .orderBy("doc_id")
     }),
+    // Unicode NFC normalization: planted decomposed sequences
+    // (e+U+0301, A+U+030A, o+U+0308) compose to single codepoints,
+    // while the compatibility ligature ﬁ survives NFC untouched (it
+    // folds only under NFKC — pinning the canonical-only contract).
+    // Codepoint counts prove composition actually happened: nfc_len
+    // drops by exactly the three combining marks vs raw_len.
+    "q_corpus_nfc" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Café ﬁn A" + "̊" + "ngstro" + "̈" + "m: "),
+          col("text")).as("text"))
+      staged.select(col("doc_id"),
+        Corpus.normalizeText(col("text"), "NFC").as("nfc_text"),
+        length(Corpus.normalizeText(col("text"), "NFC")).cast(LongType).as("nfc_len"),
+        length(col("text")).cast(LongType).as("raw_len"))
+        .orderBy("doc_id")
+    }),
     // Encoding-damage quality signals: mojibake (wrong-charset
     // double-decode artifacts) and control-char mass, exact integer
     // ppm — planted corruption suffixes, identical regexes in the twin
@@ -6390,6 +6406,19 @@ object SparkEntry {
         "ELSE 0 END AS lines_in, " +
         "CASE WHEN length(text) > 0 THEN CAST(len(kept) AS BIGINT) ELSE 0 END AS lines_kept " +
         "FROM f ORDER BY doc_id"),
+    "q_corpus_nfc" ->
+      // same planted decomposed prefix built from chr() codepoints
+      // (769=U+0301 combining acute, 64257=U+FB01 ﬁ, 778=U+030A ring,
+      // 776=U+0308 diaeresis); DuckDB's nfc_normalize is the oracle
+      // for the engine's canonical-composition arm, and both sides
+      // count codepoints for the shrink proof
+      ("WITH c AS (SELECT doc_id, 'Cafe' || chr(769) || ' ' || chr(64257) || " +
+        "'n A' || chr(778) || 'ngstro' || chr(776) || 'm: ' || text AS text " +
+        "FROM documents) " +
+        "SELECT doc_id, nfc_normalize(text) AS nfc_text, " +
+        "CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_len, " +
+        "CAST(length(text) AS BIGINT) AS raw_len " +
+        "FROM c ORDER BY doc_id"),
     "q_text_mojibake" ->
       // same planted suffixes, same regexes (RE2 and Java agree on
       // this alternation; '.' excludes newline in both), same exact

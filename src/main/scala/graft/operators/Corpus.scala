@@ -455,6 +455,20 @@ object Corpus {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Unicode normalization — the pass that runs BEFORE fingerprint /
+    * dedup / tokenize, so composed vs decomposed variants of the same
+    * text (é as U+00E9 vs e+U+0301) stop counting as distinct documents
+    * through [[Dedup.exact]], MinHash, and the rolling-hash chain.
+    * `form`: `NFC` (canonical, content-preserving — the storage-safe
+    * default), `NFKC` (compatibility: ﬁ→fi, fullwidth→ASCII — for
+    * fingerprint keys), `NFKC_FOLD` (NFKC + case fold + invisible
+    * format-char strip — the ICU-free confusable-skeleton approximation;
+    * see [[graft.functions.NormalizeExpression]] for what it does and
+    * does not fold). Codegen'd native expression, zero shuffles.
+    */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    graft.functions.NormalizeExpression.normalize(text, form)
+
   /** C4-style structural line filter (Raffel et al. 2020 §2.2's
     * best-known rules, the ones that are pure line-shape tests): keep
     * a line only if it (a) carries at least `minWords` whitespace

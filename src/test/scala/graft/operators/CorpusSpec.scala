@@ -1052,4 +1052,83 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  // codepoint-built fragments: literal glyphs in source are one editor
+  // round-trip away from silently recomposing, which would hollow out
+  // every composed-vs-decomposed assertion below
+  private def cp(codePoints: Int*): String =
+    codePoints.map(c => new String(Character.toChars(c))).mkString
+  private val ComposedCafe = "Caf" + cp(0xE9)           // e-acute composed
+  private val DecomposedCafe = "Cafe" + cp(0x301)       // e + combining acute
+
+  test("normalizeText: NFC composes, NFKC folds compatibility, NFKC_FOLD cases+strips invisibles") {
+    import spark.implicits._
+    def norm(s: String, form: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(Corpus.normalizeText(col("t"), form).as("n"))
+        .head().getString(0)
+    assert(norm(DecomposedCafe, "NFC") === ComposedCafe)
+    // NFC is canonical-only: the fi ligature and fullwidth A survive
+    val fiLig = cp(0xFB01); val fwA = cp(0xFF21)
+    assert(norm(fiLig + "n " + fwA, "NFC") === fiLig + "n " + fwA)
+    // NFKC folds the compatibility axis: ligature, fullwidth, superscript
+    assert(norm(fiLig + "n " + fwA + cp(0xB2), "NFKC") === "fin A2")
+    // NFKC_FOLD adds case folding and strips rendering-invisible format
+    // chars: ZWJ (200D), soft hyphen (AD), BOM (FEFF); fullwidth C
+    // compat-folds to C then cases to c
+    assert(norm(DecomposedCafe + cp(0x200D) + " So" + cp(0xAD) + "ft" +
+      cp(0xFEFF) + " " + cp(0xFF23), "NFKC_FOLD")
+      === "caf" + cp(0xE9) + " soft c")
+    // idempotent and null-safe
+    assert(norm(norm(DecomposedCafe, "NFC"), "NFC") === ComposedCafe)
+    val withNull = Seq((1L, DecomposedCafe), (2L, null)).toDF("id", "t")
+      .select(col("id"), Corpus.normalizeText(col("t")).as("n"))
+      .collect().sortBy(_.getLong(0))
+    assert(withNull(0).getString(1) === ComposedCafe && withNull(1).isNullAt(1))
+    intercept[IllegalArgumentException] { norm("x", "NFD-NOPE") }
+  }
+
+  test("normalizeText before the dedup chain: composed and decomposed e-acute are ONE document") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Seq(
+      (1L, ComposedCafe + " au lait is on the menu today."),
+      (2L, DecomposedCafe + " au lait is on the menu today."),
+      (3L, "A completely different document body."))
+      .toDF("doc_id", "text")
+    // WITHOUT normalization the variants fingerprint as distinct docs
+    assert(Dedup.exact(docs, "doc_id", "text").count() === 3L)
+    // normalize first → exact dedup collapses the pair, keep-first wins
+    val normed = docs.select(col("doc_id"),
+      Corpus.normalizeText(col("text"), "NFC").as("text"))
+    val kept = Dedup.exact(normed, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L))
+    // and the fingerprint chain agrees: rolling hash + min-gram
+    // fingerprint are equal for the normalized pair
+    val fps = normed
+      .select(col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("fp"),
+        TextAnalysis.minGramFingerprint(col("text"), k = 8).as("mg"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(1L) === fps(2L), "normalized variants must fingerprint identically")
+    val rawFps = docs
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rawFps(1L) !== rawFps(2L),
+      "the spec only proves something if the raw variants disagree")
+  }
+
+  test("normalizeText: codegen'd projection — no exchange, no UDF in the plan") {
+    val docs = table("documents")
+    val q = docs.select(Corpus.normalizeText(col("text"), "NFKC_FOLD").as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // "*(" marks a whole-stage-codegen'd stage in the plan string — the
+    // projection must ride codegen, not fall back to interpreted eval
+    assert(plan.contains("*("), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"), plan)
+    assert(q.count() === docs.count())
+  }
 }
