@@ -3468,6 +3468,23 @@ object SparkEntry {
         threshold = 0.8, nBits = 6, nBands = 6)
         .orderBy("vec_id")
     }),
+    // Persisted-index arm of the same screen (the surface a streaming
+    // ingest probes per micro-batch): write the benchmark's band rows
+    // once, probe from the table. The benchmark vectors are DISTINCT,
+    // so content-identity (stored __bid = vector hash) and the
+    // in-memory arms' row-identity agree — one oracle serves all three.
+    "q_corpus_decontam_embedding_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") < 50).select(col("embedding"))
+      s.sql("DROP TABLE IF EXISTS gate_emb_band_idx")
+      s.sql("DROP TABLE IF EXISTS gate_emb_band_idx_stats")
+      Corpus.writeEmbeddingBandIndex(bench, "embedding", "gate_emb_band_idx",
+        nBits = 6, nBands = 6)
+      Corpus.embeddingDecontaminationFromIndex(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", "gate_emb_band_idx", threshold = 0.8)
+        .orderBy("vec_id")
+    }),
     // Sharded-output manifests: balanced Knuth-hash shards of orders
     // with per-shard row counts + portable column fingerprints; shard
     // sums add up to the q_verify_checksum whole-table sums
@@ -6805,6 +6822,7 @@ object SparkEntry {
     // exact verify makes its output equal the brute arm's here
     "q_corpus_decontam_embedding" -> EmbeddingDecontamOracle,
     "q_corpus_decontam_embedding_banded" -> EmbeddingDecontamOracle,
+    "q_corpus_decontam_embedding_indexed" -> EmbeddingDecontamOracle,
     "q_corpus_chunk" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
         "c AS (SELECT doc_id, i AS chunk_id, list_slice(w, i * 24 + 1, i * 24 + 32) AS ck " +

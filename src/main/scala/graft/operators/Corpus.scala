@@ -1651,6 +1651,161 @@ object Corpus {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** The benchmark side of [[embeddingDecontaminationBanded]] as a
+    * PERSISTED surface — the semantic analogue of [[writeBloomIndex]]:
+    * each benchmark vector lands as `nBands` band rows (deterministic
+    * `__bid` = xxhash64 of the vector, exact vector + norm carried for
+    * the verify cosine) so a streaming ingest can screen every
+    * micro-batch against the stored rows without re-hashing the
+    * benchmark per epoch. Bands come from the SAME shared
+    * [[graft.functions.VectorFunctions.lshBands]] family as the batch
+    * side and the LSH searcher — bucketing identically by construction.
+    *
+    * Scale shape: O(|benchmark| · nBands) rows; a batch probe is a
+    * shuffle join on (band, sig) — neither side broadcasts, the
+    * both-sides-big contract of the banded arm, and appends are
+    * O(new suite) with replay residue deduped at read.
+    *
+    * Content identity: byte-identical benchmark vectors collapse to ONE
+    * stored identity, so `n_hits` from the index counts DISTINCT
+    * benchmark vectors hit, where the in-memory arms count benchmark
+    * ROWS (a doubled row counts twice there). `contaminated` — the flag
+    * the ingest screens on — is identical either way.
+    */
+  def writeEmbeddingBandIndex(
+      benchmark: DataFrame,
+      benchVecCol: String,
+      tableName: String,
+      nBits: Int = 6,
+      nBands: Int = 6
+  ): Unit = {
+    require(nBits > 0 && nBands > 0 && nBits * nBands <= 64,
+      s"nBits*nBands must fit the 64-bit signature, got $nBits*$nBands")
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    embBandRows(benchmark, benchVecCol, nBits, nBands)
+      .write.mode("overwrite").format("parquet").saveAsTable(tableName)
+    Seq((nBits, nBands)).toDF("n_bits", "n_bands")
+      .write.mode("overwrite").format("parquet").saveAsTable(tableName + "_stats")
+  }
+
+  private def embBandRows(
+      benchmark: DataFrame, benchVecCol: String,
+      nBits: Int, nBands: Int): DataFrame =
+    benchmark.select(col(benchVecCol).cast("array<double>").as("__bv"))
+      // deterministic row identity: a replayed append writes the SAME
+      // rows again (deduped at read), never a second identity for the
+      // same vector — monotonically_increasing_id would do exactly that
+      .withColumn("__bid", xxhash64(col("__bv")))
+      .withColumn("__bn", graft.functions.VectorFunctions.norm(col("__bv")))
+      .withColumn("__b",
+        explode(graft.functions.VectorFunctions.lshBands(col("__bv"), nBits, nBands)))
+      .select(col("__bid"), col("__bv"), col("__bn"),
+        col("__b.__band").as("__band"), col("__b.__sig").as("__sig"))
+
+  private def readEmbBandParams(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): (Int, Int) = {
+    val r = spark.table(tableName + "_stats").collect()
+    require(r.length == 1, s"${tableName}_stats must hold exactly one row")
+    (r.head.getInt(0), r.head.getInt(1))
+  }
+
+  /** Union a new eval suite's band rows into the index — O(suite)
+    * work under the STORED band-family parameters, the
+    * [[appendToBloomIndex]] contract: takes effect at the next read
+    * (a streaming screen picks it up at its next micro-batch).
+    */
+  def appendToEmbeddingBandIndex(
+      tableName: String,
+      suite: DataFrame,
+      benchVecCol: String
+  ): Unit = {
+    val spark = suite.sparkSession
+    val (nBits, nBands) = readEmbBandParams(spark, tableName)
+    embBandRows(suite, benchVecCol, nBits, nBands)
+      .write.mode("append").format("parquet").saveAsTable(tableName)
+  }
+
+  /** [[embeddingDecontaminationBanded]] served from the persisted
+    * index: same flags, same exact-cosine verification (false
+    * positives impossible), zero benchmark re-hashing per call. Same
+    * id-uniqueness requirement as the in-memory arm; duplicate stored
+    * band rows (replayed appends, suite overlap) collapse in the
+    * per-(id, benchmark-row) dedupe.
+    */
+  def embeddingDecontaminationFromIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tableName: String,
+      threshold: Double
+  ): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1], got $threshold")
+    import graft.functions.VectorFunctions
+    val spark = df.sparkSession
+    val (nBits, nBands) = readEmbBandParams(spark, tableName)
+    val c = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__vn", VectorFunctions.norm(col("__v")))
+      .withColumn("__b", explode(VectorFunctions.lshBands(col("__v"), nBits, nBands)))
+      .select(col(idCol), col("__v"), col("__vn"),
+        col("__b.__band").as("__band"), col("__b.__sig").as("__sig"))
+    val b = spark.table(tableName)
+    val cos = when(col("__vn") * col("__bn") === 0.0, lit(0.0))
+      .otherwise(VectorFunctions.dot(col("__v"), col("__bv")) /
+        (col("__vn") * col("__bn")))
+    val hits = c.join(b, Seq("__band", "__sig"))
+      .dropDuplicates(idCol, "__bid")
+      .filter(cos >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    df.select(col(idCol)).join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** One-row health report for an embedding-band index: stored band
+    * parameters, distinct benchmark vectors, total band rows, and the
+    * replay-residue duplicate ratio (ppm of rows beyond one per
+    * (vector, band)). Flags stay exact under residue — what degrades
+    * is bytes scanned per probe; past the threshold, compact.
+    */
+  def embeddingBandIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): DataFrame = {
+    val (nBits, nBands) = readEmbBandParams(spark, tableName)
+    spark.table(tableName)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("__bid")).as("n_vectors"),
+        count_distinct(col("__bid"), col("__band")).as("n_distinct"))
+      .select(lit(nBits).as("n_bits"), lit(nBands).as("n_bands"),
+        col("n_vectors"), col("n_rows"),
+        expr("((n_rows - n_distinct) * 1000000L) div greatest(n_rows, 1L)")
+          .as("dup_ppm"))
+  }
+
+  /** Staleness verdict for the embedding-band family: true when
+    * replay-residue duplicates exceed `maxDupPpm` (default 25%).
+    * Remediation is [[compactEmbeddingBandIndex]].
+    */
+  def isStaleEmbeddingBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      maxDupPpm: Long = 250000L): Boolean =
+    embeddingBandIndexStats(spark, tableName)
+      .select(col("dup_ppm")).head().getLong(0) > maxDupPpm
+
+  /** Rewrite the band table to one row per (vector, band) through the
+    * staged crash-safe swap — reclaims replay/append residue; probe
+    * results are unchanged (they dedupe at read regardless).
+    */
+  def compactEmbeddingBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): (Long, Long) =
+    graft.plans.Compaction.rewriteTable(spark, tableName, tag = "compact")(
+      _.dropDuplicates("__bid", "__band"))
+
   // ------------------------------------------- DSIR data selection
 
   /** Hashed unigram+bigram feature buckets — the DSIR feature map

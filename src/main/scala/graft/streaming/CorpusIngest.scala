@@ -279,8 +279,27 @@ object CorpusIngest {
       idCol: String,
       textCol: String,
       bloomTable: String,
+      embeddingTable: Option[String] = None,
+      embVecCol: String = "embedding",
+      embThreshold: Double = 0.90,
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
+    // The SEMANTIC arm: when `embeddingTable` names a persisted
+    // embedding-band index ([[graft.operators.Corpus.writeEmbeddingBandIndex]]),
+    // each micro-batch also bands its `embVecCol` vectors against the
+    // stored benchmark rows and exact-cosine-verified hits ≥
+    // `embThreshold` drop alongside the lexical flags — paraphrase-level
+    // benchmark leakage the n-gram bloom screen structurally misses
+    // (same wording test: reworded PII or eval items share embeddings,
+    // not shingles). Same per-epoch re-read contract as the bloom
+    // roster: a suite appended mid-stream
+    // ([[graft.operators.Corpus.appendToEmbeddingBandIndex]]) gates
+    // from the NEXT micro-batch. Both screens are deterministic over
+    // the batch, so the replay contract is unchanged.
+    embeddingTable.foreach { _ =>
+      require(cleaned.columns.contains(embVecCol),
+        s"semantic decontamination needs the stream to carry '$embVecCol'")
+    }
     ensureDest(cleaned, destDir)
     cleaned.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -291,19 +310,32 @@ object CorpusIngest {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           import spark.implicits._
-          // the flag pass scans the batch twice (flags + anti-join);
-          // pin it so the epoch isn't recomputed from the source
+          // the flag passes scan the batch several times (flags +
+          // anti-join); pin it so the epoch isn't recomputed
           batch.persist()
           try {
-            val flagged = graft.operators.Corpus
+            val lexFlagged = graft.operators.Corpus
               .bloomDecontaminationFromIndex(batch, idCol, textCol, bloomTable)
               .filter(org.apache.spark.sql.functions.col("flagged"))
               .select(idCol)
+            val semFlagged = embeddingTable.map { tbl =>
+              graft.operators.Corpus.embeddingDecontaminationFromIndex(
+                batch, idCol, embVecCol, tbl, embThreshold)
+                .filter(org.apache.spark.sql.functions.col("contaminated"))
+                .select(idCol)
+            }
+            val flagged = semFlagged
+              .map(lexFlagged.unionByName(_)).getOrElse(lexFlagged)
             val survivors = batch.join(flagged, Seq(idCol), "left_anti")
             survivors.write.mode("overwrite").parquet(s"$destDir/batch=$batchId")
             val nIn = batch.count()
             val nOut = spark.read.parquet(s"$destDir/batch=$batchId").count()
-            Seq((nIn, nIn - nOut)).toDF("docs_in", "docs_dropped")
+            // per-screen accounting beside the total: semantic hits can
+            // overlap lexical ones, so the columns are flag counts, not
+            // a partition of docs_dropped
+            val nSem = semFlagged.map(_.distinct().count()).getOrElse(0L)
+            Seq((nIn, nIn - nOut, nSem))
+              .toDF("docs_in", "docs_dropped", "flagged_semantic")
               .coalesce(1).write.mode("overwrite")
               .parquet(s"${destDir}_decontam_log/batch=$batchId")
           } finally batch.unpersist()

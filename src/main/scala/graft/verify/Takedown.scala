@@ -75,7 +75,7 @@ object Takedown {
     */
   val KnownFamilies: Set[String] =
     Set("live", "minhash", "bm25", "ivfsq", "ivfpq", "dhash", "audio",
-      "video", "bloom")
+      "video", "bloom", "embband")
 
   private val FamilyIdCol = Map(
     "minhash" -> "index_id", "bm25" -> "doc_id",
@@ -232,6 +232,22 @@ object Takedown {
     Corpus.writeBloomIndex(benchmark, benchTextCol, tableName, n, mBits, k)
   }
 
+  /** The embedding-band benchmark surface (streaming semantic
+    * decontamination's stored side), registered like the others.
+    * Holds BENCHMARK vectors, not corpus rows — a corpus takedown
+    * sweep has nothing to delete from it (like bloom, it has no
+    * per-corpus-id rows; unlike bloom, it isn't even derived from the
+    * corpus, so the sweep skips it entirely) — but registration keeps
+    * it on the staleness dashboard and under [[maintain]]'s compactor.
+    */
+  def writeEmbeddingBandIndex(spark: SparkSession, corpus: String,
+      benchmark: DataFrame, benchVecCol: String, tableName: String,
+      nBits: Int = 6, nBands: Int = 6,
+      registryTable: String = DefaultRegistry): Unit = {
+    register(spark, corpus, "embband", tableName, benchVecCol, registryTable)
+    Corpus.writeEmbeddingBandIndex(benchmark, benchVecCol, tableName, nBits, nBands)
+  }
+
   // ------------------------------------------------------------ sweep
 
   /** The one-verb takedown: delete every row matching `condition` from
@@ -303,8 +319,11 @@ object Takedown {
           "register them (Takedown.register) or clean them up first")
     }
 
-    // 3. index families: tombstone the ids, then make it physical
-    val families = rows.filterNot(r => r._1 == "live" || r._1 == "bloom")
+    // 3. index families: tombstone the ids, then make it physical.
+    // bloom is rebuilt in step 6; embband holds benchmark vectors, not
+    // corpus rows — a corpus takedown has nothing to remove from it
+    val families = rows.filterNot(r =>
+      r._1 == "live" || r._1 == "bloom" || r._1 == "embband")
     families.foreach { case (family, table, _) =>
       if (spark.catalog.tableExists(table)) family match {
         case "minhash" =>
@@ -388,7 +407,8 @@ object Takedown {
       if (n == 1) k else s"${k}_$n"
     }
     val live = Seq(("live", spark.read.parquet(liveDir), idCol))
-    val index = rows.filterNot(r => r._1 == "live" || r._1 == "bloom")
+    val index = rows.filterNot(r =>
+      r._1 == "live" || r._1 == "bloom" || r._1 == "embband")
       .filter(r => spark.catalog.tableExists(r._2))
       .flatMap { case (family, table, _) =>
         val idc = FamilyIdCol(family)
@@ -507,10 +527,111 @@ object Takedown {
               case "bloom" =>
                 (Some(Corpus.isStaleBloomIndex(spark, surface)),
                   "writeBloomIndex (rebuild wider)")
+              case "embband" =>
+                (Some(Corpus.isStaleEmbeddingBandIndex(spark, surface)),
+                  "compactEmbeddingBandIndex")
             }
           Seq((corpus, fam, surface, present, stale, fix))
       }
     }
     out.toSeq.toDF("corpus", "family", "surface", "present", "stale", "remediation")
+  }
+
+  /** Registry-driven one-verb maintenance — [[surfaceStats]] names each
+    * stale family's remediation; this RUNS it, through the existing
+    * crash-safe machinery (staged swaps and rewrites throughout), and
+    * returns the receipt: one row per dashboard surface —
+    * (corpus, family, surface, stale_before, action, stale_after) —
+    * with fresh/absent surfaces reported as `action = none` so the
+    * receipt is the whole dashboard, not a diff.
+    *
+    * Verb mapping (the dashboard's remediation column, executed):
+    *  - live (z-ordered, drifted) → [[ZOrder.reclusterZorder]], file
+    *    count sized current-bytes / `targetFileBytes` (the sweep's rule)
+    *  - versions over budget → [[Snapshots.vacuumVersions]] keeping
+    *    `keepLastVersions`
+    *  - minhash / dhash / audio / video → tombstone purge (the staged
+    *    distinct rewrite also drops replay residue); when residue alone
+    *    raised the flag the purge no-ops by design, so a still-stale
+    *    table then gets [[Compaction.compactBucketedTable]]
+    *  - bm25 → purge + restamp + [[TextAnalysis.refreshCosineNorms]]
+    *    (norms must follow the restamped snapshot; a missing roster is
+    *    repaired first)
+    *  - ivfsq / ivfpq → [[Similarity.purgeIvfSqIndex]]; the
+    *    appended-fraction / list-skew modes need a REBUILD against the
+    *    corpus vectors, which maintenance cannot conjure — those report
+    *    `stale_after = true` and the rebuild stays a deliberate act
+    *  - bloom over fill → same: bits cannot be thinned and the rebuild
+    *    needs the benchmark suite; reported, not attempted
+    *  - embband residue → [[Corpus.compactEmbeddingBandIndex]]
+    */
+  def maintain(
+      spark: SparkSession,
+      corpus: String,
+      registryTable: String = DefaultRegistry,
+      keepLastVersions: Int = 8,
+      targetFileBytes: Long = 128L << 20): DataFrame = {
+    import spark.implicits._
+    val dash = surfaceStats(spark, corpus, registryTable).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getBoolean(3),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+    val actions = dash.map { case (family, surface, present, stale) =>
+      val action: String =
+        if (!(present && stale.contains(true))) "none"
+        else family match {
+          case "live" =>
+            val p = new org.apache.hadoop.fs.Path(surface)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val it = fs.listFiles(fs.makeQualified(p), true)
+            var bytes = 0L
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.isFile && !f.getPath.getName.startsWith("_")) bytes += f.getLen
+            }
+            val parts =
+              math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+            ZOrder.reclusterZorder(spark, surface, parts)
+            "reclusterZorder"
+          case "versions" =>
+            Snapshots.vacuumVersions(spark, surface, keepLastVersions)
+            s"vacuumVersions(keepLast=$keepLastVersions)"
+          case "minhash" =>
+            Dedup.purgeMinhashIndex(spark, surface)
+            if (Dedup.isStaleMinhashIndex(spark, surface)) {
+              Compaction.compactBucketedTable(spark, surface)
+              "purgeMinhashIndex+compact"
+            } else "purgeMinhashIndex"
+          case "bm25" =>
+            TextAnalysis.purgeBm25Index(spark, surface)
+            if (!spark.catalog.tableExists(surface + "_docs"))
+              TextAnalysis.repairBm25Index(spark, surface)
+            TextAnalysis.restampBm25Index(spark, surface)
+            TextAnalysis.refreshCosineNorms(spark, surface)
+            "purgeBm25Index+restamp+refreshNorms"
+          case "ivfsq" | "ivfpq" =>
+            Similarity.purgeIvfSqIndex(spark, surface)
+            "purgeIvfSqIndex"
+          case "dhash" | "audio" | "video" =>
+            Multimodal.purgeDHashIndex(spark, surface)
+            if (Multimodal.isStaleDHashIndex(spark, surface)) {
+              Compaction.compactBucketedTable(spark, surface)
+              "purgeDHashIndex+compact"
+            } else "purgeDHashIndex"
+          case "bloom" => "needs-rebuild (writeBloomIndex wider)"
+          case "embband" =>
+            Corpus.compactEmbeddingBandIndex(spark, surface)
+            "compactEmbeddingBandIndex"
+        }
+      (family, surface, stale, action)
+    }
+    // stale_after from a FRESH dashboard pass — the same flags the
+    // next maintenance would read, never this pass's assumptions
+    val after = surfaceStats(spark, corpus, registryTable).collect()
+      .map(r => (r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+    actions.toSeq.map { case (family, surface, staleBefore, action) =>
+      (corpus, family, surface, staleBefore, action,
+        after.getOrElse((family, surface), None))
+    }.toDF("corpus", "family", "surface", "stale_before", "action", "stale_after")
   }
 }

@@ -95,6 +95,54 @@ class EmbeddingDecontamSpec extends SparkSpec {
       "vec_id", "embedding", threshold = 0.9).count() == 0L)
   }
 
+  test("persisted band index: fromIndex equals the in-memory banded arm; appends gate at next read; compact preserves flags") {
+    val bench = emb.filter(col("vec_id") < 50).select(col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    spark.sql("DROP TABLE IF EXISTS emb_band_idx")
+    spark.sql("DROP TABLE IF EXISTS emb_band_idx_stats")
+    Corpus.writeEmbeddingBandIndex(bench, "embedding", "emb_band_idx",
+      nBits = 6, nBands = 6)
+    val fromIdx = Corpus.embeddingDecontaminationFromIndex(
+      corpus, "vec_id", "embedding", "emb_band_idx", threshold = 0.8)
+      .orderBy("vec_id").collect().toSeq
+    val inMem = Corpus.embeddingDecontaminationBanded(
+      corpus, "vec_id", "embedding", bench, "embedding",
+      threshold = 0.8, nBits = 6, nBands = 6)
+      .orderBy("vec_id").collect().toSeq
+    // distinct benchmark vectors → row-identity and content-identity
+    // agree and the persisted arm must reproduce the in-memory arm
+    assert(fromIdx == inMem)
+    // a second suite appended under the STORED params gates ids 50..59
+    Corpus.appendToEmbeddingBandIndex("emb_band_idx",
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("embedding")), "embedding")
+    def flaggedIds(): Set[Long] = Corpus.embeddingDecontaminationFromIndex(
+      corpus, "vec_id", "embedding", "emb_band_idx", threshold = 0.8)
+      .filter(col("contaminated")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val afterAppend = flaggedIds()
+    assert((50L until 60L).forall(afterAppend.contains),
+      s"appended suite must gate: ${afterAppend.toSeq.sorted.take(70)}")
+    assert(afterAppend.intersect((60L until 500L).toSet).isEmpty,
+      "append must not create false positives")
+    // a REPLAYED append writes the same rows again: flags unchanged,
+    // duplicate ratio trips the staleness flag, compact reclaims it
+    // through the staged swap, flags still unchanged
+    Corpus.appendToEmbeddingBandIndex("emb_band_idx",
+      emb.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+        .select(col("embedding")), "embedding")
+    assert(flaggedIds() === afterAppend, "replay residue must not change flags")
+    assert(Corpus.isStaleEmbeddingBandIndex(spark, "emb_band_idx", maxDupPpm = 100000L),
+      "a full replayed append is well past 10% residue")
+    val (before, after) = Corpus.compactEmbeddingBandIndex(spark, "emb_band_idx")
+    assert(after < before, s"compact must reclaim rows ($before -> $after)")
+    assert(!Corpus.isStaleEmbeddingBandIndex(spark, "emb_band_idx", maxDupPpm = 100000L))
+    assert(flaggedIds() === afterAppend, "compaction must preserve flags")
+    val st = Corpus.embeddingBandIndexStats(spark, "emb_band_idx").head()
+    assert(st.getAs[Long]("dup_ppm") === 0L)
+    assert(st.getAs[Long]("n_vectors") === 60L)
+  }
+
   test("guards: threshold and band ranges") {
     val bench = emb.limit(1).select(col("embedding"))
     val corpus = emb.select(col("vec_id"), col("embedding"))

@@ -1022,4 +1022,93 @@ class CorpusIngestSpec extends SparkSpec {
     assert(allIds.filter(_ >= 700000L) === secondKept,
       "the appended suite must gate the second wave")
   }
+
+  test("semantic decontamination in-stream: the embedding screen drops paraphrase-level leakage the bloom screen misses; a suite appended mid-stream gates the next epoch") {
+    import graft.operators.Corpus
+    import graft.verify.Takedown
+    // corpus = embeddings fixture wearing doc clothes: the text column
+    // is per-id unique (the bloom screen can never flag semantically
+    // planted rows — that separation is the point of the test)
+    val emb = table("embeddings").select(
+      col("vec_id").as("doc_id"),
+      concat(lit("unique body "), col("vec_id")).as("text"),
+      col("embedding"))
+    val srcDir = tmp("graft_ingest_semsrc")
+    emb.write.mode("overwrite").parquet(srcDir)
+    // lexical benchmark: the exact text of docs 100 and 101
+    spark.sql("DROP TABLE IF EXISTS sem_bloom_idx")
+    spark.sql("DROP TABLE IF EXISTS sem_bloom_idx_stats")
+    Corpus.writeBloomIndex(emb.filter(col("doc_id").isin(100L, 101L)),
+      "text", "sem_bloom_idx", n = 3)
+    // semantic benchmark: the EMBEDDINGS of ids 5..9, registered as a
+    // takedown surface like every other stored index
+    spark.sql("DROP TABLE IF EXISTS sem_emb_idx")
+    spark.sql("DROP TABLE IF EXISTS sem_emb_idx_stats")
+    spark.sql("DROP TABLE IF EXISTS graft_surfaces_semspec")
+    Takedown.writeEmbeddingBandIndex(spark, "semspec",
+      emb.filter(col("doc_id") >= 5 && col("doc_id") < 10), "embedding",
+      "sem_emb_idx", registryTable = "graft_surfaces_semspec")
+    val outDir = tmp("graft_ingest_semout")
+    val ckpt = tmp("graft_ingest_semckpt")
+    def run(): Unit = CorpusIngest.startDecontaminated(
+      spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir),
+      outDir, ckpt, "doc_id", "text", "sem_bloom_idx",
+      embeddingTable = Some("sem_emb_idx"), embVecCol = "embedding",
+      embThreshold = 0.9).awaitTermination(180000)
+    run()
+    // streamed survivor set == the batch twins' composed unflagged set
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lexFlagged = Corpus.bloomDecontaminationFromIndex(
+        emb, "doc_id", "text", "sem_bloom_idx")
+      .filter(col("flagged")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val semFlagged = Corpus.embeddingDecontaminationFromIndex(
+        emb, "doc_id", "embedding", "sem_emb_idx", threshold = 0.9)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val allIds = emb.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === allIds -- lexFlagged -- semFlagged)
+    // the screens caught DIFFERENT documents: semantic leakage (5..9)
+    // is invisible to the n-gram bloom, and vice versa
+    assert((5L until 10L).toSet.subsetOf(semFlagged))
+    assert(semFlagged.intersect(lexFlagged).isEmpty)
+    assert(lexFlagged.nonEmpty, "the lexical screen must also have bitten")
+    // per-screen accounting landed beside the total
+    val log = spark.read.parquet(s"${outDir}_decontam_log/batch=*")
+    assert(log.agg(sum("docs_in")).head.getLong(0) === allIds.size.toLong)
+    assert(log.agg(sum("docs_dropped")).head.getLong(0)
+      === (lexFlagged.size + semFlagged.size).toLong)
+    assert(log.agg(sum("flagged_semantic")).head.getLong(0)
+      === semFlagged.size.toLong)
+    // mid-stream benchmark append: embeddings of 20..24 join the suite;
+    // a second wave re-using those vectors under new ids drops at the
+    // NEXT epoch (same checkpoint — committed epochs stay committed)
+    Corpus.appendToEmbeddingBandIndex("sem_emb_idx",
+      emb.filter(col("doc_id") >= 20 && col("doc_id") < 25)
+        .select(col("embedding")), "embedding")
+    val wave2 = emb.select((col("doc_id") + 700000L).as("doc_id"),
+      concat(lit("second wave "), col("doc_id")).as("text"),
+      col("embedding"))
+    wave2.write.mode("append").parquet(srcDir)
+    run()
+    val after = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val wave2Sem = Corpus.embeddingDecontaminationFromIndex(
+        wave2, "doc_id", "embedding", "sem_emb_idx", threshold = 0.9)
+      .filter(col("contaminated")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((Set(700005L, 700006L, 700007L, 700008L, 700009L) ++
+      Set(700020L, 700021L, 700022L, 700023L, 700024L)).subsetOf(wave2Sem),
+      "original AND appended suites must both gate the second wave")
+    assert(after.filter(_ >= 700000L)
+      === wave2.select("doc_id").collect().map(_.getLong(0)).toSet -- wave2Sem,
+      "the second wave survives exactly minus the (now wider) semantic screen")
+    // first-wave epochs were NOT reprocessed under the wider suite
+    assert(after.filter(_ < 700000L) === streamed)
+    // the registered surface shows up on the staleness dashboard
+    val dash = Takedown.surfaceStats(spark, "semspec", "graft_surfaces_semspec")
+      .filter(col("family") === "embband").collect()
+    assert(dash.length === 1 && dash.head.getAs[Boolean]("present"))
+  }
 }

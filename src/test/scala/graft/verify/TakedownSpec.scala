@@ -286,4 +286,84 @@ class TakedownSpec extends SparkSpec {
     assert(cos.toSeq === Seq((S + 900L, S + 4L)),
       "streamed history must stay cosine-scorable after the sweep")
   }
+
+  test("maintain: one call runs the named verbs for every stale surface — three dirty families go fresh, data preserved") {
+    val dir = tmp("graft_tkd_m")
+    val reg = SharedReg
+    val docs = docsFrame(40)
+    docs.write.parquet(dir)
+    Takedown.registerCorpus(spark, "tkdm", dir, "doc_id", reg)
+    Takedown.writeMinhashIndex(spark, "tkdm", docs, "doc_id", "text",
+      "tkdm_mh", buckets = 4, registryTable = reg)
+    Takedown.writeBm25Index(spark, "tkdm", docs, "doc_id", "text",
+      "tkdm_bm25", buckets = 4, registryTable = reg)
+    TextAnalysis.refreshCosineNorms(spark, "tkdm_bm25")
+    val vecs = table("embeddings").limit(30).select("embedding")
+    Takedown.writeEmbeddingBandIndex(spark, "tkdm", vecs, "embedding",
+      "tkdm_emb", registryTable = reg)
+
+    // dirty 1 + 2: tombstone 25% of the signature and postings indexes
+    // (past the 20% staleness bar) — purge is the named remediation
+    val dead = docs.filter(col("doc_id") < Off + 10).select("doc_id")
+    Dedup.deleteFromMinhashIndex(spark, "tkdm_mh", dead)
+    TextAnalysis.deleteFromBm25Index(spark, "tkdm_bm25", dead)
+    // dirty 3: a fully replayed append doubles the embband rows (50%
+    // residue, past the 25% bar) — compact is the named remediation
+    graft.operators.Corpus.appendToEmbeddingBandIndex("tkdm_emb", vecs, "embedding")
+    assert(Dedup.isStaleMinhashIndex(spark, "tkdm_mh"))
+    assert(TextAnalysis.isStaleBm25Index(spark, "tkdm_bm25"))
+    assert(graft.operators.Corpus.isStaleEmbeddingBandIndex(spark, "tkdm_emb"))
+
+    // data-equality baselines: what a reader sees BEFORE maintenance
+    // (tombstones already applied logically) must survive it untouched
+    val mhLiveBefore = spark.table("tkdm_mh")
+      .join(spark.table("tkdm_mh_tombstones").select("index_id").distinct(),
+        Seq("index_id"), "left_anti")
+      .collect().map(_.toString).sorted.toSeq
+    val embFlagsBefore = graft.operators.Corpus
+      .embeddingDecontaminationFromIndex(
+        table("embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", "tkdm_emb", threshold = 0.9)
+      .orderBy("vec_id").collect().toSeq
+
+    val receipt = Takedown.maintain(spark, "tkdm", reg).collect()
+    val byFamily = receipt.map(r => r.getString(1) -> (r.getString(4),
+      if (r.isNullAt(5)) None else Some(r.getBoolean(5)))).toMap
+    // dirty families carried stale_before = true on the receipt
+    assert(receipt.filter(r => Seq("minhash", "bm25", "embband")
+      .contains(r.getString(1))).forall(_.getBoolean(3)))
+    assert(byFamily("minhash")._1.startsWith("purgeMinhashIndex"))
+    assert(byFamily("bm25")._1 === "purgeBm25Index+restamp+refreshNorms")
+    assert(byFamily("embband")._1 === "compactEmbeddingBandIndex")
+    assert(byFamily("live")._1 === "none", "a fresh surface is left alone")
+    Seq("minhash", "bm25", "embband").foreach { f =>
+      assert(byFamily(f)._2 === Some(false), s"$f must read fresh after maintain") }
+
+    // the per-family flags agree with the receipt
+    assert(!Dedup.isStaleMinhashIndex(spark, "tkdm_mh"))
+    assert(!TextAnalysis.isStaleBm25Index(spark, "tkdm_bm25"))
+    assert(!graft.operators.Corpus.isStaleEmbeddingBandIndex(spark, "tkdm_emb"))
+
+    // data equality: the minhash purge made the logical view physical,
+    assert(spark.table("tkdm_mh").collect().map(_.toString).sorted.toSeq
+      === mhLiveBefore)
+    assert(!spark.catalog.tableExists("tkdm_mh_tombstones"))
+    // the bm25 roster and norms sidecars agree doc-for-doc post-restamp,
+    val roster = spark.table("tkdm_bm25_docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(roster === (10 until 40).map(Off + _).toSet)
+    assert(spark.table("tkdm_bm25_norms").select("doc_id")
+      .collect().map(_.getLong(0)).toSet === roster)
+    // and the embband probe flags are byte-identical after compaction
+    val embFlagsAfter = graft.operators.Corpus
+      .embeddingDecontaminationFromIndex(
+        table("embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", "tkdm_emb", threshold = 0.9)
+      .orderBy("vec_id").collect().toSeq
+    assert(embFlagsAfter === embFlagsBefore)
+
+    // maintain is idempotent: a second call finds nothing to do
+    val second = Takedown.maintain(spark, "tkdm", reg).collect()
+    assert(second.forall(_.getString(4) === "none"))
+  }
 }
