@@ -265,7 +265,8 @@ object CorpusIngest {
     * contract, unchanged.
     *
     * Each epoch also lands a one-row audit record at
-    * `<destDir>_decontam_log/batch=<id>` (docs in, docs dropped) —
+    * `<destDir>_decontam_log/batch=<id>` (docs in, docs dropped, and
+    * the semantic screen's flag count when that arm is on) —
     * overwrite-idempotent like the data epoch, so the log never
     * double-counts a replay. Appending a NEW eval suite to the bloom
     * index mid-stream takes effect from the next micro-batch — the
