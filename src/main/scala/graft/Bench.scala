@@ -11,6 +11,17 @@ object Bench {
   private[graft] def needsReprobe(prev: Double, cur: Double): Boolean =
     prev > 0 && cur > 0 && cur > 3.0 * prev && cur - prev > 2.0
 
+  /** The slow tail is re-probed UNCONDITIONALLY: a query at this cost
+    * is exactly the kind the round-over-round comparison cares about,
+    * and the ratio trigger alone can't catch a transient whose
+    * previous-round baseline was itself inflated (r16's 68 s sparse
+    * reading would have become r17's baseline and hidden a fresh 60 s
+    * transient). A solo row that CONFIRMS the in-suite median is also
+    * signal — it's the artifact demonstrating its own "no committed
+    * number disagrees with a solo probe" property.
+    */
+  private[graft] val SlowSoloFloorSec = 3.0
+
   /** Previous-round per-query medians from a LAST_BENCH.json blob —
     * used ONLY when its "sf" matches this run's fixture dir (a local
     * sf0.01 dev run must not treat the committed sf0.1 artifact as its
@@ -411,7 +422,8 @@ object Bench {
       else Map.empty
     } catch { case _: Throwable => Map.empty }
     val reprobed: Seq[(String, Double)] = results
-      .filter { case (n, v) => prevTimes.get(n).exists(p => needsReprobe(p, v)) }
+      .filter { case (n, v) =>
+        v >= SlowSoloFloorSec || prevTimes.get(n).exists(p => needsReprobe(p, v)) }
       .map { case (name, _) =>
         val times = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()

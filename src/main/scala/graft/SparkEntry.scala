@@ -3261,6 +3261,20 @@ object SparkEntry {
         length(col("text")).cast(LongType).as("raw_len"))
         .orderBy("doc_id")
     }),
+    // Normalization composed BEFORE fingerprinting — the chain the
+    // operator exists for. The planted decomposed prefix composes
+    // under NFC (e + combining acute becomes é, which then leaves the
+    // hash's [a-z0-9 ] alphabet entirely), so the rolling hash matches
+    // the twin ONLY if normalization actually ran first: skipping it
+    // keeps the bare 'e' in the fold and every fingerprint diverges.
+    "q_corpus_nfc_fingerprint" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Café nfc pins this "), col("text")).as("text"))
+      staged.select(col("doc_id"),
+        TextAnalysis.rollingHash(
+          Corpus.normalizeText(col("text"), "NFC")).as("fp"))
+        .orderBy("doc_id")
+    }),
     // Encoding-damage quality signals: mojibake (wrong-charset
     // double-decode artifacts) and control-char mass, exact integer
     // ppm — planted corruption suffixes, identical regexes in the twin
@@ -6436,6 +6450,18 @@ object SparkEntry {
         "CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_len, " +
         "CAST(length(text) AS BIGINT) AS raw_len " +
         "FROM c ORDER BY doc_id"),
+    "q_corpus_nfc_fingerprint" ->
+      // nfc_normalize FIRST (the composed é leaves the kept alphabet),
+      // then the identical rolling-hash kernel as q_text_fingerprint —
+      // the twin diverges on every row if the engine skips the
+      // normalization stage
+      ("WITH c AS (SELECT doc_id, nfc_normalize('Cafe' || chr(769) || " +
+        "' nfc pins this ' || text) AS text FROM documents), " +
+        "n AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t FROM c) " +
+        "SELECT doc_id, " +
+        "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS fp " +
+        "FROM n ORDER BY doc_id"),
     "q_text_mojibake" ->
       // same planted suffixes, same regexes (RE2 and Java agree on
       // this alternation; '.' excludes newline in both), same exact

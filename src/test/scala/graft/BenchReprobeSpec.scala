@@ -52,6 +52,17 @@ class BenchReprobeSpec extends AnyFunSuite {
     assert(Bench.parsePrevQueryTimes("not json", "/root/testdata/sf0.1").isEmpty)
   }
 
+  test("slow-tail floor: queries at or above 3s solo-probe unconditionally") {
+    // the ratio trigger alone can't catch a transient whose baseline
+    // was itself inflated — the floor makes the slow tail self-verify
+    assert(Bench.SlowSoloFloorSec === 3.0)
+    // 9.8s vs an inflated 16.8s baseline: ratio trigger silent...
+    assert(!Bench.needsReprobe(prev = 16.76, cur = 9.84))
+    // ...but the floor catches it (the composed condition in main)
+    assert(9.84 >= Bench.SlowSoloFloorSec)
+    assert(2.9 < Bench.SlowSoloFloorSec, "sub-floor queries rely on the ratio trigger")
+  }
+
   test("trigger over a parsed artifact: transient re-probes, healthy neighbors don't") {
     val prev = Bench.parsePrevQueryTimes(blob, "/root/testdata/sf0.1")
     // this round the sparse query measures healthy again → no re-probe
