@@ -701,10 +701,21 @@ object CorpusIngest {
       n: Int = 3,
       k: Int = 8,
       threshold: Double = 0.9,
+      normalizeForm: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow(),
       registerCorpus: Option[String] = None,
       registryTable: String = graft.verify.Takedown.DefaultRegistry
   ): StreamingQuery = {
+    // Unicode normalization at the funnel HEAD when requested
+    // ([[graft.operators.Corpus.normalizeText]] — NFC | NFKC |
+    // NFKC_FOLD): the text column is rewritten BEFORE quality scoring,
+    // decontamination, both dedup stages, the landed epoch, and the
+    // index appends, so composed and decomposed variants of one
+    // document fingerprint identically across epochs and what the
+    // indexes store is exactly what future batches are probed with.
+    // Validate the form eagerly — a typo must fail at start, not
+    // inside micro-batch N.
+    normalizeForm.foreach(graft.functions.NormalizeExpression.modeOf)
     ensureDest(docs, destDir)
     val session = docs.sparkSession
     // register-FIRST (the Takedown wrappers' crash contract: a death
@@ -733,8 +744,15 @@ object CorpusIngest {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           import spark.implicits._
-          val pinned = batch.localCheckpoint(true)
-          val nIn = pinned.count()
+          val staged = batch.localCheckpoint(true)
+          val nIn = staged.count()
+          // cheap projection over the pinned batch — not re-pinned;
+          // every downstream stage reads the normalized text
+          val pinned = normalizeForm match {
+            case Some(form) => staged.withColumn(textCol,
+              graft.operators.Corpus.normalizeText(col(textCol), form))
+            case None => staged
+          }
           val quality = pinned
             .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
               TextAnalysis.wordRepetitionRatio(col(textCol)) <= maxWordRep)
