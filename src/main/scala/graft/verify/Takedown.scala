@@ -582,16 +582,34 @@ object Takedown {
           case "live" =>
             val p = new org.apache.hadoop.fs.Path(surface)
             val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val it = fs.listFiles(fs.makeQualified(p), true)
+            val qualified = fs.makeQualified(p)
+            val it = fs.listFiles(qualified, true)
             var bytes = 0L
             while (it.hasNext) {
               val f = it.next()
               if (f.isFile && !f.getPath.getName.startsWith("_")) bytes += f.getLen
             }
+            // floor of 4, not 1: z-order staleness reads per-file span
+            // COVERAGE, and a 1-2 file layout covers ~the whole span
+            // per file by construction — it would re-read stale forever
+            // however fresh its boundaries (and a layout that can't
+            // skip files has no reason to exist). At scale the byte
+            // sizing dominates; the floor only binds on small data.
             val parts =
-              math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-            ZOrder.reclusterZorder(spark, surface, parts)
-            "reclusterZorder"
+              math.max(4L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+            // epoch-partitioned layout (a streamed sink's batch= dirs)
+            // repairs through the epoch collapser; a flat layout through
+            // the plain recluster — both staged, readers never see a
+            // partial layout
+            val epochLayout = fs.exists(qualified) && fs.listStatus(qualified)
+              .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+            if (epochLayout) {
+              ZOrder.reclusterZorderEpochs(spark, surface, parts)
+              "reclusterZorderEpochs"
+            } else {
+              ZOrder.reclusterZorder(spark, surface, parts)
+              "reclusterZorder"
+            }
           case "versions" =>
             Snapshots.vacuumVersions(spark, surface, keepLastVersions)
             s"vacuumVersions(keepLast=$keepLastVersions)"

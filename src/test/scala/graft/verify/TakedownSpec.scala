@@ -366,4 +366,33 @@ class TakedownSpec extends SparkSpec {
     val second = Takedown.maintain(spark, "tkdm", reg).collect()
     assert(second.forall(_.getString(4) === "none"))
   }
+
+  test("maintain: a drifted z-ordered live surface repairs through the staged epoch recluster") {
+    import graft.plans.ZOrder
+    val reg = SharedReg
+    val dir = tmp("graft_tkd_mz")
+    val base = docsFrame(60)
+    // epoch 0 sets the layout contract; epochs 1-2 land entirely
+    // outside the stored boundaries -- the edge-bucket drift signal
+    ZOrder.zorderInit(base, Seq("doc_id"), dir)
+    ZOrder.zorderAppendEpoch(base, dir, 0L, numFiles = 2)
+    ZOrder.zorderAppendEpoch(base.select((col("doc_id") + 100000L).as("doc_id"),
+      col("text")), dir, 1L, numFiles = 2)
+    ZOrder.zorderAppendEpoch(base.select((col("doc_id") + 200000L).as("doc_id"),
+      col("text")), dir, 2L, numFiles = 2)
+    assert(ZOrder.isStaleZorder(spark, dir), "two drifted epochs must read stale")
+    Takedown.registerCorpus(spark, "tkdmz", dir, "doc_id", reg)
+    val before = spark.read.parquet(dir).drop("batch")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val receipt = Takedown.maintain(spark, "tkdmz", reg).collect()
+      .map(r => r.getString(1) -> (r.getString(4),
+        if (r.isNullAt(5)) None else Some(r.getBoolean(5)))).toMap
+    assert(receipt("live")._1 === "reclusterZorderEpochs",
+      "an epoch-partitioned layout must repair through the epoch collapser")
+    assert(receipt("live")._2 === Some(false))
+    assert(!ZOrder.isStaleZorder(spark, dir))
+    val after = spark.read.parquet(dir).drop("batch")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(after === before, "recluster is a pure permutation")
+  }
 }
