@@ -1423,7 +1423,35 @@ object Corpus {
       benchTextCol: String,
       minQuality: Double = 0.3,
       maxWordRep: Double = 0.3,
-      n: Int = 8
+      n: Int = 8,
+      normalizeForm: Option[String] = None
+  ): DataFrame = {
+    // batch parity with startCuratedIngest's head-of-funnel option:
+    // every verdict stage — quality, decontamination, the dedup
+    // fingerprint — reads the normalized text, so composed/decomposed
+    // variants share one verdict group (BOTH sides normalize: an
+    // un-normalized benchmark must not stop matching normalized text)
+    normalizeForm.foreach(graft.functions.NormalizeExpression.modeOf)
+    val (df0, benchmark0) = normalizeForm match {
+      case Some(form) => (
+        df.withColumn(textCol, normalizeText(col(textCol), form)),
+        benchmark.withColumn(benchTextCol,
+          normalizeText(col(benchTextCol), form)))
+      case None => (df, benchmark)
+    }
+    curationVerdictsImpl(df0, idCol, textCol, benchmark0, benchTextCol,
+      minQuality, maxWordRep, n)
+  }
+
+  private def curationVerdictsImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      minQuality: Double,
+      maxWordRep: Double,
+      n: Int
   ): DataFrame = {
     val flags = decontaminationFlags(df, idCol, textCol, benchmark,
       benchTextCol, n).select(col(idCol), col("contaminated"))

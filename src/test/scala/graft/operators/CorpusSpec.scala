@@ -1119,6 +1119,41 @@ class CorpusSpec extends SparkSpec {
       "the spec only proves something if the raw variants disagree")
   }
 
+  test("curationVerdicts with normalizeForm: variants share one verdict group and an un-normalized benchmark still bites") {
+    import spark.implicits._
+    // tag-unique tokens with the variant word at position 5 of 11:
+    // every 8-gram shingle of the text contains it, so WITHOUT
+    // normalization not one benchmark shingle matches — the raw
+    // control below depends on exactly this placement
+    def body(v: String, tag: String) =
+      s"${tag}1 ${tag}2 ${tag}3 ${tag}4 $v ${tag}5 ${tag}6 ${tag}7 ${tag}8 ${tag}9 ${tag}x"
+    val docs = Seq(
+      (1L, body(ComposedCafe, "dup")),      // keeper of the variant pair
+      (2L, body(DecomposedCafe, "dup")),    // decomposed twin
+      (3L, body(ComposedCafe, "leak")),     // contaminated via the bench
+      (4L, body(ComposedCafe, "keepme")))   // accepted
+      .toDF("doc_id", "text")
+    // the benchmark carries the DECOMPOSED spelling of doc 3's text —
+    // it only flags if both sides normalize
+    val bench = Seq(Tuple1(body(DecomposedCafe, "leak"))).toDF("text")
+    val v = Corpus.curationVerdicts(docs, "doc_id", "text", bench, "text",
+      n = 8, normalizeForm = Some("NFC"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v === Map(1L -> "accepted", 2L -> "duplicate",
+      3L -> "contaminated", 4L -> "accepted"), v)
+    // teeth: without normalization the twin is distinct and the
+    // benchmark misses
+    val raw = Corpus.curationVerdicts(docs, "doc_id", "text", bench, "text",
+      n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(raw === Map(1L -> "accepted", 2L -> "accepted",
+      3L -> "accepted", 4L -> "accepted"), raw)
+    intercept[IllegalArgumentException] {
+      Corpus.curationVerdicts(docs, "doc_id", "text", bench, "text",
+        normalizeForm = Some("bogus"))
+    }
+  }
+
   test("normalizeText: codegen'd projection — no exchange, no UDF in the plan") {
     val docs = table("documents")
     val q = docs.select(Corpus.normalizeText(col("text"), "NFKC_FOLD").as("n"))
