@@ -143,6 +143,22 @@ class EmbeddingDecontamSpec extends SparkSpec {
     assert(st.getAs[Long]("n_vectors") === 60L)
   }
 
+  test("persisted band index probe plan: no cartesian, the (band,sig) equi-key carries the join") {
+    val bench = emb.filter(col("vec_id") < 20).select(col("embedding"))
+    spark.sql("DROP TABLE IF EXISTS emb_band_plan_idx")
+    spark.sql("DROP TABLE IF EXISTS emb_band_plan_idx_stats")
+    Corpus.writeEmbeddingBandIndex(bench, "embedding", "emb_band_plan_idx")
+    val plan = Corpus.embeddingDecontaminationFromIndex(
+      emb.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", "emb_band_plan_idx", threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    // the exact-cosine verify must ride the equi-join as a post-filter,
+    // never degrade the join itself to a cartesian/BNLJ — that is the
+    // both-sides-big contract the banded arm exists for
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("guards: threshold and band ranges") {
     val bench = emb.limit(1).select(col("embedding"))
     val corpus = emb.select(col("vec_id"), col("embedding"))
