@@ -694,6 +694,9 @@ object CorpusIngest {
       minhashTable: String,
       bloomTable: Option[String] = None,
       bm25Table: Option[String] = None,
+      embeddingTable: Option[String] = None,
+      embVecCol: String = "embedding",
+      embThreshold: Double = 0.90,
       idCol: String = "doc_id",
       textCol: String = "text",
       minQuality: Double = 0.3,
@@ -716,6 +719,16 @@ object CorpusIngest {
     // Validate the form eagerly — a typo must fail at start, not
     // inside micro-batch N.
     normalizeForm.foreach(graft.functions.NormalizeExpression.modeOf)
+    // The semantic decontamination arm (the startDecontaminated option,
+    // here inside the full funnel): when `embeddingTable` names a
+    // persisted embedding-band surface, each micro-batch's vectors band
+    // against the stored benchmark rows AFTER the lexical bloom screen —
+    // paraphrase-level leakage shares embeddings, not shingles. Same
+    // per-epoch table re-read contract; suite appends gate next batch.
+    embeddingTable.foreach { _ =>
+      require(docs.columns.contains(embVecCol),
+        s"semantic decontamination needs the stream to carry '$embVecCol'")
+    }
     ensureDest(docs, destDir)
     val session = docs.sparkSession
     // register-FIRST (the Takedown wrappers' crash contract: a death
@@ -731,6 +744,8 @@ object CorpusIngest {
         session, corpus, "bm25", t, "", registryTable))
       bloomTable.foreach(t => graft.verify.Takedown.register(
         session, corpus, "bloom", t, textCol, registryTable))
+      embeddingTable.foreach(t => graft.verify.Takedown.register(
+        session, corpus, "embband", t, embVecCol, registryTable))
     }
     bm25Table.foreach { t =>
       TextAnalysis.repairBm25Index(session, t)
@@ -767,15 +782,28 @@ object CorpusIngest {
             case None => quality
           }
           val nC = clean.count()
+          // the semantic screen runs on the lexically-clean survivors:
+          // each stage's count is the docs the PREVIOUS stages passed
+          val semClean = embeddingTable match {
+            case Some(tbl) =>
+              val semFlagged = graft.operators.Corpus
+                .embeddingDecontaminationFromIndex(
+                  clean, idCol, embVecCol, tbl, embThreshold)
+                .filter(col("contaminated")).select(idCol)
+              clean.join(semFlagged, Seq(idCol), "left_anti")
+                .localCheckpoint(true)
+            case None => clean
+          }
+          val nS = semClean.count()
           val hits = Dedup.portableMinhashPairsAgainstIndex(
-            spark, minhashTable, clean, idCol, textCol, n, k, threshold)
+            spark, minhashTable, semClean, idCol, textCol, n, k, threshold)
             .filter(col("batch_id") =!= col("index_id"))
             .select(col("batch_id").as(idCol)).distinct()
-          val noHist = clean.join(hits, Seq(idCol), "left_anti")
+          val noHist = semClean.join(hits, Seq(idCol), "left_anti")
             .localCheckpoint(true)
           val nH = noHist.count()
           val selfDups = Dedup.portableMinhashPairs(
-            clean, idCol, textCol, n, k, threshold)
+            semClean, idCol, textCol, n, k, threshold)
             .select(col("id_b").as(idCol)).distinct()
           val survivors = noHist.join(selfDups, Seq(idCol), "left_anti")
             .localCheckpoint(true)
@@ -786,15 +814,15 @@ object CorpusIngest {
           bm25Table.foreach { t =>
             TextAnalysis.appendToBm25Index(spark, t, survivors, idCol, textCol)
           }
-          Seq((nIn, nIn - nQ, nQ - nC, nC - nH, nH - nOut, nOut))
-            .toDF("docs_in", "low_quality", "contaminated", "dup_history",
-              "dup_batch", "accepted")
+          Seq((nIn, nIn - nQ, nQ - nC, nC - nS, nS - nH, nH - nOut, nOut))
+            .toDF("docs_in", "low_quality", "contaminated",
+              "contaminated_semantic", "dup_history", "dup_batch", "accepted")
             .coalesce(1).write.mode("overwrite")
             .parquet(s"${destDir}_curate_log/batch=$batchId")
-          // per-epoch cache hygiene: the clean batch's signature frame
+          // per-epoch cache hygiene: the survivors-side signature frame
           // serves both the history probe and the intra-batch pairs
           org.apache.spark.sql.graftbridge.CacheBridge.uncache(
-            Dedup.portableMinhashSignatures(clean, idCol, textCol, n, k))
+            Dedup.portableMinhashSignatures(semClean, idCol, textCol, n, k))
           // the owner session's table caches go stale behind the
           // stream's cloned session — the startLexicalIngest rule
           (minhashTable +: bm25Table.toSeq.flatMap(t =>

@@ -476,9 +476,10 @@ class CorpusIngestSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 === Set(1000L, 1010L), ids1.toSeq.sorted.mkString(","))
     val log1 = spark.read.parquet(s"${outDir}_curate_log/batch=*")
-      .collect().map(r => (0 to 5).map(r.getLong)).head
-    assert(log1 === Seq(6L, 1L, 1L, 1L, 1L, 2L),
-      s"(in, low_quality, contaminated, dup_history, dup_batch, accepted) = $log1")
+      .collect().map(r => (0 to 6).map(r.getLong)).head
+    assert(log1 === Seq(6L, 1L, 1L, 0L, 1L, 1L, 2L),
+      s"(in, low_quality, contaminated, contaminated_semantic, " +
+        s"dup_history, dup_batch, accepted) = $log1")
     // epoch 2: a copy of an epoch-1 SURVIVOR (only the appended
     // signatures catch it) + a fresh doc
     Seq((2000L, T(100)), (2001L, T(300)))
@@ -488,8 +489,8 @@ class CorpusIngestSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids2 === Set(1000L, 1010L, 2001L), ids2.toSeq.sorted.mkString(","))
     val log2 = spark.read.parquet(s"${outDir}_curate_log/batch=*")
-      .orderBy("docs_in").collect().map(r => (0 to 5).map(r.getLong))
-    assert(log2.head === Seq(2L, 0L, 0L, 1L, 0L, 1L), log2.mkString(";"))
+      .orderBy("docs_in").collect().map(r => (0 to 6).map(r.getLong))
+    assert(log2.head === Seq(2L, 0L, 0L, 0L, 1L, 0L, 1L), log2.mkString(";"))
     // every index family is current to the last epoch: the minhash
     // roster holds exactly history + accepted, and so do the BM25
     // roster and the norms sidecar (the lexical stage kept them
@@ -1110,6 +1111,52 @@ class CorpusIngestSpec extends SparkSpec {
     val dash = Takedown.surfaceStats(spark, "semspec", "graft_surfaces_semspec")
       .filter(col("family") === "embband").collect()
     assert(dash.length === 1 && dash.head.getAs[Boolean]("present"))
+  }
+
+  test("curated ingest with a semantic screen: paraphrase-level leakage drops between the bloom stage and the dedup stages, with its own accounting column and registered surface") {
+    import spark.implicits._
+    import graft.operators.{Corpus, Dedup}
+    import graft.verify.Takedown
+    def T(d: Int) = s"c${d}a c${d}b c${d}c c${d}d c${d}e c${d}f"
+    val vecOf = table("embeddings").select("vec_id", "embedding")
+    def vec(id: Long) = vecOf.filter(col("vec_id") === id).head().getSeq[Float](1)
+    val history = Seq((0L, T(0), vec(400L))).toDF("doc_id", "text", "embedding")
+    spark.sql("DROP TABLE IF EXISTS sem_cur_mh")
+    Dedup.writeMinhashIndex(history, "doc_id", "text", "sem_cur_mh", buckets = 4)
+    spark.sql("DROP TABLE IF EXISTS sem_cur_emb")
+    spark.sql("DROP TABLE IF EXISTS sem_cur_emb_stats")
+    Corpus.writeEmbeddingBandIndex(
+      vecOf.filter(col("vec_id") >= 5 && col("vec_id") < 8).select("embedding"),
+      "embedding", "sem_cur_emb")
+    val srcDir = tmp("graft_ci_sem_src")
+    val outDir = tmp("graft_ci_sem_out")
+    val ckpt = tmp("graft_ci_sem_ckpt")
+    spark.sql("DROP TABLE IF EXISTS graft_surfaces_semcur")
+    // text is per-doc unique — ONLY the embedding ties 3001 to the
+    // benchmark, which is exactly what the lexical stages can't see
+    Seq(
+      (3000L, T(100), vec(200L)),   // accepted
+      (3001L, T(101), vec(5L)),     // semantic leak (bench vector 5)
+      (3002L, T(0), vec(201L)))     // history near-dup (text of doc 0)
+      .toDF("doc_id", "text", "embedding")
+      .write.mode("overwrite").parquet(srcDir)
+    CorpusIngest.startCuratedIngest(
+      spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir),
+      outDir, ckpt, "sem_cur_mh",
+      embeddingTable = Some("sem_cur_emb"), embThreshold = 0.9,
+      registerCorpus = Some("semcur"), registryTable = "graft_surfaces_semcur")
+      .awaitTermination(180000)
+    val ids = spark.read.parquet(s"$outDir/batch=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(3000L), ids.toSeq.sorted.mkString(","))
+    val log = spark.read.parquet(s"${outDir}_curate_log/batch=*").head()
+    assert(log.getAs[Long]("contaminated_semantic") === 1L)
+    assert(log.getAs[Long]("dup_history") === 1L)
+    assert(log.getAs[Long]("accepted") === 1L)
+    // the embband surface registered with the rest of the funnel
+    val fams = Takedown.registered(spark, "semcur", "graft_surfaces_semcur")
+      .select("family").collect().map(_.getString(0)).toSet
+    assert(fams === Set("live", "minhash", "embband"))
   }
 
   test("curated ingest with normalizeForm: composed and decomposed variants dedupe across and within epochs; landed text and indexes carry the normalized form") {
