@@ -22,6 +22,32 @@ object Bench {
     */
   private[graft] val SlowSoloFloorSec = 3.0
 
+  /** Did I/O churn distort this run's committed medians? The CPU-load
+    * `degraded` flag is blind to the one distortion this box actually
+    * produces (disk churn): r17's official artifact said
+    * `degraded: false` beside a committed 127.4 s median whose own
+    * same-run solo receipt read 9.6 s. The solo re-probe machinery
+    * already measures exactly the disagreement — this feeds it into a
+    * flag: a query is I/O-degraded when its committed in-suite median
+    * exceeds 3× its same-run solo receipt with > 2 s absolute gap
+    * (the [[needsReprobe]] thresholds, applied receipt-vs-median).
+    * Returns the offending query names, sorted, so the artifact can
+    * say WHICH numbers not to trust — and `total_ex_reprobed` (the
+    * suite total minus these queries' inflated medians) restores a
+    * round-over-round comparable headline without manual exclusion.
+    */
+  private[graft] def ioDegradedQueries(
+      results: Seq[(String, Double)],
+      reprobed: Seq[(String, Double)]): Seq[String] = {
+    val medians = results.toMap
+    reprobed.collect {
+      case (soloName, solo) if soloName.endsWith("_solo") && solo > 0 &&
+        medians.get(soloName.stripSuffix("_solo"))
+          .exists(m => needsReprobe(solo, m)) =>
+        soloName.stripSuffix("_solo")
+    }.sorted
+  }
+
   /** Previous-round per-query medians from a LAST_BENCH.json blob —
     * used ONLY when its "sf" matches this run's fixture dir (a local
     * sf0.01 dev run must not treat the committed sf0.1 artifact as its
@@ -168,20 +194,23 @@ object Bench {
     // on-disk Derby under `tag`: DDL on first load, truncate + batched
     // INSERT, 4 tables in flight, then compareDb must verify every
     // table before the number counts. Returns (wall seconds, rows/s),
-    // (-1,-1) on any failure. Identical pipeline for both calls below —
-    // the two reported numbers must differ ONLY in engine durability.
-    // logDevice: when a tmpfs scratch dir is available (/dev/shm), the
-    // embedded engine's transaction log goes there while the data pages
-    // stay on disk. Rationale, documented per the r16 verdict: the
-    // durable number bills Derby's INLINE commit fsync to the migrator
-    // thread, and on this box that fsync tracks ambient disk churn
-    // (same binary: 8.4 s r15, 19-21 s r16, code path unchanged). The
-    // reference's published 7.23 s runs against a MySQL SERVER whose
-    // group-committed log flush overlaps with the client — an embedded
-    // engine fsyncing to a churned device measures the device, not the
-    // pipeline. The commit protocol itself is unchanged (every commit
-    // still syncs its log through the same code path); only the log's
-    // device is quieter.
+    // (-1,-1) on any failure. Identical pipeline for every call below —
+    // the reported numbers must differ ONLY in engine durability and
+    // log placement.
+    // logDevice (`scratch`): when set, the embedded engine's
+    // transaction log goes to tmpfs (/dev/shm) while data pages stay
+    // on disk. r17 ran the DURABLE headline that way and its advisor
+    // correctly objected: a commit fsync that lands on tmpfs is not
+    // crash-durable, so the number is not comparable to the
+    // reference's published 7.23 s against a real MySQL server. Split
+    // per the advice: `jdbc_sync` keeps its log on DISK (crash-durable,
+    // the honest baseline comparable), and the tmpfs reading lands
+    // under its own key `jdbc_sync_shmlog` — still worth reporting
+    // because it isolates the pipeline from the box's dominant noise
+    // source (the same binary's durable arm measured 8.4 s r15,
+    // 19-21 s r16, code path unchanged: ambient disk churn billed to
+    // the inline fsync), the way a server engine's group-committed
+    // log flush would overlap it.
     val logScratch: Option[String] = {
       val shm = new java.io.File("/dev/shm")
       if (shm.isDirectory && shm.canWrite)
@@ -189,9 +218,10 @@ object Bench {
           shm.toPath, "graft_bench_dblog").toString)
       else None
     }
-    def syncOnce(tag: String, props: java.util.Properties): (Double, Double) = {
+    def syncOnce(tag: String, props: java.util.Properties,
+        scratch: Option[String]): (Double, Double) = {
       val dbDir = java.nio.file.Files.createTempDirectory(tag)
-      val logDev = logScratch.map(s => s";logDevice=$s/${dbDir.getFileName}")
+      val logDev = scratch.map(s => s";logDevice=$s/${dbDir.getFileName}")
         .getOrElse("")
       try {
         val url = s"jdbc:derby:$dbDir/db;create=true$logDev"
@@ -210,7 +240,7 @@ object Bench {
       } catch { case _: Throwable => (-1.0, -1.0) }
       finally {
         org.apache.commons.io.FileUtils.deleteQuietly(dbDir.toFile)
-        logScratch.foreach(s => org.apache.commons.io.FileUtils.deleteQuietly(
+        scratch.foreach(s => org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s, dbDir.getFileName.toString)))
       }
     }
@@ -226,14 +256,23 @@ object Bench {
     // one bad run become the committed headline two rounds running.
     // Each sync is a complete independent migration (fresh throwaway
     // db, DDL + truncate + batched INSERT + compareDb verification).
+    // Log on DISK — every commit fsync reaches stable storage, so this
+    // IS crash-durable and comparable to the reference's figure.
+    def median3Sync(tag: String, scratch: Option[String]): (Double, Double) = {
+      val runs = (1 to 3)
+        .map(_ => syncOnce(tag, new java.util.Properties(), scratch))
+        .filter(_._1 > 0)
+      if (runs.isEmpty) (-1.0, -1.0)
+      else runs.sortBy(_._1).apply(runs.size / 2)
+    }
     val (jdbcSync, jdbcRps) = if (only.isDefined) (-1.0, -1.0)
-      else {
-        val runs = (1 to 3)
-          .map(_ => syncOnce("graft_bench_derby", new java.util.Properties()))
-          .filter(_._1 > 0)
-        if (runs.isEmpty) (-1.0, -1.0)
-        else runs.sortBy(_._1).apply(runs.size / 2)
-      }
+      else median3Sync("graft_bench_derby", None)
+    // The same median-of-3 protocol with the transaction log on tmpfs
+    // (r17's headline arm, now under its own key): the low-I/O-noise
+    // reading that tracks the pipeline rather than the disk. NOT
+    // crash-durable — never compare it to the durable baseline.
+    val jdbcSyncShm = if (only.isDefined || logScratch.isEmpty) -1.0
+      else median3Sync("graft_bench_derbyshm", logScratch)._1
     // Relaxed-durability second sync. The durable number above bills
     // the embedded engine's inline transaction-log fsync to the
     // migrator thread — an artifact of in-process Derby (a server
@@ -259,7 +298,7 @@ object Bench {
         val props = new java.util.Properties()
         props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
         try {
-          val rlx = syncOnce("graft_bench_derby2", props)._2
+          val rlx = syncOnce("graft_bench_derby2", props, logScratch)._2
           // Writer-concurrency scaling probe. The production writer
           // CLAMPS embedded URLs to one connection (BatchWriter
           // .connectionBudget) on the claim that an in-process engine
@@ -454,6 +493,14 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Same-run receipt disagreement → the artifact names its own
+    // distorted readings (see ioDegradedQueries), and the headline
+    // total is re-reported WITHOUT them: `total` stays the raw sum
+    // (never silently edited), `total_ex_reprobed` is the
+    // round-over-round comparable one — on a quiet box they are equal.
+    val ioDeg = ioDegradedQueries(results, reprobed)
+    val totalExReprobed = total -
+      results.collect { case (n, v) if ioDeg.contains(n) && v > 0 => v }.sum
     // operator params of the headline approximate queries, so a perf
     // delta across rounds is attributable to code vs knob changes
     // (compact: the whole line must survive the driver's tail window)
@@ -474,7 +521,12 @@ object Bench {
     }
     val params = "{\"agg\":\"median\",\"load\":" + loadStart +
       ",\"heap_peak_mb\":" + heapPeakMb +
-      ",\"degraded\":" + degraded + ",\"cpus\":" + cpus +
+      ",\"degraded\":" + degraded +
+      ",\"io_degraded\":" + ioDeg.nonEmpty +
+      (if (ioDeg.nonEmpty)
+        ",\"io_degraded_queries\":\"" + ioDeg.mkString(",") + "\""
+      else "") +
+      ",\"cpus\":" + cpus +
       ",\"simhash_portable\":\"28bit 4x7 h3 cap1000\"" +
       ",\"simhash\":\"64bit 4x16 h3 cap1000 planted\"" +
       ",\"minhash\":\"n3 k64 b16 t1.0 cap1000 planted\"" +
@@ -486,12 +538,16 @@ object Bench {
       ",\"stream_lifecycle\":" + fmt(streamLifecycle) +
       ",\"jdbc_sync\":" + fmt(jdbcSync) +
       ",\"jdbc_rps\":" + (if (jdbcRps < 0) "-1" else f"$jdbcRps%.0f") +
+      // same pipeline, transaction log on tmpfs: pipeline-tracking, NOT
+      // crash-durable (r17 reported this arm AS jdbc_sync; split per
+      // the round-17 advice so the durable headline is honest)
+      ",\"jdbc_sync_shmlog\":" + fmt(jdbcSyncShm) +
       ",\"jdbc_rps_rlx\":" +
       (if (jdbcRpsRelaxed < 0) "-1" else f"$jdbcRpsRelaxed%.0f") +
-      // durable protocol: median of 3 full syncs; +shmlog = transaction
-      // log on tmpfs scratch (commit path unchanged, device quieter)
-      ",\"jdbc_protocol\":\"median3" +
-      (if (logScratch.isDefined) "+shmlog" else "") + "\"" +
+      // durable protocol: median of 3 full syncs, log on disk (every
+      // commit fsync hits stable storage); the shmlog arm is median-of-3
+      // with the log on tmpfs, reported under its own key above
+      ",\"jdbc_protocol\":\"median3disk+median3shmlog\"" +
       // seconds per writer count, clamp bypassed (see the probe above);
       // no server-mode engine ships in-sandbox, so this curve on
       // embedded Derby plus that documented absence IS the scaling
@@ -516,7 +572,7 @@ object Bench {
     // char trailer) clipped its head → "parsed": null. 1830 total -
     // measured overhead keeps the slowest (comparison-worthy) entries
     // and counts the rest in "omitted", whatever params grows to next.
-    val overhead = 110 + params.length + failed.length + sfDir.length
+    val overhead = 145 + params.length + failed.length + sfDir.length
     val lineBudget = math.max(300, 1830 - overhead)
     // solo re-probes go first: they exist precisely to contextualize the
     // slow outliers the by-time budget keeps, so they must survive too
@@ -529,7 +585,9 @@ object Bench {
     }
     val qs = kept.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val omitted = results.size - kept.size
+    // solo re-probe rows in `kept` are not suite queries — counting
+    // them as kept understated how many suite entries were dropped
+    val omitted = results.size - kept.count(k => !k._1.endsWith("_solo"))
     // The stdout line's budget forces most per-query times into
     // "omitted", which would lose round-over-round comparability for
     // everything but the slow tail — so every FULL-suite run also
@@ -539,7 +597,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     if (only.isEmpty) try {
-      val blob = s"""{"sf":"$sfDir","reps":$reps,"total":${fmt(total)},"failed":$failed,"queries":$fullMap,"params":$params}"""
+      val blob = s"""{"sf":"$sfDir","reps":$reps,"total":${fmt(total)},"total_ex_reprobed":${fmt(totalExReprobed)},"failed":$failed,"queries":$fullMap,"params":$params}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench/LAST_BENCH.json"),
         (blob + "\n").getBytes("UTF-8"))
@@ -556,7 +614,7 @@ object Bench {
           .getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"params":$params,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"total_ex_reprobed":${fmt(totalExReprobed)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"params":$params,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,6 +63,32 @@ class BenchReprobeSpec extends AnyFunSuite {
     assert(2.9 < Bench.SlowSoloFloorSec, "sub-floor queries rely on the ratio trigger")
   }
 
+  test("ioDegradedQueries: committed median >3x its same-run solo receipt flags the run") {
+    // the r17 incident, verbatim: the official artifact said
+    // degraded:false while carrying 127.4 committed vs 9.6 solo
+    val results = Seq("q_text_cosine_incremental" -> 127.4,
+      "q_text_cosine_sparse" -> 17.4, "q_corpus_leak_split" -> 4.2,
+      "q_fast" -> 0.3)
+    val reprobed = Seq("q_text_cosine_incremental_solo" -> 9.6,
+      "q_text_cosine_sparse_solo" -> 6.2, "q_corpus_leak_split_solo" -> 3.1)
+    assert(Bench.ioDegradedQueries(results, reprobed) ===
+      Seq("q_text_cosine_incremental"),
+      "only the >3x receipt gap flags; 2.8x and 1.4x agreements do not")
+    // a clean run (every receipt confirms its median) flags nothing
+    assert(Bench.ioDegradedQueries(
+      Seq("q_a" -> 4.4), Seq("q_a_solo" -> 4.1)).isEmpty)
+    // a failed solo (-1) or a solo with no matching suite entry is inert
+    assert(Bench.ioDegradedQueries(
+      Seq("q_a" -> 44.0), Seq("q_a_solo" -> -1.0, "q_b_solo" -> 1.0)).isEmpty)
+    // sub-2s absolute gaps don't flag even past 3x (needsReprobe's floor)
+    assert(Bench.ioDegradedQueries(
+      Seq("q_a" -> 1.9), Seq("q_a_solo" -> 0.5)).isEmpty)
+    // several distorted queries all get named, sorted
+    assert(Bench.ioDegradedQueries(
+      Seq("q_z" -> 40.0, "q_a" -> 30.0),
+      Seq("q_z_solo" -> 4.0, "q_a_solo" -> 3.0)) === Seq("q_a", "q_z"))
+  }
+
   test("trigger over a parsed artifact: transient re-probes, healthy neighbors don't") {
     val prev = Bench.parsePrevQueryTimes(blob, "/root/testdata/sf0.1")
     // this round the sparse query measures healthy again → no re-probe
