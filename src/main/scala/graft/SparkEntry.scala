@@ -3275,6 +3275,42 @@ object SparkEntry {
           Corpus.normalizeText(col("text"), "NFC")).as("fp"))
         .orderBy("doc_id")
     }),
+    // Cross-script homoglyph folding: the planted prefix exercises the
+    // WHOLE confusable table — all 19 Cyrillic + 14 Greek post-fold
+    // mappings plus their uppercase forms (which reach the table
+    // through the case fold) — and the twin replays the identical
+    // mapping as a translate over the lowercased text. NFC/NFKC leave
+    // every one of these codepoints untouched (spec-pinned), so only
+    // CONFUSABLE_FOLD can match.
+    "q_corpus_confusable_fold" -> ((s, dir) => {
+      val staged = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("аеорсухѕіјһԁԛԝ вкмнт ВКМНТ АЕОРСУХЅІЈ " +
+          "αβεζηικμνορτυχ ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ Mixed CASE "),
+          col("text")).as("text"))
+      staged.select(col("doc_id"),
+        Corpus.normalizeText(col("text"), "CONFUSABLE_FOLD").as("folded"),
+        length(Corpus.normalizeText(col("text"), "CONFUSABLE_FOLD"))
+          .cast(LongType).as("folded_len"),
+        length(col("text")).cast(LongType).as("raw_len"))
+        .orderBy("doc_id")
+    }),
+    // The evasion the fold exists to kill, driven through the REAL
+    // chain: Cyrillic-а/е/о twins of every document collapse onto
+    // their originals under Dedup.exact keyed on the CONFUSABLE_FOLD
+    // text (keep-first: the original's smaller id wins), and the
+    // survivors' rolling-hash fingerprints replay the same mapping —
+    // skip the fold and every twin survives as a distinct document.
+    "q_corpus_confusable_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val twins = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        translate(col("text"), "aeo", "аео").as("text"))
+      val pre = docs.unionByName(twins).withColumn("__folded",
+        Corpus.normalizeText(col("text"), "CONFUSABLE_FOLD"))
+      Dedup.exact(pre, "doc_id", "__folded")
+        .select(col("doc_id"),
+          TextAnalysis.rollingHash(col("__folded")).as("fp"))
+        .orderBy("doc_id")
+    }),
     // Encoding-damage quality signals: mojibake (wrong-charset
     // double-decode artifacts) and control-char mass, exact integer
     // ppm — planted corruption suffixes, identical regexes in the twin
@@ -3497,6 +3533,30 @@ object SparkEntry {
       Corpus.embeddingDecontaminationFromIndex(
         emb.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", "gate_emb_band_idx", threshold = 0.8)
+        .orderBy("vec_id")
+    }),
+    // Suite REMOVAL from the persisted band index: build A∪B (write +
+    // append), retire B through the O(|suite|) anti-join delete, probe.
+    // The oracle is the A-only brute screen — so the gate fails both if
+    // the delete under-removes (B's self-matches at vec_id 50-79 would
+    // flag) and if it over-removes (A's planted sources stop flagging).
+    // A and B are content-disjoint in every fixture (checked: zero
+    // byte-identical vectors across the ranges), so delete == rebuild
+    // holds exactly.
+    "q_corpus_embband_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") < 50).select(col("embedding"))
+      val b = emb.filter(col("vec_id") >= 50 && col("vec_id") < 80)
+        .select(col("embedding"))
+      s.sql("DROP TABLE IF EXISTS gate_emb_band_del")
+      s.sql("DROP TABLE IF EXISTS gate_emb_band_del_stats")
+      Corpus.writeEmbeddingBandIndex(a, "embedding", "gate_emb_band_del",
+        nBits = 6, nBands = 6)
+      Corpus.appendToEmbeddingBandIndex("gate_emb_band_del", b, "embedding")
+      Corpus.deleteFromEmbeddingBandIndex(s, "gate_emb_band_del", b, "embedding")
+      Corpus.embeddingDecontaminationFromIndex(
+        emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", "gate_emb_band_del", threshold = 0.8)
         .orderBy("vec_id")
     }),
     // Sharded-output manifests: balanced Knuth-hash shards of orders
@@ -6462,6 +6522,37 @@ object SparkEntry {
         "list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
         "(a,c) -> (a*31+c) % 1000000007) AS fp " +
         "FROM n ORDER BY doc_id"),
+    "q_corpus_confusable_fold" ->
+      // identical planted prefix; the twin IS the table — translate
+      // over the lowercased text with the 33 post-fold homoglyph
+      // mappings (19 Cyrillic + 14 Greek), 1:1 so codepoint counts
+      // are preserved on both sides
+      ("WITH c AS (SELECT doc_id, 'аеорсухѕіјһԁԛԝ вкмнт ВКМНТ АЕОРСУХЅІЈ " +
+        "αβεζηικμνορτυχ ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ Mixed CASE ' || text AS text FROM documents), " +
+        "f AS (SELECT doc_id, translate(lower(text), " +
+        "'аеорсухѕіјһԁԛԝвкмнтαβεζηικμνορτυχ', " +
+        "'aeopcyxsijhdqwbkmhtabezhikmvoptyx') AS folded, text FROM c) " +
+        "SELECT doc_id, folded, CAST(length(folded) AS BIGINT) AS folded_len, " +
+        "CAST(length(text) AS BIGINT) AS raw_len FROM f ORDER BY doc_id"),
+    "q_corpus_confusable_dedup" ->
+      // same twins (a/e/o → Cyrillic а/е/о), same fold (the translate
+      // twin above), keep-first over the whitespace-normalized folded
+      // key (Dedup.exact's token-join identity), then the identical
+      // rolling-hash kernel as q_corpus_nfc_fingerprint over survivors
+      ("WITH a AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000 AS doc_id, translate(text, 'aeo', 'аео') AS text " +
+        "FROM documents), " +
+        "f AS (SELECT doc_id, translate(lower(text), " +
+        "'аеорсухѕіјһԁԛԝвкмнтαβεζηικμνορτυχ', " +
+        "'aeopcyxsijhdqwbkmhtabezhikmvoptyx') AS folded FROM a), " +
+        "k AS (SELECT doc_id, folded, row_number() OVER (PARTITION BY " +
+        "array_to_string(string_split_regex(trim(folded), '[ \\t\\n\\f\\r]+'), ' ') " +
+        "ORDER BY doc_id) AS rn FROM f), " +
+        "n AS (SELECT doc_id, regexp_replace(folded, '[^a-z0-9 ]', '', 'g') AS t " +
+        "FROM k WHERE rn = 1) " +
+        "SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] || " +
+        "list_transform(range(1, len(t)+1), i -> CAST(unicode(t[i:i]) AS BIGINT)), " +
+        "(a,c) -> (a*31+c) % 1000000007) AS fp FROM n ORDER BY doc_id"),
     "q_text_mojibake" ->
       // same planted suffixes, same regexes (RE2 and Java agree on
       // this alternation; '.' excludes newline in both), same exact
@@ -6849,6 +6940,9 @@ object SparkEntry {
     "q_corpus_decontam_embedding" -> EmbeddingDecontamOracle,
     "q_corpus_decontam_embedding_banded" -> EmbeddingDecontamOracle,
     "q_corpus_decontam_embedding_indexed" -> EmbeddingDecontamOracle,
+    // after retiring B, the index must answer exactly as an A-only
+    // build — the A-only oracle IS the delete==rebuild contract
+    "q_corpus_embband_delete" -> EmbeddingDecontamOracle,
     "q_corpus_chunk" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents), " +
         "c AS (SELECT doc_id, i AS chunk_id, list_slice(w, i * 24 + 1, i * 24 + 32) AS ck " +

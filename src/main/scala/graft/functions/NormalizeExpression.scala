@@ -31,6 +31,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    axes — the bulk of observed near-dup evasion — but does NOT map
   *    cross-script homoglyphs (Cyrillic а → Latin a needs ICU's
   *    confusables table, absent from the JDK).
+  *  - `CONFUSABLE_FOLD` — NFKC_FOLD plus the cross-script homoglyph
+  *    axis: an ICU-free table of the high-frequency Cyrillic/Greek →
+  *    Latin confusables (the UTS #39 intentional.txt subset — the
+  *    letters whose glyphs are BY DESIGN identical to Latin in
+  *    ordinary fonts) applied after the case fold, so "Раѕѕwоrd"
+  *    typed in Cyrillic folds to the same key as "password". This is
+  *    the dedup-evasion / benchmark-contamination vector NFKC_FOLD
+  *    documents as its own gap. Coverage (post-fold lowercase forms;
+  *    uppercase evasion reaches them through the fold): Cyrillic
+  *    а е о р с у х ѕ і ј һ ԁ ԛ ԝ plus в к м н т (whose UPPERCASE
+  *    В К М Н Т are the Latin lookalikes), Greek
+  *    α β ε ζ η ι κ μ ν ο ρ τ υ χ (glyph-identical capitals
+  *    Α Β Ε Ζ Η Ι Κ Μ Ν Ο Ρ Τ Υ Χ reach them through the fold).
+  *    Like NFKC_FOLD it is lossy by design — a fingerprint/dedup key,
+  *    not stored text.
   *
   * Codegen-true: `doGenCode` emits a direct static-kernel call, so the
   * pass rides whole-stage codegen like the other graft expressions.
@@ -73,13 +88,15 @@ object NormalizeExpression {
   private val MODE_NFC = 0
   private val MODE_NFKC = 1
   private val MODE_NFKC_FOLD = 2
+  private val MODE_CONFUSABLE_FOLD = 3
 
   private[graft] def modeOf(form: String): Int = form match {
-    case "NFC"       => MODE_NFC
-    case "NFKC"      => MODE_NFKC
-    case "NFKC_FOLD" => MODE_NFKC_FOLD
+    case "NFC"             => MODE_NFC
+    case "NFKC"            => MODE_NFKC
+    case "NFKC_FOLD"       => MODE_NFKC_FOLD
+    case "CONFUSABLE_FOLD" => MODE_CONFUSABLE_FOLD
     case other => throw new IllegalArgumentException(
-      s"normalize form must be NFC | NFKC | NFKC_FOLD, got '$other'")
+      s"normalize form must be NFC | NFKC | NFKC_FOLD | CONFUSABLE_FOLD, got '$other'")
   }
 
   /** Is the codepoint an invisible format character that confusable
@@ -94,6 +111,57 @@ object NormalizeExpression {
       cp == 0xFEFF || // BOM / zero-width no-break space
       Character.getType(cp) == Character.FORMAT
 
+  /** The cross-script homoglyph table — post-case-fold LOWERCASE
+    * Cyrillic/Greek codepoints mapped to the Latin letter their glyph
+    * (or their uppercase's glyph) is intentionally identical to, per
+    * the public UTS #39 intentional-confusables list. Applied ONLY in
+    * CONFUSABLE_FOLD, after NFKC + case fold, so uppercase evasion
+    * (Сyrillic "СТОР") arrives here already folded to lowercase.
+    * Identity on everything else — Latin text is a fixed point.
+    */
+  private[graft] def confusableFold(cp: Int): Int = (cp: @annotation.switch) match {
+    // Cyrillic — lowercase glyph ≈ Latin lowercase
+    case 0x0430 => 'a' // а
+    case 0x0435 => 'e' // е
+    case 0x043E => 'o' // о
+    case 0x0440 => 'p' // р
+    case 0x0441 => 'c' // с
+    case 0x0443 => 'y' // у
+    case 0x0445 => 'x' // х
+    case 0x0455 => 's' // ѕ
+    case 0x0456 => 'i' // і
+    case 0x0458 => 'j' // ј
+    case 0x04BB => 'h' // һ
+    case 0x0501 => 'd' // ԁ
+    case 0x051B => 'q' // ԛ
+    case 0x051D => 'w' // ԝ
+    // Cyrillic — UPPERCASE glyph ≈ Latin (В К М Н Т); the fold has
+    // already lowercased, so the lowercase forms carry the mapping
+    case 0x0432 => 'b' // в (В ≈ B)
+    case 0x043A => 'k' // к (К ≈ K)
+    case 0x043C => 'm' // м (М ≈ M)
+    case 0x043D => 'h' // н (Н ≈ H)
+    case 0x0442 => 't' // т (Т ≈ T)
+    // Greek — capitals Α Β Ε Ζ Η Ι Κ Μ Ν Ο Ρ Τ Υ Χ are glyph-identical
+    // to Latin; their folded lowercase forms carry the mapping (ο and ν
+    // are also lowercase-confusable on their own)
+    case 0x03B1 => 'a' // α
+    case 0x03B2 => 'b' // β
+    case 0x03B5 => 'e' // ε
+    case 0x03B6 => 'z' // ζ
+    case 0x03B7 => 'h' // η
+    case 0x03B9 => 'i' // ι
+    case 0x03BA => 'k' // κ
+    case 0x03BC => 'm' // μ
+    case 0x03BD => 'v' // ν
+    case 0x03BF => 'o' // ο
+    case 0x03C1 => 'p' // ρ
+    case 0x03C4 => 't' // τ
+    case 0x03C5 => 'y' // υ
+    case 0x03C7 => 'x' // χ
+    case other  => other
+  }
+
   /** One-pass kernel (called from eval and codegen). */
   def compute(s: UTF8String, mode: Int): UTF8String = {
     val str = s.toString
@@ -103,15 +171,19 @@ object NormalizeExpression {
     val normalized =
       if (java.text.Normalizer.isNormalized(str, form)) str
       else java.text.Normalizer.normalize(str, form)
-    if (mode != MODE_NFKC_FOLD) {
+    if (mode != MODE_NFKC_FOLD && mode != MODE_CONFUSABLE_FOLD) {
       if (normalized eq str) s else UTF8String.fromString(normalized)
     } else {
+      val mapConfusables = mode == MODE_CONFUSABLE_FOLD
       val sb = new java.lang.StringBuilder(normalized.length)
       var i = 0
       val n = normalized.length
       while (i < n) {
         val cp = normalized.codePointAt(i)
-        if (!isFoldIgnorable(cp)) sb.appendCodePoint(Character.toLowerCase(cp))
+        if (!isFoldIgnorable(cp)) {
+          val lc = Character.toLowerCase(cp)
+          sb.appendCodePoint(if (mapConfusables) confusableFold(lc) else lc)
+        }
         i += Character.charCount(cp)
       }
       UTF8String.fromString(sb.toString)
@@ -126,6 +198,10 @@ object NormalizeExpression {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_normalize",
       exprs => {
+        // arity FIRST — exprs(1) on a one-argument call would throw a
+        // bare IndexOutOfBoundsException instead of naming the signature
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_normalize expects (text, form), got ${exprs.length} argument(s)")
         val form = exprs(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, StringType) =>
             v.toString

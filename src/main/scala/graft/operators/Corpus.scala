@@ -462,9 +462,11 @@ object Corpus {
     * `form`: `NFC` (canonical, content-preserving — the storage-safe
     * default), `NFKC` (compatibility: ﬁ→fi, fullwidth→ASCII — for
     * fingerprint keys), `NFKC_FOLD` (NFKC + case fold + invisible
-    * format-char strip — the ICU-free confusable-skeleton approximation;
-    * see [[graft.functions.NormalizeExpression]] for what it does and
-    * does not fold). Codegen'd native expression, zero shuffles.
+    * format-char strip — the ICU-free confusable-skeleton approximation),
+    * `CONFUSABLE_FOLD` (NFKC_FOLD + the high-frequency Cyrillic/Greek →
+    * Latin homoglyph table, closing the cross-script evasion axis; see
+    * [[graft.functions.NormalizeExpression]] for exact coverage).
+    * Codegen'd native expression, zero shuffles.
     */
   def normalizeText(text: Column, form: String = "NFC"): Column =
     graft.functions.NormalizeExpression.normalize(text, form)
@@ -1753,6 +1755,38 @@ object Corpus {
     val (nBits, nBands) = readEmbBandParams(spark, tableName)
     embBandRows(suite, benchVecCol, nBits, nBands)
       .write.mode("append").format("parquet").saveAsTable(tableName)
+  }
+
+  /** Remove a RETIRED eval suite from the band index — the verb bloom
+    * structurally cannot have (bits are shared; removal there = rebuild):
+    * the band family stores discrete rows per vector, so retiring a
+    * suite is an O(|index|) anti-join rewrite keyed on the suite's
+    * O(|suite|) content identities, through the staged crash-safe swap
+    * (readers never see a partial table). DELETE == REBUILD contract:
+    * removing suite B from an A∪B index leaves exactly the rows
+    * [[writeEmbeddingBandIndex]] would store for A alone — same
+    * identities, same band rows, probes agree bit for bit (spec-pinned).
+    *
+    * Identity is CONTENT identity (`__bid` = xxhash64 of the cast
+    * vector, the index's replay rule): a vector byte-identical between
+    * the removed suite and a retained one is removed too — when suites
+    * can overlap, re-append the retained suite afterwards
+    * ([[appendToEmbeddingBandIndex]] is replay-idempotent, so the
+    * re-append restores exactly the shared rows).
+    *
+    * @return (rows before, rows after) from the staged rewrite
+    */
+  def deleteFromEmbeddingBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      suite: DataFrame,
+      benchVecCol: String
+  ): (Long, Long) = {
+    val bids = suite
+      .select(xxhash64(col(benchVecCol).cast("array<double>")).as("__bid"))
+      .distinct()
+    graft.plans.Compaction.rewriteTable(spark, tableName, tag = "delete")(
+      _.join(broadcast(bids), Seq("__bid"), "left_anti"))
   }
 
   /** [[embeddingDecontaminationBanded]] served from the persisted

@@ -1154,6 +1154,81 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("CONFUSABLE_FOLD maps the homoglyph table; NFC/NFKC/NFKC_FOLD leave it untouched") {
+    import spark.implicits._
+    def norm(s: String, form: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(Corpus.normalizeText(col("t"), form).as("n"))
+        .head().getString(0)
+    // Cyrillic "сrасk раѕѕwоrԁ" (every vowel + с/к/ԁ cross-script) and
+    // uppercase "СТОР" reach Latin only through the confusable table
+    val evasion = cp(0x0441) + "ra" + cp(0x0441) + "k " +
+      cp(0x0440, 0x0430, 0x0455, 0x0455, 0x0461) // раѕѕѡ — NOTE ѡ (0461) is NOT in the table
+    val cyr = cp(0x0441, 0x0442, 0x043E, 0x0440) // стор (СТОР folded)
+    assert(norm(cyr, "CONFUSABLE_FOLD") === "ctop")
+    assert(norm(cp(0x0421, 0x0422, 0x041E, 0x0420), "CONFUSABLE_FOLD") === "ctop",
+      "uppercase Cyrillic reaches the table through the case fold")
+    // Greek capitals ΝΙΚΗ fold to νικη then map to Latin
+    assert(norm(cp(0x039D, 0x0399, 0x039A, 0x0397), "CONFUSABLE_FOLD") === "vikh")
+    // the three non-confusable modes are bit-identical on the same input
+    Seq("NFC", "NFKC").foreach { f =>
+      assert(norm(cyr, f) === cyr, s"$f must not touch cross-script codepoints")
+    }
+    assert(norm(cyr, "NFKC_FOLD") === cyr,
+      "NFKC_FOLD documents exactly this gap — it must stay unfolded there")
+    // Latin text is a fixed point of the confusable table itself (the
+    // case fold still lowercases)
+    assert(norm("Plain ASCII text 123", "CONFUSABLE_FOLD") === "plain ascii text 123")
+    // unmapped lookalikes pass through unmapped (ѡ is documented OUT)
+    assert(norm(evasion, "CONFUSABLE_FOLD").endsWith(cp(0x0461)))
+    // NFKC still runs first: fullwidth Ａ folds to a, then maps (identity)
+    assert(norm(cp(0xFF21) + cp(0x0430), "CONFUSABLE_FOLD") === "aa")
+  }
+
+  test("CONFUSABLE_FOLD kills the Cyrillic-а dedup evasion the NFC chain misses") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    val latin = "the attacker reposts this document verbatim"
+    // the evasion: every a/e/o swapped for its Cyrillic homoglyph
+    val evaded = latin.map {
+      case 'a' => 'а'; case 'e' => 'е'; case 'o' => 'о'
+      case c => c
+    }
+    val docs = Seq((1L, latin), (2L, evaded.mkString),
+      (3L, "an unrelated document body")).toDF("doc_id", "text")
+    // NFC/NFKC_FOLD both miss it — three distinct docs
+    Seq("NFC", "NFKC_FOLD").foreach { f =>
+      val n = docs.select(col("doc_id"),
+        Corpus.normalizeText(col("text"), f).as("text"))
+      assert(Dedup.exact(n, "doc_id", "text").count() === 3L, f)
+    }
+    // the confusable fold collapses the pair, keep-first keeps the original
+    val folded = docs.select(col("doc_id"),
+      Corpus.normalizeText(col("text"), "CONFUSABLE_FOLD").as("text"))
+    assert(Dedup.exact(folded, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    // and the fingerprint chain replays the same mapping
+    val fps = folded.select(col("doc_id"),
+      TextAnalysis.rollingHash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("graft_normalize SQL: arity and literal-form guards name the signature") {
+    graft.functions.NormalizeExpression.register(spark)
+    import spark.implicits._
+    Seq(Tuple1("x")).toDF("t").createOrReplaceTempView("norm_arity_v")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_normalize(t) FROM norm_arity_v").collect()
+    }
+    assert(e1.getMessage.contains("expects (text, form)"), e1.getMessage)
+    val ok = spark.sql(
+      "SELECT graft_normalize(t, 'CONFUSABLE_FOLD') AS n FROM norm_arity_v")
+      .head().getString(0)
+    assert(ok === "x")
+  }
+
   test("normalizeText: codegen'd projection — no exchange, no UDF in the plan") {
     val docs = table("documents")
     val q = docs.select(Corpus.normalizeText(col("text"), "NFKC_FOLD").as("n"))

@@ -143,6 +143,50 @@ class EmbeddingDecontamSpec extends SparkSpec {
     assert(st.getAs[Long]("n_vectors") === 60L)
   }
 
+  test("suite removal: deleting B from A∪B equals a fresh A-only build bit for bit; overlap re-appends; delete is idempotent") {
+    val a = emb.filter(col("vec_id") < 40).select(col("embedding"))
+    val b = emb.filter(col("vec_id") >= 40 && col("vec_id") < 70)
+      .select(col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    Seq("emb_band_del", "emb_band_del_stats", "emb_band_ref",
+      "emb_band_ref_stats").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Corpus.writeEmbeddingBandIndex(a, "embedding", "emb_band_del",
+      nBits = 6, nBands = 6)
+    Corpus.appendToEmbeddingBandIndex("emb_band_del", b, "embedding")
+    val (nBefore, nAfter) =
+      Corpus.deleteFromEmbeddingBandIndex(spark, "emb_band_del", b, "embedding")
+    assert(nBefore > nAfter, s"the delete must remove B's rows ($nBefore -> $nAfter)")
+    // delete == rebuild: STORED ROWS equal a fresh A-only index's, not
+    // just the probe outputs — identities, vectors, norms, bands, sigs
+    Corpus.writeEmbeddingBandIndex(a, "embedding", "emb_band_ref",
+      nBits = 6, nBands = 6)
+    def rows(t: String): Seq[String] = spark.table(t)
+      .orderBy("__bid", "__band").collect().map(_.toString).toSeq
+    assert(rows("emb_band_del") === rows("emb_band_ref"))
+    // and the probes agree bit for bit
+    def probe(t: String) = Corpus.embeddingDecontaminationFromIndex(
+      corpus, "vec_id", "embedding", t, threshold = 0.8)
+      .orderBy("vec_id").collect().toSeq
+    assert(probe("emb_band_del") === probe("emb_band_ref"))
+    // idempotent: re-deleting an already-removed suite is a no-op
+    val (n2Before, n2After) =
+      Corpus.deleteFromEmbeddingBandIndex(spark, "emb_band_del", b, "embedding")
+    assert(n2Before === n2After)
+    assert(rows("emb_band_del") === rows("emb_band_ref"))
+    // content-identity contract: a vector SHARED between the removed and
+    // a retained suite goes too — and the documented remedy (re-append
+    // the retained suite, replay-idempotent) restores exact equality
+    val shared = emb.filter(col("vec_id") === 5).select(col("embedding"))
+    val bPlusShared = b.unionByName(shared)
+    Corpus.deleteFromEmbeddingBandIndex(spark, "emb_band_del", bPlusShared, "embedding")
+    assert(rows("emb_band_del") !== rows("emb_band_ref"),
+      "the shared vector must have been removed by content identity")
+    Corpus.appendToEmbeddingBandIndex("emb_band_del", a, "embedding")
+    Corpus.compactEmbeddingBandIndex(spark, "emb_band_del")
+    assert(rows("emb_band_del") === rows("emb_band_ref"),
+      "re-appending the retained suite restores the exact A-only index")
+  }
+
   test("persisted band index probe plan: no cartesian, the (band,sig) equi-key carries the join") {
     val bench = emb.filter(col("vec_id") < 20).select(col("embedding"))
     spark.sql("DROP TABLE IF EXISTS emb_band_plan_idx")
