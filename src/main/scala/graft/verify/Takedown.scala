@@ -561,8 +561,14 @@ object Takedown {
     *    appended-fraction / list-skew modes need a REBUILD against the
     *    corpus vectors, which maintenance cannot conjure — those report
     *    `stale_after = true` and the rebuild stays a deliberate act
-    *  - bloom over fill → same: bits cannot be thinned and the rebuild
-    *    needs the benchmark suite; reported, not attempted
+    *  - bloom over fill → rebuild WIDER from the registered text
+    *    column over the live corpus ([[sweep]] step 6's path — the
+    *    registry row carries everything the rebuild needs), with
+    *    `mBits` doubled: fill-ratio staleness means the current width
+    *    is exhausted, and bits cannot be thinned in place. Hash count
+    *    and shingle width stay the stored ones. A bloom registered
+    *    without its text column (pre-registry surfaces) is reported,
+    *    not attempted.
     *  - embband residue → [[Corpus.compactEmbeddingBandIndex]]
     */
   def maintain(
@@ -575,6 +581,11 @@ object Takedown {
     val dash = surfaceStats(spark, corpus, registryTable).collect()
       .map(r => (r.getString(1), r.getString(2), r.getBoolean(3),
         if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+    // the registry rows carry what the dashboard view drops: the bloom
+    // rebuild needs its aux (text column) and the live dir
+    val regRows = registered(spark, corpus, registryTable).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val liveDir = regRows.find(_._1 == "live").map(_._2)
     val actions = dash.map { case (family, surface, present, stale) =>
       val action: String =
         if (!(present && stale.contains(true))) "none"
@@ -635,7 +646,26 @@ object Takedown {
               Compaction.compactBucketedTable(spark, surface)
               "purgeDHashIndex+compact"
             } else "purgeDHashIndex"
-          case "bloom" => "needs-rebuild (writeBloomIndex wider)"
+          case "bloom" =>
+            val textCol = regRows
+              .find(r => r._1 == "bloom" && r._2 == surface).map(_._3)
+              .filter(_.nonEmpty)
+            (textCol, liveDir) match {
+              case (Some(tc), Some(dir)) =>
+                val p = spark.table(surface + "_stats").collect()
+                require(p.length == 1,
+                  s"${surface}_stats must hold exactly one row")
+                // fill past threshold = this width is spent; double it
+                // (capped at 2^30 bit positions) and rebuild through
+                // the sweep's step-6 path — same hash count, same
+                // shingle width, flags for uncontaminated docs preserved
+                val mBits = math.min(p.head.getInt(0).toLong * 2L, 1L << 30).toInt
+                Corpus.writeBloomIndex(spark.read.parquet(dir), tc, surface,
+                  n = p.head.getInt(2), mBits = mBits, k = p.head.getInt(1))
+                s"writeBloomIndex(mBits=$mBits)"
+              case _ =>
+                "needs-rebuild (bloom registration lacks text column)"
+            }
           case "embband" =>
             Corpus.compactEmbeddingBandIndex(spark, surface)
             "compactEmbeddingBandIndex"

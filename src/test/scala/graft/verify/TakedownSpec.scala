@@ -367,6 +367,50 @@ class TakedownSpec extends SparkSpec {
     assert(second.forall(_.getString(4) === "none"))
   }
 
+  test("maintain: a fill-saturated bloom rebuilds WIDER from the registered text column — fresh in one verb, flags preserved") {
+    val dir = tmp("graft_tkd_mb")
+    val reg = SharedReg
+    val docs = docsFrame(40)
+    docs.write.parquet(dir)
+    Takedown.registerCorpus(spark, "tkdmb", dir, "doc_id", reg)
+    // deliberately narrow: 40 docs × 5 doc-unique 2-gram shingles × 4
+    // hash positions ≈ 800 insertions into 2048 bits — fill ≈ 32%,
+    // past the 25% staleness bar; ONE doubling (4096) lands ≈ 18%
+    Takedown.writeBloomIndex(spark, "tkdmb", docs, "text", "tkdmb_bloom",
+      n = 2, mBits = 2048, k = 4, registryTable = reg)
+    assert(Corpus.isStaleBloomIndex(spark, "tkdmb_bloom"),
+      "the fixture must saturate the filter or the test proves nothing")
+    import spark.implicits._
+    val probe = docs.unionByName((0 until 5)
+      .map(d => (Off + 900L + d, s"z${d}a z${d}b z${d}c z${d}d z${d}e z${d}f"))
+      .toDF("doc_id", "text"))
+
+    val receipt = Takedown.maintain(spark, "tkdmb", reg).collect()
+      .map(r => r.getString(1) -> (r.getString(4),
+        if (r.isNullAt(5)) None else Some(r.getBoolean(5)))).toMap
+    assert(receipt("bloom")._1 === "writeBloomIndex(mBits=4096)",
+      receipt("bloom")._1)
+    assert(receipt("bloom")._2 === Some(false),
+      "one maintain call must leave the bloom fresh")
+    assert(!Corpus.isStaleBloomIndex(spark, "tkdmb_bloom"))
+    // the rebuild kept the stored hash family and doubled only the width
+    val stats = spark.table("tkdmb_bloom_stats").head()
+    assert((stats.getInt(0), stats.getInt(1), stats.getInt(2)) === ((4096, 4, 2)))
+    // flags: every live-corpus doc still reads contaminated, the novel
+    // docs read clean — the rebuild preserved the filter's decisions
+    val flags = Corpus.bloomDecontaminationFromIndex(
+      probe, "doc_id", "text", "tkdmb_bloom")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (0 until 40).foreach(d => assert(flags(Off + d),
+      s"in-corpus doc $d must stay flagged after the rebuild"))
+    (0 until 5).foreach(d => assert(!flags(Off + 900L + d),
+      s"novel doc $d must stay clean after the rebuild"))
+    // idempotent: the freshly-rebuilt bloom is left alone next call
+    val second = Takedown.maintain(spark, "tkdmb", reg).collect()
+      .filter(_.getString(1) == "bloom")
+    assert(second.forall(_.getString(4) === "none"))
+  }
+
   test("maintain: a drifted z-ordered live surface repairs through the staged epoch recluster") {
     import graft.plans.ZOrder
     val reg = SharedReg
