@@ -253,6 +253,24 @@ object CorpusIngest {
       .start()
   }
 
+  /** The per-epoch decontamination audit log as ONE frame, schema-
+    * merged: epochs written before the semantic screen existed lack
+    * `flagged_semantic`, and a stream resumed over such a dest dir
+    * mixes both schemas under the same glob. mergeSchema unions the
+    * footers and null-fills the absent column — a bare parquet read
+    * can silently drop it depending on which footer Spark samples.
+    */
+  def decontamLog(spark: SparkSession, destDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"${destDir}_decontam_log")
+
+  /** [[decontamLog]] for the curated funnel's per-epoch audit
+    * (`contaminated_semantic` is the r17-added column there).
+    */
+  def curateLog(spark: SparkSession, destDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"${destDir}_curate_log")
+
   /** [[start]] composed with the persisted benchmark bloom index
     * ([[graft.operators.Corpus.bloomDecontaminationFromIndex]]):
     * every micro-batch probes the stored bit roster and CONTAMINATED
@@ -268,7 +286,10 @@ object CorpusIngest {
     * `<destDir>_decontam_log/batch=<id>` (docs in, docs dropped, and
     * the semantic screen's flag count when that arm is on) —
     * overwrite-idempotent like the data epoch, so the log never
-    * double-counts a replay. Appending a NEW eval suite to the bloom
+    * double-counts a replay. SCHEMA MIGRATION: `flagged_semantic` was
+    * added with the semantic arm (r17); a stream resumed over an older
+    * dest dir leaves mixed-schema epochs under one glob — read the log
+    * through [[decontamLog]] (mergeSchema), not a bare parquet read. Appending a NEW eval suite to the bloom
     * index mid-stream takes effect from the next micro-batch — the
     * roster is re-read per epoch, which is the point of serving it
     * from a table instead of a captured broadcast.
@@ -686,6 +707,27 @@ object CorpusIngest {
     * contract) — the streamed corpus is then
     * [[graft.verify.Takedown.sweep]]-able from its first epoch with
     * no manual registration step.
+    *
+    * `normalizeForm` CALLER CONTRACT: normalization rewrites only the
+    * STREAM side (the funnel head), so every pre-existing surface the
+    * funnel probes — the MinHash history index, the bloom benchmark
+    * bits, the BM25 postings — must have been built from text
+    * normalized with the SAME form, or normalized batches silently
+    * stop matching un-normalized history (the exact failure the batch
+    * twin [[graft.operators.Corpus.curationVerdicts]] prevents by
+    * normalizing BOTH sides itself). The indexes this stream creates
+    * and appends to are consistent by construction — they store the
+    * normalized text's signatures; the contract bites only on indexes
+    * handed in from elsewhere. The embedding-band surface is exempt
+    * (vectors, not text).
+    *
+    * AUDIT LOG SCHEMA MIGRATION: the per-epoch `_curate_log` rows
+    * gained `contaminated_semantic` when the semantic screen landed
+    * (r17). Resuming an older stream over a pre-existing dest dir
+    * therefore leaves MIXED-schema parquet under one glob — read the
+    * logs through [[curateLog]] (mergeSchema + null-filled absent
+    * columns), not a bare `spark.read.parquet`, which can silently
+    * drop the newer column depending on which footer it samples.
     */
   def startCuratedIngest(
       docs: DataFrame,

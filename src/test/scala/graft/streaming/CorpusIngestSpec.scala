@@ -1221,4 +1221,35 @@ class CorpusIngestSpec extends SparkSpec {
       "without normalization the decomposed twin sails through — the " +
         "assertion above only proves something because this one holds")
   }
+
+  test("audit-log readers merge mixed epoch schemas: a resumed pre-semantic stream's log reads as one frame") {
+    import spark.implicits._
+    // simulate the r17 migration: epoch 0 was written BEFORE the
+    // semantic screen existed (no flagged_semantic), epoch 1 after
+    val dest = tmp("graft_ci_logmig")
+    Seq((10L, 2L)).toDF("docs_in", "docs_dropped")
+      .write.parquet(s"${dest}_decontam_log/batch=0")
+    Seq((8L, 1L, 1L)).toDF("docs_in", "docs_dropped", "flagged_semantic")
+      .write.parquet(s"${dest}_decontam_log/batch=1")
+    val log = CorpusIngest.decontamLog(spark, dest)
+    assert(log.columns.contains("flagged_semantic"),
+      "mergeSchema must surface the newer column across mixed epochs")
+    val byBatch = log.select("docs_in", "flagged_semantic")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byBatch === Map(10L -> None, 8L -> Some(1L)),
+      "pre-migration epochs read null, post-migration epochs their value")
+    // the curated funnel's log reader behaves identically
+    Seq((5L, 1L, 0L, 1L, 0L, 3L)).toDF("docs_in", "low_quality",
+      "contaminated", "dup_history", "dup_batch", "accepted")
+      .write.parquet(s"${dest}_curate_log/batch=0")
+    Seq((6L, 0L, 1L, 1L, 0L, 0L, 4L)).toDF("docs_in", "low_quality",
+      "contaminated", "contaminated_semantic", "dup_history", "dup_batch",
+      "accepted")
+      .write.parquet(s"${dest}_curate_log/batch=1")
+    val clog = CorpusIngest.curateLog(spark, dest)
+    assert(clog.columns.contains("contaminated_semantic"))
+    assert(clog.count() === 2L)
+    assert(clog.agg(sum("accepted")).head().getLong(0) === 7L)
+  }
 }
