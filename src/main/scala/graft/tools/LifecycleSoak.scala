@@ -30,7 +30,14 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
   *  - `jdb`: the live Migrator sync of `lineitem` into on-disk
   *    embedded Derby (DDL on first load, truncate + batched INSERT) —
   *    the migration data path's own scale ratio, complementing the
-  *    per-bench sf0.1 `jdbc_sync` absolute number.
+  *    per-bench sf0.1 `jdbc_sync` absolute number;
+  *  - `ebb`/`eba`/`ebp`/`ebd`/`mnt`: the embedding-band benchmark
+  *    surface's lifecycle (build, suite append, the full-corpus
+  *    decontamination probe — the per-epoch streaming screen cost —
+  *    and suite removal through the staged swap), plus ONE
+  *    registry-driven `Takedown.maintain` call over the registered
+  *    corpus with real replay residue to reclaim — the maintenance
+  *    verb's own scale shape (O(surfaces) dispatch + the compactor).
   */
 object LifecycleSoak {
 
@@ -155,6 +162,44 @@ object LifecycleSoak {
       (t, mb)
     } else (-1.0, -1.0)
 
+    // ---- embedding-band benchmark surface lifecycle + one-verb
+    // maintenance (the r17/r18 additions, soaked like the older
+    // families). The probe is the step that scales with the CORPUS
+    // (benchmark side is gate-constant); build/append/delete scale
+    // with the benchmark; maintain with surfaces + residue.
+    val ebT = "lc_emb_band"
+    val (ebb, eba, ebp, ebd, mnt) = if (on("eb")) {
+      val reg = "lc_reg"
+      val bench = emb.filter(col("vec_id") % 20 === 0).select(col("embedding"))
+      val suite = emb.filter(col("vec_id") % 20 === 1).select(col("embedding"))
+      val b = timed(graft.verify.Takedown.writeEmbeddingBandIndex(spark,
+        "lc_corpus", bench, "embedding", ebT, registryTable = reg))
+      val a = timed(graft.operators.Corpus.appendToEmbeddingBandIndex(
+        ebT, suite, "embedding"))
+      val p = timed {
+        val n = graft.operators.Corpus.embeddingDecontaminationFromIndex(
+          emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+          ebT, threshold = 0.8).filter(col("contaminated")).count()
+        require(n > 0, "embband probe flagged nothing")
+      }
+      val d = timed(graft.operators.Corpus.deleteFromEmbeddingBandIndex(
+        spark, ebT, suite, "embedding"))
+      // one-verb maintenance over the registered corpus: the live
+      // dataset is the (read-only) fixture dir — fresh by construction,
+      // dispatch cost only — while the embband surface carries a fully
+      // replayed append (50% residue) for the compactor to reclaim
+      graft.verify.Takedown.registerCorpus(spark, "lc_corpus",
+        s"$sfDir/documents.parquet", "doc_id", reg)
+      graft.operators.Corpus.appendToEmbeddingBandIndex(ebT, bench, "embedding")
+      val m = timed {
+        val receipt = graft.verify.Takedown.maintain(spark, "lc_corpus", reg)
+          .collect()
+        require(receipt.exists(r => r.getString(1) == "embband" &&
+          r.getString(4) != "none"), "maintain found nothing to do")
+      }
+      (b, a, p, d, m)
+    } else (-1.0, -1.0, -1.0, -1.0, -1.0)
+
     // ---- live JDBC migration of the fact table into on-disk Derby
     val jdb = if (!on("jdb")) -1.0 else {
       val dbDir = java.nio.file.Files.createTempDirectory("graft_lc_derby")
@@ -194,6 +239,8 @@ object LifecycleSoak {
         s""""mhc":${fmt(mhc)},"ivb":${fmt(ivb)},"iva":${fmt(iva)},""" +
         s""""ivs":${fmt(ivs)},"bmb":${fmt(bmb)},"bma":${fmt(bma)},""" +
         s""""bmq":${fmt(bmq)},"bms":${fmt(bms)},""" +
+        s""""ebb":${fmt(ebb)},"eba":${fmt(eba)},"ebp":${fmt(ebp)},""" +
+        s""""ebd":${fmt(ebd)},"mnt":${fmt(mnt)},""" +
         s""""ing":${fmt(ing)},"jdb":${fmt(jdb)},""" +
         s""""ckpt_mb":${fmt(ckptMb)}}""")
     spark.stop()

@@ -144,10 +144,14 @@ def run_bench(sf_dir: str, reps: int, only=None) -> dict:
 # lifecycle costs the query benches never touch (build is where a
 # 100 TB deployment spends its first day)
 LIFECYCLE = ["mhb", "mha", "mhs", "mhc", "ivb", "iva", "ivs",
-             "bmb", "bma", "bmq", "bms", "ing", "jdb"]
-# embedded in SOAK.json (short already); stats steps stay detail-only
+             "bmb", "bma", "bmq", "bms", "ebb", "eba", "ebp", "ebd", "mnt",
+             "ing", "jdb"]
+# embedded in SOAK.json (short already); stats steps stay detail-only.
+# Of the embband family only the probe (scales with the corpus) and
+# maintain (the new one-verb) ride the blob — build/append/delete scale
+# with the gate-constant benchmark and stay detail-only.
 LIFECYCLE_EMBED = ["mhb", "mha", "mhc", "ivb", "iva", "bmb", "bma", "bmq",
-                   "ing", "jdb"]
+                   "ebp", "mnt", "ing", "jdb"]
 
 
 def run_lifecycle(sf_dir: str, env=None) -> dict:
@@ -230,6 +234,8 @@ def main():
         fams = {{"mhb": "mh", "mha": "mh", "mhs": "mh", "mhc": "mh",
                  "ivb": "ivf", "iva": "ivf", "ivs": "ivf",
                  "bmb": "bm", "bma": "bm", "bmq": "bm", "bms": "bm",
+                 "ebb": "eb", "eba": "eb", "ebp": "eb", "ebd": "eb",
+                 "mnt": "eb",
                  "ing": "ing", "jdb": "jdb"}[s] for s in lc_outliers}
         if "ing" in fams:
             fams.add("mh")  # the indexed ingest needs the mh index built
