@@ -1668,11 +1668,19 @@ object Corpus {
     val cos = when(col("__vn") * col("__bn") === 0.0, lit(0.0))
       .otherwise(VectorFunctions.dot(col("__v"), col("__bv")) /
         (col("__vn") * col("__bn")))
+    // exact-cosine FILTER before the per-(doc, bench) dedupe, and the
+    // dedupe shuffles only the slim (id, __bid) pairs: the r18 soak
+    // measured the old dedupe-first order at 35x over 10x data — the
+    // candidate frame grows ~(corpus x benchmark)/2^nBits and the old
+    // plan shuffled every candidate WITH both vectors attached just to
+    // drop multi-band repeats. The filter is codegen'd map-side work
+    // (no shuffle) that kills ~all false candidates first; collided
+    // rows are identical modulo band, so filter-then-dedupe keeps the
+    // exact same (doc, bench) hit set and the same n_hits.
     val hits = c.join(b, Seq("__band", "__sig"))
-      // a (doc, bench) pair colliding in several bands must count once,
-      // not once per band — collided rows are identical modulo band
-      .dropDuplicates(idCol, "__bid")
       .filter(cos >= threshold)
+      .select(col(idCol), col("__bid"))
+      .dropDuplicates(idCol, "__bid")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
     df.select(col(idCol)).join(hits, Seq(idCol), "left_outer")
@@ -1696,6 +1704,18 @@ object Corpus {
     * both-sides-big contract of the banded arm, and appends are
     * O(new suite) with replay residue deduped at read.
     *
+    * `nBits = 0` (the default) sizes the band width from the benchmark
+    * like [[Dedup.embeddingNearDupPairs]] does from its corpus
+    * ([[Dedup.lshBitsFor]]): fixed-width bands make probe candidates
+    * grow ~(corpus · benchmark)/2^nBits — the r18 soak measured the
+    * fixed 6-bit default at 35x over 10x data on the full-corpus
+    * probe. Wider bands trade per-band recall for NON-identical
+    * near-dups ((1−θ/π)^bits per band); exact-copy recall is 1.0 at
+    * any width, and every surviving candidate is still exact-cosine
+    * verified. Pass an explicit `nBits` when a fixed recall target
+    * matters more than scaling. The chosen width travels with the
+    * index (`_stats`), so probes and appends always use it.
+    *
     * Content identity: byte-identical benchmark vectors collapse to ONE
     * stored identity, so `n_hits` from the index counts DISTINCT
     * benchmark vectors hit, where the in-memory arms count benchmark
@@ -1706,16 +1726,18 @@ object Corpus {
       benchmark: DataFrame,
       benchVecCol: String,
       tableName: String,
-      nBits: Int = 6,
+      nBits: Int = 0,
       nBands: Int = 6
   ): Unit = {
-    require(nBits > 0 && nBands > 0 && nBits * nBands <= 64,
-      s"nBits*nBands must fit the 64-bit signature, got $nBits*$nBands")
+    val bits =
+      if (nBits > 0) nBits else Dedup.lshBitsFor(benchmark.count(), nBands)
+    require(bits > 0 && nBands > 0 && bits * nBands <= 64,
+      s"nBits*nBands must fit the 64-bit signature, got $bits*$nBands")
     val spark = benchmark.sparkSession
     import spark.implicits._
-    embBandRows(benchmark, benchVecCol, nBits, nBands)
+    embBandRows(benchmark, benchVecCol, bits, nBands)
       .write.mode("overwrite").format("parquet").saveAsTable(tableName)
-    Seq((nBits, nBands)).toDF("n_bits", "n_bands")
+    Seq((bits, nBands)).toDF("n_bits", "n_bands")
       .write.mode("overwrite").format("parquet").saveAsTable(tableName + "_stats")
   }
 
@@ -1816,9 +1838,13 @@ object Corpus {
     val cos = when(col("__vn") * col("__bn") === 0.0, lit(0.0))
       .otherwise(VectorFunctions.dot(col("__v"), col("__bv")) /
         (col("__vn") * col("__bn")))
+    // filter-then-dedupe, slim pair shuffle — the banded arm's plan
+    // (see embeddingDecontaminationBanded): the r18 soak read the
+    // dedupe-first order at 35x over 10x data on this exact probe
     val hits = c.join(b, Seq("__band", "__sig"))
-      .dropDuplicates(idCol, "__bid")
       .filter(cos >= threshold)
+      .select(col(idCol), col("__bid"))
+      .dropDuplicates(idCol, "__bid")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
     df.select(col(idCol)).join(hits, Seq(idCol), "left_outer")

@@ -242,7 +242,7 @@ object Takedown {
     */
   def writeEmbeddingBandIndex(spark: SparkSession, corpus: String,
       benchmark: DataFrame, benchVecCol: String, tableName: String,
-      nBits: Int = 6, nBands: Int = 6,
+      nBits: Int = 0, nBands: Int = 6,
       registryTable: String = DefaultRegistry): Unit = {
     register(spark, corpus, "embband", tableName, benchVecCol, registryTable)
     Corpus.writeEmbeddingBandIndex(benchmark, benchVecCol, tableName, nBits, nBands)
