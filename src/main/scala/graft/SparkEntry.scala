@@ -3276,16 +3276,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // Cross-script homoglyph folding: the planted prefix exercises the
-    // WHOLE confusable table — all 19 Cyrillic + 14 Greek post-fold
-    // mappings plus their uppercase forms (which reach the table
-    // through the case fold) — and the twin replays the identical
-    // mapping as a translate over the lowercased text. NFC/NFKC leave
-    // every one of these codepoints untouched (spec-pinned), so only
-    // CONFUSABLE_FOLD can match.
+    // WHOLE confusable table — all 19 Cyrillic + 14 Greek + 4 Armenian
+    // + 19 Cherokee + 3 digit-lookalike post-fold mappings plus their
+    // uppercase forms (which reach the table through the case fold;
+    // uppercase Cherokee lands on the U+AB70 small block) — and the
+    // twin replays the identical mapping as a translate over the
+    // lowercased text. NFC/NFKC leave every one of these codepoints
+    // untouched (spec-pinned), so only CONFUSABLE_FOLD can match.
     "q_corpus_confusable_fold" -> ((s, dir) => {
       val staged = t(s, dir, "documents").select(col("doc_id"),
         concat(lit("аеорсухѕіјһԁԛԝ вкмнт ВКМНТ АЕОРСУХЅІЈ " +
-          "αβεζηικμνορτυχ ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ Mixed CASE "),
+          "αβεζηικμνορτυχ ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ " +
+          "հոսօ ՀՈՍՕ" +
+          " ꭰꭱꭲꭺꭻꭼꮃꮇꮋꮍꮐꮓꮩꮪꮮꮯꮲꮶᏼ" +
+          " ᎠᎡᎢᎪᎫᎬᎳᎷᎻᎽᏀᏃᏙᏚᏞᏟᏢᏦᏴ" +
+          " зчб ЗЧБ Mixed CASE "),
           col("text")).as("text"))
       staged.select(col("doc_id"),
         Corpus.normalizeText(col("text"), "CONFUSABLE_FOLD").as("folded"),
@@ -6524,14 +6529,18 @@ object SparkEntry {
         "FROM n ORDER BY doc_id"),
     "q_corpus_confusable_fold" ->
       // identical planted prefix; the twin IS the table — translate
-      // over the lowercased text with the 33 post-fold homoglyph
-      // mappings (19 Cyrillic + 14 Greek), 1:1 so codepoint counts
-      // are preserved on both sides
+      // over the lowercased text with the 59 post-fold homoglyph
+      // mappings (19 Cyrillic + 14 Greek + 4 Armenian + 19 Cherokee +
+      // 3 digit lookalikes), 1:1 so codepoint counts are preserved on
+      // both sides (DuckDB's lower() agrees with Java on the Cherokee
+      // U+13A0-block -> U+AB70-block case mapping, spec-pinned)
       ("WITH c AS (SELECT doc_id, 'аеорсухѕіјһԁԛԝ вкмнт ВКМНТ АЕОРСУХЅІЈ " +
-        "αβεζηικμνορτυχ ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ Mixed CASE ' || text AS text FROM documents), " +
+        "αβεζηικμνορτυχ ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ " +
+        "հոսօ ՀՈՍՕ ꭰꭱꭲꭺꭻꭼꮃꮇꮋꮍꮐꮓꮩꮪꮮꮯꮲꮶᏼ ᎠᎡᎢᎪᎫᎬᎳᎷᎻᎽᏀᏃᏙᏚᏞᏟᏢᏦᏴ зчб ЗЧБ" +
+        " Mixed CASE ' || text AS text FROM documents), " +
         "f AS (SELECT doc_id, translate(lower(text), " +
-        "'аеорсухѕіјһԁԛԝвкмнтαβεζηικμνορτυχ', " +
-        "'aeopcyxsijhdqwbkmhtabezhikmvoptyx') AS folded, text FROM c) " +
+        "'аеорсухѕіјһԁԛԝвкмнтαβεζηικμνορτυχհոսօꭰꭱꭲꭺꭻꭼꮃꮇꮋꮍꮐꮓꮩꮪꮮꮯꮲꮶᏼзчб', " +
+        "'aeopcyxsijhdqwbkmhtabezhikmvoptyx" + "hnuodrtajewmhygzvslcpkb346') AS folded, text FROM c) " +
         "SELECT doc_id, folded, CAST(length(folded) AS BIGINT) AS folded_len, " +
         "CAST(length(text) AS BIGINT) AS raw_len FROM f ORDER BY doc_id"),
     "q_corpus_confusable_dedup" ->
@@ -6543,8 +6552,8 @@ object SparkEntry {
         "SELECT doc_id + 1000000 AS doc_id, translate(text, 'aeo', 'аео') AS text " +
         "FROM documents), " +
         "f AS (SELECT doc_id, translate(lower(text), " +
-        "'аеорсухѕіјһԁԛԝвкмнтαβεζηικμνορτυχ', " +
-        "'aeopcyxsijhdqwbkmhtabezhikmvoptyx') AS folded FROM a), " +
+        "'аеорсухѕіјһԁԛԝвкмнтαβεζηικμνορτυχհոսօꭰꭱꭲꭺꭻꭼꮃꮇꮋꮍꮐꮓꮩꮪꮮꮯꮲꮶᏼзчб', " +
+        "'aeopcyxsijhdqwbkmhtabezhikmvoptyx" + "hnuodrtajewmhygzvslcpkb346') AS folded FROM a), " +
         "k AS (SELECT doc_id, folded, row_number() OVER (PARTITION BY " +
         "array_to_string(string_split_regex(trim(folded), '[ \\t\\n\\f\\r]+'), ' ') " +
         "ORDER BY doc_id) AS rn FROM f), " +

@@ -43,9 +43,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    а е о р с у х ѕ і ј һ ԁ ԛ ԝ plus в к м н т (whose UPPERCASE
   *    В К М Н Т are the Latin lookalikes), Greek
   *    α β ε ζ η ι κ μ ν ο ρ τ υ χ (glyph-identical capitals
-  *    Α Β Ε Ζ Η Ι Κ Μ Ν Ο Ρ Τ Υ Χ reach them through the fold).
-  *    Like NFKC_FOLD it is lossy by design — a fingerprint/dedup key,
-  *    not stored text.
+  *    Α Β Ε Ζ Η Ι Κ Μ Ν Ο Ρ Τ Υ Χ reach them through the fold),
+  *    Armenian հ ո ս օ (Հ Ո Ս Օ ≈ h n u o — the next script an
+  *    evasion-minded adversary moves to once Cyrillic folds),
+  *    Cherokee (the syllabary's uppercase letters Ꭰ Ꭱ Ꭲ Ꭺ Ꭻ Ꭼ Ꮃ Ꮇ
+  *    Ꮋ Ꮍ Ꮐ Ꮓ Ꮩ Ꮪ Ꮮ Ꮯ Ꮲ Ꮶ Ᏼ are glyph-identical to Latin capitals
+  *    D R T A J E W M H Y G Z V S L C P K B; the case fold lands them
+  *    on the U+AB70 small-letter block — and on U+13FC for ᏼ — which
+  *    is where this table catches them), and the Cyrillic DIGIT
+  *    lookalikes з ч б → 3 4 6 (З≈3, Ч≈4, б≈6 — the leetspeak-style
+  *    evasion axis letters alone can't close). Latin text — letters
+  *    AND digits — remains a fixed point: only non-Latin codepoints
+  *    are ever remapped. Like NFKC_FOLD it is lossy by design — a
+  *    fingerprint/dedup key, not stored text.
   *
   * Codegen-true: `doGenCode` emits a direct static-kernel call, so the
   * pass rides whole-stage codegen like the other graft expressions.
@@ -159,6 +169,42 @@ object NormalizeExpression {
     case 0x03C4 => 't' // τ
     case 0x03C5 => 'y' // υ
     case 0x03C7 => 'x' // χ
+    // Armenian — Հ Ո Ս Օ are glyph-identical to Latin h-family caps;
+    // the fold has already lowercased, so the small letters carry it
+    case 0x0570 => 'h' // հ (Հ ≈ H-shape lowercase h)
+    case 0x0578 => 'n' // ո
+    case 0x057D => 'u' // ս
+    case 0x0585 => 'o' // օ
+    // Cherokee — the UPPERCASE syllables are the Latin lookalikes
+    // (Ꭰ≈D, Ꭺ≈A, Ᏼ≈B, …); Character.toLowerCase maps U+13A0–13EF onto
+    // the U+AB70 small-letter block (offset +0x97D0) and U+13F0–13F5
+    // onto U+13F8–13FD, so the folded codepoints below are where
+    // uppercase evasion arrives (spec-pinned; DuckDB's lower() agrees)
+    case 0xAB70 => 'd' // ꭰ (Ꭰ ≈ D)
+    case 0xAB71 => 'r' // ꭱ (Ꭱ ≈ R)
+    case 0xAB72 => 't' // ꭲ (Ꭲ ≈ T)
+    case 0xAB7A => 'a' // ꭺ (Ꭺ ≈ A)
+    case 0xAB7B => 'j' // ꭻ (Ꭻ ≈ J)
+    case 0xAB7C => 'e' // ꭼ (Ꭼ ≈ E)
+    case 0xAB83 => 'w' // ꮃ (Ꮃ ≈ W)
+    case 0xAB87 => 'm' // ꮇ (Ꮇ ≈ M)
+    case 0xAB8B => 'h' // ꮋ (Ꮋ ≈ H)
+    case 0xAB8D => 'y' // ꮍ (Ꮍ ≈ Y)
+    case 0xAB90 => 'g' // ꮐ (Ꮐ ≈ G)
+    case 0xAB93 => 'z' // ꮓ (Ꮓ ≈ Z)
+    case 0xABA9 => 'v' // ꮩ (Ꮩ ≈ V)
+    case 0xABAA => 's' // ꮪ (Ꮪ ≈ S)
+    case 0xABAE => 'l' // ꮮ (Ꮮ ≈ L)
+    case 0xABAF => 'c' // ꮯ (Ꮯ ≈ C)
+    case 0xABB2 => 'p' // ꮲ (Ꮲ ≈ P)
+    case 0xABB6 => 'k' // ꮶ (Ꮶ ≈ K)
+    case 0x13FC => 'b' // ᏼ (Ᏼ ≈ B; 13F0-13F5 lowercase in-block to 13F8-13FD)
+    // Cyrillic digit lookalikes — З≈3, Ч≈4, б≈6; lowercase forms carry
+    // the mapping post-fold. ASCII digits are already a fixed point, so
+    // this stays 1:1 and Latin-invariant
+    case 0x0437 => '3' // з (З ≈ 3)
+    case 0x0447 => '4' // ч (Ч ≈ 4)
+    case 0x0431 => '6' // б
     case other  => other
   }
 

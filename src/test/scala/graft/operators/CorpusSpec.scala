@@ -1183,6 +1183,35 @@ class CorpusSpec extends SparkSpec {
     assert(norm(evasion, "CONFUSABLE_FOLD").endsWith(cp(0x0461)))
     // NFKC still runs first: fullwidth Ａ folds to a, then maps (identity)
     assert(norm(cp(0xFF21) + cp(0x0430), "CONFUSABLE_FOLD") === "aa")
+    // r19 extension — the remaining intentional-pair scripts.
+    // Armenian: lowercase directly, uppercase through the case fold
+    assert(norm(cp(0x0570, 0x0578, 0x057D, 0x0585), "CONFUSABLE_FOLD") === "hnuo")
+    assert(norm(cp(0x0540, 0x0548, 0x054D, 0x0555), "CONFUSABLE_FOLD") === "hnuo",
+      "uppercase Armenian reaches the table through the case fold")
+    // Cherokee: the UPPERCASE syllables are the Latin lookalikes; Java's
+    // case fold lands U+13A0-13EF on the U+AB70 small block (and
+    // U+13F4 on U+13FC), which is where the table catches them —
+    // pin the mapping itself so a JDK Unicode-table change is loud
+    val cherUp = Seq(0x13A0, 0x13A1, 0x13A2, 0x13AA, 0x13AB, 0x13AC,
+      0x13B3, 0x13B7, 0x13BB, 0x13BD, 0x13C0, 0x13C3, 0x13D9, 0x13DA,
+      0x13DE, 0x13DF, 0x13E2, 0x13E6, 0x13F4)
+    assert(cherUp.take(18).forall(c => Character.toLowerCase(c) === c + 0x97D0)
+      && Character.toLowerCase(0x13F4) === 0x13FC,
+      "the Cherokee case mapping the kernel relies on")
+    assert(norm(cp(cherUp: _*), "CONFUSABLE_FOLD") === "drtajewmhygzvslcpkb")
+    assert(norm(cp(cherUp.map(Character.toLowerCase): _*), "CONFUSABLE_FOLD")
+      === "drtajewmhygzvslcpkb", "lowercase Cherokee maps directly")
+    // digit lookalikes: З Ч б → 3 4 6; ASCII digits stay fixed points
+    assert(norm(cp(0x0417, 0x0427, 0x0431), "CONFUSABLE_FOLD") === "346")
+    assert(norm("346", "CONFUSABLE_FOLD") === "346")
+    // NFC/NFKC leave every new codepoint untouched (same property the
+    // Cyrillic/Greek table carries — the fold gate's oracle relies on it)
+    Seq(cp(0x0570, 0x0578, 0x057D, 0x0585), cp(cherUp: _*),
+      cp(cherUp.map(Character.toLowerCase): _*), cp(0x0437, 0x0447, 0x0431))
+      .foreach { s =>
+        Seq("NFC", "NFKC").foreach(f => assert(norm(s, f) === s,
+          s"$f must not touch '$s'"))
+      }
   }
 
   test("CONFUSABLE_FOLD kills the Cyrillic-а dedup evasion the NFC chain misses") {
