@@ -1268,9 +1268,11 @@ object Corpus {
       tableName: String,
       n: Int = 8,
       mBits: Int = 1 << 18,
-      k: Int = 5
+      k: Int = 5,
+      normForm: String = NormForm.Default
   ): Unit = {
     require(k >= 1 && k <= 16 && mBits > 0)
+    NormForm.validate(normForm)
     val spark = benchmark.sparkSession
     import spark.implicits._
     benchmark
@@ -1278,7 +1280,11 @@ object Corpus {
       .select(explode(bloomPositions(col("__h"), mBits, k)).as("bit"))
       .distinct()
       .write.mode("overwrite").format("parquet").saveAsTable(tableName)
-    Seq((mBits, k, n)).toDF("m_bits", "k_hashes", "shingle_n")
+    // norm_form rides the stats row (see [[NormForm]]): probes and
+    // appends must declare the same normalization the bits were built
+    // from, or refuse named instead of silently never matching
+    Seq((mBits, k, n, normForm))
+      .toDF("m_bits", "k_hashes", "shingle_n", "norm_form")
       .write.mode("overwrite").format("parquet").saveAsTable(tableName + "_stats")
   }
 
@@ -1287,7 +1293,22 @@ object Corpus {
       tableName: String): (Int, Int, Int) = {
     val r = spark.table(tableName + "_stats").collect()
     require(r.length == 1, s"${tableName}_stats must hold exactly one row")
-    (r.head.getInt(2), r.head.getInt(0), r.head.getInt(1)) // (n, mBits, k)
+    (r.head.getAs[Int]("shingle_n"), r.head.getAs[Int]("m_bits"),
+      r.head.getAs[Int]("k_hashes")) // (n, mBits, k)
+  }
+
+  /** The stored normalization-form stamp of a bloom index, `"NONE"`
+    * for an r19+ index built from raw text, [[scala.None]] for a
+    * pre-stamp `_stats` row (no `norm_form` column) — the documented
+    * accept-as-is path.
+    */
+  def bloomIndexNormForm(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Option[String] = {
+    val t = spark.table(tableName + "_stats")
+    if (t.columns.contains("norm_form"))
+      Some(t.select(col("norm_form")).head().getString(0))
+    else None
   }
 
   /** Union a new eval suite's bits into the index — O(suite) work, the
@@ -1298,9 +1319,11 @@ object Corpus {
   def appendToBloomIndex(
       tableName: String,
       suite: DataFrame,
-      benchTextCol: String
+      benchTextCol: String,
+      normForm: String = NormForm.Default
   ): Unit = {
     val spark = suite.sparkSession
+    NormForm.check(bloomIndexNormForm(spark, tableName), normForm, tableName)
     val (n, mBits, k) = readBloomIndexParams(spark, tableName)
     suite
       .select(explode(bloomShingleHashes(col(benchTextCol), n)).as("__h"))
@@ -1317,9 +1340,11 @@ object Corpus {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      tableName: String
+      tableName: String,
+      normForm: String = NormForm.Default
   ): DataFrame = {
     val spark = df.sparkSession
+    NormForm.check(bloomIndexNormForm(spark, tableName), normForm, tableName)
     val (n, mBits, k) = readBloomIndexParams(spark, tableName)
     val bits = spark.table(tableName).select(col("bit").as("__bit")).distinct()
     bloomFlagsAgainstBits(df, idCol, textCol, bits, n, mBits, k)
@@ -1359,6 +1384,34 @@ object Corpus {
       maxFillPpm: Long = 250000L): Boolean =
     bloomIndexStats(spark, tableName)
       .select(col("fill_ppm")).head().getLong(0) > maxFillPpm
+
+  /** The width a fill-stale bloom should REBUILD at: the smallest
+    * power-of-two multiple of the stored width whose PREDICTED fill
+    * ratio clears the staleness bar, capped at 2^30 bit positions.
+    * Prediction uses the CURRENT set-bit count — a lower bound on the
+    * rebuilt filter's (widening splits collisions, so set bits can
+    * only grow slightly), which is why the caller re-reads the fresh
+    * staleness flag afterwards instead of trusting the estimate.
+    * `None` when the stored width is already at the cap — the one
+    * case where a rebuild cannot help and repeating it every
+    * maintenance pass would thrash a full-corpus write for nothing.
+    * A width that can grow but cannot clear the bar even at the cap
+    * still returns the cap (one honest best-effort rebuild; the next
+    * pass then reads `None` and reports instead of repeating).
+    */
+  def bloomRebuildBits(
+      storedBits: Int,
+      setBits: Long,
+      maxFillPpm: Long = 250000L): Option[Int] = {
+    require(storedBits > 0 && setBits >= 0 && maxFillPpm > 0)
+    val cap = 1 << 30
+    if (storedBits >= cap) None
+    else {
+      var m = storedBits.toLong
+      while (m < cap && setBits * 1000000L / m > maxFillPpm) m *= 2
+      Some(math.min(m, cap.toLong).toInt)
+    }
+  }
 
   /** Top-`k` vocabulary with cumulative corpus coverage — the
     * tokenizer-training precursor: which tokens, ranked by frequency,
@@ -1807,8 +1860,12 @@ object Corpus {
     val bids = suite
       .select(xxhash64(col(benchVecCol).cast("array<double>")).as("__bid"))
       .distinct()
+    // no explicit broadcast hint: eval suites are usually tiny (AQE
+    // picks a broadcast anti-join at runtime), but a large retired
+    // suite must not be forced through an oversized driver-side
+    // broadcast — the left_anti is correct under either strategy
     graft.plans.Compaction.rewriteTable(spark, tableName, tag = "delete")(
-      _.join(broadcast(bids), Seq("__bid"), "left_anti"))
+      _.join(bids, Seq("__bid"), "left_anti"))
   }
 
   /** [[embeddingDecontaminationBanded]] served from the persisted

@@ -1194,6 +1194,16 @@ object Dedup {
     * remainder is carried metadata (lang, license, source …) stored
     * verbatim per signature row for the filtered probe.
     */
+  /** The stored normalization-form stamp, if the index carries one —
+    * pre-stamp indexes (no `graft_norm_form` metadata) read `None`,
+    * the documented accept-as-is path (see [[NormForm]]).
+    */
+  private def minhashNormForm(index: DataFrame): Option[String] = {
+    val m = index.schema("sig_0").metadata
+    if (m.contains("graft_norm_form")) Some(m.getString("graft_norm_form"))
+    else None
+  }
+
   private def minhashCarriedCols(index: DataFrame, tableName: String, k: Int): Seq[String] = {
     val reserved = minhashReservedCols(k)
     require(index.columns.length >= reserved.length &&
@@ -1217,9 +1227,11 @@ object Dedup {
       n: Int = 3,
       k: Int = 8,
       buckets: Int = 16,
-      carryCols: Seq[String] = Nil
+      carryCols: Seq[String] = Nil,
+      normForm: String = NormForm.Default
   ): Unit = {
     require(buckets > 0)
+    NormForm.validate(normForm)
     // carryCols = document metadata stored verbatim on each signature
     // row (lang, source, license …) — the payload
     // [[portableMinhashPairsAgainstIndexWhere]]'s predicate filters
@@ -1232,9 +1244,12 @@ object Dedup {
     // the shingle width is part of the signature's identity: stamp it
     // into the stored schema (column metadata on the blocking
     // component) so a query with a different n errors loudly instead
-    // of silently never matching
+    // of silently never matching. The normalization form rides the
+    // same stamp (see [[NormForm]]) — the caller declares what the
+    // text was normalized with, probes/appends must declare the same
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong("graft_minhash_n", n.toLong).build()
+      .putLong("graft_minhash_n", n.toLong)
+      .putString("graft_norm_form", normForm).build()
     val sig = portableMinhashSignatures(docs, idCol, textCol, n, k)
       .withColumnRenamed(idCol, "index_id")
       .withColumn("sig_0", col("sig_0").as("sig_0", meta))
@@ -1272,7 +1287,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      k: Int = 8
+      k: Int = 8,
+      normForm: String = NormForm.Default
   ): Unit = {
     val index = spark.table(tableName)
     val carried = minhashCarriedCols(index, tableName, k)
@@ -1280,6 +1296,7 @@ object Dedup {
     require(storedMeta.contains("graft_minhash_n") &&
       storedMeta.getLong("graft_minhash_n") == n.toLong,
       s"$tableName was built with a different shingle width than n=$n")
+    NormForm.check(minhashNormForm(index), normForm, tableName)
     val bucketSpec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
       .bucketSpec
@@ -1543,10 +1560,11 @@ object Dedup {
       k: Int = 8,
       threshold: Double = 0.5,
       maxBucket: Int = Int.MaxValue,
-      pruneKeys: Int = 4096
+      pruneKeys: Int = 4096,
+      normForm: String = NormForm.Default
   ): DataFrame =
     minhashProbeIndex(spark, tableName, batch, idCol, textCol,
-      predicate = None, n, k, threshold, maxBucket, pruneKeys)
+      predicate = None, n, k, threshold, maxBucket, pruneKeys, normForm)
 
   /** [[portableMinhashPairsAgainstIndex]] restricted to the index rows
     * matching `predicate` over the CARRIED metadata columns
@@ -1572,10 +1590,11 @@ object Dedup {
       k: Int = 8,
       threshold: Double = 0.5,
       maxBucket: Int = Int.MaxValue,
-      pruneKeys: Int = 4096
+      pruneKeys: Int = 4096,
+      normForm: String = NormForm.Default
   ): DataFrame =
     minhashProbeIndex(spark, tableName, batch, idCol, textCol,
-      Some(predicate), n, k, threshold, maxBucket, pruneKeys)
+      Some(predicate), n, k, threshold, maxBucket, pruneKeys, normForm)
 
   private def minhashProbeIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -1588,7 +1607,8 @@ object Dedup {
       k: Int,
       threshold: Double,
       maxBucket: Int,
-      pruneKeys: Int
+      pruneKeys: Int,
+      normForm: String
   ): DataFrame = {
     val index = spark.table(tableName)
     val carried = minhashCarriedCols(index, tableName, k)
@@ -1597,6 +1617,7 @@ object Dedup {
       storedMeta.getLong("graft_minhash_n") == n.toLong,
       s"$tableName was built with a different shingle width than n=$n — " +
         "signatures from mismatched widths never legitimately match")
+    NormForm.check(minhashNormForm(index), normForm, tableName)
     // the unfiltered probe drops the carried payload before the banded
     // join (column pruning reaches the scan); the filtered probe keeps
     // it — the predicate needs it, and the caller gets it back

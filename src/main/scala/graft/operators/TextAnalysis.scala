@@ -632,10 +632,12 @@ object TextAnalysis {
       textCol: String,
       minCosNum: Int = 4,
       minCosDen: Int = 5,
-      pruneKeys: Int = 4096
+      pruneKeys: Int = 4096,
+      normForm: String = NormForm.Default
   ): DataFrame = {
     require(minCosDen > 0 && minCosNum >= 0 && minCosNum <= minCosDen,
       "threshold must be a rational in [0, 1]")
+    NormForm.check(bm25NormForm(spark, tableName), normForm, tableName)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val nSnap = requireFreshCosineNorms(spark, tableName)
     // completeness: the live roster and the live norms must cover the
@@ -1157,9 +1159,11 @@ object TextAnalysis {
       textCol: String,
       tableName: String,
       buckets: Int = 16,
-      carryCols: Seq[String] = Nil
+      carryCols: Seq[String] = Nil,
+      normForm: String = NormForm.Default
   ): Unit = {
     require(buckets > 0)
+    NormForm.validate(normForm)
     // carryCols = document metadata stored verbatim on each posting row
     // (lang, source, license, date …) — the payload
     // [[bm25TopKBatchFromIndexWhere]] predicates filter against.
@@ -1204,7 +1208,7 @@ object TextAnalysis {
     spark.sql(s"DROP TABLE IF EXISTS `${tableName}_norms_stats`")
     val n = obs.get("n").asInstanceOf[Long]
     val s = obs.get("s").asInstanceOf[Long]
-    writeBm25Stats(spark, tableName, n, s, n, s)
+    writeBm25Stats(spark, tableName, n, s, n, s, normForm)
   }
 
   /** The live document roster of a BM25 index: distinct `(doc_id, dl)`
@@ -1272,13 +1276,28 @@ object TextAnalysis {
       spark: org.apache.spark.sql.SparkSession,
       tableName: String,
       nDocs: Long, sumDl: Long,
-      builtDocs: Long, builtSumDl: Long): Unit =
+      builtDocs: Long, builtSumDl: Long,
+      normForm: String): Unit =
     spark.range(1)
       .select(
         lit(nDocs).as("n_docs"), lit(sumDl).as("sum_dl"),
-        lit(builtDocs).as("built_docs"), lit(builtSumDl).as("built_sum_dl"))
+        lit(builtDocs).as("built_docs"), lit(builtSumDl).as("built_sum_dl"),
+        lit(normForm).as("norm_form"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(tableName + "_stats")
+
+  /** The stored normalization-form stamp of a BM25 index, `None` for
+    * a pre-stamp `_stats` row — the documented accept-as-is path
+    * (see [[NormForm]]).
+    */
+  private def bm25NormForm(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Option[String] = {
+    val t = spark.table(tableName + "_stats")
+    if (t.columns.contains("norm_form"))
+      Some(t.select(col("norm_form")).head().getString(0))
+    else None
+  }
 
   /** [[bm25TopKBatch]] over a materialized index
     * ([[writeBm25Index]]): the query bag's term vocabulary becomes a
@@ -1379,12 +1398,14 @@ object TextAnalysis {
       tableName: String,
       batch: DataFrame,
       idCol: String,
-      textCol: String
+      textCol: String,
+      normForm: String = NormForm.Default
   ): Unit = {
     val bucketSpec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName))
       .bucketSpec
     require(bucketSpec.isDefined, s"$tableName is not a bucketed index table")
+    NormForm.check(bm25NormForm(spark, tableName), normForm, tableName)
     // batch stats observed on the append write itself — one tokenize
     // pass per epoch, same as the build path
     // discover carried metadata from the STORED schema — the batch must
@@ -1506,11 +1527,23 @@ object TextAnalysis {
     val cur = bm25CurrentStats(spark, tableName).head()
     val n = cur.getAs[Long]("n_docs")
     val s = cur.getAs[Long]("sum_dl")
+    // the restamp rewrites the stats row — the normalization stamp
+    // must survive it (a restamp moves the drift baseline, not the
+    // text contract); a pre-stamp index stays pre-stamp
+    val form = bm25NormForm(spark, tableName)
     bm25LivePostings(spark, tableName)
       .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(tableName + "_terms")
-    writeBm25Stats(spark, tableName, n, s, n, s)
+    form match {
+      case Some(f) => writeBm25Stats(spark, tableName, n, s, n, s, f)
+      case None => // preserve the pre-stamp 4-column shape
+        spark.range(1)
+          .select(lit(n).as("n_docs"), lit(s).as("sum_dl"),
+            lit(n).as("built_docs"), lit(s).as("built_sum_dl"))
+          .write.mode("overwrite").format("parquet")
+          .saveAsTable(tableName + "_stats")
+    }
     // the restamp MOVES the snapshot — a cosine norms sidecar built
     // against the old one is now stale; re-derive it in the same
     // breath (a death in between leaves the fingerprint mismatch the

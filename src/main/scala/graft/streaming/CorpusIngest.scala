@@ -708,18 +708,23 @@ object CorpusIngest {
     * [[graft.verify.Takedown.sweep]]-able from its first epoch with
     * no manual registration step.
     *
-    * `normalizeForm` CALLER CONTRACT: normalization rewrites only the
-    * STREAM side (the funnel head), so every pre-existing surface the
-    * funnel probes — the MinHash history index, the bloom benchmark
-    * bits, the BM25 postings — must have been built from text
-    * normalized with the SAME form, or normalized batches silently
-    * stop matching un-normalized history (the exact failure the batch
-    * twin [[graft.operators.Corpus.curationVerdicts]] prevents by
-    * normalizing BOTH sides itself). The indexes this stream creates
-    * and appends to are consistent by construction — they store the
-    * normalized text's signatures; the contract bites only on indexes
-    * handed in from elsewhere. The embedding-band surface is exempt
-    * (vectors, not text).
+    * `normalizeForm` CALLER CONTRACT — ENFORCED since r19:
+    * normalization rewrites only the STREAM side (the funnel head), so
+    * every pre-existing surface the funnel probes — the MinHash
+    * history index, the bloom benchmark bits, the BM25 postings — must
+    * have been built from text normalized with the SAME form. The
+    * surfaces carry a normalization stamp at write
+    * ([[graft.operators.NormForm]]: `graft_norm_form` column metadata
+    * on the MinHash `sig_0`, a `norm_form` column in the bloom and
+    * BM25 `_stats`), every probe/append this stream issues passes its
+    * own form, and a stamped surface REFUSES a mismatched form with a
+    * named error at the first micro-batch — the silent
+    * zero-matches failure mode is gone. Pre-stamp surfaces (built
+    * before r19) have no stamp and are accepted as-is: the documented
+    * warn path — rebuild or restamp them to opt into enforcement. The
+    * batch twin [[graft.operators.Corpus.curationVerdicts]] still
+    * normalizes BOTH sides itself. The embedding-band surface is
+    * exempt (vectors, not text).
     *
     * AUDIT LOG SCHEMA MIGRATION: the per-epoch `_curate_log` rows
     * gained `contaminated_semantic` when the semantic screen landed
@@ -761,6 +766,11 @@ object CorpusIngest {
     // Validate the form eagerly — a typo must fail at start, not
     // inside micro-batch N.
     normalizeForm.foreach(graft.functions.NormalizeExpression.modeOf)
+    // the form every pre-existing surface must have been stamped with
+    // (r19: the caller contract is ENFORCED, not just documented —
+    // every index probe and append below passes this and the stamped
+    // surface refuses NAMED on a mismatch; see graft.operators.NormForm)
+    val normFormStamp = normalizeForm.getOrElse("NONE")
     // The semantic decontamination arm (the startDecontaminated option,
     // here inside the full funnel): when `embeddingTable` names a
     // persisted embedding-band surface, each micro-batch's vectors band
@@ -784,10 +794,17 @@ object CorpusIngest {
         "", registryTable)
       bm25Table.foreach(t => graft.verify.Takedown.register(
         session, corpus, "bm25", t, "", registryTable))
+      // the funnel's bloom holds BENCHMARK shingles (the eval-suite
+      // screen), never corpus text — registered as such so a later
+      // Takedown.sweep of this corpus SKIPS it instead of silently
+      // rebuilding the screen from the post-delete live corpus (the
+      // r18 provenance-conflation defect). Same for embband.
       bloomTable.foreach(t => graft.verify.Takedown.register(
-        session, corpus, "bloom", t, textCol, registryTable))
+        session, corpus, "bloom", t, textCol, registryTable,
+        provenance = "benchmark"))
       embeddingTable.foreach(t => graft.verify.Takedown.register(
-        session, corpus, "embband", t, embVecCol, registryTable))
+        session, corpus, "embband", t, embVecCol, registryTable,
+        provenance = "benchmark"))
     }
     bm25Table.foreach { t =>
       TextAnalysis.repairBm25Index(session, t)
@@ -818,7 +835,8 @@ object CorpusIngest {
           val clean = bloomTable match {
             case Some(bt) =>
               val flagged = graft.operators.Corpus
-                .bloomDecontaminationFromIndex(quality, idCol, textCol, bt)
+                .bloomDecontaminationFromIndex(quality, idCol, textCol, bt,
+                  normForm = normFormStamp)
                 .filter(col("flagged")).select(idCol)
               quality.join(flagged, Seq(idCol), "left_anti").localCheckpoint(true)
             case None => quality
@@ -838,7 +856,8 @@ object CorpusIngest {
           }
           val nS = semClean.count()
           val hits = Dedup.portableMinhashPairsAgainstIndex(
-            spark, minhashTable, semClean, idCol, textCol, n, k, threshold)
+            spark, minhashTable, semClean, idCol, textCol, n, k, threshold,
+            normForm = normFormStamp)
             .filter(col("batch_id") =!= col("index_id"))
             .select(col("batch_id").as(idCol)).distinct()
           val noHist = semClean.join(hits, Seq(idCol), "left_anti")
@@ -852,9 +871,11 @@ object CorpusIngest {
           val nOut = survivors.count()
           survivors.write.mode("overwrite").parquet(s"$destDir/batch=$batchId")
           Dedup.appendToMinhashIndex(
-            spark, minhashTable, survivors, idCol, textCol, n, k)
+            spark, minhashTable, survivors, idCol, textCol, n, k,
+            normForm = normFormStamp)
           bm25Table.foreach { t =>
-            TextAnalysis.appendToBm25Index(spark, t, survivors, idCol, textCol)
+            TextAnalysis.appendToBm25Index(spark, t, survivors, idCol, textCol,
+              normForm = normFormStamp)
           }
           Seq((nIn, nIn - nQ, nQ - nC, nC - nS, nS - nH, nH - nOut, nOut))
             .toDF("docs_in", "low_quality", "contaminated",

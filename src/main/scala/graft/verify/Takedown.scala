@@ -40,8 +40,10 @@ import graft.plans.{Compaction, Snapshots, ZOrder}
   *     safe first: reads already exclude tombstones);
   *  3. delete from the live dataset (z-order-aware dispatch);
   *  4. [[Snapshots.purgeVersions]] over retained history;
-  *  5. rebuild any registered bloom filter from the post-delete live
+  *  5. rebuild every registered ROSTER bloom from the post-delete live
   *     corpus (bloom bits cannot be unset — rebuild IS the delete);
+  *     BENCHMARK blooms hold eval-suite shingles, not corpus content,
+  *     and are skipped like embband (see [[BloomProvenances]]);
   *  6. the composed [[Comparator.absenceAudit]] over live + every
   *     index surface + every retained version.
   *
@@ -77,6 +79,34 @@ object Takedown {
     Set("live", "minhash", "bm25", "ivfsq", "ivfpq", "dhash", "audio",
       "video", "bloom", "embband")
 
+  /** Bloom-surface provenance — the field whose absence made the two
+    * flagship compositions unsafe together (r18 finding): a `bloom`
+    * row is either
+    *
+    *  - `roster` — a do-not-train roster built over the LIVE corpus
+    *    text. Rebuilding it from the post-delete corpus IS the delete
+    *    (bloom bits cannot be unset), so [[sweep]] step 6 rebuilds it
+    *    and [[maintain]] may widen it from the live directory; or
+    *  - `benchmark` — an eval-suite decontamination screen built from
+    *    BENCHMARK text (the [[graft.streaming.CorpusIngest]] funnel's
+    *    stored side). Its bits are NOT corpus-derived: a corpus
+    *    takedown has nothing to delete from them, and a
+    *    rebuild-from-live would silently replace the eval-suite
+    *    screen with corpus shingles — so sweep SKIPS it (the embband
+    *    rule) and a widening rebuild must come from the registered
+    *    benchmark `source` directory or report needs-rebuild.
+    *
+    * Pre-provenance registrations read as `""` (unknown): [[sweep]]
+    * refuses them LOUDLY before touching anything — guessing either
+    * way silently corrupts one of the two conventions. Migration for
+    * such rows is one call: [[setBloomProvenance]].
+    */
+  val BloomProvenances: Set[String] = Set("roster", "benchmark")
+
+  /** One registered surface row (the registry's read-side shape). */
+  private final case class Reg(family: String, surface: String, aux: String,
+      provenance: String, source: String)
+
   private val FamilyIdCol = Map(
     "minhash" -> "index_id", "bm25" -> "doc_id",
     "ivfsq" -> "neighbor_id", "ivfpq" -> "neighbor_id",
@@ -90,9 +120,28 @@ object Takedown {
     "_tombstones", "_docs", "_norms", "_norms_stats", "_terms", "_stats",
     "_centroids", "_codebook")
 
+  /** The registry table with read-side schema compatibility: a
+    * pre-provenance registry (4 columns) reads with `provenance` and
+    * `source` filled as `""` (unknown) — no rewrite needed to READ;
+    * the first post-r19 [[register]] call widens it physically so
+    * 6-column appends land.
+    */
+  private def registryFrame(spark: SparkSession, registryTable: String): DataFrame = {
+    val t = spark.table(registryTable)
+    val p = if (t.columns.contains("provenance")) t
+      else t.withColumn("provenance", lit(""))
+    if (p.columns.contains("source")) p else p.withColumn("source", lit(""))
+  }
+
   /** Record a surface for `corpus`. Idempotent (re-registering the
-    * same triple is a no-op); loud on an unknown family. Safe to call
-    * for surfaces built long before the registry existed.
+    * same triple is a no-op — but re-registering a surface under a
+    * CONFLICTING non-empty provenance refuses loudly: silently keeping
+    * the old value would flip sweep semantics behind the caller's
+    * back; [[setBloomProvenance]] is the deliberate update verb).
+    * Loud on an unknown family. Safe to call for surfaces built long
+    * before the registry existed. `provenance`/`source` are the bloom
+    * family's fields (see [[BloomProvenances]]); other families leave
+    * them empty.
     */
   def register(
       spark: SparkSession,
@@ -100,27 +149,113 @@ object Takedown {
       family: String,
       surface: String,
       aux: String = "",
-      registryTable: String = DefaultRegistry): Unit = {
+      registryTable: String = DefaultRegistry,
+      provenance: String = "",
+      source: String = ""): Unit = {
     require(KnownFamilies.contains(family),
       s"unknown surface family '$family' (known: ${KnownFamilies.toSeq.sorted.mkString(", ")})")
     require(corpus.nonEmpty && surface.nonEmpty, "corpus and surface must be non-empty")
+    require(provenance.isEmpty || BloomProvenances.contains(provenance),
+      s"provenance must be one of ${BloomProvenances.toSeq.sorted.mkString(" | ")} (or empty), got '$provenance'")
     import spark.implicits._
-    val row = Seq((corpus, family, surface, aux))
-      .toDF("corpus", "family", "surface", "aux")
+    val row = Seq((corpus, family, surface, aux, provenance, source))
+      .toDF("corpus", "family", "surface", "aux", "provenance", "source")
     if (spark.catalog.tableExists(registryTable)) {
-      val dup = spark.table(registryTable)
+      // one-time physical widening of a pre-provenance registry so the
+      // 6-column append below lands; legacy rows read provenance = ""
+      // (unknown) until setBloomProvenance records the split
+      if (!spark.table(registryTable).columns.contains("source")) {
+        val migrated = registryFrame(spark, registryTable).collect() // O(surfaces)
+          .map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getString(4), r.getString(5)))
+        migrated.toSeq
+          .toDF("corpus", "family", "surface", "aux", "provenance", "source")
+          .write.mode("overwrite").format("parquet").saveAsTable(registryTable)
+      }
+      val existing = registryFrame(spark, registryTable)
         .filter(col("corpus") === corpus && col("family") === family &&
           col("surface") === surface)
-        .limit(1).count() > 0 // bounded: the registry is O(surfaces) rows
-      if (!dup)
+        .select("provenance")
+        .limit(1).collect() // bounded: the registry is O(surfaces) rows
+      if (existing.nonEmpty) {
+        val stored = existing.head.getString(0)
+        // a caller EXPLICITLY stating provenance over a pre-provenance
+        // row ("" = unknown) is the migration path, not a conflict —
+        // upgrade in place; two different NON-empty provenances are a
+        // semantic flip and refuse
+        require(provenance.isEmpty || stored.isEmpty || stored == provenance,
+          s"surface '$surface' of corpus '$corpus' is already registered with " +
+            s"provenance '$stored' — re-registering it as '$provenance' would " +
+            "silently change sweep semantics; record the change deliberately " +
+            "with Takedown.setBloomProvenance")
+        if (stored.isEmpty && provenance.nonEmpty)
+          updateProvenance(spark, corpus, family, surface, provenance, source,
+            registryTable)
+      } else
         row.write.mode("append").format("parquet").saveAsTable(registryTable)
     } else row.write.format("parquet").saveAsTable(registryTable)
+    spark.catalog.refreshTable(registryTable)
+  }
+
+  /** Record (or correct) a bloom surface's provenance — the migration
+    * verb for pre-provenance registrations (which [[sweep]] refuses)
+    * and the only way to CHANGE a stored provenance. For `benchmark`
+    * blooms, `source` may name the parquet directory holding the
+    * benchmark rows (with the registered text column) so [[maintain]]
+    * can widen the screen from its true source; roster blooms rebuild
+    * from the live directory and take no source.
+    */
+  def setBloomProvenance(
+      spark: SparkSession,
+      corpus: String,
+      surface: String,
+      provenance: String,
+      source: String = "",
+      registryTable: String = DefaultRegistry): Unit = {
+    require(BloomProvenances.contains(provenance),
+      s"provenance must be one of ${BloomProvenances.toSeq.sorted.mkString(" | ")}, got '$provenance'")
+    require(provenance == "benchmark" || source.isEmpty,
+      "source names a benchmark bloom's rebuild directory — roster blooms rebuild from live")
+    updateProvenance(spark, corpus, "bloom", surface, provenance, source,
+      registryTable)
+  }
+
+  /** Rewrite one registry row's (provenance, source) in place — the
+    * registry is O(surfaces) rows, so the staged collect-and-overwrite
+    * is bounded. Loud when the row doesn't exist.
+    */
+  private def updateProvenance(
+      spark: SparkSession,
+      corpus: String,
+      family: String,
+      surface: String,
+      provenance: String,
+      source: String,
+      registryTable: String): Unit = {
+    require(spark.catalog.tableExists(registryTable),
+      s"surface registry $registryTable does not exist")
+    val rows = registryFrame(spark, registryTable).collect() // O(surfaces)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5)))
+    require(rows.exists(r => r._1 == corpus && r._2 == family && r._3 == surface),
+      s"no $family surface '$surface' registered for corpus '$corpus'")
+    val updated = rows.map {
+      case (c, f, s, aux, _, _) if c == corpus && f == family && s == surface =>
+        (c, f, s, aux, provenance, source)
+      case other => other
+    }
+    import spark.implicits._
+    updated.toSeq.distinct
+      .toDF("corpus", "family", "surface", "aux", "provenance", "source")
+      .write.mode("overwrite").format("parquet").saveAsTable(registryTable)
     spark.catalog.refreshTable(registryTable)
   }
 
   /** The registered surfaces of `corpus`, distinct (replayed appends
     * dedupe at read — the tombstone-table rule), ordered (family,
     * surface) so every consumer sees one deterministic sequence.
+    * Always 6 columns — a pre-provenance registry reads with
+    * `provenance`/`source` = `""`.
     */
   def registered(
       spark: SparkSession,
@@ -128,11 +263,20 @@ object Takedown {
       registryTable: String = DefaultRegistry): DataFrame = {
     require(spark.catalog.tableExists(registryTable),
       s"surface registry $registryTable does not exist — register surfaces first")
-    spark.table(registryTable)
+    registryFrame(spark, registryTable)
       .filter(col("corpus") === corpus)
       .distinct()
       .orderBy("family", "surface")
   }
+
+  /** [[registered]] as typed rows — the shape sweep/maintain consume. */
+  private def regsOf(
+      spark: SparkSession,
+      corpus: String,
+      registryTable: String): Array[Reg] =
+    registered(spark, corpus, registryTable).collect()
+      .map(r => Reg(r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getString(5)))
 
   /** Register the corpus's LIVE dataset directory (family `live`,
     * aux = its id column) — the root surface every sweep starts from.
@@ -224,12 +368,29 @@ object Takedown {
       buckets, maxFrames, carryCols)
   }
 
+  /** Self-registering bloom write. `provenance` is REQUIRED — the one
+    * decision the registry cannot infer (see [[BloomProvenances]]):
+    * `"roster"` = do-not-train roster over the live corpus text
+    * (sweep rebuilds it from the post-delete corpus), `"benchmark"` =
+    * eval-suite decontamination screen (sweep skips it; a widening
+    * rebuild reads `benchmarkSource`, a parquet directory holding the
+    * benchmark rows, when given).
+    */
   def writeBloomIndex(spark: SparkSession, corpus: String,
       benchmark: DataFrame, benchTextCol: String, tableName: String,
+      provenance: String,
       n: Int = 8, mBits: Int = 1 << 18, k: Int = 5,
+      benchmarkSource: String = "",
+      normForm: String = "NONE",
       registryTable: String = DefaultRegistry): Unit = {
-    register(spark, corpus, "bloom", tableName, benchTextCol, registryTable)
-    Corpus.writeBloomIndex(benchmark, benchTextCol, tableName, n, mBits, k)
+    require(BloomProvenances.contains(provenance),
+      s"bloom provenance must be one of ${BloomProvenances.toSeq.sorted.mkString(" | ")}, got '$provenance'")
+    require(provenance == "benchmark" || benchmarkSource.isEmpty,
+      "benchmarkSource is for benchmark blooms — roster blooms rebuild from live")
+    register(spark, corpus, "bloom", tableName, benchTextCol, registryTable,
+      provenance, benchmarkSource)
+    Corpus.writeBloomIndex(benchmark, benchTextCol, tableName, n, mBits, k,
+      normForm)
   }
 
   /** The embedding-band benchmark surface (streaming semantic
@@ -244,7 +405,11 @@ object Takedown {
       benchmark: DataFrame, benchVecCol: String, tableName: String,
       nBits: Int = 0, nBands: Int = 6,
       registryTable: String = DefaultRegistry): Unit = {
-    register(spark, corpus, "embband", tableName, benchVecCol, registryTable)
+    // embband is ALWAYS benchmark-derived — stamped so the registry
+    // reads uniformly, though the family alone already makes sweep
+    // skip it
+    register(spark, corpus, "embband", tableName, benchVecCol, registryTable,
+      provenance = "benchmark")
     Corpus.writeEmbeddingBandIndex(benchmark, benchVecCol, tableName, nBits, nBands)
   }
 
@@ -279,14 +444,32 @@ object Takedown {
       registryTable: String = DefaultRegistry,
       strict: Boolean = true,
       targetFileBytes: Long = 128L << 20): DataFrame = {
-    val rows = registered(spark, corpus, registryTable).collect()
-      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val rows = regsOf(spark, corpus, registryTable)
     require(rows.nonEmpty, s"no surfaces registered for corpus '$corpus'")
-    val lives = rows.filter(_._1 == "live")
+    val lives = rows.filter(_.family == "live")
     require(lives.length == 1,
       s"corpus '$corpus' must register exactly one live surface (found ${lives.length})")
-    val (_, liveDir, idCol) = lives.head
+    val (liveDir, idCol) = (lives.head.surface, lives.head.aux)
     require(idCol.nonEmpty, s"live registration for '$corpus' lacks its id column (aux)")
+    // PRE-FLIGHT, before any mutation: every bloom surface must carry
+    // provenance. Guessing corrupts one convention or the other (a
+    // roster bloom left unrebuilt keeps deleted content flaggable but
+    // never forgets it; a benchmark bloom rebuilt from live loses the
+    // eval-suite screen entirely), and a mid-sweep refusal would be
+    // worse — a rerun after migration would find zero matching ids and
+    // never reach the roster rebuild.
+    rows.filter(r => r.family == "bloom" &&
+        !BloomProvenances.contains(r.provenance))
+      .foreach { r =>
+        throw new IllegalArgumentException(
+          s"bloom surface '${r.surface}' of corpus '$corpus' has no recorded " +
+            "provenance (a pre-provenance registration) — record it first with " +
+            "Takedown.setBloomProvenance(spark, corpus, surface, \"roster\" | " +
+            "\"benchmark\"): the sweep rebuilds a ROSTER bloom from the " +
+            "post-delete live corpus, but must SKIP a BENCHMARK decontamination " +
+            "bloom (rebuilding it from the corpus would silently replace the " +
+            "eval-suite screen with corpus shingles)")
+      }
     val pred = coalesce(condition, lit(false))
 
     // 1. matching ids from live + retained versions — gathered BEFORE
@@ -320,11 +503,12 @@ object Takedown {
     }
 
     // 3. index families: tombstone the ids, then make it physical.
-    // bloom is rebuilt in step 6; embband holds benchmark vectors, not
-    // corpus rows — a corpus takedown has nothing to remove from it
+    // roster blooms are rebuilt in step 6; benchmark blooms and embband
+    // hold BENCHMARK content, not corpus rows — a corpus takedown has
+    // nothing to remove from them
     val families = rows.filterNot(r =>
-      r._1 == "live" || r._1 == "bloom" || r._1 == "embband")
-    families.foreach { case (family, table, _) =>
+      r.family == "live" || r.family == "bloom" || r.family == "embband")
+    families.foreach { case Reg(family, table, _, _, _) =>
       if (spark.catalog.tableExists(table)) family match {
         case "minhash" =>
           Dedup.deleteFromMinhashIndex(spark, table, ids)
@@ -364,20 +548,35 @@ object Takedown {
     // 5. retained history (covers the version the delete just archived)
     if (versioned) Snapshots.purgeVersions(spark, liveDir, condition, targetFileBytes)
 
-    // 6. bloom: bits cannot be unset — rebuild from the post-delete
-    // live corpus with the STORED hash-family parameters and the
-    // registered text column
-    rows.filter(_._1 == "bloom").foreach { case (_, table, textCol) =>
-      if (spark.catalog.tableExists(table)) {
-        require(textCol.nonEmpty,
-          s"bloom registration for $table lacks its text column (aux) — " +
-            "the sweep cannot rebuild it")
-        val p = spark.table(table + "_stats").collect()
-        require(p.length == 1, s"${table}_stats must hold exactly one row")
-        Corpus.writeBloomIndex(spark.read.parquet(liveDir), textCol, table,
-          n = p.head.getInt(2), mBits = p.head.getInt(0), k = p.head.getInt(1))
+    // 6. ROSTER blooms only: bits cannot be unset — rebuild from the
+    // post-delete live corpus with the STORED hash-family parameters
+    // and the registered text column. BENCHMARK blooms are skipped
+    // (the pre-flight check above guarantees the split is recorded):
+    // their bits are eval-suite shingles, not corpus content — a
+    // rebuild-from-live here is exactly the r18 defect this field
+    // exists to prevent.
+    rows.filter(r => r.family == "bloom" && r.provenance == "roster")
+      .foreach { case Reg(_, table, textCol, _, _) =>
+        if (spark.catalog.tableExists(table)) {
+          require(textCol.nonEmpty,
+            s"bloom registration for $table lacks its text column (aux) — " +
+              "the sweep cannot rebuild it")
+          val p = spark.table(table + "_stats").collect()
+          require(p.length == 1, s"${table}_stats must hold exactly one row")
+          // the rebuild must re-apply the STORED normalization form to
+          // the live text (the bits were built from normalized
+          // shingles) and re-stamp it, or the rebuilt roster would
+          // silently stop matching the normalized probes it serves
+          val form = Corpus.bloomIndexNormForm(spark, table).getOrElse("NONE")
+          val live = spark.read.parquet(liveDir)
+          val src = if (form == "NONE") live
+            else live.withColumn(textCol,
+              Corpus.normalizeText(col(textCol), form))
+          Corpus.writeBloomIndex(src, textCol, table,
+            n = p.head.getAs[Int]("shingle_n"), mBits = p.head.getAs[Int]("m_bits"),
+            k = p.head.getAs[Int]("k_hashes"), normForm = form)
+        }
       }
-    }
 
     // 7. the receipt: absence across EVERY surface, history included
     val surfaces = auditSurfaces(spark, corpus, registryTable)
@@ -562,13 +761,19 @@ object Takedown {
     *    corpus vectors, which maintenance cannot conjure — those report
     *    `stale_after = true` and the rebuild stays a deliberate act
     *  - bloom over fill → rebuild WIDER from the registered text
-    *    column over the live corpus ([[sweep]] step 6's path — the
-    *    registry row carries everything the rebuild needs), with
-    *    `mBits` doubled: fill-ratio staleness means the current width
-    *    is exhausted, and bits cannot be thinned in place. Hash count
-    *    and shingle width stay the stored ones. A bloom registered
-    *    without its text column (pre-registry surfaces) is reported,
-    *    not attempted.
+    *    column over its PROVENANCE source: live corpus for a roster
+    *    bloom ([[sweep]] step 6's path), the registered benchmark
+    *    directory for a benchmark bloom (never live — that would
+    *    replace the eval-suite screen with corpus shingles). `mBits`
+    *    grows by doublings until the predicted fill clears the
+    *    staleness bar ([[Corpus.bloomRebuildBits]] — one blind
+    *    doubling on a saturated filter would stay stale and re-run
+    *    the full rebuild every pass), capped at 2^30: at the cap the
+    *    surface reports needs-rebuild instead of thrashing. Hash
+    *    count and shingle width stay the stored ones. A bloom
+    *    registered without its text column, a benchmark bloom without
+    *    a source, or a pre-provenance registration is reported, not
+    *    attempted.
     *  - embband residue → [[Corpus.compactEmbeddingBandIndex]]
     */
   def maintain(
@@ -582,10 +787,10 @@ object Takedown {
       .map(r => (r.getString(1), r.getString(2), r.getBoolean(3),
         if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
     // the registry rows carry what the dashboard view drops: the bloom
-    // rebuild needs its aux (text column) and the live dir
-    val regRows = registered(spark, corpus, registryTable).collect()
-      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
-    val liveDir = regRows.find(_._1 == "live").map(_._2)
+    // rebuild needs its aux (text column), provenance, source, and the
+    // live dir
+    val regRows = regsOf(spark, corpus, registryTable)
+    val liveDir = regRows.find(_.family == "live").map(_.surface)
     val actions = dash.map { case (family, surface, present, stale) =>
       val action: String =
         if (!(present && stale.contains(true))) "none"
@@ -647,24 +852,55 @@ object Takedown {
               "purgeDHashIndex+compact"
             } else "purgeDHashIndex"
           case "bloom" =>
-            val textCol = regRows
-              .find(r => r._1 == "bloom" && r._2 == surface).map(_._3)
-              .filter(_.nonEmpty)
-            (textCol, liveDir) match {
-              case (Some(tc), Some(dir)) =>
-                val p = spark.table(surface + "_stats").collect()
-                require(p.length == 1,
-                  s"${surface}_stats must hold exactly one row")
-                // fill past threshold = this width is spent; double it
-                // (capped at 2^30 bit positions) and rebuild through
-                // the sweep's step-6 path — same hash count, same
-                // shingle width, flags for uncontaminated docs preserved
-                val mBits = math.min(p.head.getInt(0).toLong * 2L, 1L << 30).toInt
-                Corpus.writeBloomIndex(spark.read.parquet(dir), tc, surface,
-                  n = p.head.getInt(2), mBits = mBits, k = p.head.getInt(1))
-                s"writeBloomIndex(mBits=$mBits)"
-              case _ =>
+            val reg = regRows.find(r => r.family == "bloom" && r.surface == surface)
+            val textCol = reg.map(_.aux).filter(_.nonEmpty)
+            val prov = reg.map(_.provenance).getOrElse("")
+            // provenance picks the rebuild SOURCE: a roster bloom
+            // re-derives from the live corpus, a benchmark bloom must
+            // read its registered benchmark directory — never live
+            // (the sweep-step-6 rule; a "maintained" benchmark bloom
+            // rebuilt from corpus text would be the r18 defect again)
+            val rebuildFrom: Option[DataFrame] = prov match {
+              case "roster"    => liveDir.map(spark.read.parquet(_))
+              case "benchmark" => reg.map(_.source).filter(_.nonEmpty)
+                .map(spark.read.parquet(_))
+              case _ => None
+            }
+            (textCol, rebuildFrom) match {
+              case (Some(tc), Some(raw)) =>
+                val st = Corpus.bloomIndexStats(spark, surface).head()
+                // fill past threshold = this width is spent. Grow by
+                // doublings until the PREDICTED fill clears the bar
+                // (one doubling on a badly saturated filter would stay
+                // stale and re-run the full rebuild every maintain
+                // pass); at the 2^30 cap, report instead of thrashing.
+                Corpus.bloomRebuildBits(st.getAs[Int]("m_bits"),
+                  st.getAs[Long]("set_bits")) match {
+                  case Some(mBits) =>
+                    // re-apply + re-stamp the stored normalization form
+                    // (the sweep-step-6 rule)
+                    val form = Corpus.bloomIndexNormForm(spark, surface)
+                      .getOrElse("NONE")
+                    val src = if (form == "NONE") raw
+                      else raw.withColumn(tc,
+                        Corpus.normalizeText(col(tc), form))
+                    Corpus.writeBloomIndex(src, tc, surface,
+                      n = st.getAs[Int]("shingle_n"), mBits = mBits,
+                      k = st.getAs[Int]("k_hashes"), normForm = form)
+                    s"writeBloomIndex(mBits=$mBits)"
+                  case None =>
+                    "needs-rebuild (bloom width already at the 2^30 cap)"
+                }
+              case (None, _) =>
                 "needs-rebuild (bloom registration lacks text column)"
+              case _ if prov == "benchmark" =>
+                "needs-rebuild (benchmark bloom has no registered source — " +
+                  "setBloomProvenance(source=...) names its rebuild directory)"
+              case _ if prov == "roster" =>
+                "needs-rebuild (no live surface registered for the corpus)"
+              case _ =>
+                "needs-provenance (pre-provenance bloom registration — " +
+                  "record roster | benchmark with Takedown.setBloomProvenance)"
             }
           case "embband" =>
             Corpus.compactEmbeddingBandIndex(spark, surface)

@@ -1172,7 +1172,11 @@ class CorpusIngestSpec extends SparkSpec {
       s"$v $tag alpha bravo $v charlie delta echo $v ${tag}x golf hotel"
     val history = Seq((0L, text(comp, "zero"))).toDF("doc_id", "text")
     spark.sql("DROP TABLE IF EXISTS nrm_mh")
-    Dedup.writeMinhashIndex(history, "doc_id", "text", "nrm_mh", buckets = 4)
+    // the history text is composed (= NFC-normalized) — stamp the index
+    // accordingly, since r19 the stream's probe REFUSES a mismatched
+    // stamp instead of silently not matching (NormFormContractSpec)
+    Dedup.writeMinhashIndex(history, "doc_id", "text", "nrm_mh", buckets = 4,
+      normForm = "NFC")
     val srcDir = tmp("graft_ci_nrm_src")
     val outDir = tmp("graft_ci_nrm_out")
     val ckpt = tmp("graft_ci_nrm_ckpt")

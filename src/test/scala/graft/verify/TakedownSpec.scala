@@ -177,6 +177,7 @@ class TakedownSpec extends SparkSpec {
     Takedown.registerCorpus(spark, "tkd4", dir, "doc_id", reg)
     // a do-not-train roster bloom built over the WHOLE corpus text
     Takedown.writeBloomIndex(spark, "tkd4", docs, "text", "tkd4_bloom",
+      provenance = "roster",
       n = 4, registryTable = reg)
     val cond = (col("doc_id") - Off) % 5 === 0
     val doomedDocs = docs.filter(cond)
@@ -244,9 +245,12 @@ class TakedownSpec extends SparkSpec {
     Takedown.writeBm25Index(spark, "tkd_cur", seed, "doc_id", "text",
       bm, buckets = 4, registryTable = reg)
     TextAnalysis.refreshCosineNorms(spark, bm)
+    // the funnel's screen holds BENCHMARK shingles — provenance
+    // "benchmark", the field whose absence made the pre-r19 sweep
+    // silently rebuild this bloom from the post-delete corpus
     Takedown.writeBloomIndex(spark, "tkd_cur",
       Seq((1L, "bench secret xqj wqk eqm rqn")).toDF("doc_id", "text"),
-      "text", bloom, n = 4, registryTable = reg)
+      "text", bloom, provenance = "benchmark", n = 4, registryTable = reg)
     val srcDir = tmp("graft_tkd_cur_src")
     val outDir = tmp("graft_tkd_cur_out")
     val ckpt = tmp("graft_tkd_cur_ckpt")
@@ -285,6 +289,21 @@ class TakedownSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cos.toSeq === Seq((S + 900L, S + 4L)),
       "streamed history must stay cosine-scorable after the sweep")
+    // the r19 provenance assertions — both FAILED before the split
+    // landed (the pre-r19 sweep rebuilt this benchmark bloom from the
+    // 5 surviving corpus docs): the eval-suite screen still flags the
+    // planted benchmark phrase, and does NOT flag the corpus docs a
+    // resumed stream would re-deliver
+    val benchProbe = Corpus.bloomDecontaminationFromIndex(
+      Seq((1L, "bench secret xqj wqk eqm rqn")).toDF("doc_id", "text"),
+      "doc_id", "text", bloom)
+    assert(benchProbe.head().getBoolean(2),
+      "post-sweep: the benchmark phrase must still be flagged — the sweep " +
+        "must not rebuild a benchmark bloom from the live corpus")
+    val corpusProbe = Corpus.bloomDecontaminationFromIndex(
+      spark.read.parquet(outDir), "doc_id", "text", bloom)
+    assert(corpusProbe.filter(col("flagged")).count() === 0L,
+      "post-sweep: surviving corpus docs must not read as benchmark leakage")
   }
 
   test("maintain: one call runs the named verbs for every stale surface — three dirty families go fresh, data preserved") {
@@ -377,7 +396,7 @@ class TakedownSpec extends SparkSpec {
     // hash positions ≈ 800 insertions into 2048 bits — fill ≈ 32%,
     // past the 25% staleness bar; ONE doubling (4096) lands ≈ 18%
     Takedown.writeBloomIndex(spark, "tkdmb", docs, "text", "tkdmb_bloom",
-      n = 2, mBits = 2048, k = 4, registryTable = reg)
+      provenance = "roster", n = 2, mBits = 2048, k = 4, registryTable = reg)
     assert(Corpus.isStaleBloomIndex(spark, "tkdmb_bloom"),
       "the fixture must saturate the filter or the test proves nothing")
     import spark.implicits._
@@ -438,5 +457,122 @@ class TakedownSpec extends SparkSpec {
     val after = spark.read.parquet(dir).drop("batch")
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(after === before, "recluster is a pure permutation")
+  }
+
+  test("sweep refuses a pre-provenance bloom BEFORE touching anything; setBloomProvenance is the migration") {
+    val dir = tmp("graft_tkd_pv")
+    val reg = SharedReg
+    val docs = docsFrame(20)
+    docs.write.parquet(dir)
+    Takedown.registerCorpus(spark, "tkdpv", dir, "doc_id", reg)
+    // a legacy registration: bloom recorded without provenance (the
+    // low-level register path pre-r19 callers used)
+    Corpus.writeBloomIndex(docs, "text", "tkdpv_bloom", n = 2)
+    Takedown.register(spark, "tkdpv", "bloom", "tkdpv_bloom", "text", reg)
+    val cond = (col("doc_id") - Off) % 7 === 0
+    val e = intercept[IllegalArgumentException] {
+      Takedown.sweep(spark, "tkdpv", cond, registryTable = reg)
+    }
+    assert(e.getMessage.contains("setBloomProvenance") &&
+      e.getMessage.contains("tkdpv_bloom"), e.getMessage)
+    // pre-flight means PRE-flight: the refused sweep mutated nothing —
+    // a mid-sweep refusal would leave a rerun with zero matching ids
+    // and the roster rebuild unreachable
+    assert(spark.read.parquet(dir).count() === 20L,
+      "the refused sweep must not have deleted from live")
+    // migrate, then the sweep completes with roster semantics: doomed
+    // docs' doc-unique shingles leave the rebuilt roster
+    Takedown.setBloomProvenance(spark, "tkdpv", "tkdpv_bloom", "roster",
+      registryTable = reg)
+    Takedown.sweep(spark, "tkdpv", cond, registryTable = reg)
+    val flags = Corpus.bloomDecontaminationFromIndex(docs, "doc_id", "text",
+      "tkdpv_bloom").collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (0 until 20).foreach { d =>
+      assert(flags(Off + d) === (d % 7 != 0),
+        s"doc $d: roster rebuild must forget exactly the doomed docs")
+    }
+    // conflicting NON-empty provenances refuse; same value is a no-op
+    val e2 = intercept[IllegalArgumentException] {
+      Takedown.register(spark, "tkdpv", "bloom", "tkdpv_bloom", "text", reg,
+        provenance = "benchmark")
+    }
+    assert(e2.getMessage.contains("already registered"), e2.getMessage)
+    Takedown.register(spark, "tkdpv", "bloom", "tkdpv_bloom", "text", reg,
+      provenance = "roster")
+  }
+
+  test("maintain: a benchmark bloom widens from its registered SOURCE, never from live — and reports needs-rebuild without one") {
+    import spark.implicits._
+    val dir = tmp("graft_tkd_mbs")
+    val benchDir = tmp("graft_tkd_mbs_bench")
+    val reg = SharedReg
+    val docs = docsFrame(40)
+    docs.write.parquet(dir)
+    // benchmark rows share NO shingles with the corpus (b-tokens vs
+    // u-tokens) — the one property that makes source-vs-live provable
+    val bench = (0 until 40).map(d => (Off + 500L + d,
+      s"b${d}a b${d}b b${d}c b${d}d b${d}e b${d}f")).toDF("doc_id", "text")
+    bench.write.parquet(benchDir)
+    Takedown.registerCorpus(spark, "tkdmbs", dir, "doc_id", reg)
+    // saturated on purpose (the tkdmb fixture rule): 40 docs × 5
+    // doc-unique 2-grams × 4 hashes ≈ 800 insertions into 2048 bits
+    Takedown.writeBloomIndex(spark, "tkdmbs", bench, "text", "tkdmbs_bloom",
+      provenance = "benchmark", n = 2, mBits = 2048, k = 4,
+      registryTable = reg)
+    assert(Corpus.isStaleBloomIndex(spark, "tkdmbs_bloom"),
+      "the fixture must saturate the filter or the test proves nothing")
+    val bitsBefore = spark.table("tkdmbs_bloom_stats").head().getInt(0)
+
+    // without a source: reported, NOT rebuilt (and NEVER from live)
+    val r1 = Takedown.maintain(spark, "tkdmbs", reg).collect()
+      .filter(_.getString(1) == "bloom").head
+    assert(r1.getString(4).startsWith("needs-rebuild (benchmark bloom has no registered source"),
+      r1.getString(4))
+    assert(spark.table("tkdmbs_bloom_stats").head().getInt(0) === bitsBefore,
+      "no source: the stored screen must be untouched")
+
+    // register the true source, then maintain widens from IT: the
+    // benchmark rows still flag, the corpus docs still don't — a
+    // live-rebuild would invert both
+    Takedown.setBloomProvenance(spark, "tkdmbs", "tkdmbs_bloom", "benchmark",
+      source = benchDir, registryTable = reg)
+    val st = Corpus.bloomIndexStats(spark, "tkdmbs_bloom").head()
+    val expected = Corpus.bloomRebuildBits(
+      st.getAs[Int]("m_bits"), st.getAs[Long]("set_bits")).get
+    val r2 = Takedown.maintain(spark, "tkdmbs", reg).collect()
+      .filter(_.getString(1) == "bloom").head
+    assert(r2.getString(4) === s"writeBloomIndex(mBits=$expected)", r2.getString(4))
+    assert(r2.getBoolean(3) === true)
+    assert(!r2.isNullAt(5) && !r2.getBoolean(5),
+      "the widened benchmark screen must read fresh")
+    val benchFlags = Corpus.bloomDecontaminationFromIndex(bench, "doc_id",
+      "text", "tkdmbs_bloom").filter(!col("flagged")).count()
+    assert(benchFlags === 0L, "every benchmark row must still be flagged")
+    // bit-for-bit: the widened screen equals a from-scratch build over
+    // the benchmark SOURCE — the strongest form of "never read live"
+    // (and immune to the width-dependent false-positive pattern a
+    // flags-only comparison would be exposed to)
+    Corpus.writeBloomIndex(bench, "text", "tkdmbs_twin",
+      n = 2, mBits = expected, k = 4)
+    val got = spark.table("tkdmbs_bloom").select("bit").distinct()
+      .collect().map(_.get(0)).toSet
+    val want = spark.table("tkdmbs_twin").select("bit").distinct()
+      .collect().map(_.get(0)).toSet
+    assert(got === want,
+      "widened screen == a from-scratch build over the benchmark source")
+  }
+
+  test("bloomRebuildBits: multi-doubling clears the bar in one pass; the 2^30 cap reports instead of thrashing") {
+    // at the cap: no rebuild can help — None, so maintain reports
+    // instead of re-running a full-corpus write every pass
+    assert(Corpus.bloomRebuildBits(1 << 30, 900000000L) === None)
+    // 60% fill: one doubling lands 30% (> 25% bar — the pre-r19 blind
+    // double would rebuild and STAY stale), two land 15% — ×4 in one verb
+    assert(Corpus.bloomRebuildBits(2048, 1229L) === Some(8192))
+    // just past the bar: a single doubling suffices (the tkdmb shape)
+    assert(Corpus.bloomRebuildBits(2048, 656L) === Some(4096))
+    // a filter so full even the cap can't clear it: one best-effort
+    // rebuild at the cap (the NEXT pass then reads None and reports)
+    assert(Corpus.bloomRebuildBits(1 << 29, (1L << 29) - 1) === Some(1 << 30))
   }
 }
