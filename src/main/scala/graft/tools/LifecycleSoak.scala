@@ -204,6 +204,16 @@ object LifecycleSoak {
     val jdb = if (!on("jdb")) -1.0 else {
       val dbDir = java.nio.file.Files.createTempDirectory("graft_lc_derby")
       System.setProperty("derby.system.home", dbDir.toString)
+      // same recovery-time log tuning as graft.Bench's durable arm
+      // (r19: 64M log switch / 128M checkpoint / 1M log buffer — see
+      // Bench.scala for the A/B that adopted it), so the soak's scale
+      // RATIO measures the protocol the bench actually ships.
+      // GRAFT_JDB_LOGTUNE=0 restores engine defaults for A/B probes.
+      if (sys.env.getOrElse("GRAFT_JDB_LOGTUNE", "1") != "0") {
+        System.setProperty("derby.storage.logSwitchInterval", "67108864")
+        System.setProperty("derby.storage.checkpointInterval", "134217728")
+        System.setProperty("derby.storage.logBufferSize", "1048576")
+      }
       val conn = sys.env.getOrElse("GRAFT_JDB_CONN", "16").toInt
       val batch = sys.env.getOrElse("GRAFT_JDB_BATCH", "5000").toInt
       // GRAFT_JDB_TABLES=all syncs the whole fixture DB (the bench's

@@ -89,6 +89,51 @@ class BenchReprobeSpec extends AnyFunSuite {
       Seq("q_z_solo" -> 4.0, "q_a_solo" -> 3.0)) === Seq("q_a", "q_z"))
   }
 
+  test("driftQueries: committed medians >2x their prior committed value self-identify; io_degraded names are suppressed") {
+    // the r18 committed-run wobble, verbatim: dsir 0.96→2.73 (2.8x),
+    // curation_verdicts 0.66→1.59 (2.4x) — both previously shipped
+    // unexplained because solo receipts only exist ≥ 3 s
+    val prev = Map("q_corpus_dsir_sample" -> 0.96,
+      "q_corpus_curation_verdicts" -> 0.66, "q_corpus_leak_split" -> 3.60,
+      "q_steady" -> 1.0, "q_small" -> 0.1, "q_slow" -> 20.0)
+    val results = Seq("q_corpus_dsir_sample" -> 2.73,
+      "q_corpus_curation_verdicts" -> 1.59, "q_corpus_leak_split" -> 6.24,
+      "q_steady" -> 1.1, "q_small" -> 0.35, "q_slow" -> 55.0)
+    val d = Bench.driftQueries(results, prev, excluded = Set("q_slow"))
+    // worst ratio first; leak_split (1.7x) stays quiet — 2x is the bar;
+    // q_small trips the ratio but not the 0.5 s absolute floor;
+    // q_slow is already named by io_degraded and must not be re-named
+    assert(d.map(_._1) ===
+      Seq("q_corpus_dsir_sample", "q_corpus_curation_verdicts"), d)
+    assert(d.head === (("q_corpus_dsir_sample", 0.96, 2.73)))
+    // no prior artifact (or a failed prior/current) → nothing to say
+    assert(Bench.driftQueries(results, Map.empty, Set.empty).isEmpty)
+    assert(Bench.driftQueries(Seq("q_a" -> -1.0), Map("q_a" -> 1.0),
+      Set.empty).isEmpty)
+    assert(Bench.driftQueries(Seq("q_a" -> 9.0), Map("q_a" -> -1.0),
+      Set.empty).isEmpty)
+  }
+
+  test("total_ex_reprobed substitutes the solo receipt, keeping the headline comparable to a clean round's total") {
+    // r18 shape: dropping the io-degraded median entirely made the
+    // total comparable only to rounds excluding the same set; the
+    // substitution (total - median + solo) is what a clean box would
+    // have measured. Replayed here through the same arithmetic main
+    // uses (the pieces are pure).
+    val results = Seq("q_hot" -> 127.4, "q_ok" -> 10.0)
+    val reprobed = Seq("q_hot_solo" -> 9.6)
+    val ioDeg = Bench.ioDegradedQueries(results, reprobed)
+    assert(ioDeg === Seq("q_hot"))
+    val total = results.map(_._2).sum
+    val soloOf = reprobed.toMap
+    val exReprobed = total - results.collect {
+      case (n, v) if ioDeg.contains(n) && v > 0 =>
+        v - math.max(0.0, soloOf.getOrElse(n + "_solo", 0.0))
+    }.sum
+    assert(math.abs(exReprobed - (9.6 + 10.0)) < 1e-9,
+      "the inflated median is replaced by its receipt, not dropped")
+  }
+
   test("trigger over a parsed artifact: transient re-probes, healthy neighbors don't") {
     val prev = Bench.parsePrevQueryTimes(blob, "/root/testdata/sf0.1")
     // this round the sparse query measures healthy again → no re-probe
