@@ -2702,6 +2702,35 @@ object SparkEntry {
         n = 3, k = 8, threshold = 0.5)
         .orderBy("batch_id", "index_id")
     }),
+    // The r19 ENFORCED normalization contract, driven through the
+    // stored index end-to-end: history (even ids) carries a COMPOSED
+    // planted marker and builds an NFC-STAMPED index; the arriving
+    // batch (odd ids) carries the DECOMPOSED spelling of the same
+    // marker. Both sides normalize NFC at the funnel head (the
+    // curated-ingest shape) and the probe declares its form to the
+    // stamped index — skip either normalization and the marker's
+    // shingles diverge, shifting exact signature components across
+    // thousands of pairs; declare the wrong form and the probe
+    // refuses outright. The twin nfc_normalize's both parities.
+    "q_dedup_incremental_normalized" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxTable = s"minhash_nrm_gate_${fixtureKey(dir, docs)}"
+      val comp = "caf" + new String(Character.toChars(0xE9)) + " nrm "
+      val deco = "cafe" + new String(Character.toChars(0x301)) + " nrm "
+      if (!s.catalog.tableExists(idxTable))
+        Dedup.writeMinhashIndex(
+          docs.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id"), Corpus.normalizeText(
+              concat(lit(comp), col("text")), "NFC").as("text")),
+          "doc_id", "text", idxTable, n = 3, k = 8, buckets = 8,
+          normForm = "NFC")
+      Dedup.portableMinhashPairsAgainstIndex(s, idxTable,
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), Corpus.normalizeText(
+            concat(lit(deco), col("text")), "NFC").as("text")),
+        "doc_id", "text", n = 3, k = 8, threshold = 0.5, normForm = "NFC")
+        .orderBy("batch_id", "index_id")
+    }),
     // FILTERED near-dup over the signature index: carried metadata
     // (lang) restricts the candidates during the banded probe — the
     // per-language dedup slice. The twin is the restriction oracle:
@@ -4282,11 +4311,16 @@ object SparkEntry {
     * shared by the incremental, incremental-indexed, deleted-index and
     * real-pair-graph twins. Ends with `sig(doc_id, sig_0..sig_7)`.
     */
-  private lazy val minhashSigCtes: String = {
+  /** The portable-minhash signature CTE chain over `documents`, with
+    * the text SOURCE expression pluggable — the normalized-index gate
+    * wraps it in `nfc_normalize(prefix || text)`, everything else uses
+    * the bare column.
+    */
+  private def minhashSigCtesFrom(textExpr: String): String = {
     val k = 8
     val sigs = (0 until k).map(j =>
       s"MIN((${2 * j + 3}*hv+${97 * j + 1})%1000000007) AS sig_$j").mkString(", ")
-    "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
+    s"WITH toks AS (SELECT doc_id, string_split_regex(lower(trim($textExpr)), '\\s+') AS w FROM documents), " +
       "sh AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')] " +
       "ELSE list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')) END AS s FROM toks), " +
       "e AS (SELECT doc_id, unnest(s) AS sg FROM sh), " +
@@ -4296,6 +4330,8 @@ object SparkEntry {
       "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
       s"sig AS (SELECT doc_id, $sigs FROM hv GROUP BY doc_id)"
   }
+
+  private lazy val minhashSigCtes: String = minhashSigCtesFrom("text")
 
   /** Sum of per-component signature matches between sides `a` and `b`
     * of a sig-join — the integer the minhash estimate is matches/8 of.
@@ -4332,8 +4368,9 @@ object SparkEntry {
       "FROM documents d LEFT JOIN fl USING (doc_id) ORDER BY d.doc_id"
   }
 
-  private def minhashIncrementalOracle(indexExtra: String): String =
-    s"$minhashSigCtes " +
+  private def minhashIncrementalOracle(indexExtra: String,
+      sigCtes: String = minhashSigCtes): String =
+    s"$sigCtes " +
       s"SELECT a.doc_id AS batch_id, b.doc_id AS index_id, CAST($minhashMatchSum AS DOUBLE)/8 AS minhash_est " +
       "FROM sig a JOIN sig b ON a.sig_0 = b.sig_0 " +
       s"WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0$indexExtra " +
@@ -6311,6 +6348,14 @@ object SparkEntry {
     // materialized signature index must reproduce the in-memory
     // batch-vs-history result exactly
     "q_dedup_incremental_indexed" -> minhashIncrementalOracleSql,
+    // the normalized-index gate: same incremental replay, text source
+    // = nfc_normalize(parity-picked composed/decomposed marker || text)
+    // — after NFC both parities carry the identical prefix, so the
+    // planted near-dup pairs survive with their exact signature values
+    "q_dedup_incremental_normalized" -> minhashIncrementalOracle("",
+      minhashSigCtesFrom(
+        "nfc_normalize(CASE WHEN doc_id % 2 = 0 THEN 'caf' || chr(233) " +
+          "ELSE 'cafe' || chr(769) END || ' nrm ' || text)")),
     "q_dedup_deleted_index" ->
       // the shared incremental replay with the tombstoned ids dropped
       // from the INDEX side — a deleted doc must stop colliding

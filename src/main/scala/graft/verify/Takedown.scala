@@ -683,9 +683,8 @@ object Takedown {
       corpus: String,
       registryTable: String = DefaultRegistry): DataFrame = {
     import spark.implicits._
-    val rows = registered(spark, corpus, registryTable).collect()
-      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
-    val out = rows.flatMap { case (family, surface, _) =>
+    val rows = regsOf(spark, corpus, registryTable)
+    val out = rows.flatMap { case Reg(family, surface, _, prov, src) =>
       family match {
         case "live" =>
           val zordered = {
@@ -724,8 +723,19 @@ object Takedown {
                 (Some(Multimodal.isStaleDHashIndex(spark, surface)),
                   "compactBucketedTable / purgeDHashIndex")
               case "bloom" =>
-                (Some(Corpus.isStaleBloomIndex(spark, surface)),
-                  "writeBloomIndex (rebuild wider)")
+                // remediation depends on provenance — maintain widens a
+                // roster bloom from live, a benchmark bloom only from
+                // its registered source, and refuses to guess for a
+                // pre-provenance row
+                val fix = prov match {
+                  case "roster" => "maintain (rebuild wider from live)"
+                  case "benchmark" if src.nonEmpty =>
+                    "maintain (rebuild wider from registered source)"
+                  case "benchmark" =>
+                    "register a benchmark source (setBloomProvenance) then maintain"
+                  case _ => "setBloomProvenance (roster | benchmark) first"
+                }
+                (Some(Corpus.isStaleBloomIndex(spark, surface)), fix)
               case "embband" =>
                 (Some(Corpus.isStaleEmbeddingBandIndex(spark, surface)),
                   "compactEmbeddingBandIndex")
