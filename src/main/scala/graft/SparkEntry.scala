@@ -3213,6 +3213,55 @@ object SparkEntry {
         Takedown.auditSurfaces(s, corpus, reg))
         .orderBy("id")
     }),
+    // The r19 PROVENANCE split, oracle-gated on BOTH arms at once: the
+    // corpus registers a ROSTER bloom (do-not-train, bits over the
+    // whole live text) AND a BENCHMARK screen (bits from the %97
+    // suite), then ONE sweep deletes %13 of the corpus. The roster
+    // must equal a from-scratch filter over the SURVIVORS (the twin's
+    // roster bits come from doc_id % 13 != 0 — under- AND over-removal
+    // both hash-mismatch), while the benchmark screen must still be
+    // EXACTLY the %97 suite's bits (the pre-r19 sweep rebuilt it from
+    // the post-delete corpus, which flips both planted classes). Ids
+    // offset to 9.6e6 so strict discovery never meets other gates'
+    // index tables.
+    "q_verify_takedown_bloom" -> ((s, dir) => {
+      import graft.verify.Takedown
+      val off = 9600000L
+      val docs0 = t(s, dir, "documents")
+      val key = fixtureKey(dir, docs0)
+      val corpus = s"tkblm_$key"
+      val reg = s"tkblmreg_$key"
+      val rosterT = s"tkblm_roster_$key"
+      val benchT = s"tkblm_bench_$key"
+      val liveDir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_tkblm_$key/corpus"
+      if (!s.catalog.tableExists(rosterT)) {
+        val docs = docs0.select((col("doc_id") + off).as("doc_id"), col("text"))
+        docs.write.mode("overwrite").parquet(liveDir)
+        Takedown.registerCorpus(s, corpus, liveDir, "doc_id", reg)
+        Takedown.writeBloomIndex(s, corpus, docs, "text", rosterT,
+          provenance = "roster", registryTable = reg)
+        Takedown.writeBloomIndex(s, corpus,
+          docs.filter((col("doc_id") - off) % 97 === 0), "text", benchT,
+          provenance = "benchmark", registryTable = reg)
+        Takedown.sweep(s, corpus, (col("doc_id") - off) % 13 === 0,
+          registryTable = reg)
+      }
+      val probe = docs0.select((col("doc_id") + off).as("doc_id"), col("text"))
+      val roster = Corpus.bloomDecontaminationFromIndex(
+        probe, "doc_id", "text", rosterT)
+        .select(col("doc_id"), col("n_flagged").as("roster_flagged_n"),
+          col("flagged").as("roster_flagged"))
+      val bench = Corpus.bloomDecontaminationFromIndex(
+        probe, "doc_id", "text", benchT)
+        .select(col("doc_id"), col("n_flagged").as("bench_flagged_n"),
+          col("flagged").as("bench_flagged"))
+      roster.join(bench, Seq("doc_id"))
+        .select((col("doc_id") - off).as("doc_id"),
+          col("roster_flagged_n"), col("roster_flagged"),
+          col("bench_flagged_n"), col("bench_flagged"))
+        .orderBy("doc_id")
+    }),
     // Versioned takedown, closed end-to-end: routine maintenance
     // deletes (%3, %5) retain pre-rewrite snapshots; the takedown (%7)
     // deletes from LIVE (archiving the pre-takedown state — which
@@ -4344,13 +4393,15 @@ object SparkEntry {
     * for the in-memory gate, the indexed gate, and the append==rebuild
     * gate (bits from A ∪ B).
     */
-  private def bloomDecontamOracle(benchPred: String): String = {
-    val m = 1 << 18
-    val k = 5
-    val posExprs = (0 until k).map(i =>
-      s"(hv * ${2 * i + 3} + ${97 * i + 1}) % $m").mkString(", ")
-    // distinct on (doc, KR hash) — not on shingle strings — so a hash
-    // collision collapses identically in both engines
+  /** The bloom hash-position expressions and the shared shingle→KR-hash
+    * CTE chain (n=8 token shingles, distinct on (doc, hash) — not on
+    * shingle strings — so a hash collision collapses identically in
+    * both engines), reused by the decontam twins and the takedown
+    * roster-vs-benchmark twin.
+    */
+  private lazy val bloomPosExprs: String = (0 until 5).map(i =>
+    s"(hv * ${2 * i + 3} + ${97 * i + 1}) % ${1 << 18}").mkString(", ")
+  private lazy val bloomHvCtes: String =
     "WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents), " +
       "sh AS (SELECT doc_id, CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')] " +
       "ELSE list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' ')) END AS s FROM toks), " +
@@ -4360,13 +4411,34 @@ object SparkEntry {
       "(a,c) -> (a*31+c) % 1000000007) AS hv " +
       "FROM (SELECT doc_id, regexp_replace(lower(sg), '[^a-z0-9 ]', '', 'g') AS t FROM e)), " +
       "hv AS (SELECT DISTINCT doc_id, hv FROM hv0), " +
-      s"bb AS (SELECT DISTINCT unnest([$posExprs]) AS bit FROM hv WHERE $benchPred), " +
-      s"probes AS (SELECT doc_id, hv, unnest([$posExprs]) AS bit FROM hv), " +
+      s"probes AS (SELECT doc_id, hv, unnest([$bloomPosExprs]) AS bit FROM hv)"
+
+  private def bloomDecontamOracle(benchPred: String): String =
+    s"$bloomHvCtes, " +
+      s"bb AS (SELECT DISTINCT unnest([$bloomPosExprs]) AS bit FROM hv WHERE $benchPred), " +
       "hits AS (SELECT doc_id, hv, count(*) AS nset FROM probes JOIN bb USING (bit) GROUP BY doc_id, hv), " +
-      s"fl AS (SELECT doc_id, count(*) AS n_flagged FROM hits WHERE nset = $k GROUP BY doc_id) " +
+      "fl AS (SELECT doc_id, count(*) AS n_flagged FROM hits WHERE nset = 5 GROUP BY doc_id) " +
       "SELECT d.doc_id, COALESCE(fl.n_flagged, 0) AS n_flagged, COALESCE(fl.n_flagged, 0) > 0 AS flagged " +
       "FROM documents d LEFT JOIN fl USING (doc_id) ORDER BY d.doc_id"
-  }
+
+  /** Twin of `q_verify_takedown_bloom`: after a %13 sweep, the ROSTER
+    * bloom's bits equal a from-scratch filter over the SURVIVORS
+    * (doc_id % 13 != 0 — under- AND over-removal both flag), while the
+    * BENCHMARK screen's bits stay exactly the %97 suite's (a
+    * rebuild-from-live would flip both planted classes). One probe
+    * pass serves both filters.
+    */
+  private lazy val takedownBloomOracleSql: String =
+    s"$bloomHvCtes, " +
+      s"rb AS (SELECT DISTINCT unnest([$bloomPosExprs]) AS bit FROM hv WHERE doc_id % 13 != 0), " +
+      s"bb AS (SELECT DISTINCT unnest([$bloomPosExprs]) AS bit FROM hv WHERE doc_id % 97 = 0), " +
+      "rhits AS (SELECT doc_id, hv, count(*) AS nset FROM probes JOIN rb USING (bit) GROUP BY doc_id, hv), " +
+      "rfl AS (SELECT doc_id, count(*) AS n FROM rhits WHERE nset = 5 GROUP BY doc_id), " +
+      "bhits AS (SELECT doc_id, hv, count(*) AS nset FROM probes JOIN bb USING (bit) GROUP BY doc_id, hv), " +
+      "bfl AS (SELECT doc_id, count(*) AS n FROM bhits WHERE nset = 5 GROUP BY doc_id) " +
+      "SELECT d.doc_id, COALESCE(rfl.n, 0) AS roster_flagged_n, COALESCE(rfl.n, 0) > 0 AS roster_flagged, " +
+      "COALESCE(bfl.n, 0) AS bench_flagged_n, COALESCE(bfl.n, 0) > 0 AS bench_flagged " +
+      "FROM documents d LEFT JOIN rfl USING (doc_id) LEFT JOIN bfl USING (doc_id) ORDER BY d.doc_id"
 
   private def minhashIncrementalOracle(indexExtra: String,
       sigCtes: String = minhashSigCtes): String =
@@ -6866,6 +6938,10 @@ object SparkEntry {
         "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS v1_rows, " +
         "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS v2_rows " +
         "FROM documents WHERE doc_id < 140 ORDER BY id"),
+    // both provenance arms replayed bit-exact: roster bits from the
+    // %13 survivors, benchmark bits from the %97 suite — see the
+    // builder's doc for why each direction of failure flags
+    "q_verify_takedown_bloom" -> takedownBloomOracleSql,
     "q_verify_deletion_versioned" ->
       // expected per-id counts per surface, recomputed from the raw
       // corpus and the predicates alone: v1 = original, v2 = minus %3,
