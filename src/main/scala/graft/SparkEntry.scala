@@ -1179,11 +1179,17 @@ object SparkEntry {
     // bucket-pruned shortlist like every other FromIndex searcher.
     "q_sim_mmr_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.writeIvfSqIndex(emb.filter(col("vec_id") < 150),
-        "vec_id", "embedding", "mmr_ivf_gate", nCentroids = 8, buckets = 4)
+      // build-once/query-many like every other *_indexed gate (the
+      // fixture-keyed tableExists guard): this gate rebuilt its index
+      // on EVERY bench rep, billing a full bucketed-table write to a
+      // query whose subject is the indexed MMR probe
+      val idxTable = s"mmr_ivf_gate_${fixtureKey(dir, emb)}"
+      if (!s.catalog.tableExists(idxTable))
+        Similarity.writeIvfSqIndex(emb.filter(col("vec_id") < 150),
+          "vec_id", "embedding", idxTable, nCentroids = 8, buckets = 4)
       val queries = emb.filter(col("vec_id") < 3).select(
         (col("vec_id") + 1000000).as("vec_id"), col("embedding"))
-      Similarity.mmrTopKFromIndex(s, "mmr_ivf_gate", queries,
+      Similarity.mmrTopKFromIndex(s, idxTable, queries,
         "vec_id", "embedding", k = 4, shortlist = 150, nProbe = 8,
         lambdaPpm = 700000L)
         .select(col("query_id").cast(LongType).as("query_id"), col("rank"),

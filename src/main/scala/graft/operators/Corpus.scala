@@ -343,13 +343,15 @@ object Corpus {
     * docs — unlike [[Dedup.shingles]]' whole-text degenerate rule,
     * a 3-token doc cannot meaningfully overlap an 8-gram eval set).
     */
-  private def wordShingles(textC: Column, n: Int): Column = {
-    val w = TextAnalysis.tokens(lower(textC))
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def wordShingles(textC: Column, n: Int): Column =
+    // bindOnce: the token array is sliced inside the gram lambda —
+    // inlined, the regex split would re-run once per GRAM of every
+    // document (O(tokens²) split work per doc; no CSE inside HOFs)
+    TextAnalysis.bindOnce(TextAnalysis.tokens(lower(textC)), w =>
+      when(size(w) >= n,
+        array_distinct(transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " "))))
+        .otherwise(array().cast("array<string>")))
 
   /** Fraction-overlap decontamination — the "n-gram overlap" family of
     * eval-contamination checks for LM training sets: a document is
@@ -1617,12 +1619,18 @@ object Corpus {
       n: Int = 2
   ): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val toks = TextAnalysis.tokens(lower(trim(col(textCol))))
+    // materialize the token array in a child projection: inlining the
+    // tokenize into the generator re-ran the regex split once per GRAM
+    // inside the transform lambda (no CSE inside HOFs) — O(tokens²)
+    // splits per document, measured 5.6 s → sub-second at sf0.1
+    val toks = col("__toks")
     val grams = when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
     val perGram = df
+      .select(col(groupCol),
+        TextAnalysis.tokens(lower(trim(col(textCol)))).as("__toks"))
       .select(col(groupCol), explode(grams).as("__g"))
       .groupBy(col(groupCol), col("__g"))
       .agg(count(lit(1)).as("__c"))

@@ -78,14 +78,15 @@ object Dedup {
   // -------------------------------------------------------------- shingles
 
   /** Word `n`-gram shingles of a text column (distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")
-      )))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // bindOnce: inlined, the regex split re-runs once per gram inside
+    // the transform lambda (no CSE inside HOFs) — O(tokens²) per doc
+    TextAnalysis.bindOnce(TextAnalysis.tokens(lower(text)), toks =>
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")
+        ))))
 
   /** Word `n`-gram shingles as 64-bit hashes (distinct; collision-free
     * in practice) — the fast representation every consumer below uses:

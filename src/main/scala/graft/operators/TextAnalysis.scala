@@ -19,6 +19,22 @@ object TextAnalysis {
   // U+000B in any document silently diverges every token-derived result
   def tokens(text: Column): Column = split(trim(text), "[ \t\n\f\r]+")
 
+  /** Evaluate `e` ONCE per row and hand the result to `f` as a bound
+    * lambda variable. Spark performs no common-subexpression
+    * elimination inside higher-order-function lambdas, so an expensive
+    * expression referenced from a `transform`/`filter` lambda body is
+    * re-evaluated on EVERY element — a gram builder that slices
+    * `split(text)` inside its lambda re-runs the regex split once per
+    * gram, O(tokens²) per document (measured 5.6 s → 0.9 s on the
+    * sf0.1 bigram-stats gate). Binding through a one-element
+    * `transform` makes the value a lambda attribute: computed once,
+    * then only referenced. Null rides through unchanged (`array(e)`
+    * yields a one-null array and `f` sees the null, exactly as if
+    * inlined).
+    */
+  private[graft] def bindOnce(e: Column, f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
   /** BPE-ish subword count: split on word/non-word boundaries the way a
     * byte-pair tokenizer fragments text (letters runs, digit runs, and
     * punctuation all count) — a cheap upper estimate of token cost.
@@ -274,15 +290,17 @@ object TextAnalysis {
     * (interpreted, not codegen); it runs only on the detected
     * space-free rows, a narrow map either way.
     */
-  private def charBigramText(text: Column): Column = {
-    val stripped = regexp_replace(text, "[ \t\n\f\r　]", "")
-    when(length(stripped) >= 2,
-      array_join(
-        transform(sequence(lit(1), length(stripped) - 1),
-          i => substring(stripped, i, lit(2))),
-        " "))
-      .otherwise(stripped)
-  }
+  private def charBigramText(text: Column): Column =
+    // bindOnce: the stripped string is referenced from the bigram
+    // lambda — inlined, the regexp_replace would re-run once per
+    // CHARACTER of every space-free document (O(len²) regex work)
+    bindOnce(regexp_replace(text, "[ \t\n\f\r　]", ""), stripped =>
+      when(length(stripped) >= 2,
+        array_join(
+          transform(sequence(lit(1), length(stripped) - 1),
+            i => substring(stripped, i, lit(2))),
+          " "))
+        .otherwise(stripped))
 
   /** Script-adaptive re-tokenization — the ONE entry point that makes
     * the whole text family CJK-correct: space-free-script documents
@@ -513,6 +531,27 @@ object TextAnalysis {
     floor(log((nCol + 1).cast("double") / (dfCol + 1).cast("double"))
       * lit(1000.0) + lit(0.5)).cast("long")
 
+  /** Exact Σ(a·b) over fixed-point longs for the PER-CALL cosine
+    * aggregates (numerator and batch/pairs norms). Under ANSI — this
+    * build's session default — the accumulation stays in primitive
+    * LONG: identical values inside the documented exact-compare domain
+    * (the outputs are long via [[cosineLongExact]] anyway, so a sum
+    * past ~9.2e18 was ALREADY a refusal), and overflow still fails
+    * loudly (Spark raises ARITHMETIC_OVERFLOW on the sum or the
+    * product). The DECIMAL(38,0) accumulation survives only for
+    * ANSI-off sessions, where a long sum would wrap silently — there
+    * the decimal-null loudness contract ([[cosineThresholdFilter]],
+    * [[cosineLongExact]]) still catches it. Why: Decimal(38,0) partial
+    * sums allocate and box on every row, and the numerator aggregate
+    * processes |batch terms ∩ doc terms| rows per (batch, history)
+    * pair — the suite's single hottest aggregate ran entirely in
+    * decimal for values that fit a long. (The STORED norms sidecar is
+    * untouched: its on-disk decimal schema is a persisted format.)
+    */
+  private def fxMulSum(a: Column, b: Column): Column =
+    if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled) sum(a * b)
+    else sum(a.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * b)
+
   /** The shared loud-overflow threshold filter: under ANSI (this
     * build's default) decimal overflow throws before any null exists;
     * with ANSI off a null product means overflow and must raise, not
@@ -565,13 +604,13 @@ object TextAnalysis {
         .select("doc_id", "term", "w"),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = w.groupBy("doc_id")
-      .agg(sum(col("w").cast(dec) * col("w")).as("nrm"))
+      .agg(fxMulSum(col("w"), col("w")).as("nrm"))
     val num = w.select(col("doc_id").as("id_a"), col("term"), col("w").as("w_a"))
       .join(w.select(col("doc_id").as("id_b"), col("term"), col("w").as("w_b")),
         Seq("term"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(sum(col("w_a").cast(dec) * col("w_b")).as("num"))
+      .agg(fxMulSum(col("w_a"), col("w_b")).as("num"))
     val lhs = col("num").cast(dec) * col("num") * lit(minCosDen.toLong * minCosDen)
     val rhs = col("norm_a").cast(dec) * col("norm_b") * lit(minCosNum.toLong * minCosNum)
     num
@@ -649,8 +688,17 @@ object TextAnalysis {
     // bounded aggregates over the slim side tables, never the postings.
     val rosterIds = bm25LiveDocs(spark, tableName).select(col("doc_id"))
     val normIds = cosineLiveNorms(spark, tableName).select(col("doc_id")).distinct()
-    val missingNorms = rosterIds.join(normIds, Seq("doc_id"), "left_anti").count()
-    val orphanNorms = normIds.join(rosterIds, Seq("doc_id"), "left_anti").count()
+    // both set differences in ONE action (full-outer + two conditional
+    // sums) instead of two anti-join count jobs — same slim inputs,
+    // same two numbers, half the per-call validation latency
+    val mismatch = rosterIds.withColumn("__r", lit(1))
+      .join(normIds.withColumn("__n", lit(1)), Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("__n").isNull, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("__r").isNull, 1L).otherwise(0L)), lit(0L)))
+      .head()
+    val missingNorms = mismatch.getLong(0)
+    val orphanNorms = mismatch.getLong(1)
     require(missingNorms == 0 && orphanNorms == 0,
       s"$tableName: norms sidecar diverges from the live roster " +
         s"($missingNorms roster docs without a norm, $orphanNorms norm " +
@@ -661,13 +709,27 @@ object TextAnalysis {
       .select(col(idCol).as("batch_id"), explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("batch_id", "term").agg(count(lit(1)).as("tf"))
-    val wBatch = bTf.join(terms, Seq("term"), "left")
-      .withColumn("w",
-        col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), lit(nSnap)))
-      .filter(col("w") > 0)
-      .select("batch_id", "term", "w")
+    // pinned: this subtree is consumed THREE times per call (the
+    // termKeys collect, the numerator join and the batch norms) and
+    // each consumer re-ran the batch tokenize+explode+aggregate from
+    // the source — persistOnce computes it once (O(batch) rows, the
+    // lexicalCosinePairs idiom). The eager termKeys collect below also
+    // materializes the cache BEFORE the main plan is built, so the
+    // planner sees the relation's true (small) size and picks a
+    // broadcast for the numerator join instead of shuffling the
+    // postings by `term` — a handful of ubiquitous terms made that
+    // exchange the suite's worst skew key. A huge batch falls back to
+    // the shuffled join by the ordinary size threshold: nothing here
+    // forces a broadcast.
+    val wBatch = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      bTf.join(terms, Seq("term"), "left")
+        .withColumn("w",
+          col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), lit(nSnap)))
+        .filter(col("w") > 0)
+        .select("batch_id", "term", "w"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchNorms = wBatch.groupBy("batch_id")
-      .agg(sum(col("w").cast(dec) * col("w")).as("norm_b"))
+      .agg(fxMulSum(col("w"), col("w")).as("norm_b"))
     // the ONE postings pass: semi-restrict to the batch's terms FIRST,
     // then drop replay-residue duplicates — the dedup aggregate sees
     // only the batch-term postings, not the index. When the batch's
@@ -687,6 +749,16 @@ object TextAnalysis {
         termKeys.map(_.getString(0)).toIndexedSeq: _*))
     else postings.join(batchTerms, Seq("term"), "left_semi"))
       .dropDuplicates("doc_id", "term")
+      // the numerator join and its partial aggregate inherit THIS
+      // frame's partitioning: a `buckets`-file index caps the whole
+      // heavy stage at `buckets`-way parallelism (8 tasks on a 32-core
+      // session, measured). One round-robin exchange of the slim
+      // (doc_id, term, tf) rows — already pruned to the batch's terms
+      // and deduped bucket-locally — buys core-count parallelism for
+      // the expensive part; the count scales with the session instead
+      // of a constant (guide §2.2/§2.5: never repartition by the
+      // skewed `term` key itself)
+      .repartition(spark.sparkContext.defaultParallelism)
       .join(terms, Seq("term"), "left")
       .withColumn("w",
         col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), lit(nSnap)))
@@ -696,7 +768,7 @@ object TextAnalysis {
       .join(wHist.select(col("doc_id"), col("term"), col("w").as("w_h")), Seq("term"))
       .filter(col("batch_id") =!= col("doc_id"))
       .groupBy("batch_id", "doc_id")
-      .agg(sum(col("w_b").cast(dec) * col("w_h")).as("num"))
+      .agg(fxMulSum(col("w_b"), col("w_h")).as("num"))
     val histNorms = cosineLiveNorms(spark, tableName)
       .select(col("doc_id"), col("nrm").as("norm_h"))
     val lhs = col("num").cast(dec) * col("num") * lit(minCosDen.toLong * minCosDen)
