@@ -91,14 +91,17 @@ object Linkage {
       .groupBy("__g").agg(count(lit(1)).as("__df")))
 
     // per key: grams sorted by (df, gram), first kq+1 explode as the
-    // blocking prefix (struct field order IS the sort order)
-    def prefix(grams: DataFrame): DataFrame = grams
+    // blocking prefix (struct field order IS the sort order). Pinned:
+    // in the SELF-join form the two sides' prefix plans canonicalize
+    // identically, so one entry serves both — the whole
+    // df-join + sort + slice chain ran twice per call before
+    def prefix(grams: DataFrame): DataFrame = pin(grams
       .join(df, "__g")
       .groupBy("__key")
       .agg(slice(array_sort(collect_list(struct(col("__df"), col("__g")))),
         1, kq + 1).as("__pref"))
       .select(col("__key"), explode(col("__pref")).as("__p"))
-      .select(col("__key"), col("__p.__g").as("__g"))
+      .select(col("__key"), col("__p.__g").as("__g")))
 
     val candGram = prefix(gramsL).withColumnRenamed("__key", "__kl")
       .join(prefix(gramsR).withColumnRenamed("__key", "__kr"), "__g")
@@ -117,7 +120,16 @@ object Linkage {
       .join(bandR, "__band")
       .select("__kl", "__kr")
 
-    val verified = candGram.unionByName(candShort).distinct()
+    // the candidate dedup must act as a BARRIER: left lazy, the
+    // optimizer pushes the `levenshtein <= maxDist` verify below the
+    // distinct into the gram join's condition, where it runs once per
+    // RAW gram collision — on a corpus whose keys share ubiquitous
+    // grams that meant ~4x duplicated verifies concentrated in the two
+    // hottest gram buckets (one task each). Pinning the deduped
+    // candidate set materializes it first, so the codegen'd verify
+    // runs exactly once per DISTINCT candidate pair, spread across the
+    // session's cores.
+    val verified = pin(candGram.unionByName(candShort).distinct())
       .withColumn("__dist", levenshtein(col("__kl"), col("__kr")).cast("long"))
       .filter(col("__dist") <= maxDist)
 
