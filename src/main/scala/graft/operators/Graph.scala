@@ -160,8 +160,16 @@ object Graph {
           .groupBy("src", "dst").agg(sum(col("__w")).as("__w"))
       case None => edgesOf(pairs).withColumn("__w", lit(1L))
     }
+    // cached PRE-PARTITIONED by src: the loop equi-joins edges on src
+    // every round, and the groupBy(src,dst) build partitioning doesn't
+    // satisfy clustering-by-src — without this the edge frame (the
+    // graph's biggest) re-exchanged once per iteration; now the one
+    // exchange happens at build and every round's join and the degree
+    // aggregate reuse it (guide §2.4: two operations keyed the same
+    // way share one exchange)
     val edges = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      rawEdges, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rawEdges.repartition(col("src")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val degBase = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"), sum(col("__w")).as("strength"))
     val deg = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
@@ -184,14 +192,21 @@ object Graph {
       else "empty pair graph — nothing to rank")
     val base = (1000000000L * (1000000L - dampPpm)) / 1000000L / nTel
     val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
+    // the per-edge flow denominator is LOOP-INVARIANT: pre-join each
+    // edge with its source's strength once (both sides are cached
+    // partitioned/keyed by src, so the build join is exchange-free)
+    // instead of re-joining deg inside every round — one equi-join per
+    // round, exactly what the scaladoc promises
+    val flowEdges = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
+      edges.join(deg.select(col("id").as("src"), col("strength")), Seq("src")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("id"),
       when(col("is_seed"), lit(1000000000L / nTel)).otherwise(lit(0L))
         .as("rank_ppb"))
     var i = 0
     while (i < iters) {
-      val contrib = edges
+      val contrib = flowEdges
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg.select(col("id").as("src"), col("strength")), Seq("src"))
         .select(col("dst").as("id"),
           call_function("div", col("rank_ppb") * col("__w"), col("strength"))
             .as("__share"))
@@ -207,6 +222,7 @@ object Graph {
       i += 1
     }
     val out = ranks.join(deg, Seq("id")).localCheckpoint(true)
+    flowEdges.unpersist()
     edges.unpersist()
     deg.unpersist()
     out
