@@ -230,11 +230,20 @@ object Compaction {
       // is TRUE — a NULL-evaluating row (e.g. a null column under an
       // equality predicate) SURVIVES. A bare !condition is NULL for
       // such rows and filter would silently delete them.
+      // coalesce, not repartition: the delete's only job is to move
+      // surviving rows from old files to new ones — the round-robin
+      // repartition shuffled the ENTIRE surviving dataset purely for
+      // file sizing (at scale, a full-dataset shuffle per delete
+      // sweep). coalesce merges scan splits with zero shuffle; the
+      // default scan split size equals the default target file size,
+      // so output sizing is preserved, and a coarser targetFileBytes
+      // still coalesces down to `parts`. (Guide §2.4: remove shuffles
+      // outright.)
       val writer = spark.read.parquet(dir).observe(obsIn, cnt)
         .filter(!org.apache.spark.sql.functions.coalesce(
           condition, org.apache.spark.sql.functions.lit(false)))
         .observe(obsOut, cnt)
-        .repartition(parts)
+        .coalesce(parts)
         .write.mode("overwrite")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(tmp)

@@ -406,9 +406,12 @@ object Snapshots {
             // deleteWhere's rewrite — a rolled-back version must keep
             // the directory shape its readers and writers expect
             val partCols = Compaction.partitionColumns(fs, vd)
+            // coalesce, not repartition — the deleteWhere rule: a purge
+            // rewrite only moves surviving rows, so shuffling the whole
+            // version for file sizing is pure overhead
             val writer = spark.read.parquet(vd.toString).observe(obsIn, cnt)
               .filter(!pred).observe(obsOut, cnt)
-              .repartition(parts)
+              .coalesce(parts)
               .write.mode("overwrite")
             (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
               .parquet(tmp)
