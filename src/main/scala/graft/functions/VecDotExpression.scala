@@ -197,6 +197,123 @@ object LshSign64Expression {
   }
 }
 
+/** Native integer dot product over two `array<int>` columns — the
+  * quantized-ANN phase-1 scorer. The
+  * `aggregate(zip_with(a, b, (x, y) => (x*y).cast(long)), 0L, _+_)`
+  * composition it replaces is interpreted per element (HOF lambdas
+  * never enter codegen) and allocates a boxed intermediate array per
+  * scored pair — the dominant cost of every SQ/IVF-SQ phase-1 scan at
+  * sf0.1. Accumulates `a(i).toLong * b(i)` in index order: identical
+  * values to the fold for every input (int8-range codes are far inside
+  * long). Length mismatch raises loudly, the [[VecDotExpression]]
+  * contract (zip_with would pad with null and poison the sum to null).
+  */
+case class VecDotIntExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_dot_int requires two array<int> operands, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecDotIntExpression.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecDotIntExpression.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotIntExpression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_vec_dot_int"
+}
+
+object VecDotIntExpression {
+
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vec_dot_int length mismatch: $n vs ${b.numElements()}")
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getInt(i).toLong * b.getInt(i); i += 1 }
+    acc
+  }
+
+  def vecDotInt(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(VecDotIntExpression(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+}
+
+/** Native squared-L2 distance over two `array<double>` columns — the
+  * PQ encode argmin's per-codeword distance. Accumulates
+  * `(a(i)−b(i))·(a(i)−b(i))` in index order: bit-identical IEEE
+  * doubles to the pinned-order `aggregate(zip_with(...))` fold it
+  * replaces — the PQ oracle replays that exact op sequence, so the
+  * kernel must (and does) preserve it. Length mismatch raises loudly.
+  */
+case class VecL2SqExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_l2sq requires two array<double> operands, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecL2SqExpression.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecL2SqExpression.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2SqExpression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_vec_l2sq"
+}
+
+object VecL2SqExpression {
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vec_l2sq length mismatch: $n vs ${b.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  def vecL2Sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(VecL2SqExpression(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+}
+
 object VecDotExpression {
 
   def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {

@@ -896,10 +896,12 @@ object Similarity {
       }
     // phase 1: exact integer dot over codes, within probed lists only —
     // a corpus row is in exactly one list, so each (query, corpus) pair
-    // scores at most once; the k-bounded queue keeps `shortlist` per query
-    val intScore = aggregate(
-      zip_with(col("__qq"), col("__cq"), (a, b) => (a * b).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // scores at most once; the k-bounded queue keeps `shortlist` per
+    // query. Native kernel: the zip_with+aggregate fold it replaces was
+    // interpreted per element and allocated a boxed array per scored
+    // pair — same long accumulate, same values
+    val intScore = graft.functions.VecDotIntExpression
+      .vecDotInt(col("__qq"), col("__cq"))
     val phase1 = codesIn
       .join(broadcast(probes), Seq("__list"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -1485,10 +1487,10 @@ object Similarity {
       .select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
       .withColumn("__cq", scalarQuantize(col("__cv")).getField("codes"))
     // phase 1: integer dot over codes (sum in long: 127^2 * dim stays
-    // far inside range), per-query top-shortlist on a bounded queue
-    val intScore = aggregate(
-      zip_with(col("__qq"), col("__cq"), (a, b) => (a * b).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    // far inside range), per-query top-shortlist on a bounded queue —
+    // native kernel, same long accumulate as the interpreted fold
+    val intScore = graft.functions.VecDotIntExpression
+      .vecDotInt(col("__qq"), col("__cq"))
     // the long score rides the k-bounded queue as a double — int dots
     // are <= 127^2 * dim, far inside double's exact-integer range — so
     // the shortlist never windows the |corpus| x |queries| cross join
@@ -1862,8 +1864,10 @@ object Similarity {
     val subv = slice(v, j * sub + 1, sub)
     val dists = seeds.map { s =>
       val cw = typedlit(s.slice(j * sub, j * sub + sub))
-      aggregate(zip_with(subv, cw, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      // native kernel — bit-identical to the pinned-order fold (the
+      // oracle replays that exact op sequence), but one fused loop
+      // instead of nCodes interpreted zip_with passes per row
+      graft.functions.VecL2SqExpression.vecL2Sq(subv, cw)
     }
     val darr = array(dists: _*)
     (array_position(darr, array_min(darr)) - 1).cast("int")
@@ -1882,8 +1886,9 @@ object Similarity {
       val subq = slice(qv, j * sub + 1, sub)
       val cbj = typedlit(seeds.map(_.slice(j * sub, j * sub + sub)))
       val cw = element_at(cbj, element_at(codes, j + 1) + 1)
-      val part = aggregate(zip_with(subq, cw, (a, b) => a * b),
-        lit(0.0), (acc, x) => acc + x)
+      // native dot — acc += a(i)·b(i) in index order, bit-identical to
+      // the pinned-order fold the twin replays
+      val part = graft.functions.VectorFunctions.dot(subq, cw)
       floor(part * 1000000 + 0.5).cast("long")
     }.reduce(_ + _)
 

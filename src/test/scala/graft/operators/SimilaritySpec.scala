@@ -17,6 +17,32 @@ class SimilaritySpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("native int-dot kernel equals the zip_with fold on quantized codes, exactly") {
+    val emb = table("embeddings").limit(200)
+      .select(
+        Similarity.scalarQuantize(col("embedding")).getField("codes").as("a"),
+        Similarity.scalarQuantize(reverse(col("embedding"))).getField("codes").as("b"))
+    val both = emb.select(
+      graft.functions.VecDotIntExpression.vecDotInt(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("builtin"))
+    assert(both.filter(col("fast") =!= col("builtin")).count() === 0)
+  }
+
+  test("native l2sq kernel is BIT-identical to the pinned-order fold (the PQ argmin contract)") {
+    val emb = table("embeddings").limit(200)
+      .select(col("embedding").cast("array<double>").as("a"),
+        reverse(col("embedding")).cast("array<double>").as("b"))
+    val both = emb.select(
+      graft.functions.VecL2SqExpression.vecL2Sq(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("builtin"))
+    // exact equality, not tolerance: the PQ encode argmin and the ADC
+    // micro-unit floor both require the kernel to reproduce the fold's
+    // IEEE op sequence verbatim
+    assert(both.filter(col("fast") =!= col("builtin")).count() === 0)
+  }
+
   test("vector kernels: dot, norm, cosine, l2") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 0.0f, 0.0f))).toDF("a", "b")
