@@ -1129,9 +1129,13 @@ object Corpus {
       .agg(count_distinct(col("split")).as("__nsplits"))
       .filter(col("__nsplits") > 1)
       .select("cluster")
+    // no distinct: duplicateClusters emits exactly one row per id
+    // (its labels are a groupBy(id) result) and `mixed` is one row per
+    // cluster, so the roster is unique by construction — the distinct
+    // was a redundant exchange+aggregate on the demotion path
     val demoted = membered.join(mixed, "cluster")
       .filter(col("split") =!= "train")
-      .select(col("id").as(idCol)).distinct()
+      .select(col("id").as(idCol))
       .withColumn("__demote", lit(true))
     split.join(demoted, Seq(idCol), "left")
       .withColumn("split",
