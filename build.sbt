@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: the round driver
+// parses graft.Bench's one-line JSON from the stdout tail, and sbt's
+// default LoggedOutput strategy prefixes every line with "[info] " —
+// both r18's and r19's driver-side parses of an otherwise valid line
+// returned null. StdoutOutput hands the child's streams straight
+// through, so the JSON line reaches the driver bare.
+// (verified: `sbt "runMain graft.Bench"` reads this run-scoped key —
+// the JSON line arrives bare, as the very last line before sbt's
+// [success] footer)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

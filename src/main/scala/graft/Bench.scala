@@ -625,6 +625,34 @@ object Bench {
         ",\"skip\":\"" + benchSkip.toSeq.sorted.mkString(",") +
           "(verify-gated stream lifecycle)\""
       else "") + "}"
+    // SLIM on-line params — r18 and r19 both came back "parsed": null
+    // in the driver's PERF comparison, and even a successful parse
+    // would have compared 9 of 255 per-query entries (omitted: 246):
+    // the full params blob above had grown to ~1.4 KB of protocol
+    // stamps, knob strings and soak ratios, squeezing the queries map
+    // out of the ~1.9 KB tail budget. The full blob still ships — in
+    // the committed bench/LAST_BENCH.json beside the complete
+    // per-query map — while the STDOUT line keeps only the numeric
+    // self-identification (load/heap/degraded/drift) plus the durable
+    // JDBC headline, so the driver-run artifact still carries the
+    // numbers the round comparison quotes and the queries map gets the
+    // budget back (~45 slowest entries instead of 9).
+    val slimParams = "{\"agg\":\"median\",\"load\":" + loadStart +
+      ",\"heap_peak_mb\":" + heapPeakMb +
+      ",\"degraded\":" + degraded +
+      ",\"io_degraded\":" + ioDeg.nonEmpty +
+      (if (ioDeg.nonEmpty)
+        ",\"io_degraded_queries\":\"" + ioDeg.mkString(",") + "\""
+      else "") +
+      (if (drift.nonEmpty)
+        ",\"drift\":\"" + drift.take(4).map { case (n, p, v) =>
+          f"$n:$p%.2f>$v%.2f" }.mkString(",") + "\"" +
+          (if (drift.size > 4) ",\"drift_n\":" + drift.size else "")
+      else "") +
+      ",\"cpus\":" + cpus +
+      ",\"jdbc_sync\":" + fmt(jdbcSync) +
+      ",\"jdbc_rps\":" + (if (jdbcRps < 0) "-1" else f"$jdbcRps%.0f") +
+      ",\"jdbc_sync_shmlog\":" + fmt(jdbcSyncShm) + "}"
     // Budget the queries map DYNAMICALLY against what the rest of the
     // line actually costs: the fixed 1000-char cap stopped fitting once
     // params grew the lifecycle soak keys + jdbc numbers — r11's line
@@ -632,7 +660,7 @@ object Bench {
     // char trailer) clipped its head → "parsed": null. 1830 total -
     // measured overhead keeps the slowest (comparison-worthy) entries
     // and counts the rest in "omitted", whatever params grows to next.
-    val overhead = 145 + params.length + failed.length + sfDir.length
+    val overhead = 145 + slimParams.length + failed.length + sfDir.length
     val lineBudget = math.max(300, 1830 - overhead)
     // solo re-probes go first: they exist precisely to contextualize the
     // slow outliers the by-time budget keeps, so they must survive too
@@ -674,7 +702,14 @@ object Bench {
           .getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"total_ex_reprobed":${fmt(totalExReprobed)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"params":$params,"sf":"$sfDir"}""")
+    // The bare JSON is printed AFTER spark.stop() so it is the
+    // absolutely last stdout line of the run (no Spark shutdown logging
+    // can land after it), and build.sbt's `run / outputStrategy :=
+    // StdoutOutput` passes it through WITHOUT sbt's "[info] " prefix —
+    // both r18's and r19's driver parses returned null on a line that
+    // was complete and valid but prefixed and followed by log tails.
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"total_ex_reprobed":${fmt(totalExReprobed)},"unit":"sec","queries":$qs,"failed":$failed,"omitted":$omitted,"reps":$reps,"params":$slimParams,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -245,7 +245,14 @@ object VecDotIntExpression {
       s"vec_dot_int length mismatch: $n vs ${b.numElements()}")
     var acc = 0L
     var i = 0
-    while (i < n) { acc += a.getInt(i).toLong * b.getInt(i); i += 1 }
+    while (i < n) {
+      // null element = corrupt code vector: raise loudly (the
+      // zip_with+aggregate fold this kernel replaced null-poisoned the
+      // whole sum — getInt on a null slot would silently read 0 here)
+      require(!a.isNullAt(i) && !b.isNullAt(i),
+        s"vec_dot_int: null element at index $i — code vectors must be null-free")
+      acc += a.getInt(i).toLong * b.getInt(i); i += 1
+    }
     acc
   }
 
@@ -300,6 +307,10 @@ object VecL2SqExpression {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // null element = corrupt vector: raise loudly instead of the
+      // silent read-as-0.0 getDouble would perform on a null slot
+      require(!a.isNullAt(i) && !b.isNullAt(i),
+        s"vec_l2sq: null element at index $i — vectors must be null-free")
       val d = a.getDouble(i) - b.getDouble(i)
       acc += d * d
       i += 1

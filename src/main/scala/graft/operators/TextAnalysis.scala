@@ -548,6 +548,14 @@ object TextAnalysis {
     * decimal for values that fit a long. (The STORED norms sidecar is
     * untouched: its on-disk decimal schema is a persisted format.)
     */
+  // BUILD-TIME BINDING, by design: the branch reads the calling
+  // thread's session conf when the plan is CONSTRUCTED (every cosine
+  // entry point builds its plan per call, so build==execute session in
+  // this codebase). A caller that builds a frame, flips
+  // spark.sql.ansi.enabled OFF, and only then executes it keeps the
+  // primitive long sum — and with it ANSI's loud-overflow guarantee
+  // GONE (a wrap would be silent). Don't hold cosine frames across an
+  // ANSI toggle; rebuild them.
   private def fxMulSum(a: Column, b: Column): Column =
     if (org.apache.spark.sql.internal.SQLConf.get.ansiEnabled) sum(a * b)
     else sum(a.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * b)
@@ -676,29 +684,78 @@ object TextAnalysis {
   ): DataFrame = {
     require(minCosDen > 0 && minCosNum >= 0 && minCosNum <= minCosDen,
       "threshold must be a rational in [0, 1]")
-    NormForm.check(bm25NormForm(spark, tableName), normForm, tableName)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val nSnap = requireFreshCosineNorms(spark, tableName)
+    // ---- per-call validation: ONE Spark job (r19 ran four) ----
+    // The four validation reads — norm-form stamp (`_stats`), norms
+    // stamp (`_norms_stats`), live `_terms` fingerprint, and the
+    // roster↔norms set-difference — are all one-row aggregates; a
+    // UNION of them collects in a single action (a crossJoin would
+    // broadcast-build each side, one sub-job apiece, saving nothing).
+    // The named refusals stay distinct: the checks run DRIVER-side
+    // below in the r19 order (norm form → snapshot staleness →
+    // coverage), each with its original message.
+    NormForm.validate(normForm)
+    if (!spark.catalog.tableExists(tableName + "_norms") ||
+        !spark.catalog.tableExists(tableName + "_norms_stats")) {
+      // refusal path, not the hot path — the standalone stamp read and
+      // its r19-order precedence (norm-form mismatch outranks the
+      // missing sidecar) are preserved here
+      NormForm.check(bm25NormForm(spark, tableName), normForm, tableName)
+      throw new IllegalArgumentException(
+        s"$tableName has no cosine norms sidecar — run refreshCosineNorms " +
+          "once to materialize it (the incremental cosine serves history " +
+          "norms and idf from stored state, O(batch) per call)")
+    }
+    val statsT = spark.table(tableName + "_stats")
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val fpB = spark.table(tableName + "_terms").agg(
+      lit("fp").as("src"),
+      count(lit(1)).as("l1"),
+      coalesce(sum(col("df")), lit(0L)).as("l2"),
+      coalesce(sum(pmod(xxhash64(col("term"), col("df")), lit(1000000007L))),
+        lit(0L)).as("l3"),
+      nullL.as("l4"), nullS.as("s1"))
+    val nsB = spark.table(tableName + "_norms_stats").select(
+      lit("ns").as("src"),
+      col("n_terms").cast("long").as("l1"),
+      col("df_mass").cast("long").as("l2"),
+      col("df_hash").cast("long").as("l3"),
+      col("snapshot_docs").cast("long").as("l4"),
+      nullS.as("s1"))
+    val nfB = statsT.select(
+      lit("nf").as("src"),
+      nullL.as("l1"), nullL.as("l2"), nullL.as("l3"), nullL.as("l4"),
+      (if (statsT.columns.contains("norm_form")) col("norm_form")
+       else nullS).as("s1"))
     // completeness: the live roster and the live norms must cover the
     // SAME document set — validated by set difference, not count
     // equality (a sidecar holding a norm for a non-roster doc while
     // missing a roster doc — e.g. a repairBm25Index roster prune
     // interleaved with a crashed norms append — passes a count compare
-    // and then scores with wrong/missing history norms). Still two
-    // bounded aggregates over the slim side tables, never the postings.
+    // and then scores with wrong/missing history norms). Still bounded
+    // aggregates over the slim side tables, never the postings.
     val rosterIds = bm25LiveDocs(spark, tableName).select(col("doc_id"))
     val normIds = cosineLiveNorms(spark, tableName).select(col("doc_id")).distinct()
-    // both set differences in ONE action (full-outer + two conditional
-    // sums) instead of two anti-join count jobs — same slim inputs,
-    // same two numbers, half the per-call validation latency
-    val mismatch = rosterIds.withColumn("__r", lit(1))
+    val mmB = rosterIds.withColumn("__r", lit(1))
       .join(normIds.withColumn("__n", lit(1)), Seq("doc_id"), "full_outer")
       .agg(
-        coalesce(sum(when(col("__n").isNull, 1L).otherwise(0L)), lit(0L)),
-        coalesce(sum(when(col("__r").isNull, 1L).otherwise(0L)), lit(0L)))
-      .head()
-    val missingNorms = mismatch.getLong(0)
-    val orphanNorms = mismatch.getLong(1)
+        lit("mm").as("src"),
+        coalesce(sum(when(col("__n").isNull, 1L).otherwise(0L)), lit(0L)).as("l1"),
+        coalesce(sum(when(col("__r").isNull, 1L).otherwise(0L)), lit(0L)).as("l2"),
+        nullL.as("l3"), nullL.as("l4"), nullS.as("s1"))
+    val vrows = fpB.unionByName(nsB).unionByName(nfB).unionByName(mmB)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val fpR = vrows("fp"); val nsR = vrows("ns"); val mmR = vrows("mm")
+    NormForm.check(Option(vrows("nf").getString(5)), normForm, tableName)
+    require(fpR.getLong(1) == nsR.getLong(1) &&
+      fpR.getLong(2) == nsR.getLong(2) && fpR.getLong(3) == nsR.getLong(3),
+      s"$tableName's df snapshot moved since the cosine norms were " +
+        "built (a restamp or rebuild ran without refreshing them) — " +
+        "run refreshCosineNorms")
+    val nSnap = nsR.getLong(4)
+    val missingNorms = mmR.getLong(1)
+    val orphanNorms = mmR.getLong(2)
     require(missingNorms == 0 && orphanNorms == 0,
       s"$tableName: norms sidecar diverges from the live roster " +
         s"($missingNorms roster docs without a norm, $orphanNorms norm " +
@@ -709,25 +766,34 @@ object TextAnalysis {
       .select(col(idCol).as("batch_id"), explode(split(col(textCol), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("batch_id", "term").agg(count(lit(1)).as("tf"))
-    // pinned: this subtree is consumed THREE times per call (the
-    // termKeys collect, the numerator join and the batch norms) and
-    // each consumer re-ran the batch tokenize+explode+aggregate from
-    // the source — persistOnce computes it once (O(batch) rows, the
-    // lexicalCosinePairs idiom). The eager termKeys collect below also
-    // materializes the cache BEFORE the main plan is built, so the
-    // planner sees the relation's true (small) size and picks a
-    // broadcast for the numerator join instead of shuffling the
-    // postings by `term` — a handful of ubiquitous terms made that
-    // exchange the suite's worst skew key. A huge batch falls back to
-    // the shuffled join by the ordinary size threshold: nothing here
-    // forces a broadcast.
-    val wBatch = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
-      bTf.join(terms, Seq("term"), "left")
-        .withColumn("w",
-          col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), lit(nSnap)))
-        .filter(col("w") > 0)
-        .select("batch_id", "term", "w"),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized ONCE per call: this subtree is consumed three times
+    // (the termKeys collect, the numerator join and the batch norms)
+    // and each consumer re-ran the batch tokenize+explode+aggregate
+    // from the source. localCheckpoint(eager), NOT persistOnce: the
+    // r19 persistOnce pin registered one MEMORY_AND_DISK CacheManager
+    // entry per DISTINCT batch plan with no release valve — a
+    // perpetual streaming caller invoking this per micro-batch grew
+    // storage without bound (r19 advice). The checkpoint's blocks are
+    // GC-managed (ContextCleaner drops them when the caller releases
+    // the result frame) and register nothing with the CacheManager.
+    val wBatch = bTf.join(terms, Seq("term"), "left")
+      .withColumn("w",
+        col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), lit(nSnap)))
+      .filter(col("w") > 0)
+      .select("batch_id", "term", "w")
+      .localCheckpoint(true)
+    // MEASURED broadcast decision for the numerator join: the r19 shape
+    // relied on the cache's post-materialization InMemoryRelation stats
+    // to get a BroadcastHashJoin (the SortMergeJoin on `term` — a
+    // 31-distinct-value hot key — was the suite's worst skew); a
+    // localCheckpoint carries no such stats, so the operator compares
+    // the checkpoint's ACTUAL block bytes against the session's own
+    // broadcast threshold. A huge batch still falls back to the
+    // shuffled join — the threshold decides, nothing forces.
+    val wBatchBytes =
+      org.apache.spark.sql.graftbridge.CacheBridge.localCheckpointSize(wBatch)
+    val wBatchBroadcastable = wBatchBytes >= 0 &&
+      wBatchBytes <= spark.sessionState.conf.autoBroadcastJoinThreshold
     val batchNorms = wBatch.groupBy("batch_id")
       .agg(fxMulSum(col("w"), col("w")).as("norm_b"))
     // the ONE postings pass: semi-restrict to the batch's terms FIRST,
@@ -764,7 +830,8 @@ object TextAnalysis {
         col("tf") * cosineIdfFx(coalesce(col("df"), lit(0L)), lit(nSnap)))
       .filter(col("w") > 0)
       .select("doc_id", "term", "w")
-    val num = wBatch.select(col("batch_id"), col("term"), col("w").as("w_b"))
+    val num = (if (wBatchBroadcastable) broadcast(wBatch) else wBatch)
+      .select(col("batch_id"), col("term"), col("w").as("w_b"))
       .join(wHist.select(col("doc_id"), col("term"), col("w").as("w_h")), Seq("term"))
       .filter(col("batch_id") =!= col("doc_id"))
       .groupBy("batch_id", "doc_id")

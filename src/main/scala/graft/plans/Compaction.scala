@@ -38,6 +38,25 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
+  /** File-sizing stage for a survivors-only rewrite (delete / version
+    * purge): `coalesce` when it preserves the requested sizing, the
+    * round-robin `repartition` otherwise. Coalesce merges scan splits
+    * with ZERO shuffle (guide §2.4 — the delete sweep's only job is
+    * moving surviving rows to new files), but it can only MERGE
+    * partitions: when the caller asks for files smaller than the
+    * scan's split size (`spark.sql.files.maxPartitionBytes`), coalesce
+    * cannot split them and would silently emit oversized files — that
+    * case falls back to the shuffle, honoring the explicit request.
+    */
+  private[plans] def sizeSurvivors(
+      df: org.apache.spark.sql.DataFrame,
+      parts: Int,
+      targetFileBytes: Long): org.apache.spark.sql.DataFrame =
+    if (targetFileBytes >=
+        df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+      df.coalesce(parts)
+    else df.repartition(parts)
+
   /** One recursive sweep: (data-file count, data-file bytes), both
     * excluding `_`-prefixed bookkeeping files (`_SUCCESS`, metadata).
     */
@@ -230,20 +249,17 @@ object Compaction {
       // is TRUE — a NULL-evaluating row (e.g. a null column under an
       // equality predicate) SURVIVES. A bare !condition is NULL for
       // such rows and filter would silently delete them.
-      // coalesce, not repartition: the delete's only job is to move
-      // surviving rows from old files to new ones — the round-robin
-      // repartition shuffled the ENTIRE surviving dataset purely for
-      // file sizing (at scale, a full-dataset shuffle per delete
-      // sweep). coalesce merges scan splits with zero shuffle; the
-      // default scan split size equals the default target file size,
-      // so output sizing is preserved, and a coarser targetFileBytes
-      // still coalesces down to `parts`. (Guide §2.4: remove shuffles
-      // outright.)
-      val writer = spark.read.parquet(dir).observe(obsIn, cnt)
-        .filter(!org.apache.spark.sql.functions.coalesce(
-          condition, org.apache.spark.sql.functions.lit(false)))
-        .observe(obsOut, cnt)
-        .coalesce(parts)
+      // coalesce when it preserves sizing, repartition when the caller
+      // asked for files smaller than the scan splits — see
+      // [[sizeSurvivors]] (guide §2.4: remove shuffles outright; the
+      // round-robin repartition shuffled the ENTIRE surviving dataset
+      // purely for file sizing)
+      val writer = sizeSurvivors(
+        spark.read.parquet(dir).observe(obsIn, cnt)
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            condition, org.apache.spark.sql.functions.lit(false)))
+          .observe(obsOut, cnt),
+        parts, targetFileBytes)
         .write.mode("overwrite")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(tmp)

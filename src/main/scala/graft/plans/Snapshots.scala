@@ -128,12 +128,38 @@ object Snapshots {
     val dst = versionDir(root, n)
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"versioning failed archiving $src as $dst")
-    import spark.implicits._
-    Seq((n, tag, System.currentTimeMillis()))
-      .toDF("version", "tag", "archived_at_ms")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(dst, "_version_info").toString)
+    writeInfo(fs, new org.apache.hadoop.fs.Path(dst, "_version_info"),
+      n, tag, System.currentTimeMillis())
     n
+  }
+
+  /** Write the `_version_info` annotation sidecar DRIVER-side: one
+    * ~60-byte JSON file inside the `_`-prefixed sidecar dir, installed
+    * via write-tmp + rename so a death mid-write leaves only an
+    * ignored temp name (the unannotated-version crash shape readers
+    * already tolerate). This replaced a 1-row Spark DataFrame write —
+    * a full job (task scheduling, commit protocol, _SUCCESS) per
+    * archive, twice per purged version; the sidecar is annotation, a
+    * driver byte-write is its honest cost. The archive claim becomes
+    * literal: one rename plus one tiny driver-side file.
+    */
+  private def writeInfo(
+      fs: org.apache.hadoop.fs.FileSystem,
+      info: org.apache.hadoop.fs.Path,
+      version: Long,
+      tag: String,
+      archivedAtMs: Long): Unit = {
+    fs.mkdirs(info)
+    val tmp = new org.apache.hadoop.fs.Path(info, ".info.json.tmp")
+    val dst = new org.apache.hadoop.fs.Path(info, "info.json")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"""{"version":$version,"tag":"$tag",""" +
+        s""""archived_at_ms":$archivedAtMs}""").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"failed installing sidecar $dst")
   }
 
   /** The retained versions of `dir`, one row each:
@@ -165,21 +191,58 @@ object Snapshots {
   }
 
   /** Read a `_version_info` annotation sidecar, tolerating every crash
-    * shape the archive path can leave: missing entirely, OR created but
-    * EMPTY/unreadable (a death between the sidecar dir's creation and
-    * its part-file commit leaves `fs.exists` true with nothing
-    * readable inside). All of those are "no annotation" — the data
-    * directory is the truth, the sidecar is annotation, and the crash
-    * contract in the object doc promises the listing still serves.
+    * shape the archive path can leave: missing entirely, created but
+    * EMPTY (a death between the sidecar dir's creation and the file
+    * install leaves `fs.exists` true with nothing readable inside), or
+    * holding only a write-tmp residue. All of those are "no
+    * annotation" — the data directory is the truth, the sidecar is
+    * annotation, and the crash contract in the object doc promises the
+    * listing still serves.
+    *
+    * ZERO Spark jobs on the current format: the JSON file is read and
+    * parsed driver-side (the parquet read here paid a footer
+    * schema-inference job PLUS a collect job per version listed).
+    * Sidecars written by pre-r20 builds (a 1-row parquet dataset) fall
+    * back to the explicit-schema Spark read — legacy datasets keep
+    * their annotations.
     */
+  private val infoSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tag",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("archived_at_ms",
+      org.apache.spark.sql.types.LongType)))
+
+  private val infoRe =
+    """\{"version":(\d+),"tag":"([^"]*)","archived_at_ms":(\d+)\}""".r
+
   private def readInfoRow(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       info: org.apache.hadoop.fs.Path): Option[org.apache.spark.sql.Row] =
     if (!fs.exists(info)) None
-    else
-      try spark.read.parquet(info.toString).collect().headOption
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    else {
+      val json = new org.apache.hadoop.fs.Path(info, "info.json")
+      if (fs.exists(json)) {
+        val in = fs.open(json)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        text match {
+          case infoRe(v, tag, ms) =>
+            Some(org.apache.spark.sql.Row(v.toLong, tag, ms.toLong))
+          case _ => None // torn/corrupt file = no annotation
+        }
+      } else if (fs.listStatus(info).exists(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))) {
+        // legacy parquet sidecar (pre-r20 archive): explicit schema —
+        // no inference job — one collect
+        try spark.read.schema(infoSchema).parquet(info.toString)
+          .collect().headOption
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      } else None
+    }
 
   /** One recursive sweep of a version directory: (data files, data
     * bytes), `_`-prefixed bookkeeping (the `_version_info` sidecar,
@@ -369,8 +432,15 @@ object Snapshots {
     versionNumbers(fs, root).map { n =>
       val vd = versionDir(root, n)
       val pred = coalesce(condition, lit(false))
-      val hasMatch = spark.read.parquet(vd.toString)
-        .filter(pred).limit(1).count() > 0
+      // ONE read per version, shared by the probe and the rewrite —
+      // each spark.read.parquet of a fresh path pays a footer
+      // schema-inference job, and this path used to pay it twice
+      val vDf = spark.read.parquet(vd.toString)
+      // isEmpty (executeTake(1)) instead of limit(1).count(): count
+      // plans a full aggregate whose exchange AQE materializes as two
+      // extra stage-jobs per probed version; take(1) short-circuits on
+      // the first pushdown-pruned row with no exchange at all
+      val hasMatch = !vDf.filter(pred).isEmpty
       if (!hasMatch) (n, -1L, -1L)
       else {
         val (_, bytes) = listData(fs, vd)
@@ -387,12 +457,9 @@ object Snapshots {
           // benign, listVersions tolerates a missing sidecar)
           val info = readInfoRow(spark, fs, infoPath)
           val (b, a) = ZOrder.deleteWhereZorder(spark, vd.toString, condition, parts)
-          info.foreach { r =>
-            import spark.implicits._
-            Seq((r.getLong(0), r.getString(1), r.getLong(2)))
-              .toDF("version", "tag", "archived_at_ms")
-              .coalesce(1).write.mode("overwrite")
-              .parquet(new org.apache.hadoop.fs.Path(vd, "_version_info").toString)
+          info.filter(r => !r.isNullAt(1) && !r.isNullAt(2)).foreach { r =>
+            writeInfo(fs, new org.apache.hadoop.fs.Path(vd, "_version_info"),
+              r.getLong(0), r.getString(1), r.getLong(2))
           }
           (n, b, a)
         } else {
@@ -406,26 +473,28 @@ object Snapshots {
             // deleteWhere's rewrite — a rolled-back version must keep
             // the directory shape its readers and writers expect
             val partCols = Compaction.partitionColumns(fs, vd)
-            // coalesce, not repartition — the deleteWhere rule: a purge
-            // rewrite only moves surviving rows, so shuffling the whole
-            // version for file sizing is pure overhead
-            val writer = spark.read.parquet(vd.toString).observe(obsIn, cnt)
-              .filter(!pred).observe(obsOut, cnt)
-              .coalesce(parts)
+            // coalesce when it preserves sizing, repartition when the
+            // caller asked for sub-split files — the deleteWhere rule
+            // via [[Compaction.sizeSurvivors]]: a purge rewrite only
+            // moves surviving rows, so shuffling the whole version for
+            // file sizing is pure overhead
+            val writer = Compaction.sizeSurvivors(
+              vDf.observe(obsIn, cnt)
+                .filter(!pred).observe(obsOut, cnt),
+              parts, targetFileBytes)
               .write.mode("overwrite")
             (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
               .parquet(tmp)
             // carry the annotation sidecar: the purged version keeps
             // its tag/timestamp identity (an empty/unreadable crashed
             // sidecar is dropped, not propagated — same tolerance as
-            // listVersions)
-            readInfoRow(spark, fs, infoPath).foreach { r =>
-              import spark.implicits._
-              Seq((r.getLong(0), r.getString(1), r.getLong(2)))
-                .toDF("version", "tag", "archived_at_ms")
-                .coalesce(1).write.mode("overwrite")
-                .parquet(new org.apache.hadoop.fs.Path(tmp, "_version_info").toString)
-            }
+            // listVersions). Driver-side write — no Spark job.
+            readInfoRow(spark, fs, infoPath)
+              .filter(r => !r.isNullAt(1) && !r.isNullAt(2)).foreach { r =>
+                writeInfo(fs,
+                  new org.apache.hadoop.fs.Path(tmp, "_version_info"),
+                  r.getLong(0), r.getString(1), r.getLong(2))
+              }
           }
           (n, obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
         }

@@ -20,11 +20,23 @@ import org.apache.spark.sql.functions._
   * collect is 2^bits−1 doubles per column — driver-bounded by
   * construction, independent of row count.
   *
-  * Scale shape: one sketch pass, then one range-partitioning exchange
-  * on the z-value (`repartitionByRange` samples the z distribution, so
-  * output files are balanced even when the curve is dense in one
-  * corner) with an in-partition sort — the same cost as the
-  * single-column sorted write it replaces.
+  * Scale shape: one sketch pass, then ONE exchange + in-partition sort
+  * over the data — the same cost as the single-column sorted write it
+  * replaces. The exchange partitions by an explicit bucket id derived
+  * from the z-value (equal-width z ranges — the rank-bucket codes are
+  * quantile-uniform per dimension by construction, so the joint z
+  * spreads across the full curve range), NOT by `repartitionByRange`:
+  * RangePartitioning's reservoir sampling evaluates the entire child
+  * plan a second time just to pick boundaries — at 100 TB, a full
+  * extra materialization of the table per clustered write. Caveat,
+  * stated honestly: when the clustered dimensions are strongly
+  * CORRELATED the joint z concentrates on a curve diagonal and
+  * equal-width ranges leave some buckets empty (fewer, larger files —
+  * up to ~√numFiles files in the perfectly-correlated 2-D worst case);
+  * sampled range partitioning would rebalance that at the cost of the
+  * second pass. Correlated dimensions are a mis-specified clustering
+  * key anyway (either one subsumes the other), so the one-pass shape
+  * takes precedence.
   *
   * Reference analog: none — the reference writes destination tables in
   * arrival order (cmd/tabledata.go); layout optimization is part of
@@ -168,9 +180,65 @@ object ZOrder {
     writeMeta(df.sparkSession, path, cols, bits, bounds, curve)
   }
 
-  /** The one clustered-write kernel every entry point shares: code the
-    * curve value against the given boundaries, range-partition into
-    * `numFiles`, sort within partitions, land at `target`. Content is
+  /** Partition-id proxies for an exact bucket→partition placement:
+    * proxy(b) is the smallest non-negative int whose Spark partition
+    * hash (Murmur3 seed 42 then non-negative mod — exactly
+    * HashPartitioning's partitionIdExpression) lands on partition b of
+    * n, so `repartition(n, proxyCol)` puts bucket b's rows in
+    * partition b and nowhere else. Each output file therefore holds
+    * ONE contiguous z range (what `repartitionByRange` produced)
+    * without RangePartitioning's boundary-sampling pass, which
+    * evaluates the whole child plan a second time. The search is a
+    * driver-side loop over small ints — expected n·H(n) probes, microseconds
+    * for any realistic file count.
+    */
+  private[plans] def hashProxies(n: Int): Array[Int] = {
+    val out = Array.fill(n)(-1)
+    var found = 0
+    var v = 0
+    while (found < n) {
+      val p = java.lang.Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42), n)
+      if (out(p) < 0) { out(p) = v; found += 1 }
+      v += 1
+    }
+    out
+  }
+
+  /** The clustered FRAME every write path shares: curve value from the
+    * given boundaries, one hash exchange on the precomputed bucket id
+    * (equal-width z ranges; [[hashProxies]] pins bucket b to partition
+    * b so files stay contiguous curve segments), in-partition sort by
+    * the full z. ONE evaluation of `df` — the `repartitionByRange` this
+    * replaces ran the child twice (its RangePartitioner samples the
+    * child to pick boundaries), a full extra materialization of the
+    * input per clustered write.
+    */
+  private def clusteredByZ(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int,
+      bounds: Seq[Seq[Double]],
+      curve: String,
+      numFiles: Int): DataFrame = {
+    val totalBits = bits * cols.size
+    // bucket = floor(cell · numFiles / 2^zbb) over the top zbb z bits —
+    // exact long arithmetic (cell < 2^30, numFiles an Int), monotone in
+    // z, so bucket ranges are contiguous curve segments
+    val zbb = math.min(totalBits, 30)
+    val cell = shiftright(col("__z"), totalBits - zbb)
+    val bucket = shiftright(cell * lit(numFiles.toLong), zbb)
+    val proxies = hashProxies(numFiles)
+    df.withColumn("__z", curveValueWith(curve, cols, bits, bounds))
+      .withColumn("__p",
+        element_at(typedLit(proxies.toSeq), (bucket + 1).cast("int")))
+      .repartition(numFiles, col("__p"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__p")
+  }
+
+  /** The one clustered-write kernel every entry point shares: cluster
+    * via [[clusteredByZ]] and land at `target`. Content is
     * byte-identical to an unclustered write — only row-to-file layout
     * changes.
     */
@@ -182,10 +250,7 @@ object ZOrder {
       curve: String,
       numFiles: Int,
       target: String): Unit =
-    df.withColumn("__z", curveValueWith(curve, cols, bits, bounds))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    clusteredByZ(df, cols, bits, bounds, curve, numFiles)
       .write.mode("overwrite").parquet(target)
 
   /** [[zorderWrite]] along the Hilbert curve — same boundaries, same
@@ -261,10 +326,7 @@ object ZOrder {
       path: String,
       numFiles: Int): Unit = {
     val (cols, bits, bounds, curve) = readMeta(batch.sparkSession, path)
-    batch.withColumn("__z", curveValueWith(curve, cols, bits, bounds))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    clusteredByZ(batch, cols, bits, bounds, curve, numFiles)
       .write.mode("append").parquet(path)
   }
 
@@ -332,10 +394,17 @@ object ZOrder {
       path: String,
       condition: Column,
       numFiles: Int): (Long, Long) = {
-    // counts via parquet metadata, NOT observe: repartitionByRange runs
-    // a separate boundary-sampling pass over its input, so an observed
-    // count on the clustered rewrite would fire twice and double-report
-    val before = spark.read.parquet(path).count()
+    // both counts observed ON the rewrite itself (the deleteWhere
+    // shape) — legal now that the clustered rewrite evaluates its
+    // input exactly once: the old repartitionByRange ran a separate
+    // boundary-sampling pass that would have fired the observations
+    // twice, so this path paid two extra count scans per delete
+    val obsIn = org.apache.spark.sql.Observation(
+      s"graft-zdelete-in-${java.util.UUID.randomUUID()}")
+    val obsOut = org.apache.spark.sql.Observation(
+      s"graft-zdelete-out-${java.util.UUID.randomUUID()}")
+    val cnt = org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("n")
     Compaction.stagedParquetSwap(spark, path, "delete") { tmp =>
       // meta read INSIDE the staged block (the reclusterZorder rule)
       val (mcols, mbits, mbounds, mcurve) = readMeta(spark, path)
@@ -346,17 +415,18 @@ object ZOrder {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val epochLayout = fs.listStatus(p).exists(s =>
         s.isDirectory && s.getPath.getName.startsWith("batch="))
-      val raw = spark.read.parquet(path)
+      val raw = spark.read.parquet(path).observe(obsIn, cnt)
       // SQL DELETE semantics (the Compaction.deleteWhere rule): only
       // predicate-TRUE rows delete; NULL-evaluating rows survive
       val survivors = (if (epochLayout) raw.drop("batch") else raw)
         .filter(!org.apache.spark.sql.functions.coalesce(
           condition, org.apache.spark.sql.functions.lit(false)))
+        .observe(obsOut, cnt)
       clusterInto(survivors, mcols, mbits, mbounds, mcurve, numFiles,
         if (epochLayout) s"$tmp/batch=0" else tmp)
       writeMeta(spark, tmp, mcols, mbits, mbounds, mcurve)
     }
-    (before, spark.read.parquet(path).count())
+    (obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
   }
 
   /** [[reclusterZorder]] for an EPOCH-PARTITIONED clustered dataset

@@ -35,6 +35,26 @@ object CacheBridge {
       df.queryExecution.analyzed, cascade = false)
   }
 
+  /** Materialized byte size (memory + disk blocks) of an eagerly
+    * locally-checkpointed DataFrame's backing RDD, -1 when the frame is
+    * not a checkpoint or its blocks are gone. Lets an operator make a
+    * MEASURED broadcast decision (compare against
+    * `autoBroadcastJoinThreshold`) for a frame whose planner estimate
+    * is useless — the localCheckpoint alternative to persistOnce keeps
+    * no CacheManager entry (GC-managed, the leak fix) but also no
+    * post-materialization InMemoryRelation stats, so the operator
+    * measures instead.
+    */
+  def localCheckpointSize(df: DataFrame): Long =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .getOrElse(-1L)
+      case _ => -1L
+    }
+
   /** Whether an equivalent plan is already registered with the cache.
     * The lookup must see the ANALYZED plan: `lookupCachedData`
     * normalizes but never analyzes, so an unresolved logical plan
