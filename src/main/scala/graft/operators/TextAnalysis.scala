@@ -840,7 +840,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("nrm").as("norm_h"))
     val lhs = col("num").cast(dec) * col("num") * lit(minCosDen.toLong * minCosDen)
     val rhs = col("norm_b").cast(dec) * col("norm_h") * lit(minCosNum.toLong * minCosNum)
-    num.join(batchNorms, "batch_id")
+    // batchNorms aggregates the checkpointed batch frame (≤ one row per
+    // batch doc), so the same measured smallness extends to it — the
+    // LogicalRDD's unknown stats otherwise demote this join to a
+    // SortMergeJoin over the scored pairs
+    num.join(if (wBatchBroadcastable) broadcast(batchNorms) else batchNorms,
+        "batch_id")
       .join(histNorms, "doc_id")
       .filter(cosineThresholdFilter(lhs, rhs, "lexicalCosineAgainstIndex"))
       .select(col("batch_id"), col("doc_id"),

@@ -36,12 +36,21 @@ object JobTrace {
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftSession.silenceSidecarPathNoise()
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val meta = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int, Int)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         val site = j.stageInfos.headOption.map(_.name).getOrElse("?")
         val tasks = j.stageInfos.map(_.numTasks).sum
-        lines.add(f"job ${j.jobId}%3d  stages=${j.stageInfos.size}  tasks=$tasks%4d  $site")
+        meta.put(j.jobId, (System.nanoTime(), site, j.stageInfos.size, tasks))
+        ()
+      }
+      override def onJobEnd(
+          j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(meta.remove(j.jobId)).foreach { case (t0, site, st, tk) =>
+          val sec = (System.nanoTime() - t0) / 1e9
+          lines.add(f"job ${j.jobId}%3d  ${sec}%7.2fs  stages=$st  tasks=$tk%4d  $site")
+        }
         ()
       }
     })

@@ -660,11 +660,15 @@ object Takedown {
           else None
         idc.filter { c =>
           val t = spark.table(n)
-          t.join(
+          // isEmpty (executeTake(1)), not limit(1).count(): count plans
+          // an aggregate whose exchange AQE materializes as extra
+          // stage-jobs per probed surface; take(1) short-circuits on
+          // the first surviving row (the Snapshots.purgeVersions rule)
+          !t.join(
             broadcast(ids.select(col(idsCol).cast(t.schema(c).dataType).as(c))
               .filter(col(c).isNotNull).distinct()),
             Seq(c), "left_semi")
-            .limit(1).count() > 0
+            .isEmpty
         }.map(_ => n)
       }
   }

@@ -69,6 +69,42 @@ class LinkageSpec extends SparkSpec {
     assert(n === 500L, s"even-odd dist-1 pairs: got $n") // 25 per decade × 20
     assert(n < 100L * 100L / 10L, s"$n pairs vs cross ${100 * 100}")
   }
+
+  test("the levenshtein verify sits ABOVE the pinned candidate cache, never in a join condition") {
+    // The candidate pin's whole value (a 9x win) is that the verify
+    // runs once per DISTINCT candidate pair: the cache is an optimizer
+    // BARRIER that keeps `levenshtein <= k` from being pushed below
+    // the distinct into the gram join's condition, where it re-ran per
+    // RAW gram collision concentrated in the hottest gram buckets.
+    // That barrier is behavioral, not contractual — if a Spark upgrade
+    // starts pushing predicates through InMemoryRelation, or the pin
+    // is removed, the win silently evaporates. This gate turns that
+    // into a loud failure.
+    val ents = (0 until 80).map(i => (i.toLong, f"Entity#$i%09d"))
+    val df = ents.toDF("id", "key")
+    val joined = Linkage.editDistanceJoin(
+      df.filter(col("id") % 2 === 0), "id", "key",
+      df.filter(col("id") % 2 === 1), "id", "key", maxDist = 1)
+    joined.count() // finalize the adaptive plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"candidate set must stay pinned:\n$plan")
+    val joinLinesWithVerify = plan.linesIterator
+      .filter(l => l.contains("Join") && l.contains("levenshtein")).toSeq
+    assert(joinLinesWithVerify.isEmpty,
+      s"levenshtein leaked into a join condition — the pin barrier is " +
+        s"gone:\n$plan")
+    // the verify may sit in a Filter/Project above the cache scan, or
+    // in the InMemoryTableScan's own stored-filter list (evaluated
+    // over the cached — already deduped — batches: still once per
+    // distinct pair); what it must never do is ride a Join condition
+    val verifyLines = plan.linesIterator.filter(_.contains("levenshtein")).toSeq
+    assert(verifyLines.nonEmpty && verifyLines.forall(l =>
+      l.contains("Filter") || l.contains("Project") ||
+        l.contains("InMemoryTableScan")),
+      s"levenshtein must run as a filter/projection over the cached " +
+        s"candidates:\n$plan")
+  }
 }
 
 object LinkageSpec {
