@@ -650,6 +650,11 @@ object Bench {
           (if (drift.size > 4) ",\"drift_n\":" + drift.size else "")
       else "") +
       ",\"cpus\":" + cpus +
+      // bpe_cold stays ON the line: tools/soak.py reads it from the
+      // probe run's stdout params (probe runs never write LAST_BENCH,
+      // so the line is its only carrier) — dropping it failed the
+      // soak's "every pinned bound has a measurement" assert
+      ",\"bpe_cold\":" + fmt(bpeCold) +
       ",\"jdbc_sync\":" + fmt(jdbcSync) +
       ",\"jdbc_rps\":" + (if (jdbcRps < 0) "-1" else f"$jdbcRps%.0f") +
       ",\"jdbc_sync_shmlog\":" + fmt(jdbcSyncShm) + "}"
