@@ -10,12 +10,17 @@ import org.apache.spark.sql.SparkSession
   * the staged-swap renames+fsyncs per gate, eliminate redundant
   * listing/validation passes".
   *
-  * Usage: `sbt "runMain graft.tools.JobTrace <query> [sfDir] [execute]"`
+  * Usage: `sbt "runMain graft.tools.JobTrace <query> [sfDir] [execute] [reps]"`
   *   query    exact SparkEntry.queries key
   *   sfDir    fixture dir (default /root/testdata/sf0.1)
   *   execute  also noop-run the returned frame (default false: the
   *            build phase alone — lifecycle gates do their real work
   *            eagerly inside the entry fn)
+  *   reps     bench-parity repetitions of the whole entry+execute
+  *            (default 1). Each rep re-invokes the entry fn like a
+  *            bench rep does; the job listing printed is the LAST
+  *            rep's — i.e. warm-JVM anatomy, separating real per-rep
+  *            work from first-call codegen/JIT noise.
   */
 object JobTrace {
   def main(args: Array[String]): Unit = {
@@ -54,15 +59,24 @@ object JobTrace {
         ()
       }
     })
-    val t0 = System.nanoTime()
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    val buildSec = (System.nanoTime() - t0) / 1e9
-    if (execute) df.write.format("noop").mode("overwrite").save()
+    val reps = if (args.length > 3) args(3).toInt else 1
+    var buildSec = 0.0
+    var repSec = 0.0
+    (1 to reps).foreach { r =>
+      if (r == reps) { Thread.sleep(500); lines.clear() }
+      val tr0 = System.nanoTime()
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      buildSec = (System.nanoTime() - t0) / 1e9
+      if (execute) df.write.format("noop").mode("overwrite").save()
+      repSec = (System.nanoTime() - tr0) / 1e9
+      println(f"[jobtrace] rep $r: $repSec%.2f s (build $buildSec%.2f s)")
+    }
     Thread.sleep(500) // listener bus is async
     import scala.jdk.CollectionConverters._
-    println(s"== JobTrace $name (sf=$sfDir, execute=$execute) ==")
+    println(s"== JobTrace $name (sf=$sfDir, execute=$execute, last of $reps reps) ==")
     lines.asScala.foreach(println)
-    println(f"== ${lines.size} jobs, build $buildSec%.2f s ==")
+    println(f"== ${lines.size} jobs, last rep $repSec%.2f s (build $buildSec%.2f s) ==")
     spark.stop()
   }
 }

@@ -154,6 +154,38 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters: driver-local and distributed paths agree row for row") {
+    import spark.implicits._
+    // chain + star + isolate pair: exercises pointer jumping on the loop
+    // side and min-per-component on the union-find side
+    val pairs = (Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (20L, 25L),
+      (20L, 22L), (20L, 21L), (30L, 31L))).toDF("id_a", "id_b")
+    val local = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // force the distributed fixpoint loop (the 100 TB path) by setting
+    // the local-edge bound to zero
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+    try {
+      val looped = Dedup.duplicateClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === looped)
+      assert(local === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L, 25L -> 20L, 30L -> 30L, 31L -> 30L))
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+  }
+
+  test("duplicateClusters: string ids cluster to the lexicographic min (local path)") {
+    import spark.implicits._
+    // the distributed loop's decimal-sum convergence witness is
+    // numeric-only (pre-existing; every declared gate clusters numeric
+    // ids) — the local path's Comparable ordering handles strings, so
+    // only it is asserted here
+    val pairs = Seq(("b", "c"), ("c", "a"), ("x", "y")).toDF("id_a", "id_b")
+    val local = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("keepKPerCluster: k=1 is strict keep-first, k >= max cluster keeps everything") {
     import spark.implicits._
     val docs = (1L to 12L).toDF("doc_id")

@@ -27,8 +27,16 @@ class OperatorPropertySpec extends SparkSpec {
     } yield edges.distinct
     (0 until 6).foreach { seed =>
       val edges = edgeGen.apply(params, rng.Seed(seed.toLong)).get
+      // default path (driver-local union-find for graphs this small)
       val got = Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the distributed fixpoint loop must agree on the same graphs
+      spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+      val gotLoop =
+        try Dedup.duplicateClusters(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+      assert(got === gotLoop, s"seed=$seed local vs loop divergence")
       // reference: driver-side union-find with path compression
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
