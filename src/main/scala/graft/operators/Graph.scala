@@ -170,6 +170,25 @@ object Graph {
     val edges = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
       rawEdges.repartition(col("src")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hybrid local/distributed walk (the [[Dedup.duplicateClusters]]
+    // rule applied to the rank loop): one bounded count sizes the edge
+    // cache, and below `spark.graft.graph.localMaxEdges` (default
+    // 1 000 000 — the broadcast size class; the SEED set is already a
+    // broadcast in the distributed path, so collecting it makes no new
+    // assumption) the whole power iteration runs on the driver over the
+    // collected edge list. Every operation is the SAME `· div +` on
+    // BIGINTs the distributed rounds execute — exact integer
+    // arithmetic is replay-order-free, so the local result is
+    // bit-identical (GraphSpec pins local == loop on every walk
+    // flavor). `iters` join+aggregate+checkpoint rounds collapse into
+    // one collect; the 100 TB path above the bound is untouched.
+    val localMax = pairs.sparkSession.conf
+      .get("spark.graft.graph.localMaxEdges", "1000000").toLong
+    val longIds =
+      edges.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+      edges.schema("dst").dataType == org.apache.spark.sql.types.LongType
+    if (longIds && edges.count() <= localMax)
+      return localWalk(edges, iters, dampPpm, seeds)
     val degBase = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("degree"), sum(col("__w")).as("strength"))
     val deg = org.apache.spark.sql.graftbridge.CacheBridge.persistOnce(
@@ -226,6 +245,76 @@ object Graph {
     edges.unpersist()
     deg.unpersist()
     out
+  }
+
+  /** Driver-side power iteration for [[powerWalk]]'s small-graph path:
+    * the identical ppb/ppm fixed-point recurrence
+    * (`share = r·w div strength`, `r' = seedBase + damp·Σshare div 1e6`,
+    * truncating division — all values non-negative, so Java `/` IS the
+    * SQL `div`) over the ALREADY-BOUNDED collected edge list, returned
+    * as a LocalRelation with the distributed output's exact schema.
+    * The weight guard (`raise_error` on non-positive) fires during the
+    * collect — same failure surface as the distributed rounds.
+    */
+  private def localWalk(
+      edges: DataFrame, iters: Int, dampPpm: Long,
+      seeds: Option[DataFrame]): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    edges.unpersist()
+    val es = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val degree = scala.collection.mutable.HashMap.empty[Long, Long]
+    val strength = scala.collection.mutable.HashMap.empty[Long, Long]
+    es.foreach { case (s, _, w) =>
+      degree(s) = degree.getOrElse(s, 0L) + 1L
+      strength(s) = strength.getOrElse(s, 0L) + w
+    }
+    // insertion-ordered node list: deterministic output framing
+    val nodes = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      es.foreach { case (s, d, _) => seen += s; seen += d }
+      seen.toArray
+    }
+    val isSeed: Long => Boolean = seeds match {
+      case Some(sd) =>
+        // the distributed path broadcasts exactly this set — collecting
+        // it is the same smallness assumption
+        val set = sd.select(col(sd.columns.head).cast("long").as("id"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        set.contains
+      case None => _ => true
+    }
+    val nTel = nodes.count(isSeed)
+    require(nTel > 0,
+      if (seeds.isDefined) "no seed is present in the pair graph"
+      else "empty pair graph — nothing to rank")
+    val base = (1000000000L * (1000000L - dampPpm)) / 1000000L / nTel
+    var rank = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach(v => rank(v) = if (isSeed(v)) 1000000000L / nTel else 0L)
+    var i = 0
+    while (i < iters) {
+      val in = scala.collection.mutable.HashMap.empty[Long, Long]
+      es.foreach { case (s, d, w) =>
+        in(d) = in.getOrElse(d, 0L) + (rank(s) * w) / strength(s)
+      }
+      val next = scala.collection.mutable.HashMap.empty[Long, Long]
+      nodes.foreach { v =>
+        next(v) = (if (isSeed(v)) base else 0L) +
+          (dampPpm * in.getOrElse(v, 0L)) / 1000000L
+      }
+      rank = next
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.length)
+    nodes.foreach { v =>
+      out.add(org.apache.spark.sql.Row(
+        v, rank(v), degree(v), strength(v), isSeed(v)))
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", LongType), StructField("rank_ppb", LongType),
+      StructField("degree", LongType), StructField("strength", LongType),
+      StructField("is_seed", BooleanType))))
   }
 
   /** Centrality-based keeper election: like

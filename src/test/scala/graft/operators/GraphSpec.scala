@@ -57,6 +57,28 @@ class GraphSpec extends SparkSpec {
     assert(r2 === r)
   }
 
+  test("powerWalk: driver-local and distributed paths agree bit for bit on every flavor") {
+    val df = pairs7.toDF("id_a", "id_b")
+    val weighted = pairs7.zipWithIndex
+      .map { case ((a, b), i) => (a, b, 100L + 37L * i) }
+      .toDF("id_a", "id_b", "w")
+    val seeds = Seq(20L, 1L).toDF("id")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).sortBy(_._1)
+    def all() = Seq(
+      rows(Graph.pageRankFixedPoint(df, iters = 3)),
+      rows(Graph.pageRankWeighted(weighted, "w", iters = 3)),
+      rows(Graph.personalizedPageRank(df, seeds, iters = 4)),
+      rows(Graph.personalizedPageRankWeighted(weighted, "w", seeds, iters = 4)))
+    val local = all()
+    // force the distributed power-iteration loop (the 100 TB path)
+    spark.conf.set("spark.graft.graph.localMaxEdges", "0")
+    val looped = try all() finally spark.conf.unset("spark.graft.graph.localMaxEdges")
+    local.zip(looped).zipWithIndex.foreach { case ((l, d), i) =>
+      assert(l.toSeq === d.toSeq, s"flavor $i local vs loop divergence")
+    }
+  }
+
   test("keeper election composes with real near-dup pairs: one survivor per cluster") {
     // the production composition: minhash candidate pairs over the
     // fixture + planted duplicates feed the election directly
