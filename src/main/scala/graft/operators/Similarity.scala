@@ -2193,7 +2193,42 @@ object Similarity {
     val score = lit(lambdaPpm).cast("double") * col("__rel") -
       lit(mu).cast("double") * col("__maxsim")
     val picks = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
-    try {
+    // Hybrid local/distributed greedy (the duplicateClusters rule
+    // applied to the MMR rounds): one bounded count sizes the cached
+    // candidate frame, and below
+    // `spark.graft.mmr.localMaxCandidates` (default 65 536 rows — the
+    // broadcast size class; the per-round selections already broadcast)
+    // the k rounds run on the driver over the collected rows. Every
+    // arithmetic step is the IDENTICAL pinned-order IEEE chain the
+    // distributed rounds execute (the sequential vec_dot fold, the same
+    // division/sqrt order, incremental max — exact for max), so picks
+    // and score_ppm are bit-identical (SimilaritySpec pins local ==
+    // loop). k anti-join+broadcast-join+argmax+collect rounds collapse
+    // into one collect; above the bound — the corpus-sized in-memory
+    // arm — the distributed loop below is untouched. Corner inputs the
+    // driver replica does not reproduce (null keys/scores, float
+    // vectors, non-Comparable ids) fall back to the loop.
+    val localMax = spark.conf
+      .get("spark.graft.mmr.localMaxCandidates", "65536").toLong
+    val doubleVecs = cand.schema("__cv").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    }
+    var ranLocal = false
+    if (doubleVecs && cand.count() <= localMax) {
+      val rows = cand.collect()
+      val clean = rows.forall(r =>
+        !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3) && !r.isNullAt(4) &&
+          r.get(1).isInstanceOf[Comparable[_]] &&
+          r.getSeq[Any](2).forall(_ != null))
+      if (clean) {
+        cand.unpersist()
+        ranLocal = true
+        localMmrRounds(rows, k, lambdaPpm, mu, picks)
+      }
+    }
+    if (!ranLocal) try {
       var round = 1
       var done = false
       while (round <= k && !done) {
@@ -2265,5 +2300,90 @@ object Similarity {
     spark.createDataFrame(
       new java.util.ArrayList(scala.jdk.CollectionConverters
         .BufferHasAsJava(outRows).asJava), outSchema)
+  }
+
+  /** Driver-side replay of the greedy rounds for
+    * [[mmrGreedyScored]]'s small-candidate path, appending the same
+    * pick rows the distributed loop collects. Bit-identical by
+    * construction: the diversity cosine is the sequential left-to-right
+    * `acc += cv(i)·sv(i)` fold of [[graft.functions.VecDotExpression]]
+    * with the same `dot / (√cn2 · √sn2)` operation order and the same
+    * zero-norm guard; the score is the same `λ·rel − µ·maxsim` double
+    * chain; the running `maxsim` uses incremental max, which is exact
+    * and equals the loop's per-round max over all selections; the
+    * argmax tie rule is (score DESC, cand_id ASC), the struct-sort
+    * order. A pick retires EVERY row of its (query, cand) key — the
+    * anti-join semantics.
+    */
+  private def localMmrRounds(
+      rows: Array[org.apache.spark.sql.Row],
+      k: Int,
+      lambdaPpm: Long,
+      mu: Long,
+      picks: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]): Unit = {
+    final class LC(val q: Any, val id: Any, val cvRaw: Seq[Double],
+        val cn2: Double, val rel: Double) {
+      val cv: Array[Double] = cvRaw.toArray
+      // round-1 semantics: a flat 0.0 before any selection exists; from
+      // the first real sim on, maxsim is the UNFLOORED max over
+      // selections (it can be negative — k-center's farthest picks live
+      // there), exactly the loop's per-round max-over-selected
+      var maxsim = 0.0
+      var hasSim = false
+      var alive = true
+    }
+    val byQ = scala.collection.mutable.LinkedHashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[LC]]
+    rows.foreach { r =>
+      val c = new LC(r.get(0), r.get(1), r.getSeq[Double](2),
+        r.getDouble(3), r.getDouble(4))
+      byQ.getOrElseUpdate(c.q, scala.collection.mutable.ArrayBuffer.empty) += c
+    }
+    def cmpId(x: Any, y: Any): Int = x.asInstanceOf[Comparable[Any]].compareTo(y)
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      var any = false
+      byQ.foreach { case (q, list) =>
+        var best: LC = null
+        var bestScore = 0.0
+        list.foreach { c =>
+          if (c.alive) {
+            val s = lambdaPpm.toDouble * c.rel - mu.toDouble * c.maxsim
+            if (best == null || s > bestScore ||
+                (s == bestScore && cmpId(c.id, best.id) < 0)) {
+              best = c; bestScore = s
+            }
+          }
+        }
+        if (best != null) {
+          any = true
+          picks += org.apache.spark.sql.Row(
+            q, best.id, best.cvRaw, best.cn2, round, bestScore)
+          val sv = best.cv
+          val sn2 = best.cn2
+          list.foreach { c =>
+            if (c.alive) {
+              if (cmpId(c.id, best.id) == 0) c.alive = false
+              else {
+                require(c.cv.length == sv.length,
+                  s"vec_dot length mismatch: ${c.cv.length} vs ${sv.length}")
+                val sim =
+                  if (c.cn2 * sn2 == 0.0) 0.0
+                  else {
+                    var acc = 0.0
+                    var i = 0
+                    while (i < sv.length) { acc += c.cv(i) * sv(i); i += 1 }
+                    acc / (math.sqrt(c.cn2) * math.sqrt(sn2))
+                  }
+                if (!c.hasSim || sim > c.maxsim) { c.maxsim = sim; c.hasSim = true }
+              }
+            }
+          }
+        }
+      }
+      done = !any
+      round += 1
+    }
   }
 }

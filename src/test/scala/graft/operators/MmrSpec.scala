@@ -93,6 +93,39 @@ class MmrSpec extends SparkSpec {
     a.filter(_._2 == 1).foreach { case (q, _, n, _) => assert(n == q - 1000000) }
   }
 
+  test("mmr greedy: driver-local and distributed rounds agree bit for bit") {
+    import spark.implicits._
+    // every verb sharing the greedy engine, fixture-scale inputs with
+    // real ties/near-ties; score_ppm equality pins the IEEE chain, not
+    // just the pick order
+    def all() = {
+      val mmr = Similarity.mmrTopK(
+        emb.filter(col("vec_id") < 3).select(
+          (col("vec_id") + 1000000).as("vec_id"), col("embedding")),
+        emb.filter(col("vec_id") < 150),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, lambdaPpm = 700000L)
+        .orderBy("query_id", "rank")
+        .collect().map(_.toSeq).toSeq
+      val kc = Similarity.kCenterSample(
+        emb.filter(col("vec_id") < 120), "vec_id", "embedding", k = 6)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      val div = Similarity.diverseSamplePerGroup(
+        emb.filter(col("vec_id") < 90)
+          .withColumn("grp", col("vec_id") % 3)
+          .withColumn("q", (col("vec_id") % 7).cast("double") / 7.0),
+        "grp", "vec_id", "embedding", "q", k = 3, lambdaPpm = 600000L)
+        .orderBy("grp", "rank").collect().map(_.toSeq).toSeq
+      (mmr, kc, div)
+    }
+    val local = all()
+    // force the distributed loop (the corpus-scale path)
+    spark.conf.set("spark.graft.mmr.localMaxCandidates", "0")
+    val looped = try all() finally spark.conf.unset("spark.graft.mmr.localMaxCandidates")
+    assert(local._1 == looped._1, "mmrTopK local vs loop divergence")
+    assert(local._2 == looped._2, "kCenterSample local vs loop divergence")
+    assert(local._3 == looped._3, "diverseSamplePerGroup local vs loop divergence")
+  }
+
   test("mmr from index at full-recall knobs equals the in-memory arm row-for-row") {
     val corpus = emb.filter(col("vec_id") < 150)
     Similarity.writeIvfSqIndex(corpus, "vec_id", "embedding",
