@@ -47,7 +47,11 @@ object Similarity {
   ): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
       .withColumn("__qn", VectorFunctions.norm(col("__qv")))
-    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+    // width floor: |queries| exact cosines per corpus row fuse onto the
+    // scan (the quantizedTopK phase-1 rule — narrow vector rows, heavy
+    // per-row kernel; no-op on any corpus that fans out on its own)
+    val c = graft.plans.ScaleJoins.widenNarrowInput(corpus)
+      .select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
       .withColumn("__cn", VectorFunctions.norm(col("__cv")))
     val scored = c
       .crossJoin(broadcast(q))
@@ -1483,7 +1487,13 @@ object Similarity {
     val q = queries
       .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
       .withColumn("__qq", scalarQuantize(col("__qv")).getField("codes"))
-    val c = corpus
+    // width floor before the scoring kernel: phase 1 fuses quantize +
+    // |queries| integer dots + the bounded queues onto the corpus SCAN,
+    // whose width is input-bytes-derived — a small-file corpus runs the
+    // whole scoring pass in one task (measured 0.85 s of the sf0.1
+    // gate); vector rows are narrow, so the exchange is cheap where it
+    // fires and a no-op at scale
+    val c = graft.plans.ScaleJoins.widenNarrowInput(corpus)
       .select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
       .withColumn("__cq", scalarQuantize(col("__cv")).getField("codes"))
     // phase 1: integer dot over codes (sum in long: 127^2 * dim stays
@@ -1554,7 +1564,10 @@ object Similarity {
   ): DataFrame = {
     require(k > 0 && shortlist >= k, "need shortlist >= k > 0")
     require(m > 0 && nCodes > 0, "need m > 0 and nCodes > 0")
-    val c = corpus
+    // width floor before subspace coding + ADC (the quantizedTopK
+    // phase-1 rule): the codes cache inherits the scan's width, so a
+    // small-file corpus would otherwise code AND score in one task
+    val c = graft.plans.ScaleJoins.widenNarrowInput(corpus)
       .select(col(corpusIdCol).as("neighbor_id"),
         col(corpusVecCol).cast("array<double>").as("__cv"))
     val seeds = pqSeeds(c, nCodes, portable)
@@ -1935,7 +1948,10 @@ object Similarity {
     val q = queries.select(col(queryIdCol).as("query_id"),
         microQuant(col(queryVecCol)).as("__qv"))
       .withColumn("__qn2", VectorFunctions.dot(col("__qv"), col("__qv")))
-    val c = corpus.select(col(corpusIdCol).as("cand_id"),
+    // width floor: the relevance cosines (|queries| per corpus row)
+    // fuse onto the scan feeding the greedy engine's one materialization
+    val c = graft.plans.ScaleJoins.widenNarrowInput(corpus)
+      .select(col(corpusIdCol).as("cand_id"),
         microQuant(col(corpusVecCol)).as("__cv"))
       .withColumn("__cn2", VectorFunctions.dot(col("__cv"), col("__cv")))
     mmrGreedy(c.crossJoin(broadcast(q))
@@ -2019,7 +2035,9 @@ object Similarity {
     require(k >= 1 && k <= 64, s"k in [1, 64], got $k")
     // a coreset has no query: a constant greedy key and rel ≡ 0.0 —
     // λ=0 would multiply any relevance away, so don't compute one
-    val c = corpus.select(col(idCol).as("cand_id"),
+    // (width floor: quantization + self-dot fuse onto the scan)
+    val c = graft.plans.ScaleJoins.widenNarrowInput(corpus)
+      .select(col(idCol).as("cand_id"),
         microQuant(col(vecCol)).as("__cv"))
       .withColumn("__cn2", VectorFunctions.dot(col("__cv"), col("__cv")))
       .withColumn("query_id", lit(0L))
@@ -2111,7 +2129,10 @@ object Similarity {
     require(k >= 1 && k <= 256, s"k in [1, 256], got $k")
     val a = df.select(col(idCol).as("query_id"), microQuant(col(vecCol)).as("__qv"))
       .withColumn("__qn2", VectorFunctions.dot(col("__qv"), col("__qv")))
-    val b = df.select(col(idCol).as("neighbor_id"), microQuant(col(vecCol)).as("__cv"))
+    // width floor on the SCANNED side of the all-pairs cross join (the
+    // `a` side broadcasts): n exact cosines per corpus row
+    val b = graft.plans.ScaleJoins.widenNarrowInput(df)
+      .select(col(idCol).as("neighbor_id"), microQuant(col(vecCol)).as("__cv"))
       .withColumn("__cn2", VectorFunctions.dot(col("__cv"), col("__cv")))
     val cosExact = when(col("__qn2") * col("__cn2") === 0.0, lit(0.0))
       .otherwise(VectorFunctions.dot(col("__qv"), col("__cv")) /
@@ -2153,7 +2174,10 @@ object Similarity {
     require(k >= 1 && k <= 64, s"k in [1, 64], got $k")
     require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
       s"lambdaPpm in [0, 1e6], got $lambdaPpm")
-    val c = df.select(col(groupCol).as("query_id"), col(idCol).as("cand_id"),
+    // width floor: quantization + self-dot fuse onto the scan feeding
+    // the greedy engine's one materialization
+    val c = graft.plans.ScaleJoins.widenNarrowInput(df)
+      .select(col(groupCol).as("query_id"), col(idCol).as("cand_id"),
         microQuant(col(vecCol)).as("__cv"),
         col(qualityCol).cast("double").as("__rel"))
       .withColumn("__cn2", VectorFunctions.dot(col("__cv"), col("__cv")))

@@ -19,6 +19,41 @@ import org.apache.spark.sql.functions._
   */
 object ScaleJoins {
 
+  /** Width floor for a COMPUTE-BOUND stage over a narrow source (guide
+    * §2.2: scan parallelism derives from input BYTES, so a small file
+    * feeding a heavy per-row kernel runs the whole kernel in a handful
+    * of tasks while the session's other cores idle; parquet row-group
+    * granularity means `files.maxPartitionBytes`/`minPartitionNum`
+    * cannot split it further). When the optimizer's size estimate says
+    * the source cannot reach even half the session's core count at the
+    * configured split size, insert ONE round-robin exchange up to core
+    * width; otherwise return `df` untouched.
+    *
+    * Scale-adaptive by construction: the trigger compares input size
+    * against `cores × maxPartitionBytes`, so any input big enough to
+    * parallelize on its own (every 100 TB table) passes through with NO
+    * added exchange, and when the exchange fires its bytes are bounded
+    * by that same product. Correctness-neutral: downstream kernels are
+    * deterministic per row and feed key-partitioned aggregates/joins,
+    * so row placement cannot change results (sort-before-repartition
+    * keeps the placement retry-deterministic).
+    *
+    * Apply ONLY where the per-row kernel measurably dominates the
+    * exchange's serialization: the r20 round measured this a WIN on the
+    * quantized-ANN phase-1 scan (narrow vector rows, heavy per-row
+    * scoring) and a LOSS on the clustered-write path (wide lineitem
+    * rows — the exchange's full-row serialization exceeded the curve
+    * compute it parallelized) and a wash on the shingle kernels.
+    */
+  def widenNarrowInput(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val splitBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(splitBytes) * math.max(1L, cores / 2L)) df.repartition(cores)
+    else df
+  }
+
   /** Persist `df` as a bucketed+sorted table. Joins between two tables
     * bucketed on the same key with the same bucket count need no
     * exchange and no sort.
